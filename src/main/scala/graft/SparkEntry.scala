@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2 plus
+  * the beyond-reference extensions (dedup / similarity / text analysis /
+  * multimodal / streaming-in-batch). `oracleSql` holds the DuckDB-equivalent
+  * ANSI SQL for every SQL-expressible query; non-SQL-expressible ops
+  * (MinHash-LSH, SimHash, fingerprinting, multimodal stubs) get a
+  * rows-only check from the driver.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    operators.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Relational.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries ++
+      operators.MitoQueries.queries
+
+  def oracleSql: Map[String, String] =
+    operators.Relational.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.TextAnalysis.oracles ++
+      operators.Multimodal.oracles ++
+      operators.MitoQueries.oracles
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Deduplication operators over the `documents` table — the core
+  * training-data-pipeline family. Scale notes per query; none of them
+  * collects data-proportional state to the driver.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: content-hash groupBy. One shuffle on a 128-bit hash —
+    * the canonical 100 TB-safe exact dedup (hash is uniform, no skew). */
+  def d01Exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  val d01Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** N-gram Jaccard near-dup: 3-gram character shingle sets, exact Jaccard
+    * over candidate pairs blocked by (lang, source). Blocking bounds the
+    * quadratic pair space; at 100 TB the block key would be an LSH band
+    * (see d03) — this query is the exact-verify stage of that pipeline. */
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        shingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("lang", "source"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  val d02Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 2, 0) + 1),
+      |      i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+  /** MinHash + LSH near-dup candidates: 32-perm signature, 8 bands × 4 rows,
+    * band-key self-join → candidate pairs → estimated similarity = matching
+    * signature fraction. Linear in corpus size until the band join; band
+    * keys are uniform hashes so the shuffle is skew-free. Not ANSI-SQL
+    * expressible → rows-only driver check; exactness covered by
+    * DedupSpec. */
+  def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val numPerms = 32
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        minhashSignature(shingles(col("text"), 3), numPerms).as("sig"))
+    val banded = docs
+      .select(col("doc_id"), col("sig"),
+        explode(lshBands(col("sig"), numPerms, 4)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => x === y), b => b)).cast("double") / numPerms)
+          .as("est_jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** SimHash near-dup: 64-bit signature per doc, pairs within (lang) block
+    * at Hamming distance ≤ 12. At scale the block key becomes the signature
+    * high bits (multi-probe); here lang keeps the demo pair space small. */
+  def d04Simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        simhash64(tokens(col("text"))).as("sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("lang"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("lang"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .where(col("hamming") <= 12)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- d05
+  /** Embedding-cosine near-dup: exact pairs above threshold within label
+    * blocks (blocked exact verify; ANN candidate generation is s02). */
+  def d05EmbedDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFns.cosine(col("a_emb"), col("b_emb")))
+      .where(col("cos") > 0.9)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val d05Sql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) > 0.9
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact"    -> (d01Exact _),
+    "d02_ngram_jaccard"  -> (d02NgramJaccard _),
+    "d03_minhash_lsh"    -> (d03MinhashLsh _),
+    "d04_simhash"        -> (d04Simhash _),
+    "d05_embed_dup"      -> (d05EmbedDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact"   -> d01Sql,
+    "d02_ngram_jaccard" -> d02Sql,
+    "d05_embed_dup"     -> d05Sql)
+}

