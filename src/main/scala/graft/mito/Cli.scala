@@ -1,0 +1,51 @@
+package graft.mito
+
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — reference `MTClassify.main` parity
+  * (`MTClassify.scala:37-44,54-127`): same options, same validation, same
+  * defaults. Usage:
+  *
+  *   graft.mito.Cli --prefix S1 --out out.sam --ld mitomap.ld
+  *     --numt NUMTs.txt --model <dir> [--prob 0.5] [--threads 4]
+  *     [--ld-mode join|broadcast]
+  */
+object Cli {
+
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case key :: value :: rest if key.startsWith("--") =>
+        parse(rest, acc + (key.drop(2) -> value))
+      case other :: _ =>
+        sys.error(s"unexpected argument: $other")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    def req(k: String): String =
+      opts.getOrElse(k, sys.error(s"missing required option --$k"))
+    val prob = opts.getOrElse("prob", "0.5").toDouble
+    require(prob >= 0.0 && prob <= 1.0, s"--prob must be in [0,1], got $prob")
+    val threads = opts.getOrElse("threads", "4").toInt
+    require(threads > 0, s"--threads must be positive, got $threads")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-mito-classify")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val cfg = MitoPipeline.Config(
+        prefix = req("prefix"), out = req("out"),
+        ldFile = req("ld"), numtFile = req("numt"),
+        prob = prob, ldMode = opts.getOrElse("ld-mode", "join"))
+      val model = RandomForestClassificationModel.load(req("model"))
+      val kept = MitoPipeline.run(spark, cfg, model).count()
+      println(s"wrote $kept alignments to ${cfg.out}")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,113 @@
+package graft.mito
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-read feature frames (reference `BamReader.scala` NucReader/MTReader).
+  *
+  * Everything stays in one declarative plan per frame: scan → pushed
+  * validity filter → projection (attribute tags extracted with builtins) →
+  * per-read hash aggregate. The reference's RDD→Row→createDataFrame hop
+  * (defect D2/B1, SURVEY §4.2) does not exist here, so Catalyst sees the
+  * whole pipeline. Column semantics are the *intended* ones (B1 corrected):
+  * NTMapQ←MAPQ, NTNumAlignments←NH, NTEditDist←NM, NTScore←NUMT interval
+  * overlap.
+  */
+object Features {
+
+  /** Nuclear-side features (reference `NucReader.DF`, `BamReader.scala:60-118`):
+    * per read(+mate): sums of MAPQ / NH / NM / NUMT-overlap score. */
+  def ntFeatures(alignments: DataFrame, numts: Seq[Numt.Interval]): DataFrame = {
+    val m = Sam.attrMap(col("attributes"))
+    alignments
+      .where(Sam.isValid)
+      .select(
+        col("readName").as("Read"),
+        col("mapQ"),
+        Sam.tagOrDefault(m, "NH", 1).as("numAlignments"),
+        Sam.tagOrDefault(m, "NM", 0).as("editDistance"),
+        Numt.overlapScore(numts).as("numtScore"))
+      .groupBy(col("Read"))
+      .agg(
+        sum(col("mapQ")).as("NTMapQ"),
+        sum(col("numAlignments")).as("NTNumAlignments"),
+        sum(col("editDistance")).as("NTEditDist"),
+        sum(col("numtScore")).as("NTScore"))
+  }
+
+  /** Mito-side per-read rows before LD scoring (reference `MTReader.DF`,
+    * `BamReader.scala:120-190`): sums + the collected variant lists of both
+    * mates. */
+  def mtPerRead(alignments: DataFrame): DataFrame = {
+    val m = Sam.attrMap(col("attributes"))
+    alignments
+      .where(Sam.isValid)
+      .select(
+        col("readName").as("Read"),
+        col("mapQ"),
+        Sam.tagOrDefault(m, "NH", 1).as("numAlignments"),
+        Sam.tagOrDefault(m, "NM", 0).as("editDistance"),
+        MdParser.mdVariants(col("sequence"),
+          element_at(Sam.attrMap(col("attributes")), "MD"),
+          col("start")).as("variants"))
+      .groupBy(col("Read"))
+      .agg(
+        sum(col("mapQ")).as("MTMapQ"),
+        sum(col("numAlignments")).as("MTNumAlignments"),
+        sum(col("editDistance")).as("MTEditDist"),
+        // canonical order so downstream scoring is deterministic
+        sort_array(flatten(collect_list(col("variants")))).as("variants"))
+  }
+
+  /** MT features, faithful LD mode: broadcast map + per-row pair loop
+    * (reference `BamReader.scala:147-154`). */
+  def mtFeaturesBroadcast(alignments: DataFrame,
+      ldBc: Broadcast[Map[(String, String), Int]]): DataFrame = {
+    val pairScore = udf { vs: Seq[String] =>
+      var s = 0; var i = 0
+      while (i < vs.length) {
+        var j = i + 1
+        while (j < vs.length) { s += Ld.lookup(ldBc.value, vs(i), vs(j)); j += 1 }
+        i += 1
+      }
+      s
+    }
+    mtPerRead(alignments)
+      .withColumn("LD", pairScore(col("variants")))
+      .drop("variants")
+  }
+
+  /** MT features, scalable LD mode: explode + broadcast-join + re-agg
+    * (SURVEY §7.4) — no driver-resident map required. */
+  def mtFeaturesJoin(alignments: DataFrame, ld: DataFrame): DataFrame = {
+    val perRead = mtPerRead(alignments)
+    perRead.join(Ld.pairScoreJoin(perRead.select(col("Read"), col("variants")), ld),
+        Seq("Read"))
+      .drop("variants")
+  }
+
+  /** Feature join (reference J1, `MTClassifierModel.scala:83` — inner on
+    * Read; the comment said left join, the code was inner; we keep inner as
+    * shipped semantics) + constant label (P3). */
+  def featureFrame(mt: DataFrame, nt: DataFrame, label: Double): DataFrame =
+    mt.join(nt, Seq("Read"), "inner")
+      .withColumn("label", lit(label))
+
+  /** Pooled z-normalization of the MapQ columns (reference `NormalizeMapQ`,
+    * `MTClassifierModel.scala:119-144`): mean/sd over the union of MTMapQ
+    * and NTMapQ, distributed as a broadcast scalar row (no .first() action,
+    * no single-partition window). Empty input → typed null columns
+    * (reference P5 path). */
+  def normalizeMapQ(df: DataFrame): DataFrame = {
+    val pooled = df.select(col("MTMapQ").cast(DoubleType).as("MapQ"))
+      .union(df.select(col("NTMapQ").cast(DoubleType).as("MapQ")))
+    val stats = pooled.agg(
+      avg(col("MapQ")).as("mu"), stddev_samp(col("MapQ")).as("sigma"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("MTMapQ", (col("MTMapQ") - col("mu")) / col("sigma"))
+      .withColumn("NTMapQ", (col("NTMapQ") - col("mu")) / col("sigma"))
+      .drop("mu", "sigma")
+  }
+}

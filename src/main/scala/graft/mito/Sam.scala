@@ -1,0 +1,102 @@
+package graft.mito
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SAM alignment source — a thin, Catalyst-visible text source.
+  *
+  * The reference loads BAM via ADAM (`BamReader.scala:100-102,172-174`);
+  * offline we read SAM text (same logical record) straight into a DataFrame
+  * with only builtin expressions, so filter pushdown / column pruning apply
+  * from the first operator on (unlike the reference's RDD hop, SURVEY §4.2
+  * defect D2). The distributed scan shape is identical: line-splittable
+  * text, per-split tasks.
+  *
+  * Consumed fields mirror reference `Feature.scala:115-127`:
+  * QNAME FLAG RNAME POS MAPQ SEQ + optional TAG:TYPE:VALUE attributes.
+  */
+object Sam {
+
+  /** Flag bits (SAM spec §1.4). */
+  val ReadPaired = 1
+  val ProperPair = 2
+  val MateUnmapped = 8
+  val NotPrimary = 256
+  val Supplementary = 2048
+
+  /** Read a SAM text file (or glob) into an alignment DataFrame. Header
+    * lines (@...) are dropped by a pushed filter. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val f = split(col("value"), "\t")
+    spark.read.text(path)
+      .where(!col("value").startsWith("@") && length(trim(col("value"))) > 0)
+      .select(
+        col("value").as("line"), // original record, for lossless re-emission
+        element_at(f, 1).as("readName"),
+        element_at(f, 2).cast(IntegerType).as("flag"),
+        element_at(f, 3).as("referenceName"),
+        element_at(f, 4).cast(IntegerType).as("start"),
+        element_at(f, 5).cast(IntegerType).as("mapQ"),
+        element_at(f, 6).as("cigar"),
+        element_at(f, 10).as("sequence"),
+        array_join(slice(f, 12, 1 << 20), " ").as("attributes"))
+      .withColumn("readPaired", (col("flag").bitwiseAND(ReadPaired)) =!= 0)
+      .withColumn("properPair", (col("flag").bitwiseAND(ProperPair)) =!= 0)
+      .withColumn("mateMapped", (col("flag").bitwiseAND(MateUnmapped)) === 0)
+      .withColumn("primaryAlignment", (col("flag").bitwiseAND(NotPrimary)) === 0)
+      .withColumn("supplementaryAlignment", (col("flag").bitwiseAND(Supplementary)) =!= 0)
+  }
+
+  /** Validity predicate (reference `Feature.scala:115-119`): primary,
+    * paired, proper pair, mate mapped, not supplementary — expressed as a
+    * Column so Catalyst pushes it into the scan. */
+  val isValid: Column =
+    col("primaryAlignment") && col("readPaired") && col("properPair") &&
+      col("mateMapped") && !col("supplementaryAlignment")
+
+  /** SAM optional-attribute map: "TAG:TYPE:VALUE ..." → map<tag,value>
+    * (reference `Feature.scala:80-96`). Pure builtins (split + transform +
+    * map_from_entries) — stays in codegen. */
+  def attrMap(attributes: Column): Column =
+    map_from_entries(
+      transform(
+        filter(split(attributes, "\\s+"), t => length(t) > 0),
+        t => struct(
+          substring_index(t, ":", 1).as("key"),
+          // value = everything after the 2nd ':' (values may contain ':')
+          regexp_replace(t, "^[^:]*:[^:]*:", "").as("value"))))
+
+  /** Tag extraction with the reference's defaults
+    * (`Feature.scala:122-124`): NM→0, NH→1, XQ→0. */
+  def tagOrDefault(m: Column, tag: String, default: Int): Column =
+    coalesce(element_at(m, tag).cast(IntegerType), lit(default))
+
+  /** Write alignments as a single SAM text file (reference sink K1,
+    * `MTClassify.scala:204` wrote one BAM). Header lines are read from the
+    * source SAM (driver-side, header is KB-sized) and prepended. The
+    * records coalesce to one partition only at the very end — every
+    * upstream stage stays parallel. */
+  def writeSingleSam(spark: SparkSession, src: String, records: DataFrame,
+      out: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val header = spark.read.text(src)
+      .where(col("value").startsWith("@"))
+      .collect().map(_.getString(0))
+    val lines = records.select(col("line")).coalesce(1)
+    val tmp = out + ".tmp"
+    lines.write.mode("overwrite").text(tmp)
+    val dataFiles = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sorted
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(out))
+    header.foreach { h => w.write(h); w.newLine() }
+    dataFiles.foreach { f =>
+      java.nio.file.Files.lines(f.toPath).iterator().asScala.foreach { l =>
+        w.write(l); w.newLine()
+      }
+    }
+    w.close()
+    dataFiles.foreach(_.delete())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+}

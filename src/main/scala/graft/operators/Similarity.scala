@@ -54,36 +54,44 @@ object Similarity {
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- s02
-  /** LSH-bucketed ANN (random hyperplanes): 10-bit signature via sign of
-    * dot products with deterministic pseudo-random hyperplanes; queries only
-    * scan their own bucket. The scale path: bucketing is a single narrow
-    * map + one skew-free shuffle on the bucket key; recall tunes with
-    * bits/probes. Rows-only check (approximation is not SQL-expressible);
-    * recall vs s01 asserted in SimilaritySpec. */
-  private val LshBits = 10
+  /** LSH-bucketed ANN (random hyperplanes), multi-table: `Tables_` hash
+    * tables × `BitsPerTable` sign bits each; a corpus vector is a candidate
+    * if it shares any table's bucket with the query. The scale path:
+    * bucketing is a single narrow map + one skew-free shuffle on
+    * (table, bucket); recall/cost tunes with bits-per-table and table
+    * count. Rows-only driver check (approximation is not SQL-expressible);
+    * recall vs s01 asserted in OperatorsSpec. */
+  private val Tables_ = 4
+  private val BitsPerTable = 4
   private val Dim = 64
 
   /** Deterministic hyperplane component in [-1, 1). */
-  private def hp(bit: Int, dim: Int): Double =
-    MurmurHash3.productHash((bit, dim)).toDouble / Int.MaxValue
+  private def hp(plane: Int, dim: Int): Double =
+    MurmurHash3.productHash((plane, dim)).toDouble / Int.MaxValue
 
-  private def lshSig(emb: Column): Column = {
-    val bits = (0 until LshBits).map { b =>
-      val planeDot = (0 until Dim).map { i =>
-        element_at(emb, i + 1).cast("double") * lit(hp(b, i))
+  /** array<struct<tbl,key>> of per-table bucket keys. */
+  private def lshBuckets(emb: Column): Column =
+    array((0 until Tables_).map { t =>
+      val key = (0 until BitsPerTable).map { b =>
+        val plane = t * BitsPerTable + b
+        val planeDot = (0 until Dim).map { i =>
+          element_at(emb, i + 1).cast("double") * lit(hp(plane, i))
+        }.reduce(_ + _)
+        when(planeDot >= 0, lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _)
-      when(planeDot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+      struct(lit(t).as("tbl"), key.as("key"))
+    }: _*)
 
   def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
     val (q, n) = split(s, d)
-    val qb = q.withColumn("bucket", lshSig(col("q_emb")))
-    val nb = n.withColumn("bucket", lshSig(col("n_emb")))
+    val qb = q.select(col("q_id"), col("q_emb"),
+      explode(lshBuckets(col("q_emb"))).as("b"))
+    val nb = n.select(col("n_id"), col("n_emb"),
+      explode(lshBuckets(col("n_emb"))).as("b"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
-    qb.hint("broadcast").join(nb, Seq("bucket"))
+    qb.hint("broadcast").join(nb, Seq("b"))
+      .dropDuplicates("q_id", "n_id") // same pair can match in several tables
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming transforms over the events stream. The reference
+  * has no streaming surface (SURVEY §2.10); these are the beyond-reference
+  * extension ops. Each transform takes a (possibly streaming) DataFrame
+  * with columns (ts:timestamp, user_id, event_type, value) and returns a
+  * plan valid for both `readStream` and batch execution — the same code
+  * path is exercised by the batch oracle query q15 and the streaming specs.
+  *
+  * Scale notes: all aggregations are keyed by (window, type) or
+  * (user, session) — state is bounded by the watermark horizon, so a
+  * 1000-executor streaming job holds O(windows × keys) state, not O(events).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type, 2-hour watermark. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows (1 hour every 15 minutes). */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("avg_value"))
+
+  /** Session windows: 30-minute inactivity gap per user (built-in
+    * session_window — state merges adjacent windows). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariants for the operator inventory over sf0.001. Value-level
+  * correctness is enforced by the DuckDB oracle gate (scripts/
+  * check_oracle.py); these specs pin the Spark-side invariants that the
+  * oracle can't see (plan shape, determinism across runs, recall). */
+class OperatorsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs and is deterministic across two runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf)
+      val n1 = a.count()
+      val n2 = fn(spark, sf).count()
+      assert(n1 === n2, s"$name row count unstable")
+    }
+  }
+
+  test("every oracle key has a matching query key") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("broadcast dims query plans a BroadcastHashJoin, not a shuffle join") {
+    val plan = Relational.q06BroadcastDims(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("filter+projection are pushed into the parquet scan") {
+    val plan = Relational.q02FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag)"), plan.take(2000))
+    // pruned read schema: only the 4 needed columns
+    assert(!plan.contains("l_shipdate"), "unused column not pruned")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = (Seq(
+      (1L, base, "en", "s0", base.length.toLong),
+      (2L, base + " x", "en", "s0", base.length + 2L),  // near-dup of 1
+      (3L, base.replace("quick", "slow"), "en", "s0", base.length.toLong)) ++
+      (4L to 20L).map(i => (i, s"completely different text number $i with its own unrelated words ${i * 31}", "en", "s0", 50L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val pairs = Dedup.d03MinhashLsh(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"planted near-dup not found: ${pairs.toSeq}")
+  }
+
+  test("ANN (s02) recall vs brute force (s01) is reasonable") {
+    val exact = Similarity.s01KnnBrute(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s02AnnLsh(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"LSH recall $recall collapsed") // 10-bit buckets, small corpus
+  }
+
+  test("winnowing fingerprint is shift-robust where rolling window allows") {
+    import spark.implicits._
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghij"
+    val docs = Seq((1L, a, "en", "s", 1L), (2L, a, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("fp").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val rows = TextAnalysis.t04Fingerprint(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows(0)._2 === rows(1)._2) // identical docs -> identical fingerprints
+    assert(rows(0)._3 === rows(1)._3)
+  }
+
+  test("multimodal frame features: stub decode is deterministic and batch-shaped") {
+    val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
+    val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
+    assert(f1.sameElements(f2))
+    assert(f1.forall(_.getInt(2) > 0)) // frame_bytes positive
+  }
+}

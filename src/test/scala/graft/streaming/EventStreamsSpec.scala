@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runStream(name: String, build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      events: Seq[Ev], mode: String = "append") = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(events: _*)
+    val q = build(src.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling hourly windows (streaming, complete mode)") {
+    val events = Seq(
+      Ev(1, t(5), 1, "click", 1.0), Ev(2, t(30), 1, "click", 2.0),
+      Ev(3, t(65), 2, "view", 3.0), Ev(4, t(70), 2, "click", 4.0))
+    val out = runStream("hourly", EventStreams.hourlyByType, events, "complete")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(out.toSet === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 01:00:00.0", "view", 1L),
+      ("2024-01-01 01:00:00.0", "click", 1L)))
+  }
+
+  test("session windows: 30-min gap splits sessions") {
+    val events = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 1.0),
+      Ev(3, t(100), 1, "click", 1.0), // > 30 min after -> new session
+      Ev(4, t(5), 2, "view", 1.0))
+    val out = runStream("sessions", EventStreams.userSessions, events, "complete")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.count(_._1 == 1L) === 2) // two sessions for user 1
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(1L, 2L))
+    assert(out.count(_._1 == 2L) === 1)
+  }
+
+  test("streaming dedup by event_id within watermark") {
+    val events = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0),
+      Ev(2, t(2), 1, "view", 2.0))
+    val out = runStream("dedup", EventStreams.dedupEvents, events)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("streaming and batch hourly aggregation agree on the corpus") {
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val fromStream = EventStreams.hourlyByType(batch) // same plan, batch exec
+      .select("hour", "event_type", "n")
+    val direct = batch.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(fromStream.except(direct).isEmpty && direct.except(fromStream).isEmpty)
+  }
+}
