@@ -23,25 +23,42 @@ object TextFns {
         sequence(lit(1), greatest(length(text) - lit(k - 1), lit(0))),
         i => text.substr(i, lit(k))))
 
+  /** Distinct k-gram shingles as 64-bit hashes: one string-hash pass, then
+    * every downstream set/minhash operation works on longs (integer
+    * equality beats UTF8 comparisons in the O(pairs) stages; 64-bit
+    * collisions are ~1e-11 at corpus scale). */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - lit(k - 1), lit(0))),
+        i => xxhash64(text.substr(i, lit(k)))))
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
   /** MinHash signature: for each of `numPerms` hash permutations, the min
     * 64-bit hash over the shingle set. Returns array<bigint> of length
-    * numPerms. Seeded via an extra hashed column — deterministic. */
+    * numPerms. Seeded via an extra hashed column — deterministic.
+    *
+    * IMPORTANT: pass an already-projected shingle column (a bare attribute),
+    * not the shingle-building expression — this expression references its
+    * input `numPerms` times, and an inlined non-cheap input would be
+    * recomputed per permutation (measured 7× slowdown at sf0.1). */
   def minhashSignature(shingleCol: Column, numPerms: Int): Column =
     array((0 until numPerms).map { p =>
       array_min(transform(shingleCol, sh => xxhash64(sh, lit(p))))
     }: _*)
 
   /** LSH band keys from a minhash signature: hash each band of `rowsPerBand`
-    * consecutive signature entries to one 64-bit band key. */
+    * consecutive signature entries to one 64-bit band key. Band keys are
+    * built from cheap element_at refs over the materialized signature. */
   def lshBands(sig: Column, numPerms: Int, rowsPerBand: Int): Column =
     array((0 until numPerms / rowsPerBand).map { b =>
+      val members = (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1))
       struct(lit(b).as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)
-          .cast("array<string>").cast("string"), lit(b)).as("key"))
+        xxhash64(members :+ lit(b): _*).as("key"))
     }: _*)
 
   /** 64-bit SimHash over a token array (UDF: needs a 64-slot accumulator). */

@@ -34,16 +34,19 @@ object Dedup {
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        shingles(col("text"), 3).as("sh"))
+        shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
     val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n_sh").as("a_n"))
     val b = docs.select(col("lang"), col("source"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n_sh").as("b_n"))
+    // |A∪B| = |A|+|B|−|A∩B|: one set op per pair, sizes precomputed per doc
     a.join(b, Seq("lang", "source"))
       .where(col("a_id") < col("b_id"))
+      .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        (col("n_common").cast("double") /
+          (col("a_n") + col("b_n") - col("n_common"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
       .orderBy("a_id", "b_id")
   }
@@ -65,20 +68,23 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- d03
-  /** MinHash + LSH near-dup candidates: 32-perm signature, 8 bands × 4 rows,
+  /** MinHash + LSH near-dup candidates: 32-perm signature, 4 bands × 8 rows,
     * band-key self-join → candidate pairs → estimated similarity = matching
     * signature fraction. Linear in corpus size until the band join; band
-    * keys are uniform hashes so the shuffle is skew-free. Not ANSI-SQL
-    * expressible → rows-only driver check; exactness covered by
-    * DedupSpec. */
+    * keys are uniform hashes so the shuffle is skew-free; r=8 keeps the
+    * random-collision rate (and thus the candidate pair space) tiny while
+    * jaccard≳0.9 pairs still collide with p≈0.99. Not ANSI-SQL expressible
+    * → rows-only driver check; exactness covered by OperatorsSpec. */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val numPerms = 32
+    val rowsPerBand = 8
+    // two projection steps so shingle hashes materialize once (TextFns note)
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        minhashSignature(shingles(col("text"), 3), numPerms).as("sig"))
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), numPerms).as("sig"))
     val banded = docs
       .select(col("doc_id"), col("sig"),
-        explode(lshBands(col("sig"), numPerms, 4)).as("b"))
+        explode(lshBands(col("sig"), numPerms, rowsPerBand)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.key").as("key"))
     val a = banded.select(col("band"), col("key"),
@@ -87,12 +93,13 @@ object Dedup {
       col("doc_id").as("b_id"), col("sig").as("b_sig"))
     a.join(b, Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .distinct()
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => x === y), b => b)).cast("double") / numPerms)
+          (x, y) => x === y), m => m)).cast("double") / numPerms)
           .as("est_jaccard"))
+      .groupBy(col("a_id"), col("b_id"))           // dedupe multi-band hits
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)            // candidate gate
       .orderBy("a_id", "b_id")
   }
 
@@ -109,7 +116,7 @@ object Dedup {
     a.join(b, Seq("lang"))
       .where(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
-      .where(col("hamming") <= 12)
+      .where(col("hamming") <= 8)
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
@@ -120,11 +127,15 @@ object Dedup {
   def d05EmbedDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFns
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .withColumn("nrm", VectorFns.norm2(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, Seq("label"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("cos", VectorFns.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos", VectorFns.cosinePre(col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm")))
       .where(col("cos") > 0.9)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
       .orderBy("a_id", "b_id")

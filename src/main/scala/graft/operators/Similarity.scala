@@ -14,13 +14,17 @@ import scala.util.hashing.MurmurHash3
   */
 object Similarity {
 
-  /** Queries = the 10 lowest vec_ids; corpus = everything else. */
+  /** Queries = the 10 lowest vec_ids; corpus = everything else. Norms are
+    * precomputed per row so the O(q×n) stage folds each array once. */
   private def split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
+      .withColumn("nrm", norm2(col("embedding")))
     (e.where(col("vec_id") < 10)
-       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+         col("nrm").as("q_nrm")),
      e.where(col("vec_id") >= 10)
-       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+         col("nrm").as("n_nrm")))
   }
 
   // ---------------------------------------------------------------- s01
@@ -33,7 +37,8 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     n.crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
@@ -69,30 +74,46 @@ object Similarity {
   private def hp(plane: Int, dim: Int): Double =
     MurmurHash3.productHash((plane, dim)).toDouble / Int.MaxValue
 
-  /** array<struct<tbl,key>> of per-table bucket keys. */
-  private def lshBuckets(emb: Column): Column =
+  /** All hyperplanes as one literal array<array<double>> — the signature is
+    * computed with data-driven higher-order-function loops (zip_with +
+    * aggregate) instead of Tables_×Bits×Dim unrolled expression nodes,
+    * which blew past JIT-able codegen size (measured 4× slower than brute
+    * force before this). */
+  private def planesLit: Column =
+    array((0 until Tables_ * BitsPerTable).map { p =>
+      array((0 until Dim).map(i => lit(hp(p, i))): _*)
+    }: _*)
+
+  /** array<int> of sign bits, one per hyperplane. */
+  private def signBits(emb: Column): Column =
+    transform(planesLit, plane =>
+      when(aggregate(
+        zip_with(emb, plane, (x, pc) => x.cast("double") * pc),
+        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+
+  /** array<struct<tbl,key>> of per-table bucket keys from the bit array. */
+  private def bucketsFromBits(bits: Column): Column =
     array((0 until Tables_).map { t =>
       val key = (0 until BitsPerTable).map { b =>
-        val plane = t * BitsPerTable + b
-        val planeDot = (0 until Dim).map { i =>
-          element_at(emb, i + 1).cast("double") * lit(hp(plane, i))
-        }.reduce(_ + _)
-        when(planeDot >= 0, lit(1 << b)).otherwise(lit(0))
+        element_at(bits, t * BitsPerTable + b + 1) * lit(1 << b)
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), key.as("key"))
     }: _*)
 
   def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
     val (q, n) = split(s, d)
-    val qb = q.select(col("q_id"), col("q_emb"),
-      explode(lshBuckets(col("q_emb"))).as("b"))
-    val nb = n.select(col("n_id"), col("n_emb"),
-      explode(lshBuckets(col("n_emb"))).as("b"))
+    def banded(df: DataFrame, id: String, emb: String, nrm: String): DataFrame =
+      df.select(col(id), col(emb), col(nrm), signBits(col(emb)).as("bits"))
+        .select(col(id), col(emb), col(nrm),
+          explode(bucketsFromBits(col("bits"))).as("b"))
+    val qb = banded(q, "q_id", "q_emb", "q_nrm")
+    val nb = banded(n, "n_id", "n_emb", "n_nrm")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     qb.hint("broadcast").join(nb, Seq("b"))
       .dropDuplicates("q_id", "n_id") // same pair can match in several tables
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
