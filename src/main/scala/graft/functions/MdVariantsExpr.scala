@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.mito.MdParser
+
+/** `md_variants(sequence, md, start) -> array<string>` as a native Catalyst
+  * expression with real codegen — the Spark-idiomatic replacement for the
+  * UDF form of the reference's MD scanner (`MDParser.scala:26-118`): no
+  * Scala-function serialization, no Row boxing, and the call stays inside
+  * whole-stage codegen (the generated code invokes [[MdVariantsExpr.eval]]
+  * directly on UTF8String inputs).
+  */
+case class MdVariants(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ExpectsInputTypes {
+
+  // return type inferred: Seq[AbstractDataType] is sql-private, so no ascription
+  override def inputTypes = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "md_variants"
+
+  override def nullSafeEval(seq: Any, md: Any, start: Any): Any =
+    MdVariantsExpr.eval(
+      seq.asInstanceOf[UTF8String],
+      md.asInstanceOf[UTF8String],
+      start.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, m, st) =>
+      s"graft.functions.MdVariantsExpr.eval($s, $m, $st)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object MdVariantsExpr {
+
+  /** Codegen target: UTF8String in, Catalyst ArrayData out. */
+  def eval(seq: UTF8String, md: UTF8String, start: Int): ArrayData =
+    new GenericArrayData(
+      MdParser.variants(seq.toString, md.toString, start)
+        .map(v => UTF8String.fromString(v): Any))
+
+  /** Column-level API. */
+  def mdVariants(sequence: Column, md: Column, start: Column): Column =
+    bridge.toColumn(MdVariants(
+      bridge.toExpression(sequence),
+      bridge.toExpression(md),
+      bridge.toExpression(start)))
+
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md_variants"),
+    new ExpressionInfo(classOf[MdVariants].getName, "md_variants"),
+    (children: Seq[Expression]) => MdVariants(children(0), children(1), children(2)))
+}
+
+/** Session extensions: register graft's native SQL functions.
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(MdVariantsExpr.functionDescription)
+}

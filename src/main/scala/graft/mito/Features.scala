@@ -49,7 +49,7 @@ object Features {
         col("mapQ"),
         Sam.tagOrDefault(m, "NH", 1).as("numAlignments"),
         Sam.tagOrDefault(m, "NM", 0).as("editDistance"),
-        MdParser.mdVariants(col("sequence"),
+        graft.functions.MdVariantsExpr.mdVariants(col("sequence"),
           element_at(Sam.attrMap(col("attributes")), "MD"),
           col("start")).as("variants"))
       .groupBy(col("Read"))

@@ -481,6 +481,107 @@ object Relational {
       |  MAX(n_events) AS max_session_events
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** Full outer join with genuinely unmatched rows on both sides
+    * (capability beyond the reference, SURVEY §2.3). */
+  def q22FullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val negCust = Tables.customer(s, d)
+      .where(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val bigOrders = Tables.orders(s, d)
+      .where(col("o_totalprice") > 200000.0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    negCust.join(bigOrders, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("c_name"), lit("(none)")).as("name"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy("custkey")
+  }
+
+  val q22Sql: String =
+    """SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+      |  COALESCE(a.c_name, '(none)') AS name,
+      |  COALESCE(b.n_big, 0) AS n_big
+      |FROM (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_acctbal < 0) a
+      |FULL OUTER JOIN (SELECT o_custkey AS custkey, COUNT(*) AS n_big
+      |                 FROM orders WHERE o_totalprice > 200000.0 GROUP BY 1) b
+      |  ON a.custkey = b.custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Exact interpolated percentiles (sort-based, deterministic; both
+    * engines use the p*(n-1) continuous definition). */
+  def q23Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  val q23Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Cube: all grouping-set combinations (superset of q13's rollup). */
+  def q24Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val q24Sql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Scalar-subquery pattern: rows above the global average — the scalar
+    * aggregates once and broadcasts; the fact side streams (no second scan
+    * shuffle, no driver action). */
+  def q25AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val stats = o.agg(davg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(stats))
+      .where(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val q25Sql: String =
+    s"""SELECT o_orderkey, o_totalprice FROM orders
+       |WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders) * 1.5
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Distinct aggregation (count + sum DISTINCT — the expand+two-phase
+    * aggregate path). */
+  def q26DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        sum_distinct(col("l_quantity").cast(DecimalType(38, 2)))
+          .cast(DoubleType).as("sum_distinct_qty"))
+      .orderBy("l_returnflag")
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_distinct_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -503,7 +604,12 @@ object Relational {
     "q18_set_ops"         -> (q18SetOps _),
     "q19_conditional_agg" -> (q19ConditionalAgg _),
     "q20_json_extract"    -> (q20JsonExtract _),
-    "q21_sessionize"      -> (q21Sessionize _))
+    "q21_sessionize"      -> (q21Sessionize _),
+    "q22_full_outer_join" -> (q22FullOuterJoin _),
+    "q23_percentiles"     -> (q23Percentiles _),
+    "q24_cube"            -> (q24Cube _),
+    "q25_above_avg"       -> (q25AboveAvg _),
+    "q26_distinct_agg"    -> (q26DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -526,5 +632,10 @@ object Relational {
     "q18_set_ops"         -> q18Sql,
     "q19_conditional_agg" -> q19Sql,
     "q20_json_extract"    -> q20Sql,
-    "q21_sessionize"      -> q21Sql)
+    "q21_sessionize"      -> q21Sql,
+    "q22_full_outer_join" -> q22Sql,
+    "q23_percentiles"     -> q23Sql,
+    "q24_cube"            -> q24Sql,
+    "q25_above_avg"       -> q25Sql,
+    "q26_distinct_agg"    -> q26Sql)
 }
