@@ -23,15 +23,12 @@ object TextFns {
         sequence(lit(1), greatest(length(text) - lit(k - 1), lit(0))),
         i => text.substr(i, lit(k))))
 
-  /** Distinct k-gram shingles as 64-bit hashes: one string-hash pass, then
-    * every downstream set/minhash operation works on longs (integer
-    * equality beats UTF8 comparisons in the O(pairs) stages; 64-bit
-    * collisions are ~1e-11 at corpus scale). */
+  /** Distinct k-gram shingles as 64-bit hashes — native single-pass
+    * expression (see [[ShingleHashesExpr]]: the builtin substr composition
+    * is O(len²) because UTF8String substring counts codepoints from the
+    * string start). Downstream set/minhash ops work on longs. */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(text) - lit(k - 1), lit(0))),
-        i => xxhash64(text.substr(i, lit(k)))))
+    ShingleHashesExpr.shingleHashes(text, k)
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column =
