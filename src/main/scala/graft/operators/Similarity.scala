@@ -120,6 +120,59 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------- s04
+  /** IVF (inverted-file) ANN: KMeans-partition the corpus (seeded, k=16),
+    * probe the `NProbe` nearest centroids per query, exact cosine inside
+    * probed cells only. The classic disk-friendly ANN layout: at 100 TB the
+    * corpus would be written bucketed by cell id, so a query reads
+    * NProbe/k of the data; here cells are a join key. Rows-only check;
+    * recall vs s01 asserted in OperatorsSpec. */
+  private val IvfK = 16
+  private val NProbe = 4
+
+  def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(IvfK).setSeed(42L).setFeaturesCol("vec")
+      .setPredictionCol("cell")
+    val model = km.fit(e.select("vec"))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("nrm", norm2(col("embedding")))
+    // per-query: the NProbe nearest centroids by euclidean distance
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("dist2", aggregate(
+        zip_with(col("q_emb"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    val n = assigned.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("cell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    probes.hint("broadcast").join(n, Seq("cell"))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------------- s03
   /** Vector column statistics: per-label mean L2 norm + count — the sanity
     * profile a pipeline runs before indexing an embedding corpus. */
@@ -143,7 +196,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
-    "s03_embed_norms" -> (s03EmbedNorms _))
+    "s03_embed_norms" -> (s03EmbedNorms _),
+    "s04_ann_ivf"    -> (s04AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,

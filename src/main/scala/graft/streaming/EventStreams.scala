@@ -49,4 +49,30 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state machine via flatMapGroupsWithState: per-user running
+    * totals emitted on every update (Update mode). State is one small
+    * case class per active user — O(users), watermark-independent. */
+  final case class UserStat(user_id: Long, n: Long, total: Double)
+
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserStat(uid, prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }
+
+/** Typed event row for the stateful transforms. */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)

@@ -45,6 +45,13 @@ class PipelineSpec extends SparkSpec {
     assert(probs.forall(p => p >= 0.5 && p <= 1.0))
   }
 
+  test("GBT path trains and separates like RF (reference testGBModel parity)") {
+    val model = Classify.trainGBT(trainingFrame, maxIter = 10)
+    val prepared = Classify.rformula.fit(trainingFrame).transform(trainingFrame)
+    val scored = model.transform(prepared)
+    assert(Classify.evaluate(scored) > 0.95)
+  }
+
   test("mtReadKeys applies confidence gate and prediction filter") {
     val model = Classify.trainRF(trainingFrame, numTrees = 8)
     val scored = Classify.score(model, trainingFrame)

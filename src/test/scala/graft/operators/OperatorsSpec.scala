@@ -59,13 +59,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"planted near-dup not found: ${pairs.toSeq}")
   }
 
-  test("ANN (s02) recall vs brute force (s01) is reasonable") {
+  test("ANN (s02 LSH, s04 IVF) recall vs brute force (s01) is reasonable") {
     val exact = Similarity.s01KnnBrute(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.s02AnnLsh(spark, sf)
+    val lsh = Similarity.s02AnnLsh(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.2, s"LSH recall $recall collapsed") // 10-bit buckets, small corpus
+    val ivf = Similarity.s04AnnIvf(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(lshRecall > 0.2, s"LSH recall $lshRecall collapsed")
+    assert(ivfRecall > 0.3, s"IVF recall $ivfRecall collapsed")
+  }
+
+  test("q01 aggregation is partial (map-side) + final — two HashAggregate levels") {
+    val plan = Relational.q01PricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
+  test("x01 pair scoring broadcasts the supplier dim (fact side never builds)") {
+    val plan = MitoQueries.x01PairScore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
   test("winnowing fingerprint is shift-robust where rolling window allows") {

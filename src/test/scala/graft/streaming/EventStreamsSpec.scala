@@ -60,6 +60,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState: running per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(src.toDS()).writeStream
+      .format("memory").queryName("running").outputMode("update").start()
+    src.addData(Event(1, t(0), 1, "click", 2.0), Event(2, t(1), 1, "click", 3.0))
+    q.processAllAvailable()
+    src.addData(Event(3, t(2), 1, "view", 5.0), Event(4, t(3), 2, "view", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("running")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // last emission per user reflects cumulative state
+    assert(rows.contains((1L, 3L, 10.0))) // 2+3 then +5 across batches
+    assert(rows.contains((2L, 1L, 7.0)))
+  }
+
   test("streaming and batch hourly aggregation agree on the corpus") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", col("ts").cast("timestamp"))
