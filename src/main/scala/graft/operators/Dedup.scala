@@ -40,10 +40,13 @@ object Dedup {
       col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n_sh").as("a_n"))
     val b = docs.select(col("lang"), col("source"),
       col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n_sh").as("b_n"))
-    // |A∪B| = |A|+|B|−|A∩B|: one set op per pair, sizes precomputed per doc
+    // |A∪B| = |A|+|B|−|A∩B|: one linear merge per pair (arrays are sorted
+    // by ShingleHashes), sizes precomputed per doc
     a.join(b, Seq("lang", "source"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("n_common",
+        graft.functions.IntersectCountExpr.intersectCountSorted(
+          col("a_sh"), col("b_sh")))
       .select(col("a_id"), col("b_id"),
         (col("n_common").cast("double") /
           (col("a_n") + col("b_n") - col("n_common"))).as("jaccard"))
