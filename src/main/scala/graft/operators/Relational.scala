@@ -481,6 +481,23 @@ object Relational {
       |  MAX(n_events) AS max_session_events
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** q17's as-of join through the custom physical operator
+    * (graft.plans.AsOfJoinExec): co-partitioned sort-merge with a single
+    * forward cursor per partition — same oracle as q17. */
+  def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("r_user"),
+        col("o_orderdate").cast(TimestampNTZType).as("r_ts"), col("o_orderkey"))
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOf.join(ev, ord, "user_id", "r_user", "ts", "r_ts")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Full outer join with genuinely unmatched rows on both sides
     * (capability beyond the reference, SURVEY §2.3). */
@@ -609,7 +626,8 @@ object Relational {
     "q23_percentiles"     -> (q23Percentiles _),
     "q24_cube"            -> (q24Cube _),
     "q25_above_avg"       -> (q25AboveAvg _),
-    "q26_distinct_agg"    -> (q26DistinctAgg _))
+    "q26_distinct_agg"    -> (q26DistinctAgg _),
+    "q27_asof_custom"     -> (q27AsofCustom _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -637,5 +655,6 @@ object Relational {
     "q23_percentiles"     -> q23Sql,
     "q24_cube"            -> q24Sql,
     "q25_above_avg"       -> q25Sql,
-    "q26_distinct_agg"    -> q26Sql)
+    "q26_distinct_agg"    -> q26Sql,
+    "q27_asof_custom"     -> q17Sql) // same semantics, custom physical op
 }
