@@ -498,6 +498,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q28
+  /** Top-k values per group via the custom MaxK TypedImperativeAggregate
+    * (bounded k-double buffer, map-side combinable) — vs the window
+    * formulation that sorts whole groups (q11). Exploded to rows for the
+    * oracle. */
+  def q28TopkAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.MaxKExpr.maxK(col("o_totalprice"), 3).as("topk"))
+      .select(col("o_orderpriority"),
+        posexplode(col("topk")).as(Seq("pos", "price")))
+      .select(col("o_orderpriority"), (col("pos") + 1).as("rank"), col("price"))
+      .orderBy("o_orderpriority", "rank")
+
+  val q28Sql: String =
+    """SELECT o_orderpriority, rn AS rank, price FROM (
+      |  SELECT o_orderpriority, o_totalprice AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin
+
   // ---------------------------------------------------------------- q22
   /** Full outer join with genuinely unmatched rows on both sides
     * (capability beyond the reference, SURVEY §2.3). */
@@ -627,7 +649,8 @@ object Relational {
     "q24_cube"            -> (q24Cube _),
     "q25_above_avg"       -> (q25AboveAvg _),
     "q26_distinct_agg"    -> (q26DistinctAgg _),
-    "q27_asof_custom"     -> (q27AsofCustom _))
+    "q27_asof_custom"     -> (q27AsofCustom _),
+    "q28_topk_agg"        -> (q28TopkAgg _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -656,5 +679,6 @@ object Relational {
     "q24_cube"            -> q24Sql,
     "q25_above_avg"       -> q25Sql,
     "q26_distinct_agg"    -> q26Sql,
-    "q27_asof_custom"     -> q17Sql) // same semantics, custom physical op
+    "q27_asof_custom"     -> q17Sql, // same semantics, custom physical op
+    "q28_topk_agg"        -> q28Sql)
 }
