@@ -50,7 +50,7 @@ object Features {
         Sam.tagOrDefault(m, "NH", 1).as("numAlignments"),
         Sam.tagOrDefault(m, "NM", 0).as("editDistance"),
         graft.functions.MdVariantsExpr.mdVariants(col("sequence"),
-          element_at(Sam.attrMap(col("attributes")), "MD"),
+          element_at(m, "MD"),
           col("start")).as("variants"))
       .groupBy(col("Read"))
       .agg(

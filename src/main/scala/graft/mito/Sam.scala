@@ -27,9 +27,14 @@ object Sam {
 
   /** Read a SAM text file (or glob) into an alignment DataFrame. Header
     * lines (@...) are dropped by a pushed filter. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.text(path))
+
+  /** Parse a DataFrame of raw SAM lines (column `value`) — the same record
+    * decoder whether lines come from files, a stream, or are synthesized. */
+  def parse(lines: DataFrame): DataFrame = {
     val f = split(col("value"), "\t")
-    spark.read.text(path)
+    lines
       .where(!col("value").startsWith("@") && length(trim(col("value"))) > 0)
       .select(
         col("value").as("line"), // original record, for lossless re-emission

@@ -45,8 +45,71 @@ object MitoQueries {
        |JOIN supplier s2 ON b.l_suppkey = s2.s_suppkey
        |GROUP BY a.l_orderkey ORDER BY a.l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- x02
+  /** The full MitoScape feature pipeline (SAM parse → validity filter →
+    * attribute extraction → MD-variant scan → per-read aggregation → LD
+    * pair scoring → NUMT overlap → feature join → z-normalization) over
+    * alignment records synthesized deterministically from `lineitem` — a
+    * domain-throughput benchmark entry at corpus scale (sf0.1 ≈ 1.2M
+    * alignment records). Output: one compact global summary row
+    * (deterministic: exact integer sums + decimal-exact double sums).
+    * Rows-only driver check; per-read values are pinned on fixtures by
+    * FeaturesSpec. */
+  def x02MitoFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.{Features, Ld, Numt, Sam}
+    // deterministic 25% subset keeps the bench entry proportional but sane
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+    // MT side: read rX paired rows (flags 99/147) on chrM; every 3rd line
+    // number carries a substitution (MD 2A7, read base G at start+2)
+    def mtLine(flag: Int, startOff: Int) = concat_ws("\t",
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber")),
+      lit(flag), lit("chrM"),
+      (col("l_partkey") % 1000 + startOff).cast("int"),
+      (col("l_quantity")).cast("int"), lit("10M"), lit("="), lit("0"), lit("0"),
+      when(col("l_linenumber") % 3 === 0, lit("==G======="))
+        .otherwise(lit("==========")),
+      lit("*"),
+      concat(lit("NM:i:"), (col("l_linenumber") % 3 === 0).cast("int"),
+        lit("\tNH:i:1\t"),
+        when(col("l_linenumber") % 3 === 0, lit("MD:Z:2A7"))
+          .otherwise(lit("MD:Z:10"))))
+    val mtAlign = Sam.parse(
+      li.select(mtLine(99, 0).as("value"))
+        .union(li.select(mtLine(147, 500).as("value"))))
+    // NT side: one row per read on a nuclear chromosome
+    val ntLines = li.select(concat_ws("\t",
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber")),
+      lit(99), concat(lit("chr"), (col("l_suppkey") % 5 + 1)),
+      (col("l_partkey") % 2000).cast("int"),
+      (col("l_discount") * 100).cast("int"), lit("10M"), lit("="), lit("0"),
+      lit("0"), lit("ACGTACGTAC"), lit("*"),
+      concat(lit("NM:i:"), (col("l_suppkey") % 4), lit("\tNH:i:2"))).as("value"))
+    val numts = Seq(
+      Numt.Interval("chr1", 100, 600, 10f),
+      Numt.Interval("chr2", 500, 1500, 5f),
+      Numt.Interval("chr3", 0, 1000, 7f))
+    val nt = Features.ntFeatures(Sam.parse(ntLines), numts)
+    // small LD table over the synthesized variant space: positions p+2 for
+    // p in [0,1000), base G; pair (x, x+500) scored
+    // 1000-entry LD dim → faithful broadcast-map mode (single pass over the
+    // aggregated frame; the join mode re-evaluates its input sub-plan twice
+    // and is meant for LD tables too big to broadcast)
+    val ldMap = (0 until 1000).map { p =>
+      (s"${p + 2}G", s"${p + 502}G") -> 42000
+    }.toMap
+    val mt = Features.mtFeaturesBroadcast(mtAlign, s.sparkContext.broadcast(ldMap))
+    val feat = Features.normalizeMapQ(Features.featureFrame(mt, nt, 0.5))
+    feat.agg(
+      count(lit(1)).as("n_reads"),
+      sum(col("MTEditDist")).as("sum_mt_edit"),
+      sum(col("LD")).as("sum_ld"),
+      sum(col("NTScore")).as("sum_nt_score"),
+      sum(col("MTNumAlignments")).as("sum_mt_aligns"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x01_pair_score" -> (x01PairScore _))
+    "x01_pair_score"    -> (x01PairScore _),
+    "x02_mito_features" -> (x02MitoFeatures _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql)
