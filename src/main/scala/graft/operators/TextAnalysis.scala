@@ -40,12 +40,17 @@ object TextAnalysis {
   def t02Quality(s: SparkSession, d: String): DataFrame = {
     val txt = col("text")
     val nTok = size(tokens(txt))
+    // BPE-ish pre-tokenization: letter runs / digit runs / single other
+    // non-space — the GPT-2-style regex shape, counts sub-word-mergeable
+    // units rather than whitespace words
+    val nBpe = regexCount(txt, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
     val punct = regexCount(txt, "[.,!?;:]")
     val digit = regexCount(txt, "[0-9]")
     val upper = regexCount(txt, "[A-Z]")
     val nchar = length(txt)
     Tables.documents(s, d)
       .select(col("doc_id"), nchar.as("n_char"), nTok.as("n_tok"),
+        nBpe.as("n_bpe"),
         punct.as("n_punct"), digit.as("n_digit"), upper.as("n_upper"),
         (nchar.cast("double") / nTok).as("chars_per_tok"))
       .orderBy("doc_id")
@@ -54,6 +59,7 @@ object TextAnalysis {
   val t02Sql: String =
     """SELECT doc_id, LENGTH(text) AS n_char,
       |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
       |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
       |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
       |  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
