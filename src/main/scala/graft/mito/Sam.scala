@@ -46,12 +46,19 @@ object Sam {
         element_at(f, 6).as("cigar"),
         element_at(f, 10).as("sequence"),
         array_join(slice(f, 12, 1 << 20), " ").as("attributes"))
+      .transform(withFlags)
+  }
+
+  /** Expand the SAM FLAG bitfield into the boolean columns the validity
+    * predicate consumes. Applies to any frame with a `flag` column
+    * (Sam.parse output or the `sam` DataSource V2 scan). */
+  def withFlags(df: DataFrame): DataFrame =
+    df
       .withColumn("readPaired", (col("flag").bitwiseAND(ReadPaired)) =!= 0)
       .withColumn("properPair", (col("flag").bitwiseAND(ProperPair)) =!= 0)
       .withColumn("mateMapped", (col("flag").bitwiseAND(MateUnmapped)) === 0)
       .withColumn("primaryAlignment", (col("flag").bitwiseAND(NotPrimary)) === 0)
       .withColumn("supplementaryAlignment", (col("flag").bitwiseAND(Supplementary)) =!= 0)
-  }
 
   /** Validity predicate (reference `Feature.scala:115-119`): primary,
     * paired, proper pair, mate mapped, not supplementary — expressed as a

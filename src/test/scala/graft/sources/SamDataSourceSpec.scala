@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.mito.Sam
+import org.apache.spark.sql.functions._
+
+class SamDataSourceSpec extends SparkSpec {
+
+  private lazy val path = resource("mito/sample_MT_MD.sam")
+
+  test("format(\"sam\") loads records with the declared schema") {
+    val df = spark.read.format("sam").load(path)
+    assert(df.count() === 7)
+    assert(df.schema.fieldNames.toSeq === SamDataSource.schema.fieldNames.toSeq)
+    val r1 = df.where(col("readName") === "r1" && col("flag") === 99).head()
+    assert(r1.getAs[String]("referenceName") === "chrM")
+    assert(r1.getAs[Int]("start") === 5)
+    assert(r1.getAs[String]("sequence") === "==G===C===")
+    assert(r1.getAs[String]("attributes").contains("MD:Z:2A3T3"))
+  }
+
+  test("DSv2 scan agrees with the expression-based parser on every column") {
+    val v2 = spark.read.format("sam").load(path)
+    val v1 = Sam.read(spark, path).select(v2.columns.map(col): _*)
+    assert(v1.except(v2).isEmpty && v2.except(v1).isEmpty)
+  }
+
+  test("flag expansion + validity compose on top of the DSv2 scan") {
+    val valid = Sam.withFlags(spark.read.format("sam").load(path))
+      .where(Sam.isValid)
+      .select("readName").collect().map(_.getString(0)).sorted
+    assert(valid.toSeq === Seq("r1", "r1", "r2", "r2"))
+  }
+
+  test("multiple paths scan in parallel partitions") {
+    val df = spark.read.format("sam")
+      .load(path, resource("mito/sample_NT.sam"))
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 12) // 7 + 5 records
+  }
+}
