@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.mito.{Features, Sam}
+import org.apache.spark.sql.functions._
+
+/** The .bam fixtures are generated from the .sam fixtures by
+  * scripts/make_bam_fixture.py — authored independently from the BAM spec
+  * (BGZF framing, binary record layout, 4-bit sequence packing, typed
+  * tags), so agreement here validates the Scala decoder against
+  * spec-derived bytes, not against itself. */
+class BamDataSourceSpec extends SparkSpec {
+
+  private lazy val bamPath = resource("mito/sample_MT_MD.bam")
+  private lazy val samPath = resource("mito/sample_MT_MD.sam")
+
+  test("format(\"bam\") decodes BGZF + binary records") {
+    val df = spark.read.format("bam").load(bamPath)
+    assert(df.count() === 7)
+    val r1 = df.where(col("readName") === "r1" && col("flag") === 99).head()
+    assert(r1.getAs[String]("referenceName") === "chrM")
+    assert(r1.getAs[Int]("start") === 5)
+    assert(r1.getAs[String]("sequence") === "==G===C===")
+    assert(r1.getAs[String]("cigar") === "10M")
+    assert(r1.getAs[String]("attributes") ===
+      "NM:i:2 MD:Z:2A3T3 NH:i:1 XQ:i:10")
+  }
+
+  test("bam and sam sources agree on every record field") {
+    val cols = Seq("readName", "flag", "referenceName", "start", "mapQ",
+      "cigar", "sequence", "attributes").map(col)
+    val fromBam = spark.read.format("bam").load(bamPath).select(cols: _*)
+    val fromSam = Sam.read(spark, samPath).select(cols: _*)
+    assert(fromBam.except(fromSam).isEmpty && fromSam.except(fromBam).isEmpty)
+  }
+
+  test("feature pipeline is format-agnostic: identical MT features from bam") {
+    val viaBam = Features.mtPerRead(
+      Sam.withFlags(spark.read.format("bam").load(bamPath)))
+    val viaSam = Features.mtPerRead(Sam.read(spark, samPath))
+    assert(viaBam.except(viaSam).isEmpty && viaSam.except(viaBam).isEmpty)
+  }
+
+  test("multi-reference NT bam resolves chromosome names from the dictionary") {
+    val df = spark.read.format("bam").load(resource("mito/sample_NT.bam"))
+    val refs = df.select("referenceName").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(refs.toSeq === Seq("chr1", "chr2", "chr3"))
+  }
+}
