@@ -11,7 +11,7 @@ SEQ_CODES = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 def bgzf_block(payload: bytes) -> bytes:
     co = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = co.compress(payload) + co.flush()
-    bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+cdata+crc(4)+isize(4) - 1
+    bsize = len(cdata) + 25  # total block size (18+clen+8) minus 1, per spec
     header = struct.pack("<BBBBIBBH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6)
     extra = struct.pack("<ccHH", b"B", b"C", 2, bsize)
     trailer = struct.pack("<II", zlib.crc32(payload) & 0xffffffff, len(payload))

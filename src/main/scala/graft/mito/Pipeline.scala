@@ -23,11 +23,12 @@ object MitoPipeline {
     ldMode: String = "join") // "join" (scalable) | "broadcast" (faithful)
 
   /** Feature frame for one sample (reference `MTClassifierModel.DF`,
-    * `MTClassifierModel.scala:71-87`). */
+    * `MTClassifierModel.scala:71-87`). Inputs resolve `<prefix>_X.bam`
+    * first, then `<prefix>_X.sam` (Sam.readAuto). */
   def features(spark: SparkSession, cfg: Config, label: Double): DataFrame = {
     val numts = Numt.load(spark, cfg.numtFile)
-    val nt = Features.ntFeatures(Sam.read(spark, cfg.prefix + "_NT.sam"), numts)
-    val mtAlign = Sam.read(spark, cfg.prefix + "_MT_MD.sam")
+    val nt = Features.ntFeatures(Sam.readAuto(spark, cfg.prefix + "_NT"), numts)
+    val mtAlign = Sam.readAuto(spark, cfg.prefix + "_MT_MD")
     val mt = cfg.ldMode match {
       case "broadcast" =>
         val bc = spark.sparkContext.broadcast(Ld.toMap(Ld.load(spark, cfg.ldFile)))
@@ -45,8 +46,10 @@ object MitoPipeline {
       model: org.apache.spark.ml.classification.RandomForestClassificationModel)
       : DataFrame = {
     val feat = features(spark, cfg, label = 0.5)
-    val outSrc = cfg.prefix + "_MT.sam"
-    val toWrite = Sam.read(spark, outSrc)
+    val srcBase = cfg.prefix + "_MT"
+    val srcBam = srcBase + ".bam"
+    val srcIsBam = java.nio.file.Files.exists(java.nio.file.Paths.get(srcBam))
+    val toWrite = Sam.readAuto(spark, srcBase)
     // empty-input / prob=0 pass-through guards (reference
     // MTClassify.scala:159-161,194-197)
     val filtered =
@@ -55,7 +58,14 @@ object MitoPipeline {
         val keys = Classify.mtReadKeys(Classify.score(model, feat), cfg.prob)
         Classify.filterAlignments(toWrite, keys)
       }
-    Sam.writeSingleSam(spark, outSrc, filtered, cfg.out)
+    if (cfg.out.endsWith(".bam")) {
+      val (text, refs) =
+        if (srcIsBam) graft.sources.BamWriter.readHeader(srcBam)
+        else Sam.headerFromSam(spark, srcBase + ".sam")
+      graft.sources.BamWriter.write(filtered, text, refs, cfg.out)
+    } else {
+      Sam.writeSingleSam(spark, srcBase + ".sam", filtered, cfg.out)
+    }
     filtered
   }
 }

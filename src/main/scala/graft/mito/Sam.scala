@@ -49,6 +49,30 @@ object Sam {
       .transform(withFlags)
   }
 
+  /** Load a sample component by base path without extension: prefers
+    * `<base>.bam` (binary DataSource V2 scan) over `<base>.sam` (text).
+    * Either way the output schema + flag expansion are identical. */
+  def readAuto(spark: SparkSession, base: String): DataFrame = {
+    val bam = base + ".bam"
+    val sam = base + ".sam"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(bam)))
+      withFlags(spark.read.format("bam").load(bam))
+    else read(spark, sam)
+  }
+
+  /** Reference dictionary + header text from a SAM text header (for
+    * writing BAM output when the inputs were SAM text). */
+  def headerFromSam(spark: SparkSession, path: String): (String, Seq[(String, Int)]) = {
+    val lines = spark.read.text(path)
+      .where(col("value").startsWith("@"))
+      .collect().map(_.getString(0))
+    val refs = lines.filter(_.startsWith("@SQ")).map { l =>
+      val kv = l.split("\t").drop(1).map(_.split(":", 2)).map(a => a(0) -> a(1)).toMap
+      (kv("SN"), kv("LN").toInt)
+    }
+    (lines.mkString("", "\n", "\n"), refs.toSeq)
+  }
+
   /** Expand the SAM FLAG bitfield into the boolean columns the validity
     * predicate consumes. Applies to any frame with a `flag` column
     * (Sam.parse output or the `sam` DataSource V2 scan). */

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, OutputStream}
+import java.util.zip.{CRC32, Deflater, GZIPInputStream}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Single-file BAM sink (reference K1 parity: `saveAsSam(..., BAM,
+  * asSingleFile=true)`, `MTClassify.scala:204`), written from the SAM/BAM
+  * v1.6 spec.
+  *
+  * BGZF is concatenation-safe (independent gzip members), so the scalable
+  * form of this writer is per-partition BGZF part-files concatenated at
+  * commit — the same shape as every distributed single-file text sink.
+  * Here the record stream is pulled through `toLocalIterator` (partitions
+  * stream sequentially, driver holds one block buffer), which matches the
+  * reference's single-file funnel.
+  */
+object BamWriter {
+
+  private val SeqCode: Map[Char, Int] =
+    "=ACMGRSVTWYHKDBN".zipWithIndex.toMap
+  private val CigarOp: Map[Char, Int] =
+    "MIDNSHP=X".zipWithIndex.toMap
+
+  /** Read header text + reference dictionary from an existing BAM
+    * (driver-side; headers are KB-sized). */
+  def readHeader(path: String): (String, Seq[(String, Int)]) = {
+    val in = new DataInputStream(new BufferedInputStream(new GZIPInputStream(
+      new BufferedInputStream(java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(path))))))
+    try {
+      def i32(): Int = {
+        val b = new Array[Byte](4); in.readFully(b)
+        (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+      }
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)), s"not BAM: $path")
+      val text = new Array[Byte](i32()); in.readFully(text)
+      val refs = (0 until i32()).map { _ =>
+        val name = new Array[Byte](i32()); in.readFully(name)
+        val len = i32()
+        (new String(name, 0, name.length - 1, "US-ASCII"), len)
+      }
+      (new String(text, "US-ASCII"), refs)
+    } finally in.close()
+  }
+
+  /** Write `records` (the sam/bam source schema) as one BAM file. */
+  def write(records: DataFrame, headerText: String,
+      refs: Seq[(String, Int)], out: String): Long = {
+    val refIndex = refs.map(_._1).zipWithIndex.toMap
+    val os = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(out))
+    val bgzf = new BgzfOutputStream(os)
+    try {
+      // header payload
+      val text = headerText.getBytes("US-ASCII")
+      bgzf.writeLe32(0x014d4142) // "BAM\1" little-endian
+      bgzf.writeLe32(text.length)
+      bgzf.write(text)
+      bgzf.writeLe32(refs.size)
+      refs.foreach { case (name, len) =>
+        val nb = (name + "\u0000").getBytes("US-ASCII")
+        bgzf.writeLe32(nb.length); bgzf.write(nb); bgzf.writeLe32(len)
+      }
+      var n = 0L
+      val it = records.select("readName", "flag", "referenceName", "start",
+        "mapQ", "cigar", "sequence", "attributes").toLocalIterator()
+      while (it.hasNext) {
+        bgzf.write(encode(it.next(), refIndex)); n += 1
+      }
+      n
+    } finally bgzf.close() // writes the BGZF EOF marker
+  }
+
+  private def encode(r: Row, refIndex: Map[String, Int]): Array[Byte] = {
+    val readName = r.getString(0)
+    val flag = r.getInt(1)
+    val refId = refIndex.getOrElse(r.getString(2), -1)
+    val start = r.getInt(3)
+    val mapq = r.getInt(4)
+    val cigar = r.getString(5)
+    val seq = r.getString(6)
+    val attrs = r.getString(7)
+
+    val name = (readName + "\u0000").getBytes("US-ASCII")
+    val cigarOps: Array[Int] =
+      if (cigar == "*") Array.empty
+      else "(\\d+)([MIDNSHP=X])".r.findAllMatchIn(cigar)
+        .map(m => (m.group(1).toInt << 4) | CigarOp(m.group(2).head)).toArray
+    val packed = new Array[Byte]((seq.length + 1) / 2)
+    var i = 0
+    while (i < seq.length) {
+      val code = SeqCode.getOrElse(seq.charAt(i), 15)
+      packed(i / 2) = (packed(i / 2) |
+        (if (i % 2 == 0) code << 4 else code)).toByte
+      i += 1
+    }
+    val tags = new java.io.ByteArrayOutputStream()
+    attrs.split("\\s+").filter(_.nonEmpty).foreach { t =>
+      val Array(tag, typ, value) = t.split(":", 3)
+      tags.write(tag.charAt(0)); tags.write(tag.charAt(1))
+      typ match {
+        case "i" =>
+          tags.write('i')
+          val v = value.toInt
+          tags.write(v); tags.write(v >>> 8); tags.write(v >>> 16); tags.write(v >>> 24)
+        case "Z" | "H" =>
+          tags.write(typ.head)
+          value.getBytes("US-ASCII").foreach(b => tags.write(b))
+          tags.write(0)
+        case "A" => tags.write('A'); tags.write(value.head)
+        case "f" =>
+          tags.write('f')
+          val v = java.lang.Float.floatToIntBits(value.toFloat)
+          tags.write(v); tags.write(v >>> 8); tags.write(v >>> 16); tags.write(v >>> 24)
+        case other => sys.error(s"unsupported tag type $other in $t")
+      }
+    }
+
+    val body = java.nio.ByteBuffer.allocate(
+        32 + name.length + 4 * cigarOps.length + packed.length + seq.length + tags.size())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.putInt(refId).putInt(start - 1)
+    body.put(name.length.toByte).put(mapq.toByte).putShort(0)
+    body.putShort(cigarOps.length.toShort).putShort(flag.toShort)
+    body.putInt(seq.length).putInt(-1).putInt(-1).putInt(0)
+    body.put(name)
+    cigarOps.foreach(body.putInt)
+    body.put(packed)
+    (0 until seq.length).foreach(_ => body.put(0xff.toByte)) // qual unavailable
+    body.put(tags.toByteArray)
+
+    val full = java.nio.ByteBuffer.allocate(4 + body.position())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    full.putInt(body.position())
+    full.put(body.array(), 0, body.position())
+    full.array()
+  }
+}
+
+/** BGZF-framing output stream: buffers payload to ~60 KB, emits each
+  * buffer as one gzip member with the BC extra subfield, appends the
+  * spec's 28-byte EOF marker on close. */
+class BgzfOutputStream(out: OutputStream) extends OutputStream {
+  private val MaxPayload = 60 * 1024
+  private val buf = new java.io.ByteArrayOutputStream(MaxPayload + 1024)
+
+  override def write(b: Int): Unit = { buf.write(b); maybeFlushBlock() }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    buf.write(b, off, len); maybeFlushBlock()
+  }
+  def writeLe32(v: Int): Unit = {
+    buf.write(v); buf.write(v >>> 8); buf.write(v >>> 16); buf.write(v >>> 24)
+    maybeFlushBlock()
+  }
+
+  private def maybeFlushBlock(): Unit =
+    if (buf.size() >= MaxPayload) emitBlock()
+
+  private def emitBlock(): Unit = {
+    val payload = buf.toByteArray
+    buf.reset()
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload); deflater.finish()
+    val cbuf = new Array[Byte](payload.length + 64)
+    var clen = 0
+    while (!deflater.finished())
+      clen += deflater.deflate(cbuf, clen, cbuf.length - clen)
+    deflater.end()
+    val crc = new CRC32(); crc.update(payload)
+    val bsize = clen + 25 // total block size (18 + clen + 8) minus 1, per spec
+    val header = Array[Byte](0x1f, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 0xff.toByte,
+      6, 0, 'B', 'C', 2, 0, (bsize & 0xff).toByte, ((bsize >>> 8) & 0xff).toByte)
+    out.write(header)
+    out.write(cbuf, 0, clen)
+    val tr = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tr.putInt(crc.getValue.toInt).putInt(payload.length)
+    out.write(tr.array())
+  }
+
+  private val EofMarker: Array[Byte] =
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  override def close(): Unit = {
+    if (buf.size() > 0) emitBlock()
+    out.write(EofMarker)
+    out.close()
+  }
+}

@@ -80,6 +80,18 @@ class PipelineSpec extends SparkSpec {
     assert(dataLines.forall(_.split("\t").length >= 11))
   }
 
+  test("BAM in, BAM out: classify from binary inputs and write binary output") {
+    val tmp = Files.createTempDirectory("mito-bam").toString
+    val c = cfg(tmp).copy(out = tmp + "/out.bam", prob = 0.0)
+    val model = Classify.trainRF(trainingFrame, numTrees = 4)
+    val kept = MitoPipeline.run(spark, c, model)
+    assert(kept.count() === 5)
+    val back = spark.read.format("bam").load(tmp + "/out.bam")
+    assert(back.count() === 5)
+    assert(back.select("readName").distinct().collect().map(_.getString(0)).sorted
+      === Array("r1", "r2", "r7"))
+  }
+
   test("prob = 0 disables filtering (pass-through, reference B10 semantics)") {
     val tmp = Files.createTempDirectory("mito-e2e0").toString
     val c = cfg(tmp).copy(prob = 0.0)
