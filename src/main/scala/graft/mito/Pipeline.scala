@@ -58,14 +58,14 @@ object MitoPipeline {
         val keys = Classify.mtReadKeys(Classify.score(model, feat), cfg.prob)
         Classify.filterAlignments(toWrite, keys)
       }
-    if (cfg.out.endsWith(".bam")) {
-      val (text, refs) =
-        if (srcIsBam) graft.sources.BamWriter.readHeader(srcBam)
-        else Sam.headerFromSam(spark, srcBase + ".sam")
-      graft.sources.BamWriter.write(filtered, text, refs, cfg.out)
-    } else {
-      Sam.writeSingleSam(spark, srcBase + ".sam", filtered, cfg.out)
-    }
+    val (headerText, refs) =
+      if (srcIsBam) graft.sources.BamWriter.readHeader(srcBam)
+      else Sam.headerFromSam(spark, srcBase + ".sam")
+    if (cfg.out.endsWith(".bam"))
+      graft.sources.BamWriter.write(filtered, headerText, refs, cfg.out)
+    else
+      Sam.writeSingleSamWithHeader(
+        headerText.split("\n").filter(_.nonEmpty), filtered, cfg.out)
     filtered
   }
 }

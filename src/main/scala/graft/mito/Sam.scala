@@ -115,10 +115,17 @@ object Sam {
     * upstream stage stays parallel. */
   def writeSingleSam(spark: SparkSession, src: String, records: DataFrame,
       out: String): Unit = {
-    import scala.jdk.CollectionConverters._
     val header = spark.read.text(src)
       .where(col("value").startsWith("@"))
       .collect().map(_.getString(0))
+    writeSingleSamWithHeader(header, records, out)
+  }
+
+  /** As [[writeSingleSam]] but with an explicit header (e.g. reconstructed
+    * from a BAM dictionary when no SAM source exists). */
+  def writeSingleSamWithHeader(header: Seq[String], records: DataFrame,
+      out: String): Unit = {
+    import scala.jdk.CollectionConverters._
     val lines = records.select(col("line")).coalesce(1)
     val tmp = out + ".tmp"
     lines.write.mode("overwrite").text(tmp)
