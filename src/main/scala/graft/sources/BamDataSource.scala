@@ -54,21 +54,37 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
       .flatMap(_.stripPrefix("[").stripSuffix("]").split(",")
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
     val paths = (single ++ multi).filter(_.nonEmpty)
-    () => new BamScan(paths)
+    new BamScanBuilder(paths)
   }
 }
 
-class BamScan(paths: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType = SamDataSource.schema
+class BamScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = SamDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new BamScan(paths, required)
+}
+
+class BamScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => SamInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) =>
-      new BamPartitionReader(partition.asInstanceOf[SamInputPartition].path)
+    new BamReaderFactory(required.fieldNames)
 }
 
-class BamPartitionReader(path: String) extends PartitionReader[InternalRow] {
+class BamReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BamPartitionReader(partition.asInstanceOf[SamInputPartition].path, fields)
+}
+
+class BamPartitionReader(path: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needSeq = fields.contains("sequence") || fields.contains("line")
+  private val needAttrs = fields.contains("attributes") || fields.contains("line")
 
   private val in = new DataInputStream(new BufferedInputStream(
     new GZIPInputStream(new BufferedInputStream(
@@ -136,8 +152,8 @@ class BamPartitionReader(path: String) extends PartitionReader[InternalRow] {
       }
       sb.toString
     }
-    val seq = {
-      val packed = bytes((lSeq + 1) / 2)
+    val packed = bytes((lSeq + 1) / 2) // must consume regardless of pruning
+    val seq = if (!needSeq) "" else {
       val sb = new StringBuilder(lSeq)
       var i = 0
       while (i < lSeq) {
@@ -149,21 +165,24 @@ class BamPartitionReader(path: String) extends PartitionReader[InternalRow] {
     }
     bytes(lSeq) // qual (unused by the feature pipeline)
     val fixed = 32 + lReadName + 4 * nCigar + (lSeq + 1) / 2 + lSeq
-    val attrs = decodeTags(bytes(blockSize - fixed))
+    val tagBytes = bytes(blockSize - fixed) // consume the record tail
+    val attrs = if (needAttrs) decodeTags(tagBytes) else ""
     val rname = if (refId >= 0 && refId < refNames.length) refNames(refId) else "*"
     val start = pos + 1
-    val line = s"$readName\t$flag\t$rname\t$start\t$mapq\t$cigar\t=\t0\t0\t$seq\t*" +
-      (if (attrs.isEmpty) "" else "\t" + attrs.replace(' ', '\t'))
-    InternalRow(
-      UTF8String.fromString(line),
-      UTF8String.fromString(readName),
-      flag,
-      UTF8String.fromString(rname),
-      start,
-      mapq,
-      UTF8String.fromString(cigar),
-      UTF8String.fromString(seq),
-      UTF8String.fromString(attrs))
+    lazy val line =
+      s"$readName\t$flag\t$rname\t$start\t$mapq\t$cigar\t=\t0\t0\t$seq\t*" +
+        (if (attrs.isEmpty) "" else "\t" + attrs.replace(' ', '\t'))
+    InternalRow.fromSeq(fields.map {
+      case "line"          => UTF8String.fromString(line)
+      case "readName"      => UTF8String.fromString(readName)
+      case "flag"          => flag
+      case "referenceName" => UTF8String.fromString(rname)
+      case "start"         => start
+      case "mapQ"          => mapq
+      case "cigar"         => UTF8String.fromString(cigar)
+      case "sequence"      => UTF8String.fromString(seq)
+      case "attributes"    => UTF8String.fromString(attrs)
+    }.toIndexedSeq)
   }
 
   /** Typed optional tags → the SAM text form "TAG:TYPE:VALUE ..."

@@ -73,27 +73,34 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
   }
 }
 
-class SamScanBuilder(paths: Seq[String]) extends ScanBuilder {
-  override def build(): Scan = new SamScan(paths)
+class SamScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = SamDataSource.schema
+  /** Column pruning: the reader decodes only requested fields — pruned
+    * scans skip building the `line`/`attributes` strings entirely. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SamScan(paths, required)
 }
 
-class SamScan(paths: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType = SamDataSource.schema
+class SamScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => SamInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new SamReaderFactory
+    new SamReaderFactory(required.fieldNames)
 }
 
 case class SamInputPartition(path: String) extends InputPartition
 
-class SamReaderFactory extends PartitionReaderFactory {
+class SamReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SamPartitionReader(partition.asInstanceOf[SamInputPartition].path)
+    new SamPartitionReader(partition.asInstanceOf[SamInputPartition].path, fields)
 }
 
-class SamPartitionReader(path: String) extends PartitionReader[InternalRow] {
+class SamPartitionReader(path: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
   private val reader = java.nio.file.Files.newBufferedReader(
     java.nio.file.Paths.get(path.stripPrefix("file:")))
   private var current: InternalRow = _
@@ -109,17 +116,18 @@ class SamPartitionReader(path: String) extends PartitionReader[InternalRow] {
   private def decode(line: String): InternalRow = {
     val f = line.split("\t", 12)
     require(f.length >= 11, s"malformed SAM record (${f.length} fields): $line")
-    val attrs = if (f.length > 11) f(11).replace('\t', ' ') else ""
-    InternalRow(
-      UTF8String.fromString(line),
-      UTF8String.fromString(f(0)),
-      f(1).toInt,
-      UTF8String.fromString(f(2)),
-      f(3).toInt,
-      f(4).toInt,
-      UTF8String.fromString(f(5)),
-      UTF8String.fromString(f(9)),
-      UTF8String.fromString(attrs))
+    InternalRow.fromSeq(fields.map {
+      case "line"          => UTF8String.fromString(line)
+      case "readName"      => UTF8String.fromString(f(0))
+      case "flag"          => f(1).toInt
+      case "referenceName" => UTF8String.fromString(f(2))
+      case "start"         => f(3).toInt
+      case "mapQ"          => f(4).toInt
+      case "cigar"         => UTF8String.fromString(f(5))
+      case "sequence"      => UTF8String.fromString(f(9))
+      case "attributes"    => UTF8String.fromString(
+        if (f.length > 11) f(11).replace('\t', ' ') else "")
+    }.toIndexedSeq)
   }
 
   override def get(): InternalRow = current

@@ -32,6 +32,22 @@ class SamDataSourceSpec extends SparkSpec {
     assert(valid.toSeq === Seq("r1", "r1", "r2", "r2"))
   }
 
+  test("column pruning reaches the scan (ReadSchema shrinks)") {
+    val pruned = spark.read.format("sam").load(path)
+      .select("readName", "flag")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // DSv2 BatchScan prints its (pruned) output column list
+    assert("BatchScan sam\\(.*\\)\\[readName#\\d+, flag#\\d+\\]".r
+      .findFirstIn(plan).isDefined, plan.take(1200))
+    assert(pruned.collect().length === 7)
+    val prunedBam = spark.read.format("bam")
+      .load(resource("mito/sample_MT_MD.bam")).select("readName", "start")
+    val bplan = prunedBam.queryExecution.executedPlan.toString
+    assert("BatchScan bam\\(.*\\)\\[readName#\\d+, start#\\d+\\]".r
+      .findFirstIn(bplan).isDefined, bplan.take(1200))
+    assert(prunedBam.collect().length === 7)
+  }
+
   test("multiple paths scan in parallel partitions") {
     val df = spark.read.format("sam")
       .load(path, resource("mito/sample_NT.sam"))
