@@ -81,10 +81,13 @@ object Dedup {
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val numPerms = 32
     val rowsPerBand = 8
-    // two projection steps so shingle hashes materialize once (TextFns note)
+    // two projection steps so shingle hashes materialize once (TextFns
+    // note); signature = native single-pass expression (all 32 permutation
+    // minima in one walk, no per-permutation array allocation)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), numPerms).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSig(col("sh"), numPerms).as("sig"))
     val banded = docs
       .select(col("doc_id"), col("sig"),
         explode(lshBands(col("sig"), numPerms, rowsPerBand)).as("b"))
