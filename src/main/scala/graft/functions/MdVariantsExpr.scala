@@ -65,9 +65,33 @@ object MdVariantsExpr {
     (children: Seq[Expression]) => MdVariants(children(0), children(1), children(2)))
 }
 
-/** Session extensions: register graft's native SQL functions.
-  * Usage: SparkSession.builder().withExtensions(new GraftExtensions). */
+/** Session extensions: register graft's native SQL functions and the
+  * as-of join strategy.
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions).
+  * For an existing session, [[GraftExtensions.register]] installs the
+  * functions through the registry (and AsOf.join self-registers its
+  * strategy). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(MdVariantsExpr.functionDescription)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
+}
+
+object GraftExtensions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "md_variants" -> (c => MdVariants(c(0), c(1), c(2))),
+    "shingle_hashes" -> (c => ShingleHashes(c(0), c(1))),
+    "intersect_count_sorted" -> (c => IntersectCountSorted(c(0), c(1))),
+    "minhash_sig" -> (c => MinHashSig(c(0), c(1))))
+
+  /** Register every graft SQL function on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }
