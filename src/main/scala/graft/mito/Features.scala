@@ -19,10 +19,20 @@ object Features {
 
   /** Nuclear-side features (reference `NucReader.DF`, `BamReader.scala:60-118`):
     * per read(+mate): sums of MAPQ / NH / NM / NUMT-overlap score. */
-  def ntFeatures(alignments: DataFrame, numts: Seq[Numt.Interval]): DataFrame = {
-    val m = Sam.attrMap(col("attributes"))
+  /** Materialize the attribute map once behind a projection boundary:
+    * expressions containing lambda functions are excluded from Spark's
+    * subexpression elimination, so inlining `attrMap` into each tag
+    * lookup would rebuild the map per tag per record (measured 3× cost
+    * in the feature hot path). */
+  private def withAttrMap(alignments: DataFrame): DataFrame =
     alignments
       .where(Sam.isValid)
+      .select(col("readName"), col("mapQ"), col("start"), col("sequence"),
+        col("referenceName"), Sam.attrMap(col("attributes")).as("m"))
+
+  def ntFeatures(alignments: DataFrame, numts: Seq[Numt.Interval]): DataFrame = {
+    val m = col("m")
+    withAttrMap(alignments)
       .select(
         col("readName").as("Read"),
         col("mapQ"),
@@ -41,9 +51,8 @@ object Features {
     * `BamReader.scala:120-190`): sums + the collected variant lists of both
     * mates. */
   def mtPerRead(alignments: DataFrame): DataFrame = {
-    val m = Sam.attrMap(col("attributes"))
-    alignments
-      .where(Sam.isValid)
+    val m = col("m")
+    withAttrMap(alignments)
       .select(
         col("readName").as("Read"),
         col("mapQ"),

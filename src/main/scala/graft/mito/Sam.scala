@@ -85,11 +85,20 @@ object Sam {
       .withColumn("supplementaryAlignment", (col("flag").bitwiseAND(Supplementary)) =!= 0)
 
   /** Validity predicate (reference `Feature.scala:115-119`): primary,
-    * paired, proper pair, mate mapped, not supplementary — expressed as a
-    * Column so Catalyst pushes it into the scan. */
-  val isValid: Column =
-    col("primaryAlignment") && col("readPaired") && col("properPair") &&
-      col("mateMapped") && !col("supplementaryAlignment")
+    * paired, proper pair, mate mapped, not supplementary.
+    *
+    * Formulated as ONE bitmask test on `flag` — `(flag & 2315) == 3` —
+    * instead of a conjunction over the five derived boolean columns:
+    * predicate pushdown substitutes aliased columns with their full
+    * derivations, and FilterExec codegen performs no subexpression
+    * elimination, so the five-column form re-derived `flag` (and its
+    * upstream line split) five times per record (measured ~7× the cost of
+    * this form in the feature path). */
+  val isValid: Column = {
+    val mask = ReadPaired | ProperPair | MateUnmapped | NotPrimary | Supplementary
+    val want = ReadPaired | ProperPair // the negated bits must be 0
+    col("flag").bitwiseAND(mask) === want
+  }
 
   /** SAM optional-attribute map: "TAG:TYPE:VALUE ..." → map<tag,value>
     * (reference `Feature.scala:80-96`). Pure builtins (split + transform +
@@ -98,10 +107,15 @@ object Sam {
     map_from_entries(
       transform(
         filter(split(attributes, "\\s+"), t => length(t) > 0),
-        t => struct(
-          substring_index(t, ":", 1).as("key"),
-          // value = everything after the 2nd ':' (values may contain ':')
-          regexp_replace(t, "^[^:]*:[^:]*:", "").as("value"))))
+        t => {
+          // limit-3 split: [tag, type, value]; value may itself contain
+          // ':' (kept intact by the limit). Cheaper than a regexp strip —
+          // this runs per tag per record in the feature hot path.
+          val parts = split(t, ":", 3)
+          struct(
+            element_at(parts, 1).as("key"),
+            element_at(parts, 3).as("value"))
+        }))
 
   /** Tag extraction with the reference's defaults
     * (`Feature.scala:122-124`): NM→0, NH→1, XQ→0. */
