@@ -157,7 +157,30 @@ object Dedup {
       |                             CAST(b.embedding AS DOUBLE[])) > 0.9
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- d06
+  /** The deduplication itself (not just detection): keep the lowest doc_id
+    * per content hash, emit the surviving documents — the materialization
+    * step a training-data pipeline actually writes back out. */
+  def d06DedupKeep(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("h", md5(encode(col("text"), "UTF-8")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val d06Sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
     "d02_ngram_jaccard"  -> (d02NgramJaccard _),
     "d03_minhash_lsh"    -> (d03MinhashLsh _),
@@ -165,6 +188,7 @@ object Dedup {
     "d05_embed_dup"      -> (d05EmbedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d05_embed_dup"     -> d05Sql)
