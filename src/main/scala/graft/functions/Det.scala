@@ -37,19 +37,26 @@ object Det {
   /** Order-insensitive sample stddev via exact sums:
     * sqrt((n*Σx² − (Σx)²) / (n*(n−1))). All divisions/multiplies happen in
     * double with an identical expression tree on both engines.
+    *
+    * SCALE RULE (applies to every dsum of a derived value): pick the scale
+    * that makes the value's true decimal expansion exact AND keeps
+    * |value|×10^scale < 2^53. Money columns have 2 decimals, so x² and
+    * products of two money columns are exactly 4-decimal — scale 4. An
+    * unnecessarily high scale overflows the exact-integer range of double
+    * and engines then disagree in the last ulp of the double→decimal cast
+    * (observed at sf0.1 with scale 10 on a ~1e9 sum).
     */
   def dstddev(c: Column, scale: Int = 6): Column = {
     val n  = count(c).cast(DoubleType)
     val s  = dsum(c, scale)
-    val s2 = dsum(c * c, 2 * scale min 10)
+    val s2 = dsum(c * c, 4)
     sqrt((n * s2 - s * s) / (n * (n - lit(1.0))))
   }
 
   def dstddevSql(expr: String, scale: Int = 6): String = {
-    val s2scale = (2 * scale) min 10
     val n  = s"CAST(COUNT($expr) AS DOUBLE)"
     val s  = dsumSql(expr, scale)
-    val s2 = dsumSql(s"($expr) * ($expr)", s2scale)
+    val s2 = dsumSql(s"($expr) * ($expr)", 4)
     s"SQRT(($n * $s2 - $s * $s) / ($n * ($n - 1.0)))"
   }
 }

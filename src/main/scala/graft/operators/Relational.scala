@@ -39,7 +39,7 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(netPrice, 10).as("sum_disc_price"),
+        dsum(netPrice, 4).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -49,7 +49,7 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${dsumSql("l_quantity")} AS sum_qty,
        |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 10)} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
        |  ${davgSql("l_quantity")} AS avg_qty,
        |  ${davgSql("l_discount")} AS avg_disc,
        |  COUNT(*) AS count_order
@@ -258,12 +258,12 @@ object Relational {
   def q12TopK(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
-      .agg(dsum(netPrice, 10).as("revenue"))
+      .agg(dsum(netPrice, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
   val q12Sql: String =
-    s"""SELECT l_orderkey, ${dsumSql("l_extendedprice * (1.0 - l_discount)", 10)} AS revenue
+    s"""SELECT l_orderkey, ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
        |FROM lineitem GROUP BY l_orderkey
        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
 
