@@ -621,6 +621,63 @@ object Relational {
       |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_distinct_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Sliding windows in batch (1 h window, 15 min slide): Spark's window()
+    * generator assigns each event to its 4 covering windows. Oracle builds
+    * the window set with generate_series and a range join. Mirrors the
+    * streaming slidingValue transform. */
+  def q29SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("w_start", "event_type")
+
+  val q29Sql: String =
+    s"""WITH assigned AS (
+       |  -- each event belongs to exactly 4 epoch-aligned 15-min-slide,
+       |  -- 1-hour windows (same alignment Spark's window() uses)
+       |  SELECT make_timestamp(
+       |           (epoch_us(e.ts) // 900000000) * 900000000
+       |             - CAST(u.k AS BIGINT) * 900000000)
+       |         AS w_start,
+       |         e.event_type, e.value
+       |  FROM events e, UNNEST([0, 1, 2, 3]) AS u(k))
+       |SELECT w_start, event_type, COUNT(*) AS n,
+       |  ${dsumSql("value")} AS total_value
+       |FROM assigned GROUP BY w_start, event_type
+       |ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** first_value / last_value / lead over event-time partitions. */
+  def q30FirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("first_type", first(col("event_type")).over(wFull))
+      .withColumn("last_type", last(col("event_type")).over(wFull))
+      .withColumn("next_event", lead(col("event_id"), 1).over(w))
+      .where(col("event_id") % 100 === 0)
+      .select("event_id", "user_id", "first_type", "last_type", "next_event")
+      .orderBy("event_id")
+  }
+
+  val q30Sql: String =
+    """SELECT event_id, user_id, first_type, last_type, next_event FROM (
+      |  SELECT event_id, user_id,
+      |    FIRST_VALUE(event_type) OVER wf AS first_type,
+      |    LAST_VALUE(event_type) OVER wf AS last_type,
+      |    LEAD(event_id, 1) OVER w AS next_event
+      |  FROM events
+      |  WINDOW
+      |    w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+      |    wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+      |WHERE event_id % 100 = 0
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -650,7 +707,9 @@ object Relational {
     "q25_above_avg"       -> (q25AboveAvg _),
     "q26_distinct_agg"    -> (q26DistinctAgg _),
     "q27_asof_custom"     -> (q27AsofCustom _),
-    "q28_topk_agg"        -> (q28TopkAgg _))
+    "q28_topk_agg"        -> (q28TopkAgg _),
+    "q29_sliding_window"  -> (q29SlidingWindow _),
+    "q30_first_last"      -> (q30FirstLast _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -680,5 +739,7 @@ object Relational {
     "q25_above_avg"       -> q25Sql,
     "q26_distinct_agg"    -> q26Sql,
     "q27_asof_custom"     -> q17Sql, // same semantics, custom physical op
-    "q28_topk_agg"        -> q28Sql)
+    "q28_topk_agg"        -> q28Sql,
+    "q29_sliding_window"  -> q29Sql,
+    "q30_first_last"      -> q30Sql)
 }
