@@ -23,6 +23,19 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in order], out
 
+def norm_type(t):
+    # normalize arrow types to the python-object classes the driver's
+    # value-typed hash sees (arrow to_pylist): all int widths -> int, all
+    # float widths -> float, but decimal128 stays Decimal (this is exactly
+    # the class that failed q19/q21/t01 in round 1: HUGEINT vs int64)
+    t = t.replace("large_string", "string").replace("large_binary", "binary")
+    if t.startswith("timestamp"): return "timestamp"
+    if t.startswith("list") or t.startswith("large_list"): return "list"
+    if t.startswith(("int", "uint")): return "int"
+    if t in ("float", "double", "float32", "float64", "halffloat"): return "float"
+    if t.startswith("decimal"): return "decimal"
+    return t
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -45,10 +58,20 @@ def main(sf_dir, out_dir):
         sq = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         scols = [d[0] for d in sq.description]
         srows = sq.fetchall()
+        # typed check (mirrors the driver's value-typed hash): compare arrow
+        # types after canonical column ordering — a DuckDB HUGEINT/decimal128
+        # vs Spark int64 mismatch fails the driver even when values are equal
+        datype = {f.name: str(f.type) for f in con.execute(sql).arrow().schema}
+        satype = {f.name: str(f.type) for f in
+                  con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").arrow().schema}
+        tmism = {c: (satype.get(c), datype.get(c)) for c in datype
+                 if c in satype and norm_type(satype[c]) != norm_type(datype[c])}
         dc, dr = canon(drows, dcols)
         sc, sr = canon(srows, scols)
         if dc != sc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}"); n_fail += 1
+        elif tmism:
+            print(f"FAIL {name}: arrow type mismatch {tmism}"); n_fail += 1
         elif dr != sr:
             n_fail += 1
             print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")

@@ -22,9 +22,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink, not count(): count() lets Catalyst prune unevaluated
+    // projections and drop final sorts, under-measuring expression-heavy
+    // queries; the noop sink forces full materialization of every column.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -418,9 +418,9 @@ object Relational {
 
   val q19Sql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q20
@@ -471,8 +471,8 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       |sess AS (
       |  SELECT user_id,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM tagged),
       |per_sess AS (
       |  SELECT user_id, session_id, COUNT(*) AS n_events

@@ -29,8 +29,8 @@ object TextAnalysis {
 
   val t01Sql: String =
     """SELECT lang, source, COUNT(*) AS n_docs,
-      |  SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
-      |  SUM(n_chars) AS total_chars
+      |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- t02
