@@ -1,8 +1,7 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream}
+import java.io.{DataInputStream, EOFException}
 import java.util
-import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -21,18 +20,22 @@ import scala.jdk.CollectionConverters._
   * features) is format-agnostic.
   *
   * Decoding is implemented from the public SAM/BAM spec v1.6:
-  *  - BGZF is a sequence of gzip members with a BC extra subfield; Java's
-  *    GZIPInputStream handles concatenated members, so a whole-file
-  *    stream decompresses the payload (per-file partitions; BGZF virtual
-  *    offsets would enable intra-file splits later — the BSIZE field
-  *    exists precisely for that).
+  *  - BGZF framing and INTRA-FILE byte-range splits live in
+  *    `graft.sources.Bgzf`: each partition owns a raw byte range, seeks to
+  *    the first BGZF member boundary in it, re-synchronizes to a record
+  *    boundary by validated guessing (the hadoop-bam technique the
+  *    reference inherited via ADAM,
+  *    /root/reference/src/main/scala/MitoScape/BamReader.scala:172-174),
+  *    and emits the records that start in its range. A single WGS-scale
+  *    BAM therefore scans with full cluster parallelism.
   *  - The payload is `BAM\1`, SAM-text header, reference dictionary, then
   *    length-prefixed alignment records (little-endian) with 4-bit packed
   *    sequence ("=ACMGRSVTWYHKDBN") and typed optional tags.
   *
   * Validated against fixtures generated independently from the spec by
   * scripts/make_bam_fixture.py (BamDataSourceSpec asserts record-level
-  * equality with the SAM-text fixtures).
+  * equality with the SAM-text fixtures, in both single- and multi-split
+  * configurations).
   */
 class BamDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "bam"
@@ -48,66 +51,50 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def schema(): StructType = SamDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-    val paths = (single ++ multi).filter(_.nonEmpty)
-    new BamScanBuilder(paths)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BamScanBuilder(SamDataSource.resolvePaths(options),
+      SamDataSource.splitSize(options))
 }
 
-class BamScanBuilder(paths: Seq[String]) extends ScanBuilder
+class BamScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var required: StructType = SamDataSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new BamScan(paths, required)
+  override def build(): Scan = new BamScan(paths, splitSize, required)
 }
 
-class BamScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class BamScan(paths: Seq[String], splitSize: Long, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => SamInputPartition(p): InputPartition).toArray
+    SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
     new BamReaderFactory(required.fieldNames)
 }
 
 class BamReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BamPartitionReader(partition.asInstanceOf[SamInputPartition].path, fields)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SamInputPartition]
+    new BamPartitionReader(p.path, p.start, p.end, fields)
+  }
 }
 
-class BamPartitionReader(path: String, fields: Array[String])
-    extends PartitionReader[InternalRow] {
+class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
+    fields: Array[String]) extends PartitionReader[InternalRow] {
 
   private val needSeq = fields.contains("sequence") || fields.contains("line")
   private val needAttrs = fields.contains("attributes") || fields.contains("line")
 
-  private val in = new DataInputStream(new BufferedInputStream(
-    new GZIPInputStream(new BufferedInputStream(
-      java.nio.file.Files.newInputStream(
-        java.nio.file.Paths.get(path.stripPrefix("file:"))), 1 << 16), 1 << 16)))
+  private val ch = Bgzf.openChannel(path)
+  private val fileLen = ch.size()
 
-  // --- little-endian primitives over the decompressed stream
-  private def u8(): Int = {
-    val b = in.read()
-    if (b < 0) throw new EOFException()
-    b
-  }
-  private def i16(): Int = u8() | (u8() << 8)
-  private def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
-  private def f32(): Float = java.lang.Float.intBitsToFloat(i32())
-  private def bytes(n: Int): Array[Byte] = {
-    val a = new Array[Byte](n); in.readFully(a); a
-  }
-  private def cstr(n: Int): String = {
-    val a = bytes(n); new String(a, 0, n - 1, "US-ASCII") // drop trailing \0
-  }
+  // --- header + reference dictionary (always parsed from offset 0 —
+  // KB-sized, one member inflate; every split needs the ref dictionary)
+  private var bgzf: BgzfInputStream = new BgzfInputStream(ch, 0L)
+  private var in = new DataInputStream(bgzf)
 
-  // --- header + reference dictionary
   private val refNames: Array[String] = {
     val magic = bytes(4)
     require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)),
@@ -122,13 +109,146 @@ class BamPartitionReader(path: String, fields: Array[String])
     }
   }
 
+  /** True once this split's range is exhausted (or it owns no records). */
+  private var done = false
+
+  // Position the stream at this split's first record (see Bgzf's split
+  // protocol): the split owning the member where records begin continues
+  // straight from the header; later splits guess-sync at their first
+  // member boundary.
+  locally {
+    val (hdrMember, _) = bgzf.virtualPos // records begin exactly here
+    val firstMember =
+      if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
+    if (firstMember <= hdrMember) {
+      if (hdrMember >= rangeEnd) done = true // range ends inside the header
+      // else: keep the header stream — it is already at the first record
+    } else if (firstMember >= fileLen || firstMember >= rangeEnd) {
+      done = true
+    } else {
+      bgzf.close()
+      syncToRecord(firstMember) match {
+        case Some(s) => bgzf = s; in = new DataInputStream(bgzf)
+        case None    => done = true
+      }
+    }
+  }
+
+  // --- little-endian primitives over the decompressed stream
+  private def u8(): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException()
+    b
+  }
+  private def i16(): Int = u8() | (u8() << 8)
+  private def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+  private def bytes(n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); in.readFully(a); a
+  }
+  private def cstr(n: Int): String = {
+    val a = bytes(n); new String(a, 0, n - 1, "US-ASCII") // drop trailing \0
+  }
+
   private val SeqCodes = "=ACMGRSVTWYHKDBN".toCharArray
   private val CigarOps = "MIDNSHP=X".toCharArray
   private var current: InternalRow = _
 
-  override def next(): Boolean =
+  override def next(): Boolean = {
+    if (done) return false
+    // split ownership: emit only records STARTING in a member before
+    // rangeEnd (memberStart is a member boundary, so `>= rangeEnd` is
+    // exactly `>= first boundary at-or-after rangeEnd`)
+    if (bgzf.memberStart >= rangeEnd) { done = true; current = null; return false }
     try { current = decodeRecord(); true }
-    catch { case _: EOFException => current = null; false }
+    catch { case _: EOFException => done = true; current = null; false }
+  }
+
+  /** Find the first record boundary at-or-after member `from`: inflate a
+    * validation window, try every offset in the first member as a record
+    * start, accept when a chain of records decodes with all the spec's
+    * invariants holding (refId range, name NUL-termination + charset,
+    * CIGAR op codes, size arithmetic). Returns a stream positioned at the
+    * boundary, or None if no record starts in [from, rangeEnd). */
+  private def syncToRecord(from: Long): Option[BgzfInputStream] = {
+    var memberOff = from
+    while (memberOff < fileLen && memberOff < rangeEnd) {
+      val ws = new BgzfInputStream(ch, memberOff)
+      // split the window into [bytes of first member][rest]
+      val firstLen = {
+        var n = 0
+        var more = true
+        while (more && ws.memberStart == memberOff) {
+          if (ws.read() < 0) more = false else n += 1
+        }
+        n
+      }
+      val nextOff = ws.memberStart // boundary after the first member
+      ws.close()
+      val w = new java.io.ByteArrayOutputStream()
+      val ws2 = new BgzfInputStream(ch, memberOff)
+      val buf = new Array[Byte](1 << 16)
+      var r = ws2.read(buf)
+      while (r > 0 && w.size < (1 << 20)) { w.write(buf, 0, r); r = ws2.read(buf) }
+      ws2.close()
+      val wb = w.toByteArray
+      var p = 0
+      while (p < firstLen) {
+        if (validChain(wb, p)) {
+          val rs = new BgzfInputStream(ch, memberOff)
+          var skip = p.toLong
+          while (skip > 0) skip -= rs.skip(skip)
+          return Some(rs)
+        }
+        p += 1
+      }
+      memberOff = if (nextOff > memberOff) nextOff else fileLen
+    }
+    None
+  }
+
+  private def le16(w: Array[Byte], p: Int): Int =
+    (w(p) & 0xff) | ((w(p + 1) & 0xff) << 8)
+  private def le32(w: Array[Byte], p: Int): Int =
+    (w(p) & 0xff) | ((w(p + 1) & 0xff) << 8) |
+      ((w(p + 2) & 0xff) << 16) | ((w(p + 3) & 0xff) << 24)
+
+  /** Validate up to 3 consecutive records starting at w(p0); a prefix that
+    * runs off the window accepts iff at least one full record validated. */
+  private def validChain(w: Array[Byte], p0: Int): Boolean = {
+    var p = p0
+    var k = 0
+    while (k < 3) {
+      if (p + 36 > w.length) return k > 0
+      val bs = le32(w, p)
+      if (bs < 32 || bs > (1 << 26)) return false
+      val refId = le32(w, p + 4)
+      if (refId < -1 || refId >= refNames.length) return false
+      if (le32(w, p + 8) < -1) return false // pos
+      val lName = w(p + 12) & 0xff
+      if (lName < 1) return false
+      val nCigar = le16(w, p + 16)
+      val lSeq = le32(w, p + 20)
+      if (lSeq < 0) return false
+      if (32 + lName + 4L * nCigar + (lSeq + 1) / 2 + lSeq > bs) return false
+      if (p + 36 + lName > w.length) return k > 0
+      var i = p + 36
+      while (i < p + 36 + lName - 1) {
+        val c = w(i) & 0xff
+        if (c < 33 || c > 126) return false // QNAME charset per spec §1.4
+        i += 1
+      }
+      if (w(p + 36 + lName - 1) != 0) return false
+      var q = p + 36 + lName
+      var j = 0
+      while (j < nCigar && q + 4 <= w.length) {
+        if ((le32(w, q) & 0xf) > 8) return false
+        q += 4; j += 1
+      }
+      p += 4 + bs
+      k += 1
+    }
+    true
+  }
 
   private def decodeRecord(): InternalRow = {
     val blockSize = i32()
@@ -230,5 +350,5 @@ class BamPartitionReader(path: String, fields: Array[String])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = { bgzf.close(); ch.close() }
 }

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.io.{EOFException, InputStream}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
+import java.util.zip.Inflater
+
+/** BGZF block-level access, written from the SAM/BAM spec v1.6 §4.1.
+  *
+  * BGZF is a sequence of independent gzip members, each carrying a `BC`
+  * extra subfield whose BSIZE value gives the total compressed size of the
+  * member minus one. Because members are self-delimiting and independently
+  * inflatable, a reader can start at ANY member boundary — this is what
+  * makes byte-range splits of a single BAM file possible (the reference
+  * got the same capability from hadoop-bam's BAMInputFormat;
+  * /root/reference/src/main/scala/MitoScape/BamReader.scala:172-174).
+  *
+  * Split protocol (hadoop-style): a partition owns raw byte range
+  * [start, end); it reads from the first member boundary at-or-after
+  * `start` and emits every record that STARTS in a member whose file
+  * offset is < `end` (running past `end` to finish a straddling record).
+  * Neighbouring partitions therefore partition the record stream exactly.
+  */
+object Bgzf {
+
+  /** Total length (header+cdata+trailer) of the BGZF member starting at
+    * `buf(off)`, or -1 if the bytes there are not a valid member header.
+    * Needs 18 bytes available at `off`. */
+  def memberLength(buf: Array[Byte], off: Int, avail: Int): Int = {
+    if (avail < 18) return -1
+    if ((buf(off) & 0xff) != 0x1f || (buf(off + 1) & 0xff) != 0x8b ||
+        buf(off + 2) != 8 || (buf(off + 3) & 4) != 4) return -1
+    val xlen = (buf(off + 10) & 0xff) | ((buf(off + 11) & 0xff) << 8)
+    if (12 + xlen > avail) return -1
+    // scan the extra field for the BC subfield (SI1='B', SI2='C', SLEN=2)
+    var p = off + 12
+    val endExtra = off + 12 + xlen
+    while (p + 4 <= endExtra) {
+      val slen = (buf(p + 2) & 0xff) | ((buf(p + 3) & 0xff) << 8)
+      if (buf(p) == 'B' && buf(p + 1) == 'C' && slen == 2) {
+        if (p + 6 > endExtra) return -1
+        val bsize = (buf(p + 4) & 0xff) | ((buf(p + 5) & 0xff) << 8)
+        val total = bsize + 1
+        // a valid member is at least header(12+xlen) + trailer(8) bytes
+        return if (total >= 12 + xlen + 8) total else -1
+      }
+      p += 4 + slen
+    }
+    -1
+  }
+
+  /** First BGZF member boundary at-or-after `from`, found by scanning the
+    * compressed bytes for a header whose BSIZE chains to another valid
+    * header (or to end-of-file). Returns `fileLen` if none. O(distance to
+    * the next boundary + one member) — safe to call once per split. */
+  def nextMemberStart(ch: FileChannel, from: Long, fileLen: Long): Long = {
+    if (from >= fileLen) return fileLen
+    val window = 1 << 16 // max member size is 65536, so a boundary occurs within it
+    val buf = new Array[Byte](window + 18)
+    var base = from
+    while (base < fileLen) {
+      val n = readAt(ch, base, buf)
+      var i = 0
+      while (i < n) {
+        val len = memberLength(buf, i, n - i)
+        if (len > 0) {
+          val nxt = base + i + len
+          if (nxt == fileLen) return base + i
+          // chain check: the implied next member must also look valid
+          val hdr = new Array[Byte](18)
+          val m = readAt(ch, nxt, hdr)
+          if (nxt < fileLen && memberLength(hdr, 0, m) > 0) return base + i
+        }
+        i += 1
+      }
+      base += window
+    }
+    fileLen
+  }
+
+  private def readAt(ch: FileChannel, pos: Long, buf: Array[Byte]): Int = {
+    val bb = ByteBuffer.wrap(buf)
+    var n = 0
+    var r = ch.read(bb, pos)
+    while (r > 0) { n += r; r = ch.read(bb, pos + n) }
+    n
+  }
+
+  def openChannel(path: String): FileChannel =
+    FileChannel.open(Paths.get(path.stripPrefix("file:")), StandardOpenOption.READ)
+}
+
+/** Streams the inflated payload of consecutive BGZF members starting at
+  * `startOffset` (which must be a member boundary). Tracks, for every byte
+  * served, the file offset of the member it came from — `memberStart` is
+  * the virtual-offset high part for the NEXT unread byte, which is what
+  * the split ownership test needs. Empty members (the EOF marker) are
+  * skipped transparently. Does not close the channel. */
+class BgzfInputStream(ch: FileChannel, startOffset: Long) extends InputStream {
+  private val fileLen = ch.size()
+  private val inflater = new Inflater(true) // raw deflate, per gzip framing
+  private var data = Array.emptyByteArray
+  private var len = 0
+  private var pos = 0
+  private var curMember = startOffset  // member the current buffer came from
+  private var nextMember = startOffset // where the next member header lives
+
+  /** File offset of the BGZF member containing the next unread byte
+    * (== file length at end-of-stream). */
+  def memberStart: Long = { ensure(); if (pos < len) curMember else nextMember }
+
+  /** (memberStart, offset-in-member) of the next unread byte. */
+  def virtualPos: (Long, Int) = { ensure(); if (pos < len) (curMember, pos) else (nextMember, 0) }
+
+  private def ensure(): Unit =
+    while (pos >= len && nextMember < fileLen) loadMember()
+
+  private def loadMember(): Unit = {
+    val hdr = new Array[Byte](18)
+    readFullyAt(nextMember, hdr, hdr.length)
+    val total = Bgzf.memberLength(hdr, 0, 18)
+    if (total < 0) throw new java.io.IOException(
+      s"not a BGZF member boundary at offset $nextMember")
+    val xlen = (hdr(10) & 0xff) | ((hdr(11) & 0xff) << 8)
+    val cdataLen = total - 12 - xlen - 8
+    val cdata = new Array[Byte](cdataLen)
+    readFullyAt(nextMember + 12 + xlen, cdata, cdataLen)
+    val tr = new Array[Byte](8)
+    readFullyAt(nextMember + total - 8, tr, 8)
+    val isize = (tr(4) & 0xff) | ((tr(5) & 0xff) << 8) |
+      ((tr(6) & 0xff) << 16) | ((tr(7) & 0xff) << 24)
+    if (data.length < isize) data = new Array[Byte](math.max(isize, 1 << 16))
+    inflater.reset()
+    inflater.setInput(cdata)
+    var o = 0
+    while (o < isize && !inflater.finished())
+      o += inflater.inflate(data, o, isize - o)
+    curMember = nextMember
+    nextMember += total
+    len = isize
+    pos = 0
+  }
+
+  private def readFullyAt(at: Long, buf: Array[Byte], n: Int): Unit = {
+    val bb = ByteBuffer.wrap(buf, 0, n)
+    while (bb.hasRemaining) {
+      val r = ch.read(bb, at + bb.position())
+      if (r < 0) throw new EOFException(s"truncated BGZF member at $at")
+    }
+  }
+
+  override def read(): Int = {
+    ensure()
+    if (pos >= len) -1
+    else { val b = data(pos) & 0xff; pos += 1; b }
+  }
+
+  override def read(b: Array[Byte], off: Int, n: Int): Int = {
+    ensure()
+    if (pos >= len) return -1
+    val k = math.min(n, len - pos)
+    System.arraycopy(data, pos, b, off, k)
+    pos += k
+    k
+  }
+
+  override def close(): Unit = inflater.end()
+}

@@ -15,18 +15,19 @@ import scala.jdk.CollectionConverters._
 
 /** DataSource V2 connector for SAM alignment text:
   * `spark.read.format("sam").load(path)` (registered short name via
-  * META-INF/services). One InputPartition per file; within a partition the
-  * reader streams lines, skips the header, and decodes the eleven fixed
-  * columns + attribute blob into InternalRows directly — no intermediate
-  * string-split DataFrame stage.
+  * META-INF/services). Within a partition the reader streams lines, skips
+  * header/blank lines, and decodes the eleven fixed columns + attribute
+  * blob into InternalRows directly — no intermediate string-split
+  * DataFrame stage.
   *
-  * Scale notes: SAM files in the wild are per-sample (the reference
-  * processes one sample per run, `MTClassify.scala:200`), so
-  * file-granularity splits parallelize across samples; byte-range
-  * splitting within a file (hadoop-style line splits) is the natural
-  * extension and slots into `planInputPartitions`. Column pruning happens
-  * via the projected schema Spark applies above this scan; predicate
-  * pushdown is not implemented (filters on flags are cheap post-scan).
+  * Scale: files split into byte ranges (`splitsize` option, default 64 MB)
+  * with hadoop-style newline synchronization — a line belongs to the split
+  * containing its first byte; a split whose start is mid-line skips to the
+  * next line start, and every split reads past its end to finish a
+  * straddling line. A single 300 GB SAM therefore scans with full cluster
+  * parallelism instead of serializing on one task. Column pruning happens
+  * via SupportsPushDownRequiredColumns (pruned scans skip building the
+  * `line`/`attributes` strings entirely).
   *
   * This complements `graft.mito.Sam.parse` (expression-based decoding of
   * an existing line DataFrame); both produce the same schema
@@ -55,6 +56,32 @@ object SamDataSource {
     StructField("cigar", StringType, nullable = false),
     StructField("sequence", StringType, nullable = false),
     StructField("attributes", StringType, nullable = false)))
+
+  /** Default byte-range split size (64 MB — HDFS-block-ish; override with
+    * the `splitsize` read option). */
+  val DefaultSplitSize: Long = 64L * 1024 * 1024
+
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    (single ++ multi).filter(_.nonEmpty)
+  }
+
+  def splitSize(options: CaseInsensitiveStringMap): Long =
+    Option(options.get("splitsize")).map(_.toLong).getOrElse(DefaultSplitSize)
+
+  /** One InputPartition per `splitSize` byte range of each file. */
+  def planSplits(paths: Seq[String], splitSize: Long): Array[InputPartition] =
+    paths.flatMap { p =>
+      val size =
+        try java.nio.file.Files.size(java.nio.file.Paths.get(p.stripPrefix("file:")))
+        catch { case _: Exception => Long.MaxValue }
+      if (size <= splitSize) Seq(SamInputPartition(p, 0L, Long.MaxValue))
+      else (0L until size by splitSize).map(s =>
+        SamInputPartition(p, s, math.min(s + splitSize, size)))
+    }.map(p => p: InputPartition).toArray
 }
 
 class SamTable(properties: Map[String, String]) extends Table with SupportsRead {
@@ -63,54 +90,101 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SamScanBuilder(resolvePaths(options))
-
-  private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-    (single ++ multi).filter(_.nonEmpty)
-  }
+    new SamScanBuilder(SamDataSource.resolvePaths(options),
+      SamDataSource.splitSize(options))
 }
 
-class SamScanBuilder(paths: Seq[String]) extends ScanBuilder
+class SamScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var required: StructType = SamDataSource.schema
   /** Column pruning: the reader decodes only requested fields — pruned
     * scans skip building the `line`/`attributes` strings entirely. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SamScan(paths, required)
+  override def build(): Scan = new SamScan(paths, splitSize, required)
 }
 
-class SamScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class SamScan(paths: Seq[String], splitSize: Long, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => SamInputPartition(p): InputPartition).toArray
+    SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
     new SamReaderFactory(required.fieldNames)
 }
 
-case class SamInputPartition(path: String) extends InputPartition
+/** A byte range [start, end) of one file (shared by the sam and bam
+  * sources; end = Long.MaxValue means "whole file"). */
+case class SamInputPartition(path: String, start: Long, end: Long)
+    extends InputPartition
 
 class SamReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SamPartitionReader(partition.asInstanceOf[SamInputPartition].path, fields)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SamInputPartition]
+    new SamPartitionReader(p.path, p.start, p.end, fields)
+  }
 }
 
-class SamPartitionReader(path: String, fields: Array[String])
-    extends PartitionReader[InternalRow] {
-  private val reader = java.nio.file.Files.newBufferedReader(
-    java.nio.file.Paths.get(path.stripPrefix("file:")))
+class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
+    fields: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val in = new java.io.BufferedInputStream(
+    java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path.stripPrefix("file:"))), 1 << 16)
+  /** Byte offset of the next unread byte (tracked by hand — a line is
+    * owned by the split containing its first byte). */
+  private var offset = 0L
   private var current: InternalRow = _
 
+  // Newline sync: a split starting mid-file owns a line iff the byte
+  // before the line's first byte is '\n'. Seek to start-1 and discard
+  // through the first newline; if the byte at start-1 already IS a
+  // newline, the line starting exactly at `start` is ours.
+  locally {
+    if (rangeStart > 0) {
+      skipFully(rangeStart - 1)
+      var b = read1()
+      while (b != -1 && b != '\n') b = read1()
+    }
+  }
+
+  private def skipFully(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) { offset += s; left -= s }
+      else if (read1() == -1) return
+      else left -= 1
+    }
+  }
+
+  private def read1(): Int = {
+    val b = in.read()
+    if (b >= 0) offset += 1
+    b
+  }
+
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null && (line.startsWith("@") || line.trim.isEmpty))
-      line = reader.readLine()
+    var line = readLine()
+    while (line != null && (line.isEmpty || line.charAt(0) == '@' || line.trim.isEmpty))
+      line = readLine()
     if (line == null) { current = null; false }
     else { current = decode(line); true }
+  }
+
+  /** Reads the next line owned by this split (first byte < rangeEnd),
+    * running past rangeEnd only to complete it. Returns null at range end
+    * or EOF. */
+  private def readLine(): String = {
+    if (offset >= rangeEnd) return null
+    val sb = new java.lang.StringBuilder(160)
+    var b = read1()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { sb.append(b.toChar); b = read1() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    sb.toString
   }
 
   private def decode(line: String): InternalRow = {
@@ -131,5 +205,5 @@ class SamPartitionReader(path: String, fields: Array[String])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }

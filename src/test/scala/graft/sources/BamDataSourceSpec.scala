@@ -47,4 +47,40 @@ class BamDataSourceSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     assert(refs.toSeq === Seq("chr1", "chr2", "chr3"))
   }
+
+  test("intra-file BGZF splits: one bam scans as many partitions, record-identical") {
+    val split = resource("mito/sample_split.bam")
+    val whole = spark.read.format("bam").load(split)
+    assert(whole.rdd.getNumPartitions === 1)
+    // 32 KB ranges over a ~256 KB file → 9 byte-range partitions, each
+    // guess-syncing to a record boundary mid-file
+    val parts = spark.read.format("bam").option("splitsize", 32768).load(split)
+    assert(parts.rdd.getNumPartitions === 9)
+    assert(parts.count() === 3000)
+    val cols = Seq("readName", "flag", "referenceName", "start", "mapQ",
+      "cigar", "sequence", "attributes").map(col)
+    val a = whole.select(cols: _*)
+    val b = parts.select(cols: _*)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // no duplicates either: counts per partition sum to the whole
+    assert(b.distinct().count() === 3000)
+  }
+
+  test("split bam agrees with the sam text fixture it was generated from") {
+    val cols = Seq("readName", "flag", "referenceName", "start", "mapQ",
+      "cigar", "sequence", "attributes").map(col)
+    val fromBam = spark.read.format("bam").option("splitsize", 20000)
+      .load(resource("mito/sample_split.bam")).select(cols: _*)
+    val fromSam = Sam.read(spark, resource("mito/sample_split.sam")).select(cols: _*)
+    assert(fromBam.except(fromSam).isEmpty && fromSam.except(fromBam).isEmpty)
+  }
+
+  test("degenerate split sizes still produce exactly-once records") {
+    // ranges far smaller than a BGZF member: most partitions own no member
+    // boundary and must emit nothing
+    val tiny = spark.read.format("bam").option("splitsize", 512)
+      .load(resource("mito/sample_split.bam"))
+    assert(tiny.rdd.getNumPartitions > 100)
+    assert(tiny.count() === 3000)
+  }
 }

@@ -54,4 +54,25 @@ class SamDataSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 2)
     assert(df.count() === 12) // 7 + 5 records
   }
+
+  test("byte-range splits: one sam file scans as many partitions, line-exact") {
+    val split = resource("mito/sample_split.sam")
+    val whole = spark.read.format("sam").load(split)
+    val parts = spark.read.format("sam").option("splitsize", 65536).load(split)
+    assert(parts.rdd.getNumPartitions === 6) // ~381 KB / 64 KB
+    assert(parts.count() === 3000)
+    val a = whole.select("line")
+    val b = parts.select("line")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(b.distinct().count() === 3000) // exactly-once, no straddle dupes
+  }
+
+  test("split boundaries falling on newlines keep line ownership exact") {
+    // many tiny ranges → boundaries land on every byte class, including
+    // exactly-on-\n (the start-1 probe case)
+    val tiny = spark.read.format("sam").option("splitsize", 1000)
+      .load(resource("mito/sample_split.sam"))
+    assert(tiny.rdd.getNumPartitions > 300)
+    assert(tiny.count() === 3000)
+  }
 }
