@@ -70,30 +70,34 @@ object Features {
         sort_array(flatten(collect_list(col("variants")))).as("variants"))
   }
 
-  /** MT features, faithful LD mode: broadcast map + per-row pair loop
-    * (reference `BamReader.scala:147-154`). */
+  /** MT features, faithful LD mode: broadcast map + per-row scoring of the
+    * distinct variant pair-multisets (reference `BamReader.scala:147-154`,
+    * `combinations(2)` semantics — see Ld's doc). */
   def mtFeaturesBroadcast(alignments: DataFrame,
       ldBc: Broadcast[Map[(String, String), Int]]): DataFrame = {
-    val pairScore = udf { vs: Seq[String] =>
-      var s = 0; var i = 0
-      while (i < vs.length) {
-        var j = i + 1
-        while (j < vs.length) { s += Ld.lookup(ldBc.value, vs(i), vs(j)); j += 1 }
-        i += 1
-      }
-      s
-    }
+    val pairScore = udf { vs: Seq[String] => Ld.scorePairs(ldBc.value, vs) }
     mtPerRead(alignments)
       .withColumn("LD", pairScore(col("variants")))
       .drop("variants")
   }
 
-  /** MT features, scalable LD mode: explode + broadcast-join + re-agg
-    * (SURVEY §7.4) — no driver-resident map required. */
+  /** MT features, scalable LD mode: per-row pair generation + broadcast-join
+    * + re-agg (SURVEY §7.4) — no driver-resident map required.
+    *
+    * The per-read aggregate feeds both the feature columns and the pair
+    * scoring branch; it is persisted (memory, spilling to disk) so the
+    * scan→parse→aggregate pipeline executes ONCE — without it Catalyst
+    * prunes the two branches differently and re-evaluates the whole
+    * sub-plan per branch (2× the dominant cost at scale). One row per
+    * read, so the cached frame is orders of magnitude smaller than the
+    * alignment input. */
   def mtFeaturesJoin(alignments: DataFrame, ld: DataFrame): DataFrame = {
     val perRead = mtPerRead(alignments)
-    perRead.join(Ld.pairScoreJoin(perRead.select(col("Read"), col("variants")), ld),
-        Seq("Read"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perRead
+      .join(Ld.pairScores(perRead.select(col("Read"), col("variants")), ld),
+        Seq("Read"), "left")
+      .withColumn("LD", coalesce(col("LD"), lit(0)))
       .drop("variants")
   }
 

@@ -45,7 +45,12 @@ object MitoPipeline {
   def run(spark: SparkSession, cfg: Config,
       model: org.apache.spark.ml.classification.RandomForestClassificationModel)
       : DataFrame = {
+    // persist the feature frame: the empty guard (isEmpty) and the scoring
+    // pass both consume it — without the cache the guard alone executes the
+    // whole scan→agg→join→normalize DAG, then scoring runs it again (the
+    // reference had this same double evaluation, F5)
     val feat = features(spark, cfg, label = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcBase = cfg.prefix + "_MT"
     val srcBam = srcBase + ".bam"
     val srcIsBam = java.nio.file.Files.exists(java.nio.file.Paths.get(srcBam))
@@ -66,6 +71,7 @@ object MitoPipeline {
     else
       Sam.writeSingleSamWithHeader(
         headerText.split("\n").filter(_.nonEmpty), filtered, cfg.out)
+    feat.unpersist(blocking = false) // sink written; release the cache
     filtered
   }
 }

@@ -92,8 +92,8 @@ object MitoQueries {
     // small LD table over the synthesized variant space: positions p+2 for
     // p in [0,1000), base G; pair (x, x+500) scored
     // 1000-entry LD dim → faithful broadcast-map mode (single pass over the
-    // aggregated frame; the join mode re-evaluates its input sub-plan twice
-    // and is meant for LD tables too big to broadcast)
+    // aggregated frame with no caching; the join mode persists its per-read
+    // aggregate and is meant for LD tables too big to broadcast)
     val ldMap = (0 until 1000).map { p =>
       (s"${p + 2}G", s"${p + 502}G") -> 42000
     }.toMap

@@ -82,6 +82,42 @@ class FeaturesSpec extends SparkSpec {
     assert(viaBroadcast === viaJoin)
   }
 
+  test("combinations(2) semantics: duplicate variants across mates collapse") {
+    // both mates of rD report 7G (an overlapping read pair sharing a SNP);
+    // reference computeR uses variants.flatten.combinations(2), which
+    // yields DISTINCT pair-multisets: {7G,11C} once (not twice), plus the
+    // self-pair {7G,7G} (absent from the LD table -> 0)
+    import spark.implicits._
+    val lines = Seq(
+      // MD 2A7: read base G at start+2 -> variant (start+2)G = 7G for start 5
+      "rD\t99\tchrM\t5\t30\t10M\t=\t0\t0\t==G=======\t*\tNM:i:1\tNH:i:1\tMD:Z:2A7",
+      // mate: same variant 7G (start 5, MD 2A7) AND 11C (via MD 6T3 at start 5 -> pos 11, base C)
+      "rD\t147\tchrM\t5\t20\t10M\t=\t0\t0\t==G===C===\t*\tNM:i:2\tNH:i:1\tMD:Z:2A3T3"
+    ).toDF("value")
+    val align = Sam.parse(lines.select(col("value")))
+    val perRead = Features.mtPerRead(align)
+    val vs = perRead.head().getSeq[String](4)
+    assert(vs.sorted === Seq("11C", "7G", "7G")) // duplicate preserved in the list
+    // LD table: (7G,11C)=50000. Old i<j-with-multiplicity would give
+    // 2*50000; combinations(2) gives 50000.
+    val bc = spark.sparkContext.broadcast(Ld.toMap(ld))
+    val viaBroadcast = Features.mtFeaturesBroadcast(align, bc)
+      .select("Read", "LD").head().getInt(1)
+    val viaJoin = Features.mtFeaturesJoin(align, ld)
+      .select("Read", "LD").head().getInt(1)
+    assert(viaBroadcast === 50000)
+    assert(viaJoin === 50000)
+  }
+
+  test("mtFeaturesJoin evaluates the per-read aggregation once (cached)") {
+    val out = Features.mtFeaturesJoin(mtAlign, ld)
+    out.count() // materialize (populates the cache)
+    val plan = out.queryExecution.executedPlan.toString
+    // both branches must read the per-read aggregate from the cache, not
+    // re-run scan->parse->aggregate
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+  }
+
   test("feature join is inner (reads missing on either side drop) + label") {
     val bc = spark.sparkContext.broadcast(Ld.toMap(ld))
     val mt = Features.mtFeaturesBroadcast(mtAlign, bc)
