@@ -60,9 +60,12 @@ object MitoQueries {
     // deterministic 25% subset keeps the bench entry proportional but sane
     val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
     // MT side: read rX paired rows (flags 99/147) on chrM; every 3rd line
-    // number carries a substitution (MD 2A7, read base G at start+2)
+    // number carries a substitution (MD 2A7, read base G at start+2).
+    // Read id spans (okey, linenumber, partkey, suppkey) — the minimal
+    // unique key of this corpus's lineitem — so reads map 1:1 to rows.
     def mtLine(flag: Int, startOff: Int) = concat_ws("\t",
-      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber")),
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey")),
       lit(flag), lit("chrM"),
       (col("l_partkey") % 1000 + startOff).cast("int"),
       (col("l_quantity")).cast("int"), lit("10M"), lit("="), lit("0"), lit("0"),
@@ -78,7 +81,8 @@ object MitoQueries {
         .union(li.select(mtLine(147, 500).as("value"))))
     // NT side: one row per read on a nuclear chromosome
     val ntLines = li.select(concat_ws("\t",
-      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber")),
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey")),
       lit(99), concat(lit("chr"), (col("l_suppkey") % 5 + 1)),
       (col("l_partkey") % 2000).cast("int"),
       (col("l_discount") * 100).cast("int"), lit("10M"), lit("="), lit("0"),
@@ -107,10 +111,36 @@ object MitoQueries {
       sum(col("MTNumAlignments")).as("sum_mt_aligns"))
   }
 
+  /** DuckDB oracle for x02, derived from the synthesis arithmetic: every
+    * lineitem row (l_orderkey%4=0) becomes one read with two valid MT
+    * records (flags 99/147, both carrying NM=ind and, when ind, the MD
+    * variant pair {(p+2)G, (p+502)G} which the synthetic LD table scores
+    * 42000) and one valid NT record (flag 99, 10M read at l_partkey%2000
+    * on chr(l_suppkey%5+1), overlap-scored against the three intervals).
+    * The z-normalization only rewrites the MapQ columns, which the final
+    * aggregate does not consume, so it cancels out of the oracle. */
+  val x02Sql: String =
+    """WITH li AS (
+      |  SELECT (l_linenumber % 3 = 0) AS ind,
+      |         (l_suppkey % 5 + 1) AS chrn,
+      |         (l_partkey % 2000) AS s
+      |  FROM lineitem WHERE l_orderkey % 4 = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(CASE WHEN ind THEN 2 ELSE 0 END) AS BIGINT) AS sum_mt_edit,
+      |  CAST(SUM(CASE WHEN ind THEN 42000 ELSE 0 END) AS BIGINT) AS sum_ld,
+      |  CAST(SUM(CASE chrn
+      |    WHEN 1 THEN CASE WHEN s <= 600 AND s + 9 >= 100 THEN 10 ELSE 0 END
+      |    WHEN 2 THEN CASE WHEN s <= 1500 AND s + 9 >= 500 THEN 5 ELSE 0 END
+      |    WHEN 3 THEN CASE WHEN s <= 1000 THEN 7 ELSE 0 END
+      |    ELSE 0 END) AS BIGINT) AS sum_nt_score,
+      |  CAST(SUM(2) AS BIGINT) AS sum_mt_aligns
+      |FROM li""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _))
 
   val oracles: Map[String, String] = Map(
-    "x01_pair_score" -> x01Sql)
+    "x01_pair_score" -> x01Sql,
+    "x02_mito_features" -> x02Sql)
 }

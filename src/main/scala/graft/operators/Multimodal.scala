@@ -62,18 +62,20 @@ object Multimodal {
     * the Python side); the container has no codec libs, so the stub derives
     * a deterministic fake "feature vector" from the bytes. The pipeline
     * shape — binary in, fixed-width float array out, batch-friendly,
-    * null-safe — is the real, tested part. */
+    * null-safe — is the real, tested part. Each bin accumulates an exact
+    * integer byte-sum and divides once, so the result is one IEEE division
+    * — bit-identical regardless of accumulation order (oracle-safe). */
   private val FeatDim = 8
   val decodeStub: UserDefinedFunction = udf { payload: Array[Byte] =>
     if (payload == null) null
     else {
-      val out = new Array[Double](FeatDim)
+      val sums = new Array[Long](FeatDim)
       var i = 0
       while (i < payload.length) {
-        out(i % FeatDim) += (payload(i) & 0xff).toDouble / 255.0
+        sums(i % FeatDim) += (payload(i) & 0xff).toLong
         i += 1
       }
-      out
+      sums.map(_.toDouble / 255.0)
     }
   }
 
@@ -98,15 +100,43 @@ object Multimodal {
         length(col("frame")).as("frame_bytes"),
         decodeStub(col("frame")).as("feat"))
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
-        round(element_at(col("feat"), 1), 6).as("feat0"),
-        round(element_at(col("feat"), FeatDim), 6).as("feat7"))
+        element_at(col("feat"), 1).as("feat0"),
+        element_at(col("feat"), FeatDim).as("feat7"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** DuckDB equivalent of m02: the corpus text is pure ASCII (asserted by
+    * the oracle itself via the n-check pattern: octet_length==length holds
+    * for driver data), so byte arithmetic over the UTF-8 payload equals
+    * char arithmetic over the text. Each feature bin is an exact integer
+    * byte-sum divided once — the same IEEE double on both engines. */
+  val m02Sql: String =
+    """WITH framed AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(greatest(floor((length(text) - 1) / 64.0), 0) AS BIGINT) + 1)) AS frame_idx
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, frame_idx,
+      |    substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame
+      |  FROM framed WHERE frame_idx % 4 = 0),
+      |bytes AS (
+      |  -- range over max(len,1) so a zero-length tail frame still yields
+      |  -- its row (Spark emits it with feat=0), guarded below
+      |  SELECT doc_id, frame_idx, length(frame) AS frame_bytes,
+      |    unnest(range(0, greatest(length(frame), 1))) AS pos, frame
+      |  FROM frames)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(MAX(frame_bytes) AS INT) AS frame_bytes,
+      |  CAST(SUM(CASE WHEN pos % 8 = 0 AND pos < frame_bytes THEN ascii(substring(frame, CAST(pos + 1 AS BIGINT), 1)) ELSE 0 END) AS DOUBLE) / 255.0 AS feat0,
+      |  CAST(SUM(CASE WHEN pos % 8 = 7 AND pos < frame_bytes THEN ascii(substring(frame, CAST(pos + 1 AS BIGINT), 1)) ELSE 0 END) AS DOUBLE) / 255.0 AS feat7
+      |FROM bytes GROUP BY doc_id, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _))
 
   val oracles: Map[String, String] = Map(
-    "m01_binary_meta" -> m01Sql)
+    "m01_binary_meta" -> m01Sql,
+    "m02_frame_features" -> m02Sql)
 }
