@@ -57,32 +57,51 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class BamScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = SamDataSource.schema
+  private var pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+  private var preds: Seq[SamFilters.Pred] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new BamScan(paths, splitSize, required)
+  /** Predicate pushdown (see SamFilters): a rejected record is skipped
+    * from its 32 fixed bytes — name/cigar/sequence/tags never decode. */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val (ok, rest) = predicates.partition(p => SamFilters.convert(p).isDefined)
+    pushed = ok
+    preds = ok.toSeq.flatMap(p => SamFilters.convert(p))
+    rest
+  }
+  override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushed
+  override def build(): Scan = new BamScan(paths, splitSize, required, preds)
 }
 
-class BamScan(paths: Seq[String], splitSize: Long, required: StructType)
-    extends Scan with Batch {
+class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
+    preds: Seq[SamFilters.Pred]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"bam PushedFilters: [${preds.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
-    new BamReaderFactory(required.fieldNames)
+    new BamReaderFactory(required.fieldNames, preds)
 }
 
-class BamReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class BamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    new BamPartitionReader(p.path, p.start, p.end, fields)
+    new BamPartitionReader(p.path, p.start, p.end, fields, preds)
   }
 }
 
 class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
-    fields: Array[String]) extends PartitionReader[InternalRow] {
+    fields: Array[String], preds: Seq[SamFilters.Pred])
+    extends PartitionReader[InternalRow] {
 
   private val needSeq = fields.contains("sequence") || fields.contains("line")
   private val needAttrs = fields.contains("attributes") || fields.contains("line")
@@ -155,12 +174,17 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
 
   override def next(): Boolean = {
     if (done) return false
-    // split ownership: emit only records STARTING in a member before
-    // rangeEnd (memberStart is a member boundary, so `>= rangeEnd` is
-    // exactly `>= first boundary at-or-after rangeEnd`)
-    if (bgzf.memberStart >= rangeEnd) { done = true; current = null; return false }
-    try { current = decodeRecord(); true }
-    catch { case _: EOFException => done = true; current = null; false }
+    while (true) {
+      // split ownership: emit only records STARTING in a member before
+      // rangeEnd (memberStart is a member boundary, so `>= rangeEnd` is
+      // exactly `>= first boundary at-or-after rangeEnd`)
+      if (bgzf.memberStart >= rangeEnd) { done = true; current = null; return false }
+      try {
+        val r = decodeRecord() // null: pushed filter rejected the record
+        if (r != null) { current = r; return true }
+      } catch { case _: EOFException => done = true; current = null; return false }
+    }
+    false
   }
 
   /** Find the first record boundary at-or-after member `from`: inflate a
@@ -250,6 +274,9 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     true
   }
 
+  /** Decodes one record, or returns null if a pushed filter rejects it —
+    * rejected records skip straight over the name/cigar/sequence/tag bytes
+    * without decoding them (the bulk of a record). */
   private def decodeRecord(): InternalRow = {
     val blockSize = i32()
     val refId = i32()
@@ -261,6 +288,16 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     val flag = i16()
     val lSeq = i32()
     i32(); i32(); i32() // next_refID, next_pos, tlen
+    val rname0 = if (refId >= 0 && refId < refNames.length) refNames(refId) else "*"
+    if (preds.nonEmpty &&
+        !SamFilters.evalAll(preds, flag, mapq, pos + 1, rname0)) {
+      var left = blockSize - 32 // fixed fields after block_size are 32 bytes
+      while (left > 0) {
+        val s = in.skipBytes(left)
+        if (s > 0) left -= s else { u8(); left -= 1 } // u8 throws at EOF
+      }
+      return null
+    }
     val readName = cstr(lReadName)
     val cigar = if (nCigar == 0) "*" else {
       val sb = new StringBuilder
@@ -287,7 +324,7 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     val fixed = 32 + lReadName + 4 * nCigar + (lSeq + 1) / 2 + lSeq
     val tagBytes = bytes(blockSize - fixed) // consume the record tail
     val attrs = if (needAttrs) decodeTags(tagBytes) else ""
-    val rname = if (refId >= 0 && refId < refNames.length) refNames(refId) else "*"
+    val rname = rname0
     val start = pos + 1
     lazy val line =
       s"$readName\t$flag\t$rname\t$start\t$mapq\t$cigar\t=\t0\t0\t$seq\t*" +

@@ -95,23 +95,40 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class SamScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = SamDataSource.schema
+  private var pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+  private var preds: Seq[SamFilters.Pred] = Nil
   /** Column pruning: the reader decodes only requested fields — pruned
     * scans skip building the `line`/`attributes` strings entirely. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SamScan(paths, splitSize, required)
+  /** Predicate pushdown (see SamFilters): accepted predicates are fully
+    * evaluated by the reader, so they are NOT returned as post-scan. */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val (ok, rest) = predicates.partition(p => SamFilters.convert(p).isDefined)
+    pushed = ok
+    preds = ok.toSeq.flatMap(p => SamFilters.convert(p))
+    rest
+  }
+  override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushed
+  override def build(): Scan = new SamScan(paths, splitSize, required, preds)
 }
 
-class SamScan(paths: Seq[String], splitSize: Long, required: StructType)
-    extends Scan with Batch {
+class SamScan(paths: Seq[String], splitSize: Long, required: StructType,
+    preds: Seq[SamFilters.Pred]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"sam PushedFilters: [${preds.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
-    new SamReaderFactory(required.fieldNames)
+    new SamReaderFactory(required.fieldNames, preds)
 }
 
 /** A byte range [start, end) of one file (shared by the sam and bam
@@ -119,15 +136,17 @@ class SamScan(paths: Seq[String], splitSize: Long, required: StructType)
 case class SamInputPartition(path: String, start: Long, end: Long)
     extends InputPartition
 
-class SamReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class SamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    new SamPartitionReader(p.path, p.start, p.end, fields)
+    new SamPartitionReader(p.path, p.start, p.end, fields, preds)
   }
 }
 
 class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
-    fields: Array[String]) extends PartitionReader[InternalRow] {
+    fields: Array[String], preds: Seq[SamFilters.Pred])
+    extends PartitionReader[InternalRow] {
 
   private val in = new java.io.BufferedInputStream(
     java.nio.file.Files.newInputStream(
@@ -166,11 +185,16 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
   }
 
   override def next(): Boolean = {
-    var line = readLine()
-    while (line != null && (line.isEmpty || line.charAt(0) == '@' || line.trim.isEmpty))
-      line = readLine()
-    if (line == null) { current = null; false }
-    else { current = decode(line); true }
+    while (true) {
+      var line = readLine()
+      while (line != null && (line.isEmpty || line.charAt(0) == '@' || line.trim.isEmpty))
+        line = readLine()
+      if (line == null) { current = null; return false }
+      val row = decode(line)
+      if (row != null) { current = row; return true }
+      // else: pushed filter rejected the record — read on
+    }
+    false
   }
 
   /** Reads the next line owned by this split (first byte < rangeEnd),
@@ -187,9 +211,14 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     sb.toString
   }
 
+  /** Decodes one record, or returns null if a pushed filter rejects it —
+    * rejected records never materialize UTF8Strings or an InternalRow. */
   private def decode(line: String): InternalRow = {
     val f = line.split("\t", 12)
     require(f.length >= 11, s"malformed SAM record (${f.length} fields): $line")
+    if (preds.nonEmpty &&
+        !SamFilters.evalAll(preds, f(1).toInt, f(4).toInt, f(3).toInt, f(2)))
+      return null
     InternalRow.fromSeq(fields.map {
       case "line"          => UTF8String.fromString(line)
       case "readName"      => UTF8String.fromString(f(0))

@@ -67,6 +67,37 @@ class SamDataSourceSpec extends SparkSpec {
     assert(b.distinct().count() === 3000) // exactly-once, no straddle dupes
   }
 
+  test("validity bitmask pushes down to the scan (V2 predicate)") {
+    val df = Sam.withFlags(spark.read.format("sam").load(path))
+      .where(Sam.isValid)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [((flag & 2315) = 3)]"), plan.take(1500))
+    // pushed scan returns exactly the records the un-pushed filter keeps
+    assert(df.select("readName").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("r1", "r1", "r2", "r2"))
+
+    val bam = Sam.withFlags(
+        spark.read.format("bam").load(resource("mito/sample_MT_MD.bam")))
+      .where(Sam.isValid)
+    val bplan = bam.queryExecution.executedPlan.toString
+    assert(bplan.contains("PushedFilters: [((flag & 2315) = 3)]"), bplan.take(1500))
+    assert(bam.count() === 4)
+  }
+
+  test("comparison + refname filters push down and agree with post-scan") {
+    val split = resource("mito/sample_split.bam")
+    val base = spark.read.format("bam").option("splitsize", 32768).load(split)
+    val pushedDf = base.where(col("referenceName") === "MT" && col("mapQ") >= 30)
+    val plan = pushedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("(referenceName = 'MT')") && plan.contains("(mapQ >= 30)"),
+      plan.take(1500))
+    // same rows as filtering a scan with pushdown defeated by a UDF guard
+    val opaque = udf((s: String) => s)
+    val unpushed = base.where(opaque(col("referenceName")) === "MT" && col("mapQ") >= 30)
+    assert(pushedDf.count() === unpushed.count())
+    assert(pushedDf.count() > 0)
+  }
+
   test("split boundaries falling on newlines keep line ownership exact") {
     // many tiny ranges → boundaries land on every byte class, including
     // exactly-on-\n (the start-1 probe case)
