@@ -78,6 +78,11 @@ case class AsOfJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
     val schema = output
+    // typed orderings — keys/times of any orderable type, not just LONG
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTime.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
@@ -85,30 +90,46 @@ case class AsOfJoinExec(
       val toUnsafe = UnsafeProjection.create(schema, schema)
       val rBuf = rIter.buffered
 
-      var matchKeyValid = false
-      var matchKey = 0L
+      var matchKey: Any = null // non-null iff matchRow holds a candidate
       var matchRow: InternalRow = null
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        // advance the right cursor through all rows with
-        // (rkey < k) or (rkey == k && rtime <= t); remember the last
-        // one whose key == k — both sides are (key, time)-sorted, and
-        // left times are non-decreasing within a key, so the cursor
-        // never needs to back up
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          if (hk < k) { rBuf.next() }
-          else if (hk == k && rTime.eval(head).asInstanceOf[Long] <= t) {
-            matchKey = k; matchKeyValid = true
-            matchRow = rBuf.next().copy()
-          } else advance = false
+        val k = lKey.eval(lRow)
+        val t = lTime.eval(lRow)
+        // SQL semantics: a NULL key or time matches nothing (emit the
+        // null-extended row without touching the cursor — null-keyed rows
+        // sort first, so no later left row needs anything they'd consume)
+        if (k == null || t == null) toUnsafe(joined(lRow, nullRight))
+        else {
+          // advance the right cursor through all rows with
+          // (rkey < k) or (rkey == k && rtime <= t); remember the last
+          // one whose key == k — both sides are (key, time)-sorted, and
+          // left times are non-decreasing within a key, so the cursor
+          // never needs to back up. Right rows with NULL key/time sort
+          // first and are skipped (they can match nothing).
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            if (hk == null) { rBuf.next() }
+            else {
+              val c = keyOrd.compare(hk, k)
+              if (c < 0) { rBuf.next() }
+              else if (c == 0) {
+                val ht = rTime.eval(head)
+                if (ht == null) { rBuf.next() }
+                else if (timeOrd.compare(ht, t) <= 0) {
+                  matchKey = k
+                  matchRow = rBuf.next().copy()
+                } else advance = false
+              } else advance = false
+            }
+          }
+          val r =
+            if (matchKey != null && keyOrd.compare(matchKey, k) == 0) matchRow
+            else nullRight
+          toUnsafe(joined(lRow, r))
         }
-        val r = if (matchKeyValid && matchKey == k) matchRow else nullRight
-        toUnsafe(joined(lRow, r))
       }
     }
   }
@@ -118,8 +139,10 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Public API: as-of join two DataFrames on long-typed key and time
-  * columns (timestamps are long micros internally — cast upstream). */
+/** Public API: as-of join two DataFrames on key and time columns of any
+  * orderable type (int/long/string/timestamp/...). Key and time types must
+  * match between the two sides; NULL keys/times join to the null-extended
+  * row (SQL semantics). */
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
@@ -134,8 +157,17 @@ object AsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         sys.error(s"column $name not found in ${p.output.map(_.name)}"))
-    bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: $leftKey is ${lk.dataType.sql}, " +
+        s"$rightKey is ${rk.dataType.sql} — cast one side")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: $leftTime is ${lt.dataType.sql}, " +
+        s"$rightTime is ${rt.dataType.sql} — cast one side")
+    // orderability check up front (throws a clear error for e.g. MAP keys)
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(lk.dataType)
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(lt.dataType)
+    bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -49,4 +49,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map(1L -> -1L, 2L -> 100L, 3L -> 100L, 4L -> 110L,
       5L -> 200L, 6L -> -1L))
   }
+
+  test("string keys + int times work (typed orderings, not long-only)") {
+    import spark.implicits._
+    val right = Seq(("a", 10, 1), ("a", 20, 2), ("b", 15, 3))
+      .toDF("rk", "rt", "rid")
+    val left = Seq(("a", 5, 10L), ("a", 12, 11L), ("a", 25, 12L),
+      ("b", 15, 13L), ("c", 9, 14L)).toDF("k", "t", "lid")
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(got === Map(10L -> -1, 11L -> 1, 12L -> 2, 13L -> 3, 14L -> -1))
+  }
+
+  test("null keys/times join to the null-extended row, not to key 0") {
+    import spark.implicits._
+    val right = Seq((0L, 10L, 77L), (1L, 10L, 88L)).toDF("rk", "rt", "rid")
+    val left = Seq(
+      (Some(0L), Some(20L), 1L),  // real key-0 match -> 77
+      (None, Some(20L), 2L),      // null key: must NOT match key 0
+      (Some(1L), None, 3L),       // null time: no match
+      (Some(1L), Some(20L), 4L)   // -> 88
+    ).toDF("k", "t", "lid")
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 77L, 2L -> -1L, 3L -> -1L, 4L -> 88L))
+  }
+
+  test("mismatched key types fail fast with a clear error") {
+    import spark.implicits._
+    val l = Seq((1, 1L)).toDF("k", "t")
+    val r = Seq(("1", 1L)).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
 }
