@@ -21,9 +21,15 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 def encode_record(fields, refs):
-    qname, flag, rname, pos, mapq, cigar, _rnext, _pnext, _tlen, seq, _qual = fields[:11]
+    qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual = fields[:11]
     tags = fields[11:]
     ref_id = refs.index(rname) if rname in refs else -1
+    if rnext == "*":
+        next_ref_id = -1
+    elif rnext == "=":
+        next_ref_id = ref_id
+    else:
+        next_ref_id = refs.index(rnext) if rnext in refs else -1
     name = qname.encode() + b"\0"
     cigar_ops = b""
     n_cigar = 0
@@ -37,7 +43,10 @@ def encode_record(fields, refs):
         hi = SEQ_CODES[seq[i]]
         lo = SEQ_CODES[seq[i + 1]] if i + 1 < len(seq) else 0
         packed.append((hi << 4) | lo)
-    qual = b"\xff" * len(seq)
+    if qual == "*" or len(qual) != len(seq):
+        qual_b = b"\xff" * len(seq)
+    else:
+        qual_b = bytes(ord(c) - 33 for c in qual)
     tag_bytes = b""
     for t in tags:
         tag, typ, val = t.split(":", 2)
@@ -53,7 +62,7 @@ def encode_record(fields, refs):
             raise ValueError(f"unsupported tag type {typ}")
     body = struct.pack("<iiBBHHHiiii",
         ref_id, int(pos) - 1, len(name), int(mapq), 0, n_cigar, int(flag),
-        len(seq), -1, -1, 0) + name + cigar_ops + bytes(packed) + qual + tag_bytes
+        len(seq), next_ref_id, int(pnext) - 1, int(tlen)) + name + cigar_ops + bytes(packed) + qual_b + tag_bytes
     return struct.pack("<i", len(body)) + body
 
 def main(sam_path, bam_path):

@@ -44,7 +44,11 @@ object Sam {
         element_at(f, 4).cast(IntegerType).as("start"),
         element_at(f, 5).cast(IntegerType).as("mapQ"),
         element_at(f, 6).as("cigar"),
+        element_at(f, 7).as("rnext"),
+        element_at(f, 8).cast(IntegerType).as("pnext"),
+        element_at(f, 9).cast(IntegerType).as("tlen"),
         element_at(f, 10).as("sequence"),
+        element_at(f, 11).as("qual"),
         array_join(slice(f, 12, 1 << 20), " ").as("attributes"))
       .transform(withFlags)
   }

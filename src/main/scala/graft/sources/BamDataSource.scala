@@ -104,6 +104,7 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     extends PartitionReader[InternalRow] {
 
   private val needSeq = fields.contains("sequence") || fields.contains("line")
+  private val needQual = fields.contains("qual") || fields.contains("line")
   private val needAttrs = fields.contains("attributes") || fields.contains("line")
 
   private val ch = Bgzf.openChannel(path)
@@ -287,7 +288,9 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     val nCigar = i16()
     val flag = i16()
     val lSeq = i32()
-    i32(); i32(); i32() // next_refID, next_pos, tlen
+    val nextRefId = i32()
+    val nextPos = i32()
+    val tlen = i32()
     val rname0 = if (refId >= 0 && refId < refNames.length) refNames(refId) else "*"
     if (preds.nonEmpty &&
         !SamFilters.evalAll(preds, flag, mapq, pos + 1, rname0)) {
@@ -320,14 +323,38 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       }
       sb.toString
     }
-    bytes(lSeq) // qual (unused by the feature pipeline)
+    val qualBytes = bytes(lSeq)
+    // per spec: 0xff-filled qual means "unavailable" (SAM text '*');
+    // otherwise text is phred+33
+    val qual = if (!needQual) "" else {
+      var allMissing = true
+      var i = 0
+      while (allMissing && i < lSeq) {
+        if (qualBytes(i) != -1) allMissing = false
+        i += 1
+      }
+      if (lSeq == 0 || allMissing) "*"
+      else {
+        val sb = new StringBuilder(lSeq)
+        var j = 0
+        while (j < lSeq) { sb.append((qualBytes(j) + 33).toChar); j += 1 }
+        sb.toString
+      }
+    }
     val fixed = 32 + lReadName + 4 * nCigar + (lSeq + 1) / 2 + lSeq
     val tagBytes = bytes(blockSize - fixed) // consume the record tail
     val attrs = if (needAttrs) decodeTags(tagBytes) else ""
     val rname = rname0
     val start = pos + 1
+    // RNEXT text form: '*' unavailable, '=' same reference, else the name
+    val rnext =
+      if (nextRefId == -1) "*"
+      else if (nextRefId == refId) "="
+      else if (nextRefId >= 0 && nextRefId < refNames.length) refNames(nextRefId)
+      else "*"
+    val pnext = nextPos + 1
     lazy val line =
-      s"$readName\t$flag\t$rname\t$start\t$mapq\t$cigar\t=\t0\t0\t$seq\t*" +
+      s"$readName\t$flag\t$rname\t$start\t$mapq\t$cigar\t$rnext\t$pnext\t$tlen\t$seq\t$qual" +
         (if (attrs.isEmpty) "" else "\t" + attrs.replace(' ', '\t'))
     InternalRow.fromSeq(fields.map {
       case "line"          => UTF8String.fromString(line)
@@ -337,7 +364,11 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       case "start"         => start
       case "mapQ"          => mapq
       case "cigar"         => UTF8String.fromString(cigar)
+      case "rnext"         => UTF8String.fromString(rnext)
+      case "pnext"         => pnext
+      case "tlen"          => tlen
       case "sequence"      => UTF8String.fromString(seq)
+      case "qual"          => UTF8String.fromString(qual)
       case "attributes"    => UTF8String.fromString(attrs)
     }.toIndexedSeq)
   }

@@ -65,7 +65,8 @@ object BamWriter {
       }
       var n = 0L
       val it = records.select("readName", "flag", "referenceName", "start",
-        "mapQ", "cigar", "sequence", "attributes").toLocalIterator()
+        "mapQ", "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
+        "attributes").toLocalIterator()
       while (it.hasNext) {
         bgzf.write(encode(it.next(), refIndex)); n += 1
       }
@@ -80,8 +81,17 @@ object BamWriter {
     val start = r.getInt(3)
     val mapq = r.getInt(4)
     val cigar = r.getString(5)
-    val seq = r.getString(6)
-    val attrs = r.getString(7)
+    val rnext = r.getString(6)
+    val pnext = r.getInt(7)
+    val tlen = r.getInt(8)
+    val seq = r.getString(9)
+    val qual = r.getString(10)
+    val attrs = r.getString(11)
+    val nextRefId = rnext match {
+      case "*" => -1
+      case "=" => refId
+      case nm  => refIndex.getOrElse(nm, -1)
+    }
 
     val name = (readName + "\u0000").getBytes("US-ASCII")
     val cigarOps: Array[Int] =
@@ -124,11 +134,14 @@ object BamWriter {
     body.putInt(refId).putInt(start - 1)
     body.put(name.length.toByte).put(mapq.toByte).putShort(0)
     body.putShort(cigarOps.length.toShort).putShort(flag.toShort)
-    body.putInt(seq.length).putInt(-1).putInt(-1).putInt(0)
+    body.putInt(seq.length).putInt(nextRefId).putInt(pnext - 1).putInt(tlen)
     body.put(name)
     cigarOps.foreach(body.putInt)
     body.put(packed)
-    (0 until seq.length).foreach(_ => body.put(0xff.toByte)) // qual unavailable
+    if (qual == "*" || qual.length != seq.length)
+      (0 until seq.length).foreach(_ => body.put(0xff.toByte)) // unavailable
+    else
+      (0 until seq.length).foreach(i => body.put((qual.charAt(i) - 33).toByte))
     body.put(tags.toByteArray)
 
     val full = java.nio.ByteBuffer.allocate(4 + body.position())
@@ -141,22 +154,40 @@ object BamWriter {
 
 /** BGZF-framing output stream: buffers payload to ~60 KB, emits each
   * buffer as one gzip member with the BC extra subfield, appends the
-  * spec's 28-byte EOF marker on close. */
+  * spec's 28-byte EOF marker on close.
+  *
+  * BSIZE is a uint16, so a member (header + deflate + trailer) must stay
+  * ≤ 65535 bytes. Payloads are capped at 60 KB BEFORE appending: a write
+  * that would overflow the cap emits the pending member first, and a
+  * single write larger than the cap is split across members (records span
+  * BGZF members freely per spec). Worst-case deflate of 60 KB
+  * (incompressible → stored blocks, ~5 bytes/16 KB overhead) plus the
+  * 26-byte framing stays well under 65535. */
 class BgzfOutputStream(out: OutputStream) extends OutputStream {
   private val MaxPayload = 60 * 1024
   private val buf = new java.io.ByteArrayOutputStream(MaxPayload + 1024)
 
-  override def write(b: Int): Unit = { buf.write(b); maybeFlushBlock() }
+  override def write(b: Int): Unit = {
+    if (buf.size() + 1 > MaxPayload) emitBlock()
+    buf.write(b)
+  }
   override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-    buf.write(b, off, len); maybeFlushBlock()
+    var o = off
+    var left = len
+    while (left > 0) {
+      val space = MaxPayload - buf.size()
+      if (space == 0) emitBlock()
+      else {
+        val k = math.min(space, left)
+        buf.write(b, o, k)
+        o += k
+        left -= k
+      }
+    }
   }
-  def writeLe32(v: Int): Unit = {
-    buf.write(v); buf.write(v >>> 8); buf.write(v >>> 16); buf.write(v >>> 24)
-    maybeFlushBlock()
-  }
-
-  private def maybeFlushBlock(): Unit =
-    if (buf.size() >= MaxPayload) emitBlock()
+  def writeLe32(v: Int): Unit =
+    write(Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
+      (v >>> 24).toByte), 0, 4)
 
   private def emitBlock(): Unit = {
     val payload = buf.toByteArray

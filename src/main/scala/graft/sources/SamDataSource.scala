@@ -54,7 +54,11 @@ object SamDataSource {
     StructField("start", IntegerType, nullable = false),
     StructField("mapQ", IntegerType, nullable = false),
     StructField("cigar", StringType, nullable = false),
+    StructField("rnext", StringType, nullable = false),
+    StructField("pnext", IntegerType, nullable = false),
+    StructField("tlen", IntegerType, nullable = false),
     StructField("sequence", StringType, nullable = false),
+    StructField("qual", StringType, nullable = false),
     StructField("attributes", StringType, nullable = false)))
 
   /** Default byte-range split size (64 MB — HDFS-block-ish; override with
@@ -227,7 +231,11 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       case "start"         => f(3).toInt
       case "mapQ"          => f(4).toInt
       case "cigar"         => UTF8String.fromString(f(5))
+      case "rnext"         => UTF8String.fromString(f(6))
+      case "pnext"         => f(7).toInt
+      case "tlen"          => f(8).toInt
       case "sequence"      => UTF8String.fromString(f(9))
+      case "qual"          => UTF8String.fromString(f(10))
       case "attributes"    => UTF8String.fromString(
         if (f.length > 11) f(11).replace('\t', ' ') else "")
     }.toIndexedSeq)

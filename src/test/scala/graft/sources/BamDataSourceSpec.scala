@@ -28,7 +28,8 @@ class BamDataSourceSpec extends SparkSpec {
 
   test("bam and sam sources agree on every record field") {
     val cols = Seq("readName", "flag", "referenceName", "start", "mapQ",
-      "cigar", "sequence", "attributes").map(col)
+      "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
+      "attributes").map(col)
     val fromBam = spark.read.format("bam").load(bamPath).select(cols: _*)
     val fromSam = Sam.read(spark, samPath).select(cols: _*)
     assert(fromBam.except(fromSam).isEmpty && fromSam.except(fromBam).isEmpty)
@@ -39,6 +40,14 @@ class BamDataSourceSpec extends SparkSpec {
       Sam.withFlags(spark.read.format("bam").load(bamPath)))
     val viaSam = Features.mtPerRead(Sam.read(spark, samPath))
     assert(viaBam.except(viaSam).isEmpty && viaSam.except(viaBam).isEmpty)
+  }
+
+  test("bam line column reconstructs the original SAM text exactly") {
+    // with mate fields + qual carried through, the reconstructed line is
+    // byte-identical to the text fixture the bam was generated from
+    val fromBam = spark.read.format("bam").load(bamPath).select("line")
+    val fromSam = Sam.read(spark, samPath).select("line")
+    assert(fromBam.except(fromSam).isEmpty && fromSam.except(fromBam).isEmpty)
   }
 
   test("multi-reference NT bam resolves chromosome names from the dictionary") {
@@ -58,7 +67,8 @@ class BamDataSourceSpec extends SparkSpec {
     assert(parts.rdd.getNumPartitions === 9)
     assert(parts.count() === 3000)
     val cols = Seq("readName", "flag", "referenceName", "start", "mapQ",
-      "cigar", "sequence", "attributes").map(col)
+      "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
+      "attributes").map(col)
     val a = whole.select(cols: _*)
     val b = parts.select(cols: _*)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
@@ -68,7 +78,8 @@ class BamDataSourceSpec extends SparkSpec {
 
   test("split bam agrees with the sam text fixture it was generated from") {
     val cols = Seq("readName", "flag", "referenceName", "start", "mapQ",
-      "cigar", "sequence", "attributes").map(col)
+      "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
+      "attributes").map(col)
     val fromBam = spark.read.format("bam").option("splitsize", 20000)
       .load(resource("mito/sample_split.bam")).select(cols: _*)
     val fromSam = Sam.read(spark, resource("mito/sample_split.sam")).select(cols: _*)

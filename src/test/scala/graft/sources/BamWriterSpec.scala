@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 class BamWriterSpec extends SparkSpec {
 
   private val recordCols = Seq("readName", "flag", "referenceName", "start",
-    "mapQ", "cigar", "sequence", "attributes").map(col)
+    "mapQ", "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
+    "attributes").map(col)
 
   test("round trip: sam text -> BamWriter -> format(\"bam\") preserves records") {
     val tmp = java.nio.file.Files.createTempDirectory("bamw").toString
@@ -36,11 +37,44 @@ class BamWriterSpec extends SparkSpec {
     assert(text2 === text)
   }
 
+  test("records larger than one BGZF member split across members (BSIZE cap)") {
+    // a 70 KB sequence makes the encoded record (~105 KB with qual) exceed
+    // the 60 KB member payload cap: without the pre-append flush the
+    // member would exceed 65535 bytes and BSIZE (uint16) silently wraps
+    import spark.implicits._
+    val longSeq = ("ACGT" * (70 * 1024 / 4))
+    val qual = "I" * longSeq.length
+    val rec = Seq(("rBig", 0, "chrM", 1, 60, s"${longSeq.length}M", "*", 0, 0,
+        longSeq, qual, "NM:i:0"))
+      .toDF("readName", "flag", "referenceName", "start", "mapQ", "cigar",
+        "rnext", "pnext", "tlen", "sequence", "qual", "attributes")
+    val tmp = java.nio.file.Files.createTempDirectory("bamw4").toString
+    BamWriter.write(rec, "@HD\tVN:1.6\n", Seq("chrM" -> 16569), s"$tmp/big.bam")
+    // every BGZF member in the file must respect the uint16 BSIZE bound
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/big.bam"))
+    var off = 0
+    var members = 0
+    while (off < bytes.length) {
+      assert((bytes(off) & 0xff) === 0x1f && (bytes(off + 1) & 0xff) === 0x8b,
+        s"bad member magic at $off")
+      val bsize = ((bytes(off + 16) & 0xff) | ((bytes(off + 17) & 0xff) << 8)) + 1
+      assert(bsize <= 65536, s"member at $off has size $bsize")
+      off += bsize
+      members += 1
+    }
+    assert(off === bytes.length) // members tile the file exactly
+    assert(members > 2)          // the record really did span members
+    val back = spark.read.format("bam").load(s"$tmp/big.bam")
+    val r = back.head()
+    assert(r.getAs[String]("sequence") === longSeq)
+    assert(r.getAs[String]("qual") === qual)
+  }
+
   test("writer refuses records with unsupported tag types") {
     import spark.implicits._
-    val bad = Seq(("r1", 0, "chrM", 1, 60, "4M", "ACGT", "XX:Q:weird"))
+    val bad = Seq(("r1", 0, "chrM", 1, 60, "4M", "*", 0, 0, "ACGT", "*", "XX:Q:weird"))
       .toDF("readName", "flag", "referenceName", "start", "mapQ", "cigar",
-        "sequence", "attributes")
+        "rnext", "pnext", "tlen", "sequence", "qual", "attributes")
     val tmp = java.nio.file.Files.createTempDirectory("bamw3").toString
     intercept[RuntimeException] {
       BamWriter.write(bad, "@HD\tVN:1.6\n", Seq("chrM" -> 16569), s"$tmp/bad.bam")
