@@ -110,16 +110,58 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d04
-  /** SimHash near-dup: 64-bit signature per doc, pairs within (lang) block
-    * at Hamming distance ≤ 12. At scale the block key becomes the signature
-    * high bits (multi-probe); here lang keeps the demo pair space small. */
+  /** SimHash near-dup: 64-bit signature per doc, all pairs at Hamming
+    * distance ≤ 8 — found via signature banding, not an all-pairs join.
+    *
+    * Pigeonhole (Manku/Jain/Sarma, WWW'07 §3): split the signature into 9
+    * bands (8×7 bits + 1×8 bits); two signatures within Hamming distance 8
+    * differ in ≤8 bands, so they agree EXACTLY on ≥1 of the 9 — candidate
+    * generation on (band, band_bits) equality has guaranteed recall, and
+    * the exact Hamming check on candidates removes false positives. Output
+    * is identical to the quadratic all-pairs formulation (spec-asserted)
+    * while the join is a hash join on band keys.
+    *
+    * Scale dial: pair space per band bucket is ~(n/2^width)² — at larger
+    * corpora you lower the distance threshold and widen the bands
+    * (production simhash dedup uses k=3 with 4×16-bit blocks), or
+    * concatenate band pairs (C(9,2) tables of ~14 bits) for the same
+    * recall with far smaller buckets. The blocking never depends on a
+    * data-dependent key like language, so corpus skew cannot degenerate
+    * it. */
   def d04Simhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        simhash64(tokens(col("text"))).as("sh"))
-    val a = docs.select(col("lang"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = docs.select(col("lang"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("lang"))
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+    // 9 bands: bits [0,7) [7,14) ... [49,56) and [56,64)
+    val bands = (0 until 8).map { i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("sh"), i * 7).bitwiseAND(lit(127L)).as("key"))
+    } :+ struct(lit(8).as("band"),
+      shiftrightunsigned(col("sh"), 56).bitwiseAND(lit(255L)).as("key"))
+    val banded = docs
+      .select(col("doc_id"), col("sh"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct() // multi-band hits
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .where(col("hamming") <= 8)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The quadratic all-pairs reference formulation of d04 (spec-only: the
+    * banded pipeline must produce exactly this). */
+  def d04SimhashAllPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b)
       .where(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .where(col("hamming") <= 8)

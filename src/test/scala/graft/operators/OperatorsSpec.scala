@@ -29,6 +29,37 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("d04 banded simhash == quadratic all-pairs (pigeonhole recall)") {
+    // the 9-band candidate generation must lose NOTHING vs all-pairs at
+    // hamming <= 8 (guaranteed recall), and add nothing (exact verify)
+    val banded = Dedup.d04Simhash(spark, sf)
+    val allPairs = Dedup.d04SimhashAllPairs(spark, sf)
+    assert(banded.except(allPairs).isEmpty && allPairs.except(banded).isEmpty)
+    assert(banded.count() === allPairs.count())
+  }
+
+  test("d04 finds a planted near-duplicate without a language block") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    // two docs, 200 shared tokens, one token differs -> tiny hamming;
+    // plus one unrelated doc
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " ending"),
+      (2L, base + " endinh"), // near-dup of 1, different "lang" would've blocked it
+      (3L, (1 to 200).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextFns.simhash64(TextFns.tokens(col("text"))).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) <= 8, s"planted near-dup too far: ${pairs((1L, 2L))}")
+    assert(pairs((1L, 3L)) > 8 && pairs((2L, 3L)) > 8)
+  }
+
   test("broadcast dims query plans a BroadcastHashJoin, not a shuffle join") {
     val plan = Relational.q06BroadcastDims(spark, sf)
       .queryExecution.executedPlan.toString
