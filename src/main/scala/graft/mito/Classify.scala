@@ -69,11 +69,20 @@ object Classify {
     alignments.join(keys,
       alignments("readName") === keys("Read"), "left_semi")
 
-  /** Holdout accuracy (reference `testRFModel`,
-    * `MTClassifierModel.scala:187-222`). */
-  def evaluate(scored: DataFrame): Double =
+  /** Holdout metric (reference `testRFModel` accuracy,
+    * `MTClassifierModel.scala:187-222`; `testGBModel` evaluated
+    * MulticlassClassificationEvaluator("precision"),
+    * `MTClassifierModel.scala:252-256` — a metric name Spark 3 removed
+    * because it equaled accuracy for the multiclass evaluator, as the
+    * reference's own comment admits). Default accuracy; pass
+    * "weightedPrecision"/"f1"/... for the other evaluator metrics. */
+  def evaluate(scored: DataFrame, metric: String = "accuracy"): Double =
     new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
-      .setMetricName("accuracy")
+      .setMetricName(metric)
       .evaluate(scored)
+
+  /** The reference testGBModel's reported metric, modern spelling. */
+  def evaluatePrecision(scored: DataFrame): Double =
+    evaluate(scored, "weightedPrecision")
 }

@@ -50,6 +50,8 @@ class PipelineSpec extends SparkSpec {
     val prepared = Classify.rformula.fit(trainingFrame).transform(trainingFrame)
     val scored = model.transform(prepared)
     assert(Classify.evaluate(scored) > 0.95)
+    // reference testGBModel reported "precision" (MTClassifierModel.scala:252-256)
+    assert(Classify.evaluatePrecision(scored) > 0.95)
   }
 
   test("mtReadKeys applies confidence gate and prediction filter") {
