@@ -549,15 +549,41 @@ object Relational {
       |ORDER BY custkey""".stripMargin
 
   // ---------------------------------------------------------------- q23
-  /** Exact interpolated percentiles (sort-based, deterministic; both
-    * engines use the p*(n-1) continuous definition). */
-  def q23Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+  /** Exact interpolated percentiles (the p*(n-1) continuous definition,
+    * matching DuckDB quantile_cont) — computed via a distributed value
+    * histogram instead of the builtin `percentile`, whose aggregator
+    * buffers EVERY value per group (per-group memory ∝ group size; a
+    * 100 TB group OOMs). Here: count per (group, value) [first shuffle,
+    * sized by distinct values], cumulative 0-based index ranges by sorted
+    * value, then each target index k is answered by the aggregable
+    * `min(v | cum > k)` and interpolated. Scales with distinct values,
+    * not rows. */
+  def q23Percentiles(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val wCum = byFlag.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val hist = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(byFlag))
+    def k0(p: Double): Column = floor(lit(p) * (col("total") - 1))
+    val agg = hist.groupBy(col("l_returnflag")).agg(
+      max(col("total")).as("n"),
+      min(when(col("cum") > k0(0.5), col("v"))).as("a50"),
+      min(when(col("cum") > k0(0.5) + 1, col("v"))).as("b50"),
+      min(when(col("cum") > k0(0.9), col("v"))).as("a90"),
+      min(when(col("cum") > k0(0.9) + 1, col("v"))).as("b90"))
+    def interp(a: Column, b: Column, p: Double): Column = {
+      val r = lit(p) * (col("n") - 1)
+      val frac = r - floor(r)
+      a + frac * (coalesce(b, a) - a)
+    }
+    agg.select(col("l_returnflag"),
+      round(interp(col("a50"), col("b50"), 0.5), 4).as("p50"),
+      round(interp(col("a90"), col("b90"), 0.9), 4).as("p90"))
       .orderBy("l_returnflag")
+  }
 
   val q23Sql: String =
     """SELECT l_returnflag,

@@ -215,20 +215,22 @@ object Similarity {
     * across sf0.001/0.01/0.1) so data-scale variance doesn't flap the
     * gate while a real regression still trips it. */
   def s05AnnRecallGate(s: SparkSession, d: String): DataFrame = {
+    // one declarative plan, one action — no driver-side counts: hit
+    // fractions are aggregated scalar rows cross-joined into the gate row
     val brute = s01KnnBrute(s, d).select(col("q_id"), col("n_id"))
-    def avgRecall(ann: DataFrame): Column = {
-      // fraction of true top-5 rows the ANN path recovered, over all queries
-      val hits = brute.join(ann.select(col("q_id"), col("n_id")),
-        Seq("q_id", "n_id"), "left_semi").count()
-      val total = brute.count()
-      lit(hits.toDouble / total)
-    }
-    val lshRecall = avgRecall(s02AnnLsh(s, d))
-    val ivfRecall = avgRecall(s04AnnIvf(s, d))
-    s.range(1).select(
-      lit(10).cast("long").as("n_queries"),
-      (lshRecall >= 0.6).as("lsh_recall_ok"),
-      (ivfRecall >= 0.5).as("ivf_recall_ok"))
+    def hitFrac(ann: DataFrame, as: String): DataFrame =
+      brute
+        .join(ann.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select((col("hits").cast("double") / col("total")).as(as))
+    hitFrac(s02AnnLsh(s, d), "lsh_recall")
+      .crossJoin(hitFrac(s04AnnIvf(s, d), "ivf_recall"))
+      .select(
+        lit(10).cast("long").as("n_queries"),
+        (col("lsh_recall") >= 0.6).as("lsh_recall_ok"),
+        (col("ivf_recall") >= 0.5).as("ivf_recall_ok"))
   }
 
   val s05Sql: String =
