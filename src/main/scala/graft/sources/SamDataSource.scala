@@ -76,16 +76,31 @@ object SamDataSource {
   def splitSize(options: CaseInsensitiveStringMap): Long =
     Option(options.get("splitsize")).map(_.toLong).getOrElse(DefaultSplitSize)
 
-  /** One InputPartition per `splitSize` byte range of each file. */
-  def planSplits(paths: Seq[String], splitSize: Long): Array[InputPartition] =
-    paths.flatMap { p =>
+  /** One InputPartition per `splitSize` byte range of each file.
+    * Directory paths expand to their (non-hidden) regular files, so
+    * `load(dir)` scans a whole sample directory in parallel. */
+  def planSplits(paths: Seq[String], splitSize: Long): Array[InputPartition] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val files = paths.flatMap { p =>
+      val path = Paths.get(p.stripPrefix("file:"))
+      if (Files.isDirectory(path))
+        Files.list(path).iterator().asScala
+          .filter(f => Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith(".") &&
+            !f.getFileName.toString.startsWith("_"))
+          .map(_.toString).toSeq.sorted
+      else Seq(p)
+    }
+    files.flatMap { p =>
       val size =
-        try java.nio.file.Files.size(java.nio.file.Paths.get(p.stripPrefix("file:")))
+        try Files.size(Paths.get(p.stripPrefix("file:")))
         catch { case _: Exception => Long.MaxValue }
       if (size <= splitSize) Seq(SamInputPartition(p, 0L, Long.MaxValue))
       else (0L until size by splitSize).map(s =>
         SamInputPartition(p, s, math.min(s + splitSize, size)))
     }.map(p => p: InputPartition).toArray
+  }
 }
 
 class SamTable(properties: Map[String, String]) extends Table with SupportsRead {

@@ -55,6 +55,17 @@ class SamDataSourceSpec extends SparkSpec {
     assert(df.count() === 12) // 7 + 5 records
   }
 
+  test("directory paths expand to their files") {
+    val dir = java.nio.file.Files.createTempDirectory("samdir")
+    for (f <- Seq("mito/sample_MT_MD.sam", "mito/sample_NT.sam"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(resource(f).stripPrefix("file:")),
+        dir.resolve(java.nio.file.Paths.get(f).getFileName))
+    val df = spark.read.format("sam").load(dir.toString)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 12)
+  }
+
   test("byte-range splits: one sam file scans as many partitions, line-exact") {
     val split = resource("mito/sample_split.sam")
     val whole = spark.read.format("sam").load(split)
