@@ -4,19 +4,20 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Dense-vector kernels over array<float> embedding columns, built from
-  * codegen'd higher-order builtins (zip_with / aggregate) — no UDF, no
+/** Dense-vector kernels over array<float> embedding columns — no UDF, no
   * MLlib Vector boxing in the hot path. All arithmetic is promoted to
   * double with a strict left-to-right fold so results are reproducible and
-  * match a sequential oracle bit-for-bit.
+  * match a sequential oracle bit-for-bit. The dot product is a native
+  * codegen'd expression ([[DotProductExpr]]): the earlier
+  * zip_with+aggregate form allocated an intermediate array per call and
+  * evaluated interpreted lambdas — measured ~3× slower in the O(pairs)
+  * stages (d05/s01/s02).
   */
 object VectorFns {
 
-  /** Σ a[i]*b[i] as a sequential double fold. */
+  /** Σ a[i]*b[i] as a sequential double fold (native expression). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    DotProductExpr.dotProduct(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

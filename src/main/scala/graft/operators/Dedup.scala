@@ -147,10 +147,12 @@ object Dedup {
       col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct() // multi-band hits
+      // hamming check BEFORE the multi-band dedup: bit_count is one fused
+      // instruction per candidate, so filtering first shrinks the distinct
+      // shuffle from every banded candidate pair to just the near-dups
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .where(col("hamming") <= 8)
-      .select("a_id", "b_id", "hamming")
+      .select("a_id", "b_id", "hamming").distinct() // multi-band hits
       .orderBy("a_id", "b_id")
   }
 

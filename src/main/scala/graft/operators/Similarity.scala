@@ -84,12 +84,10 @@ object Similarity {
       array((0 until Dim).map(i => lit(hp(p, i))): _*)
     }: _*)
 
-  /** array<int> of sign bits, one per hyperplane. */
+  /** array<int> of sign bits, one per hyperplane (native dot kernel). */
   private def signBits(emb: Column): Column =
     transform(planesLit, plane =>
-      when(aggregate(
-        zip_with(emb, plane, (x, pc) => x.cast("double") * pc),
-        lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+      when(graft.functions.VectorFns.dot(emb, plane) >= 0, 1).otherwise(0))
 
   /** array<struct<tbl,key>> of per-table bucket keys from the bit array. */
   private def bucketsFromBits(bits: Column): Column =
