@@ -78,13 +78,19 @@ object Dedup {
     * random-collision rate (and thus the candidate pair space) tiny while
     * jaccard≳0.9 pairs still collide with p≈0.99. Not ANSI-SQL expressible
     * → rows-only driver check; exactness covered by OperatorsSpec. */
-  def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def d03MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .orderBy("a_id", "b_id")
+
+  /** d03's core over any (doc_id, text) frame — also driven by the
+    * planted-duplicate gate (d07). */
+  private def minhashCandidates(docsIn: DataFrame): DataFrame = {
     val numPerms = 32
     val rowsPerBand = 8
     // two projection steps so shingle hashes materialize once (TextFns
     // note); signature = native single-pass expression (all 32 permutation
     // minima in one walk, no per-permutation array allocation)
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
       .select(col("doc_id"),
         graft.functions.MinHashSigExpr.minhashSig(col("sh"), numPerms).as("sig"))
@@ -106,8 +112,37 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))           // dedupe multi-band hits
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)            // candidate gate
-      .orderBy("a_id", "b_id")
   }
+
+  // ---------------------------------------------------------------- d07
+  /** Driver-visible LSH recall gate: plant exact copies (id + 10^9) of the
+    * 20 lowest-id documents and require the full shingle→minhash→band→
+    * join pipeline to surface every (original, copy) pair with estimated
+    * jaccard exactly 1.0. Identical text ⇒ identical signature ⇒ identical
+    * band keys, so recall on exact duplicates is GUARANTEED — a hard,
+    * oracle-expressible contract for an otherwise probabilistic operator
+    * (the d02-vs-d03 recall curve is covered by spec). */
+  def d07LshPlantedGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    // corpus ids stay below 10^9, so any candidate with b_id = a_id + 10^9
+    // is a planted pair
+    val found = minhashCandidates(docs.union(planted))
+      .where(col("b_id") === col("a_id") + 1000000000L &&
+        col("est_jaccard") === 1.0)
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_planted"), col("n_found"),
+        (col("n_planted") === col("n_found")).as("all_found"))
+  }
+
+  val d07Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_found, true AS all_found
+      |FROM base""".stripMargin
 
   // ---------------------------------------------------------------- d04
   /** SimHash near-dup: 64-bit signature per doc, all pairs at Hamming
@@ -229,11 +264,13 @@ object Dedup {
     "d02_ngram_jaccard"  -> (d02NgramJaccard _),
     "d03_minhash_lsh"    -> (d03MinhashLsh _),
     "d04_simhash"        -> (d04Simhash _),
-    "d05_embed_dup"      -> (d05EmbedDup _))
+    "d05_embed_dup"      -> (d05EmbedDup _),
+    "d07_lsh_planted_gate" -> (d07LshPlantedGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
-    "d05_embed_dup"     -> d05Sql)
+    "d05_embed_dup"     -> d05Sql,
+    "d07_lsh_planted_gate" -> d07Sql)
 }

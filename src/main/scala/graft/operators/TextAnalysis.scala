@@ -126,14 +126,49 @@ object TextAnalysis {
         aggregate(col("fp"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("digest"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- t05
+  /** Driver-visible winnowing gate: prefix each of the 20 lowest-id docs
+    * with a 17-char junk string and require the winnowing property to
+    * hold — local fingerprints are content-defined, so the shifted copy
+    * must share most of the original's hashes (only windows straddling
+    * the prefix boundary may differ). A hash-function or window-selection
+    * regression flips a driver CORRECTNESS row. */
+  def t05FingerprintGate(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.functions.TextFns.winnowUdf(5, 4)
+    val pair = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(20)
+      .select(col("doc_id"),
+        fp(col("text")).as("fp0"),
+        fp(concat(lit("xqzvkyjwbu_pfx42 "), col("text"))).as("fp1"))
+    val overlap =
+      graft.functions.IntersectCountExpr
+        .intersectCountSorted(col("fp0"), col("fp1")).cast("double") /
+        size(col("fp0"))
+    val ok = when(size(col("fp0")) === 0, lit(true)).otherwise(overlap >= 0.6)
+    pair.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(ok, 1).otherwise(0)).cast("long").as("n_shift_robust"))
+      .select(col("n_docs"), col("n_shift_robust"),
+        (col("n_docs") === col("n_shift_robust")).as("all_ok"))
+  }
+
+  val t05Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shift_robust, true AS all_ok
+      |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
     "t03_langid"      -> (t03LangId _),
-    "t04_fingerprint" -> (t04Fingerprint _))
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_fingerprint_gate" -> (t05FingerprintGate _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
     "t02_quality"     -> t02Sql,
-    "t03_langid"      -> t03Sql)
+    "t03_langid"      -> t03Sql,
+    "t05_fingerprint_gate" -> t05Sql)
 }
