@@ -163,8 +163,14 @@ object Dedup {
     * recall with far smaller buckets. The blocking never depends on a
     * data-dependent key like language, so corpus skew cannot degenerate
     * it. */
-  def d04Simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def d04Simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .orderBy("a_id", "b_id")
+
+  /** d04's core over any (doc_id, text) frame — also driven by the
+    * planted-duplicate gate (d08). */
+  private def simhashPairs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
     // 9 bands: bits [0,7) [7,14) ... [49,56) and [56,64)
     val bands = (0 until 8).map { i =>
@@ -188,8 +194,31 @@ object Dedup {
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .where(col("hamming") <= 8)
       .select("a_id", "b_id", "hamming").distinct() // multi-band hits
-      .orderBy("a_id", "b_id")
   }
+
+  // ---------------------------------------------------------------- d08
+  /** Driver-visible SimHash gate, same contract shape as d07: planted
+    * exact copies must surface as Hamming-0 pairs through the 9-band
+    * pipeline (identical text ⇒ identical signature ⇒ every band
+    * collides). */
+  def d08SimhashPlantedGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val found = simhashPairs(docs.union(planted))
+      .where(col("b_id") === col("a_id") + 1000000000L && col("hamming") === 0)
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_planted"), col("n_found"),
+        (col("n_planted") === col("n_found")).as("all_found"))
+  }
+
+  val d08Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_found, true AS all_found
+      |FROM base""".stripMargin
 
   /** The quadratic all-pairs reference formulation of d04 (spec-only: the
     * banded pipeline must produce exactly this). */
@@ -265,12 +294,14 @@ object Dedup {
     "d03_minhash_lsh"    -> (d03MinhashLsh _),
     "d04_simhash"        -> (d04Simhash _),
     "d05_embed_dup"      -> (d05EmbedDup _),
-    "d07_lsh_planted_gate" -> (d07LshPlantedGate _))
+    "d07_lsh_planted_gate" -> (d07LshPlantedGate _),
+    "d08_simhash_planted_gate" -> (d08SimhashPlantedGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d05_embed_dup"     -> d05Sql,
-    "d07_lsh_planted_gate" -> d07Sql)
+    "d07_lsh_planted_gate" -> d07Sql,
+    "d08_simhash_planted_gate" -> d08Sql)
 }
