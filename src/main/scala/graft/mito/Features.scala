@@ -112,7 +112,16 @@ object Features {
     * `MTClassifierModel.scala:119-144`): mean/sd over the union of MTMapQ
     * and NTMapQ, distributed as a broadcast scalar row (no .first() action,
     * no single-partition window). Empty input → typed null columns
-    * (reference P5 path). */
+    * (reference P5 path).
+    *
+    * The input feeds three plan branches (each pooled-union arm and the
+    * normalized output). Deliberately NOT persisted here: Catalyst prunes
+    * the two stats arms down to the MapQ columns only (the LD/variant
+    * subtrees are eliminated), so the "duplicate" branches are far cheaper
+    * than materializing the full feature row — measured 25% slower on the
+    * corpus-scale pipeline (x02) with a persist. Callers that re-consume
+    * the FULL normalized frame (MitoPipeline.run) persist the result
+    * instead. */
   def normalizeMapQ(df: DataFrame): DataFrame = {
     val pooled = df.select(col("MTMapQ").cast(DoubleType).as("MapQ"))
       .union(df.select(col("NTMapQ").cast(DoubleType).as("MapQ")))
