@@ -76,9 +76,10 @@ object MitoQueries {
         lit("\tNH:i:1\t"),
         when(col("l_linenumber") % 3 === 0, lit("MD:Z:2A7"))
           .otherwise(lit("MD:Z:10"))))
+    // both mates synthesized in ONE lineitem pass (explode, not a union of
+    // two scans)
     val mtAlign = Sam.parse(
-      li.select(mtLine(99, 0).as("value"))
-        .union(li.select(mtLine(147, 500).as("value"))))
+      li.select(explode(array(mtLine(99, 0), mtLine(147, 500))).as("value")))
     // NT side: one row per read on a nuclear chromosome
     val ntLines = li.select(concat_ws("\t",
       concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
