@@ -287,6 +287,64 @@ object Dedup {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** Embedding near-dup at scale: hyperplane-LSH bucket candidates over
+    * the WHOLE corpus (no label/language block — reuses s02's tables),
+    * exact cosine verify > 0.9. This is the 100 TB shape d05's blocked
+    * exact verify delegates to: candidate generation is a narrow map +
+    * one skew-free shuffle on (table, bucket); the quadratic work only
+    * happens inside buckets. Probabilistic (bucketing can miss a
+    * moderate-similarity pair) → rows-only driver check, with d10 as the
+    * guaranteed-recall planted gate. */
+  def d09EmbedDupLsh(s: SparkSession, d: String): DataFrame =
+    embedDupCandidates(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      .orderBy("a_id", "b_id")
+
+  private def embedDupCandidates(vecs: DataFrame): DataFrame = {
+    import graft.functions.VectorFns
+    val e = vecs
+      .withColumn("nrm", VectorFns.norm2(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(Similarity.bucketsFromBits(
+          Similarity.signBits(col("embedding")))).as("b"))
+    val a = e.select(col("b"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("b"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("b"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFns.cosinePre(col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm")))
+      .where(col("cos") > 0.9)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
+      .distinct() // multi-table hits
+  }
+
+  // ---------------------------------------------------------------- d10
+  /** Planted gate for d09 (same contract shape as d07/d08): exact copies
+    * of 20 vectors (id + 10^9) produce identical sign bits in every
+    * table, so the bucketed pipeline MUST pair them — guaranteed recall
+    * on exact duplicates through the full hyperplane/bucket/verify path. */
+  def d10EmbedPlantedGate(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = vecs.orderBy(col("vec_id").asc).limit(20)
+    val planted = base.select(
+      (col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
+    val found = embedDupCandidates(vecs.union(planted))
+      .where(col("b_id") === col("a_id") + 1000000000L && col("cos_r") > 0.999)
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_planted"), col("n_found"),
+        (col("n_planted") === col("n_found")).as("all_found"))
+  }
+
+  val d10Sql: String =
+    """WITH base AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_found, true AS all_found
+      |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -295,7 +353,9 @@ object Dedup {
     "d04_simhash"        -> (d04Simhash _),
     "d05_embed_dup"      -> (d05EmbedDup _),
     "d07_lsh_planted_gate" -> (d07LshPlantedGate _),
-    "d08_simhash_planted_gate" -> (d08SimhashPlantedGate _))
+    "d08_simhash_planted_gate" -> (d08SimhashPlantedGate _),
+    "d09_embed_dup_lsh" -> (d09EmbedDupLsh _),
+    "d10_embed_planted_gate" -> (d10EmbedPlantedGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -303,5 +363,6 @@ object Dedup {
     "d02_ngram_jaccard" -> d02Sql,
     "d05_embed_dup"     -> d05Sql,
     "d07_lsh_planted_gate" -> d07Sql,
-    "d08_simhash_planted_gate" -> d08Sql)
+    "d08_simhash_planted_gate" -> d08Sql,
+    "d10_embed_planted_gate" -> d10Sql)
 }

@@ -66,7 +66,7 @@ object Similarity {
     * (table, bucket); recall/cost tunes with bits-per-table and table
     * count. Rows-only driver check (approximation is not SQL-expressible);
     * recall vs s01 asserted in OperatorsSpec. */
-  private val Tables_ = 4
+  private[operators] val Tables_ = 4
   private val BitsPerTable = 4
   private val Dim = 64
 
@@ -85,12 +85,12 @@ object Similarity {
     }: _*)
 
   /** array<int> of sign bits, one per hyperplane (native dot kernel). */
-  private def signBits(emb: Column): Column =
+  private[operators] def signBits(emb: Column): Column =
     transform(planesLit, plane =>
       when(graft.functions.VectorFns.dot(emb, plane) >= 0, 1).otherwise(0))
 
   /** array<struct<tbl,key>> of per-table bucket keys from the bit array. */
-  private def bucketsFromBits(bits: Column): Column =
+  private[operators] def bucketsFromBits(bits: Column): Column =
     array((0 until Tables_).map { t =>
       val key = (0 until BitsPerTable).map { b =>
         element_at(bits, t * BitsPerTable + b + 1) * lit(1 << b)
