@@ -50,6 +50,33 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static join: enrich the event stream against a static
+    * dimension (e.g. a user/label table). The static side is planned per
+    * micro-batch like any batch join — broadcast when small — and needs
+    * no watermark or state. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream inner join within a time bound: match each event with
+    * the other stream's rows for the same user no older than 1 hour.
+    * Both sides are watermarked and the join carries an explicit event-
+    * time range, so state on each side is bounded by watermark + range —
+    * the canonical scalable shape for click/impression-style joins. */
+  def correlate(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"), (col("l_value") + col("r_value")).as("pair_value"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * totals emitted on every update (Update mode). State is one small
     * case class per active user — O(users), watermark-independent. */

@@ -39,6 +39,43 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 01:00:00.0", "click", 1L)))
   }
 
+  test("stream-static join enriches against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val src = MemoryStream[Ev]
+    src.addData(Ev(1, t(5), 1, "click", 1.0), Ev(2, t(6), 2, "view", 2.0),
+      Ev(3, t(7), 9, "view", 3.0)) // user 9 not in dim -> null tier
+    val q = EventStreams.enrich(src.toDF(), dim, "user_id").writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("-")).toMap
+    assert(out === Map(1L -> "gold", 2L -> "basic", 3L -> "-"))
+  }
+
+  test("stream-stream join matches within the 1-hour event-time bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lSrc = MemoryStream[Ev]
+    val rSrc = MemoryStream[Ev]
+    // left event at t=90 joins right events in [t=30, t=90] for same user
+    lSrc.addData(Ev(10, t(90), 1, "click", 1.0), Ev(11, t(90), 2, "click", 1.0))
+    rSrc.addData(
+      Ev(20, t(80), 1, "imp", 2.0),  // in range -> match
+      Ev(21, t(10), 1, "imp", 4.0),  // too old (> 1h before) -> no match
+      Ev(22, t(95), 1, "imp", 8.0),  // after the left event -> no match
+      Ev(23, t(85), 3, "imp", 16.0)) // different user -> no match
+    val q = EventStreams.correlate(lSrc.toDF(), rSrc.toDF()).writeStream
+      .format("memory").queryName("correlated").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("correlated")
+      .select("l_id", "r_id", "pair_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet === Set((10L, 20L, 3.0)))
+  }
+
   test("session windows: 30-min gap splits sessions") {
     val events = Seq(
       Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 1.0),
