@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ObjectHashAggregate (collect_list/typed aggs) falls back to
+      // SORT-based aggregation after 128 keys by default — a silent 2x on
+      // every collect_list aggregation; per-key state here is tiny
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

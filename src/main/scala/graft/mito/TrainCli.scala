@@ -25,6 +25,10 @@ object TrainCli {
       .master(s"local[$threads]")
       .appName("graft-mito-train")
       .config("spark.sql.shuffle.partitions", threads.toString)
+      // ObjectHashAggregate (collect_list/typed aggs) falls back to
+      // SORT-based aggregation after 128 keys by default — a silent 2x on
+      // every collect_list aggregation; per-key state here is tiny
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

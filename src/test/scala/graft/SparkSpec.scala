@@ -17,6 +17,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
+      // ObjectHashAggregate (collect_list/typed aggs) falls back to
+      // SORT-based aggregation after 128 keys by default — a silent 2x on
+      // every collect_list aggregation; per-key state here is tiny
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
