@@ -131,25 +131,55 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
 
   /** True once this split's range is exhausted (or it owns no records). */
   private var done = false
+  /** Decode stops at this member offset and jumps to the next index run
+    * (Long.MaxValue when no index / final run — ownership bounds it). */
+  private var runEnd: Long = Long.MaxValue
+  private var runs: Iterator[(Long, Int, Long)] = Iterator.empty
+
+  private def advanceRun(): Boolean =
+    if (!runs.hasNext) false
+    else {
+      val (off, u, end) = runs.next()
+      bgzf.close()
+      bgzf = new BgzfInputStream(ch, off)
+      var skip = u.toLong
+      while (skip > 0) skip -= bgzf.skip(skip)
+      in = new DataInputStream(bgzf)
+      runEnd = end
+      true
+    }
 
   // Position the stream at this split's first record (see Bgzf's split
-  // protocol): the split owning the member where records begin continues
-  // straight from the header; later splits guess-sync at their first
-  // member boundary.
+  // protocol). With a `.gai` sidecar (BamIndex) the index supplies exact
+  // first-record offsets per member — no guessing — and members that
+  // cannot satisfy the pushed referenceName/start predicates are skipped
+  // without decompression. Without one: the split owning the member where
+  // records begin continues straight from the header; later splits
+  // guess-sync at their first member boundary.
   locally {
-    val (hdrMember, _) = bgzf.virtualPos // records begin exactly here
-    val firstMember =
-      if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
-    if (firstMember <= hdrMember) {
-      if (hdrMember >= rangeEnd) done = true // range ends inside the header
-      // else: keep the header stream — it is already at the first record
-    } else if (firstMember >= fileLen || firstMember >= rangeEnd) {
-      done = true
+    if (BamIndex.exists(path)) {
+      val stats = BamIndex.read(path)
+      val firstMember =
+        if (rangeStart == 0) 0L
+        else stats.find(_.offset >= rangeStart).map(_.offset).getOrElse(fileLen)
+      runs = BamIndex.selectRuns(stats, preds, refNames,
+        firstMember, math.min(rangeEnd, fileLen)).iterator
+      if (!advanceRun()) done = true
     } else {
-      bgzf.close()
-      syncToRecord(firstMember) match {
-        case Some(s) => bgzf = s; in = new DataInputStream(bgzf)
-        case None    => done = true
+      val (hdrMember, _) = bgzf.virtualPos // records begin exactly here
+      val firstMember =
+        if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
+      if (firstMember <= hdrMember) {
+        if (hdrMember >= rangeEnd) done = true // range ends inside the header
+        // else: keep the header stream — it is already at the first record
+      } else if (firstMember >= fileLen || firstMember >= rangeEnd) {
+        done = true
+      } else {
+        bgzf.close()
+        syncToRecord(firstMember) match {
+          case Some(s) => bgzf = s; in = new DataInputStream(bgzf)
+          case None    => done = true
+        }
       }
     }
   }
@@ -180,10 +210,15 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       // rangeEnd (memberStart is a member boundary, so `>= rangeEnd` is
       // exactly `>= first boundary at-or-after rangeEnd`)
       if (bgzf.memberStart >= rangeEnd) { done = true; current = null; return false }
-      try {
-        val r = decodeRecord() // null: pushed filter rejected the record
-        if (r != null) { current = r; return true }
-      } catch { case _: EOFException => done = true; current = null; return false }
+      // end of the current index run: jump over pruned members
+      if (bgzf.memberStart >= runEnd) {
+        if (!advanceRun()) { done = true; current = null; return false }
+      } else {
+        try {
+          val r = decodeRecord() // null: pushed filter rejected the record
+          if (r != null) { current = r; return true }
+        } catch { case _: EOFException => done = true; current = null; return false }
+      }
     }
     false
   }

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.mito.Sam
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class BamIndexSpec extends SparkSpec {
+
+  /** Copy a fixture into a temp dir (so the .gai sidecar lands outside the
+    * source tree) and build its index. */
+  private def indexed(fixture: String): String = {
+    val dir = Files.createTempDirectory("gai")
+    val name = Paths.get(fixture).getFileName
+    val dst = dir.resolve(name)
+    Files.copy(Paths.get(resource(fixture).stripPrefix("file:")), dst)
+    val n = BamIndex.build(dst.toString)
+    assert(n > 1, "fixture should span several BGZF members")
+    dst.toString
+  }
+
+  test("index positions splits exactly: indexed scan == unindexed, all split sizes") {
+    val bam = indexed("mito/sample_split.bam")
+    val plain = spark.read.format("bam")
+      .load(resource("mito/sample_split.bam")) // no sidecar -> guesser path
+    for (split <- Seq(32768, 4096)) {
+      val viaIdx = spark.read.format("bam").option("splitsize", split).load(bam)
+      assert(viaIdx.count() === 3000)
+      val a = viaIdx.select("line")
+      val b = plain.select("line")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty, s"splitsize=$split")
+    }
+  }
+
+  test("pruned scan returns exactly the filtered records (sorted bam)") {
+    val bam = indexed("mito/sample_sorted.bam")
+    val full = Sam.read(spark, resource("mito/sample_sorted.sam"))
+    for (pred <- Seq(
+        col("referenceName") === "MT",
+        col("referenceName") === "chr1" && col("start") >= 50000,
+        col("start") < 300)) {
+      val viaIdx = spark.read.format("bam").option("splitsize", 16384)
+        .load(bam).where(pred).select("readName", "start", "referenceName")
+      val expected = full.where(pred).select("readName", "start", "referenceName")
+      assert(viaIdx.except(expected).isEmpty && expected.except(viaIdx).isEmpty,
+        pred.toString)
+      assert(viaIdx.count() === expected.count())
+    }
+  }
+
+  test("index prunes members a sorted-scan predicate cannot match") {
+    val bam = indexed("mito/sample_sorted.bam")
+    val stats = BamIndex.read(bam)
+    val refNames = Array("MT", "chr1")
+    // members carrying records: MT block is ~1/3 of the file
+    val withRecords = stats.filter(_.firstRecUoffset >= 0)
+    val mtOnly = Seq(SamFilters.RefNameEq("MT"))
+    val kept = withRecords.count(m => BamIndex.mayMatch(m, mtOnly, refNames))
+    assert(kept < withRecords.length / 2,
+      s"MT filter kept $kept of ${withRecords.length} members — no pruning?")
+    val runs = BamIndex.selectRuns(stats, mtOnly, refNames, 0L, Long.MaxValue)
+    assert(runs.nonEmpty && runs.length < withRecords.length / 4,
+      s"expected few consecutive runs, got ${runs.length}")
+    // a start-range predicate on the sorted coordinate also prunes
+    val tail = Seq(SamFilters.RefNameEq("chr1"),
+      SamFilters.IntCmp("start", ">=", 100000L))
+    val keptTail = withRecords.count(m => BamIndex.mayMatch(m, tail, refNames))
+    assert(keptTail < withRecords.length / 2)
+  }
+
+  test("record-less header members are never selected") {
+    val bam = indexed("mito/sample_sorted.bam")
+    val stats = BamIndex.read(bam)
+    assert(stats.head.offset === 0L)
+    // every selected run starts at a member with a real first-record offset
+    val runs = BamIndex.selectRuns(stats, Nil, Array("MT", "chr1"), 0L, Long.MaxValue)
+    runs.foreach { case (off, u, _) =>
+      val m = stats.find(_.offset == off).get
+      assert(u === m.firstRecUoffset && u >= 0)
+    }
+  }
+}
