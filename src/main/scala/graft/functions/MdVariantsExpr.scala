@@ -86,7 +86,8 @@ object GraftExtensions {
     "md_variants" -> (c => MdVariants(c(0), c(1), c(2))),
     "shingle_hashes" -> (c => ShingleHashes(c(0), c(1))),
     "intersect_count_sorted" -> (c => IntersectCountSorted(c(0), c(1))),
-    "minhash_sig" -> (c => MinHashSig(c(0), c(1))))
+    "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
+    "dot_product" -> (c => DotProduct(c(0), c(1))))
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -31,6 +31,16 @@ object BamIndex {
 
   def sidecarPath(bam: String): String = bam.stripPrefix("file:") + ".gai"
 
+  /** CLI: `runMain graft.sources.BamIndex <file.bam> ...` builds sidecars
+    * (the samtools-index analogue). */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BamIndex <file.bam> [more.bam ...]")
+    args.foreach { p =>
+      val n = build(p)
+      println(s"[gai] indexed $p: $n members -> ${sidecarPath(p)}")
+    }
+  }
+
   def exists(bam: String): Boolean = Files.exists(Paths.get(sidecarPath(bam)))
 
   /** One sequential pass over the BAM: per member, the intra-member offset
