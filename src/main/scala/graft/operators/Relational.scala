@@ -704,6 +704,41 @@ object Relational {
       |WHERE event_id % 100 = 0
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** Salted skew join: the fact side joins a dimension on `event_type` — a
+    * handful of distinct values, so a plain shuffle join funnels each key
+    * through ONE reducer (the canonical skew pathology when the dim is too
+    * big to broadcast). The salt pattern: tag each fact row with a
+    * DETERMINISTIC salt (hash of its unique id, mod S), replicate the dim
+    * S× with an explode, join on (key, salt) — every key now spreads over
+    * S reducers. The merge hint forces the shuffle join so the pattern
+    * (not a broadcast) is what executes; results are identical to the
+    * unsalted join (oracle-checked). */
+  def q31SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val S = 32
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(S)).cast(IntegerType))
+    val dim = Tables.events(s, d).select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")))
+    val saltedDim = dim.select(col("event_type"), col("type_weight"),
+      explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    ev.hint("merge").join(saltedDim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("type_weight")).cast(LongType).as("total_weight"))
+      .orderBy("event_type")
+  }
+
+  val q31Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, length(event_type) AS type_weight
+      |  FROM events)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(type_weight) AS BIGINT) AS total_weight
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -735,7 +770,8 @@ object Relational {
     "q27_asof_custom"     -> (q27AsofCustom _),
     "q28_topk_agg"        -> (q28TopkAgg _),
     "q29_sliding_window"  -> (q29SlidingWindow _),
-    "q30_first_last"      -> (q30FirstLast _))
+    "q30_first_last"      -> (q30FirstLast _),
+    "q31_salted_skew_join" -> (q31SaltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -767,5 +803,6 @@ object Relational {
     "q27_asof_custom"     -> q17Sql, // same semantics, custom physical op
     "q28_topk_agg"        -> q28Sql,
     "q29_sliding_window"  -> q29Sql,
-    "q30_first_last"      -> q30Sql)
+    "q30_first_last"      -> q30Sql,
+    "q31_salted_skew_join" -> q31Sql)
 }

@@ -60,6 +60,15 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs((1L, 3L)) > 8 && pairs((2L, 3L)) > 8)
   }
 
+  test("salted skew join executes as a shuffle join spread over salts") {
+    val df = Relational.q31SaltedSkewJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the merge hint must defeat broadcast so the salt spread is real
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("broadcast dims query plans a BroadcastHashJoin, not a shuffle join") {
     val plan = Relational.q06BroadcastDims(spark, sf)
       .queryExecution.executedPlan.toString
