@@ -739,6 +739,52 @@ object Relational {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Sketched distinct counting: HyperLogLog++ (approx_count_distinct) vs
+    * the exact count. The sketch is mergeable — constant memory per
+    * partition, one tiny shuffle — which is what a 100 TB cardinality
+    * profile runs instead of an exact COUNT(DISTINCT). Spark's HLL++ is
+    * deterministic for a given dataset but not SQL-portable, so the
+    * driver-checked contract is the exact count plus an error-bound gate
+    * (relative error under 5%, well above HLL++'s ~2% at default rsd). */
+  def q32ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
+          col("exact_parts") < 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+
+  val q32Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  true AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Pivot: per-returnflag row, one column per linestatus value with the
+    * summed quantity — the wide-format reporting op. Pivot values are
+    * declared explicitly so the plan is a single pass (no values-discovery
+    * job) and the output schema is stable for the oracle. */
+  def q33Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")).cast(LongType))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("qty_f"),
+        coalesce(col("O"), lit(0L)).as("qty_o"))
+      .orderBy("l_returnflag")
+
+  val q33Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS BIGINT) AS qty_f,
+      |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS BIGINT) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -771,7 +817,9 @@ object Relational {
     "q28_topk_agg"        -> (q28TopkAgg _),
     "q29_sliding_window"  -> (q29SlidingWindow _),
     "q30_first_last"      -> (q30FirstLast _),
-    "q31_salted_skew_join" -> (q31SaltedSkewJoin _))
+    "q31_salted_skew_join" -> (q31SaltedSkewJoin _),
+    "q32_approx_distinct" -> (q32ApproxDistinct _),
+    "q33_pivot"           -> (q33Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -804,5 +852,7 @@ object Relational {
     "q28_topk_agg"        -> q28Sql,
     "q29_sliding_window"  -> q29Sql,
     "q30_first_last"      -> q30Sql,
-    "q31_salted_skew_join" -> q31Sql)
+    "q31_salted_skew_join" -> q31Sql,
+    "q32_approx_distinct" -> q32Sql,
+    "q33_pivot"           -> q33Sql)
 }
