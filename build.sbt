@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}", // local[32] + cached frames: 8g was GC-bound
+  // 57 queries x whole-stage-codegen classes x 3 bench passes overflow the
+  // default 240m code cache -> JIT silently disables -> late queries run
+  // interpreted (x02 measured 2.7x slower in-bench than isolated)
+  "-XX:ReservedCodeCacheSize=1g",
 )
