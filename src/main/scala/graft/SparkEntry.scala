@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries` holds one entry per implemented operator from SURVEY.md §2 plus
   * the beyond-reference extensions (dedup / similarity / text analysis /
   * multimodal / streaming-in-batch). `oracleSql` holds the DuckDB-equivalent
-  * ANSI SQL for every SQL-expressible query; non-SQL-expressible ops
-  * (MinHash-LSH, SimHash, fingerprinting, multimodal stubs) get a
-  * rows-only check from the driver.
+  * ANSI SQL for every SQL-expressible query. The probabilistic ops
+  * (MinHash-LSH d03, SimHash d04, bucketed embedding dedup d09, ANN
+  * s02/s04) are rows-only themselves but each is paired with a
+  * driver-gated contract query (d07/d08/d10 planted-duplicate gates, s05
+  * recall gate, t05 winnowing gate) whose oracle IS value-checked.
   */
 object SparkEntry {
 
