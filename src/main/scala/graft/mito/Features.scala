@@ -19,25 +19,26 @@ object Features {
 
   /** Nuclear-side features (reference `NucReader.DF`, `BamReader.scala:60-118`):
     * per read(+mate): sums of MAPQ / NH / NM / NUMT-overlap score. */
-  /** Materialize the attribute map once behind a projection boundary:
-    * expressions containing lambda functions are excluded from Spark's
-    * subexpression elimination, so inlining `attrMap` into each tag
-    * lookup would rebuild the map per tag per record (measured 3× cost
-    * in the feature hot path). */
-  private def withAttrMap(alignments: DataFrame): DataFrame =
+  /** Extract the three consumed tags in one native byte scan
+    * ([[graft.functions.SamTagsExpr]]) behind a projection boundary — the
+    * generic attrMap chain (regex split → map build → three probes) cost
+    * ~2× in this hot path, and lambda-bearing builtins are excluded from
+    * subexpression elimination. Defaults (NM→0, NH→1, MD→null) match the
+    * reference (`Feature.scala:122-124`). */
+  private def withTags(alignments: DataFrame): DataFrame =
     alignments
       .where(Sam.isValid)
       .select(col("readName"), col("mapQ"), col("start"), col("sequence"),
-        col("referenceName"), Sam.attrMap(col("attributes")).as("m"))
+        col("referenceName"),
+        graft.functions.SamTagsExpr.samTags(col("attributes")).as("t"))
 
-  def ntFeatures(alignments: DataFrame, numts: Seq[Numt.Interval]): DataFrame = {
-    val m = col("m")
-    withAttrMap(alignments)
+  def ntFeatures(alignments: DataFrame, numts: Seq[Numt.Interval]): DataFrame =
+    withTags(alignments)
       .select(
         col("readName").as("Read"),
         col("mapQ"),
-        Sam.tagOrDefault(m, "NH", 1).as("numAlignments"),
-        Sam.tagOrDefault(m, "NM", 0).as("editDistance"),
+        col("t.nh").as("numAlignments"),
+        col("t.nm").as("editDistance"),
         Numt.overlapScore(numts).as("numtScore"))
       .groupBy(col("Read"))
       .agg(
@@ -45,21 +46,19 @@ object Features {
         sum(col("numAlignments")).as("NTNumAlignments"),
         sum(col("editDistance")).as("NTEditDist"),
         sum(col("numtScore")).as("NTScore"))
-  }
 
   /** Mito-side per-read rows before LD scoring (reference `MTReader.DF`,
     * `BamReader.scala:120-190`): sums + the collected variant lists of both
     * mates. */
-  def mtPerRead(alignments: DataFrame): DataFrame = {
-    val m = col("m")
-    withAttrMap(alignments)
+  def mtPerRead(alignments: DataFrame): DataFrame =
+    withTags(alignments)
       .select(
         col("readName").as("Read"),
         col("mapQ"),
-        Sam.tagOrDefault(m, "NH", 1).as("numAlignments"),
-        Sam.tagOrDefault(m, "NM", 0).as("editDistance"),
+        col("t.nh").as("numAlignments"),
+        col("t.nm").as("editDistance"),
         graft.functions.MdVariantsExpr.mdVariants(col("sequence"),
-          element_at(m, "MD"),
+          col("t.md"),
           col("start")).as("variants"))
       .groupBy(col("Read"))
       .agg(
@@ -68,7 +67,6 @@ object Features {
         sum(col("editDistance")).as("MTEditDist"),
         // canonical order so downstream scoring is deterministic
         sort_array(flatten(collect_list(col("variants")))).as("variants"))
-  }
 
   /** MT features, faithful LD mode: broadcast map + per-row scoring of the
     * distinct variant pair-multisets (reference `BamReader.scala:147-154`,
