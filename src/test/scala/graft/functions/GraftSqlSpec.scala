@@ -14,13 +14,15 @@ class GraftSqlSpec extends SparkSpec {
         |  intersect_count_sorted(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
         |  minhash_sig(shingle_hashes('hello world', 3), 8) AS sig,
         |  dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-        |              array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS dp
+        |              array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS dp,
+        |  sam_tags('NM:i:2 MD:Z:2A3T3 NH:i:1').nm AS nm
         |""".stripMargin).head()
     assert(row.getSeq[String](0) === Seq("7G", "11C"))
     assert(row.getSeq[Long](1).length === 3) // abc, bca, cab (abc dedupes)
     assert(row.getInt(2) === 2)
     assert(row.getSeq[Long](3).length === 8)
     assert(row.getDouble(4) === 11.0)
+    assert(row.getInt(5) === 2)
   }
 
   test("SQL and Column APIs agree") {
