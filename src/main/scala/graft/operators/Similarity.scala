@@ -235,6 +235,50 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries,
       |  true AS lsh_recall_ok, true AS ivf_recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- s06
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path for a 100 TB embedding corpus (4× smaller than float32, cheap
+    * SIMD distance kernels): per vector, scale = max|x|/127, q = round(x/
+    * scale). Emits the scale, an exact integer checksum of the codes, and
+    * a reconstruction-quality gate (cosine(x, dequantized) ≥ 0.99 — int8
+    * symmetric quantization of 64-dim vectors loses well under 1%%).
+    * Entirely narrow (no shuffle until the final sort). */
+  def s06EmbedQuantize(s: SparkSession, d: String): DataFrame = {
+    val x = col("embedding")
+    val withScale = Tables.embeddings(s, d)
+      .select(col("vec_id"), x,
+        (array_max(transform(x, v => abs(v.cast("double")))) / 127.0).as("scale"))
+    val q = when(col("scale") === 0.0,
+      transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"), v =>
+        round(v.cast("double") / col("scale"), 0).cast("long")))
+    withScale
+      .withColumn("qv", q) // projection boundary: lambda exprs don't CSE
+      .withColumn("dq", transform(col("qv"), v => v.cast("double") * col("scale")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (a, v) => a + v).as("q_checksum"),
+        when(col("scale") === 0.0, lit(true))
+          .otherwise(cosine(col("embedding"), col("dq")) >= 0.99).as("cos_ok"))
+      .orderBy("vec_id")
+  }
+
+  val s06Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, x, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(x, v -> CAST(round(v / scale, 0) AS BIGINT)) END AS qv
+      |  FROM base)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+      |  CASE WHEN scale = 0 THEN true ELSE
+      |    list_cosine_similarity(x, list_transform(qv, v -> v * scale)) >= 0.99
+      |  END AS cos_ok
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- s03
   /** Vector column statistics: per-label mean L2 norm + count — the sanity
     * profile a pipeline runs before indexing an embedding corpus. */
@@ -260,10 +304,12 @@ object Similarity {
     "s02_ann_lsh"    -> (s02AnnLsh _),
     "s03_embed_norms" -> (s03EmbedNorms _),
     "s04_ann_ivf"    -> (s04AnnIvf _),
-    "s05_ann_recall_gate" -> (s05AnnRecallGate _))
+    "s05_ann_recall_gate" -> (s05AnnRecallGate _),
+    "s06_embed_quantize" -> (s06EmbedQuantize _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
     "s03_embed_norms" -> s03Sql,
-    "s05_ann_recall_gate" -> s05Sql)
+    "s05_ann_recall_gate" -> s05Sql,
+    "s06_embed_quantize" -> s06Sql)
 }
