@@ -41,7 +41,16 @@ object BamIndex {
     }
   }
 
-  def exists(bam: String): Boolean = Files.exists(Paths.get(sidecarPath(bam)))
+  /** A usable sidecar exists: present AND at least as new as the BAM —
+    * a stale index (file rewritten after indexing) would silently misread,
+    * so it is ignored and the reader falls back to boundary guessing. */
+  def exists(bam: String): Boolean = {
+    val side = Paths.get(sidecarPath(bam))
+    val data = Paths.get(bam.stripPrefix("file:"))
+    Files.exists(side) && Files.exists(data) &&
+      Files.getLastModifiedTime(side).compareTo(
+        Files.getLastModifiedTime(data)) >= 0
+  }
 
   /** One sequential pass over the BAM: per member, the intra-member offset
     * of the first record starting there (-1 if none) and the min/max

@@ -69,6 +69,18 @@ class BamIndexSpec extends SparkSpec {
     assert(keptTail < withRecords.length / 2)
   }
 
+  test("a stale sidecar is ignored (falls back to the guesser, still exact)") {
+    val bam = indexed("mito/sample_split.bam")
+    assert(BamIndex.exists(bam))
+    // rewrite the BAM after indexing -> index must be considered unusable
+    val bytes = Files.readAllBytes(Paths.get(bam))
+    Thread.sleep(1100) // mtime resolution
+    Files.write(Paths.get(bam), bytes)
+    assert(!BamIndex.exists(bam))
+    val df = spark.read.format("bam").option("splitsize", 32768).load(bam)
+    assert(df.count() === 3000) // guesser path still exact
+  }
+
   test("record-less header members are never selected") {
     val bam = indexed("mito/sample_sorted.bam")
     val stats = BamIndex.read(bam)
