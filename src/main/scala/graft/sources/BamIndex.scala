@@ -164,8 +164,10 @@ object BamIndex {
     if (m.firstRecUoffset < 0) return false // no record starts here
     preds.forall {
       case SamFilters.RefNameEq(v) =>
-        val id = refNames.indexOf(v)
-        if (id < 0) false else m.minRef <= id && id <= m.maxRef
+        // '*' is the text form of refId -1 (unmapped); an unknown name
+        // matches no record at all
+        val id = if (v == "*") -1 else refNames.indexOf(v)
+        if (id < 0 && v != "*") false else m.minRef <= id && id <= m.maxRef
       case SamFilters.IntCmp("start", op, value) =>
         val lo = m.minPos + 1L
         val hi = m.maxPos + 1L

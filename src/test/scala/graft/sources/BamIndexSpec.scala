@@ -69,6 +69,16 @@ class BamIndexSpec extends SparkSpec {
     assert(keptTail < withRecords.length / 2)
   }
 
+  test("referenceName='*' (unmapped, refId -1) prunes by range, not to zero") {
+    val refNames = Array("MT", "chr1")
+    val unmappedOnly = BamIndex.MemberStat(0L, 0, -1, -1, -1, -1)
+    val mapped = BamIndex.MemberStat(100L, 0, 0, 1, 10, 20)
+    val star = Seq(SamFilters.RefNameEq("*"))
+    assert(BamIndex.mayMatch(unmappedOnly, star, refNames))
+    assert(!BamIndex.mayMatch(mapped, star, refNames))
+    assert(!BamIndex.mayMatch(mapped, Seq(SamFilters.RefNameEq("chrZ")), refNames))
+  }
+
   test("a stale sidecar is ignored (falls back to the guesser, still exact)") {
     val bam = indexed("mito/sample_split.bam")
     assert(BamIndex.exists(bam))
