@@ -752,7 +752,9 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        // rsd 1%: the 5% gate sits ~5 sigma out, so the boolean cannot
+        // flap with data scale (the default 5% rsd would make it ~1 sigma)
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
           col("exact_parts") < 0.05).as("within_5pct"))
