@@ -98,6 +98,41 @@ object EventStreams {
           Iterator.single(next)
       }
   }
+
+  /** As [[runningUserTotals]] but with BOUNDED state: a user idle past
+    * `idle` (event time, enforced by the watermark) times out — the final
+    * stat is emitted with a negated user_id as the expiry marker and the
+    * state is removed, so the store holds only ACTIVE users. On an
+    * unbounded key space (every user ever seen) the NoTimeout form grows
+    * forever; this is the shape a production stream runs. */
+  def runningUserTotalsExpiring(events: org.apache.spark.sql.Dataset[Event],
+      idleMs: Long = 60L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserStat]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(last.copy(user_id = -uid)) // expiry marker
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserStat(uid, prev.n + batch.size,
+              prev.total + batch.map(_.value).sum)
+            state.update(next)
+            // expire when the watermark passes the user's last event + idle
+            val maxTs = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(maxTs + idleMs)
+            Iterator.single(next)
+          }
+      }
+  }
 }
 
 /** Typed event row for the stateful transforms. */

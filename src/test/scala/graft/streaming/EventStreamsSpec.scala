@@ -39,6 +39,35 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 01:00:00.0", "click", 1L)))
   }
 
+  test("expiring state: idle users time out, state resets afterwards") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.runningUserTotalsExpiring(src.toDS(), idleMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("expiring").outputMode("update").start()
+    // batch 1: user 1 active at t=0..10
+    src.addData(Event(1, t(0), 1, "click", 1.0), Event(2, t(10), 1, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: a much later event (user 2) pushes the watermark (1h lag)
+    // past user 1's last event + 30min idle -> user 1 expires
+    src.addData(Event(3, t(200), 2, "view", 5.0))
+    q.processAllAvailable()
+    // batch 3: another event advances the watermark beyond t(100) so the
+    // timeout actually fires, and user 1 returns -> state restarted
+    src.addData(Event(4, t(400), 2, "view", 1.0))
+    q.processAllAvailable()
+    src.addData(Event(5, t(410), 1, "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("expiring").as[EventStreams.UserStat].collect()
+    // expiry marker for user 1 carries the totals at timeout
+    val expired = rows.filter(_.user_id == -1L)
+    assert(expired.nonEmpty && expired.head.n === 2 && expired.head.total === 3.0)
+    // the post-expiry event starts a FRESH state (n=1), not n=3
+    val after = rows.filter(r => r.user_id == 1L && r.n == 1L && r.total == 9.0)
+    assert(after.nonEmpty, rows.mkString(", "))
+  }
+
   test("stream-static join enriches against a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
