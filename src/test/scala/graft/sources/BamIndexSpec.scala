@@ -69,6 +69,30 @@ class BamIndexSpec extends SparkSpec {
     assert(keptTail < withRecords.length / 2)
   }
 
+  test("unsorted bam: scattered keep/skip members stress the run machinery") {
+    // sample_split.bam alternates MT/chr1 per record, so a refname filter
+    // keeps and skips members in an interleaved pattern — many runs per
+    // split, jumps landing mid-file, records straddling pruned members
+    val bam = indexed("mito/sample_split.bam")
+    val full = Sam.read(spark, resource("mito/sample_split.sam"))
+    for {
+      split <- Seq(1000, 7777, 32768)
+      (name, pred) <- Seq(
+        "mt" -> (col("referenceName") === "MT"),
+        "mapq" -> (col("mapQ") >= 30),
+        "both" -> (col("referenceName") === "chr1" && col("start") >= 8000))
+    } {
+      val viaIdx = spark.read.format("bam").option("splitsize", split)
+        .load(bam).where(pred)
+        .select("readName", "flag", "referenceName", "start")
+      val expected = full.where(pred)
+        .select("readName", "flag", "referenceName", "start")
+      assert(viaIdx.count() === expected.count(), s"$name @ $split")
+      assert(viaIdx.except(expected).isEmpty && expected.except(viaIdx).isEmpty,
+        s"$name @ $split")
+    }
+  }
+
   test("referenceName='*' (unmapped, refId -1) prunes by range, not to zero") {
     val refNames = Array("MT", "chr1")
     val unmappedOnly = BamIndex.MemberStat(0L, 0, -1, -1, -1, -1)
