@@ -53,7 +53,8 @@ object MitoPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcBase = cfg.prefix + "_MT"
     val srcBam = srcBase + ".bam"
-    val srcIsBam = java.nio.file.Files.exists(java.nio.file.Paths.get(srcBam))
+    val srcIsBam = graft.sources.HadoopIO.exists(srcBam,
+      graft.sources.HadoopIO.driverConf())
     val toWrite = Sam.readAuto(spark, srcBase)
     // empty-input / prob=0 pass-through guards (reference
     // MTClassify.scala:159-161,194-197)

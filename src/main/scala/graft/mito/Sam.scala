@@ -59,7 +59,7 @@ object Sam {
   def readAuto(spark: SparkSession, base: String): DataFrame = {
     val bam = base + ".bam"
     val sam = base + ".sam"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(bam)))
+    if (graft.sources.HadoopIO.exists(bam, graft.sources.HadoopIO.driverConf()))
       withFlags(spark.read.format("bam").load(bam))
     else read(spark, sam)
   }

@@ -88,27 +88,27 @@ class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
-    new BamReaderFactory(required.fieldNames, preds)
+    new BamReaderFactory(required.fieldNames, preds, HadoopIO.capture())
 }
 
-class BamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred])
-    extends PartitionReaderFactory {
+class BamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred],
+    conf: HadoopIO.ConfBox) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    new BamPartitionReader(p.path, p.start, p.end, fields, preds)
+    new BamPartitionReader(p.path, p.start, p.end, fields, preds, conf)
   }
 }
 
 class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
-    fields: Array[String], preds: Seq[SamFilters.Pred])
+    fields: Array[String], preds: Seq[SamFilters.Pred], conf: HadoopIO.ConfBox)
     extends PartitionReader[InternalRow] {
 
   private val needSeq = fields.contains("sequence") || fields.contains("line")
   private val needQual = fields.contains("qual") || fields.contains("line")
   private val needAttrs = fields.contains("attributes") || fields.contains("line")
 
-  private val ch = Bgzf.openChannel(path)
-  private val fileLen = ch.size()
+  private val ch = new SeekableFile(path, conf.conf)
+  private val fileLen = ch.size
 
   // --- header + reference dictionary (always parsed from offset 0 —
   // KB-sized, one member inflate; every split needs the ref dictionary)
@@ -142,8 +142,7 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       val (off, u, end) = runs.next()
       bgzf.close()
       bgzf = new BgzfInputStream(ch, off)
-      var skip = u.toLong
-      while (skip > 0) skip -= bgzf.skip(skip)
+      HadoopIO.skipFully(bgzf, u.toLong, s"$path index run at $off")
       in = new DataInputStream(bgzf)
       runEnd = end
       true
@@ -157,8 +156,8 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
   // records begin continues straight from the header; later splits
   // guess-sync at their first member boundary.
   locally {
-    if (BamIndex.exists(path)) {
-      val stats = BamIndex.read(path)
+    if (BamIndex.exists(path, conf.conf)) {
+      val stats = BamIndex.read(path, conf.conf)
       val firstMember =
         if (rangeStart == 0) 0L
         else stats.find(_.offset >= rangeStart).map(_.offset).getOrElse(fileLen)
@@ -255,8 +254,7 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       while (p < firstLen) {
         if (validChain(wb, p)) {
           val rs = new BgzfInputStream(ch, memberOff)
-          var skip = p.toLong
-          while (skip > 0) skip -= rs.skip(skip)
+          HadoopIO.skipFully(rs, p.toLong, s"$path record sync at $memberOff")
           return Some(rs)
         }
         p += 1

@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.io.{DataInputStream, DataOutputStream, EOFException}
-import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
 
 /** Linear member index for BAM files (sidecar `<file>.gai`), the
   * graft-native analogue of a BAI linear index (SAM spec §5.2): one entry
@@ -29,7 +30,7 @@ object BamIndex {
 
   private val Magic = 0x47414931 // "GAI1"
 
-  def sidecarPath(bam: String): String = bam.stripPrefix("file:") + ".gai"
+  def sidecarPath(bam: String): String = bam + ".gai"
 
   /** CLI: `runMain graft.sources.BamIndex <file.bam> ...` builds sidecars
     * (the samtools-index analogue). */
@@ -44,12 +45,10 @@ object BamIndex {
   /** A usable sidecar exists: present AND at least as new as the BAM —
     * a stale index (file rewritten after indexing) would silently misread,
     * so it is ignored and the reader falls back to boundary guessing. */
-  def exists(bam: String): Boolean = {
-    val side = Paths.get(sidecarPath(bam))
-    val data = Paths.get(bam.stripPrefix("file:"))
-    Files.exists(side) && Files.exists(data) &&
-      Files.getLastModifiedTime(side).compareTo(
-        Files.getLastModifiedTime(data)) >= 0
+  def exists(bam: String, conf: Configuration = new Configuration()): Boolean = {
+    val side = sidecarPath(bam)
+    HadoopIO.exists(side, conf) && HadoopIO.exists(bam, conf) &&
+      HadoopIO.modTime(side, conf) >= HadoopIO.modTime(bam, conf)
   }
 
   /** One sequential pass over the BAM: per member, the intra-member offset
@@ -57,10 +56,10 @@ object BamIndex {
     * (refId, pos) over records starting there. (Executor-parallel builds
     * would reuse the byte-range split + guesser machinery; the index is
     * built once per file, so the sequential form is kept simple.) */
-  def build(bam: String): Int = {
-    val ch = Bgzf.openChannel(bam)
+  def build(bam: String, conf: Configuration = new Configuration()): Int = {
+    val ch = new SeekableFile(bam, conf)
     try {
-      val fileLen = ch.size()
+      val fileLen = ch.size
       val in = new BgzfInputStream(ch, 0L)
       val din = new DataInputStream(in)
       def i32(): Int = {
@@ -108,18 +107,15 @@ object BamIndex {
       // enumerate ALL members (including record-less ones) so the reader
       // can treat the index as a complete member list
       val out = new DataOutputStream(new java.io.BufferedOutputStream(
-        Files.newOutputStream(Paths.get(sidecarPath(bam)))))
+        HadoopIO.create(sidecarPath(bam), conf)))
       try {
         var n = 0
         var mOff = 0L
         val hdr = new Array[Byte](18)
         val entries = scala.collection.mutable.ArrayBuffer.empty[MemberStat]
         while (mOff < fileLen) {
-          val bb = java.nio.ByteBuffer.wrap(hdr)
-          var read = 0
-          var k = ch.read(bb, mOff)
-          while (k > 0 && bb.hasRemaining) { read += k; k = ch.read(bb, mOff + bb.position()) }
-          val total = Bgzf.memberLength(hdr, 0, bb.position())
+          val got = ch.readAtFully(mOff, hdr)
+          val total = Bgzf.memberLength(hdr, 0, got)
           if (total <= 0) mOff = fileLen
           else {
             val st = stats.get(mOff)
@@ -144,9 +140,9 @@ object BamIndex {
     } finally ch.close()
   }
 
-  def read(bam: String): Array[MemberStat] = {
+  def read(bam: String, conf: Configuration = new Configuration()): Array[MemberStat] = {
     val in = new DataInputStream(new java.io.BufferedInputStream(
-      Files.newInputStream(Paths.get(sidecarPath(bam)))))
+      HadoopIO.open(sidecarPath(bam), conf)))
     try {
       require(in.readInt() == Magic, s"bad .gai sidecar for $bam")
       val n = in.readInt()

@@ -27,8 +27,7 @@ object BamWriter {
     * (driver-side; headers are KB-sized). */
   def readHeader(path: String): (String, Seq[(String, Int)]) = {
     val in = new DataInputStream(new BufferedInputStream(new GZIPInputStream(
-      new BufferedInputStream(java.nio.file.Files.newInputStream(
-        java.nio.file.Paths.get(path))))))
+      new BufferedInputStream(HadoopIO.open(path, HadoopIO.driverConf())))))
     try {
       def i32(): Int = {
         val b = new Array[Byte](4); in.readFully(b)
@@ -50,7 +49,8 @@ object BamWriter {
   def write(records: DataFrame, headerText: String,
       refs: Seq[(String, Int)], out: String): Long = {
     val refIndex = refs.map(_._1).zipWithIndex.toMap
-    val os = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(out))
+    val os = HadoopIO.create(out,
+      records.sparkSession.sparkContext.hadoopConfiguration)
     val bgzf = new BgzfOutputStream(os)
     try {
       // header payload

@@ -1,9 +1,6 @@
 package graft.sources
 
-import java.io.{EOFException, InputStream}
-import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
-import java.nio.file.{Paths, StandardOpenOption}
+import java.io.{EOFException, IOException, InputStream}
 import java.util.zip.Inflater
 
 /** BGZF block-level access, written from the SAM/BAM spec v1.6 §4.1.
@@ -16,6 +13,10 @@ import java.util.zip.Inflater
   * got the same capability from hadoop-bam's BAMInputFormat;
   * /root/reference/src/main/scala/MitoScape/BamReader.scala:172-174).
   *
+  * All file access goes through [[SeekableFile]] (Hadoop FileSystem
+  * positional reads), so the same splitter works on local disk, HDFS, or
+  * S3A.
+  *
   * Split protocol (hadoop-style): a partition owns raw byte range
   * [start, end); it reads from the first member boundary at-or-after
   * `start` and emits every record that STARTS in a member whose file
@@ -23,6 +24,10 @@ import java.util.zip.Inflater
   * Neighbouring partitions therefore partition the record stream exactly.
   */
 object Bgzf {
+
+  /** BGZF caps a member's uncompressed payload at 64 KiB (BSIZE/ISIZE are
+    * uint16-derived); anything larger in the trailer is corruption. */
+  val MaxIsize: Int = 1 << 16
 
   /** Total length (header+cdata+trailer) of the BGZF member starting at
     * `buf(off)`, or -1 if the bytes there are not a valid member header.
@@ -54,13 +59,13 @@ object Bgzf {
     * compressed bytes for a header whose BSIZE chains to another valid
     * header (or to end-of-file). Returns `fileLen` if none. O(distance to
     * the next boundary + one member) — safe to call once per split. */
-  def nextMemberStart(ch: FileChannel, from: Long, fileLen: Long): Long = {
+  def nextMemberStart(f: SeekableFile, from: Long, fileLen: Long): Long = {
     if (from >= fileLen) return fileLen
     val window = 1 << 16 // max member size is 65536, so a boundary occurs within it
     val buf = new Array[Byte](window + 18)
     var base = from
     while (base < fileLen) {
-      val n = readAt(ch, base, buf)
+      val n = f.readAtFully(base, buf)
       var i = 0
       while (i < n) {
         val len = memberLength(buf, i, n - i)
@@ -69,7 +74,7 @@ object Bgzf {
           if (nxt == fileLen) return base + i
           // chain check: the implied next member must also look valid
           val hdr = new Array[Byte](18)
-          val m = readAt(ch, nxt, hdr)
+          val m = f.readAtFully(nxt, hdr)
           if (nxt < fileLen && memberLength(hdr, 0, m) > 0) return base + i
         }
         i += 1
@@ -78,17 +83,6 @@ object Bgzf {
     }
     fileLen
   }
-
-  private def readAt(ch: FileChannel, pos: Long, buf: Array[Byte]): Int = {
-    val bb = ByteBuffer.wrap(buf)
-    var n = 0
-    var r = ch.read(bb, pos)
-    while (r > 0) { n += r; r = ch.read(bb, pos + n) }
-    n
-  }
-
-  def openChannel(path: String): FileChannel =
-    FileChannel.open(Paths.get(path.stripPrefix("file:")), StandardOpenOption.READ)
 }
 
 /** Streams the inflated payload of consecutive BGZF members starting at
@@ -96,9 +90,9 @@ object Bgzf {
   * served, the file offset of the member it came from — `memberStart` is
   * the virtual-offset high part for the NEXT unread byte, which is what
   * the split ownership test needs. Empty members (the EOF marker) are
-  * skipped transparently. Does not close the channel. */
-class BgzfInputStream(ch: FileChannel, startOffset: Long) extends InputStream {
-  private val fileLen = ch.size()
+  * skipped transparently. Does not close the file handle. */
+class BgzfInputStream(f: SeekableFile, startOffset: Long) extends InputStream {
+  private val fileLen = f.size
   private val inflater = new Inflater(true) // raw deflate, per gzip framing
   private var data = Array.emptyByteArray
   private var len = 0
@@ -120,7 +114,7 @@ class BgzfInputStream(ch: FileChannel, startOffset: Long) extends InputStream {
     val hdr = new Array[Byte](18)
     readFullyAt(nextMember, hdr, hdr.length)
     val total = Bgzf.memberLength(hdr, 0, 18)
-    if (total < 0) throw new java.io.IOException(
+    if (total < 0) throw new IOException(
       s"not a BGZF member boundary at offset $nextMember")
     val xlen = (hdr(10) & 0xff) | ((hdr(11) & 0xff) << 8)
     val cdataLen = total - 12 - xlen - 8
@@ -130,12 +124,20 @@ class BgzfInputStream(ch: FileChannel, startOffset: Long) extends InputStream {
     readFullyAt(nextMember + total - 8, tr, 8)
     val isize = (tr(4) & 0xff) | ((tr(5) & 0xff) << 8) |
       ((tr(6) & 0xff) << 16) | ((tr(7) & 0xff) << 24)
+    // the trailer is untrusted input: a corrupt ISIZE must neither size an
+    // unbounded allocation nor spin the inflate loop (ADVICE r2)
+    if (isize < 0 || isize > Bgzf.MaxIsize) throw new IOException(
+      s"corrupt BGZF trailer at $nextMember: ISIZE=$isize exceeds ${Bgzf.MaxIsize}")
     if (data.length < isize) data = new Array[Byte](math.max(isize, 1 << 16))
     inflater.reset()
     inflater.setInput(cdata)
     var o = 0
-    while (o < isize && !inflater.finished())
-      o += inflater.inflate(data, o, isize - o)
+    while (o < isize && !inflater.finished()) {
+      val r = inflater.inflate(data, o, isize - o)
+      if (r == 0 && !inflater.finished()) throw new IOException(
+        s"corrupt BGZF cdata at $nextMember: inflate stalled at $o/$isize bytes")
+      o += r
+    }
     curMember = nextMember
     nextMember += total
     len = isize
@@ -143,10 +145,11 @@ class BgzfInputStream(ch: FileChannel, startOffset: Long) extends InputStream {
   }
 
   private def readFullyAt(at: Long, buf: Array[Byte], n: Int): Unit = {
-    val bb = ByteBuffer.wrap(buf, 0, n)
-    while (bb.hasRemaining) {
-      val r = ch.read(bb, at + bb.position())
+    var got = 0
+    while (got < n) {
+      val r = f.readAt(at + got, buf, got, n - got)
       if (r < 0) throw new EOFException(s"truncated BGZF member at $at")
+      got += r
     }
   }
 

@@ -78,24 +78,13 @@ object SamDataSource {
 
   /** One InputPartition per `splitSize` byte range of each file.
     * Directory paths expand to their (non-hidden) regular files, so
-    * `load(dir)` scans a whole sample directory in parallel. */
+    * `load(dir)` scans a whole sample directory in parallel. Listing and
+    * sizing go through the Hadoop FileSystem (driver side), and an
+    * unreadable path fails the query here — it must never degrade into a
+    * bogus whole-file split. */
   def planSplits(paths: Seq[String], splitSize: Long): Array[InputPartition] = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val files = paths.flatMap { p =>
-      val path = Paths.get(p.stripPrefix("file:"))
-      if (Files.isDirectory(path))
-        Files.list(path).iterator().asScala
-          .filter(f => Files.isRegularFile(f) &&
-            !f.getFileName.toString.startsWith(".") &&
-            !f.getFileName.toString.startsWith("_"))
-          .map(_.toString).toSeq.sorted
-      else Seq(p)
-    }
-    files.flatMap { p =>
-      val size =
-        try Files.size(Paths.get(p.stripPrefix("file:")))
-        catch { case _: Exception => Long.MaxValue }
+    val conf = HadoopIO.driverConf()
+    paths.flatMap(p => HadoopIO.listScanTargets(p, conf)).flatMap { case (p, size) =>
       if (size <= splitSize) Seq(SamInputPartition(p, 0L, Long.MaxValue))
       else (0L until size by splitSize).map(s =>
         SamInputPartition(p, s, math.min(s + splitSize, size)))
@@ -147,7 +136,7 @@ class SamScan(paths: Seq[String], splitSize: Long, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
-    new SamReaderFactory(required.fieldNames, preds)
+    new SamReaderFactory(required.fieldNames, preds, HadoopIO.capture())
 }
 
 /** A byte range [start, end) of one file (shared by the sam and bam
@@ -155,24 +144,28 @@ class SamScan(paths: Seq[String], splitSize: Long, required: StructType,
 case class SamInputPartition(path: String, start: Long, end: Long)
     extends InputPartition
 
-class SamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred])
-    extends PartitionReaderFactory {
+class SamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred],
+    conf: HadoopIO.ConfBox) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    new SamPartitionReader(p.path, p.start, p.end, fields, preds)
+    new SamPartitionReader(p.path, p.start, p.end, fields, preds, conf)
   }
 }
 
 class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
-    fields: Array[String], preds: Seq[SamFilters.Pred])
+    fields: Array[String], preds: Seq[SamFilters.Pred], conf: HadoopIO.ConfBox)
     extends PartitionReader[InternalRow] {
 
-  private val in = new java.io.BufferedInputStream(
-    java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(path.stripPrefix("file:"))), 1 << 16)
+  // Hadoop FS open + seek straight to the split start (a seek is O(1) on
+  // every store; the old local-only path skip-read from offset 0).
+  private val in: java.io.BufferedInputStream = {
+    val raw = HadoopIO.open(path, conf.conf)
+    if (rangeStart > 0) raw.seek(rangeStart - 1)
+    new java.io.BufferedInputStream(raw, 1 << 16)
+  }
   /** Byte offset of the next unread byte (tracked by hand — a line is
     * owned by the split containing its first byte). */
-  private var offset = 0L
+  private var offset = if (rangeStart > 0) rangeStart - 1 else 0L
   private var current: InternalRow = _
 
   // Newline sync: a split starting mid-file owns a line iff the byte
@@ -181,19 +174,8 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
   // newline, the line starting exactly at `start` is ours.
   locally {
     if (rangeStart > 0) {
-      skipFully(rangeStart - 1)
       var b = read1()
       while (b != -1 && b != '\n') b = read1()
-    }
-  }
-
-  private def skipFully(n: Long): Unit = {
-    var left = n
-    while (left > 0) {
-      val s = in.skip(left)
-      if (s > 0) { offset += s; left -= s }
-      else if (read1() == -1) return
-      else left -= 1
     }
   }
 

@@ -17,7 +17,7 @@ class BgzfSpec extends SparkSpec {
     BamIndex.build(bam.toString)
     val boundaries = BamIndex.read(bam.toString).map(_.offset).toSet
     val fileLen = Files.size(bam)
-    val ch = Bgzf.openChannel(bam.toString)
+    val ch = new SeekableFile(bam.toString, new org.apache.hadoop.conf.Configuration())
     try {
       val probes = (0L until fileLen by 977L) ++ // arbitrary stride
         boundaries.take(50).map(_ + 1) ++        // just past real boundaries
@@ -45,7 +45,7 @@ class BgzfSpec extends SparkSpec {
       val out = new java.io.ByteArrayOutputStream()
       in.transferTo(out); in.close(); out.toByteArray
     }
-    val ch = Bgzf.openChannel(path)
+    val ch = new SeekableFile(path, new org.apache.hadoop.conf.Configuration())
     try {
       val s = new BgzfInputStream(ch, 0L)
       val out = new java.io.ByteArrayOutputStream()
