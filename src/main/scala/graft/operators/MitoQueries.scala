@@ -137,11 +137,63 @@ object MitoQueries {
       |  CAST(SUM(2) AS BIGINT) AS sum_mt_aligns
       |FROM li""".stripMargin
 
+  // ---------------------------------------------------------------- x03
+  /** Full binary round-trip through the custom source/sink pair (SURVEY
+    * §2.1 S1-S3/K1): alignment records synthesized deterministically from
+    * `lineitem`, written as a real BGZF/BAM file by [[graft.sources.BamWriter]],
+    * `.gai`-indexed, then scanned back via `spark.read.format("bam")` in
+    * MULTIPLE byte-range splits with the validity predicate pushed into the
+    * reader (rejected records skip from their 32 fixed bytes — the invalid
+    * half of the file never decodes names/sequences/tags). The aggregate is
+    * oracle-derivable because the synthesis controls every field: each
+    * lineitem row (l_orderkey%4=0) emits one valid record (flag 99) and one
+    * pushdown-rejected record (flag 355 = 99|256 fails (flag&2315)=3). */
+  def x03BamRoundTrip(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.Sam
+    import graft.sources.{BamIndex, BamWriter, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey")).as("readName"),
+      explode(array(lit(99), lit(355))).as("flag"),
+      lit("chrM").as("referenceName"),
+      (col("l_partkey") % 1000 + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      concat(lit("NM:i:"), col("l_suppkey") % 4, lit(" NH:i:1")).as("attributes"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_x03_$sfTag.bam"
+    BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out)
+    BamIndex.build(out, HadoopIO.driverConf())
+    // 64 KB ranges force many intra-file BGZF splits even at sf0.01
+    val back = s.read.format("bam").option("splitsize", 64 * 1024).load(out)
+    val m = Sam.attrMap(col("attributes"))
+    back.where(Sam.isValid)
+      .agg(count(lit(1)).as("n_valid"),
+        sum(col("start")).as("sum_start"),
+        sum(col("mapQ")).as("sum_mapq"),
+        sum(Sam.tagOrDefault(m, "NM", 0)).as("sum_nm"))
+  }
+
+  /** Oracle from the synthesis arithmetic: exactly the flag-99 record of
+    * each selected lineitem row survives the pushed validity mask. */
+  val x03Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+      |  CAST(SUM(l_partkey % 1000 + 1) AS BIGINT) AS sum_start,
+      |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq,
+      |  CAST(SUM(l_suppkey % 4) AS BIGINT) AS sum_nm
+      |FROM lineitem WHERE l_orderkey % 4 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
-    "x02_mito_features" -> (x02MitoFeatures _))
+    "x02_mito_features" -> (x02MitoFeatures _),
+    "x03_bam_roundtrip" -> (x03BamRoundTrip _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
-    "x02_mito_features" -> x02Sql)
+    "x02_mito_features" -> x02Sql,
+    "x03_bam_roundtrip" -> x03Sql)
 }
