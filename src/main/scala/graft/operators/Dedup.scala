@@ -29,8 +29,9 @@ object Dedup {
   // ---------------------------------------------------------------- d02
   /** N-gram Jaccard near-dup: 3-gram character shingle sets, exact Jaccard
     * over candidate pairs blocked by (lang, source). Blocking bounds the
-    * quadratic pair space; at 100 TB the block key would be an LSH band
-    * (see d03) — this query is the exact-verify stage of that pipeline. */
+    * quadratic pair space; at 100 TB the block key is an LSH band — that
+    * wiring is [[nearDedupKeep]] (d11), where this query's sorted-merge
+    * intersect kernel runs as the verify stage over d03's candidates. */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -83,15 +84,21 @@ object Dedup {
       .orderBy("a_id", "b_id")
 
   /** d03's core over any (doc_id, text) frame — also driven by the
-    * planted-duplicate gate (d07). */
-  private def minhashCandidates(docsIn: DataFrame): DataFrame = {
+    * planted-duplicate gate (d07) and the wired pipeline (d11). */
+  private def minhashCandidates(docsIn: DataFrame): DataFrame =
+    minhashCandidatesFromShingles(docsIn
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh")))
+
+  /** Candidate stage over a precomputed (doc_id, sh: sorted shingle-hash
+    * array) frame, so a caller that also needs the shingles for exact
+    * verification (d11) computes them exactly once. */
+  private def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
     val numPerms = 32
     val rowsPerBand = 8
-    // two projection steps so shingle hashes materialize once (TextFns
+    // projection boundary so shingle hashes materialize once (TextFns
     // note); signature = native single-pass expression (all 32 permutation
     // minima in one walk, no per-permutation array allocation)
-    val docs = docsIn
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+    val docs = shingled
       .select(col("doc_id"),
         graft.functions.MinHashSigExpr.minhashSig(col("sh"), numPerms).as("sig"))
     val banded = docs
@@ -345,6 +352,70 @@ object Dedup {
       |  CAST(COUNT(*) AS BIGINT) AS n_found, true AS all_found
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d11
+  /** The WIRED near-dup pipeline: d03's banded MinHash candidates → exact
+    * Jaccard verification with d02's sorted-merge intersect kernel, run
+    * ONLY on candidate pairs → d06-style keep materialization (a document
+    * is dropped iff a verified near-dup with a lower doc_id exists).
+    * Returns the surviving rows of `docsIn`.
+    *
+    * This is the 100 TB shape the standalone demos delegate to: shingles
+    * are computed once per document (one narrow pass feeding both the
+    * signature and the verify join), candidate generation is one skew-free
+    * shuffle on uniform band keys, the quadratic exact work is confined to
+    * bucket-collision pairs, and the removal is a broadcast-friendly
+    * left-anti join on doc_id. */
+  def nearDedupKeep(docsIn: DataFrame, threshold: Double): DataFrame = {
+    require(threshold >= 0.5,
+      s"verify threshold $threshold below the candidate gate (est >= 0.5)")
+    val sh = docsIn
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val cands = minhashCandidatesFromShingles(sh.select("doc_id", "sh"))
+      .select("a_id", "b_id")
+    val verified = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("n_sh").as("b_n")), Seq("b_id"))
+      .withColumn("n_common",
+        graft.functions.IntersectCountExpr.intersectCountSorted(
+          col("a_sh"), col("b_sh")))
+      .where((col("n_common").cast("double") /
+        (col("a_n") + col("b_n") - col("n_common"))) >= threshold)
+    val removed = verified.select(col("b_id").as("doc_id")).distinct()
+    docsIn.join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  /** Driver gate for the wired pipeline (d07 technique): exact copies
+    * (id + 10^9) of the 20 lowest-id documents have Jaccard exactly 1.0
+    * with their originals — identical text guarantees band collision AND
+    * passes any verify threshold — so the full candidates→verify→keep
+    * chain MUST remove every copy. Emits only quantities the oracle can
+    * derive; the kept-set at sub-1.0 thresholds over the raw corpus is
+    * deterministic but not ANSI-expressible (LSH candidate recall). */
+  def d11WiredDedupGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val kept = nearDedupKeep(docs.union(planted), 0.8)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(base.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(kept.where(col("doc_id") >= 1000000000L)
+        .agg(count(lit(1)).as("n_planted_kept")))
+      .select(col("n_docs"), col("n_planted"), col("n_planted_kept"),
+        (col("n_planted_kept") === 0).as("all_planted_removed"))
+  }
+
+  val d11Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(0 AS BIGINT) AS n_planted_kept,
+      |  true AS all_planted_removed
+      |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -355,7 +426,8 @@ object Dedup {
     "d07_lsh_planted_gate" -> (d07LshPlantedGate _),
     "d08_simhash_planted_gate" -> (d08SimhashPlantedGate _),
     "d09_embed_dup_lsh" -> (d09EmbedDupLsh _),
-    "d10_embed_planted_gate" -> (d10EmbedPlantedGate _))
+    "d10_embed_planted_gate" -> (d10EmbedPlantedGate _),
+    "d11_wired_dedup_gate" -> (d11WiredDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -364,5 +436,6 @@ object Dedup {
     "d05_embed_dup"     -> d05Sql,
     "d07_lsh_planted_gate" -> d07Sql,
     "d08_simhash_planted_gate" -> d08Sql,
-    "d10_embed_planted_gate" -> d10Sql)
+    "d10_embed_planted_gate" -> d10Sql,
+    "d11_wired_dedup_gate" -> d11Sql)
 }

@@ -137,6 +137,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(0)._3 === rows(1)._3)
   }
 
+  test("d11 wired pipeline: removes exact dups, keeps sub-threshold docs, monotone") {
+    import spark.implicits._
+    // distinct docs are seeded-random letter strings: cross-doc character
+    // 3-gram overlap is negligible, so only the planted dup is removable
+    def randomDoc(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    val base = randomDoc(1L)
+    val docs = (Seq((1L, base), (2L, base)) ++ // 2 = exact dup of 1 -> removed
+      (3L to 30L).map(i => (i, randomDoc(i * 7919L))))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupKeep(docs, 0.8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L), "exact duplicate must be removed")
+    assert(kept.contains(1L), "lowest-id of a dup pair must survive")
+    assert((3L to 30L).forall(kept.contains), "sub-threshold docs must survive")
+    // precision is deterministic (exact verify): a stricter threshold never
+    // removes more
+    val keptStrict = Dedup.nearDedupKeep(docs, 0.99).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptStrict))
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
