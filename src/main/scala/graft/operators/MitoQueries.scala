@@ -187,13 +187,66 @@ object MitoQueries {
       |  CAST(SUM(l_suppkey % 4) AS BIGINT) AS sum_nm
       |FROM lineitem WHERE l_orderkey % 4 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- x04
+  /** Driver-visible ML scoring row (SURVEY §2.8 M1-M7 finally behind the
+    * hard gate): a seeded RandomForest is trained on a fixture frame whose
+    * label is a WIDE-MARGIN separable function of the features
+    * (MTEditDist 0-2 vs 10-12, NTScore 7-8 vs 0-1 — redundantly
+    * separable), then scores features synthesized from `lineitem` by the
+    * SAME rule. Every tree isolates the margin, so predictions equal the
+    * generating rule and per-row MaxProb is ~1.0 — which makes the
+    * confusion counts oracle-derivable from the synthesis arithmetic even
+    * though DuckDB cannot run the model. Training data is a fixed
+    * `spark.range` fixture (independent of sf), scoring is distributed
+    * model.transform — the 100 TB shape: broadcast model, narrow scan. */
+  def x04MlScore(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.Classify
+    import org.apache.spark.sql.Column
+    def feats(df: DataFrame, k: Column, part: Column, supp: Column,
+        line: Column): DataFrame = {
+      val label = (k % 2).cast("double")
+      df.select(
+        label.as("label"),
+        (label * 10 + (part % 3)).cast("double").as("MTEditDist"),
+        (label * 5 + (supp % 2)).cast("double").as("LD"),
+        (part % 4).cast("double").as("NTEditDist"),
+        ((lit(1) - label) * 7 + (line % 2)).cast("double").as("NTScore"),
+        (lit(1) + (k % 3)).cast("double").as("MTNumAlignments"),
+        (supp % 3).cast("double").as("NTNumAlignments"),
+        concat(lit("r"), k).as("Read"))
+    }
+    val train = feats(s.range(2048).toDF(), col("id"), col("id") * 7,
+      col("id") * 13, col("id") * 3)
+    val model = Classify.trainRF(train, numTrees = 64, seed = 7L)
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+    val scored = Classify.score(model,
+      feats(li, col("l_partkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber")))
+    scored.agg(
+      count(lit(1)).as("n_scored"),
+      sum((col("prediction") === lit(Classify.MtLabel)).cast("long"))
+        .as("n_predicted_mt"),
+      sum((col("MaxProb") >= 0.9).cast("long")).as("n_confident"))
+  }
+
+  /** Oracle from the generating rule: prediction == label == l_partkey%2,
+    * and the margin keeps every row's MaxProb at ~1.0. */
+  val x04Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_predicted_mt,
+      |  CAST(COUNT(*) AS BIGINT) AS n_confident
+      |FROM lineitem WHERE l_orderkey % 4 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
-    "x03_bam_roundtrip" -> (x03BamRoundTrip _))
+    "x03_bam_roundtrip" -> (x03BamRoundTrip _),
+    "x04_ml_score"      -> (x04MlScore _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
     "x02_mito_features" -> x02Sql,
-    "x03_bam_roundtrip" -> x03Sql)
+    "x03_bam_roundtrip" -> x03Sql,
+    "x04_ml_score" -> x04Sql)
 }
