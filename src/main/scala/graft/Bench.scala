@@ -33,26 +33,45 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune unevaluated
     // projections and drop final sorts, under-measuring expression-heavy
     // queries; the noop sink forces full materialization of every column.
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query records -1.0 AND lands in `failed` — the totals
+    // exclude negatives, so without the explicit list a regression would
+    // quietly read as a speedup.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
+    // one-time IVF index build, timed apart so s04's per-query number is
+    // pure probe cost (build amortizes over every query at scale)
+    val tIdx = System.nanoTime()
+    val idxBuild =
+      try {
+        graft.operators.Similarity.rebuildIvfIndex(spark, sfDir)
+        (System.nanoTime() - tIdx) / 1e9
+      } catch { case _: Throwable => failed += "s04_index_build"; -1.0 }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> time(SparkEntry.queries(n))).toMap
+    val cold = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
     // two timed passes, report the per-query minimum: the local box is
     // shared, and min-of-passes is the standard low-noise estimator of
     // steady-state cost
-    val warm1 = names.map(n => n -> time(SparkEntry.queries(n))).toMap
-    val warm2 = names.map(n => n -> time(SparkEntry.queries(n))).toMap
+    val warm1 = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
+    val warm2 = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
     val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
 
     val qs = names.map(n => s""""$n":${warm(n)}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"s04_index_build":$idxBuild,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,11 +92,24 @@ object Features {
   def mtFeaturesJoin(alignments: DataFrame, ld: DataFrame): DataFrame = {
     val perRead = mtPerRead(alignments)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.synchronized { persisted += perRead }
     perRead
       .join(Ld.pairScores(perRead.select(col("Read"), col("variants")), ld),
         Seq("Read"), "left")
       .withColumn("LD", coalesce(col("LD"), lit(0)))
       .drop("variants")
+  }
+
+  /** The intermediate frames [[mtFeaturesJoin]] persists (Spark's cache
+    * manager dedupes identical plans, so repeated calls on the same inputs
+    * share one entry — the set only grows across DISTINCT inputs). A
+    * long-lived session calls [[releaseCaches]] once the join outputs are
+    * materialized; one-shot drivers can rely on context shutdown. */
+  private val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def releaseCaches(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
   }
 
   /** Feature join (reference J1, `MTClassifierModel.scala:83` — inner on

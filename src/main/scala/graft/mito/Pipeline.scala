@@ -73,6 +73,7 @@ object MitoPipeline {
       Sam.writeSingleSamWithHeader(
         headerText.split("\n").filter(_.nonEmpty), filtered, cfg.out)
     feat.unpersist(blocking = false) // sink written; release the cache
+    Features.releaseCaches() // incl. mtFeaturesJoin's per-read aggregate
     filtered
   }
 }

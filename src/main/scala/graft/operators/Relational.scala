@@ -787,6 +787,130 @@ object Relational {
       |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS BIGINT) AS qty_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Adversarially skewed salted join: the synthesized key puts ~99% of
+    * lineitem on ONE value ("hot"), the degenerate distribution where an
+    * unsalted shuffle join funnels the whole corpus through a single
+    * reducer. The q31 salt pattern (deterministic per-row salt, dim
+    * replicated S×, join on (key, salt)) spreads every key over S
+    * reducers regardless of its frequency — RelationalSkewSpec measures
+    * the post-shuffle partition sizes and asserts max ≤ 2× mean, and that
+    * the UNSALTED form really does violate it. Results are identical to
+    * the unsalted join (oracle-checked). */
+  private val SkewSalts = 32
+
+  /** The salted join itself, pre-aggregation — exposed so the spec can
+    * measure the actual reducer partition sizes. */
+  def q34SkewJoined(s: SparkSession, d: String): DataFrame = {
+    val ev = q34SkewedFacts(s, d)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(SkewSalts)).cast(IntegerType))
+    val dim = q34SkewedFacts(s, d).select(col("k")).distinct()
+      .withColumn("k_weight", length(col("k")))
+    val saltedDim = dim.select(col("k"), col("k_weight"),
+      explode(sequence(lit(0), lit(SkewSalts - 1))).as("salt"))
+    ev.hint("merge").join(saltedDim, Seq("k", "salt"))
+  }
+
+  /** The same join WITHOUT salting (spec-only, demonstrates the pathology
+    * the salt removes). */
+  def q34SkewJoinedUnsalted(s: SparkSession, d: String): DataFrame = {
+    val dim = q34SkewedFacts(s, d).select(col("k")).distinct()
+      .withColumn("k_weight", length(col("k")))
+    q34SkewedFacts(s, d).hint("merge").join(dim, Seq("k"))
+  }
+
+  private def q34SkewedFacts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      when(col("l_orderkey") % 100 < 99, lit("hot"))
+        .otherwise(concat(lit("cold_"), col("l_orderkey") % 7)).as("k"))
+
+  def q34AdversarialSkewJoin(s: SparkSession, d: String): DataFrame =
+    q34SkewJoined(s, d)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_weight")).cast(LongType).as("total_weight"),
+        // quantities are integral doubles, so the sum is order-exact
+        sum(col("l_quantity")).cast(LongType).as("total_qty"))
+      .orderBy("k")
+
+  val q34Sql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN l_orderkey % 100 < 99 THEN 'hot'
+      |              ELSE 'cold_' || CAST(l_orderkey % 7 AS VARCHAR) END AS k,
+      |         l_quantity
+      |  FROM lineitem),
+      |dim AS (SELECT DISTINCT k, length(k) AS k_weight FROM ev)
+      |SELECT k, COUNT(*) AS n,
+      |  CAST(SUM(k_weight) AS BIGINT) AS total_weight,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+      |FROM ev JOIN dim USING (k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Streaming driver gate (SURVEY §2.10's first CORRECTNESS row): the
+    * events parquet replayed through a file-source MICRO-BATCH stream into
+    * [[graft.streaming.EventStreams.hourlyByType]] (watermark + tumbling
+    * window state), memory-sinked in complete mode, then compared
+    * window-by-window against the batch formulation (q15). Counts must
+    * match exactly; the value sums within 1e-9 relative (the streaming agg
+    * sums doubles in arrival order, the batch oracle decimal-exactly). */
+  def q35StreamBatchGate(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    // the file source monitors a DIRECTORY; stage the events file into a
+    // scratch dir via hard link (copy if the fs refuses) — the stream then
+    // discovers and replays it as a micro-batch
+    val stageDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q35_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(stageDir)
+    val staged = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged)) {
+      val src = java.nio.file.Paths.get(path)
+      try java.nio.file.Files.createLink(staged, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, staged,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val raw = s.readStream.schema(rawSchema).parquet(stageDir.toString)
+    // watermarks require TIMESTAMP (tz-aware); the session runs UTC so the
+    // cast is value-preserving and the output hour casts back to NTZ below
+    val events =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(TimestampType))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    val tbl = "q35_streamed"
+    s.catalog.dropTempView(tbl)
+    val q = graft.streaming.EventStreams.hourlyByType(events)
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = s.table(tbl).select(
+      col("hour").cast(TimestampNTZType).as("hour"), col("event_type"),
+      col("n").as("sn"), col("total_value").as("sv"))
+    val batch = q15HourlyEvents(s, d).select(col("hour"), col("event_type"),
+      col("n").as("bn"), col("total_value").as("bv"))
+    streamed.join(batch, Seq("hour", "event_type"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        (count(lit(1)) === sum(when(
+          col("sn").isNotNull && col("bn").isNotNull &&
+            (col("sn") === col("bn")) &&
+            (abs(col("sv") - col("bv")) <=
+              greatest(abs(col("bv")) * 1e-9, lit(1e-9))),
+          1).otherwise(0))).as("all_match"))
+  }
+
+  val q35Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_windows, true AS all_match
+      |FROM (SELECT DATE_TRUNC('hour', ts) AS h, event_type
+      |      FROM events GROUP BY 1, 2) t""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -821,7 +945,9 @@ object Relational {
     "q30_first_last"      -> (q30FirstLast _),
     "q31_salted_skew_join" -> (q31SaltedSkewJoin _),
     "q32_approx_distinct" -> (q32ApproxDistinct _),
-    "q33_pivot"           -> (q33Pivot _))
+    "q33_pivot"           -> (q33Pivot _),
+    "q34_adversarial_skew_join" -> (q34AdversarialSkewJoin _),
+    "q35_stream_batch_gate" -> (q35StreamBatchGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -856,5 +982,7 @@ object Relational {
     "q30_first_last"      -> q30Sql,
     "q31_salted_skew_join" -> q31Sql,
     "q32_approx_distinct" -> q32Sql,
-    "q33_pivot"           -> q33Sql)
+    "q33_pivot"           -> q33Sql,
+    "q34_adversarial_skew_join" -> q34Sql,
+    "q35_stream_batch_gate" -> q35Sql)
 }

@@ -161,22 +161,33 @@ object Similarity {
         .fit(e.select("vec"))
     })
 
+  /** Rebuild the IVF index for `d` from scratch (bench instrumentation:
+    * isolates the one-time index-build cost so s04's per-query timing
+    * reads as pure probe cost — the split a capacity plan needs). */
+  def rebuildIvfIndex(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    ivfModels.remove(d)
+    ivfModel(Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding"))), d)
+  }
+
   def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)
       .withColumn("vec", array_to_vector(col("embedding")))
     val model = ivfModel(e, d)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .withColumn("nrm", norm2(col("embedding")))
-    // per-query: the NProbe nearest centroids by euclidean distance
+    // query and corpus sides split BEFORE the model transform: the corpus
+    // sub-plan (the dominant scan at scale) appears exactly once in the
+    // executed plan, and the query side never runs the assignment at all —
+    // probe cells come from the broadcast centroid table below. (At 100 TB
+    // the corpus side is a one-time bucketed-by-cell write; see class doc.)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
     val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
-    val q = assigned.where(col("vec_id") < 10)
+    val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
+        norm2(col("embedding")).as("q_nrm"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
     val probes = q.crossJoin(broadcast(centDf))
@@ -187,9 +198,9 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= NProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
-    val n = assigned.where(col("vec_id") >= 10)
+    val n = model.transform(e.where(col("vec_id") >= 10))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm"), col("cell"))
+        norm2(col("embedding")).as("n_nrm"), col("cell"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     probes.hint("broadcast").join(n, Seq("cell"))

@@ -79,8 +79,12 @@ object EventStreams {
 
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * totals emitted on every update (Update mode). State is one small
-    * case class per active user — O(users), watermark-independent. */
-  final case class UserStat(user_id: Long, n: Long, total: Double)
+    * case class per active user — O(users), watermark-independent.
+    * `expired` is false for live updates; the expiring variant emits the
+    * final stat with `expired = true` (an explicit column: sign-encoding
+    * the key was ambiguous for user_id 0). */
+  final case class UserStat(user_id: Long, n: Long, total: Double,
+    expired: Boolean = false)
 
   def runningUserTotals(events: org.apache.spark.sql.Dataset[Event])
       : org.apache.spark.sql.Dataset[UserStat] = {
@@ -101,10 +105,10 @@ object EventStreams {
 
   /** As [[runningUserTotals]] but with BOUNDED state: a user idle past
     * `idle` (event time, enforced by the watermark) times out — the final
-    * stat is emitted with a negated user_id as the expiry marker and the
-    * state is removed, so the store holds only ACTIVE users. On an
-    * unbounded key space (every user ever seen) the NoTimeout form grows
-    * forever; this is the shape a production stream runs. */
+    * stat is emitted with `expired = true` and the state is removed, so
+    * the store holds only ACTIVE users. On an unbounded key space (every
+    * user ever seen) the NoTimeout form grows forever; this is the shape
+    * a production stream runs. */
   def runningUserTotalsExpiring(events: org.apache.spark.sql.Dataset[Event],
       idleMs: Long = 60L * 60 * 1000)
       : org.apache.spark.sql.Dataset[UserStat] = {
@@ -119,7 +123,7 @@ object EventStreams {
           if (state.hasTimedOut) {
             val last = state.get
             state.remove()
-            Iterator.single(last.copy(user_id = -uid)) // expiry marker
+            Iterator.single(last.copy(expired = true))
           } else {
             val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
             val batch = rows.toSeq

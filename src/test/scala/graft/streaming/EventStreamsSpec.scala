@@ -60,8 +60,8 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("expiring").as[EventStreams.UserStat].collect()
-    // expiry marker for user 1 carries the totals at timeout
-    val expired = rows.filter(_.user_id == -1L)
+    // expiry row for user 1 carries the totals at timeout
+    val expired = rows.filter(r => r.user_id == 1L && r.expired)
     assert(expired.nonEmpty && expired.head.n === 2 && expired.head.total === 3.0)
     // the post-expiry event starts a FRESH state (n=1), not n=3
     val after = rows.filter(r => r.user_id == 1L && r.n == 1L && r.total == 9.0)
