@@ -9,13 +9,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * asSingleFile=true)`, `MTClassify.scala:204`), written from the SAM/BAM
   * v1.6 spec.
   *
-  * BGZF is concatenation-safe (independent gzip members), so the scalable
-  * form of this writer is per-partition BGZF part-files concatenated at
-  * commit — the same shape as every distributed single-file text sink.
-  * Here the record stream is pulled through `toLocalIterator` (partitions
-  * stream sequentially, driver holds one block buffer), which matches the
-  * reference's single-file funnel.
-  */
+  * BGZF is concatenation-safe (independent gzip members), so the encode +
+  * deflate — the actual CPU cost — runs in EXECUTORS: each partition maps
+  * to one self-contained run of BGZF members (`mapPartitions`), and the
+  * driver only funnels the already-compressed chunks to the output in
+  * partition order (`toLocalIterator`, one in-flight partition) and
+  * appends the EOF marker — the same commit shape as every distributed
+  * single-file sink, with the driver doing O(compressed bytes) I/O and
+  * zero per-record work. */
 object BamWriter {
 
   private val SeqCode: Map[Char, Int] =
@@ -45,15 +46,24 @@ object BamWriter {
     } finally in.close()
   }
 
-  /** Write `records` (the sam/bam source schema) as one BAM file. */
+  /** Write `records` (the sam/bam source schema) as one BAM file.
+    *
+    * Encode + deflate run distributed: each partition becomes one
+    * self-contained run of BGZF members in an executor; the driver writes
+    * the header members, streams the compressed partition chunks to the
+    * file in order (`toLocalIterator` — one in-flight partition), and
+    * appends the EOF marker. (A chunk is a partition's COMPRESSED bytes —
+    * for outputs beyond single-file scale the same chunks would go to
+    * part-files + a store-side concat.) */
   def write(records: DataFrame, headerText: String,
       refs: Seq[(String, Int)], out: String): Long = {
     val refIndex = refs.map(_._1).zipWithIndex.toMap
     val os = HadoopIO.create(out,
       records.sparkSession.sparkContext.hadoopConfiguration)
-    val bgzf = new BgzfOutputStream(os)
     try {
-      // header payload
+      // header payload (driver-side, KB-sized), as its own member run
+      val hdrBytes = new java.io.ByteArrayOutputStream()
+      val bgzf = new BgzfOutputStream(hdrBytes)
       val text = headerText.getBytes("US-ASCII")
       bgzf.writeLe32(0x014d4142) // "BAM\1" little-endian
       bgzf.writeLe32(text.length)
@@ -63,15 +73,35 @@ object BamWriter {
         val nb = (name + "\u0000").getBytes("US-ASCII")
         bgzf.writeLe32(nb.length); bgzf.write(nb); bgzf.writeLe32(len)
       }
+      bgzf.flushBlock()
+      os.write(hdrBytes.toByteArray)
+
+      import org.apache.spark.sql.Encoders
+      val chunks = records.select("readName", "flag", "referenceName",
+        "start", "mapQ", "cigar", "rnext", "pnext", "tlen", "sequence",
+        "qual", "attributes")
+        .mapPartitions { rows =>
+          if (!rows.hasNext) Iterator.empty
+          else {
+            val part = new java.io.ByteArrayOutputStream(1 << 20)
+            val pz = new BgzfOutputStream(part)
+            var n = 0L
+            while (rows.hasNext) { pz.write(encode(rows.next(), refIndex)); n += 1 }
+            pz.flushBlock() // members only — the EOF marker is file-level
+            Iterator((n, part.toByteArray))
+          }
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+
       var n = 0L
-      val it = records.select("readName", "flag", "referenceName", "start",
-        "mapQ", "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
-        "attributes").toLocalIterator()
+      val it = chunks.toLocalIterator()
       while (it.hasNext) {
-        bgzf.write(encode(it.next(), refIndex)); n += 1
+        val (cnt, bytes) = it.next()
+        n += cnt
+        os.write(bytes)
       }
+      os.write(BgzfOutputStream.EofMarker)
       n
-    } finally bgzf.close() // writes the BGZF EOF marker
+    } finally os.close()
   }
 
   private def encode(r: Row, refIndex: Map[String, Int]): Array[Byte] = {
@@ -189,6 +219,11 @@ class BgzfOutputStream(out: OutputStream) extends OutputStream {
     write(Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
       (v >>> 24).toByte), 0, 4)
 
+  /** Emit any buffered payload as a member WITHOUT the EOF marker or
+    * closing the sink — used by writers that concatenate member runs
+    * (header + per-partition chunks) into one file. */
+  def flushBlock(): Unit = if (buf.size() > 0) emitBlock()
+
   private def emitBlock(): Unit = {
     val payload = buf.toByteArray
     buf.reset()
@@ -210,13 +245,17 @@ class BgzfOutputStream(out: OutputStream) extends OutputStream {
     out.write(tr.array())
   }
 
-  private val EofMarker: Array[Byte] =
-    "1f8b08040000000000ff0600424302001b0003000000000000000000"
-      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-
   override def close(): Unit = {
     if (buf.size() > 0) emitBlock()
-    out.write(EofMarker)
+    out.write(BgzfOutputStream.EofMarker)
     out.close()
   }
+}
+
+object BgzfOutputStream {
+  /** The spec's 28-byte empty-member EOF marker (SAM v1.6 §4.1.2),
+    * appended exactly once per FILE. */
+  val EofMarker: Array[Byte] =
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }

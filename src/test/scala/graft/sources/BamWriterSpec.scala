@@ -76,8 +76,13 @@ class BamWriterSpec extends SparkSpec {
       .toDF("readName", "flag", "referenceName", "start", "mapQ", "cigar",
         "rnext", "pnext", "tlen", "sequence", "qual", "attributes")
     val tmp = java.nio.file.Files.createTempDirectory("bamw3").toString
-    intercept[RuntimeException] {
+    // encode now runs in executor tasks, so the failure surfaces as a
+    // SparkException wrapping the encode error
+    val e = intercept[Exception] {
       BamWriter.write(bad, "@HD\tVN:1.6\n", Seq("chrM" -> 16569), s"$tmp/bad.bam")
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unsupported tag type")), e.toString)
   }
 }
