@@ -749,9 +749,17 @@ object Relational {
     * (relative error under 5%, well above HLL++'s ~2% at default rsd). */
   def q32ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      // dedup FIRST (partial + final distinct), then count and sketch the
+      // deduped frame: avoids the expand-by-2 of every input row that a
+      // combined countDistinct+HLL aggregate plans, and HLL register
+      // insertion is idempotent so the sketch value is identical (2.3x at
+      // sf0.1). The sketch alone — the actual 100 TB operator — would skip
+      // the distinct entirely; the exact side exists as its gate.
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
       .groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("exact_parts"),
         // rsd 1%: the 5% gate sits ~5 sigma out, so the boolean cannot
         // flap with data scale (the default 5% rsd would make it ~1 sigma)
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
