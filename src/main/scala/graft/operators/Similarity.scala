@@ -171,16 +171,11 @@ object Similarity {
       .withColumn("vec", array_to_vector(col("embedding"))), d)
   }
 
-  def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.embeddings(s, d)
-      .withColumn("vec", array_to_vector(col("embedding")))
-    val model = ivfModel(e, d)
-    // query and corpus sides split BEFORE the model transform: the corpus
-    // sub-plan (the dominant scan at scale) appears exactly once in the
-    // executed plan, and the query side never runs the assignment at all —
-    // probe cells come from the broadcast centroid table below. (At 100 TB
-    // the corpus side is a one-time bucketed-by-cell write; see class doc.)
+  /** Per-query probe targets: each of the 10 query vectors paired with
+    * its NProbe nearest centroids (broadcast centroid table, no corpus
+    * access, no model transform on the query side). */
+  private def ivfProbes(s: SparkSession, e: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
@@ -190,7 +185,7 @@ object Similarity {
         norm2(col("embedding")).as("q_nrm"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("dist2", aggregate(
         zip_with(col("q_emb"), col("centroid"),
           (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
@@ -198,9 +193,11 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= NProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
-    val n = model.transform(e.where(col("vec_id") >= 10))
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        norm2(col("embedding")).as("n_nrm"), col("cell"))
+  }
+
+  /** Exact cosine + per-query top-5 over probed (query, corpus-cell)
+    * pairs — shared tail of s04 and s07. */
+  private def probeTopK(probes: DataFrame, n: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     probes.hint("broadcast").join(n, Seq("cell"))
@@ -210,6 +207,70 @@ object Similarity {
       .where(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
       .orderBy("q_id", "rank")
+  }
+
+  def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val model = ivfModel(e, d)
+    // query and corpus sides split BEFORE the model transform: the corpus
+    // sub-plan (the dominant scan at scale) appears exactly once in the
+    // executed plan, and the query side never runs the assignment at all —
+    // probe cells come from the broadcast centroid table (ivfProbes). The
+    // bucketed-by-cell corpus layout this delegates to at 100 TB is s07.
+    val n = model.transform(e.where(col("vec_id") >= 10))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        norm2(col("embedding")).as("n_nrm"), col("cell"))
+    probeTopK(ivfProbes(s, e, model), n)
+  }
+
+  // ---------------------------------------------------------------- s07
+  /** IVF with the corpus PHYSICALLY bucketed by cell: the assignment runs
+    * once as an index-build write (`partitionBy("cell")` parquet, norms
+    * precomputed), and each probe reads ONLY the probed cell partitions —
+    * static partition pruning, so a query touches ~NProbe/k of the stored
+    * bytes (SimilaritySpec asserts the PartitionFilters in the plan).
+    * This is the disk layout a 100 TB ANN corpus actually uses; the
+    * driver gate pins exact agreement with the join-formulated s04 (same
+    * model, same probes, same tie-breaks → identical top-k). */
+  def s07AnnIvfBucketed(s: SparkSession, d: String): DataFrame = {
+    val viaBuckets = ivfBucketedTopK(s, d)
+    val viaJoin = s04AnnIvf(s, d)
+    val extra = viaBuckets.exceptAll(viaJoin).agg(count(lit(1)).as("extra"))
+    val missing = viaJoin.exceptAll(viaBuckets).agg(count(lit(1)).as("missing"))
+    viaJoin.agg(count_distinct(col("q_id")).as("n_queries"))
+      .crossJoin(extra).crossJoin(missing)
+      .select(col("n_queries"),
+        (col("extra") === 0 && col("missing") === 0).as("results_match"))
+  }
+
+  val s07Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries, true AS results_match""".stripMargin
+
+  /** The bucketed path itself (also spec-asserted for partition pruning):
+    * build-once cell-partitioned corpus, probe-time scan restricted to the
+    * probed cells. */
+  def ivfBucketedTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val model = ivfModel(e, d)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    if (!graft.sources.HadoopIO.exists(dir, graft.sources.HadoopIO.driverConf()))
+      model.transform(e.where(col("vec_id") >= 10))
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          norm2(col("embedding")).as("n_nrm"), col("cell"))
+        .write.partitionBy("cell").parquet(dir)
+    val corpus = s.read.parquet(dir)
+    val probes = ivfProbes(s, e, model)
+    // probed cell set is ≤ k = 16 values — a bounded driver collect that
+    // turns the probe into LITERAL partition filters on the bucketed scan
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    probeTopK(probes,
+      corpus.where(col("cell").isin(probedCells.map(Int.box): _*)))
   }
 
   // ---------------------------------------------------------------- s05
@@ -316,11 +377,13 @@ object Similarity {
     "s03_embed_norms" -> (s03EmbedNorms _),
     "s04_ann_ivf"    -> (s04AnnIvf _),
     "s05_ann_recall_gate" -> (s05AnnRecallGate _),
-    "s06_embed_quantize" -> (s06EmbedQuantize _))
+    "s06_embed_quantize" -> (s06EmbedQuantize _),
+    "s07_ann_ivf_bucketed" -> (s07AnnIvfBucketed _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
     "s03_embed_norms" -> s03Sql,
     "s05_ann_recall_gate" -> s05Sql,
-    "s06_embed_quantize" -> s06Sql)
+    "s06_embed_quantize" -> s06Sql,
+    "s07_ann_ivf_bucketed" -> s07Sql)
 }

@@ -112,6 +112,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ivfRecall > 0.3, s"IVF recall $ivfRecall collapsed")
   }
 
+  test("s07 bucketed IVF scans only the probed cell partitions") {
+    val df = Similarity.ivfBucketedTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probed-cell isin must reach the bucketed scan as PARTITION
+    // filters (pruned directories), not as a post-scan row filter
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(3000))
+    // and the bucketed formulation returns exactly the join formulation
+    val viaJoin = Similarity.s04AnnIvf(spark, sf)
+    assert(df.except(viaJoin).isEmpty && viaJoin.except(df).isEmpty)
+  }
+
   test("q01 aggregation is partial (map-side) + final — two HashAggregate levels") {
     val plan = Relational.q01PricingSummary(spark, sf)
       .queryExecution.executedPlan.toString
