@@ -140,24 +140,30 @@ object Sam {
   }
 
   /** As [[writeSingleSam]] but with an explicit header (e.g. reconstructed
-    * from a BAM dictionary when no SAM source exists). */
+    * from a BAM dictionary when no SAM source exists). All commit-side I/O
+    * goes through the Hadoop FileSystem, so the single file can land on
+    * HDFS/S3 like every other sink; the records stay distributed until the
+    * final text write, whose part files are concatenated byte-for-byte. */
   def writeSingleSamWithHeader(header: Seq[String], records: DataFrame,
       out: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val lines = records.select(col("line")).coalesce(1)
+    import org.apache.hadoop.fs.Path
+    val conf = records.sparkSession.sparkContext.hadoopConfiguration
     val tmp = out + ".tmp"
-    lines.write.mode("overwrite").text(tmp)
-    val dataFiles = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sorted
-    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(out))
-    header.foreach { h => w.write(h); w.newLine() }
-    dataFiles.foreach { f =>
-      java.nio.file.Files.lines(f.toPath).iterator().asScala.foreach { l =>
-        w.write(l); w.newLine()
+    records.select(col("line")).coalesce(1).write.mode("overwrite").text(tmp)
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val parts = fs.listStatus(tmpPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val w = fs.create(new Path(out), true)
+    try {
+      val headerBytes = header.mkString("", "\n", "\n").getBytes("UTF-8")
+      w.write(headerBytes)
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        try in.transferTo(w) finally in.close()
       }
-    }
-    w.close()
-    dataFiles.foreach(_.delete())
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    } finally w.close()
+    fs.delete(tmpPath, true)
   }
 }

@@ -159,16 +159,49 @@ object TextAnalysis {
       |  CAST(COUNT(*) AS BIGINT) AS n_shift_robust, true AS all_ok
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  /** Stratified corpus sampling — the domain-mixing step of a training-data
+    * pipeline: each language stratum keeps a configured fraction of its
+    * documents. The selector is DETERMINISTIC per row (doc_id modulus, not
+    * an RNG), so the sample is reproducible across runs/partitionings and
+    * exactly restatable by the oracle; at 100 TB this is a narrow scan —
+    * no shuffle, no per-stratum pass, the mix lands in one pipeline. The
+    * per-stratum rollup reports achieved rates next to the targets. */
+  private val SampleRates: Map[String, Int] = // percent kept, per lang
+    Map("en" -> 50, "zh" -> 80, "de" -> 100, "es" -> 25, "fr" -> 10)
+
+  def t06StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(0)) { case (e, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(e)
+    }
+    Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(100)) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  val t06Sql: String =
+    """SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      |FROM documents
+      |WHERE doc_id % 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 80
+      |  WHEN 'de' THEN 100 WHEN 'es' THEN 25 WHEN 'fr' THEN 10 ELSE 0 END)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
     "t03_langid"      -> (t03LangId _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_fingerprint_gate" -> (t05FingerprintGate _))
+    "t05_fingerprint_gate" -> (t05FingerprintGate _),
+    "t06_stratified_sample" -> (t06StratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
     "t02_quality"     -> t02Sql,
     "t03_langid"      -> t03Sql,
-    "t05_fingerprint_gate" -> t05Sql)
+    "t05_fingerprint_gate" -> t05Sql,
+    "t06_stratified_sample" -> t06Sql)
 }
