@@ -222,91 +222,10 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     false
   }
 
-  /** Find the first record boundary at-or-after member `from`: inflate a
-    * validation window, try every offset in the first member as a record
-    * start, accept when a chain of records decodes with all the spec's
-    * invariants holding (refId range, name NUL-termination + charset,
-    * CIGAR op codes, size arithmetic). Returns a stream positioned at the
-    * boundary, or None if no record starts in [from, rangeEnd). */
-  private def syncToRecord(from: Long): Option[BgzfInputStream] = {
-    var memberOff = from
-    while (memberOff < fileLen && memberOff < rangeEnd) {
-      val ws = new BgzfInputStream(ch, memberOff)
-      // split the window into [bytes of first member][rest]
-      val firstLen = {
-        var n = 0
-        var more = true
-        while (more && ws.memberStart == memberOff) {
-          if (ws.read() < 0) more = false else n += 1
-        }
-        n
-      }
-      val nextOff = ws.memberStart // boundary after the first member
-      ws.close()
-      val w = new java.io.ByteArrayOutputStream()
-      val ws2 = new BgzfInputStream(ch, memberOff)
-      val buf = new Array[Byte](1 << 16)
-      var r = ws2.read(buf)
-      while (r > 0 && w.size < (1 << 20)) { w.write(buf, 0, r); r = ws2.read(buf) }
-      ws2.close()
-      val wb = w.toByteArray
-      var p = 0
-      while (p < firstLen) {
-        if (validChain(wb, p)) {
-          val rs = new BgzfInputStream(ch, memberOff)
-          HadoopIO.skipFully(rs, p.toLong, s"$path record sync at $memberOff")
-          return Some(rs)
-        }
-        p += 1
-      }
-      memberOff = if (nextOff > memberOff) nextOff else fileLen
-    }
-    None
-  }
-
-  private def le16(w: Array[Byte], p: Int): Int =
-    (w(p) & 0xff) | ((w(p + 1) & 0xff) << 8)
-  private def le32(w: Array[Byte], p: Int): Int =
-    (w(p) & 0xff) | ((w(p + 1) & 0xff) << 8) |
-      ((w(p + 2) & 0xff) << 16) | ((w(p + 3) & 0xff) << 24)
-
-  /** Validate up to 3 consecutive records starting at w(p0); a prefix that
-    * runs off the window accepts iff at least one full record validated. */
-  private def validChain(w: Array[Byte], p0: Int): Boolean = {
-    var p = p0
-    var k = 0
-    while (k < 3) {
-      if (p + 36 > w.length) return k > 0
-      val bs = le32(w, p)
-      if (bs < 32 || bs > (1 << 26)) return false
-      val refId = le32(w, p + 4)
-      if (refId < -1 || refId >= refNames.length) return false
-      if (le32(w, p + 8) < -1) return false // pos
-      val lName = w(p + 12) & 0xff
-      if (lName < 1) return false
-      val nCigar = le16(w, p + 16)
-      val lSeq = le32(w, p + 20)
-      if (lSeq < 0) return false
-      if (32 + lName + 4L * nCigar + (lSeq + 1) / 2 + lSeq > bs) return false
-      if (p + 36 + lName > w.length) return k > 0
-      var i = p + 36
-      while (i < p + 36 + lName - 1) {
-        val c = w(i) & 0xff
-        if (c < 33 || c > 126) return false // QNAME charset per spec §1.4
-        i += 1
-      }
-      if (w(p + 36 + lName - 1) != 0) return false
-      var q = p + 36 + lName
-      var j = 0
-      while (j < nCigar && q + 4 <= w.length) {
-        if ((le32(w, q) & 0xf) > 8) return false
-        q += 4; j += 1
-      }
-      p += 4 + bs
-      k += 1
-    }
-    true
-  }
+  /** Find the first record boundary at-or-after member `from` — shared
+    * validated-guessing machinery in [[BamSync]]. */
+  private def syncToRecord(from: Long): Option[BgzfInputStream] =
+    BamSync.syncToRecord(ch, from, rangeEnd, refNames.length, path)
 
   /** Decodes one record, or returns null if a pushed filter rejects it —
     * rejected records skip straight over the name/cigar/sequence/tag bytes

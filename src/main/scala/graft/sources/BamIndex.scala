@@ -140,6 +140,137 @@ object BamIndex {
     } finally ch.close()
   }
 
+  /** Executor-parallel index build over byte-range splits — the form a
+    * 100 TB corpus actually gets indexed with ([[build]]'s sequential scan
+    * is the fixture/CLI path). Each task owns a raw range [start, end):
+    * it enumerates the member boundaries in it (BSIZE hops from the first
+    * validated boundary), re-synchronizes to a record start with the same
+    * [[BamSync]] guesser the un-indexed reader uses (or the exact header
+    * end, driver-supplied, when the range contains it), and accumulates
+    * the per-member stats of the records STARTING in its members — the
+    * identical attribution rule to the reader's split protocol, so task
+    * outputs are disjoint by construction. The driver merges the tiny
+    * per-member rows and writes a sidecar byte-identical to [[build]]'s
+    * (BamIndexSpec asserts exactly that). */
+  def buildDistributed(s: org.apache.spark.sql.SparkSession, bam: String,
+      splitSize: Long = 16L * 1024 * 1024): Int = {
+    val confBox = HadoopIO.capture()
+    // driver-side header parse: nRef for the guesser's refId validation +
+    // the exact virtual position where records begin
+    val (fileLen, nRef, hdrMember, hdrU) = {
+      val ch = new SeekableFile(bam, confBox.conf)
+      try {
+        val in = new BgzfInputStream(ch, 0L)
+        val din = new DataInputStream(in)
+        def i32(): Int = {
+          val b0 = din.read(); val b1 = din.read(); val b2 = din.read(); val b3 = din.read()
+          if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+          b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        }
+        val magic = new Array[Byte](4); din.readFully(magic)
+        require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)), s"not BAM: $bam")
+        HadoopIO.skipFully(din, i32().toLong, s"$bam header text")
+        val n = i32()
+        var r = 0
+        while (r < n) { HadoopIO.skipFully(din, i32().toLong, s"$bam ref dict"); i32(); r += 1 }
+        val (m, u) = in.virtualPos
+        (ch.size, n, m, u)
+      } finally ch.close()
+    }
+    val ranges = (0L until fileLen by splitSize)
+      .map(st => (st, math.min(st + splitSize, fileLen)))
+    val results = s.sparkContext
+      .parallelize(ranges, ranges.size)
+      .map { case (start, end) =>
+        scanRange(bam, confBox, start, end, fileLen, nRef, hdrMember, hdrU)
+      }
+      .collect()
+    val stats = scala.collection.mutable.HashMap.empty[Long, MemberStat]
+    results.foreach(_._2.foreach(st => stats.put(st.offset, st)))
+    val offsets = results.flatMap(_._1).distinct.sorted
+    val entries = offsets.map { off =>
+      stats.getOrElse(off, MemberStat(off, -1, Int.MaxValue, Int.MinValue,
+        Int.MaxValue, Int.MinValue))
+    }
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      HadoopIO.create(sidecarPath(bam), confBox.conf)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(entries.length)
+      entries.foreach { e =>
+        out.writeLong(e.offset); out.writeInt(e.firstRecUoffset)
+        out.writeInt(e.minRef); out.writeInt(e.maxRef)
+        out.writeInt(e.minPos); out.writeInt(e.maxPos)
+      }
+      entries.length
+    } finally out.close()
+  }
+
+  /** One task's contribution: (member boundaries in [start,end), stats of
+    * records starting in those members). Runs on an executor. */
+  private def scanRange(bam: String, confBox: HadoopIO.ConfBox, start: Long,
+      end: Long, fileLen: Long, nRef: Int, hdrMember: Long, hdrU: Int)
+      : (Seq[Long], Seq[MemberStat]) = {
+    val ch = new SeekableFile(bam, confBox.conf)
+    try {
+      val firstMember =
+        if (start == 0) 0L else Bgzf.nextMemberStart(ch, start, fileLen)
+      if (firstMember >= end || firstMember >= fileLen) return (Nil, Nil)
+      // enumerate boundaries by BSIZE hops (18-byte positioned reads)
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val hdr = new Array[Byte](18)
+      var off = firstMember
+      var ok = true
+      while (ok && off < end) {
+        val got = ch.readAtFully(off, hdr)
+        val total = Bgzf.memberLength(hdr, 0, got)
+        if (total <= 0) ok = false
+        else { offsets += off; off += total }
+      }
+      // position at the first owned record: exact header end if this range
+      // holds it, validated guessing otherwise
+      val streamOpt: Option[BgzfInputStream] =
+        if (firstMember <= hdrMember) {
+          if (hdrMember >= end) None
+          else {
+            val st = new BgzfInputStream(ch, hdrMember)
+            HadoopIO.skipFully(st, hdrU.toLong, s"$bam header end")
+            Some(st)
+          }
+        } else BamSync.syncToRecord(ch, firstMember, end, nRef, bam)
+      val stats = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Int]]
+      streamOpt.foreach { in =>
+        val din = new DataInputStream(in)
+        def i32(): Int = {
+          val b0 = din.read(); val b1 = din.read(); val b2 = din.read(); val b3 = din.read()
+          if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+          b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        }
+        var done = false
+        while (!done) {
+          val (mOff, uOff) = in.virtualPos
+          if (mOff >= end || mOff >= fileLen) done = true
+          else {
+            try {
+              val blockSize = i32()
+              val refId = i32()
+              val pos = i32()
+              HadoopIO.skipFully(din, (blockSize - 8).toLong, s"$bam record at $mOff+$uOff")
+              val st = stats.getOrElseUpdate(mOff, Array(-1, Int.MaxValue,
+                Int.MinValue, Int.MaxValue, Int.MinValue))
+              if (st(0) < 0) st(0) = uOff
+              st(1) = math.min(st(1), refId); st(2) = math.max(st(2), refId)
+              st(3) = math.min(st(3), pos); st(4) = math.max(st(4), pos)
+            } catch { case _: EOFException => done = true }
+          }
+        }
+        in.close()
+      }
+      (offsets.toSeq,
+        stats.toSeq.map { case (o, a) => MemberStat(o, a(0), a(1), a(2), a(3), a(4)) })
+    } finally ch.close()
+  }
+
   def read(bam: String, conf: Configuration = new Configuration()): Array[MemberStat] = {
     val in = new DataInputStream(new java.io.BufferedInputStream(
       HadoopIO.open(sidecarPath(bam), conf)))

@@ -20,6 +20,22 @@ class BamIndexSpec extends SparkSpec {
     dst.toString
   }
 
+  test("distributed index build == sequential, byte-for-byte, all split sizes") {
+    for (fixture <- Seq("mito/sample_split.bam", "mito/sample_sorted.bam")) {
+      val bam = indexed(fixture) // sequential sidecar
+      val seqBytes = Files.readAllBytes(Paths.get(bam + ".gai"))
+      // range sizes forcing many tasks (some mid-member, some mid-header)
+      for (split <- Seq(32768L, 7001L)) {
+        Files.delete(Paths.get(bam + ".gai"))
+        val n = BamIndex.buildDistributed(spark, bam, split)
+        assert(n > 1)
+        val distBytes = Files.readAllBytes(Paths.get(bam + ".gai"))
+        assert(java.util.Arrays.equals(distBytes, seqBytes),
+          s"$fixture @ split=$split: distributed sidecar differs")
+      }
+    }
+  }
+
   test("index positions splits exactly: indexed scan == unindexed, all split sizes") {
     val bam = indexed("mito/sample_split.bam")
     val plain = spark.read.format("bam")
