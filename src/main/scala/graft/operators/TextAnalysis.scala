@@ -78,42 +78,50 @@ object TextAnalysis {
     "es" -> "\\b(el|los|las|y|es)\\b",
     "zh" -> "\\b(de|shi|le|zai|he)\\b")
 
-  def t03LangId(s: SparkSession, d: String): DataFrame = {
-    val lowered = lower(col("text"))
-    val hits: Seq[(String, Column)] =
-      markers.map { case (l, p) => l -> regexCount(lowered, p) }
-    // argmax with first-listed-wins tie-break
-    val best = hits.tail.foldLeft((lit(hits.head._1), hits.head._2)) {
+  /** Marker-hit argmax with first-listed-wins tie-break — the langid
+    * kernel shared by t03 (per-doc report) and t07 (pipeline stage). */
+  private def langGuess(hits: Seq[(String, Column)]): Column =
+    hits.tail.foldLeft((lit(hits.head._1), hits.head._2)) {
       case ((bl, bc), (l, c)) =>
         (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
-    }
+    }._1
+
+  /** The same argmax fold over `hits_<lang>` SQL aliases (oracle side). */
+  private def langGuessSql: String =
+    markers.tail.foldLeft(s"'${markers.head._1}'" -> s"hits_${markers.head._1}") {
+      case ((bl, bc), (l, _)) =>
+        (s"CASE WHEN hits_$l > $bc THEN '$l' ELSE $bl END",
+          s"CASE WHEN hits_$l > $bc THEN hits_$l ELSE $bc END")
+    }._1
+
+  private def markerHits(txt: Column): Seq[(String, Column)] = {
+    val lowered = lower(txt)
+    markers.map { case (l, p) => l -> regexCount(lowered, p) }
+  }
+
+  def t03LangId(s: SparkSession, d: String): DataFrame = {
+    val hits = markerHits(col("text"))
     val outCols = Seq(col("doc_id"), col("lang")) ++
-      hits.map { case (l, c) => c.as(s"hits_$l") } :+ best._1.as("guess")
+      hits.map { case (l, c) => c.as(s"hits_$l") } :+ langGuess(hits).as("guess")
     Tables.documents(s, d)
       .select(outCols: _*)
       .withColumn("is_match", (col("guess") === col("lang")).cast("int"))
       .orderBy("doc_id")
   }
 
-  val t03Sql: String = {
-    val hitCols = markers.map { case (l, p) =>
-      s"len(regexp_extract_all(lower(text), '$p')) AS hits_$l"
-    }.mkString(",\n  ")
-    // same left fold, first-listed-wins on ties
-    val guess = markers.tail.foldLeft(s"'${markers.head._1}'" -> s"hits_${markers.head._1}") {
-      case ((bl, bc), (l, _)) =>
-        (s"CASE WHEN hits_$l > $bc THEN '$l' ELSE $bl END",
-          s"CASE WHEN hits_$l > $bc THEN hits_$l ELSE $bc END")
-    }._1
+  private def hitColsSql: String = markers.map { case (l, p) =>
+    s"len(regexp_extract_all(lower(text), '$p')) AS hits_$l"
+  }.mkString(",\n  ")
+
+  val t03Sql: String =
     s"""SELECT doc_id, lang, ${markers.map(m => s"hits_${m._1}").mkString(", ")},
        |  guess, CAST(guess = lang AS INTEGER) AS is_match
        |FROM (
        |  SELECT doc_id, lang,
-       |  $hitCols,
-       |  $guess AS guess
+       |  $hitColsSql,
+       |  $langGuessSql AS guess
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- t04
   /** Winnowing fingerprints (k=5, w=4): per-doc fingerprint count and a
@@ -190,18 +198,100 @@ object TextAnalysis {
       |  WHEN 'de' THEN 100 WHEN 'es' THEN 25 WHEN 'fr' THEN 10 ELSE 0 END)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** The curation pipeline END-TO-END — the composition a training-data
+    * run actually executes, wired as ONE declarative plan: language-ID
+    * (t03's marker argmax) → quality gate (length / token / digit-ratio
+    * floors) → exact dedup among the quality survivors (keep lowest
+    * doc_id per content hash) → stratified sample at per-language rates
+    * (t06's deterministic doc_id-modulus selector) → per-language funnel
+    * report (docs in → langid agreement → quality → unique → sampled,
+    * plus kept tokens).
+    *
+    * Scale shape: all per-doc signals are narrow (one corpus scan, no
+    * UDFs); the ONLY data-sized shuffle is the dedup window, partitioned
+    * by (md5, quality) — uniform by construction, no skew; the rollup is
+    * a handful of groups. At 100 TB this is one scan stage + one
+    * skew-free exchange, and every stage is deterministic, so the whole
+    * funnel is restatable by the oracle (no RNG, no sketch). */
+  def t07CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val nTok = size(tokens(txt))
+    val quality = length(txt) >= 100 && nTok >= 20 &&
+      regexCount(txt, "[0-9]") * 5 <= length(txt) // digit ratio < 20%
+    val flagged = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      (langGuess(markerHits(txt)) === col("lang")).as("guess_ok"),
+      quality.as("q"), nTok.as("n_tok"),
+      md5(encode(txt, "UTF-8")).as("h"))
+    // dedup rank within (hash, quality): the lowest-id QUALITY copy is the
+    // keeper; low-quality copies rank in their own partition and never win
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("q")).orderBy(col("doc_id").asc)
+    val rate = SampleRates.foldLeft(lit(0)) { case (e, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(e)
+    }
+    flagged
+      .withColumn("uniq", col("q") && row_number().over(w) === 1)
+      .withColumn("sampled", col("uniq") && pmod(col("doc_id"), lit(100)) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("guess_ok").cast("long")).as("n_guess_match"),
+        sum(col("q").cast("long")).as("n_quality"),
+        sum(col("uniq").cast("long")).as("n_unique"),
+        sum(col("sampled").cast("long")).as("n_sampled"),
+        sum(when(col("sampled"), col("n_tok")).otherwise(0)).cast("long")
+          .as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val t07Sql: String = {
+    val rateCase = SampleRates
+      .map { case (l, p) => s"WHEN '$l' THEN $p" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, text,
+       |    $hitColsSql,
+       |    ($langGuessSql = lang) AS guess_ok,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+       |    (LENGTH(text) >= 100
+       |      AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 20
+       |      AND len(regexp_extract_all(text, '[0-9]')) * 5 <= LENGTH(text))
+       |      AS q
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(text), q ORDER BY doc_id) AS rn
+       |  FROM scored),
+       |fin AS (
+       |  SELECT lang, guess_ok, q, (q AND rn = 1) AS uniq,
+       |    (q AND rn = 1 AND doc_id % 100 < $rateCase) AS sampled, n_tok
+       |  FROM ranked)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN guess_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_guess_match,
+       |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(SUM(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
     "t03_langid"      -> (t03LangId _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_fingerprint_gate" -> (t05FingerprintGate _),
-    "t06_stratified_sample" -> (t06StratifiedSample _))
+    "t06_stratified_sample" -> (t06StratifiedSample _),
+    "t07_curation_pipeline" -> (t07CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
     "t02_quality"     -> t02Sql,
     "t03_langid"      -> t03Sql,
     "t05_fingerprint_gate" -> t05Sql,
-    "t06_stratified_sample" -> t06Sql)
+    "t06_stratified_sample" -> t06Sql,
+    "t07_curation_pipeline" -> t07Sql)
 }

@@ -32,14 +32,21 @@ object BamIndex {
 
   def sidecarPath(bam: String): String = bam + ".gai"
 
-  /** CLI: `runMain graft.sources.BamIndex <file.bam> ...` builds sidecars
-    * (the samtools-index analogue). */
+  /** CLI: `runMain graft.sources.BamIndex [--distributed] <file.bam> ...`
+    * builds sidecars (the samtools-index analogue). `--distributed` fans
+    * the byte-range scan out over a Spark job ([[buildDistributed]]) —
+    * the form that indexes a corpus-sized BAM in one cluster pass. */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BamIndex <file.bam> [more.bam ...]")
-    args.foreach { p =>
-      val n = build(p)
+    val (flags, paths) = args.partition(_.startsWith("--"))
+    require(paths.nonEmpty,
+      "usage: BamIndex [--distributed] <file.bam> [more.bam ...]")
+    val dist = flags.contains("--distributed")
+    val spark = if (dist) Some(org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-gai").getOrCreate()) else None
+    try paths.foreach { p =>
+      val n = spark.map(buildDistributed(_, p)).getOrElse(build(p))
       println(s"[gai] indexed $p: $n members -> ${sidecarPath(p)}")
-    }
+    } finally spark.foreach(_.stop())
   }
 
   /** A usable sidecar exists: present AND at least as new as the BAM —
@@ -53,9 +60,9 @@ object BamIndex {
 
   /** One sequential pass over the BAM: per member, the intra-member offset
     * of the first record starting there (-1 if none) and the min/max
-    * (refId, pos) over records starting there. (Executor-parallel builds
-    * would reuse the byte-range split + guesser machinery; the index is
-    * built once per file, so the sequential form is kept simple.) */
+    * (refId, pos) over records starting there. [[buildDistributed]] is the
+    * executor-parallel form (byte-range splits + the [[BamSync]] guesser);
+    * this sequential pass is the no-session CLI/fixture path. */
   def build(bam: String, conf: Configuration = new Configuration()): Int = {
     val ch = new SeekableFile(bam, conf)
     try {

@@ -29,6 +29,23 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("t07 curation funnel is monotone and dedup-consistent per language") {
+    val rows = TextAnalysis.t07CurationPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q, u, smp) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n >= q && q >= u && u >= smp,
+        s"${r.getString(0)}: funnel not monotone ($n >= $q >= $u >= $smp)")
+    }
+    // the pipeline's unique count across all languages equals d06's
+    // standalone dedup when every doc passes quality — cross-check on the
+    // subset relation instead: uniq total <= distinct content hashes
+    val totalUniq = rows.map(_.getLong(4)).sum
+    val distinctHashes = graft.Tables.documents(spark, sf)
+      .select(md5(encode(col("text"), "UTF-8"))).distinct().count()
+    assert(totalUniq <= distinctHashes)
+  }
+
   test("d04 banded simhash == quadratic all-pairs (pigeonhole recall)") {
     // the 9-band candidate generation must lose NOTHING vs all-pairs at
     // hamming <= 8 (guaranteed recall), and add nothing (exact verify)
