@@ -45,6 +45,10 @@ object Dedup {
     // by ShingleHashes), sizes precomputed per doc
     a.join(b, Seq("lang", "source"))
       .where(col("a_id") < col("b_id"))
+      // lossless size prune BEFORE the per-pair merge: |A∩B| ≤ min and
+      // |A∪B| ≥ max, so J ≥ 0.5 requires min ≥ 0.5·max — pairs with a
+      // 2× set-size imbalance can never verify and skip the kernel
+      .where(col("a_n") * 0.5 <= col("b_n") && col("b_n") * 0.5 <= col("a_n"))
       .withColumn("n_common",
         graft.functions.IntersectCountExpr.intersectCountSorted(
           col("a_sh"), col("b_sh")))
@@ -378,6 +382,9 @@ object Dedup {
         col("n_sh").as("a_n")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
         col("n_sh").as("b_n")), Seq("b_id"))
+      // lossless size prune (see d02): J ≥ t requires min ≥ t·max
+      .where(col("a_n") * threshold <= col("b_n") &&
+        col("b_n") * threshold <= col("a_n"))
       .withColumn("n_common",
         graft.functions.IntersectCountExpr.intersectCountSorted(
           col("a_sh"), col("b_sh")))

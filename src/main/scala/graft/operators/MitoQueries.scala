@@ -167,7 +167,9 @@ object MitoQueries {
     val out = s"${sys.props("java.io.tmpdir")}/graft_x03_$sfTag.bam"
     BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
       Seq("chrM" -> 16569), out)
-    BamIndex.build(out, HadoopIO.driverConf())
+    // executor-parallel sidecar build — x03 now drives the distributed
+    // indexer (byte-identical to the sequential form, BamIndexSpec)
+    BamIndex.buildDistributed(s, out, splitSize = 256 * 1024)
     // 64 KB ranges force many intra-file BGZF splits even at sf0.01
     val back = s.read.format("bam").option("splitsize", 64 * 1024).load(out)
     val m = Sam.attrMap(col("attributes"))
