@@ -157,7 +157,9 @@ object Sam {
       .sortBy(_.getPath.getName)
     val w = fs.create(new Path(out), true)
     try {
-      val headerBytes = header.mkString("", "\n", "\n").getBytes("UTF-8")
+      // per-line suffix, not mkString's unconditional one: an empty header
+      // must contribute zero bytes, not a lone newline
+      val headerBytes = header.map(_ + "\n").mkString.getBytes("UTF-8")
       w.write(headerBytes)
       parts.foreach { p =>
         val in = fs.open(p.getPath)

@@ -164,7 +164,10 @@ object MitoQueries {
       lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
       concat(lit("NM:i:"), col("l_suppkey") % 4, lit(" NH:i:1")).as("attributes"))
     val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_x03_$sfTag.bam"
+    // scratch root is conf-driven (spark.graft.scratchDir): executors
+    // re-read this BAM via format("bam"), so on a real cluster it must be
+    // a shared store, not the driver's local tmp
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x03_$sfTag.bam"
     BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
       Seq("chrM" -> 16569), out)
     // executor-parallel sidecar build — x03 now drives the distributed

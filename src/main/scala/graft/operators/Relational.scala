@@ -870,21 +870,22 @@ object Relational {
     val path = s"$d/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     // the file source monitors a DIRECTORY; stage the events file into a
-    // scratch dir via hard link (copy if the fs refuses) — the stream then
-    // discovers and replays it as a micro-batch
-    val stageDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q35_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    java.nio.file.Files.createDirectories(stageDir)
-    val staged = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged)) {
-      val src = java.nio.file.Paths.get(path)
-      try java.nio.file.Files.createLink(staged, src)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(src, staged,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    // scratch dir through the Hadoop FS, re-staging whenever the source's
+    // (length, mtime) moved — a regenerated dataset must never replay a
+    // stale staged copy
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q35_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = s"$stageDir/events.parquet"
+    val src = HadoopIO.lenAndMtime(path, conf)
+      .getOrElse(sys.error(s"q35 source missing: $path"))
+    val fresh = HadoopIO.lenAndMtime(staged, conf) match {
+      case Some((len, mtime)) => len == src._1 && mtime >= src._2
+      case None => false
     }
-    val raw = s.readStream.schema(rawSchema).parquet(stageDir.toString)
+    if (!fresh) HadoopIO.copy(path, staged, conf)
+    val raw = s.readStream.schema(rawSchema).parquet(stageDir)
     // watermarks require TIMESTAMP (tz-aware); the session runs UTC so the
     // cast is value-preserving and the output hour casts back to NTZ below
     val events =

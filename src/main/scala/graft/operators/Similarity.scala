@@ -167,9 +167,19 @@ object Similarity {
   def rebuildIvfIndex(s: SparkSession, d: String): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     ivfModels.remove(d)
+    // the bucketed corpus dir (s07) is derived from the same model + source
+    // — a model invalidation must drop it too, or s07 silently probes a
+    // layout built from the previous index
+    graft.sources.HadoopIO.delete(ivfBucketedDir(s, d),
+      graft.sources.HadoopIO.driverConf())
     ivfModel(Tables.embeddings(s, d)
       .withColumn("vec", array_to_vector(col("embedding"))), d)
   }
+
+  /** Scratch location of the cell-partitioned corpus for `d` (s07). */
+  private def ivfBucketedDir(s: SparkSession, d: String): String =
+    s"${graft.sources.HadoopIO.scratchDir(s)}/graft_ivf_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Per-query probe targets: each of the 10 query vectors paired with
     * its NProbe nearest centroids (broadcast centroid table, no corpus
@@ -256,13 +266,24 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .withColumn("vec", array_to_vector(col("embedding")))
     val model = ivfModel(e, d)
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
-    if (!graft.sources.HadoopIO.exists(dir, graft.sources.HadoopIO.driverConf()))
+    val dir = ivfBucketedDir(s, d)
+    // reuse the build-once layout only when it COMMITTED (_SUCCESS — a
+    // half-written dir from a crashed run has none) and is at least as new
+    // as the embeddings source; otherwise drop and rebuild
+    val conf = graft.sources.HadoopIO.driverConf()
+    val fresh =
+      (graft.sources.HadoopIO.lenAndMtime(s"$dir/_SUCCESS", conf),
+        graft.sources.HadoopIO.lenAndMtime(s"$d/embeddings.parquet", conf)) match {
+        case (Some((_, built)), Some((_, src))) => built >= src
+        case _ => false
+      }
+    if (!fresh) {
+      graft.sources.HadoopIO.delete(dir, conf)
       model.transform(e.where(col("vec_id") >= 10))
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           norm2(col("embedding")).as("n_nrm"), col("cell"))
         .write.partitionBy("cell").parquet(dir)
+    }
     val corpus = s.read.parquet(dir)
     val probes = ivfProbes(s, e, model)
     // probed cell set is ≤ k = 16 values — a bounded driver collect that

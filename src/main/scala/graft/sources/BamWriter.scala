@@ -10,13 +10,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * v1.6 spec.
   *
   * BGZF is concatenation-safe (independent gzip members), so the encode +
-  * deflate — the actual CPU cost — runs in EXECUTORS: each partition maps
-  * to one self-contained run of BGZF members (`mapPartitions`), and the
-  * driver only funnels the already-compressed chunks to the output in
-  * partition order (`toLocalIterator`, one in-flight partition) and
-  * appends the EOF marker — the same commit shape as every distributed
-  * single-file sink, with the driver doing O(compressed bytes) I/O and
-  * zero per-record work. */
+  * deflate — the actual CPU cost — runs in EXECUTORS: each task streams
+  * its partition as one self-contained run of BGZF members straight to a
+  * part-file on the output's filesystem (bounded memory: one ~60 KB member
+  * buffer, never a whole-partition array), and the driver only
+  * concatenates the part-files in partition order and appends the
+  * file-level EOF marker — the same commit shape as the SAM sink
+  * ([[graft.mito.Sam.writeSingleSamWithHeader]]) and as hadoop-bam's
+  * part-file merge the reference relied on. No record bytes ever transit
+  * the driver, so partition size is bounded by store capacity, not by
+  * executor/driver heap or `spark.driver.maxResultSize`. */
 object BamWriter {
 
   private val SeqCode: Map[Char, Int] =
@@ -48,22 +51,52 @@ object BamWriter {
 
   /** Write `records` (the sam/bam source schema) as one BAM file.
     *
-    * Encode + deflate run distributed: each partition becomes one
-    * self-contained run of BGZF members in an executor; the driver writes
-    * the header members, streams the compressed partition chunks to the
-    * file in order (`toLocalIterator` — one in-flight partition), and
-    * appends the EOF marker. (A chunk is a partition's COMPRESSED bytes —
-    * for outputs beyond single-file scale the same chunks would go to
-    * part-files + a store-side concat.) */
+    * Encode + deflate run distributed: each task streams its partition as
+    * one self-contained run of BGZF members to
+    * `<out>.parts/part-<pid>-<attempt>` via the Hadoop FS (only the
+    * current ≤60 KB member is ever buffered — never a whole-partition
+    * array); the driver then writes the header members, concatenates the
+    * part-files of the SUCCESSFUL attempts in partition order (byte copy,
+    * no decode), appends the file-level EOF marker, and drops the scratch
+    * dir. Failed/zombie task attempts write distinct part names the driver
+    * never reads, so retries and speculation are safe. */
   def write(records: DataFrame, headerText: String,
       refs: Seq[(String, Int)], out: String): Long = {
+    import org.apache.hadoop.fs.Path
     val refIndex = refs.map(_._1).zipWithIndex.toMap
-    val os = HadoopIO.create(out,
-      records.sparkSession.sparkContext.hadoopConfiguration)
+    val confBox = HadoopIO.capture()
+    val partsDir = out + ".parts"
+
+    import org.apache.spark.sql.Encoders
+    val parts = records.select("readName", "flag", "referenceName",
+      "start", "mapQ", "cigar", "rnext", "pnext", "tlen", "sequence",
+      "qual", "attributes")
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val path = f"$partsDir/part-$pid%05d-a${tc.attemptNumber()}"
+          val os = new java.io.BufferedOutputStream(
+            HadoopIO.create(path, confBox.conf), 1 << 16)
+          var n = 0L
+          try {
+            val pz = new BgzfOutputStream(os)
+            while (rows.hasNext) { pz.write(encode(rows.next(), refIndex)); n += 1 }
+            pz.flushBlock() // members only — the EOF marker is file-level
+          } finally os.close()
+          Iterator((pid, n, path))
+        }
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.STRING))
+      .collect() // task METADATA only: (partition, count, path) triples
+      .sortBy(_._1)
+
+    val conf = records.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(out).getFileSystem(conf)
+    val os = fs.create(new Path(out), true)
     try {
       // header payload (driver-side, KB-sized), as its own member run
-      val hdrBytes = new java.io.ByteArrayOutputStream()
-      val bgzf = new BgzfOutputStream(hdrBytes)
+      val bgzf = new BgzfOutputStream(os)
       val text = headerText.getBytes("US-ASCII")
       bgzf.writeLe32(0x014d4142) // "BAM\1" little-endian
       bgzf.writeLe32(text.length)
@@ -74,34 +107,17 @@ object BamWriter {
         bgzf.writeLe32(nb.length); bgzf.write(nb); bgzf.writeLe32(len)
       }
       bgzf.flushBlock()
-      os.write(hdrBytes.toByteArray)
 
-      import org.apache.spark.sql.Encoders
-      val chunks = records.select("readName", "flag", "referenceName",
-        "start", "mapQ", "cigar", "rnext", "pnext", "tlen", "sequence",
-        "qual", "attributes")
-        .mapPartitions { rows =>
-          if (!rows.hasNext) Iterator.empty
-          else {
-            val part = new java.io.ByteArrayOutputStream(1 << 20)
-            val pz = new BgzfOutputStream(part)
-            var n = 0L
-            while (rows.hasNext) { pz.write(encode(rows.next(), refIndex)); n += 1 }
-            pz.flushBlock() // members only — the EOF marker is file-level
-            Iterator((n, part.toByteArray))
-          }
-        }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-
-      var n = 0L
-      val it = chunks.toLocalIterator()
-      while (it.hasNext) {
-        val (cnt, bytes) = it.next()
-        n += cnt
-        os.write(bytes)
+      parts.foreach { case (_, _, p) =>
+        val in = fs.open(new Path(p))
+        try in.transferTo(os) finally in.close()
       }
       os.write(BgzfOutputStream.EofMarker)
-      n
-    } finally os.close()
+    } finally {
+      os.close()
+      fs.delete(new Path(partsDir), true)
+    }
+    parts.map(_._2).sum
   }
 
   private def encode(r: Row, refIndex: Map[String, Int]): Array[Byte] = {

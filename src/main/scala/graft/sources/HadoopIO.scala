@@ -73,6 +73,41 @@ object HadoopIO {
     fs(p, conf).getFileStatus(p).getModificationTime
   }
 
+  /** (length, mtime) of `path`, or None when absent — the freshness pair
+    * staging caches compare against their source. */
+  def lenAndMtime(pathStr: String, conf: Configuration): Option[(Long, Long)] = {
+    val p = new Path(pathStr)
+    val filesystem = fs(p, conf)
+    if (filesystem.exists(p)) {
+      val st = filesystem.getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } else None
+  }
+
+  def delete(pathStr: String, conf: Configuration): Unit = {
+    val p = new Path(pathStr)
+    fs(p, conf).delete(p, true)
+  }
+
+  /** Scratch root for staging paths that EXECUTORS must read back (x03's
+    * round-trip BAM, s07's bucketed corpus, q35's stream staging): on a
+    * real cluster set `spark.graft.scratchDir` to a distributed-store path
+    * (HDFS/S3A); the default — the driver's `java.io.tmpdir` — is only a
+    * shared filesystem in local mode, so it is a fallback, not the design. */
+  def scratchDir(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  /** Byte-copy `src` to `dst` (overwrite) through the Hadoop FS — staging
+    * helper; works across filesystems (e.g. corpus store → scratch store). */
+  def copy(src: String, dst: String, conf: Configuration): Unit = {
+    val in = open(src, conf)
+    try {
+      val out = create(dst, conf)
+      try in.transferTo(out) finally out.close()
+    } finally in.close()
+  }
+
   /** Expand a path into its (fully-qualified path, length) scan targets:
     * a file is itself; a directory yields its non-hidden regular files,
     * name-sorted. A missing path FAILS FAST with the FileSystem's

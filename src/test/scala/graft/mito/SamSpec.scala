@@ -55,4 +55,19 @@ class SamSpec extends SparkSpec {
     val got = df.select(element_at(Sam.attrMap(col("attributes")), "AB")).head().getString(0)
     assert(got === "x:y:z")
   }
+
+  test("single-file sink: empty header writes zero header bytes, not a newline") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("samw").toString
+    val recs = Seq("rec1\t0\tchrM", "rec2\t16\tchrM").toDF("line")
+    Sam.writeSingleSamWithHeader(Nil, recs, s"$tmp/empty_hdr.sam")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$tmp/empty_hdr.sam"))
+    assert(lines.size() === 2)
+    assert(lines.get(0).startsWith("rec")) // no leading blank line
+    Sam.writeSingleSamWithHeader(Seq("@HD\tVN:1.6"), recs, s"$tmp/hdr.sam")
+    val withHdr = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$tmp/hdr.sam"))
+    assert(withHdr.size() === 3 && withHdr.get(0).startsWith("@HD"))
+  }
 }

@@ -20,7 +20,7 @@ class MitoQueriesSpec extends SparkSpec {
     // the written file really scans as many byte-range partitions at bench
     // splitsize only when big enough; assert the partition math directly on
     // the file the query just wrote
-    val bam = s"${sys.props("java.io.tmpdir")}/graft_x03__root_testdata_sf0_001.bam"
+    val bam = s"${graft.sources.HadoopIO.scratchDir(spark)}/graft_x03__root_testdata_sf0_001.bam"
     val parts = spark.read.format("bam").option("splitsize", 4096).load(bam)
     assert(parts.rdd.getNumPartitions > 1)
     assert(parts.count() === 2 * expected)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.HadoopIO
+
+/** Freshness contracts of the scratch-staged layouts (ADVICE r3 #3/#4):
+  * build-once artifacts (s07's cell-bucketed corpus, q35's streamed
+  * events copy) must be reused while the source is unchanged and REBUILT
+  * the moment the source dataset is regenerated — a stale layout answers
+  * with the previous corpus and flips driver gates for the wrong reason. */
+class StagingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("s07 bucketed corpus: reused while fresh, rebuilt on regeneration, dropped by rebuildIvfIndex") {
+    val tmp = java.nio.file.Files.createTempDirectory("s07re").toString
+    HadoopIO.copy(s"$sf/embeddings.parquet", s"$tmp/embeddings.parquet", conf)
+    val r1 = Similarity.ivfBucketedTopK(spark, tmp).collect()
+    assert(r1.nonEmpty)
+    val success = s"${HadoopIO.scratchDir(spark)}/graft_ivf_" +
+      tmp.replaceAll("[^A-Za-z0-9]", "_") + "/_SUCCESS"
+    val t1 = HadoopIO.lenAndMtime(success, conf).get._2
+    // unchanged source -> the committed layout is reused, not rewritten
+    Similarity.ivfBucketedTopK(spark, tmp).collect()
+    assert(HadoopIO.lenAndMtime(success, conf).get._2 === t1)
+    // regenerated source (newer mtime) -> layout rebuilt
+    Thread.sleep(1100)
+    HadoopIO.copy(s"$sf/embeddings.parquet", s"$tmp/embeddings.parquet", conf)
+    val r2 = Similarity.ivfBucketedTopK(spark, tmp).collect()
+    assert(r2.map(_.toString).sorted === r1.map(_.toString).sorted)
+    val t2 = HadoopIO.lenAndMtime(success, conf).get._2
+    assert(t2 > t1, "bucketed corpus was not rebuilt after source regeneration")
+    // explicit index invalidation drops the physical layout with the model
+    Similarity.rebuildIvfIndex(spark, tmp)
+    assert(HadoopIO.lenAndMtime(success, conf).isEmpty)
+  }
+
+  test("q35 staging: restaged through the Hadoop FS when the source moves") {
+    val tmp = java.nio.file.Files.createTempDirectory("q35re").toString
+    HadoopIO.copy(s"$sf/events.parquet", s"$tmp/events.parquet", conf)
+    val r1 = Relational.q35StreamBatchGate(spark, tmp).head()
+    assert(r1.getAs[Boolean]("all_match"))
+    val staged = s"${HadoopIO.scratchDir(spark)}/graft_q35_" +
+      tmp.replaceAll("[^A-Za-z0-9]", "_") + "/events.parquet"
+    val t1 = HadoopIO.lenAndMtime(staged, conf).get._2
+    // regenerate the source; the gate must replay the NEW copy, not the
+    // first-staged inode (the r3 hard-link bug)
+    Thread.sleep(1100)
+    HadoopIO.copy(s"$sf/events.parquet", s"$tmp/events.parquet", conf)
+    val r2 = Relational.q35StreamBatchGate(spark, tmp).head()
+    assert(r2.getAs[Boolean]("all_match"))
+    val t2 = HadoopIO.lenAndMtime(staged, conf).get._2
+    assert(t2 > t1, "staged events copy was not refreshed after regeneration")
+  }
+}

@@ -70,6 +70,54 @@ class BamWriterSpec extends SparkSpec {
     assert(r.getAs[String]("qual") === qual)
   }
 
+  test("multi-partition write: executor part-files, driver concat, no funnel") {
+    import spark.implicits._
+    // 5 explicit partitions, each big enough to emit several BGZF members —
+    // the write path must stream every partition to its own part-file
+    // (bounded ~60 KB member buffer) and leave only the concatenated file
+    val recs = spark.range(0, 5000).repartition(5).select(
+      concat(lit("r"), col("id")).as("readName"),
+      lit(99).as("flag"), lit("chrM").as("referenceName"),
+      (col("id") % 16000 + 1).cast("int").as("start"),
+      lit(60).as("mapQ"), lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("IIIIIIIIII").as("qual"),
+      concat(lit("NM:i:"), col("id") % 4).as("attributes"))
+    val tmp = java.nio.file.Files.createTempDirectory("bamw5").toString
+    val out = s"$tmp/multi.bam"
+    val n = BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out)
+    assert(n === 5000)
+    // the scratch part-file dir is cleaned up after the commit concat
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out.parts")))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    // members tile the file exactly and each respects the uint16 BSIZE cap
+    // (the structural witness that only ≤60 KB member buffers ever existed)
+    var off = 0
+    var members = 0
+    while (off < bytes.length) {
+      assert((bytes(off) & 0xff) === 0x1f && (bytes(off + 1) & 0xff) === 0x8b,
+        s"bad member magic at $off")
+      val bsize = ((bytes(off + 16) & 0xff) | ((bytes(off + 17) & 0xff) << 8)) + 1
+      assert(bsize <= 65536, s"member at $off has size $bsize")
+      off += bsize
+      members += 1
+    }
+    assert(off === bytes.length)
+    assert(members >= 6) // header member + at least one per partition
+    // exactly one EOF marker, at the tail: part runs must not carry EOFs
+    val eof = BgzfOutputStream.EofMarker
+    val eofCount = (0 to bytes.length - eof.length).count(i =>
+      eof.indices.forall(j => bytes(i + j) == eof(j)))
+    assert(eofCount === 1 && bytes.takeRight(28).sameElements(eof))
+    // full-fidelity round trip through the bam DSv2 reader
+    val back = spark.read.format("bam").load(out)
+    assert(back.count() === 5000)
+    assert(back.agg(sum(col("start"))).head.getLong(0) ===
+      (0L until 5000L).map(_ % 16000 + 1).sum)
+    assert(back.select(recordCols: _*).except(recs.select(recordCols: _*)).isEmpty)
+  }
+
   test("writer refuses records with unsupported tag types") {
     import spark.implicits._
     val bad = Seq(("r1", 0, "chrM", 1, 60, "4M", "*", 0, 0, "ACGT", "*", "XX:Q:weird"))
