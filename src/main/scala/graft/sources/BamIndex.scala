@@ -186,30 +186,41 @@ object BamIndex {
     }
     val ranges = (0L until fileLen by splitSize)
       .map(st => (st, math.min(st + splitSize, fileLen)))
-    val results = s.sparkContext
+    // cluster-side merge: pair each boundary with its member's stats inside
+    // the owning task, dedup range-edge boundaries, sort by offset — the
+    // driver then STREAMS the sorted entries one partition at a time
+    // (toLocalIterator) into the sidecar, so its memory is bounded by one
+    // range's entries, not the whole file's (a 1 TB BAM is ~450 MB of
+    // entries; per-range it's ~0.5 MB)
+    val entries = s.sparkContext
       .parallelize(ranges, ranges.size)
       .map { case (start, end) =>
         scanRange(bam, confBox, start, end, fileLen, nRef, hdrMember, hdrU)
       }
-      .collect()
-    val stats = scala.collection.mutable.HashMap.empty[Long, MemberStat]
-    results.foreach(_._2.foreach(st => stats.put(st.offset, st)))
-    val offsets = results.flatMap(_._1).distinct.sorted
-    val entries = offsets.map { off =>
-      stats.getOrElse(off, MemberStat(off, -1, Int.MaxValue, Int.MinValue,
-        Int.MaxValue, Int.MinValue))
-    }
+      .flatMap { case (bounds, sts) =>
+        val byOff = sts.iterator.map(st => st.offset -> st).toMap
+        bounds.iterator.map(off => (off, byOff.get(off)))
+      }
+      .reduceByKey((a, b) => a.orElse(b))
+      .sortByKey()
+    // count() materializes the shuffle map side (the one BAM scan); the
+    // per-partition toLocalIterator jobs below skip straight to the sorted
+    // reduce output, so the file is scanned exactly once
+    val n = entries.count()
+    require(n <= Int.MaxValue, s"$bam: $n members overflow the sidecar count")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       HadoopIO.create(sidecarPath(bam), confBox.conf)))
     try {
       out.writeInt(Magic)
-      out.writeInt(entries.length)
-      entries.foreach { e =>
+      out.writeInt(n.toInt)
+      entries.toLocalIterator.foreach { case (off, stOpt) =>
+        val e = stOpt.getOrElse(MemberStat(off, -1, Int.MaxValue,
+          Int.MinValue, Int.MaxValue, Int.MinValue))
         out.writeLong(e.offset); out.writeInt(e.firstRecUoffset)
         out.writeInt(e.minRef); out.writeInt(e.maxRef)
         out.writeInt(e.minPos); out.writeInt(e.maxPos)
       }
-      entries.length
+      n.toInt
     } finally out.close()
   }
 
