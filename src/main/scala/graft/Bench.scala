@@ -58,13 +58,23 @@ object Bench {
         (System.nanoTime() - tIdx) / 1e9
       } catch { case _: Throwable => failed += "s04_index_build"; -1.0 }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
+    // bench-only row: the WIRED near-dup pipeline over the whole documents
+    // corpus at this scale factor (the driver's d11 CORRECTNESS row runs it
+    // too, but with planted copies — this measures the pure corpus shuffle
+    // profile: one shingle pass, one band-key exchange, verify on
+    // candidates only, left-anti keep)
+    val benchQueries = SparkEntry.queries +
+      ("d11_bench" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.nearDedupKeep(
+          graft.Tables.documents(s, d), 0.8)))
+
+    val names = benchQueries.keys.toSeq.sorted
+    val cold = names.map(n => n -> time(n, benchQueries(n))).toMap
     // two timed passes, report the per-query minimum: the local box is
     // shared, and min-of-passes is the standard low-noise estimator of
     // steady-state cost
-    val warm1 = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
-    val warm2 = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
+    val warm1 = names.map(n => n -> time(n, benchQueries(n))).toMap
+    val warm2 = names.map(n => n -> time(n, benchQueries(n))).toMap
     val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
 
     val qs = names.map(n => s""""$n":${warm(n)}""").mkString("{", ",", "}")

@@ -78,13 +78,18 @@ object SamDataSource {
 
   /** One InputPartition per `splitSize` byte range of each file.
     * Directory paths expand to their (non-hidden) regular files, so
-    * `load(dir)` scans a whole sample directory in parallel. Listing and
+    * `load(dir)` scans a whole sample directory in parallel — minus the
+    * `.gai` index sidecars living next to their BAMs (the 100 TB layout is
+    * many `<f>.bam` + `<f>.bam.gai` pairs per directory; a sidecar is
+    * consulted per-file by the reader, never scanned as data). Listing and
     * sizing go through the Hadoop FileSystem (driver side), and an
     * unreadable path fails the query here — it must never degrade into a
     * bogus whole-file split. */
   def planSplits(paths: Seq[String], splitSize: Long): Array[InputPartition] = {
     val conf = HadoopIO.driverConf()
-    paths.flatMap(p => HadoopIO.listScanTargets(p, conf)).flatMap { case (p, size) =>
+    paths.flatMap(p => HadoopIO.listScanTargets(p, conf))
+      .filterNot { case (p, _) => p.endsWith(".gai") }
+      .flatMap { case (p, size) =>
       if (size <= splitSize) Seq(SamInputPartition(p, 0L, Long.MaxValue))
       else (0L until size by splitSize).map(s =>
         SamInputPartition(p, s, math.min(s + splitSize, size)))

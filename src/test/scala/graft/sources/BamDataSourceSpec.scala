@@ -86,6 +86,58 @@ class BamDataSourceSpec extends SparkSpec {
     assert(fromBam.except(fromSam).isEmpty && fromSam.except(fromBam).isEmpty)
   }
 
+  test("directory of indexed BAMs: multi-file multi-split scan, per-file .gai pruning") {
+    // the actual 100 TB layout: many <f>.bam + <f>.bam.gai pairs in one
+    // directory, scanned as one DataFrame with per-file index pruning
+    val dir = java.nio.file.Files.createTempDirectory("bamdir").toString
+    val nPerFile = 5000L
+    for (f <- 0 until 3) {
+      val recs = spark.range(f * nPerFile, (f + 1) * nPerFile).orderBy("id")
+        .select(
+          concat(lit(s"f${f}_r"), col("id")).as("readName"),
+          lit(99).as("flag"), lit("chrM").as("referenceName"),
+          (col("id") + 1).cast("int").as("start"),
+          lit(60).as("mapQ"), lit("10M").as("cigar"), lit("=").as("rnext"),
+          lit(0).as("pnext"), lit(0).as("tlen"),
+          lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+          lit("NM:i:1").as("attributes"))
+      val out = s"$dir/sample_$f.bam"
+      BamWriter.write(recs,
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrM\tLN:16569\n",
+        Seq("chrM" -> 16569), out)
+      BamIndex.build(out)
+    }
+    val df = spark.read.format("bam").option("splitsize", 8192).load(dir)
+    // partition math: sum over the DATA files of ceil(len / splitsize);
+    // the .gai sidecars must be excluded from planning, not scanned
+    val conf = HadoopIO.driverConf()
+    val targets = HadoopIO.listScanTargets(dir, conf)
+    assert(targets.count(_._1.endsWith(".gai")) === 3) // sidecars present...
+    val lens = targets.filterNot(_._1.endsWith(".gai")).map(_._2)
+    assert(lens.size === 3) // ...but only the 3 BAMs become splits
+    val expectParts = lens.map(l => ((l + 8191) / 8192).toInt).sum
+    assert(df.rdd.getNumPartitions === expectParts)
+    assert(expectParts >= 6, s"want multiple splits per file, got $expectParts")
+    assert(df.count() === 3 * nPerFile)
+    // a pushed start-range predicate only file 1 can satisfy: the result
+    // is exactly file 1's records...
+    val hits = df.where(col("start") >= nPerFile + 1 &&
+        col("start") <= 2 * nPerFile)
+      .select("readName").collect()
+    assert(hits.length === nPerFile)
+    assert(hits.forall(_.getString(0).startsWith("f1_r")))
+    // ...and the other files' indexes prove they contribute ZERO runs —
+    // their members are skipped without decompression
+    val preds = Seq(SamFilters.IntCmp("start", ">=", nPerFile + 1),
+      SamFilters.IntCmp("start", "<=", 2 * nPerFile))
+    for (f <- Seq(0, 2)) {
+      val stats = BamIndex.read(s"$dir/sample_$f.bam", conf)
+      val runs = BamIndex.selectRuns(stats, preds, Array("chrM"),
+        0L, Long.MaxValue)
+      assert(runs.isEmpty, s"file $f should prune to zero runs, got ${runs.length}")
+    }
+  }
+
   test("degenerate split sizes still produce exactly-once records") {
     // ranges far smaller than a BGZF member: most partitions own no member
     // boundary and must emit nothing
