@@ -77,11 +77,20 @@ object Bench {
     val warm2 = names.map(n => n -> time(n, benchQueries(n))).toMap
     val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
 
-    val qs = names.map(n => s""""$n":${warm(n)}""").mkString("{", ",", "}")
+    // 3 significant digits, not raw doubles: the driver captures only the
+    // LAST 2000 chars of stdout and json-parses the bench line out of that
+    // tail — at full precision the ~67-query line is ~3.5 KB and its head
+    // is truncated away (every BENCH_r{1..4}.json records "parsed": null).
+    // 3 sig digits keeps the whole line ~1.8 KB incl. sbt's epilogue.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else new java.math.BigDecimal(v)
+        .round(new java.math.MathContext(3)).toPlainString
+    val qs = names.map(n => s""""$n":${fmt(warm(n))}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"s04_index_build":$idxBuild,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"s04_index_build":${fmt(idxBuild)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
