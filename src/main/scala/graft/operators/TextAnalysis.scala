@@ -278,6 +278,67 @@ object TextAnalysis {
        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t08
+  /** Train/eval decontamination — the overlap check a training-data
+    * pipeline runs before shipping a corpus: flag every training document
+    * sharing at least one long character n-gram (32 chars ≈ the classic
+    * 13-token window) with any document of the evaluation set, reporting
+    * the number of distinct shared grams per flagged doc.
+    *
+    * Gate shape (d07 technique): the 20 lowest-id documents form the eval
+    * set and exact copies of them (id + 10^9) are planted into the train
+    * side — a copy shares EVERY gram with its original, so all 20 planted
+    * rows MUST be flagged, alongside any natural long-gram overlap in the
+    * corpus. Deterministic, fully oracle-restatable.
+    *
+    * Scale shape: the eval side of any real decontamination run is tiny
+    * (benchmarks are MBs; the corpus is the 100 TB side), so the distinct
+    * eval-gram set is BROADCAST — the train side is one narrow
+    * explode→broadcast-hash-join pipeline with no data-sized shuffle; only
+    * the matched grams (contamination is rare by construction) reach the
+    * per-doc countDistinct exchange. At production scale the gram string
+    * would be replaced by a 64-bit gram hash to shrink the broadcast and
+    * the probe rows; the string form here keeps the oracle exact. */
+  def t08Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val n = 32
+    val grams: Column => Column = c =>
+      when(length(c) >= n,
+        array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
+          i => c.substr(i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val evalDocs = docs.orderBy(col("doc_id").asc).limit(20)
+    val evalIds = evalDocs.select("doc_id")
+    val planted = evalDocs.select(
+      (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val g = docs.union(planted)
+      .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+    val evalGrams = g.join(evalIds, Seq("doc_id")).select("gram").distinct()
+    g.join(evalIds, Seq("doc_id"), "left_anti") // train side (incl. planted)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val t08Sql: String =
+    """WITH eval_ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM eval_ids)),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(1, greatest(length(text) - 31, 0) + 1),
+      |        i -> substr(text, CAST(i AS INTEGER), 32)))) AS gram
+      |      FROM corpus),
+      |eg AS (SELECT DISTINCT gram FROM g
+      |       WHERE doc_id IN (SELECT doc_id FROM eval_ids))
+      |SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared
+      |FROM g JOIN eg USING (gram)
+      |WHERE g.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -285,7 +346,8 @@ object TextAnalysis {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_fingerprint_gate" -> (t05FingerprintGate _),
     "t06_stratified_sample" -> (t06StratifiedSample _),
-    "t07_curation_pipeline" -> (t07CurationPipeline _))
+    "t07_curation_pipeline" -> (t07CurationPipeline _),
+    "t08_decontam"    -> (t08Decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -293,5 +355,6 @@ object TextAnalysis {
     "t03_langid"      -> t03Sql,
     "t05_fingerprint_gate" -> t05Sql,
     "t06_stratified_sample" -> t06Sql,
-    "t07_curation_pipeline" -> t07Sql)
+    "t07_curation_pipeline" -> t07Sql,
+    "t08_decontam"    -> t08Sql)
 }

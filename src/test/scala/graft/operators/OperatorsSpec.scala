@@ -190,6 +190,28 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.subsetOf(keptStrict))
   }
 
+  test("t08 decontamination flags every planted eval copy with full gram overlap") {
+    val out = TextAnalysis.t08Decontaminate(spark, sf)
+    // the small eval-gram set must broadcast; the corpus side never builds
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalDocs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    evalDocs.foreach { case (id, text) =>
+      assert(!flagged.contains(id), s"eval doc $id must not be in the output")
+      // a planted exact copy shares exactly its distinct 32-gram set
+      val nGrams = if (text.length < 32) 0
+        else (0 to text.length - 32).map(i => text.substring(i, i + 32)).distinct.size
+      if (nGrams > 0)
+        assert(flagged.get(id + 1000000000L).contains(nGrams.toLong),
+          s"planted copy of $id: expected $nGrams shared grams, " +
+            s"got ${flagged.get(id + 1000000000L)}")
+    }
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
