@@ -90,7 +90,10 @@ object Bench {
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"s04_index_build":${fmt(idxBuild)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // stop BEFORE printing: any executor/stop-time WARN lines then land
+    // ahead of the JSON line instead of between it and EOF, so the line
+    // stays inside the driver's bounded stdout tail
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"s04_index_build":${fmt(idxBuild)},"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }
