@@ -212,6 +212,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t08 decontamination: sub-gram-length docs contribute no grams") {
+    import spark.implicits._
+    val long1 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val long2 = "a completely different sentence that shares no thirtytwo char run x"
+    val docs = Seq(
+      (1L, "tiny text", "en", "s", 9L), // < 32 chars -> zero grams
+      (2L, long1, "en", "s", long1.length.toLong),
+      (3L, long2, "en", "s", long2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dc").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    // eval = all 3 docs; train side = the 3 planted copies
+    val flagged = TextAnalysis.t08Decontaminate(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!flagged.contains(1000000001L), "short doc has no grams to share")
+    assert(flagged(1000000002L) === (long1.length - 31).toLong)
+    assert(flagged(1000000003L) === (long2.length - 31).toLong)
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
