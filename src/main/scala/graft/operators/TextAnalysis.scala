@@ -311,10 +311,14 @@ object TextAnalysis {
     val evalIds = evalDocs.select("doc_id")
     val planted = evalDocs.select(
       (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
-    val g = docs.union(planted)
+    // eval grams come from the 20-row eval frame, and the eval anti-join
+    // runs BEFORE the explode — the corpus is gram-exploded exactly once,
+    // and only on the train side
+    val evalGrams = evalDocs
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+    docs.union(planted)
+      .join(evalIds, Seq("doc_id"), "left_anti") // train side (incl. planted)
       .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
-    val evalGrams = g.join(evalIds, Seq("doc_id")).select("gram").distinct()
-    g.join(evalIds, Seq("doc_id"), "left_anti") // train side (incl. planted)
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared"))
