@@ -343,6 +343,92 @@ object TextAnalysis {
       |WHERE g.doc_id NOT IN (SELECT doc_id FROM eval_ids)
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** Per-language token-budget fill — greedy mixture construction: each
+    * language keeps its documents in priority order (longest first,
+    * doc_id tie-break) until a fixed token budget is exhausted, reporting
+    * per-language kept docs/tokens.
+    *
+    * Scale shape: the naive formulation is a running sum over a window
+    * partitioned by language — at 100 TB that funnels EVERY document of a
+    * language through one reducer. This implementation is the exact
+    * two-phase equivalent (q23's value-histogram technique): (1) one
+    * map-side-combinable aggregate to a tiny (lang, n_chars) histogram,
+    * cumulated per language on the HISTOGRAM (thousands of rows, not
+    * documents) to find each language's cutoff bucket and its leftover
+    * budget; (2) fully-kept buckets join back broadcast; only the single
+    * boundary bucket per language needs a doc-level running sum, windowed
+    * by (lang, n_chars) — bounded by one bucket, not one language. Output
+    * is provably identical to the flat window (OperatorsSpec asserts
+    * equality), and the oracle restates the flat form. */
+  private val TokenBudget = 15000L
+
+  /** The flat single-window formulation (spec-only reference; the
+    * histogram path must produce exactly this). */
+  def t09TokenBudgetFlat(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") <= TokenBudget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).cast("long").as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  def t09TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tok"))
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(sum(col("n_tok")).cast("long").as("bucket_tok"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_tok", sum(col("bucket_tok")).over(wb))
+      .withColumn("prior_tok", col("cum_tok") - col("bucket_tok"))
+    val full = cum.where(col("cum_tok") <= TokenBudget)
+      .select(col("lang"), col("n_chars"))
+    val boundary = cum
+      .where(col("prior_tok") < TokenBudget && col("cum_tok") > TokenBudget)
+      .select(col("lang"), col("n_chars"),
+        (lit(TokenBudget) - col("prior_tok")).as("leftover"))
+    val keptFull = docs.join(broadcast(full), Seq("lang", "n_chars"))
+    // doc-level running sum confined to the boundary bucket: window key is
+    // (lang, n_chars) — one bucket's docs, never a whole language
+    val wd = Window.partitionBy(col("lang"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = docs.join(broadcast(boundary), Seq("lang", "n_chars"))
+      .withColumn("bcum", sum(col("n_tok")).over(wd))
+      .where(col("bcum") <= col("leftover"))
+      .select(docs.columns.map(col): _*)
+    keptFull.unionByName(keptBoundary)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).cast("long").as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val t09Sql: String =
+    """SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      |FROM (
+      |  SELECT lang, n_tok, SUM(n_tok) OVER (
+      |      PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      |        FROM documents) t) c
+      |WHERE cum_tok <= 15000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -351,7 +437,8 @@ object TextAnalysis {
     "t05_fingerprint_gate" -> (t05FingerprintGate _),
     "t06_stratified_sample" -> (t06StratifiedSample _),
     "t07_curation_pipeline" -> (t07CurationPipeline _),
-    "t08_decontam"    -> (t08Decontaminate _))
+    "t08_decontam"    -> (t08Decontaminate _),
+    "t09_token_budget" -> (t09TokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -360,5 +447,6 @@ object TextAnalysis {
     "t05_fingerprint_gate" -> t05Sql,
     "t06_stratified_sample" -> t06Sql,
     "t07_curation_pipeline" -> t07Sql,
-    "t08_decontam"    -> t08Sql)
+    "t08_decontam"    -> t08Sql,
+    "t09_token_budget" -> t09Sql)
 }

@@ -231,6 +231,19 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged(1000000003L) === (long2.length - 31).toLong)
   }
 
+  test("t09 histogram-cutoff budget fill == flat per-language window") {
+    // the scale-safe two-phase formulation must reproduce the flat window
+    // EXACTLY (same technique-equivalence contract as d04 banded==all-pairs)
+    val hist = TextAnalysis.t09TokenBudget(spark, sf)
+    val flat = TextAnalysis.t09TokenBudgetFlat(spark, sf)
+    assert(hist.except(flat).isEmpty && flat.except(hist).isEmpty)
+    val rows = hist.collect()
+    assert(rows.nonEmpty)
+    // the fill never exceeds the budget
+    rows.foreach(r => assert(r.getLong(2) <= 15000L,
+      s"${r.getString(0)}: kept ${r.getLong(2)} tokens > budget"))
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
