@@ -360,7 +360,13 @@ object TextAnalysis {
     * boundary bucket per language needs a doc-level running sum, windowed
     * by (lang, n_chars) — bounded by one bucket, not one language. Output
     * is provably identical to the flat window (OperatorsSpec asserts
-    * equality), and the oracle restates the flat form. */
+    * equality), and the oracle restates the flat form.
+    *
+    * The narrow (doc_id, lang, n_chars, n_tok) projection feeds three
+    * subtrees; at 100 TB a pipeline materializes per-doc token counts once
+    * (8 bytes/doc vs ~KB of text) before budget passes like this one, so
+    * the repeated token derivation here stands in for three cheap scans of
+    * that side table, not three scans of the corpus text. */
   private val TokenBudget = 15000L
 
   /** The flat single-window formulation (spec-only reference; the
