@@ -32,7 +32,12 @@ object Dedup {
     * quadratic pair space; at 100 TB the block key is an LSH band — that
     * wiring is [[nearDedupKeep]] (d11), where this query's sorted-merge
     * intersect kernel runs as the verify stage over d03's candidates. */
-  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(s, d).orderBy("a_id", "b_id")
+
+  /** d02's core, unsorted — also the edge set of d12's cluster formation
+    * (no global sort below the CC loop's joins). */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         shingleHashes(col("text"), 3).as("sh"))
@@ -56,7 +61,6 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("a_n") + col("b_n") - col("n_common"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .orderBy("a_id", "b_id")
   }
 
   val d02Sql: String =
@@ -423,6 +427,83 @@ object Dedup {
       |  true AS all_planted_removed
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Near-duplicate CLUSTER formation: connected components over the
+    * verified near-dup pair graph (d02's edges), labeling every member
+    * with the minimum doc_id of its component — the step that turns
+    * pairwise dup reports into dedup groups (keep one doc per cluster,
+    * not per pair: pairwise keep rules double-drop on A-B, B-C chains).
+    *
+    * Algorithm: min-label propagation (the HashToMin family) — each round
+    * every node adopts the smallest label among itself and its neighbors;
+    * a deterministic fixpoint in O(component diameter) rounds. Each round
+    * is one shuffle join + one min-aggregate over the dup-GRAPH node set
+    * (tiny vs the corpus — only docs with at least one verified dup);
+    * `localCheckpoint` truncates lineage per round so the final plan does
+    * not re-derive d02 once per round; convergence is a single collected
+    * scalar per round (decimal-exact label sum — labels only decrease, so
+    * equal sums ⇔ fixpoint; decimal(38) cannot overflow on any corpus).
+    * Near-dup similarity is close to transitive, so component diameters —
+    * and with them the round count — stay in single digits at any scale. */
+  def d12DupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ngramJaccardPairs(s, d).select("a_id", "b_id"))
+
+  /** Min-label-propagation connected components over an undirected edge
+    * list given as (a_id, b_id) pairs; returns (doc_id, cluster_id = min
+    * doc_id of the component). Factored out so specs can drive it with
+    * synthetic graphs (chains, forests, empty). */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("u", "v")
+      .unionByName(pairs.toDF("v", "u").select(col("u"), col("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s")).head.getDecimal(0)
+    var prev: java.math.BigDecimal = null
+    var cur = labelSum(labels)
+    var rounds = 0
+    // compareTo, not equals: BigDecimal.equals is scale-sensitive
+    def converged = prev != null && cur.compareTo(prev) == 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), col("label"))
+      labels = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      prev = cur
+      cur = labelSum(labels)
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $rounds rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val d12Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 2, 0) + 1),
+      |      i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(node, root) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+      |SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -434,7 +515,8 @@ object Dedup {
     "d08_simhash_planted_gate" -> (d08SimhashPlantedGate _),
     "d09_embed_dup_lsh" -> (d09EmbedDupLsh _),
     "d10_embed_planted_gate" -> (d10EmbedPlantedGate _),
-    "d11_wired_dedup_gate" -> (d11WiredDedupGate _))
+    "d11_wired_dedup_gate" -> (d11WiredDedupGate _),
+    "d12_dup_clusters" -> (d12DupClusters _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -444,5 +526,6 @@ object Dedup {
     "d07_lsh_planted_gate" -> d07Sql,
     "d08_simhash_planted_gate" -> d08Sql,
     "d10_embed_planted_gate" -> d10Sql,
-    "d11_wired_dedup_gate" -> d11Sql)
+    "d11_wired_dedup_gate" -> d11Sql,
+    "d12_dup_clusters" -> d12Sql)
 }

@@ -244,6 +244,25 @@ class OperatorsSpec extends SparkSpec {
       s"${r.getString(0)}: kept ${r.getLong(2)} tokens > budget"))
   }
 
+  test("d12 connected components: chains, forests, empty graph") {
+    import spark.implicits._
+    // a 10-node chain (worst-case diameter), a separate 2-clique, an
+    // isolated pair — min-label propagation must label every node with
+    // its component's minimum id
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (200L, 300L))).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(n => assert(got(n) === 1L, s"chain node $n"))
+    assert(got(100L) === 100L && got(101L) === 100L)
+    assert(got(200L) === 200L && got(300L) === 200L)
+    assert(got.size === 14)
+    // empty edge list -> empty labeling, converges immediately
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+    assert(empty.count() === 0L)
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
