@@ -431,8 +431,11 @@ object Dedup {
   /** Near-duplicate CLUSTER formation: connected components over the
     * verified near-dup pair graph (d02's edges), labeling every member
     * with the minimum doc_id of its component — the step that turns
-    * pairwise dup reports into dedup groups (keep one doc per cluster,
-    * not per pair: pairwise keep rules double-drop on A-B, B-C chains).
+    * pairwise dup reports into dedup groups. Keep-one-per-cluster is
+    * strictly stronger than the pairwise drop-if-lower-neighbor rule:
+    * on edges (5,9),(9,3) the pairwise rule keeps both 3 and 5 (5's only
+    * neighbor is higher), while the cluster label keeps only 3 — chains
+    * through higher ids silently under-dedup without component labels.
     *
     * Algorithm: min-label propagation (the HashToMin family) — each round
     * every node adopts the smallest label among itself and its neighbors;
