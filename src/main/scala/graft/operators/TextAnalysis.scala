@@ -371,7 +371,11 @@ object TextAnalysis {
 
   /** The flat single-window formulation (spec-only reference; the
     * histogram path must produce exactly this). */
-  def t09TokenBudgetFlat(s: SparkSession, d: String): DataFrame = {
+  def t09TokenBudgetFlat(s: SparkSession, d: String): DataFrame =
+    t09TokenBudgetFlat(s, d, TokenBudget)
+
+  private[operators] def t09TokenBudgetFlat(
+      s: SparkSession, d: String, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -381,14 +385,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size(tokens(col("text"))).as("n_tok"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .where(col("cum_tok") <= TokenBudget)
+      .where(col("cum_tok") <= budget)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tok")).cast("long").as("kept_tokens"))
       .orderBy("lang")
   }
 
-  def t09TokenBudget(s: SparkSession, d: String): DataFrame = {
+  def t09TokenBudget(s: SparkSession, d: String): DataFrame =
+    t09TokenBudget(s, d, TokenBudget)
+
+  private[operators] def t09TokenBudget(
+      s: SparkSession, d: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -399,12 +407,12 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_tok", sum(col("bucket_tok")).over(wb))
       .withColumn("prior_tok", col("cum_tok") - col("bucket_tok"))
-    val full = cum.where(col("cum_tok") <= TokenBudget)
+    val full = cum.where(col("cum_tok") <= budget)
       .select(col("lang"), col("n_chars"))
     val boundary = cum
-      .where(col("prior_tok") < TokenBudget && col("cum_tok") > TokenBudget)
+      .where(col("prior_tok") < budget && col("cum_tok") > budget)
       .select(col("lang"), col("n_chars"),
-        (lit(TokenBudget) - col("prior_tok")).as("leftover"))
+        (lit(budget) - col("prior_tok")).as("leftover"))
     val keptFull = docs.join(broadcast(full), Seq("lang", "n_chars"))
     // doc-level running sum confined to the boundary bucket: window key is
     // (lang, n_chars) — one bucket's docs, never a whole language

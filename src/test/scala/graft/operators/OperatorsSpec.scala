@@ -244,6 +244,26 @@ class OperatorsSpec extends SparkSpec {
       s"${r.getString(0)}: kept ${r.getLong(2)} tokens > budget"))
   }
 
+  test("t09 histogram==flat at adversarial budgets (tiny, boundary-heavy, huge)") {
+    // tiny: smaller than the largest doc (some languages keep nothing);
+    // mid: exercises boundary buckets everywhere; huge: keeps everything
+    Seq(10L, 700L, 100000000L).foreach { b =>
+      val hist = TextAnalysis.t09TokenBudget(spark, sf, b)
+      val flat = TextAnalysis.t09TokenBudgetFlat(spark, sf, b)
+      assert(hist.except(flat).isEmpty && flat.except(hist).isEmpty,
+        s"budget $b: formulations diverge")
+    }
+  }
+
+  test("d12 connected components are partitioning-invariant") {
+    import spark.implicits._
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((50L, 60L)))
+      .toDF("a_id", "b_id")
+    val base = Dedup.connectedComponents(pairs).collect().toSeq
+    val shuffled = Dedup.connectedComponents(pairs.repartition(7)).collect().toSeq
+    assert(base.sortBy(_.getLong(0)) === shuffled.sortBy(_.getLong(0)))
+  }
+
   test("d12 connected components: chains, forests, empty graph") {
     import spark.implicits._
     // a 10-node chain (worst-case diameter), a separate 2-clique, an
