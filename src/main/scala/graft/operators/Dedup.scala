@@ -12,6 +12,24 @@ import graft.functions.TextFns._
   */
 object Dedup {
 
+  /** Planted-gate id offset: gates plant copies at id + k·10⁹ (k = 1, 2).
+    * The scheme silently collides — and corrupts the gate's own oracle
+    * the same way, so the driver row would NOT catch it — if corpus ids
+    * ever reach the offset. [[assertIdHeadroom]] makes that loud. */
+  private[operators] val PlantOffset = 1000000000L
+
+  /** One bounded scalar action (max over the id column) asserting the
+    * corpus leaves headroom for planted-copy ids below `PlantOffset`. */
+  private[operators] def assertIdHeadroom(df: DataFrame, idCol: String): Unit = {
+    val r = df.agg(max(col(idCol))).head
+    if (!r.isNullAt(0)) {
+      val m = r.getLong(0)
+      require(m < PlantOffset,
+        s"max($idCol) = $m >= planted-copy offset $PlantOffset: " +
+          "gate ids would collide with corpus ids")
+    }
+  }
+
   // ---------------------------------------------------------------- d01
   /** Exact dedup: content-hash groupBy. One shuffle on a 128-bit hash —
     * the canonical 100 TB-safe exact dedup (hash is uniform, no skew). */
@@ -139,6 +157,7 @@ object Dedup {
     * (the d02-vs-d03 recall curve is covered by spec). */
   def d07LshPlantedGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id")
     val base = docs.orderBy(col("doc_id").asc).limit(20)
     val planted = base.select(
       (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
@@ -218,6 +237,7 @@ object Dedup {
     * collides). */
   def d08SimhashPlantedGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id")
     val base = docs.orderBy(col("doc_id").asc).limit(20)
     val planted = base.select(
       (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
@@ -343,6 +363,7 @@ object Dedup {
     * on exact duplicates through the full hyperplane/bucket/verify path. */
   def d10EmbedPlantedGate(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    assertIdHeadroom(vecs, "vec_id")
     val base = vecs.orderBy(col("vec_id").asc).limit(20)
     val planted = base.select(
       (col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
@@ -374,6 +395,18 @@ object Dedup {
     * bucket-collision pairs, and the removal is a broadcast-friendly
     * left-anti join on doc_id. */
   def nearDedupKeep(docsIn: DataFrame, threshold: Double): DataFrame = {
+    val removed = verifiedNearDupPairs(docsIn, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    docsIn.join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  /** The candidates→exact-verify stage shared by the keep wiring (d11)
+    * and the cluster wiring ([[nearDupClusters]]): d03's banded MinHash
+    * candidates over one shared shingle pass, verified with d02's
+    * sorted-merge intersect kernel — run ONLY on band-collision pairs.
+    * Returns the verified (a_id, b_id) near-dup edges. */
+  private[operators] def verifiedNearDupPairs(
+      docsIn: DataFrame, threshold: Double): DataFrame = {
     require(threshold >= 0.5,
       s"verify threshold $threshold below the candidate gate (est >= 0.5)")
     val sh = docsIn
@@ -381,7 +414,7 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
     val cands = minhashCandidatesFromShingles(sh.select("doc_id", "sh"))
       .select("a_id", "b_id")
-    val verified = cands
+    cands
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
         col("n_sh").as("a_n")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
@@ -394,8 +427,7 @@ object Dedup {
           col("a_sh"), col("b_sh")))
       .where((col("n_common").cast("double") /
         (col("a_n") + col("b_n") - col("n_common"))) >= threshold)
-    val removed = verified.select(col("b_id").as("doc_id")).distinct()
-    docsIn.join(removed, Seq("doc_id"), "left_anti")
+      .select("a_id", "b_id")
   }
 
   /** Driver gate for the wired pipeline (d07 technique): exact copies
@@ -407,6 +439,7 @@ object Dedup {
     * deterministic but not ANSI-expressible (LSH candidate recall). */
   def d11WiredDedupGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id")
     val base = docs.orderBy(col("doc_id").asc).limit(20)
     val planted = base.select(
       (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
@@ -429,9 +462,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- d12
   /** Near-duplicate CLUSTER formation: connected components over the
-    * verified near-dup pair graph (d02's edges), labeling every member
-    * with the minimum doc_id of its component — the step that turns
-    * pairwise dup reports into dedup groups. Keep-one-per-cluster is
+    * verified near-dup pair graph (d02's edges — the exact,
+    * DuckDB-restatable oracle formulation; the scale wiring over the LSH
+    * pipeline's edges is [[nearDupClusters]], gated by d13), labeling
+    * every member with the minimum doc_id of its component — the step
+    * that turns pairwise dup reports into dedup groups. Keep-one-per-cluster is
     * strictly stronger than the pairwise drop-if-lower-neighbor rule:
     * on edges (5,9),(9,3) the pairwise rule keeps both 3 and 5 (5's only
     * neighbor is higher), while the cluster label keeps only 3 — chains
@@ -451,10 +486,91 @@ object Dedup {
   def d12DupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(ngramJaccardPairs(s, d).select("a_id", "b_id"))
 
+  // ---------------------------------------------------------------- d13
+  /** PRODUCTION cluster formation — d12's 100 TB wiring. d12's edge list
+    * is the block-nested exact generator (the right ORACLE formulation —
+    * DuckDB-restatable — but quadratic within each (lang, source) block,
+    * which at corpus scale is the same shape d02 documents as its own
+    * scale limit). This wiring draws the edges from the LSH pipeline
+    * instead: [[verifiedNearDupPairs]] = banded MinHash candidates →
+    * exact Jaccard verify on collisions only — edge generation is linear
+    * plus one skew-free band-key shuffle, and the CC loop is unchanged
+    * (it already takes any edge frame). */
+  def nearDupClusters(docsIn: DataFrame, threshold: Double): DataFrame =
+    connectedComponents(verifiedNearDupPairs(docsIn, threshold))
+
+  /** Planted-CHAIN driver gate for [[nearDupClusters]] (d07 technique,
+    * extended to transitivity): TWO exact copies A′ (id + 10⁹) and A″
+    * (id + 2·10⁹) of each of the 20 lowest-id documents are planted.
+    * Identical text guarantees band collision and Jaccard-1.0
+    * verification for every pair of {A, A′, A″}, so the full
+    * candidates→verify→connected-components chain MUST place all three
+    * in one cluster — copies of copies collapse transitively. The gate
+    * counts chains whose copies carry the ORIGINAL's cluster label
+    * (robust to natural near-dups pulling the label below A's own id). */
+  def d13ChainGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id")
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val c1 = base.select(
+      (col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+    val c2 = base.select(
+      (col("doc_id") + lit(2 * PlantOffset)).as("doc_id"), col("text"))
+    val lbl = nearDupClusters(docs.union(c1).union(c2), 0.8)
+    val o = lbl.where(col("doc_id") < PlantOffset)
+      .select(col("doc_id").as("oid"), col("cluster_id").as("o_cl"))
+    val p1 = lbl.where(col("doc_id") >= PlantOffset &&
+        col("doc_id") < 2 * PlantOffset)
+      .select((col("doc_id") - PlantOffset).as("oid"),
+        col("cluster_id").as("c1_cl"))
+    val p2 = lbl.where(col("doc_id") >= 2 * PlantOffset)
+      .select((col("doc_id") - 2 * PlantOffset).as("oid"),
+        col("cluster_id").as("c2_cl"))
+    val chained = base.select(col("doc_id").as("oid"))
+      .join(o, Seq("oid")).join(p1, Seq("oid")).join(p2, Seq("oid"))
+      .where(col("o_cl") === col("c1_cl") && col("o_cl") === col("c2_cl"))
+    base.agg(count(lit(1)).as("n_chains"))
+      .crossJoin(chained.agg(count(lit(1)).as("n_chained")))
+      .select(col("n_chains"), col("n_chained"),
+        (col("n_chains") === col("n_chained")).as("all_chained"))
+  }
+
+  val d13Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_chains,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chained, true AS all_chained
+      |FROM base""".stripMargin
+
+  /** Per-round lineage truncation for the CC fixpoint. Default is
+    * `localCheckpoint` — executor-local, unreplicated blocks: right for
+    * local mode, but on a cluster an executor loss mid-loop is
+    * unrecoverable. Set `spark.graft.checkpointDir` to a reliable store
+    * path (HDFS/object store) to switch to fault-tolerant `checkpoint()`
+    * for distributed runs; output is identical (spec-asserted). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+
   /** Min-label-propagation connected components over an undirected edge
     * list given as (a_id, b_id) pairs; returns (doc_id, cluster_id = min
     * doc_id of the component). Factored out so specs can drive it with
-    * synthetic graphs (chains, forests, empty). */
+    * synthetic graphs (chains, forests, empty).
+    *
+    * Each round every node adopts the minimum of its own label, its
+    * neighbors' labels, AND its label's label — the pointer-doubling
+    * shortcut (label chains halve each round), so convergence is
+    * O(log diameter) rounds instead of O(diameter): a million-node chain
+    * converges in ~25 rounds, making the 100-round backstop unreachable
+    * for any physical graph. Every label value is always the id of a node
+    * in the same component (both propagation paths preserve this), labels
+    * only decrease, and the fixpoint test is one collected scalar per
+    * round: a decimal-exact label sum — if any component is not yet
+    * uniform, some edge crosses two labels and the min propagates, so an
+    * unchanged sum ⇔ fixpoint ⇔ every node holds its component minimum. */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("u", "v")
       .unionByName(pairs.toDF("v", "u").select(col("u"), col("v")))
@@ -469,12 +585,18 @@ object Dedup {
     var rounds = 0
     // compareTo, not equals: BigDecimal.equals is scale-sensitive
     def converged = prev != null && cur.compareTo(prev) == 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < 100) {
       val prop = edges.join(labels.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"), col("label"))
-      labels = labels.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      // pointer-doubling: node → label(label(node)); label values are node
+      // ids of the set, so the self-join is lossless, and the base labels
+      // stay in the union regardless
+      val short = labels
+        .join(labels.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"))
+        .select(col("node"), col("ll").as("label"))
+      labels = truncateLineage(labels.unionByName(prop).unionByName(short)
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
       prev = cur
       cur = labelSum(labels)
       rounds += 1
@@ -519,7 +641,8 @@ object Dedup {
     "d09_embed_dup_lsh" -> (d09EmbedDupLsh _),
     "d10_embed_planted_gate" -> (d10EmbedPlantedGate _),
     "d11_wired_dedup_gate" -> (d11WiredDedupGate _),
-    "d12_dup_clusters" -> (d12DupClusters _))
+    "d12_dup_clusters" -> (d12DupClusters _),
+    "d13_chain_gate" -> (d13ChainGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -530,5 +653,6 @@ object Dedup {
     "d08_simhash_planted_gate" -> d08Sql,
     "d10_embed_planted_gate" -> d10Sql,
     "d11_wired_dedup_gate" -> d11Sql,
-    "d12_dup_clusters" -> d12Sql)
+    "d12_dup_clusters" -> d12Sql,
+    "d13_chain_gate" -> d13Sql)
 }
