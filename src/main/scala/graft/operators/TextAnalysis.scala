@@ -296,21 +296,36 @@ object TextAnalysis {
     * eval-gram set is BROADCAST — the train side is one narrow
     * explode→broadcast-hash-join pipeline with no data-sized shuffle; only
     * the matched grams (contamination is rare by construction) reach the
-    * per-doc countDistinct exchange. At production scale the gram string
-    * would be replaced by a 64-bit gram hash to shrink the broadcast and
-    * the probe rows; the string form here keeps the oracle exact. */
-  def t08Decontaminate(s: SparkSession, d: String): DataFrame = {
+    * per-doc countDistinct exchange. The probe runs on 64-bit `xxhash64`
+    * gram HASHES on both sides — the 32-char gram strings exist only
+    * transiently inside the projection, so the broadcast set and every
+    * exploded train row carry 8 bytes instead of ~32+ — with the string
+    * formulation kept as the oracle restatement and as a spec-asserted
+    * reference path (a 64-bit collision between a corpus gram and a
+    * distinct eval gram — odds ~g²/2⁶⁴ — is the accepted trade). */
+  def t08Decontaminate(s: SparkSession, d: String): DataFrame =
+    t08Path(s, d, hashed = true)
+
+  /** String-gram reference formulation (spec-only): must flag the exact
+    * same (doc_id, n_shared) set as the hashed probe. */
+  private[operators] def t08DecontaminateStr(
+      s: SparkSession, d: String): DataFrame =
+    t08Path(s, d, hashed = false)
+
+  private def t08Path(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
     val n = 32
+    val gram: Column => Column => Column = c => i => c.substr(i, lit(n))
     val grams: Column => Column = c =>
       when(length(c) >= n,
         array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
-          i => c.substr(i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+          i => if (hashed) xxhash64(gram(c)(i)) else gram(c)(i))))
+        .otherwise(array().cast(if (hashed) "array<bigint>" else "array<string>"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Dedup.assertIdHeadroom(docs, "doc_id")
     val evalDocs = docs.orderBy(col("doc_id").asc).limit(20)
     val evalIds = evalDocs.select("doc_id")
     val planted = evalDocs.select(
-      (col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+      (col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"), col("text"))
     // eval grams come from the 20-row eval frame, and the eval anti-join
     // runs BEFORE the explode — the corpus is gram-exploded exactly once,
     // and only on the train side
@@ -357,10 +372,14 @@ object TextAnalysis {
     * cumulated per language on the HISTOGRAM (thousands of rows, not
     * documents) to find each language's cutoff bucket and its leftover
     * budget; (2) fully-kept buckets join back broadcast; only the single
-    * boundary bucket per language needs a doc-level running sum, windowed
-    * by (lang, n_chars) — bounded by one bucket, not one language. Output
-    * is provably identical to the flat window (OperatorsSpec asserts
-    * equality), and the oracle restates the flat form.
+    * boundary bucket per language needs doc-level work — and that work is
+    * itself two-level (sub-histogram over doc_id >> 16 ranges, then a
+    * window inside the one crossing sub-bucket), so no window partition
+    * ever exceeds 2^16 docs even when a length-quantized corpus collapses
+    * a whole language into one (lang, n_chars) bucket. Output is provably
+    * identical to the flat window (OperatorsSpec asserts equality,
+    * including on a degenerate single-length corpus), and the oracle
+    * restates the flat form.
     *
     * The narrow (doc_id, lang, n_chars, n_tok) projection feeds three
     * subtrees; at 100 TB a pipeline materializes per-doc token counts once
@@ -395,8 +414,13 @@ object TextAnalysis {
   def t09TokenBudget(s: SparkSession, d: String): DataFrame =
     t09TokenBudget(s, d, TokenBudget)
 
-  private[operators] def t09TokenBudget(
-      s: SparkSession, d: String, budget: Long): DataFrame = {
+  /** `subShift` sizes the second cutoff level: the doc-level window runs
+    * inside a single (lang, n_chars, doc_id >> subShift) sub-bucket, so no
+    * window partition ever exceeds 2^subShift docs (ids are distinct) —
+    * the default bounds it at 65,536 regardless of corpus shape. Exposed
+    * for specs, which shrink it to force many sub-buckets on tiny data. */
+  private[operators] def t09TokenBudget(s: SparkSession, d: String,
+      budget: Long, subShift: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -414,16 +438,47 @@ object TextAnalysis {
       .select(col("lang"), col("n_chars"),
         (lit(budget) - col("prior_tok")).as("leftover"))
     val keptFull = docs.join(broadcast(full), Seq("lang", "n_chars"))
-    // doc-level running sum confined to the boundary bucket: window key is
-    // (lang, n_chars) — one bucket's docs, never a whole language
-    val wd = Window.partitionBy(col("lang"), col("n_chars"))
+    // Doc-level work is confined to the boundary bucket — and within it, a
+    // SECOND histogram level over doc_id ranges guards against the
+    // degenerate corpus where (lang, n_chars) is one whole language (every
+    // doc truncated to the same length): the boundary docs first cumulate
+    // as a (lang, n_chars, doc_id >> subShift) sub-histogram — doc order
+    // is doc_id asc and the shift is monotone in doc_id, so the sub-bucket
+    // prefix order IS the doc prefix order and the greedy fill is
+    // unchanged — then only the single crossing sub-bucket needs the
+    // doc-level running sum, bounded by 2^subShift docs. Sub-level joins
+    // carry no broadcast hint: sub-histograms are usually tiny (AQE
+    // broadcasts them) but can reach corpus/2^subShift rows in the
+    // degenerate case, where the fine-grained (lang, n_chars, sub) key
+    // keeps the shuffle skew-free.
+    val bdocs = docs.join(broadcast(boundary), Seq("lang", "n_chars"))
+      .withColumn("sub", shiftrightunsigned(col("doc_id"), subShift))
+    val subHist = bdocs
+      .groupBy(col("lang"), col("n_chars"), col("sub"))
+      .agg(sum(col("n_tok")).cast("long").as("sub_tok"),
+        min(col("leftover")).as("leftover")) // constant per boundary bucket
+    val ws = Window.partitionBy(col("lang"), col("n_chars"))
+      .orderBy(col("sub").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val subCum = subHist.withColumn("cum_sub", sum(col("sub_tok")).over(ws))
+      .withColumn("prior_sub", col("cum_sub") - col("sub_tok"))
+    val subFull = subCum.where(col("cum_sub") <= col("leftover"))
+      .select(col("lang"), col("n_chars"), col("sub"))
+    val subBoundary = subCum
+      .where(col("prior_sub") < col("leftover") &&
+        col("cum_sub") > col("leftover"))
+      .select(col("lang"), col("n_chars"), col("sub"),
+        (col("leftover") - col("prior_sub")).as("sub_leftover"))
+    val keptSubFull = bdocs.join(subFull, Seq("lang", "n_chars", "sub"))
+      .select(docs.columns.map(col): _*)
+    val wd = Window.partitionBy(col("lang"), col("n_chars"), col("sub"))
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val keptBoundary = docs.join(broadcast(boundary), Seq("lang", "n_chars"))
+    val keptSubBoundary = bdocs.join(subBoundary, Seq("lang", "n_chars", "sub"))
       .withColumn("bcum", sum(col("n_tok")).over(wd))
-      .where(col("bcum") <= col("leftover"))
+      .where(col("bcum") <= col("sub_leftover"))
       .select(docs.columns.map(col): _*)
-    keptFull.unionByName(keptBoundary)
+    keptFull.unionByName(keptSubFull).unionByName(keptSubBoundary)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tok")).cast("long").as("kept_tokens"))
