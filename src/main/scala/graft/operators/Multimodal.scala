@@ -57,27 +57,54 @@ object Multimodal {
       "origin", "declared_len").orderBy("doc_id")
 
   // ---------------------------------------------------------------- m02
-  /** STUBBED decoder (???-equivalent): a real deployment would decode the
-    * blob with an image/audio codec inside this UDF (or `mapInPandas` on
-    * the Python side); the container has no codec libs, so the stub derives
-    * a deterministic fake "feature vector" from the bytes. The pipeline
+  /** The decode seam: a real deployment plugs an image/audio codec here
+    * (javax.imageio, ffmpeg bindings, …) without touching the operators —
+    * implement [[Codec]], put the class on the executor classpath, and
+    * select it per session via `spark.graft.codec` (fully-qualified class
+    * name, no-arg constructor). The instance is constructed once on the
+    * driver and serialized into the decode UDF's closure. Default is
+    * [[StubCodec]]. */
+  trait Codec extends Serializable {
+    /** Fixed width of every vector [[decode]] returns. */
+    def dim: Int
+    /** Decode one opaque payload (image frame / audio window) to a
+      * fixed-width feature vector; null payload → null. */
+    def decode(payload: Array[Byte]): Array[Double]
+  }
+
+  /** STUBBED default decoder (???-equivalent): a real deployment would
+    * decode the blob with a codec lib (or `mapInPandas` on the Python
+    * side); the container has no codec libs, so the stub derives a
+    * deterministic fake "feature vector" from the bytes. The pipeline
     * shape — binary in, fixed-width float array out, batch-friendly,
     * null-safe — is the real, tested part. Each bin accumulates an exact
     * integer byte-sum and divides once, so the result is one IEEE division
     * — bit-identical regardless of accumulation order (oracle-safe). */
-  private val FeatDim = 8
-  val decodeStub: UserDefinedFunction = udf { payload: Array[Byte] =>
-    if (payload == null) null
-    else {
-      val sums = new Array[Long](FeatDim)
-      var i = 0
-      while (i < payload.length) {
-        sums(i % FeatDim) += (payload(i) & 0xff).toLong
-        i += 1
+  final class StubCodec extends Codec {
+    val dim = 8
+    def decode(payload: Array[Byte]): Array[Double] =
+      if (payload == null) null
+      else {
+        val sums = new Array[Long](dim)
+        var i = 0
+        while (i < payload.length) {
+          sums(i % dim) += (payload(i) & 0xff).toLong
+          i += 1
+        }
+        sums.map(_.toDouble / 255.0)
       }
-      sums.map(_.toDouble / 255.0)
-    }
   }
+
+  private def codecFor(s: SparkSession): Codec =
+    s.conf.getOption("spark.graft.codec") match {
+      case Some(cls) if cls.nonEmpty =>
+        Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[Codec]
+      case _ => new StubCodec
+    }
+
+  private def decodeUdf(codec: Codec): UserDefinedFunction =
+    udf { payload: Array[Byte] => codec.decode(payload) }
 
   /** "Frame sampling" + feature extraction over the opaque payload:
     * fixed-size frames via pure builtins, every 4th frame kept (the
@@ -85,6 +112,7 @@ object Multimodal {
     * then the stub decoder per sampled frame. */
   def m02FrameFeatures(s: SparkSession, d: String): DataFrame = {
     val frameLen = 64
+    val codec = codecFor(s)
     val framed = withPayload(Tables.documents(s, d))
       .select(col("doc_id"),
         posexplode(
@@ -98,10 +126,10 @@ object Multimodal {
     framed
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).as("frame_bytes"),
-        decodeStub(col("frame")).as("feat"))
+        decodeUdf(codec)(col("frame")).as("feat"))
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
         element_at(col("feat"), 1).as("feat0"),
-        element_at(col("feat"), FeatDim).as("feat7"))
+        element_at(col("feat"), codec.dim).as("feat7"))
       .orderBy("doc_id", "frame_idx")
   }
 

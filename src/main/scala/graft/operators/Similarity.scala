@@ -177,7 +177,7 @@ object Similarity {
   }
 
   /** Scratch location of the cell-partitioned corpus for `d` (s07). */
-  private def ivfBucketedDir(s: SparkSession, d: String): String =
+  private[operators] def ivfBucketedDir(s: SparkSession, d: String): String =
     s"${graft.sources.HadoopIO.scratchDir(s)}/graft_ivf_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
