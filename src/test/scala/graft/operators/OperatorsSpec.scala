@@ -3,6 +3,18 @@ package graft.operators
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
+/** A stand-in "real" codec for the decode-seam spec: emits the frame
+  * length in every bin — trivially distinguishable from the byte-sum
+  * stub, and verifiable against the frame_bytes column. Loaded through
+  * the same `spark.graft.codec` Class.forName path a production codec
+  * would use. */
+class FrameLenCodec extends Multimodal.Codec {
+  val dim = 4
+  def decode(payload: Array[Byte]): Array[Double] =
+    if (payload == null) null
+    else Array.fill(dim)(payload.length.toDouble)
+}
+
 /** Smoke + invariants for the operator inventory over sf0.001. Value-level
   * correctness is enforced by the DuckDB oracle gate (scripts/
   * check_oracle.py); these specs pin the Spark-side invariants that the
@@ -231,6 +243,16 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged(1000000003L) === (long2.length - 31).toLong)
   }
 
+  test("t08 hashed gram probe flags the same docs as the string formulation") {
+    // the production path probes on xxhash64(gram); it must reproduce the
+    // string-gram reference (and the oracle, which restates the strings)
+    // exactly — same flagged docs, same per-doc shared-gram counts
+    val hashed = TextAnalysis.t08Decontaminate(spark, sf)
+    val str = TextAnalysis.t08DecontaminateStr(spark, sf)
+    assert(hashed.except(str).isEmpty && str.except(hashed).isEmpty)
+    assert(hashed.count() > 0)
+  }
+
   test("t09 histogram-cutoff budget fill == flat per-language window") {
     // the scale-safe two-phase formulation must reproduce the flat window
     // EXACTLY (same technique-equivalence contract as d04 banded==all-pairs)
@@ -253,6 +275,34 @@ class OperatorsSpec extends SparkSpec {
       assert(hist.except(flat).isEmpty && flat.except(hist).isEmpty,
         s"budget $b: formulations diverge")
     }
+  }
+
+  test("t09 two-level cutoff survives a length-quantized corpus (skew guard)") {
+    import spark.implicits._
+    // every doc has the SAME n_chars — the (lang, n_chars) boundary bucket
+    // IS the whole language, the exact funnel the histogram phase exists
+    // to avoid; the doc_id-range sub-level must (a) keep the fill exact
+    // vs the flat window and (b) bound every window partition at
+    // 2^subShift docs
+    val docs = (1L to 500L).map { i =>
+      val text = (1 to (i % 7 + 3).toInt).map(k => s"w$k").mkString(" ")
+      (i, text, if (i % 2 == 0) "en" else "de", "s", 4096L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("t09q").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    Seq(50L, 500L, 1000000L).foreach { b =>
+      val hist = TextAnalysis.t09TokenBudget(spark, tmp, b, subShift = 4)
+      val flat = TextAnalysis.t09TokenBudgetFlat(spark, tmp, b)
+      assert(hist.except(flat).isEmpty && flat.except(hist).isEmpty,
+        s"budget $b: two-level cutoff diverges on quantized corpus")
+    }
+    // the invariant the window relies on: with distinct ids, no
+    // (lang, n_chars, doc_id >> 4) group — hence no window partition —
+    // holds more than 2^4 docs
+    val maxGroup = docs
+      .groupBy(col("lang"), col("n_chars"), shiftrightunsigned(col("doc_id"), 4))
+      .count().agg(max("count")).head.getLong(0)
+    assert(maxGroup <= 16L)
   }
 
   test("d12 connected components are partitioning-invariant") {
@@ -283,10 +333,118 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("d13 cluster wiring: copies of copies land in one cluster (transitivity)") {
+    import spark.implicits._
+    // seeded-random docs (d11 technique): cross-doc shingle overlap is
+    // negligible, so the only edges are the planted copy chains
+    def randomDoc(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    val off = 1000000000L
+    val docs = ((1L to 10L).map(i => (i, randomDoc(i * 104729L))) ++
+      Seq((1L + off, randomDoc(1 * 104729L)),       // copy of 1
+        (1L + 2 * off, randomDoc(1 * 104729L)),     // copy of the copy
+        (5L + off, randomDoc(5 * 104729L))))        // single copy of 5
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(docs, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain {1, 1+off, 1+2off} is one cluster labeled by the minimum id
+    assert(got(1L) === 1L && got(1L + off) === 1L && got(1L + 2 * off) === 1L)
+    assert(got(5L) === 5L && got(5L + off) === 5L)
+    // non-dup docs never enter the dup graph
+    assert(got.size === 5)
+  }
+
+  test("d12 oracle edges and LSH-wired edges agree on an exact-dup corpus") {
+    import spark.implicits._
+    // on a corpus whose only near-dups are exact copies, the block-nested
+    // oracle generator and the banded LSH generator must produce the SAME
+    // clusters (LSH recall on exact copies is guaranteed)
+    def randomDoc(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    val docs = ((1L to 12L).map(i => (i, randomDoc(i * 7919L))) ++
+      Seq((21L, randomDoc(3 * 7919L)), (22L, randomDoc(3 * 7919L)),
+        (23L, randomDoc(7 * 7919L))))
+      .toDF("doc_id", "text")
+    val viaLsh = Dedup.nearDupClusters(docs, 0.8)
+    val viaExact = Dedup.connectedComponents(
+      Dedup.verifiedNearDupPairs(docs, 0.8))
+    assert(viaLsh.except(viaExact).isEmpty && viaExact.except(viaLsh).isEmpty)
+    val got = viaLsh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) === 3L && got(21L) === 3L && got(22L) === 3L)
+    assert(got(7L) === 7L && got(23L) === 7L)
+  }
+
+  test("d12 CC converges in O(log d) rounds on a long chain (pointer doubling)") {
+    import spark.implicits._
+    // a 400-node path: min-label propagation alone needs ~400 rounds and
+    // would trip the 100-round backstop; the label-shortcut must collapse
+    // it (2^100 ≫ any physical diameter)
+    val pairs = (1L to 399L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 400)
+    assert(got.values.forall(_ === 1L))
+  }
+
+  test("d12 CC: reliable-checkpoint conf produces identical clusters") {
+    import spark.implicits._
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((50L, 60L), (60L, 70L)))
+      .toDF("a_id", "b_id")
+    val base = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(reliable === base)
+      // the reliable path really did write checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("planted gates fail loudly when corpus ids reach the plant offset") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 50), (1000000001L, "b" * 50))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(50L))
+    val tmp = java.nio.file.Files.createTempDirectory("idh").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.d07LshPlantedGate(spark, tmp)
+    }
+    assert(e.getMessage.contains("planted-copy offset"))
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
     assert(f1.sameElements(f2))
     assert(f1.forall(_.getInt(2) > 0)) // frame_bytes positive
+  }
+
+  test("multimodal decode seam: spark.graft.codec plugs a real codec in") {
+    val stub = Multimodal.m02FrameFeatures(spark, sf).collect()
+    spark.conf.set("spark.graft.codec", "graft.operators.FrameLenCodec")
+    try {
+      val plugged = Multimodal.m02FrameFeatures(spark, sf).collect()
+      // same frames, same shape — only the decoded features change, and
+      // they carry the fake codec's known signature (len in every bin)
+      assert(plugged.length === stub.length)
+      plugged.foreach { r =>
+        assert(r.getDouble(3) === r.getInt(2).toDouble)  // feat0 == frame_bytes
+        assert(r.getDouble(4) === r.getInt(2).toDouble)  // feat_last too
+      }
+    } finally spark.conf.unset("spark.graft.codec")
+    // and with the conf unset, the default stub path is byte-identical
+    val stubAgain = Multimodal.m02FrameFeatures(spark, sf).collect()
+    assert(stubAgain.sameElements(stub))
   }
 }

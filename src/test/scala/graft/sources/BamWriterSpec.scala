@@ -118,6 +118,47 @@ class BamWriterSpec extends SparkSpec {
     assert(back.select(recordCols: _*).except(recs.select(recordCols: _*)).isEmpty)
   }
 
+  test("concat ignores stray part-files from failed/duplicate task attempts") {
+    import spark.implicits._
+    // simulate a retried/zombie attempt: a garbage file named like a
+    // second attempt (-a1) sits in the scratch dir alongside the real
+    // tasks' -a0 parts; the commit concat must read ONLY the (pid, count,
+    // path) triples the successful tasks returned, so the garbage never
+    // reaches the output — and the scratch dir (stray included) is dropped
+    val recs = spark.range(0, 300).repartition(3).select(
+      concat(lit("r"), col("id")).as("readName"),
+      lit(0).as("flag"), lit("chrM").as("referenceName"),
+      (col("id") % 16000 + 1).cast("int").as("start"),
+      lit(60).as("mapQ"), lit("10M").as("cigar"), lit("*").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("IIIIIIIIII").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val tmp = java.nio.file.Files.createTempDirectory("bamw6").toString
+    val out = s"$tmp/retry.bam"
+    val partsDir = java.nio.file.Paths.get(s"$out.parts")
+    java.nio.file.Files.createDirectories(partsDir)
+    java.nio.file.Files.write(partsDir.resolve("part-00001-a1"),
+      "GARBAGE-NOT-BGZF-FROM-A-FAILED-ATTEMPT".getBytes("US-ASCII"))
+    val n = BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out)
+    assert(n === 300)
+    assert(!java.nio.file.Files.exists(partsDir), "scratch dir not dropped")
+    // the file still tiles as valid BGZF members end to end — any stray
+    // ASCII bytes in the concat would break the member framing
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    var off = 0
+    while (off < bytes.length) {
+      assert((bytes(off) & 0xff) === 0x1f && (bytes(off + 1) & 0xff) === 0x8b,
+        s"bad member magic at $off")
+      off += ((bytes(off + 16) & 0xff) | ((bytes(off + 17) & 0xff) << 8)) + 1
+    }
+    assert(off === bytes.length)
+    // and round-trips to exactly the input records
+    val back = spark.read.format("bam").load(out)
+    assert(back.count() === 300)
+    assert(back.select(recordCols: _*).except(recs.select(recordCols: _*)).isEmpty)
+  }
+
   test("writer refuses records with unsupported tag types") {
     import spark.implicits._
     val bad = Seq(("r1", 0, "chrM", 1, 60, "4M", "*", 0, 0, "ACGT", "*", "XX:Q:weird"))
