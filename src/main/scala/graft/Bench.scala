@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
-  * Each query runs twice: the first (cold) pass pays one-time planning +
-  * whole-stage-codegen compilation, the second (warm) pass measures
-  * steady-state execution — the number that scales with data volume and
-  * the one comparable across engines. `value`/`queries` report warm;
-  * `cold_total` is included for transparency.
+  * Each query runs four times: the first (cold) pass pays one-time
+  * planning + whole-stage-codegen compilation, then THREE warm passes
+  * measure steady-state execution — the number that scales with data
+  * volume and the one comparable across engines. `value`/`queries` report
+  * the per-query minimum over the warm passes (the standard low-noise
+  * estimator on a shared box); `noise` reports the worst per-query
+  * max/min ratio across the warm passes so a reader can separate plan
+  * regressions from box load; `cold_total` is included for transparency.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,42 +61,59 @@ object Bench {
         (System.nanoTime() - tIdx) / 1e9
       } catch { case _: Throwable => failed += "s04_index_build"; -1.0 }
 
-    // bench-only row: the WIRED near-dup pipeline over the whole documents
-    // corpus at this scale factor (the driver's d11 CORRECTNESS row runs it
-    // too, but with planted copies — this measures the pure corpus shuffle
-    // profile: one shingle pass, one band-key exchange, verify on
-    // candidates only, left-anti keep)
+    // bench-only rows: the WIRED near-dup pipelines over the whole
+    // documents corpus at this scale factor (the driver's d11/d13
+    // CORRECTNESS rows run them too, but with planted copies — these
+    // measure the pure corpus shuffle profile: one shingle pass, one
+    // band-key exchange, verify on candidates only, then left-anti keep
+    // for d11 / the CC fixpoint loop for d12's production wiring)
     val benchQueries = SparkEntry.queries +
       ("d11_bench" -> ((s: SparkSession, d: String) =>
         graft.operators.Dedup.nearDedupKeep(
+          graft.Tables.documents(s, d), 0.8))) +
+      ("d12_bench" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.nearDupClusters(
           graft.Tables.documents(s, d), 0.8)))
 
     val names = benchQueries.keys.toSeq.sorted
     val cold = names.map(n => n -> time(n, benchQueries(n))).toMap
-    // two timed passes, report the per-query minimum: the local box is
+    // three timed passes, report the per-query minimum: the local box is
     // shared, and min-of-passes is the standard low-noise estimator of
     // steady-state cost
-    val warm1 = names.map(n => n -> time(n, benchQueries(n))).toMap
-    val warm2 = names.map(n => n -> time(n, benchQueries(n))).toMap
-    val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
+    val warmPasses = (1 to 3).map(_ =>
+      names.map(n => n -> time(n, benchQueries(n))).toMap)
+    val warm = names.map(n => n -> warmPasses.map(_(n)).min).toMap
+    // worst per-query max/min spread across the warm passes — the box-load
+    // indicator that separates plan changes from shared-machine noise
+    val noise = names.flatMap { n =>
+      val ps = warmPasses.map(_(n)).filter(_ >= 0)
+      if (ps.isEmpty || ps.min <= 0) None else Some(ps.max / ps.min)
+    }.foldLeft(1.0)(math.max)
 
-    // 3 significant digits, not raw doubles: the driver captures only the
-    // LAST 2000 chars of stdout and json-parses the bench line out of that
-    // tail — at full precision the ~67-query line is ~3.5 KB and its head
-    // is truncated away (every BENCH_r{1..4}.json records "parsed": null).
-    // 3 sig digits keeps the whole line ~1.8 KB incl. sbt's epilogue.
-    def fmt(v: Double): String =
+    // bounded significant digits, not raw doubles: the driver captures only
+    // the LAST 2000 chars of stdout and json-parses the bench line out of
+    // that tail — at full precision the ~70-query line is ~3.5 KB and its
+    // head is truncated away (every BENCH_r{1..4}.json records "parsed":
+    // null). 3 sig digits keeps the whole line ~1.8 KB incl. sbt's
+    // epilogue; if the query set ever outgrows that, drop to 2.
+    def fmt(v: Double, sig: Int): String =
       if (v < 0) "-1"
       else new java.math.BigDecimal(v)
-        .round(new java.math.MathContext(3)).toPlainString
-    val qs = names.map(n => s""""$n":${fmt(warm(n))}""").mkString("{", ",", "}")
+        .round(new java.math.MathContext(sig)).toPlainString
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    def line(sig: Int): String = {
+      val qs = names.map(n => s""""$n":${fmt(warm(n), sig)}""")
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, sig)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal, sig)},"s04_index_build":${fmt(idxBuild, sig)},"noise":${fmt(noise, sig)},"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val out = { val l3 = line(3); if (l3.length <= 1800) l3 else line(2) }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line
-    // stays inside the driver's bounded stdout tail
-    spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"s04_index_build":${fmt(idxBuild)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // stays inside the driver's bounded stdout tail — and a stop-time
+    // failure (shutdown race) must not cost the round its timings
+    try spark.stop() catch { case _: Throwable => () }
+    println(out)
   }
 }
