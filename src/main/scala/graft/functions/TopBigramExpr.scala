@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+
+/** `top_bigram_fraction(tokens) -> double`: the share of all adjacent
+  * token bigrams taken by the single most frequent bigram — the
+  * MassiveText/Gopher-family repetition signal (a doc whose top bigram
+  * dominates is boilerplate or a generation loop, not prose).
+  *
+  * Why native: the builtin formulation either explodes bigrams into a
+  * data-sized (doc_id, bigram) groupBy shuffle — the exact per-row
+  * statistic turned into the corpus's biggest exchange — or goes through
+  * `transform(..., b -> size(filter(...)))`, O(n²) per document. This
+  * expression is one pass over the token array (each bigram FNV-1a-hashed
+  * token-by-token with a 0x1F separator, counted in an open-addressed
+  * long→int map), stays inside whole-stage codegen via a static call, and
+  * keeps the operator a zero-shuffle narrow scan. Distinct-bigram
+  * identity rides on the 64-bit hash (collision odds ~n²/2⁶⁴ per doc —
+  * the same trade t08's gram probe documents). Docs with fewer than two
+  * tokens score 0.0.
+  */
+case class TopBigramFraction(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_bigram_fraction"
+
+  override def nullSafeEval(arr: Any): Any =
+    TopBigramExpr.eval(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TopBigramExpr.eval($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopBigramExpr {
+
+  def eval(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n < 2) return 0.0
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val m = n - 1
+    val cap = Integer.highestOneBit(math.max(4, m * 2 - 1)) << 1
+    val keys = new Array[Long](cap)
+    val cnts = new Array[Int](cap)
+    var maxC = 0
+    i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      val a = toks(i)
+      while (j < a.length) { h ^= a.charAt(j); h *= 0x100000001b3L; j += 1 }
+      h ^= 0x1f; h *= 0x100000001b3L // separator: "ab","c" != "a","bc"
+      val b = toks(i + 1)
+      j = 0
+      while (j < b.length) { h ^= b.charAt(j); h *= 0x100000001b3L; j += 1 }
+      h |= 1L // 0 marks an empty slot
+      var slot = h.toInt & (cap - 1)
+      while (keys(slot) != 0L && keys(slot) != h) slot = (slot + 1) & (cap - 1)
+      keys(slot) = h
+      cnts(slot) += 1
+      if (cnts(slot) > maxC) maxC = cnts(slot)
+      i += 1
+    }
+    maxC.toDouble / m
+  }
+
+  def topBigramFraction(tokens: Column): Column =
+    bridge.toColumn(TopBigramFraction(bridge.toExpression(tokens)))
+}

@@ -296,13 +296,16 @@ object TextAnalysis {
     * eval-gram set is BROADCAST — the train side is one narrow
     * explode→broadcast-hash-join pipeline with no data-sized shuffle; only
     * the matched grams (contamination is rare by construction) reach the
-    * per-doc countDistinct exchange. The probe runs on 64-bit `xxhash64`
-    * gram HASHES on both sides — the 32-char gram strings exist only
-    * transiently inside the projection, so the broadcast set and every
-    * exploded train row carry 8 bytes instead of ~32+ — with the string
-    * formulation kept as the oracle restatement and as a spec-asserted
-    * reference path (a 64-bit collision between a corpus gram and a
-    * distinct eval gram — odds ~g²/2⁶⁴ — is the accepted trade). */
+    * per-doc countDistinct exchange. The probe runs on 64-bit gram HASHES
+    * on both sides, produced by the native one-pass [[ShingleHashesExpr]]
+    * (the same deduped k-gram kernel d02/d03 shingle with, at k=32) — no
+    * gram string is ever materialized, the builtin
+    * `transform(sequence, substr)` composition's O(len²) substr cost is
+    * avoided, and the broadcast set and every exploded train row carry 8
+    * bytes instead of ~32+ — with the string formulation kept as the
+    * oracle restatement and as a spec-asserted reference path (a 64-bit
+    * collision between a corpus gram and a distinct eval gram — odds
+    * ~g²/2⁶⁴ — is the accepted trade). */
   def t08Decontaminate(s: SparkSession, d: String): DataFrame =
     t08Path(s, d, hashed = true)
 
@@ -314,12 +317,12 @@ object TextAnalysis {
 
   private def t08Path(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
     val n = 32
-    val gram: Column => Column => Column = c => i => c.substr(i, lit(n))
-    val grams: Column => Column = c =>
-      when(length(c) >= n,
+    val grams: Column => Column =
+      if (hashed) c => shingleHashes(c, n) // native: one pass, pre-deduped
+      else c => when(length(c) >= n,
         array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
-          i => if (hashed) xxhash64(gram(c)(i)) else gram(c)(i))))
-        .otherwise(array().cast(if (hashed) "array<bigint>" else "array<string>"))
+          i => c.substr(i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     Dedup.assertIdHeadroom(docs, "doc_id")
     val evalDocs = docs.orderBy(col("doc_id").asc).limit(20)
@@ -498,6 +501,102 @@ object TextAnalysis {
       |WHERE cum_tok <= 15000
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** PII detection + redaction — the scrub pass a curation pipeline runs
+    * before shipping: per-doc email and phone-number match counts plus
+    * the md5 of the redacted text (matches replaced by `<EMAIL>` /
+    * `<PHONE>` placeholders). Narrow per-row regexps, zero shuffle.
+    *
+    * The corpus is synthetic word salad with no natural PII, so the d07
+    * planted technique makes the contract exact: PII-bearing copies of
+    * the 20 lowest-id docs are planted (id + 10⁹) and every planted doc
+    * MUST surface with exactly the planted counts — and the redaction is
+    * value-checked through the md5, not just counted. The regexes stay in
+    * the ASCII subset where Java (Spark) and RE2 (DuckDB) agree; any
+    * natural match the corpus did contain would be computed identically
+    * by both engines. */
+  def t10PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Dedup.assertIdHeadroom(docs, "doc_id")
+    val pii =
+      " contact me at jane.doe+spam@example-mail.org or 555-867-5309 now"
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"),
+        concat(col("text"), lit(pii)).as("text"))
+    docs.union(planted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(encode(regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>"), "UTF-8")).as("redacted_md5"))
+      .where(col("n_emails") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000,
+      |    text || ' contact me at jane.doe+spam@example-mail.org or 555-867-5309 now'
+      |  FROM base),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(text,
+      |      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |    md5(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+      |  FROM corpus)
+      |SELECT doc_id, n_emails, n_phones, redacted_md5 FROM m
+      |WHERE n_emails + n_phones > 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t11
+  /** Repetition scoring — the MassiveText/Gopher-family quality signal:
+    * per doc, the fraction of adjacent token bigrams taken by the single
+    * most frequent bigram (near 1.0 = boilerplate / generation loop).
+    *
+    * Scale shape: computed per ROW by the native one-pass
+    * [[graft.functions.TopBigramExpr]] — zero shuffle, stays in
+    * whole-stage codegen. The naive distributed formulation (explode
+    * bigrams → groupBy (doc_id, bigram) → max/sum) turns a per-row
+    * statistic into a corpus-sized exchange; the oracle restates that
+    * form, the engine never runs it. */
+  def t11Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        (size(col("t")) - 1).cast("long").as("n_bigrams"),
+        round(graft.functions.TopBigramExpr.topBigramFraction(col("t")), 6)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  val t11Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, lang, len(toks) - 1 AS n_bigrams,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || chr(31) || toks[i + 1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |c AS (
+      |  SELECT doc_id, lang, n_bigrams, bg, COUNT(*) AS c
+      |  FROM b GROUP BY doc_id, lang, n_bigrams, bg)
+      |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(MAX(c) AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+      |FROM c GROUP BY doc_id, lang, n_bigrams ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -507,7 +606,9 @@ object TextAnalysis {
     "t06_stratified_sample" -> (t06StratifiedSample _),
     "t07_curation_pipeline" -> (t07CurationPipeline _),
     "t08_decontam"    -> (t08Decontaminate _),
-    "t09_token_budget" -> (t09TokenBudget _))
+    "t09_token_budget" -> (t09TokenBudget _),
+    "t10_pii_redact"  -> (t10PiiRedact _),
+    "t11_repetition"  -> (t11Repetition _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -517,5 +618,7 @@ object TextAnalysis {
     "t06_stratified_sample" -> t06Sql,
     "t07_curation_pipeline" -> t07Sql,
     "t08_decontam"    -> t08Sql,
-    "t09_token_budget" -> t09Sql)
+    "t09_token_budget" -> t09Sql,
+    "t10_pii_redact"  -> t10Sql,
+    "t11_repetition"  -> t11Sql)
 }

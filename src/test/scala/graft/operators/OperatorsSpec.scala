@@ -305,6 +305,50 @@ class OperatorsSpec extends SparkSpec {
     assert(maxGroup <= 16L)
   }
 
+  test("t10 PII redaction: planted PII found and scrubbed, counts exact") {
+    val out = TextAnalysis.t10PiiRedact(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(20).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val (ne, np, redMd5) = out(id + 1000000000L)
+      assert(ne === 1L && np === 1L, s"planted doc $id: counts ($ne, $np)")
+      // the redaction really replaced the match: the redacted text's md5
+      // equals md5(original + placeholder-suffix), computed independently
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest((r.getString(1) +
+          " contact me at <EMAIL> or <PHONE> now").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(redMd5 === expected, s"planted doc $id: redaction mismatch")
+    }
+  }
+
+  test("t11 top-bigram fraction: hand-checked values and bounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a", "en", "s", 9L),        // bigrams ab ba ab ba -> 2/4
+      (2L, "x y x y x y x y", "en", "s", 15L), // xy 4 of 7
+      (3L, "p q r s t", "en", "s", 9L),        // all distinct -> 1/4
+      (4L, "solo", "en", "s", 4L))             // < 2 tokens -> excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("t11").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = TextAnalysis.t11Repetition(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((4L, 0.5)))
+    assert(got(2L) === ((7L, math.rint(4.0 / 7 * 1e6) / 1e6)))
+    assert(got(3L) === ((4L, 0.25)))
+    assert(!got.contains(4L))
+    // corpus-wide bounds: every fraction in (0, 1]
+    val all = TextAnalysis.t11Repetition(spark, sf).collect()
+    assert(all.nonEmpty)
+    all.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("d12 connected components are partitioning-invariant") {
     import spark.implicits._
     val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((50L, 60L)))
