@@ -103,12 +103,17 @@ object Bench {
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    def line(sig: Int): String = {
+    def line(sig: Int, slim: Boolean): String = {
       val qs = names.map(n => s""""$n":${fmt(warm(n), sig)}""")
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, sig)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal, sig)},"s04_index_build":${fmt(idxBuild, sig)},"noise":${fmt(noise, sig)},"failed":$failedJson,"sf":"$sfDir"}"""
+      val extras = if (slim) ""
+        else s""""cold_total":${fmt(coldTotal, sig)},"s04_index_build":${fmt(idxBuild, sig)},"""
+      s"""{"metric":"total","value":${fmt(total, sig)},"unit":"sec","queries":$qs,$extras"noise":${fmt(noise, sig)},"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    val out = { val l3 = line(3); if (l3.length <= 1800) l3 else line(2) }
+    // degrade precision, then the transparency fields, before ever letting
+    // the line outgrow the consumer's 2000-char stdout tail
+    val out = Seq(line(3, false), line(2, false), line(2, true))
+      .find(_.length <= 1800).getOrElse(line(2, true))
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line
     // stays inside the driver's bounded stdout tail — and a stop-time

@@ -920,6 +920,70 @@ object Relational {
       |FROM (SELECT DATE_TRUNC('hour', ts) AS h, event_type
       |      FROM events GROUP BY 1, 2) t""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Streaming INCREMENTAL DEDUP gate — the continuously-ingesting
+    * pipeline's shape: new documents arrive as a micro-batch stream, any
+    * doc whose content hash already exists in the HISTORICAL corpus (a
+    * static frame, here the even-doc_id half) is dropped by a
+    * stream-static left-anti join, and within-stream duplicates collapse
+    * via streaming dropDuplicates on the hash. Only order-independent
+    * quantities are emitted (distinct-new-hash count + a zero-leak
+    * cross-check), so the gate is deterministic and oracle-restatable
+    * even though streaming dedup keeps an arbitrary first arrival.
+    *
+    * Scale shape: the anti join is re-planned per micro-batch like any
+    * batch join — no streaming state on the static side; at 100 TB the
+    * historical hash set is a bucketed table (or a Bloom-filter
+    * prefilter ahead of the join) rather than a broadcast, and the
+    * dropDuplicates state holds one 16-byte hash per NEW document within
+    * the retention horizon, not per event. */
+  def q36StreamDedupGate(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/documents.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q36_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = s"$stageDir/documents.parquet"
+    val src = HadoopIO.lenAndMtime(path, conf)
+      .getOrElse(sys.error(s"q36 source missing: $path"))
+    val fresh = HadoopIO.lenAndMtime(staged, conf) match {
+      case Some((len, mtime)) => len == src._1 && mtime >= src._2
+      case None => false
+    }
+    if (!fresh) HadoopIO.copy(path, staged, conf)
+    val stream = s.readStream.schema(rawSchema).parquet(stageDir)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+    val hist = s.read.parquet(path)
+      .where(col("doc_id") % 2 === 0)
+      .select(md5(encode(col("text"), "UTF-8")).as("h")).distinct()
+    val tbl = "q36_streamed"
+    s.catalog.dropTempView(tbl)
+    val q = stream
+      .join(hist, Seq("h"), "left_anti")
+      .dropDuplicates("h")
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = s.table(tbl)
+    val leaked = kept.join(hist, Seq("h"))
+      .agg(count(lit(1)).as("n_leaked"))
+    kept.agg(count_distinct(col("h")).as("n_new_hashes"),
+        count(lit(1)).as("n_kept_rows"))
+      .crossJoin(leaked)
+      .select(col("n_new_hashes"), col("n_kept_rows"), col("n_leaked"),
+        (col("n_leaked") === 0 &&
+          col("n_kept_rows") === col("n_new_hashes")).as("clean"))
+  }
+
+  val q36Sql: String =
+    """SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_new_hashes,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_kept_rows,
+      |  CAST(0 AS BIGINT) AS n_leaked, true AS clean
+      |FROM documents
+      |WHERE md5(text) NOT IN (
+      |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -956,7 +1020,8 @@ object Relational {
     "q32_approx_distinct" -> (q32ApproxDistinct _),
     "q33_pivot"           -> (q33Pivot _),
     "q34_adversarial_skew_join" -> (q34AdversarialSkewJoin _),
-    "q35_stream_batch_gate" -> (q35StreamBatchGate _))
+    "q35_stream_batch_gate" -> (q35StreamBatchGate _),
+    "q36_stream_dedup_gate" -> (q36StreamDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -993,5 +1058,6 @@ object Relational {
     "q32_approx_distinct" -> q32Sql,
     "q33_pivot"           -> q33Sql,
     "q34_adversarial_skew_join" -> q34Sql,
-    "q35_stream_batch_gate" -> q35Sql)
+    "q35_stream_batch_gate" -> q35Sql,
+    "q36_stream_dedup_gate" -> q36Sql)
 }

@@ -305,6 +305,20 @@ class OperatorsSpec extends SparkSpec {
     assert(maxGroup <= 16L)
   }
 
+  test("q36 streaming incremental dedup equals the batch anti-join count") {
+    val r = Relational.q36StreamDedupGate(spark, sf).head
+    // batch truth: distinct content hashes absent from the even-id half
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+    val hist = docs.where(col("doc_id") % 2 === 0).select("h").distinct()
+    val expected = docs.join(hist, Seq("h"), "left_anti")
+      .select("h").distinct().count()
+    assert(r.getLong(0) === expected)
+    assert(r.getLong(1) === expected) // dropDuplicates kept one row per hash
+    assert(r.getLong(2) === 0L && r.getBoolean(3))
+    assert(expected > 0L)
+  }
+
   test("t10 PII redaction: planted PII found and scrubbed, counts exact") {
     val out = TextAnalysis.t10PiiRedact(spark, sf)
       .collect().map(r => r.getLong(0) ->
