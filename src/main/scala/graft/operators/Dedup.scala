@@ -541,6 +541,58 @@ object Dedup {
       |  CAST(COUNT(*) AS BIGINT) AS n_chained, true AS all_chained
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d14
+  /** Bloom-prefiltered incremental exact dedup — the probe-side reducer
+    * for the q36/d06 anti-join shape: a Bloom filter over the HISTORICAL
+    * corpus's content hashes (built distributed via
+    * `DataFrameStatFunctions.bloomFilter`, broadcast to executors)
+    * splits the incoming side into `cleared` rows (Bloom-negative —
+    * definitely new, no false negatives, so they skip the join entirely)
+    * and `candidates` (Bloom-positive — verified by the exact anti-join).
+    * Only ~fpp of the genuinely-new rows ever reach the join's exchange,
+    * so at scale the anti-join shuffles ~1% of the corpus instead of all
+    * of it.
+    *
+    * Gate (s07 technique): the Bloom-prefiltered keep set must equal the
+    * plain anti-join's keep set EXACTLY — guaranteed, because Bloom
+    * filters have no false negatives and positives are exactly verified;
+    * the count is oracle-restatable.
+    *
+    * Scale bound, stated honestly: the broadcast filter costs ~1.2
+    * bytes/item at 1% fpp, so the single-filter form holds to ~10⁹
+    * historical docs; past that, shard the filter by hash prefix (each
+    * executor probes its shard) or fall back to the plain shuffled
+    * anti-join this gate compares against. */
+  def d14BloomDedupGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+    val hist = docs.where(col("doc_id") % 2 === 0).select("h")
+    val incoming = docs.where(col("doc_id") % 2 =!= 0)
+    val nHist = hist.count() // bounded scalar: sizes the filter
+    val bloom = hist.stat.bloomFilter("h", math.max(nHist, 1L), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val cleared = incoming.where(!mightContain(col("h")))
+    val candidates = incoming.where(mightContain(col("h")))
+    val keptBloom = cleared.unionByName(
+      candidates.join(hist.distinct(), Seq("h"), "left_anti"))
+    val keptExact = incoming.join(hist.distinct(), Seq("h"), "left_anti")
+    val extra = keptBloom.select("doc_id")
+      .exceptAll(keptExact.select("doc_id")).agg(count(lit(1)).as("extra"))
+    val missing = keptExact.select("doc_id")
+      .exceptAll(keptBloom.select("doc_id")).agg(count(lit(1)).as("missing"))
+    keptExact.agg(count(lit(1)).as("n_kept"))
+      .crossJoin(extra).crossJoin(missing)
+      .select(col("n_kept"),
+        (col("extra") === 0 && col("missing") === 0).as("results_match"))
+  }
+
+  val d14Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, true AS results_match
+      |FROM documents
+      |WHERE doc_id % 2 = 1 AND md5(text) NOT IN (
+      |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin
+
   /** Per-round lineage truncation for the CC fixpoint. Default is
     * `localCheckpoint` — executor-local, unreplicated blocks: right for
     * local mode, but on a cluster an executor loss mid-loop is
@@ -642,7 +694,8 @@ object Dedup {
     "d10_embed_planted_gate" -> (d10EmbedPlantedGate _),
     "d11_wired_dedup_gate" -> (d11WiredDedupGate _),
     "d12_dup_clusters" -> (d12DupClusters _),
-    "d13_chain_gate" -> (d13ChainGate _))
+    "d13_chain_gate" -> (d13ChainGate _),
+    "d14_bloom_dedup_gate" -> (d14BloomDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -654,5 +707,6 @@ object Dedup {
     "d10_embed_planted_gate" -> d10Sql,
     "d11_wired_dedup_gate" -> d11Sql,
     "d12_dup_clusters" -> d12Sql,
-    "d13_chain_gate" -> d13Sql)
+    "d13_chain_gate" -> d13Sql,
+    "d14_bloom_dedup_gate" -> d14Sql)
 }

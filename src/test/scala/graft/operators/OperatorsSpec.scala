@@ -319,6 +319,28 @@ class OperatorsSpec extends SparkSpec {
     assert(expected > 0L)
   }
 
+  test("d14 bloom-prefiltered dedup: exact keep set on known cross-half dups") {
+    import spark.implicits._
+    // odd ids 7 and 9 duplicate even ids 2 and 4; odd 11 duplicates odd 13
+    // (within-incoming dup -> BOTH kept: this formulation dedups against
+    // history only); all other docs unique
+    def doc(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 40).map(_ => rnd.alphanumeric.take(6).mkString).mkString(" ")
+    }
+    val texts = Map(2L -> doc(2), 4L -> doc(4), 11L -> doc(999), 13L -> doc(999),
+      7L -> doc(2), 9L -> doc(4))
+    val docs = (1L to 20L)
+      .map(i => (i, texts.getOrElse(i, doc(i * 31L)), "en", "s", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("d14").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val r = Dedup.d14BloomDedupGate(spark, tmp).head
+    // 10 odd docs, minus 7 and 9 (dups of history) = 8 kept; 11/13 stay
+    assert(r.getLong(0) === 8L)
+    assert(r.getBoolean(1), "bloom path diverged from the exact anti-join")
+  }
+
   test("t10 PII redaction: planted PII found and scrubbed, counts exact") {
     val out = TextAnalysis.t10PiiRedact(spark, sf)
       .collect().map(r => r.getLong(0) ->
@@ -363,6 +385,18 @@ class OperatorsSpec extends SparkSpec {
     all.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("t10/t11 are zero-shuffle narrow scans (only the final sort exchanges)") {
+    // the per-row statistic must stay per-row: no hash-partitioned
+    // exchange anywhere in either plan — the only allowed exchange is the
+    // range partitioning of the presentation orderBy
+    Seq("t10" -> TextAnalysis.t10PiiRedact(spark, sf),
+      "t11" -> TextAnalysis.t11Repetition(spark, sf)).foreach { case (n, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"$n shuffles on a hash key:\n${plan.take(2000)}")
+    }
+  }
+
   test("d12 connected components are partitioning-invariant") {
     import spark.implicits._
     val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((50L, 60L)))
@@ -389,6 +423,13 @@ class OperatorsSpec extends SparkSpec {
     val empty = Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
     assert(empty.count() === 0L)
+    // duplicate edges and self-loops are tolerated, not double-counted:
+    // same clusters as the clean edge list
+    val noisy = (chain ++ chain ++ Seq((5L, 5L), (100L, 101L), (101L, 100L),
+      (200L, 300L))).toDF("a_id", "b_id")
+    val gotNoisy = Dedup.connectedComponents(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNoisy === got)
   }
 
   test("d13 cluster wiring: copies of copies land in one cluster (transitivity)") {

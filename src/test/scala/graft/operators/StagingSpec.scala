@@ -36,6 +36,23 @@ class StagingSpec extends SparkSpec {
     assert(HadoopIO.lenAndMtime(success, conf).isEmpty)
   }
 
+  test("q36 staging: restaged through the Hadoop FS when the source moves") {
+    val tmp = java.nio.file.Files.createTempDirectory("q36re").toString
+    HadoopIO.copy(s"$sf/documents.parquet", s"$tmp/documents.parquet", conf)
+    val r1 = Relational.q36StreamDedupGate(spark, tmp).head()
+    assert(r1.getAs[Boolean]("clean"))
+    val staged = s"${HadoopIO.scratchDir(spark)}/graft_q36_" +
+      tmp.replaceAll("[^A-Za-z0-9]", "_") + "/documents.parquet"
+    val t1 = HadoopIO.lenAndMtime(staged, conf).get._2
+    Thread.sleep(1100)
+    HadoopIO.copy(s"$sf/documents.parquet", s"$tmp/documents.parquet", conf)
+    val r2 = Relational.q36StreamDedupGate(spark, tmp).head()
+    assert(r2.getAs[Boolean]("clean"))
+    assert(r2.getLong(0) === r1.getLong(0))
+    val t2 = HadoopIO.lenAndMtime(staged, conf).get._2
+    assert(t2 > t1, "staged documents copy was not refreshed after regeneration")
+  }
+
   test("q35 staging: restaged through the Hadoop FS when the source moves") {
     val tmp = java.nio.file.Files.createTempDirectory("q35re").toString
     HadoopIO.copy(s"$sf/events.parquet", s"$tmp/events.parquet", conf)
