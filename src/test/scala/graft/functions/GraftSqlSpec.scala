@@ -15,7 +15,8 @@ class GraftSqlSpec extends SparkSpec {
         |  minhash_sig(shingle_hashes('hello world', 3), 8) AS sig,
         |  dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |              array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS dp,
-        |  sam_tags('NM:i:2 MD:Z:2A3T3 NH:i:1').nm AS nm
+        |  sam_tags('NM:i:2 MD:Z:2A3T3 NH:i:1').nm AS nm,
+        |  top_bigram_fraction(array('a', 'b', 'a', 'b', 'a')) AS tbf
         |""".stripMargin).head()
     assert(row.getSeq[String](0) === Seq("7G", "11C"))
     assert(row.getSeq[Long](1).length === 3) // abc, bca, cab (abc dedupes)
@@ -23,6 +24,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getSeq[Long](3).length === 8)
     assert(row.getDouble(4) === 11.0)
     assert(row.getInt(5) === 2)
+    assert(row.getDouble(6) === 0.5) // ab ba ab ba -> 2/4
   }
 
   test("SQL and Column APIs agree") {
