@@ -82,7 +82,13 @@ object Bench {
     // steady-state cost
     val warmPasses = (1 to 3).map(_ =>
       names.map(n => n -> time(n, benchQueries(n))).toMap)
-    val warm = names.map(n => n -> warmPasses.map(_(n)).min).toMap
+    // min over the SUCCESSFUL passes only: a query that fails one pass but
+    // succeeds the others must report its real timing, not the -1 sentinel
+    // (which would silently shrink the total and read as a speedup)
+    val warm = names.map { n =>
+      val ok = warmPasses.map(_(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
     // worst per-query max/min spread across the warm passes — the box-load
     // indicator that separates plan changes from shared-machine noise
     val noise = names.flatMap { n =>
@@ -113,7 +119,14 @@ object Bench {
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail
     val out = Seq(line(3, false), line(2, false), line(2, true))
-      .find(_.length <= 1800).getOrElse(line(2, true))
+      .find(_.length <= 1800).getOrElse {
+        // even the slim form outgrew the consumer's tail: emit it anyway
+        // (stderr is not tail-parsed) but make the overflow loud instead
+        // of silently regressing to the parsed:null failure mode
+        System.err.println(s"[bench] WARNING: slim JSON line is " +
+          s"${line(2, true).length} chars > 1800 — driver tail parse at risk")
+        line(2, true)
+      }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line
     // stays inside the driver's bounded stdout tail — and a stop-time

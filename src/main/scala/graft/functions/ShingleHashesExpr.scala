@@ -41,24 +41,30 @@ case class ShingleHashes(left: Expression, right: Expression)
 object ShingleHashesExpr {
 
   /** FNV-1a-style 64-bit k-gram hash; one string pass, open-addressed
-    * dedupe (no boxing). Deterministic across JVMs. */
+    * dedupe (no boxing). Deterministic across JVMs.
+    *
+    * Grams are windows of UNICODE CODEPOINTS, not UTF-16 units — the
+    * same character count Spark's `length`/`substr` builtins and
+    * DuckDB's `substr` use, so the native kernel and every oracle
+    * restatement window identically on astral-plane text (emoji,
+    * supplementary CJK), not just ASCII. */
   def eval(text: UTF8String, k: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length - k + 1
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     // open-addressed set sized to next pow2 >= 2n (load factor <= .5);
     // 0 marks empty (hash output is never 0: we or-in a constant)
-    var cap = Integer.highestOneBit(math.max(4, n * 2 - 1)) << 1
+    val cap = OpenHash.capacityFor(n)
     val table = new Array[Long](cap)
     val out = new Array[Long](n)
     var m = 0
     var i = 0
     while (i < n) {
-      var h = 0xcbf29ce484222325L
+      var h = OpenHash.FnvInit
       var j = i
       while (j < i + k) {
-        h ^= s.charAt(j)
-        h *= 0x100000001b3L
+        h ^= cps(j)
+        h *= OpenHash.FnvPrime
         j += 1
       }
       h |= 1L // never 0
@@ -88,4 +94,16 @@ object ShingleHashesExpr {
   def shingleHashes(text: Column, k: Int): Column =
     bridge.toColumn(ShingleHashes(bridge.toExpression(text),
       bridge.toExpression(org.apache.spark.sql.functions.lit(k))))
+}
+
+/** The FNV-1a/open-addressing kernel constants shared by the native
+  * hashing expressions ([[ShingleHashesExpr]], [[TopBigramExpr]]) — one
+  * place for the mixing constants and the pow2-capacity formula (load
+  * factor ≤ 0.5; `n * 2 - 1` stays in Int because array cardinalities
+  * are row-sized). */
+private[functions] object OpenHash {
+  val FnvInit = 0xcbf29ce484222325L
+  val FnvPrime = 0x100000001b3L
+  def capacityFor(n: Int): Int =
+    Integer.highestOneBit(math.max(4, n * 2 - 1)) << 1
 }

@@ -48,22 +48,29 @@ object TopBigramExpr {
     if (n < 2) return 0.0
     val toks = new Array[String](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < n) {
+      // null elements hash as the empty token: the registered SQL surface
+      // accepts any array<string>, so a null must not sink the task
+      // (tokens() itself never emits nulls)
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString
+      i += 1
+    }
     val m = n - 1
-    val cap = Integer.highestOneBit(math.max(4, m * 2 - 1)) << 1
+    val cap = OpenHash.capacityFor(m)
     val keys = new Array[Long](cap)
     val cnts = new Array[Int](cap)
     var maxC = 0
     i = 0
     while (i < m) {
-      var h = 0xcbf29ce484222325L
+      var h = OpenHash.FnvInit
       var j = 0
       val a = toks(i)
-      while (j < a.length) { h ^= a.charAt(j); h *= 0x100000001b3L; j += 1 }
-      h ^= 0x1f; h *= 0x100000001b3L // separator: "ab","c" != "a","bc"
+      while (j < a.length) { h ^= a.charAt(j); h *= OpenHash.FnvPrime; j += 1 }
+      h ^= 0x1f; h *= OpenHash.FnvPrime // separator: "ab","c" != "a","bc"
       val b = toks(i + 1)
       j = 0
-      while (j < b.length) { h ^= b.charAt(j); h *= 0x100000001b3L; j += 1 }
+      while (j < b.length) { h ^= b.charAt(j); h *= OpenHash.FnvPrime; j += 1 }
       h |= 1L // 0 marks an empty slot
       var slot = h.toInt & (cap - 1)
       while (keys(slot) != 0L && keys(slot) != h) slot = (slot + 1) & (cap - 1)

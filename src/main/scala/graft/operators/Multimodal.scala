@@ -59,10 +59,12 @@ object Multimodal {
   // ---------------------------------------------------------------- m02
   /** The decode seam: a real deployment plugs an image/audio codec here
     * (javax.imageio, ffmpeg bindings, …) without touching the operators —
-    * implement [[Codec]], put the class on the executor classpath, and
-    * select it per session via `spark.graft.codec` (fully-qualified class
-    * name, no-arg constructor). The instance is constructed once on the
-    * driver and serialized into the decode UDF's closure. Default is
+    * implement [[Codec]], put the class on BOTH the driver and executor
+    * classpaths (`--jars` does both), and select it per session via
+    * `spark.graft.codec` (fully-qualified class name, no-arg
+    * constructor). The instance is constructed once on the driver —
+    * through the context classloader, so `--jars`-shipped classes
+    * resolve — and serialized into the decode UDF's closure. Default is
     * [[StubCodec]]. */
   trait Codec extends Serializable {
     /** Fixed width of every vector [[decode]] returns. */
@@ -98,7 +100,9 @@ object Multimodal {
   private def codecFor(s: SparkSession): Codec =
     s.conf.getOption("spark.graft.codec") match {
       case Some(cls) if cls.nonEmpty =>
-        Class.forName(cls).getDeclaredConstructor()
+        val loader = Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader)
+        Class.forName(cls, true, loader).getDeclaredConstructor()
           .newInstance().asInstanceOf[Codec]
       case _ => new StubCodec
     }

@@ -324,7 +324,7 @@ object TextAnalysis {
           i => c.substr(i, lit(n)))))
         .otherwise(array().cast("array<string>"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    Dedup.assertIdHeadroom(docs, "doc_id")
+    Dedup.assertIdHeadroom(docs, "doc_id", d)
     val evalDocs = docs.orderBy(col("doc_id").asc).limit(20)
     val evalIds = evalDocs.select("doc_id")
     val planted = evalDocs.select(
@@ -519,7 +519,7 @@ object TextAnalysis {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    Dedup.assertIdHeadroom(docs, "doc_id")
+    Dedup.assertIdHeadroom(docs, "doc_id", d)
     val pii =
       " contact me at jane.doe+spam@example-mail.org or 555-867-5309 now"
     val planted = docs.orderBy(col("doc_id").asc).limit(20)

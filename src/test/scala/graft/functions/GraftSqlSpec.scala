@@ -27,6 +27,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getDouble(6) === 0.5) // ab ba ab ba -> 2/4
   }
 
+  test("shingle_hashes windows by codepoints (astral chars count once)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 𝕏a𝕏a𝕏 — five CODEPOINTS (𝕏 is a surrogate pair, 8 UTF-16 units):
+    // 3-codepoint windows are 𝕏a𝕏, a𝕏a, 𝕏a𝕏 → 2 distinct, matching
+    // Spark's length/substr and the DuckDB oracles' character semantics
+    val t = "𝕏a𝕏a𝕏"
+    val sh = Seq(Tuple1(t)).toDF("t")
+      .select(ShingleHashesExpr.shingleHashes(col("t"), 3)).head.getSeq[Long](0)
+    assert(sh.length === 2, s"got ${sh.length} windows")
+    // and the builtin-substr formulation produces the same distinct count
+    val viaSubstr = Seq(Tuple1(t)).toDF("t").select(
+      size(array_distinct(transform(
+        sequence(lit(1), length(col("t")) - 2),
+        i => col("t").substr(i, lit(3)))))).head.getInt(0)
+    assert(viaSubstr === 2)
+  }
+
+  test("top_bigram_fraction tolerates null array elements") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT top_bigram_fraction(array('a', NULL, 'a', NULL))").head.getDouble(0)
+    // nulls hash as the empty token: bigrams (a,''),('',a),(a,'') -> 2/3
+    assert(r === 2.0 / 3)
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
