@@ -522,6 +522,56 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("planted-copy offset"))
   }
 
+  test("d12 CC matches a reference union-find on seeded random graphs") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 7919L)
+      val nodes = 60
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: weighted-quick-union with path compression
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> {
+          // min label of n's component among nodes IN the edge set
+          val root = find(n.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(m => find(m.toInt) == root).min
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial diverged")
+    }
+  }
+
+  test("t11 native kernel matches a naive bigram count on seeded corpora") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 104729L)
+      // tiny vocab -> dense bigram repetition, the regime that matters
+      val toks = (1 to 50 + rnd.nextInt(100)).map(_ => s"w${rnd.nextInt(6)}")
+      val naive = {
+        val bgs = toks.sliding(2).map(_.mkString("")).toSeq
+        bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size
+      }
+      val native = Seq(Tuple1(toks))
+        .toDF("t")
+        .select(graft.functions.TopBigramExpr.topBigramFraction(col("t")))
+        .head.getDouble(0)
+      assert(native === naive, s"trial $trial: $native != $naive")
+    }
+  }
+
   test("multimodal frame features: stub decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
