@@ -604,6 +604,68 @@ object Dedup {
       |WHERE doc_id % 2 = 1 AND md5(text) NOT IN (
       |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+  /** Semantic dedup, SemDeDup-shape (Abbas et al. 2023, arXiv:2303.09540):
+    * KMeans-cluster the embedding space, run the exact pairwise cosine
+    * check ONLY within each cluster, drop the higher-id member of every
+    * pair above threshold. The cluster bound is what makes semantic dedup
+    * tractable — the quadratic work is per-cell ~(n/k)², and at corpus
+    * scale k grows with n (the index is the same seeded KMeans s04/s07
+    * build once and reuse, so dedup and ANN share one clustering).
+    *
+    * Returns the surviving rows of the embeddings frame. Cross-cluster
+    * near-dups are out of contract (same trade as SemDeDup: a pair
+    * split by the clustering is missed; exact copies NEVER split —
+    * identical vectors get identical assignments — which is what the
+    * planted gate pins). */
+  def semanticDedupKeep(s: SparkSession, d: String, vecs: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFns
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = Similarity.ivfModel(
+      Tables.embeddings(s, d).withColumn("vec", array_to_vector(col("embedding"))), d)
+    val cells = model.transform(vecs.withColumn("vec", array_to_vector(col("embedding"))))
+      .withColumn("nrm", VectorFns.norm2(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val removed = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(VectorFns.cosinePre(col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm")) > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    vecs.join(removed, Seq("vec_id"), "left_anti")
+  }
+
+  /** Planted gate for [[semanticDedupKeep]] (d07 technique): exact copies
+    * (id + 10⁹) of the 20 lowest-id vectors are bit-identical, so they
+    * land in the SAME KMeans cell as their originals with cosine exactly
+    * 1.0 — the cluster-bounded pipeline MUST remove every copy. */
+  def d15SemanticDedupGate(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    assertIdHeadroom(vecs, "vec_id", d)
+    val base = vecs.orderBy(col("vec_id").asc).limit(20)
+    val planted = base.select(
+      (col("vec_id") + lit(PlantOffset)).as("vec_id"), col("embedding"))
+    val kept = semanticDedupKeep(s, d, vecs.union(planted), 0.999)
+    vecs.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(base.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(kept.where(col("vec_id") >= PlantOffset)
+        .agg(count(lit(1)).as("n_planted_kept")))
+      .select(col("n_vecs"), col("n_planted"), col("n_planted_kept"),
+        (col("n_planted_kept") === 0).as("all_planted_removed"))
+  }
+
+  val d15Sql: String =
+    """WITH base AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(0 AS BIGINT) AS n_planted_kept,
+      |  true AS all_planted_removed
+      |FROM base""".stripMargin
+
   /** Per-round lineage truncation for the CC fixpoint. Default is
     * `localCheckpoint` — executor-local, unreplicated blocks: right for
     * local mode, but on a cluster an executor loss mid-loop is
@@ -716,7 +778,8 @@ object Dedup {
     "d11_wired_dedup_gate" -> (d11WiredDedupGate _),
     "d12_dup_clusters" -> (d12DupClusters _),
     "d13_chain_gate" -> (d13ChainGate _),
-    "d14_bloom_dedup_gate" -> (d14BloomDedupGate _))
+    "d14_bloom_dedup_gate" -> (d14BloomDedupGate _),
+    "d15_semantic_dedup_gate" -> (d15SemanticDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -729,5 +792,6 @@ object Dedup {
     "d11_wired_dedup_gate" -> d11Sql,
     "d12_dup_clusters" -> d12Sql,
     "d13_chain_gate" -> d13Sql,
-    "d14_bloom_dedup_gate" -> d14Sql)
+    "d14_bloom_dedup_gate" -> d14Sql,
+    "d15_semantic_dedup_gate" -> d15Sql)
 }

@@ -154,7 +154,7 @@ object Similarity {
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
-  private def ivfModel(e: DataFrame, d: String): org.apache.spark.ml.clustering.KMeansModel =
+  private[operators] def ivfModel(e: DataFrame, d: String): org.apache.spark.ml.clustering.KMeansModel =
     ivfModels.getOrElseUpdate(d, {
       new org.apache.spark.ml.clustering.KMeans()
         .setK(IvfK).setSeed(42L).setFeaturesCol("vec").setPredictionCol("cell")

@@ -341,6 +341,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getBoolean(1), "bloom path diverged from the exact anti-join")
   }
 
+  test("d15 semantic dedup: removes in-cluster near-dups, keeps the rest") {
+    import spark.implicits._
+    // 24 well-spread seeded unit vectors + an exact copy of vec 1 (id 90)
+    // and a tiny perturbation of vec 2 (id 91, cosine ~0.9999): both must
+    // be removed; every original survives (originals have the lower ids)
+    def vec(seed: Long): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (1L to 24L).map(i => (i, vec(i * 7919L), 0))
+    val near = vec(2 * 7919L); near(0) = near(0) + 1e-4f
+    val rows = base ++ Seq((90L, vec(1 * 7919L), 0), (91L, near, 0))
+    val tmp = java.nio.file.Files.createTempDirectory("d15").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val kept = Dedup.semanticDedupKeep(spark,
+        tmp, graft.Tables.embeddings(spark, tmp), 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(90L), "exact copy must be removed")
+    assert(!kept.contains(91L), "near-identical vector must be removed")
+    assert((1L to 24L).forall(kept.contains), "originals must survive")
+  }
+
   test("t10 PII redaction: planted PII found and scrubbed, counts exact") {
     val out = TextAnalysis.t10PiiRedact(spark, sf)
       .collect().map(r => r.getLong(0) ->
