@@ -421,7 +421,10 @@ object TextAnalysis {
     * inside a single (lang, n_chars, doc_id >> subShift) sub-bucket, so no
     * window partition ever exceeds 2^subShift docs (ids are distinct) —
     * the default bounds it at 65,536 regardless of corpus shape. Exposed
-    * for specs, which shrink it to force many sub-buckets on tiny data. */
+    * for specs, which shrink it to force many sub-buckets on tiny data.
+    * Precondition: doc_id ≥ 0 (the unsigned shift is order-preserving
+    * only on non-negative ids — the same assumption the planted gates'
+    * id-headroom guard already enforces corpus-wide). */
   private[operators] def t09TokenBudget(s: SparkSession, d: String,
       budget: Long, subShift: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
