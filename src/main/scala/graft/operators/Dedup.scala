@@ -666,6 +666,93 @@ object Dedup {
       |  true AS all_planted_removed
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** Cluster-REPRESENTATIVE selection — the step after cluster formation
+    * (d12/d13) that real dedup pipelines run: within each near-dup
+    * cluster keep the best document (here: longest text, ties to the
+    * lowest doc_id — any deterministic quality ordering slots in), not
+    * merely the lowest-id one. Emits one row per cluster:
+    * (cluster_id, rep_id, n_members).
+    *
+    * Scale shape: the label frame holds ONLY docs with at least one
+    * verified dup (tiny vs the corpus); the doc_id join that attaches
+    * n_chars is a semi-join-sized exchange, and the per-cluster argmax is
+    * a window over cluster partitions whose size is the cluster itself —
+    * bounded by near-dup transitivity, never corpus-sized. The oracle row
+    * draws its edges from d02's exact generator (DuckDB-restatable); the
+    * production wiring over LSH edges is [[clusterRepKeep]]. */
+  def d16ClusterReps(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(s, d).select("a_id", "b_id"))
+    val chars = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    clusterRepresentatives(labels, chars).orderBy("cluster_id")
+  }
+
+  /** (cluster_id, rep_id, n_members) per cluster; rep = argmax by
+    * (n_chars DESC, doc_id ASC) over `chars` = (doc_id, n_chars). */
+  private[operators] def clusterRepresentatives(
+      labels: DataFrame, chars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(chars, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        col("n_members"))
+  }
+
+  /** PRODUCTION keep-best dedup: [[nearDupClusters]] (LSH-edged CC) →
+    * [[clusterRepresentatives]] → corpus minus non-representative cluster
+    * members. Docs in no cluster pass through untouched (they never enter
+    * the label frame, so the left-anti + semi union below touches only
+    * dup-graph rows). */
+  def clusterRepKeep(docsIn: DataFrame, threshold: Double): DataFrame = {
+    val labels = nearDupClusters(docsIn, threshold)
+    val reps = clusterRepresentatives(labels,
+      docsIn.select(col("doc_id"), length(col("text")).as("n_chars")))
+      .select(col("rep_id").as("doc_id"))
+    docsIn.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(docsIn.join(reps, Seq("doc_id"), "left_semi"))
+  }
+
+  val d16Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 2, 0) + 1),
+      |      i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(node, root) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |cc AS (
+      |  SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY node),
+      |j AS (
+      |  SELECT c.cluster_id, c.doc_id, d.n_chars
+      |  FROM cc c JOIN documents d USING (doc_id)),
+      |r AS (
+      |  SELECT cluster_id, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM j)
+      |SELECT cluster_id, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members
+      |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   /** Per-round lineage truncation for the CC fixpoint. Default is
     * `localCheckpoint` — executor-local, unreplicated blocks: right for
     * local mode, but on a cluster an executor loss mid-loop is
@@ -779,7 +866,8 @@ object Dedup {
     "d12_dup_clusters" -> (d12DupClusters _),
     "d13_chain_gate" -> (d13ChainGate _),
     "d14_bloom_dedup_gate" -> (d14BloomDedupGate _),
-    "d15_semantic_dedup_gate" -> (d15SemanticDedupGate _))
+    "d15_semantic_dedup_gate" -> (d15SemanticDedupGate _),
+    "d16_cluster_reps" -> (d16ClusterReps _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -793,5 +881,6 @@ object Dedup {
     "d12_dup_clusters" -> d12Sql,
     "d13_chain_gate" -> d13Sql,
     "d14_bloom_dedup_gate" -> d14Sql,
-    "d15_semantic_dedup_gate" -> d15Sql)
+    "d15_semantic_dedup_gate" -> d15Sql,
+    "d16_cluster_reps" -> d16Sql)
 }

@@ -294,6 +294,167 @@ object Similarity {
       corpus.where(col("cell").isin(probedCells.map(Int.box): _*)))
   }
 
+  // ---------------------------------------------------------------- s08
+  /** Product quantization (Jégou et al. 2011, the IVFADC family): the
+    * memory-bound ANN layout for corpora whose float vectors don't fit —
+    * split each 64-dim vector into `PqM`=8 subvectors, learn a `PqK`=16
+    * centroid codebook per subspace (seeded KMeans — the same build-once,
+    * cache-and-reuse discipline as the IVF index), store each vector as 8
+    * 4-bit codes (64× smaller than float32). A query never decodes the
+    * corpus: it computes one 8×16 lookup table of subspace distances
+    * (`pqLut`), and the scan scores each corpus vector with 8 table
+    * lookups + 7 adds (`adc` — asymmetric distance), all in builtin
+    * higher-order functions / whole-stage codegen, no UDF.
+    *
+    * Scale shape: codebook training is a bounded build cost (at corpus
+    * scale, train on a deterministic id-modulus sample — codebook quality
+    * saturates far below corpus size); encoding is one narrow pass; the
+    * ADC scan is a broadcast of the tiny query LUTs against the code
+    * column only — the float embeddings never leave storage. Encode
+    * computes each subspace distance twice inside the HOF argmin (no
+    * let-binding in column lambdas); a native Expression would halve
+    * that constant if the one-time encode pass ever dominates. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqSub = Dim / PqM
+
+  /** PQ codebook cache per dataset dir: [m][k][subdim] doubles. */
+  private val pqBooks = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+
+  private[operators] def pqCodebooks(
+      s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqBooks.getOrElseUpdate(d, {
+      import org.apache.spark.ml.functions.array_to_vector
+      val corpus = Tables.embeddings(s, d).where(col("vec_id") >= 10)
+      (0 until PqM).map { m =>
+        val sub = corpus.select(array_to_vector(
+          slice(col("embedding"), m * PqSub + 1, PqSub)).as("vec"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqK).setSeed(42L + m)
+          .setFeaturesCol("vec").setPredictionCol("c")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+    })
+
+  /** Codebook as one literal array<array<array<double>>> [m][k][sub]. */
+  private def cbLit(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.map(m => array(m.map(k => array(k.map(lit): _*)): _*)): _*)
+
+  /** Squared L2 between emb's m-th subvector and centroid `c`. */
+  private def subDist2(emb: Column, m: Column, c: Column): Column =
+    aggregate(zip_with(slice(emb, m * PqSub + 1, lit(PqSub)), c,
+      (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+      lit(0.0), (a, v) => a + v)
+
+  /** array<int> of PqM codes: per subspace, argmin centroid (strict `<`
+    * keeps the FIRST index on exact ties — deterministic). */
+  private[operators] def pqCodes(emb: Column, cb: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      aggregate(element_at(cb, m + 1),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("i"), lit(0).as("k")),
+        (acc, c) => {
+          val d2 = subDist2(emb, m, c)
+          struct(
+            when(d2 < acc("d"), d2).otherwise(acc("d")).as("d"),
+            when(d2 < acc("d"), acc("k")).otherwise(acc("i")).as("i"),
+            (acc("k") + 1).as("k"))
+        },
+        acc => acc("i")))
+
+  /** Query-side ADC lookup table: [m][k] = ||q_m − c_{m,k}||². */
+  private[operators] def pqLut(emb: Column, cb: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(element_at(cb, m + 1), c => subDist2(emb, m, c)))
+
+  /** Asymmetric distance: Σ_m lut[m][codes[m]] — 8 lookups + 7 adds. */
+  private[operators] def adc(lut: Column, codes: Column): Column =
+    (0 until PqM).map(m =>
+      element_at(element_at(lut, m + 1), element_at(codes, m + 1) + 1))
+      .reduce(_ + _)
+
+  /** Reconstruction: concat of the coded centroids (array<double>). */
+  private[operators] def pqDecode(codes: Column, cb: Column): Column =
+    flatten(transform(sequence(lit(0), lit(PqM - 1)), m =>
+      element_at(element_at(cb, m + 1), element_at(codes, m + 1) + 1)))
+
+  /** Driver gate for the PQ path. Three contracts in one row:
+    *
+    *  - `all_copies_min_adc`: exact copies of the 10 queries are planted
+    *    into the corpus (d07 technique). A copy's codes are per-subspace
+    *    argmins of the query's own LUT row, so its ADC distance
+    *    Σ_m min_k lut[m][k] is the MINIMUM any vector can achieve —
+    *    guaranteed, codebook-independent; every query's min-ADC row must
+    *    be its copy's.
+    *  - `recon_ok`: mean reconstruction cosine over the natural corpus
+    *    above a floor with margin (measured 0.65–0.68 across sf0.001/
+    *    0.01/0.1; floor 0.6).
+    *  - `recall_ok`: ADC top-5 recall vs the in-engine brute truth (s01)
+    *    above a floor with margin (measured 0.10–0.18; floor 0.05) — the
+    *    s05 discipline.
+    *
+    * Floor honesty: this corpus is SYNTHETIC near-isotropic noise — the
+    * worst case for PQ, whose 32-bit codes can only capture structure the
+    * data has (natural embedding manifolds reconstruct far better, and
+    * the standard quality dials are K=256 codebooks and IVF+PQ
+    * composition). The quality floors here are regression CANARIES
+    * pinning "the pipeline didn't break", not quality claims; the exact
+    * contracts are `all_copies_min_adc` (construction-guaranteed) and
+    * the naive-reference encode/ADC equivalence spec. */
+  def s08PqGate(s: SparkSession, d: String): DataFrame = {
+    val cb = cbLit(pqCodebooks(s, d))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Dedup.assertIdHeadroom(e, "vec_id", d)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val planted = q.select(
+      (col("q_id") + lit(1000000000L)).as("n_id"), col("q_emb").as("n_emb"))
+    val n = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .unionByName(planted)
+      .select(col("n_id"), pqCodes(col("n_emb"), cb).as("codes"))
+    val scored = n.crossJoin(broadcast(
+        q.select(col("q_id"), pqLut(col("q_emb"), cb).as("lut"))))
+      .select(col("q_id"), col("n_id"),
+        adc(col("lut"), col("codes")).as("adc"))
+    val minAdc = scored.groupBy(col("q_id"))
+      .agg(min(col("adc")).as("min_adc"))
+    val copyAdc = scored
+      .where(col("n_id") === col("q_id") + lit(1000000000L))
+      .select(col("q_id"), col("adc").as("copy_adc"))
+    val copiesMin = minAdc.join(copyAdc, Seq("q_id"))
+      .agg(count(lit(1)).as("nq"),
+        sum(when(col("copy_adc") === col("min_adc"), 1L).otherwise(0L))
+          .as("n_min"))
+      .select((col("nq") === 10 && col("n_min") === 10)
+        .as("all_copies_min_adc"))
+    val recon = e.where(col("vec_id") >= 10)
+      .select(cosine(col("embedding"),
+        pqDecode(pqCodes(col("embedding"), cb), cb)).as("rc"))
+      .agg(graft.functions.Det.davg(col("rc"), 10).as("avg_rc"))
+      .select((col("avg_rc") >= 0.6).as("recon_ok"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    val pqTop5 = scored.where(col("n_id") < lit(1000000000L))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val brute = s01KnnBrute(s, d).select(col("q_id"), col("n_id"))
+    val recall = brute.join(pqTop5, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(brute.agg(count(lit(1)).as("total")))
+      .select((col("hits").cast("double") / col("total") >= 0.05)
+        .as("recall_ok"))
+    copiesMin.crossJoin(recon).crossJoin(recall)
+      .select(lit(10L).as("n_queries"), col("all_copies_min_adc"),
+        col("recon_ok"), col("recall_ok"))
+  }
+
+  val s08Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries,
+      |  true AS all_copies_min_adc, true AS recon_ok,
+      |  true AS recall_ok""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** Driver-visible ANN recall gate: computes recall@5 of the LSH (s02)
     * and IVF (s04) paths against the in-engine brute-force truth (s01),
@@ -399,12 +560,14 @@ object Similarity {
     "s04_ann_ivf"    -> (s04AnnIvf _),
     "s05_ann_recall_gate" -> (s05AnnRecallGate _),
     "s06_embed_quantize" -> (s06EmbedQuantize _),
-    "s07_ann_ivf_bucketed" -> (s07AnnIvfBucketed _))
+    "s07_ann_ivf_bucketed" -> (s07AnnIvfBucketed _),
+    "s08_pq_gate"    -> (s08PqGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
     "s03_embed_norms" -> s03Sql,
     "s05_ann_recall_gate" -> s05Sql,
     "s06_embed_quantize" -> s06Sql,
-    "s07_ann_ivf_bucketed" -> s07Sql)
+    "s07_ann_ivf_bucketed" -> s07Sql,
+    "s08_pq_gate"     -> s08Sql)
 }

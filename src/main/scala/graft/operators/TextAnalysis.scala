@@ -600,6 +600,70 @@ object TextAnalysis {
       |  ROUND(CAST(MAX(c) AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
       |FROM c GROUP BY doc_id, lang, n_bigrams ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t12
+  /** Keyword extraction: per-doc top-3 terms by a tf-idf-family weight,
+    * ties broken by term. The idf factor is the RATIONAL surrogate
+    * `(N − df + 0.5) / (df + 0.5)` — the BM25 idf ratio without the log.
+    * log/ln is not IEEE-754-mandated correctly-rounded, so JVM and DuckDB
+    * libms can disagree in the last ulp and flip ranks on near-ties,
+    * while `+ − × ÷` ARE correctly rounded everywhere: the identical
+    * double expression tree is bit-exact on both engines. At fixed tf the
+    * ordering is log-monotone in the ratio; a deployment wanting classic
+    * ln-idf swaps one expression, the plan is unchanged.
+    *
+    * Scale shape: the token explode is narrow; the (doc_id, term) tf
+    * aggregate is one shuffle on a uniform composite key (map-side
+    * partials absorb within-doc repeats); the df table aggregates to
+    * vocabulary size — tiny, broadcast back; the top-k is a per-doc
+    * window whose partition is the doc's distinct-term set, bounded by
+    * doc length, never corpus-sized. */
+  def t12Keywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val t12Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    CAST(t.tf AS DOUBLE) *
+      |      ((CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+      |       (CAST(d.df AS DOUBLE) + 0.5)) AS score
+      |  FROM tf t JOIN df d USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term ASC) AS rk
+      |  FROM sc)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -611,7 +675,8 @@ object TextAnalysis {
     "t08_decontam"    -> (t08Decontaminate _),
     "t09_token_budget" -> (t09TokenBudget _),
     "t10_pii_redact"  -> (t10PiiRedact _),
-    "t11_repetition"  -> (t11Repetition _))
+    "t11_repetition"  -> (t11Repetition _),
+    "t12_keywords"    -> (t12Keywords _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -623,5 +688,6 @@ object TextAnalysis {
     "t08_decontam"    -> t08Sql,
     "t09_token_budget" -> t09Sql,
     "t10_pii_redact"  -> t10Sql,
-    "t11_repetition"  -> t11Sql)
+    "t11_repetition"  -> t11Sql,
+    "t12_keywords"    -> t12Sql)
 }

@@ -533,6 +533,148 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
+  test("d16 representatives: argmax by n_chars desc, ties to lowest doc_id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val chars = Seq((1L, 100L), (2L, 300L), (3L, 300L), (10L, 50L), (11L, 50L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.clusterRepresentatives(labels, chars)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // cluster 1: 2 and 3 tie at 300 chars -> lower id 2 wins, not label 1
+    assert(got === Array((1L, 2L, 3L), (10L, 10L, 2L)))
+  }
+
+  test("d16 clusterRepKeep keeps the LONGEST member, uniques untouched") {
+    import spark.implicits._
+    def randomDoc(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    // doc 30 = doc 4's text twice: shingle SET nearly unchanged (J ~ 1)
+    // but twice the length -> the rep, displacing lower-id 4
+    val t4 = randomDoc(4 * 7919L)
+    val docs = ((1L to 10L).map(i => (i, randomDoc(i * 7919L))) ++
+      Seq((21L, randomDoc(3 * 7919L)),   // same-length copy of 3
+        (30L, t4 + " " + t4)))           // longer near-dup of 4
+      .toDF("doc_id", "text")
+    val kept = Dedup.clusterRepKeep(docs, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val uniques = Set(1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L)
+    assert(kept === uniques + 3L + 30L,
+      s"kept $kept: cluster {3,21} -> 3 (tie, lower id); {4,30} -> 30 (longer)")
+  }
+
+  test("t12 keywords: rational-idf top-k against a hand-computed corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t12docs").toString
+    Seq((1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple date date date"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t12Keywords(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // N=3; df: apple 2, banana 2, cherry 1, date 2
+    // idf ratio: df=2 -> 1.5/2.5 = 0.6; df=1 -> 2.5/1.5
+    assert(got === Array(
+      (1L, 1L, "cherry", 1L, 1L, 2.5 / 1.5),
+      (1L, 2L, "apple", 2L, 2L, 2.0 * 0.6),
+      (1L, 3L, "banana", 1L, 2L, 0.6),
+      (2L, 1L, "banana", 2L, 2L, 2.0 * 0.6),
+      (2L, 2L, "date", 1L, 2L, 0.6),
+      (3L, 1L, "date", 3L, 2L, 3.0 * 0.6),
+      (3L, 2L, "apple", 1L, 2L, 0.6)))
+  }
+
+  test("t12 keywords match a naive in-memory reference on the sf corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size.toDouble
+    val tf = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size } }
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val expected = tf.flatMap { case (id, m) =>
+      m.toSeq.map { case (term, f) =>
+        val d = dfm(term).toDouble
+        (id, term, f, dfm(term), f.toDouble * ((n - d + 0.5) / (d + 0.5)))
+      }.sortBy { case (_, term, _, _, s) => (-s, term) }.take(3)
+        .zipWithIndex.map { case ((i, t, f, d, s), rk) =>
+          (i, rk + 1L, t, f.toLong, d.toLong, s) }
+    }.toSet
+    val got = TextAnalysis.t12Keywords(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === expected)
+  }
+
+  test("s08 PQ gate: planted-copy min-ADC, recon and recall floors hold") {
+    val row = Similarity.s08PqGate(spark, sf).collect()
+    assert(row.length === 1)
+    val r = row(0)
+    assert(r.getLong(0) === 10L)
+    assert(r.getBoolean(1), "a planted exact copy did not achieve min ADC")
+    assert(r.getBoolean(2), "reconstruction cosine below floor")
+    assert(r.getBoolean(3), "ADC recall@5 below floor")
+  }
+
+  test("s08 PQ encode + ADC match a naive in-memory reference") {
+    // the declarative HOF argmin/LUT/lookup pipeline vs a plain Scala
+    // reimplementation from the same codebooks, over real vectors
+    val cb = Similarity.pqCodebooks(spark, sf) // [m][k][sub]
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sub(v: Array[Float], m: Int): Array[Double] =
+      v.slice(m * 8, m * 8 + 8).map(_.toDouble)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c) }
+    def naiveCodes(v: Array[Float]): Array[Int] =
+      (0 until 8).map { m =>
+        val ds = cb(m).map(c => d2(sub(v, m), c))
+        ds.indexOf(ds.min)
+      }.toArray
+    def naiveAdc(q: Array[Float], codes: Array[Int]): Double =
+      (0 until 8).map(m => d2(sub(q, m), cb(m)(codes(m)))).sum
+    import org.apache.spark.sql.functions.col
+    val cbCol = {
+      // private cbLit equivalent: rebuild via the public surface
+      import org.apache.spark.sql.functions.{array, lit}
+      array(cb.map(m => array(m.map(k =>
+        array(k.map(lit): _*)): _*)): _*)
+    }
+    val got = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.pqCodes(col("embedding"), cbCol).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id).sameElements(naiveCodes(v)), s"codes differ for vec $id")
+    }
+    // ADC for query 0 against five corpus vectors
+    val q0 = vecs(0L)
+    val lutRow = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0)
+      .select(Similarity.pqLut(col("embedding"), cbCol).as("lut"))
+      .withColumn("probe", org.apache.spark.sql.functions.array(
+        (10L to 14L).map(org.apache.spark.sql.functions.lit): _*))
+      .select(org.apache.spark.sql.functions.explode(col("probe")).as("n_id"),
+        col("lut"))
+    val adcGot = lutRow
+      .join(graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("n_id"),
+          Similarity.pqCodes(col("embedding"), cbCol).as("codes")), Seq("n_id"))
+      .select(col("n_id"), Similarity.adc(col("lut"), col("codes")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (10L to 14L).foreach { id =>
+      assert(adcGot(id) === naiveAdc(q0, naiveCodes(vecs(id))),
+        s"ADC differs for corpus vec $id")
+    }
+  }
+
   test("planted gates fail loudly when corpus ids reach the plant offset") {
     import spark.implicits._
     val docs = Seq((1L, "a" * 50), (1000000001L, "b" * 50))
