@@ -110,9 +110,16 @@ object Bench {
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def line(sig: Int, slim: Boolean): String = {
-      val qs = names.map(n => s""""$n":${fmt(warm(n), sig)}""")
+      // slim drops the `_gate` rows from the per-query map: gates are
+      // CORRECTNESS contracts whose standalone timings are near-constant
+      // (planted-copy plumbing over the same pipelines the d11/d12 bench
+      // rows already measure); their time still counts in value/total,
+      // and `gates_omitted` records the cut so a reader knows the map is
+      // partial — each omitted row buys ~30 chars of tail-budget headroom
+      val qNames = if (slim) names.filterNot(_.endsWith("_gate")) else names
+      val qs = qNames.map(n => s""""$n":${fmt(warm(n), sig)}""")
         .mkString("{", ",", "}")
-      val extras = if (slim) ""
+      val extras = if (slim) s""""gates_omitted":${names.length - qNames.length},"""
         else s""""cold_total":${fmt(coldTotal, sig)},"s04_index_build":${fmt(idxBuild, sig)},"""
       // an empty failed list carries no signal — omit it at slim level;
       // likewise the sf path shrinks to its basename (every saved char is
