@@ -303,8 +303,12 @@ object Similarity {
     * 4-bit codes (64× smaller than float32). A query never decodes the
     * corpus: it computes one 8×16 lookup table of subspace distances
     * (`pqLut`), and the scan scores each corpus vector with 8 table
-    * lookups + 7 adds (`adc` — asymmetric distance), all in builtin
-    * higher-order functions / whole-stage codegen, no UDF.
+    * lookups + 7 adds (`adc` — asymmetric distance). The scan-side `adc`
+    * is pure `element_at` + adds — whole-stage codegen, no UDF; the
+    * encode/LUT argmins use builtin higher-order functions, whose lambdas
+    * evaluate interpreted — fine for the one-time narrow encode pass and
+    * the tiny query side, and a native Expression (the DotProductExpr
+    * discipline) is the upgrade path if encode ever dominates.
     *
     * Scale shape: codebook training is a bounded build cost (at corpus
     * scale, train on a deterministic id-modulus sample — codebook quality

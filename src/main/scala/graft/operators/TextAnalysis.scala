@@ -616,7 +616,15 @@ object TextAnalysis {
     * partials absorb within-doc repeats); the df table aggregates to
     * vocabulary size — tiny, broadcast back; the top-k is a per-doc
     * window whose partition is the doc's distinct-term set, bounded by
-    * doc length, never corpus-sized. */
+    * doc length, never corpus-sized (and Spark's WindowGroupLimit prunes
+    * below rank 3 before the final sort). Single-plan trade, stated: the
+    * df branch re-derives the tf aggregate (Catalyst does not CSE across
+    * the join), so the corpus is scanned and the (doc, term) exchange
+    * paid twice; a pipeline reusing tf STAGES it once (persist or a
+    * parquet write) and derives both sides from the staged frame — same
+    * operators, one scan. The window-over-term alternative that avoids
+    * the second scan would shuffle the corpus on the low-cardinality term
+    * key — a skewed exchange strictly worse at scale. */
   def t12Keywords(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
