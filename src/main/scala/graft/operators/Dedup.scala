@@ -718,6 +718,42 @@ object Dedup {
       .unionByName(docsIn.join(reps, Seq("doc_id"), "left_semi"))
   }
 
+  // ---------------------------------------------------------------- d17
+  /** Planted driver gate for [[clusterRepKeep]] (the d11/d13 technique,
+    * extended to representative selection): exact copies (id + 10⁹) of
+    * the 20 lowest-id docs duplicate their original's adjacency exactly
+    * — identical shingles ⇒ identical MinHash signature ⇒ identical band
+    * collisions, and Jaccard 1.0 with the original — so each copy joins
+    * its original's cluster, and (same n_chars, higher id) can never
+    * displace the cluster's representative. Two contracts: no planted id
+    * survives, and the kept set WITH planting equals the kept set
+    * WITHOUT — planting copies must be a no-op on the output. */
+  def d17RepKeepGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+    val keptPlanted = clusterRepKeep(docs.union(planted), 0.8)
+    val keptPlain = clusterRepKeep(docs, 0.8)
+    val extra = keptPlanted.select("doc_id")
+      .exceptAll(keptPlain.select("doc_id")).agg(count(lit(1)).as("extra"))
+    val missing = keptPlain.select("doc_id")
+      .exceptAll(keptPlanted.select("doc_id")).agg(count(lit(1)).as("missing"))
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(keptPlanted.where(col("doc_id") >= PlantOffset)
+        .agg(count(lit(1)).as("n_planted_kept")))
+      .crossJoin(extra).crossJoin(missing)
+      .select(col("n_planted"), col("n_planted_kept"),
+        (col("extra") === 0 && col("missing") === 0).as("sets_match"))
+  }
+
+  val d17Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(0 AS BIGINT) AS n_planted_kept, true AS sets_match
+      |FROM base""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -867,7 +903,8 @@ object Dedup {
     "d13_chain_gate" -> (d13ChainGate _),
     "d14_bloom_dedup_gate" -> (d14BloomDedupGate _),
     "d15_semantic_dedup_gate" -> (d15SemanticDedupGate _),
-    "d16_cluster_reps" -> (d16ClusterReps _))
+    "d16_cluster_reps" -> (d16ClusterReps _),
+    "d17_rep_keep_gate" -> (d17RepKeepGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -882,5 +919,6 @@ object Dedup {
     "d13_chain_gate" -> d13Sql,
     "d14_bloom_dedup_gate" -> d14Sql,
     "d15_semantic_dedup_gate" -> d15Sql,
-    "d16_cluster_reps" -> d16Sql)
+    "d16_cluster_reps" -> d16Sql,
+    "d17_rep_keep_gate" -> d17Sql)
 }

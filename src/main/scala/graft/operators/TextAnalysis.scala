@@ -672,6 +672,42 @@ object TextAnalysis {
       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** Corpus data-card report: per (lang, source) — doc count, exact-dup
+    * rate (1 − distinct content hashes / docs), token and char totals —
+    * the per-slice summary a curation run publishes alongside the data.
+    *
+    * Scale shape: one corpus scan; the distinct-hash count plans as the
+    * standard two-phase distinct aggregate (partial groupBy on the
+    * uniform (lang, source, md5) key, then re-aggregate) — skew-free,
+    * and the output is the ~25-slice card. All doubles are quotients of
+    * exact integer aggregates with identical expression trees on both
+    * engines. */
+  def t13CorpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_unique"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"),
+        round(lit(1.0).cast("double") -
+          count_distinct(col("h")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+      .orderBy("lang", "source")
+
+  val t13Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  ROUND(CAST(1 AS DOUBLE) -
+      |    CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -684,7 +720,8 @@ object TextAnalysis {
     "t09_token_budget" -> (t09TokenBudget _),
     "t10_pii_redact"  -> (t10PiiRedact _),
     "t11_repetition"  -> (t11Repetition _),
-    "t12_keywords"    -> (t12Keywords _))
+    "t12_keywords"    -> (t12Keywords _),
+    "t13_corpus_stats" -> (t13CorpusStats _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -697,5 +734,6 @@ object TextAnalysis {
     "t09_token_budget" -> t09Sql,
     "t10_pii_redact"  -> t10Sql,
     "t11_repetition"  -> t11Sql,
-    "t12_keywords"    -> t12Sql)
+    "t12_keywords"    -> t12Sql,
+    "t13_corpus_stats" -> t13Sql)
 }

@@ -675,6 +675,57 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d17 rep-keep gate: planting exact copies is a no-op on the kept set") {
+    val r = Dedup.d17RepKeepGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 20L)
+    assert(r(0).getLong(1) === 0L, "a planted copy survived rep-keep")
+    assert(r(0).getBoolean(2), "planting changed the kept set")
+  }
+
+  test("t13 corpus stats: known-dup fixture yields the exact dup rate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t13docs").toString
+    Seq((1L, "aa bb cc", "en", "s0", 8L), (2L, "aa bb cc", "en", "s0", 8L),
+      (3L, "dd ee", "en", "s0", 5L), (4L, "ff gg hh ii", "fr", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t13CorpusStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got === Array(
+      ("en", "s0", 3L, 2L, 8L, 7.0, 0.333333),
+      ("fr", "s1", 1L, 1L, 4L, 11.0, 0.0)))
+  }
+
+  test("t12 plan: top-k rank is pruned below the window (WindowGroupLimit)") {
+    // rank<=3 must reach the window operator as a group-limit, so each
+    // doc partition sorts only its running top-3, not every term
+    val plan = TextAnalysis.t12Keywords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n${plan.take(1500)}")
+  }
+
+  test("d16 representatives match a naive reference on seeded random forests") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 5) {
+      val nodes = (1L to 40L).filter(_ => rnd.nextBoolean())
+      val labels = nodes.map(n => (n, n % 7)) // 7 clusters
+      val chars = nodes.map(n => (n, (rnd.nextInt(5) + 1).toLong))
+      val expected = labels.groupBy(_._2).map { case (cl, members) =>
+        val cm = members.map(_._1).map(n => n -> chars.toMap.apply(n))
+        val rep = cm.minBy { case (id, nc) => (-nc, id) }._1
+        (cl, rep, members.size.toLong)
+      }.toSet
+      val got = Dedup.clusterRepresentatives(
+        labels.toDF("doc_id", "cluster_id"), chars.toDF("doc_id", "n_chars"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+    }
+  }
+
   test("planted gates fail loudly when corpus ids reach the plant offset") {
     import spark.implicits._
     val docs = Seq((1L, "a" * 50), (1000000001L, "b" * 50))
