@@ -126,36 +126,62 @@ object Dedup {
     minhashCandidatesFromShingles(docsIn
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh")))
 
-  /** Candidate stage over a precomputed (doc_id, sh: sorted shingle-hash
-    * array) frame, so a caller that also needs the shingles for exact
-    * verification (d11) computes them exactly once. */
-  private def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
-    val numPerms = 32
-    val rowsPerBand = 8
+  private val NumPerms = 32
+  private val RowsPerBand = 8
+
+  /** (doc_id, sig, band, key) from a (doc_id, sh) frame: native one-pass
+    * 32-perm signature, exploded into 4 band keys. */
+  private def bandedSignatures(shingled: DataFrame): DataFrame = {
     // projection boundary so shingle hashes materialize once (TextFns
     // note); signature = native single-pass expression (all 32 permutation
     // minima in one walk, no per-permutation array allocation)
     val docs = shingled
       .select(col("doc_id"),
-        graft.functions.MinHashSigExpr.minhashSig(col("sh"), numPerms).as("sig"))
-    val banded = docs
+        graft.functions.MinHashSigExpr.minhashSig(col("sh"), NumPerms).as("sig"))
+    docs
       .select(col("doc_id"), col("sig"),
-        explode(lshBands(col("sig"), numPerms, rowsPerBand)).as("b"))
+        explode(lshBands(col("sig"), NumPerms, RowsPerBand)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "key"))
-      .where(col("a_id") < col("b_id"))
+  }
+
+  /** Signature-agreement estimate + candidate gate over raw band-collision
+    * pairs. */
+  private def candidateGate(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => x === y), m => m)).cast("double") / numPerms)
+          (x, y) => x === y), m => m)).cast("double") / NumPerms)
           .as("est_jaccard"))
       .groupBy(col("a_id"), col("b_id"))           // dedupe multi-band hits
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)            // candidate gate
+
+  /** Candidate stage over a precomputed (doc_id, sh: sorted shingle-hash
+    * array) frame, so a caller that also needs the shingles for exact
+    * verification (d11) computes them exactly once. */
+  private def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
+    val banded = bandedSignatures(shingled)
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    candidateGate(a.join(b, Seq("band", "key"))
+      .where(col("a_id") < col("b_id")))
+  }
+
+  /** Asymmetric candidate stage: band collisions with the RIGHT side
+    * always an incoming doc (id ≥ `incCutoff`) — history×history pairs
+    * never enter the join. Left side ranges over history ∪ incoming;
+    * incoming×incoming collisions surface exactly once (a_id < b_id). */
+  private def minhashCandidatesAcross(shAll: DataFrame, shInc: DataFrame,
+      incCutoff: Long): DataFrame = {
+    val a = bandedSignatures(shAll).select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = bandedSignatures(shInc).select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    candidateGate(a.join(b, Seq("band", "key"))
+      .where(col("a_id") < lit(incCutoff) || col("a_id") < col("b_id")))
   }
 
   // ---------------------------------------------------------------- d07
@@ -754,6 +780,105 @@ object Dedup {
       |  CAST(0 AS BIGINT) AS n_planted_kept, true AS sets_match
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+  /** INCREMENTAL near-dup keep — the snapshot-over-snapshot shape a
+    * 100 TB pipeline actually runs: drop every incoming doc that is a
+    * near-dup of the (already-deduped) HISTORICAL corpus or of a
+    * lower-id incoming doc; history itself is never re-deduped. The
+    * asymmetric band join keys every collision on an incoming doc, so
+    * history×history pairs — the overwhelming bulk of a mature corpus's
+    * collision space — never enter the exchange; history contributes
+    * only its banded signature index plus the shingle rows needed to
+    * verify actual collisions.
+    *
+    * PRECONDITION (asserted, one bounded scalar action per side):
+    * incoming ids are strictly above history ids — the natural state of
+    * snapshot ingestion, and what makes the drop rule (`b` = incoming
+    * side of every verified pair) coincide EXACTLY with the batch
+    * formulation `nearDedupKeep(history ∪ incoming) ∩ incoming` — the
+    * equality the d18 gate pins. Like [[nearDedupKeep]], an incoming doc
+    * is dropped for pairing with ANY lower doc, kept or not (chains drop
+    * whole, matching the batch rule). */
+  def incrementalNearDedupKeep(incoming: DataFrame, history: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0.5,
+      s"verify threshold $threshold below the candidate gate (est >= 0.5)")
+    val histMax = history.agg(max(col("doc_id"))).head
+    val incMin = incoming.agg(min(col("doc_id"))).head
+    if (!histMax.isNullAt(0) && !incMin.isNullAt(0))
+      require(histMax.getLong(0) < incMin.getLong(0),
+        s"incremental dedup needs disjoint id ranges: max(history) = " +
+          s"${histMax.getLong(0)} >= min(incoming) = ${incMin.getLong(0)}")
+    val cutoff = if (incMin.isNullAt(0)) Long.MaxValue else incMin.getLong(0)
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val shInc = shingled(incoming)
+    val shAll = shingled(history).unionByName(shInc)
+    val cands = minhashCandidatesAcross(
+      shAll.select("doc_id", "sh"), shInc.select("doc_id", "sh"), cutoff)
+      .select("a_id", "b_id")
+    val removed = cands
+      .join(shAll.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("n_sh").as("a_n")), Seq("a_id"))
+      .join(shInc.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("n_sh").as("b_n")), Seq("b_id"))
+      // lossless size prune (see d02): J ≥ t requires min ≥ t·max
+      .where(col("a_n") * threshold <= col("b_n") &&
+        col("b_n") * threshold <= col("a_n"))
+      .withColumn("n_common",
+        graft.functions.IntersectCountExpr.intersectCountSorted(
+          col("a_sh"), col("b_sh")))
+      .where((col("n_common").cast("double") /
+        (col("a_n") + col("b_n") - col("n_common"))) >= threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    incoming.join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  /** Driver gate for [[incrementalNearDedupKeep]]: history = the lower
+    * half of the id range, incoming = the upper half plus exact copies
+    * (id + 10⁹) of the 20 lowest-id HISTORY docs. Contracts: every
+    * planted copy is dropped (identical text ⇒ guaranteed band collision
+    * with its historical original, J = 1), and the incremental kept set
+    * EQUALS the batch `nearDedupKeep(history ∪ incoming) ∩ incoming`
+    * (two-sided exceptAll) — incremental processing must not change the
+    * answer, only skip the history×history work. */
+  def d18IncrDedupGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val cut = maxId / 2
+    val hist = docs.where(col("doc_id") < cut)
+    val base = hist.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+    val inc = docs.where(col("doc_id") >= cut).union(planted)
+    val keptIncr = incrementalNearDedupKeep(inc, hist, 0.8)
+    val keptBatch = nearDedupKeep(docs.union(planted), 0.8)
+      .where(col("doc_id") >= cut)
+    val extra = keptIncr.select("doc_id")
+      .exceptAll(keptBatch.select("doc_id")).agg(count(lit(1)).as("extra"))
+    val missing = keptBatch.select("doc_id")
+      .exceptAll(keptIncr.select("doc_id")).agg(count(lit(1)).as("missing"))
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(keptIncr.where(col("doc_id") >= PlantOffset)
+        .agg(count(lit(1)).as("n_planted_kept")))
+      .crossJoin(extra).crossJoin(missing)
+      .select(col("n_planted"), col("n_planted_kept"),
+        (col("extra") === 0 && col("missing") === 0)
+          .as("incremental_matches_batch"))
+  }
+
+  val d18Sql: String =
+    """WITH hist AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id < (SELECT MAX(doc_id) FROM documents) // 2),
+      |base AS (SELECT doc_id FROM hist ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(0 AS BIGINT) AS n_planted_kept,
+      |  true AS incremental_matches_batch
+      |FROM base""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -904,7 +1029,8 @@ object Dedup {
     "d14_bloom_dedup_gate" -> (d14BloomDedupGate _),
     "d15_semantic_dedup_gate" -> (d15SemanticDedupGate _),
     "d16_cluster_reps" -> (d16ClusterReps _),
-    "d17_rep_keep_gate" -> (d17RepKeepGate _))
+    "d17_rep_keep_gate" -> (d17RepKeepGate _),
+    "d18_incr_dedup_gate" -> (d18IncrDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -920,5 +1046,6 @@ object Dedup {
     "d14_bloom_dedup_gate" -> d14Sql,
     "d15_semantic_dedup_gate" -> d15Sql,
     "d16_cluster_reps" -> d16Sql,
-    "d17_rep_keep_gate" -> d17Sql)
+    "d17_rep_keep_gate" -> d17Sql,
+    "d18_incr_dedup_gate" -> d18Sql)
 }

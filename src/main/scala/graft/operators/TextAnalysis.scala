@@ -708,6 +708,71 @@ object TextAnalysis {
       |    CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_rate
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** Sequence packing, concat-and-chunk (the GPT-style pre-training data
+    * op): conceptually concatenate all docs in doc_id order and split
+    * the token stream at fixed `PackSeqLen`-token boundaries; emit per
+    * doc its global token offset and the first/last training-sequence
+    * index it lands in (no padding by construction). What every
+    * pre-training data loader needs, computed ahead of time so shard
+    * readers can seek.
+    *
+    * The global prefix sum is the scale problem: a flat
+    * `Window.orderBy(doc_id)` is one reducer holding the corpus. Here it
+    * is EXACT but two-level (the t09 sub-histogram technique as a full
+    * per-row cumsum): block sums over doc_id >> 16 (corpus/65 536 rows)
+    * take the only global window — tiny; each doc then adds its
+    * within-block running sum (window partitions bounded by 2^16 docs).
+    * The doc_id >> shift blocks are monotone in doc_id, so
+    * block-prefix + within-block-prefix IS the flat prefix — the
+    * equality the spec pins. Non-negative doc_id is a precondition of
+    * the unsigned shift (same as t09); for 10^12-doc corpora raise the
+    * shift or add a third level — same argument. The block join carries
+    * no broadcast hint: dense ids give a tiny block frame (AQE
+    * broadcasts it), sparse ids can grow it toward corpus size, where
+    * the uniform blk key keeps the shuffle skew-free. */
+  private val PackSeqLen = 2048
+  private val PackSubShift = 16
+
+  def t14SeqPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("blk", shiftrightunsigned(col("doc_id"), PackSubShift))
+    val wb = Window.orderBy(col("blk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockPrefix = docs.groupBy(col("blk"))
+      .agg(sum(col("n_tok")).as("blk_tok"))
+      .withColumn("blk_off", sum(col("blk_tok")).over(wb) - col("blk_tok"))
+      .select(col("blk"), col("blk_off"))
+    val ww = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(blockPrefix, Seq("blk"))
+      .withColumn("cum_in_blk", sum(col("n_tok")).over(ww))
+      .withColumn("tok_offset", col("blk_off") + col("cum_in_blk") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        expr(s"tok_offset div $PackSeqLen").as("first_seq"),
+        expr(s"(tok_offset + n_tok - 1) div $PackSeqLen").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
+  val t14Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS BIGINT) AS tok_offset
+      |  FROM t WHERE n_tok > 0)
+      |SELECT doc_id, n_tok, tok_offset,
+      |  tok_offset // 2048 AS first_seq,
+      |  (tok_offset + n_tok - 1) // 2048 AS last_seq
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -721,7 +786,8 @@ object TextAnalysis {
     "t10_pii_redact"  -> (t10PiiRedact _),
     "t11_repetition"  -> (t11Repetition _),
     "t12_keywords"    -> (t12Keywords _),
-    "t13_corpus_stats" -> (t13CorpusStats _))
+    "t13_corpus_stats" -> (t13CorpusStats _),
+    "t14_seq_pack"    -> (t14SeqPack _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -735,5 +801,6 @@ object TextAnalysis {
     "t10_pii_redact"  -> t10Sql,
     "t11_repetition"  -> t11Sql,
     "t12_keywords"    -> t12Sql,
-    "t13_corpus_stats" -> t13Sql)
+    "t13_corpus_stats" -> t13Sql,
+    "t14_seq_pack"    -> t14Sql)
 }

@@ -726,6 +726,73 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d18 incremental keep: history dups and in-batch chains drop, uniques survive") {
+    import spark.implicits._
+    def randomDoc(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    val hist = (1L to 10L).map(i => (i, randomDoc(i * 7919L))).toDF("doc_id", "text")
+    // 11 dups history doc 3; 12 is new; 13 dups 12 (in-batch chain); 14 new
+    val inc = Seq((11L, randomDoc(3 * 7919L)), (12L, randomDoc(777L)),
+      (13L, randomDoc(777L)), (14L, randomDoc(888L))).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedupKeep(inc, hist, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 14L))
+    // equality with the batch formulation on the same corpus
+    val batch = Dedup.nearDedupKeep(hist.union(inc), 0.8)
+      .where($"doc_id" >= 11L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === batch)
+    // overlapping id ranges are rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDedupKeep(hist, inc, 0.8)
+    }
+    assert(ex.getMessage.contains("disjoint id ranges"))
+  }
+
+  test("d18 gate booleans hold on the sf corpus") {
+    val r = Dedup.d18IncrDedupGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 20L)
+    assert(r(0).getLong(1) === 0L, "a planted copy survived incremental dedup")
+    assert(r(0).getBoolean(2), "incremental kept set diverged from batch")
+  }
+
+  test("t14 seq-pack: two-level prefix sum equals the flat global window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val flat = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFns.tokens($"text")).cast("long").as("n_tok"))
+      .where($"n_tok" > 0)
+      .withColumn("tok_offset", sum($"n_tok").over(
+        Window.orderBy($"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"n_tok")
+      .select($"doc_id", $"n_tok", $"tok_offset",
+        expr("tok_offset div 2048").as("first_seq"),
+        expr("(tok_offset + n_tok - 1) div 2048").as("last_seq"))
+    val got = TextAnalysis.t14SeqPack(spark, sf)
+    assert(got.exceptAll(flat).isEmpty && flat.exceptAll(got).isEmpty)
+  }
+
+  test("t14 seq-pack: sparse ids across blocks, hand-computed chunk spans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t14docs").toString
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // ids span three >>16 blocks; token counts force a 2048 crossing
+    Seq((1L, words(1000)), (70000L, words(1500)), (200000L, words(600)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t14SeqPack(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 1000L, 0L, 0L, 0L),          // tokens [0, 1000)
+      (70000L, 1500L, 1000L, 0L, 1L),   // [1000, 2500) crosses seq 0→1
+      (200000L, 600L, 2500L, 1L, 1L)))  // [2500, 3100)
+  }
+
   test("planted gates fail loudly when corpus ids reach the plant offset") {
     import spark.implicits._
     val docs = Seq((1L, "a" * 50), (1000000001L, "b" * 50))
