@@ -89,7 +89,8 @@ object GraftExtensions {
     "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
     "dot_product" -> (c => DotProduct(c(0), c(1))),
     "sam_tags" -> (c => SamTags(c(0))),
-    "top_bigram_fraction" -> (c => TopBigramFraction(c(0))))
+    "top_bigram_fraction" -> (c => TopBigramFraction(c(0))),
+    "pq_encode" -> (c => PqEncode(c(0), c(1))))
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -304,11 +304,10 @@ object Similarity {
     * corpus: it computes one 8×16 lookup table of subspace distances
     * (`pqLut`), and the scan scores each corpus vector with 8 table
     * lookups + 7 adds (`adc` — asymmetric distance). The scan-side `adc`
-    * is pure `element_at` + adds — whole-stage codegen, no UDF; the
-    * encode/LUT argmins use builtin higher-order functions, whose lambdas
-    * evaluate interpreted — fine for the one-time narrow encode pass and
-    * the tiny query side, and a native Expression (the DotProductExpr
-    * discipline) is the upgrade path if encode ever dominates.
+    * is pure `element_at` + adds and the corpus-side encode is the
+    * native codegen'd [[graft.functions.PqEncodeExpr]] kernel — both in
+    * whole-stage codegen, no UDF; only the tiny query-side LUT still
+    * uses interpreted HOF lambdas (10 rows — irrelevant).
     *
     * Scale shape: codebook training is a bounded build cost (at corpus
     * scale, train on a deterministic id-modulus sample — codebook quality
@@ -352,8 +351,18 @@ object Similarity {
       lit(0.0), (a, v) => a + v)
 
   /** array<int> of PqM codes: per subspace, argmin centroid (strict `<`
-    * keeps the FIRST index on exact ties — deterministic). */
+    * keeps the FIRST index on exact ties — deterministic). Native
+    * codegen'd kernel ([[graft.functions.PqEncodeExpr]]); the HOF
+    * formulation below is kept as the independent reference the
+    * equivalence spec pins it against. */
   private[operators] def pqCodes(emb: Column, cb: Column): Column =
+    graft.functions.PqEncodeExpr.pqEncode(emb, cb)
+
+  /** The builtin higher-order-function formulation of [[pqCodes]] —
+    * interpreted lambdas, ~2 048 boxed calls per row (each subspace
+    * distance evaluates twice: column lambdas have no let-binding).
+    * Spec-only: `pqCodes` must match it bit-for-bit. */
+  private[operators] def pqCodesHof(emb: Column, cb: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)), m =>
       aggregate(element_at(cb, m + 1),
         struct(lit(Double.MaxValue).as("d"), lit(0).as("i"), lit(0).as("k")),

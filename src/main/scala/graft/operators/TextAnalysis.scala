@@ -773,6 +773,91 @@ object TextAnalysis {
       |  (tok_offset + n_tok - 1) // 2048 AS last_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Curation pipeline V2 — t07's end-to-end composition extended with
+    * the newer signals, still ONE declarative plan: language-ID →
+    * quality gate (t07's floors) → repetition gate (the native
+    * [[graft.functions.TopBigramExpr]] kernel, cap 0.1 — filters the
+    * boilerplate/loop tail) → exact dedup among survivors (lowest-id
+    * survivor per content hash) → per-language funnel report, with the
+    * kept set's PII exposure (t10's regexes) as the final audit column.
+    *
+    * Scale shape, same as t07: every per-doc signal — including the
+    * one-pass bigram kernel — is narrow (single corpus scan, no
+    * corpus-sized bigram explode; the oracle restates that explode, the
+    * engine never runs it); the ONLY data-sized exchange is the dedup
+    * window on the uniform (md5, survivor) key; the rollup is
+    * per-language. */
+  def t15CurationV2(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val nTok = size(tokens(txt))
+    val quality = length(txt) >= 100 && nTok >= 20 &&
+      regexCount(txt, "[0-9]") * 5 <= length(txt) // digit ratio < 20%
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val lowRep = when(nTok >= 2,
+      graft.functions.TopBigramExpr.topBigramFraction(tokens(txt)) <= 0.1)
+      .otherwise(lit(false))
+    val flagged = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), quality.as("q"), nTok.as("n_tok"),
+      lowRep.as("low_rep"),
+      (regexCount(txt, email) + regexCount(txt, phone) > 0).as("pii"),
+      md5(encode(txt, "UTF-8")).as("h"))
+      .withColumn("surv", col("q") && col("low_rep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("surv")).orderBy(col("doc_id").asc)
+    flagged
+      .withColumn("uniq", col("surv") && row_number().over(w) === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q").cast("long")).as("n_quality"),
+        sum(col("surv").cast("long")).as("n_low_rep"),
+        sum(col("uniq").cast("long")).as("n_unique"),
+        sum(when(col("uniq"), col("n_tok")).otherwise(0)).cast("long")
+          .as("kept_tokens"),
+        sum((col("uniq") && col("pii")).cast("long")).as("n_pii_docs"))
+      .orderBy("lang")
+  }
+
+  val t15Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    (LENGTH(text) >= 100
+      |      AND len(string_split_regex(lower(trim(text)), '\s+')) >= 20
+      |      AND len(regexp_extract_all(text, '[0-9]')) * 5 <= LENGTH(text)) AS q,
+      |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+      |    (len(regexp_extract_all(text,
+      |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+      |     len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) > 0) AS pii,
+      |    md5(text) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / n_bigrams AS frac FROM (
+      |    SELECT doc_id, n_bigrams, bg, COUNT(*) AS c FROM (
+      |      SELECT doc_id, len(toks) - 1 AS n_bigrams,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || chr(31) || toks[i + 1])) AS bg
+      |      FROM (SELECT doc_id,
+      |              string_split_regex(lower(trim(text)), '\s+') AS toks
+      |            FROM documents)
+      |      WHERE len(toks) >= 2) z GROUP BY doc_id, n_bigrams, bg) y
+      |  GROUP BY doc_id, n_bigrams),
+      |u AS (
+      |  SELECT f.lang, f.q, f.n_tok, f.pii,
+      |    (f.q AND COALESCE(b.frac <= 0.1, false)) AS surv,
+      |    COALESCE(b.frac <= 0.1, false) AS low_rep,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY f.h, (f.q AND COALESCE(b.frac <= 0.1, false))
+      |      ORDER BY f.doc_id ASC) AS rn
+      |  FROM f LEFT JOIN b USING (doc_id))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_low_rep,
+      |  CAST(SUM(CASE WHEN surv AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(SUM(CASE WHEN surv AND rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(SUM(CASE WHEN surv AND rn = 1 AND pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+      |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -787,7 +872,8 @@ object TextAnalysis {
     "t11_repetition"  -> (t11Repetition _),
     "t12_keywords"    -> (t12Keywords _),
     "t13_corpus_stats" -> (t13CorpusStats _),
-    "t14_seq_pack"    -> (t14SeqPack _))
+    "t14_seq_pack"    -> (t14SeqPack _),
+    "t15_curation_v2" -> (t15CurationV2 _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -802,5 +888,6 @@ object TextAnalysis {
     "t11_repetition"  -> t11Sql,
     "t12_keywords"    -> t12Sql,
     "t13_corpus_stats" -> t13Sql,
-    "t14_seq_pack"    -> t14Sql)
+    "t14_seq_pack"    -> t14Sql,
+    "t15_curation_v2" -> t15Sql)
 }

@@ -16,7 +16,9 @@ class GraftSqlSpec extends SparkSpec {
         |  dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |              array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS dp,
         |  sam_tags('NM:i:2 MD:Z:2A3T3 NH:i:1').nm AS nm,
-        |  top_bigram_fraction(array('a', 'b', 'a', 'b', 'a')) AS tbf
+        |  top_bigram_fraction(array('a', 'b', 'a', 'b', 'a')) AS tbf,
+        |  pq_encode(array(CAST(0.9 AS FLOAT), CAST(0.1 AS FLOAT)),
+        |            array(array(array(0.0D, 0.0D), array(1.0D, 0.0D)))) AS pq
         |""".stripMargin).head()
     assert(row.getSeq[String](0) === Seq("7G", "11C"))
     assert(row.getSeq[Long](1).length === 3) // abc, bca, cab (abc dedupes)
@@ -25,6 +27,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getDouble(4) === 11.0)
     assert(row.getInt(5) === 2)
     assert(row.getDouble(6) === 0.5) // ab ba ab ba -> 2/4
+    assert(row.getSeq[Int](7) === Seq(1)) // (0.9,0.1) nearer (1,0) than (0,0)
   }
 
   test("shingle_hashes windows by codepoints (astral chars count once)") {

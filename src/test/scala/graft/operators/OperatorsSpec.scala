@@ -654,6 +654,13 @@ class OperatorsSpec extends SparkSpec {
     vecs.foreach { case (id, v) =>
       assert(got(id).sameElements(naiveCodes(v)), s"codes differ for vec $id")
     }
+    // the native codegen'd kernel must match the HOF formulation bit-for-bit
+    val viaHof = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.pqCodesHof(col("embedding"), cbCol).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    vecs.keys.foreach { id =>
+      assert(got(id).sameElements(viaHof(id)), s"native != HOF for vec $id")
+    }
     // ADC for query 0 against five corpus vectors
     val q0 = vecs(0L)
     val lutRow = graft.Tables.embeddings(spark, sf)
@@ -791,6 +798,22 @@ class OperatorsSpec extends SparkSpec {
       (1L, 1000L, 0L, 0L, 0L),          // tokens [0, 1000)
       (70000L, 1500L, 1000L, 0L, 1L),   // [1000, 2500) crosses seq 0→1
       (200000L, 600L, 2500L, 1L, 1L)))  // [2500, 3100)
+  }
+
+  test("t15 curation v2: funnel is monotone, no corpus-sized bigram explode") {
+    val rows = TextAnalysis.t15CurationV2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q, lr, u) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= q && q >= lr && lr >= u,
+        s"${r.getString(0)}: funnel not monotone ($n >= $q >= $lr >= $u)")
+      assert(r.getLong(6) <= u) // pii audit counts within the kept set
+    }
+    // the repetition signal must run as the native per-row kernel — no
+    // explode/generate of bigrams anywhere in the plan
+    val plan = TextAnalysis.t15CurationV2(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"bigram explode in plan:\n${plan.take(1500)}")
   }
 
   test("planted gates fail loudly when corpus ids reach the plant offset") {
