@@ -468,6 +468,62 @@ object Similarity {
       |  true AS all_copies_min_adc, true AS recon_ok,
       |  true AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- s09
+  /** IVF + PQ composed — IVFADC proper (the second half of Jégou et al.
+    * 2011): the corpus is cell-assigned by the IVF index AND stored as
+    * PQ codes; a query probes its NProbe nearest cells and ADC-scores
+    * ONLY the codes in those cells. This composes the two scale levers
+    * already built: s07's partition pruning (touch NProbe/k of the
+    * corpus) and s08's compression (read 8-byte codes, not 256-byte
+    * floats) — at 100 TB the probe scan is ~NProbe/k × 1/32 of the
+    * stored bytes, at 8 lookups + 7 adds per row.
+    *
+    * Gate: planted exact copies of the queries. An identical vector gets
+    * the query's own nearest-cell assignment (first probe — the same
+    * seeded model computes both sides), and its codes are the
+    * per-subspace argmins of the query's LUT, so within the probed set
+    * every copy achieves the minimum possible ADC distance. The s08
+    * contract, proven through the composed index path: every query must
+    * find its copy (copy probed) at the per-query min ADC. */
+  def s09IvfAdcGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val cb = cbLit(pqCodebooks(s, d))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Dedup.assertIdHeadroom(e, "vec_id", d)
+    val model = ivfModel(
+      e.withColumn("vec", array_to_vector(col("embedding"))), d)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val planted = q.select(
+      (col("q_id") + lit(1000000000L)).as("vec_id"), col("q_emb").as("embedding"))
+    val corpus = e.where(col("vec_id") >= 10).unionByName(planted)
+    val n = model.transform(
+        corpus.withColumn("vec", array_to_vector(col("embedding"))))
+      .select(col("vec_id").as("n_id"),
+        pqCodes(col("embedding"), cb).as("codes"), col("cell"))
+    val withLut = ivfProbes(s, e, model).select(col("q_id"), col("cell"))
+      .join(q.select(col("q_id"), pqLut(col("q_emb"), cb).as("lut")),
+        Seq("q_id"))
+    val scored = withLut.hint("broadcast").join(n, Seq("cell"))
+      .select(col("q_id"), col("n_id"),
+        adc(col("lut"), col("codes")).as("adc"))
+    val minAdc = scored.groupBy(col("q_id"))
+      .agg(min(col("adc")).as("min_adc"))
+    val copyAdc = scored
+      .where(col("n_id") === col("q_id") + lit(1000000000L))
+      .select(col("q_id"), col("adc").as("copy_adc"))
+    minAdc.join(copyAdc, Seq("q_id"))
+      .agg(count(lit(1)).as("nq"),
+        sum(when(col("copy_adc") === col("min_adc"), 1L).otherwise(0L))
+          .as("n_min"))
+      .select(lit(10L).as("n_queries"),
+        (col("nq") === 10 && col("n_min") === 10).as("all_copies_min_adc"))
+  }
+
+  val s09Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries,
+      |  true AS all_copies_min_adc""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** Driver-visible ANN recall gate: computes recall@5 of the LSH (s02)
     * and IVF (s04) paths against the in-engine brute-force truth (s01),
@@ -574,7 +630,8 @@ object Similarity {
     "s05_ann_recall_gate" -> (s05AnnRecallGate _),
     "s06_embed_quantize" -> (s06EmbedQuantize _),
     "s07_ann_ivf_bucketed" -> (s07AnnIvfBucketed _),
-    "s08_pq_gate"    -> (s08PqGate _))
+    "s08_pq_gate"    -> (s08PqGate _),
+    "s09_ivfadc_gate" -> (s09IvfAdcGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -582,5 +639,6 @@ object Similarity {
     "s05_ann_recall_gate" -> s05Sql,
     "s06_embed_quantize" -> s06Sql,
     "s07_ann_ivf_bucketed" -> s07Sql,
-    "s08_pq_gate"     -> s08Sql)
+    "s08_pq_gate"     -> s08Sql,
+    "s09_ivfadc_gate" -> s09Sql)
 }

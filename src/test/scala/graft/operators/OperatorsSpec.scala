@@ -816,6 +816,14 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"bigram explode in plan:\n${plan.take(1500)}")
   }
 
+  test("s09 IVFADC gate: copies probed and at min ADC through the composed index") {
+    val r = Similarity.s09IvfAdcGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 10L)
+    assert(r(0).getBoolean(1),
+      "a planted copy was unprobed or above min ADC in the IVF+PQ path")
+  }
+
   test("planted gates fail loudly when corpus ids reach the plant offset") {
     import spark.implicits._
     val docs = Seq((1L, "a" * 50), (1000000001L, "b" * 50))
