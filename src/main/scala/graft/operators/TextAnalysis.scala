@@ -725,21 +725,26 @@ object TextAnalysis {
     * within-block running sum (window partitions bounded by 2^16 docs).
     * The doc_id >> shift blocks are monotone in doc_id, so
     * block-prefix + within-block-prefix IS the flat prefix — the
-    * equality the spec pins. Non-negative doc_id is a precondition of
-    * the unsigned shift (same as t09); for 10^12-doc corpora raise the
-    * shift or add a third level — same argument. The block join carries
+    * equality the spec pins, at ANY shift (the spec also runs shift 2).
+    * Non-negative doc_id is a precondition of the unsigned shift (same
+    * as t09); for 10^12-doc corpora raise `spark.graft.packShift`
+    * (default 16 — block count n/2^shift and within-block window width
+    * 2^shift trade against each other; 20 balances a trillion docs) or
+    * add a third level — same argument. The block join carries
     * no broadcast hint: dense ids give a tiny block frame (AQE
     * broadcasts it), sparse ids can grow it toward corpus size, where
     * the uniform blk key keeps the shuffle skew-free. */
   private val PackSeqLen = 2048
-  private val PackSubShift = 16
 
   def t14SeqPack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val shift = s.conf.getOption("spark.graft.packShift")
+      .map(_.toInt).getOrElse(16)
+    require(shift >= 0 && shift < 63, s"packShift $shift out of range")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .where(col("n_tok") > 0)
-      .withColumn("blk", shiftrightunsigned(col("doc_id"), PackSubShift))
+      .withColumn("blk", shiftrightunsigned(col("doc_id"), shift))
     val wb = Window.orderBy(col("blk").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val blockPrefix = docs.groupBy(col("blk"))

@@ -798,6 +798,15 @@ class OperatorsSpec extends SparkSpec {
       (1L, 1000L, 0L, 0L, 0L),          // tokens [0, 1000)
       (70000L, 1500L, 1000L, 0L, 1L),   // [1000, 2500) crosses seq 0→1
       (200000L, 600L, 2500L, 1L, 1L)))  // [2500, 3100)
+    // the shift is a dial, not a semantics knob: a tiny shift (many
+    // blocks — every doc its own block here) yields identical output
+    spark.conf.set("spark.graft.packShift", "2")
+    try {
+      val reShifted = TextAnalysis.t14SeqPack(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(reShifted === got)
+    } finally spark.conf.unset("spark.graft.packShift")
   }
 
   test("t15 curation v2: funnel is monotone, no corpus-sized bigram explode") {
