@@ -48,8 +48,11 @@ case class PqEncode(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
-  @transient private lazy val book: Array[Array[Array[Double]]] =
-    PqEncodeExpr.toBook(right.eval(null).asInstanceOf[ArrayData])
+  @transient private lazy val book: Array[Array[Array[Double]]] = {
+    val cb = right.eval(null)
+    require(cb != null, s"$prettyName: codebook literal is null")
+    PqEncodeExpr.toBook(cb.asInstanceOf[ArrayData])
+  }
 
   private def leftIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -73,8 +76,11 @@ object PqEncodeExpr {
   private[functions] def toBook(cb: ArrayData): Array[Array[Array[Double]]] =
     (0 until cb.numElements()).map { m =>
       val cents = cb.getArray(m)
+      require(cents != null, s"pq_encode: codebook subspace $m is null")
       (0 until cents.numElements()).map { k =>
-        cents.getArray(k).toDoubleArray()
+        val c = cents.getArray(k)
+        require(c != null, s"pq_encode: codebook centroid [$m][$k] is null")
+        c.toDoubleArray()
       }.toArray
     }.toArray
 
@@ -82,6 +88,19 @@ object PqEncodeExpr {
   def eval(emb: ArrayData, book: Array[Array[Array[Double]]],
       isFloat: Boolean): ArrayData = {
     val m = book.length
+    // loud length check: UnsafeArrayData element reads are NOT bounds-
+    // checked, so a short embedding would silently read adjacent row
+    // memory and emit garbage codes
+    var need = 0
+    var bi = 0
+    while (bi < m) {
+      if (book(bi).length > 0) need += book(bi)(0).length
+      bi += 1
+    }
+    if (emb.numElements() < need)
+      throw new IllegalArgumentException(
+        s"pq_encode: embedding has ${emb.numElements()} elements, " +
+          s"codebook spans $need dimensions")
     val out = new Array[Any](m)
     var mi = 0
     var off = 0

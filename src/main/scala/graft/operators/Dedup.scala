@@ -171,17 +171,30 @@ object Dedup {
   }
 
   /** Asymmetric candidate stage: band collisions with the RIGHT side
-    * always an incoming doc (id ≥ `incCutoff`) — history×history pairs
-    * never enter the join. Left side ranges over history ∪ incoming;
-    * incoming×incoming collisions surface exactly once (a_id < b_id). */
-  private def minhashCandidatesAcross(shAll: DataFrame, shInc: DataFrame,
-      incCutoff: Long): DataFrame = {
+    * always an incoming doc — history×history pairs never enter the
+    * join. Left side ranges over history ∪ incoming; under the caller's
+    * asserted id-disjointness (every history id < every incoming id),
+    * `a_id < b_id` alone keeps every history×incoming collision and
+    * each incoming×incoming collision exactly once. */
+  private def minhashCandidatesAcross(
+      shAll: DataFrame, shInc: DataFrame): DataFrame = {
     val a = bandedSignatures(shAll).select(col("band"), col("key"),
       col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val b = bandedSignatures(shInc).select(col("band"), col("key"),
       col("doc_id").as("b_id"), col("sig").as("b_sig"))
     candidateGate(a.join(b, Seq("band", "key"))
-      .where(col("a_id") < lit(incCutoff) || col("a_id") < col("b_id")))
+      .where(col("a_id") < col("b_id")))
+  }
+
+  /** One-row boolean column `sets_match`: do two frames hold the SAME
+    * multiset of rows? (two-sided exceptAll — the gate-equality check
+    * shared by d14/d17/d18 and s07; callers pre-select the compare
+    * columns and alias the output.) */
+  private[operators] def setsMatch(a: DataFrame, b: DataFrame): DataFrame = {
+    val extra = a.exceptAll(b).agg(count(lit(1)).as("extra"))
+    val missing = b.exceptAll(a).agg(count(lit(1)).as("missing"))
+    extra.crossJoin(missing)
+      .select((col("extra") === 0 && col("missing") === 0).as("sets_match"))
   }
 
   // ---------------------------------------------------------------- d07
@@ -614,14 +627,10 @@ object Dedup {
     val keptBloom = cleared.unionByName(
       candidates.join(hist.distinct(), Seq("h"), "left_anti"))
     val keptExact = incoming.join(hist.distinct(), Seq("h"), "left_anti")
-    val extra = keptBloom.select("doc_id")
-      .exceptAll(keptExact.select("doc_id")).agg(count(lit(1)).as("extra"))
-    val missing = keptExact.select("doc_id")
-      .exceptAll(keptBloom.select("doc_id")).agg(count(lit(1)).as("missing"))
     keptExact.agg(count(lit(1)).as("n_kept"))
-      .crossJoin(extra).crossJoin(missing)
-      .select(col("n_kept"),
-        (col("extra") === 0 && col("missing") === 0).as("results_match"))
+      .crossJoin(setsMatch(
+        keptBloom.select("doc_id"), keptExact.select("doc_id")))
+      .select(col("n_kept"), col("sets_match").as("results_match"))
   }
 
   val d14Sql: String =
@@ -762,16 +771,12 @@ object Dedup {
       (col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
     val keptPlanted = clusterRepKeep(docs.union(planted), 0.8)
     val keptPlain = clusterRepKeep(docs, 0.8)
-    val extra = keptPlanted.select("doc_id")
-      .exceptAll(keptPlain.select("doc_id")).agg(count(lit(1)).as("extra"))
-    val missing = keptPlain.select("doc_id")
-      .exceptAll(keptPlanted.select("doc_id")).agg(count(lit(1)).as("missing"))
     base.agg(count(lit(1)).as("n_planted"))
       .crossJoin(keptPlanted.where(col("doc_id") >= PlantOffset)
         .agg(count(lit(1)).as("n_planted_kept")))
-      .crossJoin(extra).crossJoin(missing)
-      .select(col("n_planted"), col("n_planted_kept"),
-        (col("extra") === 0 && col("missing") === 0).as("sets_match"))
+      .crossJoin(setsMatch(
+        keptPlanted.select("doc_id"), keptPlain.select("doc_id")))
+      .select(col("n_planted"), col("n_planted_kept"), col("sets_match"))
   }
 
   val d17Sql: String =
@@ -809,14 +814,13 @@ object Dedup {
       require(histMax.getLong(0) < incMin.getLong(0),
         s"incremental dedup needs disjoint id ranges: max(history) = " +
           s"${histMax.getLong(0)} >= min(incoming) = ${incMin.getLong(0)}")
-    val cutoff = if (incMin.isNullAt(0)) Long.MaxValue else incMin.getLong(0)
     def shingled(df: DataFrame): DataFrame = df
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val shInc = shingled(incoming)
     val shAll = shingled(history).unionByName(shInc)
     val cands = minhashCandidatesAcross(
-      shAll.select("doc_id", "sh"), shInc.select("doc_id", "sh"), cutoff)
+      shAll.select("doc_id", "sh"), shInc.select("doc_id", "sh"))
       .select("a_id", "b_id")
     val removed = cands
       .join(shAll.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
@@ -856,17 +860,13 @@ object Dedup {
     val keptIncr = incrementalNearDedupKeep(inc, hist, 0.8)
     val keptBatch = nearDedupKeep(docs.union(planted), 0.8)
       .where(col("doc_id") >= cut)
-    val extra = keptIncr.select("doc_id")
-      .exceptAll(keptBatch.select("doc_id")).agg(count(lit(1)).as("extra"))
-    val missing = keptBatch.select("doc_id")
-      .exceptAll(keptIncr.select("doc_id")).agg(count(lit(1)).as("missing"))
     base.agg(count(lit(1)).as("n_planted"))
       .crossJoin(keptIncr.where(col("doc_id") >= PlantOffset)
         .agg(count(lit(1)).as("n_planted_kept")))
-      .crossJoin(extra).crossJoin(missing)
+      .crossJoin(setsMatch(
+        keptIncr.select("doc_id"), keptBatch.select("doc_id")))
       .select(col("n_planted"), col("n_planted_kept"),
-        (col("extra") === 0 && col("missing") === 0)
-          .as("incremental_matches_batch"))
+        col("sets_match").as("incremental_matches_batch"))
   }
 
   val d18Sql: String =

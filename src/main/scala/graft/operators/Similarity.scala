@@ -167,6 +167,9 @@ object Similarity {
   def rebuildIvfIndex(s: SparkSession, d: String): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     ivfModels.remove(d)
+    // PQ codebooks (s08/s09) are index state over the same dir — stale
+    // codebooks would silently encode against the previous corpus
+    pqBooks.remove(d)
     // the bucketed corpus dir (s07) is derived from the same model + source
     // — a model invalidation must drop it too, or s07 silently probes a
     // layout built from the previous index
@@ -247,12 +250,9 @@ object Similarity {
   def s07AnnIvfBucketed(s: SparkSession, d: String): DataFrame = {
     val viaBuckets = ivfBucketedTopK(s, d)
     val viaJoin = s04AnnIvf(s, d)
-    val extra = viaBuckets.exceptAll(viaJoin).agg(count(lit(1)).as("extra"))
-    val missing = viaJoin.exceptAll(viaBuckets).agg(count(lit(1)).as("missing"))
     viaJoin.agg(count_distinct(col("q_id")).as("n_queries"))
-      .crossJoin(extra).crossJoin(missing)
-      .select(col("n_queries"),
-        (col("extra") === 0 && col("missing") === 0).as("results_match"))
+      .crossJoin(Dedup.setsMatch(viaBuckets, viaJoin))
+      .select(col("n_queries"), col("sets_match").as("results_match"))
   }
 
   val s07Sql: String =
@@ -306,8 +306,9 @@ object Similarity {
     * lookups + 7 adds (`adc` — asymmetric distance). The scan-side `adc`
     * is pure `element_at` + adds and the corpus-side encode is the
     * native codegen'd [[graft.functions.PqEncodeExpr]] kernel — both in
-    * whole-stage codegen, no UDF; only the tiny query-side LUT still
-    * uses interpreted HOF lambdas (10 rows — irrelevant).
+    * whole-stage codegen, no UDF. Interpreted HOF lambdas remain only on
+    * the tiny query-side LUT (10 rows) and the gate's reconstruction
+    * canary, which therefore runs over a quarter SAMPLE, not the corpus.
     *
     * Scale shape: codebook training is a bounded build cost (at corpus
     * scale, train on a deterministic id-modulus sample — codebook quality
@@ -399,9 +400,11 @@ object Similarity {
     *    Σ_m min_k lut[m][k] is the MINIMUM any vector can achieve —
     *    guaranteed, codebook-independent; every query's min-ADC row must
     *    be its copy's.
-    *  - `recon_ok`: mean reconstruction cosine over the natural corpus
-    *    above a floor with margin (measured 0.65–0.68 across sf0.001/
-    *    0.01/0.1; floor 0.6).
+    *  - `recon_ok`: mean reconstruction cosine over a deterministic
+    *    quarter sample of the natural corpus (vec_id % 4 == 2 — a
+    *    canary floor needs no more; the decode runs the interpreted HOF
+    *    path) above a floor with margin (measured 0.65–0.68 across
+    *    sf0.001/0.01/0.1; floor 0.6).
     *  - `recall_ok`: ADC top-5 recall vs the in-engine brute truth (s01)
     *    above a floor with margin (measured 0.10–0.18; floor 0.05) — the
     *    s05 discipline.
@@ -441,7 +444,10 @@ object Similarity {
           .as("n_min"))
       .select((col("nq") === 10 && col("n_min") === 10)
         .as("all_copies_min_adc"))
-    val recon = e.where(col("vec_id") >= 10)
+    // recon canary over a DETERMINISTIC quarter sample: pqDecode is the
+    // interpreted HOF path (fine at sample size, wasteful corpus-wide),
+    // and a floor-with-margin canary needs no more than a sample
+    val recon = e.where(col("vec_id") >= 10 && col("vec_id") % 4 === 2)
       .select(cosine(col("embedding"),
         pqDecode(pqCodes(col("embedding"), cb), cb)).as("rc"))
       .agg(graft.functions.Det.davg(col("rc"), 10).as("avg_rc"))

@@ -733,7 +733,14 @@ object TextAnalysis {
     * add a third level — same argument. The block join carries
     * no broadcast hint: dense ids give a tiny block frame (AQE
     * broadcasts it), sparse ids can grow it toward corpus size, where
-    * the uniform blk key keeps the shuffle skew-free. */
+    * the uniform blk key keeps the shuffle skew-free.
+    *
+    * Single-plan trade, stated (t12's note applies here too): the block
+    * aggregate branch re-derives the tokenize scan (no CSE across the
+    * join), so the corpus is scanned and tokenized twice; a pipeline
+    * STAGES the (doc_id, n_tok) frame once — it is exactly the t09
+    * materialize-token-counts-once frame — and both branches then read
+    * the staged columns, one scan. */
   private val PackSeqLen = 2048
 
   def t14SeqPack(s: SparkSession, d: String): DataFrame = {

@@ -56,6 +56,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(r === 2.0 / 3)
   }
 
+  test("pq_encode fails loudly on an embedding shorter than the codebook span") {
+    GraftExtensions.register(spark)
+    val t = intercept[Throwable] {
+      spark.sql(
+        """SELECT pq_encode(array(CAST(1.0 AS FLOAT)),
+          |  array(array(array(0.0D, 0.0D), array(1.0D, 0.0D))))""".stripMargin)
+        .head()
+    }
+    // unsafe array reads are not bounds-checked, so a silent garbage code
+    // is the failure mode this guard exists to prevent — walk the cause
+    // chain for the loud message
+    val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("pq_encode"), msgs.take(500))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
