@@ -833,6 +833,60 @@ class OperatorsSpec extends SparkSpec {
       "a planted copy was unprobed or above min ADC in the IVF+PQ path")
   }
 
+  test("d18 incremental == batch on seeded random corpora with planted dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8150813L)
+    def randomDoc(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      (1 to 50).map(_ => r.alphanumeric.take(7).mkString).mkString(" ")
+    }
+    for (trial <- 1 to 3) {
+      // history 1..12 with one internal dup; incoming 20..29 with a
+      // random mix of history copies, in-batch copies, and fresh docs
+      val histSeeds = (1L to 12L).map(i => i -> (trial * 1000L + i)).toMap
+      val hist = histSeeds.toSeq.sortBy(_._1)
+        .map { case (i, sd) => (i, randomDoc(sd)) }.toDF("doc_id", "text")
+      val inc = (20L to 29L).map { i =>
+        val roll = rnd.nextInt(3)
+        val text =
+          if (roll == 0) randomDoc(histSeeds(1L + rnd.nextInt(12)))  // hist copy
+          else if (roll == 1 && i > 20L) randomDoc(trial * 7000L + 20L + rnd.nextInt((i - 20L).toInt)) // maybe copies an earlier inc seed
+          else randomDoc(trial * 7000L + i)                          // fresh
+        (i, text)
+      }.toDF("doc_id", "text")
+      val incr = Dedup.incrementalNearDedupKeep(inc, hist, 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = Dedup.nearDedupKeep(hist.union(inc), 0.8)
+        .where($"doc_id" >= 20L).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(incr === batch, s"trial $trial: incremental $incr != batch $batch")
+    }
+  }
+
+  test("t14 two-level == flat prefix sum on seeded sparse random ids") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val dir = java.nio.file.Files.createTempDirectory("t14rand").toString
+    // sparse ids spread over many >>16 blocks, random token counts
+    val ids = Seq.fill(120)(math.abs(rnd.nextLong()) % (1L << 24)).distinct
+    ids.map(i => (i, Seq.fill(1 + rnd.nextInt(400))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val flat = graft.Tables.documents(spark, dir)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFns.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("tok_offset", sum($"n_tok").over(
+        Window.orderBy($"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"n_tok")
+      .select($"doc_id", $"n_tok", $"tok_offset",
+        expr("tok_offset div 2048").as("first_seq"),
+        expr("(tok_offset + n_tok - 1) div 2048").as("last_seq"))
+    val got = TextAnalysis.t14SeqPack(spark, dir)
+    assert(got.exceptAll(flat).isEmpty && flat.exceptAll(got).isEmpty)
+  }
+
   test("planted gates fail loudly when corpus ids reach the plant offset") {
     import spark.implicits._
     val docs = Seq((1L, "a" * 50), (1000000001L, "b" * 50))
