@@ -871,20 +871,14 @@ object Relational {
     val rawSchema = s.read.parquet(path).schema
     // the file source monitors a DIRECTORY; stage the events file into a
     // scratch dir through the Hadoop FS, re-staging whenever the source's
-    // (length, mtime) moved — a regenerated dataset must never replay a
-    // stale staged copy
+    // recorded (length, mtime) pair moved — a regenerated dataset must
+    // never replay a stale staged copy
     import graft.sources.HadoopIO
     val conf = s.sparkContext.hadoopConfiguration
     val stageDir =
       s"${HadoopIO.scratchDir(s)}/graft_q35_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val staged = s"$stageDir/events.parquet"
-    val src = HadoopIO.lenAndMtime(path, conf)
-      .getOrElse(sys.error(s"q35 source missing: $path"))
-    val fresh = HadoopIO.lenAndMtime(staged, conf) match {
-      case Some((len, mtime)) => len == src._1 && mtime >= src._2
-      case None => false
-    }
-    if (!fresh) HadoopIO.copy(path, staged, conf)
+    HadoopIO.stageFile(path, staged, conf)
     val raw = s.readStream.schema(rawSchema).parquet(stageDir)
     // watermarks require TIMESTAMP (tz-aware); the session runs UTC so the
     // cast is value-preserving and the output hour casts back to NTZ below
@@ -945,13 +939,7 @@ object Relational {
     val stageDir =
       s"${HadoopIO.scratchDir(s)}/graft_q36_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val staged = s"$stageDir/documents.parquet"
-    val src = HadoopIO.lenAndMtime(path, conf)
-      .getOrElse(sys.error(s"q36 source missing: $path"))
-    val fresh = HadoopIO.lenAndMtime(staged, conf) match {
-      case Some((len, mtime)) => len == src._1 && mtime >= src._2
-      case None => false
-    }
-    if (!fresh) HadoopIO.copy(path, staged, conf)
+    HadoopIO.stageFile(path, staged, conf)
     val stream = s.readStream.schema(rawSchema).parquet(stageDir)
       .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
     val hist = s.read.parquet(path)

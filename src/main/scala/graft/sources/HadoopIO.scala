@@ -108,6 +108,44 @@ object HadoopIO {
     } finally in.close()
   }
 
+  /** Stage `src` at `dst` unless already staged from this exact source
+    * version. Freshness is the RECORDED source (length, mtime) pair —
+    * written to a dot-prefixed sidecar at copy time and compared for
+    * equality — not the staged copy's own mtime: comparing `staged.mtime
+    * >= src.mtime` treats a same-length source rewrite within the same
+    * mtime tick as fresh (ADVICE r6), and the staged copy's timestamps say
+    * nothing about WHICH source version it holds. A same-length rewrite
+    * inside one mtime tick is the only residual blind spot (the
+    * filesystem itself cannot distinguish the versions short of hashing
+    * the content). The sidecar is dot-prefixed so file-source listings
+    * (Spark's and [[listScanTargets]]'s) skip it. Returns true when a
+    * copy happened. */
+  def stageFile(src: String, dst: String, conf: Configuration): Boolean = {
+    val srcStat = lenAndMtime(src, conf)
+      .getOrElse(throw new IOException(s"staging source missing: $src"))
+    val dstPath = new Path(dst)
+    val marker = new Path(dstPath.getParent, s".${dstPath.getName}.src").toString
+    val recorded =
+      if (exists(marker, conf) && exists(dst, conf)) {
+        val in = open(marker, conf)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).split(':') match {
+            case Array(l, m) => Some((l.toLong, m.toLong))
+            case _ => None
+          }
+        finally in.close()
+      } else None
+    val fresh = recorded.contains(srcStat)
+    if (!fresh) {
+      copy(src, dst, conf)
+      val out = create(marker, conf)
+      try out.write(s"${srcStat._1}:${srcStat._2}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    !fresh
+  }
+
   /** Expand a path into its (fully-qualified path, length) scan targets:
     * a file is itself; a directory yields its non-hidden regular files,
     * name-sorted. A missing path FAILS FAST with the FileSystem's

@@ -44,7 +44,9 @@ class StagingSpec extends SparkSpec {
     val staged = s"${HadoopIO.scratchDir(spark)}/graft_q36_" +
       tmp.replaceAll("[^A-Za-z0-9]", "_") + "/documents.parquet"
     val t1 = HadoopIO.lenAndMtime(staged, conf).get._2
-    Thread.sleep(1100)
+    // a SAME-LENGTH rewrite one mtime tick later must restage (ADVICE r6:
+    // the old `staged.mtime >= src.mtime` check replayed the stale copy)
+    Thread.sleep(20)
     HadoopIO.copy(s"$sf/documents.parquet", s"$tmp/documents.parquet", conf)
     val r2 = Relational.q36StreamDedupGate(spark, tmp).head()
     assert(r2.getAs[Boolean]("clean"))
@@ -61,13 +63,37 @@ class StagingSpec extends SparkSpec {
     val staged = s"${HadoopIO.scratchDir(spark)}/graft_q35_" +
       tmp.replaceAll("[^A-Za-z0-9]", "_") + "/events.parquet"
     val t1 = HadoopIO.lenAndMtime(staged, conf).get._2
-    // regenerate the source; the gate must replay the NEW copy, not the
-    // first-staged inode (the r3 hard-link bug)
-    Thread.sleep(1100)
+    // regenerate the source (same length, mtime one tick later); the gate
+    // must replay the NEW copy, not the first-staged inode
+    Thread.sleep(20)
     HadoopIO.copy(s"$sf/events.parquet", s"$tmp/events.parquet", conf)
     val r2 = Relational.q35StreamBatchGate(spark, tmp).head()
     assert(r2.getAs[Boolean]("all_match"))
     val t2 = HadoopIO.lenAndMtime(staged, conf).get._2
     assert(t2 > t1, "staged events copy was not refreshed after regeneration")
+  }
+
+  test("stageFile: copies once per source version, restages on any recorded-pair move") {
+    val dir = java.nio.file.Files.createTempDirectory("stagef")
+    val src = dir.resolve("src.bin").toString
+    val dst = dir.resolve("scratch").resolve("staged.bin").toString
+    def write(content: String): Unit = {
+      val out = HadoopIO.create(src, conf)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    write("version-one")
+    assert(HadoopIO.stageFile(src, dst, conf), "first call must copy")
+    assert(!HadoopIO.stageFile(src, dst, conf), "unchanged source must be reused")
+    Thread.sleep(20)
+    write("version-two") // same length, later mtime
+    assert(HadoopIO.stageFile(src, dst, conf),
+      "same-length rewrite with a moved mtime must restage")
+    val in = HadoopIO.open(dst, conf)
+    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(got === "version-two")
+    // the dot-prefixed sidecar must be invisible to scan-target listings
+    val listed = HadoopIO.listScanTargets(
+      dir.resolve("scratch").toString, conf).map(_._1)
+    assert(listed.size === 1 && listed.head.endsWith("staged.bin"))
   }
 }
