@@ -130,15 +130,16 @@ object Bench {
     }
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail
-    // accept ≤ 1900: line + sbt's "[info] " prefix (7) + "[success]"
-    // epilogue (~75) must fit the consumer's 2000-char stdout tail
+    // accept ≤ 1800: line + sbt's "[info] " prefix (7) + "[success]"
+    // epilogue (~75) + one stray stop-time log line must all fit the
+    // consumer's 2000-char stdout tail
     val out = Seq(line(3, false), line(2, false), line(2, true))
-      .find(_.length <= 1900).getOrElse {
+      .find(_.length <= 1800).getOrElse {
         // even the slim form outgrew the consumer's tail: emit it anyway
         // (stderr is not tail-parsed) but make the overflow loud instead
         // of silently regressing to the parsed:null failure mode
         System.err.println(s"[bench] WARNING: slim JSON line is " +
-          s"${line(2, true).length} chars > 1900 — driver tail parse at risk")
+          s"${line(2, true).length} chars > 1800 — driver tail parse at risk")
         line(2, true)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land

@@ -101,6 +101,17 @@ object PqEncodeExpr {
       throw new IllegalArgumentException(
         s"pq_encode: embedding has ${emb.numElements()} elements, " +
           s"codebook spans $need dimensions")
+    // loud null check: unsafe getFloat/getDouble on a null slot returns
+    // whatever bits sit there (typically 0.0), which would silently encode
+    // a wrong code — fail instead, mirroring the length check above
+    var ni = 0
+    while (ni < need) {
+      if (emb.isNullAt(ni))
+        throw new IllegalArgumentException(
+          s"pq_encode: embedding element $ni is null — nullable-element " +
+            "arrays cannot be PQ-encoded")
+      ni += 1
+    }
     val out = new Array[Any](m)
     var mi = 0
     var off = 0

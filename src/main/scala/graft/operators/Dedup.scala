@@ -850,7 +850,10 @@ object Dedup {
   def d18IncrDedupGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     assertIdHeadroom(docs, "doc_id", d)
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    require(!maxRow.isNullAt(0),
+      s"d18 gate needs a non-empty documents corpus at $d")
+    val maxId = maxRow.getLong(0)
     val cut = maxId / 2
     val hist = docs.where(col("doc_id") < cut)
     val base = hist.orderBy(col("doc_id").asc).limit(20)

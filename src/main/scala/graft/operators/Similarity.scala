@@ -268,21 +268,26 @@ object Similarity {
     val model = ivfModel(e, d)
     val dir = ivfBucketedDir(s, d)
     // reuse the build-once layout only when it COMMITTED (_SUCCESS — a
-    // half-written dir from a crashed run has none) and is at least as new
-    // as the embeddings source; otherwise drop and rebuild
+    // half-written dir from a crashed run has none) and was built from
+    // THIS source version: the recorded (length, mtime) sidecar compared
+    // for equality, mirroring HadoopIO.stageFile — a `built >= src` mtime
+    // compare would treat a same-tick source regeneration (or scratch/
+    // corpus clock skew) as fresh and silently replay a stale layout
+    // (ADVICE r7); otherwise drop and rebuild
     val conf = graft.sources.HadoopIO.driverConf()
-    val fresh =
-      (graft.sources.HadoopIO.lenAndMtime(s"$dir/_SUCCESS", conf),
-        graft.sources.HadoopIO.lenAndMtime(s"$d/embeddings.parquet", conf)) match {
-        case (Some((_, built)), Some((_, src))) => built >= src
-        case _ => false
-      }
+    val marker = s"$dir/.embeddings.src"
+    val srcStat = graft.sources.HadoopIO.lenAndMtime(
+      s"$d/embeddings.parquet", conf)
+    val fresh = srcStat.nonEmpty &&
+      graft.sources.HadoopIO.exists(s"$dir/_SUCCESS", conf) &&
+      graft.sources.HadoopIO.readMarker(marker, conf) == srcStat
     if (!fresh) {
       graft.sources.HadoopIO.delete(dir, conf)
       model.transform(e.where(col("vec_id") >= 10))
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           norm2(col("embedding")).as("n_nrm"), col("cell"))
         .write.partitionBy("cell").parquet(dir)
+      srcStat.foreach(graft.sources.HadoopIO.writeMarker(marker, _, conf))
     }
     val corpus = s.read.parquet(dir)
     val probes = ivfProbes(s, e, model)

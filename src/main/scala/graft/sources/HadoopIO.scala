@@ -125,25 +125,39 @@ object HadoopIO {
       .getOrElse(throw new IOException(s"staging source missing: $src"))
     val dstPath = new Path(dst)
     val marker = new Path(dstPath.getParent, s".${dstPath.getName}.src").toString
-    val recorded =
-      if (exists(marker, conf) && exists(dst, conf)) {
-        val in = open(marker, conf)
-        try new String(in.readAllBytes(),
+    val fresh = exists(dst, conf) && readMarker(marker, conf).contains(srcStat)
+    if (!fresh) {
+      copy(src, dst, conf)
+      writeMarker(marker, srcStat, conf)
+    }
+    !fresh
+  }
+
+  /** The recorded `(length, mtime)` source-version pair at `marker`, or
+    * None when the marker is absent or unparseable (corrupted, truncated-
+    * with-garbage) — an unreadable record must force a restage, never
+    * crash the staging path. */
+  def readMarker(marker: String, conf: Configuration): Option[(Long, Long)] =
+    if (!exists(marker, conf)) None
+    else {
+      val in = open(marker, conf)
+      try scala.util.Try {
+        new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).split(':') match {
             case Array(l, m) => Some((l.toLong, m.toLong))
             case _ => None
           }
-        finally in.close()
-      } else None
-    val fresh = recorded.contains(srcStat)
-    if (!fresh) {
-      copy(src, dst, conf)
-      val out = create(marker, conf)
-      try out.write(s"${srcStat._1}:${srcStat._2}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      }.toOption.flatten
+      finally in.close()
     }
-    !fresh
+
+  /** Record a source-version pair (see [[readMarker]]). */
+  def writeMarker(marker: String, stat: (Long, Long),
+      conf: Configuration): Unit = {
+    val out = create(marker, conf)
+    try out.write(s"${stat._1}:${stat._2}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Expand a path into its (fully-qualified path, length) scan targets:

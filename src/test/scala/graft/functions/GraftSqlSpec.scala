@@ -72,6 +72,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(msgs.contains("pq_encode"), msgs.take(500))
   }
 
+  test("pq_encode fails loudly on a null embedding element") {
+    GraftExtensions.register(spark)
+    val t = intercept[Throwable] {
+      spark.sql(
+        """SELECT pq_encode(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+          |  array(array(array(0.0D, 0.0D), array(1.0D, 0.0D))))""".stripMargin)
+        .head()
+    }
+    // a null slot read through the unsafe getter yields 0.0 and a silently
+    // wrong code (ADVICE r7) — the guard must surface it instead
+    val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null"), msgs.take(500))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

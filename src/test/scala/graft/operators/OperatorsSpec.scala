@@ -765,6 +765,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getBoolean(2), "incremental kept set diverged from batch")
   }
 
+  test("d18 gate fails descriptively on an empty corpus (no NPE)") {
+    import spark.implicits._
+    // an empty documents table: max(doc_id) is NULL — the gate must raise
+    // a descriptive require, not a NullPointerException (ADVICE r7)
+    val tmp = java.nio.file.Files.createTempDirectory("d18empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.d18IncrDedupGate(spark, tmp).collect()
+    }
+    assert(ex.getMessage.contains("non-empty"), ex.getMessage)
+  }
+
   test("t14 seq-pack: two-level prefix sum equals the flat global window") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

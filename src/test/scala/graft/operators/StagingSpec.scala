@@ -13,24 +13,43 @@ class StagingSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def conf = spark.sparkContext.hadoopConfiguration
 
+  /** Move a local file's mtime forward EXPLICITLY: sleeping and re-writing
+    * assumes sub-second mtime resolution and flakes on filesystems with a
+    * coarse (1 s) tick — setting the time is deterministic on any
+    * resolution (ADVICE r7). */
+  private def bumpMtime(path: String, deltaMs: Long = 2000): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val cur = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(cur + deltaMs))
+  }
+
   test("s07 bucketed corpus: reused while fresh, rebuilt on regeneration, dropped by rebuildIvfIndex") {
     val tmp = java.nio.file.Files.createTempDirectory("s07re").toString
     HadoopIO.copy(s"$sf/embeddings.parquet", s"$tmp/embeddings.parquet", conf)
     val r1 = Similarity.ivfBucketedTopK(spark, tmp).collect()
     assert(r1.nonEmpty)
-    val success = s"${HadoopIO.scratchDir(spark)}/graft_ivf_" +
-      tmp.replaceAll("[^A-Za-z0-9]", "_") + "/_SUCCESS"
+    val ivfDir = s"${HadoopIO.scratchDir(spark)}/graft_ivf_" +
+      tmp.replaceAll("[^A-Za-z0-9]", "_")
+    val success = s"$ivfDir/_SUCCESS"
+    val marker = s"$ivfDir/.embeddings.src"
+    val rec1 = HadoopIO.readMarker(marker, conf)
+    assert(rec1 === HadoopIO.lenAndMtime(s"$tmp/embeddings.parquet", conf),
+      "layout sidecar must record the built-from source version")
     val t1 = HadoopIO.lenAndMtime(success, conf).get._2
     // unchanged source -> the committed layout is reused, not rewritten
     Similarity.ivfBucketedTopK(spark, tmp).collect()
     assert(HadoopIO.lenAndMtime(success, conf).get._2 === t1)
-    // regenerated source (newer mtime) -> layout rebuilt
-    Thread.sleep(1100)
+    assert(HadoopIO.readMarker(marker, conf) === rec1)
+    // regenerated source (same length, moved mtime) -> layout rebuilt;
+    // the recorded pair, not any staged-file mtime, proves the rebuild
     HadoopIO.copy(s"$sf/embeddings.parquet", s"$tmp/embeddings.parquet", conf)
+    bumpMtime(s"$tmp/embeddings.parquet")
     val r2 = Similarity.ivfBucketedTopK(spark, tmp).collect()
     assert(r2.map(_.toString).sorted === r1.map(_.toString).sorted)
-    val t2 = HadoopIO.lenAndMtime(success, conf).get._2
-    assert(t2 > t1, "bucketed corpus was not rebuilt after source regeneration")
+    val rec2 = HadoopIO.readMarker(marker, conf)
+    assert(rec2 !== rec1, "bucketed corpus was not rebuilt after source regeneration")
+    assert(rec2 === HadoopIO.lenAndMtime(s"$tmp/embeddings.parquet", conf))
     // explicit index invalidation drops the physical layout with the model
     Similarity.rebuildIvfIndex(spark, tmp)
     assert(HadoopIO.lenAndMtime(success, conf).isEmpty)
@@ -41,18 +60,23 @@ class StagingSpec extends SparkSpec {
     HadoopIO.copy(s"$sf/documents.parquet", s"$tmp/documents.parquet", conf)
     val r1 = Relational.q36StreamDedupGate(spark, tmp).head()
     assert(r1.getAs[Boolean]("clean"))
-    val staged = s"${HadoopIO.scratchDir(spark)}/graft_q36_" +
-      tmp.replaceAll("[^A-Za-z0-9]", "_") + "/documents.parquet"
-    val t1 = HadoopIO.lenAndMtime(staged, conf).get._2
-    // a SAME-LENGTH rewrite one mtime tick later must restage (ADVICE r6:
-    // the old `staged.mtime >= src.mtime` check replayed the stale copy)
-    Thread.sleep(20)
+    val stageDir = s"${HadoopIO.scratchDir(spark)}/graft_q36_" +
+      tmp.replaceAll("[^A-Za-z0-9]", "_")
+    val marker = s"$stageDir/.documents.parquet.src"
+    val rec1 = HadoopIO.readMarker(marker, conf)
+    assert(rec1.nonEmpty)
+    // a SAME-LENGTH rewrite one (explicit) mtime tick later must restage
+    // (ADVICE r6: the old `staged.mtime >= src.mtime` check replayed the
+    // stale copy); the recorded pair proves the refresh without assuming
+    // anything about the filesystem's mtime resolution
     HadoopIO.copy(s"$sf/documents.parquet", s"$tmp/documents.parquet", conf)
+    bumpMtime(s"$tmp/documents.parquet")
     val r2 = Relational.q36StreamDedupGate(spark, tmp).head()
     assert(r2.getAs[Boolean]("clean"))
     assert(r2.getLong(0) === r1.getLong(0))
-    val t2 = HadoopIO.lenAndMtime(staged, conf).get._2
-    assert(t2 > t1, "staged documents copy was not refreshed after regeneration")
+    val rec2 = HadoopIO.readMarker(marker, conf)
+    assert(rec2 !== rec1, "staged documents copy was not refreshed after regeneration")
+    assert(rec2 === HadoopIO.lenAndMtime(s"$tmp/documents.parquet", conf))
   }
 
   test("q35 staging: restaged through the Hadoop FS when the source moves") {
@@ -60,17 +84,20 @@ class StagingSpec extends SparkSpec {
     HadoopIO.copy(s"$sf/events.parquet", s"$tmp/events.parquet", conf)
     val r1 = Relational.q35StreamBatchGate(spark, tmp).head()
     assert(r1.getAs[Boolean]("all_match"))
-    val staged = s"${HadoopIO.scratchDir(spark)}/graft_q35_" +
-      tmp.replaceAll("[^A-Za-z0-9]", "_") + "/events.parquet"
-    val t1 = HadoopIO.lenAndMtime(staged, conf).get._2
-    // regenerate the source (same length, mtime one tick later); the gate
+    val stageDir = s"${HadoopIO.scratchDir(spark)}/graft_q35_" +
+      tmp.replaceAll("[^A-Za-z0-9]", "_")
+    val marker = s"$stageDir/.events.parquet.src"
+    val rec1 = HadoopIO.readMarker(marker, conf)
+    assert(rec1.nonEmpty)
+    // regenerate the source (same length, explicit mtime bump); the gate
     // must replay the NEW copy, not the first-staged inode
-    Thread.sleep(20)
     HadoopIO.copy(s"$sf/events.parquet", s"$tmp/events.parquet", conf)
+    bumpMtime(s"$tmp/events.parquet")
     val r2 = Relational.q35StreamBatchGate(spark, tmp).head()
     assert(r2.getAs[Boolean]("all_match"))
-    val t2 = HadoopIO.lenAndMtime(staged, conf).get._2
-    assert(t2 > t1, "staged events copy was not refreshed after regeneration")
+    val rec2 = HadoopIO.readMarker(marker, conf)
+    assert(rec2 !== rec1, "staged events copy was not refreshed after regeneration")
+    assert(rec2 === HadoopIO.lenAndMtime(s"$tmp/events.parquet", conf))
   }
 
   test("stageFile: copies once per source version, restages on any recorded-pair move") {
@@ -84,10 +111,16 @@ class StagingSpec extends SparkSpec {
     write("version-one")
     assert(HadoopIO.stageFile(src, dst, conf), "first call must copy")
     assert(!HadoopIO.stageFile(src, dst, conf), "unchanged source must be reused")
-    Thread.sleep(20)
-    write("version-two") // same length, later mtime
+    write("version-two") // same length...
+    bumpMtime(src)       // ...explicitly later mtime (resolution-proof)
     assert(HadoopIO.stageFile(src, dst, conf),
       "same-length rewrite with a moved mtime must restage")
+    // a corrupted sidecar must read as stale (forced restage), not crash
+    val mk = dir.resolve("scratch").resolve(".staged.bin.src").toString
+    val out = HadoopIO.create(mk, conf)
+    try out.write("garbage:not-a-long".getBytes("UTF-8")) finally out.close()
+    assert(HadoopIO.stageFile(src, dst, conf),
+      "unparseable marker must force a restage")
     val in = HadoopIO.open(dst, conf)
     val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     assert(got === "version-two")
