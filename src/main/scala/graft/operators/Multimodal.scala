@@ -1,24 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
-  * with decode / feature-extract stages. The decode step is a STUB (no
-  * image/audio codecs in this container — deterministic fake decoder), but
-  * the Spark-side plumbing is real: binary columns, metadata structs,
-  * batch-shaped per-partition processing, pruned-schema friendly layout.
+/** Multimodal-column operators: opaque `binary` payloads + typed metadata,
+  * with REAL pure-JVM decode (RIFF/WAVE PCM audio, PPM/BMP images — see
+  * [[graft.operators.MediaCodecs]]) behind pluggable codec seams. The
+  * corpus payloads are genuine media binaries synthesized deterministically
+  * from the document text with pure builtins (the text bytes are the PCM
+  * samples / pixel raster), so the DuckDB oracle can restate every decoded
+  * feature from the text column alone.
+  *
   * At 100 TB the payload column lives in its own parquet column chunk, so
-  * metadata-only queries never read the bytes.
+  * metadata-only queries never read the bytes; the decode UDF is the one
+  * justified UDF shape (opaque binary → typed struct — no Column API can
+  * parse a container format), constructed once on the driver and shipped
+  * in the closure.
   */
 object Multimodal {
 
-  /** Synthesize a binary payload column from text (UTF-8 bytes) — stands in
-    * for an image/audio blob; everything downstream treats it as opaque. */
+  /** Synthesize a binary payload column from text (UTF-8 bytes) — an
+    * opaque blob for the metadata path (m01); everything downstream treats
+    * it as opaque. */
   private def withPayload(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
@@ -56,119 +64,186 @@ object Multimodal {
     m01BinaryMeta(s, d).select("doc_id", "content_md5", "n_bytes",
       "origin", "declared_len").orderBy("doc_id")
 
+  // ------------------------------------------------------- payload synth
+  /** Little-endian unsigned integer field of `width` bytes — builtins
+    * only: `chr` yields the code-point char, ISO-8859-1 encode maps code
+    * points 0–255 to exactly that byte. */
+  private def leBytes(n: Column, width: Int): Column =
+    encode(concat((0 until width).map { i =>
+      call_function("chr",
+        pmod(floor(n / lit(math.pow(256, i))).cast(LongType), lit(256L)))
+    }: _*), "ISO-8859-1")
+
+  /** Synthesize a REAL RIFF/WAVE container from the document text: the
+    * text's UTF-8 bytes are the 8-bit unsigned mono PCM samples behind a
+    * canonical header (PCM format 1, mono, 8 kHz, 8-bit) with correct LE
+    * length fields and the spec's word-alignment pad on odd data. Pure
+    * builtins (binary-literal concat + computed LE fields), so the decoded
+    * features are restatable from the text column by the DuckDB oracle. */
+  private[operators] def wavPayload(text: Column): Column = {
+    val data = encode(text, "UTF-8")
+    val n = length(data)
+    // fmt body: PCM(1), mono(1), 8000 Hz, 8000 B/s, block align 1, 8 bits
+    val fmtBody = Array[Byte](1, 0, 1, 0, 0x40, 0x1f, 0, 0, 0x40, 0x1f,
+      0, 0, 1, 0, 8, 0)
+    concat(
+      lit("RIFF".getBytes(US_ASCII)), leBytes(n + lit(36), 4),
+      lit("WAVEfmt ".getBytes(US_ASCII)), leBytes(lit(16), 4), lit(fmtBody),
+      lit("data".getBytes(US_ASCII)), leBytes(n, 4), data,
+      when(n % 2 === 1, lit(Array[Byte](0)))
+        .otherwise(lit(Array.empty[Byte])))
+  }
+
+  /** Synthesize a REAL PPM (P6) image from the document text: fixed width
+    * 16, height ⌈n/48⌉ (3 bytes per pixel), raster = the text bytes padded
+    * to `w*h*3` with spaces (0x20). The corpus text is pure ASCII (the m01
+    * oracle's octet_length==length identity pins this), so char-indexed
+    * DuckDB arithmetic equals byte-indexed raster arithmetic. */
+  private[operators] def ppmPayload(text: Column): Column = {
+    val n = length(encode(text, "UTF-8"))
+    val h = greatest(ceil(n / lit(48.0)).cast(LongType), lit(1L))
+    val header =
+      encode(concat(lit("P6\n16 "), h.cast(StringType), lit("\n255\n")),
+        "UTF-8")
+    val raster = encode(
+      call_function("rpad", text, (h * 48).cast(IntegerType), lit(" ")),
+      "ISO-8859-1")
+    concat(header, raster)
+  }
+
+  // ---------------------------------------------------------- codec seams
+  /** Plug a production codec without touching the operators: implement
+    * [[AudioCodec]] / [[ImageCodec]], put the class on BOTH the driver and
+    * executor classpaths (`--jars` does both), and select it per session
+    * via `spark.graft.codec.audio` / `spark.graft.codec.image`
+    * (fully-qualified class name, no-arg constructor). The instance is
+    * constructed once on the driver — through the context classloader, so
+    * `--jars`-shipped classes resolve — and serialized into the decode
+    * UDF's closure. Defaults are the real pure-JVM decoders. */
+  private def loadInstance[T](cls: String): T = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    Class.forName(cls, true, loader).getDeclaredConstructor()
+      .newInstance().asInstanceOf[T]
+  }
+
+  private def audioCodecFor(s: SparkSession): AudioCodec =
+    s.conf.getOption("spark.graft.codec.audio").filter(_.nonEmpty)
+      .map(loadInstance[AudioCodec]).getOrElse(new WavPcmCodec)
+
+  private def imageCodecFor(s: SparkSession): ImageCodec =
+    s.conf.getOption("spark.graft.codec.image").filter(_.nonEmpty)
+      .map(loadInstance[ImageCodec]).getOrElse(new StandardImageCodec)
+
   // ---------------------------------------------------------------- m02
-  /** The decode seam: a real deployment plugs an image/audio codec here
-    * (javax.imageio, ffmpeg bindings, …) without touching the operators —
-    * implement [[Codec]], put the class on BOTH the driver and executor
-    * classpaths (`--jars` does both), and select it per session via
-    * `spark.graft.codec` (fully-qualified class name, no-arg
-    * constructor). The instance is constructed once on the driver —
-    * through the context classloader, so `--jars`-shipped classes
-    * resolve — and serialized into the decode UDF's closure. Default is
-    * [[StubCodec]]. */
-  trait Codec extends Serializable {
-    /** Fixed width of every vector [[decode]] returns. */
-    def dim: Int
-    /** Decode one opaque payload (image frame / audio window) to a
-      * fixed-width feature vector; null payload → null. */
-    def decode(payload: Array[Byte]): Array[Double]
-  }
-
-  /** STUBBED default decoder (???-equivalent): a real deployment would
-    * decode the blob with a codec lib (or `mapInPandas` on the Python
-    * side); the container has no codec libs, so the stub derives a
-    * deterministic fake "feature vector" from the bytes. The pipeline
-    * shape — binary in, fixed-width float array out, batch-friendly,
-    * null-safe — is the real, tested part. Each bin accumulates an exact
-    * integer byte-sum and divides once, so the result is one IEEE division
-    * — bit-identical regardless of accumulation order (oracle-safe). */
-  final class StubCodec extends Codec {
-    val dim = 8
-    def decode(payload: Array[Byte]): Array[Double] =
-      if (payload == null) null
-      else {
-        val sums = new Array[Long](dim)
-        var i = 0
-        while (i < payload.length) {
-          sums(i % dim) += (payload(i) & 0xff).toLong
-          i += 1
-        }
-        sums.map(_.toDouble / 255.0)
-      }
-  }
-
-  private def codecFor(s: SparkSession): Codec =
-    s.conf.getOption("spark.graft.codec") match {
-      case Some(cls) if cls.nonEmpty =>
-        val loader = Option(Thread.currentThread().getContextClassLoader)
-          .getOrElse(getClass.getClassLoader)
-        Class.forName(cls, true, loader).getDeclaredConstructor()
-          .newInstance().asInstanceOf[Codec]
-      case _ => new StubCodec
-    }
-
-  private def decodeUdf(codec: Codec): UserDefinedFunction =
-    udf { payload: Array[Byte] => codec.decode(payload) }
-
-  /** "Frame sampling" + feature extraction over the opaque payload:
-    * fixed-size frames via pure builtins, every 4th frame kept (the
-    * sample-then-decode pattern that avoids decoding what you drop),
-    * then the stub decoder per sampled frame. */
+  /** Audio frame features through the REAL codec: parse the WAV container
+    * (magic, chunk walk, fmt validation), window the PCM stream into
+    * 64-sample frames, decode every 4th (sample-then-decode — the frames
+    * dropped are never decoded), and emit exact-integer frame statistics
+    * with the one derived division (mean) done as a single IEEE op. */
   def m02FrameFeatures(s: SparkSession, d: String): DataFrame = {
-    val frameLen = 64
-    val codec = codecFor(s)
-    val framed = withPayload(Tables.documents(s, d))
+    val codec = audioCodecFor(s)
+    val dec = udf { p: Array[Byte] => codec.decodeFrames(p, 64, 4) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), wavPayload(col("text")).as("payload"))
+      .select(col("doc_id"), explode(dec(col("payload"))).as("f"))
       .select(col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0),
-              greatest(floor((length(col("payload")) - 1) / frameLen)
-                .cast(IntegerType), lit(0))),
-            i => substring(col("payload"), (i * frameLen + 1).cast(IntegerType), lit(frameLen))))
-          .as(Seq("frame_idx", "frame")))
-      .where(col("frame_idx") % 4 === 0)
-    framed
-      .select(col("doc_id"), col("frame_idx"),
-        length(col("frame")).as("frame_bytes"),
-        decodeUdf(codec)(col("frame")).as("feat"))
-      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
-        element_at(col("feat"), 1).as("feat0"),
-        element_at(col("feat"), codec.dim).as("feat7"))
+        col("f.frame_idx").as("frame_idx"),
+        col("f.n_samples").as("n_samples"),
+        (col("f.sum_amp").cast(DoubleType) / col("f.n_samples"))
+          .as("mean_amp"),
+        col("f.peak_amp").as("peak_amp"),
+        col("f.energy").as("energy"))
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** DuckDB equivalent of m02: the corpus text is pure ASCII (asserted by
-    * the oracle itself via the n-check pattern: octet_length==length holds
-    * for driver data), so byte arithmetic over the UTF-8 payload equals
-    * char arithmetic over the text. Each feature bin is an exact integer
-    * byte-sum divided once — the same IEEE double on both engines. */
+  /** DuckDB restatement of m02: the data chunk is the text's bytes, 8-bit
+    * PCM recenters at 128, frames are 64-sample windows with every 4th
+    * kept. Integer sums aggregate exactly; mean is the same single IEEE
+    * division both engines perform. */
   val m02Sql: String =
-    """WITH framed AS (
-      |  SELECT doc_id, text,
-      |    unnest(range(0, CAST(greatest(floor((length(text) - 1) / 64.0), 0) AS BIGINT) + 1)) AS frame_idx
-      |  FROM documents),
-      |frames AS (
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, n, text,
+      |    unnest(range(0, (n + 63) // 64)) AS frame_idx
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, frame_idx, text,
+      |    unnest(range(frame_idx * 64, least(frame_idx * 64 + 64, n))) AS pos
+      |  FROM f WHERE frame_idx % 4 = 0),
+      |a AS (
       |  SELECT doc_id, frame_idx,
-      |    substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame
-      |  FROM framed WHERE frame_idx % 4 = 0),
-      |bytes AS (
-      |  -- range over max(len,1) so a zero-length tail frame still yields
-      |  -- its row (Spark emits it with feat=0), guarded below
-      |  SELECT doc_id, frame_idx, length(frame) AS frame_bytes,
-      |    unnest(range(0, greatest(length(frame), 1))) AS pos, frame
-      |  FROM frames)
+      |    ascii(substring(text, CAST(pos + 1 AS BIGINT), 1)) - 128 AS amp
+      |  FROM s)
       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-      |  CAST(MAX(frame_bytes) AS INT) AS frame_bytes,
-      |  CAST(SUM(CASE WHEN pos % 8 = 0 AND pos < frame_bytes THEN ascii(substring(frame, CAST(pos + 1 AS BIGINT), 1)) ELSE 0 END) AS DOUBLE) / 255.0 AS feat0,
-      |  CAST(SUM(CASE WHEN pos % 8 = 7 AND pos < frame_bytes THEN ascii(substring(frame, CAST(pos + 1 AS BIGINT), 1)) ELSE 0 END) AS DOUBLE) / 255.0 AS feat7
-      |FROM bytes GROUP BY doc_id, frame_idx
+      |  CAST(COUNT(*) AS INT) AS n_samples,
+      |  CAST(SUM(amp) AS DOUBLE) / COUNT(*) AS mean_amp,
+      |  CAST(MAX(ABS(amp)) AS INT) AS peak_amp,
+      |  CAST(SUM(amp * amp) AS BIGINT) AS energy
+      |FROM a GROUP BY doc_id, frame_idx
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- m03
+  /** Image statistics through the REAL codec: parse the PPM header (magic,
+    * comment-tolerant token scan, dimension validation), then per-channel
+    * exact-integer stats over the RGB raster; means derived by one IEEE
+    * division. The same operator decodes BMP payloads via the magic
+    * dispatch in [[StandardImageCodec]] (spec-covered). */
+  def m03ImageStats(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val dec = udf { p: Array[Byte] => codec.decode(p) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), ppmPayload(col("text")).as("payload"))
+      .select(col("doc_id"), dec(col("payload")).as("img"))
+      .select(col("doc_id"),
+        col("img.width").as("width"),
+        col("img.height").as("height"),
+        (col("img.r_sum").cast(DoubleType) /
+          (col("img.width") * col("img.height"))).as("r_mean"),
+        (col("img.g_sum").cast(DoubleType) /
+          (col("img.width") * col("img.height"))).as("g_mean"),
+        (col("img.b_sum").cast(DoubleType) /
+          (col("img.width") * col("img.height"))).as("b_mean"),
+        col("img.r_max").as("r_max"),
+        col("img.g_max").as("g_max"),
+        col("img.b_max").as("b_max"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB restatement of m03: raster = text padded with spaces to
+    * `16*h*3`; channel c is every 3rd byte starting at c. */
+  val m03Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest(ceil(length(text) / 48.0), 1) AS BIGINT) AS h
+      |  FROM documents),
+      |pix AS (
+      |  SELECT doc_id, h, text, n,
+      |    unnest(range(0, h * 48)) AS pos
+      |  FROM d),
+      |chan AS (
+      |  SELECT doc_id, h, CAST(pos % 3 AS INT) AS c,
+      |    CASE WHEN pos < n
+      |      THEN ascii(substring(text, CAST(pos + 1 AS BIGINT), 1))
+      |      ELSE 32 END AS v
+      |  FROM pix)
+      |SELECT doc_id, CAST(16 AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (16 * h) AS r_mean,
+      |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (16 * h) AS g_mean,
+      |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (16 * h) AS b_mean,
+      |  CAST(MAX(CASE WHEN c = 0 THEN v END) AS INT) AS r_max,
+      |  CAST(MAX(CASE WHEN c = 1 THEN v END) AS INT) AS g_max,
+      |  CAST(MAX(CASE WHEN c = 2 THEN v END) AS INT) AS b_max
+      |FROM chan GROUP BY doc_id, h
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
-    "m02_frame_features" -> (m02FrameFeatures _))
+    "m02_frame_features" -> (m02FrameFeatures _),
+    "m03_image_stats"    -> (m03ImageStats _))
 
   val oracles: Map[String, String] = Map(
-    "m01_binary_meta" -> m01Sql,
-    "m02_frame_features" -> m02Sql)
+    "m01_binary_meta"    -> m01Sql,
+    "m02_frame_features" -> m02Sql,
+    "m03_image_stats"    -> m03Sql)
 }

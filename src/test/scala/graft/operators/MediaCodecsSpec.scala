@@ -1,0 +1,217 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Format-level contracts of the pure-JVM media decoders, cross-checked
+  * against INDEPENDENT readers where the JDK ships one: javax.sound's WAV
+  * reader for the synthesized audio payloads, ImageIO's BMP codec for the
+  * bitmap path. The loud-failure policy (bad magic, truncation,
+  * unsupported variants) is pinned per format. */
+class MediaCodecsSpec extends SparkSpec {
+
+  private def wavBytesOf(text: String): Array[Byte] = {
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+      .select(Multimodal.wavPayload(col("text")).as("p"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  private def ppmBytesOf(text: String): Array[Byte] = {
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+      .select(Multimodal.ppmPayload(col("text")).as("p"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  test("synthesized WAV parses with the JDK's own javax.sound reader") {
+    val text = "hello media pipeline, this is eight-bit pcm"
+    val bytes = wavBytesOf(text)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+    assert(fmt.getChannels === 1)
+    assert(fmt.getSampleRate === 8000.0f)
+    assert(fmt.getSampleSizeInBits === 8)
+    assert(in.getFrameLength === text.length.toLong)
+    val pcm = in.readAllBytes()
+    assert(pcm === text.getBytes(US_ASCII),
+      "the data chunk must be the text bytes verbatim")
+  }
+
+  test("WAV decode agrees with a brute-force reference over the text bytes") {
+    val text = ("the quick brown fox " * 9).trim // 179 chars -> odd, padded
+    val bytes = wavBytesOf(text)
+    assert(bytes.length % 2 === 0, "odd data must get the RIFF pad byte")
+    val got = new WavPcmCodec().decodeFrames(bytes, 64, 4)
+    val amps = text.getBytes(US_ASCII).map(b => (b & 0xff) - 128)
+    val expected = amps.grouped(64).zipWithIndex.collect {
+      case (w, i) if i % 4 == 0 =>
+        AudioFrame(i, w.length, w.map(_.toLong).sum,
+          w.map(math.abs).max, w.map(a => a.toLong * a).sum)
+    }.toArray
+    assert(got === expected)
+  }
+
+  test("WAV chunk walk skips unknown chunks (LIST before data)") {
+    val text = "abcdefgh"
+    val canonical = new WavPcmCodec().decodeFrames(wavBytesOf(text), 4, 1)
+    // hand-build: RIFF [fmt ] [LIST 6 bytes] [data]
+    val data = text.getBytes(US_ASCII)
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 24 + 14 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + 14 + data.length)
+      .put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put("LIST".getBytes(US_ASCII)).putInt(6)
+      .put("INFOxx".getBytes(US_ASCII))
+    bb.put("data".getBytes(US_ASCII)).putInt(data.length).put(data)
+    val got = new WavPcmCodec().decodeFrames(bb.array(), 4, 1)
+    assert(got === canonical)
+  }
+
+  test("WAV 16-bit signed LE mono decodes with true signed amplitudes") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, -5, 300)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+    bb.put("data".getBytes(US_ASCII)).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val got = new WavPcmCodec().decodeFrames(bb.array(), 4, 1)
+    assert(got.length === 2)
+    assert(got(0) === AudioFrame(0, 4,
+      0L + 1000 - 1000 + 32767, 32767,
+      1000L * 1000 * 2 + 32767L * 32767))
+    assert(got(1) === AudioFrame(1, 4,
+      -32768L + 5 - 5 + 300, 32768,
+      32768L * 32768 + 25L * 2 + 300L * 300))
+  }
+
+  test("WAV loud failures: bad magic, stereo, truncated data, overrun chunk") {
+    val good = wavBytesOf("some pcm audio content")
+    def corrupt(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    def decodeMsg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException] {
+        new WavPcmCodec().decodeFrames(b, 64, 4)
+      }.getMessage
+    assert(decodeMsg(corrupt(c => c(0) = 'X'.toByte)).contains("RIFF"))
+    assert(decodeMsg(corrupt(c => c(8) = 'X'.toByte)).contains("WAVE"))
+    assert(decodeMsg(corrupt(c => c(22) = 2)).contains("channels"))
+    assert(decodeMsg(corrupt(c => c(20) = 3)).contains("format"))
+    // data chunk claims more bytes than the file holds
+    assert(decodeMsg(good.dropRight(4)).contains("overruns"))
+  }
+
+  // ------------------------------------------------------------------ PPM
+
+  test("PPM decode agrees with a brute-force reference, incl. padding") {
+    val text = "x" * 100 // 100 bytes -> h=3, 44 pad spaces
+    val bytes = ppmBytesOf(text)
+    val got = new StandardImageCodec().decode(bytes)
+    assert(got.width === 16 && got.height === 3)
+    val raster = text.getBytes(US_ASCII).padTo(144, ' '.toByte)
+    def chan(c: Int) = raster.zipWithIndex.collect {
+      case (b, i) if i % 3 == c => b & 0xff
+    }
+    assert(got.r_sum === chan(0).map(_.toLong).sum)
+    assert(got.g_sum === chan(1).map(_.toLong).sum)
+    assert(got.b_sum === chan(2).map(_.toLong).sum)
+    assert(got.r_min === chan(0).min && got.r_max === chan(0).max)
+    assert(got.b_min === chan(2).min && got.b_max === chan(2).max)
+  }
+
+  test("PPM header: comments and arbitrary whitespace per the netpbm spec") {
+    val raster = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 10).toByte)
+    val header = "P6 # a comment\n# another\n 2\t2 #dims\n255\n"
+    val bytes = header.getBytes(US_ASCII) ++ raster
+    val got = Ppm.decode(bytes)
+    assert(got.width === 2 && got.height === 2)
+    assert(got.r_sum === (0 + 30 + 60 + 90))
+  }
+
+  test("PPM loud failures: magic, maxval, truncated raster, bad dimension") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Ppm.decode(b)).getMessage
+    assert(msg("P5\n1 1\n255\nxxx".getBytes(US_ASCII)).contains("P6"))
+    assert(msg("P6\n1 1\n65535\nxxxxxx".getBytes(US_ASCII)).contains("maxval"))
+    assert(msg("P6\n4 4\n255\nshort".getBytes(US_ASCII)).contains("raster"))
+    assert(msg("P6\n-3 4\n255\nxxx".getBytes(US_ASCII)).contains("dimensions"))
+    assert(msg("P6\nwide 4\n255\nxxx".getBytes(US_ASCII)).contains("malformed"))
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  test("BMP decode agrees with ImageIO on an ImageIO-written bitmap") {
+    val w = 7
+    val h = 5 // stride 24 -> 3 pad bytes per row exercises stride logic
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 91) % 256 << 16) |
+        ((x * 53 + y * 17) % 256 << 8) | ((x * 11 + y * 71) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val got = new StandardImageCodec().decode(bos.toByteArray)
+    assert(got.width === w && got.height === h)
+    val rgb = for (y <- 0 until h; x <- 0 until w) yield img.getRGB(x, y)
+    assert(got.r_sum === rgb.map(p => (p >> 16) & 0xff).map(_.toLong).sum)
+    assert(got.g_sum === rgb.map(p => (p >> 8) & 0xff).map(_.toLong).sum)
+    assert(got.b_sum === rgb.map(p => p & 0xff).map(_.toLong).sum)
+    assert(got.r_max === rgb.map(p => (p >> 16) & 0xff).max)
+    assert(got.b_min === rgb.map(p => p & 0xff).min)
+  }
+
+  test("BMP top-down (negative height) decodes identically") {
+    // hand-build 2x2 24bpp, height = -2 (top-down), stride 8
+    val bb = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(-2).putShort(1).putShort(24).putInt(0)
+      .putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    // rows in image order (top-down): pixels BGR
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 0, 0, // row 0 + pad
+      70, 80, 90, 100, 110, 120, 0, 0)                 // row 1 + pad
+    bb.put(px)
+    val got = Bmp.decode(bb.array())
+    assert(got.width === 2 && got.height === 2)
+    assert(got.b_sum === (10L + 40 + 70 + 100))
+    assert(got.g_sum === (20L + 50 + 80 + 110))
+    assert(got.r_sum === (30L + 60 + 90 + 120))
+  }
+
+  test("BMP loud failures: magic, bpp, compression") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Bmp.decode(b)).getMessage
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR), "bmp", bos)
+    val good = bos.toByteArray
+    def corrupt(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    assert(msg(corrupt(c => c(0) = 'X')).contains("magic"))
+    assert(msg(corrupt(c => c(28) = 8)).contains("bpp"))
+    assert(msg(corrupt(c => c(30) = 1)).contains("compressed"))
+  }
+
+  test("image magic dispatch rejects unknown formats loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      new StandardImageCodec().decode("GIF89a....".getBytes(US_ASCII))
+    }
+    assert(ex.getMessage.contains("magic"))
+  }
+}

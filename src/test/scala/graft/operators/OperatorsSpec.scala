@@ -3,16 +3,20 @@ package graft.operators
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
-/** A stand-in "real" codec for the decode-seam spec: emits the frame
-  * length in every bin — trivially distinguishable from the byte-sum
-  * stub, and verifiable against the frame_bytes column. Loaded through
-  * the same `spark.graft.codec` Class.forName path a production codec
-  * would use. */
-class FrameLenCodec extends Multimodal.Codec {
-  val dim = 4
-  def decode(payload: Array[Byte]): Array[Double] =
-    if (payload == null) null
-    else Array.fill(dim)(payload.length.toDouble)
+/** Stand-in codecs for the decode-seam specs: emit constants trivially
+  * distinguishable from the real WAV/PPM decoders, loaded through the same
+  * `spark.graft.codec.audio` / `.image` Class.forName path a production
+  * (library-backed) codec would use. */
+class ConstAudioCodec extends AudioCodec {
+  def decodeFrames(p: Array[Byte], windowSamples: Int,
+      sampleEvery: Int): Array[AudioFrame] =
+    if (p == null) null else Array(AudioFrame(0, 1, p.length.toLong, 7, 9L))
+}
+
+class ConstImageCodec extends ImageCodec {
+  def decode(p: Array[Byte]): ImageStats =
+    if (p == null) null
+    else ImageStats(1, 1, p.length.toLong, 0L, 0L, 0, 0, 0, 0, 0, 0)
 }
 
 /** Smoke + invariants for the operator inventory over sf0.001. Value-level
@@ -965,28 +969,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal frame features: stub decode is deterministic and batch-shaped") {
+  test("multimodal frame features: real WAV decode is deterministic and batch-shaped") {
     val f1 = Multimodal.m02FrameFeatures(spark, sf).collect()
     val f2 = Multimodal.m02FrameFeatures(spark, sf).collect()
     assert(f1.sameElements(f2))
-    assert(f1.forall(_.getInt(2) > 0)) // frame_bytes positive
+    assert(f1.forall(_.getInt(2) > 0)) // n_samples positive
   }
 
-  test("multimodal decode seam: spark.graft.codec plugs a real codec in") {
-    val stub = Multimodal.m02FrameFeatures(spark, sf).collect()
-    spark.conf.set("spark.graft.codec", "graft.operators.FrameLenCodec")
+  test("audio decode seam: spark.graft.codec.audio plugs a codec in") {
+    val real = Multimodal.m02FrameFeatures(spark, sf).collect()
+    spark.conf.set("spark.graft.codec.audio", "graft.operators.ConstAudioCodec")
     try {
       val plugged = Multimodal.m02FrameFeatures(spark, sf).collect()
-      // same frames, same shape — only the decoded features change, and
-      // they carry the fake codec's known signature (len in every bin)
-      assert(plugged.length === stub.length)
+      // one constant-signature frame per document, untouched by the real
+      // WAV parse path
+      assert(plugged.length < real.length)
       plugged.foreach { r =>
-        assert(r.getDouble(3) === r.getInt(2).toDouble)  // feat0 == frame_bytes
-        assert(r.getDouble(4) === r.getInt(2).toDouble)  // feat_last too
+        assert(r.getInt(1) === 0)   // frame_idx
+        assert(r.getInt(2) === 1)   // n_samples
+        assert(r.getInt(4) === 7)   // peak_amp
+        assert(r.getLong(5) === 9L) // energy
       }
-    } finally spark.conf.unset("spark.graft.codec")
-    // and with the conf unset, the default stub path is byte-identical
-    val stubAgain = Multimodal.m02FrameFeatures(spark, sf).collect()
-    assert(stubAgain.sameElements(stub))
+    } finally spark.conf.unset("spark.graft.codec.audio")
+    // and with the conf unset, the default real-codec path is byte-identical
+    val realAgain = Multimodal.m02FrameFeatures(spark, sf).collect()
+    assert(realAgain.sameElements(real))
+  }
+
+  test("image decode seam: spark.graft.codec.image plugs a codec in") {
+    val real = Multimodal.m03ImageStats(spark, sf).collect()
+    spark.conf.set("spark.graft.codec.image", "graft.operators.ConstImageCodec")
+    try {
+      val plugged = Multimodal.m03ImageStats(spark, sf).collect()
+      assert(plugged.length === real.length)
+      plugged.foreach { r =>
+        assert(r.getInt(1) === 1 && r.getInt(2) === 1) // width, height
+        assert(r.getDouble(3) > 0.0)                   // r_mean = payload len
+        assert(r.getInt(6) === 0)                      // r_max
+      }
+    } finally spark.conf.unset("spark.graft.codec.image")
+    val realAgain = Multimodal.m03ImageStats(spark, sf).collect()
+    assert(realAgain.sameElements(real))
   }
 }
