@@ -932,7 +932,7 @@ object Dedup {
     * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (the GC-driven cleaner then deletes superseded round checkpoints)
     * or clean the scratch directory after the job. */
-  private def truncateLineage(df: DataFrame): DataFrame =
+  private[operators] def truncateLineage(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext

@@ -735,22 +735,44 @@ object TextAnalysis {
     * broadcasts it), sparse ids can grow it toward corpus size, where
     * the uniform blk key keeps the shuffle skew-free.
     *
-    * Single-plan trade, stated (t12's note applies here too): the block
-    * aggregate branch re-derives the tokenize scan (no CSE across the
-    * join), so the corpus is scanned and tokenized twice; a pipeline
-    * STAGES the (doc_id, n_tok) frame once — it is exactly the t09
-    * materialize-token-counts-once frame — and both branches then read
-    * the staged columns, one scan. */
+    * The narrow (doc_id, n_tok) frame — exactly t09's
+    * materialize-token-counts-once frame, 16 bytes/doc vs ~KB of text —
+    * is STAGED eagerly (checkpoint, [[Dedup.truncateLineage]]: local in
+    * one-JVM runs, `spark.graft.checkpointDir` for a reliable store on
+    * clusters) and BOTH prefix-sum branches read the staged columns: one
+    * corpus scan + tokenize total, where the previous single-plan form
+    * re-derived the scan under the join (no CSE across branches; the
+    * TextAnalysisPlanSpec pins the staged plan's scan-freedom).
+    *
+    * When `spark.graft.packShift` is unset, the shift is DERIVED from the
+    * staged frame's id range: shift ≈ log₂(maxId)/2 balances the block
+    * count against the within-block window width at ~√n each — the
+    * two-level split that stays bounded from 10⁶ to 10¹² docs without
+    * retuning (clamped to [8, 31]; the spec's shift-invariance equality
+    * holds at any value). */
   private val PackSeqLen = 2048
+
+  /** Balance point of the two-level prefix sum: blocks ≈ block width ≈
+    * √(id range). Empty corpus → the clamp floor (any value is correct —
+    * there are no rows). */
+  private def derivedPackShift(staged: DataFrame): Int = {
+    val r = staged.agg(max(col("doc_id"))).head
+    val bits = if (r.isNullAt(0)) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(math.max(r.getLong(0), 1L))
+    math.min(math.max((bits + 1) / 2, 8), 31)
+  }
 
   def t14SeqPack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val staged = Dedup.truncateLineage(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0))
     val shift = s.conf.getOption("spark.graft.packShift")
-      .map(_.toInt).getOrElse(16)
+      .map(_.toInt).getOrElse(derivedPackShift(staged))
     require(shift >= 0 && shift < 63, s"packShift $shift out of range")
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .where(col("n_tok") > 0)
+    val docs = staged
       .withColumn("blk", shiftrightunsigned(col("doc_id"), shift))
     val wb = Window.orderBy(col("blk").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -784,6 +806,54 @@ object TextAnalysis {
       |  tok_offset // 2048 AS first_seq,
       |  (tok_offset + n_tok - 1) // 2048 AS last_seq
       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t16
+  /** Packed-sequence inverse map — t14's other direction: for every
+    * training sequence, the (doc_id, start_tok, len) spans that fill it,
+    * the lookup a data loader needs to trace a training example back to
+    * its source documents (and the provenance record audits need at
+    * scale). Pure arithmetic on t14's offsets: each doc explodes into its
+    * [first_seq, last_seq] range (≤ ⌈n_tok/2048⌉ + 1 rows per doc — the
+    * explode adds NO shuffle; the final orderBy is presentation-only) and
+    * clips its token interval against each sequence's fixed boundaries.
+    * t14/t16 are bijective: per doc the span lengths sum to n_tok, per
+    * sequence they sum to exactly PackSeqLen (except the final partial
+    * sequence) — OperatorsSpec pins both directions. */
+  def t16PackSpans(s: SparkSession, d: String): DataFrame = {
+    val seqLen = lit(PackSeqLen.toLong)
+    t14SeqPack(s, d)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("seq_id") * seqLen, col("tok_offset")) -
+          col("tok_offset")).as("start_tok"),
+        (least((col("seq_id") + 1) * seqLen,
+            col("tok_offset") + col("n_tok")) -
+          greatest(col("seq_id") * seqLen, col("tok_offset"))).as("len"))
+      .orderBy("seq_id", "doc_id")
+  }
+
+  val t16Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS BIGINT) AS tok_offset
+      |  FROM t WHERE n_tok > 0),
+      |seqs AS (
+      |  SELECT doc_id, n_tok, tok_offset,
+      |    unnest(range(tok_offset // 2048,
+      |      (tok_offset + n_tok - 1) // 2048 + 1)) AS seq_id
+      |  FROM c)
+      |SELECT seq_id, doc_id,
+      |  greatest(seq_id * 2048, tok_offset) - tok_offset AS start_tok,
+      |  least((seq_id + 1) * 2048, tok_offset + n_tok) -
+      |    greatest(seq_id * 2048, tok_offset) AS len
+      |FROM seqs ORDER BY seq_id, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t15
   /** Curation pipeline V2 — t07's end-to-end composition extended with
@@ -885,7 +955,8 @@ object TextAnalysis {
     "t12_keywords"    -> (t12Keywords _),
     "t13_corpus_stats" -> (t13CorpusStats _),
     "t14_seq_pack"    -> (t14SeqPack _),
-    "t15_curation_v2" -> (t15CurationV2 _))
+    "t15_curation_v2" -> (t15CurationV2 _),
+    "t16_pack_spans"  -> (t16PackSpans _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -901,5 +972,6 @@ object TextAnalysis {
     "t12_keywords"    -> t12Sql,
     "t13_corpus_stats" -> t13Sql,
     "t14_seq_pack"    -> t14Sql,
-    "t15_curation_v2" -> t15Sql)
+    "t15_curation_v2" -> t15Sql,
+    "t16_pack_spans"  -> t16Sql)
 }

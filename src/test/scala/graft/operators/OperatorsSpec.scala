@@ -827,6 +827,51 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.packShift")
   }
 
+  test("t14 staged frame: the returned plan reads the checkpoint, not the corpus") {
+    // both prefix-sum branches must consume the staged (doc_id, n_tok)
+    // frame — the plan that re-derived the tokenize scan under the join
+    // (two corpus scans) showed documents.parquet twice; the staged plan
+    // must not reference the parquet source at all
+    val plan = TextAnalysis.t14SeqPack(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("parquet"),
+      s"documents scan leaked past the staged frame:\n${plan.take(1500)}")
+  }
+
+  test("t16 pack spans: bijective with t14 in both directions") {
+    import spark.implicits._
+    val packed = TextAnalysis.t14SeqPack(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val spans = TextAnalysis.t16PackSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc direction: spans partition each doc's token interval exactly
+    spans.groupBy(_._2).foreach { case (docId, ss) =>
+      val (nTok, tokOff, firstSeq, lastSeq) = packed(docId)
+      assert(ss.map(_._4).sum === nTok, s"doc $docId span lengths != n_tok")
+      assert(ss.map(_._1).min === firstSeq && ss.map(_._1).max === lastSeq)
+      // spans are contiguous within the doc, starting at 0
+      val sorted = ss.sortBy(_._1)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 === b._3, s"gap in doc $docId")
+        case _           => ()
+      }
+      // each span's global start lands inside its sequence
+      ss.foreach { case (seq, _, start, len) =>
+        val g = tokOff + start
+        assert(g >= seq * 2048 && g + len <= (seq + 1) * 2048)
+      }
+    }
+    // sequence direction: every sequence except the last is exactly full
+    val bySeq = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, tot) =>
+      if (seq < lastSeq) assert(tot === 2048L, s"seq $seq not full: $tot")
+      else assert(tot > 0L && tot <= 2048L)
+    }
+    assert(bySeq.keys.min === 0L)
+  }
+
   test("t15 curation v2: funnel is monotone, no corpus-sized bigram explode") {
     val rows = TextAnalysis.t15CurationV2(spark, sf).collect()
     assert(rows.nonEmpty)
