@@ -535,6 +535,84 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries,
       |  true AS all_copies_min_adc""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** IVFADC+R — re-ranked IVFADC (the refinement stage of Jégou et al.
+    * 2011 §V): the composed IVF×PQ path produces a top-`RerankC` ADC
+    * shortlist per query, then ONLY the shortlist rows fetch their full
+    * float vectors (a broadcast join of the tiny candidate set against
+    * the corpus — at 100 TB the refinement reads C×nq vectors, not the
+    * corpus) and re-rank by exact cosine. Top-5 of the re-ranked list is
+    * the answer.
+    *
+    * Gate contracts:
+    *  - `rerank_ge_adc` is GUARANTEED, not statistical: ADC-top-5 ⊆ the
+    *    shortlist, and a true-top-5 member in the shortlist always
+    *    survives an exact re-rank (only other true-top-5 members can
+    *    outrank it; ties broken by n_id on both sides, matching s01) —
+    *    so re-ranked recall can never fall below ADC-only recall.
+    *  - `rerank_beats_adc` (strict) is the measured point of the R stage:
+    *    on this corpus ADC-only recall is PQ-noise-bound (~0.1–0.2, s08)
+    *    while the exact re-rank recovers every true neighbor that lands
+    *    anywhere in the top-50 shortlist. */
+  private val RerankC = 50
+
+  def s10IvfAdcRerankGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val cb = cbLit(pqCodebooks(s, d))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = ivfModel(
+      e.withColumn("vec", array_to_vector(col("embedding"))), d)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+    val corpus = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    // code-only ADC scan over the probed cells (s09's shape: the float
+    // embeddings never enter this join)
+    val n = model.transform(corpus
+        .withColumn("vec", array_to_vector(col("n_emb"))))
+      .select(col("n_id"), pqCodes(col("n_emb"), cb).as("codes"), col("cell"))
+    val withLut = ivfProbes(s, e, model).select(col("q_id"), col("cell"))
+      .join(q.select(col("q_id"), pqLut(col("q_emb"), cb).as("lut")),
+        Seq("q_id"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    val shortlist = withLut.hint("broadcast").join(n, Seq("cell"))
+      .select(col("q_id"), col("n_id"),
+        adc(col("lut"), col("codes")).as("adc"))
+      .withColumn("rank", row_number().over(wAdc))
+      .where(col("rank") <= RerankC)
+    val adcTop5 = shortlist.where(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    // refinement: fetch full vectors for the C×nq shortlist rows only
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val rerankTop5 = corpus
+      .withColumn("n_nrm", norm2(col("n_emb")))
+      .join(broadcast(shortlist.select(col("q_id"), col("n_id"))),
+        Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
+      .withColumn("r", row_number().over(wSim))
+      .where(col("r") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val brute = s01KnnBrute(s, d).select(col("q_id"), col("n_id"))
+    def recallOf(ann: DataFrame, as: String): DataFrame =
+      brute.join(ann, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select((col("hits").cast("double") / col("total")).as(as))
+    recallOf(adcTop5, "adc_recall").crossJoin(recallOf(rerankTop5, "rr_recall"))
+      .select(lit(10L).as("n_queries"),
+        (col("rr_recall") >= col("adc_recall")).as("rerank_ge_adc"),
+        (col("rr_recall") > col("adc_recall")).as("rerank_beats_adc"))
+  }
+
+  val s10Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries,
+      |  true AS rerank_ge_adc, true AS rerank_beats_adc""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** Driver-visible ANN recall gate: computes recall@5 of the LSH (s02)
     * and IVF (s04) paths against the in-engine brute-force truth (s01),
@@ -642,7 +720,8 @@ object Similarity {
     "s06_embed_quantize" -> (s06EmbedQuantize _),
     "s07_ann_ivf_bucketed" -> (s07AnnIvfBucketed _),
     "s08_pq_gate"    -> (s08PqGate _),
-    "s09_ivfadc_gate" -> (s09IvfAdcGate _))
+    "s09_ivfadc_gate" -> (s09IvfAdcGate _),
+    "s10_ivfadc_rerank_gate" -> (s10IvfAdcRerankGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -651,5 +730,6 @@ object Similarity {
     "s06_embed_quantize" -> s06Sql,
     "s07_ann_ivf_bucketed" -> s07Sql,
     "s08_pq_gate"     -> s08Sql,
-    "s09_ivfadc_gate" -> s09Sql)
+    "s09_ivfadc_gate" -> s09Sql,
+    "s10_ivfadc_rerank_gate" -> s10Sql)
 }
