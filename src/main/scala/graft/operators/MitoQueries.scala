@@ -243,15 +243,91 @@ object MitoQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_confident
       |FROM lineitem WHERE l_orderkey % 4 = 1""".stripMargin
 
+  // ---------------------------------------------------------------- x05
+  /** Region scan over a SORTED, `.gai`-indexed BAM — the reference's
+    * chrM-from-WGS extraction pattern (MTClassify.scala:200-204 +
+    * scripts/mitoscape.sh:39-46: samtools-index, then read one contig's
+    * region out of a whole-genome file) as a driver-visible gate.
+    *
+    * Records synthesized from `lineitem` are written coordinate-sorted
+    * (`repartitionByRange` + `sortWithinPartitions` — the part-file
+    * concat preserves partition order, so the file is globally sorted),
+    * indexed, and scanned with a pushed (referenceName, start-range)
+    * predicate. Correctness is the oracle: the region aggregate equals
+    * lineitem arithmetic, so a member wrongly pruned (or wrongly kept
+    * past the runs' decode stop) flips the hash. Efficiency is the
+    * byte accounting: the index's kept runs must span a MINORITY of the
+    * file (`pruned_ok`) — on a sorted file the region's members are
+    * contiguous, everything else is skipped without decompression
+    * (BamDataSourceSpec pins the zero-run skip behavior; x05 pins the
+    * sorted-file fraction end-to-end at driver visibility). */
+  def x05BamRegionGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamIndex, BamWriter, HadoopIO, SamFilters}
+    val (lo, hi) = (101, 300) // ~20% of the start domain [1, 1000]
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 2)
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("readName"),
+      lit(99).as("flag"),
+      lit("chrM").as("referenceName"),
+      (col("l_partkey") % 1000 + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:1").as("attributes"))
+      .repartitionByRange(32, col("start"))
+      .sortWithinPartitions(col("start"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x05_$sfTag.bam"
+    BamWriter.write(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out)
+    BamIndex.build(out, HadoopIO.driverConf())
+    val region = s.read.format("bam").load(out)
+      .where(col("referenceName") === "chrM" &&
+        col("start") >= lo && col("start") <= hi)
+    // byte accounting straight from the sidecar the reader plans with:
+    // kept-run spans vs file length (the last open run conservatively
+    // extends to EOF)
+    val conf = HadoopIO.driverConf()
+    val stats = BamIndex.read(out, conf)
+    val preds = Seq(SamFilters.RefNameEq("chrM"),
+      SamFilters.IntCmp("start", ">=", lo.toLong),
+      SamFilters.IntCmp("start", "<=", hi.toLong))
+    val runs = BamIndex.selectRuns(stats, preds, Array("chrM"),
+      0L, Long.MaxValue)
+    val fileLen = HadoopIO.lenAndMtime(out, conf).get._1
+    val keptBytes = runs.map { case (st, _, end) =>
+      (if (end == Long.MaxValue) fileLen else end) - st
+    }.sum
+    region.agg(count(lit(1)).as("n_region"),
+        sum(col("mapQ")).as("sum_mapq"))
+      .select(col("n_region"), col("sum_mapq"),
+        lit(runs.nonEmpty && keptBytes * 2 < fileLen).as("pruned_ok"))
+  }
+
+  /** Oracle from the synthesis arithmetic; `pruned_ok` is the pinned
+    * efficiency contract (sorted file → contiguous minority span). */
+  val x05Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_region,
+      |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq,
+      |  true AS pruned_ok
+      |FROM lineitem
+      |WHERE l_orderkey % 4 = 2
+      |  AND l_partkey % 1000 + 1 BETWEEN 101 AND 300""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
     "x03_bam_roundtrip" -> (x03BamRoundTrip _),
-    "x04_ml_score"      -> (x04MlScore _))
+    "x04_ml_score"      -> (x04MlScore _),
+    "x05_bam_region_gate" -> (x05BamRegionGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
     "x02_mito_features" -> x02Sql,
     "x03_bam_roundtrip" -> x03Sql,
-    "x04_ml_score" -> x04Sql)
+    "x04_ml_score" -> x04Sql,
+    "x05_bam_region_gate" -> x05Sql)
 }

@@ -146,4 +146,31 @@ class BamDataSourceSpec extends SparkSpec {
     assert(tiny.rdd.getNumPartitions > 100)
     assert(tiny.count() === 3000)
   }
+
+  test("x05 region gate: sorted-file runs span a measured minority of the bytes") {
+    import graft.operators.MitoQueries
+    val sf = "/root/testdata/sf0.001"
+    val r = MitoQueries.x05BamRegionGate(spark, sf).head()
+    assert(r.getAs[Boolean]("pruned_ok"),
+      "region runs spanned half the sorted file or more")
+    // independent byte math on the sidecar the gate planned with: the
+    // sorted file's region members form ONE contiguous run, and the
+    // region scan result equals the brute post-filter of a full scan
+    val out = s"${HadoopIO.scratchDir(spark)}/graft_x05_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_") + ".bam"
+    val conf = HadoopIO.driverConf()
+    val stats = BamIndex.read(out, conf)
+    assert(stats.length >= 16, s"want many members, got ${stats.length}")
+    val preds = Seq(SamFilters.RefNameEq("chrM"),
+      SamFilters.IntCmp("start", ">=", 101L),
+      SamFilters.IntCmp("start", "<=", 300L))
+    val runs = BamIndex.selectRuns(stats, preds, Array("chrM"),
+      0L, Long.MaxValue)
+    assert(runs.length === 1, s"sorted file must give one run, got $runs")
+    val full = spark.read.format("bam").load(out)
+      .where(col("start") >= 101 && col("start") <= 300)
+      .select("readName").collect().map(_.getString(0)).sorted
+    val nRegion = r.getLong(0)
+    assert(full.length.toLong === nRegion)
+  }
 }
