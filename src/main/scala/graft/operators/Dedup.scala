@@ -60,7 +60,11 @@ object Dedup {
     * over candidate pairs blocked by (lang, source). Blocking bounds the
     * quadratic pair space; at 100 TB the block key is an LSH band — that
     * wiring is [[nearDedupKeep]] (d11), where this query's sorted-merge
-    * intersect kernel runs as the verify stage over d03's candidates. */
+    * intersect kernel runs as the verify stage over d03's candidates.
+    * Metadata blocking also SKEWS adversarially (one dominant language
+    * funnels ~n²/2 pairs through one reducer) where content-hashed band
+    * keys stay uniform — DedupSkewSpec measures both on a synthesized
+    * 99%-one-language corpus. */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(s, d).orderBy("a_id", "b_id")
 
