@@ -95,6 +95,14 @@ object Bench {
       val ps = warmPasses.map(_(n)).filter(_ >= 0)
       if (ps.isEmpty || ps.min <= 0) None else Some(ps.max / ps.min)
     }.foldLeft(1.0)(math.max)
+    // sum of per-query MEDIANS over the warm passes, reported alongside the
+    // min-based total: min is the low-noise floor estimator but tracks the
+    // best-case pass, so round-over-round comparisons on a loaded box chase
+    // outliers; the median total moves only when typical-pass cost moves
+    val p50Total = names.flatMap { n =>
+      val ok = warmPasses.map(_(n)).filter(_ >= 0).sorted
+      if (ok.isEmpty) None else Some(ok(ok.size / 2))
+    }.sum
 
     // bounded significant digits, not raw doubles: the driver captures only
     // the LAST 2000 chars of stdout and json-parses the bench line out of
@@ -126,7 +134,7 @@ object Bench {
       // tail-budget headroom for the line the driver must parse whole)
       val failedField = if (slim && failed.isEmpty) "" else s""""failed":$failedJson,"""
       val sf = if (slim) sfDir.split('/').last else sfDir
-      s"""{"metric":"total","value":${fmt(total, sig)},"unit":"sec","queries":$qs,$extras"noise":${fmt(noise, sig)},$failedField"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, sig)},"p50_total":${fmt(p50Total, sig)},"unit":"sec","queries":$qs,$extras"noise":${fmt(noise, sig)},$failedField"sf":"$sf"}"""
     }
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail

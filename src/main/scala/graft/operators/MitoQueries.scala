@@ -317,17 +317,87 @@ object MitoQueries {
       |WHERE l_orderkey % 4 = 2
       |  AND l_partkey % 1000 + 1 BETWEEN 101 AND 300""".stripMargin
 
+  // ---------------------------------------------------------------- x06
+  /** x05's region scan through a samtools-compatibility `.bai` ONLY — the
+    * index a reference user's sorted BAMs already carry (README.md:23,32:
+    * the published workflow runs `samtools index` before classification).
+    * No graft-native `.gai` exists for this file, so the reader's binned
+    * BaiIndex path plans the scan: region-bin chunks, floored by the
+    * linear index, widened to whole BGZF members.
+    *
+    * Starts spread over ~10 leaf windows of a long contig (the binning is
+    * 16 kb-granular — x05's [1,1000] domain would land every record in ONE
+    * bin and prune nothing), so `pruned_ok` pins that bin+linear pruning
+    * alone (no per-member stats) still skips a majority of the file, while
+    * the oracle arithmetic pins that member widening + per-record predicate
+    * re-evaluation drop none and duplicate none across splits. */
+  def x06BaiRegionGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BaiIndex, BamWriter, HadoopIO, SamFilters}
+    val (lo, hi) = (30001, 60000) // ~19% of the start domain [1, 160000]
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 3)
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("readName"),
+      lit(99).as("flag"),
+      lit("chr1").as("referenceName"),
+      ((col("l_partkey") * 977) % 160000 + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:1").as("attributes"))
+      .repartitionByRange(32, col("start"))
+      .sortWithinPartitions(col("start"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x06_$sfTag.bam"
+    BamWriter.write(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:200000\n",
+      Seq("chr1" -> 200000), out)
+    val conf = HadoopIO.driverConf()
+    BaiIndex.build(out, conf)
+    val region = s.read.format("bam").load(out)
+      .where(col("referenceName") === "chr1" &&
+        col("start") >= lo && col("start") <= hi)
+    // byte accounting straight from the chunk runs the reader plans with
+    val bai = BaiIndex.read(out, conf)
+    val preds = Seq(SamFilters.RefNameEq("chr1"),
+      SamFilters.IntCmp("start", ">=", lo.toLong),
+      SamFilters.IntCmp("start", "<=", hi.toLong))
+    val (refId, beg, end) = BaiIndex.region(preds, Array("chr1")).get
+    val runs = BaiIndex.memberRuns(BaiIndex.chunks(bai, refId, beg, end))
+    val fileLen = HadoopIO.lenAndMtime(out, conf).get._1
+    val keptBytes = runs.map { case (st, _, rend) =>
+      math.min(rend, fileLen) - st
+    }.sum
+    region.agg(count(lit(1)).as("n_region"),
+        sum(col("mapQ")).as("sum_mapq"))
+      .select(col("n_region"), col("sum_mapq"),
+        lit(runs.nonEmpty && keptBytes * 2 < fileLen).as("pruned_ok"))
+  }
+
+  /** Oracle from the synthesis arithmetic; `pruned_ok` pins the binned
+    * index's skip fraction (sorted file → contiguous minority span). */
+  val x06Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_region,
+      |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq,
+      |  true AS pruned_ok
+      |FROM lineitem
+      |WHERE l_orderkey % 4 = 3
+      |  AND (l_partkey * 977) % 160000 + 1 BETWEEN 30001 AND 60000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
     "x03_bam_roundtrip" -> (x03BamRoundTrip _),
     "x04_ml_score"      -> (x04MlScore _),
-    "x05_bam_region_gate" -> (x05BamRegionGate _))
+    "x05_bam_region_gate" -> (x05BamRegionGate _),
+    "x06_bai_region_gate" -> (x06BaiRegionGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
     "x02_mito_features" -> x02Sql,
     "x03_bam_roundtrip" -> x03Sql,
     "x04_ml_score" -> x04Sql,
-    "x05_bam_region_gate" -> x05Sql)
+    "x05_bam_region_gate" -> x05Sql,
+    "x06_bai_region_gate" -> x06Sql)
 }

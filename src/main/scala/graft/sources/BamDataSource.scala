@@ -141,20 +141,36 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     else {
       val (off, u, end) = runs.next()
       bgzf.close()
-      bgzf = new BgzfInputStream(ch, off)
-      HadoopIO.skipFully(bgzf, u.toLong, s"$path index run at $off")
-      in = new DataInputStream(bgzf)
-      runEnd = end
-      true
+      if (u >= 0) {
+        bgzf = new BgzfInputStream(ch, off)
+        HadoopIO.skipFully(bgzf, u.toLong, s"$path index run at $off")
+        in = new DataInputStream(bgzf)
+        runEnd = end
+        true
+      } else {
+        // u = -1: a run clipped at this split's boundary — the exact
+        // first-record offset in the clipped-to member isn't in the index,
+        // so re-synchronize by validated guessing (the same machinery the
+        // un-indexed path uses)
+        BamSync.syncToRecord(ch, off, math.min(end, rangeEnd),
+            refNames.length, path) match {
+          case Some(s) =>
+            bgzf = s; in = new DataInputStream(bgzf); runEnd = end; true
+          case None => advanceRun() // no record in this run's clip → next run
+        }
+      }
     }
 
   // Position the stream at this split's first record (see Bgzf's split
   // protocol). With a `.gai` sidecar (BamIndex) the index supplies exact
   // first-record offsets per member — no guessing — and members that
   // cannot satisfy the pushed referenceName/start predicates are skipped
-  // without decompression. Without one: the split owning the member where
-  // records begin continues straight from the header; later splits
-  // guess-sync at their first member boundary.
+  // without decompression. With only a samtools `.bai` (BaiIndex) and a
+  // region-shaped predicate, the binned index supplies chunk runs instead
+  // (member-widened; runs clipped at this split's boundary guess-sync).
+  // Without either: the split owning the member where records begin
+  // continues straight from the header; later splits guess-sync at their
+  // first member boundary.
   locally {
     if (BamIndex.exists(path, conf.conf)) {
       val stats = BamIndex.read(path, conf.conf)
@@ -163,6 +179,20 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
         else stats.find(_.offset >= rangeStart).map(_.offset).getOrElse(fileLen)
       runs = BamIndex.selectRuns(stats, preds, refNames,
         firstMember, math.min(rangeEnd, fileLen)).iterator
+      if (!advanceRun()) done = true
+    } else if (BaiIndex.exists(path, conf.conf) &&
+        BaiIndex.region(preds, refNames).isDefined) {
+      val (refId, beg, end) = BaiIndex.region(preds, refNames).get
+      val global = BaiIndex.memberRuns(
+        BaiIndex.chunks(BaiIndex.read(path, conf.conf), refId, beg, end))
+      val firstMember =
+        if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
+      val until = math.min(rangeEnd, fileLen)
+      runs = global.iterator
+        .filter { case (off, _, rend) => rend > firstMember && off < until }
+        .map { case (off, u, rend) =>
+          if (off >= firstMember) (off, u, rend) else (firstMember, -1, rend)
+        }
       if (!advanceRun()) done = true
     } else {
       val (hdrMember, _) = bgzf.virtualPos // records begin exactly here
