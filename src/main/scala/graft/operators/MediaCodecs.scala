@@ -38,9 +38,62 @@ trait AudioCodec extends Serializable {
       sampleEvery: Int): Array[AudioFrame]
 }
 
-/** The image decode seam (see [[AudioCodec]] for the loading contract). */
+/** Decoded image pixels: row-major top-down RGB, 3 bytes per pixel —
+  * the normalized form every container decodes into (BMP's bottom-up BGR
+  * storage is reordered here), so raster-consuming operators (resize,
+  * per-pixel features) are container-agnostic. */
+case class ImageRaster(width: Int, height: Int, rgb: Array[Byte])
+
+/** The image decode seam (see [[AudioCodec]] for the loading contract).
+  * `decode` returns whole-image statistics without materializing pixels;
+  * `raster` materializes the normalized RGB pixels for operators that
+  * transform the image (resize). */
 trait ImageCodec extends Serializable {
   def decode(payload: Array[Byte]): ImageStats
+  def raster(payload: Array[Byte]): ImageRaster
+}
+
+/** Raster transforms shared by every codec (pure integer arithmetic). */
+object ImageOps {
+
+  /** Box-filter downsample by integer factors: output pixel (bx, by) is
+    * the mean of the `fx × fy` input block (floor division — exact, so
+    * the DuckDB oracle can restate it), edge blocks averaging only the
+    * pixels that exist. The standard mipmap/thumbnail kernel. */
+  def boxResize(r: ImageRaster, fx: Int, fy: Int): ImageRaster = {
+    require(fx > 0 && fy > 0, s"resize factors must be positive: $fx x $fy")
+    val ow = (r.width + fx - 1) / fx
+    val oh = (r.height + fy - 1) / fy
+    val out = new Array[Byte](ow * oh * 3)
+    var by = 0
+    while (by < oh) {
+      var bx = 0
+      while (bx < ow) {
+        var c = 0
+        while (c < 3) {
+          var sum = 0L
+          var cnt = 0
+          var y = by * fy
+          val yEnd = math.min(r.height, by * fy + fy)
+          while (y < yEnd) {
+            var x = bx * fx
+            val xEnd = math.min(r.width, bx * fx + fx)
+            while (x < xEnd) {
+              sum += r.rgb((y * r.width + x) * 3 + c) & 0xff
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          out((by * ow + bx) * 3 + c) = (sum / cnt).toByte
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    ImageRaster(ow, oh, out)
+  }
 }
 
 /** RIFF/WAVE PCM decoder (the canonical WAVE spec: RIFF container, `fmt `
@@ -156,6 +209,15 @@ final class StandardImageCodec extends ImageCodec {
       Bmp.decode(payload)
     else throw new IllegalArgumentException(
       "image: unrecognized magic (P6 PPM and BM BMP supported)")
+
+  def raster(payload: Array[Byte]): ImageRaster =
+    if (payload == null) null
+    else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+      Ppm.raster(payload)
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      Bmp.raster(payload)
+    else throw new IllegalArgumentException(
+      "image: unrecognized magic (P6 PPM and BM BMP supported)")
 }
 
 /** PPM "P6" decoder per the netpbm format spec: magic, whitespace-separated
@@ -170,7 +232,8 @@ object Ppm {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == '\f'
 
-  def decode(b: Array[Byte]): ImageStats = {
+  /** Validated header parse → (width, height, raster byte offset). */
+  private def header(b: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     def readToken(): String = {
       while (pos < b.length && (isWs(b(pos)) || b(pos) == '#'))
@@ -197,7 +260,20 @@ object Ppm {
     val need = w.toLong * h * 3
     if (b.length - raster < need)
       fail(s"raster needs $need bytes, ${b.length - raster} present")
-    channelStats(w, h, (px, c) => b(raster + px * 3 + c) & 0xff)
+    (w, h, raster)
+  }
+
+  def decode(b: Array[Byte]): ImageStats = {
+    val (w, h, off) = header(b)
+    channelStats(w, h, (px, c) => b(off + px * 3 + c) & 0xff)
+  }
+
+  /** PPM rasters are already row-major top-down RGB: one validated copy. */
+  def raster(b: Array[Byte]): ImageRaster = {
+    val (w, h, off) = header(b)
+    val out = new Array[Byte](w * h * 3)
+    System.arraycopy(b, off, out, 0, out.length)
+    ImageRaster(w, h, out)
   }
 
   /** Shared per-channel accumulation: `at(pixelIndex, channel)` in RGB
@@ -234,7 +310,8 @@ object Bmp {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"bmp: $msg")
 
-  def decode(b: Array[Byte]): ImageStats = {
+  /** Validated header parse → (width, height, topDown, dataOff, stride). */
+  private def header(b: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
     def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     def i32(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
@@ -254,6 +331,11 @@ object Bmp {
     val stride = ((w * 3 + 3) / 4) * 4
     if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
       fail("pixel array overruns the file")
+    (w, h, topDown, dataOff, stride)
+  }
+
+  def decode(b: Array[Byte]): ImageStats = {
+    val (w, h, topDown, dataOff, stride) = header(b)
     // row y of the image sits at stored row (h-1-y) unless top-down; the
     // global stats are row-order-invariant, but index faithfully anyway
     Ppm.channelStats(w, h, (px, c) => {
@@ -263,5 +345,26 @@ object Bmp {
       // BGR on disk → channel c (0=R,1=G,2=B) reads byte (2-c)
       b(dataOff + storedRow * stride + x * 3 + (2 - c)) & 0xff
     })
+  }
+
+  /** Normalize bottom-up BGR strided storage to top-down packed RGB. */
+  def raster(b: Array[Byte]): ImageRaster = {
+    val (w, h, topDown, dataOff, stride) = header(b)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val storedRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val src = dataOff + storedRow * stride + x * 3
+        val dst = (y * w + x) * 3
+        out(dst) = b(src + 2)     // R
+        out(dst + 1) = b(src + 1) // G
+        out(dst + 2) = b(src)     // B
+        x += 1
+      }
+      y += 1
+    }
+    ImageRaster(w, h, out)
   }
 }

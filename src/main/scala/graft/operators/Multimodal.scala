@@ -237,13 +237,102 @@ object Multimodal {
       |FROM chan GROUP BY doc_id, h
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m04
+  /** Image RESIZE through the codec seam: decode the container to its
+    * normalized RGB raster, box-filter downsample 4×4 (exact floor-mean
+    * blocks — the standard thumbnail/mipmap kernel, [[ImageOps.boxResize]]),
+    * and emit per-channel stats plus a position-weighted checksum of the
+    * RESIZED raster — so every output byte of the transform, including its
+    * position, is pinned by the oracle, not just aggregate sums. One UDF
+    * (opaque binary in, small struct out) per the multimodal UDF policy;
+    * everything after is builtins. */
+  /** Resized-raster statistics + position-weighted checksum (null payload
+    * → null row, mirroring the codecs' own null policy). */
+  private def resizeStats(codec: ImageCodec, p: Array[Byte])
+      : (Int, Int, Long, Long, Long, Int, Int, Int, Long) = {
+    val r0 = codec.raster(p)
+    if (r0 == null) return null
+    val r = ImageOps.boxResize(r0, 4, 4)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var rm = 0; var gm = 0; var bm = 0
+    var ck = 0L
+    var i = 0
+    val n = r.rgb.length
+    while (i < n) {
+      val v = r.rgb(i) & 0xff
+      (i % 3) match {
+        case 0 => rs += v; if (v > rm) rm = v
+        case 1 => gs += v; if (v > gm) gm = v
+        case _ => bs += v; if (v > bm) bm = v
+      }
+      ck += v.toLong * (i + 1)
+      i += 1
+    }
+    (r.width, r.height, rs, gs, bs, rm, gm, bm, ck)
+  }
+
+  def m04ImageResize(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val dec = udf { p: Array[Byte] => resizeStats(codec, p) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), ppmPayload(col("text")).as("payload"))
+      .select(col("doc_id"), dec(col("payload")).as("t"))
+      .select(col("doc_id"),
+        col("t._1").as("out_width"), col("t._2").as("out_height"),
+        col("t._3").as("r_sum"), col("t._4").as("g_sum"),
+        col("t._5").as("b_sum"),
+        col("t._6").as("r_max"), col("t._7").as("g_max"),
+        col("t._8").as("b_max"),
+        col("t._9").as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB restatement of m04: the input raster is text padded to 16×h×3
+    * with spaces (as m03); block (bx, by) of channel c floor-averages the
+    * 4×4 input block (bottom edge blocks average what exists); `checksum`
+    * re-derives each resized byte's linear position ((by*ow+bx)*3+c). */
+  val m04Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest(ceil(length(text) / 48.0), 1) AS BIGINT) AS h
+      |  FROM documents),
+      |pix AS (
+      |  SELECT doc_id, h, text, n, unnest(range(0, h * 48)) AS pos
+      |  FROM d),
+      |v AS (
+      |  SELECT doc_id, h,
+      |    CAST(pos % 3 AS INT) AS c,
+      |    CAST((pos // 3) % 16 AS INT) AS x,
+      |    CAST(pos // 48 AS INT) AS y,
+      |    CASE WHEN pos < n
+      |      THEN ascii(substring(text, CAST(pos + 1 AS BIGINT), 1))
+      |      ELSE 32 END AS val
+      |  FROM pix),
+      |blk AS (
+      |  SELECT doc_id, h, c, x // 4 AS bx, y // 4 AS by,
+      |    SUM(val) // COUNT(*) AS ov
+      |  FROM v GROUP BY doc_id, h, c, x // 4, y // 4)
+      |SELECT doc_id, CAST(4 AS INT) AS out_width,
+      |  CAST((h + 3) // 4 AS INT) AS out_height,
+      |  CAST(SUM(CASE WHEN c = 0 THEN ov END) AS BIGINT) AS r_sum,
+      |  CAST(SUM(CASE WHEN c = 1 THEN ov END) AS BIGINT) AS g_sum,
+      |  CAST(SUM(CASE WHEN c = 2 THEN ov END) AS BIGINT) AS b_sum,
+      |  CAST(MAX(CASE WHEN c = 0 THEN ov END) AS INT) AS r_max,
+      |  CAST(MAX(CASE WHEN c = 1 THEN ov END) AS INT) AS g_max,
+      |  CAST(MAX(CASE WHEN c = 2 THEN ov END) AS INT) AS b_max,
+      |  CAST(SUM(ov * ((by * 4 + bx) * 3 + c + 1)) AS BIGINT) AS checksum
+      |FROM blk GROUP BY doc_id, h
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
-    "m03_image_stats"    -> (m03ImageStats _))
+    "m03_image_stats"    -> (m03ImageStats _),
+    "m04_image_resize"   -> (m04ImageResize _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
     "m02_frame_features" -> m02Sql,
-    "m03_image_stats"    -> m03Sql)
+    "m03_image_stats"    -> m03Sql,
+    "m04_image_resize"   -> m04Sql)
 }

@@ -214,4 +214,60 @@ class MediaCodecsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("magic"))
   }
+
+  // --------------------------------------------------------------- raster
+
+  test("raster: PPM and BMP containers normalize to identical RGB") {
+    val w = 4
+    val h = 3
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 29 + 5) % 256).toByte)
+    val ppm = s"P6\n$w $h\n255\n".getBytes(US_ASCII) ++ rgb
+    // the same pixels through ImageIO's BMP writer (bottom-up BGR strided)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+        ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val codec = new StandardImageCodec()
+    val fromPpm = codec.raster(ppm)
+    val fromBmp = codec.raster(bos.toByteArray)
+    assert(fromPpm.width === w && fromPpm.height === h)
+    assert(fromBmp.width === w && fromBmp.height === h)
+    assert(fromPpm.rgb.toSeq === rgb.toSeq)
+    assert(fromBmp.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("boxResize: floor-mean blocks, ragged bottom edge averages what exists") {
+    val w = 16
+    val h = 5 // 4x4 factor -> 4x2 output, bottom blocks only 1 row tall
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 7 + 3) % 251).toByte)
+    val out = ImageOps.boxResize(ImageRaster(w, h, rgb), 4, 4)
+    assert(out.width === 4 && out.height === 2)
+    for (by <- 0 until 2; bx <- 0 until 4; c <- 0 until 3) {
+      val ys = (by * 4) until math.min(h, by * 4 + 4)
+      val xs = (bx * 4) until math.min(w, bx * 4 + 4)
+      val vals = for (y <- ys; x <- xs) yield rgb((y * w + x) * 3 + c) & 0xff
+      val want = vals.map(_.toLong).sum / vals.length // floor mean
+      val got = out.rgb((by * 4 + bx) * 3 + c) & 0xff
+      assert(got.toLong === want, s"block ($bx,$by) chan $c")
+    }
+  }
+
+  test("resize to 1x1 equals the whole-image floor mean per channel") {
+    val text = "mixed Content 123 with SOME Spread!"
+    val bytes = ppmBytesOf(text)
+    val codec = new StandardImageCodec()
+    val r = codec.raster(bytes)
+    val one = ImageOps.boxResize(r, r.width, r.height)
+    assert(one.width === 1 && one.height === 1)
+    val stats = codec.decode(bytes)
+    val n = r.width.toLong * r.height
+    assert((one.rgb(0) & 0xff).toLong === stats.r_sum / n)
+    assert((one.rgb(1) & 0xff).toLong === stats.g_sum / n)
+    assert((one.rgb(2) & 0xff).toLong === stats.b_sum / n)
+  }
 }

@@ -17,6 +17,9 @@ class ConstImageCodec extends ImageCodec {
   def decode(p: Array[Byte]): ImageStats =
     if (p == null) null
     else ImageStats(1, 1, p.length.toLong, 0L, 0L, 0, 0, 0, 0, 0, 0)
+  def raster(p: Array[Byte]): ImageRaster =
+    if (p == null) null
+    else ImageRaster(1, 1, Array[Byte]((p.length % 256).toByte, 0, 0))
 }
 
 /** Smoke + invariants for the operator inventory over sf0.001. Value-level
