@@ -141,14 +141,16 @@ object Bench {
     // accept ≤ 1800: line + sbt's "[info] " prefix (7) + "[success]"
     // epilogue (~75) + one stray stop-time log line must all fit the
     // consumer's 2000-char stdout tail
-    val out = Seq(line(3, false), line(2, false), line(2, true))
+    // final 1-sig-digit tier: ~2 chars/query coarser but still parseable —
+    // the r8 slim line measured 1784/1800, one added query from overflow
+    val out = Seq(line(3, false), line(2, false), line(2, true), line(1, true))
       .find(_.length <= 1800).getOrElse {
         // even the slim form outgrew the consumer's tail: emit it anyway
         // (stderr is not tail-parsed) but make the overflow loud instead
         // of silently regressing to the parsed:null failure mode
         System.err.println(s"[bench] WARNING: slim JSON line is " +
-          s"${line(2, true).length} chars > 1800 — driver tail parse at risk")
-        line(2, true)
+          s"${line(1, true).length} chars > 1800 — driver tail parse at risk")
+        line(1, true)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line

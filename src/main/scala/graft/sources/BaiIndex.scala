@@ -46,6 +46,25 @@ object BaiIndex {
 
   def sidecarPath(bam: String): String = bam + ".bai"
 
+  /** CLI: `runMain graft.sources.BaiIndex [--distributed] <file.bam> ...`
+    * builds standard `.bai` sidecars (the samtools-index equivalent, for
+    * handing graft-written BAMs back to a samtools-based pipeline).
+    * `--distributed` fans the record scan out over a Spark job
+    * ([[buildDistributed]]) — the form that indexes a WGS-scale BAM in
+    * one cluster pass. */
+  def main(args: Array[String]): Unit = {
+    val (flags, paths) = args.partition(_.startsWith("--"))
+    require(paths.nonEmpty,
+      "usage: BaiIndex [--distributed] <file.bam> [more.bam ...]")
+    val dist = flags.contains("--distributed")
+    val spark = if (dist) Some(org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-bai").getOrCreate()) else None
+    try paths.foreach { p =>
+      val n = spark.map(buildDistributed(_, p)).getOrElse(build(p))
+      println(s"[bai] indexed $p: $n records -> ${sidecarPath(p)}")
+    } finally spark.foreach(_.stop())
+  }
+
   /** A usable sidecar exists: present AND at least as new as the BAM
     * (same staleness rule as BamIndex — a stale index silently misreads). */
   def exists(bam: String, conf: Configuration = new Configuration()): Boolean = {

@@ -46,6 +46,32 @@ class BamDataSource extends TableProvider with DataSourceRegister {
     new BamTable(properties.asScala.toMap)
 }
 
+/** Driver-side BAM header probe (one small member inflate). */
+object BamHeader {
+  def refNames(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+    val ch = new SeekableFile(path, conf)
+    try {
+      val in = new DataInputStream(new BgzfInputStream(ch, 0L))
+      def i32(): Int = {
+        val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+        if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+        b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+      }
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)),
+        s"not a BAM file: $path")
+      HadoopIO.skipFully(in, i32().toLong, s"$path header text")
+      Array.fill(i32()) {
+        val l = i32()
+        val a = new Array[Byte](l); in.readFully(a)
+        i32() // l_ref
+        new String(a, 0, l - 1, "US-ASCII")
+      }
+    } finally ch.close()
+  }
+}
+
 class BamTable(properties: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"bam(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = SamDataSource.schema
@@ -53,10 +79,12 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BamScanBuilder(SamDataSource.resolvePaths(options),
-      SamDataSource.splitSize(options))
+      SamDataSource.splitSize(options),
+      Option(options.get("baiplan")).getOrElse("driver"))
 }
 
-class BamScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
+class BamScanBuilder(paths: Seq[String], splitSize: Long,
+    baiPlanMode: String = "driver") extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = SamDataSource.schema
@@ -76,31 +104,69 @@ class BamScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
   }
   override def pushedPredicates(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     pushed
-  override def build(): Scan = new BamScan(paths, splitSize, required, preds)
+  override def build(): Scan =
+    new BamScan(paths, splitSize, required, preds, baiPlanMode)
+}
+
+object BamScan {
+  /** Driver-planned `.bai` run lists above this size fall back to
+    * executor-side planning: a sorted file's region runs merge to a
+    * handful of entries, but an adversarial chunk layout could make the
+    * list rival the data — per-task closure bytes must stay bounded. */
+  val MaxShippedRuns = 65536
 }
 
 class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
-    preds: Seq[SamFilters.Pred]) extends Scan with Batch {
+    preds: Seq[SamFilters.Pred], baiPlanMode: String = "driver")
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"bam PushedFilters: [${preds.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     SamDataSource.planSplits(paths, splitSize)
-  override def createReaderFactory(): PartitionReaderFactory =
-    new BamReaderFactory(required.fieldNames, preds, HadoopIO.capture())
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confBox = HadoopIO.capture()
+    // Plan `.bai` region runs ONCE on the driver and ship them in the
+    // factory: at cluster scale the alternative is every task re-reading
+    // and re-planning the whole sidecar (an O(tasks × index-size) read
+    // storm against one file). The graft `.gai` path keeps per-task reads
+    // (its per-member stats are consulted split-locally); `.bai` chunks
+    // for a sorted region merge to a few runs, so shipping is ~free.
+    val baiPlans: Map[String, Seq[(Long, Int, Long)]] =
+      if (preds.isEmpty || baiPlanMode != "driver") Map.empty
+      else paths.flatMap(p => HadoopIO.listScanTargets(p, confBox.conf))
+        .map(_._1)
+        .filterNot(p => p.endsWith(".gai") || p.endsWith(".bai"))
+        .flatMap { p =>
+          if (BamIndex.exists(p, confBox.conf) ||
+              !BaiIndex.exists(p, confBox.conf)) None
+          else BaiIndex.region(preds, BamHeader.refNames(p, confBox.conf))
+            .map { case (refId, beg, end) =>
+              BaiIndex.memberRuns(BaiIndex.chunks(
+                BaiIndex.read(p, confBox.conf), refId, beg, end))
+            }
+            .filter(_.length <= BamScan.MaxShippedRuns)
+            .map(p -> _)
+        }.toMap
+    new BamReaderFactory(required.fieldNames, preds, confBox, baiPlans)
+  }
 }
 
 class BamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred],
-    conf: HadoopIO.ConfBox) extends PartitionReaderFactory {
+    conf: HadoopIO.ConfBox,
+    baiPlans: Map[String, Seq[(Long, Int, Long)]] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    new BamPartitionReader(p.path, p.start, p.end, fields, preds, conf)
+    new BamPartitionReader(p.path, p.start, p.end, fields, preds, conf,
+      baiPlans.get(p.path))
   }
 }
 
 class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
-    fields: Array[String], preds: Seq[SamFilters.Pred], conf: HadoopIO.ConfBox)
+    fields: Array[String], preds: Seq[SamFilters.Pred], conf: HadoopIO.ConfBox,
+    shippedBaiRuns: Option[Seq[(Long, Int, Long)]] = None)
     extends PartitionReader[InternalRow] {
 
   private val needSeq = fields.contains("sequence") || fields.contains("line")
@@ -180,11 +246,17 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       runs = BamIndex.selectRuns(stats, preds, refNames,
         firstMember, math.min(rangeEnd, fileLen)).iterator
       if (!advanceRun()) done = true
-    } else if (BaiIndex.exists(path, conf.conf) &&
-        BaiIndex.region(preds, refNames).isDefined) {
-      val (refId, beg, end) = BaiIndex.region(preds, refNames).get
-      val global = BaiIndex.memberRuns(
-        BaiIndex.chunks(BaiIndex.read(path, conf.conf), refId, beg, end))
+    } else if (shippedBaiRuns.isDefined ||
+        (BaiIndex.exists(path, conf.conf) &&
+          BaiIndex.region(preds, refNames).isDefined)) {
+      // driver-planned runs arrive in the factory (the scale path: one
+      // sidecar read per QUERY, not per task); the executor-side re-plan
+      // remains for oversized run lists and direct reader construction
+      val global = shippedBaiRuns.getOrElse {
+        val (refId, beg, end) = BaiIndex.region(preds, refNames).get
+        BaiIndex.memberRuns(
+          BaiIndex.chunks(BaiIndex.read(path, conf.conf), refId, beg, end))
+      }
       val firstMember =
         if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
       val until = math.min(rangeEnd, fileLen)

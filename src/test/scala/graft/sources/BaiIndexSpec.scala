@@ -86,6 +86,21 @@ class BaiIndexSpec extends SparkSpec {
       }
   }
 
+  test("executor-side bai planning (baiplan=executor) matches driver-planned") {
+    val bam = baiIndexed("mito/sample_sorted.bam")
+    val pred = col("referenceName") === "chr1" && col("start") >= 50000
+    for (split <- Seq(16384, 4096)) {
+      val driverPlanned = spark.read.format("bam").option("splitsize", split)
+        .load(bam).where(pred).select("readName", "start")
+      val executorPlanned = spark.read.format("bam").option("splitsize", split)
+        .option("baiplan", "executor")
+        .load(bam).where(pred).select("readName", "start")
+      assert(driverPlanned.except(executorPlanned).isEmpty &&
+        executorPlanned.except(driverPlanned).isEmpty, s"splitsize=$split")
+      assert(driverPlanned.count() === executorPlanned.count())
+    }
+  }
+
   test("region runs span a minority of the file for a one-ref query") {
     val bam = baiIndexed("mito/sample_sorted.bam")
     val bai = BaiIndex.read(bam)
