@@ -509,13 +509,16 @@ object BaiIndex {
     merged.toSeq
   }
 
-  /** The region a pushed predicate set constrains, or None when the BAI
-    * cannot prune it (no referenceName equality, `*`/unknown name — those
-    * scans fall back to the full-file path and stay correct). 0-based
-    * half-open; `start` predicates are 1-based SAM. Contradictory bounds
-    * yield an empty region → zero runs → the scan reads nothing. */
-  def region(preds: Seq[SamFilters.Pred], refNames: Array[String])
-      : Option[(Int, Int, Int)] = {
+  /** The region a pushed predicate set constrains, or None when a binned
+    * index cannot prune it (no referenceName equality, `*`/unknown name —
+    * those scans fall back to the full-file path and stay correct).
+    * 0-based half-open; `start` predicates are 1-based SAM. Contradictory
+    * bounds yield an empty region → zero runs → the scan reads nothing.
+    * `maxPos` is the index scheme's coordinate cap (BAI: 2^29; CSI:
+    * whatever its (min_shift, depth) addresses) — clamping an unbounded
+    * upper predicate to it keeps tail records inside the region. */
+  def region(preds: Seq[SamFilters.Pred], refNames: Array[String],
+      maxPos: Int = MaxPos): Option[(Int, Int, Int)] = {
     val flat = scala.collection.mutable.ArrayBuffer.empty[SamFilters.Pred]
     def walk(p: SamFilters.Pred): Unit = p match {
       case SamFilters.AndP(l, r) => walk(l); walk(r)
@@ -526,8 +529,10 @@ object BaiIndex {
       if (v == "*") -1 else refNames.indexOf(v)
     }.distinct
     if (refIds.length != 1 || refIds.head < 0) return None
+    def clamp(v: Long): Int =
+      math.min(maxPos.toLong, math.max(0L, v)).toInt
     var beg = 0
-    var end = MaxPos
+    var end = maxPos
     flat.foreach {
       case SamFilters.IntCmp("start", op, v) => op match {
         // 1-based start s → 0-based pos p = s-1
@@ -541,9 +546,6 @@ object BaiIndex {
     }
     Some((refIds.head, beg, math.max(beg, end)))
   }
-
-  private def clamp(v: Long): Int =
-    math.min(MaxPos.toLong, math.max(0L, v)).toInt
 
   /** Chunks → the reader's member-granularity run protocol
     * (startMemberOffset, startUoffset, stopMemberOffset): decode from the

@@ -137,17 +137,26 @@ class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
       if (preds.isEmpty || baiPlanMode != "driver") Map.empty
       else paths.flatMap(p => HadoopIO.listScanTargets(p, confBox.conf))
         .map(_._1)
-        .filterNot(p => p.endsWith(".gai") || p.endsWith(".bai"))
+        .filterNot(p =>
+          p.endsWith(".gai") || p.endsWith(".bai") || p.endsWith(".csi"))
         .flatMap { p =>
-          if (BamIndex.exists(p, confBox.conf) ||
-              !BaiIndex.exists(p, confBox.conf)) None
-          else BaiIndex.region(preds, BamHeader.refNames(p, confBox.conf))
-            .map { case (refId, beg, end) =>
-              BaiIndex.memberRuns(BaiIndex.chunks(
-                BaiIndex.read(p, confBox.conf), refId, beg, end))
-            }
-            .filter(_.length <= BamScan.MaxShippedRuns)
-            .map(p -> _)
+          val runs: Option[Seq[(Long, Int, Long)]] =
+            if (BamIndex.exists(p, confBox.conf)) None // .gai wins reader-side
+            else if (BaiIndex.exists(p, confBox.conf))
+              BaiIndex.region(preds, BamHeader.refNames(p, confBox.conf))
+                .map { case (refId, beg, end) =>
+                  BaiIndex.memberRuns(BaiIndex.chunks(
+                    BaiIndex.read(p, confBox.conf), refId, beg, end))
+                }
+            else if (CsiIndex.exists(p, confBox.conf)) {
+              val csi = CsiIndex.read(p, confBox.conf)
+              BaiIndex.region(preds, BamHeader.refNames(p, confBox.conf),
+                  CsiIndex.maxPos(csi.minShift, csi.depth))
+                .map { case (refId, beg, end) =>
+                  BaiIndex.memberRuns(CsiIndex.chunks(csi, refId, beg, end))
+                }
+            } else None
+          runs.filter(_.length <= BamScan.MaxShippedRuns).map(p -> _)
         }.toMap
     new BamReaderFactory(required.fieldNames, preds, confBox, baiPlans)
   }
@@ -246,41 +255,55 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       runs = BamIndex.selectRuns(stats, preds, refNames,
         firstMember, math.min(rangeEnd, fileLen)).iterator
       if (!advanceRun()) done = true
-    } else if (shippedBaiRuns.isDefined ||
-        (BaiIndex.exists(path, conf.conf) &&
-          BaiIndex.region(preds, refNames).isDefined)) {
+    } else {
       // driver-planned runs arrive in the factory (the scale path: one
       // sidecar read per QUERY, not per task); the executor-side re-plan
-      // remains for oversized run lists and direct reader construction
-      val global = shippedBaiRuns.getOrElse {
-        val (refId, beg, end) = BaiIndex.region(preds, refNames).get
-        BaiIndex.memberRuns(
-          BaiIndex.chunks(BaiIndex.read(path, conf.conf), refId, beg, end))
+      // remains for oversized run lists and direct reader construction —
+      // `.bai` preferred, `.csi` (long-contig binning) after it
+      val planned: Option[Seq[(Long, Int, Long)]] = shippedBaiRuns.orElse {
+        if (BaiIndex.exists(path, conf.conf))
+          BaiIndex.region(preds, refNames).map { case (refId, beg, end) =>
+            BaiIndex.memberRuns(BaiIndex.chunks(
+              BaiIndex.read(path, conf.conf), refId, beg, end))
+          }
+        else if (CsiIndex.exists(path, conf.conf)) {
+          val csi = CsiIndex.read(path, conf.conf)
+          BaiIndex.region(preds, refNames,
+              CsiIndex.maxPos(csi.minShift, csi.depth))
+            .map { case (refId, beg, end) =>
+              BaiIndex.memberRuns(CsiIndex.chunks(csi, refId, beg, end))
+            }
+        } else None
       }
-      val firstMember =
-        if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
-      val until = math.min(rangeEnd, fileLen)
-      runs = global.iterator
-        .filter { case (off, _, rend) => rend > firstMember && off < until }
-        .map { case (off, u, rend) =>
-          if (off >= firstMember) (off, u, rend) else (firstMember, -1, rend)
-        }
-      if (!advanceRun()) done = true
-    } else {
-      val (hdrMember, _) = bgzf.virtualPos // records begin exactly here
-      val firstMember =
-        if (rangeStart == 0) 0L else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
-      if (firstMember <= hdrMember) {
-        if (hdrMember >= rangeEnd) done = true // range ends inside the header
-        // else: keep the header stream — it is already at the first record
-      } else if (firstMember >= fileLen || firstMember >= rangeEnd) {
-        done = true
-      } else {
-        bgzf.close()
-        syncToRecord(firstMember) match {
-          case Some(s) => bgzf = s; in = new DataInputStream(bgzf)
-          case None    => done = true
-        }
+      planned match {
+        case Some(global) =>
+          val firstMember =
+            if (rangeStart == 0) 0L
+            else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
+          val until = math.min(rangeEnd, fileLen)
+          runs = global.iterator
+            .filter { case (off, _, rend) => rend > firstMember && off < until }
+            .map { case (off, u, rend) =>
+              if (off >= firstMember) (off, u, rend) else (firstMember, -1, rend)
+            }
+          if (!advanceRun()) done = true
+        case None =>
+          val (hdrMember, _) = bgzf.virtualPos // records begin exactly here
+          val firstMember =
+            if (rangeStart == 0) 0L
+            else Bgzf.nextMemberStart(ch, rangeStart, fileLen)
+          if (firstMember <= hdrMember) {
+            if (hdrMember >= rangeEnd) done = true // range ends inside the header
+            // else: keep the header stream — it is already at the first record
+          } else if (firstMember >= fileLen || firstMember >= rangeEnd) {
+            done = true
+          } else {
+            bgzf.close()
+            syncToRecord(firstMember) match {
+              case Some(s) => bgzf = s; in = new DataInputStream(bgzf)
+              case None    => done = true
+            }
+          }
       }
     }
   }

@@ -88,7 +88,8 @@ object SamDataSource {
   def planSplits(paths: Seq[String], splitSize: Long): Array[InputPartition] = {
     val conf = HadoopIO.driverConf()
     paths.flatMap(p => HadoopIO.listScanTargets(p, conf))
-      .filterNot { case (p, _) => p.endsWith(".gai") || p.endsWith(".bai") }
+      .filterNot { case (p, _) =>
+        p.endsWith(".gai") || p.endsWith(".bai") || p.endsWith(".csi") }
       .flatMap { case (p, size) =>
       if (size <= splitSize) Seq(SamInputPartition(p, 0L, Long.MaxValue))
       else (0L until size by splitSize).map(s =>

@@ -141,6 +141,27 @@ class BaiIndexSpec extends SparkSpec {
       Some((0, 0, BaiIndex.MaxPos)))
   }
 
+  test("property: 25 seeded random regions all match the brute-force filter") {
+    val bam = baiIndexed("mito/sample_sorted.bam")
+    val full = spark.read.format("bam").option("baiplan", "executor")
+      .load(bam) // executor mode never consults runs for UNPUSHED side below
+      .select("readName", "start", "referenceName").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val ref = if (rnd.nextBoolean()) "MT" else "chr1"
+      val a = rnd.nextInt(120000) + 1
+      val b = a + rnd.nextInt(60000)
+      val got = spark.read.format("bam").option("splitsize", 8192).load(bam)
+        .where(col("referenceName") === ref &&
+          col("start") >= a && col("start") <= b)
+        .select("readName", "start", "referenceName").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      val want = full.filter { case (_, s, rn) => rn == ref && s >= a && s <= b }
+      assert(got === want, s"region $ref:[$a,$b]")
+    }
+  }
+
   test("build refuses an unsorted BAM loudly") {
     val dir = Files.createTempDirectory("bai")
     val dst = dir.resolve("sample_split.bam")
