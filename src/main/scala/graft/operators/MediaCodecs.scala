@@ -96,6 +96,118 @@ object ImageOps {
   }
 }
 
+/** One sampled video frame's exact-integer plane statistics (YCbCr planar
+  * layouts: luma sum/peak + chroma sums — integral, oracle-safe). */
+case class VideoFrameStats(frame_idx: Int, n_pixels: Int,
+    y_sum: Long, y_peak: Int, u_sum: Long, v_sum: Long)
+
+/** The video decode seam (see [[AudioCodec]] for the loading contract):
+  * parse the container, FRAME-SAMPLE every `sampleEvery`-th frame, and
+  * return per-frame plane statistics. The frames dropped by sampling are
+  * never decoded — the reader seeks over them by the container's frame
+  * geometry, the pattern that makes sampled feature extraction linear in
+  * frames KEPT, not frames stored. */
+trait VideoCodec extends Serializable {
+  def sampleFrames(payload: Array[Byte], sampleEvery: Int): Array[VideoFrameStats]
+}
+
+/** YUV4MPEG2 (".y4m") decoder per the public mjpegtools stream spec: an
+  * ASCII stream header `YUV4MPEG2` with space-separated `W`/`H`/`F`/`I`/
+  * `A`/`C`/`X` parameters terminated by LF, then per frame an ASCII
+  * `FRAME` header line (optional parameters, LF-terminated) followed by
+  * raw planar YCbCr bytes. Supported colorspaces: `C444` (three full
+  * `w*h` planes) and the `C420` family (full luma + quarter chroma).
+  * Uncompressed and self-describing — the video analogue of PPM/WAV, and
+  * like them decodable from the spec alone with no codec library. */
+final class Y4mCodec extends VideoCodec {
+  import Y4mCodec._
+
+  def sampleFrames(payload: Array[Byte], sampleEvery: Int)
+      : Array[VideoFrameStats] = {
+    if (payload == null) return null
+    require(sampleEvery > 0, s"y4m: sampleEvery $sampleEvery must be positive")
+    val (w, h, c420, off0) = header(payload)
+    val ySize = w * h
+    val cSize = if (c420) (w / 2) * (h / 2) else ySize
+    val frameBytes = ySize + 2 * cSize
+    val out = Array.newBuilder[VideoFrameStats]
+    var off = off0
+    var idx = 0
+    while (off < payload.length) {
+      // every frame begins with its own LF-terminated FRAME header line
+      if (off + 5 > payload.length ||
+          new String(payload, off, 5, US_ASCII) != "FRAME")
+        fail(s"frame $idx: missing FRAME header at byte $off")
+      off += 5
+      while (off < payload.length && payload(off) != '\n') off += 1
+      if (off >= payload.length) fail(s"frame $idx: unterminated FRAME header")
+      off += 1
+      if (off + frameBytes > payload.length)
+        fail(s"frame $idx: needs $frameBytes plane bytes, " +
+          s"${payload.length - off} present")
+      if (idx % sampleEvery == 0) {
+        var ySum = 0L
+        var yPeak = 0
+        var i = off
+        val yEnd = off + ySize
+        while (i < yEnd) {
+          val v = payload(i) & 0xff
+          ySum += v
+          if (v > yPeak) yPeak = v
+          i += 1
+        }
+        var uSum = 0L
+        val uEnd = yEnd + cSize
+        while (i < uEnd) { uSum += payload(i) & 0xff; i += 1 }
+        var vSum = 0L
+        val vEnd = uEnd + cSize
+        while (i < vEnd) { vSum += payload(i) & 0xff; i += 1 }
+        out += VideoFrameStats(idx, ySize, ySum, yPeak, uSum, vSum)
+      }
+      off += frameBytes // sample-then-decode: skipped frames are seeked over
+      idx += 1
+    }
+    if (idx == 0) fail("stream contains no frames")
+    out.result()
+  }
+}
+
+object Y4mCodec {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"y4m: $msg")
+
+  /** Validated stream-header parse → (width, height, c420?, first frame
+    * offset). Unknown parameter tags (F/I/A/X) are skipped per spec. */
+  private def header(b: Array[Byte]): (Int, Int, Boolean, Int) = {
+    var eol = 0
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    if (eol >= b.length) fail("unterminated stream header")
+    val line = new String(b, 0, eol, US_ASCII)
+    val toks = line.split(' ')
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") fail("missing YUV4MPEG2 magic")
+    var w = -1
+    var h = -1
+    var cs = "420jpeg" // the spec's default colorspace when C is absent
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      (t.head, t.tail) match {
+        case ('W', v) => w = scala.util.Try(v.toInt)
+          .getOrElse(fail(s"malformed width '$t'"))
+        case ('H', v) => h = scala.util.Try(v.toInt)
+          .getOrElse(fail(s"malformed height '$t'"))
+        case ('C', v) => cs = v
+        case _        => () // F/I/A/X — irrelevant to decoding, skip
+      }
+    }
+    if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h (W and H required)")
+    val c420 = cs.startsWith("420")
+    if (!c420 && cs != "444") fail(s"colorspace C$cs unsupported (444/420*)")
+    if (c420 && (w % 2 != 0 || h % 2 != 0))
+      fail(s"C$cs needs even dimensions, got ${w}x$h")
+    (w, h, c420, eol + 1)
+  }
+}
+
 /** RIFF/WAVE PCM decoder (the canonical WAVE spec: RIFF container, `fmt `
   * chunk before `data`, word-aligned chunks). Supports uncompressed
   * integer PCM, mono, 8-bit unsigned or 16-bit signed little-endian —

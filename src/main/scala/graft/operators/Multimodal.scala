@@ -135,6 +135,10 @@ object Multimodal {
     s.conf.getOption("spark.graft.codec.image").filter(_.nonEmpty)
       .map(loadInstance[ImageCodec]).getOrElse(new StandardImageCodec)
 
+  private def videoCodecFor(s: SparkSession): VideoCodec =
+    s.conf.getOption("spark.graft.codec.video").filter(_.nonEmpty)
+      .map(loadInstance[VideoCodec]).getOrElse(new Y4mCodec)
+
   // ---------------------------------------------------------------- m02
   /** Audio frame features through the REAL codec: parse the WAV container
     * (magic, chunk walk, fmt validation), window the PCM stream into
@@ -324,15 +328,87 @@ object Multimodal {
       |FROM blk GROUP BY doc_id, h
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m05
+  /** Synthesize a REAL YUV4MPEG2 stream from the document text: fixed
+    * geometry 8×4 C444 (96 plane bytes per frame), ⌈n/96⌉ frames (min 1),
+    * planes = the text bytes padded with spaces — each frame carrying its
+    * spec-mandated `FRAME\n` header. Pure builtins (the per-frame split is
+    * a `transform` over a frame-index `sequence`, joined in ISO-8859-1
+    * string space where ASCII text is byte-exact), so the sampled frame
+    * features are restatable from the text column by the DuckDB oracle. */
+  private[operators] def y4mPayload(text: Column): Column = {
+    val n = length(encode(text, "UTF-8"))
+    val nf = greatest(ceil(n / lit(96.0)).cast(LongType), lit(1L))
+    val padded =
+      call_function("rpad", text, (nf * 96).cast(IntegerType), lit(" "))
+    val frames = array_join(
+      transform(sequence(lit(0L), nf - 1), i =>
+        concat(lit("FRAME\n"),
+          padded.substr((i * 96 + 1).cast(IntegerType), lit(96)))),
+      "")
+    encode(concat(lit("YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C444\n"), frames),
+      "ISO-8859-1")
+  }
+
+  /** Video FRAME-SAMPLING through the real codec: parse the YUV4MPEG2
+    * container (magic, parameter scan, per-frame header walk), keep every
+    * 2nd frame — skipped frames are seeked over by the container's frame
+    * geometry, never decoded — and emit exact-integer per-plane frame
+    * statistics. The video leg of the multimodal quartet (decode m03,
+    * feature-extract m02, resize m04, frame-sample here). */
+  def m05VideoFrames(s: SparkSession, d: String): DataFrame = {
+    val codec = videoCodecFor(s)
+    val dec = udf { p: Array[Byte] => codec.sampleFrames(p, 2) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), y4mPayload(col("text")).as("payload"))
+      .select(col("doc_id"), explode(dec(col("payload"))).as("f"))
+      .select(col("doc_id"),
+        col("f.frame_idx").as("frame_idx"),
+        col("f.n_pixels").as("n_pixels"),
+        col("f.y_sum").as("y_sum"),
+        col("f.y_peak").as("y_peak"),
+        col("f.u_sum").as("u_sum"),
+        col("f.v_sum").as("v_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** DuckDB restatement of m05: frame f of the 8×4 C444 stream covers
+    * padded-text bytes [f*96, f*96+96) — Y plane first 32, Cb next 32, Cr
+    * last 32; every 2nd frame is sampled. Integer sums/max are exact. */
+  val m05Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest((length(text) + 95) // 96, 1) AS BIGINT) AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, n, text, unnest(range(0, nf)) AS f FROM d),
+      |px AS (
+      |  SELECT doc_id, f, text, n, unnest(range(0, 96)) AS p
+      |  FROM fr WHERE f % 2 = 0),
+      |a AS (
+      |  SELECT doc_id, f, p,
+      |    CASE WHEN f * 96 + p < n
+      |      THEN ascii(substring(text, CAST(f * 96 + p + 1 AS BIGINT), 1))
+      |      ELSE 32 END AS v
+      |  FROM px)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(32 AS INT) AS n_pixels,
+      |  CAST(SUM(CASE WHEN p < 32 THEN v END) AS BIGINT) AS y_sum,
+      |  CAST(MAX(CASE WHEN p < 32 THEN v END) AS INT) AS y_peak,
+      |  CAST(SUM(CASE WHEN p >= 32 AND p < 64 THEN v END) AS BIGINT) AS u_sum,
+      |  CAST(SUM(CASE WHEN p >= 64 THEN v END) AS BIGINT) AS v_sum
+      |FROM a GROUP BY doc_id, f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
     "m03_image_stats"    -> (m03ImageStats _),
-    "m04_image_resize"   -> (m04ImageResize _))
+    "m04_image_resize"   -> (m04ImageResize _),
+    "m05_video_frames"   -> (m05VideoFrames _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
     "m02_frame_features" -> m02Sql,
     "m03_image_stats"    -> m03Sql,
-    "m04_image_resize"   -> m04Sql)
+    "m04_image_resize"   -> m04Sql,
+    "m05_video_frames"   -> m05Sql)
 }

@@ -972,6 +972,79 @@ object Relational {
       |WHERE md5(text) NOT IN (
       |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Streaming SESSION-WINDOW gate — dynamic-gap sessionization
+    * ([[graft.streaming.EventStreams.userSessions]]: `session_window` with
+    * a 30-minute gap, the state store MERGING adjacent sessions as late
+    * members arrive) replayed from the staged events file and compared
+    * session-by-session against the IDENTICAL batch formulation. Counts
+    * and boundaries must match exactly; the value sums within 1e-9
+    * relative (streaming sums doubles in arrival order). The emitted
+    * n_sessions/n_users come from the STREAMED side, so the DuckDB oracle
+    * — a gaps-and-islands restatement with q21's `gap > 30 min` split
+    * rule, the same boundary semantics `session_window` implements
+    * (events exactly one gap apart merge; StreamingSpec pins this) —
+    * genuinely pins the streaming computation, not just the comparison.
+    *
+    * Scale shape: session state is per (user, open session), not per
+    * event — the watermark expires closed sessions, so state size tracks
+    * ACTIVE users; the batch side is one shuffle on user_id. */
+  def q37StreamSessionGate(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q37_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = s"$stageDir/events.parquet"
+    HadoopIO.stageFile(path, staged, conf)
+    val raw = s.readStream.schema(rawSchema).parquet(stageDir)
+    val events =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(TimestampType))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    val tbl = "q37_streamed"
+    s.catalog.dropTempView(tbl)
+    // complete mode: every session (open or closed) is in the final table,
+    // so the one-shot replay needs no watermark advance past the tail
+    val q = graft.streaming.EventStreams.userSessions(events)
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table(tbl).select(
+      col("s_start"), col("s_end"), col("user_id"),
+      col("n_events").as("sn"), col("session_value").as("sv"))
+    val batch = graft.streaming.EventStreams.userSessions(
+        Tables.events(s, d).withColumn("ts", col("ts").cast(TimestampType)))
+      .select(col("s_start"), col("s_end"), col("user_id"),
+        col("n_events").as("bn"), col("session_value").as("bv"))
+    streamed.join(batch, Seq("s_start", "s_end", "user_id"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"),
+        (count(lit(1)) === sum(when(
+          col("sn").isNotNull && col("bn").isNotNull &&
+            (col("sn") === col("bn")) &&
+            (abs(col("sv") - col("bv")) <=
+              greatest(abs(col("bv")) * 1e-9, lit(1e-9))),
+          1).otherwise(0))).as("all_match"))
+  }
+
+  val q37Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |SELECT CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  true AS all_match
+      |FROM g""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1009,7 +1082,8 @@ object Relational {
     "q33_pivot"           -> (q33Pivot _),
     "q34_adversarial_skew_join" -> (q34AdversarialSkewJoin _),
     "q35_stream_batch_gate" -> (q35StreamBatchGate _),
-    "q36_stream_dedup_gate" -> (q36StreamDedupGate _))
+    "q36_stream_dedup_gate" -> (q36StreamDedupGate _),
+    "q37_stream_session_gate" -> (q37StreamSessionGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1047,5 +1121,6 @@ object Relational {
     "q33_pivot"           -> q33Sql,
     "q34_adversarial_skew_join" -> q34Sql,
     "q35_stream_batch_gate" -> q35Sql,
-    "q36_stream_dedup_gate" -> q36Sql)
+    "q36_stream_dedup_gate" -> q36Sql,
+    "q37_stream_session_gate" -> q37Sql)
 }

@@ -270,4 +270,71 @@ class MediaCodecsSpec extends SparkSpec {
     assert((one.rgb(1) & 0xff).toLong === stats.g_sum / n)
     assert((one.rgb(2) & 0xff).toLong === stats.b_sum / n)
   }
+
+  // ------------------------------------------------------------------ Y4M
+
+  private def y4mBytesOf(text: String): Array[Byte] = {
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+      .select(Multimodal.y4mPayload(col("text")).as("p"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  test("synthesized Y4M decodes: brute-force reference over the text bytes") {
+    val text = ("frame sample me " * 17).trim // 271 chars -> 3 frames, padded
+    val bytes = y4mBytesOf(text)
+    assert(new String(bytes.take(9), US_ASCII) === "YUV4MPEG2")
+    val got = new Y4mCodec().sampleFrames(bytes, 2)
+    val padded = text.getBytes(US_ASCII).padTo(3 * 96, ' '.toByte)
+    val expected = padded.grouped(96).zipWithIndex.collect {
+      case (f, i) if i % 2 == 0 =>
+        val planes = f.map(_ & 0xff).grouped(32).toArray
+        VideoFrameStats(i, 32, planes(0).map(_.toLong).sum, planes(0).max,
+          planes(1).map(_.toLong).sum, planes(2).map(_.toLong).sum)
+    }.toArray
+    assert(got === expected)
+    // sampleEvery=1 keeps all three frames; =3 keeps frame 0 only
+    assert(new Y4mCodec().sampleFrames(bytes, 1).map(_.frame_idx) ===
+      Array(0, 1, 2))
+    assert(new Y4mCodec().sampleFrames(bytes, 3).map(_.frame_idx) === Array(0))
+  }
+
+  test("Y4M header: unknown parameters skipped, C420 quarter chroma planes") {
+    // hand-built 4x2 C420 stream: Y=8 bytes, U=V=2 bytes, 2 frames
+    def frame(seed: Int): Array[Byte] =
+      "FRAME\n".getBytes(US_ASCII) ++
+        Array.tabulate[Byte](12)(i => ((seed + i * 11) % 200 + 10).toByte)
+    val hdr = "YUV4MPEG2 W4 H2 F30:1 It A0:0 C420jpeg Xgraft-meta\n"
+    val stream = hdr.getBytes(US_ASCII) ++ frame(1) ++ frame(100)
+    val got = new Y4mCodec().sampleFrames(stream, 1)
+    assert(got.length === 2)
+    for ((f, seed) <- got.zip(Seq(1, 100))) {
+      val bytes = Array.tabulate(12)(i => (seed + i * 11) % 200 + 10)
+      assert(f.n_pixels === 8)
+      assert(f.y_sum === bytes.take(8).map(_.toLong).sum)
+      assert(f.y_peak === bytes.take(8).max)
+      assert(f.u_sum === bytes.slice(8, 10).map(_.toLong).sum)
+      assert(f.v_sum === bytes.slice(10, 12).map(_.toLong).sum)
+    }
+    // the spec's default colorspace (no C tag) is 420jpeg — same planes
+    val noC = ("YUV4MPEG2 W4 H2 F30:1\n".getBytes(US_ASCII)
+      ++ frame(1) ++ frame(100))
+    assert(new Y4mCodec().sampleFrames(noC, 1) === got)
+  }
+
+  test("Y4M loud failures: magic, colorspace, odd C420 dims, truncation") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](
+        new Y4mCodec().sampleFrames(b, 1)).getMessage
+    val ok = y4mBytesOf("x" * 96)
+    assert(msg("JUNK4MPEG2 W8 H4\nFRAME\n".getBytes(US_ASCII) ++
+      new Array[Byte](96)).contains("magic"))
+    assert(msg("YUV4MPEG2 W8 H4 C999\n".getBytes(US_ASCII))
+      .contains("unsupported"))
+    assert(msg("YUV4MPEG2 W3 H2 C420\nFRAME\n".getBytes(US_ASCII) ++
+      new Array[Byte](9)).contains("even dimensions"))
+    assert(msg("YUV4MPEG2 W8 H4\n".getBytes(US_ASCII)).contains("no frames"))
+    assert(msg(ok.dropRight(1)).contains("plane bytes"))
+    assert(msg(ok ++ "GARBAGE".getBytes(US_ASCII)).contains("FRAME header"))
+  }
 }

@@ -22,6 +22,12 @@ class ConstImageCodec extends ImageCodec {
     else ImageRaster(1, 1, Array[Byte]((p.length % 256).toByte, 0, 0))
 }
 
+class ConstVideoCodec extends VideoCodec {
+  def sampleFrames(p: Array[Byte], sampleEvery: Int): Array[VideoFrameStats] =
+    if (p == null) null
+    else Array(VideoFrameStats(0, 1, p.length.toLong, 7, 0L, 0L))
+}
+
 /** Smoke + invariants for the operator inventory over sf0.001. Value-level
   * correctness is enforced by the DuckDB oracle gate (scripts/
   * check_oracle.py); these specs pin the Spark-side invariants that the
@@ -323,6 +329,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(0) === expected)
     assert(r.getLong(1) === expected) // dropDuplicates kept one row per hash
     assert(r.getLong(2) === 0L && r.getBoolean(3))
+    assert(expected > 0L)
+  }
+
+  test("q37 streaming sessions match batch and the gaps-and-islands count") {
+    val r = Relational.q37StreamSessionGate(spark, sf).head
+    assert(r.getBoolean(2), "streamed sessions must equal batch session_window")
+    // independent truth: q21's gaps-and-islands split (> 30 min -> new)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val expected = graft.Tables.events(spark, sf)
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+      .select(sum(when(col("gap_us").isNull ||
+        col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L)).as("n"))
+      .head.getLong(0)
+    assert(r.getLong(0) === expected)
     assert(expected > 0L)
   }
 
@@ -1057,6 +1080,25 @@ class OperatorsSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.graft.codec.image")
     val realAgain = Multimodal.m03ImageStats(spark, sf).collect()
+    assert(realAgain.sameElements(real))
+  }
+
+  test("video decode seam: spark.graft.codec.video plugs a codec in") {
+    val real = Multimodal.m05VideoFrames(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(_.getInt(2) === 32)) // 8x4 luma plane
+    // frame indexes are the sampled (even) ones, per doc starting at 0
+    assert(real.forall(_.getInt(1) % 2 === 0))
+    spark.conf.set("spark.graft.codec.video", "graft.operators.ConstVideoCodec")
+    try {
+      val plugged = Multimodal.m05VideoFrames(spark, sf).collect()
+      assert(plugged.length < real.length) // one const frame per document
+      plugged.foreach { r =>
+        assert(r.getInt(1) === 0 && r.getInt(2) === 1) // frame_idx, n_pixels
+        assert(r.getInt(4) === 7)                      // y_peak
+        assert(r.getLong(5) === 0L)                    // u_sum
+      }
+    } finally spark.conf.unset("spark.graft.codec.video")
+    val realAgain = Multimodal.m05VideoFrames(spark, sf).collect()
     assert(realAgain.sameElements(real))
   }
 }

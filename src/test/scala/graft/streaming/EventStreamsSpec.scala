@@ -118,6 +118,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count(_._1 == 2L) === 1)
   }
 
+  test("session windows: events exactly one gap apart MERGE (q37's oracle rule)") {
+    // the q37 oracle restates sessionization as gaps-and-islands splitting
+    // strictly ABOVE the gap (`ts - lag(ts) > 30 min`) — valid only if
+    // session_window's state merge treats a touching window [t+30m, ...)
+    // as part of [t, t+30m). Pin that boundary here, in both engines.
+    val events = Seq(
+      Ev(1, t(0), 1, "click", 1.0),
+      Ev(2, t(30), 1, "click", 1.0),  // exactly 30 min later -> same session
+      Ev(3, t(61), 1, "click", 1.0))  // 31 min after #2 -> new session
+    val out = runStream("sessions_edge", EventStreams.userSessions, events,
+        "complete")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq.sorted === Seq((1L, 1L), (1L, 2L)),
+      "exactly-gap events must merge; strictly-past-gap events must split")
+    // batch session_window (q37's comparison side) agrees byte-for-byte
+    import spark.implicits._
+    val batch = EventStreams.userSessions(events.toDF())
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.toSeq.sorted === out.toSeq.sorted)
+  }
+
   test("streaming dedup by event_id within watermark") {
     val events = Seq(
       Ev(1, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0),
