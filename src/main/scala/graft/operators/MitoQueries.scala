@@ -385,13 +385,76 @@ object MitoQueries {
       |WHERE l_orderkey % 4 = 3
       |  AND (l_partkey * 977) % 160000 + 1 BETWEEN 30001 AND 60000""".stripMargin
 
+  // ---------------------------------------------------------------- x07
+  /** x06's region scan through a `.csi` ONLY — and through a NON-default
+    * binning scheme (min_shift=12, depth=6: 4 kb leaf windows, 2^30
+    * coordinate cap), so the row exercises the generalized (min_shift,
+    * depth) arithmetic a long-contig `samtools index -c` BAM requires,
+    * not just the BAI-equivalent default. Same contract as x05/x06: the
+    * region aggregate is oracle-restated from the synthesis arithmetic
+    * and `pruned_ok` asserts the measured chunk-run bytes are a minority
+    * of the file. */
+  def x07CsiRegionGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BaiIndex, BamWriter, CsiIndex, HadoopIO, SamFilters}
+    val (lo, hi) = (100001, 130000) // ~19% of the start domain [1, 160000]
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("readName"),
+      lit(99).as("flag"),
+      lit("chr1").as("referenceName"),
+      ((col("l_partkey") * 613) % 160000 + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:1").as("attributes"))
+      .repartitionByRange(32, col("start"))
+      .sortWithinPartitions(col("start"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x07_$sfTag.bam"
+    BamWriter.write(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:200000\n",
+      Seq("chr1" -> 200000), out)
+    val conf = HadoopIO.driverConf()
+    CsiIndex.build(out, conf, minShift = 12, depth = 6)
+    val region = s.read.format("bam").load(out)
+      .where(col("referenceName") === "chr1" &&
+        col("start") >= lo && col("start") <= hi)
+    // byte accounting straight from the chunk runs the reader plans with
+    val csi = CsiIndex.read(out, conf)
+    val preds = Seq(SamFilters.RefNameEq("chr1"),
+      SamFilters.IntCmp("start", ">=", lo.toLong),
+      SamFilters.IntCmp("start", "<=", hi.toLong))
+    val (refId, beg, end) = BaiIndex.region(preds, Array("chr1"),
+      CsiIndex.maxPos(csi.minShift, csi.depth)).get
+    val runs = BaiIndex.memberRuns(CsiIndex.chunks(csi, refId, beg, end))
+    val fileLen = HadoopIO.lenAndMtime(out, conf).get._1
+    val keptBytes = runs.map { case (st, _, rend) =>
+      math.min(rend, fileLen) - st
+    }.sum
+    region.agg(count(lit(1)).as("n_region"),
+        sum(col("mapQ")).as("sum_mapq"))
+      .select(col("n_region"), col("sum_mapq"),
+        lit(runs.nonEmpty && keptBytes * 2 < fileLen).as("pruned_ok"))
+  }
+
+  val x07Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_region,
+      |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq,
+      |  true AS pruned_ok
+      |FROM lineitem
+      |WHERE l_orderkey % 4 = 1
+      |  AND (l_partkey * 613) % 160000 + 1 BETWEEN 100001 AND 130000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
     "x03_bam_roundtrip" -> (x03BamRoundTrip _),
     "x04_ml_score"      -> (x04MlScore _),
     "x05_bam_region_gate" -> (x05BamRegionGate _),
-    "x06_bai_region_gate" -> (x06BaiRegionGate _))
+    "x06_bai_region_gate" -> (x06BaiRegionGate _),
+    "x07_csi_region_gate" -> (x07CsiRegionGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -399,5 +462,6 @@ object MitoQueries {
     "x03_bam_roundtrip" -> x03Sql,
     "x04_ml_score" -> x04Sql,
     "x05_bam_region_gate" -> x05Sql,
-    "x06_bai_region_gate" -> x06Sql)
+    "x06_bai_region_gate" -> x06Sql,
+    "x07_csi_region_gate" -> x07Sql)
 }

@@ -100,6 +100,27 @@ class CsiIndexSpec extends SparkSpec {
     assert(CsiIndex.exists(bam, HadoopIO.driverConf()))
   }
 
+  test("x07 gate: .csi-only non-default scheme matches lineitem arithmetic") {
+    import graft.operators.MitoQueries
+    val sf = "/root/testdata/sf0.001"
+    val r = MitoQueries.x07CsiRegionGate(spark, sf).head()
+    assert(r.getAs[Boolean]("pruned_ok"),
+      ".csi region runs spanned half the sorted file or more")
+    val expected = graft.Tables.lineitem(spark, sf)
+      .where(col("l_orderkey") % 4 === 1 &&
+        ((col("l_partkey") * 613) % 160000 + 1).between(100001, 130000))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("int"))).head()
+    assert(r.getLong(0) === expected.getLong(0))
+    assert(r.getLong(1) === expected.getLong(1))
+    // neither a .gai nor a .bai may exist — the gate must have planned
+    // through the generalized-scheme CSI alone
+    val out = s"${HadoopIO.scratchDir(spark)}/graft_x07_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_") + ".bam"
+    assert(!BamIndex.exists(out, HadoopIO.driverConf()))
+    assert(!BaiIndex.exists(out, HadoopIO.driverConf()))
+    assert(CsiIndex.exists(out, HadoopIO.driverConf()))
+  }
+
   test("build refuses an unsorted BAM and an overflowing scheme loudly") {
     val dir = Files.createTempDirectory("csi")
     val dst = dir.resolve("sample_split.bam")
