@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.Tables
 import graft.functions.TextFns._
@@ -886,6 +887,134 @@ object Dedup {
       |  true AS incremental_matches_batch
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d19
+  /** The near-dup screen shared by d19's streaming and batch legs: shingle
+    * → native minhash signature → band keys, all per-row and STATELESS
+    * (the shingle array rides through the band explode, so no self-join —
+    * the streaming plan needs no stream-stream state); band-collide
+    * against the static history index (equi-join re-planned per
+    * micro-batch), size-prune losslessly, exact-verify by sorted
+    * intersect, and aggregate each colliding doc's best history Jaccard.
+    * Multi-band hits of the same pair recompute the same J; the max
+    * aggregation absorbs them without a stateful distinct. */
+  private def nearDupScreenVerdicts(in: DataFrame, histBands: DataFrame,
+      histSh: DataFrame, threshold: Double): DataFrame =
+    in.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("sig",
+        graft.functions.MinHashSigExpr.minhashSig(col("sh"), NumPerms))
+      .select(col("doc_id"), col("sh"), col("n_sh"),
+        explode(lshBands(col("sig"), NumPerms, RowsPerBand)).as("b"))
+      .select(col("doc_id"), col("sh"), col("n_sh"),
+        col("b.band").as("band"), col("b.key").as("key"))
+      .join(histBands, Seq("band", "key"))
+      .join(histSh, Seq("h_id"))
+      .where(col("h_n") * threshold <= col("n_sh") &&  // lossless size prune
+        col("n_sh") * threshold <= col("h_n"))
+      .withColumn("n_common",
+        graft.functions.IntersectCountExpr.intersectCountSorted(
+          col("sh"), col("h_sh")))
+      .withColumn("j", col("n_common").cast("double") /
+        (col("n_sh") + col("h_n") - col("n_common")))
+      .groupBy(col("doc_id")).agg(max(col("j")).as("max_j"))
+
+  /** Streaming near-dup SCREEN against a frozen history snapshot — the
+    * continuous-ingestion counterpart of [[incrementalNearDedupKeep]] and
+    * the near-dup analogue of q36's exact-hash stream dedup. New
+    * documents arrive as micro-batches (two staged files under a bounded
+    * trigger, so ingestion really replays as multiple batches); each is
+    * screened by [[nearDupScreenVerdicts]] and a complete-mode max-J
+    * aggregation emits each COLLIDING doc's verdict. Streaming state is
+    * that aggregate — band selectivity keeps it far below stream volume —
+    * and the history side holds no state at all (re-planned per batch; at
+    * 100 TB it is a bucketed band table, Bloom-prefilterable like d14).
+    * Within-stream near-dups are out of contract here: q36 drops
+    * in-stream exact dups, d18 catches near-dups between snapshot
+    * promotions.
+    *
+    * Contracts gated: every planted exact copy of a history doc is
+    * screened out (identical text ⇒ identical band keys ⇒ guaranteed
+    * collision, J = 1), and the streamed kept set EQUALS the identical
+    * batch formulation's (same declarative screen applied to the same
+    * frame, two-sided exceptAll) — micro-batching must not change the
+    * answer. */
+  def d19StreamNearDupGate(s: SparkSession, d: String): DataFrame = {
+    val threshold = 0.8
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    require(!maxRow.isNullAt(0), s"d19 gate needs a non-empty corpus at $d")
+    val cut = maxRow.getLong(0) / 2
+    val hist = docs.where(col("doc_id") < cut)
+    val base = hist.orderBy(col("doc_id").asc).limit(20)
+
+    // stage the corpus + a SECOND parquet of planted exact copies of the
+    // 20 lowest-id history docs (ids + 10^9, far above the cut)
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = s"${HadoopIO.scratchDir(s)}/graft_d19_$sfTag"
+    val srcPath = s"$d/documents.parquet"
+    HadoopIO.stageFile(srcPath, s"$stageDir/documents.parquet", conf)
+    val plantedBuild = s"${HadoopIO.scratchDir(s)}/graft_d19_build_$sfTag"
+    val planted = base
+      .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+    planted.coalesce(1).write.mode("overwrite").parquet(plantedBuild)
+    val part = HadoopIO.listScanTargets(plantedBuild, conf).map(_._1)
+      .filter(p => p.matches(".*/part-[^/]*\\.parquet"))
+    require(part.length == 1, s"expected one planted part file, got: $part")
+    HadoopIO.copy(part.head, s"$stageDir/planted.parquet", conf)
+
+    // frozen history index: band keys + shingles (static join sides)
+    val shHist = hist
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val histBands = bandedSignatures(shHist.select("doc_id", "sh"))
+      .select(col("band"), col("key"), col("doc_id").as("h_id"))
+    val histSh = shHist.select(col("doc_id").as("h_id"),
+      col("sh").as("h_sh"), col("n_sh").as("h_n"))
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1") // one staged file per micro-batch
+      .parquet(stageDir)
+      .where(col("doc_id") >= cut) // upper half + planted stream through
+    val tbl = "d19_streamed"
+    s.catalog.dropTempView(tbl)
+    val q = nearDupScreenVerdicts(stream, histBands, histSh, threshold)
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val incoming = docs.where(col("doc_id") >= cut).unionByName(planted)
+    val droppedStream = s.table(tbl)
+      .where(col("max_j") >= threshold).select("doc_id")
+    val keptStream = incoming.join(droppedStream, Seq("doc_id"), "left_anti")
+    val droppedBatch =
+      nearDupScreenVerdicts(incoming, histBands, histSh, threshold)
+        .where(col("max_j") >= threshold).select("doc_id")
+    val keptBatch = incoming.join(droppedBatch, Seq("doc_id"), "left_anti")
+
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(keptStream.where(col("doc_id") >= PlantOffset)
+        .agg(count(lit(1)).as("n_planted_kept")))
+      .crossJoin(setsMatch(
+        keptStream.select("doc_id"), keptBatch.select("doc_id")))
+      .select(col("n_planted"), col("n_planted_kept"),
+        col("sets_match").as("stream_matches_batch"))
+  }
+
+  val d19Sql: String =
+    """WITH hist AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id < (SELECT MAX(doc_id) FROM documents) // 2),
+      |base AS (SELECT doc_id FROM hist ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(0 AS BIGINT) AS n_planted_kept,
+      |  true AS stream_matches_batch
+      |FROM base""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -1037,7 +1166,8 @@ object Dedup {
     "d15_semantic_dedup_gate" -> (d15SemanticDedupGate _),
     "d16_cluster_reps" -> (d16ClusterReps _),
     "d17_rep_keep_gate" -> (d17RepKeepGate _),
-    "d18_incr_dedup_gate" -> (d18IncrDedupGate _))
+    "d18_incr_dedup_gate" -> (d18IncrDedupGate _),
+    "d19_stream_neardup_gate" -> (d19StreamNearDupGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1054,5 +1184,6 @@ object Dedup {
     "d15_semantic_dedup_gate" -> d15Sql,
     "d16_cluster_reps" -> d16Sql,
     "d17_rep_keep_gate" -> d17Sql,
-    "d18_incr_dedup_gate" -> d18Sql)
+    "d18_incr_dedup_gate" -> d18Sql,
+    "d19_stream_neardup_gate" -> d19Sql)
 }

@@ -349,6 +349,15 @@ class OperatorsSpec extends SparkSpec {
     assert(expected > 0L)
   }
 
+  test("d19 streaming near-dup screen: planted drops + batch equivalence") {
+    val r = Dedup.d19StreamNearDupGate(spark, sf).head
+    assert(r.getLong(0) === 20L)  // n_planted
+    assert(r.getLong(1) === 0L,   // every planted copy screened out
+      "a planted exact copy of a history doc survived the stream screen")
+    assert(r.getBoolean(2),
+      "micro-batched screen diverged from the batch formulation")
+  }
+
   test("d14 bloom-prefiltered dedup: exact keep set on known cross-half dups") {
     import spark.implicits._
     // odd ids 7 and 9 duplicate even ids 2 and 4; odd 11 duplicates odd 13
