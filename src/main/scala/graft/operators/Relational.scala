@@ -1045,6 +1045,58 @@ object Relational {
       |  true AS all_match
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Stream-STREAM join gate — the events file replayed through TWO
+    * independent file-source streams into
+    * [[graft.streaming.EventStreams.correlate]] (watermarked inner join
+    * on user with an event-time range bound: each left event matches
+    * right events in its trailing hour; state on both sides expires at
+    * watermark − bound, so it tracks the time window, not the stream).
+    * The matched pair set is deterministic, so unlike the other
+    * streaming gates this one is restated EXACTLY by a plain DuckDB
+    * self-join — order-independent integer aggregates (pair count,
+    * distinct left events, an id checksum) pin the full result set. The
+    * %4 user filter keeps the pair set gate-sized; it reaches both scans
+    * as a pushed predicate. */
+  def q38StreamJoinGate(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q38_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/events.parquet", conf)
+    def side(): DataFrame = {
+      val raw = s.readStream.schema(rawSchema).parquet(stageDir)
+      val ev =
+        if (rawSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+            .cast(TimestampType))
+        else raw.withColumn("ts", col("ts").cast(TimestampType))
+      ev.where(col("user_id") % 4 === 0)
+    }
+    val tbl = "q38_streamed"
+    s.catalog.dropTempView(tbl)
+    val q = graft.streaming.EventStreams.correlate(side(), side())
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(tbl).agg(
+      count(lit(1)).as("n_pairs"),
+      count_distinct(col("l_id")).as("n_left"),
+      sum(col("l_id") * 3 + col("r_id")).as("id_checksum"))
+  }
+
+  val q38Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(DISTINCT l.event_id) AS BIGINT) AS n_left,
+      |  CAST(SUM(l.event_id * 3 + r.event_id) AS BIGINT) AS id_checksum
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+      |WHERE l.user_id % 4 = 0 AND r.user_id % 4 = 0""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1083,7 +1135,8 @@ object Relational {
     "q34_adversarial_skew_join" -> (q34AdversarialSkewJoin _),
     "q35_stream_batch_gate" -> (q35StreamBatchGate _),
     "q36_stream_dedup_gate" -> (q36StreamDedupGate _),
-    "q37_stream_session_gate" -> (q37StreamSessionGate _))
+    "q37_stream_session_gate" -> (q37StreamSessionGate _),
+    "q38_stream_join_gate" -> (q38StreamJoinGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1122,5 +1175,6 @@ object Relational {
     "q34_adversarial_skew_join" -> q34Sql,
     "q35_stream_batch_gate" -> q35Sql,
     "q36_stream_dedup_gate" -> q36Sql,
-    "q37_stream_session_gate" -> q37Sql)
+    "q37_stream_session_gate" -> q37Sql,
+    "q38_stream_join_gate" -> q38Sql)
 }

@@ -349,6 +349,26 @@ class OperatorsSpec extends SparkSpec {
     assert(expected > 0L)
   }
 
+  test("q38 stream-stream join equals the batch range join exactly") {
+    val r = Relational.q38StreamJoinGate(spark, sf).head
+    val ev = graft.Tables.events(spark, sf)
+      .where(col("user_id") % 4 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val l = ev.select(col("event_id").as("l_id"), col("user_id"),
+      col("ts").as("l_ts"))
+    val rt = ev.select(col("event_id").as("r_id"),
+      col("user_id").as("r_user"), col("ts").as("r_ts"))
+    val batch = l.join(rt, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+        col("r_ts") <= col("l_ts"))
+      .agg(count(lit(1)), count_distinct(col("l_id")),
+        sum(col("l_id") * 3 + col("r_id"))).head
+    assert(r.getLong(0) === batch.getLong(0))
+    assert(r.getLong(1) === batch.getLong(1))
+    assert(r.getLong(2) === batch.getLong(2))
+    assert(r.getLong(0) > 0L)
+  }
+
   test("d19 streaming near-dup screen: planted drops + batch equivalence") {
     val r = Dedup.d19StreamNearDupGate(spark, sf).head
     assert(r.getLong(0) === 20L)  // n_planted
