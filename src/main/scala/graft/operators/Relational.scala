@@ -1097,6 +1097,72 @@ object Relational {
       |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
       |WHERE l.user_id % 4 = 0 AND r.user_id % 4 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Custom-state gate — [[graft.streaming.EventStreams.runningUserTotals]]
+    * (`flatMapGroupsWithState`, the one streaming feature the other gates
+    * don't reach) driven at driver visibility. The events file is staged
+    * TWICE and replayed one file per micro-batch, so each user's state
+    * must accumulate ACROSS batches: the final stat per user is exactly
+    * 2× the batch aggregate (counts exact; the double sum within 1e-9
+    * relative — streaming adds in arrival order). The final row per user
+    * is selected by max-struct on the monotone update stream, so the gate
+    * also pins that every batch emitted an update. State is one small
+    * struct per user (O(users)); the expiring variant that BOUNDS it is
+    * spec-covered (EventStreamsSpec). */
+  def q39StreamStateGate(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q39_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/events_a.parquet", conf)
+    HadoopIO.stageFile(path, s"$stageDir/events_b.parquet", conf)
+    val raw = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // one staged copy per micro-batch
+      .parquet(stageDir)
+    val events =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(TimestampType))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    import s.implicits._
+    val typed = events.as[graft.streaming.Event]
+    val tbl = "q39_streamed"
+    s.catalog.dropTempView(tbl)
+    val q = graft.streaming.EventStreams.runningUserTotals(typed).toDF()
+      .writeStream.format("memory").queryName(tbl).outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // per-user FINAL stat: n is strictly increasing (every batch holds
+    // every user), so the max-n struct is the last update
+    val finals = s.table(tbl)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("total"))).as("m"))
+      .select(col("user_id"), col("m.n").as("sn"), col("m.total").as("sv"))
+    val batch = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((count(lit(1)) * 2).as("bn"),
+        (sum(col("value")) * 2).as("bv"))
+    finals.join(batch, Seq("user_id"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("sn")).as("sum_n"),
+        (count(lit(1)) === sum(when(
+          col("sn").isNotNull && col("bn").isNotNull &&
+            (col("sn") === col("bn")) &&
+            (abs(col("sv") - col("bv")) <=
+              greatest(abs(col("bv")) * 1e-9, lit(1e-9))),
+          1).otherwise(0))).as("all_match"))
+  }
+
+  val q39Sql: String =
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS sum_n,
+      |  true AS all_match
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1136,7 +1202,8 @@ object Relational {
     "q35_stream_batch_gate" -> (q35StreamBatchGate _),
     "q36_stream_dedup_gate" -> (q36StreamDedupGate _),
     "q37_stream_session_gate" -> (q37StreamSessionGate _),
-    "q38_stream_join_gate" -> (q38StreamJoinGate _))
+    "q38_stream_join_gate" -> (q38StreamJoinGate _),
+    "q39_stream_state_gate" -> (q39StreamStateGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1176,5 +1243,6 @@ object Relational {
     "q35_stream_batch_gate" -> q35Sql,
     "q36_stream_dedup_gate" -> q36Sql,
     "q37_stream_session_gate" -> q37Sql,
-    "q38_stream_join_gate" -> q38Sql)
+    "q38_stream_join_gate" -> q38Sql,
+    "q39_stream_state_gate" -> q39Sql)
 }

@@ -369,6 +369,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(0) > 0L)
   }
 
+  test("q39 flatMapGroupsWithState accumulates across the two replayed batches") {
+    val r = Relational.q39StreamStateGate(spark, sf).head
+    val ev = graft.Tables.events(spark, sf)
+    assert(r.getLong(0) === ev.select("user_id").distinct().count())
+    assert(r.getLong(1) === 2L * ev.count())
+    assert(r.getBoolean(2),
+      "per-user final state diverged from 2x the batch aggregate")
+  }
+
   test("d19 streaming near-dup screen: planted drops + batch equivalence") {
     val r = Dedup.d19StreamNearDupGate(spark, sf).head
     assert(r.getLong(0) === 20L)  // n_planted
