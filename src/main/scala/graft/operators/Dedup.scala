@@ -897,8 +897,8 @@ object Dedup {
     * intersect, and aggregate each colliding doc's best history Jaccard.
     * Multi-band hits of the same pair recompute the same J; the max
     * aggregation absorbs them without a stateful distinct. */
-  private def nearDupScreenVerdicts(in: DataFrame, histBands: DataFrame,
-      histSh: DataFrame, threshold: Double): DataFrame =
+  private[operators] def nearDupScreenVerdicts(in: DataFrame,
+      histBands: DataFrame, histSh: DataFrame, threshold: Double): DataFrame =
     in.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .withColumn("sig",
@@ -982,9 +982,16 @@ object Dedup {
       .where(col("doc_id") >= cut) // upper half + planted stream through
     val tbl = "d19_streamed"
     s.catalog.dropTempView(tbl)
-    val q = nearDupScreenVerdicts(stream, histBands, histSh, threshold)
-      .writeStream.format("memory").queryName(tbl).outputMode("complete")
-      .start()
+    // state store open/commit cost per micro-batch scales with shuffle
+    // partitions (q38 note) — size the streaming leg to the stream volume
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        nearDupScreenVerdicts(stream, histBands, histSh, threshold)
+          .writeStream.format("memory").queryName(tbl).outputMode("complete")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try q.processAllAvailable() finally q.stop()
 
     val incoming = docs.where(col("doc_id") >= cut).unionByName(planted)

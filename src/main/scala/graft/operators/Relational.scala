@@ -1009,9 +1009,16 @@ object Relational {
     s.catalog.dropTempView(tbl)
     // complete mode: every session (open or closed) is in the final table,
     // so the one-shot replay needs no watermark advance past the tail
-    val q = graft.streaming.EventStreams.userSessions(events)
-      .writeStream.format("memory").queryName(tbl).outputMode("complete")
-      .start()
+    // state store open/commit cost per micro-batch scales with shuffle
+    // partitions (q38 note) — size them to the stream volume
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.EventStreams.userSessions(events)
+          .writeStream.format("memory").queryName(tbl).outputMode("complete")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try q.processAllAvailable() finally q.stop()
     val streamed = s.table(tbl).select(
       col("s_start"), col("s_end"), col("user_id"),
@@ -1056,7 +1063,7 @@ object Relational {
     * streaming gates this one is restated EXACTLY by a plain DuckDB
     * self-join — order-independent integer aggregates (pair count,
     * distinct left events, an id checksum) pin the full result set. The
-    * %4 user filter keeps the pair set gate-sized; it reaches both scans
+    * %8 user filter keeps the pair set gate-sized; it reaches both scans
     * as a pushed predicate. */
   def q38StreamJoinGate(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1074,13 +1081,23 @@ object Relational {
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
             .cast(TimestampType))
         else raw.withColumn("ts", col("ts").cast(TimestampType))
-      ev.where(col("user_id") % 4 === 0)
+      ev.where(col("user_id") % 8 === 0)
     }
     val tbl = "q38_streamed"
     s.catalog.dropTempView(tbl)
-    val q = graft.streaming.EventStreams.correlate(side(), side())
-      .writeStream.format("memory").queryName(tbl).outputMode("append")
-      .start()
+    // a stream-stream join keeps TWO state stores per shuffle partition;
+    // store open/commit cost per micro-batch scales with the partition
+    // count, not the data, so size partitions to the stream volume (the
+    // generic 32 costs ~2x the whole gate here). Session conf restored
+    // after the query starts — it is read at stream start.
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.EventStreams.correlate(side(), side())
+          .writeStream.format("memory").queryName(tbl).outputMode("append")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try q.processAllAvailable() finally q.stop()
     s.table(tbl).agg(
       count(lit(1)).as("n_pairs"),
@@ -1095,7 +1112,7 @@ object Relational {
       |FROM events l JOIN events r
       |  ON l.user_id = r.user_id
       |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
-      |WHERE l.user_id % 4 = 0 AND r.user_id % 4 = 0""".stripMargin
+      |WHERE l.user_id % 8 = 0 AND r.user_id % 8 = 0""".stripMargin
 
   // ---------------------------------------------------------------- q39
   /** Custom-state gate — [[graft.streaming.EventStreams.runningUserTotals]]
@@ -1131,9 +1148,15 @@ object Relational {
     val typed = events.as[graft.streaming.Event]
     val tbl = "q39_streamed"
     s.catalog.dropTempView(tbl)
-    val q = graft.streaming.EventStreams.runningUserTotals(typed).toDF()
-      .writeStream.format("memory").queryName(tbl).outputMode("update")
-      .start()
+    // state store per shuffle partition (q38 note): size to the stream
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.EventStreams.runningUserTotals(typed).toDF()
+          .writeStream.format("memory").queryName(tbl).outputMode("update")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try q.processAllAvailable() finally q.stop()
     // per-user FINAL stat: n is strictly increasing (every batch holds
     // every user), so the max-n struct is the last update

@@ -352,7 +352,7 @@ class OperatorsSpec extends SparkSpec {
   test("q38 stream-stream join equals the batch range join exactly") {
     val r = Relational.q38StreamJoinGate(spark, sf).head
     val ev = graft.Tables.events(spark, sf)
-      .where(col("user_id") % 4 === 0)
+      .where(col("user_id") % 8 === 0)
       .select(col("event_id"), col("user_id"), col("ts"))
     val l = ev.select(col("event_id").as("l_id"), col("user_id"),
       col("ts").as("l_ts"))
@@ -385,6 +385,40 @@ class OperatorsSpec extends SparkSpec {
       "a planted exact copy of a history doc survived the stream screen")
     assert(r.getBoolean(2),
       "micro-batched screen diverged from the batch formulation")
+  }
+
+  test("d19 streaming plan: every join is stream-static, no stream-stream state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.functions.TextFns
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamIn = src.toDF().toDF("doc_id", "text")
+    val histDocs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val shHist = histDocs
+      .select(col("doc_id"), TextFns.shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val histBands = shHist
+      .withColumn("sig", TextFns.minhashSignature(col("sh"), 32))
+      .select(col("doc_id").as("h_id"),
+        explode(TextFns.lshBands(col("sig"), 32, 8)).as("b"))
+      .select(col("b.band").as("band"), col("b.key").as("key"), col("h_id"))
+    val histSh = shHist.select(col("doc_id").as("h_id"),
+      col("sh").as("h_sh"), col("n_sh").as("h_n"))
+    val verdicts = Dedup.nearDupScreenVerdicts(streamIn, histBands, histSh, 0.8)
+    assert(verdicts.isStreaming)
+    // the shingle array rides through the band explode instead of being
+    // re-joined, so NO join may have two streaming sides — the property
+    // that keeps d19's state at the max-J aggregate only
+    val joins = verdicts.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(!(j.left.isStreaming && j.right.isStreaming),
+        "found a stream-stream join in the d19 screen plan")
+    }
   }
 
   test("d14 bloom-prefiltered dedup: exact keep set on known cross-half dups") {
