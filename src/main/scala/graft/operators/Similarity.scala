@@ -711,6 +711,37 @@ object Similarity {
       |        AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** Per-label embedding centroids — the reduction every clustering /
+    * semantic-dedup / class-prototype pipeline runs over the corpus.
+    * `posexplode` fans each vector into (dim, value) rows; the (label,
+    * dim) hash aggregate has ≤ labels × dims groups, so partial (map-side)
+    * aggregation collapses the fan-out before the exchange and the
+    * shuffle carries only the tiny group table — the 100 TB shape.
+    * Means are decimal-exact sums (s03's discipline: float → double is
+    * exact widening, double → DECIMAL(38,10) is the same deterministic
+    * truncation in both engines) divided once. */
+  def s11LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Det._
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(davg(col("v").cast("double"), 10), 6).as("c"))
+      .orderBy("label", "dim")
+  }
+
+  val s11Sql: String =
+    """WITH e AS (
+      |  SELECT label, unnest(range(0, len(embedding))) AS dim,
+      |    embedding AS emb
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(CAST(CAST(emb[CAST(dim + 1 AS BIGINT)] AS DOUBLE)
+      |    AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS c
+      |FROM e GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -721,7 +752,8 @@ object Similarity {
     "s07_ann_ivf_bucketed" -> (s07AnnIvfBucketed _),
     "s08_pq_gate"    -> (s08PqGate _),
     "s09_ivfadc_gate" -> (s09IvfAdcGate _),
-    "s10_ivfadc_rerank_gate" -> (s10IvfAdcRerankGate _))
+    "s10_ivfadc_rerank_gate" -> (s10IvfAdcRerankGate _),
+    "s11_label_centroids" -> (s11LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -731,5 +763,6 @@ object Similarity {
     "s07_ann_ivf_bucketed" -> s07Sql,
     "s08_pq_gate"     -> s08Sql,
     "s09_ivfadc_gate" -> s09Sql,
-    "s10_ivfadc_rerank_gate" -> s10Sql)
+    "s10_ivfadc_rerank_gate" -> s10Sql,
+    "s11_label_centroids" -> s11Sql)
 }
