@@ -33,6 +33,8 @@ object Profile {
     }
     if (sys.env.contains("PROFILE_EXPLAIN"))
       fn(spark, sfDir).explain("formatted")
+    if (sys.env.contains("PROFILE_SHOW"))
+      fn(spark, sfDir).show(100, truncate = false)
     spark.stop()
   }
 }

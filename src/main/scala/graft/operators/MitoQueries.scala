@@ -447,6 +447,154 @@ object MitoQueries {
       |WHERE l_orderkey % 4 = 1
       |  AND (l_partkey * 613) % 160000 + 1 BETWEEN 100001 AND 130000""".stripMargin
 
+  // ---------------------------------------------------------------- x08
+  /** The reference's actual PRODUCT, end-to-end at driver visibility
+    * (`MTClassify.scala:131-213`): BAM-in → feature build (SAM tags + MD
+    * variants + LD pair scoring + NUMT overlap) → RF scoring → confidence
+    * + prediction filter → left-semi against the records file → single-file
+    * BAM out — one `MitoPipeline.run` call over a synthesized cohort whose
+    * three input BAMs, LD table and NUMT table are all derived from
+    * `lineitem`, so the OUTPUT FILE's record aggregate is restatable as
+    * lineitem arithmetic.
+    *
+    * Determinism argument (x04's separable-feature technique, now driven
+    * through the real feature pipeline instead of a fixture frame): each
+    * read's class is `l_partkey % 2`; class 1 ("NUMT", dropped) reads carry
+    * MD variants whose pair the synthesized LD table scores 0.42→42000 and
+    * per-mate NM of 5..7, class 0 ("mtDNA", kept) reads score LD=0 with NM
+    * 0..2 — two independently separating margins (LD 0 vs 42000, MTEditDist
+    * 0-4 vs 10-14). The RF trains on a `spark.range` fixture generated by
+    * the SAME rule over the same feature supports, so every informative
+    * tree isolates the margin, predictions equal the generating rule, and
+    * MaxProb clears the 0.9 gate. The oracle then counts the class-0
+    * records. Correctness pins the full composition: a record wrongly
+    * dropped (scoring), wrongly kept (semi-join), or mis-encoded (sink)
+    * flips the hash when the written BAM is scanned back. */
+  def x08PipelineGate(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.{Classify, MitoPipeline}
+    import graft.sources.{BamWriter, HadoopIO}
+    import org.apache.spark.sql.Column
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x08_$sfTag"
+    val prefix = s"$root/sample"
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 2)
+    val cls = col("l_partkey") % 2 // 1 = NUMT (dropped), 0 = mtDNA (kept)
+    val rid = concat(lit("r"), col("l_orderkey"), lit("_"),
+      col("l_linenumber"), lit("_"), col("l_partkey"), lit("_"),
+      col("l_suppkey"))
+    val p = (col("l_partkey") % 1000 + 1).cast("int")
+
+    // <prefix>_MT_MD.bam: two valid mates per read on chrM, sequences in
+    // `samtools calmd -e` convention (matched bases '=' — the reference's
+    // MD-parse precondition, MdParser doc). Class-1 reads carry MD 2A7
+    // (read base G at offset 2 → genome-absolute variants (start+2)G: the
+    // mate pair {(p+2)G, (p+502)G} is exactly one LD-table entry). NM/NH
+    // supply the MTEditDist margin and MTNumAlignments noise.
+    def mtMd(flag: Int, off: Int) = struct(
+      rid.as("readName"), lit(flag).as("flag"),
+      lit("chrM").as("referenceName"), (p + off).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"), lit(0).as("pnext"),
+      lit(0).as("tlen"),
+      when(cls === 1, lit("==G=======")).otherwise(lit("=========="))
+        .as("sequence"),
+      lit("*").as("qual"),
+      concat(lit("NM:i:"), cls * 5 + col("l_suppkey") % 3,
+        lit(" NH:i:"), lit(1) + col("l_linenumber") % 2,
+        lit(" MD:Z:"),
+        when(cls === 1, lit("2A7")).otherwise(lit("10"))).as("attributes"))
+    val chrM = "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n"
+    BamWriter.write(
+      li.select(explode(array(mtMd(99, 0), mtMd(147, 500))).as("r"))
+        .select(col("r.*")),
+      chrM, Seq("chrM" -> 16569), prefix + "_MT_MD.bam")
+
+    // <prefix>_NT.bam: one valid record per read on a nuclear chromosome —
+    // NTEditDist/NTNumAlignments noise, NTScore from real interval overlap.
+    val ntRefs = (1 to 5).map(i => s"chr$i" -> 100000)
+    val ntHeader = "@HD\tVN:1.6\n" +
+      ntRefs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString
+    BamWriter.write(
+      li.select(rid.as("readName"), lit(99).as("flag"),
+        concat(lit("chr"), col("l_suppkey") % 5 + 1).as("referenceName"),
+        (col("l_partkey") % 2000 + 1).cast("int").as("start"),
+        (col("l_discount") * 100).cast("int").as("mapQ"),
+        lit("10M").as("cigar"), lit("=").as("rnext"), lit(0).as("pnext"),
+        lit(0).as("tlen"), lit("ACGTACGTAC").as("sequence"),
+        lit("*").as("qual"),
+        concat(lit("NM:i:"), col("l_suppkey") % 4,
+          lit(" NH:i:"), lit(1) + col("l_suppkey") % 3).as("attributes")),
+      ntHeader, ntRefs, prefix + "_NT.bam")
+
+    // <prefix>_MT.bam: the records the pipeline filters and re-emits.
+    def mtRec(flag: Int, off: Int) = struct(
+      rid.as("readName"), lit(flag).as("flag"),
+      lit("chrM").as("referenceName"), (p + off).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"), lit(0).as("pnext"),
+      lit(0).as("tlen"), lit("ACGTACGTAC").as("sequence"),
+      lit("*").as("qual"), lit("NM:i:1").as("attributes"))
+    BamWriter.write(
+      li.select(explode(array(mtRec(99, 0), mtRec(147, 500))).as("r"))
+        .select(col("r.*")),
+      chrM, Seq("chrM" -> 16569), prefix + "_MT.bam")
+
+    // LD + NUMT sidecar tables (driver-written, KB-sized dims by contract)
+    def writeText(path: String, text: String): Unit = {
+      val out = HadoopIO.create(path, HadoopIO.driverConf())
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    writeText(root + "/mitomap.ld",
+      (1 to 1000).map(q => s"${q + 2}G\t${q + 502}G\t0.42").mkString("\n") + "\n")
+    writeText(root + "/numts.tsv",
+      "chr1\t100\t600\t10\nchr2\t500\t1500\t5\nchr3\t0\t1000\t7\n")
+
+    // RF trained on a fixture generated by the same rule over the same
+    // feature supports (x04's wide-margin technique; sf-independent).
+    // Noise dims derive from j = id/2, NOT id: label is id's parity, so
+    // each j emits one row per label with IDENTICAL noise — zero
+    // label↔noise correlation, mirroring the scoring distribution where
+    // the noise columns (supp/line-derived) are independent of the class
+    // (part-derived). A parity-correlated noise dim would hand the trees
+    // a spurious perfect splitter that is pure noise at scoring time.
+    def m(c: Column, k: Int): Column = (c % k).cast("double")
+    val id = col("id")
+    val j = (id / 2).cast("long") // integer halving: '/' on longs is double division
+    val label = (id % 2).cast("double")
+    val train = s.range(4096).toDF().select(
+      label.as("label"),
+      (label * 10 + m(j, 3) * 2).as("MTEditDist"),
+      (label * 42000).as("LD"),
+      m(j * 7, 4).as("NTEditDist"),
+      element_at(array(lit(0.0), lit(5.0), lit(7.0), lit(10.0)),
+        ((j * 3) % 4 + 1).cast("int")).as("NTScore"),
+      (lit(2) + m(j, 2) * 2).as("MTNumAlignments"),
+      (lit(1) + m(j * 5, 3)).as("NTNumAlignments"),
+      concat(lit("r"), id).as("Read"))
+    val model = Classify.trainRF(train, numTrees = 64, seed = 7L)
+
+    MitoPipeline.run(s,
+      MitoPipeline.Config(prefix, root + "/classified.bam",
+        root + "/mitomap.ld", root + "/numts.tsv", prob = 0.9),
+      model)
+
+    // the gate checks the written ARTIFACT, not the returned frame: scan
+    // the classified single-file BAM back through the binary source
+    s.read.format("bam").load(root + "/classified.bam")
+      .agg(count(lit(1)).as("n_out"),
+        sum(col("start")).as("sum_start"),
+        sum(col("mapQ")).as("sum_mapq"))
+  }
+
+  /** Oracle from the synthesis arithmetic: exactly the class-0 reads'
+    * two MT records survive (starts p and p+500, mapQ l_quantity each). */
+  val x08Sql: String =
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_out,
+      |  CAST(SUM(2 * (l_partkey % 1000 + 1) + 500) AS BIGINT) AS sum_start,
+      |  CAST(2 * SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq
+      |FROM lineitem
+      |WHERE l_orderkey % 4 = 2 AND l_partkey % 2 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -454,7 +602,8 @@ object MitoQueries {
     "x04_ml_score"      -> (x04MlScore _),
     "x05_bam_region_gate" -> (x05BamRegionGate _),
     "x06_bai_region_gate" -> (x06BaiRegionGate _),
-    "x07_csi_region_gate" -> (x07CsiRegionGate _))
+    "x07_csi_region_gate" -> (x07CsiRegionGate _),
+    "x08_pipeline_gate"   -> (x08PipelineGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -463,5 +612,6 @@ object MitoQueries {
     "x04_ml_score" -> x04Sql,
     "x05_bam_region_gate" -> x05Sql,
     "x06_bai_region_gate" -> x06Sql,
-    "x07_csi_region_gate" -> x07Sql)
+    "x07_csi_region_gate" -> x07Sql,
+    "x08_pipeline_gate" -> x08Sql)
 }
