@@ -114,8 +114,25 @@ object Bench {
       if (v < 0) "-1"
       else new java.math.BigDecimal(v)
         .round(new java.math.MathContext(sig)).toPlainString
+    // resolution floor (VERDICT r8 §wrong-1): sub-10 s queries keep ONE
+    // DECIMAL even at the last degradation tier — 1-sig rounding ("3" for
+    // 2.8) made round-over-round deltas below ~30% unreadable. ≥10 s
+    // rounds to whole seconds (sub-second resolution is noise there).
+    def fmtDec1(v: Double): String =
+      if (v < 0) "-1"
+      else if (v < 9.95) new java.math.BigDecimal(v)
+        .setScale(1, java.math.RoundingMode.HALF_UP).toPlainString
+      else new java.math.BigDecimal(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).toPlainString
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
+    // gate wall-time reported apart from operator wall-time (VERDICT r8):
+    // the `_gate` rows are CORRECTNESS plumbing (planted fixtures, stream
+    // replays, train+write+readback pipelines) whose cost tracks suite
+    // growth, not engine speed — without this split every added gate reads
+    // as a bench regression in `value`
+    val gatesTotal = names.filter(_.endsWith("_gate"))
+      .map(warm).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     def line(sig: Int, slim: Boolean): String = {
       // slim drops the `_gate` rows from the per-query map: gates are
@@ -125,31 +142,39 @@ object Bench {
       // and `gates_omitted` records the cut so a reader knows the map is
       // partial — each omitted row buys ~30 chars of tail-budget headroom
       val qNames = if (slim) names.filterNot(_.endsWith("_gate")) else names
-      val qs = qNames.map(n => s""""$n":${fmt(warm(n), sig)}""")
+      // sig == 0 selects the one-decimal floor formatter
+      def f(v: Double): String = if (sig == 0) fmtDec1(v) else fmt(v, sig)
+      val qs = qNames.map(n => s""""$n":${f(warm(n))}""")
         .mkString("{", ",", "}")
       val extras = if (slim) s""""gates_omitted":${names.length - qNames.length},"""
-        else s""""cold_total":${fmt(coldTotal, sig)},"s04_index_build":${fmt(idxBuild, sig)},"""
+        else s""""cold_total":${f(coldTotal)},"s04_index_build":${f(idxBuild)},"""
       // an empty failed list carries no signal — omit it at slim level;
       // likewise the sf path shrinks to its basename (every saved char is
       // tail-budget headroom for the line the driver must parse whole)
       val failedField = if (slim && failed.isEmpty) "" else s""""failed":$failedJson,"""
       val sf = if (slim) sfDir.split('/').last else sfDir
-      s"""{"metric":"total","value":${fmt(total, sig)},"p50_total":${fmt(p50Total, sig)},"unit":"sec","queries":$qs,$extras"noise":${fmt(noise, sig)},$failedField"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},"p50_total":${f(p50Total)},"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$extras"noise":${f(noise)},$failedField"sf":"$sf"}"""
     }
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail
-    // accept ≤ 1800: line + sbt's "[info] " prefix (7) + "[success]"
-    // epilogue (~75) + one stray stop-time log line must all fit the
-    // consumer's 2000-char stdout tail
-    // final 1-sig-digit tier: ~2 chars/query coarser but still parseable —
-    // the r8 slim line measured 1784/1800, one added query from overflow
-    val out = Seq(line(3, false), line(2, false), line(2, true), line(1, true))
-      .find(_.length <= 1800).getOrElse {
-        // even the slim form outgrew the consumer's tail: emit it anyway
-        // (stderr is not tail-parsed) but make the overflow loud instead
-        // of silently regressing to the parsed:null failure mode
-        System.err.println(s"[bench] WARNING: slim JSON line is " +
-          s"${line(1, true).length} chars > 1800 — driver tail parse at risk")
+    // accept ≤ 1880: only sbt's "[info] " prefix (7) and "[success]"
+    // epilogue (~75) follow the line inside the tail — spark.stop() runs
+    // BEFORE println, so stray stop-time log lines land ahead of the JSON
+    // line, never after it; 1880 + 7 + ~75 ≈ 1962 keeps a ~40-char cushion
+    // (r8's 1800 cap left 200 for a contingency that cannot occur and
+    // paid for it in resolution)
+    // sig=0 tier = the one-decimal floor (fmtDec1): never wider than the
+    // 2-sig slim form (sub-1 s values shrink "0.47"→"0.5") and never
+    // coarser than one decimal below 10 s — the r8 1-sig tier's
+    // "3"-for-2.8 unreadability is gone; 1-sig survives only as the loud
+    // last resort
+    val out = Seq(line(3, false), line(2, false), line(2, true), line(0, true))
+      .find(_.length <= 1880).getOrElse {
+        // even the one-decimal slim form outgrew the consumer's tail: fall
+        // to 1-sig but make it loud instead of silently regressing
+        // resolution (and, at worst, the parsed:null failure mode)
+        System.err.println(s"[bench] WARNING: one-decimal slim JSON line is " +
+          s"${line(0, true).length} chars > 1880 — falling back to 1-sig")
         line(1, true)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
