@@ -55,6 +55,31 @@ object Bgzf {
     -1
   }
 
+  /** Last member boundary strictly BEFORE `at` (`at` must itself be a
+    * member boundary, or EOF). A member's total compressed size is at most
+    * 65536 (BSIZE is uint16), so the previous boundary lives within one
+    * 64 KiB(+1) window behind `at`: scan forward from there and walk the
+    * member chain up to `at`. Used by the compressed-text reader's
+    * newline sync (the split protocol's seek(start-1) equivalent). */
+  def prevMemberStart(f: SeekableFile, at: Long, fileLen: Long): Long = {
+    require(at > 0, s"no BGZF member precedes offset $at")
+    var cur = nextMemberStart(f, math.max(0L, at - 65537), fileLen)
+    if (cur >= at) throw new IOException(
+      s"no BGZF member boundary found before offset $at")
+    val hdr = new Array[Byte](18)
+    while (true) {
+      val n = f.readAtFully(cur, hdr)
+      val len = memberLength(hdr, 0, n)
+      if (len <= 0) throw new IOException(
+        s"corrupt BGZF member chain at $cur walking to $at")
+      if (cur + len == at) return cur
+      if (cur + len > at) throw new IOException(
+        s"BGZF member at $cur spans $at — not a member boundary")
+      cur += len
+    }
+    0L // unreachable
+  }
+
   /** First BGZF member boundary at-or-after `from`, found by scanning the
     * compressed bytes for a header whose BSIZE chains to another valid
     * header (or to end-of-file). Returns `fileLen` if none. O(distance to
@@ -106,6 +131,11 @@ class BgzfInputStream(f: SeekableFile, startOffset: Long) extends InputStream {
 
   /** (memberStart, offset-in-member) of the next unread byte. */
   def virtualPos: (Long, Int) = { ensure(); if (pos < len) (curMember, pos) else (nextMember, 0) }
+
+  /** Unserved payload bytes of the member containing the next unread byte
+    * (0 only at end-of-stream — [[ensure]] auto-loads across boundaries and
+    * skips empty members). */
+  def memberRemaining: Int = { ensure(); len - pos }
 
   private def ensure(): Unit =
     while (pos >= len && nextMember < fileLen) loadMember()

@@ -91,11 +91,38 @@ object SamDataSource {
       .filterNot { case (p, _) =>
         p.endsWith(".gai") || p.endsWith(".bai") || p.endsWith(".csi") }
       .flatMap { case (p, size) =>
-      if (size <= splitSize) Seq(SamInputPartition(p, 0L, Long.MaxValue))
+      val codec = fileCodec(p, conf)
+      if (codec == "gzip" || size <= splitSize)
+        Seq(SamInputPartition(p, 0L, Long.MaxValue, codec))
       else (0L until size by splitSize).map(s =>
-        SamInputPartition(p, s, math.min(s + splitSize, size)))
+        SamInputPartition(p, s, math.min(s + splitSize, size), codec))
     }.map(p => p: InputPartition).toArray
   }
+
+  /** Compression sniff for SAM text: "bgzf" (gzip + BC extra subfield —
+    * splittable at member boundaries, so a 300 GB bgzip'd `.sam.gz` still
+    * scans with full cluster parallelism), "gzip" (single-stream, not
+    * seekable — degrades to ONE whole-file split rather than failing or
+    * mis-decoding), or "plain". Extension-gated so uncompressed files cost
+    * no extra I/O; a BGZF file whose extra field outgrows the standard
+    * 6-byte layout reads as "gzip" — still decoded correctly (BGZF IS
+    * gzip), just unsplit. */
+  def fileCodec(path: String,
+      conf: org.apache.hadoop.conf.Configuration): String =
+    if (!path.endsWith(".gz") && !path.endsWith(".bgz")) "plain"
+    else {
+      val in = HadoopIO.open(path, conf)
+      try {
+        val hdr = new Array[Byte](18)
+        var got = 0
+        var r = 0
+        while (got < hdr.length && r >= 0) {
+          r = in.read(hdr, got, hdr.length - got)
+          if (r > 0) got += r
+        }
+        if (Bgzf.memberLength(hdr, 0, got) > 0) "bgzf" else "gzip"
+      } finally in.close()
+    }
 }
 
 class SamTable(properties: Map[String, String]) extends Table with SupportsRead {
@@ -146,38 +173,44 @@ class SamScan(paths: Seq[String], splitSize: Long, required: StructType,
 }
 
 /** A byte range [start, end) of one file (shared by the sam and bam
-  * sources; end = Long.MaxValue means "whole file"). */
-case class SamInputPartition(path: String, start: Long, end: Long)
-    extends InputPartition
+  * sources; end = Long.MaxValue means "whole file"). `codec` is the
+  * sam-text compression sniffed at planning time ("plain"/"bgzf"/"gzip");
+  * the bam source ignores it (BAM is always BGZF). */
+case class SamInputPartition(path: String, start: Long, end: Long,
+    codec: String = "plain") extends InputPartition
 
 class SamReaderFactory(fields: Array[String], preds: Seq[SamFilters.Pred],
     conf: HadoopIO.ConfBox) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    new SamPartitionReader(p.path, p.start, p.end, fields, preds, conf)
+    new SamPartitionReader(p.path, p.start, p.end, p.codec, fields, preds, conf)
   }
 }
 
-class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
-    fields: Array[String], preds: Seq[SamFilters.Pred], conf: HadoopIO.ConfBox)
-    extends PartitionReader[InternalRow] {
+/** Feeds the lines a split OWNS to the record decoder; null at end of the
+  * owned range. Each codec has its own ownership/sync protocol (see the
+  * implementations), but all deliver exactly-once line streams across
+  * neighbouring splits. */
+private[sources] trait SamLineIter extends AutoCloseable {
+  def readLine(): String
+}
 
-  // Hadoop FS open + seek straight to the split start (a seek is O(1) on
-  // every store; the old local-only path skip-read from offset 0).
+/** Uncompressed text: a line is owned by the split containing its first
+  * byte. Hadoop FS open + seek straight to the split start (a seek is
+  * O(1) on every store). Newline sync: seek to start-1 and discard
+  * through the first newline; if the byte at start-1 already IS a
+  * newline, the line starting exactly at `start` is ours. */
+private[sources] final class PlainLineIter(path: String, rangeStart: Long,
+    rangeEnd: Long, conf: org.apache.hadoop.conf.Configuration)
+    extends SamLineIter {
   private val in: java.io.BufferedInputStream = {
-    val raw = HadoopIO.open(path, conf.conf)
+    val raw = HadoopIO.open(path, conf)
     if (rangeStart > 0) raw.seek(rangeStart - 1)
     new java.io.BufferedInputStream(raw, 1 << 16)
   }
-  /** Byte offset of the next unread byte (tracked by hand — a line is
-    * owned by the split containing its first byte). */
+  /** Byte offset of the next unread byte (tracked by hand). */
   private var offset = if (rangeStart > 0) rangeStart - 1 else 0L
-  private var current: InternalRow = _
 
-  // Newline sync: a split starting mid-file owns a line iff the byte
-  // before the line's first byte is '\n'. Seek to start-1 and discard
-  // through the first newline; if the byte at start-1 already IS a
-  // newline, the line starting exactly at `start` is ours.
   locally {
     if (rangeStart > 0) {
       var b = read1()
@@ -191,23 +224,10 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     b
   }
 
-  override def next(): Boolean = {
-    while (true) {
-      var line = readLine()
-      while (line != null && (line.isEmpty || line.charAt(0) == '@' || line.trim.isEmpty))
-        line = readLine()
-      if (line == null) { current = null; return false }
-      val row = decode(line)
-      if (row != null) { current = row; return true }
-      // else: pushed filter rejected the record — read on
-    }
-    false
-  }
-
   /** Reads the next line owned by this split (first byte < rangeEnd),
     * running past rangeEnd only to complete it. Returns null at range end
     * or EOF. */
-  private def readLine(): String = {
+  override def readLine(): String = {
     if (offset >= rangeEnd) return null
     val sb = new java.lang.StringBuilder(160)
     var b = read1()
@@ -216,6 +236,128 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     val n = sb.length()
     if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
     sb.toString
+  }
+
+  override def close(): Unit = in.close()
+}
+
+/** Single-stream gzip: not seekable, so the file is one whole-file split
+  * (planSplits guarantees it) and this iter simply streams every line.
+  * Multi-member streams decode transparently (GZIPInputStream reads
+  * concatenated members). */
+private[sources] final class GzipLineIter(path: String,
+    conf: org.apache.hadoop.conf.Configuration) extends SamLineIter {
+  private val in = new java.io.BufferedInputStream(
+    new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(HadoopIO.open(path, conf), 1 << 16)),
+    1 << 16)
+
+  override def readLine(): String = {
+    val sb = new java.lang.StringBuilder(160)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  override def close(): Unit = in.close()
+}
+
+/** BGZF text: members are independently inflatable, so the raw byte range
+  * [start, end) maps to member ranges — a line is owned by the split whose
+  * range contains the file offset of the BGZF member holding the line's
+  * FIRST byte (each member belongs to exactly one split, so neighbouring
+  * splits partition the line stream exactly).
+  *
+  * Newline sync mirrors [[PlainLineIter]]'s seek(start-1), one level up:
+  * inflate from the member BEFORE the split's first owned member, remember
+  * the last payload byte before the owned range, and discard through the
+  * first newline only if that byte was NOT itself a newline — so a line
+  * starting exactly at the first owned member's first byte is never lost
+  * and never double-read. Empty members contribute no payload; if the
+  * immediately-previous member has none, the walk-back continues (bounded
+  * by file start). */
+private[sources] final class BgzfLineIter(path: String, rangeStart: Long,
+    rangeEnd: Long, conf: org.apache.hadoop.conf.Configuration)
+    extends SamLineIter {
+  private val file = new SeekableFile(path, conf)
+  private val fileLen = file.size
+  private val mStart: Long =
+    if (rangeStart == 0) 0L else Bgzf.nextMemberStart(file, rangeStart, fileLen)
+  private val in: BgzfInputStream =
+    if (mStart >= fileLen || mStart >= rangeEnd) null
+    else if (mStart == 0) new BgzfInputStream(file, 0L)
+    else syncedStream()
+
+  /** Open at the previous member, consume up to the owned range capturing
+    * the last byte served, then apply the prev-byte newline rule. */
+  private def syncedStream(): BgzfInputStream = {
+    var prev = Bgzf.prevMemberStart(file, mStart, fileLen)
+    var last: Int = -1
+    var s: BgzfInputStream = null
+    val scratch = new Array[Byte](Bgzf.MaxIsize)
+    while (s == null) {
+      val cand = new BgzfInputStream(file, prev)
+      while (cand.memberStart < mStart && cand.memberRemaining > 0) {
+        val k = cand.read(scratch, 0, math.min(cand.memberRemaining, scratch.length))
+        if (k > 0) last = scratch(k - 1) & 0xff
+      }
+      if (last >= 0 || prev == 0) s = cand
+      else { // empty member: keep walking back
+        cand.close()
+        prev = Bgzf.prevMemberStart(file, prev, fileLen)
+      }
+    }
+    if (last != '\n' && last != -1) {
+      // mid-line entry: the straddling line belongs to the previous split
+      var b = s.read()
+      while (b != -1 && b != '\n') b = s.read()
+    }
+    s
+  }
+
+  override def readLine(): String = {
+    if (in == null) return null
+    if (in.memberStart >= rangeEnd) return null // next line starts beyond the range
+    val sb = new java.lang.StringBuilder(160)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  override def close(): Unit = {
+    if (in != null) in.close()
+    file.close()
+  }
+}
+
+class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
+    codec: String, fields: Array[String], preds: Seq[SamFilters.Pred],
+    conf: HadoopIO.ConfBox) extends PartitionReader[InternalRow] {
+
+  private val lines: SamLineIter = codec match {
+    case "bgzf" => new BgzfLineIter(path, rangeStart, rangeEnd, conf.conf)
+    case "gzip" => new GzipLineIter(path, conf.conf)
+    case _      => new PlainLineIter(path, rangeStart, rangeEnd, conf.conf)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      var line = lines.readLine()
+      while (line != null && (line.isEmpty || line.charAt(0) == '@' || line.trim.isEmpty))
+        line = lines.readLine()
+      if (line == null) { current = null; return false }
+      val row = decode(line)
+      if (row != null) { current = row; return true }
+      // else: pushed filter rejected the record — read on
+    }
+    false
   }
 
   /** Decodes one record, or returns null if a pushed filter rejects it —
@@ -245,5 +387,5 @@ class SamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = lines.close()
 }
