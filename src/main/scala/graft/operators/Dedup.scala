@@ -939,8 +939,16 @@ object Dedup {
     * frame, two-sided exceptAll) — micro-batching must not change the
     * answer. */
   def d19StreamNearDupGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone: the 8-partition state-store sizing and the
+    // memory-sink temp view stay invisible to the caller's session — no
+    // concurrently planned batch query can observe them (q37 note). The
+    // clone's conf is restored to the caller's sizing for the batch
+    // comparison legs below; s2 is confined to this call, so that second
+    // set is race-free by construction.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     val threshold = 0.8
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s2, d).select(col("doc_id"), col("text"))
     assertIdHeadroom(docs, "doc_id", d)
     val maxRow = docs.agg(max(col("doc_id"))).head
     require(!maxRow.isNullAt(0), s"d19 gate needs a non-empty corpus at $d")
@@ -974,28 +982,25 @@ object Dedup {
     val histSh = shHist.select(col("doc_id").as("h_id"),
       col("sh").as("h_sh"), col("n_sh").as("h_n"))
 
-    val stream = s.readStream
+    val stream = s2.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
       .option("maxFilesPerTrigger", "1") // one staged file per micro-batch
       .parquet(stageDir)
       .where(col("doc_id") >= cut) // upper half + planted stream through
     val tbl = "d19_streamed"
-    s.catalog.dropTempView(tbl)
     // state store open/commit cost per micro-batch scales with shuffle
-    // partitions (q38 note) — size the streaming leg to the stream volume
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        nearDupScreenVerdicts(stream, histBands, histSh, threshold)
-          .writeStream.format("memory").queryName(tbl).outputMode("complete")
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    // partitions (q38 note) — s2 is sized to the stream volume above
+    val q = nearDupScreenVerdicts(stream, histBands, histSh, threshold)
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
     try q.processAllAvailable() finally q.stop()
+    // batch comparison legs below re-plan at the caller's sizing
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
 
     val incoming = docs.where(col("doc_id") >= cut).unionByName(planted)
-    val droppedStream = s.table(tbl)
+    val droppedStream = s2.table(tbl)
       .where(col("max_j") >= threshold).select("doc_id")
     val keptStream = incoming.join(droppedStream, Seq("doc_id"), "left_anti")
     val droppedBatch =

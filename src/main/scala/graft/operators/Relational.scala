@@ -866,9 +866,12 @@ object Relational {
     * match exactly; the value sums within 1e-9 relative (the streaming agg
     * sums doubles in arrival order, the batch oracle decimal-exactly). */
   def q35StreamBatchGate(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isolated session clone: the legacy-nanos flag and the memory-sink
+    // temp view live on s2, never the caller's session (q37 note)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
+    val rawSchema = s2.read.parquet(path).schema
     // the file source monitors a DIRECTORY; stage the events file into a
     // scratch dir through the Hadoop FS, re-staging whenever the source's
     // recorded (length, mtime) pair moved — a regenerated dataset must
@@ -879,7 +882,7 @@ object Relational {
       s"${HadoopIO.scratchDir(s)}/graft_q35_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val staged = s"$stageDir/events.parquet"
     HadoopIO.stageFile(path, staged, conf)
-    val raw = s.readStream.schema(rawSchema).parquet(stageDir)
+    val raw = s2.readStream.schema(rawSchema).parquet(stageDir)
     // watermarks require TIMESTAMP (tz-aware); the session runs UTC so the
     // cast is value-preserving and the output hour casts back to NTZ below
     val events =
@@ -888,15 +891,14 @@ object Relational {
           .cast(TimestampType))
       else raw.withColumn("ts", col("ts").cast(TimestampType))
     val tbl = "q35_streamed"
-    s.catalog.dropTempView(tbl)
     val q = graft.streaming.EventStreams.hourlyByType(events)
       .writeStream.format("memory").queryName(tbl).outputMode("complete")
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    val streamed = s.table(tbl).select(
+    val streamed = s2.table(tbl).select(
       col("hour").cast(TimestampNTZType).as("hour"), col("event_type"),
       col("n").as("sn"), col("total_value").as("sv"))
-    val batch = q15HourlyEvents(s, d).select(col("hour"), col("event_type"),
+    val batch = q15HourlyEvents(s2, d).select(col("hour"), col("event_type"),
       col("n").as("bn"), col("total_value").as("bv"))
     streamed.join(batch, Seq("hour", "event_type"), "full_outer")
       .agg(
@@ -932,28 +934,30 @@ object Relational {
     * dropDuplicates state holds one 16-byte hash per NEW document within
     * the retention horizon, not per event. */
   def q36StreamDedupGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone: the memory-sink temp view lives on s2 (q37
+    // note), so concurrent gate runs cannot collide on the view name
+    val s2 = s.newSession()
     val path = s"$d/documents.parquet"
-    val rawSchema = s.read.parquet(path).schema
+    val rawSchema = s2.read.parquet(path).schema
     import graft.sources.HadoopIO
     val conf = s.sparkContext.hadoopConfiguration
     val stageDir =
       s"${HadoopIO.scratchDir(s)}/graft_q36_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val staged = s"$stageDir/documents.parquet"
     HadoopIO.stageFile(path, staged, conf)
-    val stream = s.readStream.schema(rawSchema).parquet(stageDir)
+    val stream = s2.readStream.schema(rawSchema).parquet(stageDir)
       .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
-    val hist = s.read.parquet(path)
+    val hist = s2.read.parquet(path)
       .where(col("doc_id") % 2 === 0)
       .select(md5(encode(col("text"), "UTF-8")).as("h")).distinct()
     val tbl = "q36_streamed"
-    s.catalog.dropTempView(tbl)
     val q = stream
       .join(hist, Seq("h"), "left_anti")
       .dropDuplicates("h")
       .writeStream.format("memory").queryName(tbl).outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val kept = s.table(tbl)
+    val kept = s2.table(tbl)
     val leaked = kept.join(hist, Seq("h"))
       .agg(count(lit(1)).as("n_leaked"))
     kept.agg(count_distinct(col("h")).as("n_new_hashes"),
@@ -990,41 +994,47 @@ object Relational {
     * event — the watermark expires closed sessions, so state size tracks
     * ACTIVE users; the batch side is one shuffle on user_id. */
   def q37StreamSessionGate(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isolated session clone: the 8-partition state-store sizing and the
+    // legacy-nanos flag must not leak into concurrently planned batch
+    // queries in the caller's session — newSession() shares the
+    // SparkContext and cached data but carries its own SQLConf, so this
+    // gate mutates NOTHING the caller can observe (and each call gets its
+    // own temp-view namespace, so concurrent gates cannot collide)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // state store open/commit cost per micro-batch scales with shuffle
+    // partitions (q38 note) — size them to the stream volume
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     val path = s"$d/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
+    val rawSchema = s2.read.parquet(path).schema
     import graft.sources.HadoopIO
     val conf = s.sparkContext.hadoopConfiguration
     val stageDir =
       s"${HadoopIO.scratchDir(s)}/graft_q37_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val staged = s"$stageDir/events.parquet"
     HadoopIO.stageFile(path, staged, conf)
-    val raw = s.readStream.schema(rawSchema).parquet(stageDir)
+    val raw = s2.readStream.schema(rawSchema).parquet(stageDir)
     val events =
       if (rawSchema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
           .cast(TimestampType))
       else raw.withColumn("ts", col("ts").cast(TimestampType))
     val tbl = "q37_streamed"
-    s.catalog.dropTempView(tbl)
     // complete mode: every session (open or closed) is in the final table,
     // so the one-shot replay needs no watermark advance past the tail
-    // state store open/commit cost per micro-batch scales with shuffle
-    // partitions (q38 note) — size them to the stream volume
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.streaming.EventStreams.userSessions(events)
-          .writeStream.format("memory").queryName(tbl).outputMode("complete")
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = graft.streaming.EventStreams.userSessions(events)
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
     try q.processAllAvailable() finally q.stop()
-    val streamed = s.table(tbl).select(
+    // batch comparison leg re-plans at the caller's sizing (s2 is confined
+    // to this call — no race)
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    val streamed = s2.table(tbl).select(
       col("s_start"), col("s_end"), col("user_id"),
       col("n_events").as("sn"), col("session_value").as("sv"))
     val batch = graft.streaming.EventStreams.userSessions(
-        Tables.events(s, d).withColumn("ts", col("ts").cast(TimestampType)))
+        Tables.events(s2, d).withColumn("ts", col("ts").cast(TimestampType)))
       .select(col("s_start"), col("s_end"), col("user_id"),
         col("n_events").as("bn"), col("session_value").as("bv"))
     streamed.join(batch, Seq("s_start", "s_end", "user_id"), "full_outer")
@@ -1066,16 +1076,24 @@ object Relational {
     * %8 user filter keeps the pair set gate-sized; it reaches both scans
     * as a pushed predicate. */
   def q38StreamJoinGate(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isolated session clone (q37 note): conf sizing stays invisible to
+    // the caller's session
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a stream-stream join keeps TWO state stores per shuffle partition;
+    // store open/commit cost per micro-batch scales with the partition
+    // count, not the data, so size partitions to the stream volume (the
+    // generic 32 costs ~2x the whole gate here)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     val path = s"$d/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
+    val rawSchema = s2.read.parquet(path).schema
     import graft.sources.HadoopIO
     val conf = s.sparkContext.hadoopConfiguration
     val stageDir =
       s"${HadoopIO.scratchDir(s)}/graft_q38_" + d.replaceAll("[^A-Za-z0-9]", "_")
     HadoopIO.stageFile(path, s"$stageDir/events.parquet", conf)
     def side(): DataFrame = {
-      val raw = s.readStream.schema(rawSchema).parquet(stageDir)
+      val raw = s2.readStream.schema(rawSchema).parquet(stageDir)
       val ev =
         if (rawSchema("ts").dataType == LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
@@ -1084,22 +1102,13 @@ object Relational {
       ev.where(col("user_id") % 8 === 0)
     }
     val tbl = "q38_streamed"
-    s.catalog.dropTempView(tbl)
-    // a stream-stream join keeps TWO state stores per shuffle partition;
-    // store open/commit cost per micro-batch scales with the partition
-    // count, not the data, so size partitions to the stream volume (the
-    // generic 32 costs ~2x the whole gate here). Session conf restored
-    // after the query starts — it is read at stream start.
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.streaming.EventStreams.correlate(side(), side())
-          .writeStream.format("memory").queryName(tbl).outputMode("append")
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = graft.streaming.EventStreams.correlate(side(), side())
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .start()
     try q.processAllAvailable() finally q.stop()
-    s.table(tbl).agg(
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.table(tbl).agg(
       count(lit(1)).as("n_pairs"),
       count_distinct(col("l_id")).as("n_left"),
       sum(col("l_id") * 3 + col("r_id")).as("id_checksum"))
@@ -1127,16 +1136,21 @@ object Relational {
     * struct per user (O(users)); the expiring variant that BOUNDS it is
     * spec-covered (EventStreamsSpec). */
   def q39StreamStateGate(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isolated session clone (q37 note): conf sizing stays invisible to
+    // the caller's session
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // state store per shuffle partition (q38 note): size to the stream
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     val path = s"$d/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
+    val rawSchema = s2.read.parquet(path).schema
     import graft.sources.HadoopIO
     val conf = s.sparkContext.hadoopConfiguration
     val stageDir =
       s"${HadoopIO.scratchDir(s)}/graft_q39_" + d.replaceAll("[^A-Za-z0-9]", "_")
     HadoopIO.stageFile(path, s"$stageDir/events_a.parquet", conf)
     HadoopIO.stageFile(path, s"$stageDir/events_b.parquet", conf)
-    val raw = s.readStream.schema(rawSchema)
+    val raw = s2.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1") // one staged copy per micro-batch
       .parquet(stageDir)
     val events =
@@ -1144,27 +1158,22 @@ object Relational {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
           .cast(TimestampType))
       else raw.withColumn("ts", col("ts").cast(TimestampType))
-    import s.implicits._
+    import s2.implicits._
     val typed = events.as[graft.streaming.Event]
     val tbl = "q39_streamed"
-    s.catalog.dropTempView(tbl)
-    // state store per shuffle partition (q38 note): size to the stream
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.streaming.EventStreams.runningUserTotals(typed).toDF()
-          .writeStream.format("memory").queryName(tbl).outputMode("update")
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = graft.streaming.EventStreams.runningUserTotals(typed).toDF()
+      .writeStream.format("memory").queryName(tbl).outputMode("update")
+      .start()
     try q.processAllAvailable() finally q.stop()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
     // per-user FINAL stat: n is strictly increasing (every batch holds
     // every user), so the max-n struct is the last update
-    val finals = s.table(tbl)
+    val finals = s2.table(tbl)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n"), col("total"))).as("m"))
       .select(col("user_id"), col("m.n").as("sn"), col("m.total").as("sv"))
-    val batch = Tables.events(s, d)
+    val batch = Tables.events(s2, d)
       .groupBy(col("user_id"))
       .agg((count(lit(1)) * 2).as("bn"),
         (sum(col("value")) * 2).as("bv"))
