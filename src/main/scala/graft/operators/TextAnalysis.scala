@@ -855,6 +855,99 @@ object TextAnalysis {
       |    greatest(seq_id * 2048, tok_offset) AS len
       |FROM seqs ORDER BY seq_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Materialized pack shards — the artifact a training loader actually
+    * reads, one step past t14 (offsets) and t16 (spans): every
+    * `PackSeqLen`-token training sequence ASSEMBLED as an `array<long>` of
+    * token ids (spans concatenated in doc_id order — exactly t16's span
+    * map made physical), written `partitionBy(shard)` so a data-parallel
+    * rank's shard assignment is a directory listing and a shard is an
+    * independently readable parquet leaf.
+    *
+    * Token ids are the low 60 bits of md5(token) — a stand-in vocabulary
+    * that is deterministic, collision-negligible at 2^60, and restatable
+    * by the oracle (`conv(hex)` here ≡ DuckDB `CAST('0x…')`); a real BPE
+    * vocab would slot in as a broadcast map without changing the shapes.
+    *
+    * Scale shape: tokenization is a narrow scan; the span join shuffles
+    * on doc_id and the assembly on seq_id — both dense uniform keys, so
+    * neither skews; per-group state is bounded (≤ PackSeqLen ids per
+    * sequence, ≤ ⌈n_tok/PackSeqLen⌉+1 spans per doc). The sink partitions
+    * by shard (seq_id div PackShardSeqs — contiguous ranges, so a shard's
+    * sequences are consecutive and a loader's seek is a range read).
+    *
+    * The gate checks the WRITTEN ARTIFACT (like x08): the parquet is read
+    * back and each sequence reduced to an order-SENSITIVE positional
+    * checksum Σ (i+1)·(id_i mod 1000003) plus its fill count — a
+    * transposed, dropped, or mis-ordered token anywhere in any shard
+    * flips the hash; n_filled pins t16 bijectivity (2048 everywhere but
+    * the final sequence). */
+  private val PackShardSeqs = 16L
+
+  def t17PackShards(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_t17_$sfTag"
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = t16PackSpans(s, d) // (seq_id, doc_id, start_tok, len)
+    val spanToks = spans.join(docToks, Seq("doc_id"))
+      .select(col("seq_id"), col("doc_id"),
+        transform(
+          slice(col("toks"), (col("start_tok") + 1).cast("int"),
+            col("len").cast("int")),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+          .as("ids"))
+    val seqs = spanToks
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("ids")))),
+        x => x.getField("ids"))).as("token_ids"))
+      .withColumn("shard", expr(s"seq_id div $PackShardSeqs"))
+    seqs.write.mode("overwrite").partitionBy("shard").parquet(out)
+    s.read.parquet(out)
+      .select(col("seq_id"), col("shard").cast("long").as("shard"),
+        size(col("token_ids")).cast("long").as("n_filled"),
+        expr("aggregate(transform(token_ids, (x, i) -> (i + 1) * (x % 1000003)), 0L, (a, b) -> a + b)")
+          .as("chk"))
+      .orderBy("seq_id")
+  }
+
+  val t17Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n_tok,
+      |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS BIGINT) AS tok_offset
+      |  FROM t WHERE n_tok > 0),
+      |seqs AS (
+      |  SELECT doc_id, toks, n_tok, tok_offset,
+      |    unnest(range(tok_offset // 2048,
+      |      (tok_offset + n_tok - 1) // 2048 + 1)) AS seq_id
+      |  FROM c),
+      |spans AS (
+      |  SELECT seq_id, doc_id, toks,
+      |    greatest(seq_id * 2048, tok_offset) - tok_offset AS start_tok,
+      |    least((seq_id + 1) * 2048, tok_offset + n_tok) -
+      |      greatest(seq_id * 2048, tok_offset) AS len,
+      |    greatest(seq_id * 2048, tok_offset) - seq_id * 2048 AS seq_pos
+      |  FROM seqs),
+      |spanchk AS (
+      |  SELECT seq_id, len,
+      |    list_sum(list_transform(range(1, CAST(len AS INT) + 1), i ->
+      |      (seq_pos + i) *
+      |      (CAST(concat('0x', substr(md5(toks[CAST(start_tok + i AS INT)]), 1, 15))
+      |         AS BIGINT) % 1000003))) AS chk
+      |  FROM spans)
+      |SELECT seq_id, seq_id // 16 AS shard,
+      |  CAST(SUM(len) AS BIGINT) AS n_filled,
+      |  CAST(SUM(chk) AS BIGINT) AS chk
+      |FROM spanchk GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   // ---------------------------------------------------------------- t15
   /** Curation pipeline V2 — t07's end-to-end composition extended with
     * the newer signals, still ONE declarative plan: language-ID →
@@ -956,7 +1049,8 @@ object TextAnalysis {
     "t13_corpus_stats" -> (t13CorpusStats _),
     "t14_seq_pack"    -> (t14SeqPack _),
     "t15_curation_v2" -> (t15CurationV2 _),
-    "t16_pack_spans"  -> (t16PackSpans _))
+    "t16_pack_spans"  -> (t16PackSpans _),
+    "t17_pack_shards" -> (t17PackShards _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -973,5 +1067,6 @@ object TextAnalysis {
     "t13_corpus_stats" -> t13Sql,
     "t14_seq_pack"    -> t14Sql,
     "t15_curation_v2" -> t15Sql,
-    "t16_pack_spans"  -> t16Sql)
+    "t16_pack_spans"  -> t16Sql,
+    "t17_pack_shards" -> t17Sql)
 }

@@ -970,6 +970,35 @@ class OperatorsSpec extends SparkSpec {
     assert(bySeq.keys.min === 0L)
   }
 
+  test("t17 pack shards: materialized sequences tie bijectively to t16's spans") {
+    import org.apache.spark.sql.functions._
+    // the gate row (reads the artifact written partitionBy(shard))
+    val gate = TextAnalysis.t17PackShards(spark, sf).collect()
+    assert(gate.nonEmpty)
+    // every sequence but the last is exactly full; shards are contiguous
+    // seq_id ranges
+    val lastSeq = gate.map(_.getLong(0)).max
+    gate.foreach { r =>
+      val (seq, shard, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(shard === seq / 16, s"seq $seq in wrong shard $shard")
+      if (seq < lastSeq) assert(n === 2048L, s"seq $seq not full: $n")
+      else assert(n > 0L && n <= 2048L)
+    }
+    // the artifact itself: token counts per sequence equal t16's span sums,
+    // and the parquet is physically partitioned by shard
+    val sfTag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_t17_$sfTag"
+    val arrays = spark.read.parquet(out)
+      .select(col("seq_id"), size(col("token_ids")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spanSums = TextAnalysis.t16PackSpans(spark, sf)
+      .groupBy(col("seq_id")).agg(sum(col("len")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arrays === spanSums)
+    assert(new java.io.File(out).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("shard=")))
+  }
+
   test("t15 curation v2: funnel is monotone, no corpus-sized bigram explode") {
     val rows = TextAnalysis.t15CurationV2(spark, sf).collect()
     assert(rows.nonEmpty)
