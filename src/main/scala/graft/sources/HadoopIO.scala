@@ -98,6 +98,28 @@ object HadoopIO {
     spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(sys.props("java.io.tmpdir"))
 
+  /** Atomic publish: rename `src` onto `dst` iff `dst` does not exist.
+    * Returns false when another writer already published (the caller
+    * should delete its build and adopt the winner's). Goes through
+    * `FileContext.rename` with `Options.Rename.NONE`, which REFUSES an
+    * existing destination — `FileSystem.rename` would instead move `src`
+    * INTO an existing directory, silently nesting a half-layout inside a
+    * committed one. Atomic on HDFS and local renames; object stores
+    * without atomic rename (raw S3) keep a small window, which is why
+    * adopters re-check the committed `_SUCCESS` after losing. */
+  def renameIfAbsent(src: String, dst: String, conf: Configuration): Boolean = {
+    val dstPath = new Path(dst)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dstPath.toUri, conf)
+    try { fc.rename(new Path(src), dstPath); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: IOException
+        if e.getMessage != null && e.getMessage.contains("already exists") =>
+        false
+    }
+  }
+
   /** Byte-copy `src` to `dst` (overwrite) through the Hadoop FS — staging
     * helper; works across filesystems (e.g. corpus store → scratch store). */
   def copy(src: String, dst: String, conf: Configuration): Unit = {

@@ -55,6 +55,38 @@ class StagingSpec extends SparkSpec {
     assert(HadoopIO.lenAndMtime(success, conf).isEmpty)
   }
 
+  test("s07 publish race: rename-if-absent refuses an existing layout, loser adopts") {
+    // the concurrent-writer seam (VERDICT r8 #7): a second writer that
+    // finishes its private build after another already published must NOT
+    // clobber or nest into the committed dir — renameIfAbsent refuses,
+    // the loser deletes its build, and the winner's layout is untouched
+    val scratch = java.nio.file.Files.createTempDirectory("s07race").toString
+    val winner = s"$scratch/layout"
+    val loserTmp = s"$scratch/layout.build-loser"
+    def mk(dir: String, tag: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val out = HadoopIO.create(s"$dir/_SUCCESS", conf)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+    }
+    mk(winner, "winner")
+    mk(loserTmp, "loser")
+    assert(!HadoopIO.renameIfAbsent(loserTmp, winner, conf),
+      "publish onto an existing committed layout must be refused")
+    // winner's content untouched — FileSystem.rename would instead have
+    // MOVED the loser's build inside the winner's directory
+    val in = HadoopIO.open(s"$winner/_SUCCESS", conf)
+    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(got === "winner")
+    assert(!new java.io.File(winner, "layout.build-loser").exists(),
+      "loser's build must not nest inside the published layout")
+    // loser path still present for the caller to delete (adopt step)
+    HadoopIO.delete(loserTmp, conf)
+    // and a publish onto an ABSENT destination succeeds atomically
+    mk(loserTmp, "second")
+    assert(HadoopIO.renameIfAbsent(loserTmp, s"$scratch/layout2", conf))
+    assert(HadoopIO.exists(s"$scratch/layout2/_SUCCESS", conf))
+  }
+
   test("q36 staging: restaged through the Hadoop FS when the source moves") {
     val tmp = java.nio.file.Files.createTempDirectory("q36re").toString
     HadoopIO.copy(s"$sf/documents.parquet", s"$tmp/documents.parquet", conf)
