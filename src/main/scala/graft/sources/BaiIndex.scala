@@ -468,15 +468,23 @@ object BaiIndex {
       val magic = new Array[Byte](4); in.readFully(magic)
       require(magic.sameElements(Array[Byte]('B', 'A', 'I', 1)),
         s"bad .bai sidecar for $bam")
-      val nRef = le32()
-      val refs = Array.fill(nRef) {
-        val nBin = le32()
-        val bins = (0 until nBin).map { _ =>
+      // count guards: Array.fill/(0 until n) silently treat a corrupt
+      // NEGATIVE count as zero — a truncated-with-garbage sidecar would
+      // then read as an empty index and the scan would silently prune
+      // EVERYTHING; bound above too, so a corrupt count can't size an
+      // absurd allocation either
+      def counted(what: String): Int = {
+        val n = le32()
+        require(n >= 0 && n <= (1 << 26), s"corrupt .bai for $bam: $what $n")
+        n
+      }
+      val refs = Array.fill(counted("n_ref")) {
+        val bins = (0 until counted("n_bin")).map { _ =>
           val bin = le32()
-          val chunks = Array.fill(le32())(Chunk(le64(), le64()))
+          val chunks = Array.fill(counted("n_chunk"))(Chunk(le64(), le64()))
           bin -> chunks
         }.toMap
-        val lin = Array.fill(le32())(le64())
+        val lin = Array.fill(counted("n_intv"))(le64())
         RefIndex(bins, lin)
       }
       // trailing n_no_coor is optional in the spec

@@ -195,10 +195,16 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)),
       s"not a BAM file: $path")
     val lText = i32()
+    require(lText >= 0, s"corrupt BAM header in $path: negative l_text $lText")
     bytes(lText) // SAM header text (not needed for the record schema)
     val nRef = i32()
+    // Array.fill(negative) silently returns empty — a corrupt count must
+    // fail loudly, not degrade into a refless dictionary
+    require(nRef >= 0, s"corrupt BAM header in $path: negative n_ref $nRef")
     Array.fill(nRef) {
-      val name = cstr(i32())
+      val lName = i32()
+      require(lName >= 1, s"corrupt BAM header in $path: l_name $lName")
+      val name = cstr(lName)
       i32() // l_ref
       name
     }
@@ -338,10 +344,19 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       if (bgzf.memberStart >= runEnd) {
         if (!advanceRun()) { done = true; current = null; return false }
       } else {
-        try {
-          val r = decodeRecord() // null: pushed filter rejected the record
-          if (r != null) { current = r; return true }
-        } catch { case _: EOFException => done = true; current = null; return false }
+        // clean end-of-stream is ONLY an EOF before the record's first
+        // byte; an EOF anywhere inside a record is a truncated file and
+        // must fail loudly, never read as a shorter-but-valid BAM
+        val first = in.read()
+        if (first < 0) { done = true; current = null; return false }
+        val r =
+          try decodeRecord(first) // null: pushed filter rejected the record
+          catch {
+            case e: EOFException => throw new java.io.IOException(
+              s"truncated BAM record mid-decode in $path " +
+                s"(member at ${bgzf.memberStart})", e)
+          }
+        if (r != null) { current = r; return true }
       }
     }
     false
@@ -355,8 +370,16 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
   /** Decodes one record, or returns null if a pushed filter rejects it —
     * rejected records skip straight over the name/cigar/sequence/tag bytes
     * without decoding them (the bulk of a record). */
-  private def decodeRecord(): InternalRow = {
-    val blockSize = i32()
+  private def corrupt(msg: String): Nothing = throw new java.io.IOException(
+    s"corrupt BAM record in $path (member at ${bgzf.memberStart}): $msg")
+
+  private def decodeRecord(firstByte: Int): InternalRow = {
+    val blockSize = firstByte | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    // geometry guards BEFORE any length-driven allocation or skip: a
+    // corrupt block_size / l_seq must raise a clear corruption error, not
+    // a negative-size allocation, an absurd one, or a silent mis-decode
+    if (blockSize < 32) corrupt(s"block_size $blockSize < 32")
+    if (blockSize > (1 << 28)) corrupt(s"implausible block_size $blockSize")
     val refId = i32()
     val pos = i32()
     val lReadName = u8()
@@ -368,6 +391,11 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
     val nextRefId = i32()
     val nextPos = i32()
     val tlen = i32()
+    if (lReadName < 1) corrupt("l_read_name 0 (must include the NUL)")
+    if (lSeq < 0) corrupt(s"negative l_seq $lSeq")
+    val geom = 32L + lReadName + 4L * nCigar + (lSeq + 1L) / 2 + lSeq
+    if (geom > blockSize) corrupt(
+      s"record geometry ($geom bytes) overflows block_size $blockSize")
     val rname0 = if (refId >= 0 && refId < refNames.length) refNames(refId) else "*"
     if (preds.nonEmpty &&
         !SamFilters.evalAll(preds, flag, mapq, pos + 1, rname0)) {
@@ -418,8 +446,7 @@ class BamPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
         sb.toString
       }
     }
-    val fixed = 32 + lReadName + 4 * nCigar + (lSeq + 1) / 2 + lSeq
-    val tagBytes = bytes(blockSize - fixed) // consume the record tail
+    val tagBytes = bytes((blockSize - geom).toInt) // consume the record tail
     val attrs = if (needAttrs) decodeTags(tagBytes) else ""
     val rname = rname0
     val start = pos + 1

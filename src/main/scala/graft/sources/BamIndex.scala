@@ -295,6 +295,9 @@ object BamIndex {
     try {
       require(in.readInt() == Magic, s"bad .gai sidecar for $bam")
       val n = in.readInt()
+      // a corrupt negative count must not silently read as an empty index
+      // (Array.fill(-n) returns empty) — the reader would prune everything
+      require(n >= 0 && n <= (1 << 26), s"corrupt .gai for $bam: count $n")
       Array.fill(n)(MemberStat(in.readLong(), in.readInt(), in.readInt(),
         in.readInt(), in.readInt(), in.readInt()))
     } finally in.close()

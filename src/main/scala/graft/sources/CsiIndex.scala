@@ -245,14 +245,27 @@ object CsiIndex {
         s"bad .csi sidecar for $bam")
       val minShift = le32()
       val depth = le32()
-      val aux = new Array[Byte](le32()); in.readFully(aux)
-      val nRef = le32()
-      val refs = Array.fill(nRef) {
-        val nBin = le32()
-        RefIndex((0 until nBin).map { _ =>
+      require(minShift >= 4 && minShift <= 32 && depth >= 1 && depth <= 10,
+        s"corrupt .csi for $bam: (min_shift=$minShift, depth=$depth)")
+      val lAux = le32()
+      require(lAux >= 0 && lAux <= (1 << 26),
+        s"corrupt .csi for $bam: l_aux $lAux")
+      val aux = new Array[Byte](lAux); in.readFully(aux)
+      // count guards: Array.fill/(0 until n) silently treat a corrupt
+      // NEGATIVE count as zero — a truncated-with-garbage sidecar would
+      // then read as an empty index and the scan would silently prune
+      // EVERYTHING; bound above too, so a corrupt count can't size an
+      // absurd allocation either
+      def counted(what: String): Int = {
+        val n = le32()
+        require(n >= 0 && n <= (1 << 26), s"corrupt .csi for $bam: $what $n")
+        n
+      }
+      val refs = Array.fill(counted("n_ref")) {
+        RefIndex((0 until counted("n_bin")).map { _ =>
           val bin = le32()
           val loffset = le64()
-          val chunks = Array.fill(le32())(Chunk(le64(), le64()))
+          val chunks = Array.fill(counted("n_chunk"))(Chunk(le64(), le64()))
           bin -> (loffset, chunks)
         }.toMap)
       }
