@@ -196,14 +196,31 @@ object Y4mCodec {
         case ('H', v) => h = scala.util.Try(v.toInt)
           .getOrElse(fail(s"malformed height '$t'"))
         case ('C', v) => cs = v
-        case _        => () // F/I/A/X — irrelevant to decoding, skip
+        case ('I', v) =>
+          // interlacing: p/t/b/? store one full picture per FRAME — the
+          // byte layout this decoder walks is identical, so they are
+          // accepted; MIXED mode (Im) moves the interlacing decision into
+          // per-frame headers whose semantics we do not implement, and
+          // silently decoding it as progressive would mis-attribute
+          // fields — loud-fail per the accept-or-loud-fail contract
+          if (v == "m") fail(
+            "mixed-mode interlacing (Im) unsupported — per-frame field " +
+              "parameters change frame semantics")
+          else if (v != "p" && v != "t" && v != "b" && v != "?")
+            fail(s"unknown interlacing '$t'")
+        case _        => () // F/A/X — irrelevant to the byte layout, skip
       }
     }
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h (W and H required)")
     val c420 = cs.startsWith("420")
     if (!c420 && cs != "444") fail(s"colorspace C$cs unsupported (444/420*)")
+    // odd-width/height C420 has no spec-defined chroma geometry (the
+    // mjpegtools stream spec subsamples exactly 2x2); tools disagree on
+    // ceil-vs-floor rounding, so accepting would guess at plane sizes and
+    // mis-align every following frame — loud-fail, never mis-decode
     if (c420 && (w % 2 != 0 || h % 2 != 0))
-      fail(s"C$cs needs even dimensions, got ${w}x$h")
+      fail(s"C$cs needs even dimensions, got ${w}x$h " +
+        "(odd-dimension chroma rounding is tool-defined, not spec-defined)")
     (w, h, c420, eol + 1)
   }
 }
@@ -290,7 +307,31 @@ object WavPcmCodec {
       id match {
         case "fmt " =>
           if (size < 16) fail(s"fmt chunk is $size bytes, spec minimum is 16")
-          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt,
+          var format = u16(off + 8)
+          if (format == 0xFFFE) {
+            // WAVE_FORMAT_EXTENSIBLE: the real format code is the first
+            // two bytes of the 16-byte SubFormat GUID (fmt layout: 16
+            // common bytes + cbSize(2) + validBits(2) + channelMask(4) +
+            // SubFormat(16)); the GUID tail must be the fixed media
+            // subtype suffix or the code means something else entirely
+            if (size < 40) fail(
+              s"extensible fmt chunk is $size bytes, needs 40")
+            val cb = u16(off + 24)
+            if (cb < 22) fail(s"extensible cbSize $cb, needs >= 22")
+            val guidOff = off + 8 + 24
+            val tail = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00,
+              0xAA, 0x00, 0x38, 0x9B, 0x71)
+            var i = 0
+            while (i < tail.length) {
+              if ((b(guidOff + 4 + i) & 0xff) != tail(i)) fail(
+                "extensible SubFormat GUID is not a media subtype")
+              i += 1
+            }
+            if (u16(guidOff + 2) != 0) fail(
+              "extensible SubFormat high bytes nonzero")
+            format = u16(guidOff) // PCM subtype GUID starts 01 00
+          }
+          fmt = Some((format, u16(off + 10), u32(off + 12).toInt,
             u16(off + 22)))
         case "data" => data = Some((off + 8, size.toInt))
         case _      => () // LIST, fact, … — skip per spec
@@ -301,7 +342,8 @@ object WavPcmCodec {
     val (format, ch, rate, bits) =
       fmt.getOrElse(fail("no fmt chunk before data"))
     val (dOff, dLen) = data.getOrElse(fail("no data chunk"))
-    if (format != 1) fail(s"compression format $format unsupported (PCM=1 only)")
+    if (format != 1) fail(s"compression format $format unsupported " +
+      "(integer PCM only — plain format 1 or the extensible PCM subtype)")
     if (ch != 1) fail(s"$ch channels unsupported (mono only)")
     if (bits != 8 && bits != 16) fail(s"$bits-bit samples unsupported (8/16)")
     if (bits == 16 && dLen % 2 != 0) fail("odd data length for 16-bit samples")

@@ -337,4 +337,119 @@ class MediaCodecsSpec extends SparkSpec {
     assert(msg(ok.dropRight(1)).contains("plane bytes"))
     assert(msg(ok ++ "GARBAGE".getBytes(US_ASCII)).contains("FRAME header"))
   }
+
+  // ---------------------------------------------- conformance corners (r9)
+
+  test("Y4M interlacing flags: Ip/It/Ib/I? accepted (same bytes), Im loud-fails") {
+    val body = "FRAME\n".getBytes(US_ASCII) ++
+      Array.tabulate(96)(i => (i % 251).toByte)
+    def stream(hdr: String): Array[Byte] = hdr.getBytes(US_ASCII) ++ body
+    val base = new Y4mCodec().sampleFrames(stream("YUV4MPEG2 W8 H4 C444\n"), 1)
+    // one full picture per FRAME regardless of field order — identical
+    // stats for progressive, tff, bff, and unknown
+    for (i <- Seq("Ip", "It", "Ib", "I?")) {
+      val got = new Y4mCodec().sampleFrames(
+        stream(s"YUV4MPEG2 W8 H4 $i C444\n"), 1)
+      assert(got === base, s"$i changed the decode")
+    }
+    val e = intercept[IllegalArgumentException](new Y4mCodec().sampleFrames(
+      stream("YUV4MPEG2 W8 H4 Im C444\n"), 1))
+    assert(e.getMessage.contains("mixed-mode"))
+    val e2 = intercept[IllegalArgumentException](new Y4mCodec().sampleFrames(
+      stream("YUV4MPEG2 W8 H4 Iz C444\n"), 1))
+    assert(e2.getMessage.contains("unknown interlacing"))
+  }
+
+  test("Y4M odd dims: C444 accepts them, C420 loud-fails on width AND height") {
+    // C444 has no subsampling, so odd geometry is fully defined: 3 planes
+    // of w*h each
+    val odd = "YUV4MPEG2 W3 H3 C444\nFRAME\n".getBytes(US_ASCII) ++
+      Array.tabulate(27)(i => (i + 1).toByte)
+    val got = new Y4mCodec().sampleFrames(odd, 1)
+    assert(got.length === 1 && got(0).n_pixels === 9)
+    assert(got(0).y_sum === (1 to 9).sum.toLong)
+    // C420: both odd-width and odd-height are loud, and the message says
+    // why (chroma rounding is tool-defined)
+    for (dims <- Seq("W3 H2", "W4 H3")) {
+      val e = intercept[IllegalArgumentException](new Y4mCodec().sampleFrames(
+        s"YUV4MPEG2 $dims C420\nFRAME\n".getBytes(US_ASCII) ++
+          new Array[Byte](18), 1))
+      assert(e.getMessage.contains("even dimensions"), dims)
+    }
+  }
+
+  /** Hand-built WAVE_FORMAT_EXTENSIBLE mono 8-bit PCM file. */
+  private def extensibleWav(samples: Array[Byte],
+      subFormat: Int = 1, guidTailByte: Option[Int] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v); out.write(v >>> 8) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+    def tag(s: String): Unit = out.write(s.getBytes(US_ASCII))
+    val fmtSize = 40
+    val dataSize = samples.length
+    tag("RIFF"); w32(4 + 8 + fmtSize + 8 + dataSize + (dataSize & 1))
+    tag("WAVE")
+    tag("fmt "); w32(fmtSize)
+    w16(0xFFFE) // WAVE_FORMAT_EXTENSIBLE
+    w16(1)      // channels
+    w32(8000)   // sample rate
+    w32(8000)   // byte rate
+    w16(1)      // block align
+    w16(8)      // bits per sample
+    w16(22)     // cbSize
+    w16(8)      // valid bits
+    w32(4)      // channel mask
+    w16(subFormat); w16(0) // SubFormat GUID data1 low/high
+    val tail = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+      0x00, 0x38, 0x9B, 0x71)
+    tail.foreach(b => out.write(guidTailByte.getOrElse(b)))
+    tag("data"); w32(dataSize)
+    out.write(samples)
+    if (dataSize % 2 == 1) out.write(0) // word-align pad
+    out.toByteArray
+  }
+
+  test("WAV extensible (0xFFFE) with the PCM subtype GUID decodes as PCM") {
+    val text = "extensible pcm conformance corner"
+    val plain = wavBytesOf(text)
+    val ext = extensibleWav(text.getBytes(US_ASCII))
+    val a = new WavPcmCodec().decodeFrames(plain, 16, 1)
+    val b = new WavPcmCodec().decodeFrames(ext, 16, 1)
+    assert(b === a, "extensible PCM must decode identically to plain PCM")
+    // and the JDK agrees the container is well-formed
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(ext))
+    assert(in.getFormat.getChannels === 1)
+    assert(in.readAllBytes() === text.getBytes(US_ASCII))
+  }
+
+  test("WAV extensible loud failures: non-PCM subtype, corrupt GUID, short fmt") {
+    val samples = "abcd".getBytes(US_ASCII)
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](
+        new WavPcmCodec().decodeFrames(b, 4, 1)).getMessage
+    // IEEE-float subtype (3) must not decode as integer PCM
+    assert(msg(extensibleWav(samples, subFormat = 3)).contains("unsupported"))
+    // a GUID that is not the media-subtype family is not a format code
+    assert(msg(extensibleWav(samples, guidTailByte = Some(0x42)))
+      .contains("GUID"))
+    // declared extensible but the fmt chunk is too short to hold the GUID
+    val short = extensibleWav(samples)
+    // patch fmt size down to 16: chunk walk then reads it as a plain fmt
+    short(16) = 16
+    // rebuild is messy — instead assert the honest path: a 16-byte fmt
+    // claiming 0xFFFE has no GUID to dispatch on and must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v); out.write(v >>> 8) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+      out.write("RIFF".getBytes(US_ASCII)); w32(4 + 8 + 16 + 8 + 4)
+      out.write("WAVE".getBytes(US_ASCII))
+      out.write("fmt ".getBytes(US_ASCII)); w32(16)
+      w16(0xFFFE); w16(1); w32(8000); w32(8000); w16(1); w16(8)
+      out.write("data".getBytes(US_ASCII)); w32(4); out.write(samples)
+      new WavPcmCodec().decodeFrames(out.toByteArray, 4, 1)
+    }
+    assert(e.getMessage.contains("needs 40"))
+  }
 }
