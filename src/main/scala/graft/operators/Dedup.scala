@@ -967,6 +967,10 @@ object Dedup {
     val plantedBuild = s"${HadoopIO.scratchDir(s)}/graft_d19_build_$sfTag"
     val planted = base
       .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+    // coalesce(1) is GATE PLUMBING, not the operator: the staged stream
+    // needs exactly one extra file so maxFilesPerTrigger=1 yields one
+    // planted micro-batch, and the payload is 20 rows. The operator under
+    // test (nearDupScreenVerdicts) never coalesces.
     planted.coalesce(1).write.mode("overwrite").parquet(plantedBuild)
     val part = HadoopIO.listScanTargets(plantedBuild, conf).map(_._1)
       .filter(p => p.matches(".*/part-[^/]*\\.parquet"))
