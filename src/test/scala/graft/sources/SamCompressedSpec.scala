@@ -105,6 +105,28 @@ class SamCompressedSpec extends SparkSpec {
     assert(bgzf.count() === plain.count())
   }
 
+  test("compressed single-file SAM sink: write .sam.gz, re-scan with splits") {
+    val recs = graft.mito.Sam.withFlags(
+      spark.read.format("sam").load(plainPath))
+    val out = Files.createTempDirectory("samgz_sink").toString + "/out.sam.gz"
+    graft.mito.Sam.writeSingleSamWithHeader(
+      Seq("@HD\tVN:1.6", "@SQ\tSN:chrM\tLN:16569"), recs, out)
+    // the sink's product is a genuine bgzip file: the compressed reader
+    // scans it WITH intra-file splits, and the line sets agree exactly
+    val conf = HadoopIO.driverConf()
+    assert(SamDataSource.fileCodec(out, conf) === "bgzf")
+    val back = spark.read.format("sam").option("splitsize", 16384).load(out)
+    assert(back.count() === 3000)
+    val a = recs.select("line")
+    val b = back.select("line")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // plain gzip tools read it too (BGZF IS gzip): header line first
+    val gin = new BufferedReader(new InputStreamReader(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(out)), "UTF-8"))
+    try assert(gin.readLine() === "@HD\tVN:1.6") finally gin.close()
+  }
+
   test("x03-style roundtrip: compressed SAM in, single-file BAM out, scan back") {
     val recs = graft.mito.Sam.withFlags(
       spark.read.format("sam").option("splitsize", 16384).load(bgzfPath))
