@@ -948,6 +948,157 @@ object TextAnalysis {
       |  CAST(SUM(chk) AS BIGINT) AS chk
       |FROM spanchk GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public arXiv paper):
+    * score every corpus document by how much its hashed-n-gram feature
+    * distribution looks like a TARGET domain sample, the op that picks
+    * pre-training data matching a quality/domain reference. Features are
+    * token bigrams hashed into `buckets`; each bucket gets an add-one-
+    * smoothed log importance ratio log p_target(b) − log p_raw(b); a
+    * document's weight is the mean ratio over its features (mean, not
+    * sum, so length doesn't masquerade as domain fit). Docs with < 2
+    * tokens have no features and drop out (no weight row).
+    *
+    * Scale shape — the paper's fit-then-score split, two corpus passes,
+    * both narrow scans: (1) histogram pass: explode → map-side-combined
+    * count into ≤ `buckets` keys (the shuffle carries buckets×partitions
+    * rows, not corpus rows); (2) scoring pass: explode → broadcast-join
+    * the ≤ `buckets`-row ratio dim → re-agg on doc_id (uniform key).
+    * Nothing corpus-sized ever broadcasts; the target sample is a dim by
+    * contract (it is a curated reference set, thousands of docs). */
+  def dsirBigramBuckets(text: Column, buckets: Int): Column = {
+    val t = tokens(text)
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => pmod(xxhash64(concat(a, lit(" "), b)), lit(buckets.toLong)))
+  }
+
+  /** (bucket, lr) importance-ratio dim: lr = log((tc+1)/(T+B)) −
+    * log((rc+1)/(R+B)). Buckets absent from both histograms carry no row —
+    * no corpus feature can probe them (rc ≥ 1 for every probed bucket). */
+  def dsirLogRatios(docs: DataFrame, target: DataFrame,
+      buckets: Int): DataFrame = {
+    def hist(df: DataFrame) = df
+      .select(explode(dsirBigramBuckets(col("text"), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val r = hist(docs).withColumnRenamed("n", "rc")
+    val t = hist(target).withColumnRenamed("n", "tc")
+    val joined = r.join(t, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+    val totals = joined.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("tc") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("rc") + 1).cast("double") / (col("rt") + buckets)))
+          .as("lr"))
+  }
+
+  /** Per-doc importance weight (see [[dsirLogRatios]]). */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+      buckets: Int): DataFrame = {
+    val lr = dsirLogRatios(docs, target, buckets)
+    docs.select(col("doc_id"),
+        explode(dsirBigramBuckets(col("text"), buckets)).as("bucket"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("lr")).as("weight"))
+  }
+
+  /** Planted-recall gate (the d07 pattern for an op whose float weights
+    * aren't oracle-restatable): 20 planted docs written in a synthetic
+    * vocabulary no corpus doc shares ARE the target domain; with the
+    * target sample stacked 500× (tc=500 per planted bucket) their
+    * per-feature ratio clears any corpus feature's by ~log(1000/rc) —
+    * only a >1000-occurrence corpus bigram hashing into a planted bucket
+    * could close the margin, and the 64 Ki bucket space keeps the planted
+    * buckets clear (verified on both test SFs; deterministic thereafter —
+    * xxhash64 is seedless and the corpus fixed). The top-20 selection
+    * must be exactly the planted set. */
+  def t18DsirGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val phrase = (0 until 10).map(i => s"zqdsir$i").mkString(" ")
+    val planted = s.range(20).select(
+      (col("id") + lit(1000000000L)).as("doc_id"), lit(phrase).as("text"))
+    val target = s.range(500).select(lit(phrase).as("text"))
+    val corpus = docs.unionByName(planted)
+    val top = dsirWeights(corpus, target, 1 << 16)
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(20)
+    top.agg(
+      count(lit(1)).as("n_top"),
+      sum((col("doc_id") >= 1000000000L).cast("long")).as("n_planted_top"))
+      .select(col("n_top"), col("n_planted_top"),
+        (col("n_top") === 20 && col("n_planted_top") === 20)
+          .as("recall_ok"))
+  }
+
+  val t18Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_top,
+      |  CAST(20 AS BIGINT) AS n_planted_top,
+      |  true AS recall_ok""".stripMargin
+
+  // ---------------------------------------------------------------- t19
+  /** Duplicated-span detection — the span-level complement to the
+    * doc-level dedup family (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", public arXiv: exact substring
+    * duplication is what doc-level near-dup misses — boilerplate,
+    * licenses, templated headers repeated across otherwise-distinct
+    * docs). Every `SpanW`-token rolling window is hashed (low 60 bits of
+    * md5 over the space-joined window — the oracle-restatable id); a
+    * window whose hash occurs more than once CORPUS-WIDE is a duplicated
+    * span. Emits per doc its window count and duplicated-window count —
+    * the per-doc duplication profile a span-scrubbing pass consumes.
+    *
+    * Scale shape: window generation is a narrow per-row transform (no
+    * explode until the hash is a 8-byte long); the global occurrence
+    * count shuffles uniform 60-bit keys with map-side combine; the
+    * re-join back to windows is on the same uniform key and the per-doc
+    * re-agg on dense doc_id. Nothing corpus-sized broadcasts; rolling
+    * hashes would drop the md5 cost at 100 TB but change no shape (the
+    * hash fn is a pluggable expression, the restatable md5 keeps the
+    * driver oracle exact). */
+  private val SpanW = 20
+
+  def t19DupSpans(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    // guard: sequence(1, n) with n < 1 DESCENDS in Spark ([1, 0]) — a
+    // short doc must yield zero windows, not two bogus ones
+    val idxs = when(size(t) >= SpanW, sequence(lit(1), size(t) - (SpanW - 1)))
+      .otherwise(array().cast("array<int>"))
+    val winHashes = transform(idxs,
+      i => conv(substring(md5(array_join(slice(t, i, lit(SpanW)), " ")),
+        1, 15), 16, 10).cast("long"))
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), explode(winHashes).as("h"))
+    val dupCounts = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    wins.join(dupCounts, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_occ").isNotNull.cast("long")).as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  val t19Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(array_to_string(
+      |      toks[CAST(i AS INT):CAST(i + 19 AS INT)], ' ')), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM t, unnest(range(1, greatest(len(toks) - 19, 0) + 1)) AS u(i)),
+      |occ AS (SELECT h, COUNT(*) AS n_occ FROM w GROUP BY h)
+      |SELECT w.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN occ.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_windows
+      |FROM w JOIN occ USING (h)
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t15
   /** Curation pipeline V2 — t07's end-to-end composition extended with
     * the newer signals, still ONE declarative plan: language-ID →
@@ -1050,7 +1201,9 @@ object TextAnalysis {
     "t14_seq_pack"    -> (t14SeqPack _),
     "t15_curation_v2" -> (t15CurationV2 _),
     "t16_pack_spans"  -> (t16PackSpans _),
-    "t17_pack_shards" -> (t17PackShards _))
+    "t17_pack_shards" -> (t17PackShards _),
+    "t18_dsir_gate"   -> (t18DsirGate _),
+    "t19_dup_spans"   -> (t19DupSpans _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1068,5 +1221,7 @@ object TextAnalysis {
     "t14_seq_pack"    -> t14Sql,
     "t15_curation_v2" -> t15Sql,
     "t16_pack_spans"  -> t16Sql,
-    "t17_pack_shards" -> t17Sql)
+    "t17_pack_shards" -> t17Sql,
+    "t18_dsir_gate"   -> t18Sql,
+    "t19_dup_spans"   -> t19Sql)
 }

@@ -999,6 +999,34 @@ class OperatorsSpec extends SparkSpec {
       .exists(f => f.isDirectory && f.getName.startsWith("shard=")))
   }
 
+  test("t18 DSIR weights: hand-computed ratios on a toy corpus, target docs rank first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb"), // target-like: features {aa bb, bb aa}
+      (2L, "cc dd cc dd cc dd"), // off-target
+      (3L, "aa bb cc dd")        // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq(Tuple1("aa bb aa bb")).toDF("text")
+    val buckets = 1 << 16 // collision-free at toy scale w.h.p. (4 bigrams)
+    val w = TextAnalysis.dsirWeights(docs, target, buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    // target-like doc must outrank mixed, mixed must outrank off-target
+    assert(w(1L) > w(3L) && w(3L) > w(2L), w.toString)
+    // hand-check doc 2 exactly: its features {cc dd (x3), dd cc (x2)} have
+    // tc=0; raw counts: cc dd -> 3+1(doc3)=4, dd cc -> 2. T=3 (2+1 from
+    // "aa bb aa bb"), R=13 (5+5+3 bigrams).
+    def lr(tc: Long, rc: Long): Double =
+      math.log((tc + 1).toDouble / (3 + buckets)) -
+        math.log((rc + 1).toDouble / (13 + buckets))
+    val expected2 = (3 * lr(0, 4) + 2 * lr(0, 2)) / 5
+    assert(math.abs(w(2L) - expected2) < 1e-12, s"${w(2L)} vs $expected2")
+    // docs with < 2 tokens have no features and no weight row
+    val single = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.dsirWeights(single.unionByName(docs), target, buckets)
+      .where($"doc_id" === 9L).isEmpty)
+  }
+
   test("t15 curation v2: funnel is monotone, no corpus-sized bigram explode") {
     val rows = TextAnalysis.t15CurationV2(spark, sf).collect()
     assert(rows.nonEmpty)
