@@ -1195,6 +1195,121 @@ object Relational {
       |  true AS all_match
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Stream-stream LEFT OUTER join gate — the join variant whose output
+    * semantics differ in kind from q38's inner form: null-augmented rows
+    * may only emit when the watermark PROVES no future match can arrive,
+    * so un-matched results are a function of watermark progression, not
+    * just of the data. The replay is engineered to make that progression
+    * deterministic:
+    *
+    *  - left stream = events with user_id % 8 = 0; right stream = the
+    *    SUBSET user_id % 16 = 0. Every left event self-matches when its
+    *    user is ≡ 0 (mod 16); users ≡ 8 (mod 16) have NO right events at
+    *    all, so their rows can only surface as watermark-evicted nulls —
+    *    the exact semantics under test (a symmetric self-join would
+    *    self-match every row and never exercise null emission).
+    *  - the corpus replays as batch 1; a single SENTINEL event (far-future
+    *    ts = max + 3h, user 0 — present in both streams, self-matching)
+    *    replays as batch 2, advancing both watermarks to max + 1h, past
+    *    every real left timestamp — so every unmatched left row provably
+    *    evicts and emits before the query stops. File order is pinned by
+    *    explicit modification times (the file source batches oldest
+    *    first); the sentinel is rewritten (and its mtime bumped) every
+    *    run so a regenerated corpus can never replay a stale sentinel.
+    *
+    * The DuckDB oracle restates the full result (pairs + nulls +
+    * sentinel) as a plain left join over events ∪ the sentinel row. */
+  def q40StreamOuterJoinGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone (q37 note)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val path = s"$d/events.parquet"
+    val rawSchema = s2.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q40_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/events_a.parquet", conf)
+    def tsFix(df: DataFrame): DataFrame =
+      if (rawSchema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(TimestampType))
+      else df.withColumn("ts", col("ts").cast(TimestampType))
+    // sentinel: one event 3h past the corpus max, user 0, id 10^12 —
+    // written fresh every run (same raw schema as the staged file)
+    val sentinelTs = tsFix(s2.read.parquet(path))
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime + 3L * 3600 * 1000
+    val sentinelBuild = s"$stageDir.sentinel_build"
+    val raw = tsFix(s2.read.parquet(path))
+    // one row in the RAW on-disk schema (nanos corpora store ts as long
+    // nanos; any extra columns — props etc. — ride as typed nulls) so one
+    // readStream schema covers both files
+    val tsRaw: Column =
+      if (rawSchema("ts").dataType == LongType)
+        lit(sentinelTs * 1000000L) // ms → ns
+      else lit(new java.sql.Timestamp(sentinelTs))
+    raw.limit(1).select(rawSchema.fields.map { f =>
+        (f.name match {
+          case "event_id" => lit(1000000000000L).cast(f.dataType)
+          case "ts"       => tsRaw.cast(f.dataType)
+          case "user_id"  => lit(0L).cast(f.dataType)
+          case "event_type" => lit("sentinel").cast(f.dataType)
+          case "value"    => lit(1.0).cast(f.dataType)
+          case _          => lit(null).cast(f.dataType)
+        }).as(f.name)
+      }.toIndexedSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelBuild)
+    val part = HadoopIO.listScanTargets(sentinelBuild, conf).map(_._1)
+      .filter(p => p.matches(".*/part-[^/]*\\.parquet"))
+    require(part.length == 1, s"expected one sentinel part file, got: $part")
+    HadoopIO.copy(part.head, s"$stageDir/sentinel.parquet", conf)
+    // pin replay order: corpus first, sentinel second (file source
+    // batches oldest-mtime first)
+    val fs = new org.apache.hadoop.fs.Path(stageDir).getFileSystem(conf)
+    val aStat = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$stageDir/events_a.parquet"))
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$stageDir/sentinel.parquet"),
+      aStat.getModificationTime + 10000, -1)
+
+    def side(mod: Int): DataFrame = tsFix(
+      s2.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir))
+      .where(col("user_id") % mod === 0)
+    val tbl = "q40_streamed"
+    val q = graft.streaming.EventStreams.correlateOuter(side(8), side(16))
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.table(tbl).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("r_id").isNull.cast("long")).as("n_unmatched"),
+      sum(when(col("r_id").isNotNull, col("l_id") * 3 + col("r_id"))
+        .otherwise(col("l_id"))).as("id_checksum"))
+  }
+
+  val q40Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, user_id FROM events WHERE user_id % 8 = 0
+      |  UNION ALL
+      |  SELECT 1000000000000, (SELECT MAX(ts) FROM events) + INTERVAL 3 HOUR, 0),
+      |r AS (SELECT * FROM ev WHERE user_id % 16 = 0),
+      |j AS (
+      |  SELECT l.event_id AS l_id, r.event_id AS r_id
+      |  FROM ev l LEFT JOIN r
+      |    ON l.user_id = r.user_id
+      |    AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN r_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched,
+      |  CAST(SUM(CASE WHEN r_id IS NOT NULL THEN l_id * 3 + r_id
+      |    ELSE l_id END) AS BIGINT) AS id_checksum
+      |FROM j""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1235,7 +1350,8 @@ object Relational {
     "q36_stream_dedup_gate" -> (q36StreamDedupGate _),
     "q37_stream_session_gate" -> (q37StreamSessionGate _),
     "q38_stream_join_gate" -> (q38StreamJoinGate _),
-    "q39_stream_state_gate" -> (q39StreamStateGate _))
+    "q39_stream_state_gate" -> (q39StreamStateGate _),
+    "q40_stream_outer_join_gate" -> (q40StreamOuterJoinGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1276,5 +1392,6 @@ object Relational {
     "q36_stream_dedup_gate" -> q36Sql,
     "q37_stream_session_gate" -> q37Sql,
     "q38_stream_join_gate" -> q38Sql,
-    "q39_stream_state_gate" -> q39Sql)
+    "q39_stream_state_gate" -> q39Sql,
+    "q40_stream_outer_join_gate" -> q40Sql)
 }

@@ -77,6 +77,29 @@ object EventStreams {
         col("l_ts"), col("r_ts"), (col("l_value") + col("r_value")).as("pair_value"))
   }
 
+  /** [[correlate]]'s LEFT OUTER form — the join whose state semantics
+    * differ in kind, not degree: matched pairs emit immediately, but a
+    * left row's null-augmented result can only emit once the watermark
+    * proves no future right row can match it (right-side rows with
+    * r_ts ≤ l_ts stop arriving when the watermark passes l_ts). State
+    * on both sides stays bounded by watermark + range exactly as in the
+    * inner form; the OUTPUT is what waits on the watermark. */
+  def correlateOuter(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+        col("r_ts") <= col("l_ts"),
+      "left_outer")
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * totals emitted on every update (Update mode). State is one small
     * case class per active user — O(users), watermark-independent.

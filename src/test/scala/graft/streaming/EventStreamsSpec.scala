@@ -105,6 +105,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.toSet === Set((10L, 20L, 3.0)))
   }
 
+  test("stream-stream LEFT OUTER join: matches emit, nulls wait for the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lSrc = MemoryStream[Ev]
+    val rSrc = MemoryStream[Ev]
+    val q = EventStreams.correlateOuter(lSrc.toDF(), rSrc.toDF()).writeStream
+      .format("memory").queryName("outer_correlated").outputMode("append").start()
+    // batch 1: one matchable left, one matchless left (user 2)
+    lSrc.addData(Ev(10, t(90), 1, "click", 1.0), Ev(11, t(90), 2, "click", 1.0))
+    rSrc.addData(Ev(20, t(80), 1, "imp", 2.0))
+    q.processAllAvailable()
+    val afterB1 = spark.table("outer_correlated")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // the match emits immediately; the null row must NOT have emitted yet —
+    // the watermark hasn't proven user 2 can't still match
+    assert(afterB1.toSet === Set((10L, 20L)))
+    // batch 2: far-future events on BOTH sides push both watermarks past
+    // t(90) -> the unmatched left provably evicts and emits with null
+    lSrc.addData(Ev(12, t(400), 9, "click", 1.0))
+    rSrc.addData(Ev(29, t(400), 9, "imp", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("outer_correlated")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSet === Set((10L, 20L), (11L, -1L), (12L, 29L)))
+  }
+
   test("session windows: 30-min gap splits sessions") {
     val events = Seq(
       Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 1.0),
