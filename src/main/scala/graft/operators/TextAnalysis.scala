@@ -1069,8 +1069,12 @@ object TextAnalysis {
     val winHashes = transform(idxs,
       i => conv(substring(md5(array_join(slice(t, i, lit(SpanW)), " ")),
         1, 15), 16, 10).cast("long"))
-    val wins = Tables.documents(s, d)
-      .select(col("doc_id"), explode(winHashes).as("h"))
+    // staged once (t14's lesson): the occurrence count AND the join probe
+    // both read this frame — without the checkpoint Catalyst re-derives
+    // the tokenize+md5 window pass per branch (no CSE across branches),
+    // doubling the dominant cost; the staged frame is 16 bytes/window
+    val wins = Dedup.truncateLineage(Tables.documents(s, d)
+      .select(col("doc_id"), explode(winHashes).as("h")))
     val dupCounts = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2)
