@@ -1031,6 +1031,53 @@ object Dedup {
       |  true AS stream_matches_batch
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d20
+  /** Cross-corpus NEAR-DUP decontamination — t08's exact-hash benchmark
+    * decontamination upgraded to the screen labs actually need: eval data
+    * leaks into pre-training corpora as lightly-edited copies (whitespace
+    * churn, added boilerplate), which hash-equality never catches. The
+    * benchmark is indexed once (shingles → native minhash → band keys —
+    * the same frozen-index shape as d19's history); every corpus doc is
+    * screened by [[nearDupScreenVerdicts]]: band equi-join against the
+    * broadcast-sized benchmark index, lossless size prune, sorted-merge
+    * exact Jaccard on collisions only, flag at J ≥ 0.8.
+    *
+    * Scale: the benchmark side is a dim by contract (eval suites are
+    * thousands of docs, not billions), so the join broadcasts and the
+    * corpus is ONE narrow screened pass — no corpus-sized shuffle at all;
+    * contrast t08, which broadcasts exact hashed grams the same way. The
+    * gate plants exact copies of 20 benchmark docs (identical text ⇒
+    * identical band keys ⇒ guaranteed collision at J = 1): every planted
+    * copy MUST be flagged. */
+  def d20NearDupDecontamGate(s: SparkSession, d: String): DataFrame = {
+    val threshold = 0.8
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val bench = docs.orderBy(col("doc_id").asc).limit(25)
+    val planted = bench.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(planted)
+    val shB = bench
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val bBands = bandedSignatures(shB.select("doc_id", "sh"))
+      .select(col("band"), col("key"), col("doc_id").as("h_id"))
+    val bSh = shB.select(col("doc_id").as("h_id"), col("sh").as("h_sh"),
+      col("n_sh").as("h_n"))
+    val flagged = nearDupScreenVerdicts(corpus, bBands, bSh, threshold)
+      .where(col("max_j") >= threshold).select("doc_id")
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(flagged.where(col("doc_id") >= PlantOffset)
+        .agg(count(lit(1)).as("n_planted_flagged")))
+      .select(col("n_planted"), col("n_planted_flagged"),
+        (col("n_planted") === col("n_planted_flagged")).as("recall_ok"))
+  }
+
+  val d20Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST(20 AS BIGINT) AS n_planted_flagged,
+      |  true AS recall_ok""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -1183,7 +1230,8 @@ object Dedup {
     "d16_cluster_reps" -> (d16ClusterReps _),
     "d17_rep_keep_gate" -> (d17RepKeepGate _),
     "d18_incr_dedup_gate" -> (d18IncrDedupGate _),
-    "d19_stream_neardup_gate" -> (d19StreamNearDupGate _))
+    "d19_stream_neardup_gate" -> (d19StreamNearDupGate _),
+    "d20_neardup_decontam_gate" -> (d20NearDupDecontamGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1201,5 +1249,6 @@ object Dedup {
     "d16_cluster_reps" -> d16Sql,
     "d17_rep_keep_gate" -> d17Sql,
     "d18_incr_dedup_gate" -> d18Sql,
-    "d19_stream_neardup_gate" -> d19Sql)
+    "d19_stream_neardup_gate" -> d19Sql,
+    "d20_neardup_decontam_gate" -> d20Sql)
 }
