@@ -134,48 +134,57 @@ object Bench {
     val gatesTotal = names.filter(_.endsWith("_gate"))
       .map(warm).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    def line(sig: Int, slim: Boolean): String = {
+    def line(sig: Int, slim: Boolean, minimal: Boolean = false): String = {
       // slim drops the `_gate` rows from the per-query map: gates are
       // CORRECTNESS contracts whose standalone timings are near-constant
       // (planted-copy plumbing over the same pipelines the d11/d12 bench
       // rows already measure); their time still counts in value/total,
       // and `gates_omitted` records the cut so a reader knows the map is
-      // partial — each omitted row buys ~30 chars of tail-budget headroom
+      // partial — each omitted row buys ~30 chars of tail-budget headroom.
+      // minimal additionally drops the diagnostic p50_total/gates_omitted
+      // fields (~37 chars) — the last step before surrendering per-query
+      // resolution
       val qNames = if (slim) names.filterNot(_.endsWith("_gate")) else names
       // sig == 0 selects the one-decimal floor formatter
       def f(v: Double): String = if (sig == 0) fmtDec1(v) else fmt(v, sig)
       val qs = qNames.map(n => s""""$n":${f(warm(n))}""")
         .mkString("{", ",", "}")
-      val extras = if (slim) s""""gates_omitted":${names.length - qNames.length},"""
+      val extras =
+        if (minimal) ""
+        else if (slim) s""""gates_omitted":${names.length - qNames.length},"""
         else s""""cold_total":${f(coldTotal)},"s04_index_build":${f(idxBuild)},"""
+      val p50Field = if (minimal) "" else s""""p50_total":${f(p50Total)},"""
       // an empty failed list carries no signal — omit it at slim level;
       // likewise the sf path shrinks to its basename (every saved char is
       // tail-budget headroom for the line the driver must parse whole)
       val failedField = if (slim && failed.isEmpty) "" else s""""failed":$failedJson,"""
       val sf = if (slim) sfDir.split('/').last else sfDir
-      s"""{"metric":"total","value":${f(total)},"p50_total":${f(p50Total)},"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$extras"noise":${f(noise)},$failedField"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},$p50Field"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$extras"noise":${f(noise)},$failedField"sf":"$sf"}"""
     }
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail
-    // accept ≤ 1880: only sbt's "[info] " prefix (7) and "[success]"
+    // accept ≤ 1900: only sbt's "[info] " prefix (7) and the "[success]"
     // epilogue (~75) follow the line inside the tail — spark.stop() runs
     // BEFORE println, so stray stop-time log lines land ahead of the JSON
-    // line, never after it; 1880 + 7 + ~75 ≈ 1962 keeps a ~40-char cushion
+    // line, never after it; 1900 + 7 + ~75 ≈ 1982 keeps a cushion
     // (r8's 1800 cap left 200 for a contingency that cannot occur and
     // paid for it in resolution)
     // sig=0 tier = the one-decimal floor (fmtDec1): never wider than the
     // 2-sig slim form (sub-1 s values shrink "0.47"→"0.5") and never
     // coarser than one decimal below 10 s — the r8 1-sig tier's
     // "3"-for-2.8 unreadability is gone; 1-sig survives only as the loud
-    // last resort
-    val out = Seq(line(3, false), line(2, false), line(2, true), line(0, true))
-      .find(_.length <= 1880).getOrElse {
-        // even the one-decimal slim form outgrew the consumer's tail: fall
-        // to 1-sig but make it loud instead of silently regressing
+    // last resort, after the minimal tier has traded the diagnostic
+    // fields for per-query resolution
+    val out = Seq(line(3, false), line(2, false), line(2, true),
+      line(0, true), line(0, true, minimal = true))
+      .find(_.length <= 1900).getOrElse {
+        // even the minimal one-decimal form outgrew the consumer's tail:
+        // fall to 1-sig but make it loud instead of silently regressing
         // resolution (and, at worst, the parsed:null failure mode)
-        System.err.println(s"[bench] WARNING: one-decimal slim JSON line is " +
-          s"${line(0, true).length} chars > 1880 — falling back to 1-sig")
-        line(1, true)
+        System.err.println(s"[bench] WARNING: minimal one-decimal JSON line " +
+          s"is ${line(0, true, minimal = true).length} chars > 1900 — " +
+          "falling back to 1-sig")
+        line(1, true, minimal = true)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line
