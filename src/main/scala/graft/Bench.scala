@@ -134,26 +134,26 @@ object Bench {
     val gatesTotal = names.filter(_.endsWith("_gate"))
       .map(warm).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    def line(sig: Int, slim: Boolean, minimal: Boolean = false): String = {
+    def line(sig: Int, slim: Boolean, minimal: Int = 0): String = {
       // slim drops the `_gate` rows from the per-query map: gates are
       // CORRECTNESS contracts whose standalone timings are near-constant
       // (planted-copy plumbing over the same pipelines the d11/d12 bench
       // rows already measure); their time still counts in value/total,
       // and `gates_omitted` records the cut so a reader knows the map is
       // partial — each omitted row buys ~30 chars of tail-budget headroom.
-      // minimal additionally drops the diagnostic p50_total/gates_omitted
-      // fields (~37 chars) — the last step before surrendering per-query
-      // resolution
+      // minimal sheds diagnostic fields stepwise — gates_omitted (~19
+      // chars) at level 1, p50_total (~18) too at level 2 — before ever
+      // surrendering per-query resolution
       val qNames = if (slim) names.filterNot(_.endsWith("_gate")) else names
       // sig == 0 selects the one-decimal floor formatter
       def f(v: Double): String = if (sig == 0) fmtDec1(v) else fmt(v, sig)
       val qs = qNames.map(n => s""""$n":${f(warm(n))}""")
         .mkString("{", ",", "}")
       val extras =
-        if (minimal) ""
+        if (minimal >= 1) ""
         else if (slim) s""""gates_omitted":${names.length - qNames.length},"""
         else s""""cold_total":${f(coldTotal)},"s04_index_build":${f(idxBuild)},"""
-      val p50Field = if (minimal) "" else s""""p50_total":${f(p50Total)},"""
+      val p50Field = if (minimal >= 2) "" else s""""p50_total":${f(p50Total)},"""
       // an empty failed list carries no signal — omit it at slim level;
       // likewise the sf path shrinks to its basename (every saved char is
       // tail-budget headroom for the line the driver must parse whole)
@@ -176,15 +176,15 @@ object Bench {
     // last resort, after the minimal tier has traded the diagnostic
     // fields for per-query resolution
     val out = Seq(line(3, false), line(2, false), line(2, true),
-      line(0, true), line(0, true, minimal = true))
+      line(0, true), line(0, true, minimal = 1), line(0, true, minimal = 2))
       .find(_.length <= 1900).getOrElse {
         // even the minimal one-decimal form outgrew the consumer's tail:
         // fall to 1-sig but make it loud instead of silently regressing
         // resolution (and, at worst, the parsed:null failure mode)
         System.err.println(s"[bench] WARNING: minimal one-decimal JSON line " +
-          s"is ${line(0, true, minimal = true).length} chars > 1900 — " +
+          s"is ${line(0, true, minimal = 2).length} chars > 1900 — " +
           "falling back to 1-sig")
-        line(1, true, minimal = true)
+        line(1, true, minimal = 2)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line

@@ -1103,6 +1103,53 @@ object TextAnalysis {
       |FROM w JOIN occ USING (h)
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  /** Temperature-weighted domain mixture — the allocation knob every
+    * multi-source pre-training run turns (DoReMi / "sampling with
+    * temperature" in the Pile/ROOTS recipes, public papers): a domain's
+    * share of the token budget is proportional to its size RAISED TO a
+    * temperature α < 1, flattening the natural distribution so small
+    * high-quality sources aren't drowned by bulk crawl. α = 0.5 here,
+    * computed INTEGER-EXACTLY: weight w_s = ⌊√n_tok_s⌋ (floor(sqrt) is
+    * bit-identical across engines — sqrt is IEEE-exact-rounded, unlike
+    * ln/pow), allocation = budget·w_s div Σw — so the row hash-matches
+    * the oracle with no float-tolerance games. A different α slots in as
+    * any integer-exact weight (⌊n^α·2^k⌋ via integer ops).
+    *
+    * Scale: one narrow scan + one agg keyed by source (domains are
+    * dozens); the weight normalization is a broadcast 1-row total. The
+    * downstream per-domain greedy FILL to these allocations is t09's
+    * two-level histogram cutoff, unchanged. */
+  private val MixBudget = 100000L
+
+  def t21DomainMix(s: SparkSession, d: String): DataFrame = {
+    val bySource = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .withColumn("w", floor(sqrt(col("sum_tok").cast("double"))).cast("long"))
+    val totalW = bySource.agg(sum(col("w")).as("tw"))
+    bySource.crossJoin(broadcast(totalW))
+      .select(col("source"), col("n_docs"), col("sum_tok"), col("w"),
+        expr(s"($MixBudget * w) div tw").as("alloc_tok"))
+      .orderBy("source")
+  }
+
+  val t21Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |    CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM t GROUP BY source)
+      |SELECT source, n_docs, sum_tok, w,
+      |  CAST((100000 * w) // (SELECT SUM(w) FROM g) AS BIGINT) AS alloc_tok
+      |FROM g ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- t15
   /** Curation pipeline V2 — t07's end-to-end composition extended with
     * the newer signals, still ONE declarative plan: language-ID →
@@ -1207,7 +1254,8 @@ object TextAnalysis {
     "t16_pack_spans"  -> (t16PackSpans _),
     "t17_pack_shards" -> (t17PackShards _),
     "t18_dsir_gate"   -> (t18DsirGate _),
-    "t19_dup_spans"   -> (t19DupSpans _))
+    "t19_dup_spans"   -> (t19DupSpans _),
+    "t21_domain_mix"  -> (t21DomainMix _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1227,5 +1275,6 @@ object TextAnalysis {
     "t16_pack_spans"  -> t16Sql,
     "t17_pack_shards" -> t17Sql,
     "t18_dsir_gate"   -> t18Sql,
-    "t19_dup_spans"   -> t19Sql)
+    "t19_dup_spans"   -> t19Sql,
+    "t21_domain_mix"  -> t21Sql)
 }
