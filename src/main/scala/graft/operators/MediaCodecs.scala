@@ -94,6 +94,47 @@ object ImageOps {
     }
     ImageRaster(ow, oh, out)
   }
+
+  /** Area-map resize to an EXACT output geometry (perceptual-hash grids
+    * need fixed dimensions; [[boxResize]] fixes the factor instead):
+    * output pixel (bx, by) floor-means the input block
+    * [bx·w/ow, (bx+1)·w/ow) × [by·h/oh, (by+1)·h/oh) — the blocks tile
+    * the image exactly, non-integer ratios distribute remainder pixels
+    * deterministically, and an input smaller than the target clamps each
+    * empty block to its nearest row/column (nearest-neighbor upscale).
+    * Pure integer arithmetic throughout. */
+  def resizeTo(r: ImageRaster, ow: Int, oh: Int): ImageRaster = {
+    require(ow > 0 && oh > 0, s"resize target must be positive: $ow x $oh")
+    val out = new Array[Byte](ow * oh * 3)
+    var by = 0
+    while (by < oh) {
+      val y0 = math.min((by.toLong * r.height / oh).toInt, r.height - 1)
+      val y1 = math.max(((by + 1).toLong * r.height / oh).toInt, y0 + 1)
+      var bx = 0
+      while (bx < ow) {
+        val x0 = math.min((bx.toLong * r.width / ow).toInt, r.width - 1)
+        val x1 = math.max(((bx + 1).toLong * r.width / ow).toInt, x0 + 1)
+        var c = 0
+        while (c < 3) {
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              sum += r.rgb((y * r.width + x) * 3 + c) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          out((by * ow + bx) * 3 + c) = (sum / ((y1 - y0) * (x1 - x0))).toByte
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    ImageRaster(ow, oh, out)
+  }
 }
 
 /** One sampled video frame's exact-integer plane statistics (YCbCr planar

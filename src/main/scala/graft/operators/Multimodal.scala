@@ -398,17 +398,90 @@ object Multimodal {
       |FROM a GROUP BY doc_id, f
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  /** Perceptual 64-bit dHash of an image payload: decode → area-map
+    * resize to the canonical 9×8 luma grid ([[ImageOps.resizeTo]]) →
+    * one bit per horizontal gradient (gray(x+1,y) > gray(x,y)) — the
+    * standard difference-hash, robust to rescaling and small edits
+    * because only gradient SIGNS survive the downsample. Gray is the
+    * integer floor mean of R,G,B. */
+  private[operators] def dHash(codec: ImageCodec, p: Array[Byte]): java.lang.Long = {
+    if (p == null) return null
+    val r = ImageOps.resizeTo(codec.raster(p), 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val o = (y * 9 + x) * 3
+      ((r.rgb(o) & 0xff) + (r.rgb(o + 1) & 0xff) + (r.rgb(o + 2) & 0xff)) / 3
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) h |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Image near-dup dedup via perceptual hashing — the dedup family
+    * crossed into the multimodal one (what an image-corpus curation
+    * pipeline runs where text corpora run d01/d03): every document's
+    * genuine PPM payload is decoded, dHashed, and grouped by hash; a
+    * hash held by ≥ 2 images marks a duplicate group. Scale shape: the
+    * decode+hash is a narrow per-row pass (the image never leaves the
+    * executor — 8 bytes of hash do); the only shuffle is the group-by on
+    * the uniform 64-bit hash. Hamming-tolerant matching at scale bands
+    * the 64 bits into 4×16-bit keys exactly like SimHash (d04) — same
+    * machinery, swap the text fingerprint for this visual one.
+    *
+    * Gate (d07 pattern): 20 planted docs duplicate existing texts, so
+    * their PPM payloads — and therefore their dHashes — are identical to
+    * their sources'; every planted image must land in a duplicate
+    * group. */
+  def m06ImageDhashGate(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"),
+        col("text"))
+    val all = docs.unionByName(planted)
+      .select(col("doc_id"), ppmPayload(col("text")).as("img"))
+    val dh = udf { p: Array[Byte] => dHash(codec, p) }
+    val hashed = all.select(col("doc_id"), dh(col("img")).as("dhash"))
+    val dupHashes = hashed.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("dhash")
+    val plantedDup = hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .join(dupHashes, Seq("dhash"), "left_semi")
+    hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedDup.agg(count(lit(1)).as("n_planted_matched")))
+      .select(col("n_planted"), col("n_planted_matched"),
+        (col("n_planted") === lit(20) &&
+          col("n_planted_matched") === lit(20)).as("recall_ok"))
+  }
+
+  val m06Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST(20 AS BIGINT) AS n_planted_matched,
+      |  true AS recall_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
     "m03_image_stats"    -> (m03ImageStats _),
     "m04_image_resize"   -> (m04ImageResize _),
-    "m05_video_frames"   -> (m05VideoFrames _))
+    "m05_video_frames"   -> (m05VideoFrames _),
+    "m06_image_dhash_gate" -> (m06ImageDhashGate _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
     "m02_frame_features" -> m02Sql,
     "m03_image_stats"    -> m03Sql,
     "m04_image_resize"   -> m04Sql,
-    "m05_video_frames"   -> m05Sql)
+    "m05_video_frames"   -> m05Sql,
+    "m06_image_dhash_gate" -> m06Sql)
 }

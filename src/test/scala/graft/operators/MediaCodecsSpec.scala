@@ -409,6 +409,56 @@ class MediaCodecsSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("resizeTo: exact geometry, floor means, upscale clamps to nearest") {
+    // 2x2 -> 1x1: whole-image floor mean per channel
+    val r22 = ImageRaster(2, 2, Array[Byte](
+      10, 20, 30,  50, 60, 70,
+      90, 100, 110,  (200 - 256).toByte, (210 - 256).toByte, (220 - 256).toByte))
+    val one = ImageOps.resizeTo(r22, 1, 1)
+    assert((one.rgb(0) & 0xff) === (10 + 50 + 90 + 200) / 4)
+    assert((one.rgb(1) & 0xff) === (20 + 60 + 100 + 210) / 4)
+    // 1x1 -> 3x3: nearest-neighbor duplication of the single pixel
+    val r11 = ImageRaster(1, 1, Array[Byte](7, 8, 9))
+    val up = ImageOps.resizeTo(r11, 3, 3)
+    assert(up.width === 3 && up.height === 3)
+    assert(up.rgb.grouped(3).forall(_.toSeq === Seq[Byte](7, 8, 9)))
+    // non-integer ratio (3 -> 2) tiles without dropping pixels: blocks
+    // [0,1) and [1,3)
+    val r31 = ImageRaster(3, 1, Array[Byte](
+      10, 0, 0,  20, 0, 0,  40, 0, 0))
+    val two = ImageOps.resizeTo(r31, 2, 1)
+    assert((two.rgb(0) & 0xff) === 10 && (two.rgb(3) & 0xff) === (20 + 40) / 2)
+  }
+
+  test("dHash: Hamming-stable under 2x upscale, far for distinct images") {
+    val text = "perceptual hashing invariance check over this document body " * 4
+    val ppm = ppmBytesOf(text)
+    val codec = new StandardImageCodec
+    val base = codec.raster(ppm)
+    // hand-build the 2x-upscaled PPM: each pixel becomes a 2x2 block
+    val w2 = base.width * 2
+    val h2 = base.height * 2
+    val big = new Array[Byte](w2 * h2 * 3)
+    for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3)
+      big((y * w2 + x) * 3 + c) =
+        base.rgb(((y / 2) * base.width + (x / 2)) * 3 + c)
+    val header = s"P6\n$w2 $h2\n255\n".getBytes(US_ASCII)
+    val bigPpm = header ++ big
+    val h1 = Multimodal.dHash(codec, ppm)
+    val h2h = Multimodal.dHash(codec, bigPpm)
+    assert(h1 !== null)
+    // robustness is HAMMING closeness, not bit equality: 9 doesn't divide
+    // the doubled width, so area blocks regroup pixels and near-tie
+    // gradients may flip a few bits — the perceptual contract is that a
+    // rescale stays within a small radius while different images are far
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2h) <= 8,
+      s"2x upscale moved the dHash ${ham(h1, h2h)} bits — not perceptual")
+    val other = Multimodal.dHash(codec,
+      ppmBytesOf("completely different content " * 9))
+    assert(ham(h1, other) > 8, s"distinct images only ${ham(h1, other)} apart")
+  }
+
   test("WAV extensible (0xFFFE) with the PCM subtype GUID decodes as PCM") {
     val text = "extensible pcm conformance corner"
     val plain = wavBytesOf(text)
