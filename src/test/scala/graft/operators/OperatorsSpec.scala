@@ -1027,6 +1027,24 @@ class OperatorsSpec extends SparkSpec {
       .where($"doc_id" === 9L).isEmpty)
   }
 
+  test("plan shapes: t18 ratio dim and d20 benchmark index join as broadcasts") {
+    // the 100 TB claims as CI assertions, not prose: the corpus-sized side
+    // must never be the build side of these joins
+    val t18Plan = TextAnalysis.dsirWeights(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      graft.Tables.documents(spark, sf).select(col("text")).limit(50),
+      1 << 16).queryExecution.executedPlan.toString
+    assert(t18Plan.contains("BroadcastHashJoin"),
+      "t18's ratio dim must broadcast-join:\n" + t18Plan.take(1500))
+    val d20Plan = Dedup.d20NearDupDecontamGate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(d20Plan.contains("BroadcastHashJoin"),
+      "d20's benchmark index must broadcast-join:\n" + d20Plan.take(1500))
+    assert(!d20Plan.contains("SortMergeJoin"),
+      "d20 must not shuffle the corpus for a dim-sized benchmark:\n" +
+        d20Plan.take(1500))
+  }
+
   test("t15 curation v2: funnel is monotone, no corpus-sized bigram explode") {
     val rows = TextAnalysis.t15CurationV2(spark, sf).collect()
     assert(rows.nonEmpty)
