@@ -469,13 +469,79 @@ object Multimodal {
       |  CAST(20 AS BIGINT) AS n_planted_matched,
       |  true AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  /** Perceptual 64-bit audio fingerprint: decode the PCM stream into
+    * 2-sample frames ([[AudioCodec.decodeFrames]] — the same seam as m02),
+    * one bit per consecutive-frame ENERGY GRADIENT (energy(i+1) >
+    * energy(i)) over the first 64 deltas. This is the energy-delta sign
+    * hash — the shape of the Haitsma–Kalker / Chromaprint family minus
+    * the spectral transform: only gradient SIGNS survive into the hash,
+    * so uniform amplitude scaling and low-level noise leave it intact
+    * where absolute energies would not. Clips shorter than 65 frames
+    * contribute fewer bits (high bits stay 0) — still a deterministic
+    * function of the payload, which is all dedup needs. */
+  private[operators] def audioFp(codec: AudioCodec, p: Array[Byte])
+      : java.lang.Long = {
+    if (p == null) return null
+    val fr = codec.decodeFrames(p, 2, 1)
+    if (fr == null) return null
+    var h = 0L
+    val n = math.min(fr.length - 1, 64)
+    var i = 0
+    while (i < n) {
+      if (fr(i + 1).energy > fr(i).energy) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Audio near-dup dedup via perceptual fingerprinting — m06's pattern
+    * in the audio modality: every document's genuine WAV payload is
+    * decoded, fingerprinted, and grouped by fingerprint; a fingerprint
+    * held by ≥ 2 clips marks a duplicate group. Scale shape identical to
+    * m06: decode+hash is a narrow per-row pass (8 fingerprint bytes leave
+    * the executor, the audio doesn't), the only shuffle is the group-by
+    * on the uniform 64-bit key, and Hamming-tolerant matching bands the
+    * bits 4×16 exactly like SimHash (d04).
+    *
+    * Gate (d07 pattern): 20 planted docs duplicate existing texts, so
+    * their WAV payloads — and therefore fingerprints — are identical to
+    * their sources'; every planted clip must land in a duplicate group. */
+  def m07AudioFpGate(s: SparkSession, d: String): DataFrame = {
+    val codec = audioCodecFor(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"),
+        col("text"))
+    val all = docs.unionByName(planted)
+      .select(col("doc_id"), wavPayload(col("text")).as("clip"))
+    val fp = udf { p: Array[Byte] => audioFp(codec, p) }
+    val hashed = all.select(col("doc_id"), fp(col("clip")).as("afp"))
+    val dupFps = hashed.groupBy(col("afp"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("afp")
+    val plantedDup = hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .join(dupFps, Seq("afp"), "left_semi")
+    hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedDup.agg(count(lit(1)).as("n_planted_matched")))
+      .select(col("n_planted"), col("n_planted_matched"),
+        (col("n_planted") === lit(20) &&
+          col("n_planted_matched") === lit(20)).as("recall_ok"))
+  }
+
+  val m07Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST(20 AS BIGINT) AS n_planted_matched,
+      |  true AS recall_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
     "m03_image_stats"    -> (m03ImageStats _),
     "m04_image_resize"   -> (m04ImageResize _),
     "m05_video_frames"   -> (m05VideoFrames _),
-    "m06_image_dhash_gate" -> (m06ImageDhashGate _))
+    "m06_image_dhash_gate" -> (m06ImageDhashGate _),
+    "m07_audio_fp_gate"  -> (m07AudioFpGate _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -483,5 +549,6 @@ object Multimodal {
     "m03_image_stats"    -> m03Sql,
     "m04_image_resize"   -> m04Sql,
     "m05_video_frames"   -> m05Sql,
-    "m06_image_dhash_gate" -> m06Sql)
+    "m06_image_dhash_gate" -> m06Sql,
+    "m07_audio_fp_gate"  -> m07Sql)
 }

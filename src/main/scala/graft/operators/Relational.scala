@@ -1310,6 +1310,72 @@ object Relational {
       |    ELSE l_id END) AS BIGINT) AS id_checksum
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Watermark-BOUNDED streaming dedup gate — `dropDuplicatesWithinWatermark`
+    * (Spark 3.5+), the API that fixes q36's operational flaw at 100 TB:
+    * plain streaming `dropDuplicates` state grows forever (one entry per
+    * key EVER seen), while the within-watermark variant EVICTS a key's
+    * state once the watermark passes its event time + delay — state is
+    * bounded by the dedup horizon (keys per hour here), not stream
+    * lifetime. The trade is explicit: a duplicate arriving after its
+    * original's state evicted is re-emitted, which is the correct contract
+    * for at-least-once upstreams whose retries cluster in time (the actual
+    * production source of streaming duplicates).
+    *
+    * The replay makes the contract exact: the events file is staged TWICE
+    * and replayed one file per micro-batch. Batch 1 (watermark −∞) emits
+    * every first arrival and records state; the watermark then advances to
+    * max(ts) − 1h. Batch 2 is copy 2: every row is either late (ts <
+    * watermark ⇒ dropped) or within the horizon — in which case its
+    * original's state provably still lives (ts ≥ wm ⇒ ts + 1h ≥ wm), so it
+    * dedups. Output ≡ the distinct event set, exactly — pinned by the
+    * oracle's count + id checksum, with the emitted-once invariant as the
+    * gate boolean. */
+  def q41StreamWmDedupGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone (q37 note)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val path = s"$d/events.parquet"
+    val rawSchema = s2.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q41_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/events_a.parquet", conf)
+    HadoopIO.stageFile(path, s"$stageDir/events_b.parquet", conf)
+    val raw = s2.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // one staged copy per micro-batch
+      .parquet(stageDir)
+    val events =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(TimestampType))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    val tbl = "q41_streamed"
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.table(tbl).agg(
+        count(lit(1)).as("n_out"),
+        count_distinct(col("event_id")).as("n_ids"),
+        sum(col("event_id")).as("id_checksum"))
+      .select(col("n_out"), col("n_ids"), col("id_checksum"),
+        (col("n_out") === col("n_ids")).as("emitted_once"))
+  }
+
+  val q41Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_out,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+      |  true AS emitted_once
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1351,7 +1417,8 @@ object Relational {
     "q37_stream_session_gate" -> (q37StreamSessionGate _),
     "q38_stream_join_gate" -> (q38StreamJoinGate _),
     "q39_stream_state_gate" -> (q39StreamStateGate _),
-    "q40_stream_outer_join_gate" -> (q40StreamOuterJoinGate _))
+    "q40_stream_outer_join_gate" -> (q40StreamOuterJoinGate _),
+    "q41_stream_wm_dedup_gate" -> (q41StreamWmDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1393,5 +1460,6 @@ object Relational {
     "q37_stream_session_gate" -> q37Sql,
     "q38_stream_join_gate" -> q38Sql,
     "q39_stream_state_gate" -> q39Sql,
-    "q40_stream_outer_join_gate" -> q40Sql)
+    "q40_stream_outer_join_gate" -> q40Sql,
+    "q41_stream_wm_dedup_gate" -> q41Sql)
 }

@@ -1103,6 +1103,111 @@ object TextAnalysis {
       |FROM w JOIN occ USING (h)
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** Duplicated-span SCRUBBING — the removal pass consuming t19's signal
+    * (Lee et al. 2022, arXiv 2107.06499: ExactSubstr dedup strips the
+    * duplicated substring itself and keeps the rest of the doc — doc-level
+    * keep/drop either loses the unique remainder or keeps the
+    * boilerplate). Every `SpanW`-token rolling window is hashed exactly as
+    * t19; a token is scrubbed when ANY corpus-wide duplicated window
+    * covers its position (a window starting at w covers [w, w+SpanW-1]).
+    * Emits per doc the token count, kept-token count, and the md5 of the
+    * space-joined kept tokens — order-SENSITIVE, so a scrub that dropped
+    * the wrong token or reordered survivors flips the hash.
+    *
+    * Ten planted docs (unique 2-token prefixes + a shared 25-token
+    * phrase) make the contract non-vacuous at any sf: the phrase's six
+    * shared windows cover all 25 suffix positions, so each planted doc's
+    * kept text is provably its unique prefix alone, while natural
+    * exact-dup docs scrub to the empty string (md5('') on both engines).
+    *
+    * Scale shape: window hashing is the same staged narrow pass as t19
+    * (16 bytes/window leaves the scan, staged once across the count and
+    * probe branches); the occurrence count and dup-start probe shuffle
+    * uniform 60-bit keys with map-side combine; dup starts collapse to a
+    * per-doc sorted int array (bounded by doc length) joined back on
+    * dense doc_id; the coverage test is a per-row HOF —
+    * O(n_tok · n_dup_starts) worst case; a two-pointer merge via
+    * `aggregate` would make it linear without changing any exchange. */
+  /** Core scrub over any (doc_id, text) frame — see [[t20SpanScrub]] for
+    * the gated corpus entry point and the scale contract. */
+  def spanScrub(docs: DataFrame): DataFrame = {
+    val docsF = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val starts0 = when(n >= SpanW, sequence(lit(1), n - (SpanW - 1)))
+      .otherwise(array().cast("array<int>"))
+    val winHashes = transform(starts0,
+      i => conv(substring(md5(array_join(slice(col("toks"), i, lit(SpanW)),
+        " ")), 1, 15), 16, 10).cast("long"))
+    val wins = Dedup.truncateLineage(docsF
+      .select(col("doc_id"), posexplode(winHashes).as(Seq("p0", "h"))))
+    val dups = wins.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    val dupStarts = wins.join(dups, Seq("h"))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("w"))).as("starts"))
+    docsF.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (tok, i0) =>
+        !exists(col("starts"),
+          st => st <= i0 + 1 && i0 + 1 <= st + lit(SpanW - 1))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  def t20SpanScrub(s: SparkSession, d: String): DataFrame = {
+    val phrase = (0 until 25).map(i => s"zqscrub$i").mkString(" ")
+    val planted = s.range(10).select(
+      (col("id") + lit(2000000000L)).as("doc_id"),
+      concat_ws(" ", concat(lit("pfx"), col("id").cast("string")),
+        concat(lit("uniq"), col("id").cast("string")), lit(phrase))
+        .as("text"))
+    spanScrub(Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted))
+  }
+
+  val t20Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(2000000000 + i AS BIGINT) AS doc_id,
+      |    'pfx' || i || ' uniq' || i || ' ' ||
+      |    array_to_string(list_transform(range(0, 25),
+      |      j -> 'zqscrub' || j), ' ') AS text
+      |  FROM range(10) r(i)),
+      |t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM base),
+      |w AS (
+      |  SELECT doc_id, CAST(i AS INT) AS st,
+      |    CAST(concat('0x', substr(md5(array_to_string(
+      |      toks[CAST(i AS INT):CAST(i + 19 AS INT)], ' ')), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM t, unnest(range(1, greatest(len(toks) - 19, 0) + 1)) AS u(i)),
+      |occ AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, st FROM w JOIN occ USING (h)),
+      |pos AS (
+      |  SELECT doc_id, CAST(p AS INT) AS p, toks[CAST(p AS INT)] AS tok
+      |  FROM t, unnest(range(1, len(toks) + 1)) AS v(p)),
+      |kept AS (
+      |  SELECT pos.doc_id, pos.p, pos.tok FROM pos
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov
+      |    WHERE cov.doc_id = pos.doc_id
+      |      AND cov.st BETWEEN pos.p - 19 AND pos.p)),
+      |ka AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY p)) AS m
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+      |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(ka.m, md5('')) AS scrub_md5
+      |FROM t LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t21
   /** Temperature-weighted domain mixture — the allocation knob every
     * multi-source pre-training run turns (DoReMi / "sampling with
@@ -1255,6 +1360,7 @@ object TextAnalysis {
     "t17_pack_shards" -> (t17PackShards _),
     "t18_dsir_gate"   -> (t18DsirGate _),
     "t19_dup_spans"   -> (t19DupSpans _),
+    "t20_span_scrub"  -> (t20SpanScrub _),
     "t21_domain_mix"  -> (t21DomainMix _))
 
   val oracles: Map[String, String] = Map(
@@ -1276,5 +1382,6 @@ object TextAnalysis {
     "t17_pack_shards" -> t17Sql,
     "t18_dsir_gate"   -> t18Sql,
     "t19_dup_spans"   -> t19Sql,
+    "t20_span_scrub"  -> t20Sql,
     "t21_domain_mix"  -> t21Sql)
 }

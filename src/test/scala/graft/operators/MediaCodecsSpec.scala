@@ -459,6 +459,25 @@ class MediaCodecsSpec extends SparkSpec {
     assert(ham(h1, other) > 8, s"distinct images only ${ham(h1, other)} apart")
   }
 
+  test("audioFp: hand-computed gradient bits, invariant under amplitude scaling") {
+    val codec = new WavPcmCodec
+    def wav(amps: Seq[Int]): Array[Byte] =
+      extensibleWav(amps.map(a => (128 + a).toByte).toArray)
+    // frame i holds amps (i, i): energy 2i^2 strictly increases, so all 9
+    // delta bits set
+    val up = (0 until 10).flatMap(i => Seq(i, i))
+    val fpUp = Multimodal.audioFp(codec, wav(up))
+    assert(fpUp === 0x1FFL, f"expected delta bits 0..8 set, got $fpUp%x")
+    // doubling every amplitude preserves every gradient SIGN — the
+    // perceptual contract (absolute energies all change, the hash doesn't)
+    assert(Multimodal.audioFp(codec, wav(up.map(_ * 2))) === fpUp)
+    // reversing the clip reverses every gradient: no bits set
+    assert(Multimodal.audioFp(codec, wav(up.reverse)) === 0L)
+    // deterministic on a synthesized corpus payload
+    val p = wavBytesOf("audio fingerprint determinism probe")
+    assert(Multimodal.audioFp(codec, p) === Multimodal.audioFp(codec, p))
+  }
+
   test("WAV extensible (0xFFFE) with the PCM subtype GUID decodes as PCM") {
     val text = "extensible pcm conformance corner"
     val plain = wavBytesOf(text)

@@ -1027,6 +1027,49 @@ class OperatorsSpec extends SparkSpec {
       .where($"doc_id" === 9L).isEmpty)
   }
 
+  test("t20 span scrub: planted shared-phrase docs keep exactly their unique prefix") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = TextAnalysis.t20SpanScrub(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    (0 until 10).foreach { i =>
+      val r = byId(2000000000L + i)
+      assert(r.getLong(1) === 27L) // 2-token prefix + 25-token phrase
+      // the phrase's shared windows cover the whole 25-token suffix, the
+      // prefix-crossing windows are unique per doc: kept == the prefix
+      assert(r.getLong(2) === 2L, s"planted $i kept ${r.getLong(2)}")
+      assert(r.getString(3) === md5hex(s"pfx$i uniq$i"))
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("t20 span scrub on a hand corpus: coverage boundaries are exact") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val prefixA = (0 until 19).map(i => s"w$i").mkString(" ")
+    val suffixB = (0 until 5).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$prefixA $shared"),  // shared block is its 20-token TAIL
+      (2L, s"$shared $suffixB"),  // shared block is its 20-token HEAD
+      (3L, "a b c")               // too short for any window: untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1: only the window starting at 20 (the shared block) duplicates;
+    // coverage is positions 20..39, kept = the 19 prefix tokens exactly
+    assert(out(1L) === ((39L, 19L, md5hex(prefixA))))
+    // doc 2: only the window starting at 1 duplicates; coverage 1..20,
+    // kept = the 5 suffix tokens exactly
+    assert(out(2L) === ((25L, 5L, md5hex(suffixB))))
+    // doc 3: no windows, everything kept, hash of the rejoined text
+    assert(out(3L) === ((3L, 3L, md5hex("a b c"))))
+  }
+
   test("plan shapes: t18 ratio dim and d20 benchmark index join as broadcasts") {
     // the 100 TB claims as CI assertions, not prose: the corpus-sized side
     // must never be the build side of these joins
