@@ -66,7 +66,7 @@ object MitoPipeline {
       }
     val (headerText, refs) =
       if (srcIsBam) graft.sources.BamWriter.readHeader(srcBam)
-      else Sam.headerFromSam(spark, srcBase + ".sam")
+      else Sam.headerFromSam(spark, Sam.resolveSamText(srcBase))
     if (cfg.out.endsWith(".bam"))
       graft.sources.BamWriter.write(filtered, headerText, refs, cfg.out)
     else

@@ -58,18 +58,45 @@ object Sam {
     * Either way the output schema + flag expansion are identical. */
   def readAuto(spark: SparkSession, base: String): DataFrame = {
     val bam = base + ".bam"
-    val sam = base + ".sam"
     if (graft.sources.HadoopIO.exists(bam, graft.sources.HadoopIO.driverConf()))
       withFlags(spark.read.format("bam").load(bam))
-    else read(spark, sam)
+    else {
+      val sam = resolveSamText(base)
+      if (sam.endsWith(".sam")) read(spark, sam)
+      // compressed SAM text: the `sam` DSv2's BGZF reader (intra-file
+      // byte-range splits) — same schema as the text parser + flag
+      // expansion, so the pipeline is format-blind
+      else withFlags(spark.read.format("sam").load(sam))
+    }
   }
+
+  /** Existing SAM-text path for a base: `.sam`, else `.sam.gz`, else
+    * `.sam.bgz` — real archives ship bgzip-compressed text. Falls back to
+    * `.sam` when none exist so the downstream error names the plain
+    * path. */
+  def resolveSamText(base: String): String =
+    Seq(".sam", ".sam.gz", ".sam.bgz").map(base + _)
+      .find(p =>
+        graft.sources.HadoopIO.exists(p, graft.sources.HadoopIO.driverConf()))
+      .getOrElse(base + ".sam")
 
   /** Reference dictionary + header text from a SAM text header (for
     * writing BAM output when the inputs were SAM text). */
   def headerFromSam(spark: SparkSession, path: String): (String, Seq[(String, Int)]) = {
-    val lines = spark.read.text(path)
-      .where(col("value").startsWith("@"))
-      .collect().map(_.getString(0))
+    val lines: Array[String] =
+      if (path.endsWith(".gz") || path.endsWith(".bgz")) {
+        // driver-side stream decode: the header is KB-sized and lives at
+        // the file head; BGZF IS gzip, and the JDK's GZIPInputStream walks
+        // concatenated members, so one reader covers bgzip and plain gzip
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(graft.sources.HadoopIO.open(
+            path, graft.sources.HadoopIO.driverConf())), "UTF-8"))
+        try Iterator.continually(in.readLine())
+          .takeWhile(l => l != null && l.startsWith("@")).toArray
+        finally in.close()
+      } else spark.read.text(path)
+        .where(col("value").startsWith("@"))
+        .collect().map(_.getString(0))
     val refs = lines.filter(_.startsWith("@SQ")).map { l =>
       val kv = l.split("\t").drop(1).map(_.split(":", 2)).map(a => a(0) -> a(1)).toMap
       (kv("SN"), kv("LN").toInt)

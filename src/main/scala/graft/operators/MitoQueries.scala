@@ -473,13 +473,12 @@ object MitoQueries {
   private val x08Model = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.classification.RandomForestClassificationModel]
 
-  def x08PipelineGate(s: SparkSession, d: String): DataFrame = {
-    import graft.mito.{Classify, MitoPipeline}
-    import graft.sources.{BamWriter, HadoopIO}
-    import org.apache.spark.sql.Column
-    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${HadoopIO.scratchDir(s)}/graft_x08_$sfTag"
-    val prefix = s"$root/sample"
+  /** Cohort synthesis shared by x08 (BAM inputs) and x09 (compressed SAM
+    * text inputs): the three per-sample record frames in the writer schema
+    * plus their headers. See [[x08PipelineGate]] for the determinism
+    * argument — identical for both gates, only the container differs. */
+  private def x08Cohort(s: SparkSession, d: String): (DataFrame, DataFrame,
+      DataFrame, String, String, Seq[(String, Int)]) = {
     val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 2)
     val cls = col("l_partkey") % 2 // 1 = NUMT (dropped), 0 = mtDNA (kept)
     val rid = concat(lit("r"), col("l_orderkey"), lit("_"),
@@ -507,29 +506,26 @@ object MitoQueries {
         lit(" MD:Z:"),
         when(cls === 1, lit("2A7")).otherwise(lit("10"))).as("attributes"))
     val chrM = "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n"
-    BamWriter.write(
-      li.select(explode(array(mtMd(99, 0), mtMd(147, 500))).as("r"))
-        .select(col("r.*")),
-      chrM, Seq("chrM" -> 16569), prefix + "_MT_MD.bam")
+    val mtMdDf = li
+      .select(explode(array(mtMd(99, 0), mtMd(147, 500))).as("r"))
+      .select(col("r.*"))
 
-    // <prefix>_NT.bam: one valid record per read on a nuclear chromosome —
+    // <prefix>_NT: one valid record per read on a nuclear chromosome —
     // NTEditDist/NTNumAlignments noise, NTScore from real interval overlap.
     val ntRefs = (1 to 5).map(i => s"chr$i" -> 100000)
     val ntHeader = "@HD\tVN:1.6\n" +
       ntRefs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString
-    BamWriter.write(
-      li.select(rid.as("readName"), lit(99).as("flag"),
-        concat(lit("chr"), col("l_suppkey") % 5 + 1).as("referenceName"),
-        (col("l_partkey") % 2000 + 1).cast("int").as("start"),
-        (col("l_discount") * 100).cast("int").as("mapQ"),
-        lit("10M").as("cigar"), lit("=").as("rnext"), lit(0).as("pnext"),
-        lit(0).as("tlen"), lit("ACGTACGTAC").as("sequence"),
-        lit("*").as("qual"),
-        concat(lit("NM:i:"), col("l_suppkey") % 4,
-          lit(" NH:i:"), lit(1) + col("l_suppkey") % 3).as("attributes")),
-      ntHeader, ntRefs, prefix + "_NT.bam")
+    val ntDf = li.select(rid.as("readName"), lit(99).as("flag"),
+      concat(lit("chr"), col("l_suppkey") % 5 + 1).as("referenceName"),
+      (col("l_partkey") % 2000 + 1).cast("int").as("start"),
+      (col("l_discount") * 100).cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"), lit(0).as("pnext"),
+      lit(0).as("tlen"), lit("ACGTACGTAC").as("sequence"),
+      lit("*").as("qual"),
+      concat(lit("NM:i:"), col("l_suppkey") % 4,
+        lit(" NH:i:"), lit(1) + col("l_suppkey") % 3).as("attributes"))
 
-    // <prefix>_MT.bam: the records the pipeline filters and re-emits.
+    // <prefix>_MT: the records the pipeline filters and re-emits.
     def mtRec(flag: Int, off: Int) = struct(
       rid.as("readName"), lit(flag).as("flag"),
       lit("chrM").as("referenceName"), (p + off).cast("int").as("start"),
@@ -537,12 +533,16 @@ object MitoQueries {
       lit("10M").as("cigar"), lit("=").as("rnext"), lit(0).as("pnext"),
       lit(0).as("tlen"), lit("ACGTACGTAC").as("sequence"),
       lit("*").as("qual"), lit("NM:i:1").as("attributes"))
-    BamWriter.write(
-      li.select(explode(array(mtRec(99, 0), mtRec(147, 500))).as("r"))
-        .select(col("r.*")),
-      chrM, Seq("chrM" -> 16569), prefix + "_MT.bam")
+    val mtDf = li
+      .select(explode(array(mtRec(99, 0), mtRec(147, 500))).as("r"))
+      .select(col("r.*"))
+    (mtMdDf, ntDf, mtDf, chrM, ntHeader, ntRefs)
+  }
 
-    // LD + NUMT sidecar tables (driver-written, KB-sized dims by contract)
+  /** LD + NUMT sidecar tables (driver-written, KB-sized dims by
+    * contract). */
+  private def x08Sidecars(root: String): Unit = {
+    import graft.sources.HadoopIO
     def writeText(path: String, text: String): Unit = {
       val out = HadoopIO.create(path, HadoopIO.driverConf())
       try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -551,7 +551,11 @@ object MitoQueries {
       (1 to 1000).map(q => s"${q + 2}G\t${q + 502}G\t0.42").mkString("\n") + "\n")
     writeText(root + "/numts.tsv",
       "chr1\t100\t600\t10\nchr2\t500\t1500\t5\nchr3\t0\t1000\t7\n")
+  }
 
+  private def x08Rf(s: SparkSession)
+      : org.apache.spark.ml.classification.RandomForestClassificationModel = {
+    import org.apache.spark.sql.Column
     // RF trained on a fixture generated by the same rule over the same
     // feature supports (x04's wide-margin technique; sf-independent).
     // Noise dims derive from j = id/2, NOT id: label is id's parity, so
@@ -577,17 +581,80 @@ object MitoQueries {
     // seeded + sf-independent fixture → the trained forest is identical
     // run-to-run; cache it so bench warm passes measure the PIPELINE, not
     // a retrain (same build-once discipline as Similarity.ivfModels)
-    val model = x08Model.getOrElseUpdate("rf",
-      Classify.trainRF(train, numTrees = 64, seed = 7L))
+    x08Model.getOrElseUpdate("rf",
+      graft.mito.Classify.trainRF(train, numTrees = 64, seed = 7L))
+  }
+
+  def x08PipelineGate(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.MitoPipeline
+    import graft.sources.{BamWriter, HadoopIO}
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x08_$sfTag"
+    val prefix = s"$root/sample"
+    val (mtMdDf, ntDf, mtDf, chrM, ntHeader, ntRefs) = x08Cohort(s, d)
+    BamWriter.write(mtMdDf, chrM, Seq("chrM" -> 16569), prefix + "_MT_MD.bam")
+    BamWriter.write(ntDf, ntHeader, ntRefs, prefix + "_NT.bam")
+    BamWriter.write(mtDf, chrM, Seq("chrM" -> 16569), prefix + "_MT.bam")
+    x08Sidecars(root)
 
     MitoPipeline.run(s,
       MitoPipeline.Config(prefix, root + "/classified.bam",
         root + "/mitomap.ld", root + "/numts.tsv", prob = 0.9),
-      model)
+      x08Rf(s))
 
     // the gate checks the written ARTIFACT, not the returned frame: scan
     // the classified single-file BAM back through the binary source
     s.read.format("bam").load(root + "/classified.bam")
+      .agg(count(lit(1)).as("n_out"),
+        sum(col("start")).as("sum_start"),
+        sum(col("mapQ")).as("sum_mapq"))
+  }
+
+  // ---------------------------------------------------------------- x09
+  /** x08's end-to-end pipeline with every container COMPRESSED: the same
+    * lineitem-synthesized cohort written as bgzip SAM text (`.sam.gz`,
+    * the format real NGS archives actually ship), classified through the
+    * same `MitoPipeline.run`, and emitted as a compressed single-file SAM
+    * — then scanned back through the `sam` DSv2's BGZF reader WITH
+    * intra-file byte-range splits. Pins at driver visibility: compressed
+    * ingestion (member-boundary split ownership), format-blind pipeline
+    * resolution (`Sam.resolveSamText`), header recovery from a
+    * compressed source, the BGZF text sink, and the re-scan — one row,
+    * same oracle arithmetic as x08 (the container must not change the
+    * answer). */
+  def x09CompressedPipelineGate(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.{MitoPipeline, Sam}
+    import graft.sources.HadoopIO
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x09_$sfTag"
+    val prefix = s"$root/sample"
+    val (mtMdDf, ntDf, mtDf, chrM, ntHeader, _) = x08Cohort(s, d)
+    // writer-schema record frame → raw SAM text lines (tags are
+    // tab-separated on disk; the internal `attributes` convention is
+    // space-joined and no synthesized value contains a space)
+    def lines(df: DataFrame): DataFrame = df.select(concat_ws("\t",
+      col("readName"), col("flag"), col("referenceName"), col("start"),
+      col("mapQ"), col("cigar"), col("rnext"), col("pnext"), col("tlen"),
+      col("sequence"), col("qual"),
+      translate(col("attributes"), " ", "\t")).as("line"))
+    def hdr(h: String): Seq[String] =
+      h.split("\n").toSeq.filter(_.nonEmpty)
+    Sam.writeSingleSamWithHeader(hdr(chrM), lines(mtMdDf),
+      prefix + "_MT_MD.sam.gz")
+    Sam.writeSingleSamWithHeader(hdr(ntHeader), lines(ntDf),
+      prefix + "_NT.sam.gz")
+    Sam.writeSingleSamWithHeader(hdr(chrM), lines(mtDf),
+      prefix + "_MT.sam.gz")
+    x08Sidecars(root)
+
+    MitoPipeline.run(s,
+      MitoPipeline.Config(prefix, root + "/classified.sam.gz",
+        root + "/mitomap.ld", root + "/numts.tsv", prob = 0.9),
+      x08Rf(s))
+
+    // scan the compressed artifact back with forced intra-file splits
+    s.read.format("sam").option("splitsize", 65536)
+      .load(root + "/classified.sam.gz")
       .agg(count(lit(1)).as("n_out"),
         sum(col("start")).as("sum_start"),
         sum(col("mapQ")).as("sum_mapq"))
@@ -610,7 +677,8 @@ object MitoQueries {
     "x05_bam_region_gate" -> (x05BamRegionGate _),
     "x06_bai_region_gate" -> (x06BaiRegionGate _),
     "x07_csi_region_gate" -> (x07CsiRegionGate _),
-    "x08_pipeline_gate"   -> (x08PipelineGate _))
+    "x08_pipeline_gate"   -> (x08PipelineGate _),
+    "x09_compressed_pipeline_gate" -> (x09CompressedPipelineGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -620,5 +688,6 @@ object MitoQueries {
     "x05_bam_region_gate" -> x05Sql,
     "x06_bai_region_gate" -> x06Sql,
     "x07_csi_region_gate" -> x07Sql,
-    "x08_pipeline_gate" -> x08Sql)
+    "x08_pipeline_gate" -> x08Sql,
+    "x09_compressed_pipeline_gate" -> x08Sql)
 }
