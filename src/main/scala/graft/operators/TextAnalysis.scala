@@ -1340,6 +1340,66 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN surv AND rn = 1 AND pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+  /** Vocabulary statistics per language — the data-card slice t13 doesn't
+    * cover (Dodge et al. 2021's C4 documentation, public arXiv: corpus
+    * cards report vocabulary size, hapax mass, and head-token
+    * concentration per language, the signals that expose boilerplate
+    * floods and tokenizer mismatch before training). Per language: doc
+    * and token totals, distinct-token count (types), hapax count (types
+    * occurring exactly once — Zipf's tail mass), the top token's
+    * occurrence count (head concentration), and type-token ratio as the
+    * one IEEE division both engines perform identically on exact integer
+    * aggregates.
+    *
+    * Scale shape: token explode is narrow; the (lang, term) count
+    * shuffles uniform string keys with map-side combine (vocabulary-sized
+    * output, not corpus-sized); the per-language rollup aggregates a
+    * vocabulary-sized frame into a handful of rows. Nothing collects,
+    * nothing broadcasts. */
+  def t22VocabStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), tokens(col("text")).as("toks"))
+    val perDoc = docs.select(col("lang"), col("doc_id"), size(col("toks")).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("n_tokens"))
+    val terms = docs.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum((col("cnt") === 1).cast("long")).as("n_hapax"),
+        max(col("cnt")).as("top_tok_count"))
+    perDoc.join(vocab, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("top_tok_count"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"))
+      .orderBy("lang")
+  }
+
+  val t22Sql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |pd AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY lang),
+      |tc AS (
+      |  SELECT lang, tok, COUNT(*) AS cnt
+      |  FROM (SELECT lang, unnest(toks) AS tok FROM t)
+      |  GROUP BY lang, tok),
+      |v AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |    CAST(MAX(cnt) AS BIGINT) AS top_tok_count
+      |  FROM tc GROUP BY lang)
+      |SELECT pd.lang, n_docs, n_tokens, n_types, n_hapax, top_tok_count,
+      |  CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio
+      |FROM pd JOIN v USING (lang)
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1361,7 +1421,8 @@ object TextAnalysis {
     "t18_dsir_gate"   -> (t18DsirGate _),
     "t19_dup_spans"   -> (t19DupSpans _),
     "t20_span_scrub"  -> (t20SpanScrub _),
-    "t21_domain_mix"  -> (t21DomainMix _))
+    "t21_domain_mix"  -> (t21DomainMix _),
+    "t22_vocab_stats" -> (t22VocabStats _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1383,5 +1444,6 @@ object TextAnalysis {
     "t18_dsir_gate"   -> t18Sql,
     "t19_dup_spans"   -> t19Sql,
     "t20_span_scrub"  -> t20Sql,
-    "t21_domain_mix"  -> t21Sql)
+    "t21_domain_mix"  -> t21Sql,
+    "t22_vocab_stats" -> t22Sql)
 }
