@@ -170,6 +170,9 @@ object Similarity {
     // PQ codebooks (s08/s09) are index state over the same dir — stale
     // codebooks would silently encode against the previous corpus
     pqBooks.remove(d)
+    // residual codebooks (s12) are derived from BOTH the IVF model and
+    // the corpus — same invalidation rule
+    resBooks.remove(d)
     // the bucketed corpus dir (s07) is derived from the same model + source
     // — a model invalidation must drop it too, or s07 silently probes a
     // layout built from the previous index
@@ -633,6 +636,129 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries,
       |  true AS rerank_ge_adc, true AS rerank_beats_adc""".stripMargin
 
+  // ---------------------------------------------------------------- s12
+  /** RESIDUAL-encoding IVFADC — the construction Jégou et al. 2011
+    * actually specify (§III.C): PQ encodes the residual r = x −
+    * centroid(cell(x)), not the raw vector. Removing the coarse
+    * quantizer's contribution first leaves the codebooks modeling only
+    * the within-cell spread, which is why production systems (FAISS
+    * `IVFxPQy`) encode residuals — on clustered data the same code
+    * budget reconstructs far better. The query side mirrors it: one LUT
+    * per PROBED CELL over q − centroid(cell), so ADC compares
+    * same-origin residuals.
+    *
+    * Scale shape = s09's exactly (the subtraction is a narrow per-row
+    * zip_with on both sides; the LUT side grows to nq × NProbe rows,
+    * still broadcast-sized), plus one residual-codebook build cached
+    * like [[pqCodebooks]].
+    *
+    * Gate — two GUARANTEED contracts (nothing statistical):
+    *  - `all_copies_min_in_cell`: a planted copy lands in its query's
+    *    first-probe cell with residual IDENTICAL to the query's (same
+    *    IEEE subtraction on the same values), so its codes are the
+    *    argmins of that cell's LUT rows and no row scored under the same
+    *    (query, cell) LUT can beat it.
+    *  - `all_copies_lut_min`: each copy's ADC equals Σ_m min_k lut[m][k]
+    *    — the argmin identity, codebook-independent. */
+  private val resBooks = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+
+  /** Cluster centers as one literal array<array<double>> [k][dim]. */
+  private def centersLit(
+      model: org.apache.spark.ml.clustering.KMeansModel): Column =
+    array(model.clusterCenters.map(c =>
+      array(c.toArray.map(lit).toIndexedSeq: _*)): _*)
+
+  /** r = emb − centroid(cell), as array<double> (both gate sides build
+    * residuals through this same expression, so a copy's residual is
+    * bit-identical to its query's). */
+  private def residual(emb: Column, cell: Column, centers: Column): Column =
+    zip_with(emb, element_at(centers, cell + 1),
+      (x, c) => x.cast("double") - c)
+
+  /** Residual PQ codebooks for `d`: per subspace, seeded KMeans over the
+    * corpus residuals to their assigned cells. */
+  private[operators] def residualCodebooks(
+      s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    resBooks.getOrElseUpdate(d, {
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val model = ivfModel(
+        e.withColumn("vec", array_to_vector(col("embedding"))), d)
+      val centers = centersLit(model)
+      val res = model.transform(Tables.embeddings(s, d)
+          .where(col("vec_id") >= 10)
+          .withColumn("vec", array_to_vector(col("embedding"))))
+        .select(residual(col("embedding"), col("cell"), centers).as("res"))
+      (0 until PqM).map { m =>
+        val sub = res.select(array_to_vector(
+          slice(col("res"), m * PqSub + 1, PqSub)).as("vec"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqK).setSeed(1042L + m)
+          .setFeaturesCol("vec").setPredictionCol("c")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+    })
+
+  def s12IvfAdcResidualGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Dedup.assertIdHeadroom(e, "vec_id", d)
+    val model = ivfModel(
+      e.withColumn("vec", array_to_vector(col("embedding"))), d)
+    val centers = centersLit(model)
+    val cb = cbLit(residualCodebooks(s, d))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val planted = q.select(
+      (col("q_id") + lit(1000000000L)).as("vec_id"),
+      col("q_emb").as("embedding"))
+    val corpus = e.where(col("vec_id") >= 10).unionByName(planted)
+    // corpus side: cell assignment, then RESIDUAL codes
+    val n = model.transform(
+        corpus.withColumn("vec", array_to_vector(col("embedding"))))
+      .select(col("vec_id").as("n_id"), col("cell"),
+        pqCodes(residual(col("embedding"), col("cell"), centers), cb)
+          .as("codes"))
+    // query side: one LUT per probed cell, over q − centroid(cell)
+    val withLut = ivfProbes(s, e, model).select(col("q_id"), col("cell"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("cell"),
+        pqLut(residual(col("q_emb"), col("cell"), centers), cb).as("lut"))
+    val scored = withLut.hint("broadcast").join(n, Seq("cell"))
+      .select(col("q_id"), col("cell"), col("n_id"),
+        adc(col("lut"), col("codes")).as("adc"))
+    // contract 1: per (query, its copy's cell), the copy achieves the min
+    val copyRows = scored
+      .where(col("n_id") === col("q_id") + lit(1000000000L))
+      .select(col("q_id"), col("cell"), col("adc").as("copy_adc"))
+    val cellMin = scored.groupBy(col("q_id"), col("cell"))
+      .agg(min(col("adc")).as("cell_min"))
+    val inCell = copyRows.join(cellMin, Seq("q_id", "cell"))
+      .agg(count(lit(1)).as("nq"),
+        sum(when(col("copy_adc") === col("cell_min"), 1L).otherwise(0L))
+          .as("n_min"))
+      .select((col("nq") === 10 && col("n_min") === 10)
+        .as("all_copies_min_in_cell"))
+    // contract 2: copy ADC equals the LUT's per-subspace minimum sum
+    val lutMin = withLut.select(col("q_id"), col("cell"),
+      aggregate(col("lut"), lit(0.0), (a, row) => a + array_min(row))
+        .as("lut_min"))
+    val lutEq = copyRows.join(lutMin, Seq("q_id", "cell"))
+      .agg(count(lit(1)).as("nq"),
+        sum(when(col("copy_adc") === col("lut_min"), 1L).otherwise(0L))
+          .as("n_eq"))
+      .select((col("nq") === 10 && col("n_eq") === 10)
+        .as("all_copies_lut_min"))
+    inCell.crossJoin(lutEq)
+      .select(lit(10L).as("n_queries"), col("all_copies_min_in_cell"),
+        col("all_copies_lut_min"))
+  }
+
+  val s12Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries,
+      |  true AS all_copies_min_in_cell, true AS all_copies_lut_min""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** Driver-visible ANN recall gate: computes recall@5 of the LSH (s02)
     * and IVF (s04) paths against the in-engine brute-force truth (s01),
@@ -773,7 +899,8 @@ object Similarity {
     "s08_pq_gate"    -> (s08PqGate _),
     "s09_ivfadc_gate" -> (s09IvfAdcGate _),
     "s10_ivfadc_rerank_gate" -> (s10IvfAdcRerankGate _),
-    "s11_label_centroids" -> (s11LabelCentroids _))
+    "s11_label_centroids" -> (s11LabelCentroids _),
+    "s12_ivfadc_residual_gate" -> (s12IvfAdcResidualGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -784,5 +911,6 @@ object Similarity {
     "s08_pq_gate"     -> s08Sql,
     "s09_ivfadc_gate" -> s09Sql,
     "s10_ivfadc_rerank_gate" -> s10Sql,
-    "s11_label_centroids" -> s11Sql)
+    "s11_label_centroids" -> s11Sql,
+    "s12_ivfadc_residual_gate" -> s12Sql)
 }

@@ -1027,6 +1027,13 @@ class OperatorsSpec extends SparkSpec {
       .where($"doc_id" === 9L).isEmpty)
   }
 
+  test("s12 residual IVFADC: both guaranteed contracts hold at sf0.001") {
+    val r = Similarity.s12IvfAdcResidualGate(spark, sf).head
+    assert(r.getLong(0) === 10L)
+    assert(r.getBoolean(1), "copy must achieve the min ADC within its cell")
+    assert(r.getBoolean(2), "copy ADC must equal the LUT per-subspace min sum")
+  }
+
   test("t20 span scrub: planted shared-phrase docs keep exactly their unique prefix") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
