@@ -1376,6 +1376,41 @@ object Relational {
       |  true AS emitted_once
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Observation-API metrics gate — data-quality counters collected ON
+    * the action's own pass (`Dataset.observe`, stable since Spark 3.3):
+    * production pipelines attach row counts and quality tallies to every
+    * write this way instead of paying a second scan (the aggregates ride
+    * the tasks as an AggregatingAccumulator — no shuffle, no extra job).
+    * The gate runs a noop-sink action over lineitem with three observed
+    * aggregates and returns the OBSERVED values as the row; the oracle
+    * recomputes them as plain SQL, so a metric that under- or
+    * over-counts (lost partition, double-counted retry, accumulator
+    * drift) flips a driver CORRECTNESS row. All three metrics are
+    * integer-exact, so the hash compare is tolerance-free. */
+  def q42ObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation() // unique auto-name per run
+    Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L))
+          .as("n_discounted"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Long],
+      m("n_discounted").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_discounted")
+  }
+
+  val q42Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_discounted
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1418,7 +1453,8 @@ object Relational {
     "q38_stream_join_gate" -> (q38StreamJoinGate _),
     "q39_stream_state_gate" -> (q39StreamStateGate _),
     "q40_stream_outer_join_gate" -> (q40StreamOuterJoinGate _),
-    "q41_stream_wm_dedup_gate" -> (q41StreamWmDedupGate _))
+    "q41_stream_wm_dedup_gate" -> (q41StreamWmDedupGate _),
+    "q42_observe_metrics" -> (q42ObserveMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1461,5 +1497,6 @@ object Relational {
     "q38_stream_join_gate" -> q38Sql,
     "q39_stream_state_gate" -> q39Sql,
     "q40_stream_outer_join_gate" -> q40Sql,
-    "q41_stream_wm_dedup_gate" -> q41Sql)
+    "q41_stream_wm_dedup_gate" -> q41Sql,
+    "q42_observe_metrics" -> q42Sql)
 }

@@ -759,6 +759,93 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries,
       |  true AS all_copies_min_in_cell, true AS all_copies_lut_min""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** STREAMING ANN — continuous query arrival against a frozen IVF index
+    * (the d19 pattern crossed into the similarity family: a production
+    * retrieval service answers a query STREAM, it doesn't re-run batch
+    * jobs). Query vectors replay as a micro-batch stream; each query's
+    * NProbe probe cells are computed PER ROW from the broadcast-literal
+    * centroid table (an argmin-N over 16 centroids via transform +
+    * array_sort — no window, so it runs unmodified on a stream); a
+    * stream-static equi-join on `cell` probes the batch-side corpus
+    * (re-planned per micro-batch, zero streaming state on the corpus
+    * side — at 100 TB this is the s07 bucketed layout, so each
+    * micro-batch reads only probed partitions); per-query TOP-1 is a
+    * complete-mode max-struct aggregate whose state is ONE struct per
+    * query, not per candidate. Top-k generalizes by the same two-level
+    * shape (per-cell partial top-k, final merge) without changing the
+    * state bound.
+    *
+    * Gate: the streamed top-1 must equal batch s04's rank-1 row per
+    * query, exactly — same cosine expression tree, same 6-decimal
+    * rounding, same (cos desc, n_id asc) tie ordering (max of
+    * struct(cos, −n_id) IS that ordering). Micro-batching provably
+    * answer-preserving; the booleans restate as constants. */
+  def s13StreamAnnGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    import org.apache.spark.ml.functions.array_to_vector
+    // isolated session clone (q37 note): state-store sizing + the memory
+    // sink view stay invisible to the caller's session
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val path = s"$d/embeddings.parquet"
+    val rawSchema = s2.read.parquet(path).schema
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_s13_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/embeddings.parquet", conf)
+    val e = s2.read.parquet(path).select(col("vec_id"), col("embedding"))
+    val model = ivfModel(
+      e.withColumn("vec", array_to_vector(col("embedding"))), d)
+    val centers = centersLit(model)
+    // static corpus side: cell-assigned, norms precomputed (s04's n frame)
+    val n = model.transform(e.where(col("vec_id") >= 10)
+        .withColumn("vec", array_to_vector(col("embedding"))))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        norm2(col("embedding")).as("n_nrm"), col("cell"))
+    // streaming query side: per-row probe-cell selection, no window
+    val qs = s2.readStream.schema(rawSchema).parquet(stageDir)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+    def dist2(emb: Column, c: Column): Column =
+      aggregate(zip_with(emb, c,
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0), (a, v) => a + v)
+    val probes = transform(centers,
+      (c, i) => struct(dist2(col("q_emb"), c).as("d"), i.as("cell")))
+    val probed = qs
+      .withColumn("p", explode(slice(array_sort(probes), 1, NProbe)))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("p.cell").as("cell"))
+    val tbl = "s13_streamed"
+    val q = probed.join(n, Seq("cell"))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
+      .groupBy(col("q_id"))
+      .agg(max(struct(round(col("cos"), 6).as("cos_r"),
+        (-col("n_id")).as("neg_id"))).as("m"))
+      .select(col("q_id"), col("m.cos_r").as("s_cos"),
+        (-col("m.neg_id")).as("s_nid"))
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    val batchTop1 = s04AnnIvf(s2, d).where(col("rank") === 1)
+      .select(col("q_id"), col("n_id").as("b_nid"), col("cos_r").as("b_cos"))
+    s2.table(tbl).join(batchTop1, Seq("q_id"), "full_outer")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("s_nid") === col("b_nid") &&
+          col("s_cos") === col("b_cos"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_queries"), col("n_match"),
+        (col("n_queries") === 10 && col("n_match") === 10).as("all_match"))
+  }
+
+  val s13Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries,
+      |  CAST(10 AS BIGINT) AS n_match, true AS all_match""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** Driver-visible ANN recall gate: computes recall@5 of the LSH (s02)
     * and IVF (s04) paths against the in-engine brute-force truth (s01),
@@ -900,7 +987,8 @@ object Similarity {
     "s09_ivfadc_gate" -> (s09IvfAdcGate _),
     "s10_ivfadc_rerank_gate" -> (s10IvfAdcRerankGate _),
     "s11_label_centroids" -> (s11LabelCentroids _),
-    "s12_ivfadc_residual_gate" -> (s12IvfAdcResidualGate _))
+    "s12_ivfadc_residual_gate" -> (s12IvfAdcResidualGate _),
+    "s13_stream_ann_gate" -> (s13StreamAnnGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -912,5 +1000,6 @@ object Similarity {
     "s09_ivfadc_gate" -> s09Sql,
     "s10_ivfadc_rerank_gate" -> s10Sql,
     "s11_label_centroids" -> s11Sql,
-    "s12_ivfadc_residual_gate" -> s12Sql)
+    "s12_ivfadc_residual_gate" -> s12Sql,
+    "s13_stream_ann_gate" -> s13Sql)
 }
