@@ -1411,6 +1411,100 @@ object Relational {
       |    AS n_discounted
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Dynamic partition pruning gate — the runtime half of the pruning
+    * story (static partition pruning is s07's): a fact table PARTITIONED
+    * on disk by a join key, joined against a small filtered dim, must
+    * skip the partitions whose keys the dim filter eliminated — at
+    * runtime, via the broadcast exchange's values injected as a
+    * partition filter (`PartitionFilters: [dynamicpruning#...]`). At
+    * 100 TB this is the difference between scanning 3/10 of the fact
+    * and scanning all of it and filtering after the join.
+    *
+    * The gate stages a partitioned copy of lineitem (part_key =
+    * l_suppkey % 10, ten directories), joins it with a 3-key dim, emits
+    * the integer-exact join aggregate PLUS `dpp_planned` — read off the
+    * executed plan, so the row fails if a conf or plan regression
+    * silently turns the runtime pruning off. The oracle restates the
+    * aggregate as a plain filter (the dim is rule-derived). */
+  def q43DppGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${HadoopIO.scratchDir(s)}/graft_q43_$sfTag"
+    Tables.lineitem(s, d)
+      .withColumn("part_key", col("l_suppkey") % 10)
+      .write.mode("overwrite").partitionBy("part_key").parquet(dir)
+    val dim = s.range(10).select(col("id").as("part_key"))
+      .where(col("part_key").isin(2, 5, 7))
+    val joined = s.read.parquet(dir)
+      .join(broadcast(dim), Seq("part_key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("part_key")).as("sum_part"))
+      .select(col("n_rows"), col("sum_qty"), col("sum_part"),
+        lit(plan.toLowerCase.contains("dynamicpruning")).as("dpp_planned"))
+  }
+
+  val q43Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(l_suppkey % 10) AS BIGINT) AS sum_part,
+      |  true AS dpp_planned
+      |FROM lineitem WHERE l_suppkey % 10 IN (2, 5, 7)""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Bucketed co-located join gate — the shuffle-elimination lever the
+    * 100 TB playbook leads with: both join sides written `bucketBy` the
+    * join key (8 buckets, sorted), so the sort-merge join consumes the
+    * on-disk bucketing as its distribution AND ordering — NO exchange on
+    * either side, no sort, at any data size; the one-time bucketed write
+    * amortizes over every subsequent join on that key (the fact-table
+    * contract: bucket once, join forever). A `merge` hint pins SMJ so
+    * the zero-Exchange claim is about bucketing, not about the dim being
+    * broadcastable at test scale.
+    *
+    * Emits the integer-exact join aggregate PLUS `no_shuffle_planned`
+    * read off the executed plan (SortMergeJoin present, zero Exchange
+    * operators in the join subtree) — a bucketing-info regression
+    * (catalog, reader, bucket-count mismatch) flips the driver row. */
+  def q44BucketedJoinGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q44_$sfTag"
+    val liTbl = s"graft_q44_li_$sfTag"
+    val ordTbl = s"graft_q44_ord_$sfTag"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$root/li").saveAsTable(liTbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$root/ord").saveAsTable(ordTbl)
+    val joined = s.table(liTbl).hint("merge")
+      .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val noShuffle = plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange")
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("o_custkey")).as("sum_cust"))
+      .select(col("n_rows"), col("sum_qty"), col("sum_cust"),
+        lit(noShuffle).as("no_shuffle_planned"))
+  }
+
+  val q44Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  true AS no_shuffle_planned
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1454,7 +1548,9 @@ object Relational {
     "q39_stream_state_gate" -> (q39StreamStateGate _),
     "q40_stream_outer_join_gate" -> (q40StreamOuterJoinGate _),
     "q41_stream_wm_dedup_gate" -> (q41StreamWmDedupGate _),
-    "q42_observe_metrics" -> (q42ObserveMetrics _))
+    "q42_observe_metrics" -> (q42ObserveMetrics _),
+    "q43_dpp_gate" -> (q43DppGate _),
+    "q44_bucketed_join_gate" -> (q44BucketedJoinGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1498,5 +1594,7 @@ object Relational {
     "q39_stream_state_gate" -> q39Sql,
     "q40_stream_outer_join_gate" -> q40Sql,
     "q41_stream_wm_dedup_gate" -> q41Sql,
-    "q42_observe_metrics" -> q42Sql)
+    "q42_observe_metrics" -> q42Sql,
+    "q43_dpp_gate" -> q43Sql,
+    "q44_bucketed_join_gate" -> q44Sql)
 }
