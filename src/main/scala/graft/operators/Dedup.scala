@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -1078,6 +1078,94 @@ object Dedup {
       |  CAST(20 AS BIGINT) AS n_planted_flagged,
       |  true AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+  /** Canonicalization-based dedup — the fuzzy-EXACT pass real curation
+    * recipes run before hashing (C4 strips punctuation, RefinedWeb
+    * casefolds and collapses whitespace, most recipes mask digit runs):
+    * two docs differing only in case, punctuation, whitespace runs, or
+    * digit literals are the SAME document to a dedup pass, but byte-hash
+    * dedup (d01) never sees it. `canonText` lowercases, strips every
+    * char outside [a-z0-9 whitespace], masks digit runs to '0', and
+    * collapses whitespace — all builtins with identical semantics in
+    * DuckDB, so the whole operator stays oracle-restatable.
+    *
+    * Scale shape: canonicalization is a narrow per-row regex chain
+    * folded into the scan; the only exchange is the uniform 16-byte
+    * canonical-hash group-by (d01's shape).
+    *
+    * Gate (d07 pattern): 20 planted docs are their sources mangled
+    * through case-flip, doubled spaces, and a punctuation-only suffix —
+    * each provably canonicalizes to its source's exact canonical form,
+    * so every planted doc MUST land in a canonical-dup group, while d01's
+    * byte hash provably separates them (asserted: the canonical pass
+    * finds strictly more duplicate members than the byte pass on the
+    * planted corpus). */
+  private[operators] def canonText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""),
+        "[0-9]+", "0"),
+      "\\s+", " "))
+
+  def d21NormalizedDedupGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(PlantOffset)).as("doc_id"),
+      concat(upper(col("text")), lit(" ... !!!"),
+        lit("  ")).as("text")) // case-flip + punct suffix + space run
+    val all = docs.union(planted)
+      .select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("raw_h"),
+        md5(encode(canonText(col("text")), "UTF-8")).as("canon_h"))
+    def dupMembers(h: String): DataFrame = {
+      val groups = all.groupBy(col(h)).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select(col(h))
+      all.join(groups, Seq(h), "left_semi")
+    }
+    val canonDups = dupMembers("canon_h")
+    val plantedMatched = canonDups.where(col("doc_id") >= PlantOffset)
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedMatched.agg(count(lit(1)).as("n_planted_matched")))
+      .crossJoin(canonDups.agg(count(lit(1)).as("n_canon_dup_members")))
+      .crossJoin(dupMembers("raw_h")
+        .agg(count(lit(1)).as("n_raw_dup_members")))
+      .select(col("n_planted"), col("n_planted_matched"),
+        col("n_canon_dup_members"), col("n_raw_dup_members"),
+        (col("n_planted") === 20 && col("n_planted_matched") === 20 &&
+          col("n_canon_dup_members") > col("n_raw_dup_members"))
+          .as("recall_ok"))
+  }
+
+  /** The oracle recomputes BOTH hash families over documents ∪ the same
+    * mangled planting, so every emitted count is value-checked, not just
+    * the booleans. */
+  val d21Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+      |alld AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000,
+      |    upper(text) || ' ... !!!' || '  ' FROM base),
+      |h AS (
+      |  SELECT doc_id, md5(text) AS raw_h,
+      |    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+      |      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS canon_h
+      |  FROM alld),
+      |cg AS (SELECT canon_h FROM h GROUP BY canon_h HAVING COUNT(*) >= 2),
+      |rg AS (SELECT raw_h FROM h GROUP BY raw_h HAVING COUNT(*) >= 2),
+      |cm AS (SELECT h.* FROM h JOIN cg USING (canon_h)),
+      |rm AS (SELECT h.* FROM h JOIN rg USING (raw_h))
+      |SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST((SELECT COUNT(*) FROM cm WHERE doc_id >= 1000000000) AS BIGINT)
+      |    AS n_planted_matched,
+      |  CAST((SELECT COUNT(*) FROM cm) AS BIGINT) AS n_canon_dup_members,
+      |  CAST((SELECT COUNT(*) FROM rm) AS BIGINT) AS n_raw_dup_members,
+      |  true AS recall_ok""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -1231,7 +1319,8 @@ object Dedup {
     "d17_rep_keep_gate" -> (d17RepKeepGate _),
     "d18_incr_dedup_gate" -> (d18IncrDedupGate _),
     "d19_stream_neardup_gate" -> (d19StreamNearDupGate _),
-    "d20_neardup_decontam_gate" -> (d20NearDupDecontamGate _))
+    "d20_neardup_decontam_gate" -> (d20NearDupDecontamGate _),
+    "d21_normalized_dedup_gate" -> (d21NormalizedDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1250,5 +1339,6 @@ object Dedup {
     "d17_rep_keep_gate" -> d17Sql,
     "d18_incr_dedup_gate" -> d18Sql,
     "d19_stream_neardup_gate" -> d19Sql,
-    "d20_neardup_decontam_gate" -> d20Sql)
+    "d20_neardup_decontam_gate" -> d20Sql,
+    "d21_normalized_dedup_gate" -> d21Sql)
 }
