@@ -534,6 +534,66 @@ object Multimodal {
       |  CAST(20 AS BIGINT) AS n_planted_matched,
       |  true AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  /** Perceptual video fingerprint: decode EVERY frame's stats through the
+    * [[VideoCodec]] seam, quantize each frame's mean luma to a 4-bit
+    * level (16 brightness cells — small per-pixel jitter inside a cell
+    * leaves the code unchanged, the perceptual property), and pack the
+    * per-frame codes into one 64-bit signature (frames 0–15 in their own
+    * lanes; longer clips XOR-fold into lane frame%16, so any frame
+    * change still perturbs the signature). The temporal complement to
+    * m06's spatial dHash and m07's audio energy-gradient hash. */
+  private[operators] def videoFp(codec: VideoCodec, p: Array[Byte])
+      : java.lang.Long = {
+    if (p == null) return null
+    val fr = codec.sampleFrames(p, 1)
+    if (fr == null) return null
+    var h = 0L
+    var i = 0
+    while (i < fr.length) {
+      val f = fr(i)
+      // 4-bit cell of the mean luma: floor(y_sum * 16 / (256 * n_pixels))
+      val cell = ((f.y_sum * 16) / (256L * f.n_pixels)).toInt & 0xf
+      h ^= cell.toLong << (4 * (i % 16))
+      i += 1
+    }
+    h
+  }
+
+  /** Video near-dup dedup via the temporal fingerprint — m06/m07's gate
+    * in the video modality: every document's genuine Y4M payload decoded
+    * frame-by-frame, fingerprinted, duplicate groups by signature; 8
+    * hash bytes leave the executor, one uniform 64-bit group-by, 4×16
+    * banding for Hamming tolerance exactly as d04. Gate (d07 pattern):
+    * 20 planted docs duplicate existing texts ⇒ identical Y4M payloads ⇒
+    * identical fingerprints ⇒ every planted clip in a duplicate group. */
+  def m08VideoFpGate(s: SparkSession, d: String): DataFrame = {
+    val codec = videoCodecFor(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"),
+        col("text"))
+    val all = docs.unionByName(planted)
+      .select(col("doc_id"), y4mPayload(col("text")).as("clip"))
+    val fp = udf { p: Array[Byte] => videoFp(codec, p) }
+    val hashed = all.select(col("doc_id"), fp(col("clip")).as("vfp"))
+    val dupFps = hashed.groupBy(col("vfp"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("vfp")
+    val plantedDup = hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .join(dupFps, Seq("vfp"), "left_semi")
+    hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedDup.agg(count(lit(1)).as("n_planted_matched")))
+      .select(col("n_planted"), col("n_planted_matched"),
+        (col("n_planted") === lit(20) &&
+          col("n_planted_matched") === lit(20)).as("recall_ok"))
+  }
+
+  val m08Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST(20 AS BIGINT) AS n_planted_matched,
+      |  true AS recall_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -541,7 +601,8 @@ object Multimodal {
     "m04_image_resize"   -> (m04ImageResize _),
     "m05_video_frames"   -> (m05VideoFrames _),
     "m06_image_dhash_gate" -> (m06ImageDhashGate _),
-    "m07_audio_fp_gate"  -> (m07AudioFpGate _))
+    "m07_audio_fp_gate"  -> (m07AudioFpGate _),
+    "m08_video_fp_gate"  -> (m08VideoFpGate _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -550,5 +611,6 @@ object Multimodal {
     "m04_image_resize"   -> m04Sql,
     "m05_video_frames"   -> m05Sql,
     "m06_image_dhash_gate" -> m06Sql,
-    "m07_audio_fp_gate"  -> m07Sql)
+    "m07_audio_fp_gate"  -> m07Sql,
+    "m08_video_fp_gate"  -> m08Sql)
 }

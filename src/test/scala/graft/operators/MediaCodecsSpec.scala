@@ -478,6 +478,32 @@ class MediaCodecsSpec extends SparkSpec {
     assert(Multimodal.audioFp(codec, p) === Multimodal.audioFp(codec, p))
   }
 
+  test("videoFp: hand-computed lane packing, invariant within a luma cell") {
+    val codec = new Y4mCodec
+    // 2×1 C444 frames: each frame = 6 plane bytes (2 Y, 2 U, 2 V); the
+    // mean-luma cell is floor(y_sum * 16 / (256 * 2))
+    def y4m(frameY: Seq[(Int, Int)]): Array[Byte] = {
+      val hdr = "YUV4MPEG2 W2 H1 F25:1 Ip A1:1 C444\n"
+      val body = frameY.map { case (a, b) =>
+        "FRAME\n" + new String(Array(a, b, 7, 7, 7, 7).map(_.toChar))
+      }.mkString
+      (hdr + body).getBytes("ISO-8859-1")
+    }
+    // frame 0: Y = (32, 32) → cell floor(64*16/512) = 2
+    // frame 1: Y = (160, 160) → cell floor(320*16/512) = 10
+    val fp = Multimodal.videoFp(codec, y4m(Seq((32, 32), (160, 160))))
+    assert(fp === (2L | (10L << 4)), f"got $fp%x")
+    // moving luma WITHIN a cell leaves the fingerprint unchanged (the
+    // perceptual property): 33+34 → y_sum 67 → cell 2 still
+    assert(Multimodal.videoFp(codec, y4m(Seq((33, 34), (165, 158)))) === fp)
+    // crossing a cell boundary changes it
+    assert(Multimodal.videoFp(codec, y4m(Seq((64, 64), (160, 160)))) !== fp)
+    // a 17th frame XOR-folds into lane 0
+    val many = Seq.fill(16)((32, 32)) :+ ((160, 160))
+    val base16 = Multimodal.videoFp(codec, y4m(Seq.fill(16)((32, 32))))
+    assert(Multimodal.videoFp(codec, y4m(many)) === (base16 ^ 10L))
+  }
+
   test("WAV extensible (0xFFFE) with the PCM subtype GUID decodes as PCM") {
     val text = "extensible pcm conformance corner"
     val plain = wavBytesOf(text)
