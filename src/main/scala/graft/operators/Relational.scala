@@ -1505,6 +1505,78 @@ object Relational {
       |  true AS no_shuffle_planned
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** AQE skew-join gate — the RUNTIME answer to skew that q31/q34 solve
+    * statically with salting: adaptive execution measures the actual
+    * shuffle partition sizes and SPLITS the oversized ones (each split
+    * joins against a replicated copy of the other side), no key
+    * engineering required. The complementary pair matters at 100 TB:
+    * salting is the tool when skew is known and keys are in your schema;
+    * AQE handles the skew you didn't predict.
+    *
+    * A quarter of lineitem funnels onto key 0; the per-key-count self
+    * join (merge-hinted, broadcast disabled in the session CLONE so the
+    * exchange actually exists) executes under lowered skew thresholds,
+    * and the gate reads the FINAL adaptive plan — the `skew=true` marker
+    * only appears after execution measured real sizes. The join
+    * aggregate (Σc and Σc², integer-exact) is the oracle's plain
+    * restatement; `skew_handled` pins that the runtime split actually
+    * planned. */
+  def q45AqeSkewGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone (q37 note): threshold confs never leak
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    // both SMJ children must be BARE shuffle stages for the runtime split
+    // to apply (an aggregate between shuffle and join blocks the skew
+    // reader), so the skewed fact joins a plain second table
+    // `p` is incompressible ballast: skew detection reads COMPRESSED map
+    // output sizes, and 30k copies of the literal key would lz4 away to
+    // nothing — real skewed rows carry real payloads, so the fixture's do
+    // too (the agg row below re-plans without p; only the marker run
+    // carries it)
+    val fact = Tables.lineitem(s2, d).select(
+      when(col("l_orderkey") % 2 === 0, 1L)
+        .otherwise(col("l_orderkey")).as("k"),
+      md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))).as("p"))
+    val dim = Tables.orders(s2, d)
+      .select(col("o_orderkey").as("k"), (col("o_custkey") % 7).as("w"))
+    // a skewed reducer partition splits at MAPPER granularity: the
+    // single-row-group test file yields ONE data-bearing map task, which
+    // is unsplittable — spread the fact over 8 mappers first (at 100 TB
+    // the scan has thousands of mappers and this exchange doesn't exist)
+    val joined = fact.repartition(8).hint("merge").join(dim, Seq("k"))
+    // execute THIS dataset's own query execution so the adaptive plan
+    // finalizes (runtime stats measured), then read the skew marker off it
+    joined.queryExecution.toRdd.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the precise AQE marker: "SortMergeJoin(skew=true)" appears only in
+    // the FINAL adaptive plan once the runtime split actually happened
+    val skewHandled = plan.contains("skew=true") || plan.contains("skewed")
+    if (sys.env.contains("GRAFT_DEBUG_PLAN"))
+      System.err.println("[q45-plan]\n" + plan)
+    joined.agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("w")).as("sum_w"))
+      .select(col("n_rows"), col("sum_k"), col("sum_w"),
+        lit(skewHandled).as("skew_handled"))
+  }
+
+  val q45Sql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+      |    ELSE l_orderkey END AS k
+      |  FROM lineitem)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(o_custkey % 7) AS BIGINT) AS sum_w,
+      |  true AS skew_handled
+      |FROM f JOIN orders ON f.k = orders.o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1550,7 +1622,8 @@ object Relational {
     "q41_stream_wm_dedup_gate" -> (q41StreamWmDedupGate _),
     "q42_observe_metrics" -> (q42ObserveMetrics _),
     "q43_dpp_gate" -> (q43DppGate _),
-    "q44_bucketed_join_gate" -> (q44BucketedJoinGate _))
+    "q44_bucketed_join_gate" -> (q44BucketedJoinGate _),
+    "q45_aqe_skew_gate" -> (q45AqeSkewGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1596,5 +1669,6 @@ object Relational {
     "q41_stream_wm_dedup_gate" -> q41Sql,
     "q42_observe_metrics" -> q42Sql,
     "q43_dpp_gate" -> q43Sql,
-    "q44_bucketed_join_gate" -> q44Sql)
+    "q44_bucketed_join_gate" -> q44Sql,
+    "q45_aqe_skew_gate" -> q45Sql)
 }
