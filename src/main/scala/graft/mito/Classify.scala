@@ -31,9 +31,18 @@ object Classify {
   def trainRF(df: DataFrame, numTrees: Int = 128, seed: Long = 42L)
       : RandomForestClassificationModel = {
     val prepared = rformula.fit(df).transform(df)
-    new RandomForestClassifier()
+    val m = new RandomForestClassifier()
       .setNumTrees(numTrees).setSeed(seed)
       .fit(prepared)
+    // strip the training summary: it pins the TRAINING SparkSession into
+    // the model object, and scoring ships the model inside task closures
+    // (ProbabilisticClassificationModel's UDF captures it) — a session
+    // whose state is ever non-serializable (e.g. a registered Observation
+    // lives in its ObservationManager) would fail EVERY later scoring
+    // job with "Task not serializable". copy() transfers params + trees,
+    // not the summary, and shrinks the shipped closure besides.
+    m.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setParent(m.parent).asInstanceOf[RandomForestClassificationModel]
   }
 
   /** Experimental GBT path (reference `testGBModel`,

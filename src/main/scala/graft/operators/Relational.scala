@@ -1389,8 +1389,16 @@ object Relational {
     * drift) flips a driver CORRECTNESS row. All three metrics are
     * integer-exact, so the hash compare is tolerance-free. */
   def q42ObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone: a registered Observation lives on in the
+    // session's ObservationManager, and that manager is non-serializable
+    // once populated — any LATER job on the same session that serializes
+    // a session reference inside a task closure (e.g. an MLlib model
+    // carrying its training summary) would die with "Task not
+    // serializable". The clone keeps the registration out of the shared
+    // session entirely.
+    val s2 = s.newSession()
     val obs = org.apache.spark.sql.Observation() // unique auto-name per run
-    Tables.lineitem(s, d)
+    Tables.lineitem(s2, d)
       .observe(obs,
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),

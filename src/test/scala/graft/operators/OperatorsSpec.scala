@@ -1027,6 +1027,18 @@ class OperatorsSpec extends SparkSpec {
       .where($"doc_id" === 9L).isEmpty)
   }
 
+  test("q42's observation leaves the session serializable for later ML scoring") {
+    // regression (r9): a registered Observation lives on in the session's
+    // ObservationManager; an MLlib model whose training summary pins the
+    // session would then fail every scoring job with "Task not
+    // serializable". q42 runs on a clone AND trainRF strips the summary —
+    // this pins the exact failing order (q42 before RF scoring).
+    SparkEntry.queries("q42_observe_metrics")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    SparkEntry.queries("x04_ml_score")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+  }
+
   test("s12 residual IVFADC: both guaranteed contracts hold at sf0.001") {
     val r = Similarity.s12IvfAdcResidualGate(spark, sf).head
     assert(r.getLong(0) === 10L)
