@@ -142,9 +142,15 @@ object Bench {
       // and `gates_omitted` records the cut so a reader knows the map is
       // partial — each omitted row buys ~30 chars of tail-budget headroom.
       // minimal sheds diagnostic fields stepwise — gates_omitted (~19
-      // chars) at level 1, p50_total (~18) too at level 2 — before ever
-      // surrendering per-query resolution
-      val qNames = if (slim) names.filterNot(_.endsWith("_gate")) else names
+      // chars) at level 1, p50_total (~18) too at level 2, and at level 3
+      // the sub-0.3 s queries leave the map for one aggregate pair
+      // (fast_omitted/fast_total) — those entries are pure noise at
+      // one-decimal resolution anyway, and each buys ~24 chars; failing
+      // queries (-1) always stay visible in the map
+      val qNames0 = if (slim) names.filterNot(_.endsWith("_gate")) else names
+      val qNames =
+        if (minimal >= 3) qNames0.filter(n => warm(n) < 0 || warm(n) >= 0.3)
+        else qNames0
       // sig == 0 selects the one-decimal floor formatter
       def f(v: Double): String = if (sig == 0) fmtDec1(v) else fmt(v, sig)
       val qs = qNames.map(n => s""""$n":${f(warm(n))}""")
@@ -154,12 +160,19 @@ object Bench {
         else if (slim) s""""gates_omitted":${names.length - qNames.length},"""
         else s""""cold_total":${f(coldTotal)},"s04_index_build":${f(idxBuild)},"""
       val p50Field = if (minimal >= 2) "" else s""""p50_total":${f(p50Total)},"""
+      val fastField =
+        if (minimal < 3) ""
+        else {
+          val cut = qNames0.filterNot(qNames.contains)
+          val tot = cut.map(warm).filter(_ >= 0).sum
+          s""""fast_omitted":${cut.length},"fast_total":${f(tot)},"""
+        }
       // an empty failed list carries no signal — omit it at slim level;
       // likewise the sf path shrinks to its basename (every saved char is
       // tail-budget headroom for the line the driver must parse whole)
       val failedField = if (slim && failed.isEmpty) "" else s""""failed":$failedJson,"""
       val sf = if (slim) sfDir.split('/').last else sfDir
-      s"""{"metric":"total","value":${f(total)},$p50Field"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$extras"noise":${f(noise)},$failedField"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(total)},$p50Field"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$fastField$extras"noise":${f(noise)},$failedField"sf":"$sf"}"""
     }
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail
@@ -176,15 +189,16 @@ object Bench {
     // last resort, after the minimal tier has traded the diagnostic
     // fields for per-query resolution
     val out = Seq(line(3, false), line(2, false), line(2, true),
-      line(0, true), line(0, true, minimal = 1), line(0, true, minimal = 2))
+      line(0, true), line(0, true, minimal = 1), line(0, true, minimal = 2),
+      line(0, true, minimal = 3))
       .find(_.length <= 1900).getOrElse {
         // even the minimal one-decimal form outgrew the consumer's tail:
         // fall to 1-sig but make it loud instead of silently regressing
         // resolution (and, at worst, the parsed:null failure mode)
         System.err.println(s"[bench] WARNING: minimal one-decimal JSON line " +
-          s"is ${line(0, true, minimal = 2).length} chars > 1900 — " +
+          s"is ${line(0, true, minimal = 3).length} chars > 1900 — " +
           "falling back to 1-sig")
-        line(1, true, minimal = 2)
+        line(1, true, minimal = 3)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line

@@ -1585,6 +1585,64 @@ object Relational {
       |  true AS skew_handled
       |FROM f JOIN orders ON f.k = orders.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Exactly-once streaming SINK gate — `foreachBatch` + idempotent
+    * batch-keyed writes, the pattern that gets end-to-end exactly-once
+    * onto stores without transactional sinks: each micro-batch
+    * OVERWRITES its own `batch=<id>` directory, so a post-crash replay
+    * of the last epoch (Structured Streaming's at-least-once re-delivery
+    * into foreachBatch) rewrites identical bytes instead of appending
+    * duplicates. The gate replays events as two micro-batches through
+    * the sink, then SIMULATES the retry by re-invoking the same sink
+    * function on batch 0's input, and scans the artifact: counts and
+    * checksum must equal exactly 2× the events table — the retry
+    * provably changed nothing. */
+  def q46StreamExactlyOnceGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    // isolated session clone (q37 note)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val path = s"$d/events.parquet"
+    val rawSchema = s2.read.parquet(path).schema
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q46_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/events_a.parquet", conf)
+    HadoopIO.stageFile(path, s"$stageDir/events_b.parquet", conf)
+    val outDir = s"$stageDir.out"
+    HadoopIO.delete(outDir, conf) // fresh artifact every run
+    // the idempotent sink: batch id IS the overwrite key (no `batch`
+    // column in the files — the directory name carries it)
+    def sink(df: DataFrame, batchId: Long): Unit =
+      df.select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val stream = s2.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // one staged copy per micro-batch
+      .parquet(stageDir)
+    val q = stream.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], id: Long) => sink(df.toDF(), id))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // simulate the post-crash retry: batch 0 re-delivered with the same
+    // input — the overwrite must leave the artifact IDENTICAL
+    sink(s2.read.parquet(s"$stageDir/events_a.parquet"), 0L)
+    s2.read.parquet(outDir).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("event_id")).as("n_ids"),
+        sum(col("event_id") + col("user_id")).as("checksum"))
+      .select(col("n_rows"), col("n_ids"), col("checksum"),
+        (col("n_rows") === col("n_ids") * 2).as("exactly_once"))
+  }
+
+  val q46Sql: String =
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      |  CAST(2 * SUM(event_id + user_id) AS BIGINT) AS checksum,
+      |  true AS exactly_once
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1631,7 +1689,8 @@ object Relational {
     "q42_observe_metrics" -> (q42ObserveMetrics _),
     "q43_dpp_gate" -> (q43DppGate _),
     "q44_bucketed_join_gate" -> (q44BucketedJoinGate _),
-    "q45_aqe_skew_gate" -> (q45AqeSkewGate _))
+    "q45_aqe_skew_gate" -> (q45AqeSkewGate _),
+    "q46_stream_exactly_once_gate" -> (q46StreamExactlyOnceGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1678,5 +1737,6 @@ object Relational {
     "q42_observe_metrics" -> q42Sql,
     "q43_dpp_gate" -> q43Sql,
     "q44_bucketed_join_gate" -> q44Sql,
-    "q45_aqe_skew_gate" -> q45Sql)
+    "q45_aqe_skew_gate" -> q45Sql,
+    "q46_stream_exactly_once_gate" -> q46Sql)
 }

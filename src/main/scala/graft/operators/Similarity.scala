@@ -846,6 +846,71 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries,
       |  CAST(10 AS BIGINT) AS n_match, true AS all_match""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Hard-negative mining — the contrastive-training data op (DPR /
+    * SimCLR-family pipelines, public papers): for each anchor, the MOST
+    * similar corpus vector that is NOT a near-duplicate (cos <
+    * `HardNegCos`) — similar enough to shape the training margin,
+    * distinct enough to be a true negative. The excluded band is exactly
+    * what semantic dedup (d15) removes, so the threshold carries the
+    * same meaning across both ops.
+    *
+    * This is the exact kernel over ANCHORS × corpus: the anchor set is a
+    * dim by contract (the training micro-batch being mined), so the scan
+    * is one broadcast nested loop with no shuffle until the per-anchor
+    * argmax (d02's oracle-kernel discipline — the scale path swaps in
+    * s09's IVF/PQ probe unchanged: candidates from probed cells, the
+    * same threshold filter, the same argmax). Planted exact copies of
+    * every anchor (cos = 1) prove the exclusion band works: a copy would
+    * win every unfiltered argmax, and the oracle-checked result must
+    * never contain one. */
+  private val HardNegCos = 0.95
+
+  def s14HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Dedup.assertIdHeadroom(e, "vec_id", d)
+    val anchors = e.where(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+    val planted = e.where(col("vec_id") < 100).select(
+      (col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
+    val corpus = e.where(col("vec_id") >= 100).unionByName(planted)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        norm2(col("embedding")).as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    corpus.crossJoin(broadcast(anchors))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
+      .where(col("cos") < HardNegCos)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col("q_id"), col("n_id").as("hard_neg_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id")
+  }
+
+  val s14Sql: String =
+    """WITH corp AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100
+      |  UNION ALL
+      |  SELECT vec_id + 1000000000, embedding FROM embeddings
+      |  WHERE vec_id < 100)
+      |SELECT q_id, n_id AS hard_neg_id, cos_r FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(n.embedding AS DOUBLE[])), 6)
+      |      AS cos_r,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN corp n
+      |    ON list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                              CAST(n.embedding AS DOUBLE[])) < 0.95
+      |  WHERE q.vec_id < 100) t
+      |WHERE rank = 1 ORDER BY q_id""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** Driver-visible ANN recall gate: computes recall@5 of the LSH (s02)
     * and IVF (s04) paths against the in-engine brute-force truth (s01),
@@ -988,7 +1053,8 @@ object Similarity {
     "s10_ivfadc_rerank_gate" -> (s10IvfAdcRerankGate _),
     "s11_label_centroids" -> (s11LabelCentroids _),
     "s12_ivfadc_residual_gate" -> (s12IvfAdcResidualGate _),
-    "s13_stream_ann_gate" -> (s13StreamAnnGate _))
+    "s13_stream_ann_gate" -> (s13StreamAnnGate _),
+    "s14_hard_negatives" -> (s14HardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1001,5 +1067,6 @@ object Similarity {
     "s10_ivfadc_rerank_gate" -> s10Sql,
     "s11_label_centroids" -> s11Sql,
     "s12_ivfadc_residual_gate" -> s12Sql,
-    "s13_stream_ann_gate" -> s13Sql)
+    "s13_stream_ann_gate" -> s13Sql,
+    "s14_hard_negatives" -> s14Sql)
 }
