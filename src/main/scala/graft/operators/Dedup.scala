@@ -1166,6 +1166,82 @@ object Dedup {
       |  CAST((SELECT COUNT(*) FROM rm) AS BIGINT) AS n_raw_dup_members,
       |  true AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+  /** CONTAINMENT dedup signal — the asymmetric measure Jaccard dilutes
+    * away (Broder's containment c(A,B) = |A∩B| / |A|): a short doc
+    * embedded verbatim inside a long one (quote farms, scraped mirrors
+    * with boilerplate, doc-in-doc aggregation) scores J ≈ |A|/|B| —
+    * arbitrarily low — while its containment is exactly 1. Real
+    * curation screens track both.
+    *
+    * Gate: 20 planted docs are each the FIRST THIRD of a source doc's
+    * text. A contiguous substring's 3-gram set is provably a SUBSET of
+    * the source's, so containment is exactly 1.0 — while the emitted
+    * Jaccard (the exact |A|/|B| dilution) shows what a J-threshold
+    * screen would have seen. All 20 rows are value-checked: engine
+    * computes both measures with the hashed-shingle sorted-merge kernel
+    * (d02's), the oracle recomputes them from string gram sets.
+    *
+    * Scale shape: the pair set here is id-constructed (each planted doc
+    * to its source — the verify kernel is the operator under test); at
+    * 100 TB candidate generation for containment uses the asymmetric
+    * banding d18/d20 already implement (index the SHORT side's
+    * signatures, probe with the long side), since plain Jaccard-LSH
+    * under-recalls exactly the pairs containment exists to catch. */
+  def d22ContainmentGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    // first third of the source text (≥ 42 chars on this corpus — far
+    // above the 3-gram minimum)
+    val third = base.select(
+      (col("doc_id") + lit(PlantOffset)).as("a_id"),
+      expr("substring(text, 1, CAST(floor(length(text) / 3) AS INT))")
+        .as("a_text"),
+      col("doc_id").as("b_id"), col("text").as("b_text"))
+    third
+      .select(col("a_id"), col("b_id"),
+        shingleHashes(col("a_text"), 3).as("a_sh"),
+        shingleHashes(col("b_text"), 3).as("b_sh"))
+      .select(col("a_id"), col("b_id"), size(col("a_sh")).as("a_n"),
+        size(col("b_sh")).as("b_n"),
+        graft.functions.IntersectCountExpr.intersectCountSorted(
+          col("a_sh"), col("b_sh")).as("n_common"))
+      .select(col("a_id"), col("b_id"),
+        (col("n_common").cast("double") / col("a_n")).as("containment"),
+        (col("n_common").cast("double") /
+          (col("a_n") + col("b_n") - col("n_common"))).as("jaccard"))
+      .orderBy("a_id")
+  }
+
+  /** Oracle recomputes both measures from string 3-gram sets (d02's
+    * technique: hashed-shingle distinct counts equal string-gram distinct
+    * counts). */
+  val d22Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+      |pairs AS (
+      |  SELECT doc_id + 1000000000 AS a_id,
+      |    substring(text, 1, CAST(floor(length(text) / 3) AS INT)) AS a_text,
+      |    doc_id AS b_id, text AS b_text
+      |  FROM base),
+      |sh AS (
+      |  SELECT a_id, b_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(a_text) - 2, 0) + 1),
+      |      i -> substr(a_text, CAST(i AS INTEGER), 3))) AS a_sh,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(b_text) - 2, 0) + 1),
+      |      i -> substr(b_text, CAST(i AS INTEGER), 3))) AS b_sh
+      |  FROM pairs)
+      |SELECT a_id, b_id,
+      |  CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) / len(a_sh)
+      |    AS containment,
+      |  CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+      |    (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh)))
+      |    AS jaccard
+      |FROM sh ORDER BY a_id""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -1320,7 +1396,8 @@ object Dedup {
     "d18_incr_dedup_gate" -> (d18IncrDedupGate _),
     "d19_stream_neardup_gate" -> (d19StreamNearDupGate _),
     "d20_neardup_decontam_gate" -> (d20NearDupDecontamGate _),
-    "d21_normalized_dedup_gate" -> (d21NormalizedDedupGate _))
+    "d21_normalized_dedup_gate" -> (d21NormalizedDedupGate _),
+    "d22_containment_gate" -> (d22ContainmentGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1340,5 +1417,6 @@ object Dedup {
     "d18_incr_dedup_gate" -> d18Sql,
     "d19_stream_neardup_gate" -> d19Sql,
     "d20_neardup_decontam_gate" -> d20Sql,
-    "d21_normalized_dedup_gate" -> d21Sql)
+    "d21_normalized_dedup_gate" -> d21Sql,
+    "d22_containment_gate" -> d22Sql)
 }

@@ -1400,6 +1400,66 @@ object TextAnalysis {
       |FROM pd JOIN v USING (lang)
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t23
+  /** Model-based quality filtering — the classifier gate real curation
+    * recipes run after the rule-based floors (GPT-3/LLaMA-family
+    * pipelines train a linear model on quality exemplars and keep
+    * high-scoring docs; public papers): a LogisticRegression over
+    * per-doc quality signals scores the corpus and the keep decision is
+    * the model's prediction. Adds the LR surface to the engine's ML
+    * coverage (RF and GBT live in the mito family).
+    *
+    * Determinism argument (x04's engineered-margin technique, LR form):
+    * the decisive feature is 0 or 10 by construction (a rule on
+    * n_chars), the training fixture generates the SAME support with
+    * labels equal to the rule and noise dims drawn from j = id/2 (one
+    * row per label per j — zero label↔noise correlation), and L2
+    * regularization keeps the optimum finite and stable: the separating
+    * weight saturates the sigmoid at both supports while the noise
+    * weights stay at ~0, so predictions provably equal the generating
+    * rule and the DuckDB oracle restates the confusion counts as plain
+    * arithmetic on n_chars. LBFGS on fixed data is bit-deterministic —
+    * no seed enters. */
+  def t23QualityClassifierGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val j = (col("id") / 2).cast("long")
+    val train = s.range(2048).toDF().select(
+      (col("id") % 2).cast("double").as("label"),
+      ((col("id") % 2) * 10).cast("double").as("sep"),
+      (j % 7).cast("double").as("noise1"),
+      ((j * 3) % 5).cast("double").as("noise2"))
+    val asm = new VectorAssembler()
+      .setInputCols(Array("sep", "noise1", "noise2"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .fit(asm.transform(train))
+    val docFeats = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("n_chars") >= 200).as("rule"),
+      when(col("n_chars") >= 200, 10.0).otherwise(0.0).as("sep"),
+      (col("n_chars") % 7).cast("double").as("noise1"),
+      (col("doc_id") % 5).cast("double").as("noise2"))
+    lr.transform(asm.transform(docFeats))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("prediction") === 1.0).cast("long")).as("n_kept"),
+        sum(col("rule").cast("long")).as("n_rule"),
+        sum(when((col("prediction") === 1.0) === col("rule"), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .select(col("n_docs"), col("n_kept"), col("n_rule"),
+        (col("n_agree") === col("n_docs")).as("all_match"))
+  }
+
+  val t23Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rule,
+      |  true AS all_match
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1422,7 +1482,8 @@ object TextAnalysis {
     "t19_dup_spans"   -> (t19DupSpans _),
     "t20_span_scrub"  -> (t20SpanScrub _),
     "t21_domain_mix"  -> (t21DomainMix _),
-    "t22_vocab_stats" -> (t22VocabStats _))
+    "t22_vocab_stats" -> (t22VocabStats _),
+    "t23_quality_classifier_gate" -> (t23QualityClassifierGate _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1445,5 +1506,6 @@ object TextAnalysis {
     "t19_dup_spans"   -> t19Sql,
     "t20_span_scrub"  -> t20Sql,
     "t21_domain_mix"  -> t21Sql,
-    "t22_vocab_stats" -> t22Sql)
+    "t22_vocab_stats" -> t22Sql,
+    "t23_quality_classifier_gate" -> t23Sql)
 }
