@@ -36,6 +36,9 @@ case class ImageStats(width: Int, height: Int,
 trait AudioCodec extends Serializable {
   def decodeFrames(payload: Array[Byte], windowSamples: Int,
       sampleEvery: Int): Array[AudioFrame]
+  /** The raw recentered mono PCM stream — the input to sample-domain
+    * transforms (resampling, filtering). Null payload → null. */
+  def samples(payload: Array[Byte]): Array[Int]
 }
 
 /** Decoded image pixels: row-major top-down RGB, 3 bytes per pixel —
@@ -306,6 +309,50 @@ final class WavPcmCodec extends AudioCodec {
       w += 1
     }
     out.result()
+  }
+
+  def samples(payload: Array[Byte]): Array[Int] = {
+    if (payload == null) return null
+    val pcm = parse(payload)
+    val n = pcm.nSamples.toInt
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = pcm.sample(i); i += 1 }
+    out
+  }
+}
+
+/** Sample-domain transforms shared by every audio codec (pure integer
+  * arithmetic, oracle-restatable). */
+object AudioOps {
+
+  /** 2× linear-interpolation upsample: originals at even output indices,
+    * the floor-midpoint of each adjacent pair between them — length
+    * 2n−1. floorDiv (not `/`) so negative midpoints round DOWN, matching
+    * the oracle's floor((a+b)/2.0). */
+  def upsample2x(in: Array[Int]): Array[Int] = {
+    if (in == null) return null
+    if (in.length == 0) return in
+    val out = new Array[Int](2 * in.length - 1)
+    var i = 0
+    while (i < in.length - 1) {
+      out(2 * i) = in(i)
+      out(2 * i + 1) = Math.floorDiv(in(i) + in(i + 1), 2)
+      i += 1
+    }
+    out(2 * i) = in(i)
+    out
+  }
+
+  /** 2× decimation: every second sample, starting at 0 — length ⌈n/2⌉.
+    * (A production pipeline low-pass-filters first; the decimation grid
+    * is the contract pinned here.) */
+  def downsample2x(in: Array[Int]): Array[Int] = {
+    if (in == null) return null
+    val out = new Array[Int]((in.length + 1) / 2)
+    var i = 0
+    while (i < out.length) { out(i) = in(2 * i); i += 1 }
+    out
   }
 }
 

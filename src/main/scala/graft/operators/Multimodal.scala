@@ -594,6 +594,64 @@ object Multimodal {
       |  CAST(20 AS BIGINT) AS n_planted_matched,
       |  true AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  /** Audio RESAMPLING through the codec seam — the rate-conversion every
+    * audio training pipeline runs before feature extraction (models want
+    * one canonical rate): decode the WAV container to raw PCM
+    * ([[AudioCodec.samples]]), then 2× linear-interpolation upsample and
+    * 2× decimation ([[AudioOps]] — pure integer arithmetic, so the
+    * oracle restates both grids exactly: upsample = originals at even
+    * indices with floor-midpoints between, length 2n−1; downsample =
+    * every second sample, length ⌈n/2⌉). Emits per-doc lengths and
+    * full-stream checksums of the ACTUAL resampled arrays — a kernel
+    * regression (offset, rounding, edge sample) flips the row.
+    *
+    * Scale shape: narrow per-row decode+transform, zero shuffle until
+    * the orderBy for the deterministic dump — at 100 TB this is a
+    * map-only stage like m02–m05. */
+  def m09AudioResample(s: SparkSession, d: String): DataFrame = {
+    val codec = audioCodecFor(s)
+    val res = udf { p: Array[Byte] =>
+      val in = codec.samples(p)
+      if (in == null) null
+      else {
+        val up = AudioOps.upsample2x(in)
+        val down = AudioOps.downsample2x(in)
+        (in.length.toLong, up.length.toLong, down.length.toLong,
+          up.map(_.toLong).sum, down.map(_.toLong).sum)
+      }
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), res(wavPayload(col("text"))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_samples"), col("r._2").as("n_up"),
+        col("r._3").as("n_down"), col("r._4").as("up_checksum"),
+        col("r._5").as("down_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** m02's restatement discipline: the data chunk is the text's bytes,
+    * 8-bit PCM recenters at 128; lead() builds the adjacent pairs. */
+  val m09Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |a AS (
+      |  SELECT doc_id, n, pos,
+      |    ascii(substring(text, CAST(pos + 1 AS BIGINT), 1)) - 128 AS amp
+      |  FROM d, UNNEST(range(0, n)) AS u(pos)),
+      |p AS (
+      |  SELECT doc_id, n, pos, amp,
+      |    lead(amp) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM a)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(2 * MAX(n) - 1 AS BIGINT) AS n_up,
+      |  CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_down,
+      |  CAST(SUM(amp) + SUM(CASE WHEN nxt IS NULL THEN 0
+      |    ELSE CAST(floor((amp + nxt) / 2.0) AS BIGINT) END) AS BIGINT)
+      |    AS up_checksum,
+      |  CAST(SUM(CASE WHEN pos % 2 = 0 THEN amp ELSE 0 END) AS BIGINT)
+      |    AS down_checksum
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -602,7 +660,8 @@ object Multimodal {
     "m05_video_frames"   -> (m05VideoFrames _),
     "m06_image_dhash_gate" -> (m06ImageDhashGate _),
     "m07_audio_fp_gate"  -> (m07AudioFpGate _),
-    "m08_video_fp_gate"  -> (m08VideoFpGate _))
+    "m08_video_fp_gate"  -> (m08VideoFpGate _),
+    "m09_audio_resample" -> (m09AudioResample _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -612,5 +671,6 @@ object Multimodal {
     "m05_video_frames"   -> m05Sql,
     "m06_image_dhash_gate" -> m06Sql,
     "m07_audio_fp_gate"  -> m07Sql,
-    "m08_video_fp_gate"  -> m08Sql)
+    "m08_video_fp_gate"  -> m08Sql,
+    "m09_audio_resample" -> m09Sql)
 }

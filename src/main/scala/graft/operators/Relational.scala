@@ -1643,6 +1643,158 @@ object Relational {
       |  true AS exactly_once
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Runtime Bloom-filter join pruning gate — the third runtime scan-
+    * reduction lever alongside DPP (q43) and AQE skew handling (q45):
+    * when a shuffle join's small side carries a selective filter, the
+    * optimizer plants a bloom_filter_agg subquery on that side and
+    * rewrites the big side's scan to `might_contain(filter, xxhash64(k))`
+    * — rows that cannot join die AT THE SCAN, before the exchange. At
+    * 100 TB this converts a full fact-table shuffle into a shuffle of
+    * only the ~join-surviving rows; unlike DPP it needs no partition
+    * layout, so it is the lever for joins on non-partition keys.
+    *
+    * Broadcast is disabled in the session CLONE (a broadcast join needs
+    * no semi-join reduction — the gate is about the shuffle-join path)
+    * and the application-side size threshold is lowered so the test-
+    * scale scan qualifies. `bloom_planned` is read off the executed
+    * plan — a conf or rule regression that drops the runtime filter
+    * flips the driver row. The oracle restates the join aggregate. */
+  def q47RuntimeBloomGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone (q37 note): threshold confs never leak
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val dim = Tables.orders(s2, d)
+      .where(col("o_custkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val fact = Tables.lineitem(s2, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    val bloomPlanned =
+      plan.contains("might_contain") || plan.contains("bloomfilter")
+    if (sys.env.contains("GRAFT_DEBUG_PLAN"))
+      System.err.println("[q47-plan]\n" + plan)
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("o_custkey")).as("sum_cust"))
+      .select(col("n_rows"), col("sum_qty"), col("sum_cust"),
+        lit(bloomPlanned).as("bloom_planned"))
+  }
+
+  val q47Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  true AS bloom_planned
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey % 97 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** GROUPING SETS — the general form q13's rollup and q24's cube are
+    * sugar for: an explicitly non-hierarchical set list ((flag, status),
+    * (flag), (status), ()) that neither rollup nor cube can express as
+    * given (cube would add nothing here, but the POINT is arbitrary set
+    * lists — e.g. reporting along two independent dimensions without
+    * paying for their cross product). Physical shape is one Expand (4×
+    * row multiplication BEFORE the exchange) + one hash aggregate — the
+    * multiplied rows partial-aggregate map-side, so the shuffle carries
+    * ≤ 4× the group-table size, not 4× the data. NULL keys coalesced to
+    * a sentinel (q13's discipline) so ordering/hashing is engine-neutral. */
+  def q48GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q48Sql: String =
+    s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       |  COALESCE(l_linestatus, '(all)') AS linestatus,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |  (l_returnflag), (l_linestatus), ())
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** RANGE-interval window frame — event-time sliding aggregates per key
+    * (how many events, and which, hit this user in the hour ENDING at
+    * each event): a physical-offset frame over the µs event-time axis,
+    * the frame type q29's ROWS frame cannot express (ROWS counts
+    * neighbors; RANGE bounds them by value distance, so gaps and ties
+    * behave correctly — all peers at the same timestamp share one
+    * frame). One shuffle on user_id, then a single sort per partition;
+    * the running frame is O(1) amortized per row (slide, don't rescan).
+    * 1 h = 3 600 000 000 µs exactly, so the long-offset frame is
+    * bit-identical to the oracle's INTERVAL arithmetic. */
+  def q49RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(col("event_id")).over(w).as("sum_ids_1h"))
+      .orderBy("event_id")
+  }
+
+  val q49Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+      |  CAST(SUM(event_id) OVER w AS BIGINT) AS sum_ids_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Correlated scalar subquery — the decorrelation path (q25 gates the
+    * UNcorrelated scalar subquery): each order compared against ITS
+    * customer's average, written as a correlated subquery and left to
+    * Catalyst's RewriteCorrelatedScalarSubquery to decorrelate into an
+    * aggregate + join. The gate asserts the rewrite happened (no
+    * per-row subquery execution survives in the physical plan — at
+    * 100 TB a non-decorrelated scalar subquery is a nested loop over
+    * the fact table). Exact-decimal average (Det discipline) so the
+    * threshold compare is engine-stable. */
+  def q50CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_q50_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.orders(s, d).createOrReplaceTempView(tbl)
+    val df = s.sql(
+      s"""SELECT o_orderkey, o_totalprice FROM $tbl o
+         |WHERE o_totalprice > 1.5 * (
+         |  SELECT ${davgSql("o2.o_totalprice")} FROM $tbl o2
+         |  WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    // decorrelated form = aggregate + equi-join; a surviving per-row
+    // subquery node would mean a nested loop over the fact table
+    require(plan.contains("join") && !plan.contains("scalar-subquery"),
+      "correlated scalar subquery did not decorrelate")
+    df
+  }
+
+  val q50Sql: String =
+    s"""SELECT o_orderkey, o_totalprice FROM orders o
+       |WHERE o_totalprice > 1.5 * (
+       |  SELECT ${davgSql("o2.o_totalprice")} FROM orders o2
+       |  WHERE o2.o_custkey = o.o_custkey)
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1690,7 +1842,11 @@ object Relational {
     "q43_dpp_gate" -> (q43DppGate _),
     "q44_bucketed_join_gate" -> (q44BucketedJoinGate _),
     "q45_aqe_skew_gate" -> (q45AqeSkewGate _),
-    "q46_stream_exactly_once_gate" -> (q46StreamExactlyOnceGate _))
+    "q46_stream_exactly_once_gate" -> (q46StreamExactlyOnceGate _),
+    "q47_runtime_bloom_gate" -> (q47RuntimeBloomGate _),
+    "q48_grouping_sets"   -> (q48GroupingSets _),
+    "q49_range_frame"     -> (q49RangeFrame _),
+    "q50_correlated_subquery" -> (q50CorrelatedSubquery _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1738,5 +1894,9 @@ object Relational {
     "q43_dpp_gate" -> q43Sql,
     "q44_bucketed_join_gate" -> q44Sql,
     "q45_aqe_skew_gate" -> q45Sql,
-    "q46_stream_exactly_once_gate" -> q46Sql)
+    "q46_stream_exactly_once_gate" -> q46Sql,
+    "q47_runtime_bloom_gate" -> q47Sql,
+    "q48_grouping_sets"   -> q48Sql,
+    "q49_range_frame"     -> q49Sql,
+    "q50_correlated_subquery" -> q50Sql)
 }

@@ -1040,6 +1040,132 @@ object Similarity {
       |FROM e GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------------------- s15
+  /** Radius (range) search — the fixed-threshold complement to top-k:
+    * every corpus neighbor with cosine ≥ τ, the primitive behind
+    * duplicate-sweep radii and "all sufficiently-similar pairs" joins.
+    * Same broadcast-nested-loop shape as s01 (tiny query side broadcast,
+    * corpus scanned once, zero data-sized shuffle); the per-query
+    * aggregate is 10 groups. At 100 TB the corpus side prunes through
+    * the IVF cells first (s07's layout: only cells whose centroid cosine
+    * can reach τ are scanned — the triangle-inequality bound); the
+    * brute-force form here is the oracle-restatable baseline, same
+    * contract as s01 vs s02.
+    *
+    * τ = 0.2 sits in the far tail of the corpus cosine distribution
+    * (99th percentile ≈ 0.29 max ≈ 0.49 — measured), far from any
+    * rounded value at 6 decimals, so the threshold compare is
+    * engine-stable. */
+  def s15RadiusSearch(s: SparkSession, d: String): DataFrame = {
+    val (q, n) = split(s, d)
+    n.crossJoin(broadcast(q))
+      .withColumn("cos_r", round(cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")), 6))
+      .where(col("cos_r") >= 0.2)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("n_id")).as("id_checksum"),
+        round(max(col("cos_r")), 6).as("max_cos"))
+      .orderBy("q_id")
+  }
+
+  val s15Sql: String =
+    """SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+      |  CAST(SUM(n_id) AS BIGINT) AS id_checksum,
+      |  ROUND(MAX(cos_r), 6) AS max_cos
+      |FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(n.embedding AS DOUBLE[])), 6)
+      |      AS cos_r
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id >= 10
+      |  WHERE q.vec_id < 10) t
+      |WHERE cos_r >= 0.2
+      |GROUP BY q_id ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------- s16
+  /** MMR (maximal marginal relevance) diversified re-ranking — the
+    * post-retrieval stage that trades raw relevance for coverage
+    * (Carbonell & Goldstein 1998): greedily select k items maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). The contract mirrors s10's
+    * re-ranker: the input is a top-C SHORTLIST (C bounded — ANN output),
+    * so the inherently sequential greedy runs on the driver over ≤ C
+    * rows (a dim-by-contract collect, like the LD map); relevance and
+    * the C×C sim matrix come from the distributed retrieval stages.
+    *
+    * Gate: three planted 4-vector clusters sharing a query direction,
+    * cluster A most relevant. Plain top-4 drowns in cluster A (all four
+    * picks one cluster); MMR at λ=0.5 provably picks A→B→C then returns
+    * to A (every remaining candidate carries the same ~0.99 same-cluster
+    * penalty, so the λ·rel term decides) — the oracle restates the
+    * derivation as constants. */
+  def mmrSelect(shortlist: Array[(Long, Double, Array[Double])],
+      k: Int, lambda: Double): Seq[Long] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dp, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    while (selected.length < math.min(k, shortlist.length)) {
+      val best = shortlist.indices.filterNot(selected.contains).maxBy { i =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(j => cos(shortlist(i)._3, shortlist(j)._3)).max
+        // deterministic: score then lower id wins ties
+        (lambda * shortlist(i)._2 - (1 - lambda) * pen, -shortlist(i)._1)
+      }
+      selected += best
+    }
+    selected.map(shortlist(_)._1).toSeq
+  }
+
+  def s16MmrGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 8
+    // query = e0; cluster bases: e0·w + orth-axis·sqrt(1-w²), so base↔query
+    // cosine is exactly w and cross-cluster cosine is w_i·w_j ≤ 0.86
+    val bases = Seq((0, 0.96, 1), (1, 0.90, 2), (2, 0.85, 3))
+    val fixture = bases.flatMap { case (c, w, axis) =>
+      (0 until 4).map { m =>
+        val v = Array.fill(dim)(0.0)
+        v(0) = w; v(axis) = math.sqrt(1 - w * w)
+        // tiny same-cluster jitter on a spare axis: members stay ~0.999
+        // similar, ordering inside a cluster is strict
+        v(4 + c) = 1e-3 * (m + 1)
+        (c.toLong * 10 + m, v)
+      }
+    }
+    val query = { val v = Array.fill(dim)(0.0); v(0) = 1.0; v }
+    val cand = fixture.toDF("cand_id", "emb")
+      .withColumn("rel", graft.functions.VectorFns.cosine(col("emb"),
+        array(query.map(lit): _*)) )
+    // shortlist = ALL candidates here (C = 12); in production this is the
+    // ANN top-C
+    val shortlist = cand.select(col("cand_id"), col("rel"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(t => (-t._2, t._1))
+    val topk = shortlist.take(4).map(_._1)
+    val mmr = mmrSelect(shortlist, 4, 0.5)
+    def clusters(ids: Seq[Long]): Long = ids.map(_ / 10).distinct.length
+    s.range(1).select(
+      lit(clusters(topk.toSeq)).as("topk_clusters"),
+      lit(clusters(mmr)).as("mmr_clusters"),
+      lit(mmr.head / 10).as("mmr_first_cluster"),
+      lit(mmr.take(3).map(_ / 10).sorted == Seq(0L, 1L, 2L))
+        .as("one_per_cluster_first"),
+      lit(mmr(3) / 10).as("mmr_fourth_cluster"))
+  }
+
+  val s16Sql: String =
+    """SELECT CAST(1 AS BIGINT) AS topk_clusters,
+      |  CAST(3 AS BIGINT) AS mmr_clusters,
+      |  CAST(0 AS BIGINT) AS mmr_first_cluster,
+      |  true AS one_per_cluster_first,
+      |  CAST(0 AS BIGINT) AS mmr_fourth_cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1054,7 +1180,9 @@ object Similarity {
     "s11_label_centroids" -> (s11LabelCentroids _),
     "s12_ivfadc_residual_gate" -> (s12IvfAdcResidualGate _),
     "s13_stream_ann_gate" -> (s13StreamAnnGate _),
-    "s14_hard_negatives" -> (s14HardNegatives _))
+    "s14_hard_negatives" -> (s14HardNegatives _),
+    "s15_radius_search" -> (s15RadiusSearch _),
+    "s16_mmr_gate"   -> (s16MmrGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1068,5 +1196,7 @@ object Similarity {
     "s11_label_centroids" -> s11Sql,
     "s12_ivfadc_residual_gate" -> s12Sql,
     "s13_stream_ann_gate" -> s13Sql,
-    "s14_hard_negatives" -> s14Sql)
+    "s14_hard_negatives" -> s14Sql,
+    "s15_radius_search" -> s15Sql,
+    "s16_mmr_gate"    -> s16Sql)
 }

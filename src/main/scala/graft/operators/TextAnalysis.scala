@@ -1460,6 +1460,155 @@ object TextAnalysis {
       |  true AS all_match
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+  /** Character-trigram LM scoring — the CCNet-family "perplexity filter"
+    * shape (Wenzek et al. 2020, public arXiv: score every doc under a LM
+    * trained on a trusted slice; low-likelihood docs are the quality
+    * cut): the model here is the corpus' own `en` slice's trigram
+    * counts, and each doc accrues the BIT-DEPTH of its trigrams'
+    * training counts — floor(log2(1+cnt)), computed as
+    * length(bin(1+cnt))-1 so it is INTEGER-exact in both engines (IEEE
+    * `log` is not guaranteed bit-identical across JVM and DuckDB; bit
+    * length is arithmetic). Out-of-vocabulary trigrams are counted
+    * apart — the OOV rate is the second CCNet signal.
+    *
+    * Scale shape: the model table is bounded by charset³ (a dim by
+    * contract → broadcast; no data-sized shuffle for the probe). The
+    * trigram fan-out is the one heavy stage; it feeds a per-lang
+    * aggregate whose distinct-doc count partial-aggregates map-side on
+    * dense doc_id. At 100 TB the trigrams would be hashed to ints
+    * before the explode (pluggable, as in t19) — same shape, smaller
+    * rows; the restatable substring keeps the driver oracle exact. */
+  def t24LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+    // t19 guard: sequence(1, n) DESCENDS for n < 1 — short docs must
+    // yield zero trigrams, not bogus ones
+    val tris = when(length(col("text")) >= 3,
+      transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val train = docs.where(col("lang") === "en")
+      .select(explode(tris).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    docs.select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+      .join(broadcast(train), Seq("tri"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt").isNull, 0L)
+          .otherwise((length(bin(col("cnt") + 1)) - 1).cast("long")))
+          .as("sum_bits"),
+        sum(col("cnt").isNull.cast("long")).as("n_oov"))
+      .orderBy("lang")
+  }
+
+  val t24Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, lower(text) AS text FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+      |  FROM docs, UNNEST(range(1, len(text) - 1)) AS u(i)),
+      |train AS (
+      |  SELECT tri, COUNT(*) AS cnt FROM grams WHERE lang = 'en'
+      |  GROUP BY tri)
+      |SELECT g.lang,
+      |  CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN t.cnt IS NULL THEN 0
+      |    ELSE length(bin(1 + t.cnt)) - 1 END) AS BIGINT) AS sum_bits,
+      |  CAST(SUM(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov
+      |FROM grams g LEFT JOIN train t USING (tri)
+      |GROUP BY g.lang ORDER BY g.lang""".stripMargin
+
+  // ---------------------------------------------------------------- t25
+  /** BPE merge training — the tokenizer-training kernel (Sennrich et al.
+    * 2016, public arXiv): greedy highest-frequency adjacent-pair merges
+    * over the corpus WORD-FREQUENCY table. The distributed contract is
+    * the classical one: the corpus is touched ONCE (tokenize → word
+    * counts, a vocab-bounded aggregate); every merge round then runs on
+    * the vocab table only — pair counting is an explode + hash agg over
+    * ≤ vocab × max-word-len rows, and the argmax is a 1-row driver
+    * collect (the merge RULE is the model, like an ML fit). Merge
+    * application is a codegen'd left-to-right `aggregate` fold (the
+    * standard greedy BPE application order), no UDF.
+    *
+    * Ties break (freq DESC, pair lexicographic ASC) so training is
+    * bit-deterministic. */
+  def bpeMerges(wordCounts: DataFrame, rounds: Int): Seq[(String, String)] = {
+    var vocab = wordCounts.select(
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"),
+      col("freq"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 0 until rounds) {
+      // t19 guard: sequence(1, n) DESCENDS for n < 1 — a single-symbol
+      // word has no pairs, not an out-of-bounds element_at
+      val pairs = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = vocab
+        .select(explode(pairs).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        // greedy left-to-right single-rule application: fold the symbol
+        // array, replacing each (a, b) adjacency with the merged symbol;
+        // a freshly merged symbol never re-merges within the same round
+        vocab = vocab.select(
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("freq"))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** t25 gate: train 3 merges on the corpus plus a planted word whose
+    * frequency exceeds the whole corpus' character count, so every
+    * corpus pair is provably outweighed and the learned merges are
+    * rule-derivable: "zqwx" at freq > Σ n_chars forces (q,w) (the
+    * lexicographically-least of the three tied planted pairs), then
+    * (qw,x) ("qw" < "z"), then (z,qwx) — the oracle restates them as
+    * constants. */
+  def t25BpeGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // one driver scalar (dim-by-contract, like the LD map): an upper
+    // bound on any corpus pair count
+    val totalChars = docs.agg(sum(col("n_chars"))).first().getLong(0)
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val planted = s.range(1).select(
+      lit("zqwx").as("word"), lit(totalChars + 1).as("freq"))
+    val merges = bpeMerges(words.unionByName(planted), 3)
+    val got = merges.map { case (a, b) => s"$a|$b" }
+    val expected = Seq("q|w", "qw|x", "z|qwx")
+    s.range(1).select(
+      lit(got.length).cast("long").as("n_merges"),
+      lit(got.lift(0).getOrElse("")).as("merge1"),
+      lit(got.lift(1).getOrElse("")).as("merge2"),
+      lit(got.lift(2).getOrElse("")).as("merge3"),
+      lit(got == expected).as("merges_match"))
+  }
+
+  val t25Sql: String =
+    """SELECT CAST(3 AS BIGINT) AS n_merges,
+      |  'q|w' AS merge1, 'qw|x' AS merge2, 'z|qwx' AS merge3,
+      |  true AS merges_match""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1483,7 +1632,9 @@ object TextAnalysis {
     "t20_span_scrub"  -> (t20SpanScrub _),
     "t21_domain_mix"  -> (t21DomainMix _),
     "t22_vocab_stats" -> (t22VocabStats _),
-    "t23_quality_classifier_gate" -> (t23QualityClassifierGate _))
+    "t23_quality_classifier_gate" -> (t23QualityClassifierGate _),
+    "t24_lm_score"    -> (t24LmScore _),
+    "t25_bpe_gate"    -> (t25BpeGate _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1507,5 +1658,7 @@ object TextAnalysis {
     "t20_span_scrub"  -> t20Sql,
     "t21_domain_mix"  -> t21Sql,
     "t22_vocab_stats" -> t22Sql,
-    "t23_quality_classifier_gate" -> t23Sql)
+    "t23_quality_classifier_gate" -> t23Sql,
+    "t24_lm_score"    -> t24Sql,
+    "t25_bpe_gate"    -> t25Sql)
 }

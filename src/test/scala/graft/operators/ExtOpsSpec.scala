@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 extension operators (q47–q49, t24/t25,
+  * s15/s16, m09) that the DuckDB oracle can't see: plan markers,
+  * cross-formulation equalities, and kernel-level exactness. */
+class ExtOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- q47
+  test("q47 runtime bloom filter: marker planned AND aggregate matches plain filter") {
+    val row = Relational.q47RuntimeBloomGate(spark, sf).collect()(0)
+    assert(row.getBoolean(3), "bloom filter was not planned")
+    val expect = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf).where(col("o_custkey") % 97 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("o_custkey"))).collect()(0)
+    assert(row.getLong(0) === expect.getLong(0))
+    assert(row.getLong(1) === expect.getLong(1))
+    assert(row.getLong(2) === expect.getLong(2))
+  }
+
+  // ------------------------------------------------------------- q48
+  test("q48 grouping sets == union of the three group-bys plus grand total") {
+    val got = Relational.q48GroupingSets(spark, sf).count()
+    val li = graft.Tables.lineitem(spark, sf)
+    val expect =
+      li.select(col("l_returnflag"), col("l_linestatus")).distinct.count() +
+        li.select(col("l_returnflag")).distinct.count() +
+        li.select(col("l_linestatus")).distinct.count() + 1
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------- q49
+  test("q49 RANGE frame equals the quadratic per-user reference") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val ref = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") >= col("a.us") - 3600000000L &&
+          col("b.us") <= col("a.us"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("cnt_1h"), sum(col("b.event_id")).as("sum_ids_1h"))
+    val got = Relational.q49RangeFrame(spark, sf)
+      .select("event_id", "cnt_1h", "sum_ids_1h")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  // ------------------------------------------------------------- t24
+  test("t24 LM score: zero OOV for the training language, model broadcast") {
+    val df = TextAnalysis.t24LmScore(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "trigram model must broadcast, not shuffle")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val en = rows.find(_._1 == "en").get
+    // every en trigram is in the en-trained model by construction
+    assert(en._5 === 0L, "en docs must have zero OOV against an en model")
+    // each in-vocab trigram contributes >= 1 bit (cnt >= 1 -> bin(2) = 2 chars)
+    assert(en._4 >= en._3, "sum_bits must be >= n_grams for in-vocab text")
+    rows.foreach { r =>
+      assert(r._2 > 0 && r._3 > 0, s"${r._1}: empty lang slice")
+      assert(r._5 <= r._3, s"${r._1}: OOV count exceeds gram count")
+    }
+  }
+
+  // ------------------------------------------------------------- t25
+  test("t25 BPE merges: hand-checked greedy merges and fold application") {
+    import spark.implicits._
+    // freq("ababc") = 10 dominates: pairs (a,b)=20, (b,a)=10, (b,c)=10
+    val wc = Seq(("ababc", 10L), ("xy", 1L)).toDF("word", "freq")
+    val merges = TextAnalysis.bpeMerges(wc, 3)
+    // round 1: (a,b) -> "ab"; "ababc" = [ab, ab, c]
+    // round 2: pairs (ab,ab)=10, (ab,c)=10, (x,y)=1 -> tie (ab,ab) < (ab,c)
+    // round 3: "abab c" = [abab, c] -> (abab, c)
+    assert(merges === Seq(("a", "b"), ("ab", "ab"), ("abab", "c")))
+  }
+
+  test("t25 gate derivation holds on the corpus") {
+    val r = TextAnalysis.t25BpeGate(spark, sf).collect()(0)
+    assert(r.getBoolean(4), s"merges were ${r.getString(1)}, ${r.getString(2)}, ${r.getString(3)}")
+  }
+
+  // ------------------------------------------------------------- s15
+  test("s15 radius search agrees with a brute-force recount") {
+    import graft.functions.VectorFns._
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val n = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val ref = n.crossJoin(broadcast(q))
+      .where(round(cosine(col("q_emb"), col("n_emb")), 6) >= 0.2)
+      .groupBy("q_id").agg(count(lit(1)).as("n_neighbors"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.s15RadiusSearch(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+  }
+
+  // ------------------------------------------------------------- s16
+  test("s16 MMR: diversifies a clustered shortlist; lambda=1 reduces to top-k") {
+    def basis(i: Int, v: Double): Array[Double] = {
+      val a = Array.fill(4)(0.0); a(i) = v; a
+    }
+    val shortlist = Array(
+      (0L, 0.9, basis(0, 1.0)), (1L, 0.89, basis(0, 1.0)),
+      (2L, 0.5, basis(1, 1.0)), (3L, 0.4, basis(2, 1.0)))
+    // lambda=1: pure relevance
+    assert(Similarity.mmrSelect(shortlist, 3, 1.0) === Seq(0L, 1L, 2L))
+    // lambda=0.5: second pick of cluster 0 is fully penalized (cos=1)
+    assert(Similarity.mmrSelect(shortlist, 3, 0.5) === Seq(0L, 2L, 3L))
+    val gate = Similarity.s16MmrGate(spark, sf).collect()(0)
+    assert(gate.getLong(0) === 1L && gate.getLong(1) === 3L)
+    assert(gate.getBoolean(3) && gate.getLong(4) === 0L)
+  }
+
+  // ------------------------------------------------------------- m09
+  test("m09 audio resample kernels: exact grids, negatives floor down, roundtrip") {
+    import graft.operators.AudioOps._
+    assert(upsample2x(Array(0, 10)).toSeq === Seq(0, 5, 10))
+    // floor, not truncate: (-3 + 0)/2 -> -2
+    assert(upsample2x(Array(-3, 0)).toSeq === Seq(-3, -2, 0))
+    assert(upsample2x(Array(7)).toSeq === Seq(7))
+    assert(downsample2x(Array(1, 2, 3, 4, 5)).toSeq === Seq(1, 3, 5))
+    assert(downsample2x(Array[Int]()).toSeq === Seq())
+    // decimating the upsampled stream recovers the original exactly
+    val xs = Array(-128, 127, 0, 64, -64, 3)
+    assert(downsample2x(upsample2x(xs)).toSeq === xs.toSeq)
+  }
+
+  test("m09 over the corpus: lengths obey the 2n-1 / ceil(n/2) contract") {
+    val rows = Multimodal.m09AudioResample(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, up, down) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(up === 2 * n - 1)
+      assert(down === (n + 1) / 2)
+    }
+  }
+}

@@ -11,6 +11,8 @@ class ConstAudioCodec extends AudioCodec {
   def decodeFrames(p: Array[Byte], windowSamples: Int,
       sampleEvery: Int): Array[AudioFrame] =
     if (p == null) null else Array(AudioFrame(0, 1, p.length.toLong, 7, 9L))
+  def samples(p: Array[Byte]): Array[Int] =
+    if (p == null) null else Array(p.length)
 }
 
 class ConstImageCodec extends ImageCodec {
