@@ -1242,6 +1242,59 @@ object Dedup {
       |    AS jaccard
       |FROM sh ORDER BY a_id""".stripMargin
 
+  // ---------------------------------------------------------------- d23
+  /** Edit-distance verified near-dup pairs — the CHARACTER-level verify
+    * kernel the gram-set family (d02 Jaccard, d22 containment) cannot
+    * express: Levenshtein distance catches single-character mutations
+    * that leave most grams intact but also transposition-heavy noise
+    * that gram sets overweight. Blocked on (length) within the `en`
+    * slice (byte = char there, so the distance is engine-neutral);
+    * same-length blocking is exact for the substitution-only mutations
+    * this kernel targets, and the candidate volume stays tiny (51
+    * corpus pairs share a block at sf0.01 — measured). At 100 TB the
+    * block key widens to (lang, length band) and candidates come from
+    * d11's LSH bands; the O(len²) verify only ever runs on candidate
+    * pairs, exactly like d02's role for gram Jaccard.
+    *
+    * Gate: 20 planted single-substitution copies ('z' over the first
+    * char, length preserved) must each surface with lev ≤ 1. */
+  def d23EditDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).where(col("lang") === "en")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(PlantOffset)).as("doc_id"),
+        concat(lit("z"), expr("substring(text, 2, length(text))")).as("text"),
+        col("len"))
+    val all = docs.unionByName(planted)
+    val a = all.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+      col("len"))
+    val b = all.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+      col("len"))
+    a.join(b, Seq("len"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).as("lev"))
+      .where(col("lev") <= 2)
+      .orderBy("a_id", "b_id")
+  }
+
+  val d23Sql: String =
+    """WITH en AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE lang = 'en'),
+      |base AS (SELECT doc_id, text, len FROM en ORDER BY doc_id LIMIT 20),
+      |planted AS (
+      |  SELECT doc_id + 1000000000 AS doc_id,
+      |    'z' || substring(text, 2, length(text)) AS text, len
+      |  FROM base),
+      |a AS (SELECT * FROM en UNION ALL SELECT * FROM planted)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.text, b.text) AS INT) AS lev
+      |FROM a JOIN a b ON a.len = b.len AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) <= 2
+      |ORDER BY a_id, b_id""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -1397,7 +1450,8 @@ object Dedup {
     "d19_stream_neardup_gate" -> (d19StreamNearDupGate _),
     "d20_neardup_decontam_gate" -> (d20NearDupDecontamGate _),
     "d21_normalized_dedup_gate" -> (d21NormalizedDedupGate _),
-    "d22_containment_gate" -> (d22ContainmentGate _))
+    "d22_containment_gate" -> (d22ContainmentGate _),
+    "d23_edit_distance_pairs" -> (d23EditDistancePairs _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1418,5 +1472,6 @@ object Dedup {
     "d19_stream_neardup_gate" -> d19Sql,
     "d20_neardup_decontam_gate" -> d20Sql,
     "d21_normalized_dedup_gate" -> d21Sql,
-    "d22_containment_gate" -> d22Sql)
+    "d22_containment_gate" -> d22Sql,
+    "d23_edit_distance_pairs" -> d23Sql)
 }

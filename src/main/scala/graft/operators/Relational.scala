@@ -1795,6 +1795,50 @@ object Relational {
        |  WHERE o2.o_custkey = o.o_custkey)
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Exchange-reuse gate — the fourth runtime lever in the q43/q45/q47
+    * series: when one subplan feeds a query twice (self-join on an
+    * aggregate, a CTE consumed by two branches), the physical planner
+    * must compute its shuffle ONCE and wire the second consumer to the
+    * same exchange (`ReusedExchange` / a reused AQE shuffle stage) — at
+    * 100 TB re-executing a fact-table aggregate because a plan node
+    * appears twice doubles the dominant cost. The gate self-joins one
+    * aggregate subplan (broadcast disabled in the session clone so the
+    * exchange exists), executes, and reads the reuse marker off the
+    * final adaptive plan; the join aggregate is the oracle's plain
+    * restatement (l_orderkey is the agg key, so the self-join is a
+    * bijection and both sums equal the group-table sum). */
+  def q51ReusedExchangeGate(s: SparkSession, d: String): DataFrame = {
+    // isolated session clone (q37 note)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val agg = Tables.lineitem(s2, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q1"))
+    val joined = agg.join(agg.select(col("l_orderkey"),
+      col("q1").as("q2")), Seq("l_orderkey")).hint("merge")
+    joined.queryExecution.toRdd.count()
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    val reused = plan.contains("reused")
+    if (sys.env.contains("GRAFT_DEBUG_PLAN"))
+      System.err.println("[q51-plan]\n" + plan)
+    joined.agg(count(lit(1)).as("n_rows"), sum(col("q1")).as("sum_q1"),
+        sum(col("q2")).as("sum_q2"))
+      .select(col("n_rows"), col("sum_q1"), col("sum_q2"),
+        lit(reused).as("reuse_planned"))
+  }
+
+  val q51Sql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q1,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q2,
+      |  true AS reuse_planned
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1846,7 +1890,8 @@ object Relational {
     "q47_runtime_bloom_gate" -> (q47RuntimeBloomGate _),
     "q48_grouping_sets"   -> (q48GroupingSets _),
     "q49_range_frame"     -> (q49RangeFrame _),
-    "q50_correlated_subquery" -> (q50CorrelatedSubquery _))
+    "q50_correlated_subquery" -> (q50CorrelatedSubquery _),
+    "q51_reused_exchange_gate" -> (q51ReusedExchangeGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1898,5 +1943,6 @@ object Relational {
     "q47_runtime_bloom_gate" -> q47Sql,
     "q48_grouping_sets"   -> q48Sql,
     "q49_range_frame"     -> q49Sql,
-    "q50_correlated_subquery" -> q50Sql)
+    "q50_correlated_subquery" -> q50Sql,
+    "q51_reused_exchange_gate" -> q51Sql)
 }

@@ -1166,6 +1166,52 @@ object Similarity {
       |  true AS one_per_cluster_first,
       |  CAST(0 AS BIGINT) AS mmr_fourth_cluster""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** Filtered (metadata-constrained) KNN — production vector search is
+    * almost never unconstrained: "top-k among rows where label = X" is
+    * the canonical form (per-tenant, per-language, per-license
+    * retrieval). PRE-filtering is the correct semantics (filter, then
+    * rank): post-filtering a global top-k under-returns whenever the
+    * filter is selective. Same broadcast-nested-loop shape as s01 with
+    * the label equality folded into the join condition, so corpus rows
+    * of other labels are never scored. At 100 TB the label becomes a
+    * partition column of the s07 bucketed layout and the filter prunes
+    * partitions statically — score only what can match. */
+  def s17FilteredKnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("nrm", norm2(col("embedding")))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val n = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    n.join(broadcast(q), col("n_label") === col("q_label"))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("q_label").as("label"), col("rank"),
+        col("n_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s17Sql: String =
+    """SELECT q_id, label, rank, n_id, cos_r FROM (
+      |  SELECT q.vec_id AS q_id, q.label AS label, n.vec_id AS n_id,
+      |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(n.embedding AS DOUBLE[])), 6)
+      |      AS cos_r,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+      |               n.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings n
+      |    ON n.vec_id >= 10 AND n.label = q.label
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1182,7 +1228,8 @@ object Similarity {
     "s13_stream_ann_gate" -> (s13StreamAnnGate _),
     "s14_hard_negatives" -> (s14HardNegatives _),
     "s15_radius_search" -> (s15RadiusSearch _),
-    "s16_mmr_gate"   -> (s16MmrGate _))
+    "s16_mmr_gate"   -> (s16MmrGate _),
+    "s17_filtered_knn" -> (s17FilteredKnn _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1198,5 +1245,6 @@ object Similarity {
     "s13_stream_ann_gate" -> s13Sql,
     "s14_hard_negatives" -> s14Sql,
     "s15_radius_search" -> s15Sql,
-    "s16_mmr_gate"    -> s16Sql)
+    "s16_mmr_gate"    -> s16Sql,
+    "s17_filtered_knn" -> s17Sql)
 }

@@ -1609,6 +1609,114 @@ object TextAnalysis {
       |  'q|w' AS merge1, 'qw|x' AS merge2, 'z|qwx' AS merge3,
       |  true AS merges_match""".stripMargin
 
+  // ---------------------------------------------------------------- t26
+  /** Deterministic hash split — train/val/test assignment every training
+    * pipeline needs reproducible across engines and reruns: bucket =
+    * md5(doc_id ‖ salt) mod 100 (98/1/1), no randomness, no state. A
+    * narrow per-row expression with a 3-group rollup — zero data-sized
+    * shuffle at any scale, and adding data never reassigns existing
+    * docs (the property a random split lacks). */
+  private def splitBucket(id: Column): Column =
+    conv(substring(md5(encode(concat(id.cast("string"), lit(":split")),
+      "UTF-8")), 1, 15), 16, 10).cast("long") % 100
+
+  private def splitName(bucket: Column): Column =
+    when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test")
+
+  def t26HashSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        splitName(splitBucket(col("doc_id"))).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+
+  private val splitBucketSql =
+    "CAST(concat('0x', substr(md5(CAST(%s AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) %% 100"
+
+  val t26Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars,
+       |    ${splitBucketSql.format("doc_id")} AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 98 THEN 'train'
+       |  WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t27
+  /** Contamination-safe split — t26's hash split keyed by the DUP-GROUP
+    * representative instead of the doc: duplicates of one document must
+    * never straddle train and eval (the leakage mode doc-level splits
+    * invite — a val doc whose twin sits in train is measured
+    * memorization, not generalization). Group = exact-content hash
+    * (md5), rep = min doc_id; every member inherits the rep's bucket.
+    * The gate plants 20 exact copies and emits both straddle counts:
+    * by construction the CLUSTER split never straddles a group
+    * (recomputed from data, not assumed), while the doc-id split's
+    * straddle count is the measured leakage the operator prevents.
+    *
+    * Scale shape: one uniform md5 shuffle for the group table, one
+    * same-key join back — the d01 profile; the near-dup upgrade swaps
+    * md5 groups for d12's cluster ids, same wiring. */
+  def t27ClusterSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+    val g = docs.unionByName(planted)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("h"))
+    val reps = g.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+    g.join(reps, Seq("h"))
+      .select(col("h"), col("grp_n"),
+        splitName(splitBucket(col("rep_id"))).as("cluster_split"),
+        splitName(splitBucket(col("doc_id"))).as("docid_split"))
+      .groupBy(col("h"), col("grp_n"))
+      .agg(count_distinct(col("cluster_split")).as("n_cs"),
+        count_distinct(col("docid_split")).as("n_ds"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("grp_n")).as("n_docs"),
+        sum((col("grp_n") > 1).cast("long")).as("n_multi_groups"),
+        sum((col("n_cs") > 1).cast("long")).as("straddle_cluster"),
+        sum((col("n_ds") > 1).cast("long")).as("straddle_docid"))
+  }
+
+  val t27Sql: String =
+    s"""WITH pl AS (
+       |  SELECT doc_id + 1000000000 AS doc_id, text
+       |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)),
+       |a AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM pl),
+       |g AS (SELECT md5(text) AS h, doc_id FROM a),
+       |reps AS (
+       |  SELECT h, MIN(doc_id) AS rep_id, COUNT(*) AS grp_n
+       |  FROM g GROUP BY h),
+       |k AS (
+       |  SELECT g.h, reps.grp_n,
+       |    CASE WHEN ${splitBucketSql.format("reps.rep_id")} < 98 THEN 'train'
+       |      WHEN ${splitBucketSql.format("reps.rep_id")} = 98 THEN 'val'
+       |      ELSE 'test' END AS cluster_split,
+       |    CASE WHEN ${splitBucketSql.format("g.doc_id")} < 98 THEN 'train'
+       |      WHEN ${splitBucketSql.format("g.doc_id")} = 98 THEN 'val'
+       |      ELSE 'test' END AS docid_split
+       |  FROM g JOIN reps USING (h)),
+       |per_g AS (
+       |  SELECT h, grp_n, COUNT(DISTINCT cluster_split) AS n_cs,
+       |    COUNT(DISTINCT docid_split) AS n_ds
+       |  FROM k GROUP BY h, grp_n)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(grp_n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_multi_groups,
+       |  CAST(SUM(CASE WHEN n_cs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS straddle_cluster,
+       |  CAST(SUM(CASE WHEN n_ds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS straddle_docid
+       |FROM per_g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1634,7 +1742,9 @@ object TextAnalysis {
     "t22_vocab_stats" -> (t22VocabStats _),
     "t23_quality_classifier_gate" -> (t23QualityClassifierGate _),
     "t24_lm_score"    -> (t24LmScore _),
-    "t25_bpe_gate"    -> (t25BpeGate _))
+    "t25_bpe_gate"    -> (t25BpeGate _),
+    "t26_hash_split"  -> (t26HashSplit _),
+    "t27_cluster_safe_split" -> (t27ClusterSafeSplit _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1660,5 +1770,7 @@ object TextAnalysis {
     "t22_vocab_stats" -> t22Sql,
     "t23_quality_classifier_gate" -> t23Sql,
     "t24_lm_score"    -> t24Sql,
-    "t25_bpe_gate"    -> t25Sql)
+    "t25_bpe_gate"    -> t25Sql,
+    "t26_hash_split"  -> t26Sql,
+    "t27_cluster_safe_split" -> t27Sql)
 }

@@ -121,6 +121,60 @@ class ExtOpsSpec extends SparkSpec {
     assert(gate.getBoolean(3) && gate.getLong(4) === 0L)
   }
 
+  // ------------------------------------------------------------- d23
+  test("d23 edit-distance pairs: all 20 planted substitutions surface with lev <= 1") {
+    val rows = Dedup.d23EditDistancePairs(spark, sf).collect()
+    val planted = rows.filter(_.getLong(1) >= 1000000000L)
+    assert(planted.length >= 20)
+    val direct = planted.filter(r => r.getLong(1) - 1000000000L === r.getLong(0))
+    assert(direct.length === 20, "every planted copy must pair with its source")
+    direct.foreach(r => assert(r.getInt(2) <= 1))
+  }
+
+  // ------------------------------------------------------------- t26/t27
+  test("t26 hash split: partitions the corpus, stable across runs, ~98/1/1") {
+    val rows = TextAnalysis.t26HashSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.values.sum === total)
+    assert(rows.getOrElse("train", 0L) > total * 9 / 10)
+    val again = TextAnalysis.t26HashSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === again)
+  }
+
+  test("t27 cluster-safe split: zero cluster straddle, planted groups counted") {
+    val r = TextAnalysis.t27ClusterSafeSplit(spark, sf).collect()(0)
+    val (nGroups, nDocs, nMulti) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nMulti >= 20, "the 20 planted copies must form multi-doc groups")
+    assert(nDocs === graft.Tables.documents(spark, sf).count() + 20)
+    assert(nGroups <= nDocs - 20)
+    assert(r.getLong(3) === 0L, "cluster-keyed split must never straddle")
+  }
+
+  // ------------------------------------------------------------- s17
+  test("s17 filtered KNN: every neighbor carries the query's label, pre-filter semantics") {
+    val rows = Similarity.s17FilteredKnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(e(r.getLong(0)) === r.getInt(1), "label column must be the query's")
+      assert(e(r.getLong(3)) === r.getInt(1), "neighbor label must match (pre-filter)")
+    }
+  }
+
+  // ------------------------------------------------------------- q51
+  test("q51 exchange reuse: marker present and self-join is a bijection") {
+    val r = Relational.q51ReusedExchangeGate(spark, sf).collect()(0)
+    assert(r.getBoolean(3), "no reused exchange/stage in the executed plan")
+    assert(r.getLong(1) === r.getLong(2))
+    val groups = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct.count()
+    assert(r.getLong(0) === groups)
+  }
+
   // ------------------------------------------------------------- m09
   test("m09 audio resample kernels: exact grids, negatives floor down, roundtrip") {
     import graft.operators.AudioOps._
