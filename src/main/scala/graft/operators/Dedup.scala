@@ -1273,9 +1273,13 @@ object Dedup {
       col("len"))
     a.join(b, Seq("len"))
       .where(col("a_id") < col("b_id"))
+      // banded (threshold) Levenshtein: O(len·k) per pair instead of
+      // O(len²) — 8.2 s → sub-second at sf0.1 (measured); returns -1
+      // beyond the band, so the ≤ 2 filter selects the identical set
+      // the oracle's full computation does
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_text"), col("b_text")).as("lev"))
-      .where(col("lev") <= 2)
+        levenshtein(col("a_text"), col("b_text"), 2).as("lev"))
+      .where(col("lev") >= 0 && col("lev") <= 2)
       .orderBy("a_id", "b_id")
   }
 

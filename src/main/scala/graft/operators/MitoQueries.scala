@@ -204,22 +204,30 @@ object MitoQueries {
     * though DuckDB cannot run the model. Training data is a fixed
     * `spark.range` fixture (independent of sf), scoring is distributed
     * model.transform — the 100 TB shape: broadcast model, narrow scan. */
+  /** x04's engineered-margin fixture (shared with x10): the decisive
+    * features separate the classes by construction, so any reasonable
+    * model's predictions equal the generating rule (label = k % 2). */
+  private def sepFeats(df: DataFrame, k: org.apache.spark.sql.Column,
+      part: org.apache.spark.sql.Column, supp: org.apache.spark.sql.Column,
+      line: org.apache.spark.sql.Column): DataFrame = {
+    val label = (k % 2).cast("double")
+    df.select(
+      label.as("label"),
+      (label * 10 + (part % 3)).cast("double").as("MTEditDist"),
+      (label * 5 + (supp % 2)).cast("double").as("LD"),
+      (part % 4).cast("double").as("NTEditDist"),
+      ((lit(1) - label) * 7 + (line % 2)).cast("double").as("NTScore"),
+      (lit(1) + (k % 3)).cast("double").as("MTNumAlignments"),
+      (supp % 3).cast("double").as("NTNumAlignments"),
+      concat(lit("r"), k).as("Read"))
+  }
+
   def x04MlScore(s: SparkSession, d: String): DataFrame = {
     import graft.mito.Classify
-    import org.apache.spark.sql.Column
-    def feats(df: DataFrame, k: Column, part: Column, supp: Column,
-        line: Column): DataFrame = {
-      val label = (k % 2).cast("double")
-      df.select(
-        label.as("label"),
-        (label * 10 + (part % 3)).cast("double").as("MTEditDist"),
-        (label * 5 + (supp % 2)).cast("double").as("LD"),
-        (part % 4).cast("double").as("NTEditDist"),
-        ((lit(1) - label) * 7 + (line % 2)).cast("double").as("NTScore"),
-        (lit(1) + (k % 3)).cast("double").as("MTNumAlignments"),
-        (supp % 3).cast("double").as("NTNumAlignments"),
-        concat(lit("r"), k).as("Read"))
-    }
+    def feats(df: DataFrame, k: org.apache.spark.sql.Column,
+        part: org.apache.spark.sql.Column, supp: org.apache.spark.sql.Column,
+        line: org.apache.spark.sql.Column): DataFrame =
+      sepFeats(df, k, part, supp, line)
     val train = feats(s.range(2048).toDF(), col("id"), col("id") * 7,
       col("id") * 13, col("id") * 3)
     val model = Classify.trainRF(train, numTrees = 64, seed = 7L)
@@ -242,6 +250,56 @@ object MitoQueries {
       |    AS n_predicted_mt,
       |  CAST(COUNT(*) AS BIGINT) AS n_confident
       |FROM lineitem WHERE l_orderkey % 4 = 1""".stripMargin
+
+  // ---------------------------------------------------------------- x10
+  /** Model SELECTION — CrossValidator + ParamGridBuilder, the MLlib
+    * surface one step past x04's fixed-hyperparameter fit (the
+    * reference hand-picks 128 trees; a production retrain grid-searches
+    * and cross-validates). 2-fold CV over a maxDepth grid on the
+    * engineered-margin fixture: the fold split and every RF are seeded,
+    * so selection is deterministic, and the margin makes EVERY grid
+    * point learn the generating rule — best-model predictions provably
+    * equal label = k % 2 and both folds score ~1.0 accuracy (emitted as
+    * the gate boolean; the counts restate as plain arithmetic). CV
+    * trains grid × folds models; each fit is a distributed job — the
+    * grid parallelizes at the job level via setParallelism at scale. */
+  def x10CvGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val train = sepFeats(s.range(2048).toDF(), col("id"), col("id") * 7,
+      col("id") * 13, col("id") * 3)
+    val rf = new RandomForestClassifier().setNumTrees(16).setSeed(7L)
+    val pipe = new Pipeline()
+      .setStages(Array(graft.mito.Classify.rformula, rf))
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.maxDepth, Array(2, 5)).build()
+    val cv = new CrossValidator().setEstimator(pipe)
+      .setEvaluator(
+        new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid).setNumFolds(2).setSeed(11L)
+    val model = cv.fit(train)
+    val accOk = model.avgMetrics.max >= 0.99
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 2)
+    val scored = model.transform(sepFeats(li, col("l_partkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_linenumber")))
+    scored.agg(
+        count(lit(1)).as("n_scored"),
+        sum((col("prediction") === lit(graft.mito.Classify.MtLabel))
+          .cast("long")).as("n_predicted_mt"))
+      .select(col("n_scored"), col("n_predicted_mt"),
+        lit(grid.length.toLong).as("grid_size"),
+        lit(accOk).as("cv_acc_ok"))
+  }
+
+  val x10Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_predicted_mt,
+      |  CAST(2 AS BIGINT) AS grid_size,
+      |  true AS cv_acc_ok
+      |FROM lineitem WHERE l_orderkey % 4 = 2""".stripMargin
 
   // ---------------------------------------------------------------- x05
   /** Region scan over a SORTED, `.gai`-indexed BAM — the reference's
@@ -678,7 +736,8 @@ object MitoQueries {
     "x06_bai_region_gate" -> (x06BaiRegionGate _),
     "x07_csi_region_gate" -> (x07CsiRegionGate _),
     "x08_pipeline_gate"   -> (x08PipelineGate _),
-    "x09_compressed_pipeline_gate" -> (x09CompressedPipelineGate _))
+    "x09_compressed_pipeline_gate" -> (x09CompressedPipelineGate _),
+    "x10_cv_gate"         -> (x10CvGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -689,5 +748,6 @@ object MitoQueries {
     "x06_bai_region_gate" -> x06Sql,
     "x07_csi_region_gate" -> x07Sql,
     "x08_pipeline_gate" -> x08Sql,
-    "x09_compressed_pipeline_gate" -> x08Sql)
+    "x09_compressed_pipeline_gate" -> x08Sql,
+    "x10_cv_gate" -> x10Sql)
 }

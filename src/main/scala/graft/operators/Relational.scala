@@ -1839,6 +1839,114 @@ object Relational {
       |  true AS reuse_planned
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Binned interval join — the SCALE path for pure non-equi (point ∈
+    * [lo, hi]) joins. q16's range join rides an equi key; without one
+    * Spark plans BroadcastNestedLoopJoin, which dies the moment the
+    * interval side outgrows broadcast. The standard fix is binning:
+    * explode each interval into its covering bins of width w, give each
+    * point its ONE bin, equi-join on bin, re-check the exact predicate.
+    * Each (point, interval) pair meets in exactly one bin (the point's),
+    * so no dedup is needed; the nested loop becomes a shuffled equi-join
+    * that scales with data + interval_len/w fan-out. The gate asserts
+    * the plan: a real equi-join, NO BroadcastNestedLoop. */
+  def q52BinnedIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val binW = 8
+    // deterministic overlapping interval dim (25 rows, rule-derived so
+    // the oracle restates it from range())
+    val ivals = s.range(25).select(col("id").as("ival_id"),
+      (col("id") * 7 % 180).as("lo"),
+      (col("id") * 7 % 180 + col("id") % 12 + 1).as("hi"))
+      .select(col("ival_id"), col("lo"), col("hi"),
+        // integer bin ids (Column./ is double division; `div` floors)
+        explode(sequence(expr(s"lo div $binW"), expr(s"hi div $binW")))
+          .as("bin"))
+    val facts = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 200).as("x"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("bin", expr(s"x div $binW"))
+    val joined = facts.join(ivals, Seq("bin"))
+      .where(col("x") >= col("lo") && col("x") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop"),
+      "binned interval join must not plan a nested loop")
+    joined.groupBy(col("ival_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("qty")).as("sum_qty"))
+      .orderBy("ival_id")
+  }
+
+  val q52Sql: String =
+    """WITH iv AS (
+      |  SELECT id AS ival_id, (id * 7) % 180 AS lo,
+      |    (id * 7) % 180 + id % 12 + 1 AS hi
+      |  FROM range(25) t(id)),
+      |f AS (SELECT l_partkey % 200 AS x, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem)
+      |SELECT ival_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM f JOIN iv ON f.x >= iv.lo AND f.x <= iv.hi
+      |GROUP BY ival_id ORDER BY ival_id""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Window DISTRIBUTION functions — ntile / percent_rank / cume_dist
+    * (the quantile-bucketing trio reporting layers lean on), over a
+    * total order made unique by the key tie-break so ranks are
+    * deterministic. percent_rank = (rank−1)/(n−1) and cume_dist = rank/n
+    * are single IEEE divisions of exact integers — identical trees both
+    * engines, no tolerance needed. One shuffle on the partition key. */
+  def q53WindowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  val q53Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Date/time kernel (§2.6's temporal counterpart): truncation, field
+    * extraction, interval arithmetic, day difference — every expression
+    * engine-neutral by construction (date_trunc week = ISO Monday in
+    * both; DuckDB dayofweek is 0-based Sunday, normalized in the
+    * oracle). Narrow scan, zero shuffle before the sort. */
+  def q54DatetimeKernel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        // date_trunc yields LTZ even on NTZ input — cast back so the
+        // dumped parquet carries the same NTZ type the oracle produces
+        date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"),
+        date_trunc("week", col("ts")).cast(TimestampNTZType).as("week"),
+        hour(col("ts")).as("hr"),
+        dayofweek(col("ts")).as("dow"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).cast(TimestampNTZType)
+          .as("plus_90m"),
+        datediff(col("ts").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since"))
+      .orderBy("event_id")
+
+  val q54Sql: String =
+    """SELECT event_id,
+      |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+      |  CAST(hour(ts) AS INT) AS hr,
+      |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |  ts + INTERVAL 90 MINUTE AS plus_90m,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS INT)
+      |    AS days_since
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1891,7 +1999,10 @@ object Relational {
     "q48_grouping_sets"   -> (q48GroupingSets _),
     "q49_range_frame"     -> (q49RangeFrame _),
     "q50_correlated_subquery" -> (q50CorrelatedSubquery _),
-    "q51_reused_exchange_gate" -> (q51ReusedExchangeGate _))
+    "q51_reused_exchange_gate" -> (q51ReusedExchangeGate _),
+    "q52_binned_interval_join" -> (q52BinnedIntervalJoin _),
+    "q53_window_distribution" -> (q53WindowDistribution _),
+    "q54_datetime_kernel" -> (q54DatetimeKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1944,5 +2055,8 @@ object Relational {
     "q48_grouping_sets"   -> q48Sql,
     "q49_range_frame"     -> q49Sql,
     "q50_correlated_subquery" -> q50Sql,
-    "q51_reused_exchange_gate" -> q51Sql)
+    "q51_reused_exchange_gate" -> q51Sql,
+    "q52_binned_interval_join" -> q52Sql,
+    "q53_window_distribution" -> q53Sql,
+    "q54_datetime_kernel" -> q54Sql)
 }

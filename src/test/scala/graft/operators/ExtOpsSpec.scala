@@ -175,6 +175,59 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getLong(0) === groups)
   }
 
+  // ------------------------------------------------------------- q52
+  test("q52 binned interval join equals the nested-loop BETWEEN join") {
+    val got = Relational.q52BinnedIntervalJoin(spark, sf)
+    val ivals = spark.range(25).select(col("id").as("ival_id"),
+      (col("id") * 7 % 180).as("lo"),
+      (col("id") * 7 % 180 + col("id") % 12 + 1).as("hi"))
+    val ref = graft.Tables.lineitem(spark, sf)
+      .select((col("l_partkey") % 200).as("x"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(ivals, col("x") >= col("lo") && col("x") <= col("hi"))
+      .groupBy(col("ival_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("qty")).as("sum_qty"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  // ------------------------------------------------------------- q53
+  test("q53 distribution functions: quartiles partition evenly, pr/cd in [0,1]") {
+    val rows = Relational.q53WindowDistribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 4)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  // ------------------------------------------------------------- q54
+  test("q54 datetime kernel: truncation floors, dow in range, interval exact") {
+    val rows = Relational.q54DatetimeKernel(spark, sf).limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = r.getAs[java.time.LocalDateTime]("day")
+      val week = r.getAs[java.time.LocalDateTime]("week")
+      assert(day.getHour === 0 && day.getMinute === 0)
+      assert(week.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 23)
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 7)
+    }
+  }
+
+  // ------------------------------------------------------------- x10
+  test("x10 cross-validation: both grid points learn the rule, selection deterministic") {
+    val r1 = MitoQueries.x10CvGate(spark, sf).collect()(0)
+    assert(r1.getBoolean(3), "CV best accuracy below 0.99 on the separable fixture")
+    assert(r1.getLong(2) === 2L)
+    val expect = graft.Tables.lineitem(spark, sf)
+      .where(col("l_orderkey") % 4 === 2)
+      .agg(count(lit(1)),
+        sum((col("l_partkey") % 2 === 0).cast("long"))).collect()(0)
+    assert(r1.getLong(0) === expect.getLong(0))
+    assert(r1.getLong(1) === expect.getLong(1))
+  }
+
   // ------------------------------------------------------------- m09
   test("m09 audio resample kernels: exact grids, negatives floor down, roundtrip") {
     import graft.operators.AudioOps._
