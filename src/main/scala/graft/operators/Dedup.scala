@@ -1299,6 +1299,56 @@ object Dedup {
       |WHERE levenshtein(a.text, b.text) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- d24
+  /** MinHash ESTIMATOR-ERROR gate — pins the statistical contract the
+    * whole LSH family (d03/d07/d11/d13/d18-d20) rests on: the fraction
+    * of agreeing signature positions is an unbiased estimate of Jaccard
+    * with std ≈ √(J(1−J)/perms) ≈ 0.09 at 32 perms. 20 planted pairs
+    * (first-two-thirds substrings — mid-range J, where the estimator's
+    * variance peaks) get BOTH the exact sorted-merge Jaccard and the
+    * 32-perm estimate; the gate asserts max |est − exact| ≤ 0.35 (~4σ)
+    * and mean |err| ≤ 0.15. The values are deterministic (seeded
+    * permutations, fixed corpus), so a hash-kernel or banding
+    * regression that skews the estimator flips the row — a property no
+    * planted-recall gate (which only needs J = 1) can see. */
+  def d24MinhashErrorGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val pairs = base.select(
+      col("doc_id").as("pair_id"),
+      expr("substring(text, 1, CAST(floor(length(text) * 2 / 3) AS INT))")
+        .as("a_text"),
+      col("text").as("b_text"))
+    val perms = 32
+    val sh = pairs.select(col("pair_id"),
+      shingleHashes(col("a_text"), 3).as("a_sh"),
+      shingleHashes(col("b_text"), 3).as("b_sh"))
+    val scored = sh.select(col("pair_id"),
+      graft.functions.IntersectCountExpr.intersectCountSorted(
+        col("a_sh"), col("b_sh")).as("n_common"),
+      size(col("a_sh")).as("a_n"), size(col("b_sh")).as("b_n"),
+      graft.functions.MinHashSigExpr.minhashSig(col("a_sh"), perms)
+        .as("a_sig"),
+      graft.functions.MinHashSigExpr.minhashSig(col("b_sh"), perms)
+        .as("b_sig"))
+      .select(col("pair_id"),
+        (col("n_common").cast("double") /
+          (col("a_n") + col("b_n") - col("n_common"))).as("exact_j"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => x === y), m => m)).cast("double") / perms).as("est_j"))
+    scored.agg(count(lit(1)).as("n_pairs"),
+        max(abs(col("est_j") - col("exact_j"))).as("max_err"),
+        avg(abs(col("est_j") - col("exact_j"))).as("mean_err"))
+      .select(col("n_pairs"),
+        (col("max_err") <= 0.35).as("max_err_ok"),
+        (col("mean_err") <= 0.15).as("mean_err_ok"))
+  }
+
+  val d24Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_pairs, true AS max_err_ok,
+      |  true AS mean_err_ok""".stripMargin
+
   val d16Sql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
@@ -1455,7 +1505,8 @@ object Dedup {
     "d20_neardup_decontam_gate" -> (d20NearDupDecontamGate _),
     "d21_normalized_dedup_gate" -> (d21NormalizedDedupGate _),
     "d22_containment_gate" -> (d22ContainmentGate _),
-    "d23_edit_distance_pairs" -> (d23EditDistancePairs _))
+    "d23_edit_distance_pairs" -> (d23EditDistancePairs _),
+    "d24_minhash_error_gate" -> (d24MinhashErrorGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1477,5 +1528,6 @@ object Dedup {
     "d20_neardup_decontam_gate" -> d20Sql,
     "d21_normalized_dedup_gate" -> d21Sql,
     "d22_containment_gate" -> d22Sql,
-    "d23_edit_distance_pairs" -> d23Sql)
+    "d23_edit_distance_pairs" -> d23Sql,
+    "d24_minhash_error_gate" -> d24Sql)
 }

@@ -1947,6 +1947,94 @@ object Relational {
       |    AS days_since
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Incremental-batch RESUME gate — `Trigger.AvailableNow` + a shared
+    * checkpoint, the pattern production incremental ETL actually runs
+    * (nightly job: process everything new since last run, then STOP —
+    * streaming semantics without a resident cluster). q46 pinned the
+    * idempotent-sink half; this pins the SOURCE half: the file-source
+    * checkpoint must carry seen-file state ACROSS invocations, so run 2
+    * processes only the files added after run 1 — a resume regression
+    * double-processes run 1's input and flips `exactly_once`. The
+    * parquet streaming sink's file log gives transactional output.
+    * State at 100 TB: the checkpoint holds file names, not data —
+    * invocation cost scales with NEW data only. */
+  def q55IncrementalResumeGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    import org.apache.spark.sql.streaming.Trigger
+    // isolated session clone (q37 note)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val conf = s.sparkContext.hadoopConfiguration
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q55_$tag"
+    HadoopIO.delete(root, conf) // fresh artifact + checkpoint every run
+    val (inDir, outDir, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    val ev = Tables.events(s2, d)
+      .select(col("event_id"), col("user_id"))
+    def runOnce(): Unit = {
+      val q = s2.readStream.schema(ev.schema).parquet(inDir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: the even half; run 2 must pick up ONLY the odd half's files
+    ev.where(col("event_id") % 2 === 0).write.mode("append").parquet(inDir)
+    runOnce()
+    ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(inDir)
+    runOnce()
+    s2.read.parquet(outDir).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("event_id")).as("n_ids"),
+        sum(col("event_id")).as("id_checksum"))
+      .select(col("n_rows"), col("n_ids"), col("id_checksum"),
+        (col("n_rows") === col("n_ids")).as("exactly_once"))
+  }
+
+  val q55Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+      |  true AS exactly_once
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** ORC source/sink gate — the second columnar format large estates
+    * actually mix with parquet (Hive-era tables): a lineitem slice
+    * written ORC, read back with a filter + 2-column projection, and
+    * the plan checked for BOTH pushdowns (`searchArgument`/pushed
+    * filters reach the ORC reader; ReadSchema prunes to the projected
+    * columns — a scan reading 11 columns for a 2-column query is wrong
+    * at any scale). Aggregate parity restated by the oracle over the
+    * original parquet. */
+  def q56OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${HadoopIO.scratchDir(s)}/graft_q56_$tag"
+    Tables.lineitem(s, d).write.mode("overwrite").orc(dir)
+    val back = s.read.orc(dir)
+      .where(col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = back.queryExecution.executedPlan.toString
+    val pushed = scan.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      scan.toLowerCase.contains("greaterthanorequal(l_quantity,30")
+    val pruned = !scan.contains("l_extendedprice")
+    back.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("l_orderkey")).as("key_checksum"))
+      .select(col("n_rows"), col("sum_qty"), col("key_checksum"),
+        lit(pushed && pruned).as("pushdown_ok"))
+  }
+
+  val q56Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+      |  true AS pushdown_ok
+      |FROM lineitem WHERE l_quantity >= 30""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2002,7 +2090,9 @@ object Relational {
     "q51_reused_exchange_gate" -> (q51ReusedExchangeGate _),
     "q52_binned_interval_join" -> (q52BinnedIntervalJoin _),
     "q53_window_distribution" -> (q53WindowDistribution _),
-    "q54_datetime_kernel" -> (q54DatetimeKernel _))
+    "q54_datetime_kernel" -> (q54DatetimeKernel _),
+    "q55_incremental_resume_gate" -> (q55IncrementalResumeGate _),
+    "q56_orc_roundtrip" -> (q56OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2058,5 +2148,7 @@ object Relational {
     "q51_reused_exchange_gate" -> q51Sql,
     "q52_binned_interval_join" -> q52Sql,
     "q53_window_distribution" -> q53Sql,
-    "q54_datetime_kernel" -> q54Sql)
+    "q54_datetime_kernel" -> q54Sql,
+    "q55_incremental_resume_gate" -> q55Sql,
+    "q56_orc_roundtrip" -> q56Sql)
 }

@@ -191,7 +191,8 @@ object Similarity {
     * its NProbe nearest centroids (broadcast centroid table, no corpus
     * access, no model transform on the query side). */
   private def ivfProbes(s: SparkSession, e: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      nprobe: Int = NProbe): DataFrame = {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
@@ -207,7 +208,7 @@ object Similarity {
           (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
         lit(0.0), (acc, v) => acc + v))
       .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= NProbe)
+      .where(col("pr") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
   }
 
@@ -1212,6 +1213,46 @@ object Similarity {
       |  WHERE q.vec_id < 10) t
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s18
+  /** NProbe recall sweep — the cost/recall dial every IVF deployment
+    * tunes: the same index probed at nprobe ∈ {1, 2, 4, 8}, recall@5
+    * measured against in-engine brute force. The emitted MONOTONICITY is
+    * a guaranteed contract, not a statistic: probe sets grow by
+    * inclusion (nprobe n ⊂ nprobe n+1 — same ordered centroid ranking,
+    * longer prefix), and any candidate displacing a returned top-5
+    * member has higher cosine, hence is itself in the global top-5 — so
+    * recall@k never decreases as nprobe grows. A violation means the
+    * probe ranking, the top-k, or the index is broken. One declarative
+    * plan: four probe branches over ONE corpus assignment, hit
+    * fractions cross-joined as scalar rows (s05's discipline). */
+  def s18NprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val model = ivfModel(e, d)
+    val n = model.transform(e.where(col("vec_id") >= 10))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        norm2(col("embedding")).as("n_nrm"), col("cell"))
+    val brute = s01KnnBrute(s, d).select(col("q_id"), col("n_id"))
+    def recallAt(np: Int): DataFrame =
+      brute.join(
+          probeTopK(ivfProbes(s, e, model, np), n)
+            .select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as(s"hits_$np"))
+    recallAt(1).crossJoin(recallAt(2)).crossJoin(recallAt(4))
+      .crossJoin(recallAt(8))
+      .select(lit(10L).as("n_queries"),
+        (col("hits_1") <= col("hits_2") && col("hits_2") <= col("hits_4") &&
+          col("hits_4") <= col("hits_8")).as("monotone_ok"),
+        (col("hits_8") >= 25L).as("r8_floor_ok"), // ≥ 0.5 recall (s05 floor)
+        (col("hits_8") >= col("hits_1")).as("r8_ge_r1"))
+  }
+
+  val s18Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries, true AS monotone_ok,
+      |  true AS r8_floor_ok, true AS r8_ge_r1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1229,7 +1270,8 @@ object Similarity {
     "s14_hard_negatives" -> (s14HardNegatives _),
     "s15_radius_search" -> (s15RadiusSearch _),
     "s16_mmr_gate"   -> (s16MmrGate _),
-    "s17_filtered_knn" -> (s17FilteredKnn _))
+    "s17_filtered_knn" -> (s17FilteredKnn _),
+    "s18_nprobe_sweep" -> (s18NprobeSweep _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1246,5 +1288,6 @@ object Similarity {
     "s14_hard_negatives" -> s14Sql,
     "s15_radius_search" -> s15Sql,
     "s16_mmr_gate"    -> s16Sql,
-    "s17_filtered_knn" -> s17Sql)
+    "s17_filtered_knn" -> s17Sql,
+    "s18_nprobe_sweep" -> s18Sql)
 }

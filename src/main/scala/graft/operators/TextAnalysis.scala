@@ -1717,6 +1717,50 @@ object TextAnalysis {
        |    AS straddle_docid
        |FROM per_g""".stripMargin
 
+  // ---------------------------------------------------------------- t28
+  /** Categorical feature encoding — StringIndexer + OneHotEncoder, the
+    * MLlib preprocessing pair every tabular feature pipeline starts
+    * with. Determinism pinned: `frequencyDesc` ordering ties broken
+    * alphabetically (Spark's documented contract), which the oracle
+    * restates as a (count DESC, value ASC) rank; the one-hot position
+    * equals the index (dropLast=false), asserted in-row so an encoder
+    * regression flips the driver row. Indexer fit = one tiny
+    * value-count aggregate; the transform is a broadcast-map lookup —
+    * no data-sized shuffle at any scale. */
+  def t28CategoricalEncode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer}
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = Tables.documents(s, d)
+    val idx = new StringIndexer().setInputCol("lang").setOutputCol("li")
+      .setStringOrderType("frequencyDesc").fit(docs)
+    val enc = new OneHotEncoder().setInputCol("li").setOutputCol("vec")
+      .setDropLast(false).fit(idx.transform(docs))
+    enc.transform(idx.transform(docs))
+      .select(col("lang"), col("li").cast("long").as("lang_idx"),
+        vector_to_array(col("vec")).as("oh"))
+      .groupBy(col("lang"), col("lang_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        // one-hot sanity folded into the row: position == index, size ==
+        // cardinality, exactly one hot bit — any violation skews the sums
+        sum(element_at(col("oh"), (col("lang_idx") + 1).cast("int"))
+          .cast("long")).as("hot_at_idx"),
+        max(size(col("oh"))).as("onehot_dim"))
+      .select(col("lang"), col("lang_idx"), col("n_docs"),
+        (col("hot_at_idx") === col("n_docs")).as("onehot_ok"),
+        col("onehot_dim"))
+      .orderBy("lang_idx")
+  }
+
+  val t28Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+      |  GROUP BY lang)
+      |SELECT lang,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, lang ASC) - 1
+      |    AS BIGINT) AS lang_idx,
+      |  n_docs, true AS onehot_ok,
+      |  CAST((SELECT COUNT(*) FROM c) AS INT) AS onehot_dim
+      |FROM c ORDER BY lang_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1744,7 +1788,8 @@ object TextAnalysis {
     "t24_lm_score"    -> (t24LmScore _),
     "t25_bpe_gate"    -> (t25BpeGate _),
     "t26_hash_split"  -> (t26HashSplit _),
-    "t27_cluster_safe_split" -> (t27ClusterSafeSplit _))
+    "t27_cluster_safe_split" -> (t27ClusterSafeSplit _),
+    "t28_categorical_encode" -> (t28CategoricalEncode _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1772,5 +1817,6 @@ object TextAnalysis {
     "t24_lm_score"    -> t24Sql,
     "t25_bpe_gate"    -> t25Sql,
     "t26_hash_split"  -> t26Sql,
-    "t27_cluster_safe_split" -> t27Sql)
+    "t27_cluster_safe_split" -> t27Sql,
+    "t28_categorical_encode" -> t28Sql)
 }

@@ -215,6 +215,56 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q55
+  test("q55 AvailableNow resume: run 2 processes only the new files") {
+    val r = Relational.q55IncrementalResumeGate(spark, sf).collect()(0)
+    assert(r.getBoolean(3), "checkpoint resume reprocessed run 1's input")
+    val total = graft.Tables.events(spark, sf).count()
+    assert(r.getLong(0) === total)
+    assert(r.getLong(1) === total)
+  }
+
+  // ------------------------------------------------------------- q56
+  test("q56 ORC roundtrip: filter and projection reach the ORC scan") {
+    val r = Relational.q56OrcRoundtrip(spark, sf).collect()(0)
+    assert(r.getBoolean(3), "ORC pushdown or column pruning missing")
+    val expect = graft.Tables.lineitem(spark, sf)
+      .where(col("l_quantity") >= 30)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long"))).collect()(0)
+    assert(r.getLong(0) === expect.getLong(0))
+    assert(r.getLong(1) === expect.getLong(1))
+  }
+
+  // ------------------------------------------------------------- s18
+  test("s18 nprobe sweep: recall monotone by inclusion, floor holds") {
+    val r = Similarity.s18NprobeSweep(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "recall decreased as nprobe grew")
+    assert(r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  // ------------------------------------------------------------- t28
+  test("t28 categorical encode: index = frequency rank, one-hot position = index") {
+    val rows = TextAnalysis.t28CategoricalEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ordered by lang_idx == descending n_docs (ties alphabetical)
+    val byIdx = rows.map(r => (r.getLong(1), r.getLong(2), r.getString(0)))
+    byIdx.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._3 < b._3))
+    }
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: hot bit not at index")
+      assert(r.getInt(4) === rows.length)
+    }
+  }
+
+  // ------------------------------------------------------------- d24
+  test("d24 minhash estimator: mid-range J pairs within the error bound") {
+    val r = Dedup.d24MinhashErrorGate(spark, sf).collect()(0)
+    assert(r.getLong(0) === 20L)
+    assert(r.getBoolean(1), "a pair estimate strayed > 0.35 from exact J")
+    assert(r.getBoolean(2), "mean estimator error above 0.15")
+  }
+
   // ------------------------------------------------------------- x10
   test("x10 cross-validation: both grid points learn the rule, selection deterministic") {
     val r1 = MitoQueries.x10CvGate(spark, sf).collect()(0)
