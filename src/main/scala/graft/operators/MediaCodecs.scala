@@ -98,6 +98,45 @@ object ImageOps {
     ImageRaster(ow, oh, out)
   }
 
+  /** Horizontal mirror — the cheapest augmentation every image training
+    * recipe applies: output (x, y) = input (width−1−x, y), exact byte
+    * moves, no arithmetic. */
+  def flipH(r: ImageRaster): ImageRaster = {
+    val out = new Array[Byte](r.rgb.length)
+    var y = 0
+    while (y < r.height) {
+      var x = 0
+      while (x < r.width) {
+        val src = (y * r.width + (r.width - 1 - x)) * 3
+        val dst = (y * r.width + x) * 3
+        out(dst) = r.rgb(src); out(dst + 1) = r.rgb(src + 1)
+        out(dst + 2) = r.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    ImageRaster(r.width, r.height, out)
+  }
+
+  /** Axis-aligned crop at (x0, y0), clamped to the raster bounds — the
+    * fixed-window patch extraction feeding patch-level models. The
+    * clamped geometry is part of the contract (an image smaller than
+    * the window yields the intersection, never padding). */
+  def crop(r: ImageRaster, x0: Int, y0: Int, w: Int, h: Int): ImageRaster = {
+    require(x0 >= 0 && y0 >= 0 && w > 0 && h > 0,
+      s"crop window must be non-negative and non-empty: ($x0,$y0) ${w}x$h")
+    val cw = math.max(0, math.min(r.width - x0, w))
+    val ch = math.max(0, math.min(r.height - y0, h))
+    val out = new Array[Byte](cw * ch * 3)
+    var y = 0
+    while (y < ch) {
+      System.arraycopy(r.rgb, ((y0 + y) * r.width + x0) * 3,
+        out, y * cw * 3, cw * 3)
+      y += 1
+    }
+    ImageRaster(cw, ch, out)
+  }
+
   /** Area-map resize to an EXACT output geometry (perceptual-hash grids
     * need fixed dimensions; [[boxResize]] fixes the factor instead):
     * output pixel (bx, by) floor-means the input block

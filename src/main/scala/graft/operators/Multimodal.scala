@@ -652,6 +652,72 @@ object Multimodal {
       |    AS down_checksum
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  /** Image AUGMENTATION through the codec seam — horizontal flip +
+    * fixed-window crop ([[ImageOps.flipH]]/[[ImageOps.crop]]), the two
+    * cheapest transforms every vision training pipeline applies before
+    * batching. Both kernels are exact byte moves, so the oracle restates
+    * them as index arithmetic on the text-synthesized raster: the flip
+    * checksum weights original pixel (x, y, c) by its MIRRORED linear
+    * position, and the top-left 8×8 crop (clamped to the image — part of
+    * the contract) re-indexes into the crop's own geometry. A dropped
+    * row, off-by-one mirror, or stride bug flips the row. Narrow
+    * map-only stage, like m02–m09. */
+  private def flipCropStats(codec: ImageCodec, p: Array[Byte])
+      : (Long, Long, Int, Int) = {
+    val r0 = codec.raster(p)
+    if (r0 == null) return null
+    def ck(r: ImageRaster): Long = {
+      var s = 0L; var i = 0
+      while (i < r.rgb.length) { s += (r.rgb(i) & 0xff).toLong * (i + 1); i += 1 }
+      s
+    }
+    val flip = ImageOps.flipH(r0)
+    val cropped = ImageOps.crop(r0, 0, 0, 8, 8)
+    (ck(flip), ck(cropped), cropped.width, cropped.height)
+  }
+
+  def m10ImageAugment(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val f = udf { p: Array[Byte] => flipCropStats(codec, p) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), f(ppmPayload(col("text"))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("flip_checksum"), col("r._2").as("crop_checksum"),
+        col("r._3").as("crop_w"), col("r._4").as("crop_h"))
+      .orderBy("doc_id")
+  }
+
+  /** m04's restatement discipline over the same 16-wide padded raster:
+    * flip weight = mirrored linear index, crop re-indexed into 8-wide
+    * geometry (h < 8 clamps the window — `least(h, 8)`). */
+  val m10Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest(ceil(length(text) / 48.0), 1) AS BIGINT) AS h
+      |  FROM documents),
+      |pix AS (
+      |  SELECT doc_id, h, text, n, unnest(range(0, h * 48)) AS pos
+      |  FROM d),
+      |v AS (
+      |  SELECT doc_id, h,
+      |    CAST(pos % 3 AS INT) AS c,
+      |    CAST((pos // 3) % 16 AS INT) AS x,
+      |    CAST(pos // 48 AS INT) AS y,
+      |    CASE WHEN pos < n
+      |      THEN ascii(substring(text, CAST(pos + 1 AS BIGINT), 1))
+      |      ELSE 32 END AS val
+      |  FROM pix)
+      |SELECT doc_id,
+      |  CAST(SUM(val * ((y * 16 + 15 - x) * 3 + c + 1)) AS BIGINT)
+      |    AS flip_checksum,
+      |  CAST(SUM(CASE WHEN x < 8 AND y < 8
+      |    THEN val * ((y * 8 + x) * 3 + c + 1) ELSE 0 END) AS BIGINT)
+      |    AS crop_checksum,
+      |  CAST(8 AS INT) AS crop_w,
+      |  CAST(least(MAX(h), 8) AS INT) AS crop_h
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -661,7 +727,8 @@ object Multimodal {
     "m06_image_dhash_gate" -> (m06ImageDhashGate _),
     "m07_audio_fp_gate"  -> (m07AudioFpGate _),
     "m08_video_fp_gate"  -> (m08VideoFpGate _),
-    "m09_audio_resample" -> (m09AudioResample _))
+    "m09_audio_resample" -> (m09AudioResample _),
+    "m10_image_augment"  -> (m10ImageAugment _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -672,5 +739,6 @@ object Multimodal {
     "m06_image_dhash_gate" -> m06Sql,
     "m07_audio_fp_gate"  -> m07Sql,
     "m08_video_fp_gate"  -> m08Sql,
-    "m09_audio_resample" -> m09Sql)
+    "m09_audio_resample" -> m09Sql,
+    "m10_image_augment"  -> m10Sql)
 }

@@ -2035,6 +2035,79 @@ object Relational {
       |  true AS pushdown_ok
       |FROM lineitem WHERE l_quantity >= 30""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Array-function kernel (§2.6's collection counterpart): sort /
+    * distinct / slice / set-intersect / join over per-doc token arrays —
+    * all codegen'd builtins, narrow per-row work, no explode (the
+    * corpus-sized fan-out the HOF forms exist to avoid). Order-carrying
+    * results are explicitly sorted so both engines agree (Spark's
+    * array_intersect keeps left order, DuckDB's list_intersect is
+    * unspecified — array_sort normalizes both). */
+  def q57ArrayKernel(s: SparkSession, d: String): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val t = split(lower(trim(col("text"))), "\\s+")
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        array_join(slice(array_sort(col("toks")), 1, 5), " ").as("first5"),
+        size(array_sort(array_intersect(array_distinct(col("toks")), stop)))
+          .as("n_stop"),
+        element_at(array_sort(col("toks"), (a, b) =>
+          when(length(a) < length(b), -1).when(length(a) > length(b), 1)
+            .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0))), -1)
+          .as("longest_tok"))
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_tok,
+      |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+      |  array_to_string(list_sort(toks)[1:5], ' ') AS first5,
+      |  CAST(len(list_intersect(list_distinct(toks),
+      |    ['the', 'a', 'of', 'and', 'to'])) AS INT) AS n_stop,
+      |  (SELECT u.tok FROM unnest(toks) AS u(tok)
+      |   ORDER BY length(u.tok) DESC, u.tok DESC LIMIT 1) AS longest_tok
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** Null-semantics kernel — coalesce / nullif / null-safe equality
+    * (`<=>` ≡ IS NOT DISTINCT FROM) / null-aware aggregation, over
+    * derived nulls (the corpus has none — `nullif` plants them
+    * deterministically). The null-safe join predicate is the piece
+    * naive SQL ports get wrong (NULL = NULL is NULL, NULL <=> NULL is
+    * TRUE); count/avg skip nulls while count(*) does not — both
+    * contracts pinned by exact aggregates. */
+  def q58NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val disc = nullif(col("l_discount"), lit(0.0))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), disc.as("disc"),
+        coalesce(disc, lit(-1.0)).as("disc_or"),
+        (disc <=> lit(0.04)).as("is04"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("disc")).as("n_nonnull"),
+        sum(col("is04").cast("long")).as("n_04"),
+        dsum(col("disc_or"), 2).as("sum_coalesced"))
+      .orderBy("l_returnflag")
+  }
+
+  val q58Sql: String =
+    s"""SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(NULLIF(l_discount, 0.0)) AS BIGINT) AS n_nonnull,
+       |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0)
+       |    IS NOT DISTINCT FROM 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_04,
+       |  ${dsumSql("COALESCE(NULLIF(l_discount, 0.0), -1.0)", 2)}
+       |    AS sum_coalesced
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2092,7 +2165,9 @@ object Relational {
     "q53_window_distribution" -> (q53WindowDistribution _),
     "q54_datetime_kernel" -> (q54DatetimeKernel _),
     "q55_incremental_resume_gate" -> (q55IncrementalResumeGate _),
-    "q56_orc_roundtrip" -> (q56OrcRoundtrip _))
+    "q56_orc_roundtrip" -> (q56OrcRoundtrip _),
+    "q57_array_kernel" -> (q57ArrayKernel _),
+    "q58_null_semantics" -> (q58NullSemantics _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2150,5 +2225,7 @@ object Relational {
     "q53_window_distribution" -> q53Sql,
     "q54_datetime_kernel" -> q54Sql,
     "q55_incremental_resume_gate" -> q55Sql,
-    "q56_orc_roundtrip" -> q56Sql)
+    "q56_orc_roundtrip" -> q56Sql,
+    "q57_array_kernel" -> q57Sql,
+    "q58_null_semantics" -> q58Sql)
 }

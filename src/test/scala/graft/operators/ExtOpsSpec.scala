@@ -278,6 +278,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(r1.getLong(1) === expect.getLong(1))
   }
 
+  // ------------------------------------------------------------- q57
+  test("q57 array kernel: distinct <= total, stopword count bounded, longest is longest") {
+    val rows = Relational.q57ArrayKernel(spark, sf).limit(100).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) <= r.getInt(1))
+      assert(r.getInt(4) <= 5)
+      assert(r.getString(3).split(" ").length <= 5)
+    }
+  }
+
+  // ------------------------------------------------------------- q58
+  test("q58 null semantics: count skips nulls, count(*) does not, <=> is total") {
+    val rows = Relational.q58NullSemantics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "count(col) must skip nulls")
+      assert(r.getLong(3) <= r.getLong(2), "null-safe matches are non-null")
+    }
+  }
+
+  // ------------------------------------------------------------- m10
+  test("m10 flip/crop kernels: hand-checked mirror and clamped window") {
+    val r = ImageRaster(3, 2, Array[Byte](
+      1, 2, 3,  4, 5, 6,  7, 8, 9,
+      10, 11, 12,  13, 14, 15,  16, 17, 18))
+    val f = ImageOps.flipH(r)
+    assert(f.rgb.toSeq === Seq[Byte](
+      7, 8, 9,  4, 5, 6,  1, 2, 3,
+      16, 17, 18,  13, 14, 15,  10, 11, 12))
+    // double flip is identity
+    assert(ImageOps.flipH(f).rgb.toSeq === r.rgb.toSeq)
+    val c = ImageOps.crop(r, 1, 0, 8, 8) // clamps to 2x2
+    assert(c.width === 2 && c.height === 2)
+    assert(c.rgb.toSeq === Seq[Byte](4, 5, 6, 7, 8, 9, 13, 14, 15, 16, 17, 18))
+    val rows = Multimodal.m10ImageAugment(spark, sf).limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r2 => assert(r2.getInt(3) === 8 && r2.getInt(4) >= 1))
+  }
+
   // ------------------------------------------------------------- m09
   test("m09 audio resample kernels: exact grids, negatives floor down, roundtrip") {
     import graft.operators.AudioOps._
