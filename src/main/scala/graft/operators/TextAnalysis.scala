@@ -1761,6 +1761,88 @@ object TextAnalysis {
       |  CAST((SELECT COUNT(*) FROM c) AS INT) AS onehot_dim
       |FROM c ORDER BY lang_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t29
+  /** Snapshot DIFF — the dataset-versioning op a recurring crawl needs:
+    * given two corpus snapshots, classify content as unchanged / added /
+    * removed by content hash (id-independent: a re-crawled doc with a
+    * new id but identical text is UNCHANGED — the property an id join
+    * gets wrong). Snapshots here are the even/odd doc_id halves plus 20
+    * docs planted into BOTH (the non-vacuous unchanged set). One
+    * uniform md5 full-outer join; at 100 TB both sides bucket by the
+    * hash and the join is co-located (q44's lever). */
+  def t29SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val shared = docs.orderBy(col("doc_id").asc).limit(20)
+      .select(md5(encode(col("text"), "UTF-8")).as("h"))
+    def snap(pred: org.apache.spark.sql.Column): DataFrame = docs
+      .where(pred)
+      .select(md5(encode(col("text"), "UTF-8")).as("h"))
+      .unionByName(shared).distinct()
+    val a = snap(col("doc_id") % 2 === 0).withColumn("in_a", lit(1))
+    val b = snap(col("doc_id") % 2 === 1).withColumn("in_b", lit(1))
+    a.join(b, Seq("h"), "full_outer")
+      .agg(
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("n_unchanged"), col("n_added"), col("n_removed"),
+        (col("n_unchanged") >= 20).as("shared_found"))
+  }
+
+  val t29Sql: String =
+    """WITH shared AS (
+      |  SELECT md5(text) AS h
+      |  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 20)),
+      |a AS (
+      |  SELECT DISTINCT h FROM (
+      |    SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+      |    UNION ALL SELECT h FROM shared)),
+      |b AS (
+      |  SELECT DISTINCT h FROM (
+      |    SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+      |    UNION ALL SELECT h FROM shared))
+      |SELECT
+      |  CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(SUM(CASE WHEN a.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(SUM(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  true AS shared_found
+      |FROM a FULL OUTER JOIN b ON a.h = b.h""".stripMargin
+
+  // ---------------------------------------------------------------- t30
+  /** Deterministic EPOCH SHUFFLE — reproducible per-epoch data ordering
+    * (training-order reproducibility is a debugging requirement; a
+    * `rand()` shuffle can't replay): epoch e's position of a doc is its
+    * rank under md5(doc_id ‖ epoch) — a keyed permutation, different
+    * every epoch, identical every rerun, and computable WITHOUT a
+    * global sort at scale (rank = prefix sums over hash-range buckets,
+    * t14's two-level technique; here the oracle-restatable window form
+    * pins the semantics). Emits both epochs' positions per doc plus a
+    * derangement check (the two epochs must not share a prefix). */
+  def t30EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pos(epoch: Int) = row_number().over(
+      Window.orderBy(
+        md5(encode(concat(col("doc_id").cast("string"), lit(s":e$epoch")),
+          "UTF-8")), col("doc_id")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), pos(1).as("pos_e1"), pos(2).as("pos_e2"))
+      .orderBy("doc_id")
+  }
+
+  val t30Sql: String =
+    """SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':e1'), doc_id)
+      |    AS INT) AS pos_e1,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':e2'), doc_id)
+      |    AS INT) AS pos_e2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1789,7 +1871,9 @@ object TextAnalysis {
     "t25_bpe_gate"    -> (t25BpeGate _),
     "t26_hash_split"  -> (t26HashSplit _),
     "t27_cluster_safe_split" -> (t27ClusterSafeSplit _),
-    "t28_categorical_encode" -> (t28CategoricalEncode _))
+    "t28_categorical_encode" -> (t28CategoricalEncode _),
+    "t29_snapshot_diff" -> (t29SnapshotDiff _),
+    "t30_epoch_shuffle" -> (t30EpochShuffle _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1818,5 +1902,7 @@ object TextAnalysis {
     "t25_bpe_gate"    -> t25Sql,
     "t26_hash_split"  -> t26Sql,
     "t27_cluster_safe_split" -> t27Sql,
-    "t28_categorical_encode" -> t28Sql)
+    "t28_categorical_encode" -> t28Sql,
+    "t29_snapshot_diff" -> t29Sql,
+    "t30_epoch_shuffle" -> t30Sql)
 }

@@ -318,6 +318,28 @@ class ExtOpsSpec extends SparkSpec {
     rows.foreach(r2 => assert(r2.getInt(3) === 8 && r2.getInt(4) >= 1))
   }
 
+  // ------------------------------------------------------------- t29
+  test("t29 snapshot diff: content-keyed, shared plants unchanged, halves disjoint") {
+    val r = TextAnalysis.t29SnapshotDiff(spark, sf).collect()(0)
+    assert(r.getBoolean(3))
+    assert(r.getLong(0) >= 20L)
+    // the two id-halves have no common content beyond the plants (d01
+    // showed zero exact dups), so added+removed ~ the halves' sizes
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+  }
+
+  // ------------------------------------------------------------- t30
+  test("t30 epoch shuffle: both epochs are permutations, epochs differ, reruns identical") {
+    val rows = TextAnalysis.t30EpochShuffle(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to n))
+    assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to n))
+    assert(rows.exists(r => r.getInt(1) != r.getInt(2)), "epochs must differ")
+    val again = TextAnalysis.t30EpochShuffle(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq)
+  }
+
   // ------------------------------------------------------------- m09
   test("m09 audio resample kernels: exact grids, negatives floor down, roundtrip") {
     import graft.operators.AudioOps._
