@@ -727,6 +727,49 @@ object MitoQueries {
       |FROM lineitem
       |WHERE l_orderkey % 4 = 2 AND l_partkey % 2 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- x11
+  /** Per-position read DEPTH (pileup) — the coverage statistic every
+    * alignment QC step computes (samtools depth / mpileup's first
+    * column), via the SCALABLE sweep formulation rather than the naive
+    * per-base explode: each read contributes (+1 at start, −1 at
+    * end+1), deltas aggregate per boundary position, a running sum over
+    * boundaries yields the depth of each constant-depth segment, and
+    * only then do segments expand to positions. The explode-per-base
+    * alternative shuffles read_len× the input (50–150× for real reads);
+    * the sweep shuffles exactly 2 rows per read and its window runs
+    * over DISTINCT BOUNDARIES (≤ 2·positions, here ≤ 510), not reads.
+    * At genome scale the window partitions by contig (and range-splits
+    * within one via t14's two-level prefix sum); reads here are
+    * synthesized from lineitem (fixed 10 bp span) so the oracle can
+    * restate depth as the per-base GROUP BY it replaces. */
+  def x11DepthPileup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 1)
+      .select(((col("l_partkey") % 500) + 1).cast("long").as("st"))
+    val diff = reads.select(explode(array(
+        struct(col("st").as("pos"), lit(1L).as("delta")),
+        struct((col("st") + 10L).as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.pos").as("pos"), col("e.delta").as("delta"))
+      .groupBy(col("pos")).agg(sum(col("delta")).as("delta"))
+    val w = Window.orderBy(col("pos"))
+    diff.select(col("pos"),
+        sum(col("delta")).over(w).as("depth"),
+        lead(col("pos"), 1).over(w).as("next_pos"))
+      .where(col("depth") > 0 && col("next_pos").isNotNull)
+      .select(explode(sequence(col("pos"), col("next_pos") - 1)).as("pos"),
+        col("depth"))
+      .orderBy("pos")
+  }
+
+  /** Oracle is the naive per-base formulation the sweep replaces. */
+  val x11Sql: String =
+    """WITH r AS (
+      |  SELECT (l_partkey % 500) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 3 = 1),
+      |p AS (SELECT unnest(generate_series(st, st + 9)) AS pos FROM r)
+      |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS depth
+      |FROM p GROUP BY pos ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -737,7 +780,8 @@ object MitoQueries {
     "x07_csi_region_gate" -> (x07CsiRegionGate _),
     "x08_pipeline_gate"   -> (x08PipelineGate _),
     "x09_compressed_pipeline_gate" -> (x09CompressedPipelineGate _),
-    "x10_cv_gate"         -> (x10CvGate _))
+    "x10_cv_gate"         -> (x10CvGate _),
+    "x11_depth_pileup"    -> (x11DepthPileup _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -749,5 +793,6 @@ object MitoQueries {
     "x07_csi_region_gate" -> x07Sql,
     "x08_pipeline_gate" -> x08Sql,
     "x09_compressed_pipeline_gate" -> x08Sql,
-    "x10_cv_gate" -> x10Sql)
+    "x10_cv_gate" -> x10Sql,
+    "x11_depth_pileup" -> x11Sql)
 }

@@ -718,6 +718,146 @@ object Multimodal {
       |  CAST(least(MAX(h), 8) AS INT) AS crop_h
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+  /** Video SCENE-CUT detection — the shot-boundary pass a video training
+    * pipeline runs before clip selection (one training clip per shot,
+    * not per fixed window): decode every frame's luma statistics through
+    * the real Y4M codec, then flag frames whose mean-luma jump from the
+    * previous frame exceeds a threshold (|Δy_sum| ≥ 160 on the 32-pixel
+    * plane ≡ mean-luma jump ≥ 5 — picked where the corpus's frame-delta
+    * distribution actually splits, ~20% of transitions). The temporal
+    * window partitions BY CLIP (doc), so at 100 TB the lag never crosses
+    * executors' partition boundaries and no clip-length skew exists
+    * (frame counts are bounded by clip duration). Emits per-clip cut
+    * count, first cut, and a cut-position checksum — a one-frame offset
+    * regression in the codec's frame walk flips the row. */
+  def m11SceneCuts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codec = videoCodecFor(s)
+    val dec = udf { p: Array[Byte] => codec.sampleFrames(p, 1) }
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), y4mPayload(col("text")).as("payload"))
+      .select(col("doc_id"), explode(dec(col("payload"))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("fi"),
+        col("f.y_sum").as("y_sum"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    frames
+      .withColumn("dy", abs(col("y_sum") - lag(col("y_sum"), 1).over(w)))
+      .withColumn("is_cut", col("dy").isNotNull && col("dy") >= 160)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut").cast("long")).as("n_cuts"),
+        coalesce(min(when(col("is_cut"), col("fi"))), lit(-1))
+          .as("first_cut"),
+        sum(when(col("is_cut"), col("fi")).otherwise(0)).as("cut_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** m05's restatement discipline: frame f's Y plane is padded-text bytes
+    * [f·96, f·96+32); the cut predicate is pure integer arithmetic. */
+  val m11Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest((length(text) + 95) // 96, 1) AS BIGINT) AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, n, text, unnest(range(0, nf)) AS f FROM d),
+      |px AS (SELECT doc_id, f, text, n, unnest(range(0, 32)) AS p FROM fr),
+      |a AS (
+      |  SELECT doc_id, f,
+      |    SUM(CASE WHEN f * 96 + p < n
+      |      THEN ascii(substring(text, CAST(f * 96 + p + 1 AS BIGINT), 1))
+      |      ELSE 32 END) AS y_sum
+      |  FROM px GROUP BY doc_id, f),
+      |l AS (
+      |  SELECT doc_id, f,
+      |    abs(y_sum - lag(y_sum) OVER (PARTITION BY doc_id ORDER BY f))
+      |      AS dy
+      |  FROM a),
+      |c AS (SELECT doc_id, f,
+      |  (dy IS NOT NULL AND dy >= 160) AS is_cut FROM l)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(COALESCE(MIN(CASE WHEN is_cut THEN f END), -1) AS INT)
+      |    AS first_cut,
+      |  CAST(SUM(CASE WHEN is_cut THEN f ELSE 0 END) AS BIGINT)
+      |    AS cut_checksum
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m12
+  /** ViT-style PATCHIFY — the tiling transform a vision-transformer data
+    * pipeline applies to every image (image → non-overlapping P×P
+    * patches, one token each): decode to the RGB raster, tile into 4×4
+    * patches (rows past the last full patch row are dropped, the
+    * standard divisible-resolution contract), and emit the patch count,
+    * the byte mass inside patches, a patch-index-weighted checksum (a
+    * tile mis-assignment reweights a byte and flips it), and the whole-
+    * image total (pins what the tiling dropped). Narrow per-row UDF over
+    * the opaque payload; zero shuffle before the output sort. */
+  private def patchifyStats(codec: ImageCodec, p: Array[Byte])
+      : (Int, Long, Long, Long) = {
+    val r = codec.raster(p)
+    if (r == null) return null
+    val P = 4
+    val px = r.width / P
+    val py = r.height / P
+    var total = 0L; var psum = 0L; var gck = 0L
+    var i = 0
+    while (i < r.rgb.length) {
+      val v = r.rgb(i) & 0xff
+      val pix = i / 3
+      val x = pix % r.width
+      val y = pix / r.width
+      total += v
+      if (y < py * P && x < px * P) {
+        val idx = (y / P) * px + (x / P)
+        psum += v
+        gck += v.toLong * (idx + 1)
+      }
+      i += 1
+    }
+    (px * py, psum, gck, total)
+  }
+
+  def m12ImagePatchify(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val f = udf { p: Array[Byte] => patchifyStats(codec, p) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), f(ppmPayload(col("text"))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_patches"), col("r._2").as("patch_sum"),
+        col("r._3").as("grid_checksum"), col("r._4").as("total_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** m10's restatement over the 16-wide padded raster: pixel (x, y) of
+    * channel c is text byte 48y+3x+c; patch idx = (y/4)·4 + x/4 (width
+    * 16 always tiles; rows ≥ 4·(h/4) fall outside every patch). */
+  val m12Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest(ceil(length(text) / 48.0), 1) AS BIGINT) AS h
+      |  FROM documents),
+      |pix AS (
+      |  SELECT doc_id, h, text, n, unnest(range(0, h * 48)) AS pos
+      |  FROM d),
+      |v AS (
+      |  SELECT doc_id, h,
+      |    CAST((pos // 3) % 16 AS INT) AS x,
+      |    CAST(pos // 48 AS INT) AS y,
+      |    CASE WHEN pos < n
+      |      THEN ascii(substring(text, CAST(pos + 1 AS BIGINT), 1))
+      |      ELSE 32 END AS val
+      |  FROM pix)
+      |SELECT doc_id,
+      |  CAST(4 * (h // 4) AS INT) AS n_patches,
+      |  CAST(SUM(CASE WHEN y < (h // 4) * 4 THEN val ELSE 0 END) AS BIGINT)
+      |    AS patch_sum,
+      |  CAST(SUM(CASE WHEN y < (h // 4) * 4
+      |    THEN val * ((y // 4) * 4 + (x // 4) + 1) ELSE 0 END) AS BIGINT)
+      |    AS grid_checksum,
+      |  CAST(SUM(val) AS BIGINT) AS total_sum
+      |FROM v GROUP BY doc_id, h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -728,7 +868,9 @@ object Multimodal {
     "m07_audio_fp_gate"  -> (m07AudioFpGate _),
     "m08_video_fp_gate"  -> (m08VideoFpGate _),
     "m09_audio_resample" -> (m09AudioResample _),
-    "m10_image_augment"  -> (m10ImageAugment _))
+    "m10_image_augment"  -> (m10ImageAugment _),
+    "m11_scene_cuts"     -> (m11SceneCuts _),
+    "m12_image_patchify" -> (m12ImagePatchify _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -740,5 +882,7 @@ object Multimodal {
     "m07_audio_fp_gate"  -> m07Sql,
     "m08_video_fp_gate"  -> m08Sql,
     "m09_audio_resample" -> m09Sql,
-    "m10_image_augment"  -> m10Sql)
+    "m10_image_augment"  -> m10Sql,
+    "m11_scene_cuts"     -> m11Sql,
+    "m12_image_patchify" -> m12Sql)
 }

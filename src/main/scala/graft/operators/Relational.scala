@@ -2108,6 +2108,75 @@ object Relational {
        |    AS sum_coalesced
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** String-function kernel (§2.6 completion alongside q14/q54): pad /
+    * reverse / locate / split-part / repeat / translate / edit distance /
+    * concat_ws — each a codegen'd built-in evaluated per row in one
+    * narrow scan stage (no UDF, no shuffle before the output sort).
+    * Cross-engine landmines pinned: `instr` is 1-based with 0-for-absent
+    * in BOTH engines (DuckDB `strpos`); `split_part` out-of-range never
+    * occurs (p_name is always two words) so ANSI `element_at` is safe;
+    * `levenshtein` is the unweighted case-sensitive distance in both. */
+  def q59StringKernel(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 10, "*").as("lp"),
+        rpad(col("p_type"), 8, ".").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        instr(col("p_name"), "widget").as("pos"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        repeat(substring(col("p_brand"), 1, 5), 2).as("rep2"),
+        translate(col("p_type"), "AEIOU", "01234").as("tr"),
+        levenshtein(col("p_name"), col("p_type")).as("lev"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+        element_at(split(col("p_brand"), "#"), 2).cast("int").as("brand_num"))
+      .orderBy("p_partkey")
+
+  val q59Sql: String =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 10, '*') AS lp, rpad(p_type, 8, '.') AS rp,
+      |  reverse(p_name) AS rev,
+      |  CAST(strpos(p_name, 'widget') AS INT) AS pos,
+      |  split_part(p_name, ' ', 1) AS first_word,
+      |  repeat(substr(p_brand, 1, 5), 2) AS rep2,
+      |  translate(p_type, 'AEIOU', '01234') AS tr,
+      |  CAST(levenshtein(p_name, p_type) AS INT) AS lev,
+      |  concat_ws('-', p_brand, p_type) AS cw,
+      |  CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Regex kernel: extract / extract-all count / global replace / match
+    * predicate / group capture — the scrubbing primitives every text
+    * pipeline leans on (t10's PII pass is built from exactly these).
+    * Dialect parity is the point under test: patterns restricted to the
+    * Java-regex ∩ RE2 common subset (char classes, alternation, `\b`);
+    * Spark's `regexp_replace` is global by default while DuckDB needs
+    * the explicit `'g'` flag — the oracle carries it; no-match
+    * `regexp_extract` yields `''` (not NULL) in both engines. */
+  def q60RegexKernel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "b[a-z]+", 0).as("first_b"),
+        size(regexp_extract_all(col("text"), lit("\\bs[a-z]+"), lit(0)))
+          .as("n_s_words"),
+        regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_")
+          .as("masked"),
+        col("text").rlike("merge (table|scan)").as("has_ms"),
+        regexp_extract(col("text"), "([a-z]+) (join|sort)", 1)
+          .as("before_js"))
+      .orderBy("doc_id")
+
+  val q60Sql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, 'b[a-z]+') AS first_b,
+      |  CAST(len(regexp_extract_all(text, '\bs[a-z]+')) AS INT)
+      |    AS n_s_words,
+      |  regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS masked,
+      |  regexp_matches(text, 'merge (table|scan)') AS has_ms,
+      |  regexp_extract(text, '([a-z]+) (join|sort)', 1) AS before_js
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2167,7 +2236,9 @@ object Relational {
     "q55_incremental_resume_gate" -> (q55IncrementalResumeGate _),
     "q56_orc_roundtrip" -> (q56OrcRoundtrip _),
     "q57_array_kernel" -> (q57ArrayKernel _),
-    "q58_null_semantics" -> (q58NullSemantics _))
+    "q58_null_semantics" -> (q58NullSemantics _),
+    "q59_string_kernel" -> (q59StringKernel _),
+    "q60_regex_kernel" -> (q60RegexKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2227,5 +2298,7 @@ object Relational {
     "q55_incremental_resume_gate" -> q55Sql,
     "q56_orc_roundtrip" -> q56Sql,
     "q57_array_kernel" -> q57Sql,
-    "q58_null_semantics" -> q58Sql)
+    "q58_null_semantics" -> q58Sql,
+    "q59_string_kernel" -> q59Sql,
+    "q60_regex_kernel" -> q60Sql)
 }

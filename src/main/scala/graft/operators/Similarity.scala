@@ -1253,6 +1253,77 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries, true AS monotone_ok,
       |  true AS r8_floor_ok, true AS r8_ge_r1""".stripMargin
 
+  // ---------------------------------------------------------------- s19
+  /** k-NN GRAPH construction — the batch primitive under semantic dedup,
+    * label propagation, and graph-based ANN indexes (NN-Descent/NSW all
+    * start from one): every corpus vector gets edges to its k=3 nearest
+    * neighbors. All-pairs is O(n²) and dead at scale; here candidates
+    * form only INSIDE the s02 hash-table buckets (symmetric bucketed
+    * self-join on (table, bucket) — one skew-free shuffle whose bucket
+    * sizes are set by bits-per-table, pair work Σ|bucket|², the same
+    * contract as the d03 LSH bands), exact cosine on candidates, top-k
+    * per node. The graph half runs on a deterministic half of the corpus
+    * (vec_id even) to bound the self-join; the gate checks (a) degrees
+    * never exceed k, (b) on the 1-in-10 sampled nodes, bucketed edges
+    * recover ≥ 60% of the true top-3 (brute force priced on the SAMPLE
+    * only — O(n·n/10), the verification pattern that survives scale). */
+  def s19KnnGraphGate(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val e = Tables.embeddings(s, d)
+      .where(col("vec_id") >= 10 && col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        norm2(col("embedding")).as("nrm"))
+    // node side probes its bucket plus the Hamming-1 neighbors (s02's
+    // recall dial); the indexed side stays single-bucket so the corpus
+    // is bucketed once — candidate volume grows (1+bits)×, not (1+bits)²×
+    val probes = e.select(col("id"), col("emb"), col("nrm"),
+      explode(bucketsMultiProbe(signBits(col("emb")))).as("b"))
+    val b = e.select(col("id"), col("emb"), col("nrm"),
+      explode(bucketsFromBits(signBits(col("emb")))).as("b"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val edges = probes
+      .join(b.select(col("b"), col("id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), Seq("b"))
+      .where(col("id") =!= col("b_id"))
+      .dropDuplicates("id", "b_id")
+      .withColumn("cos",
+        cosinePre(col("emb"), col("b_emb"), col("nrm"), col("b_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("b_id"))
+    val degOk = edges.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).as("max_deg"))
+      .select((col("max_deg") <= k).as("degree_ok"))
+    // truth on the sample only: brute top-k among the SAME node set
+    val sample = e.where(col("id") % 10 === 0)
+      .select(col("id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val truth = e.select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"))
+      .crossJoin(broadcast(sample))
+      .where(col("id") =!= col("b_id"))
+      .withColumn("cos",
+        cosinePre(col("q_emb"), col("b_emb"), col("q_nrm"), col("b_nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= k)
+      .select(col("id"), col("b_id"))
+    val recall = truth.join(edges, Seq("id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("total")))
+      .select((col("hits").cast("double") / col("total")).as("r"))
+    e.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(degOk).crossJoin(recall)
+      .select(col("n_nodes"), col("degree_ok"), (col("r") >= 0.6)
+        .as("recall_ok"))
+  }
+
+  val s19Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  true AS degree_ok, true AS recall_ok
+      |FROM embeddings WHERE vec_id >= 10 AND vec_id % 2 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1271,7 +1342,8 @@ object Similarity {
     "s15_radius_search" -> (s15RadiusSearch _),
     "s16_mmr_gate"   -> (s16MmrGate _),
     "s17_filtered_knn" -> (s17FilteredKnn _),
-    "s18_nprobe_sweep" -> (s18NprobeSweep _))
+    "s18_nprobe_sweep" -> (s18NprobeSweep _),
+    "s19_knn_graph_gate" -> (s19KnnGraphGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1289,5 +1361,6 @@ object Similarity {
     "s15_radius_search" -> s15Sql,
     "s16_mmr_gate"    -> s16Sql,
     "s17_filtered_knn" -> s17Sql,
-    "s18_nprobe_sweep" -> s18Sql)
+    "s18_nprobe_sweep" -> s18Sql,
+    "s19_knn_graph_gate" -> s19Sql)
 }

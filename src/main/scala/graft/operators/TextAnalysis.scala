@@ -1843,6 +1843,68 @@ object TextAnalysis {
       |    AS INT) AS pos_e2
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t31
+  /** Gopher-style rule filters (Rae et al. 2021, "Scaling Language
+    * Models" table A1) — the heuristic quality gate most production
+    * corpora apply before any model-based scoring: word-count bounds,
+    * mean-word-length window, alphabetic-word fraction, and a
+    * stop-word-presence requirement, each emitted as its own flag plus
+    * the conjunctive `keep` (per-rule flags are what a data card
+    * reports; thresholds tuned so the synthetic corpus actually splits
+    * on them). One narrow scan, zero shuffle before the output sort —
+    * at 100 TB this runs as a map-only stage fused into the ingest
+    * scan. */
+  def t31GopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nW = size(toks)
+    // mean word length = non-whitespace chars / words (identical token
+    // boundaries either way; avoids a per-token aggregate)
+    val meanW = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / nW
+    val alphaFrac =
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nW
+    val stopHits = size(filter(toks,
+      x => x.isin("the", "be", "to", "of", "and", "that", "have", "with")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), nW.as("n_words"),
+        meanW.as("mean_wlen"), alphaFrac.as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("mean_wlen"),
+        col("alpha_frac"), col("stop_hits"),
+        (col("n_words") >= 40).as("len_ok"),
+        (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("wlen_ok"),
+        (col("alpha_frac") >= 0.8).as("alpha_ok"),
+        (col("stop_hits") >= 2).as("stop_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("wlen_ok") && col("alpha_ok") && col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
+  val t31Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+      |    length(regexp_replace(text, '\s+', '', 'g')) AS nsp
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(toks) AS INT) AS n_words,
+      |    CAST(nsp AS DOUBLE) / len(toks) AS mean_wlen,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+      |      AS DOUBLE) / len(toks) AS alpha_frac,
+      |    CAST(len(list_filter(toks, x -> list_contains(
+      |      ['the','be','to','of','and','that','have','with'], x)))
+      |      AS INT) AS stop_hits
+      |  FROM s)
+      |SELECT doc_id, lang, n_words, mean_wlen, alpha_frac, stop_hits,
+      |  n_words >= 40 AS len_ok,
+      |  mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS wlen_ok,
+      |  alpha_frac >= 0.8 AS alpha_ok,
+      |  stop_hits >= 2 AS stop_ok,
+      |  n_words >= 40 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+      |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1873,7 +1935,8 @@ object TextAnalysis {
     "t27_cluster_safe_split" -> (t27ClusterSafeSplit _),
     "t28_categorical_encode" -> (t28CategoricalEncode _),
     "t29_snapshot_diff" -> (t29SnapshotDiff _),
-    "t30_epoch_shuffle" -> (t30EpochShuffle _))
+    "t30_epoch_shuffle" -> (t30EpochShuffle _),
+    "t31_gopher_rules" -> (t31GopherRules _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1904,5 +1967,6 @@ object TextAnalysis {
     "t27_cluster_safe_split" -> t27Sql,
     "t28_categorical_encode" -> t28Sql,
     "t29_snapshot_diff" -> t29Sql,
-    "t30_epoch_shuffle" -> t30Sql)
+    "t30_epoch_shuffle" -> t30Sql,
+    "t31_gopher_rules" -> t31Sql)
 }
