@@ -2177,6 +2177,85 @@ object Relational {
       |  regexp_extract(text, '([a-z]+) (join|sort)', 1) AS before_js
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Bitwise + cryptographic-hash kernel: AND/OR/XOR/shifts/popcount/hex
+    * plus md5/sha256 digests — the primitives under every hash-partition,
+    * fingerprint, and content-address in the engine (d01's md5 keys, d04's
+    * bit banding, t26's bucket splits all compose these). Integer ops are
+    * exact by construction; the digest strings pin byte-level agreement
+    * (both engines hash the decimal string's UTF-8 bytes and print
+    * lowercase hex; `hex` of an integer prints uppercase, no leading
+    * zeros, in both). Narrow scan, zero shuffle before the sort. */
+  def q61BitwiseKernel(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("orr"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey").cast("long")).as("xo"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 3).as("shr"),
+        bit_count(col("o_orderkey")).as("bc"),
+        hex(col("o_orderkey")).as("hx"),
+        md5(encode(col("o_orderkey").cast("string"), "UTF-8")).as("m5"),
+        sha2(encode(col("o_orderkey").cast("string"), "UTF-8"), 256)
+          .as("s2"))
+      .orderBy("o_orderkey")
+
+  val q61Sql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS band, o_orderkey | 4096 AS orr,
+      |  xor(o_orderkey, CAST(o_custkey AS BIGINT)) AS xo,
+      |  o_orderkey << 2 AS shl, o_orderkey >> 3 AS shr,
+      |  CAST(bit_count(o_orderkey) AS INT) AS bc,
+      |  hex(o_orderkey) AS hx,
+      |  md5(CAST(o_orderkey AS VARCHAR)) AS m5,
+      |  sha256(CAST(o_orderkey AS VARCHAR)) AS s2
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Null-aware anti join — `NOT IN (subquery)` with a NULL in the value
+    * set, the three-valued-logic trap a plain left-anti join gets wrong
+    * (x NOT IN (…, NULL) is never TRUE, so ONE null empties the result;
+    * left-anti's `=` keeps every non-matching row). Expressed as real SQL
+    * subqueries so Catalyst plans its null-aware path (RewritePredicate-
+    * Subquery → null-aware broadcast anti join; the value set is
+    * dimension-sized, so the fact side never shuffles). Three counts pin
+    * the contract: clean NOT IN (rows survive), polluted NOT IN (zero —
+    * the trap), polluted IN (nulls drop from IN but matches remain). */
+  def q62NullAwareAntiJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g62_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("g62_supplier")
+    s.sql("""
+      WITH sub AS (
+        SELECT s_suppkey AS k FROM g62_supplier WHERE s_suppkey % 7 = 0),
+      subn AS (
+        SELECT NULLIF(s_suppkey, 7) AS k FROM g62_supplier
+        WHERE s_suppkey % 7 = 0)
+      SELECT
+        (SELECT COUNT(*) FROM g62_lineitem
+         WHERE l_suppkey NOT IN (SELECT k FROM sub)) AS n_clean,
+        (SELECT COUNT(*) FROM g62_lineitem
+         WHERE l_suppkey NOT IN (SELECT k FROM subn)) AS n_polluted,
+        (SELECT COUNT(*) FROM g62_lineitem
+         WHERE l_suppkey IN (SELECT k FROM subn)) AS n_in_polluted""")
+  }
+
+  val q62Sql: String =
+    """WITH sub AS (
+      |  SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 7 = 0),
+      |subn AS (
+      |  SELECT NULLIF(s_suppkey, 7) AS k FROM supplier
+      |  WHERE s_suppkey % 7 = 0)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM lineitem
+      |    WHERE l_suppkey NOT IN (SELECT k FROM sub)) AS BIGINT) AS n_clean,
+      |  CAST((SELECT COUNT(*) FROM lineitem
+      |    WHERE l_suppkey NOT IN (SELECT k FROM subn)) AS BIGINT)
+      |    AS n_polluted,
+      |  CAST((SELECT COUNT(*) FROM lineitem
+      |    WHERE l_suppkey IN (SELECT k FROM subn)) AS BIGINT)
+      |    AS n_in_polluted""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2238,7 +2317,9 @@ object Relational {
     "q57_array_kernel" -> (q57ArrayKernel _),
     "q58_null_semantics" -> (q58NullSemantics _),
     "q59_string_kernel" -> (q59StringKernel _),
-    "q60_regex_kernel" -> (q60RegexKernel _))
+    "q60_regex_kernel" -> (q60RegexKernel _),
+    "q61_bitwise_kernel" -> (q61BitwiseKernel _),
+    "q62_null_aware_anti_join" -> (q62NullAwareAntiJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2300,5 +2381,7 @@ object Relational {
     "q57_array_kernel" -> q57Sql,
     "q58_null_semantics" -> q58Sql,
     "q59_string_kernel" -> q59Sql,
-    "q60_regex_kernel" -> q60Sql)
+    "q60_regex_kernel" -> q60Sql,
+    "q61_bitwise_kernel" -> q61Sql,
+    "q62_null_aware_anti_join" -> q62Sql)
 }

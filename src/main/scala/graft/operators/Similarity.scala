@@ -1324,6 +1324,74 @@ object Similarity {
       |  true AS degree_ok, true AS recall_ok
       |FROM embeddings WHERE vec_id >= 10 AND vec_id % 2 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- s20
+  /** One Lloyd ITERATION of the shared IVF index, driver-gated on the
+    * algorithm's own convergence guarantee — the index-maintenance op a
+    * live ANN deployment runs as the corpus drifts (re-center without a
+    * full refit). E-step: argmin-assign every vector to the cached model's
+    * centers (broadcast-literal centroids, one narrow pass — s13's
+    * kernel). M-step: per-(cell, dim) mean via posexplode + map-side
+    * partial aggregation (k×dim result rows; the collect is the MODEL
+    * update, driver-sized by contract exactly like `KMeansModel` itself;
+    * empty cells keep their old center). Gates are Lloyd's two
+    * monotonicity lemmas, guaranteed in exact arithmetic and slack-free
+    * here beyond a 1e-6 relative IEEE allowance: `mean_step_ok` (per-cell
+    * means never raise the cost under the OLD assignment — the mean
+    * minimizes summed squared distance), `reassign_step_ok` (re-assigning
+    * to the new centers never raises it further — argmin per row). A
+    * violation means the assignment kernel, the mean aggregation, or the
+    * distance expression broke. */
+  def s20LloydStepGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = ivfModel(
+      e.withColumn("vec", array_to_vector(col("embedding"))), d)
+    val centers = centersLit(model)
+    def dist2(emb: Column, c: Column): Column =
+      aggregate(zip_with(emb, c,
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0), (a, v) => a + v)
+    def argminD(emb: Column, cs: Column): Column =
+      element_at(array_sort(transform(cs,
+        (c, i) => struct(dist2(emb, c).as("d"), i.as("cell")))), 1)
+    val assigned = e
+      .select(col("vec_id"), col("embedding"),
+        argminD(col("embedding"), centers).as("p"))
+      .select(col("vec_id"), col("embedding"),
+        col("p.cell").as("cell"), col("p.d").as("d_old"))
+    // M-step: (cell, dim) means — partial-aggregated map-side, k×dim
+    // result rows re-assembled per cell and collected as the model update
+    val cellDimMeans = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("cell"), col("i"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("cell"), transform(col("ms"), x => x("m")).as("center"))
+      .collect()
+    val newByCell = cellDimMeans
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val newCenters = array(model.clusterCenters.indices.map { c =>
+      array(newByCell.getOrElse(c, model.clusterCenters(c).toArray)
+        .map(lit).toIndexedSeq: _*)
+    }: _*)
+    assigned
+      .select(col("d_old"),
+        dist2(col("embedding"), element_at(newCenters, col("cell") + 1))
+          .as("d_mean"),
+        argminD(col("embedding"), newCenters).getField("d").as("d_new"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d_old")).as("c_old"),
+        sum(col("d_mean")).as("c_mean"), sum(col("d_new")).as("c_new"))
+      .select(col("n_vecs"),
+        (col("c_mean") <= col("c_old") * 1.000001).as("mean_step_ok"),
+        (col("c_new") <= col("c_mean") * 1.000001).as("reassign_step_ok"))
+  }
+
+  val s20Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  true AS mean_step_ok, true AS reassign_step_ok
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1343,7 +1411,8 @@ object Similarity {
     "s16_mmr_gate"   -> (s16MmrGate _),
     "s17_filtered_knn" -> (s17FilteredKnn _),
     "s18_nprobe_sweep" -> (s18NprobeSweep _),
-    "s19_knn_graph_gate" -> (s19KnnGraphGate _))
+    "s19_knn_graph_gate" -> (s19KnnGraphGate _),
+    "s20_lloyd_step_gate" -> (s20LloydStepGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1362,5 +1431,6 @@ object Similarity {
     "s16_mmr_gate"    -> s16Sql,
     "s17_filtered_knn" -> s17Sql,
     "s18_nprobe_sweep" -> s18Sql,
-    "s19_knn_graph_gate" -> s19Sql)
+    "s19_knn_graph_gate" -> s19Sql,
+    "s20_lloyd_step_gate" -> s20Sql)
 }

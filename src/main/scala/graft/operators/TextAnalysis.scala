@@ -1905,6 +1905,58 @@ object TextAnalysis {
       |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+  /** Sliding-window CHUNKING (window 64 tokens, stride 48 — 16-token
+    * overlap): the retrieval/RAG-ingest counterpart to t14's
+    * concat-and-chunk packing — each document yields overlapping
+    * fixed-width chunks so no answer span is ever split across a chunk
+    * boundary. Chunk count is ⌈(n−W)/S⌉+1 (one chunk for short docs);
+    * every chunk's start/length and an md5 of its ACTUAL text are
+    * emitted, so an off-by-one in the stride arithmetic or the slice
+    * flips the row. Narrow explode bounded by ~n/S chunks per doc, zero
+    * shuffle before the output sort — a map-only ingest stage at
+    * 100 TB. */
+  def t32SlidingChunks(s: SparkSession, d: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= W, lit(1L))
+          .otherwise(ceil((col("n") - W) / lit(S.toDouble)).cast("long")
+            + 1L))
+    val len = least(lit(W), col("n") - col("ci") * S).cast("int")
+    base.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+        (col("ci") * S).cast("int").as("start"), len.as("chunk_len"),
+        md5(encode(array_join(
+          slice(col("toks"), (col("ci") * S + 1).cast("int"), len), " "),
+          "UTF-8")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val t32Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, toks, len(toks) AS n FROM s),
+      |c AS (SELECT doc_id, toks, n,
+      |    CASE WHEN n <= 64 THEN 1
+      |      ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+      |  FROM g),
+      |e AS (SELECT doc_id, toks, n,
+      |    unnest(range(0, n_chunks)) AS ci FROM c)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  CAST(ci * 48 AS INT) AS start,
+      |  CAST(least(64, n - ci * 48) AS INT) AS chunk_len,
+      |  md5(array_to_string(toks[CAST(ci * 48 + 1 AS BIGINT):
+      |    CAST(ci * 48 + least(64, n - ci * 48) AS BIGINT)], ' '))
+      |    AS chunk_md5
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1936,7 +1988,8 @@ object TextAnalysis {
     "t28_categorical_encode" -> (t28CategoricalEncode _),
     "t29_snapshot_diff" -> (t29SnapshotDiff _),
     "t30_epoch_shuffle" -> (t30EpochShuffle _),
-    "t31_gopher_rules" -> (t31GopherRules _))
+    "t31_gopher_rules" -> (t31GopherRules _),
+    "t32_sliding_chunks" -> (t32SlidingChunks _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -1968,5 +2021,6 @@ object TextAnalysis {
     "t28_categorical_encode" -> t28Sql,
     "t29_snapshot_diff" -> t29Sql,
     "t30_epoch_shuffle" -> t30Sql,
-    "t31_gopher_rules" -> t31Sql)
+    "t31_gopher_rules" -> t31Sql,
+    "t32_sliding_chunks" -> t32Sql)
 }
