@@ -2256,6 +2256,95 @@ object Relational {
       |    WHERE l_suppkey IN (SELECT k FROM subn)) AS BIGINT)
       |    AS n_in_polluted""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Approximate-percentile SKETCH gate — q23's exact path has a scale
+    * ceiling (exact percentiles cost a per-group value histogram); the
+    * production fallback is the mergeable Greenwald-Khanna sketch
+    * (`approx_percentile`), whose rank error is bounded by 1/accuracy.
+    * Gate: per group, the sketch's median lands within 1% of the value
+    * RANGE of the exact median (accuracy 10⁴ on ~10⁴-row groups is far
+    * inside that) — both computed in ONE aggregate pass, so the row
+    * self-checks the sketch against the exact kernel it replaces. The
+    * sketch is partial-aggregable (map-side combine), the property that
+    * makes it the 100 TB path. */
+  def q63ApproxQuantileGate(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep"),
+        max(col("l_extendedprice")).as("mx"),
+        min(col("l_extendedprice")).as("mn"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("ap") - col("ep")) <= (col("mx") - col("mn")) * 0.01)
+          .as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  val q63Sql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  true AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Outer-join kernel completing the join matrix (inner q03, semi q04,
+    * anti q05, full-outer q22, null-aware anti q62): LEFT OUTER with
+    * engineered orphans (the dimension filtered to c_custkey % 3 ≠ 0, so
+    * a third of orders lose their customer — null-side counting pins the
+    * preserved-row semantics and `count(col)`'s null-skipping), plus a
+    * genuine RIGHT OUTER leg whose row multiplication is collapsed by
+    * distinct counts (a right-preserved customer appears once per
+    * matching order, childless exactly once with a null left side).
+    * Both joins broadcast the dimension side — the fact table never
+    * shuffles. */
+  def q64OuterJoinKernel(s: SparkSession, d: String): DataFrame = {
+    val csub = Tables.customer(s, d)
+      .where(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val lo = Tables.orders(s, d)
+      .join(broadcast(csub), col("o_custkey") === col("c_custkey"),
+        "left_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("c_custkey").isNull.cast("long")).as("n_orphans"),
+        count(col("c_mktsegment")).as("n_matched"))
+    val osub = Tables.orders(s, d).where(col("o_orderkey") % 5 === 0)
+      .select(col("o_custkey"))
+    val ro = osub
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(when(col("o_custkey").isNull, col("c_custkey")))
+          .as("n_childless"))
+    lo.crossJoin(ro)
+      .select(col("o_orderpriority"), col("n_orders"), col("n_orphans"),
+        col("n_matched"), col("n_cust"), col("n_childless"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q64Sql: String =
+    """WITH csub AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_custkey % 3 != 0),
+      |lo AS (
+      |  SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+      |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans,
+      |    COUNT(c.c_mktsegment) AS n_matched
+      |  FROM orders o LEFT JOIN csub c ON o.o_custkey = c.c_custkey
+      |  GROUP BY o.o_orderpriority),
+      |osub AS (SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0),
+      |ro AS (
+      |  SELECT COUNT(*) AS n_cust,
+      |    SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM osub
+      |      WHERE osub.o_custkey = customer.c_custkey)
+      |      THEN 1 ELSE 0 END) AS n_childless
+      |  FROM customer)
+      |SELECT lo.o_orderpriority, CAST(lo.n_orders AS BIGINT) AS n_orders,
+      |  CAST(lo.n_orphans AS BIGINT) AS n_orphans,
+      |  CAST(lo.n_matched AS BIGINT) AS n_matched,
+      |  CAST(ro.n_cust AS BIGINT) AS n_cust,
+      |  CAST(ro.n_childless AS BIGINT) AS n_childless
+      |FROM lo CROSS JOIN ro ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2319,7 +2408,9 @@ object Relational {
     "q59_string_kernel" -> (q59StringKernel _),
     "q60_regex_kernel" -> (q60RegexKernel _),
     "q61_bitwise_kernel" -> (q61BitwiseKernel _),
-    "q62_null_aware_anti_join" -> (q62NullAwareAntiJoin _))
+    "q62_null_aware_anti_join" -> (q62NullAwareAntiJoin _),
+    "q63_approx_quantile_gate" -> (q63ApproxQuantileGate _),
+    "q64_outer_join_kernel" -> (q64OuterJoinKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2383,5 +2474,7 @@ object Relational {
     "q59_string_kernel" -> q59Sql,
     "q60_regex_kernel" -> q60Sql,
     "q61_bitwise_kernel" -> q61Sql,
-    "q62_null_aware_anti_join" -> q62Sql)
+    "q62_null_aware_anti_join" -> q62Sql,
+    "q63_approx_quantile_gate" -> q63Sql,
+    "q64_outer_join_kernel" -> q64Sql)
 }
