@@ -1482,6 +1482,67 @@ object Dedup {
       |SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d25
+  /** SOURCE-PRIORITY dedup — multi-source corpus union where the same
+    * content arriving from several feeds keeps the copy from the most
+    * trusted source, not the lowest id (curation recipes rank a curated
+    * feed above a crawl; d16 ranks by quality, this ranks by
+    * provenance): per content-hash group, keep argmin (priority,
+    * doc_id), priority = the source's numeric rank. The corpus has no
+    * cross-source exact dups, so 20 planted copies carrying the
+    * top-priority source make the contract observable — a planted copy
+    * WINS its group exactly when the original's source outranks
+    * nothing (original src0 still wins on the doc_id tie-break).
+    * One uniform md5-keyed window (d01's shuffle profile); the priority
+    * map is a pure expression, no join. */
+  def d25SourcePriorityGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(PlantOffset)).as("doc_id"), col("text"),
+        lit("src0").as("source"))
+    val g = docs.unionByName(planted)
+      .select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        substring(col("source"), 4, 10).cast("int").as("prio"))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("prio").asc, col("doc_id").asc)
+    g.select(col("doc_id"), col("h"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("h"))).as("grp_n"))
+      .agg(
+        countDistinct(col("h")).as("n_groups"),
+        sum(when(col("rn") === 1 && col("grp_n") > 1, 1L).otherwise(0L))
+          .as("n_multi_kept"),
+        sum(when(col("rn") === 1 && col("doc_id") >= PlantOffset, 1L)
+          .otherwise(0L)).as("n_planted_won"))
+  }
+
+  /** Oracle replays the identical plant + rank arithmetic. */
+  val d25Sql: String =
+    """WITH samp AS (
+      |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+      |allrows AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, 'src0' FROM samp),
+      |g AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST(substr(source, 4) AS INT) AS prio
+      |  FROM allrows),
+      |k AS (
+      |  SELECT doc_id, h,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY prio, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY h) AS grp_n
+      |  FROM g)
+      |SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_groups,
+      |  CAST(SUM(CASE WHEN rn = 1 AND grp_n > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_multi_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 AND doc_id >= 1000000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_won
+      |FROM k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -1506,7 +1567,8 @@ object Dedup {
     "d21_normalized_dedup_gate" -> (d21NormalizedDedupGate _),
     "d22_containment_gate" -> (d22ContainmentGate _),
     "d23_edit_distance_pairs" -> (d23EditDistancePairs _),
-    "d24_minhash_error_gate" -> (d24MinhashErrorGate _))
+    "d24_minhash_error_gate" -> (d24MinhashErrorGate _),
+    "d25_source_priority_gate" -> (d25SourcePriorityGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1529,5 +1591,6 @@ object Dedup {
     "d21_normalized_dedup_gate" -> d21Sql,
     "d22_containment_gate" -> d22Sql,
     "d23_edit_distance_pairs" -> d23Sql,
-    "d24_minhash_error_gate" -> d24Sql)
+    "d24_minhash_error_gate" -> d24Sql,
+    "d25_source_priority_gate" -> d25Sql)
 }

@@ -858,6 +858,81 @@ object Multimodal {
       |  CAST(SUM(val) AS BIGINT) AS total_sum
       |FROM v GROUP BY doc_id, h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m13
+  /** Audio ACTIVITY SEGMENTATION (VAD shape) — the clip-extraction pass a
+    * speech pipeline runs before transcription: decode every 64-sample
+    * frame's energy through the real WAV codec, mark frames ≥ the energy
+    * threshold (130 000 — the corpus frame-energy distribution's midline,
+    * leaving ~17% of docs silent and a third multi-segment), and group
+    * consecutive active frames into maximal runs with the gaps-and-islands
+    * key (frame_idx − row_number over active frames — constant exactly
+    * within a run). Emits per-clip frame/active counts, segment count,
+    * first active frame, longest run. All windows partition BY CLIP —
+    * bounded by clip length, no cross-executor adjacency, no skew. */
+  def m13AudioSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codec = audioCodecFor(s)
+    val dec = udf { p: Array[Byte] => codec.decodeFrames(p, 64, 1) }
+    val fr = Tables.documents(s, d)
+      .select(col("doc_id"), wavPayload(col("text")).as("payload"))
+      .select(col("doc_id"), explode(dec(col("payload"))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("fi"),
+        col("f.energy").as("energy"))
+      .withColumn("active", col("energy") >= 130000L)
+    val wa = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    val runs = fr.where(col("active"))
+      .withColumn("grp", col("fi") - row_number().over(wa))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("fi")).as("run_start"))
+    val seg = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("run_len")).as("longest_run"),
+        min(col("run_start")).as("first_active"))
+    fr.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("active").cast("long")).as("n_active"))
+      .join(seg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("first_active"), lit(-1)).as("first_active"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy("doc_id")
+  }
+
+  /** m02's frame-energy restatement + the same islands construction. */
+  val m13Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |f AS (SELECT doc_id, n, text,
+      |  unnest(range(0, (n + 63) // 64)) AS fi FROM d),
+      |s AS (SELECT doc_id, fi,
+      |  unnest(range(fi * 64, least(fi * 64 + 64, n))) AS pos, text FROM f),
+      |a AS (SELECT doc_id, fi,
+      |  ascii(substring(text, CAST(pos + 1 AS BIGINT), 1)) - 128 AS amp
+      |  FROM s),
+      |e AS (SELECT doc_id, fi, SUM(amp * amp) AS energy
+      |  FROM a GROUP BY doc_id, fi),
+      |act AS (SELECT doc_id, fi, (energy >= 130000) AS active FROM e),
+      |runs AS (
+      |  SELECT doc_id,
+      |    fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp,
+      |    fi
+      |  FROM act WHERE active),
+      |r2 AS (SELECT doc_id, grp, COUNT(*) AS run_len, MIN(fi) AS run_start
+      |  FROM runs GROUP BY doc_id, grp),
+      |seg AS (SELECT doc_id, COUNT(*) AS n_segments,
+      |    MAX(run_len) AS longest_run, MIN(run_start) AS first_active
+      |  FROM r2 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_frames,
+      |    SUM(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+      |  FROM act GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_frames AS BIGINT) AS n_frames,
+      |  CAST(t.n_active AS BIGINT) AS n_active,
+      |  CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(s.first_active, -1) AS INT) AS first_active,
+      |  CAST(COALESCE(s.longest_run, 0) AS BIGINT) AS longest_run
+      |FROM tot t LEFT JOIN seg s ON t.doc_id = s.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -870,7 +945,8 @@ object Multimodal {
     "m09_audio_resample" -> (m09AudioResample _),
     "m10_image_augment"  -> (m10ImageAugment _),
     "m11_scene_cuts"     -> (m11SceneCuts _),
-    "m12_image_patchify" -> (m12ImagePatchify _))
+    "m12_image_patchify" -> (m12ImagePatchify _),
+    "m13_audio_segments"  -> (m13AudioSegments _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -884,5 +960,6 @@ object Multimodal {
     "m09_audio_resample" -> m09Sql,
     "m10_image_augment"  -> m10Sql,
     "m11_scene_cuts"     -> m11Sql,
-    "m12_image_patchify" -> m12Sql)
+    "m12_image_patchify" -> m12Sql,
+    "m13_audio_segments"  -> m13Sql)
 }
