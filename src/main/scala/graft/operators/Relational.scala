@@ -2345,6 +2345,119 @@ object Relational {
       |  CAST(ro.n_childless AS BIGINT) AS n_childless
       |FROM lo CROSS JOIN ro ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** VARIANT kernel — Spark 4's semi-structured type (the engine-native
+    * answer to schemaless JSON at scale): `parse_json` once into a binary
+    * variant, then typed path extraction (`variant_get` with nested
+    * object and array-index paths), `try_variant_get` on a missing path
+    * (null, no error), and `is_variant_null` distinguishing JSON null
+    * from path absence — the distinction stringly JSON (q20's
+    * `get_json_object`) cannot make. Parsing happens ONCE per row
+    * regardless of how many paths extract (vs re-tokenizing per
+    * `get_json_object` call), which is the production case for wide
+    * event payloads. The JSON is synthesized from typed columns with the
+    * same concat in both engines, so DuckDB restates every extraction
+    * with its JSON operators. */
+  def q65VariantKernel(s: SparkSession, d: String): DataFrame = {
+    val js = concat(
+      lit("{\"id\": "), col("event_id"),
+      lit(", \"meta\": {\"type\": \""), col("event_type"),
+      lit("\", \"k\": "), get_json_object(col("props"), "$.k"),
+      lit("}, \"vals\": ["), col("user_id"), lit("], \"nul\": null}"))
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(js).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.meta.k", "int").as("k"),
+        variant_get(col("v"), "$.meta.type", "string").as("etype"),
+        variant_get(col("v"), "$.vals[0]", "bigint").as("v0"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing"),
+        is_variant_null(variant_get(col("v"), "$.nul", "variant"))
+          .as("mnull"))
+      .orderBy("event_id")
+  }
+
+  val q65Sql: String =
+    """WITH j AS (
+      |  SELECT event_id,
+      |    '{"id": ' || event_id || ', "meta": {"type": "' || event_type ||
+      |    '", "k": ' || (props->>'$.k') || '}, "vals": [' || user_id ||
+      |    '], "nul": null}' AS js
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(js->>'$.meta.k' AS INT) AS k,
+      |  js->>'$.meta.type' AS etype,
+      |  CAST(js->>'$.vals[0]' AS BIGINT) AS v0,
+      |  CAST(NULL AS INT) AS missing,
+      |  COALESCE(json_type(json(js), '$.nul') = 'NULL', false) AS mnull
+      |FROM j ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** `transformWithState` gate — Spark 4's arbitrary-state streaming API
+    * (typed named state variables, explicit TimeMode, RocksDB-backed)
+    * driven at driver visibility with q39's replay discipline: the
+    * events file staged twice, one file per micro-batch, so per-user
+    * state must accumulate ACROSS batches and the final stat per user is
+    * exactly 2× the batch aggregate. The processor is the q39 kernel
+    * re-expressed on the new API ([[graft.streaming.EventStreams
+    * .RunningTotalsProcessor]]) — same state size (one struct per user),
+    * same update stream, which is the point: the gate proves API parity,
+    * and RocksDB (TWS's only supported backend) spills state off-heap at
+    * production key cardinalities where the HDFS-backed store OOMs. */
+  def q66TransformWithStateGate(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val path = s"$d/events.parquet"
+    val rawSchema = s2.read.parquet(path).schema
+    import graft.sources.HadoopIO
+    val conf = s.sparkContext.hadoopConfiguration
+    val stageDir =
+      s"${HadoopIO.scratchDir(s)}/graft_q66_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    HadoopIO.stageFile(path, s"$stageDir/events_a.parquet", conf)
+    HadoopIO.stageFile(path, s"$stageDir/events_b.parquet", conf)
+    val raw = s2.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    val events =
+      if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+          .cast(TimestampType))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    import s2.implicits._
+    val typed = events.as[graft.streaming.Event]
+    val tbl = "q66_streamed"
+    val q = graft.streaming.EventStreams.runningUserTotalsTws(typed).toDF()
+      .writeStream.format("memory").queryName(tbl).outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val finals = s2.table(tbl)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("total"))).as("m"))
+      .select(col("user_id"), col("m.n").as("sn"), col("m.total").as("sv"))
+    val batch = Tables.events(s2, d)
+      .groupBy(col("user_id"))
+      .agg((count(lit(1)) * 2).as("bn"),
+        (sum(col("value")) * 2).as("bv"))
+    finals.join(batch, Seq("user_id"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("sn")).as("sum_n"),
+        (count(lit(1)) === sum(when(
+          col("sn").isNotNull && col("bn").isNotNull &&
+            (col("sn") === col("bn")) &&
+            (abs(col("sv") - col("bv")) <=
+              greatest(abs(col("bv")) * 1e-9, lit(1e-9))),
+          1).otherwise(0))).as("all_match"))
+  }
+
+  val q66Sql: String =
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS sum_n,
+      |  true AS all_match
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2410,7 +2523,9 @@ object Relational {
     "q61_bitwise_kernel" -> (q61BitwiseKernel _),
     "q62_null_aware_anti_join" -> (q62NullAwareAntiJoin _),
     "q63_approx_quantile_gate" -> (q63ApproxQuantileGate _),
-    "q64_outer_join_kernel" -> (q64OuterJoinKernel _))
+    "q64_outer_join_kernel" -> (q64OuterJoinKernel _),
+    "q65_variant_kernel" -> (q65VariantKernel _),
+    "q66_transform_with_state_gate" -> (q66TransformWithStateGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2476,5 +2591,7 @@ object Relational {
     "q61_bitwise_kernel" -> q61Sql,
     "q62_null_aware_anti_join" -> q62Sql,
     "q63_approx_quantile_gate" -> q63Sql,
-    "q64_outer_join_kernel" -> q64Sql)
+    "q64_outer_join_kernel" -> q64Sql,
+    "q65_variant_kernel" -> q65Sql,
+    "q66_transform_with_state_gate" -> q66Sql)
 }

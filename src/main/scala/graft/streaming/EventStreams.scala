@@ -160,6 +160,45 @@ object EventStreams {
           }
       }
   }
+
+  /** [[runningUserTotals]] re-expressed on Spark 4's `transformWithState`
+    * — the arbitrary-state API that supersedes `flatMapGroupsWithState`:
+    * named typed state variables acquired from a
+    * `StatefulProcessorHandle` in `init` (composable — a processor can
+    * hold several; TTL per variable), explicit `TimeMode`, and per-batch
+    * `handleInputRows`. Requires the RocksDB state store provider (the
+    * only backend TWS supports — q66 sets it on its cloned session).
+    * Semantics are identical to the legacy form by construction, which
+    * the q66 gate pins against the batch aggregate. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserStat] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var st: ValueState[UserStat] = _
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserStat]("totals",
+        Encoders.product[UserStat], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: streaming.TimerValues): Iterator[UserStat] = {
+      val prev = if (st.exists()) st.get() else UserStat(key, 0L, 0.0)
+      val batch = rows.toSeq
+      val next = UserStat(key, prev.n + batch.size,
+        prev.total + batch.map(_.value).sum)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }
 
 /** Typed event row for the stateful transforms. */
