@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -770,6 +770,63 @@ object MitoQueries {
       |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS depth
       |FROM p GROUP BY pos ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------- x12
+  /** Generic CIGAR arithmetic — the alignment-geometry scalar kernel
+    * (SAM spec §1.4.6) every coverage/clipping/QC pass needs: reference
+    * span (M/D/N/=/X consume reference), read length (M/I/S/=/X consume
+    * query), aligned bases (M/=/X), clipped bases (S/H) — computed by a
+    * GENERIC builtin parser (regexp token scan → per-token length/op
+    * split → predicate-filtered aggregate folds, all codegen-able
+    * higher-order functions, no UDF). CIGARs are synthesized with a
+    * known composition (cS aM iI bD aM), so the oracle restates each
+    * output as closed-form arithmetic — checking the parser against the
+    * construction rather than a second parser. Narrow scan, zero
+    * shuffle. */
+  def x12CigarKernel(s: SparkSession, d: String): DataFrame = {
+    val a = col("l_quantity").cast("int") % 40 + 1
+    val b = col("l_partkey") % 5 + 1
+    val c = col("l_suppkey") % 8 + 1
+    val i = col("l_linenumber") % 3 + 1
+    val cigar = concat(c, lit("S"), a, lit("M"), i, lit("I"),
+      b, lit("D"), a, lit("M"))
+    val toks = regexp_extract_all(col("cigar"),
+      lit("(\\d+)([MIDNSHP=X])"), lit(0))
+    val pairs = transform(toks, t => struct(
+      t.substr(lit(1), length(t) - 1).cast("long").as("len"),
+      t.substr(length(t), lit(1)).as("op")))
+    def opSum(ops: String*): Column =
+      aggregate(filter(pairs, p => p.getField("op").isin(ops: _*)),
+        lit(0L), (acc, p) => acc + p.getField("len"))
+    Tables.lineitem(s, d).where(col("l_orderkey") % 10 === 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), cigar.as("cigar"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("cigar"),
+        opSum("M", "D", "N", "=", "X").as("ref_len"),
+        opSum("M", "I", "S", "=", "X").as("read_len"),
+        opSum("M", "=", "X").as("aligned"),
+        opSum("S", "H").as("clipped"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  /** Closed-form restatement from the synthesis composition. */
+  val x12Sql: String =
+    """WITH r AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    CAST(l_quantity AS INT) % 40 + 1 AS a,
+      |    l_partkey % 5 + 1 AS b,
+      |    l_suppkey % 8 + 1 AS c,
+      |    l_linenumber % 3 + 1 AS i
+      |  FROM lineitem WHERE l_orderkey % 10 = 3)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  c || 'S' || a || 'M' || i || 'I' || b || 'D' || a || 'M' AS cigar,
+      |  CAST(2 * a + b AS BIGINT) AS ref_len,
+      |  CAST(2 * a + c + i AS BIGINT) AS read_len,
+      |  CAST(2 * a AS BIGINT) AS aligned,
+      |  CAST(c AS BIGINT) AS clipped
+      |FROM r
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -781,7 +838,8 @@ object MitoQueries {
     "x08_pipeline_gate"   -> (x08PipelineGate _),
     "x09_compressed_pipeline_gate" -> (x09CompressedPipelineGate _),
     "x10_cv_gate"         -> (x10CvGate _),
-    "x11_depth_pileup"    -> (x11DepthPileup _))
+    "x11_depth_pileup"    -> (x11DepthPileup _),
+    "x12_cigar_kernel"    -> (x12CigarKernel _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -794,5 +852,6 @@ object MitoQueries {
     "x08_pipeline_gate" -> x08Sql,
     "x09_compressed_pipeline_gate" -> x08Sql,
     "x10_cv_gate" -> x10Sql,
-    "x11_depth_pileup" -> x11Sql)
+    "x11_depth_pileup" -> x11Sql,
+    "x12_cigar_kernel" -> x12Sql)
 }

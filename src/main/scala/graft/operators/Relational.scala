@@ -2458,6 +2458,35 @@ object Relational {
       |  true AS all_match
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Correlated LATERAL join — the SQL form of per-row top-n ("for each
+    * customer, their single most expensive order"): a lateral subquery
+    * with correlated predicate + ORDER BY + LIMIT 1, which Catalyst
+    * decorrelates into a DomainJoin-rewritten window/aggregate rather
+    * than a per-row nested loop (q50's discipline for scalar subqueries,
+    * extended to the table-valued form). Same SQL text runs in DuckDB —
+    * a dialect-parity kernel for the construct itself. Customers without
+    * orders drop (inner lateral semantics), pinned by the row count. */
+  def q67LateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g67_customer")
+    Tables.orders(s, d).createOrReplaceTempView("g67_orders")
+    s.sql("""SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+        o.o_totalprice
+      FROM g67_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM g67_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+      ORDER BY c.c_custkey""")
+  }
+
+  val q67Sql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+      |ORDER BY c.c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2525,7 +2554,8 @@ object Relational {
     "q63_approx_quantile_gate" -> (q63ApproxQuantileGate _),
     "q64_outer_join_kernel" -> (q64OuterJoinKernel _),
     "q65_variant_kernel" -> (q65VariantKernel _),
-    "q66_transform_with_state_gate" -> (q66TransformWithStateGate _))
+    "q66_transform_with_state_gate" -> (q66TransformWithStateGate _),
+    "q67_lateral_topn" -> (q67LateralTopN _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2593,5 +2623,6 @@ object Relational {
     "q63_approx_quantile_gate" -> q63Sql,
     "q64_outer_join_kernel" -> q64Sql,
     "q65_variant_kernel" -> q65Sql,
-    "q66_transform_with_state_gate" -> q66Sql)
+    "q66_transform_with_state_gate" -> q66Sql,
+    "q67_lateral_topn" -> q67Sql)
 }
