@@ -2487,6 +2487,39 @@ object Relational {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
       |ORDER BY c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** RECURSIVE CTE — Spark 4's iterative-query surface (the SQL form of
+    * d12's connected-components loop; DuckDB's recursive CTE is already
+    * this engine's CC oracle, so the construct now runs on BOTH sides):
+    * every customer walks the implicit digit-hierarchy parent chain
+    * (parent = key div 10) to the root, the per-node depth is the walk's
+    * max step, and the depth histogram + id checksum pin every level.
+    * Each recursion step is one self-join the engine plans as a fresh
+    * batch over the frontier — rows leave the frontier exactly when
+    * `cur` hits 0, so the iteration count is the max key width (6 here),
+    * not the row count. Only the integer-division spelling differs
+    * between the dialects (`div` vs `//`). */
+  def q68RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g68_customer")
+    s.sql("""WITH RECURSIVE walk(node, cur, d) AS (
+        SELECT c_custkey, c_custkey, 0 FROM g68_customer
+        UNION ALL
+        SELECT node, cur div 10, d + 1 FROM walk WHERE cur > 0)
+      SELECT d AS depth, COUNT(*) AS n_nodes, SUM(node) AS id_sum
+      FROM (SELECT node, MAX(d) AS d FROM walk GROUP BY node)
+      GROUP BY d ORDER BY d""")
+  }
+
+  val q68Sql: String =
+    """WITH RECURSIVE walk(node, cur, d) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 10, d + 1 FROM walk WHERE cur > 0)
+      |SELECT CAST(d AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(node) AS BIGINT) AS id_sum
+      |FROM (SELECT node, MAX(d) AS d FROM walk GROUP BY node)
+      |GROUP BY d ORDER BY d""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2555,7 +2588,8 @@ object Relational {
     "q64_outer_join_kernel" -> (q64OuterJoinKernel _),
     "q65_variant_kernel" -> (q65VariantKernel _),
     "q66_transform_with_state_gate" -> (q66TransformWithStateGate _),
-    "q67_lateral_topn" -> (q67LateralTopN _))
+    "q67_lateral_topn" -> (q67LateralTopN _),
+    "q68_recursive_cte" -> (q68RecursiveCte _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2624,5 +2658,6 @@ object Relational {
     "q64_outer_join_kernel" -> q64Sql,
     "q65_variant_kernel" -> q65Sql,
     "q66_transform_with_state_gate" -> q66Sql,
-    "q67_lateral_topn" -> q67Sql)
+    "q67_lateral_topn" -> q67Sql,
+    "q68_recursive_cte" -> q68Sql)
 }
