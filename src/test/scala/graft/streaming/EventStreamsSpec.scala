@@ -196,6 +196,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 7.0)))
   }
 
+  test("transformWithState matches the legacy flatMapGroupsWithState kernel") {
+    // TWS only runs on the RocksDB state store backend: isolated clone
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sq = s2.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.runningUserTotalsTws(src.toDS()).toDF().writeStream
+      .format("memory").queryName("running_tws").outputMode("update").start()
+    src.addData(Event(1, t(0), 1, "click", 2.0), Event(2, t(1), 1, "click", 3.0))
+    q.processAllAvailable()
+    src.addData(Event(3, t(2), 1, "view", 5.0), Event(4, t(3), 2, "view", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s2.table("running_tws")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical cumulative emissions to the legacy API's test above
+    assert(rows.contains((1L, 3L, 10.0)))
+    assert(rows.contains((2L, 1L, 7.0)))
+  }
+
   test("streaming and batch hourly aggregation agree on the corpus") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", col("ts").cast("timestamp"))
