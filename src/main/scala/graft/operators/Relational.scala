@@ -2520,6 +2520,86 @@ object Relational {
       |FROM (SELECT node, MAX(d) AS d FROM walk GROUP BY node)
       |GROUP BY d ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** SQL PIPE syntax — Spark 4's composable query form (`FROM … |> WHERE
+    * … |> EXTEND … |> AGGREGATE … |> ORDER BY`), the linear dataflow
+    * spelling of the same logical plan the nested form produces. The
+    * oracle is the classic SELECT restatement, so the row pins that the
+    * pipe operators lower to identical semantics (filter before extend
+    * before aggregate; AGGREGATE emits group keys + aggregates). Exact
+    * integer aggregates only — no float-order hazard. */
+  def q69PipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g69_lineitem")
+    s.sql("""FROM g69_lineitem
+      |> WHERE l_discount > 0.05
+      |> EXTEND CAST(l_quantity AS BIGINT) AS qi
+      |> AGGREGATE COUNT(*) AS n_rows, SUM(qi) AS sum_qty,
+           COUNT(DISTINCT l_suppkey) AS n_supp GROUP BY l_returnflag
+      |> ORDER BY l_returnflag""")
+  }
+
+  val q69Sql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      |FROM lineitem WHERE l_discount > 0.05
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Bivariate-statistics kernel: `corr` / `covar_samp` builtins gated
+    * against the closed forms over ORDER-INSENSITIVE decimal sums (Det
+    * discipline — the builtins' own streaming moment updates are
+    * float-order-dependent, so their raw values can't hash across
+    * engines; the exact-sum formulas CAN, and the in-row gate pins the
+    * builtins to them within 1e-9 relative). One aggregate pass computes
+    * builtins and exact sums together; scales follow Det's rule (2-dec
+    * money ⇒ products 2–4-dec, |value|·10^scale < 2^53). */
+  def q70StatsKernel(s: SparkSession, d: String): DataFrame = {
+    // both columns INTEGER-VALUED (quantity; discount in whole percent) so
+    // every sum total stays under 2^53 — the decimal→double cast of an
+    // over-wide total is the one place engines can disagree by an ulp
+    // (Det's scale rule), and corr's cancellation amplifies it
+    val x = col("l_quantity")
+    val y = round(col("l_discount") * 100, 0)
+    val a = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        corr(x, y).as("bc"), covar_samp(x, y).as("bcv"),
+        dsum(x, 2).as("sx"), dsum(y, 2).as("sy"),
+        dsum(x * y, 2).as("sxy"), dsum(x * x, 2).as("sxx"),
+        dsum(y * y, 2).as("syy"))
+      .withColumn("nd", col("n_rows").cast("double"))
+    val cExact = (col("nd") * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+        sqrt(col("nd") * col("syy") - col("sy") * col("sy")))
+    val cvExact = (col("sxy") - col("sx") * col("sy") / col("nd")) /
+      (col("nd") - lit(1.0))
+    a.select(col("l_returnflag"), col("n_rows"),
+        cExact.as("corr_exact"), cvExact.as("covar_exact"),
+        (abs(col("bc") - cExact) <=
+          greatest(abs(cExact) * 1e-9, lit(1e-12))).as("corr_ok"),
+        (abs(col("bcv") - cvExact) <=
+          greatest(abs(cvExact) * 1e-9, lit(1e-12))).as("covar_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val q70Sql: String = {
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val yc = "round(l_discount * 100, 0)"
+    val sx = dsumSql("l_quantity", 2)
+    val sy = dsumSql(yc, 2)
+    val sxy = dsumSql(s"l_quantity * $yc", 2)
+    val sxx = dsumSql("l_quantity * l_quantity", 2)
+    val syy = dsumSql(s"$yc * $yc", 2)
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ($n * $sxy - $sx * $sy) /
+       |    (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy))
+       |    AS corr_exact,
+       |  ($sxy - $sx * $sy / $n) / ($n - 1.0) AS covar_exact,
+       |  true AS corr_ok, true AS covar_ok
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2589,7 +2669,9 @@ object Relational {
     "q65_variant_kernel" -> (q65VariantKernel _),
     "q66_transform_with_state_gate" -> (q66TransformWithStateGate _),
     "q67_lateral_topn" -> (q67LateralTopN _),
-    "q68_recursive_cte" -> (q68RecursiveCte _))
+    "q68_recursive_cte" -> (q68RecursiveCte _),
+    "q69_pipe_syntax" -> (q69PipeSyntax _),
+    "q70_stats_kernel" -> (q70StatsKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2659,5 +2741,7 @@ object Relational {
     "q65_variant_kernel" -> q65Sql,
     "q66_transform_with_state_gate" -> q66Sql,
     "q67_lateral_topn" -> q67Sql,
-    "q68_recursive_cte" -> q68Sql)
+    "q68_recursive_cte" -> q68Sql,
+    "q69_pipe_syntax" -> q69Sql,
+    "q70_stats_kernel" -> q70Sql)
 }
