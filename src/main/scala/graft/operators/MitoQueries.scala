@@ -827,6 +827,48 @@ object MitoQueries {
       |FROM r
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- x13
+  /** ALS collaborative filtering gate — MLlib's distributed matrix-
+    * factorization recommender (the remaining major `spark.ml` family
+    * beside the tree/linear/clustering surfaces already gated by
+    * x04/x10/t23/t28 and the KMeans index): a planted two-block rating
+    * matrix (users and items split by parity; rating 5 within a block, 1
+    * across) is exactly rank-2, so a seeded rank-4 ALS fit must (a)
+    * reconstruct the training ratings to RMSE < 1 and (b) separate the
+    * block structure — the mean within-block prediction exceeds the mean
+    * cross-block prediction by > 2 (the planted gap is 4; factors are
+    * float-seeded so exact values vary in ulps, which the margin gates
+    * absorb — d24's statistical-contract discipline). ALS itself is the
+    * scale story: factor updates are block-partitioned joint least
+    * squares, no user×item materialization. */
+  def x13AlsGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    val n = 40
+    val u = (col("id") / n).cast("int")
+    val i = (col("id") % n).cast("int")
+    val ratings = s.range(n.toLong * n).select(
+      u.as("user"), i.as("item"),
+      when(u % 2 === i % 2, 5.0f).otherwise(1.0f).as("rating"))
+    val model = new ALS().setRank(4).setSeed(7L).setMaxIter(10)
+      .setRegParam(0.1).setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").fit(ratings)
+    model.setColdStartStrategy("drop")
+    val pred = model.transform(ratings)
+      .withColumn("within", (col("user") % 2) === (col("item") % 2))
+    pred.agg(
+        count(lit(1)).as("n_ratings"),
+        sqrt(avg(pow(col("prediction") - col("rating"), 2))).as("rmse"),
+        avg(when(col("within"), col("prediction"))).as("w"),
+        avg(when(!col("within"), col("prediction"))).as("c"))
+      .select(col("n_ratings"),
+        (col("rmse") < 1.0).as("rmse_ok"),
+        (col("w") - col("c") > 2.0).as("sep_ok"))
+  }
+
+  val x13Sql: String =
+    """SELECT CAST(1600 AS BIGINT) AS n_ratings,
+      |  true AS rmse_ok, true AS sep_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -839,7 +881,8 @@ object MitoQueries {
     "x09_compressed_pipeline_gate" -> (x09CompressedPipelineGate _),
     "x10_cv_gate"         -> (x10CvGate _),
     "x11_depth_pileup"    -> (x11DepthPileup _),
-    "x12_cigar_kernel"    -> (x12CigarKernel _))
+    "x12_cigar_kernel"    -> (x12CigarKernel _),
+    "x13_als_gate"        -> (x13AlsGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -853,5 +896,6 @@ object MitoQueries {
     "x09_compressed_pipeline_gate" -> x08Sql,
     "x10_cv_gate" -> x10Sql,
     "x11_depth_pileup" -> x11Sql,
-    "x12_cigar_kernel" -> x12Sql)
+    "x12_cigar_kernel" -> x12Sql,
+    "x13_als_gate" -> x13Sql)
 }

@@ -2600,6 +2600,66 @@ object Relational {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** COLLATION kernel — Spark 4's string-collation support (per-column
+    * comparison semantics, the engine-native alternative to scattering
+    * `lower()` through every predicate): equality, `contains`/
+    * `startswith`, and a case-insensitive distinct count under
+    * `UTF8_LCASE`, each paired with the binary-collation behavior on the
+    * same data so the row pins the DIFFERENCE (ci true where cs false).
+    * Mixed-case strings are synthesized from `p_name` (upper-cased first
+    * word), and the oracle restates each collated operation with
+    * `lower()` — exactly the rewrite collations obviate. Collation
+    * comparisons stay codegen'd expressions; the distinct count is one
+    * hash aggregate on the collated key. */
+  def q71CollationKernel(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("g71_part")
+    s.sql("""
+      WITH m AS (
+        SELECT p_partkey, p_name,
+          concat(upper(split_part(p_name, ' ', 1)), ' ',
+                 split_part(p_name, ' ', 2)) AS mixed
+        FROM g71_part),
+      per_row AS (
+        SELECT p_partkey,
+          collate(mixed, 'UTF8_LCASE') = collate(p_name, 'UTF8_LCASE')
+            AS ci_eq,
+          mixed = p_name AS cs_eq,
+          contains(collate(mixed, 'UTF8_LCASE'), 'WIDGET') AS ci_widget,
+          contains(mixed, 'WIDGET') AS cs_widget
+        FROM m),
+      agg AS (
+        SELECT COUNT(DISTINCT collate(mixed, 'UTF8_LCASE')) AS n_ci,
+          COUNT(DISTINCT mixed) AS n_cs
+        FROM m)
+      SELECT p.p_partkey, p.ci_eq, p.cs_eq, p.ci_widget, p.cs_widget,
+        a.n_ci, a.n_cs
+      FROM per_row p CROSS JOIN agg a
+      ORDER BY p.p_partkey""")
+  }
+
+  val q71Sql: String =
+    """WITH m AS (
+      |  SELECT p_partkey, p_name,
+      |    concat(upper(split_part(p_name, ' ', 1)), ' ',
+      |           split_part(p_name, ' ', 2)) AS mixed
+      |  FROM part),
+      |per_row AS (
+      |  SELECT p_partkey,
+      |    lower(mixed) = lower(p_name) AS ci_eq,
+      |    mixed = p_name AS cs_eq,
+      |    contains(lower(mixed), lower('WIDGET')) AS ci_widget,
+      |    contains(mixed, 'WIDGET') AS cs_widget
+      |  FROM m),
+      |agg AS (
+      |  SELECT CAST(COUNT(DISTINCT lower(mixed)) AS BIGINT) AS n_ci,
+      |    CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_cs
+      |  FROM m)
+      |SELECT p.p_partkey, p.ci_eq, p.cs_eq, p.ci_widget, p.cs_widget,
+      |  a.n_ci, a.n_cs
+      |FROM per_row p CROSS JOIN agg a
+      |ORDER BY p.p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2671,7 +2731,8 @@ object Relational {
     "q67_lateral_topn" -> (q67LateralTopN _),
     "q68_recursive_cte" -> (q68RecursiveCte _),
     "q69_pipe_syntax" -> (q69PipeSyntax _),
-    "q70_stats_kernel" -> (q70StatsKernel _))
+    "q70_stats_kernel" -> (q70StatsKernel _),
+    "q71_collation_kernel" -> (q71CollationKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2743,5 +2804,6 @@ object Relational {
     "q67_lateral_topn" -> q67Sql,
     "q68_recursive_cte" -> q68Sql,
     "q69_pipe_syntax" -> q69Sql,
-    "q70_stats_kernel" -> q70Sql)
+    "q70_stats_kernel" -> q70Sql,
+    "q71_collation_kernel" -> q71Sql)
 }
