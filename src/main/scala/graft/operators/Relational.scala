@@ -2660,6 +2660,39 @@ object Relational {
       |FROM per_row p CROSS JOIN agg a
       |ORDER BY p.p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** SQL UDFs (`CREATE FUNCTION … RETURN <expr>`) — Spark 4's declarative
+    * user functions: unlike JVM closures they are INLINED into the plan
+    * (Catalyst substitutes the body, so pushdown/codegen/constant folding
+    * apply — a scalar SQL UDF costs nothing vs writing the expression by
+    * hand, the property this row pins). One arithmetic UDF (net price,
+    * summed with the Det decimal discipline) and one CASE UDF used as
+    * BOTH a projection and the GROUP BY key; the oracle is the inline
+    * expansion — identical trees, so values hash-match exactly. */
+  def q72SqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g72_lineitem")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g72_net(
+        p DOUBLE, disc DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - disc)""")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g72_band(q DOUBLE)
+      RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'
+        WHEN q < 30 THEN 'mid' ELSE 'high' END""")
+    s.sql("""SELECT g72_band(l_quantity) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(g72_net(l_extendedprice, l_discount)
+          AS DECIMAL(38,4))) AS DOUBLE) AS net_sum
+      FROM g72_lineitem
+      GROUP BY g72_band(l_quantity) ORDER BY band""")
+  }
+
+  val q72Sql: String =
+    """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+      |    WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(38,4))) AS DOUBLE) AS net_sum
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY band""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2732,7 +2765,8 @@ object Relational {
     "q68_recursive_cte" -> (q68RecursiveCte _),
     "q69_pipe_syntax" -> (q69PipeSyntax _),
     "q70_stats_kernel" -> (q70StatsKernel _),
-    "q71_collation_kernel" -> (q71CollationKernel _))
+    "q71_collation_kernel" -> (q71CollationKernel _),
+    "q72_sql_udf" -> (q72SqlUdf _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2805,5 +2839,6 @@ object Relational {
     "q68_recursive_cte" -> q68Sql,
     "q69_pipe_syntax" -> q69Sql,
     "q70_stats_kernel" -> q70Sql,
-    "q71_collation_kernel" -> q71Sql)
+    "q71_collation_kernel" -> q71Sql,
+    "q72_sql_udf" -> q72Sql)
 }
