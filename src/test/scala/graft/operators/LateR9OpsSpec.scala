@@ -94,6 +94,38 @@ class LateR9OpsSpec extends SparkSpec {
     assert(r.getLong(2) > 0, "polluted IN keeps genuine matches")
   }
 
+  // ------------------------------------------------------------- d25
+  test("d25 planted copies win exactly the groups whose source isn't src0") {
+    val expected = graft.Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(20)
+      .where(col("source") =!= "src0").count()
+    val r = Dedup.queries("d25_source_priority_gate")(spark, sf).collect()(0)
+    assert(r.getLong(2) === expected, "n_planted_won mismatch")
+    assert(r.getLong(1) === 20, "every planted group is multi-member")
+  }
+
+  // ------------------------------------------------------------- m13
+  test("m13 islands bookkeeping: segments bound active frames") {
+    val r = Multimodal.queries("m13_audio_segments")(spark, sf)
+    assert(r.where(col("n_segments") > col("n_active")).count() === 0)
+    assert(r.where(col("n_active") > col("n_frames")).count() === 0)
+    assert(r.where(col("n_segments") === 0 && col("first_active") =!= -1)
+      .count() === 0)
+    assert(r.where(col("longest_run") > col("n_active")).count() === 0)
+  }
+
+  // ------------------------------------------------------------- q69
+  test("q69 pipe syntax equals the DataFrame formulation") {
+    val pipe = Relational.queries("q69_pipe_syntax")(spark, sf)
+    val df = graft.Tables.lineitem(spark, sf)
+      .where(col("l_discount") > 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+    assert(pipe.exceptAll(df).isEmpty && df.exceptAll(pipe).isEmpty)
+  }
+
   // ------------------------------------------------------------- s19/s20
   test("s19 gate booleans hold on the small corpus") {
     val r = Similarity.queries("s19_knn_graph_gate")(spark, sf).collect()(0)
