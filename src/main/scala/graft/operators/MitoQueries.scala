@@ -869,6 +869,84 @@ object MitoQueries {
     """SELECT CAST(1600 AS BIGINT) AS n_ratings,
       |  true AS rmse_ok, true AS sep_ok""".stripMargin
 
+  // ---------------------------------------------------------------- x14
+  /** `samtools flagstat` parity over the BAM source — the first command a
+    * reference user runs against any BAM (the published MitoScape workflow
+    * inspects its inputs with samtools before classification,
+    * README.md:23-32). Records synthesized from `lineitem` carry a flag
+    * word assembled from five independent arithmetic bits (proper-pair,
+    * unmapped, secondary, duplicate, supplementary) on top of the
+    * always-set paired bit; the file is written by [[graft.sources.BamWriter]]
+    * and read back WITHOUT the validity predicate — flagstat counts every
+    * record, so this row pins the source's unfiltered full-scan path
+    * (x03/x05 only ever exercise the pushdown path at driver visibility).
+    * The category counts are bitwise aggregates the oracle restates from
+    * the same arithmetic; any decode slip of the 16-bit flag field flips
+    * them. Scale shape: one narrow scan, one global aggregate. */
+  def x14Flagstat(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamWriter, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 3)
+    val flag = (lit(1)
+      + when(col("l_linenumber") % 2 === 0, 2).otherwise(0)
+      + when(col("l_partkey") % 7 === 0, 4).otherwise(0)
+      + when(col("l_suppkey") % 5 === 0, 256).otherwise(0)
+      + when(col("l_quantity").cast("int") % 11 === 0, 1024).otherwise(0)
+      + when(col("l_orderkey") % 13 === 0, 2048).otherwise(0)).cast("int")
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("readName"),
+      flag.as("flag"),
+      lit("chrM").as("referenceName"),
+      (col("l_partkey") % 1000 + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x14_$sfTag.bam"
+    BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out)
+    val back = s.read.format("bam").load(out)
+    def bit(b: Int) = (back("flag").bitwiseAND(lit(b)) =!= 0).cast("long")
+    back.agg(
+      count(lit(1)).as("n_total"),
+      sum(bit(256)).as("n_secondary"),
+      sum(bit(2048)).as("n_supplementary"),
+      sum(bit(1024)).as("n_duplicates"),
+      sum((back("flag").bitwiseAND(lit(4)) === 0).cast("long"))
+        .as("n_mapped"),
+      sum(bit(2)).as("n_proper"),
+      sum((back("flag").bitwiseAND(lit(256 | 2048)) === 0).cast("long"))
+        .as("n_primary"))
+  }
+
+  /** Oracle from the synthesis arithmetic (flag bits regenerated from the
+    * same lineitem expressions). */
+  val x14Sql: String =
+    """WITH f AS (
+      |  SELECT 1
+      |    + CASE WHEN l_linenumber % 2 = 0 THEN 2 ELSE 0 END
+      |    + CASE WHEN l_partkey % 7 = 0 THEN 4 ELSE 0 END
+      |    + CASE WHEN l_suppkey % 5 = 0 THEN 256 ELSE 0 END
+      |    + CASE WHEN CAST(l_quantity AS INT) % 11 = 0 THEN 1024 ELSE 0 END
+      |    + CASE WHEN l_orderkey % 13 = 0 THEN 2048 ELSE 0 END AS flag
+      |  FROM lineitem WHERE l_orderkey % 4 = 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN flag & 256 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_secondary,
+      |  CAST(SUM(CASE WHEN flag & 2048 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_supplementary,
+      |  CAST(SUM(CASE WHEN flag & 1024 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_duplicates,
+      |  CAST(SUM(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mapped,
+      |  CAST(SUM(CASE WHEN flag & 2 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_proper,
+      |  CAST(SUM(CASE WHEN flag & 2304 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_primary
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -882,7 +960,8 @@ object MitoQueries {
     "x10_cv_gate"         -> (x10CvGate _),
     "x11_depth_pileup"    -> (x11DepthPileup _),
     "x12_cigar_kernel"    -> (x12CigarKernel _),
-    "x13_als_gate"        -> (x13AlsGate _))
+    "x13_als_gate"        -> (x13AlsGate _),
+    "x14_flagstat"        -> (x14Flagstat _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -897,5 +976,6 @@ object MitoQueries {
     "x10_cv_gate" -> x10Sql,
     "x11_depth_pileup" -> x11Sql,
     "x12_cigar_kernel" -> x12Sql,
-    "x13_als_gate" -> x13Sql)
+    "x13_als_gate" -> x13Sql,
+    "x14_flagstat" -> x14Sql)
 }

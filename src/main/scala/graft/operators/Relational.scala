@@ -2693,6 +2693,133 @@ object Relational {
       |FROM lineitem
       |GROUP BY 1 ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Small-file compaction gate — the table-maintenance op every large
+    * estate runs continuously (streaming ingest leaves thousands of
+    * KB-sized files; scan throughput then collapses under per-file open
+    * cost and task-schedule overhead, and at 100 TB a million-file table
+    * is an operational incident). A lineitem slice is deliberately
+    * fragmented into 64 parquet part-files, then compacted by an explicit
+    * `repartition(4)` rewrite; the gate measures REAL file counts from
+    * the filesystem listing (not plan guesses) and asserts the rewrite
+    * preserved the row set — count plus two checksums the oracle restates
+    * from the source table. At scale the same rewrite runs per partition
+    * with a target file size (`maxRecordsPerFile` bounds the other
+    * direction); the repartition shuffle is the entire cost and is
+    * round-robin-uniform by construction, so no skew risk. */
+  def q73CompactionGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val frag = s"${HadoopIO.scratchDir(s)}/graft_q73_frag_$tag"
+    val comp = s"${HadoopIO.scratchDir(s)}/graft_q73_comp_$tag"
+    val src = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    val conf = HadoopIO.driverConf()
+    val nFrag = HadoopIO.listScanTargets(frag, conf).size
+    s.read.parquet(frag).repartition(4)
+      .write.mode("overwrite").parquet(comp)
+    val nComp = HadoopIO.listScanTargets(comp, conf).size
+    s.read.parquet(comp).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey") * col("l_linenumber")).as("key_checksum"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(col("n_rows"), col("key_checksum"), col("sum_qty"),
+        lit(nFrag >= 32 && nComp <= 8 && nComp >= 1).as("compacted_ok"))
+  }
+
+  val q73Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  true AS compacted_ok
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Schema-evolution gate — reading across snapshots written by DIFFERENT
+    * pipeline versions is the normal state of a long-lived estate (columns
+    * get added; old files stay). Two parquet snapshots of a lineitem slice
+    * are written with divergent schemas (v2 adds a column), then scanned
+    * together under `mergeSchema=true`: the merged relation must surface
+    * the union schema, null-fill the missing column for v1 rows, and keep
+    * both snapshots' rows — pinned by count/per-column aggregates the
+    * oracle restates (the added column's sum over v2 only; `count(col)`'s
+    * null-skip counts exactly the v2 rows). Footer merge cost is
+    * per-FILE metadata, not data — the scan itself stays one pass. */
+  def q74SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q74_$tag"
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 1)
+    li.select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    li.select(col("l_orderkey"), col("l_quantity"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+    val schemaOk = merged.columns.sorted.sameElements(
+      Array("disc_pct", "l_orderkey", "l_quantity"))
+    merged.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(col("disc_pct")).as("n_with_disc"),
+        sum(col("disc_pct")).as("sum_disc"))
+      .select(col("n_rows"), col("sum_qty"), col("n_with_disc"),
+        col("sum_disc"), lit(schemaOk).as("schema_ok"))
+  }
+
+  /** Oracle: both snapshots restated from the source slice — v1+v2 row
+    * union doubles the count; the added column exists only in v2. */
+  val q74Sql: String =
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(2 * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n_with_disc,
+      |  CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_disc,
+      |  true AS schema_ok
+      |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** UNPIVOT / melt kernel — q33's pivot inverse (wide metrics → long
+    * (key, metric, value) triples), the reshape feeding any generic
+    * per-metric aggregation or metric-store ingest. Uses the native
+    * `Dataset.unpivot` (Spark 3.4+ melt — a codegen'd Expand, one pass,
+    * no join or union of N scans); values normalized to long before the
+    * melt so the variable column is single-typed. The oracle restates as
+    * a UNION ALL, which is what Expand computes. Narrow: n_metrics× row
+    * fan-out inside the scan stage, then a 3-group rollup. */
+  def q75Unpivot(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        round(col("l_tax") * 100).cast("long").as("tax_pct"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("qty"), col("disc_pct"), col("tax_pct")),
+        "metric", "v")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_v"),
+        sum(col("l_orderkey") * col("v")).as("weighted_checksum"))
+      .orderBy("metric")
+  }
+
+  val q75Sql: String =
+    """WITH m AS (
+      |  SELECT l_orderkey, 'qty' AS metric,
+      |    CAST(l_quantity AS BIGINT) AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'disc_pct', CAST(round(l_discount * 100) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'tax_pct', CAST(round(l_tax * 100) AS BIGINT)
+      |  FROM lineitem)
+      |SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(SUM(l_orderkey * v) AS BIGINT) AS weighted_checksum
+      |FROM m GROUP BY metric ORDER BY metric""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2766,7 +2893,10 @@ object Relational {
     "q69_pipe_syntax" -> (q69PipeSyntax _),
     "q70_stats_kernel" -> (q70StatsKernel _),
     "q71_collation_kernel" -> (q71CollationKernel _),
-    "q72_sql_udf" -> (q72SqlUdf _))
+    "q72_sql_udf" -> (q72SqlUdf _),
+    "q73_compaction_gate" -> (q73CompactionGate _),
+    "q74_schema_evolution_gate" -> (q74SchemaEvolution _),
+    "q75_unpivot" -> (q75Unpivot _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2840,5 +2970,8 @@ object Relational {
     "q69_pipe_syntax" -> q69Sql,
     "q70_stats_kernel" -> q70Sql,
     "q71_collation_kernel" -> q71Sql,
-    "q72_sql_udf" -> q72Sql)
+    "q72_sql_udf" -> q72Sql,
+    "q73_compaction_gate" -> q73Sql,
+    "q74_schema_evolution_gate" -> q74Sql,
+    "q75_unpivot" -> q75Sql)
 }

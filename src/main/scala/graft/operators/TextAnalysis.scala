@@ -1957,6 +1957,80 @@ object TextAnalysis {
       |    AS chunk_md5
       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+  /** BM25 relevance ranking (Robertson, k1=1.2, b=0.75) of the corpus
+    * against a fixed query term set — the scoring stage of a lexical
+    * retrieval pipeline, over the same tokenizer as t01/t22. The idf is
+    * the raw Robertson odds ratio (N−df+0.5)/(df+0.5) WITHOUT the log:
+    * every per-term score is then pure rational double arithmetic, and an
+    * identical expression tree is bit-deterministic across engines, which
+    * a libm `ln` is not (monotone in df either way, so the ranking
+    * semantics survive). Per-doc summation over matched terms goes
+    * through [[graft.functions.Det.dsum]] (exact decimal image), so
+    * partial-aggregation order cannot perturb the total, and the top-20
+    * order is totalized by (score desc, doc_id).
+    *
+    * Scale shape: postings are filtered to the |Q|-term query BEFORE the
+    * tf shuffle (per-doc-per-term groups, ≤|Q| rows per doc); df and the
+    * corpus stats are broadcast scalars; the only data-sized work is the
+    * narrow tokenize scan. At 100 TB the tf shuffle carries ≤|Q|·n_docs
+    * rows — query-bounded, not corpus-bounded. */
+  def t33Bm25(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val q = Seq("spark", "merge", "window", "vector")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(q: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("score_t", col("idf") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+      .groupBy(col("doc_id"))
+      .agg(dsum(col("score_t"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  /** Mirrors t33's expression tree operation-for-operation (same
+    * parenthesization, same literals) — rational double arithmetic is
+    * IEEE-deterministic, so the hash compare is exact. */
+  val t33Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM t),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM g),
+      |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM g)
+      |  WHERE tok IN ('spark', 'merge', 'window', 'vector')
+      |  GROUP BY doc_id, dl, tok),
+      |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT doc_id,
+      |    ((n_docs - df + 0.5) / (df + 0.5)) *
+      |    ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS score_t
+      |  FROM tf JOIN df USING (tok) CROSS JOIN st)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(score_t AS DECIMAL(38,6))) AS DOUBLE) AS bm25,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -1989,7 +2063,8 @@ object TextAnalysis {
     "t29_snapshot_diff" -> (t29SnapshotDiff _),
     "t30_epoch_shuffle" -> (t30EpochShuffle _),
     "t31_gopher_rules" -> (t31GopherRules _),
-    "t32_sliding_chunks" -> (t32SlidingChunks _))
+    "t32_sliding_chunks" -> (t32SlidingChunks _),
+    "t33_bm25"        -> (t33Bm25 _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2022,5 +2097,6 @@ object TextAnalysis {
     "t29_snapshot_diff" -> t29Sql,
     "t30_epoch_shuffle" -> t30Sql,
     "t31_gopher_rules" -> t31Sql,
-    "t32_sliding_chunks" -> t32Sql)
+    "t32_sliding_chunks" -> t32Sql,
+    "t33_bm25"        -> t33Sql)
 }
