@@ -142,14 +142,23 @@ object Bench {
       // and `gates_omitted` records the cut so a reader knows the map is
       // partial — each omitted row buys ~30 chars of tail-budget headroom.
       // minimal sheds diagnostic fields stepwise — gates_omitted (~19
-      // chars) at level 1, p50_total (~18) too at level 2, and at level 3
-      // the sub-0.3 s queries leave the map for one aggregate pair
+      // chars) at level 1, p50_total (~18) too at level 2, and from level 3
+      // the fast queries leave the map for one aggregate pair
       // (fast_omitted/fast_total) — those entries are pure noise at
       // one-decimal resolution anyway, and each buys ~24 chars; failing
-      // queries (-1) always stay visible in the map
+      // queries (-1) always stay visible in the map. The fast cutoff
+      // climbs with the level (0.3 / 0.5 / 1.0 s): as the query set
+      // grows, aggregate MORE of the noise floor before ever surrendering
+      // the one-decimal resolution of the slow queries that actually
+      // carry round-over-round signal
       val qNames0 = if (slim) names.filterNot(_.endsWith("_gate")) else names
+      val fastCut = minimal match {
+        case m if m >= 5 => 1.0
+        case 4 => 0.5
+        case _ => 0.3
+      }
       val qNames =
-        if (minimal >= 3) qNames0.filter(n => warm(n) < 0 || warm(n) >= 0.3)
+        if (minimal >= 3) qNames0.filter(n => warm(n) < 0 || warm(n) >= fastCut)
         else qNames0
       // sig == 0 selects the one-decimal floor formatter
       def f(v: Double): String = if (sig == 0) fmtDec1(v) else fmt(v, sig)
@@ -190,15 +199,16 @@ object Bench {
     // fields for per-query resolution
     val out = Seq(line(3, false), line(2, false), line(2, true),
       line(0, true), line(0, true, minimal = 1), line(0, true, minimal = 2),
-      line(0, true, minimal = 3))
+      line(0, true, minimal = 3), line(0, true, minimal = 4),
+      line(0, true, minimal = 5))
       .find(_.length <= 1900).getOrElse {
         // even the minimal one-decimal form outgrew the consumer's tail:
         // fall to 1-sig but make it loud instead of silently regressing
         // resolution (and, at worst, the parsed:null failure mode)
         System.err.println(s"[bench] WARNING: minimal one-decimal JSON line " +
-          s"is ${line(0, true, minimal = 3).length} chars > 1900 — " +
+          s"is ${line(0, true, minimal = 5).length} chars > 1900 — " +
           "falling back to 1-sig")
-        line(1, true, minimal = 3)
+        line(1, true, minimal = 5)
       }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line

@@ -2820,6 +2820,75 @@ object Relational {
       |  CAST(SUM(l_orderkey * v) AS BIGINT) AS weighted_checksum
       |FROM m GROUP BY metric ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** MERGE / upsert kernel — the CDC-apply operation every warehouse
+    * table lives on (MERGE INTO target USING changes: matched-update,
+    * matched-delete, not-matched-insert), expressed as the single
+    * full-outer join it lowers to on any engine without a transactional
+    * table format. A change feed synthesized from `orders` (delete every
+    * key≡0 mod 10, update keys≡1..3 with +1000 price, insert fresh
+    * keys≡7 offset by 10⁹) merges against the base slice; the result
+    * aggregate (counts by disposition + key/price checksums) is restated
+    * by the oracle from the generating arithmetic. One key-partitioned
+    * shuffle join — CDC batches are usually ≪ base, so the change side
+    * broadcasts at scale and the base never moves; the checksums make a
+    * lost/duplicated/mis-dispatched row flip the hash. Price sums go
+    * through Det's decimal image (2-decimal money). */
+  def q76MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val m = col("o_orderkey") % 10
+    val changes = Tables.orders(s, d).select(col("o_orderkey"), m.as("m"),
+        col("o_totalprice"))
+      .where(m === 0 || (m >= 1 && m <= 3) || m === 7)
+      .select(
+        when(col("m") === 7, col("o_orderkey") + 1000000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        when(col("m") === 0, lit("D"))
+          .when(col("m") === 7, lit("I")).otherwise(lit("U")).as("op"),
+        when(col("m") === 7, col("o_totalprice"))
+          .otherwise(col("o_totalprice") + 1000.0).as("new_price"))
+    val merged = base.join(broadcast(changes),
+        base("o_orderkey") === changes("k"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), col("o_orderkey")).as("key"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        coalesce(col("op"), lit("K")).as("disp"))
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      sum((col("disp") === "K").cast("long")).as("n_kept"),
+      sum((col("disp") === "U").cast("long")).as("n_updated"),
+      sum((col("disp") === "I").cast("long")).as("n_inserted"),
+      sum(col("key")).as("key_checksum"),
+      dsum(col("price"), 2).as("price_sum"))
+  }
+
+  /** Oracle replays the change-feed arithmetic over the base slice. */
+  val q76Sql: String =
+    """WITH b AS (SELECT o_orderkey, o_totalprice,
+      |    o_orderkey % 10 AS m FROM orders),
+      |r AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS price, 'K' AS disp
+      |  FROM b WHERE m NOT IN (0, 1, 2, 3)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000.0, 'U'
+      |  FROM b WHERE m IN (1, 2, 3)
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_totalprice, 'I'
+      |  FROM b WHERE m = 7)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN disp = 'K' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN disp = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_updated,
+      |  CAST(SUM(CASE WHEN disp = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted,
+      |  CAST(SUM(key) AS BIGINT) AS key_checksum,
+      |  CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE) AS price_sum
+      |FROM r""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2896,7 +2965,8 @@ object Relational {
     "q72_sql_udf" -> (q72SqlUdf _),
     "q73_compaction_gate" -> (q73CompactionGate _),
     "q74_schema_evolution_gate" -> (q74SchemaEvolution _),
-    "q75_unpivot" -> (q75Unpivot _))
+    "q75_unpivot" -> (q75Unpivot _),
+    "q76_merge_upsert" -> (q76MergeUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2973,5 +3043,6 @@ object Relational {
     "q72_sql_udf" -> q72Sql,
     "q73_compaction_gate" -> q73Sql,
     "q74_schema_evolution_gate" -> q74Sql,
-    "q75_unpivot" -> q75Sql)
+    "q75_unpivot" -> q75Sql,
+    "q76_merge_upsert" -> q76Sql)
 }

@@ -84,6 +84,41 @@ class R9TailOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q75
+  test("q75 native unpivot equals the manual union-of-scans formulation") {
+    val manual = {
+      val li = graft.Tables.lineitem(spark, sf)
+      val qty = li.select(col("l_orderkey"), lit("qty").as("metric"),
+        col("l_quantity").cast("long").as("v"))
+      val disc = li.select(col("l_orderkey"), lit("disc_pct").as("metric"),
+        round(col("l_discount") * 100).cast("long").as("v"))
+      val tax = li.select(col("l_orderkey"), lit("tax_pct").as("metric"),
+        round(col("l_tax") * 100).cast("long").as("v"))
+      qty.union(disc).union(tax)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+          sum(col("l_orderkey") * col("v")).as("weighted_checksum"))
+        .orderBy("metric")
+    }
+    val native = Relational.queries("q75_unpivot")(spark, sf)
+    assert(native.exceptAll(manual).isEmpty &&
+      manual.exceptAll(native).isEmpty,
+      "unpivot and union formulations disagree")
+  }
+
+  // ------------------------------------------------------------- q76
+  test("q76 merge dispositions partition the result; deletes are gone") {
+    val r = Relational.queries("q76_merge_upsert")(spark, sf).collect()(0)
+    val (n, k, u, i) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(n === k + u + i, "dispositions do not partition the result")
+    val base = graft.Tables.orders(spark, sf)
+    val nDeleted = base.where(col("o_orderkey") % 10 === 0).count()
+    val nBase = base.count()
+    assert(n === nBase - nDeleted + i,
+      "row accounting: base − deletes + inserts mismatch")
+  }
+
   // ------------------------------------------------------------- q73
   test("q73 compaction preserves the row set and reduces file count") {
     val r = Relational.queries("q73_compaction_gate")(spark, sf).collect()(0)
