@@ -2889,6 +2889,65 @@ object Relational {
       |  CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE) AS price_sum
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** SCD Type-2 apply — the dimension-history counterpart to q76's fact
+    * upsert (Kimball slowly-changing dimensions: when an attribute
+    * changes, close the old row and open a new current version instead of
+    * overwriting). Change DETECTION is the real operator: two snapshots
+    * of the customer dimension join on the key, attribute inequality
+    * drives a conditional 1-or-2-row expansion (closed v1 + current v2
+    * for changed keys, untouched current v1 otherwise). The synthesized
+    * second snapshot shifts every key≡0 mod 4 balance by +100 so the
+    * changed set is oracle-derivable; version/current counts and a
+    * version-weighted balance checksum (Det decimal image) pin the
+    * expansion. Scale shape: one key-partitioned equi-join (dimension
+    * sized — broadcastable in practice), narrow explode bounded by 2. */
+  def q77Scd2(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val snap1 = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal1"))
+    val snap2 = snap1.select(col("k"),
+      (col("bal1") + when(col("k") % 4 === 0, 100.0).otherwise(0.0))
+        .as("bal2"))
+    val rows = snap1.join(snap2, Seq("k"))
+      .select(col("k"), explode(
+        when(col("bal1") =!= col("bal2"), array(
+          struct(col("bal1").as("bal"), lit(1).as("version"),
+            lit(false).as("is_current")),
+          struct(col("bal2").as("bal"), lit(2).as("version"),
+            lit(true).as("is_current"))))
+        .otherwise(array(
+          struct(col("bal1").as("bal"), lit(1).as("version"),
+            lit(true).as("is_current"))))).as("r"))
+      .select(col("k"), col("r.*"))
+    rows.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("is_current").cast("long")).as("n_current"),
+      sum((!col("is_current")).cast("long")).as("n_closed"),
+      sum(col("k") * col("version")).as("key_checksum"),
+      dsum(col("bal") * col("version"), 2).as("bal_checksum"))
+  }
+
+  /** Oracle mirrors the expansion row-for-row as a UNION ALL (first
+    * branch emits v1 with is_current = NOT changed; second emits the new
+    * current v2 for changed keys only). */
+  val q77Sql: String =
+    """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal,
+      |    c_custkey % 4 = 0 AS ch FROM customer),
+      |r AS (
+      |  SELECT k, bal, 1 AS version, NOT ch AS is_current FROM c
+      |  UNION ALL
+      |  SELECT k, bal + 100.0, 2, true FROM c WHERE ch)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_current,
+      |  CAST(SUM(CASE WHEN is_current THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_closed,
+      |  CAST(SUM(k * version) AS BIGINT) AS key_checksum,
+      |  CAST(SUM(CAST(bal * version AS DECIMAL(38,2))) AS DOUBLE)
+      |    AS bal_checksum
+      |FROM r""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -2966,7 +3025,8 @@ object Relational {
     "q73_compaction_gate" -> (q73CompactionGate _),
     "q74_schema_evolution_gate" -> (q74SchemaEvolution _),
     "q75_unpivot" -> (q75Unpivot _),
-    "q76_merge_upsert" -> (q76MergeUpsert _))
+    "q76_merge_upsert" -> (q76MergeUpsert _),
+    "q77_scd2" -> (q77Scd2 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3044,5 +3104,6 @@ object Relational {
     "q73_compaction_gate" -> q73Sql,
     "q74_schema_evolution_gate" -> q74Sql,
     "q75_unpivot" -> q75Sql,
-    "q76_merge_upsert" -> q76Sql)
+    "q76_merge_upsert" -> q76Sql,
+    "q77_scd2" -> q77Sql)
 }

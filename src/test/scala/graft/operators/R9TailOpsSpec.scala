@@ -119,6 +119,17 @@ class R9TailOpsSpec extends SparkSpec {
       "row accounting: base − deletes + inserts mismatch")
   }
 
+  // ------------------------------------------------------------- q77
+  test("q77 SCD2: every key stays current, closed rows = changed keys") {
+    val r = Relational.queries("q77_scd2")(spark, sf).collect()(0)
+    val cust = graft.Tables.customer(spark, sf)
+    val n = cust.count()
+    val nChanged = cust.where(col("c_custkey") % 4 === 0).count()
+    assert(r.getLong(0) === n + nChanged, "row expansion mismatch")
+    assert(r.getLong(1) === n, "a key lost (or gained) its current row")
+    assert(r.getLong(2) === nChanged, "closed-row count != changed keys")
+  }
+
   // ------------------------------------------------------------- q73
   test("q73 compaction preserves the row set and reduces file count") {
     val r = Relational.queries("q73_compaction_gate")(spark, sf).collect()(0)
