@@ -947,6 +947,84 @@ object MitoQueries {
       |    AS n_primary
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------- x15
+  /** Mate-pair consistency validation — the `samtools fixmate` /
+    * ValidateSamFile QC pass a pipeline runs before trusting paired-end
+    * flags (the reference's feature build keys on read names pairing up,
+    * `MTClassifierModel.scala` per-read aggregation). Pairs synthesized
+    * from `lineitem` write both mates (flags 99/147) with `pnext` set to
+    * the mate's position — except keys≡0 mod 17, whose second mate gets a
+    * corrupted `pnext` (+1), and keys≡0 mod 19 (and not 17), which write
+    * the first mate ONLY (an orphan). After the BAM roundtrip the
+    * operator groups by read name and classifies each template: paired +
+    * cross-consistent (each mate's pnext equals the other's start),
+    * paired-but-inconsistent, or orphaned — counts the oracle restates
+    * from the planting arithmetic. Scale shape: one shuffle on the read
+    * name (uniform key, 2 rows per group), the classification a per-group
+    * conditional — the same profile as the engine's per-read feature
+    * aggregation, now pinned as a QC row. */
+  def x15MateCheck(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamWriter, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+    val rid = concat(lit("r"), col("l_orderkey"), lit("_"),
+      col("l_linenumber"), lit("_"), col("l_partkey"), lit("_"),
+      col("l_suppkey"))
+    val p1 = (col("l_partkey") % 1000 + 1).cast("int")
+    val p2 = (col("l_partkey") % 1000 + 501).cast("int")
+    val badPnext = col("l_orderkey") % 17 === 0
+    val orphan = !badPnext && col("l_orderkey") % 19 === 0
+    def mate(flag: Int, pos: Column, mpos: Column) = struct(
+      rid.as("readName"), lit(flag).as("flag"),
+      lit("chrM").as("referenceName"), pos.as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      mpos.as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val recs = li.select(explode(
+        when(orphan, array(mate(99, p1, p2)))
+          .otherwise(array(
+            mate(99, p1, p2),
+            mate(147, p2, when(badPnext, p1 + 1).otherwise(p1))))).as("r"))
+      .select(col("r.*"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x15_$sfTag.bam"
+    BamWriter.write(recs, "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out)
+    val back = s.read.format("bam").load(out)
+    val tmpl = back.groupBy(col("readName")).agg(
+      count(lit(1)).as("n_mates"),
+      // cross-consistency as MULTISET equality {starts} == {pnexts} via
+      // min/max agreement — equivalent to the full crosswise check when
+      // the two mates sit at distinct positions, which the synthesis
+      // guarantees (p2 − p1 = 500; the planted corruption shifts by +1,
+      // never onto the other mate)
+      min(col("start")).as("min_s"), max(col("start")).as("max_s"),
+      min(col("pnext")).as("min_p"), max(col("pnext")).as("max_p"))
+    val cls = tmpl.select(
+      when(col("n_mates") < 2, lit("orphan"))
+        .when(col("min_s") === col("min_p") && col("max_s") === col("max_p"),
+          lit("consistent"))
+        .otherwise(lit("inconsistent")).as("status"))
+    cls.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_templates"))
+      .orderBy("status")
+  }
+
+  /** Oracle replays the planting arithmetic: orphans are keys≡0 mod 19
+    * (not 17), inconsistent are keys≡0 mod 17, the rest consistent.
+    * Positions never collide within a template (p2 = p1 + 500, corrupt
+    * pnext = p1 + 1 ≠ p2), so the min/max cross-check is exact. */
+  val x15Sql: String =
+    """WITH t AS (
+      |  SELECT CASE
+      |      WHEN l_orderkey % 17 = 0 THEN 'inconsistent'
+      |      WHEN l_orderkey % 19 = 0 THEN 'orphan'
+      |      ELSE 'consistent' END AS status
+      |  FROM lineitem WHERE l_orderkey % 4 = 0)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_templates
+      |FROM t GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -961,7 +1039,8 @@ object MitoQueries {
     "x11_depth_pileup"    -> (x11DepthPileup _),
     "x12_cigar_kernel"    -> (x12CigarKernel _),
     "x13_als_gate"        -> (x13AlsGate _),
-    "x14_flagstat"        -> (x14Flagstat _))
+    "x14_flagstat"        -> (x14Flagstat _),
+    "x15_mate_check"      -> (x15MateCheck _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -977,5 +1056,6 @@ object MitoQueries {
     "x11_depth_pileup" -> x11Sql,
     "x12_cigar_kernel" -> x12Sql,
     "x13_als_gate" -> x13Sql,
-    "x14_flagstat" -> x14Sql)
+    "x14_flagstat" -> x14Sql,
+    "x15_mate_check" -> x15Sql)
 }

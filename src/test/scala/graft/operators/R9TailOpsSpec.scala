@@ -130,6 +130,18 @@ class R9TailOpsSpec extends SparkSpec {
     assert(r.getLong(2) === nChanged, "closed-row count != changed keys")
   }
 
+  // ------------------------------------------------------------- x15
+  test("x15 statuses partition the template space; plants detected") {
+    val rows = MitoQueries.queries("x15_mate_check")(spark, sf).collect()
+    val byStatus = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.keySet === Set("consistent", "inconsistent", "orphan"),
+      "a planted class went undetected at sf0.001")
+    val nTemplates = graft.Tables.lineitem(spark, sf)
+      .where(col("l_orderkey") % 4 === 0).count()
+    assert(byStatus.values.sum === nTemplates,
+      "statuses do not partition the synthesized templates")
+  }
+
   // ------------------------------------------------------------- q73
   test("q73 compaction preserves the row set and reduces file count") {
     val r = Relational.queries("q73_compaction_gate")(spark, sf).collect()(0)
