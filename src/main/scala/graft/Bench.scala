@@ -90,11 +90,13 @@ object Bench {
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
     // worst per-query max/min spread across the warm passes — the box-load
-    // indicator that separates plan changes from shared-machine noise
-    val noise = names.flatMap { n =>
+    // indicator that separates plan changes from shared-machine noise —
+    // WITH the offending query named (r9's bare noise=27 forced the
+    // reader to guess which row to distrust)
+    val (noiseQ, noise) = names.flatMap { n =>
       val ps = warmPasses.map(_(n)).filter(_ >= 0)
-      if (ps.isEmpty || ps.min <= 0) None else Some(ps.max / ps.min)
-    }.foldLeft(1.0)(math.max)
+      if (ps.isEmpty || ps.min <= 0) None else Some(n -> ps.max / ps.min)
+    }.foldLeft(("", 1.0)) { (a, b) => if (b._2 > a._2) b else a }
     // sum of per-query MEDIANS over the warm passes, reported alongside the
     // min-based total: min is the low-noise floor estimator but tracks the
     // best-case pass, so round-over-round comparisons on a loaded box chase
@@ -181,7 +183,10 @@ object Bench {
       // tail-budget headroom for the line the driver must parse whole)
       val failedField = if (slim && failed.isEmpty) "" else s""""failed":$failedJson,"""
       val sf = if (slim) sfDir.split('/').last else sfDir
-      s"""{"metric":"total","value":${f(total)},$p50Field"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$fastField$extras"noise":${f(noise)},$failedField"sf":"$sf"}"""
+      // noise attribution survives every degradation tier: when noise is
+      // high, WHICH query moved is exactly the field the reader needs
+      val noiseQField = if (noiseQ.isEmpty) "" else s""""noise_q":"$noiseQ","""
+      s"""{"metric":"total","value":${f(total)},$p50Field"gates_total":${f(gatesTotal)},"unit":"sec","queries":$qs,$fastField$extras"noise":${f(noise)},$noiseQField$failedField"sf":"$sf"}"""
     }
     // degrade precision, then the transparency fields, before ever letting
     // the line outgrow the consumer's 2000-char stdout tail

@@ -42,6 +42,40 @@ object Dedup {
       idHeadroomOk.put(s"$cacheKey#$idCol", true)
     }
 
+  /** Corpus counts already paid per dataset dir — the d02 scale guard
+    * must not add an action to every repeated call (d02 also feeds d12's
+    * edge set). */
+  private val oracleKernelCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** SCALE GUARD for the block-quadratic ORACLE kernel (d02 and the d12
+    * edge generator built on it): per-(lang, source) blocking bounds the
+    * pair space only while blocks stay small — pointed at a 100 TB
+    * corpus the kernel is Σ|block|² and the dominant-language block
+    * alone is a quadratic reducer. The DuckDB-restatable formulation is
+    * the point of d02 (it is the verify/oracle kernel), so instead of
+    * silently degrading, refuse loudly past a row-count cap and direct
+    * callers to the linear-plus-banded production wirings
+    * ([[nearDedupKeep]] / [[nearDupClusters]]). Cap is conf-tunable
+    * (`spark.graft.oracleKernelMaxRows`, default 10⁶ — far above every
+    * test sf, far below any corpus where the quadratic shape matters);
+    * the count is cached per dataset dir so repeated calls stay
+    * action-free (d18's require discipline, d02-sized). */
+  private[operators] def assertOracleKernelScale(
+      s: SparkSession, d: String): Unit = {
+    val cap = s.conf.getOption("spark.graft.oracleKernelMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val n = oracleKernelCountCache.getOrElseUpdate(d,
+      Tables.documents(s, d).count())
+    require(n <= cap,
+      s"d02/d12 oracle kernel refused: $n documents > cap $cap — the " +
+        "(lang, source)-blocked exact kernel is block-quadratic and is " +
+        "the VERIFY/oracle formulation only; use nearDedupKeep / " +
+        "nearDupClusters (banded MinHash candidates -> exact verify on " +
+        "collisions) for corpus-scale runs, or raise " +
+        "spark.graft.oracleKernelMaxRows deliberately")
+  }
+
   // ---------------------------------------------------------------- d01
   /** Exact dedup: content-hash groupBy. One shuffle on a 128-bit hash —
     * the canonical 100 TB-safe exact dedup (hash is uniform, no skew). */
@@ -72,6 +106,7 @@ object Dedup {
   /** d02's core, unsorted — also the edge set of d12's cluster formation
     * (no global sort below the CC loop's joins). */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    assertOracleKernelScale(s, d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         shingleHashes(col("text"), 3).as("sh"))

@@ -737,38 +737,56 @@ object MitoQueries {
     * only then do segments expand to positions. The explode-per-base
     * alternative shuffles read_len× the input (50–150× for real reads);
     * the sweep shuffles exactly 2 rows per read and its window runs
-    * over DISTINCT BOUNDARIES (≤ 2·positions, here ≤ 510), not reads.
-    * At genome scale the window partitions by contig (and range-splits
-    * within one via t14's two-level prefix sum); reads here are
+    * over DISTINCT BOUNDARIES (≤ 2·positions per contig), not reads.
+    * The running sum is PARTITIONED BY CONTIG — the synthesis spreads
+    * reads over two contigs so the partitioned path is actually
+    * exercised, and the in-row plan assert (q43 style) rejects any
+    * unpartitioned window: at genome scale an un-keyed sweep would move
+    * every boundary (≈ positions ≈ 3·10⁹) through one reducer. Within a
+    * single monster contig the same decomposition recurses as t14's
+    * two-level prefix sum over position-range buckets. Reads are
     * synthesized from lineitem (fixed 10 bp span) so the oracle can
     * restate depth as the per-base GROUP BY it replaces. */
   def x11DepthPileup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 1)
-      .select(((col("l_partkey") % 500) + 1).cast("long").as("st"))
-    val diff = reads.select(explode(array(
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 500) + 1).cast("long").as("st"))
+    val diff = reads.select(col("contig"), explode(array(
         struct(col("st").as("pos"), lit(1L).as("delta")),
         struct((col("st") + 10L).as("pos"), lit(-1L).as("delta")))).as("e"))
-      .select(col("e.pos").as("pos"), col("e.delta").as("delta"))
-      .groupBy(col("pos")).agg(sum(col("delta")).as("delta"))
-    val w = Window.orderBy(col("pos"))
-    diff.select(col("pos"),
+      .select(col("contig"), col("e.pos").as("pos"), col("e.delta").as("delta"))
+      .groupBy(col("contig"), col("pos")).agg(sum(col("delta")).as("delta"))
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
+    val r = diff.select(col("contig"), col("pos"),
         sum(col("delta")).over(w).as("depth"),
         lead(col("pos"), 1).over(w).as("next_pos"))
       .where(col("depth") > 0 && col("next_pos").isNotNull)
-      .select(explode(sequence(col("pos"), col("next_pos") - 1)).as("pos"),
+      .select(col("contig"),
+        explode(sequence(col("pos"), col("next_pos") - 1)).as("pos"),
         col("depth"))
-      .orderBy("pos")
+      .orderBy("contig", "pos")
+    val flatWindows = r.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+        if wn.partitionSpec.isEmpty => wn
+    }
+    require(flatWindows.isEmpty,
+      "x11: unpartitioned window survived — the sweep must be keyed by contig")
+    r
   }
 
   /** Oracle is the naive per-base formulation the sweep replaces. */
   val x11Sql: String =
     """WITH r AS (
-      |  SELECT (l_partkey % 500) + 1 AS st
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END
+      |    AS contig, (l_partkey % 500) + 1 AS st
       |  FROM lineitem WHERE l_orderkey % 3 = 1),
-      |p AS (SELECT unnest(generate_series(st, st + 9)) AS pos FROM r)
-      |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS depth
-      |FROM p GROUP BY pos ORDER BY pos""".stripMargin
+      |p AS (SELECT contig, unnest(generate_series(st, st + 9)) AS pos FROM r)
+      |SELECT contig, CAST(pos AS BIGINT) AS pos,
+      |  CAST(COUNT(*) AS BIGINT) AS depth
+      |FROM p GROUP BY contig, pos ORDER BY contig, pos""".stripMargin
 
   // ---------------------------------------------------------------- x12
   /** Generic CIGAR arithmetic — the alignment-geometry scalar kernel
@@ -1025,6 +1043,136 @@ object MitoQueries {
       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_templates
       |FROM t GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- x16
+  /** COORDINATE-SORT gate — [[graft.sources.BamWriter.sortAndWrite]],
+    * the in-engine replacement for the reference workflow's one external
+    * dependency (`samtools sort`, `/root/reference/scripts/alignToMT.sh:70`;
+    * the reference requires sorted input, `/root/reference/README.md:23,32`,
+    * and cannot produce it itself). An UNSORTED multi-contig cohort is
+    * synthesized from lineitem (starts scattered by ·977 mod, contigs
+    * interleaved by suppkey) with a deliberately NON-alphabetical
+    * reference dictionary (chr2 < chr1 < chrM in header order), sorted
+    * and written in-engine, `.gai`-indexed, then verified on BOTH axes:
+    *
+    * `sorted_ok` — the DISTRIBUTED sortedness proof: the file is
+    * re-scanned in forced byte-range splits (planned in ascending
+    * offset order, so partitionId = file order), each split checks its
+    * own (dictionary-ordinal, start) monotonicity and emits only its
+    * boundary keys, and the driver folds the per-split boundary list
+    * (task-metadata-sized, like the writer's commit) — a per-split
+    * check plus boundary chaining is the sortedness audit that survives
+    * a 100 TB file, where any single-pass check is a one-reducer scan.
+    * A lexicographic-NAME sort (chr1 < chr2 < chrM) would fail it.
+    *
+    * `pruned_ok` + the region aggregate — the sorted artifact must be
+    * index-SERVABLE (the point of coordinate order): a mid-domain chr1
+    * region query through the fresh `.gai` must decode a minority of
+    * the file's bytes (x05's accounting) and match the oracle's
+    * synthesis arithmetic exactly. */
+  def x16CoordinateSortGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamIndex, BamWriter, HadoopIO, SamFilters}
+    val (lo, hi) = (1001, 2000) // ~20% of the start domain [1, 5000]
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("readName"),
+      lit(99).as("flag"),
+      when(col("l_suppkey") % 3 === 0, "chr2")
+        .when(col("l_suppkey") % 3 === 1, "chr1")
+        .otherwise("chrM").as("referenceName"),
+      ((col("l_partkey") * 977) % 5000 + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:1").as("attributes"))
+    val refs = Seq("chr2" -> 200000, "chr1" -> 200000, "chrM" -> 16569)
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x16_$sfTag.bam"
+    BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n" +
+        refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString,
+      refs, out, numPartitions = 8)
+    val conf = HadoopIO.driverConf()
+    BamIndex.build(out, conf)
+
+    // distributed sortedness proof over forced splits
+    val ord = refs.map(_._1).zipWithIndex.toMap
+    import s.implicits._
+    val bounds = s.read.format("bam").option("splitsize", 64 * 1024)
+      .load(out).select(col("referenceName"), col("start"))
+      .as[(String, Int)]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val first = rows.next()
+          var last = (ord(first._1), first._2)
+          val firstK = last
+          var sortedWithin = true
+          var n = 1L
+          while (rows.hasNext) {
+            val r = rows.next()
+            val k = (ord(r._1), r._2)
+            if (Ordering[(Int, Int)].lt(k, last)) sortedWithin = false
+            last = k; n += 1
+          }
+          Iterator((pid, firstK._1, firstK._2, last._1, last._2,
+            sortedWithin, n))
+        }
+      }
+      .collect().sortBy(_._1) // per-SPLIT boundary rows, metadata-sized
+    val sortedOk = bounds.nonEmpty && bounds.forall(_._6) &&
+      bounds.sliding(2).forall {
+        case Array(a, b) =>
+          Ordering[(Int, Int)].lteq((a._4, a._5), (b._2, b._3))
+        case _ => true
+      }
+
+    // region servability through the fresh index (x05's byte accounting)
+    val region = s.read.format("bam").load(out)
+      .where(col("referenceName") === "chr1" &&
+        col("start") >= lo && col("start") <= hi)
+    val stats = BamIndex.read(out, conf)
+    val preds = Seq(SamFilters.RefNameEq("chr1"),
+      SamFilters.IntCmp("start", ">=", lo.toLong),
+      SamFilters.IntCmp("start", "<=", hi.toLong))
+    val runs = BamIndex.selectRuns(stats, preds,
+      refs.map(_._1).toArray, 0L, Long.MaxValue)
+    val fileLen = HadoopIO.lenAndMtime(out, conf).get._1
+    val keptBytes = runs.map { case (st, _, end) =>
+      (if (end == Long.MaxValue) fileLen else end) - st
+    }.sum
+    val full = s.read.format("bam").option("splitsize", 64 * 1024).load(out)
+    full.agg(count(lit(1)).as("n_records"),
+        sum(col("start")).as("sum_start"),
+        sum(col("mapQ")).as("sum_mapq"))
+      .crossJoin(region.agg(count(lit(1)).as("n_region"),
+        sum(col("mapQ")).as("region_mapq")))
+      .select(col("n_records"), col("sum_start"), col("sum_mapq"),
+        col("n_region"), col("region_mapq"),
+        lit(sortedOk).as("sorted_ok"),
+        lit(runs.nonEmpty && keptBytes * 2 < fileLen).as("pruned_ok"))
+  }
+
+  /** Oracle from the synthesis arithmetic; the booleans are the pinned
+    * sortedness + index-servability contracts. */
+  val x16Sql: String =
+    """WITH t AS (
+      |  SELECT l_suppkey % 3 AS c,
+      |    (l_partkey * 977) % 5000 + 1 AS st,
+      |    CAST(l_quantity AS INT) AS q
+      |  FROM lineitem WHERE l_orderkey % 4 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+      |  CAST(SUM(st) AS BIGINT) AS sum_start,
+      |  CAST(SUM(q) AS BIGINT) AS sum_mapq,
+      |  CAST(SUM(CASE WHEN c = 1 AND st BETWEEN 1001 AND 2000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_region,
+      |  CAST(SUM(CASE WHEN c = 1 AND st BETWEEN 1001 AND 2000
+      |    THEN q ELSE 0 END) AS BIGINT) AS region_mapq,
+      |  true AS sorted_ok, true AS pruned_ok
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -1040,7 +1188,8 @@ object MitoQueries {
     "x12_cigar_kernel"    -> (x12CigarKernel _),
     "x13_als_gate"        -> (x13AlsGate _),
     "x14_flagstat"        -> (x14Flagstat _),
-    "x15_mate_check"      -> (x15MateCheck _))
+    "x15_mate_check"      -> (x15MateCheck _),
+    "x16_coordinate_sort_gate" -> (x16CoordinateSortGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -1057,5 +1206,6 @@ object MitoQueries {
     "x12_cigar_kernel" -> x12Sql,
     "x13_als_gate" -> x13Sql,
     "x14_flagstat" -> x14Sql,
-    "x15_mate_check" -> x15Sql)
+    "x15_mate_check" -> x15Sql,
+    "x16_coordinate_sort_gate" -> x16Sql)
 }

@@ -25,6 +25,14 @@ import graft.functions.Det._
   */
 object Relational {
 
+  /** Dataset tag for SQL-text temp-view (and temp-function) names: the
+    * session catalog is shared across threads, so a name that encodes
+    * only the query would race when two concurrent runs point the same
+    * query at different sf dirs — the second registration retargets the
+    * first run's view mid-flight (ConcurrentSqlSpec pins this). */
+  private def viewTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_")
+
   private def netPrice: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
@@ -1772,7 +1780,7 @@ object Relational {
     * the fact table). Exact-decimal average (Det discipline) so the
     * threshold compare is engine-stable. */
   def q50CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
-    val tbl = "graft_q50_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = "graft_q50_orders_" + viewTag(d)
     Tables.orders(s, d).createOrReplaceTempView(tbl)
     val df = s.sql(
       s"""SELECT o_orderkey, o_totalprice FROM $tbl o
@@ -2223,20 +2231,23 @@ object Relational {
     * the contract: clean NOT IN (rows survive), polluted NOT IN (zero —
     * the trap), polluted IN (nulls drop from IN but matches remain). */
   def q62NullAwareAntiJoin(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("g62_lineitem")
-    Tables.supplier(s, d).createOrReplaceTempView("g62_supplier")
-    s.sql("""
+    // view names carry the dataset tag (viewTag): un-tagged names race
+    // when two concurrent runs point the same query at different sf dirs
+    val t = viewTag(d)
+    Tables.lineitem(s, d).createOrReplaceTempView(s"g62_lineitem_$t")
+    Tables.supplier(s, d).createOrReplaceTempView(s"g62_supplier_$t")
+    s.sql(s"""
       WITH sub AS (
-        SELECT s_suppkey AS k FROM g62_supplier WHERE s_suppkey % 7 = 0),
+        SELECT s_suppkey AS k FROM g62_supplier_$t WHERE s_suppkey % 7 = 0),
       subn AS (
-        SELECT NULLIF(s_suppkey, 7) AS k FROM g62_supplier
+        SELECT NULLIF(s_suppkey, 7) AS k FROM g62_supplier_$t
         WHERE s_suppkey % 7 = 0)
       SELECT
-        (SELECT COUNT(*) FROM g62_lineitem
+        (SELECT COUNT(*) FROM g62_lineitem_$t
          WHERE l_suppkey NOT IN (SELECT k FROM sub)) AS n_clean,
-        (SELECT COUNT(*) FROM g62_lineitem
+        (SELECT COUNT(*) FROM g62_lineitem_$t
          WHERE l_suppkey NOT IN (SELECT k FROM subn)) AS n_polluted,
-        (SELECT COUNT(*) FROM g62_lineitem
+        (SELECT COUNT(*) FROM g62_lineitem_$t
          WHERE l_suppkey IN (SELECT k FROM subn)) AS n_in_polluted""")
   }
 
@@ -2291,11 +2302,18 @@ object Relational {
     * engineered orphans (the dimension filtered to c_custkey % 3 ≠ 0, so
     * a third of orders lose their customer — null-side counting pins the
     * preserved-row semantics and `count(col)`'s null-skipping), plus a
-    * genuine RIGHT OUTER leg whose row multiplication is collapsed by
-    * distinct counts (a right-preserved customer appears once per
-    * matching order, childless exactly once with a null left side).
-    * Both joins broadcast the dimension side — the fact table never
-    * shuffles. */
+    * dimension-preserved outer leg counting childless customers.
+    *
+    * The left-outer leg broadcasts the dimension (BuildRight — the fact
+    * table never shuffles). The dimension-PRESERVED leg cannot: Spark
+    * supports broadcast-hash right-outer only as BuildLeft, i.e. it
+    * would have to broadcast the FACT side — so a naive `right_outer`
+    * with a broadcast dimension silently falls back to a sort-merge
+    * that exchanges the whole fact table. Instead the fact side is
+    * pre-aggregated to its DISTINCT customer keys (dimension-bounded by
+    * definition — map-side partial agg, then broadcastable), and the
+    * dimension left-outer-joins that: same childless semantics, zero
+    * fact-table exchange. The in-row assert pins both broadcasts. */
   def q64OuterJoinKernel(s: SparkSession, d: String): DataFrame = {
     val csub = Tables.customer(s, d)
       .where(col("c_custkey") % 3 =!= 0)
@@ -2308,13 +2326,18 @@ object Relational {
         sum(col("c_custkey").isNull.cast("long")).as("n_orphans"),
         count(col("c_mktsegment")).as("n_matched"))
     val osub = Tables.orders(s, d).where(col("o_orderkey") % 5 === 0)
-      .select(col("o_custkey"))
-    val ro = osub
-      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "right_outer")
+      .select(col("o_custkey")).distinct()
+    val ro = Tables.customer(s, d).select(col("c_custkey"))
+      .join(broadcast(osub), col("c_custkey") === col("o_custkey"),
+        "left_outer")
       .agg(countDistinct(col("c_custkey")).as("n_cust"),
         countDistinct(when(col("o_custkey").isNull, col("c_custkey")))
           .as("n_childless"))
+    val plan = ro.queryExecution.executedPlan.toString
+    require(plan.contains("BroadcastHashJoin") &&
+        !plan.contains("SortMergeJoin"),
+      "q64: the dimension-preserved leg failed to broadcast the " +
+        "pre-aggregated fact keys")
     lo.crossJoin(ro)
       .select(col("o_orderpriority"), col("n_orders"), col("n_orphans"),
         col("n_matched"), col("n_cust"), col("n_childless"))
@@ -2468,12 +2491,13 @@ object Relational {
     * a dialect-parity kernel for the construct itself. Customers without
     * orders drop (inner lateral semantics), pinned by the row count. */
   def q67LateralTopN(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("g67_customer")
-    Tables.orders(s, d).createOrReplaceTempView("g67_orders")
-    s.sql("""SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+    val t = viewTag(d)
+    Tables.customer(s, d).createOrReplaceTempView(s"g67_customer_$t")
+    Tables.orders(s, d).createOrReplaceTempView(s"g67_orders_$t")
+    s.sql(s"""SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
         o.o_totalprice
-      FROM g67_customer c, LATERAL (
-        SELECT o_orderkey, o_totalprice FROM g67_orders
+      FROM g67_customer_$t c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM g67_orders_$t
         WHERE o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
       ORDER BY c.c_custkey""")
@@ -2500,9 +2524,10 @@ object Relational {
     * not the row count. Only the integer-division spelling differs
     * between the dialects (`div` vs `//`). */
   def q68RecursiveCte(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("g68_customer")
-    s.sql("""WITH RECURSIVE walk(node, cur, d) AS (
-        SELECT c_custkey, c_custkey, 0 FROM g68_customer
+    val t = viewTag(d)
+    Tables.customer(s, d).createOrReplaceTempView(s"g68_customer_$t")
+    s.sql(s"""WITH RECURSIVE walk(node, cur, d) AS (
+        SELECT c_custkey, c_custkey, 0 FROM g68_customer_$t
         UNION ALL
         SELECT node, cur div 10, d + 1 FROM walk WHERE cur > 0)
       SELECT d AS depth, COUNT(*) AS n_nodes, SUM(node) AS id_sum
@@ -2529,8 +2554,9 @@ object Relational {
     * before aggregate; AGGREGATE emits group keys + aggregates). Exact
     * integer aggregates only — no float-order hazard. */
   def q69PipeSyntax(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("g69_lineitem")
-    s.sql("""FROM g69_lineitem
+    val t = viewTag(d)
+    Tables.lineitem(s, d).createOrReplaceTempView(s"g69_lineitem_$t")
+    s.sql(s"""FROM g69_lineitem_$t
       |> WHERE l_discount > 0.05
       |> EXTEND CAST(l_quantity AS BIGINT) AS qi
       |> AGGREGATE COUNT(*) AS n_rows, SUM(qi) AS sum_qty,
@@ -2613,13 +2639,14 @@ object Relational {
     * comparisons stay codegen'd expressions; the distinct count is one
     * hash aggregate on the collated key. */
   def q71CollationKernel(s: SparkSession, d: String): DataFrame = {
-    Tables.part(s, d).createOrReplaceTempView("g71_part")
-    s.sql("""
+    val t = viewTag(d)
+    Tables.part(s, d).createOrReplaceTempView(s"g71_part_$t")
+    s.sql(s"""
       WITH m AS (
         SELECT p_partkey, p_name,
           concat(upper(split_part(p_name, ' ', 1)), ' ',
                  split_part(p_name, ' ', 2)) AS mixed
-        FROM g71_part),
+        FROM g71_part_$t),
       per_row AS (
         SELECT p_partkey,
           collate(mixed, 'UTF8_LCASE') = collate(p_name, 'UTF8_LCASE')
@@ -2670,18 +2697,22 @@ object Relational {
     * BOTH a projection and the GROUP BY key; the oracle is the inline
     * expansion — identical trees, so values hash-match exactly. */
   def q72SqlUdf(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("g72_lineitem")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g72_net(
+    val t = viewTag(d)
+    Tables.lineitem(s, d).createOrReplaceTempView(s"g72_lineitem_$t")
+    // function bodies are dataset-independent, but the names are tagged
+    // anyway: CREATE OR REPLACE on a function another thread is resolving
+    // is a catalog race even when the replacement is byte-identical
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION g72_net_$t(
         p DOUBLE, disc DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - disc)""")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g72_band(q DOUBLE)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION g72_band_$t(q DOUBLE)
       RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'
         WHEN q < 30 THEN 'mid' ELSE 'high' END""")
-    s.sql("""SELECT g72_band(l_quantity) AS band,
+    s.sql(s"""SELECT g72_band_$t(l_quantity) AS band,
         CAST(COUNT(*) AS BIGINT) AS n_rows,
-        CAST(SUM(CAST(g72_net(l_extendedprice, l_discount)
+        CAST(SUM(CAST(g72_net_$t(l_extendedprice, l_discount)
           AS DECIMAL(38,4))) AS DOUBLE) AS net_sum
-      FROM g72_lineitem
-      GROUP BY g72_band(l_quantity) ORDER BY band""")
+      FROM g72_lineitem_$t
+      GROUP BY g72_band_$t(l_quantity) ORDER BY band""")
   }
 
   val q72Sql: String =
@@ -2823,17 +2854,28 @@ object Relational {
   // ---------------------------------------------------------------- q76
   /** MERGE / upsert kernel — the CDC-apply operation every warehouse
     * table lives on (MERGE INTO target USING changes: matched-update,
-    * matched-delete, not-matched-insert), expressed as the single
-    * full-outer join it lowers to on any engine without a transactional
-    * table format. A change feed synthesized from `orders` (delete every
-    * key≡0 mod 10, update keys≡1..3 with +1000 price, insert fresh
-    * keys≡7 offset by 10⁹) merges against the base slice; the result
-    * aggregate (counts by disposition + key/price checksums) is restated
-    * by the oracle from the generating arithmetic. One key-partitioned
-    * shuffle join — CDC batches are usually ≪ base, so the change side
-    * broadcasts at scale and the base never moves; the checksums make a
-    * lost/duplicated/mis-dispatched row flip the hash. Price sums go
-    * through Det's decimal image (2-decimal money). */
+    * matched-delete, not-matched-insert). A change feed synthesized from
+    * `orders` (delete every key≡0 mod 10, update keys≡1..3 with +1000
+    * price, insert fresh keys≡7 offset by 10⁹) merges against the base
+    * slice; the result aggregate (counts by disposition + key/price
+    * checksums) is restated by the oracle from the generating
+    * arithmetic, and the checksums make a lost/duplicated/
+    * mis-dispatched row flip the hash.
+    *
+    * NOT the single full-outer join MERGE is usually lowered to: Spark
+    * cannot broadcast-hash a full-outer join, so that form silently
+    * sort-merges BOTH sides — the base moves even when the CDC batch is
+    * a million× smaller. Decomposed instead into legs that each keep
+    * the base un-shuffled (CDC batches ≪ base is the defining property
+    * of CDC): (1) APPLY — base LEFT-OUTER broadcast-joins the
+    * update/delete changes (BuildRight, supported); (2) INSERT
+    * EXISTENCE — base LEFT-SEMI broadcast-probes the insert keys,
+    * yielding the already-present keys (a CDC-bounded, not base-bounded,
+    * result); (3) the inserts anti-join that small matched set
+    * (tiny×tiny). Every base-sided join broadcasts the CDC side — the
+    * in-row plan assert (q43 style) pins two BroadcastHashJoins against
+    * the base and rejects any SortMergeJoin. Price sums go through
+    * Det's decimal image (2-decimal money). */
   def q76MergeUpsert(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Det.dsum
     val base = Tables.orders(s, d)
@@ -2849,13 +2891,29 @@ object Relational {
           .when(col("m") === 7, lit("I")).otherwise(lit("U")).as("op"),
         when(col("m") === 7, col("o_totalprice"))
           .otherwise(col("o_totalprice") + 1000.0).as("new_price"))
-    val merged = base.join(broadcast(changes),
-        base("o_orderkey") === changes("k"), "full_outer")
+    val upsDel = changes.where(col("op") =!= "I")
+    val applied = base.join(broadcast(upsDel),
+        base("o_orderkey") === upsDel("k"), "left_outer")
       .where(col("op").isNull || col("op") =!= "D")
       .select(
         coalesce(col("k"), col("o_orderkey")).as("key"),
         coalesce(col("new_price"), col("o_totalprice")).as("price"),
         coalesce(col("op"), lit("K")).as("disp"))
+    val ins = changes.where(col("op") === "I")
+    // not-matched check without moving the base: semi-probe the base with
+    // the broadcast insert keys; the survivors (keys ALREADY in the base)
+    // are CDC-bounded, so the final anti-join is small×small
+    val present = base.join(broadcast(ins.select(col("k"))),
+        base("o_orderkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("k"))
+    val inserted = ins.join(broadcast(present), Seq("k"), "left_anti")
+      .select(col("k").as("key"), col("new_price").as("price"),
+        lit("I").as("disp"))
+    val merged = applied.unionByName(inserted)
+    val plan = merged.queryExecution.executedPlan.toString
+    require(!plan.contains("SortMergeJoin") &&
+        "BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "q76: a base-sided MERGE leg failed to broadcast the CDC side")
     merged.agg(
       count(lit(1)).as("n_rows"),
       sum((col("disp") === "K").cast("long")).as("n_kept"),

@@ -1263,10 +1263,14 @@ object Similarity {
     * sizes are set by bits-per-table, pair work Σ|bucket|², the same
     * contract as the d03 LSH bands), exact cosine on candidates, top-k
     * per node. The graph half runs on a deterministic half of the corpus
-    * (vec_id even) to bound the self-join; the gate checks (a) degrees
-    * never exceed k, (b) on the 1-in-10 sampled nodes, bucketed edges
-    * recover ≥ 60% of the true top-3 (brute force priced on the SAMPLE
-    * only — O(n·n/10), the verification pattern that survives scale). */
+    * (vec_id even) to bound the self-join; the gate checks (a) the
+    * bucketed candidate generation actually SUPPLIES the graph — ≥ 90%
+    * of nodes reach full degree k and no node is isolated (falsifiable:
+    * a bits-per-table or multi-probe regression starves buckets and
+    * flips it; a `<= k` bound would be tautological under the top-k
+    * rank), (b) on the 1-in-10 sampled nodes, bucketed edges recover
+    * ≥ 60% of the true top-3 (brute force priced on the SAMPLE only —
+    * O(n·n/10), the verification pattern that survives scale). */
   def s19KnnGraphGate(s: SparkSession, d: String): DataFrame = {
     val k = 3
     val e = Tables.embeddings(s, d)
@@ -1292,9 +1296,16 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("id"), col("b_id"))
-    val degOk = edges.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .agg(max(col("deg")).as("max_deg"))
-      .select((col("max_deg") <= k).as("degree_ok"))
+    // degree from the NODE side (left-outer), so isolated nodes count as
+    // degree 0 instead of silently vanishing from the edge list
+    val degOk = e.select(col("id"))
+      .join(edges.groupBy(col("id")).agg(count(lit(1)).as("deg")),
+        Seq("id"), "left_outer")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .agg(avg((col("deg") === k).cast("double")).as("frac_full"),
+        min(col("deg")).as("min_deg"))
+      .select((col("frac_full") >= 0.9 && col("min_deg") >= 1)
+        .as("degree_ok"))
     // truth on the sample only: brute top-k among the SAME node set
     val sample = e.where(col("id") % 10 === 0)
       .select(col("id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))

@@ -1126,12 +1126,27 @@ object TextAnalysis {
     * probe branches); the occurrence count and dup-start probe shuffle
     * uniform 60-bit keys with map-side combine; dup starts collapse to a
     * per-doc sorted int array (bounded by doc length) joined back on
-    * dense doc_id; the coverage test is a per-row HOF —
-    * O(n_tok · n_dup_starts) worst case; a two-pointer merge via
-    * `aggregate` would make it linear without changing any exchange. */
+    * dense doc_id; the coverage test is a LINEAR per-row merge — the
+    * sorted starts expand to a boolean coverage array via per-gap
+    * run-length segments (`min(SpanW, gap)` covered + remainder
+    * uncovered, all `array_repeat`/`flatten`/`zip_with` codegen HOFs),
+    * then each token does one O(1) `element_at` probe: O(n_tok +
+    * n_dup_starts) per row, replacing the previous
+    * O(n_tok · n_dup_starts) exists-scan (kept as
+    * [[spanScrubQuadratic]], the spec's equality oracle) — no exchange
+    * changes. */
   /** Core scrub over any (doc_id, text) frame — see [[t20SpanScrub]] for
     * the gated corpus entry point and the scale contract. */
-  def spanScrub(docs: DataFrame): DataFrame = {
+  def spanScrub(docs: DataFrame): DataFrame =
+    spanScrubImpl(docs, linear = true)
+
+  /** The O(n_tok · n_dup_starts) exists-scan coverage form the linear
+    * merge replaced — kept ONLY as the spec's equality oracle (same
+    * exchanges, different per-row kernel). */
+  private[graft] def spanScrubQuadratic(docs: DataFrame): DataFrame =
+    spanScrubImpl(docs, linear = false)
+
+  private def spanScrubImpl(docs: DataFrame, linear: Boolean): DataFrame = {
     val docsF = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = size(col("toks"))
     val starts0 = when(n >= SpanW, sequence(lit(1), n - (SpanW - 1)))
@@ -1147,12 +1162,41 @@ object TextAnalysis {
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("w"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("w"))).as("starts"))
+    val kept =
+      if (!linear)
+        filter(col("toks"), (tok, i0) =>
+          !exists(col("starts"),
+            st => st <= i0 + 1 && i0 + 1 <= st + lit(SpanW - 1)))
+      else {
+        // linear merge of the sorted starts into a coverage bitmap: for
+        // each start, its gap to the NEXT start (last gap runs to n+1)
+        // contributes min(SpanW, gap) covered positions then the
+        // remainder uncovered; the prefix before the first start is
+        // uncovered. Run lengths telescope to exactly n, so `cov` is a
+        // position-aligned boolean array and each token probes it with
+        // one O(1) element_at.
+        val nexts = concat(
+          slice(col("starts"), lit(2),
+            greatest(size(col("starts")) - 1, lit(0))),
+          when(size(col("starts")) > 0, array(n + 1))
+            .otherwise(array().cast("array<int>")))
+        val segs = zip_with(col("starts"), nexts, (st, nx) =>
+          concat(
+            array_repeat(lit(true), least(nx - st, lit(SpanW)).cast("int")),
+            array_repeat(lit(false),
+              greatest(nx - st - SpanW, lit(0)).cast("int"))))
+        // try_element_at: ANSI-safe null (not error) on the empty array
+        val cov = concat(
+          array_repeat(lit(false),
+            (coalesce(try_element_at(col("starts"), lit(1)), n + 1) - 1)
+              .cast("int")),
+          flatten(segs))
+        filter(col("toks"), (tok, i0) => !element_at(cov, i0 + 1))
+      }
     docsF.join(dupStarts, Seq("doc_id"), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("kept", filter(col("toks"), (tok, i0) =>
-        !exists(col("starts"),
-          st => st <= i0 + 1 && i0 + 1 <= st + lit(SpanW - 1))))
+      .withColumn("kept", kept)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
         size(col("kept")).cast("long").as("n_kept"),
         md5(array_join(col("kept"), " ")).as("scrub_md5"))
@@ -1817,20 +1861,58 @@ object TextAnalysis {
     * (training-order reproducibility is a debugging requirement; a
     * `rand()` shuffle can't replay): epoch e's position of a doc is its
     * rank under md5(doc_id ‖ epoch) — a keyed permutation, different
-    * every epoch, identical every rerun, and computable WITHOUT a
-    * global sort at scale (rank = prefix sums over hash-range buckets,
-    * t14's two-level technique; here the oracle-restatable window form
-    * pins the semantics). Emits both epochs' positions per doc plus a
-    * derangement check (the two epochs must not share a prefix). */
+    * every epoch, identical every rerun — computed WITHOUT a global
+    * sort: the rank decomposes over HASH-RANGE BUCKETS (t14's two-level
+    * prefix-sum technique). The bucket is the hash's top byte (256
+    * buckets; md5 hex is fixed-width lowercase, so lexicographic order
+    * of the full digest = (bucket, remainder) order), per-bucket counts
+    * are a 256-row aggregate whose cumulative offsets are folded on the
+    * DRIVER (dimension-sized by contract, like the NUMT table — no
+    * single-partition WindowExec anywhere) and broadcast-joined back,
+    * and the within-bucket rank is a PARTITIONED window. The md5 keys
+    * are uniform, so the 256 bucket partitions are balanced at any
+    * corpus size. The in-row plan assert pins the contract: no
+    * unpartitioned logical Window survives optimization (the flat
+    * `Window.orderBy` form lives only in the oracle SQL and the
+    * bucketed==flat equality spec). */
   def t30EpochShuffle(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def pos(epoch: Int) = row_number().over(
-      Window.orderBy(
-        md5(encode(concat(col("doc_id").cast("string"), lit(s":e$epoch")),
-          "UTF-8")), col("doc_id")))
-    Tables.documents(s, d)
-      .select(col("doc_id"), pos(1).as("pos_e1"), pos(2).as("pos_e2"))
+    def h(epoch: Int): Column =
+      md5(encode(concat(col("doc_id").cast("string"), lit(s":e$epoch")),
+        "UTF-8"))
+    // staged once: both epochs' bucket counts AND both rank branches read
+    // the hashed columns without re-deriving the corpus scan per branch
+    val docs = Dedup.truncateLineage(
+      Tables.documents(s, d)
+        .select(col("doc_id"), h(1).as("h1"), h(2).as("h2")))
+    def rank(hc: String, out: String): DataFrame = {
+      val bucketed = docs.select(col("doc_id"), col(hc).as("h"))
+        .withColumn("blk", conv(substring(col("h"), 1, 2), 16, 10)
+          .cast("int"))
+      // ≤256 rows: the model-sized collect that replaces the global sort
+      val counts = bucketed.groupBy(col("blk"))
+        .agg(count(lit(1)).as("c")).orderBy("blk").collect()
+      var acc = 0L
+      val offs = counts.map { r =>
+        val o = (r.getInt(0), acc); acc += r.getLong(1); o
+      }.toSeq
+      val offsDf = s.createDataFrame(offs).toDF("blk", "off")
+      val ww = Window.partitionBy(col("blk"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      bucketed.join(broadcast(offsDf), Seq("blk"))
+        .select(col("doc_id"),
+          (col("off") + row_number().over(ww)).cast("int").as(out))
+    }
+    val r = rank("h1", "pos_e1").join(rank("h2", "pos_e2"), Seq("doc_id"))
       .orderBy("doc_id")
+    val flatWindows = r.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    require(flatWindows.isEmpty,
+      "t30: unpartitioned window survived — the bucketed rank must not " +
+        "move the corpus to one reducer")
+    r
   }
 
   val t30Sql: String =
@@ -1964,8 +2046,15 @@ object TextAnalysis {
     * the raw Robertson odds ratio (N−df+0.5)/(df+0.5) WITHOUT the log:
     * every per-term score is then pure rational double arithmetic, and an
     * identical expression tree is bit-deterministic across engines, which
-    * a libm `ln` is not (monotone in df either way, so the ranking
-    * semantics survive). Per-doc summation over matched terms goes
+    * a libm `ln` is not. The determinism is a TRADE-OFF, not free:
+    * per-term the raw ratio is monotone in df (single-term rankings
+    * agree with log-idf BM25 exactly), but summed multi-term scores
+    * weight rare terms linearly instead of logarithmically, so a
+    * cross-document top-k CAN order multi-term docs differently from
+    * Robertson log-idf BM25 — acceptable here because the oracle gate
+    * needs bit-exact cross-engine agreement; a production ranker wanting
+    * textbook BM25 swaps `ln(idf)` back in and gates with a relative
+    * tolerance instead of an exact hash. Per-doc summation goes
     * through [[graft.functions.Det.dsum]] (exact decimal image), so
     * partial-aggregation order cannot perturb the total, and the top-20
     * order is totalized by (score desc, doc_id).

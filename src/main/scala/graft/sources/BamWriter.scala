@@ -60,6 +60,44 @@ object BamWriter {
     * no decode), appends the file-level EOF marker, and drops the scratch
     * dir. Failed/zombie task attempts write distinct part names the driver
     * never reads, so retries and speculation are safe. */
+  /** COORDINATE SORT + single-file write — the in-engine replacement for
+    * the one external tool the reference workflow still shells out to
+    * (`samtools sort`, `scripts/alignToMT.sh:70`; the reference REQUIRES
+    * coordinate-sorted input and delegates producing it,
+    * `README.md:23,32`). Sort key is (reference-dictionary ORDINAL,
+    * start) — the SAM-spec coordinate order, which is the HEADER's
+    * contig order, not the names' lexicographic order (chr10 < chr2
+    * lexicographically; the x16 gate uses a non-alphabetical dictionary
+    * so a name-sorting regression fails loudly). Unmapped records
+    * (refName absent from the dictionary, e.g. "*") sort LAST — the
+    * samtools convention — and still encode as refId −1.
+    *
+    * Scale shape: `repartitionByRange` samples the key space and
+    * assigns ascending key ranges to ascending partition ids — a contig
+    * larger than one partition splits across consecutive ranges, so
+    * balance survives the human-genome shape (two contigs = 60% of
+    * bases). Each task then sorts ONLY its range (spillable external
+    * sort) and streams it as BGZF members; [[write]] concatenates the
+    * part-files in partition order, so ascending ranges + sorted
+    * partitions = a globally coordinate-sorted file with no driver-side
+    * sort and no single-reducer stage. This is exactly samtools
+    * sort's merge shape, distributed. */
+  def sortAndWrite(records: DataFrame, headerText: String,
+      refs: Seq[(String, Int)], out: String, numPartitions: Int = 0): Long = {
+    import org.apache.spark.sql.functions._
+    val s = records.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ordMap = typedLit(refs.map(_._1).zipWithIndex.toMap)
+    val sorted = records
+      .withColumn("__ref_ord",
+        coalesce(try_element_at(ordMap, col("referenceName")),
+          lit(Int.MaxValue)))
+      .repartitionByRange(n, col("__ref_ord"), col("start"))
+      .sortWithinPartitions(col("__ref_ord"), col("start"))
+    write(sorted, headerText, refs, out)
+  }
+
   def write(records: DataFrame, headerText: String,
       refs: Seq[(String, Int)], out: String): Long = {
     import org.apache.hadoop.fs.Path

@@ -340,6 +340,22 @@ class ExtOpsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq)
   }
 
+  test("t30 bucketed rank equals the flat global-sort window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def pos(epoch: Int) = row_number().over(
+      Window.orderBy(
+        md5(encode(concat(col("doc_id").cast("string"), lit(s":e$epoch")),
+          "UTF-8")), col("doc_id")))
+    val flat = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), pos(1).as("pos_e1"), pos(2).as("pos_e2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val bucketed = TextAnalysis.t30EpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(bucketed === flat)
+  }
+
   // ------------------------------------------------------------- m09
   test("m09 audio resample kernels: exact grids, negatives floor down, roundtrip") {
     import graft.operators.AudioOps._

@@ -14,12 +14,19 @@ class LateR9OpsSpec extends SparkSpec {
   test("x11 sweep formulation equals the naive per-base explode") {
     val naive = graft.Tables.lineitem(spark, sf)
       .where(col("l_orderkey") % 3 === 1)
-      .select(((col("l_partkey") % 500) + 1).cast("long").as("st"))
-      .select(explode(sequence(col("st"), col("st") + 9)).as("pos"))
-      .groupBy(col("pos")).agg(count(lit(1)).as("depth"))
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 500) + 1).cast("long").as("st"))
+      .select(col("contig"),
+        explode(sequence(col("st"), col("st") + 9)).as("pos"))
+      .groupBy(col("contig"), col("pos")).agg(count(lit(1)).as("depth"))
     val sweep = MitoQueries.x11DepthPileup(spark, sf)
     assert(sweep.exceptAll(naive).isEmpty && naive.exceptAll(sweep).isEmpty,
       "sweep and explode formulations disagree")
+    // both contigs must actually appear — otherwise the partitioned
+    // window is never exercised beyond one key
+    assert(sweep.select("contig").distinct().count() === 2)
   }
 
   // ------------------------------------------------------------- t32

@@ -1091,6 +1091,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) === ((3L, 3L, md5hex("a b c"))))
   }
 
+  test("t20 linear coverage merge equals the quadratic exists-scan form") {
+    import spark.implicits._
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    // overlapping + adjacent + isolated dup spans in one doc, plus the
+    // corpus, so the run-length merge's min(SpanW, gap) branches all fire
+    val docs = Seq(
+      (1L, s"a b $shared c d $shared e"),
+      (2L, s"$shared $shared"),
+      (3L, "lone short doc")
+    ).toDF("doc_id", "text")
+      .unionByName(graft.Tables.documents(spark, sf)
+        .select(col("doc_id") + 5000000L as "doc_id", col("text")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val lin = TextAnalysis.spanScrub(docs).collect().map(key).toSeq
+    val quad = TextAnalysis.spanScrubQuadratic(docs).collect().map(key).toSeq
+    assert(lin === quad)
+  }
+
   test("plan shapes: t18 ratio dim and d20 benchmark index join as broadcasts") {
     // the 100 TB claims as CI assertions, not prose: the corpus-sized side
     // must never be the build side of these joins

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 contracts: dataset-tagged SQL-text temp views survive
+  * concurrent same-query runs on different sf dirs, and the
+  * block-quadratic d02 oracle kernel refuses corpus-scale inputs. */
+class R10OpsSpec extends SparkSpec {
+
+  private val sfA = "/root/testdata/sf0.001"
+  private val sfB = "/root/testdata/sf0.01"
+
+  test("SQL-text queries: concurrent runs on different sf dirs don't race") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // q67 + q62 both register temp views; before dataset tagging, the
+    // second registration retargeted the first run's view mid-flight
+    def run(d: String): (Long, Long) = {
+      val lateral = Relational.q67LateralTopN(spark, d)
+        .agg(sum(col("o_orderkey"))).head.getLong(0)
+      val nullAware = Relational.q62NullAwareAntiJoin(spark, d)
+        .head.getLong(0)
+      (lateral, nullAware)
+    }
+    val expectA = run(sfA)
+    val expectB = run(sfB)
+    assert(expectA !== expectB, "fixture: the two sf dirs must differ")
+    (1 to 3).foreach { _ =>
+      val fa = Future(run(sfA))
+      val fb = Future(run(sfB))
+      assert(Await.result(fa, 120.seconds) === expectA)
+      assert(Await.result(fb, 120.seconds) === expectB)
+    }
+  }
+
+  test("d02 oracle kernel refuses past the scale cap, directing to the banded wiring") {
+    spark.conf.set("spark.graft.oracleKernelMaxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.d02NgramJaccard(spark, sfA).collect()
+      }
+      assert(e.getMessage.contains("nearDedupKeep"))
+      assert(e.getMessage.contains("oracleKernelMaxRows"))
+    } finally spark.conf.unset("spark.graft.oracleKernelMaxRows")
+    // back under the default cap the kernel runs
+    assert(Dedup.d02NgramJaccard(spark, sfA).count() >= 0)
+  }
+}

@@ -21,6 +21,32 @@ class BamWriterSpec extends SparkSpec {
     assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
   }
 
+  test("sortAndWrite: dictionary-ORDER sort (not name order), unmapped last") {
+    import spark.implicits._
+    // dictionary order chr2 < chr1; name order would invert it. One
+    // unmapped record ("*") must land at the very end, encoded refId -1.
+    val recs = Seq(
+      ("r1", 0, "chr1", 500, 60), ("r2", 0, "chr2", 900, 60),
+      ("r3", 0, "chr1", 10, 60), ("r4", 0, "chr2", 5, 60),
+      ("r5", 0, "*", 1, 0), ("r6", 0, "chr2", 901, 60))
+      .toDF("readName", "flag", "referenceName", "start", "mapQ")
+      .select(col("readName"), col("flag"), col("referenceName"),
+        col("start"), col("mapQ"), lit("10M").as("cigar"),
+        lit("*").as("rnext"), lit(0).as("pnext"), lit(0).as("tlen"),
+        lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+        lit("NM:i:0").as("attributes"))
+    val tmp = java.nio.file.Files.createTempDirectory("bamsort").toString
+    val refs = Seq("chr2" -> 10000, "chr1" -> 10000)
+    val n = BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr2\tLN:10000\n@SQ\tSN:chr1\tLN:10000\n",
+      refs, s"$tmp/sorted.bam", numPartitions = 3)
+    assert(n === 6)
+    // single split -> DataFrame row order is file order
+    val back = spark.read.format("bam").load(s"$tmp/sorted.bam")
+      .select("readName").collect().map(_.getString(0)).toSeq
+    assert(back === Seq("r4", "r2", "r6", "r3", "r1", "r5"))
+  }
+
   test("written file carries the BGZF EOF marker and a valid header") {
     val tmp = java.nio.file.Files.createTempDirectory("bamw2").toString
     val src = Sam.read(spark, resource("mito/sample_NT.sam"))
