@@ -1173,6 +1173,87 @@ object MitoQueries {
       |  true AS sorted_ok, true AS pruned_ok
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- x17
+  /** PCR/optical DUPLICATE MARKING over any alignment frame — the
+    * `samtools markdup` / Picard MarkDuplicates step that follows
+    * coordinate sort in every alignment pipeline (PCR amplification
+    * yields multiple reads of one physical fragment; leaving them in
+    * double-counts evidence in every downstream depth/variant call).
+    * Reads sharing a fragment signature — (contig, start, mate start,
+    * orientation bit) — are duplicates of one fragment; the
+    * highest-quality read survives, the rest get flag bit 0x400 (the
+    * SAM-spec duplicate flag). Keep choice is totalized by
+    * (mapQ desc, readName asc) so marking is deterministic under ties.
+    *
+    * Scale shape: ONE shuffle on the fragment signature (uniform —
+    * genomic positions; group sizes are bounded by the PCR duplication
+    * factor, single digits in practice, so the per-group window is
+    * skew-free by construction). No corpus-sized window, no driver
+    * state — the same per-key profile as x15's mate aggregation. */
+  def markDuplicates(reads: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("referenceName"), col("start"), col("pnext"),
+        col("flag").bitwiseAND(lit(16)))
+      .orderBy(col("mapQ").desc, col("readName").asc)
+    reads
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("flag",
+        when(col("__rk") === 1, col("flag"))
+          .otherwise(col("flag").bitwiseOR(lit(1024))))
+      .drop("__rk")
+  }
+
+  /** Driver gate: the x16 sort feeds markdup (the real pipeline order),
+    * with fragment multiplicity synthesized from lineitem (fragment
+    * signature = l_partkey mod 300, so group sizes and per-group max
+    * quality are oracle arithmetic). */
+  def x17MarkdupGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamWriter, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 5 === 2)
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("readName"),
+      lit(99).as("flag"),
+      lit("chrM").as("referenceName"),
+      ((col("l_partkey") % 300) + 1).cast("int").as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      ((col("l_partkey") % 300) + 501).cast("int").as("pnext"),
+      lit(500).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x17_$sfTag.bam"
+    BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrM\tLN:16569\n",
+      Seq("chrM" -> 16569), out, numPartitions = 8)
+    val marked = markDuplicates(
+      s.read.format("bam").option("splitsize", 64 * 1024).load(out))
+    val isDup = col("flag").bitwiseAND(lit(1024)) =!= 0
+    marked.agg(
+      count(lit(1)).as("n_reads"),
+      sum((!isDup).cast("long")).as("n_kept"),
+      sum(isDup.cast("long")).as("n_marked"),
+      sum(when(!isDup, col("mapQ")).otherwise(0)).as("sum_kept_mapq"),
+      sum(when(!isDup, col("start")).otherwise(0)).as("sum_kept_start"))
+  }
+
+  /** Oracle replays the fragment arithmetic: one survivor per signature,
+    * carrying the group's max quality. */
+  val x17Sql: String =
+    """WITH r AS (
+      |  SELECT (l_partkey % 300) + 1 AS st, CAST(l_quantity AS INT) AS q
+      |  FROM lineitem WHERE l_orderkey % 5 = 2),
+      |g AS (SELECT st, MAX(q) AS mq FROM r GROUP BY st)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_reads,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r)
+      |    - CAST(COUNT(*) AS BIGINT) AS n_marked,
+      |  CAST(SUM(mq) AS BIGINT) AS sum_kept_mapq,
+      |  CAST(SUM(st) AS BIGINT) AS sum_kept_start
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_pair_score"    -> (x01PairScore _),
     "x02_mito_features" -> (x02MitoFeatures _),
@@ -1189,7 +1270,8 @@ object MitoQueries {
     "x13_als_gate"        -> (x13AlsGate _),
     "x14_flagstat"        -> (x14Flagstat _),
     "x15_mate_check"      -> (x15MateCheck _),
-    "x16_coordinate_sort_gate" -> (x16CoordinateSortGate _))
+    "x16_coordinate_sort_gate" -> (x16CoordinateSortGate _),
+    "x17_markdup_gate"    -> (x17MarkdupGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -1207,5 +1289,6 @@ object MitoQueries {
     "x13_als_gate" -> x13Sql,
     "x14_flagstat" -> x14Sql,
     "x15_mate_check" -> x15Sql,
-    "x16_coordinate_sort_gate" -> x16Sql)
+    "x16_coordinate_sort_gate" -> x16Sql,
+    "x17_markdup_gate" -> x17Sql)
 }

@@ -1880,30 +1880,40 @@ object TextAnalysis {
     def h(epoch: Int): Column =
       md5(encode(concat(col("doc_id").cast("string"), lit(s":e$epoch")),
         "UTF-8"))
+    def blk(c: Column): Column =
+      conv(substring(c, 1, 2), 16, 10).cast("int")
     // staged once: both epochs' bucket counts AND both rank branches read
     // the hashed columns without re-deriving the corpus scan per branch
     val docs = Dedup.truncateLineage(
       Tables.documents(s, d)
-        .select(col("doc_id"), h(1).as("h1"), h(2).as("h2")))
-    def rank(hc: String, out: String): DataFrame = {
-      val bucketed = docs.select(col("doc_id"), col(hc).as("h"))
-        .withColumn("blk", conv(substring(col("h"), 1, 2), 16, 10)
-          .cast("int"))
-      // ≤256 rows: the model-sized collect that replaces the global sort
-      val counts = bucketed.groupBy(col("blk"))
-        .agg(count(lit(1)).as("c")).orderBy("blk").collect()
+        .select(col("doc_id"), h(1).as("h1"), h(2).as("h2"))
+        .withColumn("blk1", blk(col("h1")))
+        .withColumn("blk2", blk(col("h2"))))
+    // BOTH epochs' bucket histograms in ONE action (≤512 rows: the
+    // model-sized collect that replaces the global sorts)
+    val counts = docs.select(explode(array(
+        struct(lit(1).as("e"), col("blk1").as("b")),
+        struct(lit(2).as("e"), col("blk2").as("b")))).as("x"))
+      .groupBy(col("x.e").as("e"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c")).orderBy("e", "b").collect()
+    def offsDf(epoch: Int): DataFrame = {
       var acc = 0L
-      val offs = counts.map { r =>
-        val o = (r.getInt(0), acc); acc += r.getLong(1); o
+      val offs = counts.filter(_.getInt(0) == epoch).map { r =>
+        val o = (r.getInt(1), acc); acc += r.getLong(2); o
       }.toSeq
-      val offsDf = s.createDataFrame(offs).toDF("blk", "off")
+      s.createDataFrame(offs).toDF("blk", "off")
+    }
+    def rank(hc: String, blkc: String, epoch: Int, out: String): DataFrame = {
+      val bucketed = docs.select(col("doc_id"), col(hc).as("h"),
+        col(blkc).as("blk"))
       val ww = Window.partitionBy(col("blk"))
         .orderBy(col("h").asc, col("doc_id").asc)
-      bucketed.join(broadcast(offsDf), Seq("blk"))
+      bucketed.join(broadcast(offsDf(epoch)), Seq("blk"))
         .select(col("doc_id"),
           (col("off") + row_number().over(ww)).cast("int").as(out))
     }
-    val r = rank("h1", "pos_e1").join(rank("h2", "pos_e2"), Seq("doc_id"))
+    val r = rank("h1", "blk1", 1, "pos_e1")
+      .join(rank("h2", "blk2", 2, "pos_e2"), Seq("doc_id"))
       .orderBy("doc_id")
     val flatWindows = r.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window

@@ -35,6 +35,31 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("x17 markdup: keeps best quality per fragment, orientation splits groups, ties deterministic") {
+    import spark.implicits._
+    val reads = Seq(
+      // one fragment, three PCR copies: keep rB (best mapQ)
+      ("rA", 99, "chrM", 100, 30, 600), ("rB", 99, "chrM", 100, 60, 600),
+      ("rC", 99, "chrM", 100, 45, 600),
+      // same position but REVERSE strand (flag bit 16 set on 83): its own group
+      ("rD", 83, "chrM", 100, 20, 600),
+      // mapQ tie: smaller readName wins
+      ("rE", 99, "chrM", 200, 50, 700), ("rF", 99, "chrM", 200, 50, 700),
+      // singleton: never marked
+      ("rG", 99, "chrM", 300, 10, 800))
+      .toDF("readName", "flag", "referenceName", "start", "mapQ", "pnext")
+    val out = MitoQueries.markDuplicates(reads).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert((out("rA") & 1024) != 0 && (out("rC") & 1024) != 0)
+    assert((out("rB") & 1024) == 0)
+    assert((out("rD") & 1024) == 0, "reverse-strand read is its own fragment")
+    assert((out("rE") & 1024) == 0 && (out("rF") & 1024) != 0,
+      "tie must break on readName")
+    assert((out("rG") & 1024) == 0)
+    // non-flag columns and row count untouched
+    assert(out.size === 7)
+  }
+
   test("d02 oracle kernel refuses past the scale cap, directing to the banded wiring") {
     spark.conf.set("spark.graft.oracleKernelMaxRows", "10")
     try {
