@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
-      operators.MitoQueries.queries
+      operators.MitoQueries.queries ++
+      operators.Genomics.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Multimodal.oracles ++
-      operators.MitoQueries.oracles
+      operators.MitoQueries.oracles ++
+      operators.Genomics.oracles
 }

@@ -180,81 +180,12 @@ object Sam {
     * member runs plus a header member and the spec's EOF marker. BGZF is
     * concatenation-safe, so the result is one valid bgzip file that the
     * compressed reader (and any gzip tool) scans — WITH intra-file
-    * splits. */
+    * splits. Both plain and compressed go through
+    * [[graft.sources.TextSink]], so every task streams its own partition —
+    * no `coalesce(1)` collapsing the upstream compute to one task. */
   def writeSingleSamWithHeader(header: Seq[String], records: DataFrame,
       out: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    if (out.endsWith(".gz") || out.endsWith(".bgz")) {
-      writeSingleSamBgzf(header, records, out)
-      return
-    }
-    val conf = records.sparkSession.sparkContext.hadoopConfiguration
-    val tmp = out + ".tmp"
-    records.select(col("line")).coalesce(1).write.mode("overwrite").text(tmp)
-    val tmpPath = new Path(tmp)
-    val fs = tmpPath.getFileSystem(conf)
-    val parts = fs.listStatus(tmpPath).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
-    val w = fs.create(new Path(out), true)
-    try {
-      // per-line suffix, not mkString's unconditional one: an empty header
-      // must contribute zero bytes, not a lone newline
-      val headerBytes = header.map(_ + "\n").mkString.getBytes("UTF-8")
-      w.write(headerBytes)
-      parts.foreach { p =>
-        val in = fs.open(p.getPath)
-        try in.transferTo(w) finally in.close()
-      }
-    } finally w.close()
-    fs.delete(tmpPath, true)
-  }
-
-  /** BGZF single-file text sink (see [[writeSingleSamWithHeader]]'s doc).
-    * Same commit shape as [[graft.sources.BamWriter.write]]: executor
-    * tasks stream member runs to attempt-suffixed part files, the driver
-    * byte-concatenates the successful attempts in partition order. */
-  private def writeSingleSamBgzf(header: Seq[String], records: DataFrame,
-      out: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.Encoders
-    val confBox = graft.sources.HadoopIO.capture()
-    val partsDir = out + ".parts"
-    val parts = records.select(col("line"))
-      .mapPartitions { rows =>
-        if (!rows.hasNext) Iterator.empty
-        else {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val path = f"$partsDir/part-$pid%05d-a${tc.attemptNumber()}"
-          val os = new java.io.BufferedOutputStream(
-            graft.sources.HadoopIO.create(path, confBox.conf), 1 << 16)
-          try {
-            val bz = new graft.sources.BgzfOutputStream(os)
-            while (rows.hasNext)
-              bz.write((rows.next().getString(0) + "\n").getBytes("UTF-8"))
-            bz.flushBlock() // members only — the EOF marker is file-level
-          } finally os.close()
-          Iterator((pid, path))
-        }
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
-      .collect() // task METADATA only: (partition, path) pairs
-      .sortBy(_._1)
-    val conf = records.sparkSession.sparkContext.hadoopConfiguration
-    val fs = new Path(out).getFileSystem(conf)
-    val os = fs.create(new Path(out), true)
-    try {
-      val bz = new graft.sources.BgzfOutputStream(os)
-      bz.write(header.map(_ + "\n").mkString.getBytes("UTF-8"))
-      bz.flushBlock() // header as its own member run (zero bytes → none)
-      parts.foreach { case (_, p) =>
-        val in = fs.open(new Path(p))
-        try in.transferTo(os) finally in.close()
-      }
-      os.write(graft.sources.BgzfOutputStream.EofMarker)
-    } finally {
-      os.close()
-      fs.delete(new Path(partsDir), true)
-    }
+    graft.sources.TextSink.write(header, records.select(col("line")), out)
+    ()
   }
 }

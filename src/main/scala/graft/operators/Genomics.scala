@@ -1,0 +1,436 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Alignment-QC and variant-emission operators downstream of the
+  * reference's pipeline stages — the steps a MitoScape user runs AROUND
+  * the classifier (reference README.md:23,32 requires coordinate-sorted
+  * input; README.md:50-52 sends the classified BAM to a variant caller):
+  * coverage intervals (bedgraph), insert-size metrics, site-level variant
+  * calls emitted as a sorted single-file VCF, and mate-consistent
+  * subsampling. Each op states its 100 TB shuffle shape; gates are
+  * synthesized from lineitem so DuckDB can replay the arithmetic.
+  */
+object Genomics {
+
+  /** Reject any plan whose optimized form retains an unpartitioned
+    * window — the q43-style in-row guard the sweep ops use so a
+    * regression to a single-reducer window flips CORRECTNESS. */
+  private def requireKeyedWindows(df: DataFrame, who: String): Unit = {
+    val flat = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    require(flat.isEmpty,
+      s"$who: unpartitioned window survived — sweep must be keyed by contig")
+  }
+
+  // ---------------------------------------------------------------- x18
+  /** Maximal constant-depth COVERAGE INTERVALS (`bedtools genomecov -bga`
+    * minus the zero rows / `samtools depth` run-length-collapsed) — the
+    * artifact QC dashboards and callable-region pickers consume. Built on
+    * x11's sweep: reads contribute (+1 at start, −1 at end) deltas,
+    * deltas aggregate per boundary, and — the interval-specific step —
+    * boundaries whose NET delta is zero are dropped BEFORE the running
+    * sum: every surviving boundary then changes depth, so consecutive
+    * boundaries delimit maximal runs by construction and no second
+    * "merge equal neighbors" window pass is needed. Segments with depth 0
+    * (gaps) fall out of the final filter; `end_pos` is exclusive.
+    *
+    * Scale shape: 2 shuffled rows per read (the boundary aggregate,
+    * map-side combinable), then a per-CONTIG window over distinct
+    * boundaries — never corpus-global, enforced by an in-plan require.
+    * Within one monster contig the window decomposes further as t14's
+    * two-level prefix sum over position-range buckets (the x11 note). */
+  def coverageIntervals(reads: DataFrame): DataFrame = {
+    val diff = reads.select(col("contig"), explode(array(
+        struct(col("start").as("pos"), lit(1L).as("delta")),
+        struct(col("end").as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("contig"), col("e.pos").as("pos"), col("e.delta").as("delta"))
+      .groupBy(col("contig"), col("pos")).agg(sum(col("delta")).as("delta"))
+      .where(col("delta") =!= 0)
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
+    diff.select(col("contig"), col("pos").as("start_pos"),
+        sum(col("delta")).over(w).as("depth"),
+        lead(col("pos"), 1).over(w).as("end_pos"))
+      .where(col("depth") > 0)
+      .select(col("contig"), col("start_pos"), col("end_pos"), col("depth"))
+  }
+
+  /** Driver gate: 10 bp reads on two contigs synthesized from lineitem;
+    * the oracle recomputes intervals by the naive per-base GROUP BY +
+    * gaps-and-islands formulation the sweep replaces. */
+  def x18CoverageIntervals(s: SparkSession, d: String): DataFrame = {
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 6 === 3)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val r = coverageIntervals(reads).orderBy("contig", "start_pos")
+    requireKeyedWindows(r, "x18")
+    r
+  }
+
+  val x18Sql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END
+      |    AS contig, (l_partkey % 400) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 6 = 3),
+      |p AS (SELECT contig, unnest(generate_series(st, st + 9)) AS pos FROM r),
+      |dep AS (SELECT contig, pos, COUNT(*) AS depth FROM p GROUP BY 1, 2),
+      |m AS (SELECT contig, pos, depth,
+      |  CASE WHEN lag(pos) OVER w = pos - 1 AND lag(depth) OVER w = depth
+      |       THEN 0 ELSE 1 END AS brk
+      |  FROM dep WINDOW w AS (PARTITION BY contig ORDER BY pos)),
+      |g AS (SELECT contig, pos, depth,
+      |  SUM(brk) OVER (PARTITION BY contig ORDER BY pos) AS grp FROM m)
+      |SELECT contig, CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos,
+      |  CAST(depth AS BIGINT) AS depth
+      |FROM g GROUP BY contig, grp, depth
+      |ORDER BY contig, start_pos""".stripMargin
+
+  // ---------------------------------------------------------------- x19
+  /** INSERT-SIZE distribution (`samtools stats` "insert size" section /
+    * Picard CollectInsertSizeMetrics) — the library-prep QC every
+    * paired-end pipeline reports. Each template is counted ONCE via the
+    * SAM convention that the leftmost mate carries the positive TLEN
+    * (spec §1.4.9), so no pair/dedup join is needed; the histogram is a
+    * single map-side-combinable aggregate on `tlen DIV binWidth` with
+    * exact integer summaries per bin.
+    *
+    * Scale shape: narrow scan (flag+tlen only — columnar pruning leaves
+    * names/sequences unread) → one tiny-keyed groupBy. Nothing else. */
+  def insertSizeHistogram(reads: DataFrame, binWidth: Int): DataFrame =
+    reads.where(col("tlen") > 0)
+      .select(expr(s"CAST(tlen DIV $binWidth AS BIGINT)").as("bin"),
+        col("tlen"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("tlen")).cast("long").as("sum_tlen"),
+        min(col("tlen")).as("min_tlen"),
+        max(col("tlen")).as("max_tlen"))
+      .orderBy("bin")
+
+  /** Driver gate: templates synthesized from lineitem as proper pairs —
+    * the leftmost mate (flag 99) carries +T, the rightmost (flag 147)
+    * −T, so the one-sided count is exactly one row per template. */
+  def x19InsertSize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 7 === 1)
+    val t = ((col("l_partkey") % 900) + 100).cast("int")
+    val reads = li.select(explode(array(
+        struct(lit(99).as("flag"), t.as("tlen")),
+        struct(lit(147).as("flag"), (-t).as("tlen")))).as("e"))
+      .select(col("e.flag").as("flag"), col("e.tlen").as("tlen"))
+    insertSizeHistogram(reads, 100)
+  }
+
+  val x19Sql: String =
+    """SELECT CAST(t // 100 AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(t) AS BIGINT) AS sum_tlen,
+      |  CAST(MIN(t) AS INT) AS min_tlen,
+      |  CAST(MAX(t) AS INT) AS max_tlen
+      |FROM (SELECT (l_partkey % 900) + 100 AS t
+      |      FROM lineitem WHERE l_orderkey % 7 = 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- x20
+  /** Site-level VARIANT CALLS → sorted single-file VCF — the handoff from
+    * this engine to the reference workflow's downstream caller
+    * (README.md:50-52). Per-site allele count (AC) and read depth (DP)
+    * are computed in ONE pass by merging variant observations into the
+    * pileup sweep's event stream: reads contribute (±1, 0) boundary
+    * events, variant observations contribute (0, +1) probe events at
+    * their site, a single per-contig running sum over the merged
+    * aggregated stream yields DP at every position INCLUDING the probe
+    * sites — no join between a depth table and a variant table at all
+    * (the join is the naive formulation; merged events make it a second
+    * column of the same aggregate). Sites then render through
+    * [[graft.sources.VcfWriter]] (range-partitioned dictionary-order
+    * sort, distributed part streaming, driver byte concat).
+    *
+    * Scale shape: 3 shuffled event rows per read, one per-contig window
+    * (keyed — in-plan require), one range exchange for the sort. The
+    * gate re-reads the written artifact (splittable plain text) and
+    * pins the parse-back aggregate, plus the header-line count, against
+    * the synthesis arithmetic. */
+  def callSites(reads: DataFrame): DataFrame = {
+    val events = reads.select(col("contig"), explode(array(
+        struct(col("start").as("pos"), lit(1L).as("delta"), lit(0L).as("q")),
+        struct(col("end").as("pos"), lit(-1L).as("delta"), lit(0L).as("q")),
+        struct(col("var_pos").as("pos"), lit(0L).as("delta"),
+          when(col("var_pos").isNotNull, 1L).otherwise(0L).as("q")))).as("e"))
+      .select(col("contig"), col("e.pos").as("pos"),
+        col("e.delta").as("delta"), col("e.q").as("q"))
+      .where(col("pos").isNotNull)
+      .groupBy(col("contig"), col("pos"))
+      .agg(sum(col("delta")).as("delta"), sum(col("q")).as("ac"))
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
+    events
+      .withColumn("dp", sum(col("delta")).over(w))
+      .where(col("ac") > 0)
+      .select(col("contig"), col("pos"), col("ac"), col("dp"))
+  }
+
+  def x20VcfGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HadoopIO, VcfWriter}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 6 === 5)
+    // two contigs, dictionary order chrM < chr1: a constant contig would
+    // let Catalyst fold the window's partition key away (and would leave
+    // the per-contig path untested — the x11 lesson)
+    val reads = li.select(
+        when(col("l_suppkey") % 2 === 0, "chrM").otherwise("chr1")
+          .as("contig"),
+        ((col("l_partkey") % 1000) + 1).cast("long").as("start"),
+        (col("l_linenumber") % 3 === 0).as("has_var"))
+      .withColumn("end", col("start") + 10L)
+      .withColumn("var_pos", when(col("has_var"), col("start") + 2L))
+    val sites = callSites(reads)
+      .select(col("contig"), col("pos"), lit("A").as("ref"),
+        lit("G").as("alt"), col("ac"), col("dp"))
+    requireKeyedWindows(sites, "x20")
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x20_$sfTag.vcf"
+    VcfWriter.write(sites, Seq("chrM" -> 16569, "chr1" -> 200000), out)
+    val meta = s.read.text(out)
+      .where(col("value").startsWith("#"))
+      .agg(count(lit(1)).as("n_meta"))
+    VcfWriter.read(s, out)
+      .agg(count(lit(1)).as("n_sites"), sum(col("pos")).as("sum_pos"),
+        sum(col("ac")).as("sum_ac"), sum(col("dp")).as("sum_dp"),
+        countDistinct(col("contig")).as("n_contigs"))
+      .crossJoin(meta)
+  }
+
+  /** Oracle replays the synthesis: AC per (contig, site) from the planted
+    * variant rows, DP from the naive per-base depth the merged sweep
+    * replaces; the 6 meta lines are the writer's fixed header shape
+    * (fileformat + 2 contigs + 2 INFO + column header). */
+  val x20Sql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chrM' ELSE 'chr1' END
+      |    AS contig, (l_partkey % 1000) + 1 AS st,
+      |    (l_linenumber % 3 = 0) AS v
+      |  FROM lineitem WHERE l_orderkey % 6 = 5),
+      |vs AS (SELECT contig, st + 2 AS pos, COUNT(*) AS ac FROM r
+      |  WHERE v GROUP BY 1, 2),
+      |p AS (SELECT contig, unnest(generate_series(st, st + 9)) AS pos FROM r),
+      |dep AS (SELECT contig, pos, COUNT(*) AS dp FROM p GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sites,
+      |  CAST(SUM(pos) AS BIGINT) AS sum_pos,
+      |  CAST(SUM(ac) AS BIGINT) AS sum_ac,
+      |  CAST(SUM(dp) AS BIGINT) AS sum_dp,
+      |  CAST(COUNT(DISTINCT contig) AS BIGINT) AS n_contigs,
+      |  CAST(6 AS BIGINT) AS n_meta
+      |FROM vs JOIN dep USING (contig, pos)""".stripMargin
+
+  // ---------------------------------------------------------------- x21
+  /** Mate-consistent SUBSAMPLING (`samtools view -s` semantics): keep a
+    * read iff a hash of its template name clears the keep threshold —
+    * both mates share the name, so templates survive or drop WHOLE, with
+    * zero coordination (no pair join, no state). The hash is md5-derived
+    * (first 8 hex digits mod 1000 vs a permille threshold) so the
+    * decision is engine-replayable, seed-stable, and independent of
+    * position — subsampled coverage stays uniform.
+    *
+    * Scale shape: a pure narrow filter — no shuffle at all, and with a
+    * columnar source only the name column is read to decide. The gate's
+    * orphan audit (names with exactly one kept mate, necessarily zero) is the only
+    * shuffle, and it is gate plumbing, not the operator. */
+  def downsampleReads(reads: DataFrame, keepPermille: Int,
+      seed: String): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille must be in [0,1000], got $keepPermille")
+    reads.where(
+      conv(substring(md5(concat(col("readName"), lit(seed))), 1, 8), 16, 10)
+        .cast("long") % 1000 < keepPermille)
+  }
+
+  def x21DownsampleGate(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 7 === 3)
+    val name = concat(lit("r"), col("l_orderkey"), lit("_"),
+      col("l_linenumber"), lit("_"), col("l_partkey"), lit("_"),
+      col("l_suppkey"))
+    val reads = li.select(name.as("readName"),
+        explode(array(lit(99), lit(147))).as("flag"),
+        col("l_quantity").cast("int").as("mapQ"))
+    val kept = downsampleReads(reads, 250, "g21")
+    kept.groupBy(col("readName"))
+      .agg(count(lit(1)).as("c"), sum(col("mapQ")).as("mq"))
+      .agg(sum(col("c")).as("n_kept"),
+        sum((col("c") === 2).cast("long")).as("n_pairs"),
+        sum((col("c") === 1).cast("long")).as("n_orphans"),
+        sum(col("mq")).as("sum_mapq"))
+  }
+
+  /** Oracle replays the md5 threshold per template name; orphans are
+    * structurally zero (the filter is a pure name function). */
+  val x21Sql: String =
+    """WITH r AS (
+      |  SELECT 'r' || l_orderkey || '_' || l_linenumber || '_' ||
+      |    l_partkey || '_' || l_suppkey AS name,
+      |    CAST(l_quantity AS INT) AS q
+      |  FROM lineitem WHERE l_orderkey % 7 = 3),
+      |k AS (SELECT name, q FROM r
+      |  WHERE CAST(CONCAT('0x', substr(md5(name || 'g21'), 1, 8)) AS BIGINT)
+      |    % 1000 < 250)
+      |SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(0 AS BIGINT) AS n_orphans,
+      |  CAST(2 * SUM(q) AS BIGINT) AS sum_mapq
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------- x22
+  /** NM-tag CONSISTENCY AUDIT (`samtools calmd` / ValidateSamFile's
+    * NM check) — the cross-kernel QC every pipeline runs after
+    * realignment: the claimed NM edit distance must equal what the MD
+    * tag and CIGAR actually describe (substitutions from MD + inserted
+    * bases from CIGAR I + deleted bases from CIGAR D), and the MD
+    * deletion runs must agree with CIGAR D base-for-base. All three
+    * derivations are generic codegen builtins, no UDF: MD substitutions
+    * = letters remaining after stripping `^`-runs, MD deletions = summed
+    * `^`-run lengths (regexp_extract_all + HOF fold), CIGAR op sums =
+    * x12's token-scan fold. Reads whose claimed NM disagrees are
+    * flagged, not "fixed" — the audit is the operator.
+    *
+    * Scale shape: narrow per-row expressions + one global aggregate;
+    * zero shuffles before the final combine. */
+  def nmAudit(reads: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("cigar"),
+      lit("(\\d+)([MIDNSHP=X])"), lit(0))
+    val pairs = transform(toks, t => struct(
+      t.substr(lit(1), length(t) - 1).cast("long").as("len"),
+      t.substr(length(t), lit(1)).as("op")))
+    def opSum(ops: String*) =
+      aggregate(filter(pairs, p => p.getField("op").isin(ops: _*)),
+        lit(0L), (acc, p) => acc + p.getField("len"))
+    val stripped = regexp_replace(col("md"), "\\^[ACGTN]+", "")
+    val subs = (length(stripped) -
+      length(regexp_replace(stripped, "[ACGTN]", ""))).cast("long")
+    val delMd = aggregate(
+      transform(regexp_extract_all(col("md"), lit("\\^([ACGTN]+)"), lit(1)),
+        r => length(r).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    reads
+      .withColumn("nm_expected", subs + opSum("I") + opSum("D"))
+      .withColumn("del_cigar", opSum("D"))
+      .withColumn("del_md", delMd)
+      .withColumn("nm_claimed",
+        regexp_extract(col("attributes"), "NM:i:(\\d+)", 1).cast("long"))
+      .withColumn("nm_ok", col("nm_claimed") === col("nm_expected"))
+      .withColumn("del_ok", col("del_cigar") === col("del_md"))
+  }
+
+  /** Driver gate: MD/CIGAR/NM synthesized coherently from lineitem, with
+    * NM corrupted (+1) on a key-derivable subset — the flagged count and
+    * both checksums are closed-form oracle arithmetic (x12's check-the-
+    * parser-against-the-construction discipline). */
+  def x22NmAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 10 === 7)
+    val nsub = col("l_linenumber") % 3
+    val ins = col("l_suppkey") % 4 + 1
+    val del = col("l_partkey") % 5 + 1
+    val bad = (col("l_orderkey") % 13 === 0).cast("int")
+    val reads = li.select(
+      concat(lit("4"), expr("repeat('A3', l_linenumber % 3)"), lit("^"),
+        expr("repeat('G', l_partkey % 5 + 1)"), lit("6")).as("md"),
+      concat(lit("10M"), ins, lit("I"), lit("5M"), del, lit("D"), lit("6M"))
+        .as("cigar"),
+      concat(lit("NM:i:"), nsub + ins + del + bad).as("attributes"))
+    nmAudit(reads).agg(
+      count(lit(1)).as("n_reads"),
+      sum(col("nm_ok").cast("long")).as("n_ok"),
+      sum((!col("nm_ok")).cast("long")).as("n_flagged"),
+      sum(col("del_ok").cast("long")).as("n_del_ok"),
+      sum(col("nm_claimed")).as("sum_claimed"),
+      sum(col("nm_expected")).as("sum_expected"))
+  }
+
+  val x22Sql: String =
+    """WITH r AS (
+      |  SELECT l_linenumber % 3 AS nsub, l_suppkey % 4 + 1 AS ins,
+      |    l_partkey % 5 + 1 AS del,
+      |    CASE WHEN l_orderkey % 13 = 0 THEN 1 ELSE 0 END AS bad
+      |  FROM lineitem WHERE l_orderkey % 10 = 7)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(1 - bad) AS BIGINT) AS n_ok,
+      |  CAST(SUM(bad) AS BIGINT) AS n_flagged,
+      |  CAST(COUNT(*) AS BIGINT) AS n_del_ok,
+      |  CAST(SUM(nsub + ins + del + bad) AS BIGINT) AS sum_claimed,
+      |  CAST(SUM(nsub + ins + del) AS BIGINT) AS sum_expected
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- x23
+  /** Per-contig BASE COMPOSITION / GC content (`samtools stats` GC
+    * section, FastQC per-base content) — counts of A/C/G/T across each
+    * contig's reads plus the integer-exact GC permille. Per-base counts
+    * come from the length-difference of `translate` (count of G =
+    * len(seq) − len(seq without G)) — a codegen string kernel, no
+    * explode-per-base (which would shuffle read_len× the input).
+    *
+    * Scale shape: narrow 2-column scan → map-side-combinable per-contig
+    * aggregate; contigs are dozens, the combine is trivial. */
+  def baseComposition(reads: DataFrame): DataFrame = {
+    def cnt(b: String) =
+      (length(col("sequence")) -
+        length(translate(col("sequence"), b, ""))).cast("long")
+    reads.select(col("contig"), length(col("sequence")).cast("long").as("len"),
+        cnt("A").as("a"), cnt("C").as("c"), cnt("G").as("g"), cnt("T").as("t"))
+      .groupBy(col("contig"))
+      .agg(count(lit(1)).as("n_reads"), sum(col("len")).as("n_bases"),
+        sum(col("a")).as("n_a"), sum(col("c")).as("n_c"),
+        sum(col("g")).as("n_g"), sum(col("t")).as("n_t"))
+      .withColumn("gc_permille", expr("((n_g + n_c) * 1000) div n_bases"))
+      .orderBy("contig")
+  }
+
+  /** Driver gate: sequences built as A^a C^c G^g T^t runs with
+    * lineitem-derived run lengths, so every count is closed-form. */
+  def x23BaseComposition(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 10 === 9)
+    val reads = li.select(
+      when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM").as("contig"),
+      concat(expr("repeat('A', CAST(l_quantity AS INT) % 20 + 1)"),
+        expr("repeat('C', l_partkey % 7 + 1)"),
+        expr("repeat('G', l_suppkey % 9 + 1)"),
+        expr("repeat('T', l_linenumber % 5 + 1)")).as("sequence"))
+    baseComposition(reads)
+  }
+
+  val x23Sql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END
+      |    AS contig,
+      |    CAST(l_quantity AS INT) % 20 + 1 AS a, l_partkey % 7 + 1 AS c,
+      |    l_suppkey % 9 + 1 AS g, l_linenumber % 5 + 1 AS t
+      |  FROM lineitem WHERE l_orderkey % 10 = 9)
+      |SELECT contig, CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(a + c + g + t) AS BIGINT) AS n_bases,
+      |  CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(c) AS BIGINT) AS n_c,
+      |  CAST(SUM(g) AS BIGINT) AS n_g, CAST(SUM(t) AS BIGINT) AS n_t,
+      |  CAST((SUM(g) + SUM(c)) * 1000 // SUM(a + c + g + t) AS BIGINT)
+      |    AS gc_permille
+      |FROM r GROUP BY contig ORDER BY contig""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_coverage_intervals" -> (x18CoverageIntervals _),
+    "x19_insert_size"        -> (x19InsertSize _),
+    "x20_vcf_gate"           -> (x20VcfGate _),
+    "x21_downsample_gate"    -> (x21DownsampleGate _),
+    "x22_nm_audit"           -> (x22NmAudit _),
+    "x23_base_composition"   -> (x23BaseComposition _))
+
+  val oracles: Map[String, String] = Map(
+    "x18_coverage_intervals" -> x18Sql,
+    "x19_insert_size"        -> x19Sql,
+    "x20_vcf_gate"           -> x20Sql,
+    "x21_downsample_gate"    -> x21Sql,
+    "x22_nm_audit"           -> x22Sql,
+    "x23_base_composition"   -> x23Sql)
+}

@@ -2130,6 +2130,84 @@ object TextAnalysis {
       |FROM sc GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  /** Mixture MATERIALIZATION with fractional-epoch repetition — the third
+    * leg of the mixture tooling: t21 computes each source's target
+    * allocation, t09 cuts a source DOWN to a budget; t34 is the UP-sampling
+    * path real recipes need when a small high-quality source's allocation
+    * exceeds its size (Gopher/Llama-style "books see ~2.5 epochs while
+    * crawl sees 0.6"): each source materializes ⌊alloc/size⌋ FULL epochs
+    * plus one deterministic fractional epoch holding the remainder.
+    * Everything is integer arithmetic: per-source weight w = (source
+    * ordinal mod 3)+1, allocation = B·w div Σw, full = alloc div size,
+    * rem = alloc mod size; a document joins the fractional epoch iff
+    * md5(doc_id‖salt) mod 10⁶ < rem·10⁶ div size — a deterministic,
+    * engine-replayable coin whose expected token mass is the remainder
+    * (exact-to-the-token selection would be t09's cutoff; the hash coin is
+    * chosen here because it needs NO window at all and keeps the fractional
+    * epoch an i.i.d. sample of the source, which the cutoff's
+    * longest-first bias is not).
+    *
+    * Scale shape: per-source stats are one map-side-combinable agg joined
+    * back broadcast (sources are dozens); the explode to `copies` rows per
+    * doc IS the materialization (output-sized, unavoidable); the
+    * fractional coin is a narrow expression. No window, no corpus-keyed
+    * shuffle anywhere — compare t09, which needs its two-level histogram
+    * precisely because cutoff semantics force an order. */
+  private val MatBudget = 60000L
+
+  def t34MixtureMaterialize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val stats = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("tok"))
+      .withColumn("w", substring(col("source"), 4, 10).cast("long") % 3 + 1)
+    val plan = stats.crossJoin(broadcast(stats.agg(sum(col("w")).as("tw"))))
+      .withColumn("alloc", expr(s"($MatBudget * w) div tw"))
+      .withColumn("fullep", expr("alloc div tok"))
+      .withColumn("rem", expr("alloc % tok"))
+      .select(col("source"), col("tok"), col("fullep"), col("rem"))
+    docs.join(broadcast(plan), Seq("source"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("doc_id"), lit("t34"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("extra",
+        (col("h") < expr("(rem * 1000000) div tok")).cast("long"))
+      .withColumn("copies", col("fullep") + col("extra"))
+      .where(col("copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("copies"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_out"),
+        sum(col("n_chars")).cast("long").as("tok_out"),
+        max(col("fullep")).as("full_epochs"))
+      .orderBy("source")
+  }
+
+  /** Oracle restates the materialized sums without the explode (a doc with
+    * k copies contributes k rows / k·n_chars tokens). */
+  val t34Sql: String =
+    s"""WITH st AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok,
+      |    (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS w
+      |  FROM documents GROUP BY source),
+      |pl AS (
+      |  SELECT source, tok,
+      |    (($MatBudget * w) // (SELECT SUM(w) FROM st)) AS alloc
+      |  FROM st),
+      |pl2 AS (SELECT source, tok, alloc // tok AS fullep,
+      |    alloc % tok AS rem FROM pl),
+      |dd AS (
+      |  SELECT d.source, d.n_chars, p.fullep,
+      |    p.fullep + (CASE WHEN
+      |      CAST(CONCAT('0x', substr(md5(d.doc_id || 't34'), 1, 8)) AS BIGINT)
+      |        % 1000000 < (p.rem * 1000000) // p.tok
+      |      THEN 1 ELSE 0 END) AS copies
+      |  FROM documents d JOIN pl2 p USING (source))
+      |SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs_out,
+      |  CAST(SUM(copies * n_chars) AS BIGINT) AS tok_out,
+      |  CAST(MAX(fullep) AS BIGINT) AS full_epochs
+      |FROM dd GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2163,7 +2241,8 @@ object TextAnalysis {
     "t30_epoch_shuffle" -> (t30EpochShuffle _),
     "t31_gopher_rules" -> (t31GopherRules _),
     "t32_sliding_chunks" -> (t32SlidingChunks _),
-    "t33_bm25"        -> (t33Bm25 _))
+    "t33_bm25"        -> (t33Bm25 _),
+    "t34_mixture_materialize" -> (t34MixtureMaterialize _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2197,5 +2276,6 @@ object TextAnalysis {
     "t30_epoch_shuffle" -> t30Sql,
     "t31_gopher_rules" -> t31Sql,
     "t32_sliding_chunks" -> t32Sql,
-    "t33_bm25"        -> t33Sql)
+    "t33_bm25"        -> t33Sql,
+    "t34_mixture_materialize" -> t34Sql)
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-file VCF sink — the downstream artifact of the reference's
+  * workflow: MitoScape's classified BAM exists to feed mitochondrial
+  * variant calling (reference README.md:50-52 — "Variant Calling …
+  * any variant caller will do", tested on Mutect2), whose interchange
+  * format is VCF; a variant table is useless to that ecosystem until it is
+  * a coordinate-sorted VCF. The writer takes a site-level variant frame
+  * `(contig, pos, ref, alt, ac, dp)`, range-partitions it by
+  * (reference-dictionary ordinal, pos) — the same total order
+  * [[BamWriter.sortAndWrite]] uses, so header dictionary order governs,
+  * not lexicographic contig names — sorts within partitions, renders VCF
+  * 4.2 records, and commits through [[TextSink]]: every task streams its
+  * own partition to a part file, the driver concatenates header + part
+  * bytes in partition order, and the range partitioning makes the
+  * concatenation globally sorted. An `out` ending `.vcf.gz`/`.bgz` lands
+  * as BGZF members — the bgzip framing `tabix`/`bcftools` require — via
+  * TextSink's compressed mode.
+  *
+  * Scale shape: one range exchange on (ordinal, pos) — uniform keys,
+  * genomic positions — then a narrow render; nothing corpus-sized touches
+  * the driver (part paths only, same commit contract as the BAM sink).
+  */
+object VcfWriter {
+
+  /** Write `variants` (columns contig, pos, ref, alt, ac, dp) as one
+    * coordinate-sorted VCF at `out`. Returns the record count. */
+  def write(variants: DataFrame, refs: Seq[(String, Int)], out: String,
+      numPartitions: Int = 0): Long = {
+    val s = variants.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ordMap = typedLit(refs.map(_._1).zipWithIndex.toMap)
+    val lines = variants
+      .withColumn("__ord",
+        coalesce(try_element_at(ordMap, col("contig")), lit(Int.MaxValue)))
+      .repartitionByRange(n, col("__ord"), col("pos"))
+      .sortWithinPartitions(col("__ord"), col("pos"))
+      .select(concat_ws("\t",
+        col("contig"), col("pos"), lit("."), col("ref"), col("alt"),
+        lit("."), lit("PASS"),
+        concat(lit("AC="), col("ac"), lit(";DP="), col("dp"))).as("line"))
+    val header = Seq("##fileformat=VCFv4.2") ++
+      refs.map { case (c, l) => s"##contig=<ID=$c,length=$l>" } ++
+      Seq("##INFO=<ID=AC,Number=A,Type=Integer,Description=\"Allele count\">",
+        "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Site depth\">",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    TextSink.write(header, lines, out)
+  }
+
+  /** Scan a VCF written by [[write]] (or any site-level VCF with AC/DP
+    * INFO keys) back into the canonical variant frame. Plain text only —
+    * splittable via the ordinary text source. */
+  def read(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    s.read.text(path)
+      .where(!col("value").startsWith("#"))
+      .select(split(col("value"), "\t").as("f"))
+      .select(col("f").getItem(0).as("contig"),
+        col("f").getItem(1).cast("long").as("pos"),
+        col("f").getItem(3).as("ref"),
+        col("f").getItem(4).as("alt"),
+        regexp_extract(col("f").getItem(7), "AC=(\\d+)", 1)
+          .cast("long").as("ac"),
+        regexp_extract(col("f").getItem(7), "DP=(\\d+)", 1)
+          .cast("long").as("dp"))
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts for the alignment-QC / variant-emission family (x18-x21)
+  * and the mixture materializer (t34). */
+class GenomicsSpec extends SparkSpec {
+
+  test("x18 coverage intervals: maximal runs, exclusive ends, gaps dropped") {
+    import spark.implicits._
+    // chr1: [10,20) and [15,25) overlap -> depths 1,2,1; gap; [40,50)
+    // chr2: two identical reads -> one depth-2 run (net-zero inner
+    // boundary must not split it)
+    val reads = Seq(
+      ("chr1", 10L, 20L), ("chr1", 15L, 25L), ("chr1", 40L, 50L),
+      ("chr2", 5L, 9L), ("chr2", 5L, 9L))
+      .toDF("contig", "start", "end")
+    val got = Genomics.coverageIntervals(reads)
+      .orderBy("contig", "start_pos")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("chr1", 10L, 15L, 1L), ("chr1", 15L, 20L, 2L), ("chr1", 20L, 25L, 1L),
+      ("chr1", 40L, 50L, 1L), ("chr2", 5L, 9L, 2L)))
+    // maximality: no two adjacent segments share a depth
+    got.sliding(2).foreach {
+      case Seq(a, b) if a._1 == b._1 && a._3 == b._2 =>
+        assert(a._4 !== b._4, s"non-maximal adjacent runs: $a $b")
+      case _ =>
+    }
+  }
+
+  test("x18 equals the naive per-base formulation on a random fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val reads = Seq.fill(300)(
+      (if (rnd.nextBoolean()) "c1" else "c2",
+        rnd.nextInt(200).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .map { case (c, st, len) => (c, st, st + len) }
+      .toDF("contig", "start", "end")
+    val sweep = Genomics.coverageIntervals(reads)
+      .select(col("contig"),
+        explode(sequence(col("start_pos"), col("end_pos") - 1)).as("pos"),
+        col("depth"))
+    val naive = reads
+      .select(col("contig"),
+        explode(sequence(col("start"), col("end") - 1)).as("pos"))
+      .groupBy("contig", "pos").agg(count(lit(1)).as("depth"))
+    assert(sweep.exceptAll(naive).isEmpty && naive.exceptAll(sweep).isEmpty)
+  }
+
+  test("x19 insert-size histogram counts each template once, exact bins") {
+    import spark.implicits._
+    // three templates: tlen 150 (bin 1), 250 (bin 2), 260 (bin 2);
+    // negative-tlen mates and tlen-0 unmapped mates never count
+    val reads = Seq(
+      (99, 150), (147, -150), (99, 250), (147, -250),
+      (99, 260), (147, -260), (4, 0))
+      .toDF("flag", "tlen")
+    val got = Genomics.insertSizeHistogram(reads, 100)
+      .as[(Long, Long, Long, Int, Int)].collect().toSeq
+    assert(got === Seq((1L, 1L, 150L, 150, 150), (2L, 2L, 510L, 250, 260)))
+  }
+
+  test("x20 VCF roundtrip: sorted by dictionary order, parse-back equals sites") {
+    import spark.implicits._
+    import graft.sources.VcfWriter
+    // dictionary order chrB < chrA (non-alphabetical on purpose)
+    val sites = Seq(
+      ("chrA", 5L, "A", "G", 2L, 7L), ("chrB", 9L, "A", "G", 1L, 3L),
+      ("chrB", 2L, "A", "G", 4L, 4L), ("chrA", 1L, "A", "G", 1L, 9L))
+      .toDF("contig", "pos", "ref", "alt", "ac", "dp")
+      .repartition(3) // scrambled input partitioning
+    val refs = Seq("chrB" -> 1000, "chrA" -> 1000)
+    val out = java.nio.file.Files.createTempDirectory("vcf").toString + "/t.vcf"
+    VcfWriter.write(sites, refs, out, numPartitions = 3)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    val meta = lines.takeWhile(_.startsWith("#"))
+    assert(meta.head === "##fileformat=VCFv4.2")
+    assert(meta.last.startsWith("#CHROM"))
+    val body = lines.dropWhile(_.startsWith("#"))
+    val keys = body.map { l =>
+      val f = l.split("\t"); (f(0), f(1).toLong)
+    }
+    val ord = refs.map(_._1).zipWithIndex.toMap
+    assert(keys === keys.sortBy { case (c, p) => (ord(c), p) },
+      "records must land in reference-dictionary coordinate order")
+    assert(keys.map(_._1) === Seq("chrB", "chrB", "chrA", "chrA"))
+    val back = VcfWriter.read(spark, out)
+      .as[(String, Long, String, String, Long, Long)].collect().toSet
+    assert(back === sites.as[(String, Long, String, String, Long, Long)]
+      .collect().toSet)
+  }
+
+  test("x20 callSites: merged-event DP equals per-base depth at the sites") {
+    import spark.implicits._
+    // reads [10,20) x2, [15,25); variants observed at 12 (x2) and 18
+    val reads = Seq(
+      ("c", 10L, 20L, Some(12L)), ("c", 10L, 20L, Some(12L)),
+      ("c", 15L, 25L, Some(18L)), ("c", 30L, 40L, None))
+      .toDF("contig", "start", "end", "var_pos")
+    val got = Genomics.callSites(reads)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // depth at 12: two reads cover; at 18: all three [10,20)x2 + [15,25)
+    assert(got === Set(("c", 12L, 2L, 2L), ("c", 18L, 1L, 3L)))
+  }
+
+  test("x21 downsample: deterministic, mate-consistent, threshold-monotone") {
+    import spark.implicits._
+    val reads = (1 to 400).flatMap { i =>
+      Seq((s"r$i", 99, 10), (s"r$i", 147, 10))
+    }.toDF("readName", "flag", "mapQ")
+    val a = Genomics.downsampleReads(reads, 250, "s").collect().toSet
+    val b = Genomics.downsampleReads(reads, 250, "s").collect().toSet
+    assert(a === b, "same seed must select the same reads")
+    // mate consistency: every kept name appears exactly twice
+    val byName = a.groupBy(_.getString(0)).values.map(_.size).toSet
+    assert(byName === Set(2) || a.isEmpty)
+    // a larger keep fraction is a superset (hash threshold is monotone)
+    val c = Genomics.downsampleReads(reads, 600, "s").collect().toSet
+    assert(a.subsetOf(c))
+    // a different seed selects a different subset
+    val e = Genomics.downsampleReads(reads, 250, "other").collect().toSet
+    assert(a !== e)
+    // keep rate lands near the target (400 names, 25% ±10pt)
+    val rate = a.size / 2 / 400.0
+    assert(rate > 0.15 && rate < 0.35, s"keep rate $rate far from 0.25")
+  }
+
+  test("x22 nmAudit: MD subs + CIGAR I/D reconstruct NM, mismatches flagged") {
+    import spark.implicits._
+    val reads = Seq(
+      // 2 subs (A,T), 1 ins, 2 del; NM=5 claimed -> ok, MD ^GG == CIGAR 2D
+      ("3A2T4^GG1", "5M1I5M2D1M", "AS:i:0\tNM:i:5"),
+      // clean read: no subs/ins/del, NM=0
+      ("10", "10M", "NM:i:0"),
+      // claimed NM wrong (2 vs actual 1 sub)
+      ("5C4", "10M", "NM:i:2"),
+      // MD deletion disagrees with CIGAR D (3 vs 2)
+      ("4^GGG4", "4M2D4M", "NM:i:5"))
+      .toDF("md", "cigar", "attributes")
+    val got = Genomics.nmAudit(reads)
+      .select("nm_expected", "nm_claimed", "nm_ok", "del_cigar", "del_md",
+        "del_ok")
+      .as[(Long, Long, Boolean, Long, Long, Boolean)].collect().toSeq
+    assert(got(0) === ((5L, 5L, true, 2L, 2L, true)))
+    assert(got(1) === ((0L, 0L, true, 0L, 0L, true)))
+    assert(got(2) === ((1L, 2L, false, 0L, 0L, true)))
+    assert(got(3)._4 === 2L && got(3)._5 === 3L && !got(3)._6)
+  }
+
+  test("x23 baseComposition: translate-kernel counts and integer GC") {
+    import spark.implicits._
+    val reads = Seq(
+      ("c1", "AACCGGTT"), ("c1", "GGGG"), ("c2", "AT"))
+      .toDF("contig", "sequence")
+    val got = Genomics.baseComposition(reads)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // c1: 2 reads, 12 bases, A2 C2 G6 T2, GC = 8000/12 = 666
+    assert(got === Seq(
+      ("c1", 2L, 12L, 2L, 2L, 6L, 2L, 666L),
+      ("c2", 1L, 2L, 1L, 0L, 0L, 1L, 0L)))
+  }
+
+  test("t34 mixture: copies = full epochs + fractional coin, mass sane") {
+    val out = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, tok, full) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && tok > 0 && full >= 0)
+    }
+    // determinism
+    val again = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
