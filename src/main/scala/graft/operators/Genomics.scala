@@ -418,13 +418,114 @@ object Genomics {
       |    AS gc_permille
       |FROM r GROUP BY contig ORDER BY contig""".stripMargin
 
+  // ---------------------------------------------------------------- x24
+  /** The COMPOSED post-classifier workflow as one gate — the x08
+    * discipline applied downstream: every stage that x16-x23 gate in
+    * isolation must also compose over REAL artifacts, because stage
+    * boundaries (writer schema, sort order, flag conventions) are where
+    * pipelines actually break. One pass: unsorted cohort → in-engine
+    * coordinate sort to a single-file BAM ([[graft.sources.BamWriter]])
+    * → multi-split binary scan back → PCR duplicate marking
+    * ([[MitoQueries.markDuplicates]]) → duplicate-filtered geometry →
+    * coverage intervals (x18's sweep) AND site-level variant calls
+    * (x20's merged-event sweep) → coordinate-sorted VCF → parse-back.
+    * Fragment signatures and variant sites are functions of the
+    * SIGNATURE (not the read), so the oracle needs no knowledge of which
+    * duplicate the keep rule chose — kept geometry ≡ distinct signatures,
+    * and every downstream number is closed-form arithmetic.
+    *
+    * Scale shape: the stages' own shapes, composed — range exchange
+    * (sort), uniform signature shuffle (markdup), 2-3 event rows per
+    * read + per-contig windows (sweeps), range exchange (VCF); no stage
+    * adds a corpus-global structure the pieces didn't already have. */
+  def x24WorkflowGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamWriter, HadoopIO, VcfWriter}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 11 === 4)
+    val st = ((col("l_partkey") % 300) + 1).cast("int")
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey"))
+        .as("readName"),
+      lit(99).as("flag"),
+      when(col("l_suppkey") % 2 === 0, "chrM").otherwise("chr1")
+        .as("referenceName"),
+      st.as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      (st + 500).as("pnext"), lit(500).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val refs = Seq("chrM" -> 16569, "chr1" -> 200000)
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x24_$sfTag"
+    val outBam = root + ".bam"
+    BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n" +
+        refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString,
+      refs, outBam, numPartitions = 8)
+    val reads = s.read.format("bam").option("splitsize", 64 * 1024)
+      .load(outBam)
+    val kept = MitoQueries.markDuplicates(reads)
+      .where(col("flag").bitwiseAND(lit(1024)) === 0)
+    val geo = kept.select(col("referenceName").as("contig"),
+        col("start").cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val cov = coverageIntervals(geo)
+    requireKeyedWindows(cov, "x24/coverage")
+    val covAgg = cov.agg(
+      count(lit(1)).as("n_intervals"),
+      sum((col("end_pos") - col("start_pos")) * col("depth") * col("depth"))
+        .as("cov_sq"))
+    val sites = callSites(
+        geo.withColumn("var_pos",
+          when(col("start") % 3 === 0, col("start") + 2L)))
+      .select(col("contig"), col("pos"), lit("A").as("ref"),
+        lit("G").as("alt"), col("ac"), col("dp"))
+    requireKeyedWindows(sites, "x24/sites")
+    val outVcf = root + ".vcf"
+    VcfWriter.write(sites, refs, outVcf)
+    reads.agg(count(lit(1)).as("n_input"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(covAgg)
+      .crossJoin(VcfWriter.read(s, outVcf)
+        .agg(count(lit(1)).as("n_sites"), sum(col("ac")).as("sum_ac"),
+          sum(col("dp")).as("sum_dp")))
+  }
+
+  /** Oracle: kept geometry = distinct (contig, start) signatures; depth,
+    * islands, and per-site sums replayed by the naive formulations. */
+  val x24Sql: String =
+    """WITH sl AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chrM' ELSE 'chr1' END
+      |    AS contig, (l_partkey % 300) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 11 = 4),
+      |r AS (SELECT DISTINCT contig, st FROM sl),
+      |p AS (SELECT contig, unnest(generate_series(st, st + 9)) AS pos FROM r),
+      |dep AS (SELECT contig, pos, COUNT(*) AS d FROM p GROUP BY 1, 2),
+      |isl AS (SELECT contig, pos, d,
+      |    CASE WHEN lag(pos) OVER w = pos - 1 AND lag(d) OVER w = d
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM dep WINDOW w AS (PARTITION BY contig ORDER BY pos)),
+      |vs AS (SELECT contig, st + 2 AS pos FROM r WHERE st % 3 = 0)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl) AS n_input,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_kept,
+      |  (SELECT CAST(SUM(brk) AS BIGINT) FROM isl) AS n_intervals,
+      |  (SELECT CAST(SUM(d * d) AS BIGINT) FROM dep) AS cov_sq,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vs) AS n_sites,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vs) AS sum_ac,
+      |  (SELECT CAST(SUM(dep.d) AS BIGINT) FROM vs
+      |     JOIN dep ON vs.contig = dep.contig AND vs.pos = dep.pos)
+      |    AS sum_dp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
     "x20_vcf_gate"           -> (x20VcfGate _),
     "x21_downsample_gate"    -> (x21DownsampleGate _),
     "x22_nm_audit"           -> (x22NmAudit _),
-    "x23_base_composition"   -> (x23BaseComposition _))
+    "x23_base_composition"   -> (x23BaseComposition _),
+    "x24_workflow_gate"      -> (x24WorkflowGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -432,5 +533,6 @@ object Genomics {
     "x20_vcf_gate"           -> x20Sql,
     "x21_downsample_gate"    -> x21Sql,
     "x22_nm_audit"           -> x22Sql,
-    "x23_base_composition"   -> x23Sql)
+    "x23_base_composition"   -> x23Sql,
+    "x24_workflow_gate"      -> x24Sql)
 }

@@ -163,6 +163,18 @@ class GenomicsSpec extends SparkSpec {
       ("c2", 1L, 2L, 1L, 0L, 0L, 1L, 0L)))
   }
 
+  test("x24 composed workflow: dedup shrinks input, VCF accounting coheres") {
+    val r = Genomics.x24WorkflowGate(spark, "/root/testdata/sf0.001").head()
+    val (nIn, nKept) = (r.getLong(0), r.getLong(1))
+    val (nIntervals, covSq) = (r.getLong(2), r.getLong(3))
+    val (nSites, sumAc, sumDp) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(nIn > nKept && nKept > 0, s"markdup must drop PCR copies ($nIn -> $nKept)")
+    assert(nIntervals > 0 && covSq >= nKept * 10L,
+      "coverage mass must be at least kept bases")
+    assert(nSites > 0 && sumAc === nSites, "one kept fragment per site")
+    assert(sumDp >= nSites, "site depth includes at least the carrying read")
+  }
+
   test("t34 mixture: copies = full epochs + fractional coin, mass sane") {
     val out = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.01")
       .collect()
