@@ -518,6 +518,74 @@ object Genomics {
       |     JOIN dep ON vs.contig = dep.contig AND vs.pos = dep.pos)
       |    AS sum_dp""".stripMargin
 
+  // ---------------------------------------------------------------- x25
+  /** STREAMING bucketed coverage — real-time sequencing QC (the "is this
+    * flowcell producing even coverage" dashboard a long-running run
+    * watches while still sequencing): reads arrive as a stream and depth
+    * accumulates per (contig, position-bucket). The exact per-base sweep
+    * (x11/x18) needs an ordered prefix sum — not a streaming-friendly
+    * state shape — but BUCKETED coverage is a plain keyed aggregation:
+    * each read explodes to the 1-2 fixed-width buckets it overlaps
+    * (q52's binning bound: ≤ len/w + 1 per read) carrying its covered
+    * base mass, and the groupBy holds O(buckets) state, not O(reads).
+    * The SAME plan runs batch and stream (the EventStreams discipline);
+    * the gate streams a staged parquet of synthesized reads through a
+    * session clone's memory sink and oracle-checks the streamed TABLE
+    * row-for-row against closed-form arithmetic — not just a parity
+    * boolean. */
+  def bucketDepth(reads: DataFrame, bucketWidth: Int): DataFrame = {
+    val w = bucketWidth.toLong
+    reads
+      .withColumn("bucket",
+        explode(sequence(expr(s"start div $w"), expr(s"(end - 1) div $w"))))
+      .withColumn("mass",
+        least(col("end"), (col("bucket") + 1) * w) -
+          greatest(col("start"), col("bucket") * w))
+      .groupBy(col("contig"), col("bucket"))
+      .agg(count(lit(1)).as("n_reads"), sum(col("mass")).as("mass"))
+  }
+
+  def x25StreamDepthGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val recs = Tables.lineitem(s, d).where(col("l_orderkey") % 12 === 6)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 700) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = s"${HadoopIO.scratchDir(s)}/graft_x25_$sfTag"
+    recs.write.mode("overwrite").parquet(stageDir)
+    // isolated session clone + dataset-tagged sink name: concurrent runs
+    // on different sf dirs must not race on the memory table
+    val s2 = s.newSession()
+    val stream = s2.readStream.schema(recs.schema).parquet(stageDir)
+    val tbl = s"x25_streamed_$sfTag"
+    val q = bucketDepth(stream, 64)
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s2.table(tbl)
+      .select(col("contig"), col("bucket"), col("n_reads"),
+        col("mass").cast("long").as("mass"))
+      .orderBy("contig", "bucket")
+  }
+
+  /** Oracle replays the binning arithmetic per read. */
+  val x25Sql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END
+      |    AS contig, (l_partkey % 700) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 12 = 6),
+      |b AS (SELECT contig, st,
+      |    unnest(generate_series(st // 64, (st + 9) // 64)) AS bucket
+      |  FROM r)
+      |SELECT contig, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(LEAST(st + 10, (bucket + 1) * 64)
+      |    - GREATEST(st, bucket * 64)) AS BIGINT) AS mass
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -525,7 +593,8 @@ object Genomics {
     "x21_downsample_gate"    -> (x21DownsampleGate _),
     "x22_nm_audit"           -> (x22NmAudit _),
     "x23_base_composition"   -> (x23BaseComposition _),
-    "x24_workflow_gate"      -> (x24WorkflowGate _))
+    "x24_workflow_gate"      -> (x24WorkflowGate _),
+    "x25_stream_depth_gate"  -> (x25StreamDepthGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -534,5 +603,6 @@ object Genomics {
     "x21_downsample_gate"    -> x21Sql,
     "x22_nm_audit"           -> x22Sql,
     "x23_base_composition"   -> x23Sql,
-    "x24_workflow_gate"      -> x24Sql)
+    "x24_workflow_gate"      -> x24Sql,
+    "x25_stream_depth_gate"  -> x25Sql)
 }

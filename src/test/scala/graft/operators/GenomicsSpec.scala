@@ -175,6 +175,20 @@ class GenomicsSpec extends SparkSpec {
     assert(sumDp >= nSites, "site depth includes at least the carrying read")
   }
 
+  test("x25 bucketDepth: boundary-spanning reads split mass exactly; batch ≡ stream plan") {
+    import spark.implicits._
+    // [60,70) spans buckets 0 and 1: mass 4 then 6; [64,74) is bucket-1-only
+    val reads = Seq(("c", 60L, 70L), ("c", 64L, 74L), ("d", 0L, 10L))
+      .toDF("contig", "start", "end")
+    val got = Genomics.bucketDepth(reads, 64)
+      .orderBy("contig", "bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("c", 0L, 1L, 4L), ("c", 1L, 2L, 16L), ("d", 0L, 1L, 10L)))
+    // mass conservation: total mass equals total read length
+    assert(got.map(_._4).sum === 30L)
+  }
+
   test("t34 mixture: copies = full epochs + fractional coin, mass sane") {
     val out = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.01")
       .collect()
