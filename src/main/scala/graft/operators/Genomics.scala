@@ -586,6 +586,86 @@ object Genomics {
       |    - GREATEST(st, bucket * 64)) AS BIGINT) AS mass
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- x26
+  /** HAPLOGROUP ASSIGNMENT — the standard companion analysis to
+    * mitochondrial variant calling (haplogrep-style: the reference's
+    * chrM pipeline feeds exactly this kind of downstream typing): each
+    * sample's variant set is scored against every haplogroup's defining
+    * variant set and the best-supported haplogroup wins, ties totalized
+    * by (score desc, haplogroup asc). The tree is a dimension —
+    * broadcast exploded to (hg, variant) rows, equi-joined to the
+    * per-sample variant set, one (sample, hg) count aggregate, then a
+    * per-SAMPLE rank window (bounded by the number of haplogroups, never
+    * corpus-global).
+    *
+    * Scale shape: variant sets shuffle once on the uniform variant key
+    * against a broadcast dim; the rank window's partitions are
+    * tree-size-bounded. Nothing corpus-global. */
+  def classifyHaplogroups(variants: DataFrame, tree: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sample"))
+      .orderBy(col("score").desc, col("hg").asc)
+    variants.join(broadcast(tree), Seq("var"))
+      .groupBy(col("sample"), col("hg"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("sample"), col("hg").as("hg_pred"), col("score"))
+  }
+
+  /** Driver gate: 8 haplogroups with disjoint 4-variant definitions plus
+    * one tree-wide common variant (contributes to every score, decides
+    * nothing); each sample carries 2-4 of its true haplogroup's defining
+    * variants, the common variant, and (every 5th sample) one decoy from
+    * a rival — true score ≥ 3 > rival ≤ 2, so the argmax is closed-form
+    * and the 50-row prediction table hash-checks exactly. */
+  def x26Haplogroup(s: SparkSession, d: String): DataFrame = {
+    val samples = Tables.lineitem(s, d).where(col("l_orderkey") % 9 === 5)
+      .select((col("l_orderkey") % 50).cast("long").as("sample")).distinct()
+    val own = samples.select(col("sample"),
+        explode(sequence(lit(0L), col("sample") % 3 + 1)).as("j"))
+      .select(col("sample"),
+        concat(lit("v"), (col("sample") % 8) * 10 + col("j")).as("var"))
+    val common = samples.select(col("sample"), lit("v999").as("var"))
+    val decoy = samples.where(col("sample") % 5 === 0)
+      .select(col("sample"),
+        concat(lit("v"), ((col("sample") % 8 + 1) % 8) * 10).as("var"))
+    val variants = own.unionByName(common).unionByName(decoy).distinct()
+    val tree = s.range(8).toDF("hg")
+      .select(col("hg"), explode(sequence(lit(0L), lit(3L))).as("j"))
+      .select(col("hg"), concat(lit("v"), col("hg") * 10 + col("j")).as("var"))
+      .unionByName(s.range(8).toDF("hg")
+        .select(col("hg"), lit("v999").as("var")))
+    classifyHaplogroups(variants, tree)
+      .withColumn("is_correct", col("hg_pred") === col("sample") % 8)
+      .orderBy("sample")
+  }
+
+  val x26Sql: String =
+    """WITH samples AS (
+      |  SELECT DISTINCT CAST(l_orderkey % 50 AS BIGINT) AS sample
+      |  FROM lineitem WHERE l_orderkey % 9 = 5),
+      |own AS (SELECT sample,
+      |    'v' || ((sample % 8) * 10 +
+      |      unnest(generate_series(0, sample % 3 + 1))) AS var
+      |  FROM samples),
+      |sv AS (
+      |  SELECT sample, var FROM own
+      |  UNION SELECT sample, 'v999' FROM samples
+      |  UNION SELECT sample, 'v' || (((sample % 8 + 1) % 8) * 10)
+      |    FROM samples WHERE sample % 5 = 0),
+      |tree AS (
+      |  SELECT hg, 'v' || (hg * 10 + j) AS var
+      |  FROM generate_series(0, 7) t(hg), generate_series(0, 3) u(j)
+      |  UNION SELECT hg, 'v999' FROM generate_series(0, 7) t(hg)),
+      |sc AS (SELECT sample, hg, COUNT(*) AS score
+      |  FROM sv JOIN tree USING (var) GROUP BY 1, 2),
+      |rk AS (SELECT sample, hg, score, ROW_NUMBER() OVER (
+      |    PARTITION BY sample ORDER BY score DESC, hg ASC) AS r FROM sc)
+      |SELECT sample, CAST(hg AS BIGINT) AS hg_pred,
+      |  CAST(score AS BIGINT) AS score,
+      |  (hg = sample % 8) AS is_correct
+      |FROM rk WHERE r = 1 ORDER BY sample""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -594,7 +674,8 @@ object Genomics {
     "x22_nm_audit"           -> (x22NmAudit _),
     "x23_base_composition"   -> (x23BaseComposition _),
     "x24_workflow_gate"      -> (x24WorkflowGate _),
-    "x25_stream_depth_gate"  -> (x25StreamDepthGate _))
+    "x25_stream_depth_gate"  -> (x25StreamDepthGate _),
+    "x26_haplogroup"         -> (x26Haplogroup _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -604,5 +685,6 @@ object Genomics {
     "x22_nm_audit"           -> x22Sql,
     "x23_base_composition"   -> x23Sql,
     "x24_workflow_gate"      -> x24Sql,
-    "x25_stream_depth_gate"  -> x25Sql)
+    "x25_stream_depth_gate"  -> x25Sql,
+    "x26_haplogroup"         -> x26Sql)
 }

@@ -1127,11 +1127,11 @@ object TextAnalysis {
     * uniform 60-bit keys with map-side combine; dup starts collapse to a
     * per-doc sorted int array (bounded by doc length) joined back on
     * dense doc_id; the coverage test is a LINEAR per-row merge — the
-    * sorted starts expand to a boolean coverage array via per-gap
-    * run-length segments (`min(SpanW, gap)` covered + remainder
-    * uncovered, all `array_repeat`/`flatten`/`zip_with` codegen HOFs),
-    * then each token does one O(1) `element_at` probe: O(n_tok +
-    * n_dup_starts) per row, replacing the previous
+    * sorted starts partition the doc into per-gap segments (`min(SpanW,
+    * gap)` covered, remainder kept) and the survivors are emitted
+    * DIRECTLY as `slice`s of the token array (prefix before the first
+    * start ++ one tail slice per gap, `zip_with`/`flatten`): O(n_tok +
+    * n_dup_starts) per row with no per-token work at all, replacing the
     * O(n_tok · n_dup_starts) exists-scan (kept as
     * [[spanScrubQuadratic]], the spec's equality oracle) — no exchange
     * changes. */
@@ -1168,30 +1168,32 @@ object TextAnalysis {
           !exists(col("starts"),
             st => st <= i0 + 1 && i0 + 1 <= st + lit(SpanW - 1)))
       else {
-        // linear merge of the sorted starts into a coverage bitmap: for
-        // each start, its gap to the NEXT start (last gap runs to n+1)
-        // contributes min(SpanW, gap) covered positions then the
-        // remainder uncovered; the prefix before the first start is
-        // uncovered. Run lengths telescope to exactly n, so `cov` is a
-        // position-aligned boolean array and each token probes it with
-        // one O(1) element_at.
+        // linear merge of the sorted starts, emitting the SURVIVORS
+        // directly as slices: each start's gap to the NEXT start (last
+        // gap runs to n+1) is covered for min(SpanW, gap) positions and
+        // uncovered for the remainder, so the kept text is the prefix
+        // before the first start ++ one per-gap tail slice — total work
+        // O(n_tok + n_dup_starts) per row with NO per-token probe. (A
+        // first cut materialized a boolean coverage array and probed it
+        // per token with element_at; HOF lambdas are interpreted and
+        // CollapseProject inlines single-use aliases into the lambda
+        // body, so the "O(1) probe" re-built the array per token —
+        // quadratic again, and 4× slower than the exists-scan at sf0.1.
+        // Slices keep every intermediate an attribute or a per-gap
+        // scalar, which nothing can re-expand.)
         val nexts = concat(
           slice(col("starts"), lit(2),
             greatest(size(col("starts")) - 1, lit(0))),
           when(size(col("starts")) > 0, array(n + 1))
             .otherwise(array().cast("array<int>")))
-        val segs = zip_with(col("starts"), nexts, (st, nx) =>
-          concat(
-            array_repeat(lit(true), least(nx - st, lit(SpanW)).cast("int")),
-            array_repeat(lit(false),
-              greatest(nx - st - SpanW, lit(0)).cast("int"))))
         // try_element_at: ANSI-safe null (not error) on the empty array
-        val cov = concat(
-          array_repeat(lit(false),
+        concat(
+          slice(col("toks"), lit(1),
             (coalesce(try_element_at(col("starts"), lit(1)), n + 1) - 1)
               .cast("int")),
-          flatten(segs))
-        filter(col("toks"), (tok, i0) => !element_at(cov, i0 + 1))
+          flatten(zip_with(col("starts"), nexts, (st, nx) =>
+            slice(col("toks"), st + least(nx - st, lit(SpanW)),
+              greatest(nx - st - SpanW, lit(0)).cast("int")))))
       }
     docsF.join(dupStarts, Seq("doc_id"), "left")
       .withColumn("starts",

@@ -189,6 +189,26 @@ class GenomicsSpec extends SparkSpec {
     assert(got.map(_._4).sum === 30L)
   }
 
+  test("x26 classifyHaplogroups: best overlap wins, ties break to smaller hg") {
+    import spark.implicits._
+    val tree = Seq(
+      (0L, "a"), (0L, "b"), (0L, "c"),
+      (1L, "d"), (1L, "e"), (1L, "f"),
+      (2L, "a"), (2L, "d")).toDF("hg", "var")
+    val variants = Seq(
+      // s1 carries a,b -> hg0 scores 2, hg2 scores 1
+      (1L, "a"), (1L, "b"),
+      // s2 carries a,d -> hg0 1, hg1 1, hg2 2 -> hg2 wins
+      (2L, "a"), (2L, "d"),
+      // s3 carries a only -> hg0 and hg2 tie at 1 -> smaller hg wins
+      (3L, "a"),
+      // s4 carries nothing in the tree -> no prediction row
+      (4L, "zzz")).toDF("sample", "var")
+    val got = Genomics.classifyHaplogroups(variants, tree)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 2L), (2L, 2L, 2L), (3L, 0L, 1L)))
+  }
+
   test("t34 mixture: copies = full epochs + fractional coin, mass sane") {
     val out = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.01")
       .collect()
