@@ -1494,7 +1494,10 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val d12Sql: String =
+  /** The exact n-gram-Jaccard cluster CTEs shared by the d12 and d26
+    * oracles (the DuckDB restatement of [[d12DupClusters]]'s edge
+    * generation + connected components). */
+  private val dupClusterCtes: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_transform(
@@ -1513,9 +1516,64 @@ object Dedup {
       |reach(node, root) AS (
       |  SELECT u, u FROM edges
       |  UNION
-      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
-      |SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)""".stripMargin
+
+  val d12Sql: String = dupClusterCtes + "\n" +
+    """SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d26
+  /** SOFT dedup — DOWNWEIGHT duplicates instead of dropping them
+    * (SoftDeDup-style: hard removal throws away the evidence that
+    * duplicated text is common; sampling-weight 1/cluster_size keeps
+    * every document but makes each duplicated CONTENT count once in
+    * expectation). Weights are integer-exact permille-of-permille
+    * (`1 000 000 div size`) so the per-source effective token mass
+    * hash-matches the oracle with no float games. Cluster labels come
+    * from the exact-kernel [[d12DupClusters]] here because the row must
+    * be DuckDB-restatable; the 100 TB wiring swaps in
+    * [[verifiedNearDupPairs]] edges (d13's banded generation) with the
+    * weighting stage unchanged — it only consumes (doc_id, cluster_id).
+    *
+    * Scale shape on top of the labels: one cluster-keyed count
+    * (dup-graph-sized), one doc_id equi-join back, one source-keyed
+    * agg — all uniform keys. */
+  def softDedupWeights(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+    docs.join(
+        labels.join(sizes, Seq("cluster_id"))
+          .select(col("doc_id"), col("sz")),
+        Seq("doc_id"), "left")
+      .withColumn("w_ppm",
+        coalesce(expr("1000000 div sz"), lit(1000000L)))
+  }
+
+  def d26SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    softDedupWeights(docs, d12DupClusters(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sz").isNotNull.cast("long")).as("n_dup_docs"),
+        sum(col("n_chars") * col("w_ppm")).as("eff_tokens_ppm"))
+      .orderBy("source")
+  }
+
+  val d26Sql: String = dupClusterCtes + ",\n" +
+    """lbl AS (SELECT node AS doc_id, MIN(root) AS cid
+      |  FROM reach GROUP BY node),
+      |szs AS (SELECT cid, COUNT(*) AS sz FROM lbl GROUP BY cid),
+      |j AS (SELECT d.source, d.n_chars, s2.sz
+      |  FROM documents d LEFT JOIN
+      |    (SELECT l.doc_id, s.sz FROM lbl l JOIN szs s ON l.cid = s.cid) s2
+      |    USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN sz IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(SUM(n_chars * (CASE WHEN sz IS NULL THEN 1000000
+      |    ELSE 1000000 // sz END)) AS BIGINT) AS eff_tokens_ppm
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- d25
   /** SOURCE-PRIORITY dedup — multi-source corpus union where the same
@@ -1603,7 +1661,8 @@ object Dedup {
     "d22_containment_gate" -> (d22ContainmentGate _),
     "d23_edit_distance_pairs" -> (d23EditDistancePairs _),
     "d24_minhash_error_gate" -> (d24MinhashErrorGate _),
-    "d25_source_priority_gate" -> (d25SourcePriorityGate _))
+    "d25_source_priority_gate" -> (d25SourcePriorityGate _),
+    "d26_soft_dedup" -> (d26SoftDedup _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1627,5 +1686,6 @@ object Dedup {
     "d22_containment_gate" -> d22Sql,
     "d23_edit_distance_pairs" -> d23Sql,
     "d24_minhash_error_gate" -> d24Sql,
-    "d25_source_priority_gate" -> d25Sql)
+    "d25_source_priority_gate" -> d25Sql,
+    "d26_soft_dedup" -> d26Sql)
 }

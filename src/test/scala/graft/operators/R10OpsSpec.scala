@@ -35,6 +35,22 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("d26 softDedupWeights: 1/size permille weights, singletons keep full weight") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", 100L), (2L, "s", 100L), (3L, "s", 100L),
+      (4L, "s", 100L), (5L, "s", 100L), (6L, "s", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val w = Dedup.softDedupWeights(docs, labels)
+      .select("doc_id", "w_ppm").as[(Long, Long)].collect().toMap
+    assert(w === Map(1L -> 333333L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 500000L, 5L -> 500000L, 6L -> 1000000L))
+    // a 3-cluster counts (just under) once in expectation, not thrice
+    val eff = w.filterKeys(Set(1L, 2L, 3L)).values.sum * 100L
+    assert(eff === 99999900L)
+  }
+
   test("x17 markdup: keeps best quality per fragment, orientation splits groups, ties deterministic") {
     import spark.implicits._
     val reads = Seq(
