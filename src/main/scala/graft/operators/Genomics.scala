@@ -666,6 +666,63 @@ object Genomics {
       |  (hg = sample % 8) AS is_correct
       |FROM rk WHERE r = 1 ORDER BY sample""".stripMargin
 
+  // ---------------------------------------------------------------- x27
+  /** mtDNA COPY-NUMBER estimate (mtDNA-CN) — the headline sample-level
+    * metric of mitochondrial genomics (copies of the mitochondrial
+    * genome per cell ≈ 2 × mean mito depth / mean nuclear depth, the
+    * quantity the reference's whole classification pipeline exists to
+    * make estimable without NUMT inflation): mean depths from per-contig
+    * aligned-base mass over contig length, combined as STAGED integer
+    * milli-ratios (each stage's div is deterministic and engine-
+    * replayable; a one-shot rational would be exacter but overflows
+    * int64 once mass reaches genome scale — the staged form's magnitudes
+    * stay bounded by 1000 × depth).
+    *
+    * Scale shape: one narrow scan → a 2-cell conditional-sum aggregate;
+    * contig lengths are driver constants from the header dictionary.
+    * Nothing shuffles but the final combine. */
+  def mtCopyNumber(reads: DataFrame, lens: Seq[(String, Int)],
+      mito: String): DataFrame = {
+    val lenMt = lens.collect { case (n, l) if n == mito => l.toLong }.sum
+    val lenNuc = lens.collect { case (n, l) if n != mito => l.toLong }.sum
+    require(lenMt > 0 && lenNuc > 0, "dictionary must cover both sides")
+    reads
+      .agg(
+        sum(when(col("contig") === mito, col("end") - col("start"))
+          .otherwise(0L)).as("mass_mt"),
+        sum(when(col("contig") =!= mito, col("end") - col("start"))
+          .otherwise(0L)).as("mass_nuc"))
+      .withColumn("depth_mt_milli", expr(s"(1000 * mass_mt) div $lenMt"))
+      .withColumn("depth_nuc_milli", expr(s"(1000 * mass_nuc) div $lenNuc"))
+      .withColumn("cn_milli",
+        expr("(2000 * depth_mt_milli) div depth_nuc_milli"))
+  }
+
+  def x27MtCopyNumber(s: SparkSession, d: String): DataFrame = {
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 13 === 6)
+      .select(
+        when(col("l_suppkey") % 4 === 0, "chrM").otherwise("chr1")
+          .as("contig"),
+        ((col("l_partkey") % 1000) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    mtCopyNumber(reads, Seq("chrM" -> 16569, "chr1" -> 200000), "chrM")
+  }
+
+  val x27Sql: String =
+    """WITH r AS (
+      |  SELECT (l_suppkey % 4 = 0) AS mt
+      |  FROM lineitem WHERE l_orderkey % 13 = 6),
+      |m AS (SELECT
+      |  CAST(10 * SUM(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS mass_mt,
+      |  CAST(10 * SUM(CASE WHEN mt THEN 0 ELSE 1 END) AS BIGINT) AS mass_nuc
+      |  FROM r),
+      |dd AS (SELECT mass_mt, mass_nuc,
+      |  (1000 * mass_mt) // 16569 AS depth_mt_milli,
+      |  (1000 * mass_nuc) // 200000 AS depth_nuc_milli FROM m)
+      |SELECT mass_mt, mass_nuc, depth_mt_milli, depth_nuc_milli,
+      |  (2000 * depth_mt_milli) // depth_nuc_milli AS cn_milli
+      |FROM dd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -675,7 +732,8 @@ object Genomics {
     "x23_base_composition"   -> (x23BaseComposition _),
     "x24_workflow_gate"      -> (x24WorkflowGate _),
     "x25_stream_depth_gate"  -> (x25StreamDepthGate _),
-    "x26_haplogroup"         -> (x26Haplogroup _))
+    "x26_haplogroup"         -> (x26Haplogroup _),
+    "x27_mtdna_cn"           -> (x27MtCopyNumber _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -686,5 +744,6 @@ object Genomics {
     "x23_base_composition"   -> x23Sql,
     "x24_workflow_gate"      -> x24Sql,
     "x25_stream_depth_gate"  -> x25Sql,
-    "x26_haplogroup"         -> x26Sql)
+    "x26_haplogroup"         -> x26Sql,
+    "x27_mtdna_cn"           -> x27Sql)
 }

@@ -204,9 +204,32 @@ class GenomicsSpec extends SparkSpec {
       (3L, "a"),
       // s4 carries nothing in the tree -> no prediction row
       (4L, "zzz")).toDF("sample", "var")
-    val got = Genomics.classifyHaplogroups(variants, tree)
-      .as[(Long, Long, Long)].collect().toSet
+    val out = Genomics.classifyHaplogroups(variants, tree)
+    val got = out.as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 0L, 2L), (2L, 2L, 2L), (3L, 0L, 1L)))
+    // the scaladoc's claimed plan: the tree joins as a broadcast dim
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "haplotree must broadcast, not shuffle the variant side twice")
+  }
+
+  test("x27 mtDNA-CN: staged milli-ratios from per-side mass") {
+    import spark.implicits._
+    // 100 bases on a 1000 bp mito, 2000 bases on a 100000 bp nuclear side:
+    // depths 0.1 and 0.02 -> CN = 2 * 5 = 10 (10000 milli)
+    val reads = (Seq.fill(10)(("m", 1L, 11L)) ++ Seq.fill(200)(("n", 1L, 11L)))
+      .toDF("contig", "start", "end")
+    val r = Genomics.mtCopyNumber(reads, Seq("m" -> 1000, "n" -> 100000), "m")
+      .head()
+    assert((r.getLong(0), r.getLong(1)) === ((100L, 2000L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((100L, 20L, 10000L)))
+  }
+
+  test("t34 per-source plan joins back broadcast (claimed shape)") {
+    val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-source epoch plan must broadcast to the docs side")
   }
 
   test("t34 mixture: copies = full epochs + fractional coin, mass sane") {
