@@ -53,17 +53,37 @@ object VcfWriter {
 
   /** Scan a VCF written by [[write]] (or any site-level VCF with AC/DP
     * INFO keys) back into the canonical variant frame. Plain text only —
-    * splittable via the ordinary text source. */
-  def read(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    s.read.text(path)
+    * splittable via the ordinary text source. `strict = true` applies
+    * the decoder-fuzz discipline the binary sources follow: a record
+    * whose POS/AC/DP fields don't parse RAISES naming the offending
+    * line, instead of silently becoming nulls that vanish from
+    * aggregates (the failure mode that makes a truncated or corrupted
+    * artifact read as a smaller valid one). */
+  def read(s: org.apache.spark.sql.SparkSession, path: String,
+      strict: Boolean = false): DataFrame = {
+    // try_cast, not cast: under ANSI (the Spark 4 default) a malformed
+    // field would ABORT the lenient scan with CAST_INVALID_INPUT before
+    // the strict/lenient choice could apply; try_cast gives the null the
+    // strict branch then inspects
+    val parsed = s.read.text(path)
       .where(!col("value").startsWith("#"))
-      .select(split(col("value"), "\t").as("f"))
-      .select(col("f").getItem(0).as("contig"),
-        col("f").getItem(1).cast("long").as("pos"),
+      .select(col("value"), split(col("value"), "\t").as("f"))
+      .select(col("value"),
+        col("f").getItem(0).as("contig"),
+        expr("try_cast(f[1] AS BIGINT)").as("pos"),
         col("f").getItem(3).as("ref"),
         col("f").getItem(4).as("alt"),
-        regexp_extract(col("f").getItem(7), "AC=(\\d+)", 1)
-          .cast("long").as("ac"),
-        regexp_extract(col("f").getItem(7), "DP=(\\d+)", 1)
-          .cast("long").as("dp"))
+        expr("try_cast(regexp_extract(f[7], 'AC=(\\\\d+)', 1) AS BIGINT)")
+          .as("ac"),
+        expr("try_cast(regexp_extract(f[7], 'DP=(\\\\d+)', 1) AS BIGINT)")
+          .as("dp"))
+    val out =
+      if (!strict) parsed
+      else parsed.withColumn("pos",
+        when(col("pos").isNull || col("ac").isNull || col("dp").isNull ||
+          col("contig").isNull,
+          raise_error(concat(lit("malformed VCF record: "), col("value"))))
+          .otherwise(col("pos")))
+    out.drop("value")
+  }
 }

@@ -92,6 +92,26 @@ class GenomicsSpec extends SparkSpec {
       .collect().toSet)
   }
 
+  test("x20 strict read raises on malformed records; lenient yields nulls") {
+    import graft.sources.VcfWriter
+    val dir = java.nio.file.Files.createTempDirectory("vcfbad")
+    val p = dir.resolve("bad.vcf")
+    java.nio.file.Files.writeString(p,
+      "##fileformat=VCFv4.2\n" +
+        "chrM\t5\t.\tA\tG\t.\tPASS\tAC=1;DP=2\n" +
+        "chrM\tNOTANUMBER\t.\tA\tG\t.\tPASS\tAC=1;DP=2\n")
+    // lenient: bad row surfaces as null pos
+    assert(VcfWriter.read(spark, p.toString).where(col("pos").isNull)
+      .count() === 1L)
+    // strict: the same file raises, naming the line
+    val e = intercept[Exception] {
+      VcfWriter.read(spark, p.toString, strict = true).collect()
+    }
+    assert(e.getMessage.contains("malformed VCF record") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("malformed VCF record"))
+  }
+
   test("x20 callSites: merged-event DP equals per-base depth at the sites") {
     import spark.implicits._
     // reads [10,20) x2, [15,25); variants observed at 12 (x2) and 18
