@@ -723,6 +723,82 @@ object Genomics {
       |  (2000 * depth_mt_milli) // depth_nuc_milli AS cn_milli
       |FROM dd""".stripMargin
 
+  // ---------------------------------------------------------------- x28
+  /** INTERVAL INTERSECTION (`bedtools intersect`) — region arithmetic,
+    * the glue of every genomics workflow (restrict calls to capture
+    * targets, coverage to exons, …): emit the overlap segment of every
+    * (a, b) interval pair that overlaps on the same contig. The naive
+    * plan is a contig-keyed join with a range predicate — contigs are
+    * LOW-cardinality, so that join funnels whole chromosomes through
+    * single reducers; instead both sides explode to covering bins of
+    * width w (q52's rewrite, here with the compound (contig, bin) key)
+    * and a pair is counted EXACTLY once in the bin containing its
+    * overlap start (max of the two starts — which lies in both
+    * intervals, hence in both sides' bin cover), so no dedup pass is
+    * needed. Shuffle is uniform in (contig, bin); fan-out is len/w + 1
+    * per interval. The in-query require rejects a
+    * BroadcastNestedLoopJoin plan (q52's discipline). */
+  def intervalIntersect(a: DataFrame, b: DataFrame,
+      binWidth: Int): DataFrame = {
+    val w = binWidth.toLong
+    def binned(df: DataFrame, p: String) = df.select(
+        col("contig"), col("start").as(s"${p}_start"),
+        col("end").as(s"${p}_end"))
+      .withColumn("bin", explode(sequence(
+        expr(s"${p}_start div $w"), expr(s"(${p}_end - 1) div $w"))))
+    val out = binned(a, "a").join(binned(b, "b"), Seq("contig", "bin"))
+      .where(col("a_start") < col("b_end") &&
+        col("b_start") < col("a_end"))
+      .where(greatest(col("a_start"), col("b_start"))
+        .between(col("bin") * w, (col("bin") + 1) * w - 1))
+      .select(col("contig"),
+        greatest(col("a_start"), col("b_start")).as("start_pos"),
+        least(col("a_end"), col("b_end")).as("end_pos"))
+    val bnl = out.queryExecution.sparkPlan.collect {
+      case p if p.nodeName.contains("BroadcastNestedLoop") => p
+    }
+    require(bnl.isEmpty,
+      "x28: nested-loop join planned — the bin rewrite must equi-join")
+    out
+  }
+
+  /** Driver gate: distinct interval sets synthesized from lineitem on
+    * two contigs; the oracle is the plain overlap join the binning
+    * replaces, restated with GREATEST/LEAST. */
+  def x28IntervalIntersect(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 14 === 9)
+    val a = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 200) * 3 + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 20L).distinct()
+    val b = li.select(
+        when(col("l_partkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_suppkey") * 7 % 200) * 3 + 2).cast("long").as("start"))
+      .withColumn("end", col("start") + 15L).distinct()
+    intervalIntersect(a, b, 64).orderBy("contig", "start_pos", "end_pos")
+  }
+
+  val x28Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 14 = 9),
+      |a AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 200) * 3 + 1 AS st, (l_partkey % 200) * 3 + 21 AS en
+      |  FROM li),
+      |b AS (SELECT DISTINCT
+      |    CASE WHEN l_partkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_suppkey * 7 % 200) * 3 + 2 AS st, (l_suppkey * 7 % 200) * 3 + 17 AS en
+      |  FROM li),
+      |x AS (SELECT a.contig, GREATEST(a.st, b.st) AS start_pos,
+      |    LEAST(a.en, b.en) AS end_pos
+      |  FROM a JOIN b ON a.contig = b.contig
+      |    AND a.st < b.en AND b.st < a.en)
+      |SELECT contig, CAST(start_pos AS BIGINT) AS start_pos,
+      |  CAST(end_pos AS BIGINT) AS end_pos
+      |FROM x ORDER BY contig, start_pos, end_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -733,7 +809,8 @@ object Genomics {
     "x24_workflow_gate"      -> (x24WorkflowGate _),
     "x25_stream_depth_gate"  -> (x25StreamDepthGate _),
     "x26_haplogroup"         -> (x26Haplogroup _),
-    "x27_mtdna_cn"           -> (x27MtCopyNumber _))
+    "x27_mtdna_cn"           -> (x27MtCopyNumber _),
+    "x28_interval_intersect" -> (x28IntervalIntersect _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -745,5 +822,6 @@ object Genomics {
     "x24_workflow_gate"      -> x24Sql,
     "x25_stream_depth_gate"  -> x25Sql,
     "x26_haplogroup"         -> x26Sql,
-    "x27_mtdna_cn"           -> x27Sql)
+    "x27_mtdna_cn"           -> x27Sql,
+    "x28_interval_intersect" -> x28Sql)
 }

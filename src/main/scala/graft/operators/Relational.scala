@@ -3006,6 +3006,43 @@ object Relational {
       |    AS bal_checksum
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Analyst-SQL ergonomics kernel — three modern surfaces in one
+    * statement, pinned by running the SAME query text on both engines:
+    * `GROUP BY ALL` (group on every non-aggregate projection — the
+    * DuckDB-popularized shorthand Spark adopted in 3.4), `ORDER BY ALL`
+    * (total order over the whole output row), and LATERAL COLUMN
+    * ALIASES in the outer projection (`combo` is built from sibling
+    * columns and `combo2` references `combo` BY ALIAS — resolved by
+    * Spark's lateral-alias pass, not a subquery; Spark does not yet
+    * allow lateral aliases inside a GROUP BY ALL aggregate list, which
+    * is why the demo splits into aggregate-then-project). Sugar only:
+    * the resolved plan is the plain grouped aggregate + projection, so
+    * pushdown/partial-agg behavior is identical to q01's — which is
+    * exactly what the exact-hash oracle (same text, DuckDB) proves. */
+  def q78GroupByAll(s: SparkSession, d: String): DataFrame = {
+    val t = viewTag(d)
+    Tables.orders(s, d).createOrReplaceTempView(s"g78_orders_$t")
+    s.sql(s"""SELECT o_orderstatus, o_orderpriority, n, sum_cust,
+      |  n + sum_cust AS combo, combo * 2 AS combo2
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(o_custkey % 97) AS BIGINT) AS sum_cust
+      |  FROM g78_orders_$t GROUP BY ALL) g
+      |ORDER BY ALL""".stripMargin)
+  }
+
+  val q78Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, n, sum_cust,
+      |  n + sum_cust AS combo, combo * 2 AS combo2
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(o_custkey % 97) AS BIGINT) AS sum_cust
+      |  FROM orders GROUP BY ALL) g
+      |ORDER BY ALL""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -3084,7 +3121,8 @@ object Relational {
     "q74_schema_evolution_gate" -> (q74SchemaEvolution _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_merge_upsert" -> (q76MergeUpsert _),
-    "q77_scd2" -> (q77Scd2 _))
+    "q77_scd2" -> (q77Scd2 _),
+    "q78_group_by_all" -> (q78GroupByAll _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3163,5 +3201,6 @@ object Relational {
     "q74_schema_evolution_gate" -> q74Sql,
     "q75_unpivot" -> q75Sql,
     "q76_merge_upsert" -> q76Sql,
-    "q77_scd2" -> q77Sql)
+    "q77_scd2" -> q77Sql,
+    "q78_group_by_all" -> q78Sql)
 }

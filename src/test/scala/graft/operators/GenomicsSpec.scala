@@ -245,6 +245,28 @@ class GenomicsSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((100L, 20L, 10000L)))
   }
 
+  test("x28 intervalIntersect: equals the naive overlap join, each pair once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int) = Seq.fill(n) {
+      val st = rnd.nextInt(500).toLong + 1
+      (if (rnd.nextBoolean()) "c1" else "c2", st,
+        st + rnd.nextInt(120) + 1) // lengths up to 2x the bin width
+    }
+    val a = gen(200).toDF("contig", "start", "end")
+    val b = gen(200).toDF("contig", "start", "end")
+    val binned = Genomics.intervalIntersect(a, b, 64)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val naive = a.as("a").join(b.as("b"),
+        $"a.contig" === $"b.contig" &&
+          $"a.start" < $"b.end" && $"b.start" < $"a.end")
+      .select($"a.contig",
+        greatest($"a.start", $"b.start"), least($"a.end", $"b.end"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(binned === naive, "bin rewrite must be pair-exact, no dups/misses")
+    assert(binned.nonEmpty)
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
