@@ -799,6 +799,76 @@ object Genomics {
       |  CAST(end_pos AS BIGINT) AS end_pos
       |FROM x ORDER BY contig, start_pos, end_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x29
+  /** INTERVAL MERGE (`bedtools merge`) — collapse any overlapping or
+    * touching intervals per contig into their maximal disjoint union,
+    * the normalization every region file goes through before set
+    * arithmetic. On the same sweep as x18, one observation sharper:
+    * merged intervals are exactly the runs where coverage LEAVES and
+    * RETURNS to zero, so only the zero-transition boundaries matter —
+    * a START is a boundary with prior depth 0 (prior = depth − delta,
+    * no extra window), an END is a boundary reaching depth 0, starts
+    * and ends strictly alternate per contig, and `lead(pos)` over the
+    * transition rows pairs each start with its end. Two window passes
+    * over the SAME (contig → pos) sort — Catalyst plans one exchange +
+    * one sort, the second window reuses both.
+    *
+    * Touching intervals ([a,b) + [b,c)) merge because the +1/−1 deltas
+    * at b cancel to a net-zero boundary that the `delta ≠ 0` filter
+    * removes before the transition scan — the same filter x18 uses for
+    * maximality. */
+  def intervalMerge(intervals: DataFrame): DataFrame = {
+    val diff = intervals.select(col("contig"), explode(array(
+        struct(col("start").as("pos"), lit(1L).as("delta")),
+        struct(col("end").as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("contig"), col("e.pos").as("pos"), col("e.delta").as("delta"))
+      .groupBy(col("contig"), col("pos")).agg(sum(col("delta")).as("delta"))
+      .where(col("delta") =!= 0)
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
+    diff
+      .withColumn("depth", sum(col("delta")).over(w))
+      .withColumn("prior", col("depth") - col("delta"))
+      .where(col("depth") === 0 || col("prior") === 0)
+      .withColumn("end_pos", lead(col("pos"), 1).over(w))
+      .where(col("prior") === 0 && col("depth") > 0)
+      .select(col("contig"), col("pos").as("start_pos"), col("end_pos"))
+  }
+
+  /** Driver gate: mixed short/long spans force genuine merging; the
+    * oracle is per-base union + gaps-and-islands. */
+  def x29IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 14 === 3)
+    // spacing 20 vs lengths 5-35: chains of overlapping intervals broken
+    // by genuine gaps, so the merged output has real island structure
+    // (dense starts would collapse each contig to one run — a vacuous
+    // merge)
+    val ivs = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 300) * 20 + 1).cast("long").as("start"),
+        (col("l_linenumber") % 3 * 15 + 5).cast("long").as("len"))
+      .withColumn("end", col("start") + col("len"))
+      .drop("len")
+    val r = intervalMerge(ivs).orderBy("contig", "start_pos")
+    requireKeyedWindows(r, "x29")
+    r
+  }
+
+  val x29Sql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END
+      |    AS contig, (l_partkey % 300) * 20 + 1 AS st,
+      |    (l_linenumber % 3) * 15 + 5 AS len
+      |  FROM lineitem WHERE l_orderkey % 14 = 3),
+      |p AS (SELECT DISTINCT contig,
+      |    unnest(generate_series(st, st + len - 1)) AS pos FROM r),
+      |g AS (SELECT contig, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY contig ORDER BY pos) AS grp
+      |  FROM p)
+      |SELECT contig, CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos
+      |FROM g GROUP BY contig, grp ORDER BY contig, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -810,7 +880,8 @@ object Genomics {
     "x25_stream_depth_gate"  -> (x25StreamDepthGate _),
     "x26_haplogroup"         -> (x26Haplogroup _),
     "x27_mtdna_cn"           -> (x27MtCopyNumber _),
-    "x28_interval_intersect" -> (x28IntervalIntersect _))
+    "x28_interval_intersect" -> (x28IntervalIntersect _),
+    "x29_interval_merge"     -> (x29IntervalMerge _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -823,5 +894,6 @@ object Genomics {
     "x25_stream_depth_gate"  -> x25Sql,
     "x26_haplogroup"         -> x26Sql,
     "x27_mtdna_cn"           -> x27Sql,
-    "x28_interval_intersect" -> x28Sql)
+    "x28_interval_intersect" -> x28Sql,
+    "x29_interval_merge"     -> x29Sql)
 }

@@ -267,6 +267,18 @@ class GenomicsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("x29 intervalMerge: overlapping AND touching runs collapse, disjoint survive") {
+    import spark.implicits._
+    val ivs = Seq(
+      ("c1", 1L, 5L), ("c1", 3L, 8L), ("c1", 8L, 10L), // overlap + touch
+      ("c1", 20L, 25L),                                // disjoint
+      ("c2", 5L, 6L))
+      .toDF("contig", "start", "end")
+    val got = Genomics.intervalMerge(ivs).orderBy("contig", "start_pos")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("c1", 1L, 10L), ("c1", 20L, 25L), ("c2", 5L, 6L)))
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
