@@ -738,7 +738,11 @@ object Genomics {
     * needed. Shuffle is uniform in (contig, bin); fan-out is len/w + 1
     * per interval. The in-query require rejects a
     * BroadcastNestedLoopJoin plan (q52's discipline). */
-  def intervalIntersect(a: DataFrame, b: DataFrame,
+  /** The shared exactly-once binned pair join of x28/x30: every
+    * overlapping (a, b) pair on one contig, each seen EXACTLY once (in
+    * the bin containing the overlap start), with both intervals'
+    * coordinates carried through. */
+  private def binnedOverlapPairs(a: DataFrame, b: DataFrame,
       binWidth: Int): DataFrame = {
     val w = binWidth.toLong
     def binned(df: DataFrame, p: String) = df.select(
@@ -751,16 +755,22 @@ object Genomics {
         col("b_start") < col("a_end"))
       .where(greatest(col("a_start"), col("b_start"))
         .between(col("bin") * w, (col("bin") + 1) * w - 1))
-      .select(col("contig"),
-        greatest(col("a_start"), col("b_start")).as("start_pos"),
-        least(col("a_end"), col("b_end")).as("end_pos"))
+      .select(col("contig"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"))
     val bnl = out.queryExecution.sparkPlan.collect {
       case p if p.nodeName.contains("BroadcastNestedLoop") => p
     }
     require(bnl.isEmpty,
-      "x28: nested-loop join planned — the bin rewrite must equi-join")
+      "interval join: nested-loop planned — the bin rewrite must equi-join")
     out
   }
+
+  def intervalIntersect(a: DataFrame, b: DataFrame,
+      binWidth: Int): DataFrame =
+    binnedOverlapPairs(a, b, binWidth)
+      .select(col("contig"),
+        greatest(col("a_start"), col("b_start")).as("start_pos"),
+        least(col("a_end"), col("b_end")).as("end_pos"))
 
   /** Driver gate: distinct interval sets synthesized from lineitem on
     * two contigs; the oracle is the plain overlap join the binning
@@ -869,6 +879,103 @@ object Genomics {
       |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos
       |FROM g GROUP BY contig, grp ORDER BY contig, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x30
+  /** INTERVAL SUBTRACTION (`bedtools subtract`) — A minus the union of
+    * B: each a-interval's surviving sub-segments after removing every
+    * b-covered region, completing the region-arithmetic trio with x28
+    * (intersect) and x29 (merge). Three reused shapes, no new ones: B
+    * first NORMALIZES through [[intervalMerge]] (disjoint segments, so
+    * downstream needs no overlap resolution), pairs come from the
+    * exactly-once binned join, and the per-a gap computation is pure
+    * array algebra — the clipped overlap segments sort per a-interval,
+    * and the survivors are the alternating gaps `(a_start, o₁s), (o₁e,
+    * o₂s), …, (oₖe, a_end)` built by one zip_with over shifted bound
+    * arrays (t20's slice lesson: every intermediate an attribute or
+    * per-element scalar, nothing an optimizer inline can re-expand).
+    * a-intervals untouched by B pass through whole via the left join.
+    *
+    * Scale shape: x29's sweep + x28's uniform (contig, bin) shuffle +
+    * one groupBy keyed by the a-interval identity (bounded fan-in: the
+    * disjoint b-segments overlapping one a are at most len(a)/2 + 1). */
+  def intervalSubtract(a: DataFrame, b: DataFrame,
+      binWidth: Int): DataFrame = {
+    val bm = intervalMerge(b).select(col("contig"),
+      col("start_pos").as("start"), col("end_pos").as("end"))
+    val pairs = binnedOverlapPairs(a, bm, binWidth)
+      .select(col("contig"), col("a_start"), col("a_end"),
+        greatest(col("a_start"), col("b_start")).as("os"),
+        least(col("a_end"), col("b_end")).as("oe"))
+    val grouped = pairs.groupBy(col("contig"), col("a_start"), col("a_end"))
+      .agg(sort_array(collect_list(struct(col("os"), col("oe")))).as("ovs"))
+    a.select(col("contig"), col("start").as("a_start"),
+        col("end").as("a_end"))
+      .join(grouped, Seq("contig", "a_start", "a_end"), "left")
+      .withColumn("ovs", coalesce(col("ovs"),
+        array().cast("array<struct<os:bigint,oe:bigint>>")))
+      .withColumn("gap_starts",
+        concat(array(col("a_start")), transform(col("ovs"), o => o.getField("oe"))))
+      .withColumn("gap_ends",
+        concat(transform(col("ovs"), o => o.getField("os")), array(col("a_end"))))
+      .select(col("contig"), col("a_start"), col("a_end"),
+        explode(filter(
+          zip_with(col("gap_starts"), col("gap_ends"),
+            (gs, ge) => struct(gs.as("gs"), ge.as("ge"))),
+          g => g.getField("ge") > g.getField("gs"))).as("g"))
+      .select(col("contig"), col("a_start"), col("a_end"),
+        col("g.gs").as("start_pos"), col("g.ge").as("end_pos"))
+  }
+
+  /** Driver gate: a-intervals spaced 15 with span 20, b-intervals
+    * sparse with span 10 — survivors mix whole pass-throughs, head/tail
+    * clips, and mid-splits. Oracle is the per-base anti-join + islands
+    * per a-interval. */
+  def x30IntervalSubtract(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 14 === 11)
+    val a = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 200) * 15 + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 20L).distinct()
+    val b = li.where(col("l_linenumber") % 2 === 0).select(
+        when(col("l_partkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_suppkey") * 11 % 150) * 17 + 5).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L).distinct()
+    intervalSubtract(a, b, 64)
+      .orderBy("contig", "a_start", "start_pos")
+  }
+
+  val x30Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey, l_linenumber FROM lineitem
+      |  WHERE l_orderkey % 14 = 11),
+      |a AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 200) * 15 + 1 AS st, (l_partkey % 200) * 15 + 21 AS en
+      |  FROM li),
+      |b AS (SELECT DISTINCT
+      |    CASE WHEN l_partkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_suppkey * 11 % 150) * 17 + 5 AS st,
+      |    (l_suppkey * 11 % 150) * 17 + 15 AS en
+      |  FROM li WHERE l_linenumber % 2 = 0),
+      |ap AS (SELECT contig, st, en,
+      |    unnest(generate_series(st, en - 1)) AS pos FROM a),
+      |bp AS (SELECT DISTINCT contig,
+      |    unnest(generate_series(st, en - 1)) AS pos FROM b),
+      |keep AS (SELECT ap.contig, ap.st, ap.en, ap.pos FROM ap
+      |  LEFT JOIN bp ON ap.contig = bp.contig AND ap.pos = bp.pos
+      |  WHERE bp.pos IS NULL),
+      |g AS (SELECT contig, st, en, pos,
+      |    pos - ROW_NUMBER() OVER (
+      |      PARTITION BY contig, st, en ORDER BY pos) AS grp
+      |  FROM keep)
+      |SELECT contig, CAST(st AS BIGINT) AS a_start,
+      |  CAST(en AS BIGINT) AS a_end,
+      |  CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos
+      |FROM g GROUP BY contig, st, en, grp
+      |ORDER BY contig, a_start, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -881,7 +988,8 @@ object Genomics {
     "x26_haplogroup"         -> (x26Haplogroup _),
     "x27_mtdna_cn"           -> (x27MtCopyNumber _),
     "x28_interval_intersect" -> (x28IntervalIntersect _),
-    "x29_interval_merge"     -> (x29IntervalMerge _))
+    "x29_interval_merge"     -> (x29IntervalMerge _),
+    "x30_interval_subtract"  -> (x30IntervalSubtract _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -895,5 +1003,6 @@ object Genomics {
     "x26_haplogroup"         -> x26Sql,
     "x27_mtdna_cn"           -> x27Sql,
     "x28_interval_intersect" -> x28Sql,
-    "x29_interval_merge"     -> x29Sql)
+    "x29_interval_merge"     -> x29Sql,
+    "x30_interval_subtract"  -> x30Sql)
 }

@@ -279,6 +279,21 @@ class GenomicsSpec extends SparkSpec {
     assert(got === Seq(("c1", 1L, 10L), ("c1", 20L, 25L), ("c2", 5L, 6L)))
   }
 
+  test("x30 intervalSubtract: head/tail clips, mid-splits, pass-throughs, full erasure") {
+    import spark.implicits._
+    val a = Seq(("c1", 10L, 30L), ("c1", 100L, 110L), ("c1", 50L, 55L))
+      .toDF("contig", "start", "end")
+    val b = Seq(("c1", 1L, 12L), ("c1", 15L, 18L), ("c1", 28L, 40L),
+      ("c1", 45L, 60L), ("c2", 10L, 30L))
+      .toDF("contig", "start", "end")
+    val got = Genomics.intervalSubtract(a, b, 8)
+      .select("contig", "a_start", "start_pos", "end_pos")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("c1", 10L, 12L, 15L), ("c1", 10L, 18L, 28L), // clipped + split
+      ("c1", 100L, 100L, 110L)))                    // untouched; [50,55) erased
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
