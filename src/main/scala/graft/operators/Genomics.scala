@@ -976,6 +976,62 @@ object Genomics {
       |FROM g GROUP BY contig, st, en, grp
       |ORDER BY contig, a_start, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x31
+  /** N50 assembly statistics — the sequence-length summary every
+    * assembly/long-read QC reports (N50 = the largest length L such
+    * that sequences of length ≥ L hold at least half the total bases).
+    * The naive formulation sorts each sample's sequences descending and
+    * runs a cumulative sum — a per-sample window over ALL sequences,
+    * one reducer per sample at scale. This is the value-histogram
+    * reformulation (q23/t09's technique): lengths collapse to a
+    * (sample, len) histogram first (map-side combinable; bounded by the
+    * length DOMAIN, not the sequence count), the cumulative runs over
+    * histogram rows, and N50 = max(len) where cum·2 ≥ total. Integer
+    * arithmetic end-to-end. */
+  def n50Stats(seqs: DataFrame): DataFrame = {
+    val hist = seqs.groupBy(col("sample"), col("len"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hist.groupBy(col("sample"))
+      .agg(sum(col("len") * col("n")).as("total_len"),
+        sum(col("n")).as("n_seqs"))
+    val w = Window.partitionBy(col("sample")).orderBy(col("len").desc)
+    hist
+      .withColumn("cum", sum(col("len") * col("n")).over(w))
+      .join(tot, Seq("sample"))
+      .where(col("cum") * 2 >= col("total_len"))
+      .groupBy(col("sample"), col("n_seqs"), col("total_len"))
+      .agg(max(col("len")).as("n50"))
+      .select(col("sample"), col("n_seqs"), col("total_len"), col("n50"))
+      .orderBy("sample")
+  }
+
+  def x31N50(s: SparkSession, d: String): DataFrame = {
+    val seqs = Tables.lineitem(s, d).where(col("l_orderkey") % 15 === 8)
+      .select((col("l_orderkey") % 20).cast("long").as("sample"),
+        ((col("l_partkey") % 97) + 3).cast("long").as("len"))
+    val r = n50Stats(seqs)
+    requireKeyedWindows(r, "x31")
+    r
+  }
+
+  val x31Sql: String =
+    """WITH r AS (
+      |  SELECT CAST(l_orderkey % 20 AS BIGINT) AS sample,
+      |    CAST((l_partkey % 97) + 3 AS BIGINT) AS len
+      |  FROM lineitem WHERE l_orderkey % 15 = 8),
+      |h AS (SELECT sample, len, COUNT(*) AS n FROM r GROUP BY 1, 2),
+      |t AS (SELECT sample, SUM(len * n) AS total_len, SUM(n) AS n_seqs
+      |  FROM h GROUP BY 1),
+      |c AS (SELECT h.sample, h.len, t.total_len, t.n_seqs,
+      |    SUM(h.len * h.n) OVER (
+      |      PARTITION BY h.sample ORDER BY h.len DESC) AS cum
+      |  FROM h JOIN t USING (sample))
+      |SELECT sample, CAST(n_seqs AS BIGINT) AS n_seqs,
+      |  CAST(total_len AS BIGINT) AS total_len,
+      |  CAST(MAX(len) AS BIGINT) AS n50
+      |FROM c WHERE cum * 2 >= total_len
+      |GROUP BY sample, n_seqs, total_len ORDER BY sample""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -989,7 +1045,8 @@ object Genomics {
     "x27_mtdna_cn"           -> (x27MtCopyNumber _),
     "x28_interval_intersect" -> (x28IntervalIntersect _),
     "x29_interval_merge"     -> (x29IntervalMerge _),
-    "x30_interval_subtract"  -> (x30IntervalSubtract _))
+    "x30_interval_subtract"  -> (x30IntervalSubtract _),
+    "x31_n50_stats"          -> (x31N50 _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1004,5 +1061,6 @@ object Genomics {
     "x27_mtdna_cn"           -> x27Sql,
     "x28_interval_intersect" -> x28Sql,
     "x29_interval_merge"     -> x29Sql,
-    "x30_interval_subtract"  -> x30Sql)
+    "x30_interval_subtract"  -> x30Sql,
+    "x31_n50_stats"          -> x31Sql)
 }

@@ -294,6 +294,20 @@ class GenomicsSpec extends SparkSpec {
       ("c1", 100L, 100L, 110L)))                    // untouched; [50,55) erased
   }
 
+  test("x31 n50Stats: histogram form equals the textbook definition") {
+    import spark.implicits._
+    // sample 1: lengths 10,9,8,7,6 (total 40); cumulative desc crosses 20
+    // at 9+10=19 <20, +8=27 >=20 -> N50 = 8
+    // sample 2: 5,5,5,5 -> N50 = 5; sample 3: single 100 -> N50 = 100
+    val seqs = (Seq((1L, 10L), (1L, 9L), (1L, 8L), (1L, 7L), (1L, 6L)) ++
+      Seq.fill(4)((2L, 5L)) ++ Seq((3L, 100L)))
+      .toDF("sample", "len")
+    val got = Genomics.n50Stats(seqs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 40L, 8L), (2L, 4L, 20L, 5L),
+      (3L, 1L, 100L, 100L)))
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
