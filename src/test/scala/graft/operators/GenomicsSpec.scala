@@ -308,6 +308,39 @@ class GenomicsSpec extends SparkSpec {
       (3L, 1L, 100L, 100L)))
   }
 
+  test("region algebra: intersect + subtract partition A; merge preserves support") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def gen(n: Int) = Seq.fill(n) {
+      val st = rnd.nextInt(400).toLong + 1
+      (if (rnd.nextBoolean()) "c1" else "c2", st, st + rnd.nextInt(60) + 1)
+    }
+    // distinct a: per-a identity must be unambiguous for the partition law
+    val a = gen(120).distinct.toDF("contig", "start", "end")
+    val b = gen(120).toDF("contig", "start", "end")
+    def mass(df: org.apache.spark.sql.DataFrame, s: String, e: String) =
+      df.agg(sum(col(e) - col(s))).as[Long].head()
+    // per-base conservation: |a| = |a ∩ B∪| + |a − B∪| summed over a's
+    // (intersect vs MERGED b so segments per a are disjoint, mirroring
+    // subtract's own normalization)
+    val bm = Genomics.intervalMerge(b)
+      .select(col("contig"), col("start_pos").as("start"),
+        col("end_pos").as("end"))
+    val interMass = mass(Genomics.intervalIntersect(a, bm, 64),
+      "start_pos", "end_pos")
+    val subMass = mass(Genomics.intervalSubtract(a, b, 64),
+      "start_pos", "end_pos")
+    val aMass = mass(a, "start", "end")
+    assert(interMass + subMass === aMass,
+      s"partition law violated: $interMass + $subMass != $aMass")
+    // subtract by nothing is identity
+    val empty = Seq.empty[(String, Long, Long)].toDF("contig", "start", "end")
+    val idem = Genomics.intervalSubtract(a, empty, 64)
+      .select(col("contig"), col("start_pos"), col("end_pos"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(idem === a.as[(String, Long, Long)].collect().toSet)
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
