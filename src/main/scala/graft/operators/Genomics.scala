@@ -292,24 +292,17 @@ object Genomics {
     * realignment: the claimed NM edit distance must equal what the MD
     * tag and CIGAR actually describe (substitutions from MD + inserted
     * bases from CIGAR I + deleted bases from CIGAR D), and the MD
-    * deletion runs must agree with CIGAR D base-for-base. All three
-    * derivations are generic codegen builtins, no UDF: MD substitutions
-    * = letters remaining after stripping `^`-runs, MD deletions = summed
-    * `^`-run lengths (regexp_extract_all + HOF fold), CIGAR op sums =
-    * x12's token-scan fold. Reads whose claimed NM disagrees are
-    * flagged, not "fixed" — the audit is the operator.
+    * deletion runs must agree with CIGAR D base-for-base. MD
+    * substitutions = letters remaining after stripping `^`-runs, MD
+    * deletions = summed `^`-run lengths (regexp_extract_all + HOF
+    * fold), CIGAR ins/del from the native one-pass codegen expression
+    * [[graft.functions.CigarSumsExpr]]. Reads whose claimed NM
+    * disagrees are flagged, not "fixed" — the audit is the operator.
     *
     * Scale shape: narrow per-row expressions + one global aggregate;
     * zero shuffles before the final combine. */
   def nmAudit(reads: DataFrame): DataFrame = {
-    val toks = regexp_extract_all(col("cigar"),
-      lit("(\\d+)([MIDNSHP=X])"), lit(0))
-    val pairs = transform(toks, t => struct(
-      t.substr(lit(1), length(t) - 1).cast("long").as("len"),
-      t.substr(length(t), lit(1)).as("op")))
-    def opSum(ops: String*) =
-      aggregate(filter(pairs, p => p.getField("op").isin(ops: _*)),
-        lit(0L), (acc, p) => acc + p.getField("len"))
+    val cs = graft.functions.CigarSumsExpr.cigarSums(col("cigar"))
     val stripped = regexp_replace(col("md"), "\\^[ACGTN]+", "")
     val subs = (length(stripped) -
       length(regexp_replace(stripped, "[ACGTN]", ""))).cast("long")
@@ -318,9 +311,12 @@ object Genomics {
         r => length(r).cast("long")),
       lit(0L), (acc, x) => acc + x)
     reads
-      .withColumn("nm_expected", subs + opSum("I") + opSum("D"))
-      .withColumn("del_cigar", opSum("D"))
+      .withColumn("__cs", cs)
+      .withColumn("nm_expected",
+        subs + col("__cs.ins") + col("__cs.del"))
+      .withColumn("del_cigar", col("__cs.del"))
       .withColumn("del_md", delMd)
+      .drop("__cs")
       .withColumn("nm_claimed",
         regexp_extract(col("attributes"), "NM:i:(\\d+)", 1).cast("long"))
       .withColumn("nm_ok", col("nm_claimed") === col("nm_expected"))

@@ -792,39 +792,66 @@ object MitoQueries {
   /** Generic CIGAR arithmetic — the alignment-geometry scalar kernel
     * (SAM spec §1.4.6) every coverage/clipping/QC pass needs: reference
     * span (M/D/N/=/X consume reference), read length (M/I/S/=/X consume
-    * query), aligned bases (M/=/X), clipped bases (S/H) — computed by a
-    * GENERIC builtin parser (regexp token scan → per-token length/op
-    * split → predicate-filtered aggregate folds, all codegen-able
-    * higher-order functions, no UDF). CIGARs are synthesized with a
+    * query), aligned bases (M/=/X), clipped bases (S/H) — computed by
+    * the native codegen expression [[graft.functions.CigarSumsExpr]]
+    * (one byte pass over the string for ALL sums; the generic
+    * regexp-scan + HOF-fold formulation it replaced re-tokenized per
+    * requested sum because lambda-bearing builtins sit outside both
+    * whole-stage codegen and subexpression elimination — it survives as
+    * [[x12CigarKernelHof]], the spec's equality oracle). CIGARs are
+    * synthesized with a
     * known composition (cS aM iI bD aM), so the oracle restates each
     * output as closed-form arithmetic — checking the parser against the
     * construction rather than a second parser. Narrow scan, zero
     * shuffle. */
-  def x12CigarKernel(s: SparkSession, d: String): DataFrame = {
+  def x12CigarKernel(s: SparkSession, d: String): DataFrame =
+    x12CigarKernelImpl(s, d, native = true)
+
+  /** The generic-builtin formulation (regexp token scan → HOF folds) the
+    * native expression replaced — kept as the spec's equality oracle
+    * (HOF lambdas are interpreted, outside whole-stage codegen AND
+    * subexpression elimination, so this re-tokenizes per requested sum). */
+  private[graft] def x12CigarKernelHof(s: SparkSession, d: String): DataFrame =
+    x12CigarKernelImpl(s, d, native = false)
+
+  private def x12CigarKernelImpl(s: SparkSession, d: String,
+      native: Boolean): DataFrame = {
     val a = col("l_quantity").cast("int") % 40 + 1
     val b = col("l_partkey") % 5 + 1
     val c = col("l_suppkey") % 8 + 1
     val i = col("l_linenumber") % 3 + 1
     val cigar = concat(c, lit("S"), a, lit("M"), i, lit("I"),
       b, lit("D"), a, lit("M"))
-    val toks = regexp_extract_all(col("cigar"),
-      lit("(\\d+)([MIDNSHP=X])"), lit(0))
-    val pairs = transform(toks, t => struct(
-      t.substr(lit(1), length(t) - 1).cast("long").as("len"),
-      t.substr(length(t), lit(1)).as("op")))
-    def opSum(ops: String*): Column =
-      aggregate(filter(pairs, p => p.getField("op").isin(ops: _*)),
-        lit(0L), (acc, p) => acc + p.getField("len"))
-    Tables.lineitem(s, d).where(col("l_orderkey") % 10 === 3)
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 10 === 3)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), cigar.as("cigar"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("cigar"),
-        opSum("M", "D", "N", "=", "X").as("ref_len"),
-        opSum("M", "I", "S", "=", "X").as("read_len"),
-        opSum("M", "=", "X").as("aligned"),
-        opSum("S", "H").as("clipped"))
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val sums =
+      if (native) {
+        val withCs = base.withColumn("__cs",
+          graft.functions.CigarSumsExpr.cigarSums(col("cigar")))
+        withCs.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("cigar"),
+          col("__cs.ref_len").as("ref_len"),
+          col("__cs.read_len").as("read_len"),
+          col("__cs.aligned").as("aligned"),
+          col("__cs.clipped").as("clipped"))
+      } else {
+        val toks = regexp_extract_all(col("cigar"),
+          lit("(\\d+)([MIDNSHP=X])"), lit(0))
+        val pairs = transform(toks, t => struct(
+          t.substr(lit(1), length(t) - 1).cast("long").as("len"),
+          t.substr(length(t), lit(1)).as("op")))
+        def opSum(ops: String*): Column =
+          aggregate(filter(pairs, p => p.getField("op").isin(ops: _*)),
+            lit(0L), (acc, p) => acc + p.getField("len"))
+        base.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("cigar"),
+          opSum("M", "D", "N", "=", "X").as("ref_len"),
+          opSum("M", "I", "S", "=", "X").as("read_len"),
+          opSum("M", "=", "X").as("aligned"),
+          opSum("S", "H").as("clipped"))
+      }
+    sums.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
   /** Closed-form restatement from the synthesis composition. */
