@@ -2210,6 +2210,48 @@ object TextAnalysis {
       |  CAST(MAX(fullep) AS BIGINT) AS full_epochs
       |FROM dd GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  /** Tokenizer FERTILITY per language — the chars-per-token /
+    * bytes-per-token ratios multilingual-pipeline teams track per
+    * language (a tokenizer that spends 3× the tokens per character on
+    * one language starves it of effective context — the metric behind
+    * vocabulary-allocation decisions). Integer-exact milli-ratios, one
+    * narrow scan + one language-keyed map-side-combinable aggregate.
+    * `octet_length` gives UTF-8 bytes (≠ chars for CJK — exactly the
+    * divergence the bytes ratio exists to expose). */
+  def t35Fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_bytes")).as("bytes"))
+      .withColumn("chars_per_tok_milli", expr("(1000 * chars) div tokens"))
+      .withColumn("bytes_per_tok_milli", expr("(1000 * bytes) div tokens"))
+      .orderBy("lang")
+
+  val t35Sql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+      |  (1000 * CAST(SUM(n_chars) AS BIGINT)) // CAST(SUM(n_tok) AS BIGINT)
+      |    AS chars_per_tok_milli,
+      |  (1000 * CAST(SUM(n_bytes) AS BIGINT)) // CAST(SUM(n_tok) AS BIGINT)
+      |    AS bytes_per_tok_milli
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2244,7 +2286,8 @@ object TextAnalysis {
     "t31_gopher_rules" -> (t31GopherRules _),
     "t32_sliding_chunks" -> (t32SlidingChunks _),
     "t33_bm25"        -> (t33Bm25 _),
-    "t34_mixture_materialize" -> (t34MixtureMaterialize _))
+    "t34_mixture_materialize" -> (t34MixtureMaterialize _),
+    "t35_fertility" -> (t35Fertility _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2279,5 +2322,6 @@ object TextAnalysis {
     "t31_gopher_rules" -> t31Sql,
     "t32_sliding_chunks" -> t32Sql,
     "t33_bm25"        -> t33Sql,
-    "t34_mixture_materialize" -> t34Sql)
+    "t34_mixture_materialize" -> t34Sql,
+    "t35_fertility" -> t35Sql)
 }
