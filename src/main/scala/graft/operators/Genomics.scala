@@ -1028,6 +1028,93 @@ object Genomics {
       |FROM c WHERE cum * 2 >= total_len
       |GROUP BY sample, n_seqs, total_len ORDER BY sample""".stripMargin
 
+  // ---------------------------------------------------------------- x32
+  /** CLOSEST INTERVAL (`bedtools closest`), radius-bounded — for each
+    * a-interval the nearest b-interval on its contig (distance 0 when
+    * overlapping, else the gap between facing ends), ties totalized by
+    * (distance, b_start, b_end). The naive per-contig sort-merge is a
+    * low-cardinality-keyed window (whole chromosomes through one
+    * reducer); instead a's bin cover is WIDENED by the search radius so
+    * every b within distance R shares a (contig, bin) key with it —
+    * the uniform-shuffle candidates join — and the per-a argmin is a
+    * lexicographic `min(struct(distance, b_start, b_end))` aggregate
+    * (map-side combinable; duplicate candidates from multi-bin overlap
+    * are harmless under min, so this join needs NO exactly-once trick).
+    * a-intervals with no b within R are omitted — the bounded-radius
+    * semantics; unbounded closest = radius doubling over the same
+    * kernel, a driver loop over exchanges of shrinking survivors. */
+  def closestIntervals(a: DataFrame, b: DataFrame, radius: Long,
+      binWidth: Int): DataFrame = {
+    val w = binWidth.toLong
+    val ba = a.select(col("contig"), col("start").as("a_start"),
+        col("end").as("a_end"))
+      .withColumn("bin", explode(sequence(
+        expr(s"(a_start - $radius) div $w"),
+        expr(s"(a_end + $radius - 1) div $w")))) // cover widened by R
+    val bb = b.select(col("contig"), col("start").as("b_start"),
+        col("end").as("b_end"))
+      .withColumn("bin", explode(sequence(
+        expr(s"b_start div $w"), expr(s"(b_end - 1) div $w"))))
+    val d = greatest(lit(0L),
+      greatest(col("a_start") - col("b_end"),
+        col("b_start") - col("a_end")))
+    ba.join(bb, Seq("contig", "bin"))
+      .withColumn("d", d)
+      .where(col("d") <= radius)
+      .groupBy(col("contig"), col("a_start"), col("a_end"))
+      .agg(min(struct(col("d"), col("b_start"), col("b_end"))).as("best"))
+      .select(col("contig"), col("a_start"), col("a_end"),
+        col("best.d").as("distance"),
+        col("best.b_start").as("b_start"),
+        col("best.b_end").as("b_end"))
+  }
+
+  /** Driver gate: dense a-intervals vs sparse b-intervals — the output
+    * mixes overlap hits (distance 0) and genuine gap distances, with
+    * some a's beyond the radius (omitted). Oracle is the plain
+    * per-contig join + ROW_NUMBER argmin the binning replaces. */
+  def x32ClosestInterval(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 15 === 4)
+    val a = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 250) * 13 + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L).distinct()
+    val b = li.where(col("l_linenumber") % 3 === 0).select(
+        when(col("l_partkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_suppkey") * 13 % 120) * 29 + 4).cast("long").as("start"))
+      .withColumn("end", col("start") + 8L).distinct()
+    closestIntervals(a, b, radius = 64L, binWidth = 64)
+      .orderBy("contig", "a_start")
+  }
+
+  val x32Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey, l_linenumber FROM lineitem
+      |  WHERE l_orderkey % 15 = 4),
+      |a AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 250) * 13 + 1 AS st, (l_partkey % 250) * 13 + 11 AS en
+      |  FROM li),
+      |b AS (SELECT DISTINCT
+      |    CASE WHEN l_partkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_suppkey * 13 % 120) * 29 + 4 AS st,
+      |    (l_suppkey * 13 % 120) * 29 + 12 AS en
+      |  FROM li WHERE l_linenumber % 3 = 0),
+      |cand AS (SELECT a.contig, a.st AS a_start, a.en AS a_end,
+      |    b.st AS b_start, b.en AS b_end,
+      |    GREATEST(0, GREATEST(a.st - b.en, b.st - a.en)) AS d
+      |  FROM a JOIN b ON a.contig = b.contig),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY contig, a_start, a_end
+      |    ORDER BY d, b_start, b_end) AS r
+      |  FROM cand WHERE d <= 64)
+      |SELECT contig, CAST(a_start AS BIGINT) AS a_start,
+      |  CAST(a_end AS BIGINT) AS a_end, CAST(d AS BIGINT) AS distance,
+      |  CAST(b_start AS BIGINT) AS b_start, CAST(b_end AS BIGINT) AS b_end
+      |FROM rk WHERE r = 1 ORDER BY contig, a_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1042,7 +1129,8 @@ object Genomics {
     "x28_interval_intersect" -> (x28IntervalIntersect _),
     "x29_interval_merge"     -> (x29IntervalMerge _),
     "x30_interval_subtract"  -> (x30IntervalSubtract _),
-    "x31_n50_stats"          -> (x31N50 _))
+    "x31_n50_stats"          -> (x31N50 _),
+    "x32_closest_interval"   -> (x32ClosestInterval _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1058,5 +1146,6 @@ object Genomics {
     "x28_interval_intersect" -> x28Sql,
     "x29_interval_merge"     -> x29Sql,
     "x30_interval_subtract"  -> x30Sql,
-    "x31_n50_stats"          -> x31Sql)
+    "x31_n50_stats"          -> x31Sql,
+    "x32_closest_interval"   -> x32Sql)
 }

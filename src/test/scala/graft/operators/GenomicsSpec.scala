@@ -341,6 +341,51 @@ class GenomicsSpec extends SparkSpec {
     assert(idem === a.as[(String, Long, Long)].collect().toSet)
   }
 
+  test("x32 closestIntervals: overlap beats gap, tie-break deterministic, radius cuts") {
+    import spark.implicits._
+    val a = Seq(("c", 100L, 110L), ("c", 300L, 310L), ("c", 900L, 910L))
+      .toDF("contig", "start", "end")
+    val b = Seq(
+      ("c", 105L, 108L),             // overlaps a1 -> distance 0
+      ("c", 120L, 130L),             // gap 10 from a1 (loses to overlap)
+      ("c", 260L, 270L), ("c", 340L, 350L), // a2: gaps 30 both -> tie,
+                                            // smaller b_start wins
+      ("c", 500L, 510L))             // 390 from a3: beyond radius
+      .toDF("contig", "start", "end")
+    val got = Genomics.closestIntervals(a, b, radius = 64L, binWidth = 32)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("c", 100L, 110L, 0L, 105L, 108L),
+      ("c", 300L, 310L, 30L, 260L, 270L)))
+  }
+
+  test("x32 equals the naive argmin join on a random fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def gen(n: Int) = Seq.fill(n) {
+      val st = rnd.nextInt(800).toLong + 1
+      (if (rnd.nextBoolean()) "c1" else "c2", st, st + rnd.nextInt(40) + 1)
+    }
+    val a = gen(150).distinct.toDF("contig", "start", "end")
+    val b = gen(150).toDF("contig", "start", "end")
+    val R = 96L
+    val binned = Genomics.closestIntervals(a, b, R, 48)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val d = greatest(lit(0L), greatest($"a.start" - $"b.end", $"b.start" - $"a.end"))
+    val naive = a.as("a").join(b.as("b"), $"a.contig" === $"b.contig")
+      .select($"a.contig".as("contig"), $"a.start".as("a_start"),
+        $"a.end".as("a_end"), d.as("d"),
+        $"b.start".as("b_start"), $"b.end".as("b_end"))
+      .where($"d" <= R)
+      .groupBy($"contig", $"a_start", $"a_end")
+      .agg(min(struct($"d", $"b_start", $"b_end")).as("best"))
+      .select($"contig", $"a_start", $"a_end", $"best.d",
+        $"best.b_start", $"best.b_end")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(binned === naive)
+    assert(binned.nonEmpty)
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
