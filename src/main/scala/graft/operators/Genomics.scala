@@ -1115,6 +1115,89 @@ object Genomics {
       |  CAST(b_start AS BIGINT) AS b_start, CAST(b_end AS BIGINT) AS b_end
       |FROM rk WHERE r = 1 ORDER BY contig, a_start""".stripMargin
 
+  // ---------------------------------------------------------------- x33
+  /** PER-TARGET COVERAGE at depth ≥ K — the hybrid-capture QC metric
+    * (Picard HsMetrics' PCT_TARGET_BASES_≥X): for every target interval,
+    * the fraction of its bases covered by at least K reads. Pure
+    * composition of shipped kernels: [[coverageIntervals]] (the sweep)
+    * filtered to depth ≥ K yields DISJOINT qualifying segments, the
+    * exactly-once binned pair join intersects them with targets, and
+    * because the segments are disjoint the per-target covered mass is a
+    * plain sum — no merge pass, no double counting. Targets untouched
+    * by coverage come back through the left join at 0. Integer-exact
+    * permille.
+    *
+    * Scale shape: the sweep's 2-rows-per-read shuffle + per-contig
+    * window, one uniform (contig, bin) exchange, one target-keyed agg. */
+  def targetCoverage(reads: DataFrame, targets: DataFrame, minDepth: Long,
+      binWidth: Int): DataFrame = {
+    val cov = coverageIntervals(reads)
+      .where(col("depth") >= minDepth)
+      .select(col("contig"), col("start_pos").as("start"),
+        col("end_pos").as("end"))
+    val covered = binnedOverlapPairs(targets, cov, binWidth)
+      .select(col("contig"), col("a_start"), col("a_end"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("mass"))
+      .groupBy(col("contig"), col("a_start"), col("a_end"))
+      .agg(sum(col("mass")).as("covered"))
+    targets.select(col("contig"), col("start").as("a_start"),
+        col("end").as("a_end"))
+      .join(covered, Seq("contig", "a_start", "a_end"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("pct_milli",
+        expr("(1000 * covered) div (a_end - a_start)"))
+      .select(col("contig"), col("a_start").as("start_pos"),
+        col("a_end").as("end_pos"), col("covered"), col("pct_milli"))
+  }
+
+  def x33TargetCoverage(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 16 === 7)
+    val reads = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 350) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val targets = li.where(col("l_linenumber") % 2 === 1).select(
+        when(col("l_partkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_suppkey") * 3 % 60) * 25 + 2).cast("long").as("start"))
+      .withColumn("end", col("start") + 30L).distinct()
+    targetCoverage(reads, targets, minDepth = 2L, binWidth = 64)
+      .orderBy("contig", "start_pos")
+  }
+
+  /** Oracle replays per-base: target positions whose naive depth ≥ 2. */
+  val x33Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey, l_linenumber FROM lineitem
+      |  WHERE l_orderkey % 16 = 7),
+      |r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 350) + 1 AS st
+      |  FROM li),
+      |t AS (SELECT DISTINCT
+      |    CASE WHEN l_partkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_suppkey * 3 % 60) * 25 + 2 AS st,
+      |    (l_suppkey * 3 % 60) * 25 + 32 AS en
+      |  FROM li WHERE l_linenumber % 2 = 1),
+      |p AS (SELECT contig, unnest(generate_series(st, st + 9)) AS pos FROM r),
+      |dep AS (SELECT contig, pos FROM p GROUP BY contig, pos
+      |  HAVING COUNT(*) >= 2),
+      |tp AS (SELECT t.contig, t.st, t.en, d.pos FROM t
+      |  JOIN dep d ON t.contig = d.contig
+      |    AND d.pos >= t.st AND d.pos < t.en),
+      |cv AS (SELECT contig, st, en, COUNT(*) AS covered
+      |  FROM tp GROUP BY 1, 2, 3)
+      |SELECT t.contig, CAST(t.st AS BIGINT) AS start_pos,
+      |  CAST(t.en AS BIGINT) AS end_pos,
+      |  CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered,
+      |  (1000 * CAST(COALESCE(cv.covered, 0) AS BIGINT))
+      |    // CAST(t.en - t.st AS BIGINT) AS pct_milli
+      |FROM t LEFT JOIN cv ON t.contig = cv.contig
+      |  AND t.st = cv.st AND t.en = cv.en
+      |ORDER BY t.contig, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1130,7 +1213,8 @@ object Genomics {
     "x29_interval_merge"     -> (x29IntervalMerge _),
     "x30_interval_subtract"  -> (x30IntervalSubtract _),
     "x31_n50_stats"          -> (x31N50 _),
-    "x32_closest_interval"   -> (x32ClosestInterval _))
+    "x32_closest_interval"   -> (x32ClosestInterval _),
+    "x33_target_coverage"    -> (x33TargetCoverage _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1147,5 +1231,6 @@ object Genomics {
     "x29_interval_merge"     -> x29Sql,
     "x30_interval_subtract"  -> x30Sql,
     "x31_n50_stats"          -> x31Sql,
-    "x32_closest_interval"   -> x32Sql)
+    "x32_closest_interval"   -> x32Sql,
+    "x33_target_coverage"    -> x33Sql)
 }

@@ -386,6 +386,24 @@ class GenomicsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("x33 targetCoverage: depth threshold, partial cover, zero targets") {
+    import spark.implicits._
+    // depth ≥2 region: [10,20) x2 reads; single-covered [30,40) won't count
+    val reads = Seq(("c", 10L, 20L), ("c", 10L, 20L), ("c", 30L, 40L))
+      .toDF("contig", "start", "end")
+    val targets = Seq(
+      ("c", 5L, 15L),   // half inside the ≥2 region -> 5/10 = 500
+      ("c", 30L, 40L),  // only single-covered -> 0
+      ("c", 12L, 18L))  // fully inside -> 1000
+      .toDF("contig", "start", "end")
+    val got = Genomics.targetCoverage(reads, targets, 2L, 8)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("c", 5L, 15L, 5L, 500L),
+      ("c", 30L, 40L, 0L, 0L),
+      ("c", 12L, 18L, 6L, 1000L)))
+  }
+
   test("t34 per-source plan joins back broadcast (claimed shape)") {
     val df = TextAnalysis.t34MixtureMaterialize(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
