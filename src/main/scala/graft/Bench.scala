@@ -215,6 +215,16 @@ object Bench {
           "falling back to 1-sig")
         line(1, true, minimal = 5)
       }
+    // machine-readable artifact (VERDICT r10: BENCH_r*.json has carried
+    // "parsed": null for two rounds — the stdout-tail parse is fragile to
+    // log framing): the FULL-precision non-slim line goes to a file,
+    // immune to truncation, so the structured result exists regardless of
+    // what survives in the log tail
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line(3, false) + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
     // stop BEFORE printing: any executor/stop-time WARN lines then land
     // ahead of the JSON line instead of between it and EOF, so the line
     // stays inside the driver's bounded stdout tail — and a stop-time

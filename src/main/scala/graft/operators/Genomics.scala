@@ -42,23 +42,103 @@ object Genomics {
     * (gaps) fall out of the final filter; `end_pos` is exclusive.
     *
     * Scale shape: 2 shuffled rows per read (the boundary aggregate,
-    * map-side combinable), then a per-CONTIG window over distinct
-    * boundaries — never corpus-global, enforced by an in-plan require.
-    * Within one monster contig the window decomposes further as t14's
-    * two-level prefix sum over position-range buckets (the x11 note). */
-  def coverageIntervals(reads: DataFrame): DataFrame = {
-    val diff = reads.select(col("contig"), explode(array(
+    * map-side combinable), then the TWO-LEVEL sweep of
+    * [[boundaryPrefixScan]] — never corpus-global, and no longer one
+    * reducer per contig either: within a monster contig the running sum
+    * decomposes as t14's two-level prefix sum over position-range
+    * buckets (previously promised in this scaladoc, now implemented). */
+  def coverageIntervals(reads: DataFrame,
+      bucketWidth: Long = 1L << 20): DataFrame =
+    boundaryPrefixScan(boundaryDeltas(reads), bucketWidth)
+      .where(col("depth") > 0)
+      .select(col("contig"), col("pos").as("start_pos"),
+        col("next_pos").as("end_pos"), col("depth"))
+
+  /** Net per-boundary deltas for an interval frame (contig, start, end):
+    * +1 at each start, −1 at each (exclusive) end, summed per position
+    * (map-side combinable) with net-zero boundaries dropped — after the
+    * drop every surviving boundary changes depth, which is what makes
+    * the downstream runs maximal with no merge pass. */
+  private def boundaryDeltas(intervals: DataFrame): DataFrame =
+    intervals.select(col("contig"), explode(array(
         struct(col("start").as("pos"), lit(1L).as("delta")),
         struct(col("end").as("pos"), lit(-1L).as("delta")))).as("e"))
       .select(col("contig"), col("e.pos").as("pos"), col("e.delta").as("delta"))
       .groupBy(col("contig"), col("pos")).agg(sum(col("delta")).as("delta"))
       .where(col("delta") =!= 0)
-    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
-    diff.select(col("contig"), col("pos").as("start_pos"),
-        sum(col("delta")).over(w).as("depth"),
-        lead(col("pos"), 1).over(w).as("end_pos"))
-      .where(col("depth") > 0)
-      .select(col("contig"), col("start_pos"), col("end_pos"), col("depth"))
+
+  /** TWO-LEVEL DISTRIBUTED PREFIX SCAN over boundary rows
+    * (contig, pos, delta) — the decomposition that removes the
+    * one-reducer-per-contig straggler the r9/r10 verdicts flagged for
+    * the sweep family (a human WGS run concentrates ~8% of all
+    * boundaries on chr1). Positions bucket into ranges of `bucketWidth`;
+    * level 1 runs the running sum and intra-bucket `lead(pos)` under a
+    * (contig, bucket)-keyed window — uniform parallelism within a
+    * contig; level 2 prefix-sums the per-bucket TOTALS under a
+    * contig-keyed window over bucket summaries — rows bounded by
+    * contig_length / bucketWidth (≈250 for chr1 at the 1 Mb default),
+    * never by read or boundary count. depth = local cum + preceding
+    * buckets' offset; `next_pos` chains across bucket boundaries by
+    * taking the next NON-EMPTY bucket's first position from the same
+    * summary frame (null only at each contig's last boundary, where the
+    * net depth is 0 anyway). Same technique as t14/t30's two-level
+    * rank; exercised with multi-bucket widths by the x11/x18/x29/x30/
+    * x33 gates and regression-pinned by [[requireBucketedSweep]]. */
+  def boundaryPrefixScan(diff: DataFrame, bucketWidth: Long): DataFrame = {
+    val b = diff.withColumn("__bkt", expr(s"pos div $bucketWidth"))
+    val wLoc = Window.partitionBy(col("contig"), col("__bkt"))
+      .orderBy(col("pos"))
+    val loc = b.select(col("contig"), col("__bkt"), col("pos"), col("delta"),
+      sum(col("delta")).over(wLoc).as("__lcum"),
+      lead(col("pos"), 1).over(wLoc).as("__next_in_bkt"))
+    val sums = b.groupBy(col("contig"), col("__bkt"))
+      .agg(sum(col("delta")).as("__tot"), min(col("pos")).as("__first"))
+    val wB = Window.partitionBy(col("contig")).orderBy(col("__bkt"))
+    val off = sums.select(col("contig"), col("__bkt"),
+      (sum(col("__tot")).over(wB) - col("__tot")).as("__off"),
+      lead(col("__first"), 1).over(wB).as("__next_bkt_pos"))
+    loc.join(off, Seq("contig", "__bkt"))
+      .select(col("contig"), col("pos"), col("delta"),
+        (col("__lcum") + col("__off")).as("depth"),
+        coalesce(col("__next_in_bkt"), col("__next_bkt_pos")).as("next_pos"))
+  }
+
+  /** `next_pos` = the following row's pos in (contig → pos) order,
+    * computed with the same two-level shape as [[boundaryPrefixScan]]
+    * instead of a per-contig window over the rows themselves: lead
+    * within (contig, bucket), and for each bucket's last row the next
+    * non-empty bucket's first position from the summary frame. */
+  def twoLevelNextPos(rows: DataFrame, bucketWidth: Long): DataFrame = {
+    val b = rows.withColumn("__bkt", expr(s"pos div $bucketWidth"))
+    val wLoc = Window.partitionBy(col("contig"), col("__bkt"))
+      .orderBy(col("pos"))
+    val sums = b.groupBy(col("contig"), col("__bkt"))
+      .agg(min(col("pos")).as("__first"))
+    val wB = Window.partitionBy(col("contig")).orderBy(col("__bkt"))
+    val nxt = sums.select(col("contig"), col("__bkt"),
+      lead(col("__first"), 1).over(wB).as("__next_bkt_pos"))
+    b.withColumn("__next_in_bkt", lead(col("pos"), 1).over(wLoc))
+      .join(nxt, Seq("contig", "__bkt"))
+      .withColumn("next_pos",
+        coalesce(col("__next_in_bkt"), col("__next_bkt_pos")))
+      .drop("__bkt", "__first", "__next_in_bkt", "__next_bkt_pos")
+  }
+
+  /** [[requireKeyedWindows]] plus the bucketed-sweep pin: the optimized
+    * plan must retain at least one window keyed by TWO-or-more
+    * expressions (the (contig, bucket) level-1 pass) — a regression to
+    * a flat per-contig sweep flips CORRECTNESS, not just a bench
+    * number. */
+  private[operators] def requireBucketedSweep(df: DataFrame,
+      who: String): Unit = {
+    requireKeyedWindows(df, who)
+    val bucketed = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.length >= 2 => w
+    }
+    require(bucketed.nonEmpty,
+      s"$who: no (contig, bucket)-keyed window in the plan — the sweep " +
+        "has regressed to a flat per-contig prefix sum")
   }
 
   /** Driver gate: 10 bp reads on two contigs synthesized from lineitem;
@@ -71,8 +151,9 @@ object Genomics {
           .as("contig"),
         ((col("l_partkey") % 400) + 1).cast("long").as("start"))
       .withColumn("end", col("start") + 10L)
-    val r = coverageIntervals(reads).orderBy("contig", "start_pos")
-    requireKeyedWindows(r, "x18")
+    val r = coverageIntervals(reads, bucketWidth = 512L)
+      .orderBy("contig", "start_pos")
+    requireBucketedSweep(r, "x18")
     r
   }
 
@@ -814,30 +895,28 @@ object Genomics {
     * RETURNS to zero, so only the zero-transition boundaries matter —
     * a START is a boundary with prior depth 0 (prior = depth − delta,
     * no extra window), an END is a boundary reaching depth 0, starts
-    * and ends strictly alternate per contig, and `lead(pos)` over the
-    * transition rows pairs each start with its end. Two window passes
-    * over the SAME (contig → pos) sort — Catalyst plans one exchange +
-    * one sort, the second window reuses both.
+    * and ends strictly alternate per contig, and the next transition
+    * row's position pairs each start with its end. Both passes — the
+    * running sum and the start→end chaining — ride the two-level
+    * bucketed shape ([[boundaryPrefixScan]] then [[twoLevelNextPos]]
+    * over the transition rows, themselves already condensed to
+    * 2·merged-intervals per contig), so neither a boundary-dense nor a
+    * fragmented monster contig funnels through one reducer.
     *
     * Touching intervals ([a,b) + [b,c)) merge because the +1/−1 deltas
     * at b cancel to a net-zero boundary that the `delta ≠ 0` filter
     * removes before the transition scan — the same filter x18 uses for
     * maximality. */
-  def intervalMerge(intervals: DataFrame): DataFrame = {
-    val diff = intervals.select(col("contig"), explode(array(
-        struct(col("start").as("pos"), lit(1L).as("delta")),
-        struct(col("end").as("pos"), lit(-1L).as("delta")))).as("e"))
-      .select(col("contig"), col("e.pos").as("pos"), col("e.delta").as("delta"))
-      .groupBy(col("contig"), col("pos")).agg(sum(col("delta")).as("delta"))
-      .where(col("delta") =!= 0)
-    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
-    diff
-      .withColumn("depth", sum(col("delta")).over(w))
+  def intervalMerge(intervals: DataFrame,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val trans = boundaryPrefixScan(boundaryDeltas(intervals), bucketWidth)
       .withColumn("prior", col("depth") - col("delta"))
       .where(col("depth") === 0 || col("prior") === 0)
-      .withColumn("end_pos", lead(col("pos"), 1).over(w))
+      .select(col("contig"), col("pos"), col("depth"), col("prior"))
+    twoLevelNextPos(trans, bucketWidth)
       .where(col("prior") === 0 && col("depth") > 0)
-      .select(col("contig"), col("pos").as("start_pos"), col("end_pos"))
+      .select(col("contig"), col("pos").as("start_pos"),
+        col("next_pos").as("end_pos"))
   }
 
   /** Driver gate: mixed short/long spans force genuine merging; the
@@ -855,8 +934,9 @@ object Genomics {
         (col("l_linenumber") % 3 * 15 + 5).cast("long").as("len"))
       .withColumn("end", col("start") + col("len"))
       .drop("len")
-    val r = intervalMerge(ivs).orderBy("contig", "start_pos")
-    requireKeyedWindows(r, "x29")
+    val r = intervalMerge(ivs, bucketWidth = 512L)
+      .orderBy("contig", "start_pos")
+    requireBucketedSweep(r, "x29")
     r
   }
 
@@ -894,16 +974,25 @@ object Genomics {
     * one groupBy keyed by the a-interval identity (bounded fan-in: the
     * disjoint b-segments overlapping one a are at most len(a)/2 + 1). */
   def intervalSubtract(a: DataFrame, b: DataFrame,
-      binWidth: Int): DataFrame = {
-    val bm = intervalMerge(b).select(col("contig"),
+      binWidth: Int, bucketWidth: Long = 1L << 20): DataFrame = {
+    // A-side identities must be unique: the gap algebra groups by
+    // (contig, a_start, a_end), so a duplicate a-row would gather each
+    // overlap segment once PER DUPLICATE and corrupt the zip. Dedup here
+    // rather than documenting a precondition — the distinct shares its
+    // hash keys with the groupBy/join that follow, and the output is
+    // per distinct interval identity (bedtools semantics on a
+    // duplicate-free BED, the only case where per-line and per-identity
+    // agree anyway).
+    val ad = a.select(col("contig"), col("start"), col("end")).distinct()
+    val bm = intervalMerge(b, bucketWidth).select(col("contig"),
       col("start_pos").as("start"), col("end_pos").as("end"))
-    val pairs = binnedOverlapPairs(a, bm, binWidth)
+    val pairs = binnedOverlapPairs(ad, bm, binWidth)
       .select(col("contig"), col("a_start"), col("a_end"),
         greatest(col("a_start"), col("b_start")).as("os"),
         least(col("a_end"), col("b_end")).as("oe"))
     val grouped = pairs.groupBy(col("contig"), col("a_start"), col("a_end"))
       .agg(sort_array(collect_list(struct(col("os"), col("oe")))).as("ovs"))
-    a.select(col("contig"), col("start").as("a_start"),
+    ad.select(col("contig"), col("start").as("a_start"),
         col("end").as("a_end"))
       .join(grouped, Seq("contig", "a_start", "a_end"), "left")
       .withColumn("ovs", coalesce(col("ovs"),
@@ -937,8 +1026,10 @@ object Genomics {
           .as("contig"),
         ((col("l_suppkey") * 11 % 150) * 17 + 5).cast("long").as("start"))
       .withColumn("end", col("start") + 10L).distinct()
-    intervalSubtract(a, b, 64)
+    val r = intervalSubtract(a, b, 64, bucketWidth = 512L)
       .orderBy("contig", "a_start", "start_pos")
+    requireBucketedSweep(r, "x30")
+    r
   }
 
   val x30Sql: String =
@@ -1048,9 +1139,18 @@ object Genomics {
     val w = binWidth.toLong
     val ba = a.select(col("contig"), col("start").as("a_start"),
         col("end").as("a_end"))
+      // cover widened by R, each edge padded one extra unit: the filter
+      // admits d == R, and a b whose facing end sits EXACTLY R away can
+      // land on a bin boundary — b_start = a_end + R starts bin
+      // (a_end+R) div w, one past the unpadded (a_end+R-1) div w (and
+      // symmetrically b_end = a_start - R ends in bin (a_start-R-1) div
+      // w). The padded cover is a superset — spurious candidates are
+      // culled by the d <= R filter, never the reverse. Negative bins
+      // from the left pad are harmless for non-negative coordinates (no
+      // b ever maps there).
       .withColumn("bin", explode(sequence(
-        expr(s"(a_start - $radius) div $w"),
-        expr(s"(a_end + $radius - 1) div $w")))) // cover widened by R
+        expr(s"(a_start - $radius - 1) div $w"),
+        expr(s"(a_end + $radius) div $w"))))
     val bb = b.select(col("contig"), col("start").as("b_start"),
         col("end").as("b_end"))
       .withColumn("bin", explode(sequence(
@@ -1130,18 +1230,24 @@ object Genomics {
     * Scale shape: the sweep's 2-rows-per-read shuffle + per-contig
     * window, one uniform (contig, bin) exchange, one target-keyed agg. */
   def targetCoverage(reads: DataFrame, targets: DataFrame, minDepth: Long,
-      binWidth: Int): DataFrame = {
-    val cov = coverageIntervals(reads)
+      binWidth: Int, bucketWidth: Long = 1L << 20): DataFrame = {
+    // Target identities dedup for the same reason as intervalSubtract's
+    // a-side: the per-target sum groups by (contig, start, end), and a
+    // duplicate target row would double-count covered mass (pct_milli
+    // beyond 1000). Output is per distinct target identity.
+    val td = targets.select(col("contig"), col("start"), col("end"))
+      .distinct()
+    val cov = coverageIntervals(reads, bucketWidth)
       .where(col("depth") >= minDepth)
       .select(col("contig"), col("start_pos").as("start"),
         col("end_pos").as("end"))
-    val covered = binnedOverlapPairs(targets, cov, binWidth)
+    val covered = binnedOverlapPairs(td, cov, binWidth)
       .select(col("contig"), col("a_start"), col("a_end"),
         (least(col("a_end"), col("b_end")) -
           greatest(col("a_start"), col("b_start"))).as("mass"))
       .groupBy(col("contig"), col("a_start"), col("a_end"))
       .agg(sum(col("mass")).as("covered"))
-    targets.select(col("contig"), col("start").as("a_start"),
+    td.select(col("contig"), col("start").as("a_start"),
         col("end").as("a_end"))
       .join(covered, Seq("contig", "a_start", "a_end"), "left")
       .withColumn("covered", coalesce(col("covered"), lit(0L)))
@@ -1163,8 +1269,11 @@ object Genomics {
           .as("contig"),
         ((col("l_suppkey") * 3 % 60) * 25 + 2).cast("long").as("start"))
       .withColumn("end", col("start") + 30L).distinct()
-    targetCoverage(reads, targets, minDepth = 2L, binWidth = 64)
+    val r = targetCoverage(reads, targets, minDepth = 2L, binWidth = 64,
+        bucketWidth = 512L)
       .orderBy("contig", "start_pos")
+    requireBucketedSweep(r, "x33")
+    r
   }
 
   /** Oracle replays per-base: target positions whose naive depth ≥ 2. */

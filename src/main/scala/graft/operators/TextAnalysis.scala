@@ -2173,8 +2173,16 @@ object TextAnalysis {
       .withColumn("h",
         conv(substring(md5(concat(col("doc_id"), lit("t34"))), 1, 8), 16, 10)
           .cast("long") % 1000000L)
+      // cross-multiplied coin, not (rem*10⁶) div tok: rem can approach
+      // tok (a source's whole token mass), and at the stated 100 TB shape
+      // per-source token counts clear 9.2e12 — rem*10⁶ overflows int64
+      // (an ANSI-mode abort, not a wrong answer, but it breaks the scale
+      // claim). h·tok < rem·10⁶ compared in decimal(38,0) is exact at any
+      // magnitude the inputs themselves can reach (h<10⁶, tok<2⁶³ →
+      // product < 10²⁵ ≪ 10³⁸); DuckDB replays it as HUGEINT.
       .withColumn("extra",
-        (col("h") < expr("(rem * 1000000) div tok")).cast("long"))
+        (col("h").cast("decimal(38,0)") * col("tok") <
+          col("rem").cast("decimal(38,0)") * lit(1000000L)).cast("long"))
       .withColumn("copies", col("fullep") + col("extra"))
       .where(col("copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1L), col("copies"))))
@@ -2201,8 +2209,9 @@ object TextAnalysis {
       |dd AS (
       |  SELECT d.source, d.n_chars, p.fullep,
       |    p.fullep + (CASE WHEN
-      |      CAST(CONCAT('0x', substr(md5(d.doc_id || 't34'), 1, 8)) AS BIGINT)
-      |        % 1000000 < (p.rem * 1000000) // p.tok
+      |      CAST(CAST(CONCAT('0x', substr(md5(d.doc_id || 't34'), 1, 8))
+      |          AS BIGINT) % 1000000 AS HUGEINT) * p.tok
+      |        < CAST(p.rem AS HUGEINT) * 1000000
       |      THEN 1 ELSE 0 END) AS copies
       |  FROM documents d JOIN pl2 p USING (source))
       |SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs_out,

@@ -77,13 +77,23 @@ object VcfWriter {
           .as("ac"),
         expr("try_cast(regexp_extract(f[7], 'DP=(\\\\d+)', 1) AS BIGINT)")
           .as("dp"))
+    // The guard is a FILTER, not a column wrapper: a when(...raise_error)
+    // attached to one output column dies with that column under Catalyst
+    // pruning (read(...,strict=true).agg(sum("ac")) would never evaluate a
+    // guard living on pos), whereas a Filter node survives regardless of
+    // which columns the caller consumes — the optimizer cannot remove a
+    // predicate it cannot prove true, and raise_error is non-foldable.
+    // The condition coalesces to TRUE for well-formed rows (the when has
+    // no otherwise, so its else-branch is null) and raises before ever
+    // yielding a row for malformed ones.
     val out =
       if (!strict) parsed
-      else parsed.withColumn("pos",
+      else parsed.where(coalesce(
         when(col("pos").isNull || col("ac").isNull || col("dp").isNull ||
           col("contig").isNull,
-          raise_error(concat(lit("malformed VCF record: "), col("value"))))
-          .otherwise(col("pos")))
+          raise_error(concat(lit("malformed VCF record: "), col("value")))
+            .cast("boolean")),
+        lit(true)))
     out.drop("value")
   }
 }

@@ -386,6 +386,92 @@ class GenomicsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("two-level bucketed sweep equals the flat window at any bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ivs = Seq.fill(400) {
+      val st = rnd.nextInt(3000).toLong + 1
+      (if (rnd.nextBoolean()) "c1" else "c2", st, st + rnd.nextInt(60) + 1)
+    }.toDF("contig", "start", "end")
+    // flat reference computed inline (the shape the kernel replaced)
+    import org.apache.spark.sql.expressions.Window
+    val diff = ivs.select(col("contig"), explode(array(
+        struct(col("start").as("pos"), lit(1L).as("delta")),
+        struct(col("end").as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("contig"), col("e.pos").as("pos"), col("e.delta").as("delta"))
+      .groupBy(col("contig"), col("pos")).agg(sum(col("delta")).as("delta"))
+      .where(col("delta") =!= 0)
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos"))
+    val flatCov = diff.select(col("contig"), col("pos").as("start_pos"),
+        sum(col("delta")).over(w).as("depth"),
+        lead(col("pos"), 1).over(w).as("end_pos"))
+      .where(col("depth") > 0)
+      .select(col("contig"), col("start_pos"), col("end_pos"), col("depth"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (bw <- Seq(7L, 64L, 1024L, 1L << 20)) {
+      val got = Genomics.coverageIntervals(ivs, bucketWidth = bw)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === flatCov, s"coverage mismatch at bucketWidth=$bw")
+    }
+    // merge: union support must equal coverage support, disjoint, sorted
+    for (bw <- Seq(13L, 512L)) {
+      val merged = Genomics.intervalMerge(ivs, bucketWidth = bw)
+        .as[(String, Long, Long)].collect()
+      val mergedMass = merged.map { case (_, s0, e0) => e0 - s0 }.sum
+      val covMass = flatCov.toSeq.map { case (_, s0, e0, _) => e0 - s0 }.sum
+      assert(mergedMass === covMass, s"merge mass mismatch at bw=$bw")
+      merged.groupBy(_._1).foreach { case (_, xs) =>
+        val srt = xs.sortBy(_._2)
+        srt.sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) =>
+            assert(e1 < s2, "merged intervals must be disjoint, non-touching")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("x32 bin-boundary at exactly distance R is found (both sides)") {
+    import spark.implicits._
+    // r10 advice: with the unpadded cover (a_start-R) div w ..
+    // (a_end+R-1) div w, a b at distance EXACTLY R whose facing end
+    // lands on a bin boundary shares no (contig,bin) key and is
+    // silently dropped. Right side: b_start = a_end + R = 128, a
+    // multiple of w=64. Left side mirror: b_end = a_start - R.
+    val a = Seq(("c", 0L, 64L)).toDF("contig", "start", "end")
+    val bRight = Seq(("c", 128L, 136L)).toDF("contig", "start", "end")
+    val gotR = Genomics.closestIntervals(a, bRight, radius = 64L, binWidth = 64)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotR === Set(("c", 0L, 64L, 64L, 128L, 136L)))
+    val a2 = Seq(("c", 192L, 200L)).toDF("contig", "start", "end")
+    val bLeft = Seq(("c", 120L, 128L)).toDF("contig", "start", "end")
+    val gotL = Genomics.closestIntervals(a2, bLeft, radius = 64L, binWidth = 64)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotL === Set(("c", 192L, 200L, 64L, 120L, 128L)))
+  }
+
+  test("x30/x33 tolerate duplicate a-side / target identities") {
+    import spark.implicits._
+    // r10 advice: duplicate (contig,start,end) rows in a corrupted the
+    // gap algebra (each overlap gathered once per duplicate) and
+    // double-counted covered mass (pct_milli > 1000). Both now dedup
+    // identities internally.
+    val aDup = Seq(("c", 10L, 30L), ("c", 10L, 30L))
+      .toDF("contig", "start", "end")
+    val b = Seq(("c", 15L, 20L)).toDF("contig", "start", "end")
+    val sub = Genomics.intervalSubtract(aDup, b, 64)
+      .select(col("contig"), col("start_pos"), col("end_pos"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(sub === Set(("c", 10L, 15L), ("c", 20L, 30L)))
+    val reads = Seq(("c", 10L, 30L), ("c", 10L, 30L))
+      .toDF("contig", "start", "end")
+    val tDup = Seq(("c", 10L, 30L), ("c", 10L, 30L))
+      .toDF("contig", "start", "end")
+    val cov = Genomics.targetCoverage(reads, tDup, 2L, 8)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(cov === Set(("c", 10L, 30L, 20L, 1000L)))
+  }
+
   test("x33 targetCoverage: depth threshold, partial cover, zero targets") {
     import spark.implicits._
     // depth ≥2 region: [10,20) x2 reads; single-covered [30,40) won't count
