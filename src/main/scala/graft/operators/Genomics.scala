@@ -1307,6 +1307,162 @@ object Genomics {
       |  AND t.st = cv.st AND t.en = cv.en
       |ORDER BY t.contig, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x34
+  /** UNBOUNDED CLOSEST INTERVAL — full `bedtools closest` semantics:
+    * every a-interval whose contig carries at least one b-interval gets
+    * its nearest b, however far (the r10 verdict's "missing" #2 — x32
+    * shipped only the radius-bounded kernel and sketched this in its
+    * scaladoc). RADIUS DOUBLING over that same kernel: start at a small
+    * radius, keep the a's that matched (a bounded-radius hit IS the
+    * global argmin — any b within r bounds the true closest inside r,
+    * and every b within r is a candidate), anti-join the survivors, and
+    * retry them at 4× the radius. Two scale guards make each round
+    * linear: the bin width GROWS with the radius (max(binWidth, r/8),
+    * so the widened cover stays O(1) bins per interval instead of r/w
+    * exploded rows), and the candidate join runs over the shrinking
+    * survivor set only. a-contigs with no b are excluded up front by a
+    * semi-join, which is what makes the loop terminate: once r clears
+    * the coordinate span every survivor matches. O(log span) driver
+    * iterations, each one uniform-shuffle exchanges — the per-iteration
+    * `isEmpty` probe is a driver-sized action, not a collect of data. */
+  def closestUnbounded(a: DataFrame, b: DataFrame, binWidth: Int,
+      initRadius: Long = 1024L): DataFrame = {
+    val ab = a.select(col("contig"), col("start"), col("end"))
+      .join(b.select(col("contig")).distinct(), Seq("contig"), "left_semi")
+    val span = (a.agg(max(col("end")).as("m")) unionByName
+        b.agg(max(col("end")).as("m")))
+      .agg(max(col("m"))).head.getLong(0)
+    var remaining = ab
+    var r = math.max(1L, initRadius)
+    var acc = List.empty[DataFrame]
+    var done = remaining.isEmpty
+    while (!done) {
+      val w = math.min(Int.MaxValue.toLong, math.max(binWidth.toLong, r / 8))
+      val hit = closestIntervals(remaining, b, r, w.toInt)
+      acc ::= hit
+      remaining = remaining.join(
+        hit.select(col("contig"), col("a_start").as("start"),
+          col("a_end").as("end")),
+        Seq("contig", "start", "end"), "left_anti")
+      done = r > span || remaining.isEmpty
+      r *= 4
+    }
+    acc.reduce(_ unionByName _)
+  }
+
+  /** Driver gate: x32's fixture with a deliberately tiny initial radius
+    * (8) so the doubling genuinely iterates — the gate data's gap
+    * distances span 0 to several hundred — and, unlike x32, NO a-row
+    * with a b on its contig is omitted. Oracle is the plain per-contig
+    * join + ROW_NUMBER argmin with no radius cut. */
+  def x34ClosestUnbounded(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 15 === 4)
+    val a = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 250) * 13 + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L).distinct()
+    val b = li.where(col("l_linenumber") % 3 === 0).select(
+        when(col("l_partkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_suppkey") * 13 % 120) * 29 + 4).cast("long").as("start"))
+      .withColumn("end", col("start") + 8L).distinct()
+    closestUnbounded(a, b, binWidth = 64, initRadius = 8L)
+      .orderBy("contig", "a_start")
+  }
+
+  val x34Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey, l_linenumber FROM lineitem
+      |  WHERE l_orderkey % 15 = 4),
+      |a AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 250) * 13 + 1 AS st, (l_partkey % 250) * 13 + 11 AS en
+      |  FROM li),
+      |b AS (SELECT DISTINCT
+      |    CASE WHEN l_partkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_suppkey * 13 % 120) * 29 + 4 AS st,
+      |    (l_suppkey * 13 % 120) * 29 + 12 AS en
+      |  FROM li WHERE l_linenumber % 3 = 0),
+      |cand AS (SELECT a.contig, a.st AS a_start, a.en AS a_end,
+      |    b.st AS b_start, b.en AS b_end,
+      |    GREATEST(0, GREATEST(a.st - b.en, b.st - a.en)) AS d
+      |  FROM a JOIN b ON a.contig = b.contig),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY contig, a_start, a_end
+      |    ORDER BY d, b_start, b_end) AS r
+      |  FROM cand)
+      |SELECT contig, CAST(a_start AS BIGINT) AS a_start,
+      |  CAST(a_end AS BIGINT) AS a_end, CAST(d AS BIGINT) AS distance,
+      |  CAST(b_start AS BIGINT) AS b_start, CAST(b_end AS BIGINT) AS b_end
+      |FROM rk WHERE r = 1 ORDER BY contig, a_start""".stripMargin
+
+  // ---------------------------------------------------------------- x35
+  /** MULTI-SAMPLE GENOTYPE ROUNDTRIP gate — pins
+    * [[graft.sources.VcfWriter.writeGenotypes]] /
+    * [[graft.sources.VcfWriter.readGenotypes]] (FORMAT/GT:DP per-sample
+    * columns, the r10 verdict's "missing" #3): a 3-sample cohort of
+    * deterministic genotypes synthesized from lineitem writes to a
+    * coordinate-sorted multi-sample VCF, reads back through the
+    * FORMAT-keyed long-form scanner, and summarizes per sample (site
+    * count, het/hom-alt/missing tallies, depth mass). The oracle
+    * restates the same integer arithmetic straight from lineitem —
+    * a hash match proves write render, sort, header sample order, and
+    * FORMAT-map parse all preserved every field. */
+  def x35GenotypeGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HadoopIO, VcfWriter}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+      .withColumn("ref", lit("A")).withColumn("alt", lit("T"))
+    val samples = Seq("s0", "s1", "s2")
+    val dim = s.createDataFrame(samples.zipWithIndex.map {
+      case (n, i) => (n, i.toLong) }).toDF("sample", "sj")
+    val gt = sites.crossJoin(broadcast(dim))
+      .withColumn("g", (col("pos") * 7 + col("sj") * 3) % 4)
+      .withColumn("gt",
+        when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .when(col("g") === 2, "1/1").otherwise("./."))
+      .withColumn("dp", (col("pos") + col("sj") * 13) % 50 + 10)
+      .select(col("contig"), col("pos"), col("ref"), col("alt"),
+        col("sample"), col("gt"), col("dp"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x35_$sfTag.vcf"
+    VcfWriter.writeGenotypes(gt,
+      Seq("chrM" -> 16569, "chr1" -> 200000), samples, out)
+    VcfWriter.readGenotypes(s, out, strict = true)
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum((col("gt") === "0/1").cast("long")).as("n_het"),
+        sum((col("gt") === "1/1").cast("long")).as("n_hom_alt"),
+        sum((col("gt") === "./.").cast("long")).as("n_missing"),
+        sum(col("dp")).as("sum_dp"))
+      .orderBy("sample")
+  }
+
+  val x35Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(sj)),
+      |g AS (SELECT s.contig, s.pos, sm.sj,
+      |    (s.pos * 7 + sm.sj * 3) % 4 AS gc,
+      |    (s.pos + sm.sj * 13) % 50 + 10 AS dp
+      |  FROM sites s CROSS JOIN sm)
+      |SELECT 's' || sj AS sample, CAST(COUNT(*) AS BIGINT) AS n_sites,
+      |  CAST(SUM(CASE WHEN gc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+      |  CAST(SUM(CASE WHEN gc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hom_alt,
+      |  CAST(SUM(CASE WHEN gc = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing,
+      |  CAST(SUM(dp) AS BIGINT) AS sum_dp
+      |FROM g GROUP BY sample ORDER BY sample""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1323,7 +1479,9 @@ object Genomics {
     "x30_interval_subtract"  -> (x30IntervalSubtract _),
     "x31_n50_stats"          -> (x31N50 _),
     "x32_closest_interval"   -> (x32ClosestInterval _),
-    "x33_target_coverage"    -> (x33TargetCoverage _))
+    "x33_target_coverage"    -> (x33TargetCoverage _),
+    "x34_closest_unbounded"  -> (x34ClosestUnbounded _),
+    "x35_genotype_gate"      -> (x35GenotypeGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1341,5 +1499,7 @@ object Genomics {
     "x30_interval_subtract"  -> x30Sql,
     "x31_n50_stats"          -> x31Sql,
     "x32_closest_interval"   -> x32Sql,
-    "x33_target_coverage"    -> x33Sql)
+    "x33_target_coverage"    -> x33Sql,
+    "x34_closest_unbounded"  -> x34Sql,
+    "x35_genotype_gate"      -> x35Sql)
 }

@@ -112,6 +112,128 @@ class GenomicsSpec extends SparkSpec {
         e.getCause.getMessage.contains("malformed VCF record"))
   }
 
+  test("x35 genotype roundtrip: long form -> multi-sample VCF -> long form") {
+    import spark.implicits._
+    import graft.sources.VcfWriter
+    val gt = Seq(
+      ("chrA", 5L, "A", "T", "s1", "0/1", Some(12L)),
+      ("chrA", 5L, "A", "T", "s2", "1/1", Some(30L)),
+      // s3 absent at chrA:5 -> must render ./.:. and read back null gt
+      ("chrB", 2L, "C", "G", "s1", "0/0", Some(7L)),
+      ("chrB", 2L, "C", "G", "s2", "./.", None), // missing dp -> "."
+      ("chrB", 2L, "C", "G", "s3", "0/1", Some(9L)))
+      .toDF("contig", "pos", "ref", "alt", "sample", "gt", "dp")
+    val refs = Seq("chrB" -> 1000, "chrA" -> 1000)
+    val out = java.nio.file.Files.createTempDirectory("vcfgt").toString +
+      "/g.vcf"
+    VcfWriter.writeGenotypes(gt, refs, Seq("s1", "s2", "s3"), out,
+      numPartitions = 2)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines.exists(_.startsWith("#CHROM")) &&
+      lines.find(_.startsWith("#CHROM")).get.endsWith("FORMAT\ts1\ts2\ts3"))
+    val body = lines.filterNot(_.startsWith("#"))
+    assert(body.map(_.split("\t")(0)) === Seq("chrB", "chrA"),
+      "dictionary coordinate order")
+    assert(body.forall(_.split("\t")(8) === "GT:DP"))
+    val back = VcfWriter.readGenotypes(spark, out)
+      .as[(String, Long, String, String, String, Option[String], Option[Long])]
+      .collect().toSet
+    assert(back === Set(
+      ("chrA", 5L, "A", "T", "s1", Some("0/1"), Some(12L)),
+      ("chrA", 5L, "A", "T", "s2", Some("1/1"), Some(30L)),
+      ("chrA", 5L, "A", "T", "s3", Some("./."), None),
+      ("chrB", 2L, "C", "G", "s1", Some("0/0"), Some(7L)),
+      ("chrB", 2L, "C", "G", "s2", Some("./."), None),
+      ("chrB", 2L, "C", "G", "s3", Some("0/1"), Some(9L))))
+  }
+
+  test("x35 readGenotypes: FORMAT key order is respected; strict raises") {
+    import spark.implicits._
+    import graft.sources.VcfWriter
+    val dir = java.nio.file.Files.createTempDirectory("vcfgt2")
+    val p = dir.resolve("g.vcf")
+    // DP before GT, an extra GQ key, and one sample field shorter than
+    // FORMAT (trailing keys null, per VCF convention)
+    java.nio.file.Files.writeString(p,
+      "##fileformat=VCFv4.2\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsa\tsb\n" +
+        "chrM\t5\t.\tA\tG\t.\tPASS\t.\tDP:GT:GQ\t11:0/1:99\t22:1/1\n")
+    val back = VcfWriter.readGenotypes(spark, p.toString)
+      .as[(String, Long, String, String, String, Option[String], Option[Long])]
+      .collect().toSet
+    assert(back === Set(
+      ("chrM", 5L, "A", "G", "sa", Some("0/1"), Some(11L)),
+      ("chrM", 5L, "A", "G", "sb", Some("1/1"), Some(22L))))
+    // strict: a record whose FORMAT lacks GT raises naming the line
+    val bad = dir.resolve("bad.vcf")
+    java.nio.file.Files.writeString(bad,
+      "##fileformat=VCFv4.2\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsa\n" +
+        "chrM\t5\t.\tA\tG\t.\tPASS\t.\tDP\t11\n")
+    val e = intercept[Exception] {
+      VcfWriter.readGenotypes(spark, bad.toString, strict = true).collect()
+    }
+    assert(e.getMessage.contains("malformed VCF genotype") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("malformed VCF genotype"))
+    // and strict survives column pruning: an aggregate that never touches
+    // gt still trips the guard (the r10 advice failure mode)
+    val e2 = intercept[Exception] {
+      VcfWriter.readGenotypes(spark, bad.toString, strict = true)
+        .agg(org.apache.spark.sql.functions.sum("dp")).collect()
+    }
+    assert(e2.getMessage.contains("malformed VCF genotype") ||
+      e2.getCause != null &&
+        e2.getCause.getMessage.contains("malformed VCF genotype"))
+  }
+
+  test("x20 strict read survives column pruning (guard is a filter)") {
+    import graft.sources.VcfWriter
+    val dir = java.nio.file.Files.createTempDirectory("vcfbad2")
+    val p = dir.resolve("bad.vcf")
+    java.nio.file.Files.writeString(p,
+      "##fileformat=VCFv4.2\n" +
+        "chrM\t5\t.\tA\tG\t.\tPASS\tAC=1;DP=2\n" +
+        "chrM\tNOTANUMBER\t.\tA\tG\t.\tPASS\tAC=1;DP=2\n")
+    // the aggregate consumes only ac — the old column-wrapper guard on
+    // pos was pruned away here and malformed rows slid through silently
+    val e = intercept[Exception] {
+      VcfWriter.read(spark, p.toString, strict = true)
+        .agg(org.apache.spark.sql.functions.sum("ac")).collect()
+    }
+    assert(e.getMessage.contains("malformed VCF record") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("malformed VCF record"))
+  }
+
+  test("x34 closestUnbounded: matches naive global argmin, no radius cut") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def gen(n: Int, spread: Int) = Seq.fill(n) {
+      val st = rnd.nextInt(spread).toLong + 1
+      (if (rnd.nextBoolean()) "c1" else "c2", st, st + rnd.nextInt(30) + 1)
+    }
+    // sparse b over a wide span forces several doubling rounds from the
+    // tiny initial radius
+    val a = gen(120, 50000).distinct.toDF("contig", "start", "end")
+    val b = gen(8, 50000).toDF("contig", "start", "end")
+    val got = Genomics.closestUnbounded(a, b, binWidth = 64, initRadius = 4L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val d = greatest(lit(0L),
+      greatest($"a.start" - $"b.end", $"b.start" - $"a.end"))
+    val naive = a.as("a").join(b.as("b"), $"a.contig" === $"b.contig")
+      .select($"a.contig".as("contig"), $"a.start".as("a_start"),
+        $"a.end".as("a_end"), d.as("d"),
+        $"b.start".as("b_start"), $"b.end".as("b_end"))
+      .groupBy($"contig", $"a_start", $"a_end")
+      .agg(min(struct($"d", $"b_start", $"b_end")).as("best"))
+      .select($"contig", $"a_start", $"a_end", $"best.d",
+        $"best.b_start", $"best.b_end")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.size === a.count(), "every a with a b on its contig matches")
+  }
+
   test("x20 callSites: merged-event DP equals per-base depth at the sites") {
     import spark.implicits._
     // reads [10,20) x2, [15,25); variants observed at 12 (x2) and 18
