@@ -82,27 +82,48 @@ object Bench {
     // steady-state cost
     val warmPasses = (1 to 3).map(_ =>
       names.map(n => n -> time(n, benchQueries(n))).toMap)
-    // min over the SUCCESSFUL passes only: a query that fails one pass but
-    // succeeds the others must report its real timing, not the -1 sentinel
-    // (which would silently shrink the total and read as a speedup)
+    // adaptive re-measurement: the box is shared, and a transient stall
+    // during one pass makes that query's spread unreadable (r10 recorded
+    // noise=30 on a 0.5 s query). The up-to-three queries whose warm
+    // spread exceeds 3x get TWO extra passes each — bounded extra work,
+    // applied only where the noise actually sits, so the min firms up
+    // and the reported spread reflects repeatable behavior rather than
+    // one stall (the idle-box half of the r9 ask, made cheap)
+    val spread0 = names.flatMap { n =>
+      val ps = warmPasses.map(_(n)).filter(_ >= 0)
+      if (ps.isEmpty || ps.min <= 0) None else Some(n -> ps.max / ps.min)
+    }.toMap
+    val renoise = spread0.filter(_._2 > 3.0).keys.toSeq
+      .sortBy(n => -spread0(n)).take(3)
+    val extraPasses: Map[String, Seq[Double]] = renoise.map { n =>
+      n -> Seq.fill(2)(time(n, benchQueries(n)))
+    }.toMap
+    // per-query samples = warm passes + any adaptive extras, SUCCESSFUL
+    // only: a query that fails one pass but succeeds the others must
+    // report its real timing, not the -1 sentinel (which would silently
+    // shrink the total and read as a speedup)
+    val samples: Map[String, Seq[Double]] = names.map { n =>
+      n -> (warmPasses.map(_(n)) ++ extraPasses.getOrElse(n, Nil))
+        .filter(_ >= 0)
+    }.toMap
     val warm = names.map { n =>
-      val ok = warmPasses.map(_(n)).filter(_ >= 0)
+      val ok = samples(n)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
-    // worst per-query max/min spread across the warm passes — the box-load
+    // worst per-query max/min spread across the samples — the box-load
     // indicator that separates plan changes from shared-machine noise —
     // WITH the offending query named (r9's bare noise=27 forced the
     // reader to guess which row to distrust)
     val (noiseQ, noise) = names.flatMap { n =>
-      val ps = warmPasses.map(_(n)).filter(_ >= 0)
+      val ps = samples(n)
       if (ps.isEmpty || ps.min <= 0) None else Some(n -> ps.max / ps.min)
     }.foldLeft(("", 1.0)) { (a, b) => if (b._2 > a._2) b else a }
-    // sum of per-query MEDIANS over the warm passes, reported alongside the
+    // sum of per-query MEDIANS over the samples, reported alongside the
     // min-based total: min is the low-noise floor estimator but tracks the
     // best-case pass, so round-over-round comparisons on a loaded box chase
     // outliers; the median total moves only when typical-pass cost moves
     val p50Total = names.flatMap { n =>
-      val ok = warmPasses.map(_(n)).filter(_ >= 0).sorted
+      val ok = samples(n).sorted
       if (ok.isEmpty) None else Some(ok(ok.size / 2))
     }.sum
 

@@ -1463,6 +1463,254 @@ object Genomics {
       |  CAST(SUM(dp) AS BIGINT) AS sum_dp
       |FROM g GROUP BY sample ORDER BY sample""".stripMargin
 
+  // ---------------------------------------------------------------- x36
+  /** GENOTYPE CONCORDANCE between two callsets (Picard
+    * GenotypeConcordance / `bcftools stats` shape) — the QC every
+    * caller-migration and joint-calling pipeline runs: align two long
+    * genotype frames on (contig, pos, sample) and tally, per sample,
+    * sites where both call and agree, both call and disagree, or only
+    * one side calls (an explicit `./.` counts as uncalled, same as an
+    * absent row). One uniform full-outer equi-join on the compound
+    * site-sample key — high-cardinality, skew-free — then a per-sample
+    * map-side-combinable aggregate; nothing contig-keyed, nothing
+    * windowed. */
+  def genotypeConcordance(a: DataFrame, b: DataFrame): DataFrame = {
+    def called(c: org.apache.spark.sql.Column) =
+      c.isNotNull && c =!= "./."
+    val ga = a.select(col("contig"), col("pos"), col("sample"),
+      col("gt").as("gt_a"))
+    val gb = b.select(col("contig"), col("pos"), col("sample"),
+      col("gt").as("gt_b"))
+    ga.join(gb, Seq("contig", "pos", "sample"), "full_outer")
+      .select(col("sample"),
+        called(col("gt_a")).as("ca"), called(col("gt_b")).as("cb"),
+        (col("gt_a") === col("gt_b")).as("eq"))
+      .groupBy(col("sample"))
+      .agg(
+        sum((col("ca") && col("cb") && col("eq")).cast("long"))
+          .as("n_concordant"),
+        sum((col("ca") && col("cb") && !col("eq")).cast("long"))
+          .as("n_discordant"),
+        sum((col("ca") && !col("cb")).cast("long")).as("n_only_a"),
+        sum((!col("ca") && col("cb")).cast("long")).as("n_only_b"))
+      .orderBy("sample")
+  }
+
+  /** Driver gate: callset A is x35's deterministic cohort; callset B
+    * perturbs every 11th position's genotype code and covers a
+    * different site subset (A skips pos≡0 mod 5, B skips pos≡0 mod 7),
+    * so all four tally classes are populated. */
+  def x36GenotypeConcordance(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(("s0", 0L), ("s1", 1L), ("s2", 2L)))
+      .toDF("sample", "sj")
+    def gtOf(g: org.apache.spark.sql.Column) =
+      when(g === 0, "0/0").when(g === 1, "0/1")
+        .when(g === 2, "1/1").otherwise("./.")
+    val base = sites.crossJoin(broadcast(dim))
+    val a = base.where(col("pos") % 5 =!= 0)
+      .select(col("contig"), col("pos"), col("sample"),
+        gtOf((col("pos") * 7 + col("sj") * 3) % 4).as("gt"))
+    val b = base.where(col("pos") % 7 =!= 0)
+      .select(col("contig"), col("pos"), col("sample"),
+        gtOf((col("pos") * 7 + col("sj") * 3 +
+          when(col("pos") % 11 === 0, 1L).otherwise(0L)) % 4).as("gt"))
+    genotypeConcordance(a, b)
+  }
+
+  val x36Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(sj)),
+      |base AS (SELECT s.contig, s.pos, sm.sj FROM sites s CROSS JOIN sm),
+      |a AS (SELECT contig, pos, sj, (pos * 7 + sj * 3) % 4 AS g
+      |  FROM base WHERE pos % 5 <> 0),
+      |b AS (SELECT contig, pos, sj,
+      |    (pos * 7 + sj * 3 + CASE WHEN pos % 11 = 0 THEN 1 ELSE 0 END) % 4
+      |      AS g
+      |  FROM base WHERE pos % 7 <> 0),
+      |j AS (SELECT COALESCE(a.sj, b.sj) AS sj,
+      |    a.g IS NOT NULL AND a.g < 3 AS ca,
+      |    b.g IS NOT NULL AND b.g < 3 AS cb,
+      |    a.g = b.g AS eq
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.contig = b.contig AND a.pos = b.pos AND a.sj = b.sj)
+      |SELECT 's' || sj AS sample,
+      |  CAST(SUM(CASE WHEN ca AND cb AND eq THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_concordant,
+      |  CAST(SUM(CASE WHEN ca AND cb AND NOT eq THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_discordant,
+      |  CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_only_a,
+      |  CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_only_b
+      |FROM j GROUP BY sample ORDER BY sample""".stripMargin
+
+  // ---------------------------------------------------------------- x37
+  /** MENDELIAN VIOLATION tally (GATK VariantEval MendelianViolation /
+    * `bcftools +mendelian`) — trio QC at biallelic sites: a child
+    * genotype is a violation when no (paternal allele, maternal allele)
+    * pair can produce it. With dosages c/f/m ∈ {0,1,2}, the possible
+    * allele contribution of a parent with dosage d is the interval
+    * [d div 2, (d+1) div 2], so the achievable child dosages form the
+    * interval sum and violation ⇔ c < f div 2 + m div 2 ∨
+    * c > (f+1) div 2 + (m+1) div 2 — pure integer arithmetic, no
+    * branching case table, oracle-restatable verbatim. The trio roster
+    * is a driver-sized broadcast dim; genotypes join it and pivot to
+    * one row per (trio, site) via a site-trio-keyed aggregate (three
+    * conditional maxes, map-side combinable — NOT three self-joins),
+    * then tally per child. Sites where any member is uncalled are
+    * counted separately, not as violations. */
+  def mendelianViolations(gt: DataFrame, trios: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    val roster = trios.select(col("child"),
+      explode(array(
+        struct(col("child").as("sample"), lit("c").as("role")),
+        struct(col("father").as("sample"), lit("f").as("role")),
+        struct(col("mother").as("sample"), lit("m").as("role")))).as("r"))
+      .select(col("child"), col("r.sample").as("sample"),
+        col("r.role").as("role"))
+    val per = gt.select(col("contig"), col("pos"), col("sample"),
+        dose.as("d"))
+      .join(broadcast(roster), Seq("sample"))
+      .groupBy(col("child"), col("contig"), col("pos"))
+      .agg(max(when(col("role") === "c", col("d"))).as("dc"),
+        max(when(col("role") === "f", col("d"))).as("df"),
+        max(when(col("role") === "m", col("d"))).as("dm"))
+    per.select(col("child"),
+        (col("dc").isNotNull && col("df").isNotNull &&
+          col("dm").isNotNull).as("complete"),
+        (col("dc") < expr("df div 2 + dm div 2") ||
+          col("dc") > expr("(df + 1) div 2 + (dm + 1) div 2"))
+          .as("viol"))
+      .groupBy(col("child"))
+      .agg(sum(col("complete").cast("long")).as("n_complete"),
+        sum((col("complete") && col("viol")).cast("long"))
+          .as("n_violations"))
+      .orderBy("child")
+  }
+
+  /** Driver gate: two families over the x35 site grid; member dosages
+    * are distinct affine functions of pos so all of consistent,
+    * violating, and incomplete (planted `./.`) sites occur. */
+  def x37MendelianViolations(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val members = s.createDataFrame(Seq(
+      ("fam0_c", 0L, 0L), ("fam0_f", 0L, 1L), ("fam0_m", 0L, 2L),
+      ("fam1_c", 1L, 0L), ("fam1_f", 1L, 1L), ("fam1_m", 1L, 2L)))
+      .toDF("sample", "fam", "rord")
+    val gt = sites.crossJoin(broadcast(members))
+      .withColumn("g",
+        (col("pos") * (col("fam") + 2) + col("rord") * (col("pos") % 5 + 1))
+          % 3)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("pos") % 13 === 0 && col("rord") === 1, "./.")
+          .when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .otherwise("1/1").as("gt"))
+    val trios = s.createDataFrame(Seq(
+      ("fam0_c", "fam0_f", "fam0_m"), ("fam1_c", "fam1_f", "fam1_m")))
+      .toDF("child", "father", "mother")
+    mendelianViolations(gt, trios)
+  }
+
+  val x37Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |fam AS (SELECT * FROM (VALUES (0), (1)) AS t(f)),
+      |g AS (SELECT s.contig, s.pos, fam.f,
+      |    CASE WHEN s.pos % 13 = 0 THEN NULL
+      |      ELSE (s.pos * (fam.f + 2) + 1 * (s.pos % 5 + 1)) % 3 END AS df,
+      |    (s.pos * (fam.f + 2) + 0 * (s.pos % 5 + 1)) % 3 AS dc,
+      |    (s.pos * (fam.f + 2) + 2 * (s.pos % 5 + 1)) % 3 AS dm
+      |  FROM sites s CROSS JOIN fam),
+      |cls AS (SELECT f,
+      |    df IS NOT NULL AS complete,
+      |    dc < (df // 2 + dm // 2)
+      |      OR dc > ((df + 1) // 2 + (dm + 1) // 2) AS viol
+      |  FROM g)
+      |SELECT 'fam' || f || '_c' AS child,
+      |  CAST(SUM(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_complete,
+      |  CAST(SUM(CASE WHEN complete AND viol THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations
+      |FROM cls GROUP BY child ORDER BY child""".stripMargin
+
+  // ---------------------------------------------------------------- x38
+  /** ALLELE FREQUENCY SPECTRUM — the site-frequency histogram
+    * population genetics reads first (`vcftools --freq` collapsed to
+    * the SFS): per site, AC = Σ dosages and AN = 2·called-samples over
+    * the cohort; the spectrum counts sites per (ac, an) cell. Two
+    * map-side-combinable aggregates — site-keyed then cell-keyed — on
+    * uniform high-cardinality keys; output bounded by (2·cohort+1)²
+    * cells, not by sites. Uncalled (`./.`/absent) genotypes reduce AN
+    * rather than polluting AC. */
+  def alleleFrequencySpectrum(gt: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    gt.select(col("contig"), col("pos"), dose.as("d"))
+      .groupBy(col("contig"), col("pos"))
+      .agg(sum(col("d")).as("ac"),
+        (count(col("d")) * 2).as("an"))
+      .groupBy(col("ac"), col("an"))
+      .agg(count(lit(1)).as("n_sites"))
+      .orderBy("an", "ac")
+  }
+
+  /** Driver gate: x35's 3-sample cohort (g=3 yields `./.`, exercising
+    * the AN reduction). */
+  def x38AlleleSpectrum(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(("s0", 0L), ("s1", 1L), ("s2", 2L)))
+      .toDF("sample", "sj")
+    val gt = sites.crossJoin(broadcast(dim))
+      .withColumn("g", (col("pos") * 7 + col("sj") * 3) % 4)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .when(col("g") === 2, "1/1").otherwise("./.").as("gt"))
+    alleleFrequencySpectrum(gt)
+  }
+
+  val x38Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(sj)),
+      |g AS (SELECT s.contig, s.pos,
+      |    CASE WHEN (s.pos * 7 + sm.sj * 3) % 4 = 3 THEN NULL
+      |      ELSE (s.pos * 7 + sm.sj * 3) % 4 END AS d
+      |  FROM sites s CROSS JOIN sm),
+      |site AS (SELECT contig, pos, SUM(d) AS ac, COUNT(d) * 2 AS an
+      |  FROM g GROUP BY 1, 2)
+      |SELECT CAST(ac AS BIGINT) AS ac, CAST(an AS BIGINT) AS an,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sites
+      |FROM site GROUP BY ac, an ORDER BY an, ac""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1481,7 +1729,10 @@ object Genomics {
     "x32_closest_interval"   -> (x32ClosestInterval _),
     "x33_target_coverage"    -> (x33TargetCoverage _),
     "x34_closest_unbounded"  -> (x34ClosestUnbounded _),
-    "x35_genotype_gate"      -> (x35GenotypeGate _))
+    "x35_genotype_gate"      -> (x35GenotypeGate _),
+    "x36_genotype_concordance" -> (x36GenotypeConcordance _),
+    "x37_mendelian_violations" -> (x37MendelianViolations _),
+    "x38_allele_spectrum"    -> (x38AlleleSpectrum _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1501,5 +1752,8 @@ object Genomics {
     "x32_closest_interval"   -> x32Sql,
     "x33_target_coverage"    -> x33Sql,
     "x34_closest_unbounded"  -> x34Sql,
-    "x35_genotype_gate"      -> x35Sql)
+    "x35_genotype_gate"      -> x35Sql,
+    "x36_genotype_concordance" -> x36Sql,
+    "x37_mendelian_violations" -> x37Sql,
+    "x38_allele_spectrum"    -> x38Sql)
 }

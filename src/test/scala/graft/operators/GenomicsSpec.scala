@@ -234,6 +234,76 @@ class GenomicsSpec extends SparkSpec {
     assert(got.size === a.count(), "every a with a b on its contig matches")
   }
 
+  test("x36 genotypeConcordance: all four tally classes, ./. is uncalled") {
+    import spark.implicits._
+    val a = Seq(
+      ("c", 1L, "s1", "0/1"), // concordant
+      ("c", 2L, "s1", "0/0"), // discordant (b says 1/1)
+      ("c", 3L, "s1", "0/1"), // only_a (b has ./.)
+      ("c", 5L, "s1", "./."), // only_b (a uncalled, b called)
+      ("c", 6L, "s1", "1/1")) // only_a (b row absent)
+      .toDF("contig", "pos", "sample", "gt")
+    val b = Seq(
+      ("c", 1L, "s1", "0/1"),
+      ("c", 2L, "s1", "1/1"),
+      ("c", 3L, "s1", "./."),
+      ("c", 5L, "s1", "0/0"),
+      ("c", 7L, "s1", "./.")) // uncalled on both axes -> nothing
+      .toDF("contig", "pos", "sample", "gt")
+    val got = Genomics.genotypeConcordance(a, b)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("s1", 1L, 1L, 2L, 1L)))
+  }
+
+  test("x37 mendelianViolations: interval rule matches exhaustive check") {
+    import spark.implicits._
+    // exhaustive 27-case truth table: c from each parent allele pair
+    def possible(d: Long) = d match {
+      case 0 => Set(0L); case 1 => Set(0L, 1L); case 2 => Set(1L)
+    }
+    val cases = for (c <- 0L to 2L; f <- 0L to 2L; m <- 0L to 2L) yield {
+      val ok = (for (x <- possible(f); y <- possible(m)) yield x + y)
+        .contains(c)
+      (c, f, m, !ok)
+    }
+    def gtOf(d: Long) = d match {
+      case 0 => "0/0"; case 1 => "0/1"; case _ => "1/1"
+    }
+    val gt = cases.zipWithIndex.flatMap { case ((c, f, m, _), i) =>
+      Seq(("c", i.toLong + 1, s"k${i}_c", gtOf(c)),
+        ("c", i.toLong + 1, s"k${i}_f", gtOf(f)),
+        ("c", i.toLong + 1, s"k${i}_m", gtOf(m)))
+    }.toDF("contig", "pos", "sample", "gt")
+    val trios = cases.indices.map(i => (s"k${i}_c", s"k${i}_f", s"k${i}_m"))
+      .toDF("child", "father", "mother")
+    val got = Genomics.mendelianViolations(gt, trios)
+      .as[(String, Long, Long)].collect()
+      .map { case (ch, _, v) => ch -> v }.toMap
+    cases.zipWithIndex.foreach { case ((c, f, m, viol), i) =>
+      assert(got(s"k${i}_c") === (if (viol) 1L else 0L),
+        s"c=$c f=$f m=$m expected viol=$viol")
+    }
+    // incomplete trio (missing father call) is counted, not a violation
+    val gt2 = Seq(("c", 1L, "ch", "1/1"), ("c", 1L, "fa", "./."),
+      ("c", 1L, "mo", "0/0")).toDF("contig", "pos", "sample", "gt")
+    val t2 = Seq(("ch", "fa", "mo")).toDF("child", "father", "mother")
+    val r2 = Genomics.mendelianViolations(gt2, t2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r2 === Seq(("ch", 0L, 0L)))
+  }
+
+  test("x38 alleleFrequencySpectrum: dosage sums, uncalled reduces AN") {
+    import spark.implicits._
+    val gt = Seq(
+      ("c", 1L, "s1", "0/1"), ("c", 1L, "s2", "1/1"), ("c", 1L, "s3", "0/0"),
+      ("c", 2L, "s1", "./."), ("c", 2L, "s2", "0/1"), ("c", 2L, "s3", "0/1"),
+      ("c", 3L, "s1", "0/0"), ("c", 3L, "s2", "0/0"), ("c", 3L, "s3", "0/0"))
+      .toDF("contig", "pos", "sample", "gt")
+    val got = Genomics.alleleFrequencySpectrum(gt)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 4L, 1L), (0L, 6L, 1L), (3L, 6L, 1L)))
+  }
+
   test("x20 callSites: merged-event DP equals per-base depth at the sites") {
     import spark.implicits._
     // reads [10,20) x2, [15,25); variants observed at 12 (x2) and 18
