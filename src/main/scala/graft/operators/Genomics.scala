@@ -1711,6 +1711,99 @@ object Genomics {
       |  CAST(COUNT(*) AS BIGINT) AS n_sites
       |FROM site GROUP BY ac, an ORDER BY an, ac""".stripMargin
 
+  // ---------------------------------------------------------------- x39
+  /** VARIANT QC SUMMARY (`bcftools stats` core / Picard
+    * CollectVariantCallingMetrics) — per-contig class tallies over a
+    * site frame (contig, ref, alt): SNP/insertion/deletion counts and
+    * the transition/transversion ratio, the first sanity figure a
+    * variant callset is judged by (genome-wide Ts/Tv ≈ 2 for true
+    * positives; random errors pull it toward 0.5). Ts = the two
+    * purine↔purine / pyrimidine↔pyrimidine swaps (A↔G, C↔T); ratio as
+    * integer permille (null when tv = 0 — a ratio with a zero
+    * denominator is absent, not infinity). One narrow scan of three
+    * small columns → one contig-keyed map-side-combinable aggregate;
+    * nothing else. */
+  def variantQc(variants: DataFrame): DataFrame = {
+    val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1
+    val ts = isSnp && ((col("ref") === "A" && col("alt") === "G") ||
+      (col("ref") === "G" && col("alt") === "A") ||
+      (col("ref") === "C" && col("alt") === "T") ||
+      (col("ref") === "T" && col("alt") === "C"))
+    variants.groupBy(col("contig"))
+      .agg(count(lit(1)).as("n_variants"),
+        sum(isSnp.cast("long")).as("n_snp"),
+        sum((length(col("alt")) > length(col("ref"))).cast("long"))
+          .as("n_ins"),
+        sum((length(col("alt")) < length(col("ref"))).cast("long"))
+          .as("n_del"),
+        sum(ts.cast("long")).as("n_ts"),
+        sum((isSnp && !ts).cast("long")).as("n_tv"))
+      .withColumn("tstv_milli",
+        expr("CASE WHEN n_tv = 0 THEN NULL ELSE (1000 * n_ts) div n_tv END"))
+      .orderBy("contig")
+  }
+
+  /** Driver gate: deterministic ref/alt synthesis mixing SNPs (all 12
+    * ordered base pairs via the rotating offset), insertions (pos ≡ 0
+    * mod 11), and deletions (pos ≡ 0 mod 13, minus the 11-overlap). */
+  def x39VariantQc(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 18 === 7)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 500) * 2 + 1).cast("long").as("pos"))
+      .distinct()
+      .withColumn("r0", expr("substring('ACGT', CAST(pos % 4 AS INT) + 1, 1)"))
+      .withColumn("a0", expr(
+        "substring('ACGT', CAST((pos % 4 + pos % 3 + 1) % 4 AS INT) + 1, 1)"))
+    sites.select(col("contig"),
+        when(col("pos") % 11 === 0, col("r0"))
+          .when(col("pos") % 13 === 0, concat(col("r0"), col("a0")))
+          .otherwise(col("r0")).as("ref"),
+        when(col("pos") % 11 === 0, concat(col("r0"), col("a0")))
+          .when(col("pos") % 13 === 0, col("r0"))
+          .otherwise(col("a0")).as("alt"))
+      .transform(variantQc)
+  }
+
+  val x39Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 18 = 7),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 500) * 2 + 1 AS pos FROM li),
+      |ra AS (SELECT contig, pos,
+      |    substr('ACGT', CAST(pos % 4 AS INTEGER) + 1, 1) AS r0,
+      |    substr('ACGT', CAST((pos % 4 + pos % 3 + 1) % 4 AS INTEGER) + 1, 1)
+      |      AS a0
+      |  FROM sites),
+      |v AS (SELECT contig,
+      |    CASE WHEN pos % 11 = 0 THEN r0
+      |      WHEN pos % 13 = 0 THEN r0 || a0 ELSE r0 END AS ref,
+      |    CASE WHEN pos % 11 = 0 THEN r0 || a0
+      |      WHEN pos % 13 = 0 THEN r0 ELSE a0 END AS alt
+      |  FROM ra),
+      |cls AS (SELECT contig,
+      |    len(ref) = 1 AND len(alt) = 1 AS is_snp,
+      |    len(alt) > len(ref) AS is_ins, len(alt) < len(ref) AS is_del,
+      |    len(ref) = 1 AND len(alt) = 1 AND
+      |      ((ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A') OR
+      |       (ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C'))
+      |      AS is_ts
+      |  FROM v),
+      |agg AS (SELECT contig, CAST(COUNT(*) AS BIGINT) AS n_variants,
+      |    CAST(SUM(CASE WHEN is_snp THEN 1 ELSE 0 END) AS BIGINT) AS n_snp,
+      |    CAST(SUM(CASE WHEN is_ins THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+      |    CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+      |    CAST(SUM(CASE WHEN is_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+      |    CAST(SUM(CASE WHEN is_snp AND NOT is_ts THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_tv
+      |  FROM cls GROUP BY contig)
+      |SELECT contig, n_variants, n_snp, n_ins, n_del, n_ts, n_tv,
+      |  CASE WHEN n_tv = 0 THEN NULL
+      |    ELSE (1000 * n_ts) // n_tv END AS tstv_milli
+      |FROM agg ORDER BY contig""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1732,7 +1825,8 @@ object Genomics {
     "x35_genotype_gate"      -> (x35GenotypeGate _),
     "x36_genotype_concordance" -> (x36GenotypeConcordance _),
     "x37_mendelian_violations" -> (x37MendelianViolations _),
-    "x38_allele_spectrum"    -> (x38AlleleSpectrum _))
+    "x38_allele_spectrum"    -> (x38AlleleSpectrum _),
+    "x39_variant_qc"         -> (x39VariantQc _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1755,5 +1849,6 @@ object Genomics {
     "x35_genotype_gate"      -> x35Sql,
     "x36_genotype_concordance" -> x36Sql,
     "x37_mendelian_violations" -> x37Sql,
-    "x38_allele_spectrum"    -> x38Sql)
+    "x38_allele_spectrum"    -> x38Sql,
+    "x39_variant_qc"         -> x39Sql)
 }

@@ -3043,6 +3043,87 @@ object Relational {
       |  FROM orders GROUP BY ALL) g
       |ORDER BY ALL""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Iterative fixed-point PAGERANK in integer milli-arithmetic — the
+    * canonical BSP-style iterative workload (Page et al. 1999; the
+    * GraphX/Pregel reference computation) expressed as a driver loop of
+    * declarative join+aggregate rounds, the missing iteration pattern
+    * between q68's recursive CTE (monotone set growth) and d12's
+    * pointer-doubling (idempotent min-propagation): here every round
+    * REPLACES the full rank vector. Each iteration is one uniform
+    * shuffle — edges join ranks on src (high-cardinality key, no skew
+    * by contract of the hashed gate synthesis), contributions
+    * `rank div outdeg` aggregate map-side per dst, and the damping
+    * update `150 + (850·inflow) div 1000` is a narrow projection. The
+    * rank frame stays distributed end-to-end: nothing driver-sized but
+    * the loop counter, and K is fixed (not convergence-probed) so the
+    * plan is exactly K exchanges. Integer milli-ranks make the
+    * fixed-point oracle-restatable bit-for-bit: DuckDB replays the K
+    * rounds as chained CTEs (aggregation is illegal in a recursive CTE
+    * term, so the unroll IS the honest SQL restatement). Dangling-node
+    * mass is dropped, not redistributed — both engines state the same
+    * simplified damping. */
+  def pageRankMilli(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.withColumn("rank_milli", lit(1000L))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_milli div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_milli"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150L) + expr("(850 * coalesce(in_milli, 0)) div 1000"))
+            .as("rank_milli"))
+    }
+    rank.orderBy("node")
+  }
+
+  /** Driver gate: a 60-node hashed digraph from lineitem, 3 rounds. */
+  def q79PageRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 2)
+      .select((col("l_partkey") % 60).cast("long").as("src"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 60).cast("long")
+          .as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    pageRankMilli(e, iters = 3)
+  }
+
+  val q79Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey % 60 AS src,
+      |    (l_partkey * 7 + l_suppkey) % 60 AS dst
+      |  FROM lineitem WHERE l_orderkey % 19 = 2
+      |    AND l_partkey % 60 <> (l_partkey * 7 + l_suppkey) % 60),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT node, 1000 AS rank_milli FROM n),
+      |c1 AS (SELECT e.dst AS node, SUM(r0.rank_milli // dg.deg) AS im
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN dg ON e.src = dg.src
+      |  GROUP BY e.dst),
+      |r1 AS (SELECT n.node,
+      |    150 + (850 * COALESCE(c1.im, 0)) // 1000 AS rank_milli
+      |  FROM n LEFT JOIN c1 ON n.node = c1.node),
+      |c2 AS (SELECT e.dst AS node, SUM(r1.rank_milli // dg.deg) AS im
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN dg ON e.src = dg.src
+      |  GROUP BY e.dst),
+      |r2 AS (SELECT n.node,
+      |    150 + (850 * COALESCE(c2.im, 0)) // 1000 AS rank_milli
+      |  FROM n LEFT JOIN c2 ON n.node = c2.node),
+      |c3 AS (SELECT e.dst AS node, SUM(r2.rank_milli // dg.deg) AS im
+      |  FROM e JOIN r2 ON e.src = r2.node JOIN dg ON e.src = dg.src
+      |  GROUP BY e.dst),
+      |r3 AS (SELECT n.node,
+      |    150 + (850 * COALESCE(c3.im, 0)) // 1000 AS rank_milli
+      |  FROM n LEFT JOIN c3 ON n.node = c3.node)
+      |SELECT CAST(node AS BIGINT) AS node,
+      |  CAST(rank_milli AS BIGINT) AS rank_milli
+      |FROM r3 ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -3122,7 +3203,8 @@ object Relational {
     "q75_unpivot" -> (q75Unpivot _),
     "q76_merge_upsert" -> (q76MergeUpsert _),
     "q77_scd2" -> (q77Scd2 _),
-    "q78_group_by_all" -> (q78GroupByAll _))
+    "q78_group_by_all" -> (q78GroupByAll _),
+    "q79_pagerank"     -> (q79PageRank _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3202,5 +3284,6 @@ object Relational {
     "q75_unpivot" -> q75Sql,
     "q76_merge_upsert" -> q76Sql,
     "q77_scd2" -> q77Sql,
-    "q78_group_by_all" -> q78Sql)
+    "q78_group_by_all" -> q78Sql,
+    "q79_pagerank"     -> q79Sql)
 }
