@@ -107,7 +107,16 @@ object Dedup {
     * (no global sort below the CC loop's joins). */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     assertOracleKernelScale(s, d)
-    val docs = Tables.documents(s, d)
+    exactJaccardPairs(Tables.documents(s, d), 0.5)
+  }
+
+  /** The (lang, source)-blocked exact pair kernel over an ARBITRARY doc
+    * frame — d02/d12's oracle formulation, also the exact-label side of
+    * the d27 wiring gate. Block-quadratic: callers own the scale guard
+    * ([[assertOracleKernelScale]] / planted-gate-sized inputs only). */
+  private[operators] def exactJaccardPairs(
+      docsIn: DataFrame, threshold: Double): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("lang"), col("source"),
         shingleHashes(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
@@ -120,16 +129,17 @@ object Dedup {
     a.join(b, Seq("lang", "source"))
       .where(col("a_id") < col("b_id"))
       // lossless size prune BEFORE the per-pair merge: |A∩B| ≤ min and
-      // |A∪B| ≥ max, so J ≥ 0.5 requires min ≥ 0.5·max — pairs with a
-      // 2× set-size imbalance can never verify and skip the kernel
-      .where(col("a_n") * 0.5 <= col("b_n") && col("b_n") * 0.5 <= col("a_n"))
+      // |A∪B| ≥ max, so J ≥ t requires min ≥ t·max — imbalanced pairs
+      // can never verify and skip the kernel
+      .where(col("a_n") * threshold <= col("b_n") &&
+        col("b_n") * threshold <= col("a_n"))
       .withColumn("n_common",
         graft.functions.IntersectCountExpr.intersectCountSorted(
           col("a_sh"), col("b_sh")))
       .select(col("a_id"), col("b_id"),
         (col("n_common").cast("double") /
           (col("a_n") + col("b_n") - col("n_common"))).as("jaccard"))
-      .where(col("jaccard") >= 0.5)
+      .where(col("jaccard") >= threshold)
   }
 
   val d02Sql: String =
@@ -1575,6 +1585,68 @@ object Dedup {
       |    ELSE 1000000 // sz END)) AS BIGINT) AS eff_tokens_ppm
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d27
+  /** d26's 100 TB WIRING, gated — [[softDedupWeights]] consuming labels
+    * from the banded pipeline ([[nearDupClusters]] =
+    * [[verifiedNearDupPairs]] → CC) instead of the block-quadratic exact
+    * kernel, exactly the swap d26's scaladoc promises. The gate plants
+    * 20 exact copies (d11/d13 technique: identical text ⇒ guaranteed
+    * band collision + Jaccard-1.0 verify in BOTH pipelines, so copy and
+    * original MUST share a cluster label under each) and checks the two
+    * labelings AGREE on every planted duplicate; the weighting stage —
+    * the part d27 newly wires — must then downweight every planted copy
+    * (cluster size ≥ 2 ⇒ w_ppm ≤ 500 000). Quantities are closed-form,
+    * so the row is oracle-restatable even though raw-corpus banded
+    * recall is not (that residual lives in d03's no-oracle row).
+    *
+    * Scale shape: the banded side is d13's (linear shingles + skew-free
+    * band shuffle + collision-only verify + dup-graph-sized CC);
+    * weighting adds d26's cluster-keyed count and doc-keyed equi-join.
+    * The exact side exists ONLY inside this gate, on a plant-sized
+    * corpus already bounded by the d02 oracle-kernel guard. */
+  def d27SoftDedupWiredGate(s: SparkSession, d: String): DataFrame = {
+    assertOracleKernelScale(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select((col("doc_id") + lit(PlantOffset)).as("doc_id"),
+      col("text"), col("lang"), col("source"))
+    val all = docs.unionByName(planted)
+    val banded = nearDupClusters(all.select("doc_id", "text"), 0.8)
+    val exact = connectedComponents(
+      exactJaccardPairs(all, 0.8).select("a_id", "b_id"))
+    def comates(lbl: DataFrame, tag: String): DataFrame =
+      lbl.where(col("doc_id") >= PlantOffset)
+        .select((col("doc_id") - PlantOffset).as("oid"),
+          col("cluster_id").as(s"p_$tag"))
+        .join(lbl.select(col("doc_id").as("oid"),
+          col("cluster_id").as(s"o_$tag")), Seq("oid"))
+        .where(col(s"p_$tag") === col(s"o_$tag"))
+        .select("oid")
+    val weighted = softDedupWeights(
+        all.select(col("doc_id")), banded)
+      .where(col("doc_id") >= PlantOffset && col("w_ppm") <= 500000L)
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(comates(banded, "b").agg(count(lit(1)).as("n_comate_banded")))
+      .crossJoin(comates(exact, "e").agg(count(lit(1)).as("n_comate_exact")))
+      .crossJoin(weighted.agg(count(lit(1)).as("n_downweighted")))
+      .select(col("n_planted"), col("n_comate_banded"), col("n_comate_exact"),
+        col("n_downweighted"),
+        (col("n_comate_banded") === col("n_planted") &&
+          col("n_comate_exact") === col("n_planted") &&
+          col("n_downweighted") === col("n_planted")).as("labelings_agree"))
+  }
+
+  val d27Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_comate_banded,
+      |  CAST(COUNT(*) AS BIGINT) AS n_comate_exact,
+      |  CAST(COUNT(*) AS BIGINT) AS n_downweighted,
+      |  true AS labelings_agree
+      |FROM base""".stripMargin
+
   // ---------------------------------------------------------------- d25
   /** SOURCE-PRIORITY dedup — multi-source corpus union where the same
     * content arriving from several feeds keeps the copy from the most
@@ -1662,7 +1734,8 @@ object Dedup {
     "d23_edit_distance_pairs" -> (d23EditDistancePairs _),
     "d24_minhash_error_gate" -> (d24MinhashErrorGate _),
     "d25_source_priority_gate" -> (d25SourcePriorityGate _),
-    "d26_soft_dedup" -> (d26SoftDedup _))
+    "d26_soft_dedup" -> (d26SoftDedup _),
+    "d27_soft_dedup_wired_gate" -> (d27SoftDedupWiredGate _))
 
   val oracles: Map[String, String] = Map(
     "d06_dedup_keep"    -> d06Sql,
@@ -1687,5 +1760,6 @@ object Dedup {
     "d23_edit_distance_pairs" -> d23Sql,
     "d24_minhash_error_gate" -> d24Sql,
     "d25_source_priority_gate" -> d25Sql,
-    "d26_soft_dedup" -> d26Sql)
+    "d26_soft_dedup" -> d26Sql,
+    "d27_soft_dedup_wired_gate" -> d27Sql)
 }

@@ -679,6 +679,21 @@ object Genomics {
     * against a broadcast dim; the rank window's partitions are
     * tree-size-bounded. Nothing corpus-global. */
   def classifyHaplogroups(variants: DataFrame, tree: DataFrame): DataFrame = {
+    // Broadcast-size contract (d02/d18 discipline): the tree is a
+    // PhyloTree-shaped dimension — thousands of (hg, var) rows, not a
+    // corpus. A million-edge "tree" must fail LOUDLY here and be re-run
+    // as a plain shuffled equi-join (drop the broadcast hint), not
+    // silently OOM every executor with a gigabyte broadcast.
+    val s = tree.sparkSession
+    val cap = s.conf.getOption("spark.graft.haplotreeMaxRows")
+      .map(_.toLong).getOrElse(500000L)
+    val treeRows = tree.count()
+    require(treeRows <= cap,
+      s"classifyHaplogroups refused: $treeRows (hg, var) tree rows > cap " +
+        s"$cap — the tree is broadcast to every executor and the rank " +
+        "window is bounded by the haplogroup count, which only holds for " +
+        "dimension-sized trees; for larger trees use a shuffled equi-join " +
+        "formulation, or raise spark.graft.haplotreeMaxRows deliberately")
     val w = Window.partitionBy(col("sample"))
       .orderBy(col("score").desc, col("hg").asc)
     variants.join(broadcast(tree), Seq("var"))
@@ -1804,6 +1819,59 @@ object Genomics {
       |    ELSE (1000 * n_ts) // n_tv END AS tstv_milli
       |FROM agg ORDER BY contig""".stripMargin
 
+  // ---------------------------------------------------------------- x40
+  /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
+    * rotated-pattern sequences write to one wrapped FASTA via the
+    * distributed text sink, then read back through the `\n>`-separated
+    * SPLITTABLE scan with `maxPartitionBytes` forced down so the single
+    * file genuinely fans out over multiple input splits (a `require`
+    * pins it) — records straddling split boundaries must reassemble
+    * exactly, which the per-sequence (length, GC) oracle equality
+    * proves. The oracle reconstructs the same sequences arithmetically
+    * in DuckDB; no file I/O on the oracle side. */
+  def x40FastaRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{Fasta, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 21 === 6)
+    val seqs = li.select((col("l_partkey") % 300).cast("long").as("k"))
+      .distinct()
+      .select(
+        concat(lit("seq"), lpad(col("k").cast("string"), 5, "0")).as("name"),
+        expr("substring(repeat('ACGT', 30), CAST(k % 4 AS INT) + 1, " +
+          "CAST(k % 97 AS INT) + 3)").as("seq"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x40_$sfTag.fasta"
+    Fasta.write(seqs, out, width = 60)
+    // session clone: shrink split size so the one file reads as several
+    // splits without disturbing the shared session's conf
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    val back = Fasta.read(s2, out)
+    require(back.rdd.getNumPartitions > 1,
+      "x40: FASTA scan must fan out over multiple input splits")
+    back.select(col("name"), length(col("seq")).cast("long").as("len"),
+        (length(col("seq")) -
+          length(translate(col("seq"), "GC", ""))).cast("long").as("gc"))
+      .withColumn("gc_permille", expr("(1000 * gc) div len"))
+      .orderBy("name")
+  }
+
+  val x40Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_partkey % 300 AS k FROM lineitem
+      |  WHERE l_orderkey % 21 = 6),
+      |sq AS (SELECT
+      |    'seq' || lpad(CAST(k AS VARCHAR), 5, '0') AS name,
+      |    substr(repeat('ACGT', 30), CAST(k % 4 AS INTEGER) + 1,
+      |      CAST(k % 97 AS INTEGER) + 3) AS seq
+      |  FROM li),
+      |m AS (SELECT name, CAST(len(seq) AS BIGINT) AS len,
+      |    CAST(len(seq) - len(replace(replace(seq, 'G', ''), 'C', ''))
+      |      AS BIGINT) AS gc
+      |  FROM sq)
+      |SELECT name, len, gc, (1000 * gc) // len AS gc_permille
+      |FROM m ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1826,7 +1894,8 @@ object Genomics {
     "x36_genotype_concordance" -> (x36GenotypeConcordance _),
     "x37_mendelian_violations" -> (x37MendelianViolations _),
     "x38_allele_spectrum"    -> (x38AlleleSpectrum _),
-    "x39_variant_qc"         -> (x39VariantQc _))
+    "x39_variant_qc"         -> (x39VariantQc _),
+    "x40_fasta_gate"         -> (x40FastaRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1850,5 +1919,6 @@ object Genomics {
     "x36_genotype_concordance" -> x36Sql,
     "x37_mendelian_violations" -> x37Sql,
     "x38_allele_spectrum"    -> x38Sql,
-    "x39_variant_qc"         -> x39Sql)
+    "x39_variant_qc"         -> x39Sql,
+    "x40_fasta_gate"         -> x40Sql)
 }

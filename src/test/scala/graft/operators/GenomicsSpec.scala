@@ -425,6 +425,24 @@ class GenomicsSpec extends SparkSpec {
       "haplotree must broadcast, not shuffle the variant side twice")
   }
 
+  test("x26 classifyHaplogroups: oversized tree fails loudly, cap is tunable") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.graft.haplotreeMaxRows", "10")
+    val variants = Seq((1L, "a")).toDF("sample", "var")
+    val bigTree = s2.range(12).select(col("id").as("hg"),
+      concat(lit("v"), col("id") % 3).as("var"))
+    val ex = intercept[IllegalArgumentException] {
+      Genomics.classifyHaplogroups(variants, bigTree)
+    }
+    assert(ex.getMessage.contains("haplotreeMaxRows"),
+      "guard must name the escape-hatch conf")
+    // under the cap the same session works
+    val ok = Genomics.classifyHaplogroups(
+      variants, Seq((0L, "a")).toDF("hg", "var"))
+    assert(ok.count() === 1L)
+  }
+
   test("x27 mtDNA-CN: staged milli-ratios from per-side mass") {
     import spark.implicits._
     // 100 bases on a 1000 bp mito, 2000 bases on a 100000 bp nuclear side:

@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
 class R11OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("d27 wiring: banded and exact labelings agree on exact copies, " +
+      "weights downweight every copy") {
+    // three exact-copy families (sizes 2, 3, 1-singleton) + an unrelated
+    // long doc — identical text guarantees both pipelines find every edge
+    val mk = (i: Int, t: String) => (i.toLong, t, "en", "src1")
+    val docs = Seq(
+      mk(1, "the quick brown fox jumps over the lazy dog repeatedly"),
+      mk(2, "the quick brown fox jumps over the lazy dog repeatedly"),
+      mk(3, "completely different content about distributed query engines"),
+      mk(4, "completely different content about distributed query engines"),
+      mk(5, "completely different content about distributed query engines"),
+      mk(6, "a singleton document sharing nothing with anything else here"))
+      .toDF("doc_id", "text", "lang", "source")
+    val banded = Dedup.nearDupClusters(docs.select("doc_id", "text"), 0.8)
+    val exact = Dedup.connectedComponents(
+      Dedup.exactJaccardPairs(docs, 0.8).select("a_id", "b_id"))
+    val bl = banded.as[(Long, Long)].collect().toSet
+    val el = exact.as[(Long, Long)].collect().toSet
+    assert(bl === el, "labelings must coincide on exact copies")
+    assert(bl === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L)),
+      "min-id labels per family; singleton absent from the dup graph")
+    val w = Dedup.softDedupWeights(docs.select("doc_id"), banded)
+      .select("doc_id", "w_ppm").as[(Long, Long)].collect().toMap
+    assert(w(1L) === 500000L && w(2L) === 500000L, "pair halves")
+    assert(w(3L) === 333333L && w(5L) === 333333L, "triple thirds (floor)")
+    assert(w(6L) === 1000000L, "singleton keeps full weight")
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")

@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FastaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fasta write wraps at width and read reassembles, with desc") {
+    val seqs = Seq(
+      ("beta", "ACGTACGTACGTA"), // 13 chars, wraps at 5 into 3 lines
+      ("alpha", "GGCC"))
+      .toDF("name", "seq")
+    val out = java.nio.file.Files.createTempDirectory("fa").toString + "/t.fa"
+    Fasta.write(seqs, out, width = 5, numPartitions = 2)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(lines === Seq(">alpha", "GGCC", ">beta", "ACGTA", "CGTAC", "GTA"),
+      "records sorted by name, sequence wrapped at width")
+    val back = Fasta.read(spark, out)
+      .select("name", "seq").as[(String, String)].collect().toSet
+    assert(back === Set(("alpha", "GGCC"), ("beta", "ACGTACGTACGTA")))
+  }
+
+  test("fasta read parses descriptions and header-only records") {
+    val dir = java.nio.file.Files.createTempDirectory("fa2")
+    val p = dir.resolve("h.fa")
+    java.nio.file.Files.writeString(p,
+      ">chrM Homo sapiens mitochondrion\nACGT\nACGT\n" +
+        ">empty_rec\n" +
+        ">plain\nTTTT\n")
+    val back = Fasta.read(spark, p.toString)
+      .as[(String, Option[String], String)].collect().toSet
+    assert(back === Set(
+      ("chrM", Some("Homo sapiens mitochondrion"), "ACGTACGT"),
+      ("empty_rec", None, ""),
+      ("plain", None, "TTTT")))
+  }
+
+  test("fasta read is splittable: tiny splits reassemble boundary records") {
+    val seqs = (0 until 200).map { i =>
+      (f"s$i%04d", "ACGT" * (i % 17 + 1))
+    }.toDF("name", "seq")
+    val out = java.nio.file.Files.createTempDirectory("fa3").toString + "/b.fa"
+    Fasta.write(seqs, out, width = 10)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "512")
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    val back = Fasta.read(s2, out)
+    assert(back.rdd.getNumPartitions > 4, "must actually split")
+    val got = back.select("name", "seq").as[(String, String)].collect().toSet
+    assert(got === seqs.as[(String, String)].collect().toSet)
+  }
+}
