@@ -1872,6 +1872,119 @@ object Genomics {
       |SELECT name, len, gc, (1000 * gc) // len AS gc_permille
       |FROM m ORDER BY name""".stripMargin
 
+  // ---------------------------------------------------------------- x41
+  /** INDEXED-BAM workflow gate — the x24 composition re-rooted on the
+    * INDEX: where x24 chains stages over a full-file scan, every
+    * downstream stage here consumes a REGION the `.gai` index serves
+    * from the sorted artifact, because that is how a 100 TB cohort is
+    * actually analyzed (nobody full-scans the file to ask about one
+    * locus). One pass: unsorted cohort → [[graft.sources.BamWriter
+    * .sortAndWrite]] → `.gai` build → region scan through the `bam`
+    * DSv2 (byte-run accounting proves the index pruned a majority of
+    * the file — `pruned_ok`, x16's audit) → PCR markdup
+    * ([[MitoQueries.markDuplicates]]) on the region reads → dup-filtered
+    * geometry → [[targetCoverage]] (x33's sweep + exactly-once binned
+    * intersect) against synthesized capture targets. Fragment
+    * signatures are functions of (contig, start) alone, so kept
+    * geometry ≡ distinct starts and the whole chain is closed-form.
+    *
+    * Scale shape: the region scan decodes only index-selected byte
+    * runs; markdup shuffles one uniform signature key over REGION-sized
+    * data; the sweep and intersect are x33's bucketed shapes. Nothing
+    * touches the file's full extent after the one-time sort+index. */
+  def x41IndexedWorkflow(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamIndex, BamWriter, HadoopIO, SamFilters}
+    val (lo, hi) = (1001, 2000)
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 18 === 5)
+    val st = ((col("l_partkey") * 977) % 5000 + 1).cast("int")
+    val recs = li.select(
+      concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey"))
+        .as("readName"),
+      lit(99).as("flag"),
+      when(col("l_suppkey") % 3 === 0, "chr2")
+        .when(col("l_suppkey") % 3 === 1, "chr1")
+        .otherwise("chrM").as("referenceName"),
+      st.as("start"),
+      col("l_quantity").cast("int").as("mapQ"),
+      lit("10M").as("cigar"), lit("=").as("rnext"),
+      (st + 500).as("pnext"), lit(500).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val refs = Seq("chr2" -> 200000, "chr1" -> 200000, "chrM" -> 16569)
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x41_$sfTag.bam"
+    BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n" +
+        refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString,
+      refs, out, numPartitions = 8)
+    val conf = HadoopIO.driverConf()
+    BamIndex.build(out, conf)
+    // index-servability audit: the region's byte runs must be a minority
+    // of the file (task-metadata-sized driver arithmetic, like x16)
+    val stats = BamIndex.read(out, conf)
+    val preds = Seq(SamFilters.RefNameEq("chr1"),
+      SamFilters.IntCmp("start", ">=", lo.toLong),
+      SamFilters.IntCmp("start", "<=", hi.toLong))
+    val runs = BamIndex.selectRuns(stats, preds,
+      refs.map(_._1).toArray, 0L, Long.MaxValue)
+    val fileLen = HadoopIO.lenAndMtime(out, conf).get._1
+    val keptBytes = runs.map { case (b, _, e) =>
+      (if (e == Long.MaxValue) fileLen else e) - b
+    }.sum
+    val prunedOk = runs.nonEmpty && keptBytes * 2 < fileLen
+    // the workflow INPUT is the .bam artifact: an index-served region scan
+    val region = s.read.format("bam").load(out)
+      .where(col("referenceName") === "chr1" &&
+        col("start") >= lo && col("start") <= hi)
+    val kept = MitoQueries.markDuplicates(region)
+      .where(col("flag").bitwiseAND(lit(1024)) === 0)
+    val geo = kept.select(col("referenceName").as("contig"),
+        col("start").cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val targets = li.where(col("l_linenumber") % 2 === 1).select(
+        lit("chr1").as("contig"),
+        ((col("l_suppkey") * 7 % 40) * 25 + 1001).cast("long").as("start"))
+      .withColumn("end", col("start") + 30L).distinct()
+    val tc = targetCoverage(geo, targets, minDepth = 2L, binWidth = 64,
+      bucketWidth = 512L)
+    requireBucketedSweep(tc, "x41")
+    tc.crossJoin(
+        region.agg(count(lit(1)).as("n_region"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+          .select(col("n_region"), col("n_kept"),
+            lit(prunedOk).as("pruned_ok")))
+      .orderBy("contig", "start_pos")
+  }
+
+  /** Oracle replay: region rows from the synthesis arithmetic, kept ≡
+    * distinct starts, per-base depth ≥ 2 counting inside each target. */
+  val x41Sql: String =
+    """WITH sl AS (
+      |  SELECT CASE WHEN l_suppkey % 3 = 0 THEN 'chr2'
+      |              WHEN l_suppkey % 3 = 1 THEN 'chr1'
+      |              ELSE 'chrM' END AS contig,
+      |    (l_partkey * 977) % 5000 + 1 AS st, l_linenumber, l_suppkey
+      |  FROM lineitem WHERE l_orderkey % 18 = 5),
+      |reg AS (SELECT st FROM sl
+      |  WHERE contig = 'chr1' AND st BETWEEN 1001 AND 2000),
+      |r AS (SELECT DISTINCT st FROM reg),
+      |p AS (SELECT unnest(generate_series(st, st + 9)) AS pos FROM r),
+      |dep AS (SELECT pos FROM p GROUP BY pos HAVING COUNT(*) >= 2),
+      |t AS (SELECT DISTINCT (l_suppkey * 7 % 40) * 25 + 1001 AS st,
+      |    (l_suppkey * 7 % 40) * 25 + 1031 AS en
+      |  FROM sl WHERE l_linenumber % 2 = 1),
+      |cov AS (SELECT t.st, t.en, COUNT(dep.pos) AS covered
+      |  FROM t LEFT JOIN dep ON dep.pos >= t.st AND dep.pos < t.en
+      |  GROUP BY t.st, t.en)
+      |SELECT 'chr1' AS contig, CAST(st AS BIGINT) AS start_pos,
+      |  CAST(en AS BIGINT) AS end_pos, CAST(covered AS BIGINT) AS covered,
+      |  (1000 * CAST(covered AS BIGINT)) // (en - st) AS pct_milli,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM reg) AS n_region,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_kept,
+      |  true AS pruned_ok
+      |FROM cov ORDER BY contig, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -1895,7 +2008,8 @@ object Genomics {
     "x37_mendelian_violations" -> (x37MendelianViolations _),
     "x38_allele_spectrum"    -> (x38AlleleSpectrum _),
     "x39_variant_qc"         -> (x39VariantQc _),
-    "x40_fasta_gate"         -> (x40FastaRoundtrip _))
+    "x40_fasta_gate"         -> (x40FastaRoundtrip _),
+    "x41_indexed_workflow_gate" -> (x41IndexedWorkflow _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -1920,5 +2034,6 @@ object Genomics {
     "x37_mendelian_violations" -> x37Sql,
     "x38_allele_spectrum"    -> x38Sql,
     "x39_variant_qc"         -> x39Sql,
-    "x40_fasta_gate"         -> x40Sql)
+    "x40_fasta_gate"         -> x40Sql,
+    "x41_indexed_workflow_gate" -> x41Sql)
 }

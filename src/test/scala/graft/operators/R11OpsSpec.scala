@@ -35,6 +35,49 @@ class R11OpsSpec extends SparkSpec {
     assert(w(6L) === 1000000L, "singleton keeps full weight")
   }
 
+  test("x41 chain: sorted+indexed bam region scan -> markdup -> " +
+      "target coverage, hand-checkable") {
+    import graft.sources.{BamIndex, BamWriter, HadoopIO}
+    // reads: chr1 starts 100 (x3 PCR copies), 105, 300; chrM noise 100
+    val recs = Seq(
+      ("a1", 100, "chr1", 60), ("a2", 100, "chr1", 50),
+      ("a3", 100, "chr1", 40), ("b1", 105, "chr1", 60),
+      ("c1", 300, "chr1", 60), ("m1", 100, "chrM", 60))
+      .toDF("readName", "start0", "referenceName", "mapQ")
+      .select(col("readName"), lit(99).as("flag"), col("referenceName"),
+        col("start0").as("start"), col("mapQ"), lit("10M").as("cigar"),
+        lit("=").as("rnext"), (col("start0") + 500).as("pnext"),
+        lit(500).as("tlen"), lit("ACGTACGTAC").as("sequence"),
+        lit("*").as("qual"), lit("NM:i:0").as("attributes"))
+    val refs = Seq("chr1" -> 10000, "chrM" -> 16569)
+    val dir = java.nio.file.Files.createTempDirectory("x41").toString
+    val bam = s"$dir/c.bam"
+    BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n" +
+        refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString,
+      refs, bam, numPartitions = 2)
+    BamIndex.build(bam, HadoopIO.driverConf())
+    val region = spark.read.format("bam").load(bam)
+      .where(col("referenceName") === "chr1" &&
+        col("start") >= 50 && col("start") <= 200)
+    val kept = MitoQueries.markDuplicates(region)
+      .where(col("flag").bitwiseAND(lit(1024)) === 0)
+    // 3 copies at 100 collapse to the mapQ-60 read; c1=300 outside region
+    assert(kept.select("readName").as[String].collect().toSet ===
+      Set("a1", "b1"))
+    val geo = kept.select(col("referenceName").as("contig"),
+        col("start").cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val targets = Seq(("chr1", 100L, 120L), ("chr1", 150L, 170L))
+      .toDF("contig", "start", "end")
+    // depth>=2 only on [105,110) (a1 ∩ b1): 5 covered bases in t1, 0 in t2
+    val tc = Genomics.targetCoverage(geo, targets, minDepth = 2L,
+        binWidth = 64, bucketWidth = 512L)
+      .select("start_pos", "covered", "pct_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tc === Set((100L, 5L, 250L), (150L, 0L, 0L)))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
