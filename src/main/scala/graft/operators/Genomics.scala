@@ -835,20 +835,21 @@ object Genomics {
     * the bin containing the overlap start), with both intervals'
     * coordinates carried through. */
   private def binnedOverlapPairs(a: DataFrame, b: DataFrame,
-      binWidth: Int): DataFrame = {
+      binWidth: Int, bExtra: Seq[String] = Nil): DataFrame = {
     val w = binWidth.toLong
-    def binned(df: DataFrame, p: String) = df.select(
-        col("contig"), col("start").as(s"${p}_start"),
-        col("end").as(s"${p}_end"))
+    def binned(df: DataFrame, p: String, extra: Seq[String]) = df.select(
+        (Seq(col("contig"), col("start").as(s"${p}_start"),
+          col("end").as(s"${p}_end")) ++ extra.map(col)): _*)
       .withColumn("bin", explode(sequence(
         expr(s"${p}_start div $w"), expr(s"(${p}_end - 1) div $w"))))
-    val out = binned(a, "a").join(binned(b, "b"), Seq("contig", "bin"))
+    val out = binned(a, "a", Nil).join(binned(b, "b", bExtra),
+        Seq("contig", "bin"))
       .where(col("a_start") < col("b_end") &&
         col("b_start") < col("a_end"))
       .where(greatest(col("a_start"), col("b_start"))
         .between(col("bin") * w, (col("bin") + 1) * w - 1))
-      .select(col("contig"), col("a_start"), col("a_end"),
-        col("b_start"), col("b_end"))
+      .select((Seq(col("contig"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end")) ++ bExtra.map(col)): _*)
     val bnl = out.queryExecution.sparkPlan.collect {
       case p if p.nodeName.contains("BroadcastNestedLoop") => p
     }
@@ -1985,6 +1986,149 @@ object Genomics {
       |  true AS pruned_ok
       |FROM cov ORDER BY contig, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x42
+  /** Canonical K-MER SPECTRUM — the workhorse of alignment-free genomics
+    * (Jellyfish/KMC's core; genome-size estimation, contamination
+    * screens, assembly QC all start here): every k-length window of
+    * every sequence, counted STRAND-NEUTRALLY by collapsing each k-mer
+    * with its reverse complement to the lexicographic minimum (a read
+    * can come off either strand, so ACGT-strand counts alone are
+    * biased). Pure narrow kernels: one `transform` slice per sequence
+    * (len−k+1 windows), `least(kmer, reverse(translate(...)))` for the
+    * canonical form, then one uniform hash aggregate whose key space is
+    * ≤ 4^k/2 — map-side combine collapses everything before the
+    * exchange, so the shuffle is dictionary-sized regardless of corpus
+    * size.
+    *
+    * Scale shape: linear explode (the same fan-out every shingling op
+    * here pays), no window, no join; for k ≤ 16 the canonical form
+    * could pack into an int64 two-bits-per-base — the string form keeps
+    * the gate oracle-identical and the agg profile is unchanged. */
+  def kmerSpectrum(seqs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 32, s"k=$k outside the sane k-mer range")
+    seqs.where(length(col("seq")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(1, length(seq) - ${k - 1}), " +
+          s"i -> substring(seq, i, $k))")).as("kmer"))
+      .withColumn("canon", least(col("kmer"),
+        reverse(translate(col("kmer"), "ACGT", "TGCA"))))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Driver gate: rotated 8-base-pattern sequences written to a FASTA
+    * artifact and read BACK through [[graft.sources.Fasta]] — the
+    * spectrum consumes the source's output, not the synthesis frame, so
+    * the scan→kernel contract is what's gated (x40 gates the round-trip
+    * itself). Oracle reconstructs the sequences arithmetically. */
+  def x42KmerSpectrum(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{Fasta, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 22 === 9)
+    val seqs = li.select((col("l_partkey") % 320).cast("long").as("kk"))
+      .distinct()
+      .select(
+        concat(lit("s"), lpad(col("kk").cast("string"), 5, "0")).as("name"),
+        expr("substring(repeat('ACGGTCAT', 16), CAST(kk % 8 AS INT) + 1, " +
+          "CAST(kk % 89 AS INT) + 2)").as("seq"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x42_$sfTag.fasta"
+    Fasta.write(seqs, out, width = 50)
+    kmerSpectrum(Fasta.read(s, out), 4).orderBy("canon")
+  }
+
+  val x42Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_partkey % 320 AS kk FROM lineitem
+      |  WHERE l_orderkey % 22 = 9),
+      |sq AS (SELECT substr(repeat('ACGGTCAT', 16),
+      |    CAST(kk % 8 AS INTEGER) + 1, CAST(kk % 89 AS INTEGER) + 2) AS seq
+      |  FROM li),
+      |km AS (SELECT unnest(list_transform(range(1, len(seq) - 2),
+      |    i -> substr(seq, CAST(i AS INTEGER), 4))) AS kmer
+      |  FROM sq WHERE len(seq) >= 4)
+      |SELECT least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS canon,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM km GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- x43
+  /** LIFTOVER — remap intervals between genome assemblies through chain
+    * blocks (UCSC `liftOver`: every variant database, every cross-build
+    * comparison runs this): a query interval FULLY CONTAINED in one
+    * source block `[bst, ben)` maps to the destination by the block's
+    * affine shift; a query straddling a block edge or landing in a gap
+    * is UNMAPPED (null destination, the tool's reject file) rather than
+    * silently split. Chain blocks must be non-overlapping on the source
+    * side (the chain-file invariant) — overlap would fan one query to
+    * two rows; callers own that contract, as with targetCoverage's
+    * distinct targets.
+    *
+    * Scale shape: the query⋈block containment rides the shared
+    * exactly-once binned equi-join ([[binnedOverlapPairs]], destination
+    * columns carried through its payload pass-through) — uniform
+    * (contig, bin) keys, no per-contig funnel, no nested loop (plan
+    * `require`); unmapped rows come back through one left join keyed on
+    * the query identity. The chain is typically dimension-sized but
+    * nothing here assumes it: both sides stream through the same binned
+    * exchange. */
+  def liftOver(queriesDf: DataFrame, chain: DataFrame,
+      binWidth: Int): DataFrame = {
+    val q = queriesDf.select(col("contig"), col("start"), col("end"))
+      .distinct()
+    val mapped = binnedOverlapPairs(q, chain, binWidth,
+        bExtra = Seq("dst_contig", "dst_start"))
+      .where(col("a_start") >= col("b_start") &&
+        col("a_end") <= col("b_end"))
+      .select(col("contig"), col("a_start").as("start"),
+        col("a_end").as("end"), col("dst_contig"),
+        (col("dst_start") + col("a_start") - col("b_start"))
+          .as("lift_start"),
+        (col("dst_start") + col("a_end") - col("b_start")).as("lift_end"))
+    q.join(mapped, Seq("contig", "start", "end"), "left")
+      .select(col("contig"), col("start").as("start_pos"),
+        col("end").as("end_pos"), col("dst_contig"),
+        col("lift_start"), col("lift_end"))
+  }
+
+  /** Driver gate: 12 chain tiles of width 90 every 100 bases per contig
+    * (10-base gaps), queries of width 8 — contained iff start%100 ≤ 82,
+    * so mapped and unmapped rows both occur and the whole frame is
+    * closed-form. */
+  def x43LiftOver(s: SparkSession, d: String): DataFrame = {
+    val chain = s.range(12).select(
+        explode(array(lit("chr1"), lit("chrM"))).as("contig"), col("id"))
+      .select(col("contig"), (col("id") * 100).as("start"),
+        (col("id") * 100 + 90).as("end"),
+        concat(lit("c"), (col("id") % 3).cast("string")).as("dst_contig"),
+        (col("id") * 100 + 5000 + col("id") * 7).as("dst_start"))
+    val q = Tables.lineitem(s, d).where(col("l_orderkey") % 23 === 11)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") * 13 % 1180) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 8L)
+    liftOver(q, chain, binWidth = 64)
+      .orderBy("contig", "start_pos")
+  }
+
+  val x43Sql: String =
+    """WITH ch AS (
+      |  SELECT c.contig, i * 100 AS bst, i * 100 + 90 AS ben,
+      |    'c' || CAST(i % 3 AS VARCHAR) AS dst_contig,
+      |    i * 100 + 5000 + i * 7 AS dst_start
+      |  FROM (SELECT unnest(range(0, 12)) AS i),
+      |       (SELECT unnest(['chr1', 'chrM']) AS contig) c),
+      |q AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey * 13 % 1180) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 23 = 11)
+      |SELECT q.contig, CAST(q.st AS BIGINT) AS start_pos,
+      |  CAST(q.st + 8 AS BIGINT) AS end_pos, ch.dst_contig,
+      |  CAST(ch.dst_start + (q.st - ch.bst) AS BIGINT) AS lift_start,
+      |  CAST(ch.dst_start + (q.st + 8 - ch.bst) AS BIGINT) AS lift_end
+      |FROM q LEFT JOIN ch ON q.contig = ch.contig
+      |  AND q.st >= ch.bst AND q.st + 8 <= ch.ben
+      |ORDER BY q.contig, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2009,7 +2153,9 @@ object Genomics {
     "x38_allele_spectrum"    -> (x38AlleleSpectrum _),
     "x39_variant_qc"         -> (x39VariantQc _),
     "x40_fasta_gate"         -> (x40FastaRoundtrip _),
-    "x41_indexed_workflow_gate" -> (x41IndexedWorkflow _))
+    "x41_indexed_workflow_gate" -> (x41IndexedWorkflow _),
+    "x42_kmer_spectrum"      -> (x42KmerSpectrum _),
+    "x43_liftover"           -> (x43LiftOver _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2035,5 +2181,7 @@ object Genomics {
     "x38_allele_spectrum"    -> x38Sql,
     "x39_variant_qc"         -> x39Sql,
     "x40_fasta_gate"         -> x40Sql,
-    "x41_indexed_workflow_gate" -> x41Sql)
+    "x41_indexed_workflow_gate" -> x41Sql,
+    "x42_kmer_spectrum"      -> x42Sql,
+    "x43_liftover"           -> x43Sql)
 }

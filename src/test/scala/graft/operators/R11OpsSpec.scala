@@ -78,6 +78,34 @@ class R11OpsSpec extends SparkSpec {
     assert(tc === Set((100L, 5L, 250L), (150L, 0L, 0L)))
   }
 
+  test("x42 kmerSpectrum: strand-neutral canonical counts, short seqs drop") {
+    val seqs = Seq(("s1", "AAAAT"), ("s2", "ATTT"), ("s3", "ACG"))
+      .toDF("name", "seq")
+    val got = Genomics.kmerSpectrum(seqs, 4)
+      .as[(String, Long)].collect().toMap
+    // AAAAT -> AAAA, AAAT; ATTT's revcomp is AAAT -> collapses with it;
+    // ACG is shorter than k and contributes nothing
+    assert(got === Map("AAAA" -> 1L, "AAAT" -> 2L))
+  }
+
+  test("x43 liftOver: contained maps affinely, straddle/gap/missing-contig " +
+      "unmap, duplicates dedup") {
+    val chain = Seq(("chr1", 0L, 90L, "cX", 1000L))
+      .toDF("contig", "start", "end", "dst_contig", "dst_start")
+    val q = Seq(
+      ("chr1", 10L, 18L), ("chr1", 10L, 18L), // duplicate -> one row
+      ("chr1", 85L, 93L),                     // straddles the block edge
+      ("chr2", 10L, 18L))                     // no chain on chr2
+      .toDF("contig", "start", "end")
+    val got = Genomics.liftOver(q, chain, binWidth = 64)
+      .as[(String, Long, Long, Option[String], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got === Set(
+      ("chr1", 10L, 18L, Some("cX"), Some(1010L), Some(1018L)),
+      ("chr1", 85L, 93L, None, None, None),
+      ("chr2", 10L, 18L, None, None, None)))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
