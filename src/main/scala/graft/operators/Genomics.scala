@@ -2129,6 +2129,275 @@ object Genomics {
       |  AND q.st >= ch.bst AND q.st + 8 <= ch.ben
       |ORDER BY q.contig, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x44
+  /** PAIRWISE RELATEDNESS tallies (KING / `plink --genome` shape) — the
+    * cohort-QC step that catches sample swaps, duplicates, and cryptic
+    * relatives before any association analysis: for every sample pair,
+    * over sites where BOTH are called, count identity-by-state classes
+    * (IBS0 = opposite homozygotes, IBS1, IBS2), double-heterozygous
+    * sites, and per-side het totals — the sufficient statistics of the
+    * KING-robust kinship estimator φ = (N_AaAa − 2·N_IBS0)/(N_Aa,i +
+    * N_Aa,j). Numerator terms are emitted RAW rather than as the ratio:
+    * the estimator is a driver-side division over dimension-sized
+    * output, and integer division of a possibly-negative numerator is
+    * exactly where engine semantics diverge (truncate vs floor).
+    *
+    * Scale shape: one self-equi-join on the uniform high-cardinality
+    * (contig, pos) site key — never on sample, whose cardinality is the
+    * PAIR fan-out bound (S² rows per site; cohorts are dimension-sized
+    * next to sites, the same contract as x26's tree) — then one
+    * (sample_i, sample_j)-keyed map-side-combinable aggregate. */
+  def kinshipTallies(gt: DataFrame): DataFrame = {
+    val a = gt.select(col("contig"), col("pos"),
+      col("sample").as("sample_i"), col("g").as("gi"))
+    val b = gt.select(col("contig"), col("pos"),
+      col("sample").as("sample_j"), col("g").as("gj"))
+    a.join(b, Seq("contig", "pos"))
+      .where(col("sample_i") < col("sample_j"))
+      .where(col("gi").isNotNull && col("gj").isNotNull)
+      .groupBy(col("sample_i"), col("sample_j"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum((abs(col("gi") - col("gj")) === 2).cast("long")).as("ibs0"),
+        sum((abs(col("gi") - col("gj")) === 1).cast("long")).as("ibs1"),
+        sum((col("gi") === col("gj")).cast("long")).as("ibs2"),
+        sum((col("gi") === 1 && col("gj") === 1).cast("long"))
+          .as("n_both_het"),
+        sum((col("gi") === 1).cast("long")).as("n_het_i"),
+        sum((col("gj") === 1).cast("long")).as("n_het_j"))
+      .orderBy("sample_i", "sample_j")
+  }
+
+  /** Driver gate: x36's site synthesis with 4 samples and a 5-class
+    * dosage code whose classes 3/4 map to uncalled — missingness, all
+    * three IBS classes, and het asymmetry are all populated. */
+  def x44KinshipTallies(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 24 === 13)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 450) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(
+        Seq(("s0", 0L), ("s1", 1L), ("s2", 2L), ("s3", 3L)))
+      .toDF("sample", "sj")
+    val code = (col("pos") * 7 + col("sj") * 5) % 5
+    val gt = sites.crossJoin(broadcast(dim))
+      .select(col("contig"), col("pos"), col("sample"),
+        when(code < 3, code).otherwise(lit(null)).cast("long").as("g"))
+    kinshipTallies(gt)
+  }
+
+  val x44Sql: String =
+    """WITH sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 450) * 3 + 1 AS pos
+      |  FROM lineitem WHERE l_orderkey % 24 = 13),
+      |dim AS (SELECT * FROM (VALUES ('s0', 0), ('s1', 1), ('s2', 2),
+      |    ('s3', 3)) AS t(sample, sj)),
+      |gt AS (SELECT contig, pos, sample,
+      |    CASE WHEN (pos * 7 + sj * 5) % 5 < 3
+      |         THEN (pos * 7 + sj * 5) % 5 END AS g
+      |  FROM sites, dim),
+      |p AS (SELECT a.sample AS sample_i, b.sample AS sample_j,
+      |    a.g AS gi, b.g AS gj
+      |  FROM gt a JOIN gt b ON a.contig = b.contig AND a.pos = b.pos
+      |  WHERE a.sample < b.sample AND a.g IS NOT NULL AND b.g IS NOT NULL)
+      |SELECT sample_i, sample_j, CAST(COUNT(*) AS BIGINT) AS n_sites,
+      |  CAST(SUM(CASE WHEN abs(gi - gj) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ibs0,
+      |  CAST(SUM(CASE WHEN abs(gi - gj) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ibs1,
+      |  CAST(SUM(CASE WHEN gi = gj THEN 1 ELSE 0 END) AS BIGINT) AS ibs2,
+      |  CAST(SUM(CASE WHEN gi = 1 AND gj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_both_het,
+      |  CAST(SUM(CASE WHEN gi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_i,
+      |  CAST(SUM(CASE WHEN gj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_j
+      |FROM p GROUP BY sample_i, sample_j
+      |ORDER BY sample_i, sample_j""".stripMargin
+
+  // ---------------------------------------------------------------- x45
+  /** RUNS OF HOMOZYGOSITY (`bcftools roh` / `plink --homozyg` site-based
+    * core) — consanguinity and autozygosity mapping: per (sample,
+    * contig), maximal runs of consecutive CALLED sites that are all
+    * homozygous (dosage 0 or 2); a heterozygous call breaks the run,
+    * an uncalled site is invisible. Runs shorter than `minSites` drop
+    * (every ROH tool thresholds — single-site "runs" are noise).
+    *
+    * The island id of a homozygous call is simply the COUNT OF HET
+    * CALLS BEFORE IT in (sample, contig, pos) order — a prefix sum, so
+    * the whole operator rides [[boundaryPrefixScan]] (delta = 1 for
+    * het, 0 for hom: the inclusive cum at a hom row equals the
+    * exclusive het count) with (sample ‖ contig) as the composite sweep
+    * key. No flat per-sample window anywhere: level 1 is (key, bucket)-
+    * windowed, level 2 runs over bucket summaries, and the final
+    * min/max/count per (key, island) is a uniform hash aggregate.
+    * Assumes distinct (sample, contig, pos) rows — the targetCoverage
+    * contract. */
+  def rohRuns(gt: DataFrame, minSites: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val called = gt.where(col("g").isNotNull)
+      .select(concat(col("sample"), lit("|"), col("contig")).as("contig"),
+        col("pos"), (col("g") === 1).cast("long").as("delta"))
+    boundaryPrefixScan(called, bucketWidth)
+      .where(col("delta") === 0)
+      .groupBy(col("contig"), col("depth"))
+      .agg(min(col("pos")).as("run_start"), max(col("pos")).as("run_end"),
+        count(lit(1)).as("n_sites"))
+      .where(col("n_sites") >= minSites)
+      .select(substring_index(col("contig"), "|", 1).as("sample"),
+        substring_index(col("contig"), "|", -1).as("contig"),
+        col("run_start"), col("run_end"), col("n_sites"))
+  }
+
+  /** Driver gate: x36-style sites with 2 samples and a 4-class code
+    * (0/2 hom, 1 het, 3 uncalled) — runs, breaks, and invisible missing
+    * sites all populated; 512-wide buckets force multi-bucket runs. */
+  def x45RohRuns(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 25 === 17)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 500) * 2 + 1).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(("s0", 0L), ("s1", 1L)))
+      .toDF("sample", "sj")
+    // pos is always odd — key the class code off pos div 2 so BOTH
+    // samples cycle through hom/het/uncalled and runs genuinely break
+    val code = (expr("pos div 2") * 3 + col("sj")) % 4
+    val gt = sites.crossJoin(broadcast(dim))
+      .select(col("sample"), col("contig"), col("pos"),
+        when(code < 3, code).otherwise(lit(null)).cast("long").as("g"))
+    val r = rohRuns(gt, minSites = 3L, bucketWidth = 512L)
+      .orderBy("sample", "contig", "run_start")
+    requireBucketedSweep(r, "x45")
+    r
+  }
+
+  val x45Sql: String =
+    """WITH sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 500) * 2 + 1 AS pos
+      |  FROM lineitem WHERE l_orderkey % 25 = 17),
+      |dim AS (SELECT * FROM (VALUES ('s0', 0), ('s1', 1)) AS t(sample, sj)),
+      |gt AS (SELECT sample, contig, pos,
+      |    CASE WHEN ((pos // 2) * 3 + sj) % 4 < 3
+      |         THEN ((pos // 2) * 3 + sj) % 4 END AS g
+      |  FROM sites, dim),
+      |c AS (SELECT sample, contig, pos, g,
+      |    SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY sample, contig ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM gt WHERE g IS NOT NULL)
+      |SELECT sample, contig, CAST(MIN(pos) AS BIGINT) AS run_start,
+      |  CAST(MAX(pos) AS BIGINT) AS run_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sites
+      |FROM c WHERE g <> 1 GROUP BY sample, contig, isl
+      |HAVING COUNT(*) >= 3 ORDER BY sample, contig, run_start""".stripMargin
+
+  // ---------------------------------------------------------------- x46
+  /** REFERENCE TILES — the scale-safe carrier of genome sequence into
+    * per-locus joins: a chromosome is a quarter-gigabyte string, so
+    * "broadcast the reference" dies exactly when the data gets big;
+    * instead each sequence explodes into fixed-width tiles overhung by
+    * `flank` bases on each side, and any per-position lookup becomes a
+    * uniform (contig, tile) EQUI-join against kilobyte-sized rows. The
+    * flank makes every window of width ≤ 2·flank+1 fully resolvable
+    * inside one tile — no cross-tile stitching in the consumer. */
+  def refTiles(refs: DataFrame, tileWidth: Int, flank: Int): DataFrame =
+    refs.select(col("name").as("contig"), col("seq"))
+      .withColumn("tile", explode(expr(
+        s"sequence(0L, CAST((length(seq) - 1) div $tileWidth AS BIGINT))")))
+      .withColumn("tile_off",
+        greatest(col("tile") * tileWidth + 1 - flank, lit(1L)))
+      .select(col("contig"), col("tile"), col("tile_off"),
+        expr(s"substring(seq, CAST(tile_off AS INT), " +
+          s"$tileWidth + ${2 * flank})").as("tile_str"))
+
+  /** TRINUCLEOTIDE MUTATION CONTEXT (the SBS-96 normalization every
+    * mutational-signature analysis starts from — COSMIC signatures,
+    * SigProfiler): each SNV is annotated with the reference base ±1
+    * around it (ref comes FROM THE REFERENCE, the standard sanity
+    * discipline — caller-supplied ref columns drift), then collapsed to
+    * the pyrimidine-strand class `5'[ref>alt]3'` — purine-centered
+    * contexts reverse-complement so C·G-strand symmetry is factored
+    * out. Edge positions whose window leaves the sequence drop.
+    *
+    * Scale shape: variants join [[refTiles]] on the uniform
+    * (contig, tile) key — corpus-sized × tile-dimension, no broadcast
+    * of chromosome strings, no window; the class tally is one
+    * ≤ 96-key map-side-combinable aggregate. */
+  def trinucContexts(variants: DataFrame, tiles: DataFrame,
+      tileWidth: Int): DataFrame = {
+    val joined = variants
+      .where(col("pos") >= 2)
+      .withColumn("tile", expr(s"(pos - 1) div $tileWidth"))
+      .join(tiles, Seq("contig", "tile"))
+      .withColumn("ctx", expr(
+        "substring(tile_str, CAST(pos - tile_off AS INT), 3)"))
+      .where(length(col("ctx")) === 3)
+      .withColumn("ref", substring(col("ctx"), 2, 1))
+    val rc = reverse(translate(col("ctx"), "ACGT", "TGCA"))
+    joined.withColumn("sbs_class",
+        when(col("ref").isin("C", "T"),
+          concat(substring(col("ctx"), 1, 1), lit("["), col("ref"),
+            lit(">"), col("alt"), lit("]"), substring(col("ctx"), 3, 1)))
+          .otherwise(concat(substring(rc, 1, 1), lit("["),
+            translate(col("ref"), "ACGT", "TGCA"), lit(">"),
+            translate(col("alt"), "ACGT", "TGCA"), lit("]"),
+            substring(rc, 3, 1))))
+      .select(col("contig"), col("pos"), col("alt"), col("ctx"),
+        col("sbs_class"))
+  }
+
+  /** Driver gate: two rotated-pattern reference contigs, SNVs at
+    * lineitem-derived positions with mod-4 alt alleles; tiles 64 wide
+    * with flank 1, so contexts straddle tile edges and both the
+    * pyrimidine and revcomp branches populate. */
+  def x46TrinucSpectrum(s: SparkSession, d: String): DataFrame = {
+    val refs = s.createDataFrame(Seq(("c0", 0, 400), ("c1", 3, 389)))
+      .toDF("name", "sh", "len")
+      .select(col("name"),
+        expr("substring(repeat('ACGGTCAT', 64), sh + 1, len)").as("seq"))
+    val tiles = refTiles(refs, tileWidth = 64, flank = 1)
+    val v = Tables.lineitem(s, d).where(col("l_orderkey") % 26 === 19)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "c0").otherwise("c1").as("contig"),
+        ((col("l_partkey") * 7 % 387) + 2).cast("long").as("pos"),
+        expr("substring('ACGT', CAST(l_partkey % 4 AS INT) + 1, 1)")
+          .as("alt"))
+      .distinct()
+    trinucContexts(v, tiles, tileWidth = 64)
+      .groupBy(col("sbs_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("sbs_class")
+  }
+
+  val x46Sql: String =
+    """WITH refs AS (SELECT * FROM (VALUES ('c0', 0, 400), ('c1', 3, 389))
+      |    AS t(contig, sh, len)),
+      |sq AS (SELECT contig,
+      |    substr(repeat('ACGGTCAT', 64), sh + 1, len) AS seq FROM refs),
+      |v AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'c0' ELSE 'c1' END AS contig,
+      |    (l_partkey * 7 % 387) + 2 AS pos,
+      |    substr('ACGT', CAST(l_partkey % 4 AS INTEGER) + 1, 1) AS alt
+      |  FROM lineitem WHERE l_orderkey % 26 = 19),
+      |cx AS (SELECT v.contig, v.pos, v.alt,
+      |    substr(seq, CAST(v.pos - 1 AS INTEGER), 3) AS ctx
+      |  FROM v JOIN sq ON v.contig = sq.contig
+      |  WHERE len(substr(seq, CAST(v.pos - 1 AS INTEGER), 3)) = 3),
+      |cls AS (SELECT CASE WHEN substr(ctx, 2, 1) IN ('C', 'T')
+      |    THEN substr(ctx, 1, 1) || '[' || substr(ctx, 2, 1) || '>' ||
+      |      alt || ']' || substr(ctx, 3, 1)
+      |    ELSE substr(reverse(translate(ctx, 'ACGT', 'TGCA')), 1, 1) ||
+      |      '[' || translate(substr(ctx, 2, 1), 'ACGT', 'TGCA') || '>' ||
+      |      translate(alt, 'ACGT', 'TGCA') || ']' ||
+      |      substr(reverse(translate(ctx, 'ACGT', 'TGCA')), 3, 1) END
+      |    AS sbs_class
+      |  FROM cx)
+      |SELECT sbs_class, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2155,7 +2424,10 @@ object Genomics {
     "x40_fasta_gate"         -> (x40FastaRoundtrip _),
     "x41_indexed_workflow_gate" -> (x41IndexedWorkflow _),
     "x42_kmer_spectrum"      -> (x42KmerSpectrum _),
-    "x43_liftover"           -> (x43LiftOver _))
+    "x43_liftover"           -> (x43LiftOver _),
+    "x44_kinship_tallies"    -> (x44KinshipTallies _),
+    "x45_roh_runs"           -> (x45RohRuns _),
+    "x46_trinuc_spectrum"    -> (x46TrinucSpectrum _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2183,5 +2455,8 @@ object Genomics {
     "x40_fasta_gate"         -> x40Sql,
     "x41_indexed_workflow_gate" -> x41Sql,
     "x42_kmer_spectrum"      -> x42Sql,
-    "x43_liftover"           -> x43Sql)
+    "x43_liftover"           -> x43Sql,
+    "x44_kinship_tallies"    -> x44Sql,
+    "x45_roh_runs"           -> x45Sql,
+    "x46_trinuc_spectrum"    -> x46Sql)
 }

@@ -106,6 +106,53 @@ class R11OpsSpec extends SparkSpec {
       ("chr2", 10L, 18L, None, None, None)))
   }
 
+  test("x44 kinshipTallies: IBS classes, both-het, missing sites excluded") {
+    val gt = Seq(
+      ("chr1", 1L, "s0", Some(0L)), ("chr1", 1L, "s1", Some(2L)),
+      ("chr1", 2L, "s0", Some(1L)), ("chr1", 2L, "s1", Some(1L)),
+      ("chr1", 3L, "s0", Some(2L)), ("chr1", 3L, "s1", Some(0L)),
+      ("chr1", 4L, "s0", Some(1L)), ("chr1", 4L, "s1", None),
+      ("chr1", 5L, "s0", None), ("chr1", 5L, "s1", Some(1L)))
+      .toDF("contig", "pos", "sample", "g")
+    val r = Genomics.kinshipTallies(gt).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) === ("s0", "s1"))
+    // 3 co-called sites: (0,2) ibs0, (1,1) ibs2+both-het, (2,0) ibs0
+    assert(Seq(2, 3, 4, 5, 6, 7, 8).map(row.getLong) ===
+      Seq(3L, 2L, 0L, 1L, 1L, 1L, 1L))
+  }
+
+  test("x45 rohRuns: het breaks, missing invisible, minSites filters") {
+    val gt = Seq(
+      ("s0", "chr1", 1L, Some(0L)), ("s0", "chr1", 2L, Some(2L)),
+      ("s0", "chr1", 3L, Some(1L)),                  // het: breaks
+      ("s0", "chr1", 4L, Some(0L)), ("s0", "chr1", 5L, None), // invisible
+      ("s0", "chr1", 6L, Some(2L)), ("s0", "chr1", 7L, Some(0L)),
+      ("s0", "chr1", 8L, Some(2L)))
+      .toDF("sample", "contig", "pos", "g")
+    val got = Genomics.rohRuns(gt, minSites = 3L, bucketWidth = 4L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // [1,2] is only 2 sites (dropped); [4..8] has 4 hom calls
+    assert(got === Set(("s0", "chr1", 4L, 8L, 4L)))
+  }
+
+  test("x46 trinucContexts: tiled lookup, pyrimidine/revcomp classes, " +
+      "edge drop") {
+    val refs = Seq(("c", "ACGTA")).toDF("name", "seq")
+    val tiles = Genomics.refTiles(refs, tileWidth = 2, flank = 1)
+    val v = Seq(("c", 2L, "T"), ("c", 3L, "A"), ("c", 4L, "C"),
+        ("c", 5L, "G"), ("c", 1L, "G")) // 5: window leaves seq; 1: pos<2
+      .toDF("contig", "pos", "alt")
+    val got = Genomics.trinucContexts(v, tiles, tileWidth = 2)
+      .select("pos", "ctx", "sbs_class")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set(
+      (2L, "ACG", "A[C>T]G"),            // ref C: pyrimidine strand as-is
+      (3L, "CGT", "A[C>T]G"),            // ref G: revcomp(CGT)=ACG, G>A -> C>T
+      (4L, "GTA", "G[T>C]A")))           // ref T: as-is
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
