@@ -2398,6 +2398,57 @@ object Genomics {
       |SELECT sbs_class, CAST(COUNT(*) AS BIGINT) AS n
       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- x47
+  /** FAIDX gate — pins [[graft.sources.Fasta.writeFai]] +
+    * [[graft.sources.Fasta.fetchRegions]]: the `.fai` is computed from
+    * the writer's closed-form layout (never by scanning the file), and
+    * regions are then served by positioned byte reads through that
+    * index — the x05/x16 pruning discipline on the second sequence
+    * format. Wrapped at width 25 so every fetched region crosses line
+    * boundaries and the newline-stripping byte math is what's proved;
+    * regions whose end exceeds the record length drop (faidx
+    * out-of-range behavior), so the oracle's WHERE replays the filter. */
+  def x47FaidxRegions(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{Fasta, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 27 === 16)
+    val keyed = li.select((col("l_partkey") % 280).cast("long").as("kk"),
+      ((col("l_suppkey") * 3) % 40 + 2).cast("long").as("start"))
+    val seqs = keyed.select(col("kk")).distinct()
+      .select(
+        concat(lit("r"), lpad(col("kk").cast("string"), 5, "0")).as("name"),
+        expr("substring(repeat('ACGGTCAT', 20), CAST(kk % 8 AS INT) + 1, " +
+          "CAST(kk % 67 AS INT) + 30)").as("seq"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val fa = s"${HadoopIO.scratchDir(s)}/graft_x47_$sfTag.fasta"
+    val fai = fa + ".fai"
+    Fasta.write(seqs, fa, width = 25)
+    Fasta.writeFai(seqs, fai, width = 25)
+    val regions = keyed.distinct()
+      .select(
+        concat(lit("r"), lpad(col("kk").cast("string"), 5, "0")).as("name"),
+        col("start"), (col("start") + 12L).as("end"))
+    Fasta.fetchRegions(s, fa, fai, regions)
+      .select(col("name"), col("start").as("start_pos"),
+        col("end").as("end_pos"), col("seq"))
+      .orderBy("name", "start_pos")
+  }
+
+  val x47Sql: String =
+    """WITH li AS (SELECT DISTINCT l_partkey % 280 AS kk,
+      |    (l_suppkey * 3) % 40 + 2 AS st
+      |  FROM lineitem WHERE l_orderkey % 27 = 16),
+      |sq AS (SELECT kk, 'r' || lpad(CAST(kk AS VARCHAR), 5, '0') AS name,
+      |    substr(repeat('ACGGTCAT', 20), CAST(kk % 8 AS INTEGER) + 1,
+      |      CAST(kk % 67 AS INTEGER) + 30) AS seq
+      |  FROM (SELECT DISTINCT kk FROM li)),
+      |j AS (SELECT sq.name, li.st, li.st + 12 AS en,
+      |    substr(sq.seq, CAST(li.st AS INTEGER), 13) AS seq
+      |  FROM li JOIN sq ON li.kk = sq.kk
+      |  WHERE li.st + 12 <= len(sq.seq))
+      |SELECT name, CAST(st AS BIGINT) AS start_pos,
+      |  CAST(en AS BIGINT) AS end_pos, seq
+      |FROM j ORDER BY name, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2427,7 +2478,8 @@ object Genomics {
     "x43_liftover"           -> (x43LiftOver _),
     "x44_kinship_tallies"    -> (x44KinshipTallies _),
     "x45_roh_runs"           -> (x45RohRuns _),
-    "x46_trinuc_spectrum"    -> (x46TrinucSpectrum _))
+    "x46_trinuc_spectrum"    -> (x46TrinucSpectrum _),
+    "x47_faidx_regions_gate" -> (x47FaidxRegions _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2458,5 +2510,6 @@ object Genomics {
     "x43_liftover"           -> x43Sql,
     "x44_kinship_tallies"    -> x44Sql,
     "x45_roh_runs"           -> x45Sql,
-    "x46_trinuc_spectrum"    -> x46Sql)
+    "x46_trinuc_spectrum"    -> x46Sql,
+    "x47_faidx_regions_gate" -> x47Sql)
 }

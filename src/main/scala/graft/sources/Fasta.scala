@@ -43,6 +43,108 @@ object Fasta {
     TextSink.write(Seq.empty, lines, out)
   }
 
+  /** Write the `.fai` (samtools faidx) index for a FASTA that [[write]]
+    * produced with the same `width`/`numPartitions`: per record
+    * `name, length, offset-of-first-sequence-byte, linebases, linewidth`
+    * — the five columns every region-serving tool consumes. Offsets are
+    * computed WITHOUT scanning the file: [[write]]'s layout is
+    * closed-form (`">" name "\n"` + ⌈len/width⌉ sequence lines + one
+    * trailing newline per record, records in name order), so each
+    * record's byte size is arithmetic. The prefix sum over records runs
+    * two-level: a per-partition running sum inside `mapPartitions`
+    * (genuine per-partition imperative logic — the one place RDD-style
+    * code is the right tool) over the SAME range partitioning the
+    * writer used, then partition base offsets fold on the driver from
+    * one metadata-sized total per partition. No corpus-global window,
+    * no single reducer. */
+  def writeFai(seqs: DataFrame, faiOut: String, width: Int,
+      numPartitions: Int = 0): Long = {
+    val s = seqs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = width
+    import s.implicits._
+    val local = seqs.select(col("name"), length(col("seq")).as("len"))
+      .repartitionByRange(n, col("name"))
+      .sortWithinPartitions(col("name"))
+      .as[(String, Int)]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        var off = 0L
+        rows.map { case (name, len) =>
+          require(len > 0, s"writeFai: empty sequence '$name' — faidx " +
+            "offset math assumes at least one sequence line per record")
+          val nLines = (len + w - 1) / w
+          val seqOff = off + name.length + 2 // past ">name\n"
+          val recBytes = name.length + len + nLines + 2
+          off += recBytes
+          (pid, name, len.toLong, seqOff, recBytes.toLong)
+        }
+      }.toDF("pid", "name", "len", "seq_off", "rec_bytes")
+      // one computation feeds both the totals fold and the final rows
+      .localCheckpoint()
+    val bases = local.groupBy(col("pid"))
+      .agg(sum(col("rec_bytes")).as("tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+    val baseOf = bases.sliding(2).collect {
+      case Array((_, acc), (pid, _)) => (pid, acc)
+    }.toMap // partition-count-sized
+    val baseDf = s.createDataFrame(baseOf.toSeq).toDF("pid", "base")
+    val fai = local.join(broadcast(baseDf), Seq("pid"))
+      .select(col("name"), col("len"),
+        (col("base") + col("seq_off")).as("offset"),
+        lit(w).as("linebases"), lit(w + 1).as("linewidth"))
+      .repartitionByRange(n, col("name"))
+      .sortWithinPartitions(col("name"))
+      .select(concat_ws("\t", col("name"), col("len"), col("offset"),
+        col("linebases"), col("linewidth")).as("line"))
+    TextSink.write(Seq.empty, fai, faiOut)
+  }
+
+  /** Serve `(name, start, end)` regions (1-based, inclusive — the
+    * samtools convention) from an indexed FASTA by POSITIONED BYTE
+    * READS: the `.fai` is a dimension (broadcast), each region resolves
+    * to one `[byte(start), byte(end)]` range via the faidx formula
+    * `offset + (pos−1) + (pos−1) div linebases`, and each task reads
+    * only its regions' bytes — the whole file is never scanned, the
+    * x05/x16 pruning discipline applied to the second sequence format.
+    * Regions outside `[1, len]` drop (the tool's behavior for
+    * out-of-range queries). */
+  def fetchRegions(s: SparkSession, fastaPath: String, faiPath: String,
+      regions: DataFrame): DataFrame = {
+    import s.implicits._
+    val fai = s.read.option("sep", "\t")
+      .schema("name STRING, len BIGINT, offset BIGINT, " +
+        "linebases INT, linewidth INT")
+      .csv(faiPath)
+    val confBox = HadoopIO.capture()
+    regions.join(broadcast(fai), Seq("name"))
+      .where(col("start") >= 1 && col("end") <= col("len") &&
+        col("start") <= col("end"))
+      .select(col("name"), col("start").cast("long"), col("end").cast("long"),
+        col("offset"), col("linebases").cast("long"))
+      .as[(String, Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val in = HadoopIO.open(fastaPath, confBox.conf)
+          try {
+            rows.map { case (name, st, en, off, lb) =>
+              val b0 = off + (st - 1) + (st - 1) / lb
+              val b1 = off + (en - 1) + (en - 1) / lb
+              val buf = new Array[Byte]((b1 - b0 + 1).toInt)
+              in.readFully(b0, buf)
+              val sb = new java.lang.StringBuilder(buf.length)
+              buf.foreach(b => if (b != '\n') sb.append(b.toChar))
+              (name, st, en, sb.toString)
+            }.toArray.iterator // materialize before the stream closes
+          } finally in.close()
+        }
+      }.toDF("name", "start", "end", "seq")
+  }
+
   /** Scan a FASTA file into `(name, desc, seq)` — splittable via the
     * `\n>` record separator (see object doc). `name` is the header up
     * to the first whitespace, `desc` the rest (null when absent), `seq`

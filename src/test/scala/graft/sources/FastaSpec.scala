@@ -36,6 +36,32 @@ class FastaSpec extends SparkSpec {
       ("plain", None, "TTTT")))
   }
 
+  test("fasta writeFai: closed-form offsets match the written bytes; " +
+      "fetchRegions serves ranged reads across line wraps") {
+    val seqs = Seq(("aa", "ACGTACG"), ("bb", "ACGTACGTACGT"))
+      .toDF("name", "seq")
+    val dir = java.nio.file.Files.createTempDirectory("fai").toString
+    val fa = s"$dir/x.fa"
+    Fasta.write(seqs, fa, width = 5, numPartitions = 2)
+    Fasta.writeFai(seqs, fa + ".fai", width = 5, numPartitions = 2)
+    val fai = scala.io.Source.fromFile(fa + ".fai").getLines().toSeq
+    assert(fai === Seq("aa\t7\t4\t5\t6", "bb\t12\t17\t5\t6"),
+      "samtools-shaped fai rows with arithmetic offsets")
+    // the claimed offsets against the actual file bytes
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fa))
+    assert(bytes(4).toChar === 'A' && bytes(17).toChar === 'A')
+    val regions = Seq(("aa", 4L, 7L), ("aa", 5L, 9L), ("bb", 3L, 11L))
+      .toDF("name", "start", "end")
+    val got = Fasta.fetchRegions(spark, fa, fa + ".fai", regions)
+      .as[(String, Long, Long, String)].collect().toSet
+    // (aa, 5, 9) exceeds aa's length 7 and must drop; bb's region
+    // crosses two line wraps, so the newline-strip math is exercised
+    assert(got === Set(
+      ("aa", 4L, 7L, "TACG"),
+      ("bb", 3L, 11L, "GTACGTACG")))
+  }
+
   test("fasta read is splittable: tiny splits reassemble boundary records") {
     val seqs = (0 until 200).map { i =>
       (f"s$i%04d", "ACGT" * (i % 17 + 1))
