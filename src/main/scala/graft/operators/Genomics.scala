@@ -2449,6 +2449,81 @@ object Genomics {
       |  CAST(en AS BIGINT) AS end_pos, seq
       |FROM j ORDER BY name, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x48
+  /** CALLABLE-LOCI classification (GATK CallableLoci) — the map every
+    * variant-calling QC report leads with: each covered base is LOW_
+    * COVERAGE (depth < minDepth), CALLABLE, or EXCESSIVE (depth >
+    * maxDepth, the collapsed-repeat signal), and same-class neighbors
+    * merge into maximal regions. Classification coarsens x18's
+    * constant-depth segments, so adjacent segments can share a class —
+    * but the merge needs NO window pass: merged-region count =
+    * segment count − same-class adjacencies, and an adjacency is an
+    * EQUI-join of `end_pos` against `start_pos` on the uniform
+    * (contig, position) key (depth-0 gaps break adjacency by
+    * construction since gap segments don't exist). Base mass is
+    * merge-invariant. Output: per (contig, class) region count + bases.
+    *
+    * Scale shape: x18's two-level sweep + one self-equi-join on
+    * segment boundaries + two uniform aggregates. */
+  def callableLoci(reads: DataFrame, minDepth: Long, maxDepth: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val segs = coverageIntervals(reads, bucketWidth)
+      .withColumn("cls",
+        when(col("depth") < minDepth, "LOW_COVERAGE")
+          .when(col("depth") > maxDepth, "EXCESSIVE")
+          .otherwise("CALLABLE"))
+    val joints = segs
+      .select(col("contig"), col("end_pos").as("pos"), col("cls"))
+      .join(segs.select(col("contig"), col("start_pos").as("pos"),
+        col("cls").as("cls_next")), Seq("contig", "pos"))
+      .where(col("cls") === col("cls_next"))
+      .groupBy(col("contig"), col("cls"))
+      .agg(count(lit(1)).as("n_joints"))
+    segs.groupBy(col("contig"), col("cls"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("end_pos") - col("start_pos")).as("bases"))
+      .join(joints, Seq("contig", "cls"), "left")
+      .select(col("contig"), col("cls"),
+        (col("n_raw") - coalesce(col("n_joints"), lit(0L))).as("n_regions"),
+        col("bases"))
+  }
+
+  /** Driver gate: x18's read synthesis at a density where all three
+    * classes occur; oracle replays per-base with a gaps-and-islands
+    * window over (position adjacency ∧ class equality). */
+  def x48CallableLoci(s: SparkSession, d: String): DataFrame = {
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 28 === 21)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 380) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    val r = callableLoci(reads, minDepth = 2L, maxDepth = 3L,
+        bucketWidth = 512L)
+      .orderBy("contig", "cls")
+    requireBucketedSweep(r, "x48")
+    r
+  }
+
+  val x48Sql: String =
+    """WITH r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 380) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 28 = 21),
+      |p AS (SELECT contig, unnest(generate_series(st, st + 9)) AS pos FROM r),
+      |dep AS (SELECT contig, pos, COUNT(*) AS d FROM p GROUP BY 1, 2),
+      |cl AS (SELECT contig, pos,
+      |    CASE WHEN d < 2 THEN 'LOW_COVERAGE'
+      |         WHEN d > 3 THEN 'EXCESSIVE' ELSE 'CALLABLE' END AS cls
+      |  FROM dep),
+      |isl AS (SELECT contig, pos, cls,
+      |    CASE WHEN lag(pos) OVER w = pos - 1 AND lag(cls) OVER w = cls
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM cl WINDOW w AS (PARTITION BY contig ORDER BY pos))
+      |SELECT contig, cls, CAST(SUM(brk) AS BIGINT) AS n_regions,
+      |  CAST(COUNT(*) AS BIGINT) AS bases
+      |FROM isl GROUP BY contig, cls ORDER BY contig, cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2479,7 +2554,8 @@ object Genomics {
     "x44_kinship_tallies"    -> (x44KinshipTallies _),
     "x45_roh_runs"           -> (x45RohRuns _),
     "x46_trinuc_spectrum"    -> (x46TrinucSpectrum _),
-    "x47_faidx_regions_gate" -> (x47FaidxRegions _))
+    "x47_faidx_regions_gate" -> (x47FaidxRegions _),
+    "x48_callable_loci"      -> (x48CallableLoci _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2511,5 +2587,6 @@ object Genomics {
     "x44_kinship_tallies"    -> x44Sql,
     "x45_roh_runs"           -> x45Sql,
     "x46_trinuc_spectrum"    -> x46Sql,
-    "x47_faidx_regions_gate" -> x47Sql)
+    "x47_faidx_regions_gate" -> x47Sql,
+    "x48_callable_loci"      -> x48Sql)
 }

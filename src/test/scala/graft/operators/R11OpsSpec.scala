@@ -153,6 +153,23 @@ class R11OpsSpec extends SparkSpec {
       (4L, "GTA", "G[T>C]A")))           // ref T: as-is
   }
 
+  test("x48 callableLoci: classes split, same-class neighbors merge, " +
+      "gaps break") {
+    def rep(n: Int, st: Long) = Seq.fill(n)(("c", st, st + 10L))
+    val reads = (rep(1, 1L) ++ rep(2, 11L) ++ rep(4, 21L) ++ rep(3, 31L) ++
+        rep(2, 41L) ++ rep(2, 60L))
+      .toDF("contig", "start", "end")
+    val got = Genomics.callableLoci(reads, minDepth = 2L, maxDepth = 3L,
+        bucketWidth = 16L)
+      .as[(String, String, Long, Long)].collect().toSet
+    // CALLABLE: [11,21) + ([31,41) d3 merging [41,51) d2) + [60,70) = 3
+    // regions, 40 bases; EXCESSIVE [21,31); LOW [1,11)
+    assert(got === Set(
+      ("c", "CALLABLE", 3L, 40L),
+      ("c", "EXCESSIVE", 1L, 10L),
+      ("c", "LOW_COVERAGE", 1L, 10L)))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
