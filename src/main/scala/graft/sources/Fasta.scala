@@ -155,7 +155,10 @@ object Fasta {
       // surrender it to the separator); blank trailing records drop out
       .select(regexp_replace(col("value"), "^>", "").as("v"))
       .where(length(trim(col("v"))) > 0)
-      .select(substring_index(col("v"), "\n", 1).as("hdr"),
+      // tolerate CRLF files: the '\r' a Windows-authored FASTA leaves at
+      // each line end must reach neither the header fields nor the bases
+      .select(regexp_replace(substring_index(col("v"), "\n", 1), "\r$", "")
+          .as("hdr"),
         // header-only record (no newline): empty body, not the header
         expr("CASE WHEN instr(v, '\n') = 0 THEN ''" +
           " ELSE substr(v, instr(v, '\n') + 1) END").as("body"))
@@ -163,5 +166,5 @@ object Fasta {
         substring_index(col("hdr"), " ", 1).as("name"),
         when(col("hdr").contains(" "),
           expr("substr(hdr, instr(hdr, ' ') + 1)")).as("desc"),
-        regexp_replace(col("body"), "\n", "").as("seq"))
+        regexp_replace(col("body"), "[\n\r]", "").as("seq"))
 }

@@ -62,6 +62,18 @@ class FastaSpec extends SparkSpec {
       ("bb", 3L, 11L, "GTACGTACG")))
   }
 
+  test("fasta read tolerates CRLF line endings") {
+    val dir = java.nio.file.Files.createTempDirectory("facrlf")
+    val p = dir.resolve("w.fa")
+    java.nio.file.Files.writeString(p,
+      ">chr1 built on Windows\r\nACGT\r\nAC\r\n>chr2\r\nTTTT\r\n")
+    val back = Fasta.read(spark, p.toString)
+      .as[(String, Option[String], String)].collect().toSet
+    assert(back === Set(
+      ("chr1", Some("built on Windows"), "ACGTAC"),
+      ("chr2", None, "TTTT")))
+  }
+
   test("fasta read is splittable: tiny splits reassemble boundary records") {
     val seqs = (0 until 200).map { i =>
       (f"s$i%04d", "ACGT" * (i % 17 + 1))
