@@ -2261,6 +2261,88 @@ object TextAnalysis {
       |    AS bytes_per_tok_milli
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t36
+  /** CORPUS-WIDE BOILERPLATE LINE REMOVAL (the FineWeb/RefinedWeb
+    * line-level dedup stage, distinct from document-level dedup): a
+    * LINE whose exact text recurs across more than `maxDocs` distinct
+    * documents is boilerplate (nav bars, cookie banners, "subscribe"
+    * calls) and is dropped from EVERY document, then documents
+    * reassemble from their surviving lines in order. Document-level
+    * dedup never catches this — the documents differ; the lines don't.
+    *
+    * Scale shape: the doc-frequency count shuffles once on the uniform
+    * line-hash key (map-side combinable); the heavy set is by
+    * definition TINY (lines repeated across > maxDocs docs), so the
+    * removal is a BROADCAST anti-join — the corpus never shuffles for
+    * the second pass. Reassembly is a doc-keyed sort_array(collect)
+    * aggregate, the q09 pattern. */
+  def dropBoilerplateLines(lines: DataFrame, maxDocs: Long): DataFrame = {
+    val heavy = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("line")
+    lines.join(broadcast(heavy), Seq("line"), "left_anti")
+  }
+
+  /** Driver gate: documents chunk into deterministic 10-word lines, a
+    * planted boilerplate line lands in every third document (~170 docs
+    * at sf0.001 ≫ maxDocs=5, while any natural 10-word chunk collision
+    * is corpus-determined either way), and the output pins per-doc
+    * kept/dropped counts plus the md5 of the reassembled text. */
+  def t36BoilerplateLines(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val nat = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .groupBy(col("doc_id"), expr("pos div 10").as("lord"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          e => e.getField("col"))).as("line"))
+    val planted = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(999L).as("lord"),
+        lit("subscribe to our newsletter for daily updates").as("line"))
+    val all = nat.unionByName(planted)
+    val kept = dropBoilerplateLines(all, maxDocs = 5L)
+    val re = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(encode(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("lord"), col("line")))),
+            e => e.getField("line"))), "UTF-8")).as("text_md5"))
+    val tot = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    tot.join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_md5"), md5(lit(""))).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t36Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(l) AS word,
+      |    unnest(range(1, len(l) + 1)) AS ord
+      |  FROM ws),
+      |nat AS (SELECT doc_id, (ord - 1) // 10 AS lord,
+      |    string_agg(word, ' ' ORDER BY ord) AS line
+      |  FROM w GROUP BY doc_id, (ord - 1) // 10),
+      |pl AS (SELECT doc_id, 999 AS lord,
+      |    'subscribe to our newsletter for daily updates' AS line
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |al AS (SELECT * FROM nat UNION ALL SELECT * FROM pl),
+      |heavy AS (SELECT line FROM al GROUP BY line
+      |  HAVING COUNT(DISTINCT doc_id) > 5),
+      |kept AS (SELECT * FROM al
+      |  WHERE line NOT IN (SELECT line FROM heavy)),
+      |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(string_agg(line, chr(10) ORDER BY lord)) AS text_md5
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM al GROUP BY doc_id)
+      |SELECT tot.doc_id, CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(tot.n_lines - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  coalesce(re.text_md5, md5('')) AS text_md5
+      |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2296,7 +2378,8 @@ object TextAnalysis {
     "t32_sliding_chunks" -> (t32SlidingChunks _),
     "t33_bm25"        -> (t33Bm25 _),
     "t34_mixture_materialize" -> (t34MixtureMaterialize _),
-    "t35_fertility" -> (t35Fertility _))
+    "t35_fertility" -> (t35Fertility _),
+    "t36_boilerplate_lines" -> (t36BoilerplateLines _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2332,5 +2415,6 @@ object TextAnalysis {
     "t32_sliding_chunks" -> t32Sql,
     "t33_bm25"        -> t33Sql,
     "t34_mixture_materialize" -> t34Sql,
-    "t35_fertility" -> t35Sql)
+    "t35_fertility" -> t35Sql,
+    "t36_boilerplate_lines" -> t36Sql)
 }

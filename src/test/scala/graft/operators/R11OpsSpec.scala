@@ -170,6 +170,25 @@ class R11OpsSpec extends SparkSpec {
       ("c", "LOW_COVERAGE", 1L, 10L)))
   }
 
+  test("t36 dropBoilerplateLines: corpus-frequent lines drop everywhere, " +
+      "per-doc uniques survive") {
+    val lines = Seq(
+      (1L, 0L, "cookie banner"), (1L, 1L, "unique to one"),
+      (2L, 0L, "cookie banner"), (2L, 1L, "also unique"),
+      (3L, 0L, "cookie banner"), (3L, 1L, "cookie banner"), // same doc twice
+      (3L, 2L, "third unique"))
+      .toDF("doc_id", "lord", "line")
+    // doc-frequency of "cookie banner" is 3 distinct docs > maxDocs=2;
+    // its double occurrence inside doc 3 counts once toward frequency
+    // but BOTH copies drop
+    val kept = TextAnalysis.dropBoilerplateLines(lines, maxDocs = 2L)
+      .select("doc_id", "lord").as[(Long, Long)].collect().toSet
+    assert(kept === Set((1L, 1L), (2L, 1L), (3L, 2L)))
+    // under the threshold nothing drops
+    val none = TextAnalysis.dropBoilerplateLines(lines, maxDocs = 3L)
+    assert(none.count() === 7L)
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
