@@ -493,6 +493,50 @@ object Relational {
   /** q17's as-of join through the custom physical operator
     * (graft.plans.AsOfJoinExec): co-partitioned sort-merge with a single
     * forward cursor per partition — same oracle as q17. */
+  // ---------------------------------------------------------------- q80
+  /** The as-of DIRECTION trio on the custom sort-merge plan — pandas
+    * `merge_asof`'s full surface (backward / forward / nearest ±
+    * tolerance), all riding [[graft.plans.AsOfJoinExec]]'s single
+    * forward cursor: the forward candidate is the PEEKED head (never
+    * consumed, so later probes keep it), nearest picks the closer side
+    * with ties to backward, tolerance null-extends matches farther than
+    * the bound. Unique (key, time) on both sides by construction, so
+    * every tie rule is closed-form for the oracle's correlated-argmin
+    * restatement. Same scale shape as q27: one co-partitioned exchange
+    * per side + a streaming merge, three times over. */
+  def q80AsofDirections(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.AsOf
+    val li = Tables.lineitem(s, d)
+    val l = li.select((col("l_suppkey") % 40).cast("long").as("k"),
+        ((col("l_partkey") * 17) % 1000).cast("long").as("t")).distinct()
+    val r = li.select((col("l_partkey") % 40).cast("long").as("rk"),
+        ((col("l_suppkey") * 29) % 1000).cast("long").as("rt")).distinct()
+      .withColumn("v", col("rk") * 100000L + col("rt"))
+    val b = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select(col("k"), col("t"), col("v").as("b_v"))
+    val f = AsOf.join(l, r, "k", "rk", "t", "rt", direction = "forward")
+      .select(col("k"), col("t"), col("v").as("f_v"))
+    val n = AsOf.join(l, r, "k", "rk", "t", "rt",
+        direction = "nearest", tolerance = 50L)
+      .select(col("k"), col("t"), col("v").as("n_v"))
+    b.join(f, Seq("k", "t")).join(n, Seq("k", "t")).orderBy("k", "t")
+  }
+
+  val q80Sql: String =
+    """WITH l AS (SELECT DISTINCT l_suppkey % 40 AS k,
+      |    (l_partkey * 17) % 1000 AS t FROM lineitem),
+      |r AS (SELECT rk, rt, rk * 100000 + rt AS v FROM (
+      |  SELECT DISTINCT l_partkey % 40 AS rk,
+      |    (l_suppkey * 29) % 1000 AS rt FROM lineitem))
+      |SELECT CAST(l.k AS BIGINT) AS k, CAST(l.t AS BIGINT) AS t,
+      |  CAST((SELECT v FROM r WHERE r.rk = l.k AND r.rt <= l.t
+      |        ORDER BY r.rt DESC LIMIT 1) AS BIGINT) AS b_v,
+      |  CAST((SELECT v FROM r WHERE r.rk = l.k AND r.rt >= l.t
+      |        ORDER BY r.rt ASC LIMIT 1) AS BIGINT) AS f_v,
+      |  CAST((SELECT v FROM r WHERE r.rk = l.k AND abs(r.rt - l.t) <= 50
+      |        ORDER BY abs(r.rt - l.t), r.rt LIMIT 1) AS BIGINT) AS n_v
+      |FROM l ORDER BY k, t""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3204,7 +3248,8 @@ object Relational {
     "q76_merge_upsert" -> (q76MergeUpsert _),
     "q77_scd2" -> (q77Scd2 _),
     "q78_group_by_all" -> (q78GroupByAll _),
-    "q79_pagerank"     -> (q79PageRank _))
+    "q79_pagerank"     -> (q79PageRank _),
+    "q80_asof_directions" -> (q80AsofDirections _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3285,5 +3330,6 @@ object Relational {
     "q76_merge_upsert" -> q76Sql,
     "q77_scd2" -> q77Sql,
     "q78_group_by_all" -> q78Sql,
-    "q79_pagerank"     -> q79Sql)
+    "q79_pagerank"     -> q79Sql,
+    "q80_asof_directions" -> q80Sql)
 }

@@ -33,7 +33,8 @@ import org.apache.spark.sql.graft.bridge
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward", tolerance: Long = -1L)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -46,8 +47,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -55,7 +56,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward", tolerance: Long = -1L)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -92,6 +94,19 @@ case class AsOfJoinExec(
 
       var matchKey: Any = null // non-null iff matchRow holds a candidate
       var matchRow: InternalRow = null
+      var matchTime: Any = null
+      val dirB = direction == "backward"
+      val dirF = direction == "forward"
+      // times eval to Long/Int/Short/Byte for integral, timestamp (µs
+      // long) and date (days int) types — the only types the API admits
+      // when a numeric distance is needed (forward/nearest/tolerance)
+      def tl(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case o => o.asInstanceOf[Number].longValue
+      }
 
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
@@ -120,15 +135,47 @@ case class AsOfJoinExec(
                 if (ht == null) { rBuf.next() }
                 else if (timeOrd.compare(ht, t) <= 0) {
                   matchKey = k
+                  matchTime = ht
                   matchRow = rBuf.next().copy()
                 } else advance = false
               } else advance = false
             }
           }
-          val r =
-            if (matchKey != null && keyOrd.compare(matchKey, k) == 0) matchRow
-            else nullRight
-          toUnsafe(joined(lRow, r))
+          val prevOk = matchKey != null && keyOrd.compare(matchKey, k) == 0
+          def within(rt: Any): Boolean =
+            tolerance < 0 || math.abs(tl(t) - tl(rt)) <= tolerance
+          // forward candidate: the last CONSUMED row when it sits exactly
+          // at t (ties at t belong to both directions; among equal times
+          // the last in sort order wins, matching backward's tie rule),
+          // else the unconsumed head — the first right row strictly after
+          // t, which the cursor only PEEKS so later left rows keep it
+          var nextRow: InternalRow = null
+          var nextTime: Any = null
+          if (!dirB) {
+            if (prevOk && timeOrd.compare(matchTime, t) == 0) {
+              nextRow = matchRow; nextTime = matchTime
+            } else if (rBuf.hasNext) {
+              val h = rBuf.head
+              val hk = rKey.eval(h)
+              if (hk != null && keyOrd.compare(hk, k) == 0) {
+                nextRow = h; nextTime = rTime.eval(h)
+              }
+            }
+          }
+          val chosen: InternalRow =
+            if (dirB) {
+              if (prevOk && within(matchTime)) matchRow else nullRight
+            } else if (dirF) {
+              if (nextRow != null && within(nextTime)) nextRow else nullRight
+            } else { // nearest: closer side within tolerance, tie → backward
+              val pd = if (prevOk && within(matchTime))
+                math.abs(tl(t) - tl(matchTime)) else Long.MaxValue
+              val nd = if (nextRow != null && within(nextTime))
+                math.abs(tl(nextTime) - tl(t)) else Long.MaxValue
+              if (pd == Long.MaxValue && nd == Long.MaxValue) nullRight
+              else if (pd <= nd) matchRow else nextRow
+            }
+          toUnsafe(joined(lRow, chosen))
         }
       }
     }
@@ -142,11 +189,22 @@ case class AsOfJoinExec(
 /** Public API: as-of join two DataFrames on key and time columns of any
   * orderable type (int/long/string/timestamp/...). Key and time types must
   * match between the two sides; NULL keys/times join to the null-extended
-  * row (SQL semantics). */
+  * row (SQL semantics).
+  *
+  * `direction` (the pandas `merge_asof` trio, all on the SAME one-pass
+  * sort-merge cursor): "backward" = greatest rightTime ≤ leftTime (the
+  * default and the only direction that admits arbitrary orderable time
+  * types); "forward" = least rightTime ≥ leftTime; "nearest" = smaller
+  * |rightTime − leftTime|, ties to the backward row. `tolerance` ≥ 0
+  * null-extends matches farther than that many time units. Forward/
+  * nearest/tolerance need a NUMERIC time distance, so they require an
+  * integral, timestamp, or date time column. Exact-tie rule throughout:
+  * among equal rightTimes the last row in sort order wins. */
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward", tolerance: Long = -1L): DataFrame = {
     val spark = leftDf.sparkSession
     // idempotently register the planner strategy on this session
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -168,6 +226,17 @@ object AsOf {
     // orderability check up front (throws a clear error for e.g. MAP keys)
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(lk.dataType)
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(lt.dataType)
-    bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+    require(Set("backward", "forward", "nearest")(direction),
+      s"as-of direction '$direction' — use backward, forward, or nearest")
+    if (direction != "backward" || tolerance >= 0L) {
+      import org.apache.spark.sql.types._
+      val numericTime = Seq(LongType, IntegerType, ShortType, ByteType,
+        TimestampType, TimestampNTZType, DateType).contains(lt.dataType)
+      require(numericTime,
+        s"as-of direction '$direction'/tolerance needs a numeric time " +
+          s"distance; ${lt.dataType.sql} time columns support backward only")
+    }
+    bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
+      direction, tolerance))
   }
 }

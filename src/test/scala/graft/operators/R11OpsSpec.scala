@@ -189,6 +189,40 @@ class R11OpsSpec extends SparkSpec {
     assert(none.count() === 7L)
   }
 
+  test("q80 as-of directions: exact tie, forward peek, nearest tie to " +
+      "backward, tolerance null-extends") {
+    import graft.plans.AsOf
+    val l = Seq((1L, 10L), (1L, 11L), (1L, 2L), (2L, 11L), (3L, 5L))
+      .toDF("k", "t")
+    val r = Seq((1L, 4L), (1L, 10L), (1L, 13L), (2L, 9L), (2L, 13L))
+      .toDF("rk", "rt")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "rt").as[(Long, Long, Option[Long])]
+        .collect().map { case (k, t, v) => (k, t) -> v }.toMap
+    val b = m(AsOf.join(l, r, "k", "rk", "t", "rt"))
+    assert(b((1L, 10L)) === Some(10L)) // exact hit
+    assert(b((1L, 2L)) === None)       // nothing at or before
+    val f = m(AsOf.join(l, r, "k", "rk", "t", "rt", direction = "forward"))
+    assert(f((1L, 10L)) === Some(10L)) // exact hit matches both ways
+    assert(f((1L, 11L)) === Some(13L)) // peeked head
+    assert(f((1L, 2L)) === Some(4L))
+    assert(f((3L, 5L)) === None)       // no key on the right
+    val n = m(AsOf.join(l, r, "k", "rk", "t", "rt", direction = "nearest"))
+    assert(n((1L, 11L)) === Some(10L)) // 1 below beats 2 above
+    assert(n((2L, 11L)) === Some(9L))  // |9-11| = |13-11|: tie -> backward
+    val tol = m(AsOf.join(l, r, "k", "rk", "t", "rt",
+      direction = "nearest", tolerance = 1L))
+    assert(tol((1L, 2L)) === None)     // 4 is 2 away > tolerance 1
+    assert(tol((1L, 11L)) === Some(10L))
+    // non-numeric time columns must refuse forward/nearest loudly
+    val ls = Seq((1L, "a")).toDF("k", "t")
+    val rs = Seq((1L, "a")).toDF("rk", "rt")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.join(ls, rs, "k", "rk", "t", "rt", direction = "forward")
+    }
+    assert(ex.getMessage.contains("backward only"))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
