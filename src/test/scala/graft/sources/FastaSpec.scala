@@ -62,6 +62,32 @@ class FastaSpec extends SparkSpec {
       ("bb", 3L, 11L, "GTACGTACG")))
   }
 
+  test("fasta roundtrip property: random lengths x widths, descs survive") {
+    val rnd = new scala.util.Random(7)
+    val bases = "ACGTN"
+    val seqs = (0 until 60).map { i =>
+      val len = rnd.nextInt(200) + 1
+      val sq = Array.fill(len)(bases(rnd.nextInt(5))).mkString
+      val desc = if (i % 3 == 0) s" some desc $i" else ""
+      (f"n$i%03d$desc", sq)
+    }
+    for (width <- Seq(1, 3, 60, 1000)) {
+      val df = seqs.toDF("name", "seq")
+        // write() takes the full header in `name`; read() splits name/desc
+        .select(col("name"), col("seq"))
+      val out = java.nio.file.Files.createTempDirectory("fap").toString +
+        s"/w$width.fa"
+      Fasta.write(df, out, width = width)
+      val back = Fasta.read(spark, out)
+        .select(concat_ws(" ", col("name"),
+          coalesce(col("desc"), lit(""))).as("hdr"), col("seq"))
+        .as[(String, String)].collect()
+        .map { case (h, sq) => (h.trim, sq) }.toSet
+      val want = seqs.map { case (n, sq) => (n.trim, sq) }.toSet
+      assert(back === want, s"roundtrip mismatch at width=$width")
+    }
+  }
+
   test("fasta read tolerates CRLF line endings") {
     val dir = java.nio.file.Files.createTempDirectory("facrlf")
     val p = dir.resolve("w.fa")
