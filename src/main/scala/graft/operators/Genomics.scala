@@ -2524,6 +2524,54 @@ object Genomics {
       |  CAST(COUNT(*) AS BIGINT) AS bases
       |FROM isl GROUP BY contig, cls ORDER BY contig, cls""".stripMargin
 
+  // ---------------------------------------------------------------- x49
+  /** BED ROUNDTRIP gate — pins [[graft.sources.Bed]] feeding the
+    * interval algebra: x29's interval synthesis writes to one BED file
+    * (with a `track` header line the reader must skip), scans back
+    * through forced multi-splits (a `require` pins the fan-out), and
+    * the scanned frame — not the synthesis — drives [[intervalMerge]].
+    * The oracle is x29's per-base island replay on the same arithmetic,
+    * so any corruption in the write/scan/skip path flips the merge. */
+  def x49BedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{Bed, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 29 === 12)
+    val ivs = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 260) * 20 + 1).cast("long").as("start"),
+        (col("l_linenumber") % 3 * 15 + 5).cast("long").as("len"))
+      .withColumn("end", col("start") + col("len"))
+      .drop("len").distinct()
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x49_$sfTag.bed"
+    Bed.write(ivs, out, header = Seq("track name=graft_x49"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    val back = Bed.read(s2, out).select("contig", "start", "end")
+    require(back.rdd.getNumPartitions > 1,
+      "x49: BED scan must fan out over multiple input splits")
+    val r = intervalMerge(back, bucketWidth = 512L)
+      .orderBy("contig", "start_pos")
+    requireBucketedSweep(r, "x49")
+    r
+  }
+
+  val x49Sql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END
+      |    AS contig, (l_partkey % 260) * 20 + 1 AS st,
+      |    (l_linenumber % 3) * 15 + 5 AS len
+      |  FROM lineitem WHERE l_orderkey % 29 = 12),
+      |p AS (SELECT DISTINCT contig,
+      |    unnest(generate_series(st, st + len - 1)) AS pos FROM r),
+      |g AS (SELECT contig, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY contig ORDER BY pos) AS grp
+      |  FROM p)
+      |SELECT contig, CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos
+      |FROM g GROUP BY contig, grp ORDER BY contig, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2555,7 +2603,8 @@ object Genomics {
     "x45_roh_runs"           -> (x45RohRuns _),
     "x46_trinuc_spectrum"    -> (x46TrinucSpectrum _),
     "x47_faidx_regions_gate" -> (x47FaidxRegions _),
-    "x48_callable_loci"      -> (x48CallableLoci _))
+    "x48_callable_loci"      -> (x48CallableLoci _),
+    "x49_bed_roundtrip_gate" -> (x49BedRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2588,5 +2637,6 @@ object Genomics {
     "x45_roh_runs"           -> x45Sql,
     "x46_trinuc_spectrum"    -> x46Sql,
     "x47_faidx_regions_gate" -> x47Sql,
-    "x48_callable_loci"      -> x48Sql)
+    "x48_callable_loci"      -> x48Sql,
+    "x49_bed_roundtrip_gate" -> x49Sql)
 }
