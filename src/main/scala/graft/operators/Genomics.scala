@@ -2261,12 +2261,17 @@ object Genomics {
       .distinct()
     val dim = s.createDataFrame(Seq(("s0", 0L), ("s1", 1L)))
       .toDF("sample", "sj")
-    // pos is always odd — key the class code off pos div 2 so BOTH
-    // samples cycle through hom/het/uncalled and runs genuinely break
-    val code = (expr("pos div 2") * 3 + col("sj")) % 4
+    // pos is always odd — key the class cycle off pos div 2 so BOTH
+    // samples rotate through it; a period-8 cycle of 6 homs, one het,
+    // one uncalled yields multi-site runs at DENSE site coverage (sf0.1
+    // fills every slot: runs of 6) while sparse coverage fragments them
+    // below minSites, so the threshold genuinely filters at every SF
+    val code = (expr("pos div 2") + col("sj")) % 8
     val gt = sites.crossJoin(broadcast(dim))
       .select(col("sample"), col("contig"), col("pos"),
-        when(code < 3, code).otherwise(lit(null)).cast("long").as("g"))
+        when(code < 6, code % 2 * 2) // 6 homs, alternating 0/2 dosage
+          .when(code === 6, lit(1L)) // one het: the run breaker
+          .otherwise(lit(null)).cast("long").as("g"))
     val r = rohRuns(gt, minSites = 3L, bucketWidth = 512L)
       .orderBy("sample", "contig", "run_start")
     requireBucketedSweep(r, "x45")
@@ -2280,8 +2285,9 @@ object Genomics {
       |  FROM lineitem WHERE l_orderkey % 25 = 17),
       |dim AS (SELECT * FROM (VALUES ('s0', 0), ('s1', 1)) AS t(sample, sj)),
       |gt AS (SELECT sample, contig, pos,
-      |    CASE WHEN ((pos // 2) * 3 + sj) % 4 < 3
-      |         THEN ((pos // 2) * 3 + sj) % 4 END AS g
+      |    CASE WHEN ((pos // 2) + sj) % 8 < 6
+      |           THEN (((pos // 2) + sj) % 8) % 2 * 2
+      |         WHEN ((pos // 2) + sj) % 8 = 6 THEN 1 END AS g
       |  FROM sites, dim),
       |c AS (SELECT sample, contig, pos, g,
       |    SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER (
