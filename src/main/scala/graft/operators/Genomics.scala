@@ -2578,6 +2578,83 @@ object Genomics {
       |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos
       |FROM g GROUP BY contig, grp ORDER BY contig, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x50
+  /** DEPTH UNIFORMITY metrics (Picard HsMetrics' FOLD_80_BASE_PENALTY
+    * family) — the "is coverage EVEN, not just deep" number that decides
+    * whether a capture kit or flowcell run is usable: per contig, mean
+    * bucket mass and the rank-based discrete p20/p80 of bucket masses,
+    * plus fold-80 = mean / p20 (how much MORE sequencing would push the
+    * 20th-percentile bucket to the mean). All integer-milli — the
+    * discrete quantile is DEFINED here as the smallest mass whose
+    * ascending (mass, bucket) rank reaches ⌈p·n⌉, a rule both engines
+    * restate identically (never a library quantile whose interpolation
+    * convention might differ).
+    *
+    * Scale shape: [[bucketDepth]]'s keyed agg, then per-contig windows
+    * over BUCKET SUMMARIES — rows bounded by contig_length/bucketWidth
+    * (the boundaryPrefixScan level-2 argument), never by read count. */
+  def depthUniformity(reads: DataFrame, bucketWidth: Int): DataFrame = {
+    val bd = bucketDepth(reads, bucketWidth)
+      .select(col("contig"), col("bucket"), col("mass"))
+    val byC = Window.partitionBy(col("contig"))
+    val wCum = byC.orderBy(col("mass"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bd.withColumn("cum", count(lit(1)).over(wCum))
+      .withColumn("n", count(lit(1)).over(byC))
+      .withColumn("tot", sum(col("mass")).over(byC))
+      .groupBy(col("contig"))
+      .agg(max(col("n")).as("n_buckets"),
+        max(col("tot")).as("total_mass"),
+        min(when(col("cum") >= expr("(n + 4) div 5"), col("mass")))
+          .as("p20_mass"),
+        min(when(col("cum") >= expr("(4 * n + 4) div 5"), col("mass")))
+          .as("p80_mass"))
+      .withColumn("mean_milli", expr("(1000 * total_mass) div n_buckets"))
+      .withColumn("fold80_milli", expr(
+        "(1000 * total_mass) div (n_buckets * greatest(p20_mass, 1))"))
+  }
+
+  def x50DepthUniformity(s: SparkSession, d: String): DataFrame = {
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 31 === 7)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 900) + 1).cast("long").as("start"))
+      .withColumn("end", col("start") + 10L)
+    depthUniformity(reads, bucketWidth = 64).orderBy("contig")
+  }
+
+  val x50Sql: String =
+    """WITH r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 900) + 1 AS st
+      |  FROM lineitem WHERE l_orderkey % 31 = 7),
+      |e AS (SELECT contig, st, st + 10 AS en,
+      |    unnest(generate_series(st // 64, (st + 9) // 64)) AS bucket
+      |  FROM r),
+      |b AS (SELECT contig, bucket,
+      |    SUM(LEAST(en, (bucket + 1) * 64) - GREATEST(st, bucket * 64))
+      |      AS mass
+      |  FROM e GROUP BY contig, bucket),
+      |h AS (SELECT contig, bucket, mass,
+      |    COUNT(*) OVER (PARTITION BY contig ORDER BY mass, bucket
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    COUNT(*) OVER (PARTITION BY contig) AS n,
+      |    SUM(mass) OVER (PARTITION BY contig) AS tot
+      |  FROM b)
+      |SELECT contig, CAST(MAX(n) AS BIGINT) AS n_buckets,
+      |  CAST(MAX(tot) AS BIGINT) AS total_mass,
+      |  CAST(MIN(CASE WHEN cum >= (n + 4) // 5 THEN mass END) AS BIGINT)
+      |    AS p20_mass,
+      |  CAST(MIN(CASE WHEN cum >= (4 * n + 4) // 5 THEN mass END) AS BIGINT)
+      |    AS p80_mass,
+      |  (1000 * CAST(MAX(tot) AS BIGINT)) // CAST(MAX(n) AS BIGINT)
+      |    AS mean_milli,
+      |  (1000 * CAST(MAX(tot) AS BIGINT)) // (CAST(MAX(n) AS BIGINT) *
+      |    GREATEST(CAST(MIN(CASE WHEN cum >= (n + 4) // 5 THEN mass END)
+      |      AS BIGINT), 1)) AS fold80_milli
+      |FROM h GROUP BY contig ORDER BY contig""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2610,7 +2687,8 @@ object Genomics {
     "x46_trinuc_spectrum"    -> (x46TrinucSpectrum _),
     "x47_faidx_regions_gate" -> (x47FaidxRegions _),
     "x48_callable_loci"      -> (x48CallableLoci _),
-    "x49_bed_roundtrip_gate" -> (x49BedRoundtrip _))
+    "x49_bed_roundtrip_gate" -> (x49BedRoundtrip _),
+    "x50_depth_uniformity"   -> (x50DepthUniformity _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2644,5 +2722,6 @@ object Genomics {
     "x46_trinuc_spectrum"    -> x46Sql,
     "x47_faidx_regions_gate" -> x47Sql,
     "x48_callable_loci"      -> x48Sql,
-    "x49_bed_roundtrip_gate" -> x49Sql)
+    "x49_bed_roundtrip_gate" -> x49Sql,
+    "x50_depth_uniformity"   -> x50Sql)
 }

@@ -223,6 +223,20 @@ class R11OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("backward only"))
   }
 
+  test("x50 depthUniformity: rank-based discrete quantiles, fold-80") {
+    // buckets 0..4 of width 64 carry 1..5 whole reads -> masses 10..50
+    val reads = (0 until 5).flatMap { b =>
+      Seq.fill(b + 1)(("c", b * 64L + 1, b * 64L + 11))
+    }.toDF("contig", "start", "end")
+    val r = Genomics.depthUniformity(reads, bucketWidth = 64)
+      .select("contig", "n_buckets", "total_mass", "p20_mass", "p80_mass",
+        "mean_milli", "fold80_milli")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    // n=5, tot=150; p20 = rank-ceil(1) -> 10, p80 = rank-4 -> 40;
+    // mean 30000 milli; fold80 = 150000 / (5 * 10) = 3000
+    assert(r === (("c", 5L, 150L, 10L, 40L, 30000L, 3000L)))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
