@@ -441,8 +441,8 @@ object Dedup {
     val e = vecs
       .withColumn("nrm", VectorFns.norm2(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(Similarity.bucketsFromBits(
-          Similarity.signBits(col("embedding")))).as("b"))
+        explode(Similarity.lshBucketsOf(col("embedding"),
+          multiProbe = false)).as("b"))
     val a = e.select(col("b"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("b"), col("vec_id").as("b_id"),

@@ -98,12 +98,23 @@ object Similarity {
       struct(lit(t).as("tbl"), key.as("key"))
     }: _*)
 
+  /** The production bucketing kernel: all hyperplane dots, key packing,
+    * and (optionally) multi-probe expansion as ONE native expression —
+    * the composed `bucketsFromBits(signBits(emb))` form re-evaluated the
+    * interpreted signBits transform once per `element_at` reference after
+    * CollapseProject inlining (T·B× the dot-product work; measured ~1.5 s
+    * per 1k rows on the s19 probe side). Bit-identical to the composed
+    * helpers above, which stay for the parity spec. */
+  private[operators] def lshBucketsOf(emb: Column, multiProbe: Boolean): Column =
+    graft.functions.LshBucketsExpr.lshBuckets(
+      emb, planesLit, Tables_, BitsPerTable, multiProbe)
+
   /** Multi-probe expansion (query side only): each table's bucket plus its
     * BitsPerTable Hamming-1 neighbors. The near-miss case for hyperplane
     * LSH is one flipped sign bit, so probing the 1-flip buckets recovers
     * most of it for (1+bits)× the candidate volume on the tiny query side
     * — the standard recall/cost dial that avoids adding whole tables. */
-  private def bucketsMultiProbe(bits: Column): Column =
+  private[operators] def bucketsMultiProbe(bits: Column): Column =
     flatten(array((0 until Tables_).map { t =>
       val key = (0 until BitsPerTable).map { b =>
         element_at(bits, t * BitsPerTable + b + 1) * lit(1 << b)
@@ -117,18 +128,21 @@ object Similarity {
     val (q, n) = split(s, d)
     def banded(df: DataFrame, id: String, emb: String, nrm: String,
         multiProbe: Boolean): DataFrame =
-      df.select(col(id), col(emb), col(nrm), signBits(col(emb)).as("bits"))
-        .select(col(id), col(emb), col(nrm),
-          explode(if (multiProbe) bucketsMultiProbe(col("bits"))
-                  else bucketsFromBits(col("bits"))).as("b"))
+      df.select(col(id), col(emb), col(nrm),
+        explode(lshBucketsOf(col(emb), multiProbe)).as("b"))
     val qb = banded(q, "q_id", "q_emb", "q_nrm", multiProbe = true)
     val nb = banded(n, "n_id", "n_emb", "n_nrm", multiProbe = false)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
+    // score before dedup: the (q_id, n_id) exchange then carries narrow
+    // scored rows, not the embedding arrays (see s19 for the measured
+    // trade); cos is deterministic per pair so dedup-after-scoring is
+    // value-identical
     qb.hint("broadcast").join(nb, Seq("b"))
-      .dropDuplicates("q_id", "n_id") // same pair can match in several tables
       .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
         col("q_nrm"), col("n_nrm")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .dropDuplicates("q_id", "n_id") // same pair can match in several tables
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos_r"))
@@ -1281,37 +1295,42 @@ object Similarity {
     // recall dial); the indexed side stays single-bucket so the corpus
     // is bucketed once — candidate volume grows (1+bits)×, not (1+bits)²×
     val probes = e.select(col("id"), col("emb"), col("nrm"),
-      explode(bucketsMultiProbe(signBits(col("emb")))).as("b"))
+      explode(lshBucketsOf(col("emb"), multiProbe = true)).as("b"))
     val b = e.select(col("id"), col("emb"), col("nrm"),
-      explode(bucketsFromBits(signBits(col("emb")))).as("b"))
+      explode(lshBucketsOf(col("emb"), multiProbe = false)).as("b"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cos").desc, col("b_id").asc)
+    // cosine is computed BEFORE the pair dedup: a candidate pair carries
+    // two 64-float arrays, so deduping first would ship ~30× wider rows
+    // through the exchange (measured 3 s vs 0.3 s at 1.2M candidates).
+    // Scoring per duplicate costs bounded redundant flops (≤ tables ×
+    // (1+bits) per pair) map-side, and the shuffle carries only
+    // (id, b_id, cos) — the bandwidth-over-flops trade that wins on any
+    // real cluster interconnect. cos is deterministic per pair, so
+    // deduping after scoring picks the same value.
     val edges = probes
       .join(b.select(col("b"), col("id").as("b_id"), col("emb").as("b_emb"),
         col("nrm").as("b_nrm")), Seq("b"))
       .where(col("id") =!= col("b_id"))
-      .dropDuplicates("id", "b_id")
       .withColumn("cos",
         cosinePre(col("emb"), col("b_emb"), col("nrm"), col("b_nrm")))
+      .select(col("id"), col("b_id"), col("cos"))
+      .dropDuplicates("id", "b_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("id"), col("b_id"))
-    // degree from the NODE side (left-outer), so isolated nodes count as
-    // degree 0 instead of silently vanishing from the edge list
-    val degOk = e.select(col("id"))
-      .join(edges.groupBy(col("id")).agg(count(lit(1)).as("deg")),
-        Seq("id"), "left_outer")
-      .select(coalesce(col("deg"), lit(0L)).as("deg"))
-      .agg(avg((col("deg") === k).cast("double")).as("frac_full"),
-        min(col("deg")).as("min_deg"))
-      .select((col("frac_full") >= 0.9 && col("min_deg") >= 1)
-        .as("degree_ok"))
+    // the edge list IS the operator's output — n·k bounded rows. Both
+    // audit passes (degree histogram, sampled recall) re-read it, so it
+    // persists for the gate's lifetime instead of re-running the banded
+    // join + top-k per branch (the crossJoin-assembled one-plan form
+    // recomputed the whole edge subtree twice: measured 2× the cost).
+    val edgesP = edges.persist()
     // truth on the sample only: brute top-k among the SAME node set
     val sample = e.where(col("id") % 10 === 0)
       .select(col("id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val wq = Window.partitionBy(col("id"))
       .orderBy(col("cos").desc, col("b_id").asc)
-    val truth = e.select(col("id").as("b_id"), col("emb").as("b_emb"),
+    val truthP = e.select(col("id").as("b_id"), col("emb").as("b_emb"),
         col("nrm").as("b_nrm"))
       .crossJoin(broadcast(sample))
       .where(col("id") =!= col("b_id"))
@@ -1320,14 +1339,30 @@ object Similarity {
       .withColumn("rank", row_number().over(wq))
       .where(col("rank") <= k)
       .select(col("id"), col("b_id"))
-    val recall = truth.join(edges, Seq("id", "b_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-      .crossJoin(truth.agg(count(lit(1)).as("total")))
-      .select((col("hits").cast("double") / col("total")).as("r"))
-    e.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(degOk).crossJoin(recall)
-      .select(col("n_nodes"), col("degree_ok"), (col("r") >= 0.6)
-        .as("recall_ok"))
+      .persist()
+    try {
+      val nNodes = e.count()
+      // degree from the NODE side (left-outer), so isolated nodes count
+      // as degree 0 instead of silently vanishing from the edge list
+      val degRow = e.select(col("id"))
+        .join(edgesP.groupBy(col("id")).agg(count(lit(1)).as("deg")),
+          Seq("id"), "left_outer")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .agg(avg((col("deg") === k).cast("double")).as("frac_full"),
+          min(col("deg")).as("min_deg"))
+        .head()
+      val degreeOk = degRow.getDouble(0) >= 0.9 && degRow.getLong(1) >= 1
+      val hits = truthP.join(edgesP, Seq("id", "b_id"), "left_semi").count()
+      val total = truthP.count()
+      val recallOk = hits.toDouble / total >= 0.6
+      import s.implicits._
+      // gate verdict is one row by contract — assembled driver-side
+      Seq((nNodes, degreeOk, recallOk))
+        .toDF("n_nodes", "degree_ok", "recall_ok")
+    } finally {
+      edgesP.unpersist(blocking = false)
+      truthP.unpersist(blocking = false)
+    }
   }
 
   val s19Sql: String =

@@ -72,6 +72,24 @@ class SimilarityScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("native lsh_buckets is bit-identical to the composed signBits form") {
+    // the native kernel replaced the HOF composition in every production
+    // site; the composed helpers remain exactly to pin this equivalence
+    val e = graft.Tables.embeddings(spark, sf).limit(200)
+    for (multiProbe <- Seq(false, true)) {
+      val composed = e.select(col("vec_id"),
+        (if (multiProbe) Similarity.bucketsMultiProbe(Similarity.signBits(col("embedding")))
+         else Similarity.bucketsFromBits(Similarity.signBits(col("embedding")))).as("bs"))
+      val native = e.select(col("vec_id"),
+        Similarity.lshBucketsOf(col("embedding"), multiProbe).as("bs"))
+      val c = composed.selectExpr("vec_id", "to_json(bs) AS j")
+        .orderBy("vec_id").collect().toSeq
+      val n = native.selectExpr("vec_id", "to_json(bs) AS j")
+        .orderBy("vec_id").collect().toSeq
+      assert(c === n, s"multiProbe=$multiProbe diverged")
+    }
+  }
+
   test("s07 single-cell scan touches ~1/k of the stored corpus bytes") {
     // the per-query cost model at 100 TB: each probed cell costs ~1/k of
     // the stored bytes; verify on the physical layout, not by assumption
