@@ -1285,12 +1285,24 @@ object Similarity {
     * rank), (b) on the 1-in-10 sampled nodes, bucketed edges recover
     * ≥ 60% of the true top-3 (brute force priced on the SAMPLE only —
     * O(n·n/10), the verification pattern that survives scale). */
-  def s19KnnGraphGate(s: SparkSession, d: String): DataFrame = {
-    val k = 3
-    val e = Tables.embeddings(s, d)
+  /** The s19/s21 node set: a deterministic half of the corpus. */
+  private[operators] def knnGraphNodes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .where(col("vec_id") >= 10 && col("vec_id") % 2 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("emb"),
         norm2(col("embedding")).as("nrm"))
+
+  /** Bucketed kNN edge construction (the s19 kernel), scored: cosine is
+    * computed BEFORE the pair dedup — a candidate pair carries two
+    * 64-float arrays, so deduping first would ship ~30× wider rows
+    * through the exchange (measured 3 s vs 0.3 s at 1.2M candidates).
+    * Scoring per duplicate costs bounded redundant flops (≤ tables ×
+    * (1+bits) per pair) map-side, and the shuffle carries only
+    * (id, b_id, cos) — the bandwidth-over-flops trade that wins on any
+    * real cluster interconnect. cos is deterministic per pair, so
+    * deduping after scoring picks the same value. Returns
+    * (id, b_id, cos), ≤ k rows per id. */
+  private[operators] def bucketedKnnEdges(e: DataFrame, k: Int): DataFrame = {
     // node side probes its bucket plus the Hamming-1 neighbors (s02's
     // recall dial); the indexed side stays single-bucket so the corpus
     // is bucketed once — candidate volume grows (1+bits)×, not (1+bits)²×
@@ -1300,15 +1312,7 @@ object Similarity {
       explode(lshBucketsOf(col("emb"), multiProbe = false)).as("b"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cos").desc, col("b_id").asc)
-    // cosine is computed BEFORE the pair dedup: a candidate pair carries
-    // two 64-float arrays, so deduping first would ship ~30× wider rows
-    // through the exchange (measured 3 s vs 0.3 s at 1.2M candidates).
-    // Scoring per duplicate costs bounded redundant flops (≤ tables ×
-    // (1+bits) per pair) map-side, and the shuffle carries only
-    // (id, b_id, cos) — the bandwidth-over-flops trade that wins on any
-    // real cluster interconnect. cos is deterministic per pair, so
-    // deduping after scoring picks the same value.
-    val edges = probes
+    probes
       .join(b.select(col("b"), col("id").as("b_id"), col("emb").as("b_emb"),
         col("nrm").as("b_nrm")), Seq("b"))
       .where(col("id") =!= col("b_id"))
@@ -1318,19 +1322,18 @@ object Similarity {
       .dropDuplicates("id", "b_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("id"), col("b_id"))
-    // the edge list IS the operator's output — n·k bounded rows. Both
-    // audit passes (degree histogram, sampled recall) re-read it, so it
-    // persists for the gate's lifetime instead of re-running the banded
-    // join + top-k per branch (the crossJoin-assembled one-plan form
-    // recomputed the whole edge subtree twice: measured 2× the cost).
-    val edgesP = edges.persist()
-    // truth on the sample only: brute top-k among the SAME node set
+      .select(col("id"), col("b_id"), col("cos"))
+  }
+
+  /** Exact top-k ground truth on the 1-in-10 node sample (brute force
+    * priced on the SAMPLE only — O(n·n/10), the verification pattern
+    * that survives scale). */
+  private[operators] def sampledKnnTruth(e: DataFrame, k: Int): DataFrame = {
     val sample = e.where(col("id") % 10 === 0)
       .select(col("id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val wq = Window.partitionBy(col("id"))
       .orderBy(col("cos").desc, col("b_id").asc)
-    val truthP = e.select(col("id").as("b_id"), col("emb").as("b_emb"),
+    e.select(col("id").as("b_id"), col("emb").as("b_emb"),
         col("nrm").as("b_nrm"))
       .crossJoin(broadcast(sample))
       .where(col("id") =!= col("b_id"))
@@ -1339,7 +1342,19 @@ object Similarity {
       .withColumn("rank", row_number().over(wq))
       .where(col("rank") <= k)
       .select(col("id"), col("b_id"))
-      .persist()
+  }
+
+  def s19KnnGraphGate(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val e = knnGraphNodes(s, d)
+    val edges = bucketedKnnEdges(e, k).select(col("id"), col("b_id"))
+    // the edge list IS the operator's output — n·k bounded rows. Both
+    // audit passes (degree histogram, sampled recall) re-read it, so it
+    // persists for the gate's lifetime instead of re-running the banded
+    // join + top-k per branch (the crossJoin-assembled one-plan form
+    // recomputed the whole edge subtree twice: measured 2× the cost).
+    val edgesP = edges.persist()
+    val truthP = sampledKnnTruth(e, k).persist()
     try {
       val nNodes = e.count()
       // degree from the NODE side (left-outer), so isolated nodes count
@@ -1368,6 +1383,79 @@ object Similarity {
   val s19Sql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
       |  true AS degree_ok, true AS recall_ok
+      |FROM embeddings WHERE vec_id >= 10 AND vec_id % 2 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- s21
+  /** One NN-DESCENT refinement round over the s19 graph — the iteration
+    * every graph-ANN index (NN-Descent, NSW/HNSW construction) runs until
+    * convergence: "a neighbor of my neighbor is probably my neighbor".
+    * Candidates = 2-hop endpoints over the UNDIRECTED base graph (u–v,
+    * v–w ⇒ try (u, w)); score exactly; keep the best k of base ∪ new.
+    *
+    * Scale shape: per node the candidate set is ≤ (2k)² — linear in the
+    * corpus, independent of bucket skew; scoring fetches endpoint
+    * embeddings via two uniform id-keyed equi-joins (never a broadcast
+    * of the vector corpus), and the exchanges carry narrow (id, id, cos)
+    * rows exactly like the base construction.
+    *
+    * The gate is the round's MONOTONICITY THEOREM, not a tuned
+    * threshold: the refined top-k selects from a candidate superset of
+    * the base's under the same (cos desc, id asc) order, so any entrant
+    * displacing a true-top-k edge ranks above it globally and is itself
+    * true-top-k — sampled recall can only rise. `monotone_ok` (recall
+    * never drops) and `recall_ok` (the refined graph still clears s19's
+    * 0.6 floor) are therefore deterministic; a violation means the
+    * candidate expansion, the scoring joins, or the top-k rank broke. */
+  def s21NnDescentGate(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val e = knnGraphNodes(s, d)
+    val base = bucketedKnnEdges(e, k).persist()
+    val truthP = sampledKnnTruth(e, k).persist()
+    val fwd = base.select(col("id"), col("b_id"))
+    val adj = fwd.union(
+      fwd.select(col("b_id").as("id"), col("id").as("b_id")))
+    val cand = adj.as("uv")
+      .join(adj.as("vw"), col("uv.b_id") === col("vw.id"))
+      .select(col("uv.id").as("id"), col("vw.b_id").as("b_id"))
+      .where(col("id") =!= col("b_id"))
+      .dropDuplicates("id", "b_id")
+    val en = e.select(col("id"), col("emb"), col("nrm"))
+    val scored = cand
+      .join(en, Seq("id"))
+      .join(en.select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), Seq("b_id"))
+      .withColumn("cos",
+        cosinePre(col("emb"), col("b_emb"), col("nrm"), col("b_nrm")))
+      .select(col("id"), col("b_id"), col("cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val refined = base.union(scored)
+      .dropDuplicates("id", "b_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("b_id"))
+      .persist()
+    try {
+      val nNodes = e.count()
+      val total = truthP.count()
+      val hitsBefore = truthP.join(base.select(col("id"), col("b_id")),
+        Seq("id", "b_id"), "left_semi").count()
+      val hitsAfter = truthP.join(refined, Seq("id", "b_id"), "left_semi")
+        .count()
+      import s.implicits._
+      Seq((nNodes, hitsAfter >= hitsBefore,
+          hitsAfter.toDouble / total >= 0.6))
+        .toDF("n_nodes", "monotone_ok", "recall_ok")
+    } finally {
+      base.unpersist(blocking = false)
+      truthP.unpersist(blocking = false)
+      refined.unpersist(blocking = false)
+    }
+  }
+
+  val s21Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  true AS monotone_ok, true AS recall_ok
       |FROM embeddings WHERE vec_id >= 10 AND vec_id % 2 = 0""".stripMargin
 
   // ---------------------------------------------------------------- s20
@@ -1458,7 +1546,8 @@ object Similarity {
     "s17_filtered_knn" -> (s17FilteredKnn _),
     "s18_nprobe_sweep" -> (s18NprobeSweep _),
     "s19_knn_graph_gate" -> (s19KnnGraphGate _),
-    "s20_lloyd_step_gate" -> (s20LloydStepGate _))
+    "s20_lloyd_step_gate" -> (s20LloydStepGate _),
+    "s21_nndescent_gate"  -> (s21NnDescentGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1478,5 +1567,6 @@ object Similarity {
     "s17_filtered_knn" -> s17Sql,
     "s18_nprobe_sweep" -> s18Sql,
     "s19_knn_graph_gate" -> s19Sql,
-    "s20_lloyd_step_gate" -> s20Sql)
+    "s20_lloyd_step_gate" -> s20Sql,
+    "s21_nndescent_gate"  -> s21Sql)
 }

@@ -237,6 +237,29 @@ class R11OpsSpec extends SparkSpec {
     assert(r === (("c", 5L, 150L, 10L, 40L, 30000L, 3000L)))
   }
 
+  val sfDirS21 = "/root/testdata/sf0.001"
+
+  test("s21 NN-Descent round: monotone recall and floor hold at sf0.001; " +
+      "2-hop expansion finds a bucket-split true neighbor") {
+    val r = Similarity.s21NnDescentGate(spark, sfDirS21)
+      .as[(Long, Boolean, Boolean)].head()
+    assert(r._2, "refined recall dropped below base — superset top-k broken")
+    assert(r._3, "refined graph lost the s19 recall floor")
+    // and the round is not a no-op: the refined graph on the same node
+    // set must contain at least one edge the base graph missed (2-hop
+    // candidates beyond the probed buckets); equality would mean the
+    // expansion never supplied a better neighbor anywhere in the corpus
+    val e = Similarity.knnGraphNodes(spark, sfDirS21)
+    val base = Similarity.bucketedKnnEdges(e, 3)
+      .select("id", "b_id").as[(Long, Long)].collect().toSet
+    val truth = Similarity.sampledKnnTruth(e, 3)
+      .as[(Long, Long)].collect().toSet
+    val missed = truth -- base
+    assert(missed.nonEmpty,
+      "fixture degenerate: bucketed base already perfect on the sample — " +
+        "the monotone gate would be vacuous")
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
