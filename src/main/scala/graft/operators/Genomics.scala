@@ -2655,6 +2655,100 @@ object Genomics {
       |      AS BIGINT), 1)) AS fold80_milli
       |FROM h GROUP BY contig ORDER BY contig""".stripMargin
 
+  // ---------------------------------------------------------------- x51
+  /** GC-BIAS metrics (Picard CollectGcBiasMetrics): per GC-content
+    * stratum of fixed reference windows, how far observed coverage sits
+    * from the corpus mean — THE library-prep diagnostic (PCR
+    * amplification depresses GC-extreme windows; a normalized-coverage
+    * curve that isn't flat means depth-based callers need correction).
+    * Window GC comes from the reference STRING via [[refTiles]] (never a
+    * broadcast chromosome); window depth mass is [[bucketDepth]]'s keyed
+    * agg; the two meet on the uniform (contig, window) equi-join —
+    * windows and buckets coincide because both index 0-based half-open
+    * [j·w, (j+1)·w). Uncovered windows count with mass 0 (left join from
+    * the reference side — dropping them would bias every stratum up).
+    * All ratios are staged integer milli divisions, engine-replayable:
+    * mean_mass_milli = (1000·Σmass) div n, norm_permille =
+    * (1000·mean_milli) div overall_milli.
+    *
+    * Scale shape: reference tiles are dimension-small vs reads; the only
+    * corpus-sized exchange is bucketDepth's (contig, bucket) hash agg
+    * (map-side combinable); the stratum roll-up is ≤ 101 keys. */
+  def gcBias(reads: DataFrame, refs: DataFrame, windowWidth: Int): DataFrame = {
+    val wins = refTiles(refs, windowWidth, flank = 0)
+      .select(col("contig"), col("tile").as("window"), col("tile_str"))
+      .withColumn("win_len", length(col("tile_str")))
+      .withColumn("gc",
+        col("win_len") - length(translate(col("tile_str"), "GC", "")))
+      .withColumn("gc_pct", expr("(100 * gc) div win_len"))
+      .select(col("contig"), col("window"), col("gc_pct"))
+    val mass = bucketDepth(reads, windowWidth)
+      .select(col("contig"), col("bucket").as("window"), col("mass"))
+    val j = wins.join(mass, Seq("contig", "window"), "left_outer")
+      .select(col("gc_pct"), coalesce(col("mass"), lit(0L)).as("mass"))
+    val tot = j.agg(sum(col("mass")).as("tot_mass"),
+      count(lit(1)).as("n_win"))
+    j.groupBy(col("gc_pct"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("mass")).as("sum_mass"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mean_mass_milli", expr("(1000 * sum_mass) div n_windows"))
+      .withColumn("norm_permille", expr(
+        "(1000 * mean_mass_milli) div greatest((1000 * tot_mass) div n_win, 1)"))
+      .select(col("gc_pct"), col("n_windows"), col("mean_mass_milli"),
+        col("norm_permille"))
+      .orderBy("gc_pct")
+  }
+
+  /** Gate synthesis: block-structured references whose window GC cycles
+    * 0..8 per 16-base block (so 9 strata populate, including gc=0), and
+    * lineitem-derived 12-base reads whose start modulus keeps every read
+    * inside the window range of its contig. */
+  def x51GcBias(s: SparkSession, d: String): DataFrame = {
+    val refs = s.createDataFrame(Seq(("c0", 40), ("c1", 37)))
+      .toDF("name", "nb")
+      .select(col("name"), expr(
+        "array_join(transform(sequence(0, nb - 1), b -> " +
+          "concat(repeat('C', CAST(b % 9 AS INT)), " +
+          "repeat('A', CAST(16 - b % 9 AS INT)))), '')").as("seq"))
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 29 === 11)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "c0").otherwise("c1").as("contig"),
+        (col("l_partkey") %
+          when(col("l_suppkey") % 2 === 0, 624).otherwise(576))
+          .cast("long").as("start"))
+      .withColumn("end", col("start") + 12L)
+    gcBias(reads, refs, windowWidth = 16)
+  }
+
+  val x51Sql: String =
+    """WITH dims AS (SELECT * FROM (VALUES ('c0', 40), ('c1', 37))
+      |    AS t(contig, nb)),
+      |wins AS (SELECT contig, unnest(generate_series(0, nb - 1)) AS win
+      |  FROM dims),
+      |g AS (SELECT contig, win, (100 * (win % 9)) // 16 AS gc_pct
+      |  FROM wins),
+      |r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'c0' ELSE 'c1' END AS contig,
+      |    l_partkey % (CASE WHEN l_suppkey % 2 = 0 THEN 624 ELSE 576 END)
+      |      AS st
+      |  FROM lineitem WHERE l_orderkey % 29 = 11),
+      |e AS (SELECT contig, st, st + 12 AS en,
+      |    unnest(generate_series(st // 16, (st + 11) // 16)) AS win
+      |  FROM r),
+      |m AS (SELECT contig, win,
+      |    SUM(LEAST(en, (win + 1) * 16) - GREATEST(st, win * 16)) AS mass
+      |  FROM e GROUP BY contig, win),
+      |j AS (SELECT g.gc_pct, COALESCE(m.mass, 0) AS mass
+      |  FROM g LEFT JOIN m ON g.contig = m.contig AND g.win = m.win),
+      |tot AS (SELECT SUM(mass) AS tot_mass, COUNT(*) AS n_win FROM j)
+      |SELECT CAST(gc_pct AS BIGINT) AS gc_pct,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST((1000 * SUM(mass)) // COUNT(*) AS BIGINT) AS mean_mass_milli,
+      |  CAST((1000 * ((1000 * SUM(mass)) // COUNT(*))) //
+      |    GREATEST((1000 * MAX(tot.tot_mass)) // MAX(tot.n_win), 1)
+      |    AS BIGINT) AS norm_permille
+      |FROM j, tot GROUP BY gc_pct ORDER BY gc_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2688,7 +2782,8 @@ object Genomics {
     "x47_faidx_regions_gate" -> (x47FaidxRegions _),
     "x48_callable_loci"      -> (x48CallableLoci _),
     "x49_bed_roundtrip_gate" -> (x49BedRoundtrip _),
-    "x50_depth_uniformity"   -> (x50DepthUniformity _))
+    "x50_depth_uniformity"   -> (x50DepthUniformity _),
+    "x51_gc_bias"            -> (x51GcBias _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2723,5 +2818,6 @@ object Genomics {
     "x47_faidx_regions_gate" -> x47Sql,
     "x48_callable_loci"      -> x48Sql,
     "x49_bed_roundtrip_gate" -> x49Sql,
-    "x50_depth_uniformity"   -> x50Sql)
+    "x50_depth_uniformity"   -> x50Sql,
+    "x51_gc_bias"            -> x51Sql)
 }

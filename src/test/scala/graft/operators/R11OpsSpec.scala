@@ -260,6 +260,22 @@ class R11OpsSpec extends SparkSpec {
         "the monotone gate would be vacuous")
   }
 
+  test("x51 gcBias: window GC from the string, zero-mass windows kept, " +
+      "staged milli normalization, partial tail window") {
+    val refs = Seq(("c", "GGGGAAAACC")).toDF("name", "seq")
+    // windows of 4: "GGGG" gc=100, "AAAA" gc=0, tail "CC" len 2 gc=100
+    val reads = Seq(("c", 0L, 4L), ("c", 0L, 4L)).toDF("contig", "start", "end")
+    val got = Genomics.gcBias(reads, refs, windowWidth = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // tot_mass=8 over 3 windows -> overall_milli = 8000 div 3 = 2666
+    // gc=0: 1 window, mass 0 -> (0, 0)
+    // gc=100: 2 windows (GGGG mass 8, CC mass 0) -> mean 4000,
+    //   norm = 4000*1000 div 2666 = 1500 (staged div, floor)
+    assert(got === Set(
+      (0L, 1L, 0L, 0L),
+      (100L, 2L, 4000L, 1500L)))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
