@@ -2343,6 +2343,112 @@ object TextAnalysis {
       |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t37
+  /** URL CANONICALIZATION + host-level aggregation — the first stage of
+    * every web-corpus curation pipeline (CommonCrawl → FineWeb/C4): the
+    * same page arrives under `www.`/bare-host, `:443`, trailing-slash,
+    * tracking-parameter, and fragment variants, and URL-level dedup or
+    * host-level policy is meaningless until those collapse. The kernel:
+    * strip the fragment; drop tracking params (`utm_*`, `fbclid`,
+    * `gclid`) by splitting the query and FILTERING the param list (not a
+    * regex over the whole string — param-boundary-safe and
+    * order-preserving for the survivors); strip the default `:443` port,
+    * the `www.` prefix, and a trailing slash from the path part.
+    *
+    * Scale shape: canonicalization is a narrow per-row map; the host
+    * roll-up aggregates (host, canon) FIRST — so a mega-host fans out
+    * over its distinct URLs before the per-host level, and the final
+    * host-keyed agg (≤ distinct hosts) is map-side combinable. No
+    * corpus-global window, no driver state. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val parts = split(noFrag, "\\?", 2)
+    val base = regexp_replace(regexp_replace(regexp_replace(
+      element_at(parts, 1),
+      "^https://www\\.", "https://"), ":443(/|$)", "$1"), "/$", "")
+    val query = try_element_at(parts, lit(2))
+    val params = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=")))
+    concat(base,
+      when(query.isNull || size(params) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(params, "&"))))
+  }
+
+  /** Per-host summary over canonicalized URLs: document count, distinct
+    * canonical URLs, and the largest duplicate family (max docs per one
+    * canonical URL) — the inputs to host-level spam policy. */
+  def hostUrlStats(urls: DataFrame): DataFrame = {
+    val canon = urls.withColumn("canon", canonicalizeUrl(col("url")))
+      .withColumn("host", regexp_extract(col("canon"),
+        "^https://([^/?]+)", 1))
+    canon.groupBy(col("host"), col("canon"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("host"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        max(col("n")).as("max_dup"))
+  }
+
+  /** Gate synthesis: every variant axis populated from doc_id residues —
+    * www/bare, :443/none, trailing slash/none, utm-first query/plain,
+    * fragment/none — so each canonicalization branch is load-bearing
+    * (23 hosts × 17 paths × 11 ids collide heavily). */
+  def t37UrlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val urls = Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        lit("h"), (col("doc_id") % 23).cast("string"),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), ((col("doc_id") / 23).cast("long") % 17).cast("string"),
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="),
+            (col("doc_id") % 11).cast("string")))
+          .otherwise(concat(lit("?id="),
+            (col("doc_id") % 11).cast("string"))),
+        when(col("doc_id") % 6 === 0, "#sec").otherwise("")).as("url"))
+    hostUrlStats(urls).orderBy("host")
+  }
+
+  val t37Sql: String =
+    """WITH u AS (SELECT doc_id, 'https://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |    'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |    '/p/' || CAST((doc_id // 23) % 17 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+      |      ELSE '?id=' || CAST(doc_id % 11 AS VARCHAR) END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+      |s2 AS (SELECT doc_id, string_split(nf, '?') AS parts FROM s1),
+      |s3 AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(parts[1],
+      |      '^https://www\.', 'https://'), ':443(/|$)', '\1'),
+      |      '/$', '') AS base,
+      |    parts[2] AS query FROM s2),
+      |s4 AS (SELECT doc_id, base, query,
+      |    list_filter(string_split(query, '&'), p ->
+      |      NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+      |        OR starts_with(p, 'gclid='))) AS params FROM s3),
+      |c AS (SELECT doc_id, base ||
+      |    CASE WHEN query IS NULL OR len(params) = 0 THEN ''
+      |      ELSE '?' || array_to_string(params, '&') END AS canon
+      |  FROM s4),
+      |h AS (SELECT doc_id, canon,
+      |    regexp_extract(canon, '^https://([^/?]+)', 1) AS host FROM c),
+      |pc AS (SELECT host, canon, COUNT(*) AS n FROM h
+      |  GROUP BY host, canon)
+      |SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+      |  CAST(MAX(n) AS BIGINT) AS max_dup
+      |FROM pc GROUP BY host ORDER BY host""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2379,7 +2485,8 @@ object TextAnalysis {
     "t33_bm25"        -> (t33Bm25 _),
     "t34_mixture_materialize" -> (t34MixtureMaterialize _),
     "t35_fertility" -> (t35Fertility _),
-    "t36_boilerplate_lines" -> (t36BoilerplateLines _))
+    "t36_boilerplate_lines" -> (t36BoilerplateLines _),
+    "t37_url_canonicalize" -> (t37UrlCanonicalize _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2416,5 +2523,6 @@ object TextAnalysis {
     "t33_bm25"        -> t33Sql,
     "t34_mixture_materialize" -> t34Sql,
     "t35_fertility" -> t35Sql,
-    "t36_boilerplate_lines" -> t36Sql)
+    "t36_boilerplate_lines" -> t36Sql,
+    "t37_url_canonicalize" -> t37Sql)
 }

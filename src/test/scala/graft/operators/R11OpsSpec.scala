@@ -276,6 +276,21 @@ class R11OpsSpec extends SparkSpec {
       (100L, 2L, 4000L, 1500L)))
   }
 
+  test("t37 canonicalizeUrl: fragment, default port, www, tracking " +
+      "params, trailing slash; non-default port and mid-query survive") {
+    val cases = Seq(
+      ("https://www.a.com:443/x/?utm_source=z&id=1#f", "https://a.com/x?id=1"),
+      ("https://a.com/x", "https://a.com/x"),
+      ("https://a.com/?utm_source=z", "https://a.com"),
+      ("https://a.com:4430/x", "https://a.com:4430/x"),
+      ("https://a.com/x?id=1&fbclid=abc", "https://a.com/x?id=1"),
+      ("https://a.com/x?gclid=7&id=2&utm_medium=m", "https://a.com/x?id=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
