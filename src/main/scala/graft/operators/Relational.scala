@@ -537,6 +537,51 @@ object Relational {
       |        ORDER BY abs(r.rt - l.t), r.rt LIMIT 1) AS BIGINT) AS n_v
       |FROM l ORDER BY k, t""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Misra–Gries HEAVY HITTERS ([[graft.functions.HeavyHitters]]) — the
+    * mergeable frequent-items sketch: k counters per partial buffer,
+    * map-side combinable, k (item, est) pairs per task across the
+    * shuffle — "which keys dominate this column" without shuffling the
+    * key space (exact GROUP BY's cost). The sketch CONTENT is
+    * partition-order-dependent, so the gate pins only the sketch's
+    * deterministic THEOREMS, on a planted key whose true frequency
+    * (~n/10) clears the n/(k+1) detection bound with k=20: `found_ok`
+    * (every above-bound item is present in the sketch) and `bounds_ok`
+    * (est never exceeds truth, and undercounts by at most n/(k+1) across
+    * any merge tree). n_rows / f_true are exact for the oracle; a
+    * `require` keeps the planted frequency above the bound so the
+    * guarantee can never silently go vacuous. */
+  def q81HeavyHittersGate(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val planted = 999999999L
+    val vals = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 10 === 0, lit(planted))
+        .otherwise(col("l_partkey").cast("long")).as("v"))
+    val est = vals
+      .agg(graft.functions.HeavyHittersExpr.heavyHitters(col("v"), k)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .where(col("e.item") === planted)
+      .select(col("e.est"))
+      .collect().headOption.map(_.getLong(0))
+    val n = vals.count()
+    val f = vals.where(col("v") === planted).count()
+    require(f > n / (k + 1),
+      s"q81 fixture degenerate: planted freq $f <= detection bound ${n / (k + 1)}")
+    val found = est.isDefined
+    val boundsOk = est.exists(e => e <= f && e >= f - n / (k + 1))
+    import s.implicits._
+    Seq((n, f, found, boundsOk))
+      .toDF("n_rows", "f_true", "found_ok", "bounds_ok")
+  }
+
+  val q81Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 10 = 0) AS BIGINT)
+      |    AS f_true,
+      |  true AS found_ok, true AS bounds_ok
+      |FROM lineitem""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3249,7 +3294,8 @@ object Relational {
     "q77_scd2" -> (q77Scd2 _),
     "q78_group_by_all" -> (q78GroupByAll _),
     "q79_pagerank"     -> (q79PageRank _),
-    "q80_asof_directions" -> (q80AsofDirections _))
+    "q80_asof_directions" -> (q80AsofDirections _),
+    "q81_heavy_hitters_gate" -> (q81HeavyHittersGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3331,5 +3377,6 @@ object Relational {
     "q77_scd2" -> q77Sql,
     "q78_group_by_all" -> q78Sql,
     "q79_pagerank"     -> q79Sql,
-    "q80_asof_directions" -> q80Sql)
+    "q80_asof_directions" -> q80Sql,
+    "q81_heavy_hitters_gate" -> q81Sql)
 }

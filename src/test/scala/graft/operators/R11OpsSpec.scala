@@ -291,6 +291,40 @@ class R11OpsSpec extends SparkSpec {
     assert(got === cases.map(_._2))
   }
 
+  test("q81 heavy_hitters: MG presence/bounds guarantees vs exact counts; " +
+      "exact when k covers the key space; grouped composition") {
+    import graft.functions.HeavyHittersExpr
+    // deterministic skewed stream: value v appears (30 - v) times
+    val rows = (0 until 30).flatMap(v => Seq.fill(30 - v)(v.toLong))
+    val k = 5
+    val sketch = rows.toDF("v").repartition(8)
+      .agg(HeavyHittersExpr.heavyHitters(col("v"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .as[(Long, Long)].collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = rows.size / (k + 1)
+    truth.foreach { case (it, f) =>
+      if (f > bound)
+        assert(sketch.contains(it), s"above-bound item $it (freq $f) missing")
+    }
+    sketch.foreach { case (it, e) =>
+      val f = truth(it)
+      assert(e <= f && e >= f - bound, s"item $it est $e outside [${f - bound}, $f]")
+    }
+    // k >= distinct keys -> no decrements ever fire, sketch is EXACT,
+    // and the aggregate composes under groupBy
+    val g = (0 until 140).map(i => ((i % 2).toLong, (i % 7).toLong))
+      .toDF("grp", "v").repartition(8)
+      .groupBy("grp")
+      .agg(HeavyHittersExpr.heavyHitters(col("v"), 10).as("hh"))
+      .select(col("grp"), explode(col("hh")).as("e"))
+      .select(col("grp"), col("e.item"), col("e.est"))
+      .as[(Long, Long, Long)].collect()
+    assert(g.length === 14)
+    g.foreach { case (_, _, est) => assert(est === 10L) }
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
