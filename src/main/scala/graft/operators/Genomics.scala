@@ -2749,6 +2749,87 @@ object Genomics {
       |    AS BIGINT) AS norm_permille
       |FROM j, tot GROUP BY gc_pct ORDER BY gc_pct""".stripMargin
 
+  // ---------------------------------------------------------------- x52
+  /** CONSENSUS PILEUP CALLER — the `samtools consensus` core: at every
+    * covered position, the plurality base across reads (ties to the
+    * alphabetically smallest — a fixed, engine-replayable rule), with a
+    * minimum-depth mask. The argmax needs NO window and no second join:
+    * per-(contig, pos, base) counts pack into one integer
+    * `enc = cnt·8 + (7 − base_code)`, so `max(enc)` simultaneously
+    * selects the plurality count AND, among tied counts, the smallest
+    * base — both levels are plain hash aggregates on uniform
+    * (contig, pos) keys, map-side combinable, no per-contig funnel and
+    * no ordered sweep (depth here is per-base from the reads that cover
+    * the position, not an interval prefix sum).
+    *
+    * Reads are (contig, start, seq) with seq aligned ungapped at start
+    * (0-based); the per-base explode is ≤ read-length rows per read —
+    * the same linear fan-out contract as the trigram/k-mer kernels. */
+  def consensusPileup(reads: DataFrame, minDepth: Long): DataFrame = {
+    val perBase = reads
+      .select(col("contig"), col("start"),
+        posexplode(split(col("seq"), "")).as(Seq("i", "base")))
+      .select(col("contig"), (col("start") + col("i")).as("pos"),
+        col("base"))
+    perBase.groupBy(col("contig"), col("pos"), col("base"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("enc", col("cnt") * 8 + lit(7) - expr(
+        "CASE base WHEN 'A' THEN 1 WHEN 'C' THEN 2 WHEN 'G' THEN 3 " +
+          "WHEN 'T' THEN 4 ELSE 5 END"))
+      .groupBy(col("contig"), col("pos"))
+      .agg(sum(col("cnt")).as("depth"), max(col("enc")).as("max_enc"))
+      .where(col("depth") >= minDepth)
+      .withColumn("consensus", expr(
+        "CASE 7 - (max_enc % 8) WHEN 1 THEN 'A' WHEN 2 THEN 'C' " +
+          "WHEN 3 THEN 'G' WHEN 4 THEN 'T' ELSE 'N' END"))
+      .withColumn("max_cnt", expr("max_enc div 8"))
+      .select(col("contig"), col("pos"), col("consensus"), col("depth"),
+        col("max_cnt"))
+      .orderBy("contig", "pos")
+  }
+
+  /** Gate synthesis: 8-base reads whose bases are a pure function of
+    * ABSOLUTE position (so overlapping reads agree), except every
+    * third line plants an 'N' at its offset 2 — a real plurality
+    * contest at those positions, decided by count then the tie rule. */
+  def x52Consensus(s: SparkSession, d: String): DataFrame = {
+    val reads = Tables.lineitem(s, d).where(col("l_orderkey") % 23 === 5)
+      .select(
+        when(col("l_suppkey") % 2 === 0, "c0").otherwise("c1").as("contig"),
+        (col("l_partkey") % 500).cast("long").as("start"),
+        (col("l_linenumber") % 3 === 0).as("mut"))
+      .withColumn("seq", expr(
+        "array_join(transform(sequence(0, 7), i -> " +
+          "CASE WHEN mut AND i = 2 THEN 'N' ELSE " +
+          "substring('ACGT', CAST((start + i) % 4 AS INT) + 1, 1) END), '')"))
+      .drop("mut")
+    consensusPileup(reads, minDepth = 2L)
+  }
+
+  val x52Sql: String =
+    """WITH r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'c0' ELSE 'c1' END AS contig,
+      |    l_partkey % 500 AS st, l_linenumber % 3 = 0 AS mut
+      |  FROM lineitem WHERE l_orderkey % 23 = 5),
+      |pb AS (SELECT contig, st + i AS pos,
+      |    CASE WHEN mut AND i = 2 THEN 'N'
+      |      ELSE substr('ACGT', CAST((st + i) % 4 AS INTEGER) + 1, 1) END
+      |      AS base
+      |  FROM r, UNNEST(generate_series(0, 7)) AS u(i)),
+      |c AS (SELECT contig, pos, base, COUNT(*) AS cnt
+      |  FROM pb GROUP BY contig, pos, base),
+      |e AS (SELECT contig, pos, cnt,
+      |    cnt * 8 + 7 - (CASE base WHEN 'A' THEN 1 WHEN 'C' THEN 2
+      |      WHEN 'G' THEN 3 WHEN 'T' THEN 4 ELSE 5 END) AS enc
+      |  FROM c)
+      |SELECT contig, CAST(pos AS BIGINT) AS pos,
+      |  CASE 7 - (MAX(enc) % 8) WHEN 1 THEN 'A' WHEN 2 THEN 'C'
+      |    WHEN 3 THEN 'G' WHEN 4 THEN 'T' ELSE 'N' END AS consensus,
+      |  CAST(SUM(cnt) AS BIGINT) AS depth,
+      |  CAST(MAX(enc) // 8 AS BIGINT) AS max_cnt
+      |FROM e GROUP BY contig, pos HAVING SUM(cnt) >= 2
+      |ORDER BY contig, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2783,7 +2864,8 @@ object Genomics {
     "x48_callable_loci"      -> (x48CallableLoci _),
     "x49_bed_roundtrip_gate" -> (x49BedRoundtrip _),
     "x50_depth_uniformity"   -> (x50DepthUniformity _),
-    "x51_gc_bias"            -> (x51GcBias _))
+    "x51_gc_bias"            -> (x51GcBias _),
+    "x52_consensus_pileup"   -> (x52Consensus _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2819,5 +2901,6 @@ object Genomics {
     "x48_callable_loci"      -> x48Sql,
     "x49_bed_roundtrip_gate" -> x49Sql,
     "x50_depth_uniformity"   -> x50Sql,
-    "x51_gc_bias"            -> x51Sql)
+    "x51_gc_bias"            -> x51Sql,
+    "x52_consensus_pileup"   -> x52Sql)
 }

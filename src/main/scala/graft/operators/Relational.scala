@@ -582,6 +582,60 @@ object Relational {
       |  true AS found_ok, true AS bounds_ok
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** STREAMING heavy hitters — q81's Misra–Gries aggregate as live
+    * streaming state: the staged value column replays as a file-source
+    * micro-batch stream (repartitioned to 4 files, `maxFilesPerTrigger 1`,
+    * so the sketch state MERGES across ≥ 4 batches through the state
+    * store's serialize/merge path — the exact surface a single-batch run
+    * would leave untested). The mergeable-summaries bound is
+    * merge-tree-INDEPENDENT, so the q81 theorems transfer verbatim to
+    * the streamed sketch: the planted ~n/10 key must be present and its
+    * estimate within [truth − n/(k+1), truth]. Complete-mode memory sink
+    * on an isolated session clone, dataset-tagged names (x25
+    * discipline). */
+  def q82StreamHeavyHittersGate(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val planted = 999999999L
+    val vals = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 10 === 0, lit(planted))
+        .otherwise(col("l_partkey").cast("long")).as("v"))
+    import graft.sources.HadoopIO
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = s"${HadoopIO.scratchDir(s)}/graft_q82_$sfTag"
+    vals.repartition(4).write.mode("overwrite").parquet(stageDir)
+    val s2 = s.newSession()
+    val stream = s2.readStream.schema(vals.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+    val tbl = s"q82_hh_$sfTag"
+    val q = stream
+      .agg(graft.functions.HeavyHittersExpr.heavyHitters(col("v"), k)
+        .as("hh"))
+      .writeStream.format("memory").queryName(tbl).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val est = s2.table(tbl).select(explode(col("hh")).as("e"))
+      .where(col("e.item") === planted)
+      .select(col("e.est"))
+      .collect().headOption.map(_.getLong(0))
+    val n = vals.count()
+    val f = vals.where(col("v") === planted).count()
+    require(f > n / (k + 1),
+      s"q82 fixture degenerate: planted freq $f <= bound ${n / (k + 1)}")
+    val boundsOk = est.exists(e => e <= f && e >= f - n / (k + 1))
+    import s.implicits._
+    Seq((n, f, est.isDefined, boundsOk))
+      .toDF("n_rows", "f_true", "found_ok", "bounds_ok")
+  }
+
+  val q82Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) FILTER (WHERE l_orderkey % 10 = 0) AS BIGINT)
+      |    AS f_true,
+      |  true AS found_ok, true AS bounds_ok
+      |FROM lineitem""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3295,7 +3349,8 @@ object Relational {
     "q78_group_by_all" -> (q78GroupByAll _),
     "q79_pagerank"     -> (q79PageRank _),
     "q80_asof_directions" -> (q80AsofDirections _),
-    "q81_heavy_hitters_gate" -> (q81HeavyHittersGate _))
+    "q81_heavy_hitters_gate" -> (q81HeavyHittersGate _),
+    "q82_stream_heavy_hitters_gate" -> (q82StreamHeavyHittersGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3378,5 +3433,6 @@ object Relational {
     "q78_group_by_all" -> q78Sql,
     "q79_pagerank"     -> q79Sql,
     "q80_asof_directions" -> q80Sql,
-    "q81_heavy_hitters_gate" -> q81Sql)
+    "q81_heavy_hitters_gate" -> q81Sql,
+    "q82_stream_heavy_hitters_gate" -> q82Sql)
 }

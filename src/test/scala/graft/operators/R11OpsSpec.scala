@@ -325,6 +325,16 @@ class R11OpsSpec extends SparkSpec {
     g.foreach { case (_, _, est) => assert(est === 10L) }
   }
 
+  test("x52 consensusPileup: plurality base, alphabetic tie rule, " +
+      "min-depth mask") {
+    val reads = Seq(("c", 0L, "AC"), ("c", 1L, "CT"), ("c", 1L, "CG"))
+      .toDF("contig", "start", "seq")
+    val got = Genomics.consensusPileup(reads, minDepth = 2L)
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    // pos 0: depth 1 -> masked; pos 1: C x3; pos 2: T/G tie -> G (alpha)
+    assert(got === Seq(("c", 1L, "C", 3L, 3L), ("c", 2L, "G", 2L, 1L)))
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
