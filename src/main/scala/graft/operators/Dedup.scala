@@ -1735,9 +1735,60 @@ object Dedup {
     "d24_minhash_error_gate" -> (d24MinhashErrorGate _),
     "d25_source_priority_gate" -> (d25SourcePriorityGate _),
     "d26_soft_dedup" -> (d26SoftDedup _),
-    "d27_soft_dedup_wired_gate" -> (d27SoftDedupWiredGate _))
+    "d27_soft_dedup_wired_gate" -> (d27SoftDedupWiredGate _),
+    "d28_url_dedup" -> (d28UrlDedup _))
+
+  // ---------------------------------------------------------------- d28
+  /** URL-LEVEL dedup — the cheapest and first dedup stage of a web
+    * corpus (CommonCrawl runs it before any text hashing): documents
+    * whose URLs canonicalize to the same page (t37's kernel — tracking
+    * params, `www.`, default port, fragment, trailing slash) collapse
+    * to the lowest doc_id, BEFORE any shingle or signature is computed.
+    * At 100 TB this removes the bulk of refetch duplicates for the cost
+    * of one uniform canon-keyed min/count aggregate — no text ever
+    * enters the exchange. Emits (doc_id kept, n_variants collapsed). */
+  def d28UrlDedup(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.syntheticUrls(s, d)
+      .withColumn("canon", TextAnalysis.canonicalizeUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"))
+      .orderBy("doc_id")
+
+  val d28Sql: String =
+    """WITH u AS (SELECT doc_id, 'https://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |    'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |    '/p/' || CAST((doc_id // 23) % 3 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '?utm_source=feed&id=' || CAST(doc_id % 2 AS VARCHAR)
+      |      ELSE '?id=' || CAST(doc_id % 2 AS VARCHAR) END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+      |s2 AS (SELECT doc_id, string_split(nf, '?') AS parts FROM s1),
+      |s3 AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(parts[1],
+      |      '^https://www\.', 'https://'), ':443(/|$)', '\1'),
+      |      '/$', '') AS base,
+      |    parts[2] AS query FROM s2),
+      |s4 AS (SELECT doc_id, base, query,
+      |    list_filter(string_split(query, '&'), p ->
+      |      NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+      |        OR starts_with(p, 'gclid='))) AS params FROM s3),
+      |c AS (SELECT doc_id, base ||
+      |    CASE WHEN query IS NULL OR len(params) = 0 THEN ''
+      |      ELSE '?' || array_to_string(params, '&') END AS canon
+      |  FROM s4)
+      |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_variants
+      |FROM c GROUP BY canon ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d28_url_dedup"     -> d28Sql,
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,

@@ -2394,35 +2394,37 @@ object TextAnalysis {
     * www/bare, :443/none, trailing slash/none, utm-first query/plain,
     * fragment/none — so each canonicalization branch is load-bearing
     * (23 hosts × 17 paths × 11 ids collide heavily). */
-  def t37UrlCanonicalize(s: SparkSession, d: String): DataFrame = {
-    val urls = Tables.documents(s, d).select(col("doc_id"))
+  def t37UrlCanonicalize(s: SparkSession, d: String): DataFrame =
+    hostUrlStats(syntheticUrls(s, d)).orderBy("host")
+
+  /** Shared t37/d28 synthesis — see [[t37UrlCanonicalize]]. */
+  private[operators] def syntheticUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
       .select(col("doc_id"), concat(
         lit("https://"),
         when(col("doc_id") % 3 === 0, "www.").otherwise(""),
         lit("h"), (col("doc_id") % 23).cast("string"),
         lit(".example.com"),
         when(col("doc_id") % 5 === 0, ":443").otherwise(""),
-        lit("/p/"), ((col("doc_id") / 23).cast("long") % 17).cast("string"),
+        lit("/p/"), ((col("doc_id") / 23).cast("long") % 3).cast("string"),
         when(col("doc_id") % 4 === 0, "/").otherwise(""),
         when(col("doc_id") % 2 === 0,
           concat(lit("?utm_source=feed&id="),
-            (col("doc_id") % 11).cast("string")))
+            (col("doc_id") % 2).cast("string")))
           .otherwise(concat(lit("?id="),
-            (col("doc_id") % 11).cast("string"))),
+            (col("doc_id") % 2).cast("string"))),
         when(col("doc_id") % 6 === 0, "#sec").otherwise("")).as("url"))
-    hostUrlStats(urls).orderBy("host")
-  }
 
   val t37Sql: String =
     """WITH u AS (SELECT doc_id, 'https://' ||
       |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
       |    'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' ||
       |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
-      |    '/p/' || CAST((doc_id // 23) % 17 AS VARCHAR) ||
+      |    '/p/' || CAST((doc_id // 23) % 3 AS VARCHAR) ||
       |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
       |    CASE WHEN doc_id % 2 = 0
-      |      THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
-      |      ELSE '?id=' || CAST(doc_id % 11 AS VARCHAR) END ||
+      |      THEN '?utm_source=feed&id=' || CAST(doc_id % 2 AS VARCHAR)
+      |      ELSE '?id=' || CAST(doc_id % 2 AS VARCHAR) END ||
       |    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
       |  FROM documents),
       |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),

@@ -335,6 +335,16 @@ class R11OpsSpec extends SparkSpec {
     assert(got === Seq(("c", 1L, "C", 3L, 3L), ("c", 2L, "G", 2L, 1L)))
   }
 
+  test("d28 urlDedup: variant families genuinely collide (non-vacuous) " +
+      "and partition the corpus") {
+    val r = Dedup.d28UrlDedup(spark, sfDirS21)
+      .as[(Long, Long)].collect()
+    assert(r.map(_._2).max >= 2L,
+      "fixture degenerate: no URL variant family has >1 member")
+    assert(r.map(_._2).sum === 500L, "kept+collapsed must cover every doc")
+    assert(r.map(_._1).distinct.length === r.length)
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
