@@ -2343,6 +2343,100 @@ object TextAnalysis {
       |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t38
+  /** CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020): per language, rank
+    * every document by its LM score and cut the corpus into
+    * head/middle/tail terciles — the split CCNet publishes and LLM
+    * pretraining mixes from (head = most in-distribution). Score = t24's
+    * per-doc trigram bit-depth rate, integer milli
+    * ((1000·Σbits) div n_grams); docs too short for one trigram drop
+    * (CCNet drops them too). The tercile is an explicit integer rule —
+    * `((rank−1)·3) div n` — restated identically in both engines (never
+    * NTILE, whose remainder convention is the engine's own).
+    *
+    * Scale shape: the per-lang rank is t30's TWO-LEVEL bucketed
+    * prefix-sum — score-range blocks (milli div 256, bounded by the bit
+    * depth of the training counts: ≤ ~80 blocks × langs) histogrammed in
+    * one model-sized collect, offsets broadcast back, row_number only
+    * WITHIN (lang, block) — an in-row require rejects any plan where an
+    * unpartitioned window survives. No corpus-global sort anywhere. */
+  def t38CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+    val tris = when(length(col("text")) >= 3,
+      transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val train = docs.where(col("lang") === "en")
+      .select(explode(tris).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+    val sc = Dedup.truncateLineage(
+      docs.select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+        .join(broadcast(train), Seq("tri"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("(1000 * sum(CASE WHEN cnt IS NULL THEN 0 " +
+          "ELSE length(bin(cnt + 1)) - 1 END)) div count(1)").as("milli"))
+        .withColumn("blk", expr("milli div 256")))
+    val counts = sc.groupBy(col("lang"), col("blk"))
+      .agg(count(lit(1)).as("c")).orderBy("lang", "blk").collect()
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    counts.foreach { r =>
+      val (lang, blk, c) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val acc = totals.getOrElse(lang, 0L)
+      offs += ((lang, blk, acc))
+      totals.update(lang, acc + c)
+    }
+    val offsDf = s.createDataFrame(offs.toSeq).toDF("lang", "blk", "off")
+    val nDf = s.createDataFrame(totals.toSeq).toDF("lang", "n")
+    val ww = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("milli").asc, col("doc_id").asc)
+    val out = sc.join(broadcast(offsDf), Seq("lang", "blk"))
+      .join(broadcast(nDf), Seq("lang"))
+      .withColumn("rk", col("off") + row_number().over(ww))
+      .withColumn("tercile", expr("((rk - 1) * 3) div n"))
+      .groupBy(col("lang"), col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("milli")).as("min_milli"), max(col("milli")).as("max_milli"))
+      .orderBy("lang", "tercile")
+    val flatWindows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    require(flatWindows.isEmpty,
+      "t38: unpartitioned window survived — the bucketed rank must not " +
+        "move the corpus to one reducer")
+    out
+  }
+
+  val t38Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, lower(text) AS text FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+      |  FROM docs, UNNEST(range(1, len(text) - 1)) AS u(i)),
+      |train AS (
+      |  SELECT tri, COUNT(*) AS cnt FROM grams WHERE lang = 'en'
+      |  GROUP BY tri),
+      |sc AS (SELECT g.doc_id, g.lang,
+      |    CAST((1000 * SUM(CASE WHEN t.cnt IS NULL THEN 0
+      |      ELSE length(bin(1 + t.cnt)) - 1 END)) // COUNT(*) AS BIGINT)
+      |      AS milli
+      |  FROM grams g LEFT JOIN train t USING (tri)
+      |  GROUP BY g.doc_id, g.lang),
+      |r AS (SELECT lang, doc_id, milli,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY milli, doc_id)
+      |      AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM sc)
+      |SELECT lang, CAST(((rk - 1) * 3) // n AS BIGINT) AS tercile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(milli) AS BIGINT) AS min_milli,
+      |  CAST(MAX(milli) AS BIGINT) AS max_milli
+      |FROM r GROUP BY lang, ((rk - 1) * 3) // n
+      |ORDER BY lang, tercile""".stripMargin
+
   // ---------------------------------------------------------------- t37
   /** URL CANONICALIZATION + host-level aggregation — the first stage of
     * every web-corpus curation pipeline (CommonCrawl → FineWeb/C4): the
@@ -2488,7 +2582,8 @@ object TextAnalysis {
     "t34_mixture_materialize" -> (t34MixtureMaterialize _),
     "t35_fertility" -> (t35Fertility _),
     "t36_boilerplate_lines" -> (t36BoilerplateLines _),
-    "t37_url_canonicalize" -> (t37UrlCanonicalize _))
+    "t37_url_canonicalize" -> (t37UrlCanonicalize _),
+    "t38_ccnet_buckets" -> (t38CcnetBuckets _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2526,5 +2621,6 @@ object TextAnalysis {
     "t34_mixture_materialize" -> t34Sql,
     "t35_fertility" -> t35Sql,
     "t36_boilerplate_lines" -> t36Sql,
-    "t37_url_canonicalize" -> t37Sql)
+    "t37_url_canonicalize" -> t37Sql,
+    "t38_ccnet_buckets" -> t38Sql)
 }

@@ -345,6 +345,25 @@ class R11OpsSpec extends SparkSpec {
     assert(r.map(_._1).distinct.length === r.length)
   }
 
+  test("t38 ccnet buckets: terciles partition each lang with the integer " +
+      "rule and monotone score ranges") {
+    val r = TextAnalysis.t38CcnetBuckets(spark, sfDirS21)
+      .as[(String, Long, Long, Long, Long)].collect()
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L), s"$lang terciles")
+      val n = rows.map(_._3).sum
+      // ((rk-1)*3) div n puts floor/ceil(n/3) in each tercile
+      rows.foreach { case (_, _, nd, _, _) =>
+        assert(math.abs(nd - n / 3) <= 1, s"$lang tercile size $nd vs n=$n")
+      }
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5 <= b._4 || a._5 <= b._5,
+          s"$lang tercile ranges not monotone: $a vs $b")
+      }
+    }
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
