@@ -1530,10 +1530,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
     // t19 guard: sequence(1, n) DESCENDS for n < 1 — short docs must
     // yield zero trigrams, not bogus ones
-    val tris = when(length(col("text")) >= 3,
-      transform(sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    val tris = graft.functions.CharNgramsExpr.charNgrams(col("text"), 3)
     val train = docs.where(col("lang") === "en")
       .select(explode(tris).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
@@ -2364,10 +2361,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
-    val tris = when(length(col("text")) >= 3,
-      transform(sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    val tris = graft.functions.CharNgramsExpr.charNgrams(col("text"), 3)
     val train = docs.where(col("lang") === "en")
       .select(explode(tris).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))

@@ -364,6 +364,24 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("char_ngrams is bit-identical to the substr HOF form, including " +
+      "multi-byte code points and short strings") {
+    val texts = Seq("hello world", "ab", "", "héllo wörld", "日本語のテキスト",
+      "aé中😀z")
+    for (n <- Seq(1, 3, 5)) {
+      val df = texts.toDF("text")
+      val hof = df.select(when(length(col("text")) >= n,
+        transform(sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val nat = df.select(
+        graft.functions.CharNgramsExpr.charNgrams(col("text"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(nat === hof, s"n=$n diverged")
+    }
+  }
+
   test("q79 pageRankMilli matches a driver-side reference simulation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
