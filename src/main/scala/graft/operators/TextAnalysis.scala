@@ -319,10 +319,8 @@ object TextAnalysis {
     val n = 32
     val grams: Column => Column =
       if (hashed) c => shingleHashes(c, n) // native: one pass, pre-deduped
-      else c => when(length(c) >= n,
-        array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
-          i => c.substr(i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      else c => array_distinct(
+        graft.functions.CharNgramsExpr.charNgrams(c, n))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     Dedup.assertIdHeadroom(docs, "doc_id", d)
     val evalDocs = docs.orderBy(col("doc_id").asc).limit(20)
@@ -1061,7 +1059,14 @@ object TextAnalysis {
   private val SpanW = 20
 
   def t19DupSpans(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
+    // tokens are STAGED to an attribute before the window transform:
+    // a lambda capturing the tokenize EXPRESSION re-tokenizes the doc
+    // once per window after CollapseProject inlining (the t20 lesson —
+    // O(n_tok²) splits per doc; measured 3× the whole query). The
+    // checkpoint barrier makes `toks` a plain column read.
+    val tokDf = Dedup.truncateLineage(Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val t = col("toks")
     // guard: sequence(1, n) with n < 1 DESCENDS in Spark ([1, 0]) — a
     // short doc must yield zero windows, not two bogus ones
     val idxs = when(size(t) >= SpanW, sequence(lit(1), size(t) - (SpanW - 1)))
@@ -1071,10 +1076,10 @@ object TextAnalysis {
         1, 15), 16, 10).cast("long"))
     // staged once (t14's lesson): the occurrence count AND the join probe
     // both read this frame — without the checkpoint Catalyst re-derives
-    // the tokenize+md5 window pass per branch (no CSE across branches),
-    // doubling the dominant cost; the staged frame is 16 bytes/window
-    val wins = Dedup.truncateLineage(Tables.documents(s, d)
-      .select(col("doc_id"), explode(winHashes).as("h")))
+    // the window pass per branch (no CSE across branches), doubling the
+    // dominant cost; the staged frame is 16 bytes/window
+    val wins = Dedup.truncateLineage(
+      tokDf.select(col("doc_id"), explode(winHashes).as("h")))
     val dupCounts = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2)
@@ -1147,7 +1152,13 @@ object TextAnalysis {
     spanScrubImpl(docs, linear = false)
 
   private def spanScrubImpl(docs: DataFrame, linear: Boolean): DataFrame = {
-    val docsF = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // checkpoint barrier: `toks` must be an ATTRIBUTE before the window
+    // lambda below — a captured tokenize EXPRESSION re-splits the doc
+    // once per window after CollapseProject inlining (the same trap as
+    // the boolean-coverage probe documented at `kept`); the barrier also
+    // keeps the final join branch from re-deriving the tokenize pass
+    val docsF = Dedup.truncateLineage(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     val n = size(col("toks"))
     val starts0 = when(n >= SpanW, sequence(lit(1), n - (SpanW - 1)))
       .otherwise(array().cast("array<int>"))
