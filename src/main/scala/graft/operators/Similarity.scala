@@ -1468,6 +1468,141 @@ object Similarity {
       |  true AS monotone_ok, true AS recall_ok
       |FROM embeddings WHERE vec_id >= 10 AND vec_id % 2 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- s22
+  /** GRAPH-BASED ANN SEARCH — greedy beam search over the s19 kNN graph,
+    * the query-time half of every NSW/HNSW-family index (s19 builds the
+    * structure, s21 refines it, this walks it). Each query starts from a
+    * fixed seed set, scores the frontier exactly, keeps the best `beam`
+    * nodes seen so far, and expands their undirected graph neighbors for
+    * `hops` rounds — a BSP loop like d12's pointer doubling, NOT a
+    * driver-side walk per query.
+    *
+    * Scale shape: per hop the candidate volume is ≤ queries × beam × 2k
+    * (graph degree bound) — linear in the query set and independent of
+    * corpus size; scoring fetches node embeddings via an id-keyed
+    * equi-join (the corpus is never broadcast), and the state carried
+    * between hops is the narrow (qid, id, cos) beam, ≤ beam rows per
+    * query. On a 1000-executor cluster each hop is one shuffle keyed by
+    * node id + one keyed by qid, both uniform.
+    *
+    * Entry points are per-query LSH bucket mates (the coarse-quantizer +
+    * graph-refinement hybrid every production graph index runs — DiskANN
+    * and HNSW-over-IVF both enter near the query, never from a global
+    * root), unioned with a fixed 8-node global seed set so a query whose
+    * buckets are empty still starts somewhere.
+    *
+    * Gates: `monotone_ok` is the beam-search THEOREM (each hop's beam =
+    * top-`beam` of previous-beam ∪ newly-scored under (cos desc, id asc),
+    * so the per-query best cosine never decreases — a violation means
+    * the union, the dedup, or the rank broke), and `recall_ok` prices
+    * exact truth on the query SAMPLE only (as s19/s21): the true top-1
+    * graph node must land in the final beam for ≥ 60% of queries —
+    * falsifiable by a seed/expansion/adjacency regression, and well
+    * below the 0.96–1.0 measured at sf0.001/0.01/0.1 so the floor tests
+    * the walk, not the data draw. */
+  /** The s22 search kernel, exposed for the spec: returns (queries,
+    * initial beam from the entry points, final beam after `hops`
+    * expansion rounds). Both beams are persisted; the caller unpersists. */
+  private[operators] def graphSearchBeams(s: SparkSession, d: String,
+      k: Int, beam: Int, hops: Int): (DataFrame, DataFrame, DataFrame) = {
+    val e = knnGraphNodes(s, d)
+    val (edges, _) = knnGraphFor(s, d, k)
+    val fwd = edges.select(col("id"), col("b_id"))
+    val adj = fwd
+      .union(fwd.select(col("b_id").as("id"), col("id").as("b_id")))
+      .dropDuplicates("id", "b_id")
+      .persist()
+    // queries: a deterministic 1-in-20 slice of the ODD half — disjoint
+    // from the graph's node set, so every query is a genuinely unseen
+    // vector and truth is the nearest GRAPH node.
+    val q = Tables.embeddings(s, d)
+      .where(col("vec_id") % 20 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+      .persist()
+    val en = e.select(col("id"), col("emb"), col("nrm"))
+    // per-query entry points: nodes sharing an LSH bucket with the query
+    // (multi-probe on the query side, single-bucket on the node side —
+    // s02's asymmetric candidate contract), plus the 8 smallest node ids
+    // as a global fallback so empty buckets never strand a query.
+    val qBuckets = q.select(col("qid"),
+      explode(lshBucketsOf(col("q_emb"), multiProbe = true)).as("b"))
+    val nBuckets = e.select(col("id"),
+      explode(lshBucketsOf(col("emb"), multiProbe = false)).as("b"))
+    val lshEntries = qBuckets.join(nBuckets, Seq("b"))
+      .select(col("qid"), col("id"))
+    val globalSeeds = e.select(col("id")).orderBy(col("id")).limit(8)
+    val entries = lshEntries
+      .union(q.select(col("qid")).crossJoin(globalSeeds))
+      .dropDuplicates("qid", "id")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(en, Seq("id"))
+      .join(q, Seq("qid"))
+      .withColumn("cos",
+        cosinePre(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")))
+      .select(col("qid"), col("id"), col("cos"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    def topBeam(scored: DataFrame): DataFrame = scored
+      .withColumn("r", row_number().over(wq))
+      .where(col("r") <= beam)
+      .select(col("qid"), col("id"), col("cos"))
+    val init = topBeam(score(entries))
+      .persist()
+    init.count()
+    var cur = init
+    for (_ <- 1 to hops) {
+      val expand = cur.select(col("qid"), col("id"))
+        .join(adj, Seq("id"))
+        .select(col("qid"), col("b_id").as("id"))
+        .dropDuplicates("qid", "id")
+      val next = topBeam(cur.union(score(expand))
+        .dropDuplicates("qid", "id")).persist()
+      next.count()
+      if (cur ne init) cur.unpersist(blocking = false)
+      cur = next
+    }
+    adj.unpersist(blocking = false)
+    (q, init, cur)
+  }
+
+  def s22GraphSearchGate(s: SparkSession, d: String): DataFrame = {
+    val (q, init, fin) = graphSearchBeams(s, d, k = 3, beam = 8, hops = 3)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    try {
+      val nQueries = q.count()
+      // beam-search monotonicity: final best-cos per query >= entry best
+      val seedBest = init.groupBy(col("qid")).agg(max(col("cos")).as("c0"))
+      val finalBest = fin.groupBy(col("qid")).agg(max(col("cos")).as("c1"))
+      val violations = seedBest.join(finalBest, Seq("qid"))
+        .where(col("c1") < col("c0")).count()
+      // exact truth on the query sample: nearest graph node per query
+      val en = knnGraphNodes(s, d).select(col("id"), col("emb"), col("nrm"))
+      val truth = en
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          cosinePre(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")))
+        .withColumn("r", row_number().over(wq))
+        .where(col("r") === 1)
+        .select(col("qid"), col("id"))
+      val hits = truth.join(fin.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_semi").count()
+      import s.implicits._
+      Seq((nQueries, violations == 0L, hits.toDouble / nQueries >= 0.6))
+        .toDF("n_queries", "monotone_ok", "recall_ok")
+    } finally {
+      q.unpersist(blocking = false)
+      init.unpersist(blocking = false)
+      fin.unpersist(blocking = false)
+    }
+  }
+
+  val s22Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  true AS monotone_ok, true AS recall_ok
+      |FROM embeddings WHERE vec_id % 20 = 1""".stripMargin
+
   // ---------------------------------------------------------------- s20
   /** One Lloyd ITERATION of the shared IVF index, driver-gated on the
     * algorithm's own convergence guarantee — the index-maintenance op a
@@ -1557,7 +1692,8 @@ object Similarity {
     "s18_nprobe_sweep" -> (s18NprobeSweep _),
     "s19_knn_graph_gate" -> (s19KnnGraphGate _),
     "s20_lloyd_step_gate" -> (s20LloydStepGate _),
-    "s21_nndescent_gate"  -> (s21NnDescentGate _))
+    "s21_nndescent_gate"  -> (s21NnDescentGate _),
+    "s22_graph_search_gate" -> (s22GraphSearchGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1578,5 +1714,6 @@ object Similarity {
     "s18_nprobe_sweep" -> s18Sql,
     "s19_knn_graph_gate" -> s19Sql,
     "s20_lloyd_step_gate" -> s20Sql,
-    "s21_nndescent_gate"  -> s21Sql)
+    "s21_nndescent_gate"  -> s21Sql,
+    "s22_graph_search_gate" -> s22Sql)
 }

@@ -260,6 +260,28 @@ class R11OpsSpec extends SparkSpec {
         "the monotone gate would be vacuous")
   }
 
+  test("s22 graph search: gate booleans hold at sf0.001; the walk is " +
+      "not a no-op (some final-beam edge was absent from the entry beam)") {
+    val r = Similarity.s22GraphSearchGate(spark, sfDirS21)
+      .as[(Long, Boolean, Boolean)].head()
+    assert(r._2, "beam best-cos decreased across hops — top-beam of a " +
+      "superset can never rank below its subset's best")
+    assert(r._3, "graph walk lost the 0.6 recall floor")
+    // non-vacuousness, the s21 discipline: expansion must have entered
+    // the beam somewhere, else the fixture only tests the LSH entries
+    val (q, init, fin) = Similarity.graphSearchBeams(spark, sfDirS21,
+      k = 3, beam = 8, hops = 3)
+    try {
+      val i = init.select("qid", "id").as[(Long, Long)].collect().toSet
+      val f = fin.select("qid", "id").as[(Long, Long)].collect().toSet
+      assert((f -- i).nonEmpty,
+        "fixture degenerate: no expansion node ever displaced an entry — " +
+          "the monotone gate would be vacuous")
+    } finally {
+      q.unpersist(); init.unpersist(); fin.unpersist()
+    }
+  }
+
   test("x51 gcBias: window GC from the string, zero-mass windows kept, " +
       "staged milli normalization, partial tail window") {
     val refs = Seq(("c", "GGGGAAAACC")).toDF("name", "seq")
