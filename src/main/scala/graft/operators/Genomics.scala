@@ -2830,6 +2830,82 @@ object Genomics {
       |FROM e GROUP BY contig, pos HAVING SUM(cnt) >= 2
       |ORDER BY contig, pos""".stripMargin
 
+  // ---------------------------------------------------------------- x53
+  /** BASE-QUALITY RECALIBRATION TABLE (GATK BaseRecalibrator's first
+    * pass) — the canonical billions-of-observations genomics aggregate:
+    * every aligned base becomes one observation keyed by its covariates
+    * (read group, reported quality, machine cycle), and the table of
+    * (observations, mismatches) per covariate cell is what a recalibrator
+    * turns into empirical qualities. Mismatch evidence comes from the
+    * REAL MD scanner ([[graft.functions.MdVariantsExpr]] — for pure-M
+    * alignments at start 0 a variant's position IS the cycle), per-base
+    * reported qualities from the one-pass native
+    * [[graft.functions.CharNgramsExpr]] over the qual string (never
+    * `substr(qual, i, 1)` in a lambda — the O(len²) rescan t24 hit).
+    *
+    * Scale shape: a map-side explode (read length ×) followed by ONE
+    * hash aggregate whose partial combine collapses each task to the
+    * covariate-cell count — the result is |RG| × |Q| × cycles rows no
+    * matter how many petabytes of reads went in. Empirical rates are
+    * integer permille (phred conversion is a 1000-entry driver lookup,
+    * not a distributed op — no libm in the kernel, the Det discipline). */
+  def bqsrTable(reads: DataFrame): DataFrame = {
+    val subCycles = transform(
+      graft.functions.MdVariantsExpr.mdVariants(col("seq"), col("md"), lit(0)),
+      v => v.substr(lit(1), length(v) - 1).cast("int"))
+    import graft.functions.CharNgramsExpr.charNgrams
+    reads
+      .withColumn("sub_cycles", subCycles)
+      .select(col("read_group"), col("sub_cycles"),
+        posexplode(charNgrams(col("qual"), 1)).as(Seq("cycle", "qch")))
+      .select(col("read_group"), col("cycle").cast("int").as("cycle"),
+        (ascii(col("qch")) - 33).as("reported_q"),
+        array_contains(col("sub_cycles"), col("cycle")).cast("long")
+          .as("mism"))
+      .groupBy(col("read_group"), col("reported_q"), col("cycle"))
+      .agg(count(lit(1)).as("obs"), sum(col("mism")).as("mism"))
+      .withColumn("mism_permille", expr("mism * 1000 div obs"))
+  }
+
+  /** Driver gate: 12 bp pure-M reads from lineitem — read group from
+    * the order key, a two-level qual string (Q40 head of key-derived
+    * length k, Q2 tail: chars 'I' and '#'), one substitution at cycle
+    * a = pk % 12 encoded in seq/MD so the parser must FIND it. The
+    * covariate table is closed-form: obs(rg, q, c) counts rows whose
+    * k-split puts cycle c at quality q; mism adds rows with a = c. */
+  def x53BqsrTable(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 10 === 3)
+    val a = col("l_partkey") % 12
+    val k = col("l_suppkey") % 5 + 2
+    val reads = li.select(
+      concat(lit("rg"), (col("l_orderkey") % 3).cast("string"))
+        .as("read_group"),
+      // calmd -e surface: matched bases are '=', the substituted read
+      // base is the literal char — exactly what the MD scanner consumes
+      concat(expr("repeat('=', l_partkey % 12)"), lit("C"),
+        expr("repeat('=', 11 - l_partkey % 12)")).as("seq"),
+      concat(expr("repeat('I', l_suppkey % 5 + 2)"),
+        expr("repeat('#', 10 - l_suppkey % 5)")).as("qual"),
+      concat(a.cast("string"), lit("T"), (lit(11) - a).cast("string"))
+        .as("md"))
+    bqsrTable(reads)
+  }
+
+  val x53Sql: String =
+    """WITH r AS (SELECT 'rg' || (l_orderkey % 3) AS read_group,
+      |    l_suppkey % 5 + 2 AS k, l_partkey % 12 AS a
+      |  FROM lineitem WHERE l_orderkey % 10 = 3),
+      |b AS (SELECT read_group,
+      |    CASE WHEN i < k THEN 40 ELSE 2 END AS reported_q,
+      |    CAST(i AS INTEGER) AS cycle,
+      |    CASE WHEN i = a THEN 1 ELSE 0 END AS m
+      |  FROM r, UNNEST(generate_series(0, 11)) AS u(i))
+      |SELECT read_group, reported_q, cycle,
+      |  CAST(COUNT(*) AS BIGINT) AS obs,
+      |  CAST(SUM(m) AS BIGINT) AS mism,
+      |  CAST(SUM(m) * 1000 // COUNT(*) AS BIGINT) AS mism_permille
+      |FROM b GROUP BY read_group, reported_q, cycle""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2865,7 +2941,8 @@ object Genomics {
     "x49_bed_roundtrip_gate" -> (x49BedRoundtrip _),
     "x50_depth_uniformity"   -> (x50DepthUniformity _),
     "x51_gc_bias"            -> (x51GcBias _),
-    "x52_consensus_pileup"   -> (x52Consensus _))
+    "x52_consensus_pileup"   -> (x52Consensus _),
+    "x53_bqsr_table"         -> (x53BqsrTable _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2902,5 +2979,6 @@ object Genomics {
     "x49_bed_roundtrip_gate" -> x49Sql,
     "x50_depth_uniformity"   -> x50Sql,
     "x51_gc_bias"            -> x51Sql,
-    "x52_consensus_pileup"   -> x52Sql)
+    "x52_consensus_pileup"   -> x52Sql,
+    "x53_bqsr_table"         -> x53Sql)
 }

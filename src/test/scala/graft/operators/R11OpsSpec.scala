@@ -282,6 +282,32 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("x53 bqsrTable: covariate cells from real qual chars + MD parse; " +
+      "N substitutions carry no mismatch evidence") {
+    val reads = Seq(
+      // sub at cycle 2, quals Q40 Q40 Q2 Q2
+      ("rgA", "==C=", "II##", "2T1"),
+      // clean read, quals Q40 Q2 Q40 Q2
+      ("rgA", "====", "I#I#", "4"),
+      // N at the substituted cycle: the scanner suppresses the variant,
+      // so cycle 1 contributes an observation but NO mismatch
+      ("rgB", "=N==", "IIII", "1G2"))
+      .toDF("read_group", "seq", "qual", "md")
+    val got = Genomics.bqsrTable(reads)
+      .as[(String, Int, Int, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("rgA", 40, 0, 2L, 0L, 0L),
+      ("rgA", 40, 1, 1L, 0L, 0L),
+      ("rgA", 2, 1, 1L, 0L, 0L),
+      ("rgA", 40, 2, 1L, 0L, 0L),
+      ("rgA", 2, 2, 1L, 1L, 1000L),
+      ("rgA", 2, 3, 2L, 0L, 0L),
+      ("rgB", 40, 0, 1L, 0L, 0L),
+      ("rgB", 40, 1, 1L, 0L, 0L),
+      ("rgB", 40, 2, 1L, 0L, 0L),
+      ("rgB", 40, 3, 1L, 0L, 0L)))
+  }
+
   test("x51 gcBias: window GC from the string, zero-mass windows kept, " +
       "staged milli normalization, partial tail window") {
     val refs = Seq(("c", "GGGGAAAACC")).toDF("name", "seq")
