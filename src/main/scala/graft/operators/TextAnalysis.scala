@@ -2550,6 +2550,60 @@ object TextAnalysis {
       |  CAST(MAX(n) AS BIGINT) AS max_dup
       |FROM pc GROUP BY host ORDER BY host""".stripMargin
 
+  // ---------------------------------------------------------------- t39
+  /** TEMPERATURE-BASED MULTILINGUAL SAMPLING WEIGHTS (mC4 / XLM-R /
+    * mT5's language-mixing rule): sampling a multilingual corpus
+    * proportional to raw token mass drowns low-resource languages, so
+    * pretraining mixes sample language l with probability ∝ p_l^α
+    * (α = 1/2 here) — the "temperature" that upweights the tail. The
+    * operator emits, per language: token mass, the raw ppm share, the
+    * temperature ppm share, and the boost ratio (milli) a sampler
+    * applies — low-resource languages get boost > 1000, the dominant
+    * language < 1000, by construction of the concave power.
+    *
+    * Determinism: mass^(1/2) is `floor(sqrt(x))` — IEEE mandates sqrt
+    * correctly rounded, so JVM and DuckDB agree bit-for-bit (the
+    * no-libm discipline: ln/pow are NOT mandated, sqrt is). Exact for
+    * masses below 2^52, far past any per-language token count that fits
+    * a BIGINT corpus ledger.
+    *
+    * Scale shape: one narrow scan → per-lang partial-aggregated mass
+    * (|langs| rows), then every derived column is arithmetic on a
+    * scalar-broadcast total. Nothing corpus-sized ever shuffles; the
+    * result is a dim table a sampler broadcasts right back (t34's
+    * mixture materialization consumes exactly this shape). */
+  def t39TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val mass = Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("tok_mass"))
+      .withColumn("w",
+        floor(sqrt(col("tok_mass").cast("double"))).cast("long"))
+    val tot = mass.agg(sum(col("tok_mass")).as("m_tot"),
+      sum(col("w")).as("w_tot"))
+    mass.crossJoin(tot)
+      .select(col("lang"), col("tok_mass"),
+        expr("tok_mass * 1000000 div m_tot").as("raw_ppm"),
+        expr("w * 1000000 div w_tot").as("temp_ppm"))
+      .withColumn("boost_milli", expr("temp_ppm * 1000 div raw_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val t39Sql: String =
+    """WITH t AS (SELECT lang,
+      |    len(string_split_regex(lower(trim(text)), '\s+')) AS n
+      |  FROM documents),
+      |m AS (SELECT lang, SUM(n) AS tok_mass FROM t GROUP BY lang),
+      |w AS (SELECT lang, tok_mass,
+      |    CAST(floor(sqrt(CAST(tok_mass AS DOUBLE))) AS BIGINT) AS w
+      |  FROM m),
+      |tot AS (SELECT SUM(tok_mass) AS m_tot, SUM(w) AS w_tot FROM w)
+      |SELECT lang, CAST(tok_mass AS BIGINT) AS tok_mass,
+      |  CAST(tok_mass * 1000000 // m_tot AS BIGINT) AS raw_ppm,
+      |  CAST(w * 1000000 // w_tot AS BIGINT) AS temp_ppm,
+      |  CAST((w * 1000000 // w_tot) * 1000
+      |    // (tok_mass * 1000000 // m_tot) AS BIGINT) AS boost_milli
+      |FROM w, tot ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2588,7 +2642,8 @@ object TextAnalysis {
     "t35_fertility" -> (t35Fertility _),
     "t36_boilerplate_lines" -> (t36BoilerplateLines _),
     "t37_url_canonicalize" -> (t37UrlCanonicalize _),
-    "t38_ccnet_buckets" -> (t38CcnetBuckets _))
+    "t38_ccnet_buckets" -> (t38CcnetBuckets _),
+    "t39_temperature_mix" -> (t39TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2627,5 +2682,6 @@ object TextAnalysis {
     "t35_fertility" -> t35Sql,
     "t36_boilerplate_lines" -> t36Sql,
     "t37_url_canonicalize" -> t37Sql,
-    "t38_ccnet_buckets" -> t38Sql)
+    "t38_ccnet_buckets" -> t38Sql,
+    "t39_temperature_mix" -> t39Sql)
 }

@@ -282,6 +282,22 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("t39 temperatureMix: isqrt weights, exact ppm shares, concave " +
+      "boost (low-resource up, dominant down)") {
+    val docs = Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "lo", "s"),
+      (2L, Seq.fill(400)("w").mkString(" "), "hi", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("t39").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t39TemperatureMix(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // masses 400/100 -> w 20/10, m_tot 500, w_tot 30
+    assert(got === Set(
+      ("hi", 400L, 800000L, 666666L, 833L),
+      ("lo", 100L, 200000L, 333333L, 1666L)))
+  }
+
   test("x53 bqsrTable: covariate cells from real qual chars + MD parse; " +
       "N substitutions carry no mismatch evidence") {
     val reads = Seq(
