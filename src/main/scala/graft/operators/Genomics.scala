@@ -2906,6 +2906,114 @@ object Genomics {
       |  CAST(SUM(m) * 1000 // COUNT(*) AS BIGINT) AS mism_permille
       |FROM b GROUP BY read_group, reported_q, cycle""".stripMargin
 
+  // ---------------------------------------------------------------- x54
+  /** STRUCTURAL-VARIANT EVIDENCE CLUSTERING (the DELLY/LUMPY/Manta first
+    * pass): discordant read pairs — mates on different contigs
+    * (translocation evidence, BND) or same-contig with an insert far
+    * beyond the library's expectation (deletion evidence, DEL) — vote
+    * for a breakpoint-pair locus; loci with ≥ `minSupport` independent
+    * pairs become SV candidates. Endpoints are ordered canonically
+    * (contig, pos) so a pair reported from either mate lands in the same
+    * cluster, then both breakpoints bin at `binWidth` and the cluster
+    * key is (contig_a, bin_a, contig_b, bin_b, svtype).
+    *
+    * Scale shape: one filter (discordant fraction is tiny — the scan
+    * prunes to it), one hash aggregate on the uniform composite bin key,
+    * map-side combinable; no window, no self-join, nothing corpus-sized
+    * past the filter. A cluster straddling a bin edge splits — the
+    * standard first-pass coarseness; callers refine survivors with a
+    * local assembly that reads ONLY candidate loci. */
+  def svEvidenceClusters(pairs: DataFrame, binWidth: Long, maxInsert: Long,
+      minSupport: Long): DataFrame = {
+    val disc = pairs.where(col("contig") =!= col("mate_contig") ||
+      abs(col("mate_pos") - col("pos")) > maxInsert)
+    val aFirst = col("contig") < col("mate_contig") ||
+      (col("contig") === col("mate_contig") && col("pos") <= col("mate_pos"))
+    disc
+      .select(
+        when(aFirst, col("contig")).otherwise(col("mate_contig"))
+          .as("contig_a"),
+        when(aFirst, col("pos")).otherwise(col("mate_pos")).as("pos_a"),
+        when(aFirst, col("mate_contig")).otherwise(col("contig"))
+          .as("contig_b"),
+        when(aFirst, col("mate_pos")).otherwise(col("pos")).as("pos_b"))
+      .withColumn("svtype",
+        when(col("contig_a") =!= col("contig_b"), lit("BND"))
+          .otherwise(lit("DEL")))
+      .groupBy(col("contig_a"), expr(s"pos_a div $binWidth").as("bin_a"),
+        col("contig_b"), expr(s"pos_b div $binWidth").as("bin_b"),
+        col("svtype"))
+      .agg(count(lit(1)).as("support"),
+        min(col("pos_a")).as("min_a"), max(col("pos_a")).as("max_a"))
+      .where(col("support") >= minSupport)
+  }
+
+  /** Driver gate: pairs from lineitem — concordant background (insert
+    * 150 ≪ maxInsert, filtered), long-insert DEL evidence on ok%7=2,
+    * and BND hotspots on ok%7=3 anchored at three per-contig kilobase
+    * loci so clusters genuinely accumulate support. Closed-form oracle. */
+  def x54SvClusters(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val c = concat(lit("c"), (col("l_suppkey") % 2).cast("string"))
+    val p = (col("l_partkey") % 1000).cast("long")
+    val cls = col("l_orderkey") % 7
+    val hot = ((col("l_orderkey") % 3) * 1000 +
+      col("l_partkey") % 50).cast("long")
+    val pairs = li.select(
+      when(cls === 3, lit("c0")).otherwise(c).as("contig"),
+      when(cls === 3, hot).otherwise(p).as("pos"),
+      when(cls === 3, lit("c1"))
+        .otherwise(c).as("mate_contig"),
+      when(cls === 3, ((col("l_orderkey") % 3) * 1000 +
+          col("l_suppkey") % 50).cast("long"))
+        .when(cls === 2, p + 5000L)
+        .otherwise(p + 150L).as("mate_pos"))
+    svEvidenceClusters(pairs, binWidth = 1000L, maxInsert = 500L,
+      minSupport = 3L)
+      .orderBy("contig_a", "bin_a", "contig_b", "bin_b", "svtype")
+  }
+
+  val x54Sql: String =
+    """WITH r AS (SELECT
+      |    CASE WHEN l_orderkey % 7 = 3 THEN 'c0'
+      |      ELSE 'c' || (l_suppkey % 2) END AS contig,
+      |    CASE WHEN l_orderkey % 7 = 3
+      |      THEN (l_orderkey % 3) * 1000 + l_partkey % 50
+      |      ELSE l_partkey % 1000 END AS pos,
+      |    CASE WHEN l_orderkey % 7 = 3 THEN 'c1'
+      |      ELSE 'c' || (l_suppkey % 2) END AS mate_contig,
+      |    CASE WHEN l_orderkey % 7 = 3
+      |        THEN (l_orderkey % 3) * 1000 + l_suppkey % 50
+      |      WHEN l_orderkey % 7 = 2 THEN l_partkey % 1000 + 5000
+      |      ELSE l_partkey % 1000 + 150 END AS mate_pos
+      |  FROM lineitem),
+      |disc AS (SELECT * FROM r
+      |  WHERE contig <> mate_contig OR abs(mate_pos - pos) > 500),
+      |o AS (SELECT
+      |    CASE WHEN contig < mate_contig
+      |        OR (contig = mate_contig AND pos <= mate_pos)
+      |      THEN contig ELSE mate_contig END AS contig_a,
+      |    CASE WHEN contig < mate_contig
+      |        OR (contig = mate_contig AND pos <= mate_pos)
+      |      THEN pos ELSE mate_pos END AS pos_a,
+      |    CASE WHEN contig < mate_contig
+      |        OR (contig = mate_contig AND pos <= mate_pos)
+      |      THEN mate_contig ELSE contig END AS contig_b,
+      |    CASE WHEN contig < mate_contig
+      |        OR (contig = mate_contig AND pos <= mate_pos)
+      |      THEN mate_pos ELSE pos END AS pos_b
+      |  FROM disc)
+      |SELECT contig_a, CAST(pos_a // 1000 AS BIGINT) AS bin_a,
+      |  contig_b, CAST(pos_b // 1000 AS BIGINT) AS bin_b,
+      |  CASE WHEN contig_a <> contig_b THEN 'BND' ELSE 'DEL' END AS svtype,
+      |  CAST(COUNT(*) AS BIGINT) AS support,
+      |  CAST(MIN(pos_a) AS BIGINT) AS min_a,
+      |  CAST(MAX(pos_a) AS BIGINT) AS max_a
+      |FROM o GROUP BY contig_a, pos_a // 1000, contig_b, pos_b // 1000,
+      |  CASE WHEN contig_a <> contig_b THEN 'BND' ELSE 'DEL' END
+      |HAVING COUNT(*) >= 3
+      |ORDER BY contig_a, bin_a, contig_b, bin_b, svtype""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -2942,7 +3050,8 @@ object Genomics {
     "x50_depth_uniformity"   -> (x50DepthUniformity _),
     "x51_gc_bias"            -> (x51GcBias _),
     "x52_consensus_pileup"   -> (x52Consensus _),
-    "x53_bqsr_table"         -> (x53BqsrTable _))
+    "x53_bqsr_table"         -> (x53BqsrTable _),
+    "x54_sv_clusters"        -> (x54SvClusters _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -2980,5 +3089,6 @@ object Genomics {
     "x50_depth_uniformity"   -> x50Sql,
     "x51_gc_bias"            -> x51Sql,
     "x52_consensus_pileup"   -> x52Sql,
-    "x53_bqsr_table"         -> x53Sql)
+    "x53_bqsr_table"         -> x53Sql,
+    "x54_sv_clusters"        -> x54Sql)
 }

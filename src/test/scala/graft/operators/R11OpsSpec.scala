@@ -282,6 +282,22 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("x54 svEvidenceClusters: mate-swapped reports join one cluster, " +
+      "concordant pairs filtered, sub-support clusters dropped") {
+    val pairs = Seq(
+      ("c1", 5000L, "c0", 100L),  // BND reported from the other mate
+      ("c0", 120L, "c1", 5100L),
+      ("c0", 130L, "c1", 5200L),
+      ("c0", 200L, "c0", 350L),   // concordant: insert 150 <= 500
+      ("c0", 9000L, "c0", 1000L)) // DEL evidence but support 1 < 3
+      .toDF("contig", "pos", "mate_contig", "mate_pos")
+    val got = Genomics.svEvidenceClusters(pairs, binWidth = 1000L,
+        maxInsert = 500L, minSupport = 3L)
+      .as[(String, Long, String, Long, String, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set(("c0", 0L, "c1", 5L, "BND", 3L, 100L, 130L)))
+  }
+
   test("t39 temperatureMix: isqrt weights, exact ppm shares, concave " +
       "boost (low-resource up, dominant down)") {
     val docs = Seq(
