@@ -636,6 +636,53 @@ object Relational {
       |  true AS found_ok, true AS bounds_ok
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** PARTITION-PRUNE (zone-map) GATE — the data-layout contract that
+    * makes 100 TB scans affordable: a table written CLUSTERED on a
+    * predicate column (directory-partitioned by year here; sort-order +
+    * parquet min/max footers are the within-file analogue) must be read
+    * with the filter resolved AGAINST THE LAYOUT, touching only the
+    * matching partitions. The proof is plan-level, not row-level:
+    * `input_file_name` alone cannot distinguish pruning from
+    * scan-everything-filter-rows (emitted rows always come from the
+    * matching files), so the gate reads `FileSourceScanExec
+    * .selectedPartitions` — the number of directories the scan will
+    * actually list — and requires exactly one of the seven years, plus
+    * the file-level containment check as a sanity layer. The aggregate
+    * itself is oracle-checked against the unpartitioned source. */
+  def q83PartitionPruneGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q83_$tag"
+    Tables.orders(s, d)
+      .withColumn("oyear", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("oyear").parquet(root)
+    val t = s.read.parquet(root)
+    val filtered = t.where(col("oyear") === 1996)
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.nonEmpty, "q83: no parquet scan in the executed plan")
+    val nSelected = scans.map(_.selectedPartitions.partitionCount).sum
+    val nTotal = t.select(col("oyear")).distinct().count()
+    val prunedOk = nSelected == 1 && nTotal >= 5
+    val filesOk = filtered.select(input_file_name().as("f")).distinct()
+      .where(!col("f").contains("oyear=1996")).count() == 0L
+    filtered.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .select(col("n_rows"), col("key_sum"), col("n_cust"),
+        lit(prunedOk).as("pruned_ok"), lit(filesOk).as("files_ok"))
+  }
+
+  val q83Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  true AS pruned_ok, true AS files_ok
+      |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3350,7 +3397,8 @@ object Relational {
     "q79_pagerank"     -> (q79PageRank _),
     "q80_asof_directions" -> (q80AsofDirections _),
     "q81_heavy_hitters_gate" -> (q81HeavyHittersGate _),
-    "q82_stream_heavy_hitters_gate" -> (q82StreamHeavyHittersGate _))
+    "q82_stream_heavy_hitters_gate" -> (q82StreamHeavyHittersGate _),
+    "q83_partition_prune_gate" -> (q83PartitionPruneGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3434,5 +3482,6 @@ object Relational {
     "q79_pagerank"     -> q79Sql,
     "q80_asof_directions" -> q80Sql,
     "q81_heavy_hitters_gate" -> q81Sql,
-    "q82_stream_heavy_hitters_gate" -> q82Sql)
+    "q82_stream_heavy_hitters_gate" -> q82Sql,
+    "q83_partition_prune_gate" -> q83Sql)
 }

@@ -282,6 +282,18 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("q83 partition prune: scan lists exactly one of the year dirs, " +
+      "aggregate equals the unpartitioned filter") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Relational.q83PartitionPruneGate(spark, dir)
+      .as[(Long, Long, Long, Boolean, Boolean)].head()
+    assert(r._4, "plan listed more than the matching partition")
+    assert(r._5, "a scanned file lived outside oyear=1996")
+    val expect = graft.Tables.orders(spark, dir)
+      .where(year(col("o_orderdate")) === 1996).count()
+    assert(r._1 === expect)
+  }
+
   test("x54 svEvidenceClusters: mate-swapped reports join one cluster, " +
       "concordant pairs filtered, sub-support clusters dropped") {
     val pairs = Seq(
