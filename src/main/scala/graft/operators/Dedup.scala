@@ -119,23 +119,28 @@ object Dedup {
 
   /** d02's core, unsorted — also the edge set of d12's cluster formation
     * (no global sort below the CC loop's joins). */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // the scale guard fires on EVERY call — a cached artifact must not
+    // mute the refusal contract (R10OpsSpec pins it under a lowered cap)
+    assertOracleKernelScale(s, d)
     oraclePairsCache.getOrElseUpdate(d, {
-      assertOracleKernelScale(s, d)
       val p = exactJaccardPairs(Tables.documents(s, d), 0.5).persist()
       p.count()
       p
     })
+  }
 
   /** CC labels over the oracle edge set, cached per dataset dir —
     * d12's output, d16's and d26's input. */
-  private def dupGraphLabels(s: SparkSession, d: String): DataFrame =
+  private def dupGraphLabels(s: SparkSession, d: String): DataFrame = {
+    assertOracleKernelScale(s, d)
     oracleLabelsCache.getOrElseUpdate(d, {
       val l = connectedComponents(
         ngramJaccardPairs(s, d).select("a_id", "b_id")).persist()
       l.count()
       l
     })
+  }
 
   /** The (lang, source)-blocked exact pair kernel over an ARBITRARY doc
     * frame — d02/d12's oracle formulation, also the exact-label side of

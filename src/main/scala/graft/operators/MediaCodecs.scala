@@ -137,6 +137,40 @@ object ImageOps {
     ImageRaster(cw, ch, out)
   }
 
+  /** CONTENT-BOX detection (FFmpeg `cropdetect`): the bounding box of
+    * pixels at or above `thr`, scanned from each edge — the pass a video
+    * training pipeline runs to strip letterbox/pillarbox bars before
+    * resize (bars poison both perceptual hashes and patch statistics).
+    * Returns (top, bottom, left, right) bar widths plus the content
+    * dimensions; an all-dark frame reports full-width bars and a 0×0
+    * content box. One pass over the raster per edge pair, pure integer. */
+  def contentBox(r: ImageRaster, thr: Int): (Int, Int, Int, Int, Int, Int) = {
+    val w = r.width; val h = r.height
+    def rowLit(y: Int): Boolean = {
+      var i = y * w * 3; val end = i + w * 3
+      while (i < end) { if ((r.rgb(i) & 0xff) >= thr) return true; i += 1 }
+      false
+    }
+    def colLit(x: Int): Boolean = {
+      var y = 0
+      while (y < h) {
+        var c = 0
+        while (c < 3) {
+          if ((r.rgb((y * w + x) * 3 + c) & 0xff) >= thr) return true
+          c += 1
+        }
+        y += 1
+      }
+      false
+    }
+    var top = 0; while (top < h && !rowLit(top)) top += 1
+    if (top == h) return (h, h, w, w, 0, 0)
+    var bot = h - 1; while (bot >= 0 && !rowLit(bot)) bot -= 1
+    var lft = 0; while (lft < w && !colLit(lft)) lft += 1
+    var rgt = w - 1; while (rgt >= 0 && !colLit(rgt)) rgt -= 1
+    (top, h - 1 - bot, lft, w - 1 - rgt, rgt - lft + 1, bot - top + 1)
+  }
+
   /** Area-map resize to an EXACT output geometry (perceptual-hash grids
     * need fixed dimensions; [[boxResize]] fixes the factor instead):
     * output pixel (bx, by) floor-means the input block

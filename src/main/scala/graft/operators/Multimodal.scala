@@ -933,6 +933,70 @@ object Multimodal {
       |FROM tot t LEFT JOIN seg s ON t.doc_id = s.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m14
+  /** LETTERBOX / PILLARBOX detection (FFmpeg `cropdetect`) — the
+    * geometry-normalization pass a video/image training pipeline runs
+    * before resize or perceptual hashing: black bars around the content
+    * poison both patch statistics and dHash-family signatures, so the
+    * content bounding box must be found and reported per asset. The
+    * kernel is [[ImageOps.contentBox]] — edge-inward scans for the first
+    * row/column holding any pixel ≥ threshold — over the REAL decoder's
+    * raster.
+    *
+    * Scale shape: a per-row codec UDF over the opaque binary column (the
+    * m03/m10 contract — decode work stays narrow and partition-local,
+    * zero shuffles; this is the workload class where a per-row kernel IS
+    * the right tool). Gate plants bars of key-derived widths (including
+    * zero on both axes, so the no-bar fast path is exercised) around the
+    * text raster; content pixels are ≥ 32 by ASCII construction, bars
+    * are 0, threshold 16 splits them with margin on both sides. */
+  def m14LetterboxDetect(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val boxed = udf { (text: String, t: Int, l: Int) =>
+      val bytes = text.getBytes("UTF-8")
+      val h0 = math.max(1, math.ceil(bytes.length / 48.0).toInt)
+      val content = java.util.Arrays.copyOf(bytes, h0 * 48)
+      java.util.Arrays.fill(content, bytes.length, h0 * 48, ' '.toByte)
+      val w = 16 + 2 * l
+      val h = h0 + 2 * t
+      val bos = new java.io.ByteArrayOutputStream(20 + w * h * 3)
+      bos.write(s"P6\n$w $h\n255\n".getBytes("UTF-8"))
+      val black = new Array[Byte](w * 3)
+      val side = new Array[Byte](l * 3)
+      var y = 0
+      while (y < t) { bos.write(black); y += 1 }
+      var r = 0
+      while (r < h0) {
+        bos.write(side); bos.write(content, r * 48, 48); bos.write(side)
+        r += 1
+      }
+      y = 0
+      while (y < t) { bos.write(black); y += 1 }
+      bos.toByteArray
+    }
+    val det = udf { p: Array[Byte] => ImageOps.contentBox(codec.raster(p), 16) }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        boxed(col("text"), (col("doc_id") % 3).cast("int"),
+          (col("doc_id") % 2).cast("int")).as("img"))
+      .select(col("doc_id"), det(col("img")).as("b"))
+      .select(col("doc_id"),
+        col("b._1").as("bars_top"), col("b._2").as("bars_bottom"),
+        col("b._3").as("bars_left"), col("b._4").as("bars_right"),
+        col("b._5").as("content_w"), col("b._6").as("content_h"))
+      .orderBy("doc_id")
+  }
+
+  val m14Sql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 3 AS INT) AS bars_top,
+      |  CAST(doc_id % 3 AS INT) AS bars_bottom,
+      |  CAST(doc_id % 2 AS INT) AS bars_left,
+      |  CAST(doc_id % 2 AS INT) AS bars_right,
+      |  CAST(16 AS INT) AS content_w,
+      |  CAST(greatest(ceil(length(text) / 48.0), 1) AS INT) AS content_h
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -946,7 +1010,8 @@ object Multimodal {
     "m10_image_augment"  -> (m10ImageAugment _),
     "m11_scene_cuts"     -> (m11SceneCuts _),
     "m12_image_patchify" -> (m12ImagePatchify _),
-    "m13_audio_segments"  -> (m13AudioSegments _))
+    "m13_audio_segments"  -> (m13AudioSegments _),
+    "m14_letterbox_detect" -> (m14LetterboxDetect _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -961,5 +1026,6 @@ object Multimodal {
     "m10_image_augment"  -> m10Sql,
     "m11_scene_cuts"     -> m11Sql,
     "m12_image_patchify" -> m12Sql,
-    "m13_audio_segments"  -> m13Sql)
+    "m13_audio_segments"  -> m13Sql,
+    "m14_letterbox_detect" -> m14Sql)
 }

@@ -282,6 +282,22 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("m14 contentBox: asymmetric bars found, all-dark frame reports " +
+      "full bars and an empty box") {
+    // 4x3 raster, single lit pixel at (x=2, y=1)
+    val rgb = new Array[Byte](4 * 3 * 3)
+    rgb((1 * 4 + 2) * 3 + 1) = 200.toByte
+    assert(ImageOps.contentBox(ImageRaster(4, 3, rgb), 16) ===
+      ((1, 1, 2, 1, 1, 1)))
+    assert(ImageOps.contentBox(ImageRaster(4, 3, new Array[Byte](36)), 16)
+      === ((3, 3, 4, 4, 0, 0)))
+    // threshold boundary: a pixel AT thr counts as content
+    val edge = new Array[Byte](36)
+    edge(0) = 16
+    assert(ImageOps.contentBox(ImageRaster(4, 3, edge), 16) ===
+      ((0, 2, 0, 3, 1, 1)))
+  }
+
   test("q83 partition prune: scan lists exactly one of the year dirs, " +
       "aggregate equals the unpartitioned filter") {
     val dir = "/root/testdata/sf0.001"
