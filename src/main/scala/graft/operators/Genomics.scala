@@ -3014,6 +3014,100 @@ object Genomics {
       |HAVING COUNT(*) >= 3
       |ORDER BY contig_a, bin_a, contig_b, bin_b, svtype""".stripMargin
 
+  // ---------------------------------------------------------------- x55
+  /** READ-DEPTH CNV SEGMENTATION (CNVnator / control-FREEC's first
+    * pass): per-bucket sample-vs-reference depth ratios classify each
+    * genomic bucket as loss / neutral / gain, and consecutive same-state
+    * buckets merge into copy-number segments — the event calls a CNV
+    * pipeline hands to breakpoint refinement. Ratios are integer
+    * permille; states split at `lossMax` / `gainMin`.
+    *
+    * Scale shape: classification is a narrow map over the bucket table
+    * (already corpus-reduced: one row per (contig, bucket), not per
+    * read); the merge is the gaps-and-islands key `bucket − row_number`
+    * inside a (contig, state)-KEYED window — per-contig-per-state
+    * partitions, never corpus-global (requireKeyedWindows enforced), and
+    * a missing bucket (no reference mass) breaks adjacency naturally.
+    * Segment rows are output-sized: ≤ one per state change. */
+  def cnvSegments(buckets: DataFrame, lossMax: Long,
+      gainMin: Long): DataFrame = {
+    val rated = buckets
+      .where(col("ref_mass") > 0)
+      .withColumn("ratio_permille",
+        expr("sample_mass * 1000 div ref_mass"))
+      .withColumn("state",
+        when(col("ratio_permille") <= lossMax, lit("loss"))
+          .when(col("ratio_permille") >= gainMin, lit("gain"))
+          .otherwise(lit("neutral")))
+    val w = Window.partitionBy(col("contig"), col("state"))
+      .orderBy(col("bucket"))
+    val out = rated
+      .withColumn("grp", col("bucket") - row_number().over(w))
+      .groupBy(col("contig"), col("state"), col("grp"))
+      .agg(min(col("bucket")).as("start_bucket"),
+        max(col("bucket")).as("end_bucket"),
+        count(lit(1)).as("n_buckets"),
+        expr("sum(ratio_permille) div count(1)").as("mean_ratio_permille"))
+      .drop("grp")
+    requireKeyedWindows(out, "cnvSegments")
+    out
+  }
+
+  /** Driver gate: bucket masses aggregated from lineitem on two contigs;
+    * the sample track is the reference track scaled in planted windows —
+    * ×2 over buckets [10,20) of c0 (gain), halved over [30,40) of c1
+    * (loss, floor div) — so segments, their boundaries, and the
+    * untouched neutral runs are all closed-form. */
+  def x55CnvSegments(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val base = li.groupBy(
+        concat(lit("c"), (col("l_suppkey") % 2).cast("string")).as("contig"),
+        (col("l_partkey") % 50).cast("long").as("bucket"))
+      .agg(sum(col("l_linenumber") % 5 + 1).as("ref_mass"))
+    val buckets = base.withColumn("sample_mass",
+      when(col("contig") === "c0" &&
+          col("bucket") >= 10 && col("bucket") < 20, col("ref_mass") * 2)
+        .when(col("contig") === "c1" &&
+          col("bucket") >= 30 && col("bucket") < 40,
+          expr("ref_mass div 2"))
+        .otherwise(col("ref_mass")))
+    cnvSegments(buckets, lossMax = 700L, gainMin = 1300L)
+      .orderBy("contig", "start_bucket", "state")
+  }
+
+  val x55Sql: String =
+    """WITH b AS (SELECT 'c' || (l_suppkey % 2) AS contig,
+      |    l_partkey % 50 AS bucket,
+      |    SUM(l_linenumber % 5 + 1) AS ref_mass
+      |  FROM lineitem GROUP BY 1, 2),
+      |sm AS (SELECT contig, bucket, ref_mass,
+      |    CASE WHEN contig = 'c0' AND bucket >= 10 AND bucket < 20
+      |        THEN ref_mass * 2
+      |      WHEN contig = 'c1' AND bucket >= 30 AND bucket < 40
+      |        THEN ref_mass // 2
+      |      ELSE ref_mass END AS sample_mass
+      |  FROM b WHERE ref_mass > 0),
+      |r AS (SELECT contig, bucket,
+      |    sample_mass * 1000 // ref_mass AS ratio_permille
+      |  FROM sm),
+      |st AS (SELECT contig, bucket, ratio_permille,
+      |    CASE WHEN ratio_permille <= 700 THEN 'loss'
+      |      WHEN ratio_permille >= 1300 THEN 'gain'
+      |      ELSE 'neutral' END AS state
+      |  FROM r),
+      |g AS (SELECT contig, state, bucket, ratio_permille,
+      |    bucket - ROW_NUMBER() OVER (PARTITION BY contig, state
+      |      ORDER BY bucket) AS grp
+      |  FROM st)
+      |SELECT contig, state,
+      |  CAST(MIN(bucket) AS BIGINT) AS start_bucket,
+      |  CAST(MAX(bucket) AS BIGINT) AS end_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(ratio_permille) // COUNT(*) AS BIGINT)
+      |    AS mean_ratio_permille
+      |FROM g GROUP BY contig, state, grp
+      |ORDER BY contig, start_bucket, state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -3051,7 +3145,8 @@ object Genomics {
     "x51_gc_bias"            -> (x51GcBias _),
     "x52_consensus_pileup"   -> (x52Consensus _),
     "x53_bqsr_table"         -> (x53BqsrTable _),
-    "x54_sv_clusters"        -> (x54SvClusters _))
+    "x54_sv_clusters"        -> (x54SvClusters _),
+    "x55_cnv_segments"       -> (x55CnvSegments _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3090,5 +3185,6 @@ object Genomics {
     "x51_gc_bias"            -> x51Sql,
     "x52_consensus_pileup"   -> x52Sql,
     "x53_bqsr_table"         -> x53Sql,
-    "x54_sv_clusters"        -> x54Sql)
+    "x54_sv_clusters"        -> x54Sql,
+    "x55_cnv_segments"       -> x55Sql)
 }

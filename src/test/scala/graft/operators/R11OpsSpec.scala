@@ -282,6 +282,27 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("x55 cnvSegments: state islands merge, a missing bucket breaks " +
+      "adjacency, zero-reference buckets drop") {
+    val buckets = Seq(
+      ("cA", 0L, 10L, 10L),  // neutral
+      ("cA", 1L, 10L, 25L),  // gain 2500
+      ("cA", 2L, 10L, 21L),  // gain 2100 -> one segment, mean 2300
+      ("cA", 4L, 10L, 10L),  // neutral, but bucket 3 is missing
+      ("cA", 5L, 10L, 0L),   // loss 0
+      ("cB", 0L, 0L, 5L),    // ref 0: dropped entirely
+      ("cB", 1L, 4L, 2L))    // loss 500
+      .toDF("contig", "bucket", "ref_mass", "sample_mass")
+    val got = Genomics.cnvSegments(buckets, lossMax = 700L, gainMin = 1300L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("cA", "neutral", 0L, 0L, 1L, 1000L),
+      ("cA", "gain", 1L, 2L, 2L, 2300L),
+      ("cA", "neutral", 4L, 4L, 1L, 1000L),
+      ("cA", "loss", 5L, 5L, 1L, 0L),
+      ("cB", "loss", 1L, 1L, 1L, 500L)))
+  }
+
   test("m14 contentBox: asymmetric bars found, all-dark frame reports " +
       "full bars and an empty box") {
     // 4x3 raster, single lit pixel at (x=2, y=1)
