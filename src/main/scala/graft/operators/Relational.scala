@@ -683,6 +683,80 @@ object Relational {
       |  true AS pruned_ok, true AS files_ok
       |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** INCREMENTAL VIEW MAINTENANCE gate — the aggregate-level sibling of
+    * q76's row-level MERGE: a materialized distributive aggregate
+    * (count + sum per key) is maintained under a CDC delta batch by
+    * merging SIGNED delta partials into the stored aggregates — deletes
+    * contribute (−1, −qty), inserts (+1, +qty), and a key whose
+    * maintained count reaches zero leaves the view. The base table is
+    * NEVER rescanned: the only work is aggregating the delta (tiny by
+    * definition) and ONE key-keyed full-outer merge into the view — new
+    * delta keys must surface, so the merge is full-outer, and Spark can
+    * only build a full-outer hash join from shuffled sides (the
+    * preserved side of a broadcast join is illegal to broadcast). That
+    * exchange is the view's own hash partitioning: with the view STORED
+    * bucketed by key (the q44 layout) the merge co-locates and the
+    * shuffle disappears; the delta side is negligible either way. The
+    * gate pins the plan to exactly that single equi-merge — no
+    * nested-loop or cartesian fallback. The identity maintained ≡
+    * recomputed is THE theorem of distributive aggregates, and the gate
+    * checks it literally: the row carries an `ivm_ok` boolean from an
+    * exceptAll-both-ways comparison against a from-scratch recompute of
+    * the post-CDC state. */
+  /** The maintenance kernel: signed delta partials (k, dn, dsq) merged
+    * into the stored view (k, n, sq); zero-count keys leave the view. */
+  private[operators] def ivmMerge(baseAgg: DataFrame,
+      deltaAgg: DataFrame): DataFrame =
+    baseAgg.join(deltaAgg, Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sq"), lit(0L)) + coalesce(col("dsq"), lit(0L)))
+          .as("sum_qty"))
+      .where(col("n_rows") > 0)
+
+  def q84IvmGate(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("k"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_orderkey").as("ok"))
+    val base = li.where(col("ok") % 4 =!= 3)
+    val baseAgg = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+    val deletes = base.where(col("ok") % 8 === 1)
+      .select(col("k"), lit(-1L).as("sgn"), col("qty"))
+    val inserts = li.where(col("ok") % 4 === 3)
+      .select(col("k"), lit(1L).as("sgn"), (col("qty") + 100L).as("qty"))
+    val deltaAgg = deletes.unionByName(inserts)
+      .groupBy(col("k"))
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("qty")).as("dsq"))
+    val merged = ivmMerge(baseAgg, deltaAgg)
+    val plan = merged.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+      "q84: the delta merge degraded to a non-equi join — maintenance " +
+        "must be one key-keyed merge")
+    val recomputed = base.where(col("ok") % 8 =!= 1)
+      .select(col("k"), col("qty"))
+      .unionByName(inserts.select(col("k"), col("qty")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val ivmOk = merged.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(merged).isEmpty
+    merged.withColumn("ivm_ok", lit(ivmOk)).orderBy(col("k"))
+  }
+
+  val q84Sql: String =
+    """WITH li AS (SELECT l_returnflag AS k,
+      |    CAST(l_quantity AS BIGINT) AS qty, l_orderkey AS ok
+      |  FROM lineitem),
+      |fin AS (SELECT k, qty FROM li WHERE ok % 4 <> 3 AND ok % 8 <> 1
+      |  UNION ALL SELECT k, qty + 100 FROM li WHERE ok % 4 = 3)
+      |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty, true AS ivm_ok
+      |FROM fin GROUP BY k ORDER BY k""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3398,7 +3472,8 @@ object Relational {
     "q80_asof_directions" -> (q80AsofDirections _),
     "q81_heavy_hitters_gate" -> (q81HeavyHittersGate _),
     "q82_stream_heavy_hitters_gate" -> (q82StreamHeavyHittersGate _),
-    "q83_partition_prune_gate" -> (q83PartitionPruneGate _))
+    "q83_partition_prune_gate" -> (q83PartitionPruneGate _),
+    "q84_ivm_gate" -> (q84IvmGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3483,5 +3558,6 @@ object Relational {
     "q80_asof_directions" -> q80Sql,
     "q81_heavy_hitters_gate" -> q81Sql,
     "q82_stream_heavy_hitters_gate" -> q82Sql,
-    "q83_partition_prune_gate" -> q83Sql)
+    "q83_partition_prune_gate" -> q83Sql,
+    "q84_ivm_gate" -> q84Sql)
 }

@@ -282,6 +282,16 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("q84 ivmMerge: existing keys update, zero-count keys leave the " +
+      "view, brand-new delta keys enter") {
+    val base = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("k", "n", "sq")
+    val delta = Seq(("b", -1L, -5L), ("c", 1L, 7L), ("a", 1L, 3L))
+      .toDF("k", "dn", "dsq")
+    val got = Relational.ivmMerge(base, delta)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 3L, 13L), ("c", 1L, 7L)))
+  }
+
   test("x55 cnvSegments: state islands merge, a missing bucket breaks " +
       "adjacency, zero-reference buckets drop") {
     val buckets = Seq(
