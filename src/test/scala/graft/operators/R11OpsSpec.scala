@@ -269,17 +269,15 @@ class R11OpsSpec extends SparkSpec {
     assert(r._3, "graph walk lost the 0.6 recall floor")
     // non-vacuousness, the s21 discipline: expansion must have entered
     // the beam somewhere, else the fixture only tests the LSH entries
-    val (q, init, fin) = Similarity.graphSearchBeams(spark, sfDirS21,
-      k = 3, beam = 8, hops = 3)
+    val (_, init, fin, release) = Similarity.graphSearchBeams(spark,
+      sfDirS21, k = 3, beam = 8, hops = 2)
     try {
       val i = init.select("qid", "id").as[(Long, Long)].collect().toSet
       val f = fin.select("qid", "id").as[(Long, Long)].collect().toSet
       assert((f -- i).nonEmpty,
         "fixture degenerate: no expansion node ever displaced an entry — " +
           "the monotone gate would be vacuous")
-    } finally {
-      q.unpersist(); init.unpersist(); fin.unpersist()
-    }
+    } finally release()
   }
 
   test("q84 ivmMerge: existing keys update, zero-count keys leave the " +
