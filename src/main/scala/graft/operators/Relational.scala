@@ -757,6 +757,42 @@ object Relational {
       |  CAST(SUM(qty) AS BIGINT) AS sum_qty, true AS ivm_ok
       |FROM fin GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** RETENTION COHORT MATRIX — the product-analytics workhorse every
+    * event warehouse serves: users grouped by first-seen day (their
+    * cohort), then each (cohort, day-offset) cell counts users still
+    * active that many days later. Two aggregates: the user dim (first
+    * day per user — one shuffle on user_id, map-side combinable) joins
+    * back onto the event stream broadcast (users ≪ events; a
+    * billion-user estate swaps the hint for the shuffle join, plan
+    * otherwise unchanged), then per-cell DISTINCT users — the dedup
+    * pre-aggregates map-side on (cohort, offset, user) before the final
+    * cell count, so repeat events collapse before the exchange. */
+  def q85RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohort), Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q85Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT c.cohort_day,
+      |    CAST(e.day - c.cohort_day AS INT) AS day_offset, e.user_id
+      |  FROM e JOIN c USING (user_id))
+      |SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM a GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3473,7 +3509,8 @@ object Relational {
     "q81_heavy_hitters_gate" -> (q81HeavyHittersGate _),
     "q82_stream_heavy_hitters_gate" -> (q82StreamHeavyHittersGate _),
     "q83_partition_prune_gate" -> (q83PartitionPruneGate _),
-    "q84_ivm_gate" -> (q84IvmGate _))
+    "q84_ivm_gate" -> (q84IvmGate _),
+    "q85_retention_cohorts" -> (q85RetentionCohorts _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3559,5 +3596,6 @@ object Relational {
     "q81_heavy_hitters_gate" -> q81Sql,
     "q82_stream_heavy_hitters_gate" -> q82Sql,
     "q83_partition_prune_gate" -> q83Sql,
-    "q84_ivm_gate" -> q84Sql)
+    "q84_ivm_gate" -> q84Sql,
+    "q85_retention_cohorts" -> q85Sql)
 }

@@ -280,6 +280,26 @@ class R11OpsSpec extends SparkSpec {
     } finally release()
   }
 
+  test("q85 retention: cohort = first day, repeat same-day events " +
+      "collapse, offsets count distinct users") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("q85").toString
+    val mk = (u: Long, day: Int, eid: Long) =>
+      (eid, Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"), u,
+        "click", 1.0, "{}")
+    val ev = Seq(mk(1, 0, 10), mk(1, 2, 11), mk(2, 1, 12), mk(2, 1, 13),
+      mk(3, 0, 14), mk(3, 1, 15))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q85RetentionCohorts(spark, dir)
+      .select(col("cohort_day").cast("string"), col("day_offset"),
+        col("n_active"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
   test("q84 ivmMerge: existing keys update, zero-count keys leave the " +
       "view, brand-new delta keys enter") {
     val base = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("k", "n", "sq")
