@@ -3108,6 +3108,91 @@ object Genomics {
       |FROM g GROUP BY contig, state, grp
       |ORDER BY contig, start_bucket, state""".stripMargin
 
+  // ---------------------------------------------------------------- x56
+  /** UMI COLLAPSE with directional adjacency (UMI-tools / fgbio
+    * GroupReadsByUmi): reads tagged with a unique molecular identifier
+    * collapse to molecules, but sequencing errors fork a true UMI into
+    * low-count 1-mismatch neighbors — so a UMI absorbs into a
+    * same-locus neighbor within edit distance 1 whose count satisfies
+    * the directional rule `cnt_a ≥ 2·cnt_b − 1` (errors are rare, so
+    * the true molecule dominates its error forks). One directional
+    * pass, deterministic: each UMI maps to its best qualifying absorber
+    * (count DESC, umi ASC) or stays its own molecule; iterate-to-
+    * fixpoint for deep error chains is d12's CC loop if a library needs
+    * it.
+    *
+    * Scale shape: (contig, pos, umi) counts are one uniform shuffle;
+    * the absorber search self-joins ONLY within a (contig, pos) locus —
+    * block size is molecular depth, never corpus-sized (the d02 block
+    * bound, but with a physically bounded block) — and the final
+    * per-molecule roll-up is a second uniform aggregate. */
+  def umiCollapse(reads: DataFrame): DataFrame = {
+    val c = reads.groupBy(col("contig"), col("pos"), col("umi"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = c.select(col("contig"), col("pos"),
+      col("umi").as("a_umi"), col("cnt").as("a_cnt"))
+    val w = Window.partitionBy(col("contig"), col("pos"), col("umi"))
+      .orderBy(col("a_cnt").desc, col("a_umi").asc)
+    val absorbed = c.join(a, Seq("contig", "pos"))
+      .where(col("a_umi") =!= col("umi") &&
+        levenshtein(col("a_umi"), col("umi")) <= 1 &&
+        col("a_cnt") >= col("cnt") * 2 - 1)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("contig"), col("pos"), col("umi"), col("a_umi"))
+    c.join(absorbed, Seq("contig", "pos", "umi"), "left_outer")
+      .select(col("contig"), col("pos"),
+        coalesce(col("a_umi"), col("umi")).as("molecule_umi"),
+        col("cnt"))
+      .groupBy(col("contig"), col("pos"), col("molecule_umi"))
+      .agg(sum(col("cnt")).as("n_reads"),
+        count(lit(1)).as("n_umis"))
+  }
+
+  /** Driver gate: loci from lineitem with a dominant true UMI (AAAA), a
+    * 1-mismatch error fork (AAAT, ~1/4 of reads), and an independent
+    * distant molecule (GGGG) — whether the fork absorbs at a given
+    * locus depends on that locus's actual counts through the
+    * directional rule, and the oracle replays the full rule. */
+  def x56UmiCollapse(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 3 === 1)
+    val reads = li.select(
+      concat(lit("c"), (col("l_suppkey") % 2).cast("string")).as("contig"),
+      (col("l_partkey") % 100).cast("long").as("pos"),
+      when(col("l_orderkey") % 13 === 0, lit("GGGG"))
+        .when(col("l_linenumber") % 4 === 0, lit("AAAT"))
+        .otherwise(lit("AAAA")).as("umi"))
+    umiCollapse(reads)
+      .orderBy("contig", "pos", "molecule_umi")
+  }
+
+  val x56Sql: String =
+    """WITH r AS (SELECT 'c' || (l_suppkey % 2) AS contig,
+      |    l_partkey % 100 AS pos,
+      |    CASE WHEN l_orderkey % 13 = 0 THEN 'GGGG'
+      |      WHEN l_linenumber % 4 = 0 THEN 'AAAT'
+      |      ELSE 'AAAA' END AS umi
+      |  FROM lineitem WHERE l_orderkey % 3 = 1),
+      |c AS (SELECT contig, pos, umi, COUNT(*) AS cnt
+      |  FROM r GROUP BY contig, pos, umi),
+      |cand AS (SELECT b.contig, b.pos, b.umi, a.umi AS a_umi,
+      |    ROW_NUMBER() OVER (PARTITION BY b.contig, b.pos, b.umi
+      |      ORDER BY a.cnt DESC, a.umi ASC) AS rk
+      |  FROM c b JOIN c a
+      |    ON a.contig = b.contig AND a.pos = b.pos
+      |  WHERE a.umi <> b.umi AND levenshtein(a.umi, b.umi) <= 1
+      |    AND a.cnt >= b.cnt * 2 - 1),
+      |ab AS (SELECT contig, pos, umi, a_umi FROM cand WHERE rk = 1),
+      |m AS (SELECT c.contig, c.pos,
+      |    COALESCE(ab.a_umi, c.umi) AS molecule_umi, c.cnt
+      |  FROM c LEFT JOIN ab
+      |    ON c.contig = ab.contig AND c.pos = ab.pos AND c.umi = ab.umi)
+      |SELECT contig, CAST(pos AS BIGINT) AS pos, molecule_umi,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_reads,
+      |  CAST(COUNT(*) AS BIGINT) AS n_umis
+      |FROM m GROUP BY contig, pos, molecule_umi
+      |ORDER BY contig, pos, molecule_umi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -3146,7 +3231,8 @@ object Genomics {
     "x52_consensus_pileup"   -> (x52Consensus _),
     "x53_bqsr_table"         -> (x53BqsrTable _),
     "x54_sv_clusters"        -> (x54SvClusters _),
-    "x55_cnv_segments"       -> (x55CnvSegments _))
+    "x55_cnv_segments"       -> (x55CnvSegments _),
+    "x56_umi_collapse"       -> (x56UmiCollapse _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3186,5 +3272,6 @@ object Genomics {
     "x52_consensus_pileup"   -> x52Sql,
     "x53_bqsr_table"         -> x53Sql,
     "x54_sv_clusters"        -> x54Sql,
-    "x55_cnv_segments"       -> x55Sql)
+    "x55_cnv_segments"       -> x55Sql,
+    "x56_umi_collapse"       -> x56Sql)
 }

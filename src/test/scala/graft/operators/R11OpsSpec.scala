@@ -280,6 +280,26 @@ class R11OpsSpec extends SparkSpec {
     } finally release()
   }
 
+  test("x56 umiCollapse: directional boundary (2b-1) exact, distant UMIs " +
+      "stay, one-round chains keep the intermediate rep") {
+    def reads(umi: String, n: Int, pos: Long = 1L) =
+      Seq.fill(n)(("c1", pos, umi))
+    val rs = (
+      reads("AAAA", 5) ++ reads("AAAT", 3) ++        // 5 >= 2*3-1: absorb
+      reads("AAAA", 5, 2L) ++ reads("AAAT", 4, 2L) ++ // 5 < 7: separate
+      reads("CCCC", 9, 3L) ++ reads("CCCT", 4, 3L) ++ // chain: CCCT->CCCC
+      reads("CCTT", 2, 3L))                           // CCTT->CCCT (1 round)
+      .toDF("contig", "pos", "umi")
+    val got = Genomics.umiCollapse(rs)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("c1", 1L, "AAAA", 8L, 2L),
+      ("c1", 2L, "AAAA", 5L, 1L),
+      ("c1", 2L, "AAAT", 4L, 1L),
+      ("c1", 3L, "CCCC", 13L, 2L),
+      ("c1", 3L, "CCCT", 2L, 1L)))
+  }
+
   test("q85 retention: cohort = first day, repeat same-day events " +
       "collapse, offsets count distinct users") {
     import java.sql.Timestamp
