@@ -2604,6 +2604,65 @@ object TextAnalysis {
       |    // (tok_mass * 1000000 // m_tot) AS BIGINT) AS boost_milli
       |FROM w, tot ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t40
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022) — the
+    * data-side trick that gives a left-to-right LM infilling ability:
+    * for a deterministic half of the corpus, pick two cut points, and
+    * reorder the document to PSM form
+    * `<PRE>prefix<SUF>suffix<MID>middle`; the other half stays
+    * autoregressive. Cuts here are key-derived residues mod (n+1) — at
+    * corpus scale a pipeline derives them from a content hash, same
+    * plan — including the degenerate empty-prefix/middle/suffix cases
+    * (c1 = c2, cuts at 0 or n), which MUST reassemble losslessly: the
+    * row pins the transformed text's exact md5 and length (length is
+    * original + 15 sentinel chars for FIM rows — a character lost at a
+    * cut boundary flips both).
+    *
+    * Scale shape: pure per-row projection — three substrings and a
+    * concat, zero shuffles, stays in whole-stage codegen. */
+  def t40FimTransform(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val n = length(col("text"))
+    val c1 = pmod(col("doc_id") * 7919, n + 1)
+    val c2 = pmod(col("doc_id") * 104729, n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fim = concat(lit("<PRE>"), col("text").substr(lit(1), lo),
+      lit("<SUF>"), col("text").substr(hi + 1, n - hi),
+      lit("<MID>"), col("text").substr(lo + 1, hi - lo))
+    docs
+      .withColumn("mode",
+        when(col("doc_id") % 2 === 0, lit("fim")).otherwise(lit("ar")))
+      .withColumn("out",
+        when(col("mode") === "fim", fim).otherwise(col("text")))
+      .select(col("doc_id"), col("mode"),
+        length(col("out")).cast("long").as("n_chars"),
+        md5(encode(col("out"), "UTF-8")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t40Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |c AS (SELECT doc_id, text, n,
+      |    LEAST((doc_id * 7919) % (n + 1), (doc_id * 104729) % (n + 1))
+      |      AS lo,
+      |    GREATEST((doc_id * 7919) % (n + 1), (doc_id * 104729) % (n + 1))
+      |      AS hi
+      |  FROM d),
+      |o AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'fim' ELSE 'ar' END AS mode,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      '<PRE>' || substr(text, 1, CAST(lo AS INT))
+      |        || '<SUF>' || substr(text, CAST(hi + 1 AS INT),
+      |          CAST(n - hi AS INT))
+      |        || '<MID>' || substr(text, CAST(lo + 1 AS INT),
+      |          CAST(hi - lo AS INT))
+      |      ELSE text END AS out
+      |  FROM c)
+      |SELECT doc_id, mode, CAST(length(out) AS BIGINT) AS n_chars,
+      |  md5(out) AS text_md5
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2643,7 +2702,8 @@ object TextAnalysis {
     "t36_boilerplate_lines" -> (t36BoilerplateLines _),
     "t37_url_canonicalize" -> (t37UrlCanonicalize _),
     "t38_ccnet_buckets" -> (t38CcnetBuckets _),
-    "t39_temperature_mix" -> (t39TemperatureMix _))
+    "t39_temperature_mix" -> (t39TemperatureMix _),
+    "t40_fim_transform" -> (t40FimTransform _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2683,5 +2743,6 @@ object TextAnalysis {
     "t36_boilerplate_lines" -> t36Sql,
     "t37_url_canonicalize" -> t37Sql,
     "t38_ccnet_buckets" -> t38Sql,
-    "t39_temperature_mix" -> t39Sql)
+    "t39_temperature_mix" -> t39Sql,
+    "t40_fim_transform" -> t40Sql)
 }

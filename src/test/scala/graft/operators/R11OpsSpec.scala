@@ -411,6 +411,26 @@ class R11OpsSpec extends SparkSpec {
       ("lo", 100L, 200000L, 333333L, 1666L)))
   }
 
+  test("t40 fim: lossless PSM reassembly incl. degenerate zero-width " +
+      "prefix/middle; AR rows untouched") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "abcdef", "en", "s"),      // cuts 0,0: empty prefix+middle
+      (1L, "abcdef", "en", "s"),      // ar: unchanged
+      (4L, "abcdefghij", "en", "s"))  // cuts 3,7: all three parts
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("t40").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t40FimTransform(spark, dir)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got === Set(
+      (0L, "fim", 21L, md5hex("<PRE><SUF>abcdef<MID>")),
+      (1L, "ar", 6L, md5hex("abcdef")),
+      (4L, "fim", 25L, md5hex("<PRE>abc<SUF>hij<MID>defg"))))
+  }
+
   test("x53 bqsrTable: covariate cells from real qual chars + MD parse; " +
       "N substitutions carry no mismatch evidence") {
     val reads = Seq(
