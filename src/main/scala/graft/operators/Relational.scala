@@ -793,6 +793,60 @@ object Relational {
       |FROM a GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** COUNT-MIN SKETCH point queries, exactly oracle-checked — the
+    * mergeable frequency summary complementing q81's Misra–Gries: MG
+    * surfaces which keys dominate, CMS answers "how often is key x" for
+    * ANY x in O(depth). CMS is LINEAR (counters are exact sums of
+    * colliding items), so unlike MG its CONTENT is order- and
+    * merge-tree-independent — the oracle replays every hash collision
+    * in SQL and matches the estimates bit-for-bit, and the one-sided
+    * guarantee est ≥ true is asserted per probe (`lower_ok`). The
+    * sketch aggregates through the real TypedImperativeAggregate
+    * ([[graft.functions.CountMinExpr]]) across 8 forced partitions, so
+    * partial-update + merge both execute; probes query the array with
+    * pure builtin arithmetic (codegen-resident, P = 2³¹−1 hashes chosen
+    * to stay overflow-free in engines without wrapping int64). */
+  def q86CountMinGate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMinExpr
+    val depth = 3; val width = 64
+    val vals = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 3 === 0, lit(7L))
+        .otherwise(col("l_orderkey") % 100).cast("long").as("v"))
+    val sk = vals.repartition(8)
+      .agg(CountMinExpr.countMin(col("v"), depth, width).as("sk"))
+    val probes = s.range(0, 10).select(col("id").as("p"))
+    val truth = vals.groupBy(col("v").as("p"))
+      .agg(count(lit(1)).as("true_cnt"))
+    probes.crossJoin(broadcast(sk))
+      .join(truth, Seq("p"), "left_outer")
+      .select(col("p"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+        CountMinExpr.cmsQuery(col("sk"), col("p"), depth, width).as("est"))
+      .withColumn("lower_ok", col("est") >= col("true_cnt"))
+      .orderBy("p")
+  }
+
+  val q86Sql: String =
+    """WITH vals AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 7
+      |    ELSE l_orderkey % 100 END AS v FROM lineitem),
+      |c(d, a, b) AS (VALUES (0, 654435761, 12345), (1, 1000003, 67890),
+      |  (2, 999983, 424242)),
+      |vh AS (SELECT d, ((v % 2147483647) * a + b) % 2147483647 % 64 AS j
+      |  FROM vals, c),
+      |counter AS (SELECT d, j, COUNT(*) AS cnt FROM vh GROUP BY d, j),
+      |probes AS (SELECT unnest(generate_series(0, 9)) AS p),
+      |ph AS (SELECT p, d,
+      |    ((p % 2147483647) * a + b) % 2147483647 % 64 AS j
+      |  FROM probes, c),
+      |e AS (SELECT p, MIN(COALESCE(cnt, 0)) AS est
+      |  FROM ph LEFT JOIN counter USING (d, j) GROUP BY p),
+      |t AS (SELECT v AS p, COUNT(*) AS true_cnt FROM vals GROUP BY v)
+      |SELECT e.p, CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+      |  CAST(e.est AS BIGINT) AS est,
+      |  e.est >= COALESCE(t.true_cnt, 0) AS lower_ok
+      |FROM e LEFT JOIN t USING (p) ORDER BY p""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3510,7 +3564,8 @@ object Relational {
     "q82_stream_heavy_hitters_gate" -> (q82StreamHeavyHittersGate _),
     "q83_partition_prune_gate" -> (q83PartitionPruneGate _),
     "q84_ivm_gate" -> (q84IvmGate _),
-    "q85_retention_cohorts" -> (q85RetentionCohorts _))
+    "q85_retention_cohorts" -> (q85RetentionCohorts _),
+    "q86_countmin_gate" -> (q86CountMinGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3597,5 +3652,6 @@ object Relational {
     "q82_stream_heavy_hitters_gate" -> q82Sql,
     "q83_partition_prune_gate" -> q83Sql,
     "q84_ivm_gate" -> q84Sql,
-    "q85_retention_cohorts" -> q85Sql)
+    "q85_retention_cohorts" -> q85Sql,
+    "q86_countmin_gate" -> q86Sql)
 }

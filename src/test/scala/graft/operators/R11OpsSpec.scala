@@ -300,6 +300,30 @@ class R11OpsSpec extends SparkSpec {
       ("c1", 3L, "CCCT", 2L, 1L)))
   }
 
+  test("q86 count-min: sketch is partitioning-invariant (linear merge), " +
+      "estimates exact when probes don't collide") {
+    import graft.functions.CountMinExpr
+    val xs = Seq(1L, 1L, 1L, 2L, 2L, 9L, 42L, 42L, 42L, 42L)
+    // no pairwise bucket collision among these items in any row
+    val items = xs.distinct
+    for (d <- 0 until 3)
+      assert(items.map(CountMinExpr.bucket(_, d, 64)).distinct.size ===
+        items.size, s"fixture collides in row $d")
+    val df = xs.toDF("v")
+    val sk1 = df.repartition(1)
+      .agg(CountMinExpr.countMin(col("v"), 3, 64)).as[Seq[Long]].head()
+    val sk8 = df.repartition(8)
+      .agg(CountMinExpr.countMin(col("v"), 3, 64)).as[Seq[Long]].head()
+    assert(sk1 === sk8, "CMS must be invariant to the merge tree")
+    val est = df.repartition(4)
+      .agg(CountMinExpr.countMin(col("v"), 3, 64).as("sk"))
+      .crossJoin(items.toDF("p"))
+      .select(col("p"),
+        CountMinExpr.cmsQuery(col("sk"), col("p"), 3, 64).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(est === Map(1L -> 3L, 2L -> 2L, 9L -> 1L, 42L -> 4L))
+  }
+
   test("q85 retention: cohort = first day, repeat same-day events " +
       "collapse, offsets count distinct users") {
     import java.sql.Timestamp
