@@ -997,6 +997,90 @@ object Multimodal {
       |  CAST(greatest(ceil(length(text) / 48.0), 1) AS INT) AS content_h
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m15
+  /** KEYFRAME SELECTION per shot — the clip-curation step after m11's
+    * shot-boundary pass: training pipelines keep ONE representative
+    * frame per shot (thumbnailing, image-text pairing, frame-level
+    * dedup), and the standard heuristic picks the shot's most salient
+    * frame. Shots are the running count of m11's cut flags; within a
+    * (clip, shot) partition the keyframe is the frame maximizing peak
+    * luma (tie → earliest frame) — a deterministic argmax over the REAL
+    * codec's per-frame stats.
+    *
+    * Scale shape: per-clip windows only (frame counts bounded by clip
+    * duration — no corpus-sized partition), one decode pass shared with
+    * the cut logic, output one row per shot. */
+  def m15Keyframes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codec = videoCodecFor(s)
+    val dec = udf { p: Array[Byte] => codec.sampleFrames(p, 1) }
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), y4mPayload(col("text")).as("payload"))
+      .select(col("doc_id"), explode(dec(col("payload"))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("fi"),
+        col("f.y_sum").as("y_sum"), col("f.y_peak").as("y_peak"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val shots = frames
+      .withColumn("dy", abs(col("y_sum") - lag(col("y_sum"), 1).over(w)))
+      .withColumn("cut",
+        (col("dy").isNotNull && col("dy") >= 160).cast("long"))
+      .withColumn("shot", sum(col("cut")).over(run))
+    val wk = Window.partitionBy(col("doc_id"), col("shot"))
+      .orderBy(col("y_peak").desc, col("fi").asc)
+    shots
+      .withColumn("rk", row_number().over(wk))
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(min(col("fi")).cast("long").as("shot_start"),
+        count(lit(1)).as("n_frames"),
+        min(when(col("rk") === 1, col("fi"))).cast("long").as("key_fi"),
+        max(col("y_peak")).cast("int").as("key_peak"))
+      .orderBy("doc_id", "shot")
+  }
+
+  /** m11's restatement extended with per-frame peak luma and the
+    * running-cut shot id; the keyframe is the same (peak DESC, fi ASC)
+    * argmax. */
+  val m15Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest((length(text) + 95) // 96, 1) AS BIGINT) AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, n, text, unnest(range(0, nf)) AS f FROM d),
+      |px AS (SELECT doc_id, f, text, n, unnest(range(0, 32)) AS p FROM fr),
+      |a AS (
+      |  SELECT doc_id, f,
+      |    SUM(CASE WHEN f * 96 + p < n
+      |      THEN ascii(substring(text, CAST(f * 96 + p + 1 AS BIGINT), 1))
+      |      ELSE 32 END) AS y_sum,
+      |    MAX(CASE WHEN f * 96 + p < n
+      |      THEN ascii(substring(text, CAST(f * 96 + p + 1 AS BIGINT), 1))
+      |      ELSE 32 END) AS y_peak
+      |  FROM px GROUP BY doc_id, f),
+      |l AS (
+      |  SELECT doc_id, f, y_sum, y_peak,
+      |    abs(y_sum - lag(y_sum) OVER (PARTITION BY doc_id ORDER BY f))
+      |      AS dy
+      |  FROM a),
+      |sh AS (
+      |  SELECT doc_id, f, y_peak,
+      |    SUM(CASE WHEN dy IS NOT NULL AND dy >= 160 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY f
+      |        ROWS UNBOUNDED PRECEDING) AS shot
+      |  FROM l),
+      |rk AS (
+      |  SELECT doc_id, shot, f, y_peak,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, shot
+      |      ORDER BY y_peak DESC, f ASC) AS r
+      |  FROM sh)
+      |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
+      |  CAST(MIN(f) AS BIGINT) AS shot_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(MIN(CASE WHEN r = 1 THEN f END) AS BIGINT) AS key_fi,
+      |  CAST(MAX(y_peak) AS INT) AS key_peak
+      |FROM rk GROUP BY doc_id, shot ORDER BY doc_id, shot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -1011,7 +1095,8 @@ object Multimodal {
     "m11_scene_cuts"     -> (m11SceneCuts _),
     "m12_image_patchify" -> (m12ImagePatchify _),
     "m13_audio_segments"  -> (m13AudioSegments _),
-    "m14_letterbox_detect" -> (m14LetterboxDetect _))
+    "m14_letterbox_detect" -> (m14LetterboxDetect _),
+    "m15_keyframes"        -> (m15Keyframes _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -1027,5 +1112,6 @@ object Multimodal {
     "m11_scene_cuts"     -> m11Sql,
     "m12_image_patchify" -> m12Sql,
     "m13_audio_segments"  -> m13Sql,
-    "m14_letterbox_detect" -> m14Sql)
+    "m14_letterbox_detect" -> m14Sql,
+    "m15_keyframes"        -> m15Sql)
 }

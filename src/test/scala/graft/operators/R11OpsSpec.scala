@@ -300,6 +300,22 @@ class R11OpsSpec extends SparkSpec {
       ("c1", 3L, "CCCT", 2L, 1L)))
   }
 
+  test("m15 keyframes: shots partition each clip (n_shots = n_cuts + 1, " +
+      "frame counts add up, shot 0 starts at frame 0)") {
+    val dir = "/root/testdata/sf0.001"
+    val shots = Multimodal.m15Keyframes(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shots"), sum("n_frames").as("tot"),
+        min(when(col("shot") === 0, col("shot_start"))).as("s0"))
+    val cuts = Multimodal.m11SceneCuts(spark, dir)
+      .select(col("doc_id"), col("n_cuts"), col("n_frames"))
+    val bad = shots.join(cuts, Seq("doc_id"))
+      .where(col("n_shots") =!= col("n_cuts") + 1 ||
+        col("tot") =!= col("n_frames") || col("s0") =!= 0L)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("q86 count-min: sketch is partitioning-invariant (linear merge), " +
       "estimates exact when probes don't collide") {
     import graft.functions.CountMinExpr
