@@ -1604,6 +1604,77 @@ object Similarity {
     } finally release()
   }
 
+  // ---------------------------------------------------------------- s23
+  /** FARTHEST-POINT SEEDING (Gonzalez traversal — the deterministic
+    * k-means++ variant and a 2-approximation for k-center): the index
+    *-lifecycle step BEFORE s20's Lloyd iteration — pick center 0, then
+    * repeatedly the point farthest from its nearest chosen center
+    * (deterministic: distance DESC, id ASC). Each round is one narrow
+    * pass over the corpus against broadcast-literal centers (s13/s20's
+    * kernel) ending in a single max(struct) — a driver loop of k−1
+    * uniform aggregates, centers collected as the MODEL (k×dim scalars,
+    * s20's driver-sized contract).
+    *
+    * Gates are the traversal's own invariants, not tuned thresholds:
+    * the picked distances are NON-INCREASING (adding a center never
+    * increases any point's min-distance), and the final coverage radius
+    * is bounded by the last pick — violations mean the min-distance
+    * pass, the argmax, or the center accumulation broke. 1e-6 relative
+    * IEEE allowance, the s20 discipline. */
+  /** The s23 kernel over an arbitrary (id, emb) frame: returns the k
+    * chosen centers, the picked (squared) distances, and the final
+    * coverage radius. Exposed for the hand-fixture spec. */
+  private[operators] def farthestSeeds(base: DataFrame,
+      k: Int): (List[Array[Double]], Array[Double], Double) = {
+    def dist2(emb: Column, c: Column): Column =
+      aggregate(zip_with(emb, c,
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0), (a, v) => a + v)
+    def centerLit(a: Array[Double]): Column =
+      array(a.map(lit).toIndexedSeq: _*)
+    val first = base.orderBy(col("id")).limit(1)
+      .select(transform(col("emb"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0).toArray
+    var centers = List(first)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 until k) {
+      val cs = array(centers.map(centerLit): _*)
+      val r = base
+        .select(col("id"), col("emb"),
+          array_min(transform(cs, c => dist2(col("emb"), c))).as("md"))
+        .agg(max(struct(col("md").as("md"), (lit(0L) - col("id")).as("nid"),
+          transform(col("emb"), x => x.cast("double")).as("v"))).as("m"))
+        .select(col("m.md"), col("m.v")).collect()(0)
+      picks += r.getDouble(0)
+      centers = centers :+ r.getSeq[Double](1).toArray
+    }
+    val csF = array(centers.map(centerLit): _*)
+    val radius = base
+      .select(array_min(transform(csF, c => dist2(col("emb"), c))).as("md"))
+      .agg(max(col("md"))).collect()(0).getDouble(0)
+    (centers, picks.toArray, radius)
+  }
+
+  def s23FarthestSeedGate(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val base = Tables.embeddings(s, d).where(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .persist()
+    val (_, p, radius) = farthestSeeds(base, k)
+    val n = base.count()
+    base.unpersist(blocking = false)
+    val nonInc = p.zip(p.drop(1)).forall { case (a, b) => b <= a * 1.000001 }
+    val bounded = radius <= p.last * 1.000001
+    import s.implicits._
+    Seq((n, k, nonInc, bounded))
+      .toDF("n_points", "k", "picks_nonincreasing", "radius_bounded")
+  }
+
+  val s23Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_points, 4 AS k,
+      |  true AS picks_nonincreasing, true AS radius_bounded
+      |FROM embeddings WHERE vec_id >= 10""".stripMargin
+
   val s22Sql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
       |  true AS monotone_ok, true AS recall_ok
@@ -1699,7 +1770,8 @@ object Similarity {
     "s19_knn_graph_gate" -> (s19KnnGraphGate _),
     "s20_lloyd_step_gate" -> (s20LloydStepGate _),
     "s21_nndescent_gate"  -> (s21NnDescentGate _),
-    "s22_graph_search_gate" -> (s22GraphSearchGate _))
+    "s22_graph_search_gate" -> (s22GraphSearchGate _),
+    "s23_farthest_seed_gate" -> (s23FarthestSeedGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1721,5 +1793,6 @@ object Similarity {
     "s19_knn_graph_gate" -> s19Sql,
     "s20_lloyd_step_gate" -> s20Sql,
     "s21_nndescent_gate"  -> s21Sql,
-    "s22_graph_search_gate" -> s22Sql)
+    "s22_graph_search_gate" -> s22Sql,
+    "s23_farthest_seed_gate" -> s23Sql)
 }

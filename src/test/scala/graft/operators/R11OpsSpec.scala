@@ -300,6 +300,19 @@ class R11OpsSpec extends SparkSpec {
       ("c1", 3L, "CCCT", 2L, 1L)))
   }
 
+  test("s23 farthestSeeds: hand-traced picks on a line, tie broken by " +
+      "lowest id, radius zero once all points are centers") {
+    val base = Seq(
+      (10L, Seq(0.0f)), (11L, Seq(10.0f)), (12L, Seq(3.0f)),
+      (13L, Seq(7.0f)))
+      .toDF("id", "emb")
+    val (centers, picks, radius) = Similarity.farthestSeeds(base, 4)
+    assert(centers.map(_.head) === List(0.0, 10.0, 3.0, 7.0),
+      "round 2 ties at d2=9 for ids 12 and 13 — lowest id must win")
+    assert(picks.toList === List(100.0, 9.0, 9.0))
+    assert(radius === 0.0)
+  }
+
   test("m15 keyframes: shots partition each clip (n_shots = n_cuts + 1, " +
       "frame counts add up, shot 0 starts at frame 0)") {
     val dir = "/root/testdata/sf0.001"
