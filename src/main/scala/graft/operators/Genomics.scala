@@ -1820,6 +1820,240 @@ object Genomics {
       |    ELSE (1000 * n_ts) // n_tv END AS tstv_milli
       |FROM agg ORDER BY contig""".stripMargin
 
+  // ---------------------------------------------------------------- x57
+  /** PHASE BY TRANSMISSION (GATK PhaseByTransmission / WhatsHap
+    * pedigree mode) — the deterministic half of haplotype phasing: at a
+    * biallelic site with complete, Mendelian-consistent trio genotypes,
+    * the child's paternal|maternal allele assignment is forced unless
+    * all three members are heterozygous. Homozygous children phase
+    * trivially (0|0, 1|1); a het child takes the allele a homozygous
+    * parent MUST have transmitted (father hom-ref ⇒ 0|1; father hom-alt
+    * ⇒ 1|0; both-parent-het-with-het-child is the one unphasable
+    * configuration). Violations (x37's interval rule) and sites with
+    * any uncalled member report their status instead of a phase —
+    * downstream read-backed phasing (the probabilistic half) consumes
+    * exactly this frame.
+    *
+    * Scale shape: identical to x37 — genotypes join the broadcast trio
+    * roster, pivot to one row per (trio, site) via three conditional
+    * maxes in ONE site-trio-keyed aggregate (map-side combinable), then
+    * a pure per-row CASE projection. Output is per-site (the operator's
+    * contract: a phased VCF column), no corpus-global structure. */
+  def phaseByTransmission(gt: DataFrame, trios: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    val roster = trios.select(col("child"),
+      explode(array(
+        struct(col("child").as("sample"), lit("c").as("role")),
+        struct(col("father").as("sample"), lit("f").as("role")),
+        struct(col("mother").as("sample"), lit("m").as("role")))).as("r"))
+      .select(col("child"), col("r.sample").as("sample"),
+        col("r.role").as("role"))
+    val per = gt.select(col("contig"), col("pos"), col("sample"),
+        dose.as("d"))
+      .join(broadcast(roster), Seq("sample"))
+      .groupBy(col("child"), col("contig"), col("pos"))
+      .agg(max(when(col("role") === "c", col("d"))).as("dc"),
+        max(when(col("role") === "f", col("d"))).as("df"),
+        max(when(col("role") === "m", col("d"))).as("dm"))
+    val complete = col("dc").isNotNull && col("df").isNotNull &&
+      col("dm").isNotNull
+    val viol = col("dc") < expr("df div 2 + dm div 2") ||
+      col("dc") > expr("(df + 1) div 2 + (dm + 1) div 2")
+    per.select(col("child"), col("contig"), col("pos"), col("dc"),
+        when(!complete, "incomplete")
+          .when(viol, "violation")
+          .when(col("dc") === 1 && col("df") === 1 && col("dm") === 1,
+            "ambiguous")
+          .otherwise("phased").as("status"),
+        when(!complete || viol, null)
+          .when(col("dc") === 0, "0|0")
+          .when(col("dc") === 2, "1|1")
+          .when(col("df") === 0, "0|1")
+          .when(col("df") === 2, "1|0")
+          .when(col("dm") === 0, "1|0")
+          .when(col("dm") === 2, "0|1")
+          .otherwise(null).as("phased"))
+      .orderBy("child", "contig", "pos")
+  }
+
+  /** Driver gate: x37's two-family grid with the child-dosage generator
+    * de-degenerated — x37's `pos·(fam+2)` is constant mod 3 on this
+    * grid (pos ≡ 1 mod 3), which would leave every child homozygous
+    * and the het-phasing + ambiguous branches untested. `(pos div 3)`
+    * varies fully mod 3, so consistent, violating, incomplete (planted
+    * `./.`), het-with-hom-parent, and (at pos % 5 == 2 where the rord
+    * multiplier ≡ 0 mod 3) the triple-het ambiguous configuration all
+    * occur. */
+  def x57PhaseByTransmission(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val members = s.createDataFrame(Seq(
+      ("fam0_c", 0L, 0L), ("fam0_f", 0L, 1L), ("fam0_m", 0L, 2L),
+      ("fam1_c", 1L, 0L), ("fam1_f", 1L, 1L), ("fam1_m", 1L, 2L)))
+      .toDF("sample", "fam", "rord")
+    val gt = sites.crossJoin(broadcast(members))
+      .withColumn("g",
+        (expr("pos div 3") * (col("fam") + 1) +
+          col("rord") * (col("pos") % 5 + 1)) % 3)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("pos") % 13 === 0 && col("rord") === 1, "./.")
+          .when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .otherwise("1/1").as("gt"))
+    val trios = s.createDataFrame(Seq(
+      ("fam0_c", "fam0_f", "fam0_m"), ("fam1_c", "fam1_f", "fam1_m")))
+      .toDF("child", "father", "mother")
+    phaseByTransmission(gt, trios)
+  }
+
+  val x57Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |fam AS (SELECT * FROM (VALUES (0), (1)) AS t(f)),
+      |g AS (SELECT s.contig, s.pos, fam.f,
+      |    ((s.pos // 3) * (fam.f + 1) + 0 * (s.pos % 5 + 1)) % 3 AS dc,
+      |    CASE WHEN s.pos % 13 = 0 THEN NULL
+      |      ELSE ((s.pos // 3) * (fam.f + 1) + 1 * (s.pos % 5 + 1)) % 3
+      |      END AS df,
+      |    ((s.pos // 3) * (fam.f + 1) + 2 * (s.pos % 5 + 1)) % 3 AS dm
+      |  FROM sites s CROSS JOIN fam),
+      |cls AS (SELECT contig, pos, f, dc, df, dm,
+      |    df IS NOT NULL AS complete,
+      |    dc < (df // 2 + dm // 2)
+      |      OR dc > ((df + 1) // 2 + (dm + 1) // 2) AS viol
+      |  FROM g)
+      |SELECT 'fam' || f || '_c' AS child, contig, CAST(pos AS BIGINT) AS pos,
+      |  CAST(dc AS BIGINT) AS dc,
+      |  CASE WHEN NOT complete THEN 'incomplete'
+      |    WHEN viol THEN 'violation'
+      |    WHEN dc = 1 AND df = 1 AND dm = 1 THEN 'ambiguous'
+      |    ELSE 'phased' END AS status,
+      |  CASE WHEN NOT complete OR viol THEN NULL
+      |    WHEN dc = 0 THEN '0|0' WHEN dc = 2 THEN '1|1'
+      |    WHEN df = 0 THEN '0|1' WHEN df = 2 THEN '1|0'
+      |    WHEN dm = 0 THEN '1|0' WHEN dm = 2 THEN '0|1'
+      |    ELSE NULL END AS phased
+      |FROM cls ORDER BY child, contig, pos""".stripMargin
+
+  // ---------------------------------------------------------------- x58
+  /** HARDY–WEINBERG EQUILIBRIUM STATISTIC (`plink --hardy` /
+    * `bcftools +fill-tags HWE`) — the per-site genotyping-QC figure
+    * after x39's Ts/Tv: under random mating, genotype counts follow
+    * (p², 2pq, q²)·n; a large χ² flags genotyping artifacts (batch
+    * effects, allele-specific dropout). All arithmetic INTEGER and
+    * staged so both engines restate it verbatim (the no-libm
+    * discipline): expected counts in milli-units
+    * e_AA = (1000·A²) div (4n), e_Ab = (1000·A·B) div (2n),
+    * e_bb = (1000·B²) div (4n) with A/B the ref/alt allele totals, and
+    * χ²_milli = Σ (1000·obs − e)² div e over the three cells
+    * ((10⁶·(obs−e)²)/(10³·e) = 10³·(obs−e)²/e — genuinely milli-χ²)
+    * (zero-expectation cells contribute 0 — monomorphic sites score 0
+    * by construction). Magnitudes stay below int64 for per-site called
+    * cohorts up to ~10⁶ samples ((2000·n)² < 9.2e18). Uncalled
+    * genotypes are excluded before counting, plink-style.
+    *
+    * Scale shape: one narrow projection → ONE uniform (contig, pos)
+    * hash aggregate (three conditional sums, map-side combinable) →
+    * pure per-row arithmetic. Sites × 1 output, no joins, no windows. */
+  def hweStats(gt: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    gt.select(col("contig"), col("pos"), dose.as("d"))
+      .where(col("d").isNotNull)
+      .groupBy(col("contig"), col("pos"))
+      .agg(sum((col("d") === 0).cast("long")).as("n_aa"),
+        sum((col("d") === 1).cast("long")).as("n_ab"),
+        sum((col("d") === 2).cast("long")).as("n_bb"))
+      .withColumn("a_tot", expr("2 * n_aa + n_ab"))
+      .withColumn("b_tot", expr("2 * n_bb + n_ab"))
+      .withColumn("n", expr("n_aa + n_ab + n_bb"))
+      .withColumn("e_aa", expr("(1000 * a_tot * a_tot) div (4 * n)"))
+      .withColumn("e_ab", expr("(1000 * a_tot * b_tot) div (2 * n)"))
+      .withColumn("e_bb", expr("(1000 * b_tot * b_tot) div (4 * n)"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN e_aa = 0 THEN 0 ELSE
+          |  (1000 * n_aa - e_aa) * (1000 * n_aa - e_aa) div e_aa END +
+          |CASE WHEN e_ab = 0 THEN 0 ELSE
+          |  (1000 * n_ab - e_ab) * (1000 * n_ab - e_ab) div e_ab END +
+          |CASE WHEN e_bb = 0 THEN 0 ELSE
+          |  (1000 * n_bb - e_bb) * (1000 * n_bb - e_bb) div e_bb
+          |  END""".stripMargin))
+      .withColumn("maf_milli",
+        expr("(1000 * least(a_tot, b_tot)) div (2 * n)"))
+      .select(col("contig"), col("pos"), col("n_aa"), col("n_ab"),
+        col("n_bb"), col("maf_milli"), col("chi2_milli"))
+      .orderBy("contig", "pos")
+  }
+
+  /** Driver gate: a 5-sample cohort over the x38 site grid — dosage
+    * (pos·7 + sj·3) % 4 yields hom-ref/het/hom-alt plus planted `./.`
+    * (g = 3), so the AN-reduction, monomorphic-zero, and het-excess
+    * branches all execute. */
+  def x58HweStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(
+      ("s0", 0L), ("s1", 1L), ("s2", 2L), ("s3", 3L), ("s4", 4L)))
+      .toDF("sample", "sj")
+    val gt = sites.crossJoin(broadcast(dim))
+      .withColumn("g", (col("pos") * 7 + col("sj") * 3) % 4)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .when(col("g") === 2, "1/1").otherwise("./.").as("gt"))
+    hweStats(gt)
+  }
+
+  val x58Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) AS t(sj)),
+      |g AS (SELECT s.contig, s.pos,
+      |    CASE WHEN (s.pos * 7 + sm.sj * 3) % 4 = 3 THEN NULL
+      |      ELSE (s.pos * 7 + sm.sj * 3) % 4 END AS d
+      |  FROM sites s CROSS JOIN sm),
+      |cnt AS (SELECT contig, pos,
+      |    SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_aa,
+      |    SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_ab,
+      |    SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS n_bb
+      |  FROM g WHERE d IS NOT NULL GROUP BY contig, pos),
+      |ab AS (SELECT *, 2 * n_aa + n_ab AS a_tot, 2 * n_bb + n_ab AS b_tot,
+      |    n_aa + n_ab + n_bb AS n FROM cnt),
+      |e AS (SELECT *,
+      |    (1000 * a_tot * a_tot) // (4 * n) AS e_aa,
+      |    (1000 * a_tot * b_tot) // (2 * n) AS e_ab,
+      |    (1000 * b_tot * b_tot) // (4 * n) AS e_bb
+      |  FROM ab)
+      |SELECT contig, CAST(pos AS BIGINT) AS pos,
+      |  CAST(n_aa AS BIGINT) AS n_aa, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(n_bb AS BIGINT) AS n_bb,
+      |  CAST((1000 * least(a_tot, b_tot)) // (2 * n) AS BIGINT)
+      |    AS maf_milli,
+      |  CAST(
+      |    CASE WHEN e_aa = 0 THEN 0 ELSE
+      |      (1000 * n_aa - e_aa) * (1000 * n_aa - e_aa) // e_aa END +
+      |    CASE WHEN e_ab = 0 THEN 0 ELSE
+      |      (1000 * n_ab - e_ab) * (1000 * n_ab - e_ab) // e_ab END +
+      |    CASE WHEN e_bb = 0 THEN 0 ELSE
+      |      (1000 * n_bb - e_bb) * (1000 * n_bb - e_bb) // e_bb
+      |      END AS BIGINT) AS chi2_milli
+      |FROM e ORDER BY contig, pos""".stripMargin
+
   // ---------------------------------------------------------------- x40
   /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
     * rotated-pattern sequences write to one wrapped FASTA via the
@@ -3232,7 +3466,9 @@ object Genomics {
     "x53_bqsr_table"         -> (x53BqsrTable _),
     "x54_sv_clusters"        -> (x54SvClusters _),
     "x55_cnv_segments"       -> (x55CnvSegments _),
-    "x56_umi_collapse"       -> (x56UmiCollapse _))
+    "x56_umi_collapse"       -> (x56UmiCollapse _),
+    "x57_phase_by_transmission" -> (x57PhaseByTransmission _),
+    "x58_hwe_stats"          -> (x58HweStats _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3273,5 +3509,7 @@ object Genomics {
     "x53_bqsr_table"         -> x53Sql,
     "x54_sv_clusters"        -> x54Sql,
     "x55_cnv_segments"       -> x55Sql,
-    "x56_umi_collapse"       -> x56Sql)
+    "x56_umi_collapse"       -> x56Sql,
+    "x57_phase_by_transmission" -> x57Sql,
+    "x58_hwe_stats"          -> x58Sql)
 }

@@ -847,6 +847,67 @@ object Relational {
       |  e.est >= COALESCE(t.true_cnt, 0) AS lower_ok
       |FROM e LEFT JOIN t USING (p) ORDER BY p""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** KMV / BOTTOM-K DISTINCT SKETCH (Bar-Yossef et al. 2002, the
+    * ThetaSketch core): keep the k smallest DISTINCT 32-bit hashes of
+    * the key; estimate = (k−1)·2³² div h_k. Completes the sketch trio —
+    * q32's HLL is opaque (rows-only check), q86's CMS answers point
+    * frequencies; KMV answers distinct-count AND, unlike HLL, its
+    * CONTENT is fully deterministic given the hash, so the oracle
+    * replays the identical md5-derived bottom-k in SQL and the estimate
+    * matches bit-for-bit. Bottom-k sketches union by merge-and-truncate
+    * (closed under set union), which is exactly what the distributed
+    * plan below executes.
+    *
+    * Scale shape: dedup-by-hash is ONE uniform shuffle on the 32-bit
+    * hash key (map-side combined); the global bottom-k plans as
+    * TakeOrderedAndProject — per-partition k-heaps merged on the
+    * driver, NEVER a global sort exchange (pinned by an in-row plan
+    * require — a planner regression flips CORRECTNESS, not a bench
+    * number). When fewer than k distinct keys exist the sketch IS the
+    * key set and the estimate is exact by rule. */
+  def q87KmvSketch(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val mins = Tables.orders(s, d)
+      .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+    require(mins.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "bottom-k must plan as TakeOrderedAndProject, not a global sort")
+    val exact = Tables.orders(s, d)
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    mins.agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_actual"))
+      .crossJoin(broadcast(exact)) // 1×1 scalar composition
+      .withColumn("est_distinct",
+        when(col("k_actual") < k, col("exact_distinct"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div kth_hash")))
+      .select(col("k_actual"), col("kth_hash"), col("est_distinct"),
+        col("exact_distinct"),
+        expr("(1000 * abs(est_distinct - exact_distinct)) div exact_distinct")
+          .as("err_permille"))
+  }
+
+  val q87Sql: String =
+    """WITH h AS (SELECT DISTINCT CAST(CONCAT('0x',
+      |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM orders),
+      |mins AS (SELECT h FROM h ORDER BY h LIMIT 64),
+      |ag AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS k_actual FROM mins),
+      |ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders),
+      |est AS (SELECT k_actual, kth_hash, exact_distinct,
+      |    CASE WHEN k_actual < 64 THEN exact_distinct
+      |      ELSE (63 * 4294967296) // kth_hash END AS est_distinct
+      |  FROM ag, ex)
+      |SELECT CAST(k_actual AS BIGINT) AS k_actual,
+      |  CAST(kth_hash AS BIGINT) AS kth_hash,
+      |  CAST(est_distinct AS BIGINT) AS est_distinct,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      |  CAST((1000 * abs(est_distinct - exact_distinct)) // exact_distinct
+      |    AS BIGINT) AS err_permille
+      |FROM est""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3565,7 +3626,8 @@ object Relational {
     "q83_partition_prune_gate" -> (q83PartitionPruneGate _),
     "q84_ivm_gate" -> (q84IvmGate _),
     "q85_retention_cohorts" -> (q85RetentionCohorts _),
-    "q86_countmin_gate" -> (q86CountMinGate _))
+    "q86_countmin_gate" -> (q86CountMinGate _),
+    "q87_kmv_sketch" -> (q87KmvSketch _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3653,5 +3715,6 @@ object Relational {
     "q83_partition_prune_gate" -> q83Sql,
     "q84_ivm_gate" -> q84Sql,
     "q85_retention_cohorts" -> q85Sql,
-    "q86_countmin_gate" -> q86Sql)
+    "q86_countmin_gate" -> q86Sql,
+    "q87_kmv_sketch" -> q87Sql)
 }

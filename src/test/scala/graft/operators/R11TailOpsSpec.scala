@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 tail additions: KMV distinct sketch, phase-by-transmission,
+  * Hardy–Weinberg statistic. */
+class R11TailOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q87 KMV: bottom-k plans as TakeOrderedAndProject and the " +
+      "estimate brackets the truth") {
+    val row = Relational.q87KmvSketch(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (kActual, kth, est, exact, errPm) = row
+    assert(kActual === 64L)
+    assert(kth > 0L && kth < (1L << 32))
+    assert(exact > 64L, "corpus must have more distinct keys than k")
+    // KMV with k=64 has relative s.e. ~ 1/sqrt(62) ~ 13%; allow 4 sigma
+    assert(errPm < 520L, s"estimate off by $errPm permille")
+    assert(est === 63L * 4294967296L / kth, "estimator formula")
+  }
+
+  test("q87 KMV: merge-and-truncate — the distributed bottom-k equals " +
+      "the driver-side bottom-k of the full hash set") {
+    val hashes = graft.Tables.orders(spark, sf)
+      .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .distinct().as[Long].collect().sorted
+    val kthDriver = hashes.take(64).last
+    val got = Relational.q87KmvSketch(spark, sf)
+      .select("kth_hash").as[Long].collect().head
+    assert(got === kthDriver)
+  }
+
+  test("x57 phaseByTransmission: every rule on a hand trio fixture") {
+    val trios = Seq(("c", "f", "m")).toDF("child", "father", "mother")
+    // one site per rule; contig keys keep them apart
+    val gt = Seq(
+      // hom child phases trivially regardless of het parents
+      ("s1", 1L, "c", "0/0"), ("s1", 1L, "f", "0/1"), ("s1", 1L, "m", "0/0"),
+      ("s2", 1L, "c", "1/1"), ("s2", 1L, "f", "0/1"), ("s2", 1L, "m", "1/1"),
+      // het child, hom-ref father => paternal 0
+      ("s3", 1L, "c", "0/1"), ("s3", 1L, "f", "0/0"), ("s3", 1L, "m", "0/1"),
+      // het child, hom-alt father => paternal 1
+      ("s4", 1L, "c", "0/1"), ("s4", 1L, "f", "1/1"), ("s4", 1L, "m", "0/1"),
+      // het child, het father, hom-ref mother => maternal 0, paternal 1
+      ("s5", 1L, "c", "0/1"), ("s5", 1L, "f", "0/1"), ("s5", 1L, "m", "0/0"),
+      // het child, het father, hom-alt mother => maternal 1, paternal 0
+      ("s6", 1L, "c", "0/1"), ("s6", 1L, "f", "0/1"), ("s6", 1L, "m", "1/1"),
+      // triple het: unphasable
+      ("s7", 1L, "c", "0/1"), ("s7", 1L, "f", "0/1"), ("s7", 1L, "m", "0/1"),
+      // violation: hom-alt child, both parents hom-ref
+      ("s8", 1L, "c", "1/1"), ("s8", 1L, "f", "0/0"), ("s8", 1L, "m", "0/0"),
+      // incomplete: father uncalled (row absent)
+      ("s9", 1L, "c", "0/1"), ("s9", 1L, "m", "0/1"))
+      .toDF("contig", "pos", "sample", "gt")
+    val got = Genomics.phaseByTransmission(gt, trios)
+      .select("contig", "status", "phased")
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("s1") === (("phased", Some("0|0"))))
+    assert(got("s2") === (("phased", Some("1|1"))))
+    assert(got("s3") === (("phased", Some("0|1"))))
+    assert(got("s4") === (("phased", Some("1|0"))))
+    assert(got("s5") === (("phased", Some("1|0"))))
+    assert(got("s6") === (("phased", Some("0|1"))))
+    assert(got("s7") === (("ambiguous", None)))
+    assert(got("s8") === (("violation", None)))
+    assert(got("s9") === (("incomplete", None)))
+  }
+
+  test("x58 hweStats: perfect-HWE zero, monomorphic zero, and a " +
+      "hand-computed deviation") {
+    val mkGt = (contig: String, gts: Seq[String]) =>
+      gts.zipWithIndex.map { case (g, i) => (contig, 1L, s"s$i", g) }
+    val gt = (
+      // 1:2:1 at n=4 is exactly p=q=1/2 equilibrium -> chi2 = 0
+      mkGt("hwe0", Seq("0/0", "0/1", "0/1", "1/1")) ++
+      // monomorphic: B = 0 -> e_ab = e_bb = 0, chi2 = 0
+      mkGt("mono", Seq("0/0", "0/0", "0/0")) ++
+      // all-het n=4 (A=B=4, e = 1/2/1): rational chi2 = 1+2+1 = 4.0
+      mkGt("xhet", Seq("0/1", "0/1", "0/1", "0/1")) ++
+      // uncalled rows excluded: n=2 called, counts 1/0/1, e = 0.5/1/0.5,
+      // rational chi2 = 0.5 + 1 + 0.5 = 2.0
+      mkGt("miss", Seq("0/0", "1/1", "./.", "./."))
+      ).toDF("contig", "pos", "sample", "gt")
+    val got = Genomics.hweStats(gt)
+      .select("contig", "n_aa", "n_ab", "n_bb", "maf_milli", "chi2_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("hwe0") === (("hwe0", 1L, 2L, 1L, 500L, 0L)))
+    assert(got("mono") === (("mono", 3L, 0L, 0L, 0L, 0L)))
+    assert(got("xhet") === (("xhet", 0L, 4L, 0L, 500L, 4000L)))
+    assert(got("miss") === (("miss", 1L, 0L, 1L, 500L, 2000L)))
+  }
+
+  test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
+      "divisible fixtures") {
+    // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
+    val gt = Seq.tabulate(4)(i => ("c", 1L, s"s$i", "0/1"))
+      .toDF("contig", "pos", "sample", "gt")
+    val chi = Genomics.hweStats(gt).select("chi2_milli").as[Long]
+      .collect().head
+    assert(chi === 4000L)
+  }
+}
