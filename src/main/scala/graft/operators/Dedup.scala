@@ -1774,7 +1774,8 @@ object Dedup {
     "d25_source_priority_gate" -> (d25SourcePriorityGate _),
     "d26_soft_dedup" -> (d26SoftDedup _),
     "d27_soft_dedup_wired_gate" -> (d27SoftDedupWiredGate _),
-    "d28_url_dedup" -> (d28UrlDedup _))
+    "d28_url_dedup" -> (d28UrlDedup _),
+    "d29_paragraph_dedup" -> (d29ParagraphDedup _))
 
   // ---------------------------------------------------------------- d28
   /** URL-LEVEL dedup — the cheapest and first dedup stage of a web
@@ -1825,8 +1826,96 @@ object Dedup {
       |  CAST(COUNT(*) AS BIGINT) AS n_variants
       |FROM c GROUP BY canon ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d29
+  /** CROSS-DOCUMENT PARAGRAPH DEDUP — the RefinedWeb/Falcon stage
+    * between t36's line-level boilerplate removal (frequency-threshold,
+    * drops from EVERY doc) and d01's document-level dedup: an exact
+    * paragraph that recurs ANYWHERE in the corpus keeps only its FIRST
+    * occurrence (min (doc_id, pidx)) and every later copy — across
+    * documents or within one — is scrubbed, then documents reassemble
+    * from surviving paragraphs in order. Catches syndicated content and
+    * quoted blocks whole-document hashing misses.
+    *
+    * Scale shape: first-occurrence election is ONE uniform
+    * paragraph-keyed min-struct aggregate (map-side combinable — no
+    * window, no skew beyond the paragraph's own duplication count),
+    * and membership returns via ONE equi-join on the same key; the
+    * reassembly is the q09 doc-keyed sorted-collect. Nothing
+    * corpus-global, no broadcast of corpus-sized state. */
+  def paragraphDedup(paras: DataFrame): DataFrame = {
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("keep"))
+    paras.join(firsts, Seq("para"))
+      .where(struct(col("doc_id"), col("pidx")) === col("keep"))
+      .select(col("doc_id"), col("pidx"), col("para"))
+  }
+
+  /** Driver gate: documents chunk into deterministic 12-word
+    * paragraphs; every fourth document carries a planted syndicated
+    * paragraph (pidx 999), so only its lowest-doc_id occurrence
+    * survives. Pins per-doc total/kept/dropped counts and the md5 of
+    * the reassembled text (empty-document md5('') when everything a doc
+    * had was seen earlier). */
+  def d29ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val nat = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .groupBy(col("doc_id"), expr("pos div 12").as("pidx"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          e => e.getField("col"))).as("para"))
+    val planted = docs.where(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), lit(999L).as("pidx"),
+        lit("this syndicated paragraph appears verbatim across the corpus")
+          .as("para"))
+    val all = nat.unionByName(planted)
+    val kept = paragraphDedup(all)
+    val re = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(encode(concat_ws("\n\n",
+          transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
+            e => e.getField("para"))), "UTF-8")).as("text_md5"))
+    val tot = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    tot.join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_md5"), md5(lit(""))).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val d29Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(l) AS word,
+      |    unnest(range(1, len(l) + 1)) AS ord
+      |  FROM ws),
+      |nat AS (SELECT doc_id, (ord - 1) // 12 AS pidx,
+      |    string_agg(word, ' ' ORDER BY ord) AS para
+      |  FROM w GROUP BY doc_id, (ord - 1) // 12),
+      |pl AS (SELECT doc_id, 999 AS pidx,
+      |    'this syndicated paragraph appears verbatim across the corpus'
+      |      AS para
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |al AS (SELECT * FROM nat UNION ALL SELECT * FROM pl),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY para
+      |    ORDER BY doc_id, pidx) AS rn FROM al),
+      |kept AS (SELECT doc_id, pidx, para FROM rk WHERE rn = 1),
+      |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(string_agg(para, chr(10) || chr(10) ORDER BY pidx))
+      |      AS text_md5
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM al GROUP BY doc_id)
+      |SELECT tot.doc_id, CAST(tot.n_paras AS BIGINT) AS n_paras,
+      |  CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(tot.n_paras - COALESCE(re.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  COALESCE(re.text_md5, md5('')) AS text_md5
+      |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d28_url_dedup"     -> d28Sql,
+    "d29_paragraph_dedup" -> d29Sql,
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,

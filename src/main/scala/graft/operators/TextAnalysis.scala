@@ -2663,6 +2663,228 @@ object TextAnalysis {
       |  md5(out) AS text_md5
       |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t41
+  /** CHAT-TEMPLATE RENDERING — the SFT-data materialization step every
+    * instruction-tuning pipeline runs (HF `apply_chat_template` /
+    * ChatML): conversation turns render as
+    * `<|im_start|>role\ncontent<|im_end|>\n` in turn order, and the
+    * loss mask needs the CHARACTER OFFSETS of assistant content inside
+    * the rendered string (`asst_start` = 0-based offset of the first
+    * assistant content char; `asst_chars` = total assistant content
+    * mass), which must be computed IN-ENGINE — re-tokenizing to find
+    * them downstream is the classic train-time bug. Offsets are a
+    * conversation-KEYED prefix sum over piece lengths (conversations
+    * are bounded, so the window never sees corpus-sized partitions);
+    * reassembly is the q09 sorted-collect pattern; everything else is
+    * per-row codegen arithmetic. */
+  def renderChatTemplate(turns: DataFrame): DataFrame = {
+    val piece = concat(lit("<|im_start|>"), col("role"), lit("\n"),
+      col("content"), lit("<|im_end|>\n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // len("<|im_start|>assistant\n") = 22: content starts there
+    turns.select(col("conv_id"), col("turn_idx"), col("role"),
+        col("content"), piece.as("piece"))
+      .withColumn("prefix_len",
+        coalesce(sum(length(col("piece")).cast("long")).over(w), lit(0L)))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("piece")))),
+          e => e.getField("piece"))).as("text"),
+        min(when(col("role") === "assistant",
+          col("prefix_len") + lit(22L))).as("asst_start"),
+        sum(when(col("role") === "assistant",
+          length(col("content")).cast("long"))).as("asst_sum"))
+      .select(col("conv_id"), col("n_turns"),
+        length(col("text")).cast("long").as("text_len"),
+        col("asst_start"),
+        coalesce(col("asst_sum"), lit(0L)).as("asst_chars"),
+        md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .orderBy("conv_id")
+  }
+
+  /** Driver gate: every document becomes a system+user+assistant
+    * conversation sliced from its text at fixed character windows; even
+    * doc_ids append a second user/assistant round (possibly
+    * empty-content on short docs — empty turns must still render). */
+  def t41ChatTemplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id").as("conv_id"), explode(array(
+        struct(lit(0L).as("turn_idx"), lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content")),
+        struct(lit(1L).as("turn_idx"), lit("user").as("role"),
+          col("text").substr(lit(1), lit(100)).as("content")),
+        struct(lit(2L).as("turn_idx"), lit("assistant").as("role"),
+          col("text").substr(lit(101), lit(150)).as("content")))).as("t"))
+      .select(col("conv_id"), col("t.turn_idx").as("turn_idx"),
+        col("t.role").as("role"), col("t.content").as("content"))
+    val extra = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("conv_id"), explode(array(
+        struct(lit(3L).as("turn_idx"), lit("user").as("role"),
+          col("text").substr(lit(251), lit(80)).as("content")),
+        struct(lit(4L).as("turn_idx"), lit("assistant").as("role"),
+          col("text").substr(lit(331), lit(120)).as("content")))).as("t"))
+      .select(col("conv_id"), col("t.turn_idx").as("turn_idx"),
+        col("t.role").as("role"), col("t.content").as("content"))
+    renderChatTemplate(base.unionByName(extra))
+  }
+
+  val t41Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |t AS (
+      |  SELECT doc_id AS conv_id, 0 AS turn_idx, 'system' AS role,
+      |    'You are a helpful assistant.' AS content FROM d
+      |  UNION ALL SELECT doc_id, 1, 'user', substr(text, 1, 100) FROM d
+      |  UNION ALL SELECT doc_id, 2, 'assistant', substr(text, 101, 150)
+      |    FROM d
+      |  UNION ALL SELECT doc_id, 3, 'user', substr(text, 251, 80)
+      |    FROM d WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT doc_id, 4, 'assistant', substr(text, 331, 120)
+      |    FROM d WHERE doc_id % 2 = 0),
+      |p AS (SELECT conv_id, turn_idx, role, content,
+      |    '<|im_start|>' || role || chr(10) || content || '<|im_end|>'
+      |      || chr(10) AS piece
+      |  FROM t),
+      |w AS (SELECT *, COALESCE(SUM(length(piece)) OVER (
+      |      PARTITION BY conv_id ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS prefix_len
+      |  FROM p)
+      |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  CAST(SUM(length(piece)) AS BIGINT) AS text_len,
+      |  CAST(MIN(CASE WHEN role = 'assistant' THEN prefix_len + 22 END)
+      |    AS BIGINT) AS asst_start,
+      |  CAST(COALESCE(SUM(CASE WHEN role = 'assistant'
+      |    THEN length(content) END), 0) AS BIGINT) AS asst_chars,
+      |  md5(string_agg(piece, '' ORDER BY turn_idx)) AS text_md5
+      |FROM w GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  // ---------------------------------------------------------------- t42
+  /** ROUGE-1/2 CLIPPED OVERLAP (Lin 2004) — the summarization /
+    * SFT-response evaluation metric a training pipeline computes at
+    * corpus scale (dedup of model outputs against references, eval-set
+    * scoring): per (candidate, reference) pair, clipped n-gram overlap
+    * Σ_g min(c_cand, c_ref) with precision/recall as integer permille.
+    * Token arrays stage to ATTRIBUTES before the bigram lambda (the
+    * t19/t24 discipline — a captured expression would re-split per
+    * element), counts aggregate per (pair, gram) map-side, and the
+    * clipped intersection is an INNER equi-join on the uniform
+    * (pair_id, gram) key — grams missing from either side contribute 0
+    * and never shuffle. Pair fan-out is |pairs|·|grams-per-doc|, linear
+    * in corpus size. */
+  def rougeOverlap(pairs: DataFrame): DataFrame = {
+    def grams(side: String): DataFrame = {
+      val toks = pairs.select(col("pair_id"),
+        split(lower(trim(col(side))), "\\s+").as("toks"))
+      val uni = toks.select(col("pair_id"), lit(1).as("n"),
+        explode(col("toks")).as("gram"))
+      val bi = toks.select(col("pair_id"), lit(2).as("n"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      uni.unionByName(bi)
+        .groupBy(col("pair_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val c = grams("cand").withColumnRenamed("cnt", "cc")
+    val r = grams("ref").withColumnRenamed("cnt", "cr")
+    val ov = c.join(r, Seq("pair_id", "n", "gram"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("cc"), col("cr"))).as("ov"))
+    val lens = pairs.select(col("pair_id"),
+      size(split(lower(trim(col("cand"))), "\\s+")).cast("long").as("nc1"),
+      size(split(lower(trim(col("ref"))), "\\s+")).cast("long").as("nr1"))
+    lens
+      .join(ov.where(col("n") === 1).select(col("pair_id"),
+        col("ov").as("ov1")), Seq("pair_id"), "left")
+      .join(ov.where(col("n") === 2).select(col("pair_id"),
+        col("ov").as("ov2")), Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("ov1"), lit(0L)).as("r1_overlap"),
+        expr("CASE WHEN nc1 = 0 THEN NULL ELSE " +
+          "(1000 * coalesce(ov1, 0)) div nc1 END").as("r1_prec_permille"),
+        expr("CASE WHEN nr1 = 0 THEN NULL ELSE " +
+          "(1000 * coalesce(ov1, 0)) div nr1 END").as("r1_rec_permille"),
+        coalesce(col("ov2"), lit(0L)).as("r2_overlap"),
+        expr("CASE WHEN nc1 <= 1 THEN NULL ELSE " +
+          "(1000 * coalesce(ov2, 0)) div (nc1 - 1) END")
+          .as("r2_prec_permille"),
+        expr("CASE WHEN nr1 <= 1 THEN NULL ELSE " +
+          "(1000 * coalesce(ov2, 0)) div (nr1 - 1) END")
+          .as("r2_rec_permille"))
+      .orderBy("pair_id")
+  }
+
+  /** Driver gate: candidate = tokens 1–25, reference = tokens 6–35 of
+    * the same document — a high-but-partial overlap whose clipped
+    * counts exercise both the min() and the missing-gram zero paths. */
+  def t42RougeEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("pair_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("pair_id"),
+        concat_ws(" ", slice(col("toks"), 1, 25)).as("cand"),
+        concat_ws(" ", slice(col("toks"), 6, 30)).as("ref"))
+    rougeOverlap(docs)
+  }
+
+  val t42Sql: String =
+    """WITH d AS (SELECT doc_id AS pair_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |pr AS (SELECT pair_id,
+      |    array_to_string(list_slice(toks, 1, 25), ' ') AS cand,
+      |    array_to_string(list_slice(toks, 6, 35), ' ') AS ref
+      |  FROM d),
+      |ct AS (SELECT pair_id,
+      |    string_split_regex(lower(trim(cand)), '\s+') AS t FROM pr),
+      |rt AS (SELECT pair_id,
+      |    string_split_regex(lower(trim(ref)), '\s+') AS t FROM pr),
+      |cg AS (
+      |  SELECT pair_id, 1 AS n, unnest(t) AS gram FROM ct
+      |  UNION ALL
+      |  SELECT pair_id, 2 AS n, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS gram FROM ct),
+      |rg AS (
+      |  SELECT pair_id, 1 AS n, unnest(t) AS gram FROM rt
+      |  UNION ALL
+      |  SELECT pair_id, 2 AS n, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS gram FROM rt),
+      |cc AS (SELECT pair_id, n, gram, COUNT(*) AS cc FROM cg
+      |  GROUP BY 1, 2, 3),
+      |cr AS (SELECT pair_id, n, gram, COUNT(*) AS cr FROM rg
+      |  GROUP BY 1, 2, 3),
+      |ov AS (SELECT pair_id, n, SUM(LEAST(cc, cr)) AS ov
+      |  FROM cc JOIN cr USING (pair_id, n, gram) GROUP BY 1, 2),
+      |lens AS (SELECT pair_id, len(t) AS nc1 FROM ct),
+      |lenr AS (SELECT pair_id, len(t) AS nr1 FROM rt)
+      |SELECT lens.pair_id,
+      |  CAST(COALESCE(o1.ov, 0) AS BIGINT) AS r1_overlap,
+      |  CAST(CASE WHEN nc1 = 0 THEN NULL
+      |    ELSE (1000 * COALESCE(o1.ov, 0)) // nc1 END AS BIGINT)
+      |    AS r1_prec_permille,
+      |  CAST(CASE WHEN nr1 = 0 THEN NULL
+      |    ELSE (1000 * COALESCE(o1.ov, 0)) // nr1 END AS BIGINT)
+      |    AS r1_rec_permille,
+      |  CAST(COALESCE(o2.ov, 0) AS BIGINT) AS r2_overlap,
+      |  CAST(CASE WHEN nc1 <= 1 THEN NULL
+      |    ELSE (1000 * COALESCE(o2.ov, 0)) // (nc1 - 1) END AS BIGINT)
+      |    AS r2_prec_permille,
+      |  CAST(CASE WHEN nr1 <= 1 THEN NULL
+      |    ELSE (1000 * COALESCE(o2.ov, 0)) // (nr1 - 1) END AS BIGINT)
+      |    AS r2_rec_permille
+      |FROM lens JOIN lenr USING (pair_id)
+      |  LEFT JOIN (SELECT pair_id, ov FROM ov WHERE n = 1) o1
+      |    USING (pair_id)
+      |  LEFT JOIN (SELECT pair_id, ov FROM ov WHERE n = 2) o2
+      |    USING (pair_id)
+      |ORDER BY pair_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2703,7 +2925,9 @@ object TextAnalysis {
     "t37_url_canonicalize" -> (t37UrlCanonicalize _),
     "t38_ccnet_buckets" -> (t38CcnetBuckets _),
     "t39_temperature_mix" -> (t39TemperatureMix _),
-    "t40_fim_transform" -> (t40FimTransform _))
+    "t40_fim_transform" -> (t40FimTransform _),
+    "t41_chat_template" -> (t41ChatTemplate _),
+    "t42_rouge_eval" -> (t42RougeEval _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2744,5 +2968,7 @@ object TextAnalysis {
     "t37_url_canonicalize" -> t37Sql,
     "t38_ccnet_buckets" -> t38Sql,
     "t39_temperature_mix" -> t39Sql,
-    "t40_fim_transform" -> t40Sql)
+    "t40_fim_transform" -> t40Sql,
+    "t41_chat_template" -> t41Sql,
+    "t42_rouge_eval" -> t42Sql)
 }

@@ -97,6 +97,77 @@ class R11TailOpsSpec extends SparkSpec {
     assert(got("miss") === (("miss", 1L, 0L, 1L, 500L, 2000L)))
   }
 
+  test("t41 renderChatTemplate: offsets index the rendered string " +
+      "losslessly, empty turns render") {
+    val turns = Seq(
+      (7L, 0L, "system", "sys."),
+      (7L, 1L, "user", "hello there"),
+      (7L, 2L, "assistant", "hi! how can I help?"),
+      (7L, 3L, "user", ""), // empty content still renders
+      (7L, 4L, "assistant", "ok"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val row = TextAnalysis.renderChatTemplate(turns)
+      .as[(Long, Long, Long, Option[Long], Long, String)].collect().head
+    val (conv, nTurns, textLen, asstStart, asstChars, md5got) = row
+    assert(conv === 7L && nTurns === 5L)
+    // reference render, driver-side
+    val expect = Seq("system" -> "sys.", "user" -> "hello there",
+      "assistant" -> "hi! how can I help?", "user" -> "",
+      "assistant" -> "ok")
+      .map { case (r, c) => s"<|im_start|>$r\n$c<|im_end|>\n" }.mkString
+    assert(textLen === expect.length.toLong)
+    val md5ref = java.security.MessageDigest.getInstance("MD5")
+      .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5got === md5ref)
+    // asst_start points at the first assistant content char (0-based)
+    assert(asstStart.isDefined)
+    assert(expect.substring(asstStart.get.toInt,
+      asstStart.get.toInt + 3) === "hi!")
+    assert(asstChars === 19L + 2L)
+  }
+
+  test("t41 no-assistant conversation: null start, zero chars") {
+    val turns = Seq((1L, 0L, "user", "just a question"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val row = TextAnalysis.renderChatTemplate(turns)
+      .as[(Long, Long, Long, Option[Long], Long, String)].collect().head
+    assert(row._4.isEmpty && row._5 === 0L)
+  }
+
+  test("t42 rougeOverlap: clipped counts on a hand pair") {
+    val pairs = Seq((1L, "a a b c", "a b b d")).toDF("pair_id", "cand", "ref")
+    val row = TextAnalysis.rougeOverlap(pairs)
+      .as[(Long, Long, Option[Long], Option[Long], Long, Option[Long],
+        Option[Long])].collect().head
+    // unigrams: min(2,1)[a] + min(1,2)[b] = 2; both sides 4 tokens
+    assert(row._2 === 2L)
+    assert(row._3 === Some(500L) && row._4 === Some(500L))
+    // bigrams: only "a b" shared once; 3 bigrams each side
+    assert(row._5 === 1L)
+    assert(row._6 === Some(333L) && row._7 === Some(333L))
+  }
+
+  test("t42 identical pair scores 1000 permille everywhere") {
+    val pairs = Seq((1L, "x y z", "x y z")).toDF("pair_id", "cand", "ref")
+    val row = TextAnalysis.rougeOverlap(pairs)
+      .as[(Long, Long, Option[Long], Option[Long], Long, Option[Long],
+        Option[Long])].collect().head
+    assert(row === ((1L, 3L, Some(1000L), Some(1000L), 2L, Some(1000L),
+      Some(1000L))))
+  }
+
+  test("d29 paragraphDedup: first occurrence by (doc_id, pidx) wins, " +
+      "later copies scrubbed everywhere") {
+    val paras = Seq(
+      (1L, 0L, "P1"), (1L, 1L, "P2"),
+      (2L, 0L, "P2"), (2L, 1L, "P3"), (2L, 2L, "P2"),
+      (3L, 0L, "P1"))
+      .toDF("doc_id", "pidx", "para")
+    val kept = Dedup.paragraphDedup(paras)
+      .as[(Long, Long, String)].collect().toSet
+    assert(kept === Set((1L, 0L, "P1"), (1L, 1L, "P2"), (2L, 1L, "P3")))
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
