@@ -2054,6 +2054,97 @@ object Genomics {
       |      END AS BIGINT) AS chi2_milli
       |FROM e ORDER BY contig, pos""".stripMargin
 
+  // ---------------------------------------------------------------- x59
+  /** SPLICE-JUNCTION EXTRACTION (STAR SJ.out.tab / TopHat junctions /
+    * `regtools junctions extract`) — the first RNA-seq-specific
+    * operator: every `N` op in an aligned read's CIGAR is an intron;
+    * the junction (contig, donor, acceptor) — first and
+    * one-past-last intron base, half-open — is counted across reads
+    * and reported at ≥ minSupport. The ref-walk semantics are the
+    * whole point: M/D/=/X advance the reference, I/S/H/P do NOT, so a
+    * soft-clip or insertion upstream of the intron must leave the
+    * junction fixed while a deletion shifts it.
+    *
+    * One per-row CIGAR fold (a token-array `aggregate` HOF — per-row
+    * bounded work, no shuffle) → explode of the per-read junction list
+    * (reads carry 0..few introns) → ONE uniform hash aggregate on the
+    * (contig, donor, acceptor) key, map-side combinable; the support
+    * filter is a post-aggregate row filter. Output is junction-sized,
+    * never read-sized. */
+  def spliceJunctions(reads: DataFrame, minSupport: Long): DataFrame = {
+    val parsed = reads.select(col("contig"), col("pos").cast("long").as("pos"),
+      expr("regexp_extract_all(cigar, '\\\\d+[MIDNSHP=X]', 0)").as("ops"))
+    parsed.select(col("contig"), explode(expr(
+        """aggregate(ops,
+          |  struct(pos AS ref,
+          |    CAST(array() AS ARRAY<STRUCT<donor: BIGINT, acceptor: BIGINT>>)
+          |      AS j),
+          |  (acc, o) -> named_struct(
+          |    'ref', acc.ref + CASE
+          |      WHEN right(o, 1) IN ('M', 'D', 'N', '=', 'X')
+          |      THEN CAST(substring(o, 1, length(o) - 1) AS BIGINT)
+          |      ELSE 0L END,
+          |    'j', CASE WHEN right(o, 1) = 'N'
+          |      THEN array_append(acc.j, named_struct('donor', acc.ref,
+          |        'acceptor',
+          |        acc.ref + CAST(substring(o, 1, length(o) - 1) AS BIGINT)))
+          |      ELSE acc.j END),
+          |  acc -> acc.j)""".stripMargin)).as("jn"))
+      .select(col("contig"), col("jn.donor").as("donor"),
+        col("jn.acceptor").as("acceptor"))
+      .groupBy(col("contig"), col("donor"), col("acceptor"))
+      .agg(count(lit(1)).as("n_reads"))
+      .where(col("n_reads") >= minSupport)
+      .orderBy("contig", "donor", "acceptor")
+  }
+
+  /** Driver gate: spliced reads with coarse-keyed (pos, m1, intron)
+    * generators so junctions recur with varying support around the
+    * minSupport=3 cut; a third of reads carry a 4I insertion (must NOT
+    * shift the junction), a third a 2D deletion (MUST shift it by 2),
+    * and alternate reads lead with a soft clip (no shift). The
+    * operator parses the real CIGAR strings; the oracle restates the
+    * junction closed-form from the generators. */
+  def x59SpliceJunctions(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 11 === 4)
+    val base = li.select(
+      when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+        .as("contig"),
+      ((col("l_partkey") % 5) * 100 + 1).cast("long").as("pos"),
+      (col("l_suppkey") % 3 * 5 + 20).cast("long").as("m1"),
+      ((col("l_partkey") % 3 + 1) * 100).cast("long").as("n"),
+      (col("l_orderkey") % 2).as("has_s"),
+      (col("l_orderkey") % 5 + 3).cast("long").as("sc"),
+      (col("l_orderkey") % 3).as("variant"))
+    val cigar = concat(
+      when(col("has_s") === 1, concat(col("sc"), lit("S")))
+        .otherwise(lit("")),
+      col("m1"), lit("M"),
+      when(col("variant") === 1, lit("4I"))
+        .when(col("variant") === 2, lit("2D")).otherwise(lit("")),
+      col("n"), lit("N"), lit("25M"))
+    spliceJunctions(
+      base.select(col("contig"), col("pos"), cigar.as("cigar")),
+      minSupport = 3L)
+  }
+
+  val x59Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey % 11 = 4),
+      |r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
+      |      AS contig,
+      |    (l_partkey % 5) * 100 + 1
+      |      + (l_suppkey % 3 * 5 + 20)
+      |      + CASE WHEN l_orderkey % 3 = 2 THEN 2 ELSE 0 END AS donor,
+      |    (l_partkey % 3 + 1) * 100 AS n
+      |  FROM li),
+      |j AS (SELECT contig, donor, donor + n AS acceptor, COUNT(*) AS c
+      |  FROM r GROUP BY contig, donor, donor + n)
+      |SELECT contig, CAST(donor AS BIGINT) AS donor,
+      |  CAST(acceptor AS BIGINT) AS acceptor, CAST(c AS BIGINT) AS n_reads
+      |FROM j WHERE c >= 3 ORDER BY contig, donor, acceptor""".stripMargin
+
   // ---------------------------------------------------------------- x40
   /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
     * rotated-pattern sequences write to one wrapped FASTA via the
@@ -3468,7 +3559,8 @@ object Genomics {
     "x55_cnv_segments"       -> (x55CnvSegments _),
     "x56_umi_collapse"       -> (x56UmiCollapse _),
     "x57_phase_by_transmission" -> (x57PhaseByTransmission _),
-    "x58_hwe_stats"          -> (x58HweStats _))
+    "x58_hwe_stats"          -> (x58HweStats _),
+    "x59_splice_junctions"   -> (x59SpliceJunctions _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3511,5 +3603,6 @@ object Genomics {
     "x55_cnv_segments"       -> x55Sql,
     "x56_umi_collapse"       -> x56Sql,
     "x57_phase_by_transmission" -> x57Sql,
-    "x58_hwe_stats"          -> x58Sql)
+    "x58_hwe_stats"          -> x58Sql,
+    "x59_splice_junctions"   -> x59Sql)
 }

@@ -908,6 +908,77 @@ object Relational {
       |    AS BIGINT) AS err_permille
       |FROM est""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Z-ORDER (Morton) LAYOUT GATE — the MULTI-dimensional data-layout
+    * contract behind Delta `OPTIMIZE ZORDER BY` / Iceberg sort orders,
+    * completing q83's single-column partition pruning: interleaving the
+    * bits of two predicate columns makes an aligned 2-D box a SINGLE
+    * contiguous z-range, so ONE directory layout serves range queries
+    * on EITHER (or both) dimensions — where q83's year-partitioning
+    * serves only year. The engine-side query rewrite is the operator:
+    * the 2-D box decomposes (driver-side, over the dictionary-sized
+    * 16×16 key domain) into the z-buckets it intersects, the bucket
+    * IN-list prunes directories at plan time
+    * (`FileSourceScanExec.selectedPartitions`, the q83 proof — emitted
+    * rows can't distinguish pruning from scan-everything), and the
+    * residual row filter keeps exactness. The gate's aligned 4×4 box
+    * must touch exactly ONE of 16 buckets; the aggregate itself is
+    * oracle-checked against the unpartitioned source. */
+  def q88ZorderGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    def morton(x: Int, y: Int): Int = {
+      var z = 0
+      for (i <- 0 until 4) {
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+      }
+      z
+    }
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q88_$tag"
+    val zExpr = expr(
+      """CAST(shiftleft(zx & 8, 4) | shiftleft(zy & 8, 3)
+        |   | shiftleft(zx & 4, 3) | shiftleft(zy & 4, 2)
+        |   | shiftleft(zx & 2, 2) | shiftleft(zy & 2, 1)
+        |   | shiftleft(zx & 1, 1) | (zy & 1) AS INT)""".stripMargin)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(o_custkey % 16 AS INT)").as("zx"),
+        expr("CAST((o_orderkey div 7) % 16 AS INT)").as("zy"))
+      .withColumn("zbucket", zExpr.cast("int").divide(16).cast("int"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(root)
+    val t = s.read.parquet(root)
+    val buckets = (for { x <- 4 to 7; y <- 8 to 11 } yield morton(x, y) / 16)
+      .distinct.sorted
+    val filtered = t
+      .where(col("zbucket").isin(buckets: _*) &&
+        col("zx").between(4, 7) && col("zy").between(8, 11))
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.nonEmpty, "q88: no parquet scan in the executed plan")
+    val nSelected = scans.map(_.selectedPartitions.partitionCount).sum
+    val nTotal = t.select(col("zbucket")).distinct().count()
+    val alignedOk = buckets.size == 1
+    val prunedOk = nSelected == buckets.size && nTotal >= 12
+    filtered.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .select(col("n_rows"), col("key_sum"), col("n_cust"),
+        lit(alignedOk).as("aligned_ok"), lit(prunedOk).as("pruned_ok"))
+  }
+
+  val q88Sql: String =
+    """WITH z AS (SELECT o_orderkey, o_custkey,
+      |    o_custkey % 16 AS zx, (o_orderkey // 7) % 16 AS zy
+      |  FROM orders)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  TRUE AS aligned_ok, TRUE AS pruned_ok
+      |FROM z WHERE zx BETWEEN 4 AND 7 AND zy BETWEEN 8 AND 11""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3627,7 +3698,8 @@ object Relational {
     "q84_ivm_gate" -> (q84IvmGate _),
     "q85_retention_cohorts" -> (q85RetentionCohorts _),
     "q86_countmin_gate" -> (q86CountMinGate _),
-    "q87_kmv_sketch" -> (q87KmvSketch _))
+    "q87_kmv_sketch" -> (q87KmvSketch _),
+    "q88_zorder_gate" -> (q88ZorderGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3716,5 +3788,6 @@ object Relational {
     "q84_ivm_gate" -> q84Sql,
     "q85_retention_cohorts" -> q85Sql,
     "q86_countmin_gate" -> q86Sql,
-    "q87_kmv_sketch" -> q87Sql)
+    "q87_kmv_sketch" -> q87Sql,
+    "q88_zorder_gate" -> q88Sql)
 }

@@ -168,6 +168,47 @@ class R11TailOpsSpec extends SparkSpec {
     assert(kept === Set((1L, 0L, "P1"), (1L, 1L, "P2"), (2L, 1L, "P3")))
   }
 
+  test("x59 spliceJunctions: ref-walk semantics — S/I never shift, D " +
+      "shifts, multi-intron reads emit every junction") {
+    val reads = Seq(
+      ("c", 100L, "10M50N20M"),    // junction [110, 160)
+      ("c", 100L, "5S10M50N20M"),  // soft clip consumes no ref: same
+      ("c", 100L, "10M3I50N20M"),  // insertion consumes no ref: same
+      ("c", 100L, "10M2D50N20M"),  // deletion consumes 2: [112, 162)
+      ("c", 100L, "10M20N5M30N5M")) // two introns in one read
+      .toDF("contig", "pos", "cigar")
+    val all = Genomics.spliceJunctions(reads, minSupport = 1L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(all === Set(
+      ("c", 110L, 160L, 3L),
+      ("c", 112L, 162L, 1L),
+      ("c", 110L, 130L, 1L),
+      ("c", 135L, 165L, 1L)))
+    val supported = Genomics.spliceJunctions(reads, minSupport = 3L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(supported === Set(("c", 110L, 160L, 3L)))
+  }
+
+  test("x59 unspliced reads produce no junctions") {
+    val reads = Seq(("c", 1L, "76M"), ("c", 5L, "10S66M"))
+      .toDF("contig", "pos", "cigar")
+    assert(Genomics.spliceJunctions(reads, 1L).count() === 0L)
+  }
+
+  test("q88 z-order: aligned box prunes to one bucket and matches the " +
+      "raw aggregate") {
+    val row = Relational.q88ZorderGate(spark, sf)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().head
+    assert(row._4, "4x4 aligned box must decompose to a single z-bucket")
+    assert(row._5, "scan must touch only the matching directory")
+    val raw = graft.Tables.orders(spark, sf)
+      .where(expr("o_custkey % 16 BETWEEN 4 AND 7") &&
+        expr("(o_orderkey div 7) % 16 BETWEEN 8 AND 11"))
+      .agg(count(lit(1)), sum(col("o_orderkey")))
+      .as[(Long, Long)].collect().head
+    assert((row._1, row._2) === raw)
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
