@@ -979,6 +979,85 @@ object Relational {
       |  TRUE AS aligned_ok, TRUE AS pruned_ok
       |FROM z WHERE zx BETWEEN 4 AND 7 AND zy BETWEEN 8 AND 11""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** ORDERED FUNNEL (ClickHouse `windowFunnel` / Amplitude funnels) —
+    * the product-analytics staple missing between q21's sessionization
+    * and q85's retention: per user, step i+1 counts only with an event
+    * STRICTLY AFTER step i's completion time and within a fixed window
+    * of the STEP-1 ANCHOR; each step reports users reached and
+    * conversion vs step 1. The per-step recurrence is a driver-side
+    * LOOP over a declarative plan — each stage is one uniform
+    * user-keyed equi-join + min-aggregate (map-side combinable), never
+    * a per-user event sort or a window over the whole event stream;
+    * the step-count roll-up is k single-row aggregates unioned, and
+    * conversion joins the step-1 scalar by broadcast. At 100 TB each
+    * stage shuffles only the users still in the funnel — monotonically
+    * shrinking by construction. */
+  def funnel(ev: DataFrame, steps: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    val base = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"))
+    val first = base.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+      .withColumn("anchor", col("t"))
+    val frames = steps.tail.scanLeft(first) { (prev, step) =>
+      base.where(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("tprev"),
+          col("anchor")), Seq("user_id"))
+        .where(col("us") > col("tprev") &&
+          col("us") <= col("anchor") + windowMicros)
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(min(col("us")).as("t"))
+    }
+    val counts = frames.zip(steps).zipWithIndex.map {
+      case ((f, step), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+    }.reduce(_.unionByName(_))
+    val n1 = frames.head.agg(count(lit(1)).as("n1"))
+    counts.crossJoin(broadcast(n1)) // k×1 scalar composition
+      .select(col("step"), col("event_type"), col("n_users"),
+        expr("CASE WHEN n1 = 0 THEN NULL ELSE (1000 * n_users) div n1 END")
+          .as("conv_permille"))
+      .orderBy("step")
+  }
+
+  /** Driver gate: the corpus's natural view → click → purchase journey
+    * over a 72 h anchor window. */
+  def q89Funnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d), Seq("view", "click", "purchase"),
+      72L * 3600L * 1000000L)
+
+  val q89Sql: String =
+    """WITH e AS (SELECT user_id, event_type, EPOCH_US(ts) AS us
+      |  FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, s1.t1, MIN(e.us) AS t2
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.us > s1.t1
+      |    AND e.us <= s1.t1 + 259200000000
+      |  GROUP BY e.user_id, s1.t1),
+      |s3 AS (SELECT e.user_id, s2.t1, MIN(e.us) AS t3
+      |  FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+      |    AND e.us <= s2.t1 + 259200000000
+      |  GROUP BY e.user_id, s2.t1),
+      |n AS (
+      |  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users
+      |    FROM s1
+      |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+      |SELECT CAST(step AS BIGINT) AS step, event_type,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(CASE WHEN (SELECT n_users FROM n WHERE step = 1) = 0
+      |    THEN NULL ELSE (1000 * n_users)
+      |      // (SELECT n_users FROM n WHERE step = 1) END AS BIGINT)
+      |    AS conv_permille
+      |FROM n ORDER BY step""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3699,7 +3778,8 @@ object Relational {
     "q85_retention_cohorts" -> (q85RetentionCohorts _),
     "q86_countmin_gate" -> (q86CountMinGate _),
     "q87_kmv_sketch" -> (q87KmvSketch _),
-    "q88_zorder_gate" -> (q88ZorderGate _))
+    "q88_zorder_gate" -> (q88ZorderGate _),
+    "q89_funnel" -> (q89Funnel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3789,5 +3869,6 @@ object Relational {
     "q85_retention_cohorts" -> q85Sql,
     "q86_countmin_gate" -> q86Sql,
     "q87_kmv_sketch" -> q87Sql,
-    "q88_zorder_gate" -> q88Sql)
+    "q88_zorder_gate" -> q88Sql,
+    "q89_funnel" -> q89Sql)
 }

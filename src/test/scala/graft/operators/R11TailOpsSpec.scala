@@ -209,6 +209,32 @@ class R11TailOpsSpec extends SparkSpec {
     assert((row._1, row._2) === raw)
   }
 
+  test("q89 funnel: strict order and anchor-window semantics") {
+    import java.sql.Timestamp
+    val h = 3600L * 1000L // one hour in millis
+    def ts(hours: Long) = new Timestamp(hours * h)
+    val ev = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      // u2: click BEFORE the first view — step 2 never fires
+      (2L, ts(5), "click"), (2L, ts(6), "view"), (2L, ts(7), "purchase"),
+      // u3: click outside the 72h anchor window
+      (3L, ts(0), "view"), (3L, ts(80), "click"),
+      // u4: purchase before click — step 3 must anchor on t2, not t1
+      (4L, ts(0), "view"), (4L, ts(2), "purchase"), (4L, ts(3), "click"),
+      // u5: never views — not in the funnel at all
+      (5L, ts(0), "click"), (5L, ts(1), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Relational.funnel(ev, Seq("view", "click", "purchase"),
+        72L * 3600L * 1000000L)
+      .select("step", "n_users", "conv_permille")
+      .as[(Long, Long, Long)].collect().toSeq
+    // step 1: u1 u2 u3 u4; step 2: u1 (click@1h) and u4 (click@3h) only —
+    // u2's click precedes its view, u3's is outside the 72h window;
+    // step 3: u1 only — u4's purchase precedes its click
+    assert(got === Seq((1L, 4L, 1000L), (2L, 2L, 500L), (3L, 1L, 250L)))
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
