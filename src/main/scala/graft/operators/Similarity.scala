@@ -1748,6 +1748,127 @@ object Similarity {
       |  true AS mean_step_ok, true AS reassign_step_ok
       |FROM embeddings""".stripMargin
 
+  // ---------------------------------------------------------------- s24
+  /** TWO-LEVEL (hierarchical) IVF — the index SHAPE a 10⁹–10¹¹-vector
+    * corpus actually deploys (FAISS IMI / coarse+fine quantizer;
+    * SPANN's balanced tree): a k₁=4 coarse partition, then an
+    * independent k₂=4 sub-partition per coarse cell, so a probe touches
+    * np₁·np₂/(k₁·k₂) of the corpus while each centroid table stays
+    * dictionary-sized — one flat k₁·k₂-cell index needs every centroid
+    * in one table, the hierarchy keeps level-2 tables per-cell and the
+    * routing decision local. Assignment is (like s07) a build-time
+    * cost: per-cell transforms union into the (c1, c2)-keyed corpus a
+    * production layout would write `partitionBy(c1, c2)`.
+    *
+    * Gated on a THEOREM plus a floor: probing EVERY cell (np = k) makes
+    * the candidate set the whole corpus, so full-probe top-5 must equal
+    * s01's brute force EXACTLY (same scoring, same tie-break — any
+    * routing/assignment/dedup bug flips it); the partial probe
+    * (np₁ = np₂ = 2 → ¼ of the corpus) must keep recall ≥ 0.5. Seeded
+    * and cached per dataset ([[ivfModels]] discipline), so every run is
+    * a replay. */
+  private val HierK1 = 4
+  private val HierK2 = 4
+  private val hierModels = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.ml.clustering.KMeansModel,
+      Map[Int, org.apache.spark.ml.clustering.KMeansModel])]
+
+  private def hierModel(e: DataFrame, d: String):
+      (org.apache.spark.ml.clustering.KMeansModel,
+        Map[Int, org.apache.spark.ml.clustering.KMeansModel]) =
+    hierModels.getOrElseUpdate(d, {
+      val m1 = new org.apache.spark.ml.clustering.KMeans()
+        .setK(HierK1).setSeed(421L)
+        .setFeaturesCol("vec").setPredictionCol("c1")
+        .fit(e.select("vec"))
+      val assigned = m1.transform(e.select(col("vec")))
+      val subs = (0 until HierK1).map { c =>
+        c -> new org.apache.spark.ml.clustering.KMeans()
+          .setK(HierK2).setSeed(421L + c)
+          .setFeaturesCol("vec").setPredictionCol("c2")
+          .fit(assigned.where(col("c1") === c).select("vec"))
+      }.toMap
+      (m1, subs)
+    })
+
+  def s24HierIvfGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val (m1, subs) = hierModel(e, d)
+    val a1 = m1.transform(e.where(col("vec_id") >= 10))
+    val corpus = subs.map { case (c, m) =>
+      m.transform(a1.where(col("c1") === c))
+    }.reduce(_.unionByName(_))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        norm2(col("embedding")).as("n_nrm"), col("c1"), col("c2"))
+    val cent1 = s.createDataFrame(
+      m1.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+        .toSeq).toDF("c1", "cent1")
+    val cent2 = s.createDataFrame(
+      subs.toSeq.flatMap { case (c, m) =>
+        m.clusterCenters.zipWithIndex.map { case (v, j) =>
+          (c, j, v.toArray)
+        }
+      }).toDF("c1", "c2", "cent2")
+    def dist2(emb: Column, cent: Column): Column = aggregate(
+      zip_with(emb, cent, (x, c) => (x.cast("double") - c) *
+        (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    def topk(np1: Int, np2: Int): DataFrame = {
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm2(col("embedding")).as("q_nrm"))
+      val w1 = Window.partitionBy(col("q_id"))
+        .orderBy(col("d1").asc, col("c1").asc)
+      val p1 = q.crossJoin(broadcast(cent1))
+        .withColumn("d1", dist2(col("q_emb"), col("cent1")))
+        .withColumn("pr1", row_number().over(w1))
+        .where(col("pr1") <= np1)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c1"))
+      val w2 = Window.partitionBy(col("q_id"), col("c1"))
+        .orderBy(col("d2").asc, col("c2").asc)
+      val p2 = p1.join(broadcast(cent2), Seq("c1"))
+        .withColumn("d2", dist2(col("q_emb"), col("cent2")))
+        .withColumn("pr2", row_number().over(w2))
+        .where(col("pr2") <= np2)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c1"),
+          col("c2"))
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      p2.hint("broadcast").join(corpus, Seq("c1", "c2"))
+        .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+          col("q_nrm"), col("n_nrm")))
+        .withColumn("rank", row_number().over(wR))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 6).as("cos_r"))
+    }
+    val brute = s01KnnBrute(s, d)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_r"))
+    val full = topk(HierK1, HierK2)
+    val partial = topk(2, 2)
+    val fullMatch = full
+      .join(brute, Seq("q_id", "rank", "n_id", "cos_r"), "left_semi")
+      .agg(count(lit(1)).as("n_match"))
+    val fullN = full.agg(count(lit(1)).as("n_full"))
+    val bruteN = brute.agg(count(lit(1)).as("n_brute"))
+    val hits = brute.select(col("q_id"), col("n_id"))
+      .join(partial.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    fullMatch.crossJoin(fullN).crossJoin(bruteN).crossJoin(hits)
+      .select(lit(10L).as("n_queries"),
+        (col("n_match") === col("n_brute") &&
+          col("n_full") === col("n_brute")).as("full_probe_exact"),
+        (col("hits").cast("double") / col("n_brute") >= 0.5)
+          .as("partial_recall_ok"))
+  }
+
+  val s24Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries,
+      |  true AS full_probe_exact, true AS partial_recall_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1771,7 +1892,8 @@ object Similarity {
     "s20_lloyd_step_gate" -> (s20LloydStepGate _),
     "s21_nndescent_gate"  -> (s21NnDescentGate _),
     "s22_graph_search_gate" -> (s22GraphSearchGate _),
-    "s23_farthest_seed_gate" -> (s23FarthestSeedGate _))
+    "s23_farthest_seed_gate" -> (s23FarthestSeedGate _),
+    "s24_hier_ivf_gate" -> (s24HierIvfGate _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1794,5 +1916,6 @@ object Similarity {
     "s20_lloyd_step_gate" -> s20Sql,
     "s21_nndescent_gate"  -> s21Sql,
     "s22_graph_search_gate" -> s22Sql,
-    "s23_farthest_seed_gate" -> s23Sql)
+    "s23_farthest_seed_gate" -> s23Sql,
+    "s24_hier_ivf_gate" -> s24Sql)
 }

@@ -235,6 +235,16 @@ class R11TailOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 4L, 1000L), (2L, 2L, 500L), (3L, 1L, 250L)))
   }
 
+  test("s24 hierarchical IVF: full-probe theorem and partial recall " +
+      "floor hold") {
+    val row = Similarity.s24HierIvfGate(spark, sf)
+      .as[(Long, Boolean, Boolean)].collect().head
+    assert(row._1 === 10L)
+    assert(row._2, "probing every (c1, c2) cell must reproduce brute " +
+      "force exactly")
+    assert(row._3, "2x2 probe must keep recall >= 0.5")
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
