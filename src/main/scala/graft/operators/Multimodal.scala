@@ -869,7 +869,10 @@ object Multimodal {
     * within a run). Emits per-clip frame/active counts, segment count,
     * first active frame, longest run. All windows partition BY CLIP —
     * bounded by clip length, no cross-executor adjacency, no skew. */
-  def m13AudioSegments(s: SparkSession, d: String): DataFrame = {
+  /** Shared m13/m16 kernel: per-clip decoded frame activity and the
+    * gaps-and-islands active runs (both clip-keyed, bounded windows). */
+  private def audioActiveRuns(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val codec = audioCodecFor(s)
     val dec = udf { p: Array[Byte] => codec.decodeFrames(p, 64, 1) }
@@ -884,6 +887,11 @@ object Multimodal {
       .withColumn("grp", col("fi") - row_number().over(wa))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("run_len"), min(col("fi")).as("run_start"))
+    (fr, runs)
+  }
+
+  def m13AudioSegments(s: SparkSession, d: String): DataFrame = {
+    val (fr, runs) = audioActiveRuns(s, d)
     val seg = runs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segments"),
         max(col("run_len")).as("longest_run"),
@@ -1096,7 +1104,102 @@ object Multimodal {
     "m12_image_patchify" -> (m12ImagePatchify _),
     "m13_audio_segments"  -> (m13AudioSegments _),
     "m14_letterbox_detect" -> (m14LetterboxDetect _),
-    "m15_keyframes"        -> (m15Keyframes _))
+    "m15_keyframes"        -> (m15Keyframes _),
+    "m16_caption_align"    -> (m16CaptionAlign _))
+
+  // ---------------------------------------------------------------- m16
+  /** CAPTION ↔ AUDIO-SEGMENT ALIGNMENT — the multimodal JOIN step a
+    * speech/caption corpus runs after VAD (m13): each timed caption
+    * window must find the activity segment backing it (a caption over
+    * silence is a sync error; the per-caption best segment seeds
+    * forced alignment). Per clip, captions interval-join the m13
+    * active runs and keep the argmax-overlap segment (ties → earliest
+    * segment), with silent clips and off-the-end captions reporting
+    * (0, −1) rather than vanishing. The null-segment case is guarded
+    * EXPLICITLY — both engines' least/greatest skip NULLs, so an
+    * unguarded overlap formula would hallucinate full overlap on
+    * silent clips.
+    *
+    * Scale shape: the join is clip-keyed (captions and runs of ONE
+    * clip — physically bounded), the argmax is a map-side-combinable
+    * max(struct(ov, −start)) per caption, no window over candidates,
+    * nothing corpus-global. */
+  def m16CaptionAlign(s: SparkSession, d: String): DataFrame = {
+    val (fr, runs) = audioActiveRuns(s, d)
+    val nFrames = fr.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val caps = nFrames.select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), lit(3L))).as("cap_idx"))
+      .withColumn("cap_start",
+        (col("cap_idx") * 7 + col("doc_id") % 3).cast("long"))
+      .withColumn("cap_end", col("cap_start") + 5L)
+      .where(col("cap_start") < col("n_frames"))
+      .select(col("doc_id"), col("cap_idx"), col("cap_start"),
+        col("cap_end"))
+    val segs = runs.select(col("doc_id"),
+      col("run_start").cast("long").as("run_start"),
+      (col("run_start") + col("run_len")).cast("long").as("seg_end"))
+    caps.join(segs, Seq("doc_id"), "left")
+      .withColumn("ov",
+        when(col("run_start").isNull, lit(0L))
+          .otherwise(greatest(lit(0L),
+            least(col("cap_end"), col("seg_end")) -
+              greatest(col("cap_start"), col("run_start")))))
+      .groupBy(col("doc_id"), col("cap_idx"), col("cap_start"),
+        col("cap_end"))
+      .agg(max(when(col("ov") > 0,
+        struct(col("ov"), (-col("run_start")).as("neg")))).as("best"))
+      .select(col("doc_id"), col("cap_idx"), col("cap_start"),
+        col("cap_end"),
+        coalesce(col("best.ov"), lit(0L)).as("ov_frames"),
+        coalesce(-col("best.neg"), lit(-1L)).as("best_seg_start"))
+      .orderBy("doc_id", "cap_idx")
+  }
+
+  /** m13's frame-energy + islands restatement, extended with the caption
+    * grid and the guarded interval argmax. */
+  val m16Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |f AS (SELECT doc_id, n, text,
+      |  unnest(range(0, (n + 63) // 64)) AS fi FROM d),
+      |s AS (SELECT doc_id, fi,
+      |  unnest(range(fi * 64, least(fi * 64 + 64, n))) AS pos, text FROM f),
+      |a AS (SELECT doc_id, fi,
+      |  ascii(substring(text, CAST(pos + 1 AS BIGINT), 1)) - 128 AS amp
+      |  FROM s),
+      |e AS (SELECT doc_id, fi, SUM(amp * amp) AS energy
+      |  FROM a GROUP BY doc_id, fi),
+      |act AS (SELECT doc_id, fi, (energy >= 130000) AS active FROM e),
+      |runs AS (
+      |  SELECT doc_id,
+      |    fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp,
+      |    fi
+      |  FROM act WHERE active),
+      |r2 AS (SELECT doc_id, grp, COUNT(*) AS run_len, MIN(fi) AS run_start
+      |  FROM runs GROUP BY doc_id, grp),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM act
+      |  GROUP BY doc_id),
+      |cg AS (SELECT doc_id, n_frames, unnest(range(0, 4)) AS cap_idx
+      |  FROM tot),
+      |caps AS (SELECT doc_id, cap_idx,
+      |    cap_idx * 7 + doc_id % 3 AS cap_start,
+      |    cap_idx * 7 + doc_id % 3 + 5 AS cap_end
+      |  FROM cg WHERE cap_idx * 7 + doc_id % 3 < n_frames),
+      |ovl AS (SELECT c.doc_id, c.cap_idx, c.cap_start, c.cap_end,
+      |    r.run_start,
+      |    CASE WHEN r.run_start IS NULL THEN 0
+      |      ELSE GREATEST(0, LEAST(c.cap_end, r.run_start + r.run_len)
+      |        - GREATEST(c.cap_start, r.run_start)) END AS ov
+      |  FROM caps c LEFT JOIN r2 r ON c.doc_id = r.doc_id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, cap_idx
+      |    ORDER BY ov DESC, run_start ASC) AS rn FROM ovl)
+      |SELECT doc_id, CAST(cap_idx AS BIGINT) AS cap_idx,
+      |  CAST(cap_start AS BIGINT) AS cap_start,
+      |  CAST(cap_end AS BIGINT) AS cap_end,
+      |  CAST(CASE WHEN ov > 0 THEN ov ELSE 0 END AS BIGINT) AS ov_frames,
+      |  CAST(CASE WHEN ov > 0 THEN run_start ELSE -1 END AS BIGINT)
+      |    AS best_seg_start
+      |FROM rk WHERE rn = 1 ORDER BY doc_id, cap_idx""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"    -> m01Sql,
@@ -1113,5 +1216,6 @@ object Multimodal {
     "m12_image_patchify" -> m12Sql,
     "m13_audio_segments"  -> m13Sql,
     "m14_letterbox_detect" -> m14Sql,
-    "m15_keyframes"        -> m15Sql)
+    "m15_keyframes"        -> m15Sql,
+    "m16_caption_align"    -> m16Sql)
 }

@@ -1058,6 +1058,86 @@ object Relational {
       |    AS conv_permille
       |FROM n ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** KMV SET OPERATIONS — the payoff of q87's bottom-k sketch being
+    * CLOSED UNDER UNION (the ThetaSketch union/intersection algebra):
+    * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) exactly (a
+    * theorem, not an approximation — the k smallest of a union are
+    * among each side's k smallest), so two k-row sketches built on
+    * opposite ends of a cluster merge into the union estimate without
+    * revisiting either input; Jaccard ≈ |K(U) ∩ K(A) ∩ K(B)| / k and
+    * intersection = J · union_est follow from the merged sketch alone.
+    * Everything after the two per-set bottom-k scans (each the q87
+    * TakeOrderedAndProject shape) operates on k-row frames — the merge
+    * IS the distributed-union story at 100 TB. Fully deterministic
+    * given the md5 hash; the oracle replays sketch content, estimates,
+    * and exact counts bit-for-bit. */
+  def q90KmvSetOps(s: SparkSession, d: String): DataFrame = {
+    val k = 32
+    def hashes(pred: Column): DataFrame = Tables.orders(s, d)
+      .where(pred)
+      .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .distinct()
+    def bottomK(df: DataFrame): DataFrame = df.orderBy("h").limit(k)
+    val ka = bottomK(hashes(col("o_custkey") % 3 =!= 0))
+    val kb = bottomK(hashes(col("o_custkey") % 2 === 0))
+    // merge-and-truncate: union of the two SKETCHES, never the inputs
+    val ku = bottomK(ka.unionByName(kb).distinct())
+    val uniStats = ku.agg(max(col("h")).as("u_kth"),
+      count(lit(1)).as("u_n"))
+    val jaccNum = ku
+      .join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("j_num"))
+    val exact = Tables.orders(s, d).agg(
+      countDistinct(when(col("o_custkey") % 3 =!= 0 ||
+        col("o_custkey") % 2 === 0, col("o_custkey"))).as("exact_union"),
+      countDistinct(when(col("o_custkey") % 3 =!= 0 &&
+        col("o_custkey") % 2 === 0, col("o_custkey"))).as("exact_inter"))
+    uniStats.crossJoin(broadcast(jaccNum)).crossJoin(broadcast(exact))
+      .withColumn("union_est",
+        when(col("u_n") < k, col("u_n").cast("long"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div u_kth")))
+      .select(lit(k.toLong).as("k"), col("u_kth"), col("union_est"),
+        col("j_num"),
+        expr(s"(1000 * j_num) div ${k}L").as("jaccard_permille"),
+        expr(s"(j_num * union_est) div ${k}L").as("inter_est"),
+        col("exact_union"), col("exact_inter"))
+  }
+
+  val q90Sql: String =
+    """WITH ha AS (SELECT DISTINCT CAST(CONCAT('0x',
+      |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM orders WHERE o_custkey % 3 <> 0),
+      |hb AS (SELECT DISTINCT CAST(CONCAT('0x',
+      |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM orders WHERE o_custkey % 2 = 0),
+      |ka AS (SELECT h FROM ha ORDER BY h LIMIT 32),
+      |kb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+      |ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka
+      |    UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 32),
+      |us AS (SELECT MAX(h) AS u_kth, COUNT(*) AS u_n FROM ku),
+      |jn AS (SELECT COUNT(*) AS j_num FROM ku
+      |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+      |ex AS (SELECT
+      |    COUNT(DISTINCT CASE WHEN o_custkey % 3 <> 0 OR o_custkey % 2 = 0
+      |      THEN o_custkey END) AS exact_union,
+      |    COUNT(DISTINCT CASE WHEN o_custkey % 3 <> 0 AND o_custkey % 2 = 0
+      |      THEN o_custkey END) AS exact_inter
+      |  FROM orders),
+      |est AS (SELECT u_kth, u_n, j_num, exact_union, exact_inter,
+      |    CASE WHEN u_n < 32 THEN u_n
+      |      ELSE (31 * 4294967296) // u_kth END AS union_est
+      |  FROM us, jn, ex)
+      |SELECT CAST(32 AS BIGINT) AS k, CAST(u_kth AS BIGINT) AS u_kth,
+      |  CAST(union_est AS BIGINT) AS union_est,
+      |  CAST(j_num AS BIGINT) AS j_num,
+      |  CAST((1000 * j_num) // 32 AS BIGINT) AS jaccard_permille,
+      |  CAST((j_num * union_est) // 32 AS BIGINT) AS inter_est,
+      |  CAST(exact_union AS BIGINT) AS exact_union,
+      |  CAST(exact_inter AS BIGINT) AS exact_inter
+      |FROM est""".stripMargin
+
   def q27AsofCustom(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("r_user"), col("o_orderdate"))
@@ -3779,7 +3859,8 @@ object Relational {
     "q86_countmin_gate" -> (q86CountMinGate _),
     "q87_kmv_sketch" -> (q87KmvSketch _),
     "q88_zorder_gate" -> (q88ZorderGate _),
-    "q89_funnel" -> (q89Funnel _))
+    "q89_funnel" -> (q89Funnel _),
+    "q90_kmv_setops" -> (q90KmvSetOps _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3870,5 +3951,6 @@ object Relational {
     "q86_countmin_gate" -> q86Sql,
     "q87_kmv_sketch" -> q87Sql,
     "q88_zorder_gate" -> q88Sql,
-    "q89_funnel" -> q89Sql)
+    "q89_funnel" -> q89Sql,
+    "q90_kmv_setops" -> q90Sql)
 }

@@ -245,6 +245,43 @@ class R11TailOpsSpec extends SparkSpec {
     assert(row._3, "2x2 probe must keep recall >= 0.5")
   }
 
+  test("q90 KMV set ops: merged sketch equals the direct union sketch " +
+      "(merge-and-truncate theorem) and estimates are consistent") {
+    val row = Relational.q90KmvSetOps(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val (k, uKth, unionEst, jNum, jaccPm, interEst, exU, exI) = row
+    assert(k === 32L && jNum <= k)
+    // direct bottom-k over the union predicate must give the same kth
+    val direct = graft.Tables.orders(spark, sf)
+      .where(expr("o_custkey % 3 != 0 OR o_custkey % 2 = 0"))
+      .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .distinct().orderBy("h").limit(32)
+      .agg(max(col("h"))).as[Long].collect().head
+    assert(uKth === direct,
+      "sketch-of-sketches must equal the sketch of the union")
+    assert(jaccPm === 1000L * jNum / 32L)
+    assert(interEst === jNum * unionEst / 32L)
+    assert(exI <= exU)
+  }
+
+  test("m16 caption alignment invariants: overlap bounded by caption " +
+      "length, -1 exactly when unaligned") {
+    val rows = Multimodal.m16CaptionAlign(spark, sf)
+      .select("cap_start", "cap_end", "ov_frames", "best_seg_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cs, ce, ov, seg) =>
+      assert(ce - cs === 5L)
+      assert(ov >= 0L && ov <= 5L)
+      assert((seg === -1L) === (ov === 0L),
+        s"segment $seg with overlap $ov")
+    }
+    assert(rows.exists(_._3 > 0L), "some caption must align")
+    assert(rows.exists(_._3 === 0L), "some caption must miss")
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
