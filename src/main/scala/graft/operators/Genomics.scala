@@ -2145,6 +2145,205 @@ object Genomics {
       |  CAST(acceptor AS BIGINT) AS acceptor, CAST(c AS BIGINT) AS n_reads
       |FROM j WHERE c >= 3 ORDER BY contig, donor, acceptor""".stripMargin
 
+  // ---------------------------------------------------------------- x60
+  /** VCF VARIANT NORMALIZATION (`bcftools norm` / vt normalize, Tan et
+    * al. 2015) — the canonicalization every variant join/concordance
+    * depends on (x36's equality silently misses un-normalized indel
+    * representations): (1) trailing bases shared by REF and ALT
+    * truncate; (2) when truncation empties either allele, both extend
+    * LEFT with the reference base before POS (the left-align step);
+    * (3) leading shared bases truncate when both alleles keep ≥ 2
+    * chars. The upstream reference bases ride IN-ROW as a fixed-width
+    * context column (`ctx`, the [pos−8, pos) window — at scale the
+    * x46-style refTiles equi-join materializes it; no broadcast
+    * chromosome), and alignment that would run off the carried window
+    * stops at the window edge rather than guessing (widen the window
+    * at materialization time for deeper homopolymer runs).
+    *
+    * The iteration is a BOUNDED FOLD — `aggregate(sequence(1, 24), …)`
+    * over an idempotent step (done-flag), pure per-row codegen-resident
+    * arithmetic, no shuffle, no UDF; the oracle restates the identical
+    * step as a DuckDB recursive CTE (the q68 discipline) and matches
+    * pos/ref/alt exactly. */
+  def normalizeVariants(variants: DataFrame): DataFrame = {
+    // acc = (pos0, pos, ref, alt, done); ctx covers [pos0-8, pos0), so
+    // the base at (pos-1) sits at 1-based ctx index pos - pos0 + 8
+    val step =
+      """CASE
+        |  WHEN acc.done THEN acc
+        |  WHEN length(acc.ref) >= 1 AND length(acc.alt) >= 1
+        |      AND (length(acc.ref) > 1 OR length(acc.alt) > 1)
+        |      AND right(acc.ref, 1) = right(acc.alt, 1) THEN
+        |    CASE WHEN length(acc.ref) = 1 OR length(acc.alt) = 1 THEN
+        |      CASE WHEN acc.pos - acc.pos0 + 8 >= 1 THEN
+        |        named_struct('pos0', acc.pos0, 'pos', acc.pos - 1L,
+        |          'ref', concat(substring(ctx, CAST(acc.pos - acc.pos0 + 8
+        |              AS INT), 1),
+        |            substring(acc.ref, 1, length(acc.ref) - 1)),
+        |          'alt', concat(substring(ctx, CAST(acc.pos - acc.pos0 + 8
+        |              AS INT), 1),
+        |            substring(acc.alt, 1, length(acc.alt) - 1)),
+        |          'done', false)
+        |      ELSE named_struct('pos0', acc.pos0, 'pos', acc.pos,
+        |        'ref', acc.ref, 'alt', acc.alt, 'done', true) END
+        |    ELSE named_struct('pos0', acc.pos0, 'pos', acc.pos,
+        |      'ref', substring(acc.ref, 1, length(acc.ref) - 1),
+        |      'alt', substring(acc.alt, 1, length(acc.alt) - 1),
+        |      'done', false) END
+        |  WHEN length(acc.ref) >= 2 AND length(acc.alt) >= 2
+        |      AND left(acc.ref, 1) = left(acc.alt, 1) THEN
+        |    named_struct('pos0', acc.pos0, 'pos', acc.pos + 1L,
+        |      'ref', substring(acc.ref, 2), 'alt', substring(acc.alt, 2),
+        |      'done', false)
+        |  ELSE named_struct('pos0', acc.pos0, 'pos', acc.pos,
+        |    'ref', acc.ref, 'alt', acc.alt, 'done', true)
+        |END""".stripMargin
+    variants
+      .withColumn("nrm", expr(
+        s"""aggregate(sequence(1, 24),
+           |  named_struct('pos0', CAST(pos AS BIGINT),
+           |    'pos', CAST(pos AS BIGINT),
+           |    'ref', ref, 'alt', alt, 'done', false),
+           |  (acc, i) -> $step,
+           |  acc -> acc)""".stripMargin))
+      .select(col("contig"), col("pos").as("orig_pos"),
+        col("ref").as("orig_ref"), col("alt").as("orig_alt"),
+        col("nrm.pos").as("pos"), col("nrm.ref").as("ref"),
+        col("nrm.alt").as("alt"), col("nrm.done").as("converged"))
+      .orderBy("contig", "orig_pos", "orig_ref", "orig_alt")
+  }
+
+  /** Driver gate: a 4-class generator over the x39 site grid — SNPs
+    * (no-op), shared-trailing-base trims, non-left-aligned deletions,
+    * and non-left-aligned insertions — against an 8-bp PAIRED context
+    * (`AACCGGTT`-style, adjacent bases equal half the time) so
+    * left-shift chains of length > 1 genuinely occur, deterministically
+    * in both engines. */
+  def x60VcfNormalize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 18 === 7)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 500) * 2 + 1).cast("long").as("pos"))
+      .distinct()
+      .where(col("pos") >= 9) // keep the full 8-bp context in-genome
+    val withCtx = sites
+      .withColumn("ctx", concat((1 to 8).map(i => expr(
+        s"substring('ACGT', CAST(((pos - 9 + $i) div 2) % 4 AS INT) + 1, 1)")
+        ): _*))
+      .withColumn("cl", expr("substring(ctx, 8, 1)"))
+      .withColumn("c0", expr(
+        "substring('ACGT', CAST(pos % 4 AS INT) + 1, 1)"))
+      .withColumn("c1", expr(
+        "substring('ACGT', CAST((pos + 1) % 4 AS INT) + 1, 1)"))
+      .withColumn("c2", expr(
+        "substring('ACGT', CAST((pos + 2) % 4 AS INT) + 1, 1)"))
+    val cls = expr("(pos div 2) % 4") // pos is odd on this grid: pos % 4
+    // would only hit {1, 3} and silently skip two classes
+    val variants = withCtx.select(col("contig"), col("pos"), col("ctx"),
+      when(cls === 0, col("c0"))
+        .when(cls === 1, concat(col("c0"), col("c1"), col("cl")))
+        .when(cls === 2, concat(col("c1"), col("cl")))
+        .otherwise(col("cl")).as("ref"),
+      when(cls === 0, col("c1"))
+        .when(cls === 1, concat(col("c2"), col("cl")))
+        .when(cls === 2, col("cl"))
+        .otherwise(concat(col("c2"), col("cl"))).as("alt"))
+    normalizeVariants(variants)
+  }
+
+  val x60Sql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 18 = 7),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 500) * 2 + 1 AS pos FROM li),
+      |s2 AS (SELECT * FROM sites WHERE pos >= 9),
+      |cx AS (SELECT contig, pos,
+      |    substr('ACGT', CAST(((pos - 8) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 7) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 6) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 5) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 4) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 3) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 2) // 2) % 4 AS INT) + 1, 1)
+      |    || substr('ACGT', CAST(((pos - 1) // 2) % 4 AS INT) + 1, 1)
+      |      AS ctx,
+      |    substr('ACGT', CAST(((pos - 1) // 2) % 4 AS INT) + 1, 1) AS cl,
+      |    substr('ACGT', CAST(pos % 4 AS INT) + 1, 1) AS c0,
+      |    substr('ACGT', CAST((pos + 1) % 4 AS INT) + 1, 1) AS c1,
+      |    substr('ACGT', CAST((pos + 2) % 4 AS INT) + 1, 1) AS c2
+      |  FROM s2),
+      |v AS (SELECT contig, pos, ctx,
+      |    CASE WHEN (pos // 2) % 4 = 0 THEN c0
+      |      WHEN (pos // 2) % 4 = 1 THEN c0 || c1 || cl
+      |      WHEN (pos // 2) % 4 = 2 THEN c1 || cl ELSE cl END AS ref,
+      |    CASE WHEN (pos // 2) % 4 = 0 THEN c1
+      |      WHEN (pos // 2) % 4 = 1 THEN c2 || cl
+      |      WHEN (pos // 2) % 4 = 2 THEN cl ELSE c2 || cl END AS alt
+      |  FROM cx),
+      |norm AS (
+      |  SELECT contig, pos AS pos0, ctx, ref AS orig_ref, alt AS orig_alt,
+      |    pos AS p, ref AS r, alt AS a, FALSE AS done, 0 AS it
+      |  FROM v
+      |  UNION ALL
+      |  SELECT contig, pos0, ctx, orig_ref, orig_alt,
+      |    CASE
+      |      WHEN length(r) >= 1 AND length(a) >= 1
+      |          AND (length(r) > 1 OR length(a) > 1)
+      |          AND right(r, 1) = right(a, 1) THEN
+      |        CASE WHEN length(r) = 1 OR length(a) = 1
+      |          THEN CASE WHEN p - pos0 + 8 >= 1 THEN p - 1 ELSE p END
+      |          ELSE p END
+      |      WHEN length(r) >= 2 AND length(a) >= 2
+      |          AND left(r, 1) = left(a, 1) THEN p + 1
+      |      ELSE p END AS p,
+      |    CASE
+      |      WHEN length(r) >= 1 AND length(a) >= 1
+      |          AND (length(r) > 1 OR length(a) > 1)
+      |          AND right(r, 1) = right(a, 1) THEN
+      |        CASE WHEN length(r) = 1 OR length(a) = 1
+      |          THEN CASE WHEN p - pos0 + 8 >= 1
+      |            THEN substr(ctx, CAST(p - pos0 + 8 AS INT), 1)
+      |              || substr(r, 1, length(r) - 1)
+      |            ELSE r END
+      |          ELSE substr(r, 1, length(r) - 1) END
+      |      WHEN length(r) >= 2 AND length(a) >= 2
+      |          AND left(r, 1) = left(a, 1) THEN substr(r, 2)
+      |      ELSE r END AS r,
+      |    CASE
+      |      WHEN length(r) >= 1 AND length(a) >= 1
+      |          AND (length(r) > 1 OR length(a) > 1)
+      |          AND right(r, 1) = right(a, 1) THEN
+      |        CASE WHEN length(r) = 1 OR length(a) = 1
+      |          THEN CASE WHEN p - pos0 + 8 >= 1
+      |            THEN substr(ctx, CAST(p - pos0 + 8 AS INT), 1)
+      |              || substr(a, 1, length(a) - 1)
+      |            ELSE a END
+      |          ELSE substr(a, 1, length(a) - 1) END
+      |      WHEN length(r) >= 2 AND length(a) >= 2
+      |          AND left(r, 1) = left(a, 1) THEN substr(a, 2)
+      |      ELSE a END AS a,
+      |    CASE
+      |      WHEN length(r) >= 1 AND length(a) >= 1
+      |          AND (length(r) > 1 OR length(a) > 1)
+      |          AND right(r, 1) = right(a, 1) THEN
+      |        CASE WHEN (length(r) = 1 OR length(a) = 1)
+      |            AND p - pos0 + 8 < 1 THEN TRUE ELSE FALSE END
+      |      WHEN length(r) >= 2 AND length(a) >= 2
+      |          AND left(r, 1) = left(a, 1) THEN FALSE
+      |      ELSE TRUE END AS done,
+      |    it + 1 AS it
+      |  FROM norm WHERE NOT done AND it < 24),
+      |fin AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY contig, pos0, orig_ref, orig_alt
+      |    ORDER BY it DESC) AS rn
+      |  FROM norm)
+      |SELECT contig, CAST(pos0 AS BIGINT) AS orig_pos, orig_ref, orig_alt,
+      |  CAST(p AS BIGINT) AS pos, r AS ref, a AS alt, done AS converged
+      |FROM fin WHERE rn = 1
+      |ORDER BY contig, orig_pos, orig_ref, orig_alt""".stripMargin
+
   // ---------------------------------------------------------------- x40
   /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
     * rotated-pattern sequences write to one wrapped FASTA via the
@@ -3560,7 +3759,8 @@ object Genomics {
     "x56_umi_collapse"       -> (x56UmiCollapse _),
     "x57_phase_by_transmission" -> (x57PhaseByTransmission _),
     "x58_hwe_stats"          -> (x58HweStats _),
-    "x59_splice_junctions"   -> (x59SpliceJunctions _))
+    "x59_splice_junctions"   -> (x59SpliceJunctions _),
+    "x60_vcf_normalize"      -> (x60VcfNormalize _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3604,5 +3804,6 @@ object Genomics {
     "x56_umi_collapse"       -> x56Sql,
     "x57_phase_by_transmission" -> x57Sql,
     "x58_hwe_stats"          -> x58Sql,
-    "x59_splice_junctions"   -> x59Sql)
+    "x59_splice_junctions"   -> x59Sql,
+    "x60_vcf_normalize"      -> x60Sql)
 }

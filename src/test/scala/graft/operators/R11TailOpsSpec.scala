@@ -282,6 +282,44 @@ class R11TailOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 === 0L), "some caption must miss")
   }
 
+  test("x60 normalizeVariants: homopolymer deletion left-aligns to the " +
+      "run head, trims and SNPs behave") {
+    // reference around pos 100: positions 92..99 spell ACGTACGG
+    val v = Seq(
+      // del of one G in the G-run (98..101): walks left two bases and
+      // anchors on the C at 97 — the bcftools-norm canonical form
+      ("c", 100L, "GG", "G", "ACGTACGG"),
+      // SNP: untouched
+      ("c", 100L, "A", "T", "ACGTACGG"),
+      // shared trailing base trims in place (no shift: alleles stay
+      // non-empty)
+      ("c", 100L, "ACT", "GT", "ACGTACGG"),
+      // shared leading bases trim with pos advancing (rule 3 chain)
+      ("c", 100L, "TAC", "TAG", "ACGTACGG"))
+      .toDF("contig", "pos", "ref", "alt", "ctx")
+    val got = Genomics.normalizeVariants(v)
+      .select("orig_ref", "orig_alt", "pos", "ref", "alt", "converged")
+      .as[(String, String, Long, String, String, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("GG", "G")) === (("GG", "G", 97L, "CG", "C", true)))
+    assert(got(("A", "T")) === (("A", "T", 100L, "A", "T", true)))
+    assert(got(("ACT", "GT")) === (("ACT", "GT", 100L, "AC", "G", true)))
+    assert(got(("TAC", "TAG")) === (("TAC", "TAG", 102L, "C", "G", true)))
+  }
+
+  test("x60 left-align stops at the carried window edge") {
+    // all-G context: the deletion would walk past the window; it must
+    // stop after consuming the 8 carried bases, deterministically
+    val v = Seq(("c", 100L, "GG", "G", "GGGGGGGG"))
+      .toDF("contig", "pos", "ref", "alt", "ctx")
+    val got = Genomics.normalizeVariants(v)
+      .select("pos", "ref", "alt")
+      .as[(Long, String, String)].collect().head
+    assert(got._1 === 100L - 8L,
+      "one base consumed per left step until the window is exhausted")
+    assert(got._2 === "GG" && got._3 === "G")
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
