@@ -2344,6 +2344,120 @@ object Genomics {
       |FROM fin WHERE rn = 1
       |ORDER BY contig, orig_pos, orig_ref, orig_alt""".stripMargin
 
+  // ---------------------------------------------------------------- x61
+  /** SPLIT-READ SV BREAKPOINTS — the second evidence channel of
+    * structural-variant calling (Manta/LUMPY/DELLY pair x54's
+    * discordant INSERT-SIZE votes with these SOFT-CLIP votes; split
+    * reads localize the breakpoint to the base, pairs only to the
+    * insert): a read whose alignment soft-clips at one end and whose
+    * `SA:Z` supplementary tag (`rname,pos,strand,CIGAR,…`) aligns the
+    * clipped tail elsewhere witnesses a junction between (a) the
+    * primary's clip edge — `pos + ref_len(cigar)` for a trailing clip
+    * (via the native codegen [[graft.functions.CigarSumsExpr]]), `pos`
+    * for a leading clip — and (b) the supplementary's clip edge by the
+    * same rule. Endpoint pairs canonicalize (x54's mate-swap rule) so
+    * either fragment's report lands in one cluster; reads with no clip
+    * or no SA drop first.
+    *
+    * One narrow filter+parse pass (split-read fraction is tiny by
+    * definition) → ONE uniform hash aggregate on the canonical
+    * breakpoint-pair key, map-side combinable; no self-join, no
+    * binning slop — split evidence is base-precise. */
+  def splitReadBreakpoints(reads: DataFrame,
+      minSupport: Long): DataFrame = {
+    import graft.functions.CigarSumsExpr
+    val parsed = reads.where(col("sa").isNotNull)
+      .withColumn("sa_contig", expr("split(sa, ',')[0]"))
+      .withColumn("sa_pos", expr("CAST(split(sa, ',')[1] AS BIGINT)"))
+      .withColumn("sa_cigar", expr("split(sa, ',')[3]"))
+      .withColumn("cs", CigarSumsExpr.cigarSums(col("cigar")))
+      .withColumn("sa_cs", CigarSumsExpr.cigarSums(col("sa_cigar")))
+      .withColumn("trail_clip", col("cigar").rlike("[0-9]+S$"))
+      .withColumn("lead_clip", col("cigar").rlike("^[0-9]+S"))
+      .withColumn("sa_trail", col("sa_cigar").rlike("[0-9]+S$"))
+      .withColumn("sa_lead", col("sa_cigar").rlike("^[0-9]+S"))
+      .where((col("trail_clip") || col("lead_clip")) &&
+        (col("sa_trail") || col("sa_lead")))
+      // trailing clip wins when both ends clip (deterministic tie rule)
+      .withColumn("bp1", when(col("trail_clip"),
+        col("pos") + col("cs.ref_len")).otherwise(col("pos")))
+      .withColumn("bp2", when(col("sa_trail"),
+        col("sa_pos") + col("sa_cs.ref_len")).otherwise(col("sa_pos")))
+    val swap = col("contig") > col("sa_contig") ||
+      (col("contig") === col("sa_contig") && col("bp1") > col("bp2"))
+    parsed.select(
+        when(swap, col("sa_contig")).otherwise(col("contig")).as("c1"),
+        when(swap, col("bp2")).otherwise(col("bp1")).as("b1"),
+        when(swap, col("contig")).otherwise(col("sa_contig")).as("c2"),
+        when(swap, col("bp1")).otherwise(col("bp2")).as("b2"))
+      .groupBy(col("c1"), col("b1"), col("c2"), col("b2"))
+      .agg(count(lit(1)).as("n_reads"))
+      .where(col("n_reads") >= minSupport)
+      .orderBy("c1", "b1", "c2", "b2")
+  }
+
+  /** Driver gate: coarse-keyed split reads (both orientations, real
+    * CIGAR + SA strings parsed by the operator) plus planted non-split
+    * reads (null SA / clipless CIGAR) that must drop; the oracle
+    * restates breakpoints closed-form from the generators. */
+  def x61SplitReadSv(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 13 === 6)
+    val base = li.select(
+      when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr3")
+        .as("contig"),
+      ((col("l_partkey") % 4) * 500 + 100).cast("long").as("pos"),
+      (lit(40) + (col("l_suppkey") % 3) * 10).cast("long").as("m"),
+      (col("l_partkey") % 2).as("orient"),
+      ((col("l_partkey") % 4) * 400 + 50).cast("long").as("sa_pos"),
+      (col("l_orderkey") % 3 === 0).as("unsplit"))
+    val reads = base.select(col("contig"), col("pos"),
+      when(col("unsplit"), concat(col("m"), lit("M")))
+        .when(col("orient") === 0, concat(col("m"), lit("M"), lit("30S")))
+        .otherwise(concat(lit("30S"), col("m"), lit("M"))).as("cigar"),
+      when(col("unsplit"), lit(null).cast("string"))
+        .otherwise(concat(lit("chr9,"), col("sa_pos"), lit(",+,"),
+          when(col("orient") === 0,
+            concat(lit("30S"), col("m"), lit("M")))
+            .otherwise(concat(col("m"), lit("M"), lit("30S")))))
+        .as("sa"))
+    splitReadBreakpoints(reads, minSupport = 3L)
+  }
+
+  val x61Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey % 13 = 6 AND l_orderkey % 3 <> 0),
+      |r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr3' END
+      |      AS contig,
+      |    (l_partkey % 4) * 500 + 100 AS pos,
+      |    40 + (l_suppkey % 3) * 10 AS m,
+      |    l_partkey % 2 AS orient,
+      |    (l_partkey % 4) * 400 + 50 AS sa_pos
+      |  FROM li),
+      |bp AS (SELECT contig,
+      |    CASE WHEN orient = 0 THEN pos + m ELSE pos END AS bp1,
+      |    'chr9' AS sa_contig,
+      |    CASE WHEN orient = 0 THEN sa_pos ELSE sa_pos + m END AS bp2
+      |  FROM r),
+      |canon AS (SELECT
+      |    CASE WHEN contig > sa_contig
+      |        OR (contig = sa_contig AND bp1 > bp2)
+      |      THEN sa_contig ELSE contig END AS c1,
+      |    CASE WHEN contig > sa_contig
+      |        OR (contig = sa_contig AND bp1 > bp2)
+      |      THEN bp2 ELSE bp1 END AS b1,
+      |    CASE WHEN contig > sa_contig
+      |        OR (contig = sa_contig AND bp1 > bp2)
+      |      THEN contig ELSE sa_contig END AS c2,
+      |    CASE WHEN contig > sa_contig
+      |        OR (contig = sa_contig AND bp1 > bp2)
+      |      THEN bp1 ELSE bp2 END AS b2
+      |  FROM bp)
+      |SELECT c1, CAST(b1 AS BIGINT) AS b1, c2, CAST(b2 AS BIGINT) AS b2,
+      |  CAST(COUNT(*) AS BIGINT) AS n_reads
+      |FROM canon GROUP BY c1, b1, c2, b2
+      |HAVING COUNT(*) >= 3 ORDER BY c1, b1, c2, b2""".stripMargin
+
   // ---------------------------------------------------------------- x40
   /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
     * rotated-pattern sequences write to one wrapped FASTA via the
@@ -3760,7 +3874,8 @@ object Genomics {
     "x57_phase_by_transmission" -> (x57PhaseByTransmission _),
     "x58_hwe_stats"          -> (x58HweStats _),
     "x59_splice_junctions"   -> (x59SpliceJunctions _),
-    "x60_vcf_normalize"      -> (x60VcfNormalize _))
+    "x60_vcf_normalize"      -> (x60VcfNormalize _),
+    "x61_split_read_sv"      -> (x61SplitReadSv _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3805,5 +3920,6 @@ object Genomics {
     "x57_phase_by_transmission" -> x57Sql,
     "x58_hwe_stats"          -> x58Sql,
     "x59_splice_junctions"   -> x59Sql,
-    "x60_vcf_normalize"      -> x60Sql)
+    "x60_vcf_normalize"      -> x60Sql,
+    "x61_split_read_sv"      -> x61Sql)
 }

@@ -1105,7 +1105,65 @@ object Multimodal {
     "m13_audio_segments"  -> (m13AudioSegments _),
     "m14_letterbox_detect" -> (m14LetterboxDetect _),
     "m15_keyframes"        -> (m15Keyframes _),
-    "m16_caption_align"    -> (m16CaptionAlign _))
+    "m16_caption_align"    -> (m16CaptionAlign _),
+    "m17_loudness"         -> (m17Loudness _))
+
+  // ---------------------------------------------------------------- m17
+  /** LOUDNESS NORMALIZATION ANALYSIS (ffmpeg loudnorm's measurement
+    * pass, RMS flavor) — the per-clip gain a speech corpus applies
+    * before feature extraction so quiet and loud recordings train
+    * alike: RMS amplitude from the REAL decoded samples (total sample
+    * energy through the WAV codec), target 80.0 raw units, gain =
+    * target/rms as integer permille. The only non-rational step is
+    * `floor(sqrt(…))` — the t39 discipline: IEEE mandates sqrt
+    * correctly rounded, so the integer result is bit-identical across
+    * engines, unlike any ln/pow route. Silent clips report NULL gain
+    * (a gain for silence is undefined, not infinite).
+    *
+    * One decode pass → ONE per-clip sum aggregate (map-side
+    * combinable) → per-row integer arithmetic. Nothing corpus-global;
+    * the gain column is exactly what a downstream `transform(samples,
+    * s -> s · gain div 1000)` map consumes. */
+  def m17Loudness(s: SparkSession, d: String): DataFrame = {
+    val (fr, _) = audioActiveRuns(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long")
+        .as("n_samples"))
+    fr.groupBy(col("doc_id"))
+      .agg(sum(col("energy")).as("energy"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("rms_milli", expr(
+        "CAST(floor(sqrt(CAST((1000000 * energy) div n_samples" +
+          " AS DOUBLE))) AS BIGINT)"))
+      .withColumn("gain_permille", expr(
+        "CASE WHEN rms_milli = 0 THEN NULL" +
+          " ELSE 80000000 div rms_milli END"))
+      .select(col("doc_id"), col("n_samples"), col("energy"),
+        col("rms_milli"), col("gain_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** m02/m13's amp-energy restatement, then the identical staged
+    * integer/isqrt arithmetic. */
+  val m17Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |  unnest(range(0, n)) AS pos, text FROM d),
+      |a AS (SELECT doc_id, n,
+      |  ascii(substring(text, CAST(pos + 1 AS BIGINT), 1)) - 128 AS amp
+      |  FROM s),
+      |e AS (SELECT doc_id, MAX(n) AS n_samples, SUM(amp * amp) AS energy
+      |  FROM a GROUP BY doc_id),
+      |r AS (SELECT doc_id, n_samples, energy,
+      |    CAST(FLOOR(SQRT(CAST((1000000 * energy) // n_samples
+      |      AS DOUBLE))) AS BIGINT) AS rms_milli
+      |  FROM e)
+      |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(energy AS BIGINT) AS energy,
+      |  rms_milli,
+      |  CAST(CASE WHEN rms_milli = 0 THEN NULL
+      |    ELSE 80000000 // rms_milli END AS BIGINT) AS gain_permille
+      |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m16
   /** CAPTION ↔ AUDIO-SEGMENT ALIGNMENT — the multimodal JOIN step a
@@ -1217,5 +1275,6 @@ object Multimodal {
     "m13_audio_segments"  -> m13Sql,
     "m14_letterbox_detect" -> m14Sql,
     "m15_keyframes"        -> m15Sql,
-    "m16_caption_align"    -> m16Sql)
+    "m16_caption_align"    -> m16Sql,
+    "m17_loudness"         -> m17Sql)
 }

@@ -2885,6 +2885,101 @@ object TextAnalysis {
       |    USING (pair_id)
       |ORDER BY pair_id""".stripMargin
 
+  // ---------------------------------------------------------------- t43
+  /** SPAN CORRUPTION (T5, Raffel et al. 2020) — the
+    * masked-span-denoising data transform complementing t40's FIM:
+    * deterministic 10-char spans (one per 40-char block, offset
+    * hash-derived within the block so spans never overlap) are cut out
+    * of the input and replaced by per-span sentinels `<X_b>`; the
+    * target is the sentinel-delimited sequence of removed spans. The
+    * degenerate cases — doc shorter than one block (nothing masked),
+    * the unmasked tail — must reassemble LOSSLESSLY, pinned by exact
+    * md5 + length of both streams (the t40 discipline; the spec
+    * re-splices input+target and matches the original text md5).
+    *
+    * Scale shape: per-row explode into ≤ len/40 blocks → two
+    * doc-keyed sorted-collect reassemblies (q09 pattern) — narrow,
+    * uniform, no corpus-global state. */
+  /** The reusable transform: (doc_id, text) → (doc_id, n_spans, input,
+    * target). Deterministic offsets; losslessness = re-splicing each
+    * `<X_b>` with its target span recovers the original text
+    * (spec-pinned). */
+  def spanCorrupt(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"),
+      length(col("text")).as("n"))
+    val blocks = docs
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(when(col("n") >= 40,
+          sequence(lit(0L), (col("n").cast("long").divide(40))
+            .cast("long") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("b"))
+      .withColumn("seg", expr("substring(text, CAST(b * 40 + 1 AS INT), 40)"))
+      .withColumn("off", pmod(col("doc_id") * 7919 + col("b") * 104729,
+        lit(31)))
+      .withColumn("inp_piece", expr(
+        "concat(substring(seg, 1, CAST(off AS INT)), '<X', b, '>', " +
+          "substring(seg, CAST(off + 11 AS INT), 30))"))
+      .withColumn("tgt_piece", expr(
+        "concat('<X', b, '>', substring(seg, CAST(off + 1 AS INT), 10))"))
+    val assembled = blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("b"), col("inp_piece")))),
+          e => e.getField("inp_piece"))).as("inp_body"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("b"), col("tgt_piece")))),
+          e => e.getField("tgt_piece"))).as("tgt_body"))
+    docs.join(assembled, Seq("doc_id"), "left")
+      .withColumn("tail", expr(
+        "substring(text, CAST((n div 40) * 40 + 1 AS INT), 39)"))
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        concat(coalesce(col("inp_body"), lit("")), col("tail"))
+          .as("input"),
+        concat(coalesce(col("tgt_body"), lit("")), lit("<EOS>"))
+          .as("target"))
+  }
+
+  def t43SpanCorruption(s: SparkSession, d: String): DataFrame =
+    spanCorrupt(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_spans"),
+        length(col("input")).cast("long").as("input_len"),
+        length(col("target")).cast("long").as("target_len"),
+        md5(encode(col("input"), "UTF-8")).as("input_md5"),
+        md5(encode(col("target"), "UTF-8")).as("target_md5"))
+      .orderBy("doc_id")
+
+  val t43Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |bl AS (SELECT doc_id, text, n, unnest(range(0, n // 40)) AS b
+      |  FROM d WHERE n >= 40),
+      |p AS (SELECT doc_id, b,
+      |    substr(text, CAST(b * 40 + 1 AS INT), 40) AS seg,
+      |    (doc_id * 7919 + b * 104729) % 31 AS off
+      |  FROM bl),
+      |pc AS (SELECT doc_id, b,
+      |    substr(seg, 1, CAST(off AS INT)) || '<X' || b || '>'
+      |      || substr(seg, CAST(off + 11 AS INT), 30) AS inp_piece,
+      |    '<X' || b || '>' || substr(seg, CAST(off + 1 AS INT), 10)
+      |      AS tgt_piece
+      |  FROM p),
+      |asm AS (SELECT doc_id, COUNT(*) AS n_spans,
+      |    string_agg(inp_piece, '' ORDER BY b) AS inp_body,
+      |    string_agg(tgt_piece, '' ORDER BY b) AS tgt_body
+      |  FROM pc GROUP BY doc_id),
+      |fin AS (SELECT d.doc_id,
+      |    COALESCE(asm.n_spans, 0) AS n_spans,
+      |    COALESCE(asm.inp_body, '')
+      |      || substr(d.text, CAST((d.n // 40) * 40 + 1 AS INT), 39)
+      |      AS input,
+      |    COALESCE(asm.tgt_body, '') || '<EOS>' AS target
+      |  FROM d LEFT JOIN asm ON d.doc_id = asm.doc_id)
+      |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+      |  CAST(length(input) AS BIGINT) AS input_len,
+      |  CAST(length(target) AS BIGINT) AS target_len,
+      |  md5(input) AS input_md5, md5(target) AS target_md5
+      |FROM fin ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -2927,7 +3022,8 @@ object TextAnalysis {
     "t39_temperature_mix" -> (t39TemperatureMix _),
     "t40_fim_transform" -> (t40FimTransform _),
     "t41_chat_template" -> (t41ChatTemplate _),
-    "t42_rouge_eval" -> (t42RougeEval _))
+    "t42_rouge_eval" -> (t42RougeEval _),
+    "t43_span_corruption" -> (t43SpanCorruption _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -2970,5 +3066,6 @@ object TextAnalysis {
     "t39_temperature_mix" -> t39Sql,
     "t40_fim_transform" -> t40Sql,
     "t41_chat_template" -> t41Sql,
-    "t42_rouge_eval" -> t42Sql)
+    "t42_rouge_eval" -> t42Sql,
+    "t43_span_corruption" -> t43Sql)
 }

@@ -320,6 +320,66 @@ class R11TailOpsSpec extends SparkSpec {
     assert(got._2 === "GG" && got._3 === "G")
   }
 
+  test("t43 spanCorrupt: re-splicing targets into the input recovers " +
+      "the original text; short docs pass through") {
+    val text = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((5L, text), (6L, "short doc")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorrupt(docs)
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // short doc: nothing masked
+    assert(got(6L) === ((6L, 0L, "short doc", "<EOS>")))
+    val (_, nSpans, input, target) = got(5L)
+    assert(nSpans === 2L, "100 chars = 2 full blocks + tail")
+    // reconstruct: replace each sentinel in input with its target span
+    val spans = "<X(\\d+)>([^<]*)".r.findAllMatchIn(target)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val rebuilt = "<X(\\d+)>".r.replaceAllIn(input,
+      m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1))))
+    assert(rebuilt === text, "span corruption must be lossless")
+    assert(target.endsWith("<EOS>"))
+    spans.values.foreach(s => assert(s.length === 10))
+  }
+
+  test("m17 loudness: gain inverts rms within floor error") {
+    val rows = Multimodal.m17Loudness(spark, sf)
+      .select("n_samples", "energy", "rms_milli", "gain_permille")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (n, e, rms, gain) =>
+      assert(rms <= 128000L, "amplitude domain bounds rms")
+      // rms_milli = floor(sqrt(1e6 * e div n))
+      val x = 1000000L * e / n
+      assert(rms * rms <= x && (rms + 1) * (rms + 1) > x)
+      gain.foreach(g => assert(g === 80000000L / rms))
+      assert(gain.isEmpty === (rms == 0L))
+    }
+  }
+
+  test("x61 splitReadBreakpoints: clip-edge arithmetic, mate-swap " +
+      "canonicalization, unsplit reads drop") {
+    val reads = Seq(
+      // trailing clip: junction at pos + ref_len = 1050; SA leading clip
+      ("chrQ", 1000L, "50M30S", "chrA,2000,+,30S50M"),
+      ("chrQ", 1000L, "50M30S", "chrA,2000,+,30S50M"),
+      // same junction reported from the mate's perspective (swapped):
+      // primary on chrA leading clip at 2000; SA trailing clip 1000+50
+      ("chrA", 2000L, "30S50M", "chrQ,1000,+,50M30S"),
+      // deletion-internal D consumes reference: 10M5D35M -> ref_len 50
+      ("chrQ", 1000L, "10M5D35M30S", "chrA,2000,+,30S50M"),
+      // no SA: drops
+      ("chrQ", 1000L, "50M30S", null),
+      // SA present but clipless primary: drops
+      ("chrQ", 1000L, "80M", "chrA,2000,+,30S50M"))
+      .toDF("contig", "pos", "cigar", "sa")
+    val got = Genomics.splitReadBreakpoints(reads, minSupport = 1L)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(got === Set(("chrA", 2000L, "chrQ", 1050L, 4L)))
+    // support threshold drops the cluster when raised above its count
+    assert(Genomics.splitReadBreakpoints(reads, minSupport = 5L)
+      .count() === 0L)
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
