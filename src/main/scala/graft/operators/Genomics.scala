@@ -2458,6 +2458,102 @@ object Genomics {
       |FROM canon GROUP BY c1, b1, c2, b2
       |HAVING COUNT(*) >= 3 ORDER BY c1, b1, c2, b2""".stripMargin
 
+  // ---------------------------------------------------------------- x62
+  /** TUMOR–NORMAL SOMATIC SUBTRACTION (MuTect/Strelka's first gate) —
+    * the pairing step of cancer genomics: a tumor variant is only
+    * SOMATIC if the matched normal gives positive evidence of absence;
+    * a normal that is merely shallow cannot rule the variant in OR out
+    * and must be reported as such, not silently dropped or silently
+    * kept (the classic contamination-vs-sensitivity trade). Tumor
+    * candidates (AF ≥ 10%, depth ≥ 8) LEFT-join the normal on the
+    * uniform (contig, pos) site key and classify: `germline` (normal
+    * AF > 3%), `low_normal_depth` (normal depth < 8), `no_normal`
+    * (site absent from the normal), else `somatic`. Allele fractions
+    * are integer permille throughout — no float thresholds to drift
+    * cross-engine.
+    *
+    * One filtered scan per sample + ONE uniform equi-join + a per-row
+    * CASE; output is candidate-sized. At cohort scale the same plan
+    * runs per tumor/normal PAIR with pair_id folded into the join
+    * key. */
+  def somaticSubtract(tumor: DataFrame, normal: DataFrame,
+      minTumorAf: Long = 100L, minDepth: Long = 8L,
+      maxNormalAf: Long = 30L): DataFrame = {
+    val tAf = tumor
+      .withColumn("t_af_permille",
+        expr("(1000 * alt_depth) div depth"))
+      .where(col("t_af_permille") >= minTumorAf &&
+        col("depth") >= minDepth)
+      .select(col("contig"), col("pos"),
+        col("t_af_permille"), col("depth").as("t_depth"))
+    val nAf = normal
+      .withColumn("n_af_permille",
+        expr("(1000 * alt_depth) div depth"))
+      .select(col("contig"), col("pos"), col("n_af_permille"),
+        col("depth").as("n_depth"))
+    tAf.join(nAf, Seq("contig", "pos"), "left")
+      .withColumn("status",
+        when(col("n_depth").isNull, "no_normal")
+          .when(col("n_af_permille") > maxNormalAf, "germline")
+          .when(col("n_depth") < minDepth, "low_normal_depth")
+          .otherwise("somatic"))
+      .select(col("contig"), col("pos"), col("t_af_permille"),
+        col("n_af_permille"), col("status"))
+      .orderBy("contig", "pos")
+  }
+
+  /** Driver gate: tumor depth/alt generators sweep AF through the 10%
+    * cut; the normal is absent at pos % 5 == 1, shallow at pos % 7 == 2,
+    * and alt-bearing at pos % 3 == 0 — all four classifications and the
+    * candidate filter execute. */
+  def x62SomaticSubtract(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 3)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 300) * 4 + 1).cast("long").as("pos"))
+      .distinct()
+    val tumor = sites.select(col("contig"), col("pos"),
+      (col("pos") % 12).cast("long").as("alt_depth"),
+      (lit(20) + col("pos") % 16).cast("long").as("depth"))
+    val normal = sites.where(col("pos") % 5 =!= 1)
+      .select(col("contig"), col("pos"),
+        when(col("pos") % 3 === 0, col("pos") % 9)
+          .otherwise(lit(0L)).cast("long").as("alt_depth"),
+        when(col("pos") % 7 === 2, lit(4L)).otherwise(lit(30L))
+          .cast("long").as("depth"))
+    somaticSubtract(tumor, normal)
+  }
+
+  val x62Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 19 = 3),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
+      |      AS contig,
+      |    (l_partkey % 300) * 4 + 1 AS pos FROM li),
+      |t AS (SELECT contig, pos,
+      |    (1000 * (pos % 12)) // (20 + pos % 16) AS t_af_permille,
+      |    20 + pos % 16 AS t_depth
+      |  FROM sites
+      |  WHERE (1000 * (pos % 12)) // (20 + pos % 16) >= 100
+      |    AND 20 + pos % 16 >= 8),
+      |n AS (SELECT contig, pos,
+      |    (1000 * (CASE WHEN pos % 3 = 0 THEN pos % 9 ELSE 0 END))
+      |      // (CASE WHEN pos % 7 = 2 THEN 4 ELSE 30 END)
+      |      AS n_af_permille,
+      |    CASE WHEN pos % 7 = 2 THEN 4 ELSE 30 END AS n_depth
+      |  FROM sites WHERE pos % 5 <> 1)
+      |SELECT t.contig, CAST(t.pos AS BIGINT) AS pos,
+      |  CAST(t.t_af_permille AS BIGINT) AS t_af_permille,
+      |  CAST(n.n_af_permille AS BIGINT) AS n_af_permille,
+      |  CASE WHEN n.n_depth IS NULL THEN 'no_normal'
+      |    WHEN n.n_af_permille > 30 THEN 'germline'
+      |    WHEN n.n_depth < 8 THEN 'low_normal_depth'
+      |    ELSE 'somatic' END AS status
+      |FROM t LEFT JOIN n ON t.contig = n.contig AND t.pos = n.pos
+      |ORDER BY t.contig, t.pos""".stripMargin
+
   // ---------------------------------------------------------------- x40
   /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
     * rotated-pattern sequences write to one wrapped FASTA via the
@@ -3875,7 +3971,8 @@ object Genomics {
     "x58_hwe_stats"          -> (x58HweStats _),
     "x59_splice_junctions"   -> (x59SpliceJunctions _),
     "x60_vcf_normalize"      -> (x60VcfNormalize _),
-    "x61_split_read_sv"      -> (x61SplitReadSv _))
+    "x61_split_read_sv"      -> (x61SplitReadSv _),
+    "x62_somatic_subtract"   -> (x62SomaticSubtract _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -3921,5 +4018,6 @@ object Genomics {
     "x58_hwe_stats"          -> x58Sql,
     "x59_splice_junctions"   -> x59Sql,
     "x60_vcf_normalize"      -> x60Sql,
-    "x61_split_read_sv"      -> x61Sql)
+    "x61_split_read_sv"      -> x61Sql,
+    "x62_somatic_subtract"   -> x62Sql)
 }

@@ -1151,6 +1151,117 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q91
+  /** TIME-SERIES RESAMPLING with LOCF (last observation carried
+    * forward) — the gap-filling step every metrics/feature pipeline
+    * runs before ML (pandas `resample().ffill()`, InfluxDB/Timescale
+    * `locf(time_bucket(...))`): each user's irregular event stream
+    * projects onto a regular 6-hour grid spanning that user's observed
+    * range; the value at a grid instant is the latest event at-or-before
+    * it, grid points before the first event stay NULL (LOCF invents
+    * nothing). The grid→event lookup is EXACTLY an as-of join, served
+    * by the engine's own `AsOfJoinExec` ([[graft.plans.AsOf]]) — one
+    * user-keyed sort-merge pass, never a per-grid-point probe; same-
+    * timestamp events deduplicate deterministically (max event_id
+    * wins) BEFORE the join. Values compare cross-engine as exact
+    * milli-integers via floor(double·1000) — an explicit floor, because
+    * double→BIGINT casts TRUNCATE in Spark but ROUND in DuckDB. */
+  def q91LocfResample(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val Period = 6L * HourUs
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"),
+      col("event_id"), col("value"))
+    val obs = ev.groupBy(col("user_id"), col("us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("mx"))
+      .select(col("user_id").as("r_user"),
+        timestamp_micros(col("us")).as("r_ts"),
+        expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("val_milli"))
+    val grid = ev.groupBy(col("user_id"))
+      // integer div, not double divide-then-truncate: a float quotient
+      // landing at 79999.9999999 would disagree with the oracle's //
+      .agg(expr(s"min(us) div ${Period}L").as("lo"),
+        expr(s"max(us) div ${Period}L").as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi)")).as("bucket"))
+      .withColumn("g_ts", timestamp_micros(col("bucket") * Period))
+    graft.plans.AsOf.join(grid, obs, "user_id", "r_user", "g_ts", "r_ts")
+      .select(col("user_id"), col("bucket"), col("val_milli"))
+      .orderBy("user_id", "bucket")
+  }
+
+  val q91Sql: String =
+    """WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_id, value
+      |  FROM events),
+      |obs AS (SELECT user_id, us,
+      |    CAST(floor(arg_max(value, event_id) * 1000) AS BIGINT)
+      |      AS val_milli
+      |  FROM e GROUP BY user_id, us),
+      |sp AS (SELECT user_id, MIN(us) // 21600000000 AS lo,
+      |    MAX(us) // 21600000000 AS hi
+      |  FROM e GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+      |  FROM sp),
+      |j AS (SELECT g.user_id, g.bucket, o.us, o.val_milli,
+      |    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.bucket
+      |      ORDER BY o.us DESC) AS rn
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.user_id = g.user_id AND o.us <= g.bucket * 21600000000)
+      |SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(val_milli AS BIGINT) AS val_milli
+      |FROM j WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** TRIANGLE COUNTING on an oriented edge list — the graph-analytics
+    * benchmark op after q79's PageRank (clustering coefficient, spam/
+    * community detection): orienting every undirected edge low→high
+    * makes each triangle appear EXACTLY once as a<b<c wedges closed by
+    * an (a,c) edge, turning an O(Σdeg²)-ambiguous self-join into two
+    * uniform equi-joins with no dedup pass (the Schank–Wagner /
+    * GraphFrames discipline; at scale orientation goes by DEGREE, not
+    * id, which bounds every wedge fan-out by √m — same plan, different
+    * sort key). Edges synthesize from lineitem pairs, distinct once,
+    * then never re-shuffle except on the join keys. */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val edges = pairs.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")).distinct()
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val tri = wedges.join(edges,
+      col("x") === col("a") && col("z") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = edges.agg(count(lit(1)).as("n_edges"))
+    val nodes = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .agg(countDistinct(col("n")).as("n_nodes"))
+    nodes.crossJoin(broadcast(stats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  def q92Triangles(s: SparkSession, d: String): DataFrame =
+    triangleCount(Tables.lineitem(s, d).select(
+      (col("l_partkey") % 24).cast("long").as("u"),
+      (col("l_suppkey") % 24).cast("long").as("v")))
+
+  val q92Sql: String =
+    """WITH raw AS (SELECT l_partkey % 24 AS u, l_suppkey % 24 AS v
+      |  FROM lineitem WHERE l_partkey % 24 <> l_suppkey % 24),
+      |edges AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      |  FROM raw),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+      |    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |st AS (SELECT COUNT(*) AS n_edges FROM edges),
+      |nd AS (SELECT COUNT(DISTINCT n) AS n_nodes FROM (
+      |  SELECT a AS n FROM edges UNION ALL SELECT b FROM edges))
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles
+      |FROM nd, st, tri""".stripMargin
+
   // ---------------------------------------------------------------- q28
   /** Top-k values per group via the custom MaxK TypedImperativeAggregate
     * (bounded k-double buffer, map-side combinable) — vs the window
@@ -3860,7 +3971,9 @@ object Relational {
     "q87_kmv_sketch" -> (q87KmvSketch _),
     "q88_zorder_gate" -> (q88ZorderGate _),
     "q89_funnel" -> (q89Funnel _),
-    "q90_kmv_setops" -> (q90KmvSetOps _))
+    "q90_kmv_setops" -> (q90KmvSetOps _),
+    "q91_locf_resample" -> (q91LocfResample _),
+    "q92_triangles" -> (q92Triangles _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -3952,5 +4065,7 @@ object Relational {
     "q87_kmv_sketch" -> q87Sql,
     "q88_zorder_gate" -> q88Sql,
     "q89_funnel" -> q89Sql,
-    "q90_kmv_setops" -> q90Sql)
+    "q90_kmv_setops" -> q90Sql,
+    "q91_locf_resample" -> q91Sql,
+    "q92_triangles" -> q92Sql)
 }

@@ -380,6 +380,80 @@ class R11TailOpsSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("q92 triangleCount: K4 minus an edge has 2 triangles; parallel " +
+      "and self edges collapse") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 1L), // parallel + reversed: one edge
+      (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), // K4 minus (3,4)
+      (5L, 5L)) // self edge drops
+      .toDF("u", "v")
+    val got = Relational.triangleCount(pairs)
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((4L, 5L, 2L)))
+  }
+
+  test("x62 somaticSubtract: all four classifications and the " +
+      "candidate cut") {
+    val tumor = Seq(
+      ("c", 10L, 5L, 20L),   // af 250: candidate
+      ("c", 20L, 5L, 20L),   // candidate, germline normal
+      ("c", 30L, 5L, 20L),   // candidate, shallow normal
+      ("c", 40L, 5L, 20L),   // candidate, no normal row
+      ("c", 50L, 1L, 20L),   // af 50 < 100: filtered out
+      ("c", 60L, 5L, 6L))    // depth 6 < 8: filtered out
+      .toDF("contig", "pos", "alt_depth", "depth")
+    val normal = Seq(
+      ("c", 10L, 0L, 30L),   // clean deep normal -> somatic
+      ("c", 20L, 3L, 30L),   // af 100 > 30 -> germline
+      ("c", 30L, 0L, 4L))    // depth 4 < 8 -> low_normal_depth
+      .toDF("contig", "pos", "alt_depth", "depth")
+    val got = Genomics.somaticSubtract(tumor, normal)
+      .select("pos", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "somatic", 20L -> "germline",
+      30L -> "low_normal_depth", 40L -> "no_normal"))
+  }
+
+  test("q91 LOCF: carries the latest at-or-before value, null before " +
+      "first observation, same-ts dedup by max event_id") {
+    import java.sql.Timestamp
+    val h = 3600L * 1000L
+    def ts(hours: Long) = new Timestamp(hours * h)
+    val ev = Seq(
+      // user 1: obs at 0h and 13h; 6h grid buckets 0,1,2
+      (1L, 1L, ts(0), 1.5),
+      (2L, 1L, ts(13), 2.5),
+      // user 2: first obs at 5h -> bucket 0 (0h) is null
+      (3L, 2L, ts(5), 9.0),
+      // user 3: two events at the SAME instant; event_id 5 wins
+      (4L, 3L, ts(6), 1.0),
+      (5L, 3L, ts(6), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val HourUs = 3600L * 1000000L
+    val Period = 6L * HourUs
+    val base = ev.select(col("user_id"),
+      unix_micros(col("ts").cast(
+        org.apache.spark.sql.types.TimestampType)).as("us"),
+      col("event_id"), col("value"))
+    val obs = base.groupBy(col("user_id"), col("us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("mx"))
+      .select(col("user_id").as("r_user"),
+        timestamp_micros(col("us")).as("r_ts"),
+        expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("val_milli"))
+    val grid = base.groupBy(col("user_id"))
+      .agg(expr(s"min(us) div ${Period}L").as("lo"),
+        expr(s"max(us) div ${Period}L").as("hi"))
+      .select(col("user_id"), explode(expr("sequence(lo, hi)")).as("bucket"))
+      .withColumn("g_ts", timestamp_micros(col("bucket") * Period))
+    val got = graft.plans.AsOf
+      .join(grid, obs, "user_id", "r_user", "g_ts", "r_ts")
+      .select(col("user_id"), col("bucket"), col("val_milli"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, 0L, Some(1500L)), (1L, 1L, Some(1500L)), (1L, 2L, Some(1500L)),
+      (2L, 0L, None),
+      (3L, 1L, Some(2000L))))
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
