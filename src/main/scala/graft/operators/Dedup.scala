@@ -1775,7 +1775,8 @@ object Dedup {
     "d26_soft_dedup" -> (d26SoftDedup _),
     "d27_soft_dedup_wired_gate" -> (d27SoftDedupWiredGate _),
     "d28_url_dedup" -> (d28UrlDedup _),
-    "d29_paragraph_dedup" -> (d29ParagraphDedup _))
+    "d29_paragraph_dedup" -> (d29ParagraphDedup _),
+    "d30_lsh_tuning" -> (d30LshTuning _))
 
   // ---------------------------------------------------------------- d28
   /** URL-LEVEL dedup — the cheapest and first dedup stage of a web
@@ -1913,9 +1914,87 @@ object Dedup {
       |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d30
+  /** MinHash-LSH PARAMETER TUNING — the S-curve calibration behind
+    * d03's banding choice (Leskovec/MMDS §3.4): with b bands of r rows
+    * the collision probability at similarity s is 1 − (1 − s^r)^b; the
+    * (b, r) grid is scored at a below-threshold probe (s = 0.5 → false
+    * positive mass) and an above-threshold probe (s = 0.8 → recall),
+    * and the minimum-cost row is flagged. The powers are LEFT-FOLDED
+    * MULTIPLICATION chains (`aggregate(sequence(1, r), 1.0, acc·s)` ≡
+    * DuckDB `list_reduce`) — IEEE double multiply is exact-identical
+    * cross-engine where pow()/exp() are NOT (the no-libm discipline),
+    * so the oracle matches the probabilities bit-for-bit, floored to
+    * milli. Literals are cast to DOUBLE explicitly: a bare 0.5 is
+    * DECIMAL in DuckDB and would silently change every product.
+    *
+    * Pure dictionary-sized arithmetic (the tuning table is the
+    * OUTPUT; the corpus never participates) — the operator a pipeline
+    * runs once before committing petabytes to a banding layout. */
+  def d30LshTuning(s: SparkSession, d: String): DataFrame = {
+    val cand = s.createDataFrame(
+      Seq((64, 2), (32, 4), (16, 8), (8, 16))).toDF("b", "r")
+    val scored = cand
+      .withColumn("sr50", expr(
+        "aggregate(sequence(1, r), CAST(1.0 AS DOUBLE)," +
+          " (a, i) -> a * CAST(0.5 AS DOUBLE))"))
+      .withColumn("sr80", expr(
+        "aggregate(sequence(1, r), CAST(1.0 AS DOUBLE)," +
+          " (a, i) -> a * CAST(0.8 AS DOUBLE))"))
+      .withColumn("p50_milli", expr(
+        "CAST(floor(1000 * (CAST(1.0 AS DOUBLE) -" +
+          " aggregate(sequence(1, b), CAST(1.0 AS DOUBLE)," +
+          " (a, i) -> a * (CAST(1.0 AS DOUBLE) - sr50)))) AS BIGINT)"))
+      .withColumn("p80_milli", expr(
+        "CAST(floor(1000 * (CAST(1.0 AS DOUBLE) -" +
+          " aggregate(sequence(1, b), CAST(1.0 AS DOUBLE)," +
+          " (a, i) -> a * (CAST(1.0 AS DOUBLE) - sr80)))) AS BIGINT)"))
+      .withColumn("cost", expr("p50_milli + 1000 - p80_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // 4-row literal frame: a global window is fine
+    scored
+      .withColumn("mincost", min(col("cost")).over(w))
+      .withColumn("minb",
+        min(when(col("cost") === col("mincost"), col("b"))).over(w))
+      .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+        col("p50_milli"), col("p80_milli"),
+        col("cost").cast("long").as("cost"),
+        (col("cost") === col("mincost") && col("b") === col("minb"))
+          .as("chosen"))
+      .orderBy("b")
+  }
+
+  val d30Sql: String =
+    """WITH c(b, r) AS (VALUES (64, 2), (32, 4), (16, 8), (8, 16)),
+      |p AS (SELECT b, r,
+      |    list_reduce(list_transform(range(1, r + 1),
+      |      i -> CAST(0.5 AS DOUBLE)), (x, y) -> x * y) AS sr50,
+      |    list_reduce(list_transform(range(1, r + 1),
+      |      i -> CAST(0.8 AS DOUBLE)), (x, y) -> x * y) AS sr80
+      |  FROM c),
+      |q AS (SELECT b, r,
+      |    CAST(FLOOR(1000 * (CAST(1.0 AS DOUBLE) -
+      |      list_reduce(list_transform(range(1, b + 1),
+      |        i -> CAST(1.0 AS DOUBLE) - sr50), (x, y) -> x * y)))
+      |      AS BIGINT) AS p50_milli,
+      |    CAST(FLOOR(1000 * (CAST(1.0 AS DOUBLE) -
+      |      list_reduce(list_transform(range(1, b + 1),
+      |        i -> CAST(1.0 AS DOUBLE) - sr80), (x, y) -> x * y)))
+      |      AS BIGINT) AS p80_milli
+      |  FROM p),
+      |cst AS (SELECT *, p50_milli + 1000 - p80_milli AS cost FROM q),
+      |mn AS (SELECT *, MIN(cost) OVER () AS mincost FROM cst),
+      |mb AS (SELECT *, MIN(CASE WHEN cost = mincost THEN b END) OVER ()
+      |    AS minb FROM mn)
+      |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+      |  p50_milli, p80_milli, CAST(cost AS BIGINT) AS cost,
+      |  (cost = mincost AND b = minb) AS chosen
+      |FROM mb ORDER BY b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d28_url_dedup"     -> d28Sql,
     "d29_paragraph_dedup" -> d29Sql,
+    "d30_lsh_tuning"    -> d30Sql,
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,

@@ -2554,6 +2554,97 @@ object Genomics {
       |FROM t LEFT JOIN n ON t.contig = n.contig AND t.pos = n.pos
       |ORDER BY t.contig, t.pos""".stripMargin
 
+  // ---------------------------------------------------------------- x63
+  /** PHASING SWITCH-ERROR EVALUATION (WhatsHap `compare` / the
+    * switch-error rate every phasing paper reports) — the metric
+    * downstream of x57: at biallelic het sites, a phased call is
+    * either truth-oriented or flipped; a SWITCH is an orientation
+    * change between CONSECUTIVE phased het sites of one (sample,
+    * contig). Sites that are unphased or missing from either set drop
+    * out first (they break no pairs — the WhatsHap convention: the
+    * pair count is over surviving adjacencies).
+    *
+    * One uniform equi-join of call vs truth on (sample, contig, pos),
+    * a (sample, contig)-KEYED lag window (haplotype blocks are
+    * chromosome-bounded; at 100× the x45/x55 two-level decomposition
+    * applies unchanged), then a per-group sum — output is
+    * (sample × contig)-sized. */
+  def switchErrors(ph: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sample"), col("contig"))
+      .orderBy(col("pos"))
+    ph.where(col("call").isNotNull && col("truth").isNotNull)
+      .withColumn("ori", (expr("substring(call, 1, 1)") ===
+        expr("substring(truth, 1, 1)")).cast("long"))
+      .withColumn("prev", lag(col("ori"), 1).over(w))
+      .groupBy(col("sample"), col("contig"))
+      .agg(sum(when(col("prev").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("ori"), 1L)
+          .otherwise(0L)).as("n_switches"))
+      .withColumn("switch_permille", expr(
+        "CASE WHEN n_pairs = 0 THEN NULL" +
+          " ELSE (1000 * n_switches) div n_pairs END"))
+      .orderBy("sample", "contig")
+  }
+
+  /** Driver gate: two samples over the x58 site grid with
+    * different-period call/truth orientation generators (so both
+    * agreeing and flipped stretches occur) and unphased sites planted
+    * at pos % 6 == 0 (must drop without breaking adjacency
+    * counting). */
+  def x63SwitchErrors(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 21 === 8)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(("s0", 0L), ("s1", 1L)))
+      .toDF("sample", "sj")
+    sites.crossJoin(broadcast(dim))
+      .select(col("sample"), col("contig"), col("pos"),
+        when(col("pos") % 6 === 0, lit(null).cast("string"))
+          .when((expr("pos div 3") + col("sj")) % 2 === 0, "0|1")
+          .otherwise("1|0").as("call"),
+        when(expr("pos div 7") % 2 === 0, "0|1").otherwise("1|0")
+          .as("truth"))
+      .transform(switchErrors)
+  }
+
+  val x63Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 21 = 8),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
+      |      AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES ('s0', 0), ('s1', 1)) AS t(sample, sj)),
+      |ph AS (SELECT sample, contig, pos,
+      |    CASE WHEN pos % 6 = 0 THEN NULL
+      |      WHEN ((pos // 3) + sj) % 2 = 0 THEN '0|1' ELSE '1|0' END
+      |      AS call,
+      |    CASE WHEN (pos // 7) % 2 = 0 THEN '0|1' ELSE '1|0' END AS truth
+      |  FROM sites CROSS JOIN sm),
+      |ori AS (SELECT sample, contig, pos,
+      |    CASE WHEN substr(call, 1, 1) = substr(truth, 1, 1)
+      |      THEN 1 ELSE 0 END AS ori
+      |  FROM ph WHERE call IS NOT NULL AND truth IS NOT NULL),
+      |lg AS (SELECT sample, contig, ori,
+      |    LAG(ori) OVER (PARTITION BY sample, contig ORDER BY pos)
+      |      AS prev
+      |  FROM ori),
+      |ag AS (SELECT sample, contig,
+      |    SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS n_pairs,
+      |    SUM(CASE WHEN prev IS NOT NULL AND prev <> ori THEN 1 ELSE 0
+      |      END) AS n_switches
+      |  FROM lg GROUP BY sample, contig)
+      |SELECT sample, contig, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(n_switches AS BIGINT) AS n_switches,
+      |  CAST(CASE WHEN n_pairs = 0 THEN NULL
+      |    ELSE (1000 * n_switches) // n_pairs END AS BIGINT)
+      |    AS switch_permille
+      |FROM ag ORDER BY sample, contig""".stripMargin
+
   // ---------------------------------------------------------------- x40
   /** FASTA ROUNDTRIP gate — pins [[graft.sources.Fasta]]: deterministic
     * rotated-pattern sequences write to one wrapped FASTA via the
@@ -3972,7 +4063,8 @@ object Genomics {
     "x59_splice_junctions"   -> (x59SpliceJunctions _),
     "x60_vcf_normalize"      -> (x60VcfNormalize _),
     "x61_split_read_sv"      -> (x61SplitReadSv _),
-    "x62_somatic_subtract"   -> (x62SomaticSubtract _))
+    "x62_somatic_subtract"   -> (x62SomaticSubtract _),
+    "x63_switch_errors"      -> (x63SwitchErrors _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4019,5 +4111,6 @@ object Genomics {
     "x59_splice_junctions"   -> x59Sql,
     "x60_vcf_normalize"      -> x60Sql,
     "x61_split_read_sv"      -> x61Sql,
-    "x62_somatic_subtract"   -> x62Sql)
+    "x62_somatic_subtract"   -> x62Sql,
+    "x63_switch_errors"      -> x63Sql)
 }

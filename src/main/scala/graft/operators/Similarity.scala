@@ -1869,6 +1869,74 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries,
       |  true AS full_probe_exact, true AS partial_recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- s25
+  /** MATRYOSHKA TRUNCATION RECALL (Kusupati et al. 2022, the MRL eval
+    * every embedding-serving stack runs before shipping prefix-dim
+    * indexes): top-5 retrieval with only the first k of 64 dimensions,
+    * scored as recall against the full-dimension truth — the curve that
+    * decides how many dims the ANN tier can drop (and therefore how
+    * much index RAM/IO a 100 TB embedding corpus saves). UNLIKE the
+    * ANN gates this is fully ORACLE-CHECKED, not verdict-gated: cosine
+    * on a prefix slice is deterministic arithmetic both engines
+    * restate (`list_slice` + `list_cosine_similarity` in DuckDB).
+    *
+    * Each prefix length is the s01 broadcast-query brute pass over
+    * sliced columns — map-side nested loop, per-query top-k, zero extra
+    * shuffles; the recall join operates on 50-row frames. */
+  def s25MatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val e = Tables.embeddings(s, d)
+    def top5(k: Int): DataFrame = {
+      val sliced = e.withColumn("emb", slice(col("embedding"), 1, k))
+        .withColumn("nrm", norm2(col("emb")))
+      val q = sliced.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val n = sliced.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      n.crossJoin(broadcast(q))
+        .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+          col("q_nrm"), col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"))
+    }
+    val full = top5(64)
+    dims.map { k =>
+      top5(k).join(full, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(k.toLong).as("dim_prefix"), col("hits"),
+          lit(50L).as("total"),
+          expr("(1000 * hits) div 50").as("recall_permille"))
+    }.reduce(_.unionByName(_)).orderBy("dim_prefix")
+  }
+
+  val s25Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+      |  WHERE vec_id < 10),
+      |n AS (SELECT vec_id AS n_id, embedding FROM embeddings
+      |  WHERE vec_id >= 10),
+      |ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+      |scored AS (SELECT ks.k, q.q_id, n.n_id,
+      |    ROW_NUMBER() OVER (PARTITION BY ks.k, q.q_id
+      |      ORDER BY list_cosine_similarity(
+      |        CAST(list_slice(q.embedding, 1, ks.k) AS DOUBLE[]),
+      |        CAST(list_slice(n.embedding, 1, ks.k) AS DOUBLE[])) DESC,
+      |        n.n_id ASC) AS rank
+      |  FROM ks, q, n),
+      |top AS (SELECT k, q_id, n_id FROM scored WHERE rank <= 5),
+      |full_top AS (SELECT q_id, n_id FROM top WHERE k = 64),
+      |hits AS (SELECT t.k, COUNT(*) AS hits FROM top t
+      |  JOIN full_top f ON t.q_id = f.q_id AND t.n_id = f.n_id
+      |  GROUP BY t.k)
+      |SELECT CAST(k AS BIGINT) AS dim_prefix, CAST(hits AS BIGINT) AS hits,
+      |  CAST(50 AS BIGINT) AS total,
+      |  CAST((1000 * hits) // 50 AS BIGINT) AS recall_permille
+      |FROM hits ORDER BY dim_prefix""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1893,7 +1961,8 @@ object Similarity {
     "s21_nndescent_gate"  -> (s21NnDescentGate _),
     "s22_graph_search_gate" -> (s22GraphSearchGate _),
     "s23_farthest_seed_gate" -> (s23FarthestSeedGate _),
-    "s24_hier_ivf_gate" -> (s24HierIvfGate _))
+    "s24_hier_ivf_gate" -> (s24HierIvfGate _),
+    "s25_matryoshka_recall" -> (s25MatryoshkaRecall _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1917,5 +1986,6 @@ object Similarity {
     "s21_nndescent_gate"  -> s21Sql,
     "s22_graph_search_gate" -> s22Sql,
     "s23_farthest_seed_gate" -> s23Sql,
-    "s24_hier_ivf_gate" -> s24Sql)
+    "s24_hier_ivf_gate" -> s24Sql,
+    "s25_matryoshka_recall" -> s25Sql)
 }

@@ -454,6 +454,58 @@ class R11TailOpsSpec extends SparkSpec {
       (3L, 1L, Some(2000L))))
   }
 
+  test("s25 matryoshka recall: monotone in prefix length, exact at " +
+      "full dimension") {
+    val rows = Similarity.s25MatryoshkaRecall(spark, sf)
+      .select("dim_prefix", "recall_permille")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    assert(rows.last._2 === 1000L, "64-of-64 dims IS the truth")
+    // longer prefixes can only see more of the geometry
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall dropped from $a to $b")
+    }
+  }
+
+  test("x63 switchErrors: orientation flips count between surviving " +
+      "neighbors only") {
+    val ph = Seq(
+      // block: T T F F T -> flips at 2->3 and 4->5: 2 switches, 4 pairs
+      ("s", "c", 1L, "0|1", "0|1"),
+      ("s", "c", 2L, "1|0", "1|0"),
+      ("s", "c", 3L, "0|1", "1|0"),
+      ("s", "c", 4L, "1|0", "0|1"),
+      ("s", "c", 5L, "0|1", "0|1"),
+      // unphased site between 5 and 7 drops; 5 and 7 become adjacent
+      ("s", "c", 6L, null, "0|1"),
+      ("s", "c", 7L, "1|0", "1|0"),
+      // lone site on another contig: zero pairs, null rate
+      ("s", "c2", 1L, "0|1", "0|1"))
+      .toDF("sample", "contig", "pos", "call", "truth")
+    val got = Genomics.switchErrors(ph)
+      .as[(String, String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // ori: 1,1,0,0,1,(drop),1 -> pairs 5, switches at 2->3 and 4->5 = 2
+    assert(got("c") === ((5L, 2L, Some(400L))))
+    assert(got("c2") === ((0L, 0L, None)))
+  }
+
+  test("d30 LSH tuning: fold-powers match scala math.pow within one " +
+      "milli and the S-curve picks the mid grid") {
+    val rows = Dedup.d30LshTuning(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    rows.foreach { case (b, r, p50, p80, _, _) =>
+      def p(sv: Double) = 1.0 - math.pow(1.0 - math.pow(sv, r.toInt), b.toInt)
+      assert(math.abs(p50 - math.floor(1000 * p(0.5))) <= 1.0)
+      assert(math.abs(p80 - math.floor(1000 * p(0.8))) <= 1.0)
+    }
+    assert(rows.count(_._6) === 1L, "exactly one chosen row")
+    val chosen = rows.find(_._6).get
+    assert(chosen._1 === 16L && chosen._2 === 8L,
+      "b=16, r=8 minimizes fp + miss at the 0.5/0.8 probes")
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
