@@ -2611,6 +2611,124 @@ object Genomics {
       .transform(switchErrors)
   }
 
+  // ---------------------------------------------------------------- x64
+  /** TRANSMISSION DISEQUILIBRIUM TEST tallies (Spielman 1993, `plink
+    * --tdt`) — the family-based association test immune to population
+    * stratification, and the natural consumer of x37's trio pivot: at
+    * each consistent, complete trio-site, every HET parent transmits
+    * one resolvable allele — hom parents transmit d div 2 by
+    * necessity, so the het-parents' transmitted-alt count is
+    * b_site = dc − Σ_hom(d div 2), with the both-het/het-child case
+    * contributing one transmitted and one untransmitted each (the
+    * classic counting identity — no phasing needed). b = transmitted
+    * alt, c = untransmitted alt over all informative sites; the
+    * McNemar statistic (b−c)²/(b+c) is reported in integer milli
+    * (null when no informative site exists). Violations and
+    * incomplete sites are excluded first — a violating trio would
+    * push b_site outside [0, h].
+    *
+    * Same shape as x37: broadcast roster join, ONE site-trio-keyed
+    * 3-conditional-max pivot, then a family-keyed sum — map-side
+    * combinable end to end. */
+  def tdtTallies(gt: DataFrame, trios: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    val roster = trios.select(col("child"),
+      explode(array(
+        struct(col("child").as("sample"), lit("c").as("role")),
+        struct(col("father").as("sample"), lit("f").as("role")),
+        struct(col("mother").as("sample"), lit("m").as("role")))).as("r"))
+      .select(col("child"), col("r.sample").as("sample"),
+        col("r.role").as("role"))
+    val per = gt.select(col("contig"), col("pos"), col("sample"),
+        dose.as("d"))
+      .join(broadcast(roster), Seq("sample"))
+      .groupBy(col("child"), col("contig"), col("pos"))
+      .agg(max(when(col("role") === "c", col("d"))).as("dc"),
+        max(when(col("role") === "f", col("d"))).as("df"),
+        max(when(col("role") === "m", col("d"))).as("dm"))
+    val complete = col("dc").isNotNull && col("df").isNotNull &&
+      col("dm").isNotNull
+    val viol = col("dc") < expr("df div 2 + dm div 2") ||
+      col("dc") > expr("(df + 1) div 2 + (dm + 1) div 2")
+    per.where(complete && !viol)
+      .withColumn("h", (col("df") === 1).cast("long") +
+        (col("dm") === 1).cast("long"))
+      .where(col("h") > 0)
+      .withColumn("b_site", col("dc") -
+        expr("CASE WHEN df <> 1 THEN df div 2 ELSE 0 END") -
+        expr("CASE WHEN dm <> 1 THEN dm div 2 ELSE 0 END"))
+      .groupBy(col("child"))
+      .agg(sum(col("b_site")).as("b"),
+        sum(col("h") - col("b_site")).as("c"))
+      .withColumn("tdt_milli", expr(
+        "CASE WHEN b + c = 0 THEN NULL" +
+          " ELSE (1000 * (b - c) * (b - c)) div (b + c) END"))
+      .orderBy("child")
+  }
+
+  /** Driver gate: x57's de-degenerated two-family grid (hets genuinely
+    * occur in parents AND children, `./.` planted, violations planted
+    * and excluded). */
+  def x64TdtTallies(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chrM")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 3 + 1).cast("long").as("pos"))
+      .distinct()
+    val members = s.createDataFrame(Seq(
+      ("fam0_c", 0L, 0L), ("fam0_f", 0L, 1L), ("fam0_m", 0L, 2L),
+      ("fam1_c", 1L, 0L), ("fam1_f", 1L, 1L), ("fam1_m", 1L, 2L)))
+      .toDF("sample", "fam", "rord")
+    val gt = sites.crossJoin(broadcast(members))
+      .withColumn("g",
+        (expr("pos div 3") * (col("fam") + 1) +
+          col("rord") * (col("pos") % 5 + 1)) % 3)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("pos") % 13 === 0 && col("rord") === 1, "./.")
+          .when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .otherwise("1/1").as("gt"))
+    val trios = s.createDataFrame(Seq(
+      ("fam0_c", "fam0_f", "fam0_m"), ("fam1_c", "fam1_f", "fam1_m")))
+      .toDF("child", "father", "mother")
+    tdtTallies(gt, trios)
+  }
+
+  val x64Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 5),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chrM' END AS contig,
+      |    (l_partkey % 400) * 3 + 1 AS pos FROM li),
+      |fam AS (SELECT * FROM (VALUES (0), (1)) AS t(f)),
+      |g AS (SELECT s.contig, s.pos, fam.f,
+      |    ((s.pos // 3) * (fam.f + 1) + 0 * (s.pos % 5 + 1)) % 3 AS dc,
+      |    CASE WHEN s.pos % 13 = 0 THEN NULL
+      |      ELSE ((s.pos // 3) * (fam.f + 1) + 1 * (s.pos % 5 + 1)) % 3
+      |      END AS df,
+      |    ((s.pos // 3) * (fam.f + 1) + 2 * (s.pos % 5 + 1)) % 3 AS dm
+      |  FROM sites s CROSS JOIN fam),
+      |ok AS (SELECT * FROM g WHERE df IS NOT NULL
+      |  AND NOT (dc < (df // 2 + dm // 2)
+      |    OR dc > ((df + 1) // 2 + (dm + 1) // 2))),
+      |inf AS (SELECT f,
+      |    (CASE WHEN df = 1 THEN 1 ELSE 0 END
+      |      + CASE WHEN dm = 1 THEN 1 ELSE 0 END) AS h,
+      |    dc - (CASE WHEN df <> 1 THEN df // 2 ELSE 0 END)
+      |       - (CASE WHEN dm <> 1 THEN dm // 2 ELSE 0 END) AS b_site
+      |  FROM ok
+      |  WHERE df = 1 OR dm = 1),
+      |ag AS (SELECT f, SUM(b_site) AS b, SUM(h - b_site) AS c
+      |  FROM inf GROUP BY f)
+      |SELECT 'fam' || f || '_c' AS child, CAST(b AS BIGINT) AS b,
+      |  CAST(c AS BIGINT) AS c,
+      |  CAST(CASE WHEN b + c = 0 THEN NULL
+      |    ELSE (1000 * (b - c) * (b - c)) // (b + c) END AS BIGINT)
+      |    AS tdt_milli
+      |FROM ag ORDER BY child""".stripMargin
+
   val x63Sql: String =
     """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
       |  WHERE l_orderkey % 21 = 8),
@@ -4064,7 +4182,8 @@ object Genomics {
     "x60_vcf_normalize"      -> (x60VcfNormalize _),
     "x61_split_read_sv"      -> (x61SplitReadSv _),
     "x62_somatic_subtract"   -> (x62SomaticSubtract _),
-    "x63_switch_errors"      -> (x63SwitchErrors _))
+    "x63_switch_errors"      -> (x63SwitchErrors _),
+    "x64_tdt"                -> (x64TdtTallies _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4112,5 +4231,6 @@ object Genomics {
     "x60_vcf_normalize"      -> x60Sql,
     "x61_split_read_sv"      -> x61Sql,
     "x62_somatic_subtract"   -> x62Sql,
-    "x63_switch_errors"      -> x63Sql)
+    "x63_switch_errors"      -> x63Sql,
+    "x64_tdt"                -> x64Sql)
 }

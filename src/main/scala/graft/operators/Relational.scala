@@ -1185,8 +1185,12 @@ object Relational {
       .select(col("user_id"),
         explode(expr("sequence(lo, hi)")).as("bucket"))
       .withColumn("g_ts", timestamp_micros(col("bucket") * Period))
-    graft.plans.AsOf.join(grid, obs, "user_id", "r_user", "g_ts", "r_ts")
-      .select(col("user_id"), col("bucket"), col("val_milli"))
+    val joined = graft.plans.AsOf
+      .join(grid, obs, "user_id", "r_user", "g_ts", "r_ts")
+    require(joined.queryExecution.executedPlan.toString
+        .contains("AsOfJoin"),
+      "LOCF must run on the custom AsOfJoinExec, not a rewritten window")
+    joined.select(col("user_id"), col("bucket"), col("val_milli"))
       .orderBy("user_id", "bucket")
   }
 

@@ -506,6 +506,31 @@ class R11TailOpsSpec extends SparkSpec {
       "b=16, r=8 minimizes fp + miss at the 0.5/0.8 probes")
   }
 
+  test("x64 tdtTallies: counting identity per configuration, " +
+      "exclusions, McNemar milli") {
+    val trios = Seq(("c", "f", "m")).toDF("child", "father", "mother")
+    // one configuration per contig:
+    //   c1 het father / hom-ref mother / het child  -> ALT transmitted
+    //   c2 both het / hom-ref child                 -> two REF transmitted
+    //   c3 both het / het child                     -> one of each
+    //   c4 het father / hom-ref mother+child        -> REF transmitted
+    //   c5 hom x hom                                -> uninformative
+    //   c6 violation                                -> excluded
+    val gt2 = Seq(
+      ("c1", 1L, "f", "0/1"), ("c1", 1L, "m", "0/0"), ("c1", 1L, "c", "0/1"),
+      ("c2", 1L, "f", "0/1"), ("c2", 1L, "m", "0/1"), ("c2", 1L, "c", "0/0"),
+      ("c3", 1L, "f", "0/1"), ("c3", 1L, "m", "0/1"), ("c3", 1L, "c", "0/1"),
+      ("c4", 1L, "f", "0/1"), ("c4", 1L, "m", "0/0"), ("c4", 1L, "c", "0/0"),
+      ("c5", 1L, "f", "0/0"), ("c5", 1L, "m", "1/1"), ("c5", 1L, "c", "0/1"),
+      ("c6", 1L, "f", "0/1"), ("c6", 1L, "m", "0/0"), ("c6", 1L, "c", "1/1"))
+      .toDF("contig", "pos", "sample", "gt")
+    val row = Genomics.tdtTallies(gt2, trios)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    // b = 1 (c1) + 0 (c2) + 1 (c3) + 0 (c4) = 2
+    // c = 0 + 2 + 1 + 1 = 4; tdt = 1000*(2-4)^2/(2+4) = 666
+    assert(row === (("c", 2L, 4L, Some(666L))))
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
