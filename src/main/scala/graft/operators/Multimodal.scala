@@ -1106,7 +1106,86 @@ object Multimodal {
     "m14_letterbox_detect" -> (m14LetterboxDetect _),
     "m15_keyframes"        -> (m15Keyframes _),
     "m16_caption_align"    -> (m16CaptionAlign _),
-    "m17_loudness"         -> (m17Loudness _))
+    "m17_loudness"         -> (m17Loudness _),
+    "m18_split_leakage_gate" -> (m18SplitLeakageGate _))
+
+  // ---------------------------------------------------------------- m18
+  /** TRAIN/VAL SPLIT LEAKAGE AUDIT for images — t27's cluster-safe
+    * split discipline applied to the perceptual domain: a hash-based
+    * split (t26's md5 rule) is only sound if no PERCEPTUAL duplicate
+    * straddles the boundary, and doc-id hashing cannot see that — the
+    * planted copies carry fresh ids, so ~20%/80% of them land opposite
+    * their originals by construction. The detector is m06's dHash over
+    * the REAL decoded payloads: an image leaks when its dHash also
+    * appears on the other side. The oracle restates leakage through
+    * TEXT equality (identical text ⇒ identical payload ⇒ identical
+    * dHash), so the detector's counts — planted AND natural duplicate
+    * families — are value-checked, not just verdict-gated.
+    *
+    * Scale shape: one decode+hash pass, ONE uniform dhash-keyed
+    * self-join confined to hash groups (duplicate-family-sized
+    * blocks), distinct on the leaking ids; nothing corpus². */
+  def m18SplitLeakageGate(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"),
+        col("text"))
+    val all = docs.unionByName(planted)
+      .withColumn("split",
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 10 < 8, "train").otherwise("val"))
+    val dh = udf { p: Array[Byte] => dHash(codec, p) }
+    val hashed = all.select(col("doc_id"), col("split"),
+      dh(ppmPayload(col("text"))).as("dhash"),
+      md5(encode(col("text"), "UTF-8")).as("pmd5"))
+    def leaksBy(key: String): DataFrame = {
+      val other = hashed.select(col(key), col("doc_id").as("oid"),
+        col("split").as("osplit"))
+      hashed.join(other, Seq(key))
+        .where(col("oid") =!= col("doc_id") &&
+          col("osplit") =!= col("split"))
+        .select(col("doc_id")).distinct()
+    }
+    // exact duplicates (payload md5) — oracle-restatable via text
+    // equality; perceptual (dHash) is coarser by construction, so the
+    // value-checked contract is the exact counts plus the SUPERSET
+    // theorem: identical payload ⇒ identical dHash ⇒ every exact leak
+    // is also a perceptual leak
+    val exact = leaksBy("pmd5")
+    val perceptual = leaksBy("dhash")
+    val missed = exact.join(perceptual, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .join(exact, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_planted_leaking"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_leaking_exact"))))
+      .crossJoin(broadcast(missed))
+      .select(lit(20L).as("n_planted"), col("n_planted_leaking"),
+        col("n_leaking_exact"),
+        (col("n_missed") === 0L).as("perceptual_superset_ok"))
+  }
+
+  /** Text-equality restatement of the exact leak detector; the
+    * perceptual superset theorem is restated as its literal truth. */
+  val m18Sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |pl AS (SELECT doc_id + 1000000000 AS doc_id, text FROM (
+      |  SELECT doc_id, text FROM docs ORDER BY doc_id LIMIT 20)),
+      |al AS (SELECT * FROM docs UNION ALL SELECT * FROM pl),
+      |sp AS (SELECT doc_id, text,
+      |    CASE WHEN CAST(CONCAT('0x',
+      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+      |      THEN 'train' ELSE 'val' END AS split
+      |  FROM al),
+      |lk AS (SELECT DISTINCT a.doc_id FROM sp a JOIN sp b
+      |  ON a.text = b.text AND a.doc_id <> b.doc_id
+      |    AND a.split <> b.split)
+      |SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST((SELECT COUNT(*) FROM lk WHERE doc_id >= 1000000000)
+      |    AS BIGINT) AS n_planted_leaking,
+      |  CAST((SELECT COUNT(*) FROM lk) AS BIGINT) AS n_leaking_exact,
+      |  TRUE AS perceptual_superset_ok""".stripMargin
 
   // ---------------------------------------------------------------- m17
   /** LOUDNESS NORMALIZATION ANALYSIS (ffmpeg loudnorm's measurement
@@ -1276,5 +1355,6 @@ object Multimodal {
     "m14_letterbox_detect" -> m14Sql,
     "m15_keyframes"        -> m15Sql,
     "m16_caption_align"    -> m16Sql,
-    "m17_loudness"         -> m17Sql)
+    "m17_loudness"         -> m17Sql,
+    "m18_split_leakage_gate" -> m18Sql)
 }

@@ -1266,6 +1266,62 @@ object Relational {
       |  CAST(n_triangles AS BIGINT) AS n_triangles
       |FROM nd, st, tri""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** SNAPSHOT / TIME-TRAVEL READ (Delta `VERSION AS OF` / Iceberg
+    * snapshot reads, manifest-file flavor) — the lakehouse isolation
+    * contract q73 (compaction) and q74 (schema evolution) don't cover:
+    * a table version IS its manifest (the closed file list captured at
+    * commit time), so a reader pinned to the v1 manifest must see
+    * EXACTLY the v1 rows no matter how many commits have landed since
+    * — time travel is a property of the metadata layer, not the data
+    * files. The gate commits twice into one directory, captures the
+    * v1 manifest between commits, reads BOTH the pinned manifest and
+    * the live directory, and oracle-checks both aggregates; the
+    * manifest growth check pins that commit 2 actually added files
+    * (otherwise the as-of read proves nothing). Scale shape: the
+    * manifest is driver-side METADATA (file paths, the same size
+    * class as any table catalog); both reads are plain pruned parquet
+    * scans. */
+  def q93TimeTravelGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q93_$tag"
+    HadoopIO.delete(root, HadoopIO.driverConf())
+    val orders = Tables.orders(s, d)
+    orders.where(col("o_orderkey") % 2 === 0)
+      .write.mode("append").parquet(root)
+    def dataFiles(): Seq[String] =
+      HadoopIO.listScanTargets(root, HadoopIO.driverConf())
+        .map(_._1).filter(_.endsWith(".parquet")).sorted
+    val v1Manifest = dataFiles()
+    orders.where(col("o_orderkey") % 2 =!= 0)
+      .write.mode("append").parquet(root)
+    val v2Manifest = dataFiles()
+    require(v1Manifest.nonEmpty, "q93: commit 1 produced no data files")
+    val asOf = s.read.parquet(v1Manifest: _*)
+      .agg(count(lit(1)).as("v1_rows"),
+        sum(col("o_orderkey")).as("v1_key_sum"))
+    val current = s.read.parquet(root)
+      .agg(count(lit(1)).as("current_rows"),
+        sum(col("o_orderkey")).as("current_key_sum"))
+    val manifestOk = v2Manifest.size > v1Manifest.size &&
+      v1Manifest.forall(v2Manifest.contains)
+    asOf.crossJoin(broadcast(current)) // 1×1 scalar composition
+      .select(col("v1_rows"), col("v1_key_sum"), col("current_rows"),
+        col("current_key_sum"), lit(manifestOk).as("manifest_ok"))
+  }
+
+  val q93Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS v1_rows,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey ELSE 0 END)
+      |    AS BIGINT) AS v1_key_sum,
+      |  CAST(COUNT(*) AS BIGINT) AS current_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS current_key_sum,
+      |  TRUE AS manifest_ok
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------- q28
   /** Top-k values per group via the custom MaxK TypedImperativeAggregate
     * (bounded k-double buffer, map-side combinable) — vs the window
@@ -3977,7 +4033,8 @@ object Relational {
     "q89_funnel" -> (q89Funnel _),
     "q90_kmv_setops" -> (q90KmvSetOps _),
     "q91_locf_resample" -> (q91LocfResample _),
-    "q92_triangles" -> (q92Triangles _))
+    "q92_triangles" -> (q92Triangles _),
+    "q93_time_travel_gate" -> (q93TimeTravelGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4071,5 +4128,6 @@ object Relational {
     "q89_funnel" -> q89Sql,
     "q90_kmv_setops" -> q90Sql,
     "q91_locf_resample" -> q91Sql,
-    "q92_triangles" -> q92Sql)
+    "q92_triangles" -> q92Sql,
+    "q93_time_travel_gate" -> q93Sql)
 }

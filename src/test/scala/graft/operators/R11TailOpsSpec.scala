@@ -531,6 +531,32 @@ class R11TailOpsSpec extends SparkSpec {
     assert(row === (("c", 2L, 4L, Some(666L))))
   }
 
+  test("q93 time travel: the pinned manifest sees only commit 1, the " +
+      "live read sees both") {
+    val row = Relational.q93TimeTravelGate(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    val (v1Rows, v1Sum, curRows, curSum, manifestOk) = row
+    assert(manifestOk, "commit 2 must add files and keep commit 1's")
+    assert(v1Rows < curRows && v1Sum < curSum)
+    val raw = graft.Tables.orders(spark, sf)
+      .agg(count(lit(1)),
+        sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L)))
+      .as[(Long, Long)].collect().head
+    assert(curRows === raw._1 && v1Rows === raw._2)
+  }
+
+  test("m18 split leakage: planted copies straddle the hash split and " +
+      "the perceptual detector never misses an exact duplicate") {
+    val row = Multimodal.m18SplitLeakageGate(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().head
+    val (nPlanted, nPlantedLeaking, nExact, supersetOk) = row
+    assert(nPlanted === 20L)
+    assert(nPlantedLeaking > 0L,
+      "some planted copy must land opposite its original")
+    assert(nExact >= nPlantedLeaking)
+    assert(supersetOk, "identical payload => identical dHash")
+  }
+
   test("x58 chi2_milli is exactly 1000x the rational chi-square on " +
       "divisible fixtures") {
     // all-het n=4: rational chi2 = 4.0 -> 4000 milli (all divisions exact)
