@@ -1746,6 +1746,140 @@ object Dedup {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_won
       |FROM k""".stripMargin
 
+  // ---------------------------------------------------------------- d31
+  /** BAG-OF-TOKENS dedup — the order-insensitive exact pass between
+    * d21's canonicalization and d02's Jaccard: two docs with the SAME
+    * token MULTISET in different order (scraper-reordered lists,
+    * shuffled concatenations, template fields swapped) are duplicates
+    * to a near-dup pass but invisible to byte hash AND to canonical
+    * hash, both of which preserve order. The bag key is the md5 of the
+    * space-joined SORTED token list — multiplicity preserved, order
+    * erased; one narrow sort-within-row (bounded by doc length) folded
+    * into the scan, then d01's uniform 16-byte hash group-by.
+    *
+    * Gate (d21 pattern): 20 planted docs are their sources' tokens
+    * lexicographically sorted — provably bag-equal to the source and,
+    * on this word-salad corpus, provably NOT byte- or canon-equal (the
+    * assert requires bag dups to strictly dominate canon dups). */
+  private[operators] def bagText(text: Column): Column =
+    array_join(sort_array(split(lower(trim(text)), "\\s+")), " ")
+
+  def d31BagDedupGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertIdHeadroom(docs, "doc_id", d)
+    val base = docs.orderBy(col("doc_id").asc).limit(20)
+    val planted = base.select(
+      (col("doc_id") + lit(PlantOffset)).as("doc_id"),
+      bagText(col("text")).as("text")) // token-sorted restatement
+    val all = docs.union(planted)
+      .select(col("doc_id"),
+        md5(encode(canonText(col("text")), "UTF-8")).as("canon_h"),
+        md5(encode(bagText(col("text")), "UTF-8")).as("bag_h"))
+    def dupMembers(h: String): DataFrame = {
+      val groups = all.groupBy(col(h)).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select(col(h))
+      all.join(groups, Seq(h), "left_semi")
+    }
+    val bagDups = dupMembers("bag_h")
+    val plantedMatched = bagDups.where(col("doc_id") >= PlantOffset)
+    base.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedMatched.agg(count(lit(1)).as("n_planted_matched")))
+      .crossJoin(bagDups.agg(count(lit(1)).as("n_bag_dup_members")))
+      .crossJoin(dupMembers("canon_h")
+        .agg(count(lit(1)).as("n_canon_dup_members")))
+      .select(col("n_planted"), col("n_planted_matched"),
+        col("n_bag_dup_members"), col("n_canon_dup_members"),
+        (col("n_planted") === 20 && col("n_planted_matched") === 20 &&
+          col("n_bag_dup_members") > col("n_canon_dup_members"))
+          .as("recall_ok"))
+  }
+
+  val d31Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+      |alld AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000,
+      |    array_to_string(list_sort(
+      |      string_split_regex(lower(trim(text)), '\s+')), ' ')
+      |  FROM base),
+      |h AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+      |      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS canon_h,
+      |    md5(array_to_string(list_sort(
+      |      string_split_regex(lower(trim(text)), '\s+')), ' ')) AS bag_h
+      |  FROM alld),
+      |bg AS (SELECT bag_h FROM h GROUP BY bag_h HAVING COUNT(*) >= 2),
+      |cg AS (SELECT canon_h FROM h GROUP BY canon_h HAVING COUNT(*) >= 2),
+      |bm AS (SELECT doc_id FROM h WHERE bag_h IN (SELECT bag_h FROM bg)),
+      |cm AS (SELECT doc_id FROM h
+      |  WHERE canon_h IN (SELECT canon_h FROM cg))
+      |SELECT (SELECT COUNT(*) FROM base) AS n_planted,
+      |  (SELECT COUNT(*) FROM bm WHERE doc_id >= 1000000000)
+      |    AS n_planted_matched,
+      |  (SELECT COUNT(*) FROM bm) AS n_bag_dup_members,
+      |  (SELECT COUNT(*) FROM cm) AS n_canon_dup_members,
+      |  ((SELECT COUNT(*) FROM base) = 20
+      |    AND (SELECT COUNT(*) FROM bm WHERE doc_id >= 1000000000) = 20
+      |    AND (SELECT COUNT(*) FROM bm) > (SELECT COUNT(*) FROM cm))
+      |    AS recall_ok""".stripMargin
+
+  // ---------------------------------------------------------------- d32
+  /** DEDUP IMPACT REPORT — the per-slice accounting a curation run
+    * publishes after its dedup passes (what fraction of each
+    * (lang, source) cell each pass would remove): docs, kept-after-
+    * byte-exact (distinct raw hash), kept-after-canonicalization
+    * (d21's key), kept-after-bag (d31's key), and the removal
+    * permilles. The three keys NEST (byte-equal ⇒ canon-equal ⇒ ...
+    * is NOT implied in general, but kept counts are independently
+    * computed, not differenced), and everything is a count-distinct of
+    * a 16-byte hash — the form that survives 100 TB, where
+    * count(DISTINCT text) would shuffle document bodies.
+    *
+    * Scale shape: one corpus scan computing all three hashes narrowly;
+    * ONE (lang, source)-keyed aggregate with three two-phase distinct
+    * counts on uniform hash keys; output is slice-count-sized. */
+  def d32ImpactReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("raw_h"),
+        md5(encode(canonText(col("text")), "UTF-8")).as("canon_h"),
+        md5(encode(bagText(col("text")), "UTF-8")).as("bag_h"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("raw_h")).as("kept_exact"),
+        count_distinct(col("canon_h")).as("kept_canon"),
+        count_distinct(col("bag_h")).as("kept_bag"))
+      .withColumn("exact_rm_permille",
+        expr("(1000 * (n_docs - kept_exact)) div n_docs"))
+      .withColumn("canon_rm_permille",
+        expr("(1000 * (n_docs - kept_canon)) div n_docs"))
+      .withColumn("bag_rm_permille",
+        expr("(1000 * (n_docs - kept_bag)) div n_docs"))
+      .orderBy("lang", "source")
+
+  val d32Sql: String =
+    """WITH h AS (SELECT lang, source,
+      |    md5(text) AS raw_h,
+      |    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+      |      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'))) AS canon_h,
+      |    md5(array_to_string(list_sort(
+      |      string_split_regex(lower(trim(text)), '\s+')), ' ')) AS bag_h
+      |  FROM documents),
+      |a AS (SELECT lang, source, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT raw_h) AS kept_exact,
+      |    COUNT(DISTINCT canon_h) AS kept_canon,
+      |    COUNT(DISTINCT bag_h) AS kept_bag
+      |  FROM h GROUP BY lang, source)
+      |SELECT lang, source, n_docs, kept_exact, kept_canon, kept_bag,
+      |  (1000 * (n_docs - kept_exact)) // n_docs AS exact_rm_permille,
+      |  (1000 * (n_docs - kept_canon)) // n_docs AS canon_rm_permille,
+      |  (1000 * (n_docs - kept_bag)) // n_docs AS bag_rm_permille
+      |FROM a ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -1776,7 +1910,9 @@ object Dedup {
     "d27_soft_dedup_wired_gate" -> (d27SoftDedupWiredGate _),
     "d28_url_dedup" -> (d28UrlDedup _),
     "d29_paragraph_dedup" -> (d29ParagraphDedup _),
-    "d30_lsh_tuning" -> (d30LshTuning _))
+    "d30_lsh_tuning" -> (d30LshTuning _),
+    "d31_bag_dedup_gate" -> (d31BagDedupGate _),
+    "d32_impact_report" -> (d32ImpactReport _))
 
   // ---------------------------------------------------------------- d28
   /** URL-LEVEL dedup — the cheapest and first dedup stage of a web
@@ -1995,6 +2131,8 @@ object Dedup {
     "d28_url_dedup"     -> d28Sql,
     "d29_paragraph_dedup" -> d29Sql,
     "d30_lsh_tuning"    -> d30Sql,
+    "d31_bag_dedup_gate" -> d31Sql,
+    "d32_impact_report" -> d32Sql,
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,

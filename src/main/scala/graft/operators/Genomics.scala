@@ -4136,6 +4136,325 @@ object Genomics {
       |FROM m GROUP BY contig, pos, molecule_umi
       |ORDER BY contig, pos, molecule_umi""".stripMargin
 
+  // ---------------------------------------------------------------- x65
+  /** SEX INFERENCE FROM DEPTH RATIOS (plink `--check-sex` / somalier's
+    * depth mode) — the sample-QC step every cohort runs before any
+    * family- or population-level analysis, because a sample swap shows
+    * up here first: per sample, read counts on chrX and chrY are
+    * normalized against the autosomal count, and the Y ratio separates
+    * XY from XX samples by an order of magnitude (a Y-mapped pileup on
+    * an XX sample is mostly mismapping noise). Ratios are integer
+    * permille; thresholds sit far from the two populations (XY ≈
+    * y_ratio 250, XX ≈ 60 in the gate's mix), so the classification is
+    * robust to the synthetic jitter.
+    *
+    * Scale shape: ONE narrow projection → one (sample)-keyed hash
+    * aggregate of three conditional counts, map-side combinable; no
+    * join, no window — a map-only stage plus one sample-sized
+    * exchange at any corpus size. */
+  def sexInfer(reads: DataFrame): DataFrame =
+    reads
+      .groupBy(col("sample"))
+      .agg(
+        sum((!col("contig").isin("chrX", "chrY")).cast("long"))
+          .as("n_auto"),
+        sum((col("contig") === "chrX").cast("long")).as("n_x"),
+        sum((col("contig") === "chrY").cast("long")).as("n_y"))
+      .where(col("n_auto") > 0)
+      .withColumn("x_ratio_milli", expr("(1000 * n_x) div n_auto"))
+      .withColumn("y_ratio_milli", expr("(1000 * n_y) div n_auto"))
+      .withColumn("inferred_sex",
+        when(col("y_ratio_milli") >= 150, "XY").otherwise("XX"))
+      .orderBy("sample")
+
+  /** Driver gate: 10 samples, even ones with an XY-shaped contig mix
+    * (4/24 of reads on Y), odd ones XX-shaped (1/24 residual Y noise). */
+  def x65SexInfer(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 7)
+    val reads = li.select(
+        concat(lit("s"), (col("l_orderkey") % 10).cast("string"))
+          .as("sample"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 24).as("k"),
+        (col("l_orderkey") % 2).as("m"))
+      .select(col("sample"),
+        when(col("k") < 16, "chr1")
+          .when(col("m") === 0 && col("k") < 20, "chrX")
+          .when(col("m") === 0, "chrY")
+          .when(col("k") < 23, "chrX")
+          .otherwise("chrY").as("contig"))
+    sexInfer(reads)
+  }
+
+  val x65Sql: String =
+    """WITH r AS (SELECT
+      |    's' || (l_orderkey % 10) AS sample,
+      |    (l_partkey * 7 + l_suppkey) % 24 AS k,
+      |    l_orderkey % 2 AS m
+      |  FROM lineitem WHERE l_orderkey % 19 = 7),
+      |c AS (SELECT sample,
+      |    CASE WHEN k < 16 THEN 'chr1'
+      |      WHEN m = 0 AND k < 20 THEN 'chrX'
+      |      WHEN m = 0 THEN 'chrY'
+      |      WHEN k < 23 THEN 'chrX'
+      |      ELSE 'chrY' END AS contig
+      |  FROM r),
+      |a AS (SELECT sample,
+      |    SUM(CASE WHEN contig NOT IN ('chrX','chrY') THEN 1 ELSE 0 END)
+      |      AS n_auto,
+      |    SUM(CASE WHEN contig = 'chrX' THEN 1 ELSE 0 END) AS n_x,
+      |    SUM(CASE WHEN contig = 'chrY' THEN 1 ELSE 0 END) AS n_y
+      |  FROM c GROUP BY sample)
+      |SELECT sample, CAST(n_auto AS BIGINT) AS n_auto,
+      |  CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+      |  CAST((1000 * n_x) // n_auto AS BIGINT) AS x_ratio_milli,
+      |  CAST((1000 * n_y) // n_auto AS BIGINT) AS y_ratio_milli,
+      |  CASE WHEN (1000 * n_y) // n_auto >= 150 THEN 'XY'
+      |    ELSE 'XX' END AS inferred_sex
+      |FROM a WHERE n_auto > 0 ORDER BY sample""".stripMargin
+
+  // ---------------------------------------------------------------- x66
+  /** CONTAMINATION ESTIMATE (VerifyBamID's freemix intuition, the
+    * fast counting form) — at a sample's HOM-ALT sites every ref-allele
+    * read is either sequencing error or foreign DNA, so the pooled
+    * ref-read fraction over all hom-alt sites upper-bounds
+    * cross-sample contamination. Pooled, not per-site-averaged: the
+    * ratio of SUMS weights deep sites correctly and stays integer-exact
+    * (permille of two int64 sums).
+    *
+    * Scale shape: the genotype filter prunes to hom-alt rows FIRST
+    * (narrow), then ONE uniform (sample, contig, pos) equi-join against
+    * the pileup counts, then a sample-keyed aggregate — map-side
+    * combinable; no window, no skew (site keys are unique per sample). */
+  def contaminationEstimate(gt: DataFrame, counts: DataFrame): DataFrame =
+    gt.where(col("gt") === "1/1")
+      .select(col("sample"), col("contig"), col("pos"))
+      .join(counts, Seq("sample", "contig", "pos"))
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_homalt_sites"),
+        sum(col("ref_n")).as("ref_reads"),
+        sum(col("alt_n")).as("alt_reads"))
+      .withColumn("contam_permille",
+        expr("(1000 * ref_reads) div (ref_reads + alt_reads)"))
+      .orderBy("sample")
+
+  /** Driver gate: x58-style genotype grid (distinct mods) + a pileup
+    * whose ref counts are small and alt counts dominate, so the
+    * permille lands in the plausible 0–200 band and varies by sample. */
+  def x66Contamination(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 3)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 300) * 5 + 2).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(
+      ("s0", 0L), ("s1", 1L), ("s2", 2L), ("s3", 3L)))
+      .toDF("sample", "sj")
+    val grid = sites.crossJoin(broadcast(dim))
+    val gt = grid
+      .withColumn("g", (col("pos") * 3 + col("sj") * 7) % 4)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .when(col("g") === 2, "1/1").otherwise("./.").as("gt"))
+    val counts = grid.select(col("contig"), col("pos"), col("sample"),
+      ((col("pos") + col("sj") * 3) % (col("sj") + 2)).as("ref_n"),
+      (lit(12L) + col("pos") % 9).as("alt_n"))
+    contaminationEstimate(gt, counts)
+  }
+
+  val x66Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 19 = 3),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 300) * 5 + 2 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(sj)),
+      |g AS (SELECT s.contig, s.pos, sm.sj,
+      |    (s.pos * 3 + sm.sj * 7) % 4 AS gv,
+      |    (s.pos + sm.sj * 3) % (sm.sj + 2) AS ref_n,
+      |    12 + s.pos % 9 AS alt_n
+      |  FROM sites s CROSS JOIN sm),
+      |ha AS (SELECT * FROM g WHERE gv = 2)
+      |SELECT 's' || sj AS sample, COUNT(*) AS n_homalt_sites,
+      |  CAST(SUM(ref_n) AS BIGINT) AS ref_reads,
+      |  CAST(SUM(alt_n) AS BIGINT) AS alt_reads,
+      |  CAST((1000 * SUM(ref_n)) // (SUM(ref_n) + SUM(alt_n)) AS BIGINT)
+      |    AS contam_permille
+      |FROM ha GROUP BY sj ORDER BY sample""".stripMargin
+
+  // ---------------------------------------------------------------- x67
+  /** PANEL-OF-NORMALS DEPTH NORMALIZATION (GATK CNV's
+    * DenoiseReadCounts intuition, the exact-median counting form) —
+    * somatic CNV calling divides each case sample's per-bin coverage by
+    * the PANEL MEDIAN of matched normals, cancelling mappability and
+    * GC artifacts shared across samples. The median is EXACT (lower
+    * median: element (n+1) div 2 of the per-bin sorted panel — a
+    * deterministic choice both engines restate, where interpolated
+    * medians would reintroduce float drift), and the panel per bin is
+    * cohort-sized, so the collect is bounded by panel size, never by
+    * bin count.
+    *
+    * Scale shape: ONE (contig, bin)-keyed aggregate gathers the panel
+    * (state ≤ panel size), the ratio computation explodes the SAME
+    * grouped row back out — one uniform shuffle total, no join, no
+    * second scan; 3e6 genome bins × a 30-sample panel is ~100 MB of
+    * grouped state spread over every executor. */
+  def ponNormalize(cov: DataFrame): DataFrame =
+    cov.groupBy(col("contig"), col("bin"))
+      .agg(collect_list(struct(col("sample"), col("n"))).as("panel"))
+      .withColumn("med", expr(
+        "sort_array(transform(panel, p -> p.n))" +
+          "[CAST((size(panel) + 1) div 2 AS INT) - 1]"))
+      .select(col("contig"), col("bin"), col("med"),
+        explode(col("panel")).as("p"))
+      .select(col("p.sample").as("sample"), col("contig"), col("bin"),
+        col("p.n").as("n"), col("med"),
+        expr("(1000 * p.n) div med").as("ratio_permille"))
+      .withColumn("flagged",
+        col("ratio_permille") >= 1500 || col("ratio_permille") <= 667)
+      .orderBy("sample", "contig", "bin")
+
+  /** Driver gate: 6 samples over a bin grid; sample s0 carries a
+    * planted 3× amplification on every 5th bin — flagged rows must be
+    * exactly those, everyone else hovers near 1000 permille. */
+  def x67PonNormalize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 11)
+    val bins = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        (col("l_partkey") % 200).cast("long").as("bin"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(
+      ("s0", 0L), ("s1", 1L), ("s2", 2L), ("s3", 3L), ("s4", 4L),
+      ("s5", 5L))).toDF("sample", "sj")
+    val cov = bins.crossJoin(broadcast(dim))
+      .withColumn("base",
+        lit(20L) + (col("bin") * 3 + col("sj")) % 5)
+      .select(col("sample"), col("contig"), col("bin"),
+        when(col("sj") === 0 && col("bin") % 5 === 0,
+          col("base") * 3).otherwise(col("base")).as("n"))
+    ponNormalize(cov)
+  }
+
+  val x67Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 19 = 11),
+      |bins AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    l_partkey % 200 AS bin FROM li),
+      |sm AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) AS t(sj)),
+      |cov AS (SELECT 's' || sm.sj AS sample, b.contig, b.bin,
+      |    CASE WHEN sm.sj = 0 AND b.bin % 5 = 0
+      |      THEN (20 + (b.bin * 3 + sm.sj) % 5) * 3
+      |      ELSE 20 + (b.bin * 3 + sm.sj) % 5 END AS n
+      |  FROM bins b CROSS JOIN sm),
+      |md AS (SELECT contig, bin,
+      |    list_sort(list(n))[(COUNT(*) + 1) // 2] AS med
+      |  FROM cov GROUP BY contig, bin)
+      |SELECT c.sample, c.contig, CAST(c.bin AS BIGINT) AS bin,
+      |  CAST(c.n AS BIGINT) AS n, CAST(m.med AS BIGINT) AS med,
+      |  (1000 * c.n) // m.med AS ratio_permille,
+      |  ((1000 * c.n) // m.med >= 1500 OR (1000 * c.n) // m.med <= 667)
+      |    AS flagged
+      |FROM cov c JOIN md m ON c.contig = m.contig AND c.bin = m.bin
+      |ORDER BY c.sample, c.contig, c.bin""".stripMargin
+
+  // ---------------------------------------------------------------- x68
+  /** PER-SAMPLE INBREEDING / HETEROZYGOSITY F (plink `--het`, the
+    * method-of-moments form) — the population-QC statistic that flags
+    * consanguinity, sample contamination (F strongly negative: excess
+    * hets), and batch effects: F = (O_hom − E_hom) / (N − E_hom), with
+    * E_hom summed per called site from cohort allele frequencies
+    * (e_hom = 1 − 2pq, here the uncorrected 2pq = 2·ac·(an−ac)/an² in
+    * exact micro-units). Both engines truncate integer division toward
+    * zero, so the possibly-NEGATIVE F numerator divides identically
+    * with no floor/trunc divergence; monomorphic-only samples (zero
+    * denominator) report NULL rather than an arbitrary 0.
+    *
+    * Scale shape: one uniform (contig, pos) aggregate for cohort
+    * ac/an, ONE site-keyed equi-join back to the called genotype rows
+    * (uniform — site keys), then a sample-keyed sum; magnitudes stay
+    * int64 for cohorts to ~10⁴ samples × 10⁶ sites. */
+  def inbreedingF(gt: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    val called = gt.select(col("contig"), col("pos"), col("sample"),
+        dose.as("d"))
+      .where(col("d").isNotNull)
+    val af = called.groupBy(col("contig"), col("pos"))
+      .agg(sum(col("d")).as("ac"), (count(lit(1)) * 2).as("an"))
+      .withColumn("ehet_micro",
+        expr("(2 * ac * (an - ac) * 1000000) div (an * an)"))
+      .select(col("contig"), col("pos"), col("ehet_micro"))
+    called.join(af, Seq("contig", "pos"))
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum((col("d") =!= 1).cast("long")).as("o_hom"),
+        sum(lit(1000000L) - col("ehet_micro")).as("e_hom_micro"))
+      .withColumn("f_milli", expr(
+        """CASE WHEN n_sites * 1000000 - e_hom_micro = 0 THEN NULL
+          |ELSE (1000 * (o_hom * 1000000 - e_hom_micro))
+          |  div (n_sites * 1000000 - e_hom_micro) END""".stripMargin))
+      .orderBy("sample")
+  }
+
+  /** Driver gate: 5-sample cohort over its own grid; sample s0 is
+    * planted ALL-HET (O_hom = 0 → F strongly negative) while the
+    * uniform dosage mix leaves the rest hom-enriched (F > 0), so the
+    * signed division path executes in both directions at any SF. */
+  def x68Inbreeding(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 13)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 350) * 7 + 3).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(
+      ("s0", 0L), ("s1", 1L), ("s2", 2L), ("s3", 3L), ("s4", 4L)))
+      .toDF("sample", "sj")
+    val gt = sites.crossJoin(broadcast(dim))
+      .withColumn("g",
+        when(col("sj") === 0, lit(1L)).otherwise(
+          (col("pos") * 5 + col("sj") * 11) % 4))
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .when(col("g") === 2, "1/1").otherwise("./.").as("gt"))
+    inbreedingF(gt)
+  }
+
+  val x68Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 19 = 13),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 350) * 7 + 3 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) AS t(sj)),
+      |g AS (SELECT s.contig, s.pos, sm.sj,
+      |    CASE WHEN sm.sj = 0 THEN 1
+      |      ELSE (s.pos * 5 + sm.sj * 11) % 4 END AS gv
+      |  FROM sites s CROSS JOIN sm),
+      |called AS (SELECT contig, pos, sj, gv AS d FROM g WHERE gv <= 2),
+      |af AS (SELECT contig, pos, SUM(d) AS ac, COUNT(*) * 2 AS an
+      |  FROM called GROUP BY contig, pos),
+      |eh AS (SELECT contig, pos,
+      |    (2 * ac * (an - ac) * 1000000) // (an * an) AS ehet_micro
+      |  FROM af),
+      |per AS (SELECT c.sj, COUNT(*) AS n_sites,
+      |    SUM(CASE WHEN c.d <> 1 THEN 1 ELSE 0 END) AS o_hom,
+      |    SUM(1000000 - e.ehet_micro) AS e_hom_micro
+      |  FROM called c JOIN eh e
+      |    ON c.contig = e.contig AND c.pos = e.pos
+      |  GROUP BY c.sj)
+      |SELECT 's' || sj AS sample, n_sites,
+      |  CAST(o_hom AS BIGINT) AS o_hom,
+      |  CAST(e_hom_micro AS BIGINT) AS e_hom_micro,
+      |  CAST(CASE WHEN n_sites * 1000000 - e_hom_micro = 0 THEN NULL
+      |    ELSE (1000 * (o_hom * 1000000 - e_hom_micro))
+      |      // (n_sites * 1000000 - e_hom_micro) END AS BIGINT)
+      |    AS f_milli
+      |FROM per ORDER BY sample""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -4183,7 +4502,11 @@ object Genomics {
     "x61_split_read_sv"      -> (x61SplitReadSv _),
     "x62_somatic_subtract"   -> (x62SomaticSubtract _),
     "x63_switch_errors"      -> (x63SwitchErrors _),
-    "x64_tdt"                -> (x64TdtTallies _))
+    "x64_tdt"                -> (x64TdtTallies _),
+    "x65_sex_infer"          -> (x65SexInfer _),
+    "x66_contamination"      -> (x66Contamination _),
+    "x67_pon_normalize"      -> (x67PonNormalize _),
+    "x68_inbreeding"         -> (x68Inbreeding _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4232,5 +4555,9 @@ object Genomics {
     "x61_split_read_sv"      -> x61Sql,
     "x62_somatic_subtract"   -> x62Sql,
     "x63_switch_errors"      -> x63Sql,
-    "x64_tdt"                -> x64Sql)
+    "x64_tdt"                -> x64Sql,
+    "x65_sex_infer"          -> x65Sql,
+    "x66_contamination"      -> x66Sql,
+    "x67_pon_normalize"      -> x67Sql,
+    "x68_inbreeding"         -> x68Sql)
 }

@@ -1089,6 +1089,216 @@ object Multimodal {
       |  CAST(MAX(y_peak) AS INT) AS key_peak
       |FROM rk GROUP BY doc_id, shot ORDER BY doc_id, shot""".stripMargin
 
+  // ---------------------------------------------------------------- m19
+  /** PERCEPTUAL DCT HASH (pHash) — the frequency-domain sibling of m06's
+    * gradient dHash and the kernel behind production image-dedup
+    * (PhotoDNA-style): luma resampled to a 32×32 grid IN DOUBLE (area
+    * average, no integer floor), 2-D DCT-II, keep the 8×8 low-frequency
+    * block, one bit per AC coefficient above the median of the 63.
+    * Median thresholding makes the hash invariant to any affine luma
+    * scaling — PROVABLY here: an exact ×2 contrast stretch multiplies
+    * every double-precision intermediate by exactly 2 (a pure exponent
+    * shift — no rounding anywhere in resample or DCT), doubling every
+    * coefficient AND the median, so every (coef > median) bit is
+    * unchanged. m06's byte hash provably separates the same pair.
+    *
+    * Gate: 20 planted images are their sources' rasters contrast-
+    * doubled (ASCII payload bytes ≤ 126, so ×2 never clips at 255 and
+    * the doubling is exact); every planted image must pHash-collide
+    * with its source while NO planted image byte-collides with
+    * anything. Scale shape: decode+DCT is a narrow per-row pass (8
+    * bytes leave the executor); the only shuffle is the uniform
+    * 64-bit-hash group-by — d01's shape, like m06. */
+  private[operators] def pHash(codec: ImageCodec, p: Array[Byte]): java.lang.Long = {
+    if (p == null) return null
+    val r = codec.raster(p)
+    // 32×32 luma in double: partition source rows/cols into 32 nearly
+    // equal spans (span boundaries i*dim/32 — exact integer arithmetic)
+    // and average r+g+b over each cell. No integer division anywhere.
+    val lum = new Array[Double](32 * 32)
+    var cy = 0
+    while (cy < 32) {
+      val y0 = cy * r.height / 32
+      val y1 = math.max((cy + 1) * r.height / 32, y0 + 1)
+      var cx = 0
+      while (cx < 32) {
+        val x0 = cx * r.width / 32
+        val x1 = math.max((cx + 1) * r.width / 32, x0 + 1)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, r.height)) {
+          var x = x0
+          while (x < math.min(x1, r.width)) {
+            val o = (y * r.width + x) * 3
+            sum += (r.rgb(o) & 0xff) + (r.rgb(o + 1) & 0xff) +
+              (r.rgb(o + 2) & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        lum(cy * 32 + cx) = if (n == 0) 0.0 else sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    // 2-D DCT-II, low 8×8 block only (the classic pHash truncation)
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            acc += lum(y * 32 + x) *
+              math.cos(math.Pi * (2 * x + 1) * u / 64.0) *
+              math.cos(math.Pi * (2 * y + 1) * v / 64.0)
+            x += 1
+          }
+          y += 1
+        }
+        coef(v * 8 + u) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = coef.drop(1).sorted // 63 AC coefficients, DC excluded
+    val median = ac(31)
+    var h = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > median) h |= 1L << (i - 1)
+      i += 1
+    }
+    h
+  }
+
+  /** Exact ×2 contrast stretch of a P6 payload (raster bytes doubled;
+    * header untouched). Caller guarantees bytes ≤ 127 so no clipping. */
+  private[operators] def contrastDouble(p: Array[Byte]): Array[Byte] = {
+    if (p == null) return null
+    // raster starts after the 3rd '\n' ("P6\n<w> <h>\n255\n")
+    var nl = 0
+    var i = 0
+    while (i < p.length && nl < 3) { if (p(i) == '\n') nl += 1; i += 1 }
+    val out = p.clone()
+    while (i < out.length) {
+      out(i) = math.min((out(i) & 0xff) * 2, 255).toByte
+      i += 1
+    }
+    out
+  }
+
+  def m19PhashGate(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val cd = udf { p: Array[Byte] => contrastDouble(p) }
+    val base = docs
+      .select(col("doc_id"), ppmPayload(col("text")).as("img"))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(Dedup.PlantOffset)).as("doc_id"),
+        cd(ppmPayload(col("text"))).as("img"))
+    val ph = udf { p: Array[Byte] => pHash(codec, p) }
+    val hashed = base.unionByName(planted)
+      .select(col("doc_id"), ph(col("img")).as("phash"),
+        md5(col("img")).as("byte_h"))
+    def dupJoin(c: String) = {
+      val dups = hashed.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select(c)
+      hashed.where(col("doc_id") >= Dedup.PlantOffset)
+        .join(dups, Seq(c), "left_semi")
+    }
+    hashed.where(col("doc_id") >= Dedup.PlantOffset)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(dupJoin("phash")
+        .agg(count(lit(1)).as("n_phash_matched")))
+      .crossJoin(dupJoin("byte_h")
+        .agg(count(lit(1)).as("n_byte_matched")))
+      .select(col("n_planted"), col("n_phash_matched"),
+        col("n_byte_matched"),
+        (col("n_planted") === 20 && col("n_phash_matched") === 20 &&
+          col("n_byte_matched") === 0).as("recall_ok"))
+  }
+
+  /** Constant-gate oracle (m06's pattern): the planted invariance is
+    * provable, so the expected counts are literals the driver
+    * value-checks. */
+  val m19Sql: String =
+    """SELECT CAST(20 AS BIGINT) AS n_planted,
+      |  CAST(20 AS BIGINT) AS n_phash_matched,
+      |  CAST(0 AS BIGINT) AS n_byte_matched,
+      |  true AS recall_ok""".stripMargin
+
+  // ---------------------------------------------------------------- m20
+  /** CREST FACTOR (peak-to-RMS ratio) — the dynamic-range QC metric a
+    * loudness pipeline reports next to m17's RMS (broadcast loudness
+    * wars: over-compressed audio shows a LOW crest factor; raw speech a
+    * high one). Peak and energy come from one pass over the recentered
+    * PCM stream; rms_milli reuses m17's staged integer/isqrt form and
+    * crest_milli = (10⁶·peak) div rms_milli — all integer, restated
+    * verbatim by the oracle over the same byte-level amplitudes.
+    *
+    * Scale shape: decode is a narrow per-row pass (two longs leave the
+    * executor per clip); no shuffle at all before the output sort. */
+  def m20CrestFactor(s: SparkSession, d: String): DataFrame = {
+    val codec = audioCodecFor(s)
+    val stats = udf { p: Array[Byte] =>
+      val sm = codec.samples(p)
+      if (sm == null) null
+      else {
+        var peak = 0L
+        var energy = 0L
+        var i = 0
+        while (i < sm.length) {
+          val a = sm(i).toLong
+          if (math.abs(a) > peak) peak = math.abs(a)
+          energy += a * a
+          i += 1
+        }
+        (sm.length.toLong, peak, energy)
+      }
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        stats(wavPayload(col("text"))).as("st"))
+      .select(col("doc_id"), col("st._1").as("n_samples"),
+        col("st._2").as("peak"), col("st._3").as("energy"))
+      .where(col("n_samples") > 0)
+      .withColumn("rms_milli", expr(
+        "CAST(floor(sqrt(CAST((1000000 * energy) div n_samples" +
+          " AS DOUBLE))) AS BIGINT)"))
+      .withColumn("crest_milli", expr(
+        "CASE WHEN rms_milli = 0 THEN NULL" +
+          " ELSE (1000000 * peak) div rms_milli END"))
+      .orderBy("doc_id")
+  }
+
+  val m20Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) > 0),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS pos, text FROM d),
+      |a AS (SELECT doc_id, n,
+      |    ascii(substring(text, CAST(pos + 1 AS BIGINT), 1)) - 128 AS amp
+      |  FROM s),
+      |e AS (SELECT doc_id, MAX(n) AS n_samples,
+      |    MAX(ABS(amp)) AS peak, SUM(amp * amp) AS energy
+      |  FROM a GROUP BY doc_id),
+      |r AS (SELECT doc_id, n_samples, peak, energy,
+      |    CAST(floor(sqrt(CAST((1000000 * energy) // n_samples
+      |      AS DOUBLE))) AS BIGINT) AS rms_milli
+      |  FROM e)
+      |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(peak AS BIGINT) AS peak, CAST(energy AS BIGINT) AS energy,
+      |  rms_milli,
+      |  CAST(CASE WHEN rms_milli = 0 THEN NULL
+      |    ELSE (1000000 * peak) // rms_milli END AS BIGINT)
+      |    AS crest_milli
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -1107,7 +1317,9 @@ object Multimodal {
     "m15_keyframes"        -> (m15Keyframes _),
     "m16_caption_align"    -> (m16CaptionAlign _),
     "m17_loudness"         -> (m17Loudness _),
-    "m18_split_leakage_gate" -> (m18SplitLeakageGate _))
+    "m18_split_leakage_gate" -> (m18SplitLeakageGate _),
+    "m19_phash_gate" -> (m19PhashGate _),
+    "m20_crest_factor" -> (m20CrestFactor _))
 
   // ---------------------------------------------------------------- m18
   /** TRAIN/VAL SPLIT LEAKAGE AUDIT for images — t27's cluster-safe
@@ -1356,5 +1568,7 @@ object Multimodal {
     "m15_keyframes"        -> m15Sql,
     "m16_caption_align"    -> m16Sql,
     "m17_loudness"         -> m17Sql,
-    "m18_split_leakage_gate" -> m18Sql)
+    "m18_split_leakage_gate" -> m18Sql,
+    "m19_phash_gate" -> m19Sql,
+    "m20_crest_factor" -> m20Sql)
 }

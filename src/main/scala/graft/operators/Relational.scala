@@ -3940,6 +3940,323 @@ object Relational {
       |  CAST(rank_milli AS BIGINT) AS rank_milli
       |FROM r3 ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** TIME-SERIES RESAMPLING with LINEAR INTERPOLATION — q91's LOCF
+    * sibling and the other half of every resampling API (pandas
+    * `resample().interpolate()`, Timescale `interpolate(time_bucket)`):
+    * each user's irregular observations project onto the same 6-hour
+    * grid, and a grid instant strictly between two observations gets the
+    * linear blend, not the stale left value. Each consecutive
+    * observation pair OWNS the half-open instant range [t0, t1) — every
+    * grid point is emitted exactly once with no dedup pass — and the
+    * final observation emits itself iff it lands on-grid (interpolation
+    * invents nothing outside the observed span). The blend is exact
+    * int64: values enter as milli-ints, and v0·(t1−g) + v1·(g−t0) is
+    * bounded by max_v_milli·span_us ≈ 5e5·2.6e12 ≈ 1.3e18 per term —
+    * two terms clear of 2⁶³ — so `div` (Spark) and `//` (DuckDB) agree
+    * on the nonnegative quotient with no decimal widening needed.
+    *
+    * Scale shape: one user-keyed window (high-cardinality key) for the
+    * LEAD pairing, then a narrow explode whose fan-out is span/period —
+    * never corpus-sized; no join at all, unlike the as-of formulation,
+    * because interpolation needs BOTH bracketing observations and the
+    * pair row already carries them. */
+  def q94InterpResample(s: SparkSession, d: String): DataFrame = {
+    val P = 6L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val obs = Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("mx"))
+      .select(col("user_id"), col("us"),
+        expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("v"))
+    val pairs = obs
+      .withColumn("us1", lead(col("us"), 1).over(w))
+      .withColumn("v1", lead(col("v"), 1).over(w))
+    val mid = pairs.where(col("us1").isNotNull)
+      .withColumn("lo", expr(s"(us + ${P - 1}L) div ${P}L"))
+      .withColumn("hi", expr(s"(us1 - 1L) div ${P}L"))
+      // sequence(lo, hi) with lo > hi generates DESCENDING in Spark —
+      // an empty-range pair must be dropped before the explode
+      .where(col("lo") <= col("hi"))
+      .select(col("user_id"), col("us"), col("v"), col("us1"), col("v1"),
+        explode(expr("sequence(lo, hi)")).as("bucket"))
+      .select(col("user_id"), col("bucket"),
+        expr(s"(v * (us1 - bucket * ${P}L) + v1 * (bucket * ${P}L - us))" +
+          s" div (us1 - us)").as("interp_milli"))
+    val last = pairs.where(col("us1").isNull && col("us") % P === 0)
+      .select(col("user_id"), expr(s"us div ${P}L").as("bucket"),
+        col("v").as("interp_milli"))
+    mid.unionByName(last).orderBy("user_id", "bucket")
+  }
+
+  val q94Sql: String =
+    """WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_id, value
+      |  FROM events),
+      |obs AS (SELECT user_id, us,
+      |    CAST(floor(arg_max(value, event_id) * 1000) AS BIGINT) AS v
+      |  FROM e GROUP BY user_id, us),
+      |p AS (SELECT user_id, us, v,
+      |    LEAD(us) OVER w AS us1, LEAD(v) OVER w AS v1
+      |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |mid AS (SELECT user_id,
+      |    unnest(range((us + 21599999999) // 21600000000,
+      |                 (us1 - 1) // 21600000000 + 1)) AS bucket,
+      |    us, v, us1, v1
+      |  FROM p WHERE us1 IS NOT NULL
+      |    AND (us + 21599999999) // 21600000000
+      |      <= (us1 - 1) // 21600000000),
+      |mi AS (SELECT user_id, bucket,
+      |    (v * (us1 - bucket * 21600000000)
+      |     + v1 * (bucket * 21600000000 - us)) // (us1 - us)
+      |      AS interp_milli
+      |  FROM mid),
+      |lastp AS (SELECT user_id, us // 21600000000 AS bucket,
+      |    v AS interp_milli
+      |  FROM p WHERE us1 IS NULL AND us % 21600000000 = 0)
+      |SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(interp_milli AS BIGINT) AS interp_milli
+      |FROM (SELECT * FROM mi UNION ALL SELECT * FROM lastp)
+      |ORDER BY user_id, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** STAR-SCHEMA MULTI-JOIN (TPC-H Q5 shape) — six tables, the classic
+    * join-order benchmark: lineitem⋈orders carries the fact mass,
+    * customer/supplier/nation/region are dimensions, the local-supplier
+    * predicate (c_nationkey = s_nationkey) correlates the two dim arms,
+    * and revenue rolls up per nation. The plan is the one a 100 TB run
+    * needs: region→nation prune FIRST (broadcast, cuts both arms to one
+    * region before any fact shuffle), supplier/customer broadcast
+    * against the facts, and only lineitem⋈orders shuffles — asserted by
+    * requiring ≥3 BroadcastHashJoins in the executed plan so a silent
+    * regression to shuffling a dimension fails the gate, not just the
+    * stopwatch. Revenue is the exact-decimal sum (Det.dsum). */
+  def q95StarJoin(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampNTZType)
+    val hi = lit("1998-01-01").cast(TimestampNTZType)
+    val asia = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val r = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), netPrice.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("rev"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+    val plan = r.queryExecution.executedPlan.toString
+    require("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "q95: dimension arms must broadcast, not shuffle")
+    r
+  }
+
+  val q95Sql: String =
+    s"""SELECT n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** BFS SHORTEST HOP LEVELS — the third graph kernel after q79
+    * (PageRank) and q92 (triangles): single-source unweighted shortest
+    * paths by frontier expansion. Each round joins the CURRENT frontier
+    * (shrinking) against the adjacency list (static, re-shuffled only on
+    * its join key), anti-joins the visited set, and stops EARLY when the
+    * frontier drains — the driver-side emptiness probe is a scalar
+    * aggregate per round, the canonical Pregel-style control loop, never
+    * a collect of vertex data. Levels are capped at `maxIter` so the
+    * oracle's bounded recursive CTE explores the identical space.
+    *
+    * Scale shape: per round one uniform node-keyed join + one anti-join
+    * + one min-aggregate; frontier and visited are node-sized, not
+    * edge-sized; at a 1000-executor scale the visited set would persist
+    * with checkpointing every ~5 rounds to cut lineage — same operators. */
+  def bfsLevels(edges: DataFrame, src: Long, maxIter: Int): DataFrame = {
+    // the adjacency is probed once per round — persist it so the round
+    // loop re-reads the deduped edge list, not the source scan's lineage
+    val bi = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().persist()
+    val sess = edges.sparkSession
+    import sess.implicits._
+    var visited = Seq((src, 0L)).toDF("node", "lvl")
+    var frontier = visited
+    var it = 0
+    while (it < maxIter && !frontier.isEmpty) {
+      val next = frontier.join(bi, col("node") === col("u"))
+        .select(col("v").as("node"), (col("lvl") + 1L).as("lvl"))
+        .groupBy(col("node")).agg(min(col("lvl")).as("lvl"))
+        .join(visited.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+      frontier = next.persist()
+      visited = visited.unionByName(frontier)
+      it += 1
+    }
+    visited.orderBy("node")
+  }
+
+  /** Driver gate: a 40-node sparse hashed graph; source 0, 6 rounds. */
+  def q96BfsLevels(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).where(col("l_orderkey") % 23 === 1)
+      .select((col("l_partkey") % 40).cast("long").as("u"),
+        ((col("l_partkey") * 3 + col("l_suppkey") * 5) % 40).cast("long")
+          .as("v"))
+    bfsLevels(e, src = 0L, maxIter = 6)
+  }
+
+  val q96Sql: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT l_partkey % 40 AS u,
+      |    (l_partkey * 3 + l_suppkey * 5) % 40 AS v
+      |  FROM lineitem WHERE l_orderkey % 23 = 1),
+      |bi AS (SELECT DISTINCT u, v FROM (
+      |  SELECT u, v FROM raw WHERE u <> v
+      |  UNION ALL SELECT v, u FROM raw WHERE u <> v)),
+      |r(node, lvl) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION
+      |  SELECT bi.v, r.lvl + 1 FROM r JOIN bi ON bi.u = r.node
+      |  WHERE r.lvl < 6)
+      |SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** EXACT GLOBAL EQUI-DEPTH HISTOGRAM (NTILE without the global sort) —
+    * the quantile-binning step feature pipelines run before bucketized
+    * training, exact where q63's approx-quantile gate is sketched. A
+    * global `ntile(B) OVER (ORDER BY …)` funnels the corpus through ONE
+    * reducer; instead the total order (price_milli, id) splits two-level
+    * exactly like t30's epoch shuffle: rows hash into VALUE RANGES
+    * (price div 2²⁰ — domain-bounded, ~100 cells), per-range counts
+    * prefix-sum on the range-cell frame (cell count ≈ domain/2²⁰, never
+    * corpus-sized), the offsets broadcast back, and the global rank is
+    * offset + within-range rank (a keyed window whose partitions are the
+    * ranges — at 100 TB pick the range width so cells ≈ shuffle
+    * partitions). NTILE's uneven-bucket arithmetic (first `total mod B`
+    * buckets take one extra row) is then a pure rank expression, proved
+    * against DuckDB's own NTILE. */
+  def q97EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val B = 8L
+    val rows = Tables.lineitem(s, d)
+      .select(expr("CAST(floor(l_extendedprice * 1000) AS BIGINT)")
+          .as("pm"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      .withColumn("rng", expr("pm div 1048576"))
+    val cells = rows.groupBy(col("rng")).agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("off", coalesce(sum(col("n")).over(wc), lit(0L)))
+      .select(col("rng"), col("off"))
+    val tot = rows.agg(count(lit(1)).as("total"))
+    val wr = Window.partitionBy(col("rng"))
+      .orderBy(col("pm"), col("id"))
+    rows
+      .withColumn("lr", row_number().over(wr).cast("long"))
+      .join(broadcast(offsets), Seq("rng"))
+      .withColumn("rk", col("off") + col("lr"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q", expr(s"total div ${B}L"))
+      .withColumn("rem", expr(s"total % ${B}L"))
+      .withColumn("bucket",
+        when(col("rk") <= col("rem") * (col("q") + 1),
+          expr("(rk - 1) div (q + 1) + 1"))
+          .otherwise(expr("rem + (rk - rem * (q + 1) - 1) div q + 1")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("pm")).as("lo_milli"),
+        max(col("pm")).as("hi_milli"))
+      .orderBy("bucket")
+  }
+
+  val q97Sql: String =
+    """WITH r AS (SELECT
+      |    CAST(floor(l_extendedprice * 1000) AS BIGINT) AS pm,
+      |    l_orderkey * 10 + l_linenumber AS id
+      |  FROM lineitem),
+      |nt AS (SELECT pm,
+      |    CAST(NTILE(8) OVER (ORDER BY pm, id) AS BIGINT) AS bucket
+      |  FROM r)
+      |SELECT bucket, COUNT(*) AS n, MIN(pm) AS lo_milli,
+      |  MAX(pm) AS hi_milli
+      |FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** TIME-WEIGHTED AVERAGE — the aggregate a metrics store computes when
+    * observations are irregular (Timescale `time_weight('LOCF', …)`):
+    * each observation's value holds until the next one, so the mean
+    * weights each value by its holding duration, not by 1/n. Same-ts
+    * duplicates collapse first (max event_id wins, q91's rule); the
+    * per-segment product v_milli·Δus stays in int64 (≤ 5e5 · 2.6e12 ≈
+    * 1.3e18, and the per-user SUM is bounded by max_v·span — the same
+    * bound, not n times it). Users with a single distinct instant have
+    * no holding span and are excluded (span 0 would divide by zero in
+    * both engines rather than disagree).
+    *
+    * Scale shape: one user-keyed aggregate for the dedup, one user-keyed
+    * LEAD window, one user-keyed sum — all on the same high-cardinality
+    * key, so AQE coalesces them onto one exchange. */
+  def q98TimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("mx"))
+      .select(col("user_id"), col("us"),
+        expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("v"))
+      .withColumn("us1", lead(col("us"), 1).over(w))
+      .where(col("us1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("us1") - col("us")).as("span_us"),
+        sum(col("v") * (col("us1") - col("us"))).as("vt"))
+      .select(col("user_id"), col("n_segments"), col("span_us"),
+        expr("vt div span_us").as("twa_milli"))
+      .orderBy("user_id")
+  }
+
+  val q98Sql: String =
+    """WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_id, value
+      |  FROM events),
+      |obs AS (SELECT user_id, us,
+      |    CAST(floor(arg_max(value, event_id) * 1000) AS BIGINT) AS v
+      |  FROM e GROUP BY user_id, us),
+      |p AS (SELECT user_id, us, v, LEAD(us) OVER (
+      |    PARTITION BY user_id ORDER BY us) AS us1
+      |  FROM obs)
+      |SELECT user_id, COUNT(*) AS n_segments,
+      |  CAST(SUM(us1 - us) AS BIGINT) AS span_us,
+      |  CAST(SUM(v * (us1 - us)) // SUM(us1 - us) AS BIGINT) AS twa_milli
+      |FROM p WHERE us1 IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4034,7 +4351,12 @@ object Relational {
     "q90_kmv_setops" -> (q90KmvSetOps _),
     "q91_locf_resample" -> (q91LocfResample _),
     "q92_triangles" -> (q92Triangles _),
-    "q93_time_travel_gate" -> (q93TimeTravelGate _))
+    "q93_time_travel_gate" -> (q93TimeTravelGate _),
+    "q94_interp_resample" -> (q94InterpResample _),
+    "q95_star_join" -> (q95StarJoin _),
+    "q96_bfs_levels" -> (q96BfsLevels _),
+    "q97_equidepth_hist" -> (q97EquidepthHist _),
+    "q98_time_weighted_avg" -> (q98TimeWeightedAvg _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4129,5 +4451,10 @@ object Relational {
     "q90_kmv_setops" -> q90Sql,
     "q91_locf_resample" -> q91Sql,
     "q92_triangles" -> q92Sql,
-    "q93_time_travel_gate" -> q93Sql)
+    "q93_time_travel_gate" -> q93Sql,
+    "q94_interp_resample" -> q94Sql,
+    "q95_star_join" -> q95Sql,
+    "q96_bfs_levels" -> q96Sql,
+    "q97_equidepth_hist" -> q97Sql,
+    "q98_time_weighted_avg" -> q98Sql)
 }

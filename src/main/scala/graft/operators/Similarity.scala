@@ -1937,6 +1937,79 @@ object Similarity {
       |  CAST((1000 * hits) // 50 AS BIGINT) AS recall_permille
       |FROM hits ORDER BY dim_prefix""".stripMargin
 
+  // ---------------------------------------------------------------- s26
+  /** RETRIEVAL EVALUATION HARNESS (recall@k / MRR@k by labeled
+    * relevance) — the measurement layer every ANN/retrieval deployment
+    * runs alongside the index ops (s01–s25 build and search; s26 SCORES
+    * a search against ground truth): for each labeled query, rank the
+    * corpus by exact cosine, take same-label rows as relevant, and emit
+    * recall@10, the first-relevant rank, and MRR@10 — all integer
+    * (permille / milli), with the double cosine used ONLY inside the
+    * rank ordering where both engines evaluate the identical
+    * correctly-rounded expression tree (s01's discipline).
+    *
+    * Scale shape: eval query sets are small by construction — the query
+    * side BROADCASTS against a corpus map-side pass (no corpus shuffle);
+    * the per-query ranking window partitions by q_id; queries-per-task
+    * spread the reduce. For corpus-scale eval the same harness runs over
+    * an ANN candidate list instead of the full cross product — swap the
+    * crossJoin for s02/s04's candidate join, the scoring tail is
+    * unchanged. */
+  def s26RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", norm2(col("embedding")))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_lab"))
+    val n = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("label").as("n_lab"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .withColumn("cos", cosinePre(col("q_emb"), col("n_emb"),
+        col("q_nrm"), col("n_nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rel", (col("n_lab") === col("q_lab")).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(max(col("q_lab")).as("label"),
+        sum(col("rel")).as("n_rel"),
+        sum(when(col("rank") <= 10, col("rel")).otherwise(0L))
+          .as("hits_at_10"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+      .withColumn("recall_permille", expr(
+        "CASE WHEN n_rel = 0 THEN NULL" +
+          " ELSE (1000 * hits_at_10) div n_rel END"))
+      .withColumn("mrr_milli", expr(
+        "CASE WHEN first_rel_rank IS NULL OR first_rel_rank > 10 THEN 0" +
+          " ELSE 1000 div first_rel_rank END"))
+      .orderBy("q_id")
+  }
+
+  val s26Sql: String =
+    """WITH r AS (
+      |  SELECT q.vec_id AS q_id, q.label AS ql, n.label AS nl,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |        CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id >= 10
+      |  WHERE q.vec_id < 10),
+      |per AS (SELECT q_id, MAX(ql) AS label,
+      |    SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS n_rel,
+      |    SUM(CASE WHEN rank <= 10 AND nl = ql THEN 1 ELSE 0 END)
+      |      AS hits_at_10,
+      |    MIN(CASE WHEN nl = ql THEN rank END) AS first_rel_rank
+      |  FROM r GROUP BY q_id)
+      |SELECT q_id, label, CAST(n_rel AS BIGINT) AS n_rel,
+      |  CAST(hits_at_10 AS BIGINT) AS hits_at_10,
+      |  CAST(CASE WHEN n_rel = 0 THEN NULL
+      |    ELSE (1000 * hits_at_10) // n_rel END AS BIGINT)
+      |    AS recall_permille,
+      |  CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+      |  CAST(CASE WHEN first_rel_rank IS NULL OR first_rel_rank > 10
+      |    THEN 0 ELSE 1000 // first_rel_rank END AS BIGINT) AS mrr_milli
+      |FROM per ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -1962,7 +2035,8 @@ object Similarity {
     "s22_graph_search_gate" -> (s22GraphSearchGate _),
     "s23_farthest_seed_gate" -> (s23FarthestSeedGate _),
     "s24_hier_ivf_gate" -> (s24HierIvfGate _),
-    "s25_matryoshka_recall" -> (s25MatryoshkaRecall _))
+    "s25_matryoshka_recall" -> (s25MatryoshkaRecall _),
+    "s26_retrieval_eval" -> (s26RetrievalEval _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -1987,5 +2061,6 @@ object Similarity {
     "s22_graph_search_gate" -> s22Sql,
     "s23_farthest_seed_gate" -> s23Sql,
     "s24_hier_ivf_gate" -> s24Sql,
-    "s25_matryoshka_recall" -> s25Sql)
+    "s25_matryoshka_recall" -> s25Sql,
+    "s26_retrieval_eval" -> s26Sql)
 }

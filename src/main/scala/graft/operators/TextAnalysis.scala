@@ -2980,6 +2980,139 @@ object TextAnalysis {
       |  md5(input) AS input_md5, md5(target) AS target_md5
       |FROM fin ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t44
+  /** PMI COLLOCATION MINING — pointwise mutual information over adjacent
+    * token pairs (Church & Hanks 1990), the corpus-analytics kernel
+    * behind phrase detection (word2vec's phrase pass), tokenizer merge
+    * candidates, and MWE lexicons. PMI = log p(xy)/(p(x)p(y)); the LOG
+    * IS MONOTONE, so ranking uses the RAW RATIO cxy·N²/(Nb·cx·cy)
+    * computed in double — t12's no-libm discipline: × and / are
+    * IEEE-correctly-rounded on every engine while log is not, and the
+    * operand magnitudes (≤ cxy·N² ≈ 1e14) sit inside double's exact-
+    * integer range, so the identical expression tree is bit-exact on
+    * both engines. Low-count pairs are floored out first (cxy ≥ 3,
+    * unigrams ≥ 5 — PMI's classic rare-pair pathology).
+    *
+    * Scale shape: the bigram explode is narrow; ONE uniform (w1, w2)
+    * aggregate absorbs repeats map-side; the unigram table aggregates
+    * to vocabulary size and BROADCASTS back twice (w1, then w2); the
+    * global top-20 is a TakeOrdered over the filtered candidate set —
+    * vocab²-bounded and floor-pruned, never corpus-sized. */
+  def t44PmiPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bigrams = docs.select(explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"""
+        .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = docs.agg(
+      sum(size(col("toks"))).as("n_tok"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("n_big"))
+    bigrams.where(col("cxy") >= 3)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("cx"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cy"))),
+        Seq("w2"))
+      .where(col("cx") >= 5 && col("cy") >= 5)
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        col("cxy").cast("double") * col("n_tok").cast("double") *
+          col("n_tok").cast("double") /
+          (col("n_big").cast("double") * col("cx").cast("double") *
+            col("cy").cast("double")))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        col("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val t44Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |big AS (SELECT toks[CAST(i AS INT)] AS w1,
+      |    toks[CAST(i + 1 AS INT)] AS w2
+      |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM big GROUP BY w1, w2),
+      |uni AS (SELECT unnest(toks) AS w FROM t),
+      |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |tot AS (SELECT SUM(len(toks)) AS n_tok,
+      |    SUM(greatest(len(toks) - 1, 0)) AS n_big FROM t)
+      |SELECT b.w1, b.w2, b.cxy, u1.c AS cx, u2.c AS cy,
+      |  CAST(b.cxy AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
+      |    * CAST(tot.n_tok AS DOUBLE)
+      |    / (CAST(tot.n_big AS DOUBLE) * CAST(u1.c AS DOUBLE)
+      |       * CAST(u2.c AS DOUBLE)) AS score
+      |FROM bc b
+      |JOIN uc u1 ON b.w1 = u1.w
+      |JOIN uc u2 ON b.w2 = u2.w
+      |CROSS JOIN tot
+      |WHERE b.cxy >= 3 AND u1.c >= 5 AND u2.c >= 5
+      |ORDER BY score DESC, b.w1, b.w2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- t45
+  /** CHARACTER-COVERAGE TABLE (SentencePiece's `--character_coverage`
+    * preprocessing decision) — per language: how many distinct
+    * characters exist, and how many of the most frequent ones are
+    * needed to cover 99.5% of character occurrences. Tokenizer training
+    * keeps exactly that prefix of the character histogram; everything
+    * past it maps to UNK/bytes. The cumulative runs over the per-lang
+    * CHARACTER HISTOGRAM — domain-bounded (alphabet × langs, thousands
+    * of rows), never corpus-sized, so the per-lang window is safe by
+    * construction where a per-doc-row window would not be. Ties at the
+    * same frequency break by codepoint for a deterministic prefix.
+    *
+    * Scale shape: explode to (lang, char) → ONE uniform hash aggregate
+    * with map-side combine (the 100 TB scan collapses to the alphabet
+    * immediately); the window and the final per-lang reduce run on the
+    * tiny histogram. */
+  def t45CharCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("ch").asc)
+    val hist = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col("lang"), col("ch")).agg(count(lit(1)).as("n"))
+    hist
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum(col("n")).as("n_char_occ"),
+        min(when(col("cum") * 1000 >= col("tot") * 995, col("rk")))
+          .as("chars_at_995"))
+      .orderBy("lang")
+  }
+
+  val t45Sql: String =
+    """WITH ch AS (
+      |  SELECT lang,
+      |    unnest(string_split_regex(lower(trim(text)), '')) AS ch
+      |  FROM documents),
+      |h AS (SELECT lang, ch, COUNT(*) AS n FROM ch
+      |  WHERE ch <> '' GROUP BY lang, ch),
+      |c AS (SELECT lang, ch, n,
+      |    SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, ch ASC
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n DESC, ch ASC) AS rk,
+      |    SUM(n) OVER (PARTITION BY lang) AS tot
+      |  FROM h)
+      |SELECT lang, COUNT(*) AS n_distinct_chars,
+      |  CAST(SUM(n) AS BIGINT) AS n_char_occ,
+      |  CAST(MIN(CASE WHEN cum * 1000 >= tot * 995 THEN rk END)
+      |    AS BIGINT) AS chars_at_995
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3023,7 +3156,9 @@ object TextAnalysis {
     "t40_fim_transform" -> (t40FimTransform _),
     "t41_chat_template" -> (t41ChatTemplate _),
     "t42_rouge_eval" -> (t42RougeEval _),
-    "t43_span_corruption" -> (t43SpanCorruption _))
+    "t43_span_corruption" -> (t43SpanCorruption _),
+    "t44_pmi_pairs" -> (t44PmiPairs _),
+    "t45_char_coverage" -> (t45CharCoverage _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3067,5 +3202,7 @@ object TextAnalysis {
     "t40_fim_transform" -> t40Sql,
     "t41_chat_template" -> t41Sql,
     "t42_rouge_eval" -> t42Sql,
-    "t43_span_corruption" -> t43Sql)
+    "t43_span_corruption" -> t43Sql,
+    "t44_pmi_pairs" -> t44Sql,
+    "t45_char_coverage" -> t45Sql)
 }

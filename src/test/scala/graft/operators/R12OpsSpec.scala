@@ -1,0 +1,354 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: linear-interpolation resample, star join, BFS
+  * levels, exact equi-depth histogram, time-weighted average, sex
+  * inference, contamination estimate, panel-of-normals normalization,
+  * inbreeding F, PMI pairs, char coverage, bag dedup, impact report. */
+class R12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- q94
+  test("q94 interp: matches a driver-side recompute for every user") {
+    val P = 6L * 3600L * 1000000L
+    val got = Relational.q94InterpResample(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, b, v) => (u, b) -> v }.toMap
+    // driver-side reference: dedup same-ts by max event_id, then
+    // per consecutive pair own [t0, t1) and blend; last point if on-grid
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val want = scala.collection.mutable.Map[(Long, Long), Long]()
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val obs = rows.groupBy(_._2).map { case (us, g) =>
+        val best = g.maxBy(_._3)
+        (us, math.floor(best._4 * 1000).toLong)
+      }.toSeq.sortBy(_._1)
+      obs.sliding(2).foreach {
+        case Seq((t0, v0), (t1, v1)) =>
+          var g = (t0 + P - 1) / P
+          while (g * P < t1) {
+            if (g * P >= t0)
+              want((u, g)) =
+                (v0 * (t1 - g * P) + v1 * (g * P - t0)) / (t1 - t0)
+            g += 1
+          }
+        case _ =>
+      }
+      val (tl, vl) = obs.last
+      if (tl % P == 0) want((u, tl / P)) = vl
+    }
+    assert(got.size === want.size)
+    want.foreach { case (k, v) =>
+      assert(got(k) === v, s"mismatch at $k")
+    }
+  }
+
+  test("q94 interp: an exact-grid observation reproduces its own value") {
+    // follows from the blend identity; assert it holds on real output
+    // by checking every emitted bucket lies inside its user's obs span
+    val P = 6L * 3600L * 1000000L
+    val spans = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("lo"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("hi"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    Relational.q94InterpResample(spark, sf)
+      .as[(Long, Long, Long)].collect().foreach { case (u, b, _) =>
+        val (lo, hi) = spans(u)
+        assert(b * P >= lo && b * P <= hi,
+          s"bucket $b outside observed span of user $u")
+      }
+  }
+
+  // ------------------------------------------------------------- q95
+  test("q95 star join: ASIA nations only, positive exact revenue") {
+    val rows = Relational.q95StarJoin(spark, sf)
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val asiaNations = (0 until 25).filter(_ % 5 == 2).map(i => s"NATION_$i")
+    rows.foreach { case (n, rev, cnt) =>
+      assert(asiaNations.contains(n), s"non-ASIA nation $n")
+      assert(rev > 0 && cnt > 0)
+    }
+    // revenue sorted descending
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+  }
+
+  // ------------------------------------------------------------- q96
+  test("q96 bfsLevels: hand graph — exact hop counts, unreachable absent") {
+    // 0-1-2-3 path, 4 isolated from the 0-component, 5-6 pair off 3
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 5L), (5L, 6L),
+      (7L, 8L)).toDF("u", "v")
+    val got = Relational.bfsLevels(e, src = 0L, maxIter = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      5L -> 4L, 6L -> 5L))
+  }
+
+  test("q96 bfsLevels: level cap truncates like the oracle's bounded CTE") {
+    val chain = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("u", "v")
+    val got = Relational.bfsLevels(chain, src = 0L, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  // ------------------------------------------------------------- q97
+  test("q97 equi-depth: 8 buckets, sizes differ by at most 1, " +
+      "boundaries monotone, masses sum to the corpus") {
+    val rows = Relational.q97EquidepthHist(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 8L))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"uneven: ${sizes.toSeq}")
+    // NTILE puts the larger buckets FIRST
+    assert(sizes.toSeq === sizes.sortBy(-_).toSeq)
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(sizes.sum === total)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, "bucket ranges must not interleave")
+    case _ => }
+  }
+
+  // ------------------------------------------------------------- q98
+  test("q98 TWA: matches a driver-side recompute for every user") {
+    val got = Relational.q98TimeWeightedAvg(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val obs = rows.groupBy(_._2).map { case (us, g) =>
+        (us, math.floor(g.maxBy(_._3)._4 * 1000).toLong)
+      }.toSeq.sortBy(_._1)
+      if (obs.size >= 2) {
+        val segs = obs.sliding(2).collect {
+          case Seq((t0, v0), (t1, _)) => (v0, t1 - t0)
+        }.toSeq
+        val span = segs.map(_._2).sum
+        val twa = segs.map(s => s._1 * s._2).sum / span
+        val (_, n, gspan, gtwa) = got(u)
+        assert(n === segs.size && gspan === span && gtwa === twa,
+          s"user $u")
+      } else assert(!got.contains(u))
+    }
+  }
+
+  // ------------------------------------------------------------- x65
+  test("x65 sex inference: even samples classify XY, odd XX") {
+    val rows = Genomics.x65SexInfer(spark, sf)
+      .select("sample", "inferred_sex").as[(String, String)].collect()
+    assert(rows.length === 10)
+    rows.foreach { case (s, sex) =>
+      val j = s.drop(1).toInt
+      assert(sex === (if (j % 2 == 0) "XY" else "XX"), s"sample $s")
+    }
+  }
+
+  // ------------------------------------------------------------- x66
+  test("x66 contamination: pooled ratio, hand fixture") {
+    val gt = Seq(
+      ("s0", "c1", 1L, "1/1"), ("s0", "c1", 2L, "0/1"),
+      ("s0", "c1", 3L, "1/1"), ("s1", "c1", 1L, "1/1"))
+      .toDF("sample", "contig", "pos", "gt")
+    val counts = Seq(
+      ("s0", "c1", 1L, 2L, 18L), ("s0", "c1", 2L, 9L, 9L),
+      ("s0", "c1", 3L, 1L, 19L), ("s1", "c1", 1L, 0L, 20L))
+      .toDF("sample", "contig", "pos", "ref_n", "alt_n")
+    val got = Genomics.contaminationEstimate(gt, counts)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // s0: hom-alt sites 1 and 3 only -> ref 3 / total 40 -> 75 permille
+    assert(got === Seq(("s0", 2L, 3L, 37L, 75L), ("s1", 1L, 0L, 20L, 0L)))
+  }
+
+  // ------------------------------------------------------------- x67
+  test("x67 PoN: flagged rows are exactly the planted amplifications") {
+    val rows = Genomics.x67PonNormalize(spark, sf)
+      .select("sample", "bin", "ratio_permille", "flagged")
+      .as[(String, Long, Long, Boolean)].collect()
+    val flagged = rows.filter(_._4)
+    assert(flagged.nonEmpty)
+    assert(flagged.forall { case (s, b, _, _) => s == "s0" && b % 5 == 0 },
+      "only s0's every-5th bins may flag")
+    val planted = rows.filter { case (s, b, _, _) =>
+      s == "s0" && b % 5 == 0 }
+    assert(planted.forall(_._4), "every planted amplification must flag")
+    rows.filterNot(_._4).foreach { case (_, _, r, _) =>
+      assert(r > 667 && r < 1500)
+    }
+  }
+
+  test("x67 PoN: lower median on a hand panel") {
+    val cov = Seq(
+      ("a", "c1", 0L, 10L), ("b", "c1", 0L, 20L), ("c", "c1", 0L, 30L),
+      ("d", "c1", 0L, 40L))
+      .toDF("sample", "contig", "bin", "n")
+    val med = Genomics.ponNormalize(cov)
+      .select("med").distinct().as[Long].collect()
+    assert(med.toSeq === Seq(20L), "even panel takes the LOWER median")
+  }
+
+  // ------------------------------------------------------------- x68
+  test("x68 inbreeding: hand cohort — signed F truncates toward zero") {
+    val gt = Seq(
+      ("c1", 1L, "s0", "0/1"), ("c1", 1L, "s1", "0/0"),
+      ("c1", 2L, "s0", "0/1"), ("c1", 2L, "s1", "1/1"))
+      .toDF("contig", "pos", "sample", "gt")
+    val got = Genomics.inbreedingF(gt)
+      .select("sample", "f_milli").as[(String, Long)].collect().toMap
+    // both sites: ac with s0 het: site1 ac=1 an=4 ehet=375000;
+    // site2 ac=3 an=4 ehet=375000. s0: O=0,E=1.25e6,N=2 -> -1666
+    assert(got === Map("s0" -> -1666L, "s1" -> 1000L))
+  }
+
+  test("x68 inbreeding: gate yields both signs") {
+    val f = Genomics.x68Inbreeding(spark, sf)
+      .select("f_milli").as[Long].collect()
+    assert(f.exists(_ < 0) && f.exists(_ > 0))
+  }
+
+  // ------------------------------------------------------------- t44
+  test("t44 PMI: thresholds hold and scores recompute from counts") {
+    val rows = TextAnalysis.t44PmiPairs(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.length === 20)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .as[Seq[String]].collect()
+    val nTok = docs.map(_.size.toLong).sum.toDouble
+    val nBig = docs.map(d => math.max(d.size - 1, 0).toLong).sum.toDouble
+    rows.foreach { case (_, _, cxy, cx, cy, score) =>
+      assert(cxy >= 3 && cx >= 5 && cy >= 5)
+      assert(score === cxy * nTok * nTok / (nBig * cx * cy))
+    }
+    assert(rows.map(_._6).toSeq === rows.map(_._6).sortBy(-_).toSeq)
+  }
+
+  // ------------------------------------------------------------- t45
+  test("t45 char coverage: driver recompute per language") {
+    val got = TextAnalysis.t45CharCoverage(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("lang"), lower(trim(col("text"))).as("t"))
+      .as[(String, String)].collect()
+    got.foreach { case (lang, nDistinct, nOcc, at995) =>
+      val hist = texts.filter(_._1 == lang).flatMap(_._2.toSeq)
+        .groupBy(identity).map { case (c, g) => (c.toString, g.length.toLong) }
+        .toSeq.sortBy { case (c, n) => (-n, c) }
+      assert(nDistinct === hist.size)
+      val tot = hist.map(_._2).sum
+      assert(nOcc === tot)
+      val cums = hist.scanLeft(0L)(_ + _._2).drop(1)
+      val want = cums.zipWithIndex
+        .find { case (c, _) => c * 1000 >= tot * 995 }.get._2 + 1
+      assert(at995 === want, s"lang $lang")
+    }
+  }
+
+  // ------------------------------------------------------- d31 / d32
+  test("d31 bag dedup gate: planted token-sorts all caught, " +
+      "strictly beyond the canonical pass") {
+    val r = Dedup.d31BagDedupGate(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r._5, s"gate failed: $r")
+  }
+
+  // ------------------------------------------------------------- s26
+  test("s26 retrieval eval: metrics are internally consistent") {
+    val rows = Similarity.s26RetrievalEval(spark, sf)
+      .select("q_id", "label", "n_rel", "hits_at_10", "recall_permille",
+        "first_rel_rank", "mrr_milli")
+      .as[(Long, Int, Long, Long, Option[Long], Option[Long], Long)]
+      .collect()
+    assert(rows.length === 10)
+    rows.foreach { case (q, _, nRel, hits, recall, fr, mrr) =>
+      assert(hits <= math.min(10L, nRel), s"q$q hits")
+      if (nRel > 0) assert(recall.contains(1000L * hits / nRel))
+      fr match {
+        case Some(r) if r <= 10 =>
+          assert(mrr === 1000L / r)
+          assert(hits >= 1)
+        case Some(_) => assert(mrr === 0L && hits === 0L)
+        case None => assert(mrr === 0L && hits === 0L && nRel === 0L)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- m19
+  test("m19 pHash: exact contrast doubling preserves the hash on " +
+      "every corpus image; the byte hash never does") {
+    val codec = new StandardImageCodec
+    val payloads = graft.Tables.documents(spark, sf)
+      .select(Multimodal.ppmPayload(col("text")))
+      .as[Array[Byte]].collect()
+    payloads.take(50).foreach { p =>
+      val doubled = Multimodal.contrastDouble(p)
+      assert(Multimodal.pHash(codec, p) === Multimodal.pHash(codec, doubled))
+      assert(!java.util.Arrays.equals(p, doubled))
+    }
+  }
+
+  test("m19 pHash gate: planted contrast-doubles collide, bytes split") {
+    val r = Multimodal.m19PhashGate(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(r === ((20L, 20L, 0L, true)))
+  }
+
+  test("m19 pHash: sensitive to genuine content change") {
+    val codec = new StandardImageCodec
+    val p = graft.Tables.documents(spark, sf)
+      .select(Multimodal.ppmPayload(col("text")))
+      .as[Array[Byte]].head()
+    val q = p.clone()
+    // zero out a quarter of the raster — a real content change
+    var nl = 0; var i = 0
+    while (i < q.length && nl < 3) { if (q(i) == '\n') nl += 1; i += 1 }
+    val start = i
+    while (i < start + (q.length - start) / 4) { q(i) = 0; i += 1 }
+    assert(Multimodal.pHash(codec, p) !== Multimodal.pHash(codec, q))
+  }
+
+  // ------------------------------------------------------------- m20
+  test("m20 crest factor: driver recompute from the text amplitudes") {
+    val got = Multimodal.m20CrestFactor(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val amps = t.getBytes("UTF-8").map(b => (b & 0xff) - 128L)
+      if (amps.nonEmpty) {
+        val peak = amps.map(math.abs).max
+        val energy = amps.map(a => a * a).sum
+        val rms = math.floor(math.sqrt(
+          (1000000L * energy / amps.length).toDouble)).toLong
+        val crest = if (rms == 0) None else Some(1000000L * peak / rms)
+        val (_, n, gp, ge, grms, gcrest) = got(id)
+        assert(n === amps.length && gp === peak && ge === energy &&
+          grms === rms && gcrest === crest, s"doc $id")
+      }
+    }
+  }
+
+  test("d32 impact report: hash nesting — bag and canon never keep " +
+      "more than byte-exact") {
+    val rows = Dedup.d32ImpactReport(spark, sf)
+      .select("n_docs", "kept_exact", "kept_canon", "kept_bag")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, ke, kc, kb) =>
+      assert(ke <= n && kc <= ke && kb <= ke,
+        "byte-equality implies canon- and bag-equality")
+    }
+  }
+}
