@@ -4455,6 +4455,153 @@ object Genomics {
       |    AS f_milli
       |FROM per ORDER BY sample""".stripMargin
 
+  // ---------------------------------------------------------------- x69
+  /** TPM QUANTIFICATION (RSEM/kallisto's unit over a counting backend —
+    * the `featureCounts → TPM` path): reads assigned to genes through
+    * exon overlap, counts normalized first by gene length (reads per
+    * base, micro-units) and then to a fixed per-sample total of 10⁶ —
+    * the within-sample-comparable expression unit RNA-seq reports.
+    * Integer-staged: rate_micro = (10⁶·n) div len, then tpm_milli =
+    * (10⁶·rate_micro) div Σrate — both divisions restated verbatim by
+    * the oracle, magnitudes ≤ 10¹⁵. A read overlapping two exons of the
+    * same gene counts ONCE (the distinct (gene, read) pass — the
+    * double-count bug featureCounts' docs warn about); exons are
+    * assumed disjoint within a gene (x29's intervalMerge is the
+    * normalizer when they are not).
+    *
+    * Scale shape: the annotation is a genuine dimension table —
+    * BROADCAST against the read scan (reads never shuffle to find their
+    * gene); one uniform (gene, read) distinct, one gene-keyed count,
+    * one broadcast scalar for the total. */
+  def tpmQuant(reads: DataFrame, exons: DataFrame): DataFrame = {
+    val lens = exons.groupBy(col("gene"))
+      .agg(sum(col("end") - col("start")).as("len"))
+    val counts = reads
+      .join(broadcast(exons),
+        reads("contig") === exons("contig") &&
+          col("pos") >= col("start") && col("pos") < col("end"))
+      .select(col("gene"), col("read_id")).distinct()
+      .groupBy(col("gene")).agg(count(lit(1)).as("n_reads"))
+    val rates = lens.join(counts, Seq("gene"), "left")
+      .withColumn("n_reads", coalesce(col("n_reads"), lit(0L)))
+      .withColumn("rate_micro", expr("(1000000 * n_reads) div len"))
+    val tot = rates.agg(sum(col("rate_micro")).as("tot"))
+    rates.crossJoin(broadcast(tot))
+      .withColumn("tpm_milli", expr(
+        "CASE WHEN tot = 0 THEN NULL" +
+          " ELSE (1000000 * rate_micro) div tot END"))
+      .select(col("gene"), col("n_reads"), col("len"),
+        col("rate_micro"), col("tpm_milli"))
+      .orderBy("gene")
+  }
+
+  /** Driver gate: a 4-gene annotation (one two-exon gene, one
+    * zero-read gene) against hashed read positions — exercises the
+    * once-per-gene dedup, the left-join zero row, and both divisions. */
+  def x69TpmQuant(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 21 === 4)
+    val reads = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("read_id"),
+      when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+        .as("contig"),
+      ((col("l_partkey") * 17) % 6000).cast("long").as("pos"))
+    val exons = s.createDataFrame(Seq(
+      ("g0", "chr1", 100L, 200L), ("g0", "chr1", 300L, 400L),
+      ("g1", "chr1", 1000L, 1300L), ("g2", "chr2", 2000L, 2050L),
+      ("g3", "chr2", 9000L, 9500L))) // beyond pos domain: zero reads
+      .toDF("gene", "contig", "start", "end")
+    tpmQuant(reads, exons)
+  }
+
+  val x69Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+      |  FROM lineitem WHERE l_orderkey % 21 = 4),
+      |reads AS (SELECT l_orderkey * 10 + l_linenumber AS read_id,
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
+      |      AS contig,
+      |    (l_partkey * 17) % 6000 AS pos FROM li),
+      |ex AS (SELECT * FROM (VALUES
+      |  ('g0', 'chr1', 100, 200), ('g0', 'chr1', 300, 400),
+      |  ('g1', 'chr1', 1000, 1300), ('g2', 'chr2', 2000, 2050),
+      |  ('g3', 'chr2', 9000, 9500)) AS t(gene, contig, st, en)),
+      |lens AS (SELECT gene, SUM(en - st) AS len FROM ex GROUP BY gene),
+      |asg AS (SELECT DISTINCT e.gene, r.read_id
+      |  FROM reads r JOIN ex e
+      |    ON r.contig = e.contig AND r.pos >= e.st AND r.pos < e.en),
+      |cnt AS (SELECT gene, COUNT(*) AS n FROM asg GROUP BY gene),
+      |rates AS (SELECT l.gene, COALESCE(c.n, 0) AS n_reads, l.len,
+      |    (1000000 * COALESCE(c.n, 0)) // l.len AS rate_micro
+      |  FROM lens l LEFT JOIN cnt c ON l.gene = c.gene),
+      |tot AS (SELECT SUM(rate_micro) AS tot FROM rates)
+      |SELECT gene, CAST(n_reads AS BIGINT) AS n_reads,
+      |  CAST(len AS BIGINT) AS len,
+      |  CAST(rate_micro AS BIGINT) AS rate_micro,
+      |  CAST(CASE WHEN tot = 0 THEN NULL
+      |    ELSE (1000000 * rate_micro) // tot END AS BIGINT) AS tpm_milli
+      |FROM rates CROSS JOIN tot ORDER BY gene""".stripMargin
+
+  // ---------------------------------------------------------------- x70
+  /** POLYGENIC RISK SCORE (plink `--score sum`) — the weighted dosage
+    * sum that turns a genotype matrix and a published effect-size table
+    * into one number per sample: prs = Σ_sites dose·weight over the
+    * sites the sample is called at, weights SIGNED (risk and protective
+    * alleles), in exact milli-units. Missing genotypes are SKIPPED, not
+    * imputed (plink's default no-mean-imputation form), and the
+    * called-site count is reported so a consumer can normalize.
+    *
+    * Scale shape: the weight table is the dimension (≈10⁵–10⁷ rows in
+    * production panels) — joined on the uniform (contig, pos) site key;
+    * one sample-keyed sum, map-side combinable. No window, no skew. */
+  def prsScore(gt: DataFrame, weights: DataFrame): DataFrame = {
+    val dose = when(col("gt") === "0/0", 0L)
+      .when(col("gt") === "0/1" || col("gt") === "1/0", 1L)
+      .when(col("gt") === "1/1", 2L)
+    gt.select(col("contig"), col("pos"), col("sample"), dose.as("d"))
+      .where(col("d").isNotNull)
+      .join(weights, Seq("contig", "pos"))
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_sites_used"),
+        sum(col("d") * col("w_milli")).as("prs_milli"))
+      .orderBy("sample")
+  }
+
+  /** Driver gate: signed weights ((pos % 7) − 3 spans −3..+3) over a
+    * 4-sample grid with planted `./.` — both score signs occur and the
+    * missing-site skip is exercised. */
+  def x70PrsScore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 21 === 9)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 320) * 11 + 7).cast("long").as("pos"))
+      .distinct()
+    val weights = sites.select(col("contig"), col("pos"),
+      (col("pos") % 7 - 3).as("w_milli"))
+    val dim = s.createDataFrame(Seq(
+      ("s0", 0L), ("s1", 1L), ("s2", 2L), ("s3", 3L)))
+      .toDF("sample", "sj")
+    val gt = sites.crossJoin(broadcast(dim))
+      .withColumn("g", (col("pos") * 3 + col("sj") * 5) % 4)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("g") === 0, "0/0").when(col("g") === 1, "0/1")
+          .when(col("g") === 2, "1/1").otherwise("./.").as("gt"))
+    prsScore(gt, weights)
+  }
+
+  val x70Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 21 = 9),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 320) * 11 + 7 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(sj)),
+      |g AS (SELECT s.contig, s.pos, sm.sj,
+      |    (s.pos * 3 + sm.sj * 5) % 4 AS gv, s.pos % 7 - 3 AS w
+      |  FROM sites s CROSS JOIN sm)
+      |SELECT 's' || sj AS sample, COUNT(*) AS n_sites_used,
+      |  CAST(SUM(gv * w) AS BIGINT) AS prs_milli
+      |FROM g WHERE gv <= 2 GROUP BY sj ORDER BY sample""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -4506,7 +4653,9 @@ object Genomics {
     "x65_sex_infer"          -> (x65SexInfer _),
     "x66_contamination"      -> (x66Contamination _),
     "x67_pon_normalize"      -> (x67PonNormalize _),
-    "x68_inbreeding"         -> (x68Inbreeding _))
+    "x68_inbreeding"         -> (x68Inbreeding _),
+    "x69_tpm_quant"          -> (x69TpmQuant _),
+    "x70_prs_score"          -> (x70PrsScore _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4559,5 +4708,7 @@ object Genomics {
     "x65_sex_infer"          -> x65Sql,
     "x66_contamination"      -> x66Sql,
     "x67_pon_normalize"      -> x67Sql,
-    "x68_inbreeding"         -> x68Sql)
+    "x68_inbreeding"         -> x68Sql,
+    "x69_tpm_quant"          -> x69Sql,
+    "x70_prs_score"          -> x70Sql)
 }

@@ -4257,6 +4257,59 @@ object Relational {
       |FROM p WHERE us1 IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** MAP-TYPE FUNCTION KERNEL — the map-column family (q57 covered
+    * arrays, q65 VARIANT): per user, event-type→count and
+    * event-type→value maps built with `map_from_entries` over pre-
+    * aggregated entries (unique keys by construction), combined with
+    * `map_zip_with` (integer per-type average), pruned with
+    * `map_filter`, rewritten with `transform_values`, keys probed with
+    * `element_at`, and exploded back to rows with `map_entries` so
+    * every value is oracle-checkable. Collection order inside
+    * collect_list is nondeterministic — maps erase it, and the explode
+    * is re-sorted, so the output is deterministic anyway.
+    *
+    * Scale shape: one uniform (user, type) pre-aggregate (map-side
+    * combinable), one user-keyed gather whose per-user state is
+    * bounded by the TYPE DOMAIN (5 entries), then narrow map ops. */
+  def q99MapKernel(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+    per.groupBy(col("user_id"))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("event_type"), col("cnt")))).as("m_cnt"),
+        map_from_entries(collect_list(
+          struct(col("event_type"), col("vm")))).as("m_val"))
+      .withColumn("m_avg",
+        expr("map_zip_with(m_cnt, m_val, (k, c, v) -> v div c)"))
+      .withColumn("m_hot",
+        expr("map_filter(m_avg, (k, v) -> v >= 50000)"))
+      .withColumn("m_excess",
+        expr("transform_values(m_hot, (k, v) -> v - 50000)"))
+      .select(col("user_id"), col("m_cnt"), col("m_hot"),
+        explode(expr("map_entries(m_excess)")).as("e"))
+      .select(col("user_id"), col("e.key").as("event_type"),
+        expr("element_at(m_cnt, e.key)").as("cnt"),
+        expr("element_at(m_hot, e.key)").as("avg_milli"),
+        col("e.value").as("excess_milli"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q99Sql: String =
+    """WITH per AS (SELECT user_id, event_type, COUNT(*) AS cnt,
+      |    SUM(CAST(floor(value * 1000) AS BIGINT)) AS vm
+      |  FROM events GROUP BY user_id, event_type),
+      |a AS (SELECT user_id, event_type, cnt, vm // cnt AS avg_milli
+      |  FROM per)
+      |SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(avg_milli AS BIGINT) AS avg_milli,
+      |  CAST(avg_milli - 50000 AS BIGINT) AS excess_milli
+      |FROM a WHERE avg_milli >= 50000
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4356,7 +4409,8 @@ object Relational {
     "q95_star_join" -> (q95StarJoin _),
     "q96_bfs_levels" -> (q96BfsLevels _),
     "q97_equidepth_hist" -> (q97EquidepthHist _),
-    "q98_time_weighted_avg" -> (q98TimeWeightedAvg _))
+    "q98_time_weighted_avg" -> (q98TimeWeightedAvg _),
+    "q99_map_kernel" -> (q99MapKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4456,5 +4510,6 @@ object Relational {
     "q95_star_join" -> q95Sql,
     "q96_bfs_levels" -> q96Sql,
     "q97_equidepth_hist" -> q97Sql,
-    "q98_time_weighted_avg" -> q98Sql)
+    "q98_time_weighted_avg" -> q98Sql,
+    "q99_map_kernel" -> q99Sql)
 }

@@ -263,6 +263,68 @@ class R12OpsSpec extends SparkSpec {
     assert(r._5, s"gate failed: $r")
   }
 
+  // ------------------------------------------------------------- q99
+  test("q99 map kernel: exploded map rows equal the plain aggregate") {
+    val got = Relational.q99MapKernel(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+      .withColumn("avg_milli", expr("vm div cnt"))
+      .where(col("avg_milli") >= 50000)
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        col("avg_milli"), (col("avg_milli") - 50000).as("ex"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- x69
+  test("x69 TPM: hand fixture — per-gene dedup, zero-read gene, " +
+      "exact staged divisions") {
+    val reads = Seq(
+      (1L, "c1", 150L), (1L, "c1", 350L), // same read hits both g0 exons
+      (2L, "c1", 150L), (3L, "c1", 1100L), (4L, "c9", 5L))
+      .toDF("read_id", "contig", "pos")
+    val exons = Seq(
+      ("g0", "c1", 100L, 200L), ("g0", "c1", 300L, 400L),
+      ("g1", "c1", 1000L, 1300L), ("g2", "c1", 5000L, 5100L))
+      .toDF("gene", "contig", "start", "end")
+    val got = Genomics.tpmQuant(reads, exons)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    // g0: reads {1,2} over len 200 -> rate 10000; g1: read 3 over len
+    // 300 -> rate 3333; g2: 0. tot = 13333
+    assert(got === Seq(
+      ("g0", 2L, 200L, 10000L, Some(1000000L * 10000L / 13333L)),
+      ("g1", 1L, 300L, 3333L, Some(1000000L * 3333L / 13333L)),
+      ("g2", 0L, 100L, 0L, Some(0L))))
+  }
+
+  test("x69 TPM: tpm_milli masses sum to ~10^6 over expressed genes") {
+    val rows = Genomics.x69TpmQuant(spark, sf)
+      .select("tpm_milli").as[Long].collect()
+    val tot = rows.sum
+    assert(tot > 999900L && tot <= 1000000L,
+      s"TPM must normalize to a fixed total, got $tot")
+  }
+
+  // ------------------------------------------------------------- x70
+  test("x70 PRS: hand fixture — signed weights, missing sites skipped") {
+    val gt = Seq(
+      ("c1", 1L, "a", "1/1"), ("c1", 2L, "a", "0/1"),
+      ("c1", 3L, "a", "./."),
+      ("c1", 1L, "b", "0/0"), ("c1", 2L, "b", "1/1"),
+      ("c1", 3L, "b", "0/1"))
+      .toDF("contig", "pos", "sample", "gt")
+    val w = Seq(("c1", 1L, 5L), ("c1", 2L, -3L), ("c1", 3L, 10L))
+      .toDF("contig", "pos", "w_milli")
+    val got = Genomics.prsScore(gt, w)
+      .as[(String, Long, Long)].collect().toSeq
+    // a: 2*5 + 1*(-3) = 7 over 2 sites; b: 0 + 2*(-3) + 1*10 = 4 over 3
+    assert(got === Seq(("a", 2L, 7L), ("b", 3L, 4L)))
+  }
+
   // ------------------------------------------------------------- s26
   test("s26 retrieval eval: metrics are internally consistent") {
     val rows = Similarity.s26RetrievalEval(spark, sf)
