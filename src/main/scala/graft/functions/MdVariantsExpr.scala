@@ -82,6 +82,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Static int parameter of a SQL call (e.g. `char_ngrams(text, 3)`):
+    * must fold to an integer at plan time — these parameters size
+    * buffers/arrays, so a per-row value is a contract error, reported
+    * as one rather than as a ClassCastException from deep in codegen. */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      v.toInt
+    case other if other.foldable => other.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => throw new IllegalArgumentException(
+        s"$fn: parameter must be an integer literal, got $x")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: parameter must be a literal, got a per-row expression")
+  }
+
+  private def boolArg(e: Expression, fn: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other if other.foldable => other.eval() match {
+      case b: Boolean => b
+      case x => throw new IllegalArgumentException(
+        s"$fn: parameter must be a boolean literal, got $x")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: parameter must be a literal, got a per-row expression")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "md_variants" -> (c => MdVariants(c(0), c(1), c(2))),
     "shingle_hashes" -> (c => ShingleHashes(c(0), c(1))),
@@ -90,7 +119,20 @@ object GraftExtensions {
     "dot_product" -> (c => DotProduct(c(0), c(1))),
     "sam_tags" -> (c => SamTags(c(0))),
     "top_bigram_fraction" -> (c => TopBigramFraction(c(0))),
-    "pq_encode" -> (c => PqEncode(c(0), c(1))))
+    "pq_encode" -> (c => PqEncode(c(0), c(1))),
+    "char_ngrams" -> (c => CharNgrams(c(0), intArg(c(1), "char_ngrams"))),
+    "cigar_sums" -> (c => CigarSums(c(0))),
+    "lsh_buckets" -> (c => LshBuckets(c(0), c(1),
+      intArg(c(2), "lsh_buckets"), intArg(c(3), "lsh_buckets"),
+      boolArg(c(4), "lsh_buckets"))),
+    // aggregates: the registry hands back the AggregateFunction and the
+    // analyzer wraps it in an AggregateExpression (Spark's own builtins
+    // register the same way)
+    "max_k" -> (c => MaxK(c(0), intArg(c(1), "max_k"))),
+    "count_min" -> (c => CountMin(c(0), intArg(c(1), "count_min"),
+      intArg(c(2), "count_min"))),
+    "heavy_hitters" -> (c => HeavyHitters(c(0),
+      intArg(c(1), "heavy_hitters"))))
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

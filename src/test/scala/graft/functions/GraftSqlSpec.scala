@@ -30,6 +30,36 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getSeq[Int](7) === Seq(1)) // (0.9,0.1) nearer (1,0) than (0,0)
   }
 
+  test("round-11 registrations: char_ngrams, cigar_sums, lsh_buckets, " +
+      "max_k, count_min, heavy_hitters are SQL-callable") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  char_ngrams('abcd', 3) AS ng,
+        |  cigar_sums('3M1I2D4M') AS cs
+        |""".stripMargin).head()
+    assert(row.getSeq[String](0) === Seq("abc", "bcd"))
+    assert(row.getStruct(1).getLong(0) === 9L) // ref_len = 3M + 2D + 4M
+    val agg = spark.sql(
+      """SELECT max_k(v, 3) AS mk, heavy_hitters(k, 2) AS hh
+        |FROM VALUES (1.0D, 7L), (5.0D, 7L), (3.0D, 7L), (2.0D, 8L)
+        |  AS t(v, k)""".stripMargin).head()
+    assert(agg.getSeq[Double](0) === Seq(5.0, 3.0, 2.0))
+    assert(agg.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      .contains(7L))
+    val cm = spark.sql(
+      "SELECT count_min(k, 3, 64) FROM VALUES (1L), (1L), (2L) AS t(k)")
+      .head().getSeq[Long](0)
+    assert(cm.length === 3 * 64)
+    // static int params must be literals — a per-row column is refused
+    val err = intercept[Exception] {
+      spark.sql("SELECT char_ngrams('ab', CAST(v AS INT)) " +
+        "FROM VALUES (2) AS t(v)").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("shingle_hashes windows by codepoints (astral chars count once)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
