@@ -4602,6 +4602,95 @@ object Genomics {
       |  CAST(SUM(gv * w) AS BIGINT) AS prs_milli
       |FROM g WHERE gv <= 2 GROUP BY sj ORDER BY sample""".stripMargin
 
+  // ---------------------------------------------------------------- x71
+  /** SITE-LEVEL VARIANT QC: allele balance + strand bias (GATK's
+    * AS_BaseQRankSum-adjacent heuristics in their counting form, and
+    * the two annotations every hard-filter recipe cuts on). Allele
+    * balance pools alt-read mass over the HET samples at a site
+    * (a true het sits near 500 permille; systematic deviation flags
+    * mapping bias or CNV). Strand bias is the odds-ratio surrogate
+    * (rf·ar)/(rr·af) in milli with +1 guards (Fisher's exact needs
+    * factorials no integer restatement survives; the odds ratio is the
+    * screening form callers log anyway) — a variant supported by one
+    * strand only explodes the ratio in one direction. Both flags are
+    * data-visible in the gate (planted one-strand alt mass every 11th
+    * site).
+    *
+    * Scale shape: het filter prunes first; ONE uniform (contig, pos)
+    * aggregate of six conditional sums, map-side combinable; no joins
+    * beyond the synthesized-input composition. */
+  def siteQc(het: DataFrame): DataFrame =
+    het.groupBy(col("contig"), col("pos"))
+      .agg(count(lit(1)).as("n_het"),
+        sum(col("ref_fwd")).as("rf"), sum(col("ref_rev")).as("rr"),
+        sum(col("alt_fwd")).as("af"), sum(col("alt_rev")).as("ar"))
+      .withColumn("ab_permille", expr(
+        "(1000 * (af + ar)) div (rf + rr + af + ar)"))
+      .withColumn("sb_milli", expr(
+        "(1000 * (rf * ar + 1)) div (rr * af + 1)"))
+      .withColumn("ab_flag",
+        col("ab_permille") < 300 || col("ab_permille") > 700)
+      .withColumn("sb_flag",
+        col("sb_milli") < 250 || col("sb_milli") > 4000)
+      .orderBy("contig", "pos")
+
+  /** Driver gate: balanced strands everywhere except every 11th site,
+    * where alt reads land fwd-only — exactly those sites must raise
+    * sb_flag, and pooled AB stays in the callable band elsewhere. */
+  def x71SiteQc(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 23 === 6)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 280) * 9 + 4).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(
+      ("s0", 0L), ("s1", 1L), ("s2", 2L)))
+      .toDF("sample", "sj")
+    val het = sites.crossJoin(broadcast(dim))
+      .where((col("pos") + col("sj")) % 3 =!= 0) // not every sample het
+      .withColumn("base", col("pos") % 5 + 3)
+      .select(col("contig"), col("pos"), col("sample"),
+        col("base").as("ref_fwd"),
+        (col("base") + 1).as("ref_rev"),
+        when(col("pos") % 11 === 0, col("base") * 2)
+          .otherwise(col("base")).as("alt_fwd"),
+        when(col("pos") % 11 === 0, lit(0L))
+          .otherwise(col("base") + 1).as("alt_rev"))
+    siteQc(het)
+  }
+
+  val x71Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 23 = 6),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 280) * 9 + 4 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(sj)),
+      |het AS (SELECT s.contig, s.pos,
+      |    s.pos % 5 + 3 AS rf, s.pos % 5 + 4 AS rr,
+      |    CASE WHEN s.pos % 11 = 0 THEN (s.pos % 5 + 3) * 2
+      |      ELSE s.pos % 5 + 3 END AS af,
+      |    CASE WHEN s.pos % 11 = 0 THEN 0
+      |      ELSE s.pos % 5 + 4 END AS ar
+      |  FROM sites s CROSS JOIN sm
+      |  WHERE (s.pos + sm.sj) % 3 <> 0),
+      |a AS (SELECT contig, pos, COUNT(*) AS n_het,
+      |    SUM(rf) AS rf, SUM(rr) AS rr, SUM(af) AS af, SUM(ar) AS ar
+      |  FROM het GROUP BY contig, pos),
+      |b AS (SELECT *,
+      |    (1000 * (af + ar)) // (rf + rr + af + ar) AS ab_permille,
+      |    (1000 * (rf * ar + 1)) // (rr * af + 1) AS sb_milli
+      |  FROM a)
+      |SELECT contig, CAST(pos AS BIGINT) AS pos, n_het,
+      |  CAST(rf AS BIGINT) AS rf, CAST(rr AS BIGINT) AS rr,
+      |  CAST(af AS BIGINT) AS af, CAST(ar AS BIGINT) AS ar,
+      |  CAST(ab_permille AS BIGINT) AS ab_permille,
+      |  CAST(sb_milli AS BIGINT) AS sb_milli,
+      |  (ab_permille < 300 OR ab_permille > 700) AS ab_flag,
+      |  (sb_milli < 250 OR sb_milli > 4000) AS sb_flag
+      |FROM b ORDER BY contig, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -4655,7 +4744,8 @@ object Genomics {
     "x67_pon_normalize"      -> (x67PonNormalize _),
     "x68_inbreeding"         -> (x68Inbreeding _),
     "x69_tpm_quant"          -> (x69TpmQuant _),
-    "x70_prs_score"          -> (x70PrsScore _))
+    "x70_prs_score"          -> (x70PrsScore _),
+    "x71_site_qc"            -> (x71SiteQc _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4710,5 +4800,6 @@ object Genomics {
     "x67_pon_normalize"      -> x67Sql,
     "x68_inbreeding"         -> x68Sql,
     "x69_tpm_quant"          -> x69Sql,
-    "x70_prs_score"          -> x70Sql)
+    "x70_prs_score"          -> x70Sql,
+    "x71_site_qc"            -> x71Sql)
 }

@@ -4310,6 +4310,66 @@ object Relational {
       |FROM a WHERE avg_milli >= 50000
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** NAVIGATION-WINDOW KERNEL — the window functions q53 (rank-family)
+    * and q49 (range frames) do not cover: `nth_value` under an
+    * EXPLICIT unbounded ROWS frame (its default frame stops at the
+    * current row — the classic silent-wrong-answer; both engines get
+    * the explicit frame), `lag` with a non-null default, `lead` at
+    * offset 3, `first_value` with IGNORE NULLS over a planted-null
+    * column, and a trailing 3-row count. All values integer; the
+    * partition key (l_suppkey) is high-cardinality so no reducer sees
+    * more than one supplier's rows.
+    *
+    * Scale shape: ONE exchange on the partition key serves all six
+    * functions (same window spec family — Spark collapses them into
+    * one Window operator; the plan has a single sort). */
+  def q100WindowKernel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("pm").asc, col("id").asc)
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTrail = w.rowsBetween(-2, 0)
+    Tables.lineitem(s, d).where(col("l_suppkey") % 40 === 3)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        expr("CAST(floor(l_extendedprice * 1000) AS BIGINT)").as("pm"),
+        // planted nulls: every 3rd row's quantity is unknown
+        when(col("l_orderkey") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("qn"))
+      .select(col("l_suppkey"), col("id"),
+        nth_value(col("pm"), 2).over(wFull).as("second_lowest"),
+        lag(col("pm"), 2, -1L).over(w).as("lag2_or_neg1"),
+        lead(col("pm"), 3).over(w).as("lead3"),
+        first(col("qn"), ignoreNulls = true).over(wFull)
+          .as("first_known_qty"),
+        count(lit(1)).over(wTrail).as("trailing3"))
+      .orderBy("l_suppkey", "id")
+  }
+
+  val q100Sql: String =
+    """WITH r AS (SELECT l_suppkey,
+      |    l_orderkey * 10 + l_linenumber AS id,
+      |    CAST(floor(l_extendedprice * 1000) AS BIGINT) AS pm,
+      |    CASE WHEN l_orderkey % 3 = 0 THEN NULL
+      |      ELSE CAST(l_quantity AS BIGINT) END AS qn
+      |  FROM lineitem WHERE l_suppkey % 40 = 3)
+      |SELECT l_suppkey, id,
+      |  nth_value(pm, 2) OVER (PARTITION BY l_suppkey
+      |    ORDER BY pm, id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND UNBOUNDED FOLLOWING) AS second_lowest,
+      |  lag(pm, 2, -1) OVER w AS lag2_or_neg1,
+      |  lead(pm, 3) OVER w AS lead3,
+      |  first_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      |    ORDER BY pm, id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND UNBOUNDED FOLLOWING) AS first_known_qty,
+      |  CAST(COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY pm, id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS trailing3
+      |FROM r
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY pm, id)
+      |ORDER BY l_suppkey, id""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4410,7 +4470,8 @@ object Relational {
     "q96_bfs_levels" -> (q96BfsLevels _),
     "q97_equidepth_hist" -> (q97EquidepthHist _),
     "q98_time_weighted_avg" -> (q98TimeWeightedAvg _),
-    "q99_map_kernel" -> (q99MapKernel _))
+    "q99_map_kernel" -> (q99MapKernel _),
+    "q100_window_kernel" -> (q100WindowKernel _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4511,5 +4572,6 @@ object Relational {
     "q96_bfs_levels" -> q96Sql,
     "q97_equidepth_hist" -> q97Sql,
     "q98_time_weighted_avg" -> q98Sql,
-    "q99_map_kernel" -> q99Sql)
+    "q99_map_kernel" -> q99Sql,
+    "q100_window_kernel" -> q100Sql)
 }

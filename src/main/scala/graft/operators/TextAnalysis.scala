@@ -3113,6 +3113,76 @@ object TextAnalysis {
       |    AS BIGINT) AS chars_at_995
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t46
+  /** MOJIBAKE DETECTION (ftfy's core signature) — the encoding-damage
+    * scan a web-scale curation run applies before any tokenizer sees
+    * the bytes: UTF-8 text mis-decoded as Latin-1 turns every
+    * non-ASCII character into a two-char scar whose FIRST char is
+    * 'Ã'/'Â'-family (U+00C2–U+00C5) and whose SECOND lands in the
+    * Latin-1 supplement (U+0080–U+00BF) — a bigram that essentially
+    * never occurs in honest text. Docs are scored by signature count;
+    * the gate plants 20 docs carrying a double-encoded "café résumé"
+    * suffix (built with chr() so the source file and both SQL dialects
+    * stay pure-ASCII) and requires exactly those docs to flag — the
+    * ASCII corpus provably contains no signature.
+    *
+    * Scale shape: a narrow per-row regexp scan fused into the corpus
+    * scan; the only exchange is the final count aggregate. */
+  def t46MojibakeGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.operators.Dedup.assertIdHeadroom(docs, "doc_id", d)
+    // ' caf' + Ã© + ' r' + Ã© + 'sum' + Ã© : é (U+00E9) double-encoded
+    val scar = concat(lit(" caf"), chr(lit(195)), chr(lit(169)),
+      lit(" r"), chr(lit(195)), chr(lit(169)),
+      lit("sum"), chr(lit(195)), chr(lit(169)))
+    val planted = docs.orderBy(col("doc_id").asc).limit(20)
+      .select((col("doc_id") + lit(graft.operators.Dedup.PlantOffset))
+        .as("doc_id"), concat(col("text"), scar).as("text"))
+    val scored = docs.unionByName(planted)
+      .select(col("doc_id"),
+        size(expr(
+          """regexp_extract_all(text,
+            |  '[\\u00C2-\\u00C5][\\u0080-\\u00BF]', 0)""".stripMargin))
+          .cast("long").as("n_scars"))
+    val flagged = scored.where(col("n_scars") > 0)
+    scored.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(flagged.agg(
+        count(lit(1)).as("n_flagged"),
+        coalesce(sum(col("n_scars")), lit(0L)).as("total_scars")))
+      .crossJoin(flagged
+        .where(col("doc_id") >= graft.operators.Dedup.PlantOffset)
+        .agg(count(lit(1)).as("n_planted_flagged")))
+      .select(col("n_docs"), col("n_flagged"), col("total_scars"),
+        col("n_planted_flagged"),
+        (col("n_flagged") === 20 && col("n_planted_flagged") === 20 &&
+          col("total_scars") === 60).as("recall_ok"))
+  }
+
+  val t46Sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |planted AS (SELECT doc_id + 1000000000 AS doc_id,
+      |    text || ' caf' || chr(195) || chr(169) || ' r' || chr(195)
+      |      || chr(169) || 'sum' || chr(195) || chr(169) AS text
+      |  FROM (SELECT doc_id, text FROM documents
+      |        ORDER BY doc_id LIMIT 20)),
+      |alld AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |sc AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[\x{00C2}-\x{00C5}][\x{0080}-\x{00BF}]')) AS BIGINT)
+      |      AS n_scars
+      |  FROM alld),
+      |fl AS (SELECT * FROM sc WHERE n_scars > 0)
+      |SELECT (SELECT COUNT(*) FROM sc) AS n_docs,
+      |  (SELECT COUNT(*) FROM fl) AS n_flagged,
+      |  CAST((SELECT COALESCE(SUM(n_scars), 0) FROM fl) AS BIGINT)
+      |    AS total_scars,
+      |  (SELECT COUNT(*) FROM fl WHERE doc_id >= 1000000000)
+      |    AS n_planted_flagged,
+      |  ((SELECT COUNT(*) FROM fl) = 20
+      |   AND (SELECT COUNT(*) FROM fl WHERE doc_id >= 1000000000) = 20
+      |   AND (SELECT COALESCE(SUM(n_scars), 0) FROM fl) = 60)
+      |    AS recall_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3158,7 +3228,8 @@ object TextAnalysis {
     "t42_rouge_eval" -> (t42RougeEval _),
     "t43_span_corruption" -> (t43SpanCorruption _),
     "t44_pmi_pairs" -> (t44PmiPairs _),
-    "t45_char_coverage" -> (t45CharCoverage _))
+    "t45_char_coverage" -> (t45CharCoverage _),
+    "t46_mojibake_gate" -> (t46MojibakeGate _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3204,5 +3275,6 @@ object TextAnalysis {
     "t42_rouge_eval" -> t42Sql,
     "t43_span_corruption" -> t43Sql,
     "t44_pmi_pairs" -> t44Sql,
-    "t45_char_coverage" -> t45Sql)
+    "t45_char_coverage" -> t45Sql,
+    "t46_mojibake_gate" -> t46Sql)
 }

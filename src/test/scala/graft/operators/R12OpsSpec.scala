@@ -325,6 +325,92 @@ class R12OpsSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 7L), ("b", 3L, 4L)))
   }
 
+  // ------------------------------------------------------------ q100
+  test("q100 window kernel: driver recompute for one supplier") {
+    val rows = Relational.q100WindowKernel(spark, sf)
+      .as[(Long, Long, Option[Long], Long, Option[Long], Option[Long], Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    val bySupp = rows.groupBy(_._1)
+    val li = graft.Tables.lineitem(spark, sf)
+      .where(col("l_suppkey") % 40 === 3)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        expr("CAST(floor(l_extendedprice * 1000) AS BIGINT)").as("pm"),
+        when(col("l_orderkey") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("qn"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+    // (pm, id) is NOT a total order — the synthetic lineitem carries
+    // duplicate (orderkey, linenumber) pairs — but tied rows are
+    // IDENTICAL full rows, so the per-supplier output multiset is
+    // tie-permutation-invariant: compare sorted row sets, not by id
+    li.groupBy(_._1).foreach { case (supp, g0) =>
+      val g = g0.sortBy(r => (r._3, r._2))
+      val secondLowest = if (g.length >= 2) Some(g(1)._3) else None
+      val firstKnown = g.collectFirst { case (_, _, _, Some(q)) => q }
+      val want = g.zipWithIndex.map { case ((_, id, _, _), i) =>
+        (supp, id, secondLowest,
+          if (i >= 2) g(i - 2)._3 else -1L,
+          if (i + 3 < g.length) Some(g(i + 3)._3) else None,
+          firstKnown, math.min(i + 1, 3).toLong)
+      }.map(_.toString).sorted
+      val got = bySupp(supp).map(_.toString).sorted.toSeq
+      assert(got === want, s"supplier $supp")
+    }
+  }
+
+  // ------------------------------------------------------------- x71
+  test("x71 site QC: strand-bias flags exactly the planted sites") {
+    val rows = Genomics.x71SiteQc(spark, sf)
+      .select("pos", "ab_flag", "sb_flag")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (pos, ab, sb) =>
+      assert(sb === (pos % 11 == 0), s"sb at pos $pos")
+      if (pos % 11 != 0) assert(!ab, s"ab must stay in band at $pos")
+    }
+  }
+
+  test("x71 siteQc: hand fixture — pooled AB and guarded odds ratio") {
+    val het = Seq(
+      ("c1", 1L, "a", 10L, 10L, 10L, 10L),
+      ("c1", 1L, "b", 10L, 10L, 10L, 10L),
+      ("c1", 2L, "a", 10L, 10L, 40L, 0L))
+      .toDF("contig", "pos", "sample",
+        "ref_fwd", "ref_rev", "alt_fwd", "alt_rev")
+    val got = Genomics.siteQc(het)
+      .select("pos", "n_het", "ab_permille", "sb_milli", "ab_flag",
+        "sb_flag")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    // pos 1: balanced -> ab 500, sb (20*20+1)/(20*20+1)=1000 exactly
+    // pos 2: alt fwd-only -> ab 666, sb (10*0+1)/(10*40+1) -> 1000/401=2
+    assert(got === Seq(
+      (1L, 2L, 500L, 1000L, false, false),
+      (2L, 1L, 666L, 2L, false, true)))
+  }
+
+  // ------------------------------------------------------------- t46
+  test("t46 mojibake: gate recall, zero false positives on ASCII") {
+    val r = TextAnalysis.t46MojibakeGate(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r._5, s"gate failed: $r")
+  }
+
+  // ---------------------------------------------------------- syntax
+  test("graft.syntax delegations equal the direct object API") {
+    import graft.syntax._
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("u", "v")
+    assert(edges.bfsLevels(0L, 4).collect().toSeq ===
+      Relational.bfsLevels(edges, 0L, 4).collect().toSeq)
+    val gt = Seq(("c1", 1L, "s0", "0/1"), ("c1", 1L, "s1", "1/1"))
+      .toDF("contig", "pos", "sample", "gt")
+    assert(gt.hweStats().collect().toSeq ===
+      Genomics.hweStats(gt).collect().toSeq)
+    val reads = Seq(("c1", 10L, 20L)).toDF("contig", "start", "end")
+    assert(reads.coverageIntervals().collect().toSeq ===
+      Genomics.coverageIntervals(reads).collect().toSeq)
+  }
+
   // ------------------------------------------------------------- s26
   test("s26 retrieval eval: metrics are internally consistent") {
     val rows = Similarity.s26RetrievalEval(spark, sf)
