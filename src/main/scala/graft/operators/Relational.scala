@@ -4370,6 +4370,59 @@ object Relational {
       |WINDOW w AS (PARTITION BY l_suppkey ORDER BY pm, id)
       |ORDER BY l_suppkey, id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** PROBABILITY-CALIBRATION RELIABILITY TABLE — the eval every scored
+    * pipeline (ML quality filters, risk models) publishes before its
+    * scores are trusted as probabilities: decile-bin the predicted
+    * score, compare the bin's mean prediction against its empirical
+    * positive rate; a calibrated model hugs the diagonal, and the
+    * per-bin |gap| is the reliability term of the Brier decomposition.
+    * Deterministic synthetic scores: a monotone rescale of `value`
+    * predicts, and the label fires when a uniform event-keyed hash
+    * lands under the value — P(label | value) rises linearly with the
+    * score, so the curve is genuinely increasing and the gaps are
+    * data, not noise. Everything integer (permille / milli).
+    *
+    * Scale shape: one narrow scan, ONE 10-row hash aggregate with
+    * map-side combine — a map-only stage at any corpus size. */
+  def q101CalibrationEval(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .withColumn("score_permille", expr("(vm * 999) div 490020"))
+      .withColumn("label",
+        (conv(substring(md5(concat(col("event_id"), lit("cal"))), 1, 8),
+          16, 10).cast("long") % 490020L < col("vm")).cast("long"))
+      .withColumn("bin", expr("score_permille div 100"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_permille")).as("sp"),
+        sum(col("label")).as("pos"))
+      .select(col("bin"), col("n"),
+        expr("sp div n").as("avg_score_permille"),
+        expr("(1000 * pos) div n").as("rate_permille"),
+        expr("abs(sp div n - (1000 * pos) div n)").as("gap_milli"))
+      .orderBy("bin")
+
+  val q101Sql: String =
+    """WITH e AS (SELECT event_id,
+      |    CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |s AS (SELECT event_id, vm, (vm * 999) // 490020 AS sp,
+      |    CASE WHEN CAST(concat('0x', substring(
+      |        md5(CAST(event_id AS VARCHAR) || 'cal'), 1, 8))
+      |        AS BIGINT) % 490020 < vm
+      |      THEN 1 ELSE 0 END AS label
+      |  FROM e),
+      |b AS (SELECT sp // 100 AS bin, COUNT(*) AS n, SUM(sp) AS spt,
+      |    SUM(label) AS pos
+      |  FROM s GROUP BY sp // 100)
+      |SELECT CAST(bin AS BIGINT) AS bin, n,
+      |  CAST(spt // n AS BIGINT) AS avg_score_permille,
+      |  CAST((1000 * pos) // n AS BIGINT) AS rate_permille,
+      |  CAST(abs(spt // n - (1000 * pos) // n) AS BIGINT) AS gap_milli
+      |FROM b ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4471,7 +4524,8 @@ object Relational {
     "q97_equidepth_hist" -> (q97EquidepthHist _),
     "q98_time_weighted_avg" -> (q98TimeWeightedAvg _),
     "q99_map_kernel" -> (q99MapKernel _),
-    "q100_window_kernel" -> (q100WindowKernel _))
+    "q100_window_kernel" -> (q100WindowKernel _),
+    "q101_calibration_eval" -> (q101CalibrationEval _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4573,5 +4627,6 @@ object Relational {
     "q97_equidepth_hist" -> q97Sql,
     "q98_time_weighted_avg" -> q98Sql,
     "q99_map_kernel" -> q99Sql,
-    "q100_window_kernel" -> q100Sql)
+    "q100_window_kernel" -> q100Sql,
+    "q101_calibration_eval" -> q101Sql)
 }

@@ -3183,6 +3183,45 @@ object TextAnalysis {
       |   AND (SELECT COALESCE(SUM(n_scars), 0) FROM fl) = 60)
       |    AS recall_ok""".stripMargin
 
+  // ---------------------------------------------------------------- t47
+  /** CLASSIFIER CONFUSION MATRIX — the evaluation layer over t03's
+    * language-ID the way s26 scores the ANN family: per (true, guessed)
+    * cell the count, plus per-true-language recall in permille (the
+    * row-normalized diagonal a data card reports). Emitting the full
+    * matrix, not just accuracy, is the point: a language-ID regression
+    * shows up as mass moving to a specific wrong cell long before the
+    * global accuracy moves.
+    *
+    * Scale shape: the marker scan is t03's narrow per-row regex pass;
+    * ONE (lang, guess) aggregate (≤ 25 cells) + a broadcast per-lang
+    * total join — output is matrix-sized at any corpus size. */
+  def t47LangIdConfusion(s: SparkSession, d: String): DataFrame = {
+    val hits = markerHits(col("text"))
+    val per = Tables.documents(s, d)
+      .select(col("lang"), langGuess(hits).as("guess"))
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+    val totals = per.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    per.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("guess"), col("n"),
+        expr("(1000 * n) div tot").as("cell_permille"),
+        (col("lang") === col("guess")).as("is_diagonal"))
+      .orderBy("lang", "guess")
+  }
+
+  val t47Sql: String =
+    s"""WITH h AS (SELECT lang,
+       |  $hitColsSql
+       |  FROM documents),
+       |g AS (SELECT lang, $langGuessSql AS guess FROM h),
+       |per AS (SELECT lang, guess, COUNT(*) AS n FROM g
+       |  GROUP BY lang, guess),
+       |t AS (SELECT lang, SUM(n) AS tot FROM per GROUP BY lang)
+       |SELECT per.lang, per.guess, per.n,
+       |  CAST((1000 * per.n) // t.tot AS BIGINT) AS cell_permille,
+       |  per.lang = per.guess AS is_diagonal
+       |FROM per JOIN t ON per.lang = t.lang
+       |ORDER BY per.lang, per.guess""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3229,7 +3268,8 @@ object TextAnalysis {
     "t43_span_corruption" -> (t43SpanCorruption _),
     "t44_pmi_pairs" -> (t44PmiPairs _),
     "t45_char_coverage" -> (t45CharCoverage _),
-    "t46_mojibake_gate" -> (t46MojibakeGate _))
+    "t46_mojibake_gate" -> (t46MojibakeGate _),
+    "t47_langid_confusion" -> (t47LangIdConfusion _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3276,5 +3316,6 @@ object TextAnalysis {
     "t43_span_corruption" -> t43Sql,
     "t44_pmi_pairs" -> t44Sql,
     "t45_char_coverage" -> t45Sql,
-    "t46_mojibake_gate" -> t46Sql)
+    "t46_mojibake_gate" -> t46Sql,
+    "t47_langid_confusion" -> t47Sql)
 }

@@ -396,6 +396,35 @@ class R12OpsSpec extends SparkSpec {
     assert(r._5, s"gate failed: $r")
   }
 
+  // ------------------------------------------------------------- t47
+  test("t47 confusion matrix: cells partition the corpus and equal a " +
+      "direct regroup of t03's per-doc output") {
+    val cells = TextAnalysis.t47LangIdConfusion(spark, sf)
+      .select("lang", "guess", "n")
+      .as[(String, String, Long)].collect().toSet
+    val fromT03 = TextAnalysis.t03LangId(spark, sf)
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(cells === fromT03)
+    val total = cells.toSeq.map(_._3).sum
+    assert(total === graft.Tables.documents(spark, sf).count())
+  }
+
+  // ------------------------------------------------------------ q101
+  test("q101 calibration: empirical rate rises with the score decile " +
+      "on well-populated bins") {
+    val rows = Relational.q101CalibrationEval(spark, sf)
+      .select("bin", "n", "rate_permille")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val dense = rows.filter(_._2 >= 30)
+    assert(dense.length >= 3, "need populated deciles to test the trend")
+    dense.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._3,
+        s"rate must rise bin ${a._1}->${b._1}: ${a._3} vs ${b._3}")
+    case _ => }
+  }
+
   // ---------------------------------------------------------- syntax
   test("graft.syntax delegations equal the direct object API") {
     import graft.syntax._
