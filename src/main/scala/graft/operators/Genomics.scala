@@ -4691,6 +4691,77 @@ object Genomics {
       |  (sb_milli < 250 OR sb_milli > 4000) AS sb_flag
       |FROM b ORDER BY contig, pos""".stripMargin
 
+  // ---------------------------------------------------------------- x72
+  /** GVCF REFERENCE-BLOCK BANDING (GATK HaplotypeCaller's `-ERC GVCF`
+    * block collapse) — the step that makes joint genotyping tractable:
+    * per-position genotype-quality values collapse into maximal runs of
+    * CONSECUTIVE positions whose GQ falls in the same band
+    * (<20, <40, <60, ≥60 — the gatk default banding), each run stored
+    * as one block with its span and the band's minimum observed GQ
+    * (the conservative value joint genotyping reads back). A position
+    * gap or a band change both end a block.
+    *
+    * Scale shape: gaps-and-islands keyed by (sample, contig) — the run
+    * id is pos − row_number over the (sample, contig, band) ordering,
+    * so consecutive same-band positions share a group WITHOUT any
+    * per-contig global window (sample × contig keys are the
+    * parallelism); one keyed window + one grouped aggregate. */
+  def gvcfBands(gq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val band = when(col("gq") < 20, 0L).when(col("gq") < 40, 1L)
+      .when(col("gq") < 60, 2L).otherwise(3L)
+    val w = Window.partitionBy(col("sample"), col("contig"), col("band"))
+      .orderBy(col("pos"))
+    gq.select(col("sample"), col("contig"), col("pos"), col("gq"),
+        band.as("band"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("sample"), col("contig"), col("band"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + 1).as("end_pos"),
+        count(lit(1)).as("n_pos"),
+        min(col("gq")).as("min_gq"))
+      .drop("grp")
+      .orderBy("sample", "contig", "start_pos")
+  }
+
+  /** Driver gate: a sawtooth GQ surface with planted position gaps —
+    * band changes and gaps both split blocks, all four bands occur. */
+  def x72GvcfBands(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 23 === 14)
+    val gq = li.select(
+        concat(lit("s"), (col("l_orderkey") % 3).cast("string"))
+          .as("sample"),
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        (col("l_partkey") % 600).cast("long").as("pos"))
+      .where(col("pos") % 37 =!= 0) // planted gaps
+      .distinct()
+      .withColumn("gq", (col("pos") * 7) % 80)
+    gvcfBands(gq)
+  }
+
+  val x72Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 23 = 14),
+      |gq AS (SELECT DISTINCT 's' || (l_orderkey % 3) AS sample,
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    l_partkey % 600 AS pos
+      |  FROM li WHERE (l_partkey % 600) % 37 <> 0),
+      |b AS (SELECT sample, contig, pos, (pos * 7) % 80 AS gq,
+      |    CASE WHEN (pos * 7) % 80 < 20 THEN 0
+      |      WHEN (pos * 7) % 80 < 40 THEN 1
+      |      WHEN (pos * 7) % 80 < 60 THEN 2 ELSE 3 END AS band
+      |  FROM gq),
+      |r AS (SELECT *, pos - ROW_NUMBER() OVER (
+      |    PARTITION BY sample, contig, band ORDER BY pos) AS grp
+      |  FROM b)
+      |SELECT sample, contig, CAST(band AS BIGINT) AS band,
+      |  CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |  CAST(MAX(pos) + 1 AS BIGINT) AS end_pos,
+      |  COUNT(*) AS n_pos, CAST(MIN(gq) AS BIGINT) AS min_gq
+      |FROM r GROUP BY sample, contig, band, grp
+      |ORDER BY sample, contig, start_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -4745,7 +4816,8 @@ object Genomics {
     "x68_inbreeding"         -> (x68Inbreeding _),
     "x69_tpm_quant"          -> (x69TpmQuant _),
     "x70_prs_score"          -> (x70PrsScore _),
-    "x71_site_qc"            -> (x71SiteQc _))
+    "x71_site_qc"            -> (x71SiteQc _),
+    "x72_gvcf_bands"         -> (x72GvcfBands _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4801,5 +4873,6 @@ object Genomics {
     "x68_inbreeding"         -> x68Sql,
     "x69_tpm_quant"          -> x69Sql,
     "x70_prs_score"          -> x70Sql,
-    "x71_site_qc"            -> x71Sql)
+    "x71_site_qc"            -> x71Sql,
+    "x72_gvcf_bands"         -> x72Sql)
 }

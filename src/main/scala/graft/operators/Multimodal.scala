@@ -1319,6 +1319,106 @@ object Multimodal {
       |    AS crest_milli
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m21
+  /** HISTOGRAM EQUALIZATION — the classic contrast-normalization kernel
+    * (OpenCV `equalizeHist`) in its exact integer form: per image, the
+    * luma histogram's CDF remaps each level to
+    * ((cdf(v) − cdf_min)·255) div (n − cdf_min), stretching the
+    * occupied range to [0, 255]. Unusually for an image op, the WHOLE
+    * transform is value-checked: the synthetic PPM raster is the
+    * document text, so the DuckDB oracle rebuilds the per-pixel lumas
+    * with ascii() arithmetic, replays the same integer CDF remap, and
+    * matches the checksum Σ out(v)·hist(v) — not just summary stats.
+    * Flat images (one luma level) map to 0 by the n = cdf_min guard.
+    *
+    * Scale shape: one narrow decode+histogram pass per row (256-long
+    * local array, 6 longs leave the executor); no shuffle before the
+    * output sort. */
+  def m21EqualizeHist(s: SparkSession, d: String): DataFrame = {
+    val codec = imageCodecFor(s)
+    val eq = udf { p: Array[Byte] =>
+      val r = codec.raster(p)
+      val n = (r.width * r.height).toLong
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < n) {
+        val o = i.toInt * 3
+        val l = ((r.rgb(o) & 0xff) + (r.rgb(o + 1) & 0xff) +
+          (r.rgb(o + 2) & 0xff)) / 3
+        hist(l) += 1
+        i += 1
+      }
+      var cdf = 0L
+      var cdfMin = -1L
+      var nIn = 0L
+      var checksum = 0L
+      var minOut = 256L
+      var maxOut = -1L
+      val outs = new java.util.HashSet[Long]()
+      var v = 0
+      while (v < 256) {
+        if (hist(v) > 0) {
+          cdf += hist(v)
+          if (cdfMin < 0) cdfMin = cdf
+          val out =
+            if (n == cdfMin) 0L
+            else ((cdf - cdfMin) * 255L) / (n - cdfMin)
+          nIn += 1
+          checksum += out * hist(v)
+          outs.add(out)
+          if (out < minOut) minOut = out
+          if (out > maxOut) maxOut = out
+        }
+        v += 1
+      }
+      (n, nIn, outs.size.toLong, minOut, maxOut, checksum)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), eq(ppmPayload(col("text"))).as("e"))
+      .select(col("doc_id"), col("e._1").as("n_pixels"),
+        col("e._2").as("n_lumas_in"), col("e._3").as("n_lumas_out"),
+        col("e._4").as("min_out"), col("e._5").as("max_out"),
+        col("e._6").as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  val m21Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n,
+      |    CAST(greatest(ceil(length(text) / 48.0), 1) AS BIGINT) AS h
+      |  FROM documents),
+      |pix AS (SELECT doc_id, n, h, text,
+      |    unnest(range(0, h * 16)) AS pi
+      |  FROM d),
+      |lum AS (SELECT doc_id, h,
+      |    (CASE WHEN pi * 3 < n
+      |       THEN ascii(substring(text, CAST(pi * 3 + 1 AS BIGINT), 1))
+      |       ELSE 32 END
+      |     + CASE WHEN pi * 3 + 1 < n
+      |       THEN ascii(substring(text, CAST(pi * 3 + 2 AS BIGINT), 1))
+      |       ELSE 32 END
+      |     + CASE WHEN pi * 3 + 2 < n
+      |       THEN ascii(substring(text, CAST(pi * 3 + 3 AS BIGINT), 1))
+      |       ELSE 32 END) // 3 AS l
+      |  FROM pix),
+      |hist AS (SELECT doc_id, MAX(h) AS h, l, COUNT(*) AS cnt
+      |  FROM lum GROUP BY doc_id, l),
+      |c AS (SELECT doc_id, h * 16 AS npix, l, cnt,
+      |    SUM(cnt) OVER (PARTITION BY doc_id ORDER BY l) AS cdf,
+      |    FIRST_VALUE(cnt) OVER (PARTITION BY doc_id ORDER BY l)
+      |      AS cdf_min
+      |  FROM hist),
+      |o AS (SELECT doc_id, npix, l, cnt,
+      |    CASE WHEN npix = cdf_min THEN 0
+      |      ELSE ((cdf - cdf_min) * 255) // (npix - cdf_min) END AS outv
+      |  FROM c)
+      |SELECT doc_id, CAST(MAX(npix) AS BIGINT) AS n_pixels,
+      |  COUNT(*) AS n_lumas_in,
+      |  CAST(COUNT(DISTINCT outv) AS BIGINT) AS n_lumas_out,
+      |  CAST(MIN(outv) AS BIGINT) AS min_out,
+      |  CAST(MAX(outv) AS BIGINT) AS max_out,
+      |  CAST(SUM(outv * cnt) AS BIGINT) AS checksum
+      |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"    -> (m01BinaryMetaOracle _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -1339,7 +1439,8 @@ object Multimodal {
     "m17_loudness"         -> (m17Loudness _),
     "m18_split_leakage_gate" -> (m18SplitLeakageGate _),
     "m19_phash_gate" -> (m19PhashGate _),
-    "m20_crest_factor" -> (m20CrestFactor _))
+    "m20_crest_factor" -> (m20CrestFactor _),
+    "m21_equalize_hist" -> (m21EqualizeHist _))
 
   // ---------------------------------------------------------------- m18
   /** TRAIN/VAL SPLIT LEAKAGE AUDIT for images — t27's cluster-safe
@@ -1590,5 +1691,6 @@ object Multimodal {
     "m17_loudness"         -> m17Sql,
     "m18_split_leakage_gate" -> m18Sql,
     "m19_phash_gate" -> m19Sql,
-    "m20_crest_factor" -> m20Sql)
+    "m20_crest_factor" -> m20Sql,
+    "m21_equalize_hist" -> m21Sql)
 }

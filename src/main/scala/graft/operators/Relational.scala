@@ -4423,6 +4423,67 @@ object Relational {
       |  CAST(abs(spt // n - (1000 * pos) // n) AS BIGINT) AS gap_milli
       |FROM b ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics consumer of the
+    * as-of machinery (q17/q27/q80): every purchase attributes its
+    * revenue to the user's LATEST preceding click/view within a 24 h
+    * lookback, or to 'none' when the window is empty. This is exactly
+    * a backward as-of join with tolerance, served by the engine's own
+    * `AsOfJoinExec` (plan-pinned) — one co-partitioned sort-merge
+    * cursor, never a per-purchase probe; same-instant touches collapse
+    * deterministically first (max event_id, q91's rule). Revenue in
+    * exact milli.
+    *
+    * Scale shape: both sides shuffle once on user_id; the attribution
+    * rollup is a 3-row aggregate. */
+  def q102Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"),
+      col("event_id"), col("event_type"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"), col("vm"))
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id").as("t_user"), col("us").as("t_us"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("mx"))
+      .select(col("t_user"), col("t_us"),
+        col("mx.event_type").as("channel"))
+    val joined = graft.plans.AsOf.join(purchases, touches,
+      "user_id", "t_user", "us", "t_us",
+      direction = "backward", tolerance = 24L * 3600L * 1000000L)
+    require(joined.queryExecution.executedPlan.toString
+        .contains("AsOfJoin"),
+      "q102: attribution must run on the custom AsOfJoinExec")
+    joined
+      .withColumn("channel", coalesce(col("channel"), lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("vm")).as("revenue_milli"))
+      .orderBy("channel")
+  }
+
+  val q102Sql: String =
+    """WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_id,
+      |    event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |p AS (SELECT user_id, us, event_id, vm FROM e
+      |  WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, us,
+      |    arg_max(event_type, event_id) AS channel
+      |  FROM e WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id, us),
+      |j AS (SELECT p.user_id, p.us, p.event_id, p.vm, t.channel,
+      |    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.us, p.event_id
+      |      ORDER BY t.us DESC) AS rn
+      |  FROM p LEFT JOIN t
+      |    ON t.user_id = p.user_id AND t.us <= p.us
+      |    AND p.us - t.us <= 86400000000)
+      |SELECT COALESCE(channel, 'none') AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(vm) AS BIGINT) AS revenue_milli
+      |FROM j WHERE rn = 1
+      |GROUP BY COALESCE(channel, 'none') ORDER BY channel""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4525,7 +4586,8 @@ object Relational {
     "q98_time_weighted_avg" -> (q98TimeWeightedAvg _),
     "q99_map_kernel" -> (q99MapKernel _),
     "q100_window_kernel" -> (q100WindowKernel _),
-    "q101_calibration_eval" -> (q101CalibrationEval _))
+    "q101_calibration_eval" -> (q101CalibrationEval _),
+    "q102_attribution" -> (q102Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4628,5 +4690,6 @@ object Relational {
     "q98_time_weighted_avg" -> q98Sql,
     "q99_map_kernel" -> q99Sql,
     "q100_window_kernel" -> q100Sql,
-    "q101_calibration_eval" -> q101Sql)
+    "q101_calibration_eval" -> q101Sql,
+    "q102_attribution" -> q102Sql)
 }

@@ -3222,6 +3222,47 @@ object TextAnalysis {
        |FROM per JOIN t ON per.lang = t.lang
        |ORDER BY per.lang, per.guess""".stripMargin
 
+  // ---------------------------------------------------------------- t48
+  /** SOURCE-DIVERSITY REPORT (Herfindahl–Hirschman concentration) — the
+    * data-card figure that flags a single-source flood before training:
+    * per language, HHI = Σ_s share_s² in exact ppm
+    * ((10⁶·Σn_s²) div N² — one division, no per-share rounding), and
+    * its inverse as the EFFECTIVE source count in milli (a lang drawing
+    * equally from k sources scores k·1000; concentration drags it
+    * toward 1000). Entropy-based diversity needs log — HHI is the
+    * integer-exact diversity statistic both engines restate verbatim
+    * (the same reason t12/t44 rank by raw ratios).
+    *
+    * Scale shape: one (lang, source) count aggregate (map-side
+    * combinable, slice-bounded output) then a lang-keyed fold. */
+  def t48SourceDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("n") * col("n")).as("sq"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("(1000000 * sq) div (n_docs * n_docs)").as("hhi_ppm"))
+      .withColumn("eff_sources_milli",
+        expr("1000000000 div hhi_ppm"))
+      .orderBy("lang")
+
+  val t48Sql: String =
+    """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents
+      |  GROUP BY lang, source),
+      |a AS (SELECT lang, SUM(n) AS n_docs, COUNT(*) AS n_sources,
+      |    SUM(n * n) AS sq
+      |  FROM c GROUP BY lang),
+      |h AS (SELECT lang, n_docs, n_sources,
+      |    (1000000 * sq) // (n_docs * n_docs) AS hhi_ppm
+      |  FROM a)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_sources,
+      |  CAST(hhi_ppm AS BIGINT) AS hhi_ppm,
+      |  CAST(1000000000 // hhi_ppm AS BIGINT) AS eff_sources_milli
+      |FROM h ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3269,7 +3310,8 @@ object TextAnalysis {
     "t44_pmi_pairs" -> (t44PmiPairs _),
     "t45_char_coverage" -> (t45CharCoverage _),
     "t46_mojibake_gate" -> (t46MojibakeGate _),
-    "t47_langid_confusion" -> (t47LangIdConfusion _))
+    "t47_langid_confusion" -> (t47LangIdConfusion _),
+    "t48_source_diversity" -> (t48SourceDiversity _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3317,5 +3359,6 @@ object TextAnalysis {
     "t44_pmi_pairs" -> t44Sql,
     "t45_char_coverage" -> t45Sql,
     "t46_mojibake_gate" -> t46Sql,
-    "t47_langid_confusion" -> t47Sql)
+    "t47_langid_confusion" -> t47Sql,
+    "t48_source_diversity" -> t48Sql)
 }
