@@ -4484,6 +4484,93 @@ object Relational {
       |FROM j WHERE rn = 1
       |GROUP BY COALESCE(channel, 'none') ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** JSON-LINES ROUNDTRIP — the third interchange format after parquet
+    * (everywhere) and ORC (q56): the documents slice writes as JSONL
+    * and reads back with an EXPLICIT schema (schema inference is a
+    * whole extra pass over 100 TB — the gate reads with the schema a
+    * catalog would supply), then proves content parity down to an md5
+    * checksum of the text bodies, so a quoting/escaping bug in either
+    * direction flips the row. Column pruning is asserted off the
+    * executed plan: a JSON scan that parses all five fields for a
+    * two-column aggregate is wrong (Spark prunes fields inside
+    * JacksonParser). */
+  def q103JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${HadoopIO.scratchDir(s)}/graft_q103_$tag"
+    Tables.documents(s, d).write.mode("overwrite").json(dir)
+    val schema = "doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"
+    val back = s.read.schema(schema).json(dir)
+      .select(col("doc_id"), col("text"))
+    val pruned = !back.queryExecution.executedPlan.toString
+      .contains("n_chars")
+    back.agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        count_distinct(md5(encode(col("text"), "UTF-8")))
+          .as("distinct_texts"))
+      .select(col("n_docs"), col("id_checksum"), col("total_chars"),
+        col("distinct_texts"), lit(pruned).as("pruned_ok"))
+  }
+
+  val q103Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+      |  true AS pruned_ok
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** CSV ROUNDTRIP UNDER ADVERSARIAL QUOTING — the delimited format's
+    * failure modes are all in the quoting, so the gate MANUFACTURES
+    * them: each row carries a field containing commas, double quotes,
+    * and an embedded NEWLINE (built deterministically from the text),
+    * writes with header + quoting, and reads back with an explicit
+    * schema and `multiLine` (a record-per-line reader would shred the
+    * embedded newlines into phantom rows — the classic CSV corruption).
+    * Parity is proved by count + an md5 checksum over the tricky field,
+    * restated by the oracle from the same construction rule.
+    *
+    * Scale note: multiLine CSV cannot split inside files (quote state
+    * is not synchronizable mid-stream) — the write keeps many files so
+    * read parallelism comes from file count, the layout contract a
+    * 100 TB CSV estate actually uses. */
+  def q104CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${HadoopIO.scratchDir(s)}/graft_q104_$tag"
+    val tricky = concat(lit("a,\"q\"\n"),
+      substring(col("text"), 1, 20), lit(","),
+      col("lang"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tricky.as("payload"), col("n_chars"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = s.read
+      .schema("doc_id BIGINT, payload STRING, n_chars BIGINT")
+      .option("header", "true").option("multiLine", "true").csv(dir)
+    back.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_checksum"),
+        count_distinct(md5(encode(col("payload"), "UTF-8")))
+          .as("distinct_payloads"),
+        sum(col("n_chars")).as("chars_checksum"))
+      .orderBy("n_rows")
+  }
+
+  val q104Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    'a,"q"' || chr(10) || substring(text, 1, 20) || ',' || lang
+      |      AS payload,
+      |    n_chars
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      |  CAST(COUNT(DISTINCT md5(payload)) AS BIGINT) AS distinct_payloads,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_checksum
+      |FROM t""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4587,7 +4674,9 @@ object Relational {
     "q99_map_kernel" -> (q99MapKernel _),
     "q100_window_kernel" -> (q100WindowKernel _),
     "q101_calibration_eval" -> (q101CalibrationEval _),
-    "q102_attribution" -> (q102Attribution _))
+    "q102_attribution" -> (q102Attribution _),
+    "q103_jsonl_roundtrip" -> (q103JsonlRoundtrip _),
+    "q104_csv_roundtrip" -> (q104CsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4691,5 +4780,7 @@ object Relational {
     "q99_map_kernel" -> q99Sql,
     "q100_window_kernel" -> q100Sql,
     "q101_calibration_eval" -> q101Sql,
-    "q102_attribution" -> q102Sql)
+    "q102_attribution" -> q102Sql,
+    "q103_jsonl_roundtrip" -> q103Sql,
+    "q104_csv_roundtrip" -> q104Sql)
 }

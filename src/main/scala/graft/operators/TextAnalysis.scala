@@ -3263,6 +3263,77 @@ object TextAnalysis {
       |  CAST(1000000000 // hhi_ppm AS BIGINT) AS eff_sources_milli
       |FROM h ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+  /** DATA CARD — the one-table summary a corpus release publishes
+    * (Dodge et al. 2021's C4 documentation): per language, document and
+    * token mass, byte-exact duplication permille, vocabulary size,
+    * hapax mass, and source concentration (t48's HHI) — the slices of
+    * t13/t22/t48 a reader actually wants side by side, produced by ONE
+    * corpus scan feeding three bounded aggregates that join on the
+    * 5-row lang key. Integer throughout.
+    *
+    * Scale shape: the scan computes hash/tokens narrowly; the vocab agg
+    * is vocabulary-bounded, the (lang, source) agg slice-bounded, the
+    * final join broadcast-trivial. */
+  def t49DataCard(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val core = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        count_distinct(col("h")).as("n_unique"))
+      .withColumn("dup_permille",
+        expr("(1000 * (n_docs - n_unique)) div n_docs"))
+    val vocab = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"))
+    val conc = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n") * col("n")).as("sq"), sum(col("n")).as("nd"))
+      .select(col("lang"),
+        expr("(1000000 * sq) div (nd * nd)").as("hhi_ppm"))
+    core.join(vocab, Seq("lang")).join(conc, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("dup_permille"), col("n_types"), col("n_hapax"),
+        col("hhi_ppm"))
+      .orderBy("lang")
+  }
+
+  val t49Sql: String =
+    """WITH base AS (SELECT lang, source, md5(text) AS h,
+      |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      |  FROM documents),
+      |core AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    COUNT(DISTINCT h) AS n_unique
+      |  FROM base GROUP BY lang),
+      |tok AS (SELECT lang,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+      |voc AS (SELECT lang, COUNT(*) AS n_types,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM wc GROUP BY lang),
+      |sc AS (SELECT lang, source, COUNT(*) AS n FROM base
+      |  GROUP BY lang, source),
+      |conc AS (SELECT lang, (1000000 * SUM(n * n)) // (SUM(n) * SUM(n))
+      |    AS hhi_ppm
+      |  FROM sc GROUP BY lang)
+      |SELECT core.lang, core.n_docs, core.n_tokens,
+      |  CAST((1000 * (core.n_docs - core.n_unique)) // core.n_docs
+      |    AS BIGINT) AS dup_permille,
+      |  voc.n_types, CAST(voc.n_hapax AS BIGINT) AS n_hapax,
+      |  CAST(conc.hhi_ppm AS BIGINT) AS hhi_ppm
+      |FROM core JOIN voc ON core.lang = voc.lang
+      |JOIN conc ON core.lang = conc.lang
+      |ORDER BY core.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3311,7 +3382,8 @@ object TextAnalysis {
     "t45_char_coverage" -> (t45CharCoverage _),
     "t46_mojibake_gate" -> (t46MojibakeGate _),
     "t47_langid_confusion" -> (t47LangIdConfusion _),
-    "t48_source_diversity" -> (t48SourceDiversity _))
+    "t48_source_diversity" -> (t48SourceDiversity _),
+    "t49_data_card" -> (t49DataCard _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3360,5 +3432,6 @@ object TextAnalysis {
     "t45_char_coverage" -> t45Sql,
     "t46_mojibake_gate" -> t46Sql,
     "t47_langid_confusion" -> t47Sql,
-    "t48_source_diversity" -> t48Sql)
+    "t48_source_diversity" -> t48Sql,
+    "t49_data_card" -> t49Sql)
 }

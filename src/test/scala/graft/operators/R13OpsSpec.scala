@@ -119,6 +119,44 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ q103 / q104
+  test("q103 JSONL roundtrip: content parity incl. text checksum, " +
+      "field pruning asserted") {
+    val r = Relational.q103JsonlRoundtrip(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    val docs = graft.Tables.documents(spark, sf)
+    assert(r._1 === docs.count())
+    assert(r._5, "JSON scan must prune unused fields")
+  }
+
+  test("q104 CSV roundtrip: embedded commas, quotes, and newlines " +
+      "survive; row count conserved") {
+    val r = Relational.q104CsvRoundtrip(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    val docs = graft.Tables.documents(spark, sf)
+    assert(r._1 === docs.count(),
+      "embedded newlines must not shred into phantom rows")
+    val wantDistinct = docs.select(
+      concat(lit("a,\"q\"\n"), substring(col("text"), 1, 20), lit(","),
+        col("lang")).as("p")).distinct().count()
+    assert(r._3 === wantDistinct,
+      "payload cardinality survives the roundtrip byte-exactly")
+  }
+
+  // ------------------------------------------------------------- t49
+  test("t49 data card: columns agree with their standalone ops") {
+    val card = TextAnalysis.t49DataCard(spark, sf)
+      .select("lang", "n_docs", "hhi_ppm")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, h) => l -> ((n, h)) }.toMap
+    val t48 = TextAnalysis.t48SourceDiversity(spark, sf)
+      .select("lang", "n_docs", "hhi_ppm")
+      .as[(String, Long, Long)].collect()
+    t48.foreach { case (l, n, h) =>
+      assert(card(l) === ((n, h)), s"lang $l disagrees with t48")
+    }
+  }
+
   // ------------------------------------------------------------- t48
   test("t48 diversity: uniform hand corpus scores k effective sources") {
     // lang with 4 equal sources: HHI = 250000 ppm, eff = 4000 milli
