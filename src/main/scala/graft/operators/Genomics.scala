@@ -4762,6 +4762,95 @@ object Genomics {
       |FROM r GROUP BY sample, contig, band, grp
       |ORDER BY sample, contig, start_pos""".stripMargin
 
+  // ---------------------------------------------------------------- x73
+  /** FASTQ SOURCE/SINK GATE — drives `graft.sources.FastqDataSource`
+    * end-to-end: deterministic reads (variable lengths; QUALITY strings
+    * salted with '@' characters so many quality lines start with the
+    * record marker — the sync ambiguity the reader's structural
+    * validation exists for) write as ONE plain FASTQ through the
+    * distributed TextSink commit, then as bgzip'd `.fastq.gz`; both
+    * read back through `format("fastq")`, the plain one TWICE at
+    * different splitsizes. The emitted row value-checks read count,
+    * total bases, distinct (name ‖ seq ‖ qual) fingerprints, and a
+    * comment count against the synthesis restated from lineitem, plus
+    * two split-invariance booleans (different splitsize and gz form
+    * must agree exactly — a record lost or doubled at any split seam
+    * flips them).
+    *
+    * Scale shape: the sink streams one part per task with a
+    * driver-side byte concat; reads split INSIDE the single file, so
+    * parallelism survives the one-file layout in both directions. */
+  def x73FastqGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{FastqDataSource, HadoopIO}
+    val SeqAlpha = "ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT" * 4
+    val QualAlpha = ("@IIH@GF@EDCBA@?>=<;@98765@IIII@HHHH@JJJJ@KKKK@LLLL@" +
+      "IJKLMNOPQRSTUVWXYZ()^_@abcdefgh") * 3
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 27 === 5)
+    val reads = li.select(
+        concat(lit("r"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("name"),
+        when(col("l_orderkey") % 2 === 0,
+          concat(lit("lane="), (col("l_suppkey") % 8).cast("string")))
+          .as("comment"),
+        (lit(20) + (col("l_partkey") % 80)).cast("int").as("len"),
+        ((col("l_partkey") % 100) + 1).cast("int").as("soff"),
+        ((col("l_suppkey") % 120) + 1).cast("int").as("qoff"))
+      .select(col("name"), col("comment"),
+        expr(s"substring('$SeqAlpha', soff, len)").as("sequence"),
+        expr(s"substring('$QualAlpha', qoff, len)").as("quality"))
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val plain = s"${HadoopIO.scratchDir(s)}/graft_x73_$tag.fastq"
+    val gz = s"${HadoopIO.scratchDir(s)}/graft_x73_$tag.fastq.gz"
+    FastqDataSource.write(reads, plain)
+    FastqDataSource.write(reads, gz)
+    def agg(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        sum(col("length").cast("long")).as("bases"),
+        count_distinct(md5(concat_ws("|", col("name"), col("sequence"),
+          col("quality")))).as("fp"),
+        sum(col("comment").isNotNull.cast("long")).as("n_comments"))
+    val a = agg(s.read.format("fastq")
+      .option("splitsize", 4096).load(plain)).collect()(0)
+    val b = agg(s.read.format("fastq")
+      .option("splitsize", 1 << 20).load(plain)).collect()(0)
+    val c = agg(s.read.format("fastq")
+      .option("splitsize", 4096).load(gz)).collect()(0)
+    import s.implicits._
+    Seq((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3),
+      a == b, a == c))
+      .toDF("n_reads", "total_bases", "n_fingerprints", "n_comments",
+        "split_invariant", "gz_invariant")
+  }
+
+  val x73Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+      |  FROM lineitem WHERE l_orderkey % 27 = 5),
+      |r AS (SELECT
+      |    'r' || l_orderkey || '_' || l_linenumber AS name,
+      |    CASE WHEN l_orderkey % 2 = 0
+      |      THEN 'lane=' || (l_suppkey % 8) END AS comment,
+      |    20 + (l_partkey % 80) AS len,
+      |    (l_partkey % 100) + 1 AS soff,
+      |    (l_suppkey % 120) + 1 AS qoff
+      |  FROM li),
+      |alpha AS (SELECT
+      |    repeat('ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT',
+      |      4) AS sa,
+      |    repeat('@IIH@GF@EDCBA@?>=<;@98765@IIII@HHHH@JJJJ@KKKK@LLLL@' ||
+      |      'IJKLMNOPQRSTUVWXYZ()^_@abcdefgh', 3) AS qa),
+      |seqs AS (SELECT name, comment, len,
+      |    substring(alpha.sa, soff, len) AS sequence,
+      |    substring(alpha.qa, qoff, len) AS quality
+      |  FROM r CROSS JOIN alpha)
+      |SELECT COUNT(*) AS n_reads,
+      |  CAST(SUM(len) AS BIGINT) AS total_bases,
+      |  CAST(COUNT(DISTINCT md5(name || '|' || sequence || '|' || quality))
+      |    AS BIGINT) AS n_fingerprints,
+      |  CAST(SUM(CASE WHEN comment IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_comments,
+      |  true AS split_invariant, true AS gz_invariant
+      |FROM seqs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -4817,7 +4906,8 @@ object Genomics {
     "x69_tpm_quant"          -> (x69TpmQuant _),
     "x70_prs_score"          -> (x70PrsScore _),
     "x71_site_qc"            -> (x71SiteQc _),
-    "x72_gvcf_bands"         -> (x72GvcfBands _))
+    "x72_gvcf_bands"         -> (x72GvcfBands _),
+    "x73_fastq_gate"         -> (x73FastqGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4874,5 +4964,6 @@ object Genomics {
     "x69_tpm_quant"          -> x69Sql,
     "x70_prs_score"          -> x70Sql,
     "x71_site_qc"            -> x71Sql,
-    "x72_gvcf_bands"         -> x72Sql)
+    "x72_gvcf_bands"         -> x72Sql,
+    "x73_fastq_gate"         -> x73Sql)
 }

@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for FASTQ (`spark.read.format("fastq")`) — the
+  * sequencing-read interchange format UPSTREAM of alignment (the reference
+  * pipeline's BAMs start life as FASTQ off the instrument; ref README.md:30
+  * documents the revert-to-uBAM preprocessing). Modern 4-line records:
+  *
+  * {{{
+  * @name[ comment]
+  * SEQUENCE            (one line, [A-Za-z*=-]+; ACGTN in practice)
+  * +[name]
+  * QUALITY             (one line, same length as SEQUENCE, Phred+33)
+  * }}}
+  *
+  * The split problem FASTQ is famous for: '@' does NOT mark a record
+  * start — it is also a legal quality character (Phred 31), so a split
+  * landing mid-file cannot sync on "line starts with '@'" alone. The
+  * disambiguation here is STRUCTURAL and provably unambiguous for
+  * alphabet-conforming files: a line L0 is a record header iff L0 starts
+  * with '@', L2 starts with '+', and L1 is pure sequence alphabet with
+  * len(L3) == len(L1). A quality line starting with '@' can never
+  * validate — its L2 is the NEXT record's sequence line, which starts
+  * with a base character, never '+'. (BamSync.scala applies the same
+  * validate-the-guess discipline to binary record boundaries.)
+  *
+  * Ownership and scale: files split into byte ranges (`splitsize`
+  * option); a RECORD belongs to the split containing its header line's
+  * first byte (plain text) or the BGZF member holding that byte
+  * (bgzip'd `.fastq.gz`) — each split reads past its end only to finish
+  * a straddling record, so neighbouring splits partition the record
+  * stream exactly and a 300 GB FASTQ scans with full cluster
+  * parallelism. Single-stream gzip degrades to one whole-file split
+  * (never mis-decodes). Malformed records in the OWNED range raise
+  * loudly (decoder-fuzz discipline: a truncated file must not read as a
+  * shorter valid one).
+  */
+class FastqDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fastq"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FastqDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    new FastqTable(properties.asScala.toMap)
+  }
+}
+
+object FastqDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("comment", StringType, nullable = true),
+    StructField("sequence", StringType, nullable = false),
+    StructField("quality", StringType, nullable = false),
+    StructField("length", IntegerType, nullable = false)))
+
+  private[sources] def isSeqLine(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ok = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        c == '*' || c == '=' || c == '-' || c == '.'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Write reads as a single FASTQ file through [[TextSink]]'s
+    * distributed commit (one streamed part per task, driver byte-concat;
+    * `.gz`/`.bgz` suffix produces bgzip framing readable back with
+    * intra-file splits). Input columns: name, sequence, quality,
+    * optionally comment. */
+  def write(df: org.apache.spark.sql.DataFrame, out: String): Long = {
+    import org.apache.spark.sql.functions._
+    val hasComment = df.columns.contains("comment")
+    val header = concat(lit("@"), col("name"),
+      if (hasComment)
+        when(col("comment").isNotNull && col("comment") =!= "",
+          concat(lit(" "), col("comment"))).otherwise(lit(""))
+      else lit(""))
+    TextSink.write(Nil, df.select(concat(header, lit("\n"),
+      col("sequence"), lit("\n+\n"), col("quality")).as("line")), out)
+  }
+}
+
+class FastqTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"fastq(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = FastqDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FastqScanBuilder(SamDataSource.resolvePaths(options),
+      SamDataSource.splitSize(options))
+}
+
+class FastqScanBuilder(paths: Seq[String], splitSize: Long)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = FastqDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new FastqScan(paths, splitSize, required)
+}
+
+class FastqScan(paths: Seq[String], splitSize: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    SamDataSource.planSplits(paths, splitSize)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FastqReaderFactory(required.fieldNames, HadoopIO.capture())
+}
+
+class FastqReaderFactory(fields: Array[String], conf: HadoopIO.ConfBox)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SamInputPartition]
+    new FastqPartitionReader(p.path, p.start, p.end, p.codec, fields,
+      conf)
+  }
+}
+
+/** Line source reporting each line together with its OWNERSHIP OFFSET
+  * (file byte offset of the line start for plain text; containing-member
+  * file offset for BGZF; 0 for whole-file gzip). Unlike the SAM line
+  * iterators this never cuts at rangeEnd — the record loop decides
+  * ownership by the HEADER line's offset and reads past the end only to
+  * finish a straddling record. */
+private[sources] trait FastqLines extends AutoCloseable {
+  /** (line, ownershipOffset), or null at EOF. */
+  def next(): (String, Long)
+}
+
+private[sources] final class FastqPlainLines(path: String, rangeStart: Long,
+    conf: org.apache.hadoop.conf.Configuration) extends FastqLines {
+  private val in: java.io.BufferedInputStream = {
+    val raw = HadoopIO.open(path, conf)
+    if (rangeStart > 0) raw.seek(rangeStart - 1)
+    new java.io.BufferedInputStream(raw, 1 << 16)
+  }
+  private var offset = if (rangeStart > 0) rangeStart - 1 else 0L
+  locally { // newline sync, PlainLineIter's rule
+    if (rangeStart > 0) {
+      var b = read1()
+      while (b != -1 && b != '\n') b = read1()
+    }
+  }
+  private def read1(): Int = {
+    val b = in.read()
+    if (b >= 0) offset += 1
+    b
+  }
+  override def next(): (String, Long) = {
+    val start = offset
+    val sb = new java.lang.StringBuilder(120)
+    var b = read1()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { sb.append(b.toChar); b = read1() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    (sb.toString, start)
+  }
+  override def close(): Unit = in.close()
+}
+
+private[sources] final class FastqGzipLines(path: String,
+    conf: org.apache.hadoop.conf.Configuration) extends FastqLines {
+  private val in = new java.io.BufferedInputStream(
+    new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(HadoopIO.open(path, conf), 1 << 16)),
+    1 << 16)
+  override def next(): (String, Long) = {
+    val sb = new java.lang.StringBuilder(120)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    (sb.toString, 0L)
+  }
+  override def close(): Unit = in.close()
+}
+
+/** BGZF lines with member-offset ownership — BgzfLineIter's sync dance
+  * (walk back one member, discard through the first newline unless the
+  * previous payload byte already was one), but lines are never cut at
+  * rangeEnd; each line reports the member offset holding its first byte. */
+private[sources] final class FastqBgzfLines(path: String, rangeStart: Long,
+    conf: org.apache.hadoop.conf.Configuration) extends FastqLines {
+  private val file = new SeekableFile(path, conf)
+  private val fileLen = file.size
+  private val mStart: Long =
+    if (rangeStart == 0) 0L
+    else Bgzf.nextMemberStart(file, rangeStart, fileLen)
+  private val in: BgzfInputStream =
+    if (mStart >= fileLen) null
+    else if (mStart == 0) new BgzfInputStream(file, 0L)
+    else syncedStream()
+
+  private def syncedStream(): BgzfInputStream = {
+    var prev = Bgzf.prevMemberStart(file, mStart, fileLen)
+    var last: Int = -1
+    var s: BgzfInputStream = null
+    val scratch = new Array[Byte](Bgzf.MaxIsize)
+    while (s == null) {
+      val cand = new BgzfInputStream(file, prev)
+      while (cand.memberStart < mStart && cand.memberRemaining > 0) {
+        val k = cand.read(scratch, 0,
+          math.min(cand.memberRemaining, scratch.length))
+        if (k > 0) last = scratch(k - 1) & 0xff
+      }
+      if (last >= 0 || prev == 0) s = cand
+      else {
+        cand.close()
+        prev = Bgzf.prevMemberStart(file, prev, fileLen)
+      }
+    }
+    if (last != '\n' && last != -1) {
+      var b = s.read()
+      while (b != -1 && b != '\n') b = s.read()
+    }
+    s
+  }
+
+  override def next(): (String, Long) = {
+    if (in == null) return null
+    val owner = in.memberStart
+    val sb = new java.lang.StringBuilder(120)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    (sb.toString, owner)
+  }
+  override def close(): Unit = {
+    if (in != null) in.close()
+    file.close()
+  }
+}
+
+class FastqPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
+    codec: String, fields: Array[String], conf: HadoopIO.ConfBox)
+    extends PartitionReader[InternalRow] {
+
+  private val lines: FastqLines = codec match {
+    case "bgzf" => new FastqBgzfLines(path, rangeStart, conf.conf)
+    case "gzip" => new FastqGzipLines(path, conf.conf)
+    case _      => new FastqPlainLines(path, rangeStart, conf.conf)
+  }
+  // one-line lookahead so candidate validation can push back
+  private var pending: (String, Long) = _
+  private var current: InternalRow = _
+
+  private def nextLine(): (String, Long) = {
+    if (pending != null) { val p = pending; pending = null; p }
+    else lines.next()
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      var l0 = nextLine()
+      while (l0 != null && l0._1.isEmpty) l0 = nextLine() // blank tolerance
+      if (l0 == null || l0._2 >= rangeEnd) { current = null; return false }
+      if (l0._1.charAt(0) == '@') {
+        val l1 = nextLine()
+        if (l1 == null) { current = null; return false } // trailing junk
+        if (FastqDataSource.isSeqLine(l1._1)) {
+          val l2 = nextLine()
+          if (l2 != null && l2._1.nonEmpty && l2._1.charAt(0) == '+') {
+            val l3 = nextLine()
+            require(l3 != null && l3._1.length == l1._1.length,
+              s"malformed FASTQ record at ${l0._2} in $path: quality " +
+                s"length ${if (l3 == null) -1 else l3._1.length} != " +
+                s"sequence length ${l1._1.length}")
+            current = decode(l0._1, l1._1, l3._1)
+            return true
+          }
+          // Unreachable at a sync point: l0 '@'-led + l1 pure-alphabet
+          // means l0 is a real header (a quality line's successor is the
+          // NEXT header, which starts '@' and fails isSeqLine). A missing
+          // '+' line is therefore file damage in the owned range — raise,
+          // never skip (decoder-fuzz discipline).
+          require(false,
+            s"malformed FASTQ record at ${l0._2} in $path: separator " +
+              s"line is ${if (l2 == null) "missing" else s"'${l2._1.take(20)}'"}")
+        } else {
+          // '@'-led line whose follower is not sequence alphabet: a
+          // quality line at a sync point; re-scan from the follower
+          pending = l1
+        }
+      }
+      // non-'@' line (sequence/plus/quality at a sync point): drop it
+    }
+    false
+  }
+
+  private def decode(header: String, seq: String, qual: String): InternalRow = {
+    val sp = header.indexOf(' ')
+    val nm = if (sp < 0) header.substring(1) else header.substring(1, sp)
+    val cm = if (sp < 0) null else header.substring(sp + 1)
+    InternalRow.fromSeq(fields.map {
+      case "name" => UTF8String.fromString(nm)
+      case "comment" =>
+        if (cm == null) null else UTF8String.fromString(cm)
+      case "sequence" => UTF8String.fromString(seq)
+      case "quality"  => UTF8String.fromString(qual)
+      case "length"   => seq.length
+    }.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
