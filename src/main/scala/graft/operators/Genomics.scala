@@ -4851,6 +4851,123 @@ object Genomics {
       |  true AS split_invariant, true AS gz_invariant
       |FROM seqs""".stripMargin
 
+  // ---------------------------------------------------------------- x74
+  /** ADAPTER TRIMMING (cutadapt/Trim Galore's 3' mode) — the first
+    * preprocessing pass on raw FASTQ: a read is trimmed at the leftmost
+    * FULL adapter occurrence, or, failing that, at the longest read
+    * SUFFIX that matches an adapter PREFIX of at least `minOverlap`
+    * bases (the read-through-into-adapter geometry: the fragment ended
+    * mid-adapter, so only the adapter's head is present, always at the
+    * read's tail). Full occurrence beats partial; reads with neither
+    * pass through. The partial search is expressed as a bounded
+    * explode over candidate overlap lengths + max — k ≤ adapter length
+    * (13 here), a constant fan-out both engines restate identically,
+    * never a per-row loop the oracle cannot replay.
+    *
+    * Scale shape: narrow per-row string work + one (read-key) max
+    * aggregate bounded by the adapter-length fan-out; the gate's
+    * summary is one global aggregate. */
+  def adapterTrim(reads: DataFrame, adapter: String,
+      minOverlap: Int): DataFrame = {
+    val alen = adapter.length
+    val full = instr(col("sequence"), lit(adapter))
+    val base = reads
+      .withColumn("len", length(col("sequence")))
+      .withColumn("full_pos", full)
+    val partial = base.where(col("full_pos") === 0)
+      // sequence(lo, hi) DESCENDS for hi < lo — short reads must yield
+      // no candidates, not bogus negative-k ones
+      .where(col("len") >= minOverlap)
+      .select(col("name"), col("len"), col("sequence"),
+        explode(expr(s"sequence($minOverlap, " +
+          s"least(len, ${alen}))")).as("k"))
+      .where(expr(s"substring(sequence, len - k + 1, k) = " +
+        s"substring('$adapter', 1, k)"))
+      .groupBy(col("name")).agg(max(col("k")).as("ov"))
+    base.join(partial, Seq("name"), "left")
+      .select(col("name"), col("len"),
+        when(col("full_pos") > 0, "full")
+          .when(col("ov").isNotNull, "partial")
+          .otherwise("clean").as("hit"),
+        when(col("full_pos") > 0, col("full_pos") - 1)
+          .when(col("ov").isNotNull, col("len") - col("ov"))
+          .otherwise(col("len")).cast("long").as("trimmed_len"))
+  }
+
+  /** Driver gate: Illumina's universal adapter planted three ways —
+    * full occurrence mid-read, head-only at the tail (read-through),
+    * and absent — classified and trimmed per class, summarized. Read
+    * names here are unique per synthesized row by construction, so the
+    * left join is key-exact. */
+  def x74AdapterTrim(s: SparkSession, d: String): DataFrame = {
+    val Adapter = "AGATCGGAAGAGC"
+    val SeqAlpha = "ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT" * 3
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 27 === 9)
+    val reads = li.select(
+        concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+          lit("_"), col("l_partkey")).as("name"),
+        (lit(15) + (col("l_partkey") % 40)).cast("int").as("plen"),
+        ((col("l_suppkey") % 80) + 1).cast("int").as("soff"),
+        (col("l_partkey") % 3).as("cls"),
+        (lit(5) + col("l_partkey") % 8).cast("int").as("k"))
+      .select(col("name"), col("cls"),
+        expr(s"substring('$SeqAlpha', soff, plen)").as("prefix"),
+        col("k"))
+      .select(col("name"),
+        when(col("cls") === 0,
+          concat(col("prefix"), lit(Adapter), lit("ACGTACGTAC")))
+          .when(col("cls") === 1,
+            concat(col("prefix"), expr(s"substring('$Adapter', 1, k)")))
+          .otherwise(col("prefix")).as("sequence"))
+      .distinct()
+    adapterTrim(reads, Adapter, minOverlap = 5)
+      .groupBy(col("hit"))
+      .agg(count(lit(1)).as("n_reads"),
+        sum(col("len")).as("raw_bases"),
+        sum(col("trimmed_len")).as("kept_bases"))
+      .orderBy("hit")
+  }
+
+  val x74Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey
+      |  FROM lineitem WHERE l_orderkey % 27 = 9),
+      |alpha AS (SELECT repeat(
+      |  'ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT', 3) AS sa),
+      |r AS (SELECT DISTINCT
+      |    'r' || l_orderkey || '_' || l_linenumber || '_' || l_partkey
+      |      AS name,
+      |    CASE WHEN l_partkey % 3 = 0 THEN
+      |        substring(alpha.sa, (l_suppkey % 80) + 1,
+      |          15 + (l_partkey % 40)) || 'AGATCGGAAGAGC' || 'ACGTACGTAC'
+      |      WHEN l_partkey % 3 = 1 THEN
+      |        substring(alpha.sa, (l_suppkey % 80) + 1,
+      |          15 + (l_partkey % 40)) ||
+      |        substring('AGATCGGAAGAGC', 1, 5 + l_partkey % 8)
+      |      ELSE substring(alpha.sa, (l_suppkey % 80) + 1,
+      |        15 + (l_partkey % 40)) END AS sequence
+      |  FROM li CROSS JOIN alpha),
+      |b AS (SELECT name, sequence, length(sequence) AS len,
+      |    strpos(sequence, 'AGATCGGAAGAGC') AS full_pos
+      |  FROM r),
+      |p AS (SELECT b.name, MAX(k.k) AS ov
+      |  FROM b, unnest(range(5, least(b.len, 13) + 1)) AS k(k)
+      |  WHERE b.full_pos = 0
+      |    AND substring(b.sequence, b.len - k.k + 1, k.k)
+      |      = substring('AGATCGGAAGAGC', 1, k.k)
+      |  GROUP BY b.name),
+      |cl AS (SELECT b.name, b.len,
+      |    CASE WHEN b.full_pos > 0 THEN 'full'
+      |      WHEN p.ov IS NOT NULL THEN 'partial'
+      |      ELSE 'clean' END AS hit,
+      |    CASE WHEN b.full_pos > 0 THEN b.full_pos - 1
+      |      WHEN p.ov IS NOT NULL THEN b.len - p.ov
+      |      ELSE b.len END AS trimmed_len
+      |  FROM b LEFT JOIN p ON b.name = p.name)
+      |SELECT hit, COUNT(*) AS n_reads,
+      |  CAST(SUM(len) AS BIGINT) AS raw_bases,
+      |  CAST(SUM(trimmed_len) AS BIGINT) AS kept_bases
+      |FROM cl GROUP BY hit ORDER BY hit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -4907,7 +5024,8 @@ object Genomics {
     "x70_prs_score"          -> (x70PrsScore _),
     "x71_site_qc"            -> (x71SiteQc _),
     "x72_gvcf_bands"         -> (x72GvcfBands _),
-    "x73_fastq_gate"         -> (x73FastqGate _))
+    "x73_fastq_gate"         -> (x73FastqGate _),
+    "x74_adapter_trim"       -> (x74AdapterTrim _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -4965,5 +5083,6 @@ object Genomics {
     "x70_prs_score"          -> x70Sql,
     "x71_site_qc"            -> x71Sql,
     "x72_gvcf_bands"         -> x72Sql,
-    "x73_fastq_gate"         -> x73Sql)
+    "x73_fastq_gate"         -> x73Sql,
+    "x74_adapter_trim"       -> x74Sql)
 }

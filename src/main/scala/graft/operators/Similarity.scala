@@ -2010,6 +2010,52 @@ object Similarity {
       |    THEN 0 ELSE 1000 // first_rel_rank END AS BIGINT) AS mrr_milli
       |FROM per ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s27
+  /** PER-DIMENSION EMBEDDING STATISTICS — the profile a retrieval
+    * deployment computes before whitening/mean-centering its index
+    * (dead or low-variance dimensions are Matryoshka-truncation and PQ
+    * codebook candidates; a large mean says cosine and dot diverge).
+    * Stats run on the milli-quantized image of each float (an explicit,
+    * documented domain — floor(v·1000)): integer sums are
+    * partition-order-insensitive by construction, where summing raw
+    * floats in double would be order-dependent and engine-divergent.
+    * Variance uses the exact integer identity
+    * (n·Σv² − (Σv)²) div n² in micro-units.
+    *
+    * Scale shape: ONE posexplode (narrow, ×dim fan-out) into ONE
+    * 64-row hash aggregate with map-side combine — dimension-bounded
+    * output at any corpus size. */
+  def s27DimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(v * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+        sum(col("vm") * col("vm")).as("sv2"),
+        min(col("vm")).as("min_milli"), max(col("vm")).as("max_milli"))
+      .select(col("dim"), col("n"),
+        expr("sv div n").as("mean_milli"),
+        expr("(n * sv2 - sv * sv) div (n * n)").as("var_micro"),
+        col("min_milli"), col("max_milli"))
+      .orderBy("dim")
+
+  val s27Sql: String =
+    """WITH v AS (SELECT g.i - 1 AS dim,
+      |    CAST(floor(embedding[g.i] * 1000) AS BIGINT) AS vm
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS g(i)),
+      |a AS (SELECT dim, COUNT(*) AS n, SUM(vm) AS sv,
+      |    SUM(vm * vm) AS sv2, MIN(vm) AS min_milli,
+      |    MAX(vm) AS max_milli
+      |  FROM v GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n,
+      |  CAST(sv // n AS BIGINT) AS mean_milli,
+      |  CAST((n * sv2 - sv * sv) // (n * n) AS BIGINT) AS var_micro,
+      |  CAST(min_milli AS BIGINT) AS min_milli,
+      |  CAST(max_milli AS BIGINT) AS max_milli
+      |FROM a ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> (s01KnnBrute _),
     "s02_ann_lsh"    -> (s02AnnLsh _),
@@ -2036,7 +2082,8 @@ object Similarity {
     "s23_farthest_seed_gate" -> (s23FarthestSeedGate _),
     "s24_hier_ivf_gate" -> (s24HierIvfGate _),
     "s25_matryoshka_recall" -> (s25MatryoshkaRecall _),
-    "s26_retrieval_eval" -> (s26RetrievalEval _))
+    "s26_retrieval_eval" -> (s26RetrievalEval _),
+    "s27_dim_stats" -> (s27DimStats _))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute"   -> s01Sql,
@@ -2062,5 +2109,6 @@ object Similarity {
     "s23_farthest_seed_gate" -> s23Sql,
     "s24_hier_ivf_gate" -> s24Sql,
     "s25_matryoshka_recall" -> s25Sql,
-    "s26_retrieval_eval" -> s26Sql)
+    "s26_retrieval_eval" -> s26Sql,
+    "s27_dim_stats" -> s27Sql)
 }

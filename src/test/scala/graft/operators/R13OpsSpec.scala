@@ -157,6 +157,60 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- x74
+  test("x74 adapterTrim: hand reads — full beats partial, exact " +
+      "overlap length, short reads stay clean") {
+    val A = "AGATCGGAAGAGC"
+    val reads = Seq(
+      ("full_mid", "ACGTT" + A + "GGGG"),       // full at pos 6
+      ("partial7", "CCCCCCCCCC" + A.take(7)),   // 7-base read-through
+      ("clean", "ACGTACGTACGTACGT"),
+      ("short", "ACG"))                          // < minOverlap
+      .toDF("name", "sequence")
+    val got = Genomics.adapterTrim(reads, A, minOverlap = 5)
+      .select("name", "hit", "trimmed_len")
+      .as[(String, String, Long)].collect()
+      .map { case (n, h, t) => n -> ((h, t)) }.toMap
+    assert(got("full_mid") === (("full", 5L)))
+    assert(got("partial7") === (("partial", 10L)))
+    assert(got("clean") === (("clean", 16L)))
+    assert(got("short") === (("clean", 3L)))
+  }
+
+  test("x74 gate: all three classes occur; kept <= raw everywhere") {
+    val rows = Genomics.x74AdapterTrim(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === Set("clean", "full", "partial"))
+    rows.foreach { case (h, n, raw, kept) =>
+      assert(n > 0 && kept <= raw)
+      if (h == "clean") assert(kept === raw)
+      else assert(kept < raw, s"$h must actually trim")
+    }
+  }
+
+  // ------------------------------------------------------------- s27
+  test("s27 dim stats: 64 dims, full coverage, driver recompute of " +
+      "one dimension") {
+    val rows = Similarity.s27DimStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 64)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    rows.foreach { case (_, cnt, _, v, lo, hi) =>
+      assert(cnt === n)
+      assert(v >= 0 && lo <= hi)
+    }
+    val vms = graft.Tables.embeddings(spark, sf)
+      .select(expr("CAST(floor(embedding[0] * 1000) AS BIGINT)"))
+      .as[Long].collect()
+    val sv = vms.sum
+    val sv2 = vms.map(v => v * v).sum
+    val want = (sv / vms.length,
+      (vms.length * sv2 - sv * sv) / (vms.length.toLong * vms.length),
+      vms.min, vms.max)
+    val got0 = rows.find(_._1 == 0L).get
+    assert((got0._3, got0._4, got0._5, got0._6) === want)
+  }
+
   // ------------------------------------------------------------- t48
   test("t48 diversity: uniform hand corpus scores k effective sources") {
     // lang with 4 equal sources: HHI = 250000 ppm, eff = 4000 milli
