@@ -4968,6 +4968,174 @@ object Genomics {
       |  CAST(SUM(trimmed_len) AS BIGINT) AS kept_bases
       |FROM cl GROUP BY hit ORDER BY hit""".stripMargin
 
+  // ---------------------------------------------------------------- x75
+  /** MULTI-ALLELIC SPLIT (`bcftools norm -m-`) — the normalization step
+    * AFTER x60's left-align: a site carrying comma-joined ALTs becomes
+    * one row per alternate allele, each keeping ITS allele count from
+    * the parallel AC list (VCF Number=A semantics: the i-th AC belongs
+    * to the i-th ALT), with AN shared and the per-allele frequency in
+    * exact permille. Joint tools expect split records; every downstream
+    * x-op here (spectrum, HWE, PRS) assumes biallelic rows — this is
+    * the adapter that makes real multi-allelic callsets consumable.
+    *
+    * Scale shape: one narrow posexplode bounded by the ALT count
+    * (≤ 3 here, ≤ a dozen in real data); no shuffle before the output
+    * sort. */
+  def splitMultiallelic(variants: DataFrame): DataFrame =
+    variants
+      .select(col("contig"), col("pos"), col("ref"), col("an"),
+        posexplode(arrays_zip(split(col("alt"), ","),
+          split(col("ac"), ","))).as(Seq("idx", "z")))
+      .select(col("contig"), col("pos"), col("ref"),
+        (col("idx") + 1).cast("long").as("alt_idx"),
+        col("z").getField("0").as("alt"),
+        col("z").getField("1").cast("long").as("ac"), col("an"))
+      .withColumn("af_permille", expr("(1000 * ac) div an"))
+      .orderBy("contig", "pos", "alt_idx")
+
+  /** Driver gate: sites alternate 1/2/3 ALTs with formula-driven AC
+    * lists summing below AN — exercises index pairing and permille. */
+  def x75SplitMultiallelic(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 29 === 3)
+    val v = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 400) * 4 + 1).cast("long").as("pos"))
+      .distinct()
+      .withColumn("ref", when(col("pos") % 2 === 0, "A").otherwise("G"))
+      .withColumn("nalt", (col("pos") % 3 + 1).cast("int"))
+      .withColumn("alt",
+        when(col("nalt") === 1, "T")
+          .when(col("nalt") === 2, "T,C").otherwise("T,C,G"))
+      .withColumn("ac",
+        when(col("nalt") === 1, (col("pos") % 5 + 1).cast("string"))
+          .when(col("nalt") === 2, concat((col("pos") % 5 + 1).cast("string"),
+            lit(","), (col("pos") % 3 + 1).cast("string")))
+          .otherwise(concat((col("pos") % 5 + 1).cast("string"), lit(","),
+            (col("pos") % 3 + 1).cast("string"), lit(","),
+            (col("pos") % 2 + 1).cast("string"))))
+      .withColumn("an", lit(20L))
+    splitMultiallelic(v)
+  }
+
+  val x75Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 29 = 3),
+      |v AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 400) * 4 + 1 AS pos FROM li),
+      |w AS (SELECT contig, pos,
+      |    CASE WHEN pos % 2 = 0 THEN 'A' ELSE 'G' END AS ref,
+      |    pos % 3 + 1 AS nalt,
+      |    pos % 5 + 1 AS a1, pos % 3 + 1 AS a2, pos % 2 + 1 AS a3
+      |  FROM v),
+      |s AS (SELECT contig, pos, ref, nalt,
+      |    CASE WHEN nalt = 1 THEN ['T']
+      |      WHEN nalt = 2 THEN ['T', 'C'] ELSE ['T', 'C', 'G'] END AS alts,
+      |    CASE WHEN nalt = 1 THEN [a1]
+      |      WHEN nalt = 2 THEN [a1, a2] ELSE [a1, a2, a3] END AS acs
+      |  FROM w),
+      |e AS (SELECT contig, pos, ref, g.i AS alt_idx,
+      |    alts[g.i] AS alt, acs[g.i] AS ac
+      |  FROM s, unnest(range(1, nalt + 1)) AS g(i))
+      |SELECT contig, CAST(pos AS BIGINT) AS pos, ref,
+      |  CAST(alt_idx AS BIGINT) AS alt_idx, alt,
+      |  CAST(ac AS BIGINT) AS ac, CAST(20 AS BIGINT) AS an,
+      |  CAST((1000 * ac) // 20 AS BIGINT) AS af_permille
+      |FROM e ORDER BY contig, pos, alt_idx""".stripMargin
+
+  // ---------------------------------------------------------------- x76
+  /** GENOTYPE CALLING FROM PHRED LIKELIHOODS (bcftools call's PL
+    * consumption): a site-sample's PL triple "p0,p1,p2" (phred-scaled,
+    * 0 = most likely; order REF/REF, REF/ALT, ALT/ALT) calls the
+    * genotype at the FIRST minimum index (the bcftools tie rule) with
+    * GQ = second-smallest − smallest (confidence collapses to 0 at a
+    * tie — the planted case). Summarized per sample: call counts by
+    * class and total GQ, the figures a callset QC report prints.
+    *
+    * Scale shape: narrow array kernel per row (split, min, position,
+    * sort), one sample-keyed aggregate, map-side combinable. */
+  def gtFromPl(pl: DataFrame): DataFrame =
+    pl.withColumn("arr",
+        expr("transform(split(pl, ','), x -> CAST(x AS INT))"))
+      .withColumn("mn", array_min(col("arr")))
+      .withColumn("call", expr("array_position(arr, mn) - 1"))
+      .withColumn("gq",
+        expr("sort_array(arr)[1] - sort_array(arr)[0]").cast("long"))
+      .groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum((col("call") === 0).cast("long")).as("n_hom_ref"),
+        sum((col("call") === 1).cast("long")).as("n_het"),
+        sum((col("call") === 2).cast("long")).as("n_hom_alt"),
+        sum((col("gq") === 0).cast("long")).as("n_ties"),
+        sum(col("gq")).as("total_gq"))
+      .orderBy("sample")
+
+  /** Driver gate: PL triples rotate the minimum across all three
+    * classes and plant exact ties (GQ 0, first-minimum rule) every 7th
+    * site. */
+  def x76GtFromPl(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 29 === 12)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 350) * 6 + 2).cast("long").as("pos"))
+      .distinct()
+    val dim = s.createDataFrame(Seq(("s0", 0L), ("s1", 1L), ("s2", 2L)))
+      .toDF("sample", "sj")
+    val pl = sites.crossJoin(broadcast(dim))
+      .withColumn("m", (col("pos") * 5 + col("sj") * 7) % 3)
+      .withColumn("a", (col("pos") + col("sj")) % 40 + 10)
+      .withColumn("b", (col("pos") * 3 + col("sj")) % 60 + 20)
+      .select(col("contig"), col("pos"), col("sample"),
+        when(col("pos") % 7 === 0,
+          // planted tie: two zero entries -> GQ 0, first-min wins
+          when(col("m") === 0, concat(lit("0,0,"), col("a")))
+            .when(col("m") === 1, concat(lit("0,"), col("a"), lit(",0")))
+            .otherwise(concat(col("a"), lit(",0,0"))))
+          .otherwise(
+            when(col("m") === 0, concat(lit("0,"), col("a"), lit(","), col("b")))
+              .when(col("m") === 1, concat(col("a"), lit(",0,"), col("b")))
+              .otherwise(concat(col("a"), lit(","), col("b"), lit(",0"))))
+          .as("pl"))
+    gtFromPl(pl)
+  }
+
+  val x76Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 29 = 12),
+      |sites AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 350) * 6 + 2 AS pos FROM li),
+      |sm AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(sj)),
+      |g AS (SELECT s.pos, sm.sj,
+      |    (s.pos * 5 + sm.sj * 7) % 3 AS m,
+      |    (s.pos + sm.sj) % 40 + 10 AS a,
+      |    (s.pos * 3 + sm.sj) % 60 + 20 AS b,
+      |    s.pos % 7 = 0 AS tie
+      |  FROM sites s CROSS JOIN sm),
+      |arr AS (SELECT sj,
+      |    CASE WHEN tie THEN
+      |        CASE WHEN m = 0 THEN [0, 0, a]
+      |          WHEN m = 1 THEN [0, a, 0] ELSE [a, 0, 0] END
+      |      ELSE CASE WHEN m = 0 THEN [0, a, b]
+      |        WHEN m = 1 THEN [a, 0, b] ELSE [a, b, 0] END END AS l
+      |  FROM g),
+      |c AS (SELECT sj, list_position(l, list_min(l)) - 1 AS call,
+      |    list_sort(l)[2] - list_sort(l)[1] AS gq
+      |  FROM arr)
+      |SELECT 's' || sj AS sample, COUNT(*) AS n_sites,
+      |  CAST(SUM(CASE WHEN call = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hom_ref,
+      |  CAST(SUM(CASE WHEN call = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_het,
+      |  CAST(SUM(CASE WHEN call = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hom_alt,
+      |  CAST(SUM(CASE WHEN gq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ties,
+      |  CAST(SUM(gq) AS BIGINT) AS total_gq
+      |FROM c GROUP BY sj ORDER BY sample""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -5025,7 +5193,9 @@ object Genomics {
     "x71_site_qc"            -> (x71SiteQc _),
     "x72_gvcf_bands"         -> (x72GvcfBands _),
     "x73_fastq_gate"         -> (x73FastqGate _),
-    "x74_adapter_trim"       -> (x74AdapterTrim _))
+    "x74_adapter_trim"       -> (x74AdapterTrim _),
+    "x75_split_multiallelic" -> (x75SplitMultiallelic _),
+    "x76_gt_from_pl"         -> (x76GtFromPl _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -5084,5 +5254,7 @@ object Genomics {
     "x71_site_qc"            -> x71Sql,
     "x72_gvcf_bands"         -> x72Sql,
     "x73_fastq_gate"         -> x73Sql,
-    "x74_adapter_trim"       -> x74Sql)
+    "x74_adapter_trim"       -> x74Sql,
+    "x75_split_multiallelic" -> x75Sql,
+    "x76_gt_from_pl"         -> x76Sql)
 }

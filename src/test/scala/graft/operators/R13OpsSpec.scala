@@ -211,6 +211,40 @@ class R13OpsSpec extends SparkSpec {
     assert((got0._3, got0._4, got0._5, got0._6) === want)
   }
 
+  // ------------------------------------------------------------- x75
+  test("x75 splitMultiallelic: hand site — index-paired AC, shared AN") {
+    val v = Seq(("c1", 5L, "A", "T,C,G", "6,3,1", 20L))
+      .toDF("contig", "pos", "ref", "alt", "ac", "an")
+    val got = Genomics.splitMultiallelic(v)
+      .select("alt_idx", "alt", "ac", "af_permille")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, "T", 6L, 300L), (2L, "C", 3L, 150L),
+      (3L, "G", 1L, 50L)))
+  }
+
+  // ------------------------------------------------------------- x76
+  test("x76 gtFromPl: hand PLs — argmin call, GQ, first-minimum tie") {
+    val pl = Seq(
+      ("a", "0,30,50"), ("a", "40,0,60"), ("a", "25,12,0"),
+      ("a", "0,0,9")) // tie: call hom-ref (first min), GQ 0
+      .toDF("sample", "pl")
+    val got = Genomics.gtFromPl(pl)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // calls: 0,1,2,0 -> hom_ref 2, het 1, hom_alt 1; ties 1;
+    // GQs: 30, 40, 12, 0 -> 82
+    assert(got === (("a", 4L, 2L, 1L, 1L, 1L, 82L)))
+  }
+
+  test("x76 gate: every class and the tie path occur") {
+    val rows = Genomics.x76GtFromPl(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (_, n, hr, het, ha, ties, gq) =>
+      assert(hr + het + ha === n)
+      assert(ties > 0 && gq > 0)
+    }
+  }
+
   // ------------------------------------------------------------- t48
   test("t48 diversity: uniform hand corpus scores k effective sources") {
     // lang with 4 equal sources: HHI = 250000 ppm, eff = 4000 milli
