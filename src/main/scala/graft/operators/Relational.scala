@@ -3984,8 +3984,15 @@ object Relational {
       .select(col("user_id"), col("us"), col("v"), col("us1"), col("v1"),
         explode(expr("sequence(lo, hi)")).as("bucket"))
       .select(col("user_id"), col("bucket"),
-        expr(s"(v * (us1 - bucket * ${P}L) + v1 * (bucket * ${P}L - us))" +
-          s" div (us1 - us)").as("interp_milli"))
+        // decimal(38,0), not int64: v_milli·Δus is ~1.3e18 on this
+        // corpus's 30-day spans but clears 2⁶³ once a series spans
+        // ~29 years at 10⁶ milli-units — the t34 overflow class; the
+        // widened product divides exactly and casts back to BIGINT
+        // (the quotient is a milli value again). DuckDB replays it as
+        // HUGEINT.
+        expr(s"CAST((CAST(v AS DECIMAL(38,0)) * (us1 - bucket * ${P}L)" +
+          s" + CAST(v1 AS DECIMAL(38,0)) * (bucket * ${P}L - us))" +
+          s" div (us1 - us) AS BIGINT)").as("interp_milli"))
     val last = pairs.where(col("us1").isNull && col("us") % P === 0)
       .select(col("user_id"), expr(s"us div ${P}L").as("bucket"),
         col("v").as("interp_milli"))
@@ -4009,9 +4016,9 @@ object Relational {
       |    AND (us + 21599999999) // 21600000000
       |      <= (us1 - 1) // 21600000000),
       |mi AS (SELECT user_id, bucket,
-      |    (v * (us1 - bucket * 21600000000)
-      |     + v1 * (bucket * 21600000000 - us)) // (us1 - us)
-      |      AS interp_milli
+      |    CAST((CAST(v AS HUGEINT) * (us1 - bucket * 21600000000)
+      |     + CAST(v1 AS HUGEINT) * (bucket * 21600000000 - us))
+      |     // (us1 - us) AS BIGINT) AS interp_milli
       |  FROM mid),
       |lastp AS (SELECT user_id, us // 21600000000 AS bucket,
       |    v AS interp_milli
@@ -4236,9 +4243,13 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_segments"),
         sum(col("us1") - col("us")).as("span_us"),
-        sum(col("v") * (col("us1") - col("us"))).as("vt"))
+        // decimal(38,0) accumulation (q94's rule): per-segment
+        // v_milli·Δus and their sum clear int64 only below ~29-year
+        // spans; the widened sum divides exactly back to milli
+        sum(col("v").cast("decimal(38,0)") * (col("us1") - col("us")))
+          .as("vt"))
       .select(col("user_id"), col("n_segments"), col("span_us"),
-        expr("vt div span_us").as("twa_milli"))
+        expr("CAST(vt div span_us AS BIGINT)").as("twa_milli"))
       .orderBy("user_id")
   }
 
@@ -4253,7 +4264,8 @@ object Relational {
       |  FROM obs)
       |SELECT user_id, COUNT(*) AS n_segments,
       |  CAST(SUM(us1 - us) AS BIGINT) AS span_us,
-      |  CAST(SUM(v * (us1 - us)) // SUM(us1 - us) AS BIGINT) AS twa_milli
+      |  CAST(SUM(CAST(v AS HUGEINT) * (us1 - us)) // SUM(us1 - us)
+      |    AS BIGINT) AS twa_milli
       |FROM p WHERE us1 IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -2031,12 +2031,17 @@ object Similarity {
       .select(col("dim").cast("long").as("dim"),
         expr("CAST(floor(v * 1000) AS BIGINT)").as("vm"))
       .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
-        sum(col("vm") * col("vm")).as("sv2"),
+      // decimal(38,0) accumulation: Σv² alone clears int64 near 10¹²
+      // rows (the t34 overflow class at the stated corpus scale); the
+      // outputs themselves are milli/micro-sized and cast back
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm").cast("decimal(38,0)")).as("sv"),
+        sum(col("vm").cast("decimal(38,0)") * col("vm")).as("sv2"),
         min(col("vm")).as("min_milli"), max(col("vm")).as("max_milli"))
       .select(col("dim"), col("n"),
-        expr("sv div n").as("mean_milli"),
-        expr("(n * sv2 - sv * sv) div (n * n)").as("var_micro"),
+        expr("CAST(sv div n AS BIGINT)").as("mean_milli"),
+        expr("CAST((n * sv2 - sv * sv) div (CAST(n AS DECIMAL(38,0)) * n)" +
+          " AS BIGINT)").as("var_micro"),
         col("min_milli"), col("max_milli"))
       .orderBy("dim")
 
@@ -2045,13 +2050,14 @@ object Similarity {
       |    CAST(floor(embedding[g.i] * 1000) AS BIGINT) AS vm
       |  FROM embeddings,
       |    unnest(generate_series(1, len(embedding))) AS g(i)),
-      |a AS (SELECT dim, COUNT(*) AS n, SUM(vm) AS sv,
-      |    SUM(vm * vm) AS sv2, MIN(vm) AS min_milli,
+      |a AS (SELECT dim, COUNT(*) AS n, SUM(CAST(vm AS HUGEINT)) AS sv,
+      |    SUM(CAST(vm AS HUGEINT) * vm) AS sv2, MIN(vm) AS min_milli,
       |    MAX(vm) AS max_milli
       |  FROM v GROUP BY dim)
       |SELECT CAST(dim AS BIGINT) AS dim, n,
       |  CAST(sv // n AS BIGINT) AS mean_milli,
-      |  CAST((n * sv2 - sv * sv) // (n * n) AS BIGINT) AS var_micro,
+      |  CAST((n * sv2 - sv * sv) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |    AS var_micro,
       |  CAST(min_milli AS BIGINT) AS min_milli,
       |  CAST(max_milli AS BIGINT) AS max_milli
       |FROM a ORDER BY dim""".stripMargin

@@ -3242,9 +3242,13 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(sum(col("n")).as("n_docs"),
         count(lit(1)).as("n_sources"),
-        sum(col("n") * col("n")).as("sq"))
+        // decimal(38,0): n_s² and n_docs² clear int64 only below ~3e9
+        // docs per slice — under the 100 TB shape they do not (the t34
+        // overflow class); the HHI itself is ≤ 10⁶ and casts back
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("sq"))
       .select(col("lang"), col("n_docs"), col("n_sources"),
-        expr("(1000000 * sq) div (n_docs * n_docs)").as("hhi_ppm"))
+        expr("CAST((1000000 * sq) div (CAST(n_docs AS DECIMAL(38,0))" +
+          " * n_docs) AS BIGINT)").as("hhi_ppm"))
       .withColumn("eff_sources_milli",
         expr("1000000000 div hhi_ppm"))
       .orderBy("lang")
@@ -3253,10 +3257,11 @@ object TextAnalysis {
     """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents
       |  GROUP BY lang, source),
       |a AS (SELECT lang, SUM(n) AS n_docs, COUNT(*) AS n_sources,
-      |    SUM(n * n) AS sq
+      |    SUM(CAST(n AS HUGEINT) * n) AS sq
       |  FROM c GROUP BY lang),
       |h AS (SELECT lang, n_docs, n_sources,
-      |    (1000000 * sq) // (n_docs * n_docs) AS hhi_ppm
+      |    CAST((1000000 * sq) // (CAST(n_docs AS HUGEINT) * n_docs)
+      |      AS BIGINT) AS hhi_ppm
       |  FROM a)
       |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_sources,
       |  CAST(hhi_ppm AS BIGINT) AS hhi_ppm,
@@ -3295,9 +3300,11 @@ object TextAnalysis {
     val conc = base.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("lang"))
-      .agg(sum(col("n") * col("n")).as("sq"), sum(col("n")).as("nd"))
+      .agg(sum(col("n").cast("decimal(38,0)") * col("n")).as("sq"),
+        sum(col("n")).as("nd")) // decimal: t48's overflow rule
       .select(col("lang"),
-        expr("(1000000 * sq) div (nd * nd)").as("hhi_ppm"))
+        expr("CAST((1000000 * sq) div (CAST(nd AS DECIMAL(38,0)) * nd)" +
+          " AS BIGINT)").as("hhi_ppm"))
     core.join(vocab, Seq("lang")).join(conc, Seq("lang"))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         col("dup_permille"), col("n_types"), col("n_hapax"),
@@ -3322,8 +3329,9 @@ object TextAnalysis {
       |  FROM wc GROUP BY lang),
       |sc AS (SELECT lang, source, COUNT(*) AS n FROM base
       |  GROUP BY lang, source),
-      |conc AS (SELECT lang, (1000000 * SUM(n * n)) // (SUM(n) * SUM(n))
-      |    AS hhi_ppm
+      |conc AS (SELECT lang,
+      |    CAST((1000000 * SUM(CAST(n AS HUGEINT) * n))
+      |      // (SUM(CAST(n AS HUGEINT)) * SUM(n)) AS BIGINT) AS hhi_ppm
       |  FROM sc GROUP BY lang)
       |SELECT core.lang, core.n_docs, core.n_tokens,
       |  CAST((1000 * (core.n_docs - core.n_unique)) // core.n_docs
