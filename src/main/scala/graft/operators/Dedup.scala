@@ -1880,6 +1880,79 @@ object Dedup {
       |  (1000 * (n_docs - kept_bag)) // n_docs AS bag_rm_permille
       |FROM a ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- d33
+  /** THRESHOLD SENSITIVITY SWEEP — the calibration table a dedup run
+    * publishes before committing to one Jaccard cut (d30 tunes the LSH
+    * band geometry; this tunes the VERIFY threshold itself): pair and
+    * affected-doc counts at each candidate cut, computed from ONE exact
+    * pair materialization (the d02 oracle kernel at its 0.5 floor,
+    * cached) crossed with the threshold dimension — five thresholds
+    * cost one pair computation, not five. The doc count is the number
+    * of documents a cut would actually touch — the figure that turns a
+    * threshold debate into a data-loss number.
+    *
+    * Scale shape: the pair frame is dup-graph-sized; the sweep is a
+    * broadcast 5-row cross + two tiny aggregates. At 100 TB the same
+    * sweep runs over the BANDED pipeline's verified pairs (identical
+    * frame, nearDedupKeep's candidates) — the kernel guard directs
+    * oversized inputs there. */
+  def d33ThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d)
+    val cuts = s.createDataFrame(Seq(500, 600, 700, 800, 900)
+      .map(Tuple1(_))).toDF("threshold_permille")
+    val hits = pairs.crossJoin(broadcast(cuts))
+      .where(col("jaccard") * 1000 >= col("threshold_permille"))
+    val nPairs = hits.groupBy(col("threshold_permille"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hits.select(col("threshold_permille"),
+        col("a_id").as("id"))
+      .unionByName(hits.select(col("threshold_permille"),
+        col("b_id").as("id")))
+      .groupBy(col("threshold_permille"))
+      .agg(count_distinct(col("id")).as("n_docs_touched"))
+    cuts.join(nPairs, Seq("threshold_permille"), "left")
+      .join(nDocs, Seq("threshold_permille"), "left")
+      .select(col("threshold_permille").cast("long")
+          .as("threshold_permille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_touched"), lit(0L)).as("n_docs_touched"))
+      .orderBy("threshold_permille")
+  }
+
+  val d33Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 2, 0) + 1),
+      |      i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |      AS jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id),
+      |cuts AS (SELECT * FROM (VALUES (500), (600), (700), (800), (900))
+      |  AS t(threshold_permille)),
+      |h AS (SELECT c.threshold_permille, p.a_id, p.b_id
+      |  FROM p CROSS JOIN cuts c
+      |  WHERE p.jaccard * 1000 >= c.threshold_permille),
+      |np AS (SELECT threshold_permille, COUNT(*) AS n_pairs
+      |  FROM h GROUP BY threshold_permille),
+      |nd AS (SELECT threshold_permille, COUNT(DISTINCT id)
+      |    AS n_docs_touched
+      |  FROM (SELECT threshold_permille, a_id AS id FROM h
+      |        UNION ALL SELECT threshold_permille, b_id FROM h)
+      |  GROUP BY threshold_permille)
+      |SELECT CAST(c.threshold_permille AS BIGINT) AS threshold_permille,
+      |  COALESCE(np.n_pairs, 0) AS n_pairs,
+      |  CAST(COALESCE(nd.n_docs_touched, 0) AS BIGINT) AS n_docs_touched
+      |FROM cuts c
+      |LEFT JOIN np ON c.threshold_permille = np.threshold_permille
+      |LEFT JOIN nd ON c.threshold_permille = nd.threshold_permille
+      |ORDER BY threshold_permille""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -1912,7 +1985,8 @@ object Dedup {
     "d29_paragraph_dedup" -> (d29ParagraphDedup _),
     "d30_lsh_tuning" -> (d30LshTuning _),
     "d31_bag_dedup_gate" -> (d31BagDedupGate _),
-    "d32_impact_report" -> (d32ImpactReport _))
+    "d32_impact_report" -> (d32ImpactReport _),
+    "d33_threshold_sweep" -> (d33ThresholdSweep _))
 
   // ---------------------------------------------------------------- d28
   /** URL-LEVEL dedup — the cheapest and first dedup stage of a web
@@ -2133,6 +2207,7 @@ object Dedup {
     "d30_lsh_tuning"    -> d30Sql,
     "d31_bag_dedup_gate" -> d31Sql,
     "d32_impact_report" -> d32Sql,
+    "d33_threshold_sweep" -> d33Sql,
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,

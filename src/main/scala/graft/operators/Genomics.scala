@@ -5136,6 +5136,63 @@ object Genomics {
       |  CAST(SUM(gq) AS BIGINT) AS total_gq
       |FROM c GROUP BY sj ORDER BY sample""".stripMargin
 
+  // ---------------------------------------------------------------- x77
+  /** PER-CYCLE QUALITY PROFILE (FastQC's "per base sequence quality",
+    * the first plot anyone reads off a run) — sequencing error rates
+    * drift with the CYCLE (position in read), so quality is profiled
+    * per position across all reads: mean (centi-units, exact), min,
+    * max, and the count of reads long enough to reach the cycle. A
+    * collapsing tail mean is the classic signal to hard-clip the run.
+    *
+    * Scale shape: one narrow per-read explode bounded by read length
+    * (the transform builds the int array natively, no per-char row
+    * until the explode) into ONE cycle-keyed hash aggregate — output
+    * is read-length-sized at any corpus size. */
+  def cycleQuality(reads: DataFrame): DataFrame =
+    reads
+      .select(posexplode(expr(
+        "transform(sequence(1, length(quality))," +
+          " i -> ascii(substring(quality, i, 1)) - 33)"))
+        .as(Seq("pos", "q")))
+      .select((col("pos") + 1).cast("long").as("cycle"),
+        col("q").cast("long").as("q"))
+      .groupBy(col("cycle"))
+      .agg(count(lit(1)).as("n_reads"),
+        expr("(100 * sum(q)) div count(1)").as("mean_centi"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .orderBy("cycle")
+
+  /** Driver gate: x73's quality synthesis (variable lengths, '@'-salted
+    * alphabet) — tail cycles see fewer reads, exercising the ragged
+    * aggregation. */
+  def x77CycleQuality(s: SparkSession, d: String): DataFrame = {
+    val QualAlpha = ("@IIH@GF@EDCBA@?>=<;@98765@IIII@HHHH@JJJJ@KKKK@LLLL@" +
+      "IJKLMNOPQRSTUVWXYZ()^_@abcdefgh") * 3
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 27 === 18)
+    val reads = li.select(
+        (lit(20) + (col("l_partkey") % 80)).cast("int").as("len"),
+        ((col("l_suppkey") % 120) + 1).cast("int").as("qoff"))
+      .select(expr(s"substring('$QualAlpha', qoff, len)").as("quality"))
+    cycleQuality(reads)
+  }
+
+  val x77Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 27 = 18),
+      |alpha AS (SELECT repeat(
+      |  '@IIH@GF@EDCBA@?>=<;@98765@IIII@HHHH@JJJJ@KKKK@LLLL@' ||
+      |  'IJKLMNOPQRSTUVWXYZ()^_@abcdefgh', 3) AS qa),
+      |r AS (SELECT substring(alpha.qa, (l_suppkey % 120) + 1,
+      |    20 + (l_partkey % 80)) AS quality
+      |  FROM li CROSS JOIN alpha),
+      |c AS (SELECT g.i AS cycle,
+      |    ascii(substring(quality, CAST(g.i AS BIGINT), 1)) - 33 AS q
+      |  FROM r, unnest(range(1, length(quality) + 1)) AS g(i))
+      |SELECT CAST(cycle AS BIGINT) AS cycle, COUNT(*) AS n_reads,
+      |  CAST((100 * SUM(q)) // COUNT(*) AS BIGINT) AS mean_centi,
+      |  CAST(MIN(q) AS BIGINT) AS min_q, CAST(MAX(q) AS BIGINT) AS max_q
+      |FROM c GROUP BY cycle ORDER BY cycle""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -5195,7 +5252,8 @@ object Genomics {
     "x73_fastq_gate"         -> (x73FastqGate _),
     "x74_adapter_trim"       -> (x74AdapterTrim _),
     "x75_split_multiallelic" -> (x75SplitMultiallelic _),
-    "x76_gt_from_pl"         -> (x76GtFromPl _))
+    "x76_gt_from_pl"         -> (x76GtFromPl _),
+    "x77_cycle_quality"      -> (x77CycleQuality _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -5256,5 +5314,6 @@ object Genomics {
     "x73_fastq_gate"         -> x73Sql,
     "x74_adapter_trim"       -> x74Sql,
     "x75_split_multiallelic" -> x75Sql,
-    "x76_gt_from_pl"         -> x76Sql)
+    "x76_gt_from_pl"         -> x76Sql,
+    "x77_cycle_quality"      -> x77Sql)
 }

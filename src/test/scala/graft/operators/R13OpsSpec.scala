@@ -245,6 +245,42 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- d33
+  test("d33 threshold sweep: monotone in the cut, consistent with d02") {
+    val rows = Dedup.d33ThresholdSweep(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(500L, 600L, 700L, 800L, 900L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3,
+        "raising the cut can only shrink pairs and touched docs")
+    case _ => }
+    val d02pairs = Dedup.d02NgramJaccard(spark, sf).count()
+    assert(rows.head._2 === d02pairs,
+      "the 0.5 row IS d02's pair count")
+  }
+
+  // ------------------------------------------------------------- x77
+  test("x77 cycleQuality: hand reads — ragged tails, exact centi means") {
+    val reads = Seq("II", "I#").toDF("quality") // I=40, #=2
+    val got = Genomics.cycleQuality(reads)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 4000L, 40L, 40L),
+      (2L, 2L, 2100L, 2L, 40L))) // (40+2)/2 = 21.00
+  }
+
+  test("x77 gate: read counts never increase with cycle; Phred range") {
+    val rows = Genomics.x77CycleQuality(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, "later cycles cannot gain reads")
+    case _ => }
+    rows.foreach { case (_, _, m, lo, hi) =>
+      assert(lo >= 0 && hi <= 93 && m >= lo * 100 && m <= hi * 100)
+    }
+  }
+
   // ------------------------------------------------------------- t48
   test("t48 diversity: uniform hand corpus scores k effective sources") {
     // lang with 4 equal sources: HHI = 250000 ppm, eff = 4000 milli
