@@ -5193,6 +5193,118 @@ object Genomics {
       |  CAST(MIN(q) AS BIGINT) AS min_q, CAST(MAX(q) AS BIGINT) AS max_q
       |FROM c GROUP BY cycle ORDER BY cycle""".stripMargin
 
+  // ---------------------------------------------------------------- x78
+  /** INTERVAL-SET ENRICHMENT (`bedtools fisher`'s effect-size half):
+    * does annotation set A overlap set B more than chance? Observed
+    * overlap mass comes from the exactly-once binned pair join;
+    * expected-under-independence is massA·massB div genome_len (each
+    * base of A independently lands in B with p = massB/G); the fold
+    * ratio in milli is the enrichment figure a ChIP/ATAC analysis
+    * reports. Products of two genome-scale masses clear int64 only
+    * below ~3 Gb² — staged in decimal(38,0)/HUGEINT (the t34 rule).
+    * Inputs are assumed DISJOINT within each set (x29's intervalMerge
+    * is the normalizer) so the overlap sum never double-counts.
+    *
+    * Scale shape: one uniform (contig, bin) exchange for the pair
+    * join, two interval-set-sized mass aggregates, output per contig. */
+  def intervalEnrichment(a: DataFrame, b: DataFrame, genomeLen: Long,
+      binWidth: Int): DataFrame = {
+    val obs = binnedOverlapPairs(
+        a.select(col("contig"), col("start"), col("end")),
+        b.select(col("contig"), col("start"), col("end")), binWidth)
+      .select(col("contig"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("ov"))
+      .groupBy(col("contig")).agg(sum(col("ov")).as("obs_bases"))
+    val massA = a.groupBy(col("contig"))
+      .agg(sum(col("end") - col("start")).as("mass_a"))
+    val massB = b.groupBy(col("contig"))
+      .agg(sum(col("end") - col("start")).as("mass_b"))
+    massA.join(massB, Seq("contig"), "full")
+      .join(obs, Seq("contig"), "left")
+      .select(col("contig"),
+        coalesce(col("mass_a"), lit(0L)).as("mass_a"),
+        coalesce(col("mass_b"), lit(0L)).as("mass_b"),
+        coalesce(col("obs_bases"), lit(0L)).as("obs_bases"))
+      .withColumn("exp_milli", expr(
+        s"CAST((CAST(mass_a AS DECIMAL(38,0)) * mass_b * 1000)" +
+          s" div ${genomeLen}L AS BIGINT)"))
+      // fold = obs/exp; exp carries a ×1000 scale, so obs·10⁶ div
+      // exp_milli is already milli-scaled (hand-fixture-pinned — the
+      // oracle alone could not catch a staging error made on BOTH sides)
+      .withColumn("fold_milli", expr(
+        """CASE WHEN mass_a = 0 OR mass_b = 0 THEN NULL
+          |ELSE CAST((CAST(obs_bases AS DECIMAL(38,0)) * 1000000)
+          |  div CAST(exp_milli AS DECIMAL(38,0)) AS BIGINT)
+          |END""".stripMargin))
+      .orderBy("contig")
+  }
+
+  /** Driver gate: strided disjoint-by-construction A and B whose
+    * phases correlate on chr1 (enriched) and anti-correlate on chr2 —
+    * fold above and below 1000 in one table. */
+  def x78Enrichment(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 31 === 2)
+    val a = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        ((col("l_partkey") % 300) * 30).cast("long").as("start"))
+      .distinct()
+      .withColumn("end", col("start") + 10L)
+    val b = li.where(col("l_linenumber") % 2 === 0).select(
+        when(col("l_partkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        // chr1 b-intervals share A's phase (start%30 == 0 -> overlap);
+        // chr2's sit mid-stride (start%30 == 15 -> never overlap)
+        when(col("l_partkey") % 2 === 0,
+          (col("l_suppkey") % 280) * 30 + 2)
+          .otherwise((col("l_suppkey") % 280) * 30 + 15)
+          .cast("long").as("start"))
+      .distinct()
+      .withColumn("end", col("start") + 6L)
+    intervalEnrichment(a, b, genomeLen = 9000L, binWidth = 64)
+  }
+
+  val x78Sql: String =
+    """WITH li AS (SELECT l_suppkey, l_partkey, l_linenumber
+      |  FROM lineitem WHERE l_orderkey % 31 = 2),
+      |a AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    (l_partkey % 300) * 30 AS st, (l_partkey % 300) * 30 + 10 AS en
+      |  FROM li),
+      |b AS (SELECT DISTINCT
+      |    CASE WHEN l_partkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS contig,
+      |    CASE WHEN l_partkey % 2 = 0 THEN (l_suppkey % 280) * 30 + 2
+      |      ELSE (l_suppkey % 280) * 30 + 15 END AS st,
+      |    CASE WHEN l_partkey % 2 = 0 THEN (l_suppkey % 280) * 30 + 8
+      |      ELSE (l_suppkey % 280) * 30 + 21 END AS en
+      |  FROM li WHERE l_linenumber % 2 = 0),
+      |ov AS (SELECT a.contig,
+      |    SUM(least(a.en, b.en) - greatest(a.st, b.st)) AS obs_bases
+      |  FROM a JOIN b ON a.contig = b.contig
+      |    AND a.st < b.en AND b.st < a.en
+      |  GROUP BY a.contig),
+      |ma AS (SELECT contig, SUM(en - st) AS mass_a FROM a GROUP BY contig),
+      |mb AS (SELECT contig, SUM(en - st) AS mass_b FROM b GROUP BY contig),
+      |j AS (SELECT COALESCE(ma.contig, mb.contig) AS contig,
+      |    COALESCE(ma.mass_a, 0) AS mass_a,
+      |    COALESCE(mb.mass_b, 0) AS mass_b,
+      |    COALESCE(ov.obs_bases, 0) AS obs_bases
+      |  FROM ma FULL JOIN mb ON ma.contig = mb.contig
+      |  LEFT JOIN ov ON COALESCE(ma.contig, mb.contig) = ov.contig),
+      |e AS (SELECT contig, mass_a, mass_b, obs_bases,
+      |    CAST((CAST(mass_a AS HUGEINT) * mass_b * 1000) // 9000
+      |      AS BIGINT) AS exp_milli
+      |  FROM j)
+      |SELECT contig, CAST(mass_a AS BIGINT) AS mass_a,
+      |  CAST(mass_b AS BIGINT) AS mass_b,
+      |  CAST(obs_bases AS BIGINT) AS obs_bases, exp_milli,
+      |  CAST(CASE WHEN mass_a = 0 OR mass_b = 0 THEN NULL
+      |    ELSE (CAST(obs_bases AS HUGEINT) * 1000000)
+      |      // CAST(exp_milli AS HUGEINT) END AS BIGINT)
+      |    AS fold_milli
+      |FROM e ORDER BY contig""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -5253,7 +5365,8 @@ object Genomics {
     "x74_adapter_trim"       -> (x74AdapterTrim _),
     "x75_split_multiallelic" -> (x75SplitMultiallelic _),
     "x76_gt_from_pl"         -> (x76GtFromPl _),
-    "x77_cycle_quality"      -> (x77CycleQuality _))
+    "x77_cycle_quality"      -> (x77CycleQuality _),
+    "x78_enrichment"         -> (x78Enrichment _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -5315,5 +5428,6 @@ object Genomics {
     "x74_adapter_trim"       -> x74Sql,
     "x75_split_multiallelic" -> x75Sql,
     "x76_gt_from_pl"         -> x76Sql,
-    "x77_cycle_quality"      -> x77Sql)
+    "x77_cycle_quality"      -> x77Sql,
+    "x78_enrichment"         -> x78Sql)
 }

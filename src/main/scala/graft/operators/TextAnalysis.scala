@@ -3342,6 +3342,66 @@ object TextAnalysis {
       |JOIN conc ON core.lang = conc.lang
       |ORDER BY core.lang""".stripMargin
 
+  // ---------------------------------------------------------------- t50
+  /** PREFERENCE-PAIR ASSEMBLY (DPO/RLHF data prep) — from a
+    * (prompt, response, score) pool, emit one (chosen, rejected) pair
+    * per prompt: best and worst response by score with deterministic
+    * doc-id tie-breaks, prompts with a single response dropped (no
+    * contrast), degenerate zero-gap pairs dropped (chosen must actually
+    * beat rejected), and prompts hash-assigned to the EVAL split
+    * excluded entirely — the leakage rule t26/t27 enforce for
+    * train/test, applied at the pair level where a leaked prompt
+    * contaminates reward modeling. Prompt ids synthesize by doc-id
+    * bucketing; the score is the n_chars quality surrogate.
+    *
+    * Scale shape: one (prompt)-keyed min/max-struct aggregate —
+    * map-side combinable, never a per-prompt sort; the split coin is
+    * t26's md5 arithmetic. */
+  def t50PreferencePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select((col("doc_id") % 97).as("prompt_id"), col("doc_id"),
+        col("n_chars").as("score"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        max(struct(col("score"), col("doc_id"))).as("best"),
+        min(struct(col("score"), col("doc_id"))).as("worst"))
+      .where(col("n_responses") >= 2)
+      .select(col("prompt_id"), col("n_responses"),
+        col("best.doc_id").as("chosen_id"),
+        col("worst.doc_id").as("rejected_id"),
+        (col("best.score") - col("worst.score")).as("score_gap"))
+      .where(col("score_gap") > 0)
+      .where(expr(
+        """CAST(conv(substring(md5(
+          |  CAST(prompt_id AS STRING) || ':pref'), 1, 8), 16, 10)
+          |  AS BIGINT) % 10 != 0""".stripMargin))
+      .orderBy("prompt_id")
+
+  val t50Sql: String =
+    """WITH r AS (SELECT doc_id % 97 AS prompt_id, doc_id,
+      |    n_chars AS score FROM documents),
+      |w AS (SELECT prompt_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+      |      ORDER BY score DESC, doc_id DESC) AS rb,
+      |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+      |      ORDER BY score ASC, doc_id ASC) AS rw
+      |  FROM r),
+      |g AS (SELECT r.prompt_id, COUNT(*) AS n_responses,
+      |    MAX(r.score) - MIN(r.score) AS score_gap
+      |  FROM r GROUP BY r.prompt_id)
+      |SELECT g.prompt_id, g.n_responses,
+      |  CAST(cb.doc_id AS BIGINT) AS chosen_id,
+      |  CAST(cw.doc_id AS BIGINT) AS rejected_id,
+      |  CAST(g.score_gap AS BIGINT) AS score_gap
+      |FROM g
+      |JOIN w cb ON cb.prompt_id = g.prompt_id AND cb.rb = 1
+      |JOIN w cw ON cw.prompt_id = g.prompt_id AND cw.rw = 1
+      |WHERE g.n_responses >= 2 AND g.score_gap > 0
+      |  AND CAST(concat('0x', substring(md5(
+      |    CAST(g.prompt_id AS VARCHAR) || ':pref'), 1, 8)) AS BIGINT)
+      |    % 10 != 0
+      |ORDER BY g.prompt_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3391,7 +3451,8 @@ object TextAnalysis {
     "t46_mojibake_gate" -> (t46MojibakeGate _),
     "t47_langid_confusion" -> (t47LangIdConfusion _),
     "t48_source_diversity" -> (t48SourceDiversity _),
-    "t49_data_card" -> (t49DataCard _))
+    "t49_data_card" -> (t49DataCard _),
+    "t50_preference_pairs" -> (t50PreferencePairs _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3441,5 +3502,6 @@ object TextAnalysis {
     "t46_mojibake_gate" -> t46Sql,
     "t47_langid_confusion" -> t47Sql,
     "t48_source_diversity" -> t48Sql,
-    "t49_data_card" -> t49Sql)
+    "t49_data_card" -> t49Sql,
+    "t50_preference_pairs" -> t50Sql)
 }

@@ -281,6 +281,57 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- x78
+  test("x78 enrichment: correlated phases enrich, anti-correlated " +
+      "deplete; masses exact") {
+    val rows = Genomics.x78Enrichment(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val c1 = rows("chr1")
+    val c2 = rows("chr2")
+    assert(c1._6.exists(_ > 1000L), s"chr1 must enrich: $c1")
+    assert(c2._4 === 0L && c2._6.contains(0L),
+      s"chr2 mid-stride B never overlaps: $c2")
+  }
+
+  test("x78 intervalEnrichment: hand sets — exact observed and fold") {
+    val a = Seq(("c", 0L, 10L), ("c", 100L, 110L))
+      .toDF("contig", "start", "end")
+    val b = Seq(("c", 5L, 15L)).toDF("contig", "start", "end")
+    val got = Genomics.intervalEnrichment(a, b, genomeLen = 1000L,
+        binWidth = 64)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    // massA 20, massB 10, obs 5; exp_milli = 20*10*1000/1000 = 200
+    // fold = obs/exp = 5/0.2 = 25 -> 25000 milli
+    assert(got === (("c", 20L, 10L, 5L, 200L, Some(25000L))))
+  }
+
+  // ------------------------------------------------------------- t50
+  test("t50 preference pairs: chosen beats rejected, eval prompts " +
+      "absent, pairs match a driver recompute") {
+    val got = TextAnalysis.t50PreferencePairs(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def inEval(p: Long): Boolean = {
+      val h = md.digest(s"$p:pref".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 10 == 0
+    }
+    docs.groupBy(_._1 % 97).foreach { case (p, g) =>
+      val best = g.maxBy(r => (r._2, r._1))
+      val worst = g.minBy(r => (r._2, r._1))
+      val gap = best._2 - worst._2
+      if (g.size >= 2 && gap > 0 && !inEval(p))
+        assert(got(p) === ((p, g.size.toLong, best._1, worst._1, gap)),
+          s"prompt $p")
+      else assert(!got.contains(p), s"prompt $p must be excluded")
+    }
+  }
+
   // ------------------------------------------------------------- t48
   test("t48 diversity: uniform hand corpus scores k effective sources") {
     // lang with 4 equal sources: HHI = 250000 ppm, eff = 4000 milli
