@@ -4583,6 +4583,80 @@ object Relational {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars_checksum
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** LATE-DATA ACCOUNTING GATE — the watermark semantics q35–q41 rely
+    * on, pinned VALUE-level: a windowed streaming aggregation runs in
+    * two checkpointed phases (q55's restart discipline); phase 1
+    * ingests the on-time first half, phase 2 ingests the second half
+    * PLUS replayed copies of day-1/2 events under fresh ids — rows
+    * provably below the watermark the first phase established. Append
+    * mode must (a) DROP every replay (their windows are finalized or
+    * behind the watermark), (b) carry the still-open windows' state
+    * across the restart, and (c) emit exactly the windows whose end
+    * the final watermark passed. The oracle restates all three rules
+    * arithmetically from the ORIGINAL events — per-window counts AND
+    * id checksums, so one leaked replay (its ids are offset by 2·10⁹)
+    * flips a value, not just a boolean.
+    *
+    * Scale shape: the production late-data pattern verbatim — state
+    * bounded by open windows × keys, eviction driven by the watermark,
+    * exactly-once through the checkpointed file source/sink pair. */
+  def q105LateDataGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.HadoopIO
+    import org.apache.spark.sql.streaming.Trigger
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val conf = s.sparkContext.hadoopConfiguration
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_q105_$tag"
+    HadoopIO.delete(root, conf)
+    val (inDir, outDir, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    val ev = Tables.events(s2, d)
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"))
+    val cut = lit("2024-01-16").cast(TimestampType)
+    def runOnce(): Unit = {
+      val q = s2.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP").parquet(inDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_checksum"))
+        .select(col("w.start").as("win_start"), col("n_events"),
+          col("id_checksum"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.where(col("ts") < cut).write.mode("append").parquet(inDir)
+    runOnce()
+    val late = ev.where(col("ts") < lit("2024-01-03").cast(TimestampType))
+      .select((col("event_id") + 2000000000L).as("event_id"), col("ts"))
+    ev.where(col("ts") >= cut).unionByName(late)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    s2.read.parquet(outDir)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("n_events"), col("id_checksum"))
+      .orderBy("win_start_us")
+  }
+
+  /** The three rules restated: only original (non-replay) events
+    * count, grouped into UTC day windows, keeping windows whose END is
+    * at or before the final watermark max(ts) − 1 h. */
+  val q105Sql: String =
+    """WITH e AS (SELECT event_id, ts FROM events),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm2 FROM e),
+      |w AS (SELECT date_trunc('day', ts) AS ws, event_id FROM e)
+      |SELECT EPOCH_US(ws) AS win_start_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+      |FROM w CROSS JOIN wm
+      |WHERE ws + INTERVAL 1 DAY <= wm.wm2
+      |GROUP BY ws ORDER BY win_start_us""".stripMargin
+
   // ---------------------------------------------------------------- wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -4688,7 +4762,8 @@ object Relational {
     "q101_calibration_eval" -> (q101CalibrationEval _),
     "q102_attribution" -> (q102Attribution _),
     "q103_jsonl_roundtrip" -> (q103JsonlRoundtrip _),
-    "q104_csv_roundtrip" -> (q104CsvRoundtrip _))
+    "q104_csv_roundtrip" -> (q104CsvRoundtrip _),
+    "q105_late_data_gate" -> (q105LateDataGate _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -4794,5 +4869,6 @@ object Relational {
     "q101_calibration_eval" -> q101Sql,
     "q102_attribution" -> q102Sql,
     "q103_jsonl_roundtrip" -> q103Sql,
-    "q104_csv_roundtrip" -> q104Sql)
+    "q104_csv_roundtrip" -> q104Sql,
+    "q105_late_data_gate" -> q105Sql)
 }

@@ -281,6 +281,29 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ q105
+  test("q105 late-data gate: replays dropped, open windows survive " +
+      "the restart, the last window is withheld") {
+    val rows = Relational.q105LateDataGate(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // driver recompute of the oracle's three rules
+    val ev = graft.Tables.events(spark, sf)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"))
+      .as[(Long, Long)].collect()
+    val dayUs = 86400L * 1000000L
+    val wm2 = ev.map(_._1).max - 3600L * 1000000L
+    val want = ev.groupBy(r => r._1 / dayUs * dayUs)
+      .filter { case (ws, _) => ws + dayUs <= wm2 }
+      .map { case (ws, g) =>
+        (ws, g.length.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    // replay ids are offset by 2e9: any leak would push a checksum
+    // past the original-id mass — asserted by exact equality above
+  }
+
   // ------------------------------------------------------------- x78
   test("x78 enrichment: correlated phases enrich, anti-correlated " +
       "deplete; masses exact") {
