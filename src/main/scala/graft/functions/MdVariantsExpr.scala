@@ -86,13 +86,20 @@ object GraftExtensions {
     * must fold to an integer at plan time — these parameters size
     * buffers/arrays, so a per-row value is a contract error, reported
     * as one rather than as a ClassCastException from deep in codegen. */
+  private def longToInt(v: Long, fn: String): Int = {
+    if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+      s"$fn: parameter $v exceeds Int range — silent wrap would corrupt " +
+        "the buffer sizing this parameter controls")
+    v.toInt
+  }
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
-      v.toInt
+      longToInt(v, fn)
     case other if other.foldable => other.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long => longToInt(l, fn)
       case x => throw new IllegalArgumentException(
         s"$fn: parameter must be an integer literal, got $x")
     }

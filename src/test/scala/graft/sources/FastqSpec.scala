@@ -84,6 +84,48 @@ class FastqSpec extends SparkSpec {
     }
   }
 
+  test("zero-length reads (post-adapter-trimming) survive the write → " +
+      "read roundtrip, plain and bgzip, with splits") {
+    val recs = (0 until 60).map { i =>
+      if (i % 5 == 0) (s"empty_$i", "", "")
+      else {
+        val len = 8 + i % 13
+        (s"read_$i", ("ACGTN" * 8).take(len), "I" * len)
+      }
+    }
+    val df = recs.toDF("name", "sequence", "quality")
+    val dir = Files.createTempDirectory("graft_fastq_empty")
+    for (ext <- Seq("fastq", "fastq.gz")) {
+      val out = s"$dir/rt.$ext"
+      FastqDataSource.write(df, out)
+      val back = spark.read.format("fastq").option("splitsize", "113")
+        .load(out)
+        .select("name", "sequence", "quality")
+        .as[(String, String, String)].collect().toSet
+      assert(back === recs.toSet,
+        s"roundtrip $ext must keep zero-length reads")
+    }
+  }
+
+  test("non-ASCII bytes in names and comments roundtrip as UTF-8, " +
+      "not Latin-1 mojibake") {
+    val recs = Seq(
+      ("lector_α", Some("muestra=año"), "ACGT", "IIII"),
+      ("r2", None, "GGCC", "@@@@"),
+      ("читатель", Some("λ=3 日本"), "ACGTACGT", "IJKLIJKL"))
+    val df = recs.map { case (n, c, s, q) => (n, c.orNull, s, q) }
+      .toDF("name", "comment", "sequence", "quality")
+    val dir = Files.createTempDirectory("graft_fastq_utf8")
+    for (ext <- Seq("fastq", "fastq.gz")) {
+      val out = s"$dir/rt.$ext"
+      FastqDataSource.write(df, out)
+      val back = spark.read.format("fastq").load(out)
+        .select("name", "comment", "sequence", "quality")
+        .as[(String, Option[String], String, String)].collect().toSet
+      assert(back === recs.toSet, s"UTF-8 roundtrip $ext")
+    }
+  }
+
   test("column pruning: a length-only scan never materializes strings") {
     val path = writeFixture(adversarial(10))
     val df = spark.read.format("fastq").load(path).select("length")
