@@ -38,12 +38,18 @@ object Ld {
     StructField("Variant2", StringType, nullable = false),
     StructField("R", DoubleType, nullable = false)))
 
+  /** Dim-load counter: the cohort gate (x80) asserts an N-sample run
+    * loads the LD dim exactly once, not N times. */
+  val loadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Headerless LD TSV → (Variant1, Variant2, R_q:int) with zeros dropped. */
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
+    loadCount.incrementAndGet()
     spark.read.option("sep", "\t").schema(schema).csv(path)
       .select(col("Variant1"), col("Variant2"),
         (col("R") * 100000).cast(IntegerType).as("R_q"))
       .where(col("R_q") =!= 0)
+  }
 
   /** Driver map for the faithful broadcast mode (88k rows ≈ few MB). */
   def toMap(ld: DataFrame): Map[(String, String), Int] =

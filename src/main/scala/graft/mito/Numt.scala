@@ -29,11 +29,17 @@ object Numt {
     StructField("nend", IntegerType, nullable = false),
     StructField("score", FloatType, nullable = false)))
 
-  def load(spark: SparkSession, path: String): Seq[Interval] =
+  /** Dim-load counter: the cohort gate (x80) asserts an N-sample run
+    * loads the NUMT dim exactly once, not N times. */
+  val loadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def load(spark: SparkSession, path: String): Seq[Interval] = {
+    loadCount.incrementAndGet()
     spark.read.option("sep", "\t").schema(schema).csv(path)
       .collect()
       .map(r => Interval(r.getString(0), r.getInt(1), r.getInt(2), r.getFloat(3)))
       .toSeq
+  }
 
   /** Per-alignment NUMT overlap score as a literal expression:
     * Σ score of intervals overlapping [start, start + len(sequence)) on the

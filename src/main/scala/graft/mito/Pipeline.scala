@@ -51,7 +51,20 @@ object MitoPipeline {
     // reference had this same double evaluation, F5)
     val feat = features(spark, cfg, label = 0.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val srcBase = cfg.prefix + "_MT"
+    val filtered = classifyAndWrite(spark, feat, cfg.prefix, cfg.out,
+      cfg.prob, model)
+    feat.unpersist(blocking = false) // sink written; release the cache
+    Features.releaseCaches() // incl. mtFeaturesJoin's per-read aggregate
+    filtered
+  }
+
+  /** Steps 6-10 shared by [[run]] and [[runCohort]]: score the persisted
+    * feature frame, filter `<prefix>_MT`, write the single-file sink. */
+  private def classifyAndWrite(spark: SparkSession, feat: DataFrame,
+      prefix: String, out: String, prob: Double,
+      model: org.apache.spark.ml.classification.RandomForestClassificationModel)
+      : DataFrame = {
+    val srcBase = prefix + "_MT"
     val srcBam = srcBase + ".bam"
     val srcIsBam = graft.sources.HadoopIO.exists(srcBam,
       graft.sources.HadoopIO.driverConf())
@@ -59,21 +72,54 @@ object MitoPipeline {
     // empty-input / prob=0 pass-through guards (reference
     // MTClassify.scala:159-161,194-197)
     val filtered =
-      if (cfg.prob <= 0.0 || feat.isEmpty) toWrite
+      if (prob <= 0.0 || feat.isEmpty) toWrite
       else {
-        val keys = Classify.mtReadKeys(Classify.score(model, feat), cfg.prob)
+        val keys = Classify.mtReadKeys(Classify.score(model, feat), prob)
         Classify.filterAlignments(toWrite, keys)
       }
     val (headerText, refs) =
       if (srcIsBam) graft.sources.BamWriter.readHeader(srcBam)
       else Sam.headerFromSam(spark, Sam.resolveSamText(srcBase))
-    if (cfg.out.endsWith(".bam"))
-      graft.sources.BamWriter.write(filtered, headerText, refs, cfg.out)
+    if (out.endsWith(".bam"))
+      graft.sources.BamWriter.write(filtered, headerText, refs, out)
     else
       Sam.writeSingleSamWithHeader(
-        headerText.split("\n").filter(_.nonEmpty), filtered, cfg.out)
-    feat.unpersist(blocking = false) // sink written; release the cache
-    Features.releaseCaches() // incl. mtFeaturesJoin's per-read aggregate
+        headerText.split("\n").filter(_.nonEmpty), filtered, out)
     filtered
+  }
+
+  /** COHORT mode — N samples, ONE session, SHARED dims: the reference is
+    * one-sample-per-JVM (`MTClassify.main` takes a single prefix), so a
+    * cohort pays N dim loads and N JVM spins. Here the LD table is loaded,
+    * collected, and `sparkContext.broadcast` ONCE, the NUMT dim loaded
+    * once, and every sample's feature build closes over the SAME broadcast
+    * handle — N samples cost one dim load plus N sample-sized pipelines.
+    * [[graft.mito.Ld.loadCount]] / [[graft.mito.Numt.loadCount]] make the
+    * once-not-N contract observable (the x80 gate asserts the deltas are
+    * exactly 1 across an 8-sample cohort).
+    *
+    * `samples` maps each input prefix to its output path. Uses the
+    * faithful broadcast LD mode — the cohort contract is a driver-sized
+    * LD dim; a corpus-sized dim would switch to the join mode per sample
+    * with the LD frame persisted once instead. */
+  def runCohort(spark: SparkSession, samples: Seq[(String, String)],
+      ldFile: String, numtFile: String, prob: Double,
+      model: org.apache.spark.ml.classification.RandomForestClassificationModel)
+      : Unit = {
+    val numts = Numt.load(spark, numtFile)
+    val ldBc = spark.sparkContext.broadcast(Ld.toMap(Ld.load(spark, ldFile)))
+    try samples.foreach { case (prefix, out) =>
+      val nt = Features.ntFeatures(Sam.readAuto(spark, prefix + "_NT"), numts)
+      val mt = Features.mtFeaturesBroadcast(
+        Sam.readAuto(spark, prefix + "_MT_MD"), ldBc)
+      val feat = Features
+        .normalizeMapQ(Features.featureFrame(mt, nt, label = 0.5))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      classifyAndWrite(spark, feat, prefix, out, prob, model)
+      feat.unpersist(blocking = false)
+    } finally {
+      ldBc.unpersist(blocking = false)
+      Features.releaseCaches()
+    }
   }
 }

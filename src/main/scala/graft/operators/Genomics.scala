@@ -4883,8 +4883,13 @@ object Genomics {
           s"least(len, ${alen}))")).as("k"))
       .where(expr(s"substring(sequence, len - k + 1, k) = " +
         s"substring('$adapter', 1, k)"))
-      .groupBy(col("name")).agg(max(col("k")).as("ov"))
-    base.join(partial, Seq("name"), "left")
+      // key on (name, sequence), not name alone: caller-supplied names
+      // are NOT guaranteed unique, and pooling candidates across
+      // different sequences sharing a name would misclassify rows.
+      // Duplicate (name, sequence) rows are identical reads, so each
+      // gets the same (correct) overlap back (ADVICE r11).
+      .groupBy(col("name"), col("sequence")).agg(max(col("k")).as("ov"))
+    base.join(partial, Seq("name", "sequence"), "left")
       .select(col("name"), col("len"),
         when(col("full_pos") > 0, "full")
           .when(col("ov").isNotNull, "partial")
@@ -4896,9 +4901,9 @@ object Genomics {
 
   /** Driver gate: Illumina's universal adapter planted three ways —
     * full occurrence mid-read, head-only at the tail (read-through),
-    * and absent — classified and trimmed per class, summarized. Read
-    * names here are unique per synthesized row by construction, so the
-    * left join is key-exact. */
+    * and absent — classified and trimmed per class, summarized. The
+    * operator keys its partial-match join on (name, sequence), so even
+    * colliding synthesized names cannot pool candidates across reads. */
   def x74AdapterTrim(s: SparkSession, d: String): DataFrame = {
     val Adapter = "AGATCGGAAGAGC"
     val SeqAlpha = "ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT" * 3
@@ -5232,8 +5237,11 @@ object Genomics {
       // fold = obs/exp; exp carries a ×1000 scale, so obs·10⁶ div
       // exp_milli is already milli-scaled (hand-fixture-pinned — the
       // oracle alone could not catch a staging error made on BOTH sides)
+      // exp_milli can floor to 0 even with nonzero masses (mass_a·
+      // mass_b·1000 < genomeLen) — guard it explicitly, or the division
+      // is NULL in non-ANSI Spark but an error in DuckDB/ANSI (ADVICE r11)
       .withColumn("fold_milli", expr(
-        """CASE WHEN mass_a = 0 OR mass_b = 0 THEN NULL
+        """CASE WHEN mass_a = 0 OR mass_b = 0 OR exp_milli = 0 THEN NULL
           |ELSE CAST((CAST(obs_bases AS DECIMAL(38,0)) * 1000000)
           |  div CAST(exp_milli AS DECIMAL(38,0)) AS BIGINT)
           |END""".stripMargin))
@@ -5299,11 +5307,110 @@ object Genomics {
       |SELECT contig, CAST(mass_a AS BIGINT) AS mass_a,
       |  CAST(mass_b AS BIGINT) AS mass_b,
       |  CAST(obs_bases AS BIGINT) AS obs_bases, exp_milli,
-      |  CAST(CASE WHEN mass_a = 0 OR mass_b = 0 THEN NULL
+      |  CAST(CASE WHEN mass_a = 0 OR mass_b = 0 OR exp_milli = 0 THEN NULL
       |    ELSE (CAST(obs_bases AS HUGEINT) * 1000000)
       |      // CAST(exp_milli AS HUGEINT) END AS BIGINT)
       |    AS fold_milli
       |FROM e ORDER BY contig""".stripMargin
+
+  // ---------------------------------------------------------------- x79
+  /** PAIRED-END FASTQ GATE — the mate-paired read surface upstream of
+    * BAM the reference's preprocessing starts from (paired FASTQ → uBAM,
+    * ref README.md:30). Synthesizes unique-stem pairs in BOTH naming
+    * conventions (legacy `/1 /2` suffix and CASAVA `1:N:0:…` comments),
+    * writes R1/R2 as bgzip'd FASTQ through the distributed sink, reads
+    * them back mate-paired via [[graft.sources.FastqPaired]] with
+    * intra-file splits, and pins: strict mode pairs every read exactly
+    * once; lenient mode drops a planted R1 orphan; strict mode RAISES on
+    * that orphan. Oracle: the mate equi-join restated over the same
+    * synthesized parameters. */
+  def x79PairedFastq(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{FastqDataSource, FastqPaired, HadoopIO}
+    val SeqAlpha = "ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT" * 4
+    // max(soff) + max(len) = 90 + 79 — keep the alphabet longer than that
+    // or substring() silently truncates quality below sequence length
+    val QualAlpha = ("@IIH@GF@EDCBA@?>=<;@98765@IIII@HHHH@JJJJ@KKKK@LLLL@" +
+      "IJKLMNOPQRSTUVWXYZ()^_@abcdefgh") * 3
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 27 === 11)
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // pairs — collapse to one parameter set per stem so strict mode's
+    // per-file uniqueness guard sees instrument-shaped input
+    val params = li.select(
+        concat(lit("p"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("stem"),
+        (lit(20) + (col("l_partkey") % 60)).cast("int").as("len1"),
+        (lit(20) + (col("l_suppkey") % 60)).cast("int").as("len2"),
+        ((col("l_partkey") % 90) + 1).cast("int").as("soff1"),
+        ((col("l_suppkey") % 90) + 1).cast("int").as("soff2"),
+        (col("l_orderkey") % 2).cast("int").as("legacy"))
+      .groupBy(col("stem")).agg(min(col("len1")).as("len1"),
+        min(col("len2")).as("len2"), min(col("soff1")).as("soff1"),
+        min(col("soff2")).as("soff2"), min(col("legacy")).as("legacy"))
+    def mate(i: Int): DataFrame = params.select(
+      when(col("legacy") === 1, concat(col("stem"), lit(s"/$i")))
+        .otherwise(col("stem")).as("name"),
+      when(col("legacy") === 0,
+        concat(lit(s"$i:N:0:"), col("stem"))).as("comment"),
+      expr(s"substring('$SeqAlpha', soff$i, len$i)").as("sequence"),
+      expr(s"substring('$QualAlpha', soff$i, len$i)").as("quality"))
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${HadoopIO.scratchDir(s)}/graft_x79_$tag"
+    val (r1c, r2c) = (s"$dir/clean_R1.fastq.gz", s"$dir/clean_R2.fastq.gz")
+    FastqDataSource.write(mate(1), r1c)
+    FastqDataSource.write(mate(2), r2c)
+    // orphan variant: R1 gains one read with no R2 mate
+    import s.implicits._
+    val orphan = Seq(("zz_orphan/1", null.asInstanceOf[String],
+      "ACGTACGT", "IIIIIIII")).toDF("name", "comment", "sequence", "quality")
+    val r1o = s"$dir/orphan_R1.fastq.gz"
+    FastqDataSource.write(mate(1).unionByName(orphan), r1o)
+    val strictAgg = FastqPaired
+      .read(s, r1c, r2c, strict = true, splitSize = 4096)
+      .agg(count(lit(1)).as("n"),
+        sum(col("len_1").cast("long")).as("b1"),
+        sum(col("len_2").cast("long")).as("b2"),
+        count_distinct(md5(concat_ws("|", col("name"), col("seq_1"),
+          col("seq_2")))).as("fp"),
+        sum(col("comment_1").isNull.cast("long")).as("n_legacy"))
+      .collect()(0)
+    val lenientN = FastqPaired
+      .read(s, r1o, r2c, strict = false, splitSize = 4096).count()
+    val strictRaises =
+      try { FastqPaired.read(s, r1o, r2c, strict = true).count(); false }
+      catch { case _: Throwable => true }
+    Seq((strictAgg.getLong(0), strictAgg.getLong(1), strictAgg.getLong(2),
+      strictAgg.getLong(3), strictAgg.getLong(4),
+      lenientN == strictAgg.getLong(0), strictRaises))
+      .toDF("n_pairs", "bases_r1", "bases_r2", "n_fingerprints",
+        "n_legacy", "lenient_drops_orphan", "strict_raises")
+  }
+
+  val x79Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |  FROM lineitem WHERE l_orderkey % 27 = 11),
+      |p0 AS (SELECT 'p' || l_orderkey || '_' || l_linenumber AS stem,
+      |    20 + (l_partkey % 60) AS len1, 20 + (l_suppkey % 60) AS len2,
+      |    (l_partkey % 90) + 1 AS soff1, (l_suppkey % 90) + 1 AS soff2,
+      |    CAST(l_orderkey % 2 AS INT) AS legacy
+      |  FROM li),
+      |p AS (SELECT stem, MIN(len1) AS len1, MIN(len2) AS len2,
+      |    MIN(soff1) AS soff1, MIN(soff2) AS soff2, MIN(legacy) AS legacy
+      |  FROM p0 GROUP BY stem),
+      |alpha AS (SELECT repeat(
+      |  'ACGTNACGTTGCAACGTNGGCCAATTACGTNACGTTGCAACGTNGGCCAATT', 4) AS sa),
+      |m AS (SELECT stem, legacy,
+      |    substring(alpha.sa, soff1, len1) AS seq1,
+      |    substring(alpha.sa, soff2, len2) AS seq2, len1, len2
+      |  FROM p CROSS JOIN alpha)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(len1) AS BIGINT) AS bases_r1,
+      |  CAST(SUM(len2) AS BIGINT) AS bases_r2,
+      |  CAST(COUNT(DISTINCT md5(stem || '|' || seq1 || '|' || seq2))
+      |    AS BIGINT) AS n_fingerprints,
+      |  CAST(SUM(CASE WHEN legacy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_legacy,
+      |  true AS lenient_drops_orphan, true AS strict_raises
+      |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
@@ -5366,7 +5473,8 @@ object Genomics {
     "x75_split_multiallelic" -> (x75SplitMultiallelic _),
     "x76_gt_from_pl"         -> (x76GtFromPl _),
     "x77_cycle_quality"      -> (x77CycleQuality _),
-    "x78_enrichment"         -> (x78Enrichment _))
+    "x78_enrichment"         -> (x78Enrichment _),
+    "x79_paired_fastq_gate"  -> (x79PairedFastq _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -5429,5 +5537,6 @@ object Genomics {
     "x75_split_multiallelic" -> x75Sql,
     "x76_gt_from_pl"         -> x76Sql,
     "x77_cycle_quality"      -> x77Sql,
-    "x78_enrichment"         -> x78Sql)
+    "x78_enrichment"         -> x78Sql,
+    "x79_paired_fastq_gate"  -> x79Sql)
 }

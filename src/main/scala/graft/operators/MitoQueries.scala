@@ -536,8 +536,17 @@ object MitoQueries {
     * plus their headers. See [[x08PipelineGate]] for the determinism
     * argument — identical for both gates, only the container differs. */
   private def x08Cohort(s: SparkSession, d: String): (DataFrame, DataFrame,
-      DataFrame, String, String, Seq[(String, Int)]) = {
-    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 2)
+      DataFrame, String, String, Seq[(String, Int)]) =
+    x08CohortSlice(s, d, col("l_orderkey") % 4 === 2)
+
+  /** [[x08Cohort]] restricted to a sub-slice of the population — x80
+    * partitions x08's cohort (`l_orderkey % 4 = 2`) into 8 disjoint
+    * per-sample slices (`l_orderkey % 32 = 4k + 2`), so the per-sample
+    * oracles are the same arithmetic grouped by slice. */
+  private def x08CohortSlice(s: SparkSession, d: String, slice: Column)
+      : (DataFrame, DataFrame, DataFrame, String, String,
+        Seq[(String, Int)]) = {
+    val li = Tables.lineitem(s, d).where(slice)
     val cls = col("l_partkey") % 2 // 1 = NUMT (dropped), 0 = mtDNA (kept)
     val rid = concat(lit("r"), col("l_orderkey"), lit("_"),
       col("l_linenumber"), lit("_"), col("l_partkey"), lit("_"),
@@ -726,6 +735,66 @@ object MitoQueries {
       |  CAST(2 * SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq
       |FROM lineitem
       |WHERE l_orderkey % 4 = 2 AND l_partkey % 2 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- x80
+  /** COHORT-SCALE PIPELINE GATE — the scale-out story the reference never
+    * had: its `MTClassify.main` is one-sample-per-JVM, so an N-sample
+    * cohort pays N JVM spins and N dim loads. Here 8 samples (x08's
+    * population partitioned into disjoint `l_orderkey % 32 = 4k + 2`
+    * slices) run through `MitoPipeline.runCohort` in ONE session: the LD
+    * map is collected + broadcast once, the NUMT dim loaded once (both
+    * asserted via load counters — a regression to per-sample dim loads
+    * fails the gate, not just slows it), and each sample's classified
+    * single-file BAM is written then independently re-scanned. Output:
+    * one row per sample with x08's exact-count arithmetic, so a record
+    * wrongly dropped/kept/mis-encoded in ANY sample flips the hash. */
+  def x80CohortGate(s: SparkSession, d: String): DataFrame = {
+    import graft.mito.{Ld, MitoPipeline, Numt}
+    import graft.sources.{BamWriter, HadoopIO}
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x80_$sfTag"
+    x08Sidecars(root)
+    val samples = (0 until 8).map { k =>
+      val pre = s"$root/s$k/sample"
+      val (mtMdDf, ntDf, mtDf, chrM, ntHeader, ntRefs) =
+        x08CohortSlice(s, d, col("l_orderkey") % 32 === k * 4 + 2)
+      BamWriter.write(mtMdDf, chrM, Seq("chrM" -> 16569), pre + "_MT_MD.bam")
+      BamWriter.write(ntDf, ntHeader, ntRefs, pre + "_NT.bam")
+      BamWriter.write(mtDf, chrM, Seq("chrM" -> 16569), pre + "_MT.bam")
+      pre -> s"$root/s$k/classified.bam"
+    }
+    val (ld0, nt0) = (Ld.loadCount.get(), Numt.loadCount.get())
+    MitoPipeline.runCohort(s, samples, root + "/mitomap.ld",
+      root + "/numts.tsv", prob = 0.9, x08Rf(s))
+    require(Ld.loadCount.get() - ld0 == 1L && Numt.loadCount.get() - nt0 == 1L,
+      "cohort run must load each shared dim exactly once, not per sample")
+    (0 until 8).map { k =>
+      s.read.format("bam").load(s"$root/s$k/classified.bam")
+        .agg(count(lit(1)).as("n_out"),
+          sum(col("start")).as("sum_start"),
+          sum(col("mapQ")).as("sum_mapq"))
+        .select(lit(k.toLong).as("sample_id"), col("n_out"),
+          col("sum_start"), col("sum_mapq"))
+    }.reduce(_ unionByName _).orderBy("sample_id")
+  }
+
+  /** x08's oracle arithmetic grouped by the slice id, with every sample
+    * id present even if a slice is empty at tiny scale factors. */
+  val x80Sql: String =
+    """WITH base AS (SELECT (l_orderkey % 32 - 2) // 4 AS sample_id,
+      |    l_partkey, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 4 = 2 AND l_partkey % 2 = 0),
+      |g AS (SELECT sample_id, CAST(2 * COUNT(*) AS BIGINT) AS n_out,
+      |    CAST(SUM(2 * (l_partkey % 1000 + 1) + 500) AS BIGINT)
+      |      AS sum_start,
+      |    CAST(2 * SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_mapq
+      |  FROM base GROUP BY sample_id),
+      |ids AS (SELECT unnest(range(0, 8)) AS k)
+      |SELECT CAST(ids.k AS BIGINT) AS sample_id,
+      |  CAST(COALESCE(g.n_out, 0) AS BIGINT) AS n_out,
+      |  g.sum_start, g.sum_mapq
+      |FROM ids LEFT JOIN g ON g.sample_id = ids.k
+      |ORDER BY sample_id""".stripMargin
 
   // ---------------------------------------------------------------- x11
   /** Per-position read DEPTH (pileup) — the coverage statistic every
@@ -1290,7 +1359,8 @@ object MitoQueries {
     "x14_flagstat"        -> (x14Flagstat _),
     "x15_mate_check"      -> (x15MateCheck _),
     "x16_coordinate_sort_gate" -> (x16CoordinateSortGate _),
-    "x17_markdup_gate"    -> (x17MarkdupGate _))
+    "x17_markdup_gate"    -> (x17MarkdupGate _),
+    "x80_cohort_gate"     -> (x80CohortGate _))
 
   val oracles: Map[String, String] = Map(
     "x01_pair_score" -> x01Sql,
@@ -1309,5 +1379,6 @@ object MitoQueries {
     "x14_flagstat" -> x14Sql,
     "x15_mate_check" -> x15Sql,
     "x16_coordinate_sort_gate" -> x16Sql,
-    "x17_markdup_gate" -> x17Sql)
+    "x17_markdup_gate" -> x17Sql,
+    "x80_cohort_gate" -> x80Sql)
 }

@@ -177,6 +177,21 @@ class R13OpsSpec extends SparkSpec {
     assert(got("short") === (("clean", 3L)))
   }
 
+  test("x74 adapterTrim: duplicate read names do NOT pool overlap " +
+      "candidates across different sequences") {
+    val A = "AGATCGGAAGAGC"
+    // same name, one clean read and one 7-base read-through: the clean
+    // read must stay clean, not inherit the other's partial hit
+    val reads = Seq(
+      ("dup", "ACGTACGTACGTACGT"),
+      ("dup", "CCCCCCCCCC" + A.take(7)))
+      .toDF("name", "sequence")
+    val got = Genomics.adapterTrim(reads, A, minOverlap = 5)
+      .select("name", "hit", "trimmed_len")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("dup", "clean", 16L), ("dup", "partial", 10L)))
+  }
+
   test("x74 gate: all three classes occur; kept <= raw everywhere") {
     val rows = Genomics.x74AdapterTrim(spark, sf)
       .as[(String, Long, Long, Long)].collect()
