@@ -26,7 +26,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.MitoQueries.queries ++
-      operators.Genomics.queries
+      operators.Genomics.queries ++
+      operators.Fuzz.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Multimodal.oracles ++
       operators.MitoQueries.oracles ++
-      operators.Genomics.oracles
+      operators.Genomics.oracles ++
+      operators.Fuzz.oracles
 }

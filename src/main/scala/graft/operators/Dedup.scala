@@ -1531,8 +1531,23 @@ object Dedup {
         .join(labels.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"))
         .select(col("node"), col("ll").as("label"))
-      labels = truncateLineage(labels.unionByName(prop).unionByName(short)
-        .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val round = labels.unionByName(prop).unionByName(short)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // uniform-key discipline, asserted per round: every aggregate must
+      // key on `node` (cardinality = member count, uniform even when one
+      // component holds 90% of the corpus). An aggregate keyed on `label`
+      // would funnel a giant component through ONE reducer — the skew
+      // case banded dedup meets on boilerplate-heavy crawls (d34 gate).
+      val labelKeyed = round.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.nonEmpty &&
+            a.groupingExpressions.forall(
+              _.references.map(_.name).toSeq == Seq("label")) => a
+      }
+      require(labelKeyed.isEmpty,
+        "connectedComponents: a round aggregate keyed on `label` — one " +
+          "giant component would serialize through a single reducer")
+      labels = truncateLineage(round)
       prev = cur
       cur = labelSum(labels)
       rounds += 1
@@ -1953,6 +1968,60 @@ object Dedup {
       |LEFT JOIN nd ON c.threshold_permille = nd.threshold_permille
       |ORDER BY threshold_permille""".stripMargin
 
+  // ---------------------------------------------------------------- d34
+  /** ADVERSARIAL-SKEW CONNECTED COMPONENTS — the layout banded dedup
+    * meets on boilerplate-heavy crawls: 90% of the corpus in ONE
+    * near-dup component. Planted arithmetically over the dense doc_id
+    * domain (asserted dense, so the component structure is a THEOREM the
+    * oracle restates without running CC): non-multiples of 10 form one
+    * long chain (1—2—…—9—11—…, bridged over each multiple of 10), and
+    * multiples of 10 pair up per even decade. The chain's diameter is
+    * ~0.9·N, so pointer-doubling runs ~log₂(N) full rounds — at 5 000
+    * docs that is 13+ rounds of the giant component flowing through the
+    * node-keyed shuffles, with the in-loop plan assert proving no round
+    * ever aggregates on the (skewed) label key. Output: component sizes
+    * by label — the giant's size and every pair — so a single
+    * mis-labeled member flips the hash. */
+  def d34SkewCcGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("i"))
+    val bounds = docs.agg(max(col("i")).as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+    val (mx, n) = (bounds.getLong(0), bounds.getLong(1))
+    require(mx == n - 1,
+      s"d34 plants on a dense id domain; got max=$mx over $n docs")
+    val chain = docs
+      .where(col("i") % 10 =!= 0 && col("i") % 10 =!= 9 && col("i") < mx)
+      .select(col("i").as("a_id"), (col("i") + 1L).as("b_id"))
+    val bridge = docs
+      .where(col("i") % 10 === 9 && col("i") + 2L <= mx)
+      .select(col("i").as("a_id"), (col("i") + 2L).as("b_id"))
+    val pairs = docs
+      .where(col("i") % 10 === 0 && expr("(i div 10) % 2 = 0") &&
+        col("i") + 10L <= mx)
+      .select(col("i").as("a_id"), (col("i") + 10L).as("b_id"))
+    connectedComponents(chain.unionByName(bridge).unionByName(pairs))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  /** The planted layout's components in closed form: one giant labeled 1
+    * (doc 0 is a multiple of 10) holding every non-multiple of 10, plus
+    * a 2-member component per even decade. */
+  val d34Sql: String =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+      |mx AS (SELECT MAX(i) AS m FROM ids),
+      |giant AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids
+      |  WHERE i % 10 <> 0),
+      |pairs AS (SELECT i AS cluster_id, CAST(2 AS BIGINT) AS n_members
+      |  FROM ids, mx
+      |  WHERE i % 10 = 0 AND (i // 10) % 2 = 0 AND i + 10 <= mx.m)
+      |SELECT cluster_id, n_members FROM (
+      |  SELECT CAST(1 AS BIGINT) AS cluster_id, n AS n_members FROM giant
+      |  UNION ALL SELECT cluster_id, n_members FROM pairs)
+      |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_dedup_keep"     -> (d06DedupKeep _),
     "d01_dedup_exact"    -> (d01Exact _),
@@ -1986,7 +2055,8 @@ object Dedup {
     "d30_lsh_tuning" -> (d30LshTuning _),
     "d31_bag_dedup_gate" -> (d31BagDedupGate _),
     "d32_impact_report" -> (d32ImpactReport _),
-    "d33_threshold_sweep" -> (d33ThresholdSweep _))
+    "d33_threshold_sweep" -> (d33ThresholdSweep _),
+    "d34_skew_cc_gate"    -> (d34SkewCcGate _))
 
   // ---------------------------------------------------------------- d28
   /** URL-LEVEL dedup — the cheapest and first dedup stage of a web
@@ -2208,6 +2278,7 @@ object Dedup {
     "d31_bag_dedup_gate" -> d31Sql,
     "d32_impact_report" -> d32Sql,
     "d33_threshold_sweep" -> d33Sql,
+    "d34_skew_cc_gate" -> d34Sql,
     "d06_dedup_keep"    -> d06Sql,
     "d01_dedup_exact"   -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
