@@ -57,6 +57,14 @@ object Fuzz {
     * off-by-one neighbours of powers of two, and the gates' usual 64. */
   private val BinWidths = Array(1, 2, 3, 4, 7, 8, 16, 31, 32, 33, 64)
 
+  /** Bucket widths for the two-level sweep (merge/subtract): results are
+    * bucket-independent by the kernels' contract, so randomizing the
+    * geometry fuzzes the block/boundary handling for free — the oracle
+    * does not change. 1 is excluded (every position its own bucket is
+    * legal but quadratic in fixture size); 4096 exceeds the coordinate
+    * domain, collapsing to one block per contig. */
+  private val BucketWidths = Array(32L, 64L, 257L, 512L, 4096L)
+
   def params(seed: Int): P = {
     var state = seed.toLong
     def next(): Long = { state = mix(state); state }
@@ -72,6 +80,10 @@ object Fuzz {
       strideB = in(1, 45), widthB = in(1, 40), phaseB = in(0, 63),
       emptyB = seed % 7 == 3)
   }
+
+  private[operators] def bucketWidthFor(seed: Int): Long =
+    BucketWidths(java.lang.Math.floorMod(mix(seed.toLong + 7777L),
+      BucketWidths.length.toLong).toInt)
 
   /** Interval-set synthesis over (pk, sk) pairs: DISTINCT (contig,
     * start) then end = start + width — the oracle SQL restates this
@@ -97,34 +109,38 @@ object Fuzz {
     side(base, p.nC, p.m1b, p.m2b, p.modB, p.strideB, p.widthB, p.phaseB,
       p.emptyB)
 
-  /** One seed through all four kernels → the 11-field checksum row. */
+  /** One seed through all four kernels → the 11-field checksum row.
+    * The four single-row aggregates compose into ONE job via scalar
+    * cross-joins (the s18 discipline) — one driver round-trip per seed,
+    * kernels executing concurrently under the scheduler. */
   private[operators] def runSeed(base: DataFrame, p: P)
       : (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
         Long) = {
     val a = sideA(base, p)
     val b = sideB(base, p)
     val x = Genomics.intervalIntersect(a, b, p.binWidth)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L)).as("m"),
-        coalesce(sum(col("start_pos")), lit(0L)).as("s"))
-      .collect()(0)
+      .agg(count(lit(1)).as("n_x"),
+        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L))
+          .as("mass_x"),
+        coalesce(sum(col("start_pos")), lit(0L)).as("sx"))
     val c = Genomics.closestIntervals(a, b, p.radius, p.binWidth)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("distance")), lit(0L)).as("d"),
-        coalesce(sum(col("b_start")), lit(0L)).as("s"))
-      .collect()(0)
-    val m = Genomics.intervalMerge(a, bucketWidth = 512L)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L)).as("m"))
-      .collect()(0)
+      .agg(count(lit(1)).as("n_c"),
+        coalesce(sum(col("distance")), lit(0L)).as("dist_c"),
+        coalesce(sum(col("b_start")), lit(0L)).as("sb"))
+    val bw = bucketWidthFor(p.seed)
+    val m = Genomics.intervalMerge(a, bucketWidth = bw)
+      .agg(count(lit(1)).as("n_m"),
+        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L))
+          .as("mass_m"))
     val sub = Genomics.intervalSubtract(a, b, p.binWidth,
-        bucketWidth = 512L)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L)).as("m"))
-      .collect()(0)
-    (p.seed.toLong, x.getLong(0), x.getLong(1), x.getLong(2),
-      c.getLong(0), c.getLong(1), c.getLong(2),
-      m.getLong(0), m.getLong(1), sub.getLong(0), sub.getLong(1))
+        bucketWidth = bw)
+      .agg(count(lit(1)).as("n_s"),
+        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L))
+          .as("mass_s"))
+    val row = x.crossJoin(c).crossJoin(m).crossJoin(sub).collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6), row.getLong(7), row.getLong(8), row.getLong(9))
   }
 
   /** Seeds the driver gate replays against DuckDB; FuzzSpec sweeps 100. */
@@ -210,9 +226,232 @@ object Fuzz {
     (0 until GateSeeds).map(k => seedSql(params(k)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
 
+  // ------------------------------------------------------------- q110
+  /** AS-OF JOIN FUZZ — the second kernel family on the same harness:
+    * the custom `AsOfJoinExec` (q27/q80) under seeded directions,
+    * tolerances (including 0), exact left/right time TIES (stride 1
+    * collides times on purpose), disjoint key ranges, and an empty
+    * right side. The right side's value is a function of (key, time),
+    * so checksums are tie-independent wherever the contract says the
+    * answer is unique — and the tie rules themselves (nearest →
+    * backward; equality admitted by both directed modes) are exactly
+    * what the generated correlated-subquery oracle restates. */
+  final case class PA(seed: Int, nK: Long, direction: String,
+      tolerance: Long,
+      a1: Long, a2: Long, modL: Long, strL: Long, phL: Long,
+      b1: Long, b2: Long, modR: Long, strR: Long, phR: Long,
+      emptyR: Boolean)
+
+  def asofParams(seed: Int): PA = {
+    var state = seed.toLong + 1000L // decorrelate from the interval chain
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    PA(seed,
+      nK = in(1, 20),
+      direction = Seq("backward", "forward", "nearest")(seed % 3),
+      tolerance = if (seed % 5 == 2) in(0, 60) else -1L,
+      a1 = in(1, 13), a2 = in(1, 13), modL = in(30, 300),
+      strL = in(1, 7), phL = in(0, 60),
+      b1 = in(1, 13), b2 = in(1, 13), modR = in(30, 300),
+      strR = in(1, 7), phR = in(0, 60),
+      emptyR = seed % 7 == 4)
+  }
+
+  private def asofSide(base: DataFrame, kName: String, tName: String,
+      mulK1: Long, mulK2: Long, nK: Long, m1: Long, m2: Long, modT: Long,
+      str: Long, ph: Long, empty: Boolean): DataFrame = {
+    val src = if (empty) base.where(lit(false)) else base
+    src.select(
+        ((col("pk") * mulK1 + col("sk") * mulK2) % nK).cast("long")
+          .as(kName),
+        (lit(ph) + ((col("pk") * m1 + col("sk") * m2) % modT) * str)
+          .cast("long").as(tName))
+      .distinct()
+  }
+
+  private[operators] def runAsofSeed(base: DataFrame, p: PA)
+      : (Long, Long, Long, Long, Long) = {
+    val l = asofSide(base, "k", "t", 1L, 1L, p.nK, p.a1, p.a2, p.modL,
+      p.strL, p.phL, empty = false)
+    val r = asofSide(base, "rk", "rt", 1L, 2L, p.nK, p.b1, p.b2, p.modR,
+        p.strR, p.phR, p.emptyR)
+      .withColumn("v", col("rk") * 100000L + col("rt"))
+    val row = graft.plans.AsOf
+      .join(l, r, "k", "rk", "t", "rt", p.direction, p.tolerance)
+      .agg(count(lit(1)).as("n_left"),
+        count(col("v")).as("n_match"),
+        coalesce(sum(col("v")), lit(0L)).as("sum_v"),
+        coalesce(sum(when(col("v").isNotNull, col("t"))), lit(0L))
+          .as("sum_t"))
+      .collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+  }
+
+  val AsofGateSeeds = 18 // every direction ×6, tolerances and empty-R mixed in
+
+  def q110AsofFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 13 === 6)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val rows = (0 until AsofGateSeeds).map(k => runAsofSeed(base,
+        asofParams(k)))
+      import s.implicits._
+      rows.toDF("seed", "n_left", "n_match", "sum_v", "sum_t")
+        .orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def asofSeedSql(p: PA): String = {
+    val rWhere = if (p.emptyR) " WHERE 1 = 0" else ""
+    val (pred, order) = p.direction match {
+      case "backward" =>
+        val tol = if (p.tolerance >= 0)
+          s" AND l.t - r.rt <= ${p.tolerance}" else ""
+        (s"r.rt <= l.t$tol", "r.rt DESC")
+      case "forward" =>
+        val tol = if (p.tolerance >= 0)
+          s" AND r.rt - l.t <= ${p.tolerance}" else ""
+        (s"r.rt >= l.t$tol", "r.rt ASC")
+      case _ =>
+        val tol = if (p.tolerance >= 0)
+          s"abs(r.rt - l.t) <= ${p.tolerance}" else "1 = 1"
+        (tol, "abs(r.rt - l.t), r.rt ASC")
+    }
+    s"""SELECT * FROM (
+       |WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 13 = 6),
+       |l AS (SELECT DISTINCT (pk * 1 + sk * 1) % ${p.nK} AS k,
+       |    ${p.phL} + ((pk * ${p.a1} + sk * ${p.a2}) % ${p.modL})
+       |      * ${p.strL} AS t
+       |  FROM li),
+       |r AS (SELECT rk, rt, rk * 100000 + rt AS v FROM (
+       |  SELECT DISTINCT (pk * 1 + sk * 2) % ${p.nK} AS rk,
+       |      ${p.phR} + ((pk * ${p.b1} + sk * ${p.b2}) % ${p.modR})
+       |        * ${p.strR} AS rt
+       |    FROM li$rWhere)),
+       |j AS (SELECT l.k, l.t,
+       |    (SELECT v FROM r WHERE r.rk = l.k AND $pred
+       |     ORDER BY $order LIMIT 1) AS v
+       |  FROM l)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed,
+       |  COUNT(*) AS n_left, COUNT(v) AS n_match,
+       |  CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_v,
+       |  CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL THEN t END), 0)
+       |    AS BIGINT) AS sum_t
+       |FROM j
+       |)""".stripMargin
+  }
+
+  val q110Sql: String =
+    (0 until AsofGateSeeds).map(k => asofSeedSql(asofParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
+  // ------------------------------------------------------------- q111
+  /** TEXT K-GRAM KERNEL FUZZ — third family: the native codegen text
+    * expressions ([[graft.functions.CharNgrams]],
+    * [[graft.functions.ShingleHashes]],
+    * [[graft.functions.IntersectCountSorted]] — the building blocks of
+    * the d02/d20 dedup verify kernel) over REAL corpus text with seeded
+    * gram sizes and slice geometries (k 2–5, offsets/lengths including
+    * zero-length and past-end slices). Two independent in-plan
+    * formulations must agree per row — the hashed sorted-merge intersect
+    * vs the string-level `array_intersect`, and the hash-set size vs the
+    * distinct-gram count (64-bit hashes are collision-free at these set
+    * sizes) — and the string-level numbers restate in DuckDB list
+    * algebra, so both the native kernels and the oracle triangulate. */
+  final case class PT(seed: Int, k: Int, offA: Int, lenA: Int,
+      offB: Int, lenB: Int)
+
+  def textParams(seed: Int): PT = {
+    var state = seed.toLong + 2000L
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    PT(seed, k = in(2, 5).toInt,
+      offA = in(1, 40).toInt, lenA = in(0, 400).toInt,
+      offB = in(1, 120).toInt, lenB = in(0, 300).toInt)
+  }
+
+  private[operators] def runTextSeed(docs: DataFrame, p: PT)
+      : (Long, Long, Long, Long, Long, Boolean) = {
+    import graft.functions.{CharNgramsExpr, IntersectCountExpr,
+      ShingleHashesExpr}
+    val sl = docs.select(
+      substring(col("text"), p.offA, p.lenA).as("A"),
+      substring(col("text"), p.offB, p.lenB).as("B"))
+    val g = sl.select(
+        array_distinct(CharNgramsExpr.charNgrams(col("A"), p.k)).as("ga"),
+        array_distinct(CharNgramsExpr.charNgrams(col("B"), p.k)).as("gb"),
+        sort_array(ShingleHashesExpr.shingleHashes(col("A"), p.k)).as("ha"),
+        sort_array(ShingleHashesExpr.shingleHashes(col("B"), p.k)).as("hb"))
+      .select(size(col("ga")).as("da"), size(col("gb")).as("db"),
+        size(array_intersect(col("ga"), col("gb"))).as("bi"),
+        IntersectCountExpr.intersectCountSorted(col("ha"), col("hb"))
+          .as("ni"),
+        size(col("ha")).as("nha"), size(col("hb")).as("nhb"))
+    val row = g.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("da").cast("long")), lit(0L)).as("sda"),
+        coalesce(sum(col("db").cast("long")), lit(0L)).as("sdb"),
+        coalesce(sum(col("bi").cast("long")), lit(0L)).as("sbi"),
+        coalesce(sum(when(col("ni") =!= col("bi") ||
+          col("nha") =!= col("da") || col("nhb") =!= col("db"), 1L)
+          .otherwise(0L)), lit(0L)).as("mismatch"))
+      .collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4) == 0L)
+  }
+
+  val TextGateSeeds = 8
+
+  def q111TextFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("text"))
+      .where(col("text").isNotNull).persist()
+    try {
+      docs.count()
+      val rows = (0 until TextGateSeeds).map(k => runTextSeed(docs,
+        textParams(k)))
+      import s.implicits._
+      rows.toDF("seed", "n_docs", "sum_da", "sum_db", "sum_bi",
+        "native_consistent").orderBy("seed")
+    } finally docs.unpersist(blocking = false)
+  }
+
+  private def textSeedSql(p: PT): String =
+    s"""SELECT * FROM (
+       |WITH s AS (SELECT substr(text, ${p.offA}, ${p.lenA}) AS A,
+       |    substr(text, ${p.offB}, ${p.lenB}) AS B
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT
+       |    list_distinct(list_transform(
+       |      range(1, greatest(length(A) - ${p.k} + 1, 0) + 1),
+       |      i -> substr(A, CAST(i AS INTEGER), ${p.k}))) AS ga,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(length(B) - ${p.k} + 1, 0) + 1),
+       |      i -> substr(B, CAST(i AS INTEGER), ${p.k}))) AS gb
+       |  FROM s)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(ga)) AS BIGINT) AS sum_da,
+       |  CAST(SUM(len(gb)) AS BIGINT) AS sum_db,
+       |  CAST(SUM(len(list_intersect(ga, gb))) AS BIGINT) AS sum_bi,
+       |  true AS native_consistent
+       |FROM g
+       |)""".stripMargin
+
+  val q111Sql: String =
+    (0 until TextGateSeeds).map(k => textSeedSql(textParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q106_fuzz_gate" -> (q106FuzzGate _))
+    "q106_fuzz_gate" -> (q106FuzzGate _),
+    "q110_asof_fuzz_gate" -> (q110AsofFuzzGate _),
+    "q111_text_fuzz_gate" -> (q111TextFuzzGate _))
 
   val oracles: Map[String, String] = Map(
-    "q106_fuzz_gate" -> q106Sql)
+    "q106_fuzz_gate" -> q106Sql,
+    "q110_asof_fuzz_gate" -> q110Sql,
+    "q111_text_fuzz_gate" -> q111Sql)
 }

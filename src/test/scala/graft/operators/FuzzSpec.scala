@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Differential fuzz sweep: the four interval kernels vs a pure-Scala
   * naive model over 100 seeded parameter sets (bin widths crossing
@@ -70,6 +71,92 @@ class FuzzSpec extends SparkSpec {
         g._10, g._11)
       assert(got === naive(p), s"seed $k diverged; params $p")
     }
+  }
+
+  private def naiveAsof(p: Fuzz.PA): Seq[Long] = {
+    def synth(mulK2: Long, m1: Long, m2: Long, modT: Long, str: Long,
+        ph: Long, empty: Boolean): Seq[(Long, Long)] =
+      if (empty) Nil
+      else pairs.map { case (pk, sk) =>
+        ((pk + sk * mulK2) % p.nK, ph + ((pk * m1 + sk * m2) % modT) * str)
+      }.distinct
+    val L = synth(1, p.a1, p.a2, p.modL, p.strL, p.phL, empty = false)
+    val R = synth(2, p.b1, p.b2, p.modR, p.strR, p.phR, p.emptyR)
+      .map { case (rk, rt) => (rk, rt, rk * 100000L + rt) }
+    var (nm, sv, st) = (0L, 0L, 0L)
+    L.foreach { case (k, t) =>
+      val cands = R.filter(_._1 == k)
+      val pick = p.direction match {
+        case "backward" =>
+          val c = cands.filter(r => r._2 <= t &&
+            (p.tolerance < 0 || t - r._2 <= p.tolerance))
+          if (c.isEmpty) None else Some(c.maxBy(_._2))
+        case "forward" =>
+          val c = cands.filter(r => r._2 >= t &&
+            (p.tolerance < 0 || r._2 - t <= p.tolerance))
+          if (c.isEmpty) None else Some(c.minBy(_._2))
+        case _ =>
+          val c = cands.filter(r =>
+            p.tolerance < 0 || math.abs(r._2 - t) <= p.tolerance)
+          if (c.isEmpty) None
+          else Some(c.minBy(r => (math.abs(r._2 - t), r._2)))
+      }
+      pick.foreach { r => nm += 1; sv += r._3; st += t }
+    }
+    Seq(L.size.toLong, nm, sv, st)
+  }
+
+  test("100-seed as-of differential sweep: AsOfJoinExec equals the " +
+      "naive model across directions, tolerances, ties, empty right") {
+    (0 until 100).foreach { k =>
+      val p = Fuzz.asofParams(k)
+      val g = Fuzz.runAsofSeed(base, p)
+      assert(Seq(g._2, g._3, g._4, g._5) === naiveAsof(p),
+        s"seed $k diverged; params $p")
+    }
+  }
+
+  // --------------------------------------------------------- text q111
+  private def substrCp(s: String, pos: Int, len: Int): String = {
+    val cps = s.codePoints().toArray
+    val from = math.max(pos - 1, 0)
+    val until = math.min(cps.length, from + math.max(len, 0))
+    if (from >= until) "" else new String(cps, from, until - from)
+  }
+
+  private def grams(s: String, k: Int): Set[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Set.empty
+    else (0 to cps.length - k).map(i => new String(cps, i, k)).toSet
+  }
+
+  test("30-seed text k-gram sweep: native expressions equal a naive " +
+      "codepoint model and stay internally consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").where(col("text").isNotNull)
+      .as[String].collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("text")).where(col("text").isNotNull).persist()
+    try (0 until 30).foreach { k =>
+      val p = Fuzz.textParams(k)
+      val g = Fuzz.runTextSeed(docs, p)
+      assert(g._6, s"seed $k: hashed kernel diverged from string kernel")
+      var (sda, sdb, sbi) = (0L, 0L, 0L)
+      texts.foreach { t =>
+        val ga = grams(substrCp(t, p.offA, p.lenA), p.k)
+        val gb = grams(substrCp(t, p.offB, p.lenB), p.k)
+        sda += ga.size; sdb += gb.size; sbi += ga.intersect(gb).size
+      }
+      assert((g._2, g._3, g._4, g._5) ===
+        ((texts.length.toLong, sda, sdb, sbi)), s"seed $k params $p")
+    } finally docs.unpersist(blocking = false)
+  }
+
+  test("q110 gate shape: one row per seed, seeds ascending") {
+    val rows = Fuzz.q110AsofFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed").as[Long].collect().toSeq
+    assert(rows === (0L until Fuzz.AsofGateSeeds.toLong))
   }
 
   test("q106 gate shape: one row per seed, seeds ascending") {
