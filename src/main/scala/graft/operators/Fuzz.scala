@@ -445,13 +445,92 @@ object Fuzz {
     (0 until TextGateSeeds).map(k => textSeedSql(textParams(k)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
 
+  // ------------------------------------------------------------- q112
+  /** COVERAGE-DEPTH SWEEP FUZZ — fourth family: the boundary-delta →
+    * two-level prefix scan → constant-depth-run kernel
+    * ([[Genomics.coverageIntervals]], the spine under x18/x24/x33/x48)
+    * with seeded read geometry. The read frame here is a MULTISET — no
+    * dedup, so colliding synthesized reads stack depth exactly like real
+    * pileups, and net-zero boundaries (a read ending where another
+    * starts) exercise the delta≠0 maximality filter. Oracle: per-base
+    * depth + run starts, the naive formulation the sweep replaces. */
+  private def sideMulti(base: DataFrame, p: P): DataFrame =
+    base.select(
+        concat(lit("c"), (col("pk") + col("sk")) % p.nC).as("contig"),
+        (lit(p.phaseA) +
+          ((col("pk") * p.m1a + col("sk") * p.m2a) % p.modA) * p.strideA)
+          .cast("long").as("start"))
+      .withColumn("end", col("start") + lit(p.widthA))
+
+  private[operators] def runDepthSeed(base: DataFrame, p: P)
+      : (Long, Long, Long, Long, Long) = {
+    val row = Genomics
+      .coverageIntervals(sideMulti(base, p), bucketWidthFor(p.seed))
+      .agg(count(lit(1)).as("n_seg"),
+        coalesce(sum(col("end_pos") - col("start_pos")), lit(0L))
+          .as("mass"),
+        coalesce(sum(col("depth") * (col("end_pos") - col("start_pos"))),
+          lit(0L)).as("base_depth"),
+        coalesce(max(col("depth")), lit(0L)).as("max_depth"))
+      .collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+  }
+
+  val DepthGateSeeds = 10
+
+  def q112DepthFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 29 === 5)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val rows = (0 until DepthGateSeeds).map(k => runDepthSeed(base,
+        params(k)))
+      import s.implicits._
+      rows.toDF("seed", "n_seg", "mass", "base_depth", "max_depth")
+        .orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def depthSeedSql(p: P): String =
+    s"""SELECT * FROM (
+       |WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 29 = 5),
+       |a2 AS (SELECT 'c' || ((pk + sk) % ${p.nC}) AS contig,
+       |    ${p.phaseA} + ((pk * ${p.m1a} + sk * ${p.m2a}) % ${p.modA})
+       |      * ${p.strideA} AS st
+       |  FROM li),
+       |pp AS (SELECT contig, pos, COUNT(*) AS depth FROM (
+       |    SELECT contig, unnest(generate_series(st, st + ${p.widthA} - 1))
+       |      AS pos FROM a2)
+       |  GROUP BY contig, pos),
+       |runs AS (SELECT pp.contig, pp.pos, pp.depth, q.depth AS pdepth
+       |  FROM pp LEFT JOIN pp q
+       |    ON q.contig = pp.contig AND q.pos = pp.pos - 1)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed,
+       |  CAST((SELECT COUNT(*) FROM runs
+       |    WHERE pdepth IS NULL OR pdepth <> depth) AS BIGINT) AS n_seg,
+       |  CAST((SELECT COUNT(*) FROM pp) AS BIGINT) AS mass,
+       |  CAST((SELECT COALESCE(SUM(depth), 0) FROM pp) AS BIGINT)
+       |    AS base_depth,
+       |  CAST((SELECT COALESCE(MAX(depth), 0) FROM pp) AS BIGINT)
+       |    AS max_depth
+       |)""".stripMargin
+
+  val q112Sql: String =
+    (0 until DepthGateSeeds).map(k => depthSeedSql(params(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_fuzz_gate" -> (q106FuzzGate _),
     "q110_asof_fuzz_gate" -> (q110AsofFuzzGate _),
-    "q111_text_fuzz_gate" -> (q111TextFuzzGate _))
+    "q111_text_fuzz_gate" -> (q111TextFuzzGate _),
+    "q112_depth_fuzz_gate" -> (q112DepthFuzzGate _))
 
   val oracles: Map[String, String] = Map(
     "q106_fuzz_gate" -> q106Sql,
     "q110_asof_fuzz_gate" -> q110Sql,
-    "q111_text_fuzz_gate" -> q111Sql)
+    "q111_text_fuzz_gate" -> q111Sql,
+    "q112_depth_fuzz_gate" -> q112Sql)
 }

@@ -153,6 +153,36 @@ class FuzzSpec extends SparkSpec {
     } finally docs.unpersist(blocking = false)
   }
 
+  // -------------------------------------------------------- depth q112
+  test("60-seed coverage-depth sweep: the two-level kernel equals a " +
+      "naive per-base pileup (multiset reads, stacked depth)") {
+    (0 until 60).foreach { k =>
+      val p = Fuzz.params(k)
+      val g = Fuzz.runDepthSeed(base, p)
+      val depth = scala.collection.mutable.Map.empty[(String, Long), Long]
+        .withDefaultValue(0L)
+      pairs.foreach { case (pk, sk) =>
+        val c = "c" + ((pk + sk) % p.nC)
+        val st = p.phaseA + ((pk * p.m1a + sk * p.m2a) % p.modA) * p.strideA
+        (st until st + p.widthA).foreach(pos => depth((c, pos)) += 1)
+      }
+      val mass = depth.size.toLong
+      val baseDepth = depth.values.sum
+      val maxd = if (depth.isEmpty) 0L else depth.values.max
+      val nSeg = depth.count { case ((c, pos), d) =>
+        depth.getOrElse((c, pos - 1), 0L) != d
+      }.toLong
+      assert((g._2, g._3, g._4, g._5) === ((nSeg, mass, baseDepth, maxd)),
+        s"seed $k params $p")
+    }
+  }
+
+  test("q112 gate shape: one row per seed, seeds ascending") {
+    val rows = Fuzz.q112DepthFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed").as[Long].collect().toSeq
+    assert(rows === (0L until Fuzz.DepthGateSeeds.toLong))
+  }
+
   test("q110 gate shape: one row per seed, seeds ascending") {
     val rows = Fuzz.q110AsofFuzzGate(spark, "/root/testdata/sf0.001")
       .select("seed").as[Long].collect().toSeq
