@@ -4953,8 +4953,8 @@ object Relational {
     "q104_csv_roundtrip" -> (q104CsvRoundtrip _),
     "q105_late_data_gate" -> (q105LateDataGate _),
     "q107_state_evolution_gate" -> (q107StateEvolutionGate _),
-    "q108_deep_pagerank"  -> (q108DeepPageRank _),
-    "q109_deep_bfs"       -> (q109DeepBfs _))
+    "q108_deep_pagerank_gate" -> (q108DeepPageRank _),
+    "q109_deep_bfs_gate"  -> (q109DeepBfs _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -5063,6 +5063,6 @@ object Relational {
     "q104_csv_roundtrip" -> q104Sql,
     "q105_late_data_gate" -> q105Sql,
     "q107_state_evolution_gate" -> q107Sql,
-    "q108_deep_pagerank"  -> q108Sql,
-    "q109_deep_bfs"       -> q109Sql)
+    "q108_deep_pagerank_gate" -> q108Sql,
+    "q109_deep_bfs_gate"  -> q109Sql)
 }

@@ -3402,6 +3402,71 @@ object TextAnalysis {
       |    % 10 != 0
       |ORDER BY g.prompt_id""".stripMargin
 
+  // ---------------------------------------------------------------- t51
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007) — weighted
+    * sampling WITHOUT replacement plus an unbiased subset-sum estimator,
+    * the principled way to cut a weighted corpus down to k docs while
+    * still estimating totals (quality-weighted subsampling, cost-aware
+    * eval-set draws). Priorities q = w/u with u uniform per doc; keep
+    * the k largest; τ = the (k+1)-th priority; Σ max(w, τ) over the
+    * sample is an unbiased estimator of Σ w — EXACT when k ≥ n (τ = 0,
+    * every doc kept), which the spec pins as a theorem. u derives from
+    * the t26-style md5 coin (u = h/2³², h ∈ [1, 2³²]) so both engines
+    * replay the same draw, and q stages integer-exact as
+    * (w·2³²) div h — no float ln/pow whose last-ulp differences could
+    * flip a selection across engines.
+    *
+    * Scale shape: one narrow scan, one distributed top-(k+1)
+    * (TakeOrdered merge — no global sort, no shuffle), then windows and
+    * scalar joins over the k+1 survivors, a provably bounded frame. */
+  def prioritySample(docs0: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = docs0.select(col("doc_id"), col("w"),
+        (conv(substring(md5(concat(col("doc_id"), lit(":t51"))), 1, 8),
+          16, 10).cast("long") + 1L).as("h"))
+      .withColumn("priority", expr("(w * 4294967296L) div h"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id"))
+      .limit(k + 1)
+      // unpartitioned window over a LIMIT(k+1) frame — bounded by
+      // construction (the t30/q97 bounded-frame discipline)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id"))))
+    val tau = top.where(col("rn") === k + 1)
+      .agg(coalesce(max(col("priority")), lit(0L)).as("tau"))
+    val sampled = top.where(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat", greatest(col("w"), col("tau")))
+    sampled
+      .crossJoin(broadcast(sampled.agg(
+        sum(col("w_hat")).cast("long").as("est_total_w"))))
+      .select(col("doc_id"), col("w"), col("priority"), col("tau"),
+        col("w_hat"), col("est_total_w"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
+  def t51PrioritySample(s: SparkSession, d: String): DataFrame =
+    prioritySample(Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w")), k = 50)
+
+  val t51Sql: String =
+    """WITH p AS (SELECT doc_id, n_chars AS w,
+      |    CAST(concat('0x', substr(md5(doc_id || ':t51'), 1, 8))
+      |      AS BIGINT) + 1 AS h
+      |  FROM documents),
+      |q AS (SELECT doc_id, w, (w * 4294967296) // h AS priority FROM p),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+      |    AS rn FROM q),
+      |t AS (SELECT COALESCE(MAX(CASE WHEN rn = 51 THEN priority END), 0)
+      |    AS tau FROM r),
+      |s AS (SELECT r.doc_id, r.w, r.priority, t.tau,
+      |    GREATEST(r.w, t.tau) AS w_hat
+      |  FROM r, t WHERE rn <= 50),
+      |e AS (SELECT CAST(SUM(w_hat) AS BIGINT) AS est_total_w FROM s)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w,
+      |  CAST(priority AS BIGINT) AS priority, CAST(tau AS BIGINT) AS tau,
+      |  CAST(w_hat AS BIGINT) AS w_hat, e.est_total_w
+      |FROM s, e ORDER BY priority DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3452,7 +3517,8 @@ object TextAnalysis {
     "t47_langid_confusion" -> (t47LangIdConfusion _),
     "t48_source_diversity" -> (t48SourceDiversity _),
     "t49_data_card" -> (t49DataCard _),
-    "t50_preference_pairs" -> (t50PreferencePairs _))
+    "t50_preference_pairs" -> (t50PreferencePairs _),
+    "t51_priority_sample" -> (t51PrioritySample _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3503,5 +3569,6 @@ object TextAnalysis {
     "t47_langid_confusion" -> t47Sql,
     "t48_source_diversity" -> t48Sql,
     "t49_data_card" -> t49Sql,
-    "t50_preference_pairs" -> t50Sql)
+    "t50_preference_pairs" -> t50Sql,
+    "t51_priority_sample" -> t51Sql)
 }

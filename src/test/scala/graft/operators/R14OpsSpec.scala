@@ -118,6 +118,39 @@ class R14OpsSpec extends SparkSpec {
     assert(root.getMessage.contains("duplicate read name"), root.toString)
   }
 
+  // ------------------------------------------------------------- t51
+  test("t51 priority sampling: k >= n degrades to exact totals (tau=0), " +
+      "and the k=50 sample is exactly the top-k by priority") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").as("w"))
+    val n = docs.count().toInt
+    val all = TextAnalysis.prioritySample(docs, k = n + 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(all.length === n)
+    val totalW = docs.agg(sum("w")).head.getLong(0)
+    all.foreach { case (_, w, _, tau, wHat, est) =>
+      assert(tau === 0L && wHat === w && est === totalW,
+        "k >= n must be the exact total (DLT theorem)")
+    }
+    // k = 50: the sampled set equals a driver-side recompute's top-k
+    val got = TextAnalysis.prioritySample(docs, k = 50)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 50)
+    val naive = docs.as[(Long, Long)].collect().map { case (id, w) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t51".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16) + 1L
+      (id, w, w * 4294967296L / h)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val expTau = naive(50)._3
+    assert(got.map(_._1).toSeq === naive.take(50).map(_._1).toSeq)
+    assert(got.forall(_._4 == expTau))
+    got.zip(naive.take(50)).foreach { case (g, (_, w, p)) =>
+      assert(g._2 === w && g._3 === p && g._5 === math.max(w, expTau))
+    }
+  }
+
   // ------------------------------------------------------------- q107
   test("q107 state evolution: evolved restart on the old checkpoint is " +
       "loud; recovery reprocess matches a batch recompute") {
