@@ -522,15 +522,107 @@ object Fuzz {
     (0 until DepthGateSeeds).map(k => depthSeedSql(params(k)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
 
+  // ------------------------------------------------------------- q113
+  /** EQUI-DEPTH NTILE FUZZ — fifth family: [[Relational.equidepthNtile]]
+    * (q97's two-level global-rank kernel) under seeded bucket counts,
+    * range widths (1 = every value its own range, through widths past
+    * the whole domain = the degenerate single-range case), heavy value
+    * ties (small modV, broken by the unique id), and totals below the
+    * bucket count. Oracle: DuckDB's own NTILE over the same total
+    * order. */
+  final case class PN(seed: Int, buckets: Long, rangeWidth: Long,
+      m1: Long, m2: Long, modV: Long)
+
+  def ntileParams(seed: Int): PN = {
+    var state = seed.toLong + 3000L
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    val widths = Array(1L, 7L, 64L, 250L, 1000L, 4096L)
+    PN(seed,
+      buckets = Seq(2L, 3L, 5L, 8L, 13L, 16L)(in(0, 5).toInt),
+      rangeWidth = widths(in(0, widths.length - 1).toInt),
+      m1 = in(1, 13), m2 = in(1, 13),
+      // small modV = heavy value ties (broken only by the unique id);
+      // seed 5k+4 additionally shrinks the ROW count below the bucket
+      // count (the total < B rank-degrade edge)
+      modV = if (seed % 5 == 4) in(3, 12) else in(30, 2000))
+  }
+
+  private def ntileTiny(seed: Int): Boolean = seed % 5 == 4
+
+  private[operators] def runNtileSeed(base: DataFrame, p: PN)
+      : (Long, Long, Long, Long, Long) = {
+    val src = if (ntileTiny(p.seed))
+      base.where((col("pk") * 100000L + col("sk")) % 1000L < 7L)
+    else base
+    val rows = src.select(
+        ((col("pk") * p.m1 + col("sk") * p.m2) % p.modV).cast("long")
+          .as("v"),
+        (col("pk") * 100000L + col("sk")).as("id"))
+      .distinct()
+    val row = Relational.equidepthNtile(rows, p.buckets, p.rangeWidth)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("bucket")), lit(0L)).as("sum_bucket"),
+        coalesce(sum(col("bucket") * col("v")), lit(0L)).as("sum_bv"),
+        coalesce(max(col("bucket")), lit(0L)).as("max_bucket"))
+      .collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+  }
+
+  val NtileGateSeeds = 10
+
+  def q113NtileFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 13 === 6)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val rows = (0 until NtileGateSeeds).map(k => runNtileSeed(base,
+        ntileParams(k)))
+      import s.implicits._
+      rows.toDF("seed", "n_rows", "sum_bucket", "sum_bv", "max_bucket")
+        .orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def ntileSeedSql(p: PN): String = {
+    val tiny = if (ntileTiny(p.seed))
+      " AND (pk * 100000 + sk) % 1000 < 7" else ""
+    s"""SELECT * FROM (
+       |WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 13 = 6),
+       |r AS (SELECT DISTINCT (pk * ${p.m1} + sk * ${p.m2}) % ${p.modV}
+       |      AS v,
+       |    pk * 100000 + sk AS id
+       |  FROM li WHERE 1 = 1$tiny),
+       |nt AS (SELECT v,
+       |    CAST(NTILE(${p.buckets}) OVER (ORDER BY v, id) AS BIGINT) AS b
+       |  FROM r)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed, COUNT(*) AS n_rows,
+       |  CAST(COALESCE(SUM(b), 0) AS BIGINT) AS sum_bucket,
+       |  CAST(COALESCE(SUM(b * v), 0) AS BIGINT) AS sum_bv,
+       |  CAST(COALESCE(MAX(b), 0) AS BIGINT) AS max_bucket
+       |FROM nt
+       |)""".stripMargin
+  }
+
+  val q113Sql: String =
+    (0 until NtileGateSeeds).map(k => ntileSeedSql(ntileParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_fuzz_gate" -> (q106FuzzGate _),
     "q110_asof_fuzz_gate" -> (q110AsofFuzzGate _),
     "q111_text_fuzz_gate" -> (q111TextFuzzGate _),
-    "q112_depth_fuzz_gate" -> (q112DepthFuzzGate _))
+    "q112_depth_fuzz_gate" -> (q112DepthFuzzGate _),
+    "q113_ntile_fuzz_gate" -> (q113NtileFuzzGate _))
 
   val oracles: Map[String, String] = Map(
     "q106_fuzz_gate" -> q106Sql,
     "q110_asof_fuzz_gate" -> q110Sql,
     "q111_text_fuzz_gate" -> q111Sql,
-    "q112_depth_fuzz_gate" -> q112Sql)
+    "q112_depth_fuzz_gate" -> q112Sql,
+    "q113_ntile_fuzz_gate" -> q113Sql)
 }

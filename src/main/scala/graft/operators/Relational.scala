@@ -4206,13 +4206,21 @@ object Relational {
     * partitions). NTILE's uneven-bucket arithmetic (first `total mod B`
     * buckets take one extra row) is then a pure rank expression, proved
     * against DuckDB's own NTILE. */
-  def q97EquidepthHist(s: SparkSession, d: String): DataFrame = {
-    val B = 8L
-    val rows = Tables.lineitem(s, d)
-      .select(expr("CAST(floor(l_extendedprice * 1000) AS BIGINT)")
-          .as("pm"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
-      .withColumn("rng", expr("pm div 1048576"))
+  /** The q97 kernel, parameterized and reusable (fuzzed by q113): exact
+    * NTILE(`buckets`) over the total order (v, id) WITHOUT a global
+    * sort. Rows hash into value ranges (`v div rangeWidth`), per-range
+    * counts prefix-sum on the range-cell frame (cell count ≈
+    * domain/rangeWidth, never corpus-sized), offsets broadcast back,
+    * global rank = offset + within-range rank (a keyed window), and
+    * NTILE's uneven-bucket arithmetic (the first `total mod B` buckets
+    * take one extra row; `total < B` degrades to bucket = rank, SQL
+    * NTILE's own rule) is a pure rank expression. Input columns: `v`
+    * (the ordered value) and `id` (the tie-breaking total-order key);
+    * output appends `bucket`. */
+  def equidepthNtile(rows0: DataFrame, buckets: Long,
+      rangeWidth: Long): DataFrame = {
+    val inCols = rows0.columns.toSeq
+    val rows = rows0.withColumn("rng", expr(s"v div ${rangeWidth}L"))
     val cells = rows.groupBy(col("rng")).agg(count(lit(1)).as("n"))
     val wc = Window.orderBy(col("rng"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -4221,21 +4229,30 @@ object Relational {
       .select(col("rng"), col("off"))
     val tot = rows.agg(count(lit(1)).as("total"))
     val wr = Window.partitionBy(col("rng"))
-      .orderBy(col("pm"), col("id"))
+      .orderBy(col("v"), col("id"))
     rows
       .withColumn("lr", row_number().over(wr).cast("long"))
       .join(broadcast(offsets), Seq("rng"))
       .withColumn("rk", col("off") + col("lr"))
       .crossJoin(broadcast(tot))
-      .withColumn("q", expr(s"total div ${B}L"))
-      .withColumn("rem", expr(s"total % ${B}L"))
+      .withColumn("q", expr(s"total div ${buckets}L"))
+      .withColumn("rem", expr(s"total % ${buckets}L"))
       .withColumn("bucket",
         when(col("rk") <= col("rem") * (col("q") + 1),
           expr("(rk - 1) div (q + 1) + 1"))
           .otherwise(expr("rem + (rk - rem * (q + 1) - 1) div q + 1")))
+      .select((inCols.map(col) :+ col("bucket")): _*)
+  }
+
+  def q97EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.lineitem(s, d)
+      .select(expr("CAST(floor(l_extendedprice * 1000) AS BIGINT)")
+          .as("v"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+    equidepthNtile(rows, buckets = 8L, rangeWidth = 1048576L)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("pm")).as("lo_milli"),
-        max(col("pm")).as("hi_milli"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo_milli"),
+        max(col("v")).as("hi_milli"))
       .orderBy("bucket")
   }
 

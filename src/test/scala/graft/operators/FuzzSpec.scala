@@ -153,6 +153,43 @@ class FuzzSpec extends SparkSpec {
     } finally docs.unpersist(blocking = false)
   }
 
+  // -------------------------------------------------------- ntile q113
+  test("50-seed equi-depth NTILE sweep: the two-level kernel equals a " +
+      "naive chunked assignment (ties, tiny totals, degenerate ranges)") {
+    (0 until 50).foreach { k =>
+      val p = Fuzz.ntileParams(k)
+      val g = Fuzz.runNtileSeed(base, p)
+      val rows0 = pairs
+        .filter { case (pk, sk) => k % 5 != 4 ||
+          (pk * 100000L + sk) % 1000L < 7L }
+        .map { case (pk, sk) =>
+          ((pk * p.m1 + sk * p.m2) % p.modV, pk * 100000L + sk)
+        }.distinct.sorted
+      // independent naive formulation: explicit bucket sizes, assigned
+      // sequentially (SQL NTILE's definition, not the rank formula)
+      val n = rows0.length
+      val q = n / p.buckets.toInt
+      val rem = (n % p.buckets).toInt
+      val sizes = Seq.fill(rem)(q + 1) ++
+        Seq.fill(p.buckets.toInt - rem)(q)
+      val buckets = sizes.zipWithIndex.flatMap { case (sz, i) =>
+        Seq.fill(sz)(i + 1L)
+      }
+      val assigned = rows0.zip(buckets)
+      val sumB = assigned.map(_._2).sum
+      val sumBv = assigned.map { case ((v, _), b) => b * v }.sum
+      val maxB = if (assigned.isEmpty) 0L else assigned.map(_._2).max
+      assert((g._2, g._3, g._4, g._5) === ((n.toLong, sumB, sumBv, maxB)),
+        s"seed $k params $p")
+    }
+  }
+
+  test("q113 gate shape: one row per seed, seeds ascending") {
+    val rows = Fuzz.q113NtileFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed").as[Long].collect().toSeq
+    assert(rows === (0L until Fuzz.NtileGateSeeds.toLong))
+  }
+
   // -------------------------------------------------------- depth q112
   test("60-seed coverage-depth sweep: the two-level kernel equals a " +
       "naive per-base pileup (multiset reads, stacked depth)") {
