@@ -3467,6 +3467,69 @@ object TextAnalysis {
       |  CAST(w_hat AS BIGINT) AS w_hat, e.est_total_w
       |FROM s, e ORDER BY priority DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t52
+  /** BIGRAM COUNT-OF-COUNTS + the Kneser–Ney discount — the count
+    * statistics every n-gram LM build reads off its corpus before
+    * smoothing (Chen & Goodman 1999): N_c = how many distinct bigram
+    * TYPES occur exactly c times (c ≤ 10 emitted; the low counts drive
+    * smoothing), total type/token masses, and the absolute-discount
+    * estimate D = N₁/(N₁+2N₂) staged integer-exact in milli. Also the
+    * corpus-health readout (a crawl whose N₁ share balloons is
+    * boilerplate-fragmented; one that collapses is template-dominated).
+    *
+    * Scale shape: one uniform bigram-keyed aggregate (the only
+    * corpus-sized exchange), a count-of-counts aggregate over the tiny
+    * count domain, broadcast scalar composition — no sorts, no windows. */
+  def t52CountOfCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+    val bc = docs.select(explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c"))
+    val coc = bc.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+    val sums = bc.agg(count(lit(1)).as("total_types"),
+      sum(col("c")).as("total_tokens"))
+    val disc = coc.agg(
+        coalesce(sum(when(col("c") === 1, col("n_types"))), lit(0L))
+          .as("n1"),
+        coalesce(sum(when(col("c") === 2, col("n_types"))), lit(0L))
+          .as("n2"))
+      .withColumn("d_milli", expr(
+        "CASE WHEN n1 + 2 * n2 = 0 THEN NULL" +
+          " ELSE (1000 * n1) div (n1 + 2 * n2) END"))
+      .select(col("d_milli"))
+    coc.where(col("c") <= 10)
+      .crossJoin(broadcast(sums))
+      .crossJoin(broadcast(disc))
+      .select(col("c"), col("n_types"), col("total_types"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        col("d_milli"))
+      .orderBy("c")
+  }
+
+  val t52Sql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |big AS (SELECT toks[CAST(i AS INT)] AS w1,
+      |    toks[CAST(i + 1 AS INT)] AS w2
+      |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+      |coc AS (SELECT c, COUNT(*) AS n_types FROM bc GROUP BY c),
+      |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_types,
+      |    CAST(SUM(c) AS BIGINT) AS total_tokens FROM bc),
+      |d AS (SELECT CAST(CASE WHEN n1 + 2 * n2 = 0 THEN NULL
+      |      ELSE (1000 * n1) // (n1 + 2 * n2) END AS BIGINT) AS d_milli
+      |  FROM (SELECT
+      |      COALESCE(SUM(CASE WHEN c = 1 THEN n_types END), 0) AS n1,
+      |      COALESCE(SUM(CASE WHEN c = 2 THEN n_types END), 0) AS n2
+      |    FROM coc))
+      |SELECT CAST(coc.c AS BIGINT) AS c,
+      |  CAST(n_types AS BIGINT) AS n_types, total_types, total_tokens,
+      |  d_milli
+      |FROM coc, sums, d WHERE coc.c <= 10 ORDER BY c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> (t01TokenCount _),
     "t02_quality"     -> (t02Quality _),
@@ -3518,7 +3581,8 @@ object TextAnalysis {
     "t48_source_diversity" -> (t48SourceDiversity _),
     "t49_data_card" -> (t49DataCard _),
     "t50_preference_pairs" -> (t50PreferencePairs _),
-    "t51_priority_sample" -> (t51PrioritySample _))
+    "t51_priority_sample" -> (t51PrioritySample _),
+    "t52_count_of_counts" -> (t52CountOfCounts _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> t01Sql,
@@ -3570,5 +3634,6 @@ object TextAnalysis {
     "t48_source_diversity" -> t48Sql,
     "t49_data_card" -> t49Sql,
     "t50_preference_pairs" -> t50Sql,
-    "t51_priority_sample" -> t51Sql)
+    "t51_priority_sample" -> t51Sql,
+    "t52_count_of_counts" -> t52Sql)
 }

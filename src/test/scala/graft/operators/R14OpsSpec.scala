@@ -151,6 +151,33 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- t52
+  test("t52 count-of-counts: sf corpus ties out against a driver-side " +
+      "bigram recount; discount formula exact") {
+    val rows = TextAnalysis.t52CountOfCounts(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty &&
+      rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // driver recount over the same tokenization
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    texts.foreach { t =>
+      val toks = t.trim.toLowerCase.split("\\s+")
+      toks.sliding(2).filter(_.length == 2)
+        .foreach(p => counts((p(0), p(1))) += 1)
+    }
+    val coc = counts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { case (c, n, tt, tk, dm) =>
+      assert(n === coc(c), s"N_$c")
+      assert(tt === counts.size.toLong && tk === counts.values.sum)
+      val (n1, n2) = (coc.getOrElse(1L, 0L), coc.getOrElse(2L, 0L))
+      assert(dm === 1000L * n1 / (n1 + 2 * n2))
+    }
+  }
+
   // ------------------------------------------------------------- q107
   test("q107 state evolution: evolved restart on the old checkpoint is " +
       "loud; recovery reprocess matches a batch recompute") {
