@@ -5412,6 +5412,97 @@ object Genomics {
       |  true AS lenient_drops_orphan, true AS strict_raises
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- x81
+  /** SLIDING-WINDOW QUALITY TRIM (Trimmomatic `SLIDINGWINDOW:w:q`) — the
+    * other half of raw-FASTQ preprocessing next to x74's adapter trim:
+    * scan 5'→3', cut the read at the START of the first length-`window`
+    * run whose MEAN Phred quality drops below `meanQ` (compared
+    * integer-exact as window sum < w·q — no float mean). Reads shorter
+    * than one window pass through whole; a read whose first window
+    * already fails trims to length 0 (the zero-length-read case the
+    * FASTQ source round-trips since r12).
+    *
+    * Scale shape: pure per-row array algebra over the quality string —
+    * one narrow scan, zero shuffles before the caller's aggregate. The
+    * per-row cost is O(len·w) through builtin lambdas; the CigarSums
+    * precedent (a one-pass native expression) is the upgrade path if a
+    * profiler ever shows this kernel hot. */
+  def qualityTrim(reads: DataFrame, window: Int, meanQ: Int): DataFrame = {
+    val thresh = window * meanQ
+    reads
+      .withColumn("len", length(col("quality")))
+      .withColumn("qs", expr(
+        "transform(sequence(1, len), i -> ascii(substring(quality, i, 1)) - 33)"))
+      .withColumn("fails", expr(
+        s"""IF(len >= $window,
+           |  filter(sequence(1, len - $window + 1),
+           |    i -> aggregate(sequence(i, i + $window - 1), 0,
+           |           (acc, j) -> acc + qs[j - 1]) < $thresh),
+           |  array())""".stripMargin))
+      .withColumn("trimmed_len",
+        expr("IF(size(fails) = 0, len, array_min(fails) - 1)")
+          .cast("long"))
+      .drop("qs", "fails")
+  }
+
+  /** Driver gate: three planted classes — clean (all Phred 40), a good
+    * head with a Phred-2 tail (trimmed near the junction: the exact cut
+    * lands where the sliding window first straddles enough tail bases,
+    * identical arithmetic on both engines), and all-bad (trimmed to 0). */
+  def x81QualityTrim(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 27 === 20)
+    val reads = li.select(
+        (col("l_partkey") % 3).cast("int").as("cls"),
+        (lit(20) + (col("l_partkey") % 60)).cast("int").as("len"),
+        (lit(8) + (col("l_suppkey") % 10)).cast("int").as("good"))
+      .select(col("cls"), col("len"),
+        when(col("cls") === 0, expr("repeat('I', len)"))
+          .when(col("cls") === 1,
+            expr("concat(repeat('I', good), repeat('#', len - good))"))
+          .otherwise(expr("repeat('#', len)")).as("quality"))
+    qualityTrim(reads, window = 5, meanQ = 15)
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_reads"),
+        sum(col("len").cast("long")).as("raw_bases"),
+        sum(col("trimmed_len")).as("kept_bases"),
+        sum((col("trimmed_len") === 0).cast("long")).as("n_dropped"))
+      .orderBy("cls")
+  }
+
+  val x81Sql: String =
+    """WITH li AS (SELECT l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey % 27 = 20),
+      |r AS (SELECT l_partkey % 3 AS cls,
+      |    20 + (l_partkey % 60) AS len,
+      |    8 + (l_suppkey % 10) AS good
+      |  FROM li),
+      |q AS (SELECT cls, len,
+      |    CASE WHEN cls = 0 THEN repeat('I', len)
+      |      WHEN cls = 1 THEN repeat('I', good) ||
+      |        repeat('#', len - good)
+      |      ELSE repeat('#', len) END AS quality,
+      |    ROW_NUMBER() OVER () AS rid
+      |  FROM r),
+      |c AS (SELECT rid, cls, len, g.i AS i,
+      |    ascii(substring(quality, CAST(g.i AS BIGINT), 1)) - 33 AS qv
+      |  FROM q, unnest(range(1, len + 1)) AS g(i)),
+      |w AS (SELECT a.rid, a.i AS i0, SUM(b.qv) AS s
+      |  FROM c a JOIN c b ON b.rid = a.rid
+      |    AND b.i BETWEEN a.i AND a.i + 4
+      |  WHERE a.i <= a.len - 4
+      |  GROUP BY a.rid, a.i),
+      |f AS (SELECT rid, MIN(i0) AS first_fail FROM w
+      |  WHERE s < 75 GROUP BY rid),
+      |t AS (SELECT q.cls, q.len,
+      |    COALESCE(f.first_fail - 1, q.len) AS trimmed_len
+      |  FROM q LEFT JOIN f ON q.rid = f.rid)
+      |SELECT CAST(cls AS INT) AS cls, COUNT(*) AS n_reads,
+      |  CAST(SUM(len) AS BIGINT) AS raw_bases,
+      |  CAST(SUM(trimmed_len) AS BIGINT) AS kept_bases,
+      |  CAST(SUM(CASE WHEN trimmed_len = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped
+      |FROM t GROUP BY cls ORDER BY cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -5474,7 +5565,8 @@ object Genomics {
     "x76_gt_from_pl"         -> (x76GtFromPl _),
     "x77_cycle_quality"      -> (x77CycleQuality _),
     "x78_enrichment"         -> (x78Enrichment _),
-    "x79_paired_fastq_gate"  -> (x79PairedFastq _))
+    "x79_paired_fastq_gate"  -> (x79PairedFastq _),
+    "x81_quality_trim"       -> (x81QualityTrim _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -5538,5 +5630,6 @@ object Genomics {
     "x76_gt_from_pl"         -> x76Sql,
     "x77_cycle_quality"      -> x77Sql,
     "x78_enrichment"         -> x78Sql,
-    "x79_paired_fastq_gate"  -> x79Sql)
+    "x79_paired_fastq_gate"  -> x79Sql,
+    "x81_quality_trim"       -> x81Sql)
 }

@@ -151,6 +151,38 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- x81
+  test("x81 qualityTrim: hand reads — first failing window cuts, short " +
+      "reads pass whole, all-bad trims to zero") {
+    // w=5, meanQ=15 → window sum threshold 75; 'I'=Q40, '#'=Q2, '5'=Q20
+    val reads = Seq(
+      ("clean", "IIIIIIIIII"),            // never fails -> 10
+      ("tail", "IIIIII" + "####"),        // first window with >= 4 bad
+                                          // bases starts at 6 -> keep 5
+      ("allbad", "########"),             // first window fails -> 0
+      ("short", "##"),                    // len < w -> passes whole
+      ("border", "55555" + "IIIII"))      // Q20 window sum 100 >= 75 -> 10
+      .toDF("name", "quality")
+    val got = Genomics.qualityTrim(reads, window = 5, meanQ = 15)
+      .select("name", "trimmed_len").as[(String, Long)].collect().toMap
+    assert(got === Map("clean" -> 10L, "tail" -> 5L, "allbad" -> 0L,
+      "short" -> 2L, "border" -> 10L))
+  }
+
+  test("x81 gate: class structure — clean keeps all, tails trim, " +
+      "all-bad drops everything") {
+    val rows = Genomics.x81QualityTrim(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2))
+    val byCls = rows.map(r => r._1 -> r).toMap
+    assert(byCls(0)._3 === byCls(0)._4 && byCls(0)._5 === 0L,
+      "clean class keeps every base")
+    assert(byCls(1)._4 < byCls(1)._3 && byCls(1)._4 > 0L,
+      "tail class genuinely trims but keeps heads")
+    assert(byCls(2)._4 === 0L && byCls(2)._5 === byCls(2)._2,
+      "all-bad class drops every read")
+  }
+
   // ------------------------------------------------------------- t52
   test("t52 count-of-counts: sf corpus ties out against a driver-side " +
       "bigram recount; discount formula exact") {
