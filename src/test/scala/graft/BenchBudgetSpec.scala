@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-query bench budget machinery (VERDICT r12 next-round #2):
+  * pure-function tests — the Bench main wires `overBudget` over the warm
+  * minimums and emits the `regressions` JSON field + BUDGET-EXCEEDED
+  * stderr lines. */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  test("a deliberately slowed query trips the budget check") {
+    // time a real (slow) computation through wall-clock, the same
+    // measurement the bench applies, against a deliberately tight budget
+    val t0 = System.nanoTime()
+    Thread.sleep(300)
+    val slow = (System.nanoTime() - t0) / 1e9
+    val warm = Map("planted_slow" -> slow, "fine" -> 0.01)
+    assert(Bench.overBudget(warm, _ => 0.1) === Seq("planted_slow"))
+  }
+
+  test("failed queries (-1 sentinel) report via `failed`, not `regressions`") {
+    assert(Bench.overBudget(Map("broken" -> -1.0), _ => 0.1).isEmpty)
+  }
+
+  test("x81 carries the first enforced tight entry; unknown queries get " +
+      "the default ceiling") {
+    assert(Bench.budgetFor("x81_quality_trim") === 6.0)
+    assert(Bench.budgetFor("never_heard_of_it") === Bench.defaultBudget)
+    // the fixed kernel at its measured warm time passes with headroom
+    assert(Bench.overBudget(Map("x81_quality_trim" -> 1.2)).isEmpty)
+    // a regression back toward the r12 102 s plan disaster trips loudly
+    assert(Bench.overBudget(Map("x81_quality_trim" -> 7.5))
+      === Seq("x81_quality_trim"))
+  }
+
+  test("named pipeline budgets stay above their honest r12 warm cost") {
+    // x80: 14.2 s measured (8 end-to-end pipeline runs) — budget 25
+    assert(Bench.budgetFor("x80_cohort_gate") > 14.2)
+    assert(Bench.budgetFor("x08_pipeline_gate") > 9.0)
+  }
+}
