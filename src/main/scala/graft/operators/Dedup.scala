@@ -1482,14 +1482,32 @@ object Dedup {
     * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (the GC-driven cleaner then deletes superseded round checkpoints)
     * or clean the scratch directory after the job. */
-  private[operators] def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+  private[operators] def truncateLineage(df: DataFrame): DataFrame = {
+    // RDD-level checkpoint + fresh wrap, NOT Dataset.checkpoint/
+    // localCheckpoint: the Dataset path carries the origin plan's
+    // STATISTICS through the checkpoint (Spark 4's
+    // LogicalRDD.rewriteStatsAndConstraints), and join stats multiply —
+    // each loop round SQUARES the carried sizeInBytes, so its BigInt bit
+    // length doubles per round and by round ~20 every checkpoint (and
+    // every optimizer stats probe) burns minutes in BigInteger
+    // multiplication (r13 finding: the q114 CC fuzz's chain layouts hit
+    // it; d12/d34/pageRank/BFS paid a growing silent tax). The wrap
+    // restarts from the default stats heuristic each round — O(1) stats
+    // forever; in-loop joins are keyed shuffles by design, so losing
+    // carried broadcast estimates changes no plan the loops want.
+    // `.copy()` before persist: toRdd yields REUSED mutable UnsafeRows.
+    val s = df.sparkSession
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    s.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
-        val sc = df.sparkSession.sparkContext
+        val sc = s.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint()
-      case _ => df.localCheckpoint()
+        rdd.checkpoint()
+      case _ => rdd.localCheckpoint()
     }
+    rdd.count() // eager, like Dataset.checkpoint: materialize once here
+    org.apache.spark.sql.graft.bridge.internalDf(s, rdd, df.schema)
+  }
 
   /** Min-label-propagation connected components over an undirected edge
     * list given as (a_id, b_id) pairs; returns (doc_id, cluster_id = min
@@ -1508,11 +1526,10 @@ object Dedup {
     * uniform, some edge crosses two labels and the min propagates, so an
     * unchanged sum ⇔ fixpoint ⇔ every node holds its component minimum. */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("u", "v")
-      .unionByName(pairs.toDF("v", "u").select(col("u"), col("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    val edges = truncateLineage(pairs.toDF("u", "v")
+      .unionByName(pairs.toDF("v", "u").select(col("u"), col("v"))))
+    var labels = truncateLineage(edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)).as("s")).head.getDecimal(0)
