@@ -612,17 +612,276 @@ object Fuzz {
     (0 until NtileGateSeeds).map(k => ntileSeedSql(ntileParams(k)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
 
+  // ------------------------------------------------------------- q114
+  /** CONNECTED-COMPONENTS FUZZ — sixth family:
+    * [[Dedup.connectedComponents]] (the pointer-doubling min-label loop
+    * under d12/d26/d34) across seeded graph TOPOLOGIES, because d34
+    * covers one adversarial layout and the loop's correctness risks are
+    * layout-shaped: long chains/cycles stress the doubling shortcut
+    * (O(log diameter) convergence), hubs stress the giant-component
+    * path, functional graphs give irregular forests of trees+cycles,
+    * and block-stars give many small components. Self-loops occur
+    * naturally whenever the layout formula fixes a node. Oracle: the
+    * DuckDB recursive-CTE reachability closure (d12's formulation) over
+    * the same synthesized edges. */
+  final case class PC(seed: Int, modN: Long, layout: Int, gap: Long,
+      hubs: Long, m1: Long, m2: Long, m3: Long, blockW: Long,
+      empty: Boolean)
+
+  def ccParams(seed: Int): PC = {
+    var state = seed.toLong + 4000L
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    PC(seed,
+      modN = in(30, 350),
+      layout = in(0, 3).toInt,
+      gap = in(1, 9),
+      hubs = in(1, 5),
+      m1 = in(1, 13), m2 = in(1, 13), m3 = in(2, 23),
+      blockW = in(2, 25),
+      empty = seed % 7 == 5)
+  }
+
+  /** Layout formula for the partner of node u — the SAME arithmetic
+    * rendered for Spark (`div`) and DuckDB (`//`). */
+  private def ccPartner(p: PC, intDiv: String): String = p.layout match {
+    case 0 => s"(u + ${p.gap}) % ${p.modN}" // chain/cycle (gcd classes)
+    case 1 => s"u % ${p.hubs}" // hub: near-giant components
+    case 2 => s"(u * ${p.m3} + 7) % ${p.modN}" // functional graph
+    case _ => s"(u $intDiv ${p.blockW}) * ${p.blockW}" // block stars
+  }
+
+  private[operators] def ccEdges(base: DataFrame, p: PC): DataFrame = {
+    val src = if (p.empty) base.where(lit(false)) else base
+    src.select(((col("pk") * p.m1 + col("sk") * p.m2) % p.modN)
+        .cast("long").as("u"))
+      .distinct()
+      .select(col("u").as("a_id"),
+        expr(ccPartner(p, "div")).cast("long").as("b_id"))
+  }
+
+  private[operators] def runCcSeed(base: DataFrame, p: PC)
+      : (Long, Long, Long, Long, Long) = {
+    val cc = Dedup.connectedComponents(ccEdges(base, p))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val row = cc
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("cluster_id")), lit(0L)).as("sum_label"))
+      .crossJoin(sizes.agg(count(lit(1)).as("n_comp"),
+        coalesce(max(col("sz")), lit(0L)).as("max_size")))
+      .collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+  }
+
+  /** CC gate seeds are fewer than the other families': each seed runs a
+    * full fixpoint loop (one driver round-trip per round, O(log diameter)
+    * rounds) — 6 seeds still cover all four layouts plus the empty case
+    * (seed 5); FuzzSpec sweeps 50 more against a union-find model. */
+  val CcGateSeeds = 6
+
+  def q114CcFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 11 === 7)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val rows = (0 until CcGateSeeds).map(k => runCcSeed(base, ccParams(k)))
+      import s.implicits._
+      rows.toDF("seed", "n_nodes", "sum_label", "n_comp", "max_size")
+        .orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def ccSeedSql(p: PC): String = {
+    val w = if (p.empty) " WHERE 1 = 0" else ""
+    s"""SELECT * FROM (
+       |WITH RECURSIVE li AS (SELECT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 11 = 7),
+       |n0 AS (SELECT DISTINCT (pk * ${p.m1} + sk * ${p.m2}) % ${p.modN}
+       |    AS u
+       |  FROM li$w),
+       |e0 AS (SELECT u, ${ccPartner(p, "//")} AS v FROM n0),
+       |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |reach(node, root) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+       |lab AS (SELECT node, MIN(root) AS label FROM reach GROUP BY node),
+       |sz AS (SELECT label, COUNT(*) AS c FROM lab GROUP BY label)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed,
+       |  (SELECT COUNT(*) FROM lab) AS n_nodes,
+       |  CAST((SELECT COALESCE(SUM(label), 0) FROM lab) AS BIGINT)
+       |    AS sum_label,
+       |  (SELECT COUNT(*) FROM sz) AS n_comp,
+       |  CAST((SELECT COALESCE(MAX(c), 0) FROM sz) AS BIGINT) AS max_size
+       |)""".stripMargin
+  }
+
+  val q114Sql: String =
+    (0 until CcGateSeeds).map(k => ccSeedSql(ccParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
+  // ------------------------------------------------------------- q115
+  /** RESAMPLE FUZZ — seventh family: [[Relational.locfResample]] and
+    * [[Relational.interpResample]] (q91/q94's kernels, extracted r13)
+    * under seeded periods (1 = every instant a bucket boundary, through
+    * 256), random tick gaps (stride), DUPLICATE raw timestamps (modT
+    * collisions, resolved by the same arg-max-by-event-id dedup the
+    * production queries run), phases that put the first observation on
+    * or off the grid, and a fully empty series. Oracle: the naive
+    * ROW_NUMBER-over-left-join LOCF and LEAD-pair interpolation — the
+    * formulations the as-of join and pair-ownership kernels replace. */
+  final case class PR(seed: Int, period: Long, nU: Long, m1: Long,
+      m2: Long, modT: Long, stride: Long, phase: Long, m3: Long,
+      empty: Boolean)
+
+  def resampleParams(seed: Int): PR = {
+    var state = seed.toLong + 5000L
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    val periods = Array(1L, 7L, 32L, 100L, 256L)
+    PR(seed,
+      period = periods(in(0, periods.length - 1).toInt),
+      nU = in(1, 5), m1 = in(1, 13), m2 = in(1, 13),
+      modT = in(4, 60), stride = in(1, 50), phase = in(0, 97),
+      m3 = in(1, 29),
+      empty = seed % 5 == 2)
+  }
+
+  /** Raw ticks → deduped observation series (user_id, us, val_milli):
+    * value is arg-max-by-eid over timestamp collisions, mirroring the
+    * q91/q94 pre-dedup; eid = pk·131071 + sk is collision-free on the
+    * corpus (sk < 131071), so ties only occur between identical rows. */
+  private[operators] def resampleObs(base: DataFrame, p: PR): DataFrame = {
+    val src = if (p.empty) base.where(lit(false)) else base
+    src.select(
+        ((col("pk") + col("sk")) % p.nU).cast("long").as("user_id"),
+        (lit(p.phase) +
+          ((col("pk") * p.m1 + col("sk") * p.m2) % p.modT) * p.stride)
+          .cast("long").as("us"),
+        (col("pk") * 131071L + col("sk")).as("eid"),
+        ((col("pk") * p.m3 + col("sk")) % 1000L).cast("long").as("v0"))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(struct(col("eid"), col("v0"))).as("mx"))
+      .select(col("user_id"), col("us"), col("mx.v0").as("val_milli"))
+  }
+
+  private[operators] def runResampleSeed(base: DataFrame, p: PR)
+      : (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val obs = resampleObs(base, p)
+    val lf = Relational.locfResample(obs, p.period)
+      .agg(count(lit(1)).as("n_locf"),
+        coalesce(sum(col("val_milli").isNull.cast("long")), lit(0L))
+          .as("n_null"),
+        coalesce(sum(col("bucket")), lit(0L)).as("sb_locf"),
+        coalesce(sum(col("val_milli")), lit(0L)).as("sv_locf"))
+    val ip = Relational
+      .interpResample(obs.withColumnRenamed("val_milli", "v"), p.period)
+      .agg(count(lit(1)).as("n_interp"),
+        coalesce(sum(col("bucket")), lit(0L)).as("sb_interp"),
+        coalesce(sum(col("interp_milli")), lit(0L)).as("sv_interp"))
+    val row = lf.crossJoin(ip).collect()(0)
+    (p.seed.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+  }
+
+  val ResampleGateSeeds = 10
+
+  def q115ResampleFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 11 === 9)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val rows = (0 until ResampleGateSeeds)
+        .map(k => runResampleSeed(base, resampleParams(k)))
+      import s.implicits._
+      rows.toDF("seed", "n_locf", "n_null", "sb_locf", "sv_locf",
+        "n_interp", "sb_interp", "sv_interp").orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def resampleSeedSql(p: PR): String = {
+    val w = if (p.empty) " WHERE 1 = 0" else ""
+    val P = p.period
+    s"""SELECT * FROM (
+       |WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 11 = 9),
+       |raw AS (SELECT (pk + sk) % ${p.nU} AS user_id,
+       |    ${p.phase} + ((pk * ${p.m1} + sk * ${p.m2}) % ${p.modT})
+       |      * ${p.stride} AS us,
+       |    pk * 131071 + sk AS eid,
+       |    (pk * ${p.m3} + sk) % 1000 AS v0
+       |  FROM li$w),
+       |obs AS (SELECT user_id, us, arg_max(v0, eid) AS v
+       |  FROM raw GROUP BY user_id, us),
+       |sp AS (SELECT user_id, MIN(us) // $P AS lo, MAX(us) // $P AS hi
+       |  FROM obs GROUP BY user_id),
+       |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+       |  FROM sp),
+       |j AS (SELECT g.user_id, g.bucket, o.v,
+       |    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.bucket
+       |      ORDER BY o.us DESC) AS rn
+       |  FROM grid g LEFT JOIN obs o
+       |    ON o.user_id = g.user_id AND o.us <= g.bucket * $P),
+       |lf AS (SELECT COUNT(*) AS n_locf,
+       |    COALESCE(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS n_null,
+       |    COALESCE(SUM(bucket), 0) AS sb_locf,
+       |    COALESCE(SUM(v), 0) AS sv_locf
+       |  FROM j WHERE rn = 1),
+       |pp AS (SELECT user_id, us, v, LEAD(us) OVER w AS us1,
+       |    LEAD(v) OVER w AS v1
+       |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |mid AS (SELECT user_id,
+       |    unnest(range((us + $P - 1) // $P, (us1 - 1) // $P + 1))
+       |      AS bucket, us, v, us1, v1
+       |  FROM pp WHERE us1 IS NOT NULL
+       |    AND (us + $P - 1) // $P <= (us1 - 1) // $P),
+       |mi AS (SELECT user_id, bucket,
+       |    (v * (us1 - bucket * $P) + v1 * (bucket * $P - us))
+       |      // (us1 - us) AS im
+       |  FROM mid),
+       |lastp AS (SELECT user_id, us // $P AS bucket, v AS im
+       |  FROM pp WHERE us1 IS NULL AND us % $P = 0),
+       |iu AS (SELECT * FROM mi UNION ALL SELECT * FROM lastp),
+       |ii AS (SELECT COUNT(*) AS n_interp,
+       |    COALESCE(SUM(bucket), 0) AS sb_interp,
+       |    COALESCE(SUM(im), 0) AS sv_interp FROM iu)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed,
+       |  CAST(lf.n_locf AS BIGINT) AS n_locf,
+       |  CAST(lf.n_null AS BIGINT) AS n_null,
+       |  CAST(lf.sb_locf AS BIGINT) AS sb_locf,
+       |  CAST(lf.sv_locf AS BIGINT) AS sv_locf,
+       |  CAST(ii.n_interp AS BIGINT) AS n_interp,
+       |  CAST(ii.sb_interp AS BIGINT) AS sb_interp,
+       |  CAST(ii.sv_interp AS BIGINT) AS sv_interp
+       |FROM lf, ii
+       |)""".stripMargin
+  }
+
+  val q115Sql: String =
+    (0 until ResampleGateSeeds).map(k => resampleSeedSql(resampleParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_fuzz_gate" -> (q106FuzzGate _),
     "q110_asof_fuzz_gate" -> (q110AsofFuzzGate _),
     "q111_text_fuzz_gate" -> (q111TextFuzzGate _),
     "q112_depth_fuzz_gate" -> (q112DepthFuzzGate _),
-    "q113_ntile_fuzz_gate" -> (q113NtileFuzzGate _))
+    "q113_ntile_fuzz_gate" -> (q113NtileFuzzGate _),
+    "q114_cc_fuzz_gate" -> (q114CcFuzzGate _),
+    "q115_resample_fuzz_gate" -> (q115ResampleFuzzGate _))
 
   val oracles: Map[String, String] = Map(
     "q106_fuzz_gate" -> q106Sql,
     "q110_asof_fuzz_gate" -> q110Sql,
     "q111_text_fuzz_gate" -> q111Sql,
     "q112_depth_fuzz_gate" -> q112Sql,
-    "q113_ntile_fuzz_gate" -> q113Sql)
+    "q113_ntile_fuzz_gate" -> q113Sql,
+    "q114_cc_fuzz_gate" -> q114Sql,
+    "q115_resample_fuzz_gate" -> q115Sql)
 }

@@ -1174,24 +1174,36 @@ object Relational {
       col("event_id"), col("value"))
     val obs = ev.groupBy(col("user_id"), col("us"))
       .agg(max(struct(col("event_id"), col("value"))).as("mx"))
-      .select(col("user_id").as("r_user"),
-        timestamp_micros(col("us")).as("r_ts"),
+      .select(col("user_id"), col("us"),
         expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("val_milli"))
-    val grid = ev.groupBy(col("user_id"))
-      // integer div, not double divide-then-truncate: a float quotient
-      // landing at 79999.9999999 would disagree with the oracle's //
-      .agg(expr(s"min(us) div ${Period}L").as("lo"),
-        expr(s"max(us) div ${Period}L").as("hi"))
+    locfResample(obs, Period).orderBy("user_id", "bucket")
+  }
+
+  /** LOCF RESAMPLE KERNEL — extracted from q91 (r13) so the q115 fuzz
+    * gate can drive it under randomized periods/tick geometry. `obs` is
+    * one row per (user_id, us LONG, val_milli LONG); each user's
+    * observed span projects onto the `period` grid (bucket = us div
+    * period, integer div — a float quotient at 79999.9999999 would
+    * disagree with the oracle's //), the value at a grid instant is the
+    * latest observation at-or-before it via the custom AsOfJoinExec
+    * (plan-asserted — one user-keyed sort-merge pass, never a
+    * per-grid-point probe), and grid points before the first
+    * observation stay NULL (LOCF invents nothing). */
+  def locfResample(obs: DataFrame, period: Long): DataFrame = {
+    val grid = obs.groupBy(col("user_id"))
+      .agg(expr(s"min(us) div ${period}L").as("lo"),
+        expr(s"max(us) div ${period}L").as("hi"))
       .select(col("user_id"),
         explode(expr("sequence(lo, hi)")).as("bucket"))
-      .withColumn("g_ts", timestamp_micros(col("bucket") * Period))
+      .withColumn("g_us", col("bucket") * period)
+    val right = obs.select(col("user_id").as("r_user"),
+      col("us").as("r_us"), col("val_milli"))
     val joined = graft.plans.AsOf
-      .join(grid, obs, "user_id", "r_user", "g_ts", "r_ts")
+      .join(grid, right, "user_id", "r_user", "g_us", "r_us")
     require(joined.queryExecution.executedPlan.toString
         .contains("AsOfJoin"),
       "LOCF must run on the custom AsOfJoinExec, not a rewritten window")
     joined.select(col("user_id"), col("bucket"), col("val_milli"))
-      .orderBy("user_id", "bucket")
   }
 
   val q91Sql: String =
@@ -3986,7 +3998,6 @@ object Relational {
     * pair row already carries them. */
   def q94InterpResample(s: SparkSession, d: String): DataFrame = {
     val P = 6L * 3600L * 1000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
     val obs = Tables.events(s, d)
       .select(col("user_id"),
         unix_micros(col("ts").cast(TimestampType)).as("us"),
@@ -3995,31 +4006,40 @@ object Relational {
       .agg(max(struct(col("event_id"), col("value"))).as("mx"))
       .select(col("user_id"), col("us"),
         expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("v"))
+    interpResample(obs, P).orderBy("user_id", "bucket")
+  }
+
+  /** LINEAR-INTERPOLATION RESAMPLE KERNEL — extracted from q94 (r13)
+    * for the q115 fuzz gate, same contract: `obs` is one row per
+    * (user_id, us LONG, v LONG milli-value); consecutive observation
+    * pairs own the half-open instant range [t0, t1) so every grid point
+    * emits exactly once, the final observation emits itself iff on-grid.
+    * The blend widens to decimal(38,0): v_milli·Δus is ~1.3e18 on the
+    * events corpus's 30-day spans but clears 2⁶³ once a series spans
+    * ~29 years at 10⁶ milli-units — the t34 overflow class; the widened
+    * product divides exactly (`div` ≡ DuckDB `//` on nonnegatives) and
+    * casts back to BIGINT. */
+  def interpResample(obs: DataFrame, period: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
     val pairs = obs
       .withColumn("us1", lead(col("us"), 1).over(w))
       .withColumn("v1", lead(col("v"), 1).over(w))
     val mid = pairs.where(col("us1").isNotNull)
-      .withColumn("lo", expr(s"(us + ${P - 1}L) div ${P}L"))
-      .withColumn("hi", expr(s"(us1 - 1L) div ${P}L"))
+      .withColumn("lo", expr(s"(us + ${period - 1}L) div ${period}L"))
+      .withColumn("hi", expr(s"(us1 - 1L) div ${period}L"))
       // sequence(lo, hi) with lo > hi generates DESCENDING in Spark —
       // an empty-range pair must be dropped before the explode
       .where(col("lo") <= col("hi"))
       .select(col("user_id"), col("us"), col("v"), col("us1"), col("v1"),
         explode(expr("sequence(lo, hi)")).as("bucket"))
       .select(col("user_id"), col("bucket"),
-        // decimal(38,0), not int64: v_milli·Δus is ~1.3e18 on this
-        // corpus's 30-day spans but clears 2⁶³ once a series spans
-        // ~29 years at 10⁶ milli-units — the t34 overflow class; the
-        // widened product divides exactly and casts back to BIGINT
-        // (the quotient is a milli value again). DuckDB replays it as
-        // HUGEINT.
-        expr(s"CAST((CAST(v AS DECIMAL(38,0)) * (us1 - bucket * ${P}L)" +
-          s" + CAST(v1 AS DECIMAL(38,0)) * (bucket * ${P}L - us))" +
+        expr(s"CAST((CAST(v AS DECIMAL(38,0)) * (us1 - bucket * ${period}L)" +
+          s" + CAST(v1 AS DECIMAL(38,0)) * (bucket * ${period}L - us))" +
           s" div (us1 - us) AS BIGINT)").as("interp_milli"))
-    val last = pairs.where(col("us1").isNull && col("us") % P === 0)
-      .select(col("user_id"), expr(s"us div ${P}L").as("bucket"),
+    val last = pairs.where(col("us1").isNull && col("us") % period === 0)
+      .select(col("user_id"), expr(s"us div ${period}L").as("bucket"),
         col("v").as("interp_milli"))
-    mid.unionByName(last).orderBy("user_id", "bucket")
+    mid.unionByName(last)
   }
 
   val q94Sql: String =

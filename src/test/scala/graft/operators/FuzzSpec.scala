@@ -238,4 +238,110 @@ class FuzzSpec extends SparkSpec {
       assert(sql.contains(s"CAST($k AS BIGINT) AS seed"), s"seed $k")
     }
   }
+
+  // ----------------------------------------------------------- cc q114
+  /** Union-find over the same synthesized edges — obviously correct,
+    * never the pointer-doubling formulation. Union-by-min makes every
+    * component's root its minimum node id, matching the kernel's
+    * cluster_id contract. */
+  private def naiveCc(p: Fuzz.PC): Seq[Long] = {
+    if (p.empty) return Seq(0L, 0L, 0L, 0L)
+    def partner(u: Long): Long = p.layout match {
+      case 0 => (u + p.gap) % p.modN
+      case 1 => u % p.hubs
+      case 2 => (u * p.m3 + 7) % p.modN
+      case _ => (u / p.blockW) * p.blockW
+    }
+    val us = pairs.map { case (pk, sk) =>
+      (pk * p.m1 + sk * p.m2) % p.modN
+    }.distinct
+    val edges = us.map(u => (u, partner(u)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lab = nodes.map(n => find(n))
+    val sizes = lab.groupBy(identity).values.map(_.size.toLong)
+    Seq(nodes.size.toLong, lab.sum, sizes.size.toLong, sizes.max)
+  }
+
+  test("50-seed connected-components sweep: the pointer-doubling loop " +
+      "equals union-find across chain/hub/functional/block layouts") {
+    (0 until 50).foreach { k =>
+      val p = Fuzz.ccParams(k)
+      val g = Fuzz.runCcSeed(base, p)
+      assert(Seq(g._2, g._3, g._4, g._5) === naiveCc(p),
+        s"seed $k diverged; params $p")
+    }
+  }
+
+  test("q114 gate shape: one row per seed, seeds ascending") {
+    val rows = Fuzz.q114CcFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed").as[Long].collect().toSeq
+    assert(rows === (0L until Fuzz.CcGateSeeds.toLong))
+  }
+
+  // ----------------------------------------------------- resample q115
+  /** Direct per-user simulation of LOCF + interpolation — linear scans
+    * over the sorted series, never an as-of join or pair ownership. */
+  private def naiveResample(p: Fuzz.PR): Seq[Long] = {
+    val raw = if (p.empty) Nil
+      else pairs.map { case (pk, sk) =>
+        ((pk + sk) % p.nU,
+          p.phase + ((pk * p.m1 + sk * p.m2) % p.modT) * p.stride,
+          pk * 131071L + sk,
+          (pk * p.m3 + sk) % 1000L)
+      }
+    val obs: Map[Long, Seq[(Long, Long)]] = raw
+      .groupBy(r => (r._1, r._2))
+      .map { case ((u, t), rs) => (u, t, rs.maxBy(_._3)._4) }.toSeq
+      .groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+    val P = p.period
+    var (nL, nNull, sbL, svL) = (0L, 0L, 0L, 0L)
+    var (nI, sbI, svI) = (0L, 0L, 0L)
+    obs.foreach { case (_, series) =>
+      val lo = series.head._1 / P
+      val hi = series.last._1 / P
+      (lo to hi).foreach { b =>
+        nL += 1; sbL += b
+        val at = series.filter(_._1 <= b * P)
+        if (at.isEmpty) nNull += 1 else svL += at.last._2
+      }
+      series.sliding(2).foreach {
+        case Seq((t0, v0), (t1, v1)) =>
+          val l = (t0 + P - 1) / P
+          val h = (t1 - 1) / P
+          (l to h).foreach { b =>
+            nI += 1; sbI += b
+            svI += (v0 * (t1 - b * P) + v1 * (b * P - t0)) / (t1 - t0)
+          }
+        case _ => () // single-observation series: no pair
+      }
+      val (tl, vl) = series.last
+      if (tl % P == 0) { nI += 1; sbI += tl / P; svI += vl }
+    }
+    Seq(nL, nNull, sbL, svL, nI, sbI, svI)
+  }
+
+  test("50-seed resample sweep: LOCF (as-of kernel) and interpolation " +
+      "(pair-ownership kernel) equal the per-user linear-scan model") {
+    (0 until 50).foreach { k =>
+      val p = Fuzz.resampleParams(k)
+      val g = Fuzz.runResampleSeed(base, p)
+      assert(Seq(g._2, g._3, g._4, g._5, g._6, g._7, g._8)
+        === naiveResample(p), s"seed $k diverged; params $p")
+    }
+  }
+
+  test("q115 gate shape: one row per seed, seeds ascending") {
+    val rows = Fuzz.q115ResampleFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed").as[Long].collect().toSeq
+    assert(rows === (0L until Fuzz.ResampleGateSeeds.toLong))
+  }
 }
