@@ -61,21 +61,18 @@ object VcfWriter {
     * artifact read as a smaller valid one). */
   def read(s: org.apache.spark.sql.SparkSession, path: String,
       strict: Boolean = false): DataFrame = {
-    // try_cast, not cast: under ANSI (the Spark 4 default) a malformed
-    // field would ABORT the lenient scan with CAST_INVALID_INPUT before
-    // the strict/lenient choice could apply; try_cast gives the null the
-    // strict branch then inspects
-    val parsed = s.read.text(path)
-      .where(!col("value").startsWith("#"))
-      .select(col("value"), split(col("value"), "\t").as("f"))
-      .select(col("value"),
-        col("f").getItem(0).as("contig"),
-        expr("try_cast(f[1] AS BIGINT)").as("pos"),
-        col("f").getItem(3).as("ref"),
-        col("f").getItem(4).as("alt"),
-        expr("try_cast(regexp_extract(f[7], 'AC=(\\\\d+)', 1) AS BIGINT)")
+    // r13: the record scan rides the `vcf` DataSource V2 ([[VcfDataSource]])
+    // — intra-file splits (plain AND bgzip'd), `.tbi`/`.csi` region pruning
+    // when the caller filters on (contig, pos), projection pushdown. POS
+    // arrives try-parsed (null on garbage) so the lenient/strict layering
+    // below keeps its documented semantics; structurally broken lines
+    // (< 8 fields — the truncation shape) raise in the source itself.
+    val parsed = s.read.format("vcf").load(path)
+      .select(col("line").as("value"),
+        col("contig"), col("pos"), col("ref"), col("alt"),
+        expr("try_cast(regexp_extract(info, 'AC=(\\\\d+)', 1) AS BIGINT)")
           .as("ac"),
-        expr("try_cast(regexp_extract(f[7], 'DP=(\\\\d+)', 1) AS BIGINT)")
+        expr("try_cast(regexp_extract(info, 'DP=(\\\\d+)', 1) AS BIGINT)")
           .as("dp"))
     // The guard is a FILTER, not a column wrapper: a when(...raise_error)
     // attached to one output column dies with that column under Catalyst
@@ -160,26 +157,24 @@ object VcfWriter {
     * GT raises naming the line. */
   def readGenotypes(s: org.apache.spark.sql.SparkSession, path: String,
       strict: Boolean = false): DataFrame = {
-    val headerLine = s.read.text(path)
-      .where(col("value").startsWith("#CHROM")).head.getString(0)
-    val samples = headerLine.split("\t").drop(9).toSeq
+    // header via the codec-aware driver read (bgzip'd cohort VCFs have no
+    // spark.read.text path); records via the `vcf` DSv2 like [[read]]
+    val samples = VcfDataSource
+      .headerSamples(path, HadoopIO.driverConf()).toSeq
     require(samples.nonEmpty, s"no sample columns in VCF header at $path")
     val sNames = typedLit(samples)
-    val g = s.read.text(path)
-      .where(!col("value").startsWith("#"))
-      .select(col("value"), split(col("value"), "\t").as("f"))
-      .select(col("value"), col("f"),
-        col("f").getItem(0).as("contig"),
-        expr("try_cast(f[1] AS BIGINT)").as("pos"),
-        col("f").getItem(3).as("ref"),
-        col("f").getItem(4).as("alt"),
-        split(col("f").getItem(8), ":").as("__fmt"))
+    val g = s.read.format("vcf").load(path)
+      .select(col("line").as("value"),
+        col("contig"), col("pos"), col("ref"), col("alt"),
+        split(col("format"), ":").as("__fmt"), col("genotypes"))
       // per-sample fan-out: the generator's ordinal indexes the header's
       // sample list (aliased __i/__sv — posexplode's default output
-      // column is itself named `pos` and would shadow the genomic one)
+      // column is itself named `pos` and would shadow the genomic one);
+      // genotype columns beyond the header's sample count are sliced
+      // away, the pre-r13 text path's behavior
       .select(col("value"), col("contig"), col("pos"), col("ref"),
         col("alt"), col("__fmt"),
-        posexplode(slice(col("f"), 10, samples.length))
+        posexplode(slice(col("genotypes"), 1, samples.length))
           .as(Seq("__i", "__sv")))
       .withColumn("sample", element_at(sNames, col("__i") + 1))
       .withColumn("__vals", split(col("__sv"), ":"))
