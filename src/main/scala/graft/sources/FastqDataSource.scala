@@ -101,7 +101,8 @@ class FastqTable(properties: Map[String, String])
     s"fastq(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = FastqDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FastqScanBuilder(SamDataSource.resolvePaths(options),
       SamDataSource.splitSize(options))
@@ -124,6 +125,95 @@ class FastqScan(paths: Seq[String], splitSize: Long, required: StructType)
     SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
     new FastqReaderFactory(required.fieldNames, HadoopIO.capture())
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FastqMicroBatchStream(paths, splitSize, required.fieldNames)
+}
+
+/** Micro-batch stream over a FASTQ landing DIRECTORY — the
+  * instrument-drop ingest shape (a sequencer finishes a flow-cell, a
+  * `.fastq.gz` lands, the pipeline trims/QCs it incrementally).
+  *
+  * Offset model: the PREFIX LENGTH of the path-name-sorted file listing,
+  * carrying the last included file's name. The contract (asserted, not
+  * assumed) is append-only ingest with lexicographically increasing
+  * names — the natural `part-00000`-style landing convention; a file
+  * appearing BEFORE the committed prefix or a renamed prefix file fails
+  * LOUDLY at planning instead of silently double-reading or skipping
+  * (the offset `last` name pins the committed prefix). Each micro-batch
+  * plans the new files' byte-range splits exactly like the batch scan —
+  * same ownership protocol, same intra-file parallelism, so a 300 GB
+  * drop still scans wide. Replays are idempotent: (start, end] always
+  * maps to the same files, so checkpoint recovery re-reads exactly the
+  * uncommitted tail (the exactly-once half the sink completes). */
+class FastqMicroBatchStream(paths: Seq[String], splitSize: Long,
+    fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FastqOffset(n: Int, last: String) extends Offset {
+    override def json(): String = {
+      val esc = last.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"n":$n,"last":"$esc"}"""
+    }
+  }
+
+  private def listing(): Seq[(String, Long)] = {
+    val conf = HadoopIO.driverConf()
+    paths.flatMap(p => HadoopIO.listScanTargets(p, conf))
+      .filterNot { case (p, _) =>
+        p.endsWith(".gai") || p.endsWith(".bai") || p.endsWith(".csi") ||
+          p.endsWith(".tbi") }
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = FastqOffset(0, "")
+  override def latestOffset(): Offset = {
+    val ls = listing()
+    FastqOffset(ls.length, ls.lastOption.map(_._1).getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val n = "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"bad fastq stream offset: $json"))
+    val last = "\"last\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(json).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(sys.error(s"bad fastq stream offset: $json"))
+    FastqOffset(n, last)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[FastqOffset],
+      end.asInstanceOf[FastqOffset])
+    val ls = listing()
+    require(ls.length >= e0.n,
+      s"fastq stream: listing shrank to ${ls.length} files below the " +
+        s"batch end offset ${e0.n} — files were deleted under the stream")
+    // the committed prefix must be the SAME files: a new name sorting
+    // into the prefix would silently shift ownership
+    if (s0.n > 0) require(ls(s0.n - 1)._1 == s0.last,
+      s"fastq stream: file ${s0.n - 1} is now '${ls(s0.n - 1)._1}' but " +
+        s"the committed offset recorded '${s0.last}' — non-append-only " +
+        "ingest (a file landed before the committed prefix?)")
+    if (e0.n > 0) require(ls(e0.n - 1)._1 == e0.last,
+      s"fastq stream: file ${e0.n - 1} is now '${ls(e0.n - 1)._1}' but " +
+        s"the batch end offset recorded '${e0.last}'")
+    val conf = HadoopIO.driverConf()
+    ls.slice(s0.n, e0.n).flatMap { case (p, size) =>
+      val codec = SamDataSource.fileCodec(p, conf)
+      if (codec == "gzip" || size <= splitSize)
+        Seq(SamInputPartition(p, 0L, Long.MaxValue, codec))
+      else (0L until size by splitSize).map(s =>
+        SamInputPartition(p, s, math.min(s + splitSize, size), codec))
+    }.map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FastqReaderFactory(fields, HadoopIO.capture())
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class FastqReaderFactory(fields: Array[String], conf: HadoopIO.ConfBox)
