@@ -129,6 +129,8 @@ object GraftExtensions {
     "pq_encode" -> (c => PqEncode(c(0), c(1))),
     "char_ngrams" -> (c => CharNgrams(c(0), intArg(c(1), "char_ngrams"))),
     "cigar_sums" -> (c => CigarSums(c(0))),
+    "quality_trim" -> (c => QualityTrim(c(0),
+      intArg(c(1), "quality_trim"), intArg(c(2), "quality_trim"))),
     "lsh_buckets" -> (c => LshBuckets(c(0), c(1),
       intArg(c(2), "lsh_buckets"), intArg(c(3), "lsh_buckets"),
       boolArg(c(4), "lsh_buckets"))),

@@ -51,6 +51,21 @@ object syntax {
     def pageRankMilli(iters: Int): DataFrame =
       operators.Relational.pageRankMilli(df, iters)
 
+    /** Trimmomatic SLIDINGWINDOW quality trim over a `quality` column —
+      * adds `len` and `trimmed_len` via the native one-pass expression
+      * (x81, r13). */
+    def qualityTrim(window: Int, meanQ: Int): DataFrame =
+      operators.Genomics.qualityTrim(df, window, meanQ)
+
+    /** LOCF resample of `(user_id, us, val_milli)` onto the period grid
+      * through the as-of join exec (q91/q115). */
+    def locfResample(period: Long): DataFrame =
+      operators.Relational.locfResample(df, period)
+
+    /** Linear-interpolation resample of `(user_id, us, v)` (q94/q115). */
+    def interpResample(period: Long): DataFrame =
+      operators.Relational.interpResample(df, period)
+
     // ------------------------------------------------------------ intervals
     /** Per-base depth → disjoint constant-depth intervals from a
       * `(contig, start, end)` read frame (x18's bucketed sweep). */

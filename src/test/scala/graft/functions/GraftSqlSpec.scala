@@ -66,6 +66,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(wrap.getMessage.contains("Int range"), wrap.getMessage)
   }
 
+  test("round-13 registration: quality_trim is SQL-callable with static " +
+      "int params") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT quality_trim('IIIIIIII', 5, 15) AS a, " +
+        "quality_trim('########', 5, 15) AS b, " +
+        "quality_trim('III', 5, 15) AS c").head()
+    assert(row.getLong(0) === 8L)
+    assert(row.getLong(1) === 0L)
+    assert(row.getLong(2) === 3L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT quality_trim('IIII', CAST(v AS INT), 15) " +
+        "FROM VALUES (2) AS t(v)").collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("shingle_hashes windows by codepoints (astral chars count once)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

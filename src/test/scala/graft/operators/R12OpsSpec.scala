@@ -438,6 +438,16 @@ class R12OpsSpec extends SparkSpec {
     val reads = Seq(("c1", 10L, 20L)).toDF("contig", "start", "end")
     assert(reads.coverageIntervals().collect().toSeq ===
       Genomics.coverageIntervals(reads).collect().toSeq)
+    // r13 delegations
+    val q = Seq(("IIII##III", 1)).toDF("quality", "id")
+    assert(q.qualityTrim(3, 15).collect().toSeq ===
+      Genomics.qualityTrim(q, 3, 15).collect().toSeq)
+    val obs = Seq((1L, 0L, 10L), (1L, 25L, 20L)).toDF("user_id", "us", "val_milli")
+    assert(obs.locfResample(10L).collect().toSeq ===
+      Relational.locfResample(obs, 10L).collect().toSeq)
+    val obs2 = obs.withColumnRenamed("val_milli", "v")
+    assert(obs2.interpResample(10L).collect().toSeq ===
+      Relational.interpResample(obs2, 10L).collect().toSeq)
   }
 
   // ------------------------------------------------------------- s26
