@@ -32,7 +32,14 @@ object Bench {
     "x08_pipeline_gate" -> 18.0, // train+write+classify+rescan
     "x09_compressed_pipeline_gate" -> 12.0,
     "x10_cv_gate" -> 10.0, // CV model cached; warm = scoring only
-    "x81_quality_trim" -> 6.0) // fixed r13: native one-pass expr, ~1 s warm
+    "x81_quality_trim" -> 6.0, // fixed r13: native one-pass expr, ~1 s warm
+    // differential-fuzz gates: cost tracks SEED COUNT × kernels-per-seed
+    // (each seed is a driver round-trip), not engine speed — measured
+    // 17.7 s (q106: 12 seeds × 4 kernels) / 8.8 s (q114: 6 CC fixpoint
+    // loops) at sf0.1; budgets sit ~1.5× above so a real kernel
+    // regression still trips them
+    "q106_fuzz_gate" -> 26.0,
+    "q114_cc_fuzz_gate" -> 14.0)
   val defaultBudget: Double = 10.0
   def budgetFor(name: String): Double = budgets.getOrElse(name, defaultBudget)
 

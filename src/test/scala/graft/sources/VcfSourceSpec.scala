@@ -117,6 +117,17 @@ class VcfSourceSpec extends SparkSpec {
       .count() === 200)
   }
 
+  test("filters on VcfWriter.read push through the helper's projection " +
+      "into the V2 scan and still prune") {
+    val q = VcfWriter.read(spark, bgz).where(col("contig") === "chr2" &&
+      col("pos") >= 1000 && col("pos") < 2000)
+    assert(q.queryExecution.executedPlan.toString.contains("contig = 'chr2'"),
+      "helper projection must not block predicate pushdown")
+    assert(q.rdd.getNumPartitions < fmt(bgz).rdd.getNumPartitions)
+    assert(q.count() ===
+      model.count(t => t._1 == "chr2" && t._2 >= 1000 && t._2 < 2000))
+  }
+
   test("structurally truncated record (< 8 fields) raises loudly; " +
       "garbage POS is lenient-null but strict raises") {
     val p = s"$root/broken.vcf"
