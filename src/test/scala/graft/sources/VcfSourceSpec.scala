@@ -81,6 +81,18 @@ class VcfSourceSpec extends SparkSpec {
     assert(Tabix.csiNames(csi.aux).toSeq === Seq("chr1", "chr2"))
   }
 
+  test("projection pushdown prunes the scan schema: a (contig, pos) " +
+      "select never materializes genotypes") {
+    val q = fmt(bgz).select("contig", "pos")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.sorted === Seq("contig", "pos"),
+      s"scan must read only the projected columns, got ${scans.head}")
+  }
+
   test("tbi parses back: names, region chunks present, absent contig empty") {
     val tbi = Tabix.read(bgz, conf)
     assert(tbi.names.toSeq === Seq("chr1", "chr2"))
