@@ -273,6 +273,20 @@ object Tabix {
     } finally file.close()
   }
 
+  /** CLI parity with `tabix -p vcf` / `tabix -C` (and the BamIndex main):
+    * `runMain graft.sources.Tabix [--csi] file.vcf.gz [more ...]`. */
+  def main(args: Array[String]): Unit = {
+    val (flags, paths) = args.partition(_.startsWith("--"))
+    require(paths.nonEmpty,
+      "usage: Tabix [--csi] <file.vcf.gz> [more.vcf.gz ...]")
+    val csi = flags.contains("--csi")
+    paths.foreach { p =>
+      val n = if (csi) buildCsi(p) else build(p)
+      val side = if (csi) p + ".csi" else sidecarPath(p)
+      println(s"[tabix] indexed $p: $n records -> $side")
+    }
+  }
+
   /** Contig names out of a tabix-flavoured CSI aux blob. */
   def csiNames(aux: Array[Byte]): Array[String] = {
     require(aux.length >= 28, s"CSI aux too short for tabix config: ${aux.length}")
