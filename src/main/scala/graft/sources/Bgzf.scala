@@ -80,6 +80,40 @@ object Bgzf {
     0L // unreachable
   }
 
+  /** A [[BgzfInputStream]] positioned at the first LINE START owned by
+    * the member at `mStart` (a member boundary): walk back one member at
+    * a time until some payload byte exists, read through to `mStart`
+    * tracking the last byte, and if it wasn't a newline skip through the
+    * first '\n' — that partial line's first byte lives in an earlier
+    * member and belongs to whoever owns THAT member. This is the
+    * compressed-text seam protocol FastqBgzfLines has always used,
+    * shared so byte-range index builders position identically. */
+  def openAtLineStart(f: SeekableFile, mStart: Long, fileLen: Long): BgzfInputStream = {
+    if (mStart == 0) return new BgzfInputStream(f, 0L)
+    var prev = prevMemberStart(f, mStart, fileLen)
+    var last: Int = -1
+    var s: BgzfInputStream = null
+    val scratch = new Array[Byte](MaxIsize)
+    while (s == null) {
+      val cand = new BgzfInputStream(f, prev)
+      while (cand.memberStart < mStart && cand.memberRemaining > 0) {
+        val k = cand.read(scratch, 0,
+          math.min(cand.memberRemaining, scratch.length))
+        if (k > 0) last = scratch(k - 1) & 0xff
+      }
+      if (last >= 0 || prev == 0) s = cand
+      else {
+        cand.close()
+        prev = prevMemberStart(f, prev, fileLen)
+      }
+    }
+    if (last != '\n' && last != -1) {
+      var b = s.read()
+      while (b != -1 && b != '\n') b = s.read()
+    }
+    s
+  }
+
   /** First BGZF member boundary at-or-after `from`, found by scanning the
     * compressed bytes for a header whose BSIZE chains to another valid
     * header (or to end-of-file). Returns `fileLen` if none. O(distance to

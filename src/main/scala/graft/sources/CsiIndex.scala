@@ -104,8 +104,10 @@ object CsiIndex {
   /** Parent bin in the scheme's 8-ary tree (bin 0 is the root). */
   private def parent(b: Int): Int = (b - 1) >> 3
 
-  // ---- build (sequential; the fixture/CLI path — a WGS-scale build
-  // would mirror BaiIndex.buildDistributed's per-range pre-aggregation)
+  // ---- build (sequential; the fixture/CLI path — the distributed
+  // mirror of BaiIndex.buildDistributed exists on the VCF surface as
+  // Tabix.buildCsiDistributed; a BAM-flavoured one would transplant the
+  // same per-range pre-aggregation)
 
   /** One sequential pass over a coordinate-sorted BAM → a `.csi` with the
     * given binning parameters. Same record-walk and loud-unsorted rules as

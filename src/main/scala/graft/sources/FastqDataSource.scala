@@ -318,33 +318,7 @@ private[sources] final class FastqBgzfLines(path: String, rangeStart: Long,
     else Bgzf.nextMemberStart(file, rangeStart, fileLen)
   private val in: BgzfInputStream =
     if (mStart >= fileLen) null
-    else if (mStart == 0) new BgzfInputStream(file, 0L)
-    else syncedStream()
-
-  private def syncedStream(): BgzfInputStream = {
-    var prev = Bgzf.prevMemberStart(file, mStart, fileLen)
-    var last: Int = -1
-    var s: BgzfInputStream = null
-    val scratch = new Array[Byte](Bgzf.MaxIsize)
-    while (s == null) {
-      val cand = new BgzfInputStream(file, prev)
-      while (cand.memberStart < mStart && cand.memberRemaining > 0) {
-        val k = cand.read(scratch, 0,
-          math.min(cand.memberRemaining, scratch.length))
-        if (k > 0) last = scratch(k - 1) & 0xff
-      }
-      if (last >= 0 || prev == 0) s = cand
-      else {
-        cand.close()
-        prev = Bgzf.prevMemberStart(file, prev, fileLen)
-      }
-    }
-    if (last != '\n' && last != -1) {
-      var b = s.read()
-      while (b != -1 && b != '\n') b = s.read()
-    }
-    s
-  }
+    else Bgzf.openAtLineStart(file, mStart, fileLen)
 
   private val lb = new FastqLineBuf
   override def next(): (String, Long) = {

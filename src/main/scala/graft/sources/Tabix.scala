@@ -26,7 +26,9 @@ import org.apache.hadoop.conf.Configuration
   * order from aux.
   *
   * VCF coordinate rule (format=2): beg = POS−1 (0-based), end = beg +
-  * max(1, len(REF)) — the reference-footprint interval; both indexes
+  * max(1, len(REF)) widened by an INFO `END=` key when present (htslib's
+  * VCF preset — spanning symbolic/structural records must index over
+  * their whole span or external region queries miss them); both indexes
   * only ever SKIP members, never filter records, so a widened-in record
   * is re-filtered by the reader's predicate and correctness never
   * depends on the index. Build REQUIRES coordinate-sorted input and
@@ -40,6 +42,41 @@ object Tabix {
     * (= derive from REF length), meta '#', skip 0. */
   val VcfFormat = 2
   private val LinearShift = 14
+
+  /** Index interval end of one record — htslib's `tabix -p vcf` rule:
+    * the reference footprint beg + max(1, len(REF)), WIDENED by an
+    * `END=` INFO key when present (symbolic/structural variants span
+    * far past their REF string; an END-blind interval would let an
+    * external htslib region query silently miss spanning records —
+    * ADVICE r13). VCF END is 1-based inclusive, so as a 0-based
+    * half-open end it is the value itself. */
+  private[sources] def recordEnd(beg: Long, f: Array[String]): Long = {
+    val refEnd = beg + math.max(1L, f(3).length.toLong)
+    if (f.length < 8) return refEnd
+    math.max(refEnd, parseInfoEnd(f(7)))
+  }
+
+  /** Value of a whole `END=<digits>` INFO key (key boundary: start of
+    * string or after ';'; value ends at ';' or end of string), or -1. */
+  private[sources] def parseInfoEnd(info: String): Long = {
+    var i = 0
+    val n = info.length
+    while (i >= 0 && i < n) {
+      if (info.startsWith("END=", i)) {
+        var j = i + 4
+        var v = 0L
+        var any = false
+        while (j < n && info.charAt(j) >= '0' && info.charAt(j) <= '9') {
+          v = v * 10 + (info.charAt(j) - '0'); j += 1; any = true
+        }
+        if (any && (j == n || info.charAt(j) == ';')) return v
+      }
+      // advance to the char after the next ';'
+      val semi = info.indexOf(';', i)
+      i = if (semi < 0) -1 else semi + 1
+    }
+    -1L
+  }
 
   def sidecarPath(vcf: String): String = vcf + ".tbi"
 
@@ -89,7 +126,7 @@ object Tabix {
             while (b != -1 && b != '\n') { lb.append(b); b = in.read() }
             val line = lb.toLine
             if (line.nonEmpty && line.charAt(0) != '#') {
-              val f = line.split("\t", 5)
+              val f = line.split("\t", 9)
               require(f.length >= 4,
                 s"malformed VCF record in $vcf at member $m0: " +
                   s"'${line.take(40)}' has ${f.length} fields")
@@ -101,7 +138,7 @@ object Tabix {
                     s"malformed VCF POS '${f(1)}' in $vcf at member $m0")
                 }
               val beg = pos1 - 1
-              val end = beg + math.max(1L, f(3).length.toLong)
+              val end = recordEnd(beg, f)
               require(beg >= 0 && end <= maxPos,
                 s"$vcf: record [$beg, $end) outside the index scheme's " +
                   s"$maxPos cap")
@@ -111,15 +148,17 @@ object Tabix {
                 acc.lidx += scala.collection.mutable.ArrayBuffer.empty[Long]
                 acc.names.length - 1
               })
-              require(refId > lastRef ||
-                  (refId == lastRef && beg >= lastBeg),
+              // a refId BELOW lastRef means the contig block reappeared —
+              // distinct diagnostic from an unsorted position within one
+              // block (one branch, so neither check can shadow the other)
+              require(refId >= lastRef,
+                s"$vcf: contig $contig reappears after a later contig — " +
+                  "tabix requires contiguous contig blocks")
+              require(refId > lastRef || beg >= lastBeg,
                 s"$vcf is not coordinate-sorted at record ${acc.n} " +
                   s"($contig:$pos1 after refId $lastRef beg $lastBeg) — " +
                   "a tabix index over an unsorted file silently drops " +
                   "region records")
-              require(refId >= lastRef,
-                s"$vcf: contig $contig reappears after a later contig — " +
-                  "tabix requires contiguous contig blocks")
               lastRef = refId; lastBeg = beg
               val vBeg = (m0 << 16) | u0
               val (m1, u1) = in.virtualPos
@@ -160,6 +199,14 @@ object Tabix {
   def build(vcf: String, conf: Configuration = new Configuration()): Int = {
     val acc = collect(vcf, conf,
       (b, e) => BaiIndex.reg2bin(b.toInt, e.toInt), BaiIndex.MaxPos.toLong)
+    writeTbi(vcf, conf, acc)
+    acc.n
+  }
+
+  // shared sidecar encoders: the sequential and distributed builds
+  // accumulate into the SAME Acc shape, so sharing the byte encoders is
+  // what makes the distributed sidecar provably byte-identical
+  private def writeTbi(vcf: String, conf: Configuration, acc: Acc): Unit = {
     val raw = HadoopIO.create(sidecarPath(vcf), conf)
     try {
       val out = new BgzfOutputStream(raw)
@@ -187,7 +234,6 @@ object Tabix {
       le64(0L) // n_no_coor
       out.flushBlock()
       raw.write(BgzfOutputStream.EofMarker)
-      acc.n
     } finally raw.close()
   }
 
@@ -198,6 +244,12 @@ object Tabix {
     val maxPos = 1L << (minShift + 3 * depth)
     val acc = collect(vcf, conf,
       (b, e) => CsiIndex.reg2bin(b, e, minShift, depth), maxPos)
+    writeCsiTabix(vcf, conf, acc, minShift, depth)
+    acc.n
+  }
+
+  private def writeCsiTabix(vcf: String, conf: Configuration, acc: Acc,
+      minShift: Int, depth: Int): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       HadoopIO.create(vcf + ".csi", conf)))
     try {
@@ -233,8 +285,245 @@ object Tabix {
         }
       }
       le64(0L)
-      acc.n
     } finally out.close()
+  }
+
+  // ---- distributed build (VERDICT r13 #1: the sequential pass walks
+  // every BGZF member of the file on one driver thread — a 100 GB+
+  // cohort VCF indexes on one core; BaiIndex.buildDistributed already
+  // proved the per-range-accumulate / seam-merge shape for BAM)
+
+  /** One task's pre-aggregated contribution: per-contig blocks in
+    * discovery order (for the cross-seam sortedness replay and the
+    * global refId order), per-(contig, bin) chunk runs already merged
+    * WITHIN the task, per-(contig, window) linear minima, and the
+    * record count. Contigs are carried by NAME — refIds are a global
+    * discovery-order property only the driver can assign. Sized by bins
+    * touched, not records: a task over 16 MB of a cohort VCF carries a
+    * few KB back to the driver. */
+  private final case class TaskTbx(
+      blocks: Seq[(String, Long, Long)], // (contig, firstBeg, lastBeg)
+      bins: Seq[((String, Int), Seq[Chunk])], // in-task discovery order
+      linear: Seq[((String, Int), Long)],
+      n: Long)
+
+  /** Which reg2bin the TASK applies, as data (a case class, not a
+    * captured function, so the task closure stays trivially
+    * serializable). `csi = false` is the `.tbi` path: BAI's fixed
+    * six-level scheme. */
+  private final case class BinScheme(csi: Boolean, minShift: Int, depth: Int) {
+    def binOf(b: Long, e: Long): Int =
+      if (csi) CsiIndex.reg2bin(b, e, minShift, depth)
+      else BaiIndex.reg2bin(b.toInt, e.toInt)
+    def maxPos: Long =
+      if (csi) 1L << (minShift + 3 * depth) else BaiIndex.MaxPos.toLong
+  }
+
+  /** Executor-parallel `.tbi` build over byte-range splits of a bgzip'd
+    * coordinate-sorted VCF — [[BaiIndex.buildDistributed]]'s shape on the
+    * text surface. Tasks own the BGZF members starting in their range,
+    * position at the first owned line via [[Bgzf.openAtLineStart]] (the
+    * compressed-text seam protocol every split scan uses), and
+    * accumulate bin chunks / linear minima locally; the driver replays
+    * task results in file order (reproducing the sequential builder's
+    * record-order bin discovery), applies the same same-member
+    * chunk-merge rule across seams, and verifies sortedness across them.
+    * The sidecar is BYTE-IDENTICAL to [[build]]'s (TabixDistributedSpec
+    * asserts exactly that). */
+  def buildDistributed(s: org.apache.spark.sql.SparkSession, vcf: String,
+      splitSize: Long = 16L * 1024 * 1024): Int = {
+    val confBox = HadoopIO.capture()
+    val acc = accumulateDistributed(s, vcf, confBox, splitSize,
+      BinScheme(csi = false, 14, 5))
+    writeTbi(vcf, confBox.conf, acc)
+    acc.n
+  }
+
+  /** Executor-parallel tabix-`.csi` build — the distributed mirror
+    * CsiIndex.scala's build note left pending, for the tabix-flavoured
+    * CSI. Byte-identical to [[buildCsi]]. */
+  def buildCsiDistributed(s: org.apache.spark.sql.SparkSession, vcf: String,
+      splitSize: Long = 16L * 1024 * 1024,
+      minShift: Int = 14, depth: Int = 5): Int = {
+    val confBox = HadoopIO.capture()
+    val acc = accumulateDistributed(s, vcf, confBox, splitSize,
+      BinScheme(csi = true, minShift, depth))
+    writeCsiTabix(vcf, confBox.conf, acc, minShift, depth)
+    acc.n
+  }
+
+  private def accumulateDistributed(s: org.apache.spark.sql.SparkSession,
+      vcf: String, confBox: HadoopIO.ConfBox, splitSize: Long,
+      scheme: BinScheme): Acc = {
+    val fileLen = {
+      val f = new SeekableFile(vcf, confBox.conf)
+      try f.size finally f.close()
+    }
+    val ranges = (0L until fileLen by math.max(splitSize, 1L))
+      .map(st => (st, math.min(st + splitSize, fileLen)))
+    val parts = s.sparkContext
+      .parallelize(ranges, math.max(ranges.size, 1))
+      .map { case (start, end) =>
+        scanRangeVcf(vcf, confBox, start, end, fileLen, scheme)
+      }
+      .collect() // partition order == byte order == record order (sorted VCF)
+
+    // replay tasks in file order: global refIds in discovery order, the
+    // sequential builder's exact cross-block sortedness rules, same-member
+    // chunk merge across seams, unsigned-min linear merge
+    val acc = new Acc
+    var lastRef = -1
+    var lastBeg = -1L
+    var total = 0L
+    parts.foreach { p =>
+      p.blocks.foreach { case (contig, firstBeg, blockLastBeg) =>
+        val refId = acc.nameId.getOrElseUpdate(contig, {
+          acc.names += contig
+          acc.bins += scala.collection.mutable.LinkedHashMap.empty
+          acc.lidx += scala.collection.mutable.ArrayBuffer.empty[Long]
+          acc.names.length - 1
+        })
+        require(refId >= lastRef,
+          s"$vcf: contig $contig reappears after a later contig across " +
+            "split seams — tabix requires contiguous contig blocks")
+        require(refId > lastRef || firstBeg >= lastBeg,
+          s"$vcf is not coordinate-sorted across split seams " +
+            s"($contig beg $firstBeg after refId $lastRef beg $lastBeg) — " +
+            "a tabix index over an unsorted file silently drops region " +
+            "records")
+        lastRef = refId
+        lastBeg = blockLastBeg
+      }
+      p.bins.foreach { case ((contig, bin), cs) =>
+        val bcs = acc.bins(acc.nameId(contig)).getOrElseUpdate(bin,
+          scala.collection.mutable.ArrayBuffer.empty[Chunk])
+        cs.foreach { c =>
+          if (bcs.nonEmpty && (bcs.last.end >>> 16) == (c.beg >>> 16))
+            bcs(bcs.length - 1) = Chunk(bcs.last.beg, c.end)
+          else bcs += c
+        }
+      }
+      p.linear.foreach { case ((contig, w), v) =>
+        val lin = acc.lidx(acc.nameId(contig))
+        while (lin.length <= w) lin += 0L
+        if (lin(w) == 0L ||
+            java.lang.Long.compareUnsigned(v, lin(w)) < 0) lin(w) = v
+      }
+      total += p.n
+    }
+    require(total <= Int.MaxValue,
+      s"$vcf: $total records overflow the record count")
+    acc.n = total.toInt
+    // fill linear holes with the previous window's value (htslib rule) —
+    // collect() does this at the end of its pass; the merged index gets
+    // the identical treatment so the encoders see identical inputs
+    acc.lidx.foreach { lin =>
+      var w = 1
+      while (w < lin.length) {
+        if (lin(w) == 0L) lin(w) = lin(w - 1)
+        w += 1
+      }
+    }
+    acc
+  }
+
+  /** One task's record walk: own the lines whose first byte lives in a
+    * member starting in [start, end), accumulate (contig, bin) chunk
+    * runs merged within the stream plus per-window linear minima, and
+    * enforce within-task sortedness. Runs on an executor. */
+  private def scanRangeVcf(vcf: String, confBox: HadoopIO.ConfBox,
+      start: Long, end: Long, fileLen: Long, scheme: BinScheme): TaskTbx = {
+    val file = new SeekableFile(vcf, confBox.conf)
+    try {
+      val firstMember =
+        if (start == 0) 0L else Bgzf.nextMemberStart(file, start, fileLen)
+      if (firstMember >= end || firstMember >= fileLen)
+        return TaskTbx(Nil, Nil, Nil, 0L)
+      val in = Bgzf.openAtLineStart(file, firstMember, fileLen)
+      try {
+        val blocks =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        val bins = scala.collection.mutable.LinkedHashMap
+          .empty[(String, Int), scala.collection.mutable.ArrayBuffer[Chunk]]
+        val linear =
+          scala.collection.mutable.LinkedHashMap.empty[(String, Int), Long]
+        val lb = new FastqLineBuf
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var curContig: String = null
+        var lastBeg = -1L
+        var n = 0L
+        var done = false
+        val maxPos = scheme.maxPos
+        while (!done) {
+          val (m0, u0) = in.virtualPos
+          if (m0 >= end || m0 >= fileLen) done = true
+          else {
+            lb.reset()
+            var b = in.read()
+            if (b == -1) done = true
+            else {
+              while (b != -1 && b != '\n') { lb.append(b); b = in.read() }
+              val line = lb.toLine
+              if (line.nonEmpty && line.charAt(0) != '#') {
+                val f = line.split("\t", 9)
+                require(f.length >= 4,
+                  s"malformed VCF record in $vcf at member $m0: " +
+                    s"'${line.take(40)}' has ${f.length} fields")
+                val contig = f(0)
+                val pos1 =
+                  try f(1).toLong
+                  catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"malformed VCF POS '${f(1)}' in $vcf at member $m0")
+                  }
+                val beg = pos1 - 1
+                val recEnd = recordEnd(beg, f)
+                require(beg >= 0 && recEnd <= maxPos,
+                  s"$vcf: record [$beg, $recEnd) outside the index " +
+                    s"scheme's $maxPos cap")
+                if (contig != curContig) {
+                  require(seen.add(contig),
+                    s"$vcf: contig $contig reappears after a later " +
+                      "contig — tabix requires contiguous contig blocks")
+                  curContig = contig
+                  blocks += ((contig, beg, beg))
+                } else {
+                  require(beg >= lastBeg,
+                    s"$vcf is not coordinate-sorted " +
+                      s"($contig:$pos1 after beg $lastBeg)")
+                  val (c, fb, _) = blocks.last
+                  blocks(blocks.length - 1) = (c, fb, beg)
+                }
+                lastBeg = beg
+                val vBeg = (m0 << 16) | u0
+                val (m1, u1) = in.virtualPos
+                val vEnd = (m1 << 16) | u1
+                val bin = scheme.binOf(beg, recEnd)
+                val bcs = bins.getOrElseUpdate((contig, bin),
+                  scala.collection.mutable.ArrayBuffer.empty[Chunk])
+                if (bcs.nonEmpty && (bcs.last.end >>> 16) == m0)
+                  bcs(bcs.length - 1) = Chunk(bcs.last.beg, vEnd)
+                else bcs += Chunk(vBeg, vEnd)
+                var w = (beg >> LinearShift).toInt
+                val wEnd = ((recEnd - 1) >> LinearShift).toInt
+                while (w <= wEnd) {
+                  val k = (contig, w)
+                  val cur = linear.getOrElse(k, 0L)
+                  if (cur == 0L ||
+                      java.lang.Long.compareUnsigned(vBeg, cur) < 0)
+                    linear(k) = vBeg
+                  w += 1
+                }
+                n += 1
+              }
+            }
+          }
+        }
+        TaskTbx(blocks.toSeq,
+          bins.toSeq.map { case (k, v) => (k, v.toSeq) },
+          linear.toSeq, n)
+      } finally in.close()
+    } finally file.close()
   }
 
   def read(vcf: String, conf: Configuration = new Configuration()): Tbi = {
@@ -274,17 +563,26 @@ object Tabix {
   }
 
   /** CLI parity with `tabix -p vcf` / `tabix -C` (and the BamIndex main):
-    * `runMain graft.sources.Tabix [--csi] file.vcf.gz [more ...]`. */
+    * `runMain graft.sources.Tabix [--csi] [--distributed] file.vcf.gz
+    * [more ...]`. `--distributed` fans the record scan out over a Spark
+    * job — the form a cohort-scale VCF indexes with. */
   def main(args: Array[String]): Unit = {
     val (flags, paths) = args.partition(_.startsWith("--"))
     require(paths.nonEmpty,
-      "usage: Tabix [--csi] <file.vcf.gz> [more.vcf.gz ...]")
+      "usage: Tabix [--csi] [--distributed] <file.vcf.gz> [more.vcf.gz ...]")
     val csi = flags.contains("--csi")
-    paths.foreach { p =>
-      val n = if (csi) buildCsi(p) else build(p)
+    val dist = flags.contains("--distributed")
+    val spark = if (dist) Some(org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-tabix").getOrCreate()) else None
+    try paths.foreach { p =>
+      val n = spark match {
+        case Some(s) => if (csi) buildCsiDistributed(s, p)
+          else buildDistributed(s, p)
+        case None => if (csi) buildCsi(p) else build(p)
+      }
       val side = if (csi) p + ".csi" else sidecarPath(p)
       println(s"[tabix] indexed $p: $n records -> $side")
-    }
+    } finally spark.foreach(_.stop())
   }
 
   /** Contig names out of a tabix-flavoured CSI aux blob. */

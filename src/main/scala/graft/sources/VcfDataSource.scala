@@ -105,25 +105,37 @@ object VcfDataSource {
   * [[SamFilters]]; `pos` is 1-based like SAM `start`, so the 0-based
   * region math mirrors [[BaiIndex.region]]. */
 object VcfFilters {
+  /** `pos` is nullable (an unparseable POS decodes to null): each
+    * predicate decides its OWN null semantics — a pos comparison with
+    * null pos is not-true (SQL), while a contig-only equality never
+    * consults pos, so `contig = 'c'` keeps lenient-null-pos rows exactly
+    * as the same filter over an unpushed scan would (ADVICE r13: a
+    * blanket `pos != null` gate silently dropped them only when the
+    * predicate was pushed). */
   sealed trait Pred extends Serializable {
-    def eval(contig: String, pos: Long): Boolean
+    def eval(contig: String, pos: java.lang.Long): Boolean
   }
   final case class ContigEq(v: String) extends Pred {
-    override def eval(c: String, p: Long): Boolean = c == v
+    override def eval(c: String, p: java.lang.Long): Boolean = c == v
     override def toString: String = s"(contig = '$v')"
   }
   final case class PosCmp(op: String, v: Long) extends Pred {
-    override def eval(c: String, p: Long): Boolean = op match {
-      case "="  => p == v
-      case "<"  => p < v
-      case "<=" => p <= v
-      case ">"  => p > v
-      case ">=" => p >= v
+    override def eval(c: String, p0: java.lang.Long): Boolean = {
+      if (p0 == null) return false
+      val p = p0.longValue()
+      op match {
+        case "="  => p == v
+        case "<"  => p < v
+        case "<=" => p <= v
+        case ">"  => p > v
+        case ">=" => p >= v
+      }
     }
     override def toString: String = s"(pos $op $v)"
   }
   final case class AndP(l: Pred, r: Pred) extends Pred {
-    override def eval(c: String, p: Long): Boolean = l.eval(c, p) && r.eval(c, p)
+    override def eval(c: String, p: java.lang.Long): Boolean =
+      l.eval(c, p) && r.eval(c, p)
     override def toString: String = s"($l AND $r)"
   }
 
@@ -198,7 +210,7 @@ object VcfFilters {
     Some((refIds.head, beg, math.max(beg, end)))
   }
 
-  def evalAll(preds: Seq[Pred], contig: String, pos: Long): Boolean = {
+  def evalAll(preds: Seq[Pred], contig: String, pos: java.lang.Long): Boolean = {
     var i = 0
     while (i < preds.length) {
       if (!preds(i).eval(contig, pos)) return false
@@ -354,6 +366,38 @@ class VcfPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
   private val needGt = fields.contains("genotypes")
   private var current: InternalRow = _
 
+  // per-field decoder closures resolved ONCE at reader construction —
+  // matching field NAMES per row per column is pure wasted CPU on a
+  // corpus scan (ADVICE r13 nit; the other sources precompute the same
+  // way). Each takes (rawLine, splitFields, parsedPos).
+  private type FieldDecoder = (String, Array[String], java.lang.Long) => Any
+  private def strAt(i: Int): FieldDecoder = (_, f, _) =>
+    if (i < f.length) UTF8String.fromString(f(i)) else null
+  private val decoders: Array[FieldDecoder] = fields.map {
+    case "line"   => (line: String, _: Array[String], _: java.lang.Long) =>
+      UTF8String.fromString(line)
+    case "contig" => (_: String, f: Array[String], _: java.lang.Long) =>
+      UTF8String.fromString(f(0))
+    case "pos"    => (_: String, _: Array[String], pos: java.lang.Long) =>
+      if (pos == null) null else pos.longValue()
+    case "id"     => strAt(2)
+    case "ref"    => strAt(3)
+    case "alt"    => strAt(4)
+    case "qual"   => (_: String, f: Array[String], _: java.lang.Long) =>
+      if (f.length <= 5 || f(5) == ".") null
+      else try java.lang.Double.valueOf(f(5).toDouble)
+        catch { case _: NumberFormatException => null }
+    case "filter" => strAt(6)
+    case "info"   => strAt(7)
+    case "format" => strAt(8)
+    case "genotypes" => (_: String, f: Array[String], _: java.lang.Long) =>
+      if (f.length <= 9) null
+      else new GenericArrayData(
+        f.drop(9).map(v => UTF8String.fromString(v): Any))
+    case other => throw new IllegalArgumentException(
+      s"vcf source: unknown required column '$other'")
+  }
+
   override def next(): Boolean = {
     while (true) {
       val l = lines.next()
@@ -369,11 +413,10 @@ class VcfPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
             "(truncated file?)")
         val pos = try java.lang.Long.valueOf(f(1).toLong)
           catch { case _: NumberFormatException => null }
-        // pushed-predicate contract: comparisons with an unparseable
-        // (null) pos are not-true, matching SQL null semantics
-        val keep = preds.isEmpty ||
-          (pos != null && VcfFilters.evalAll(preds, f(0), pos.longValue()))
-        if (keep) {
+        // pushed-predicate contract: per-kind null handling lives in the
+        // Pred itself (a pos comparison with null pos is not-true; a
+        // contig-only predicate never consults pos — ADVICE r13)
+        if (preds.isEmpty || VcfFilters.evalAll(preds, f(0), pos)) {
           current = decode(s, f, pos)
           return true
         }
@@ -384,27 +427,13 @@ class VcfPartitionReader(path: String, rangeStart: Long, rangeEnd: Long,
 
   private def decode(line: String, f: Array[String],
       pos: java.lang.Long): InternalRow = {
-    def str(i: Int): UTF8String =
-      if (i < f.length) UTF8String.fromString(f(i)) else null
-    InternalRow.fromSeq(fields.map {
-      case "line"   => UTF8String.fromString(line)
-      case "contig" => UTF8String.fromString(f(0))
-      case "pos"    => if (pos == null) null else pos.longValue()
-      case "id"     => str(2)
-      case "ref"    => str(3)
-      case "alt"    => str(4)
-      case "qual" =>
-        if (f.length <= 5 || f(5) == ".") null
-        else try java.lang.Double.valueOf(f(5).toDouble)
-          catch { case _: NumberFormatException => null }
-      case "filter" => str(6)
-      case "info"   => str(7)
-      case "format" => str(8)
-      case "genotypes" =>
-        if (f.length <= 9) null
-        else new GenericArrayData(
-          f.drop(9).map(v => UTF8String.fromString(v): Any))
-    }.toIndexedSeq)
+    val vals = new Array[Any](decoders.length)
+    var i = 0
+    while (i < decoders.length) {
+      vals(i) = decoders(i)(line, f, pos)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
   override def get(): InternalRow = current

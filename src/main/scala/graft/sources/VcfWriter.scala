@@ -52,8 +52,10 @@ object VcfWriter {
   }
 
   /** Scan a VCF written by [[write]] (or any site-level VCF with AC/DP
-    * INFO keys) back into the canonical variant frame. Plain text only —
-    * splittable via the ordinary text source. `strict = true` applies
+    * INFO keys) back into the canonical variant frame. Rides the `vcf`
+    * DataSource V2: intra-file splits for plain AND bgzip'd files,
+    * `.tbi`/`.csi` region pruning, projection pushdown (see the body
+    * note). `strict = true` applies
     * the decoder-fuzz discipline the binary sources follow: a record
     * whose POS/AC/DP fields don't parse RAISES naming the offending
     * line, instead of silently becoming nulls that vanish from

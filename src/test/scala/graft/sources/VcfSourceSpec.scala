@@ -166,6 +166,27 @@ class VcfSourceSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("malformed VCF record")), e2.toString)
   }
 
+  test("a pushed contig-only predicate keeps lenient-null-pos rows " +
+      "(ADVICE r13: per-kind null handling)") {
+    val p = s"$root/nullpos.vcf"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      ("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" +
+        "chr1\tfive\t.\tA\tT\t.\tPASS\tAC=1;DP=2\n" +
+        "chr2\t9\t.\tA\tT\t.\tPASS\tAC=1;DP=2\n").getBytes)
+    // contig-only: the null-pos chr1 row survives, exactly as the same
+    // filter over the unpushed scan would keep it
+    val q = fmt(p).where(col("contig") === "chr1")
+    assert(q.queryExecution.executedPlan.toString.contains("contig = 'chr1'"),
+      "predicate must be pushed for this to test the pushed path")
+    val rows = q.select("contig", "pos").collect()
+    assert(rows.length === 1 && rows(0).isNullAt(1))
+    // pos comparison with null pos stays not-true (SQL semantics)
+    assert(fmt(p).where(col("contig") === "chr1" && col("pos") > 0)
+      .count() === 0)
+    assert(fmt(p).where(col("pos") > 0).count() === 1)
+  }
+
   test("bgzf VCF truncated mid-member fails loudly, never as a shorter " +
       "valid file") {
     val full = java.nio.file.Files.readAllBytes(
