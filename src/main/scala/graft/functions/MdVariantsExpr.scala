@@ -131,6 +131,8 @@ object GraftExtensions {
     "cigar_sums" -> (c => CigarSums(c(0))),
     "quality_trim" -> (c => QualityTrim(c(0),
       intArg(c(1), "quality_trim"), intArg(c(2), "quality_trim"))),
+    "info_field" -> (c => InfoField(c(0), c(1))),
+    "info_map" -> (c => InfoMap(c(0))),
     "lsh_buckets" -> (c => LshBuckets(c(0), c(1),
       intArg(c(2), "lsh_buckets"), intArg(c(3), "lsh_buckets"),
       boolArg(c(4), "lsh_buckets"))),

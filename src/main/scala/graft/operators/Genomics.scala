@@ -5778,11 +5778,13 @@ object Genomics {
     def regionScan(path: String) = s.read.format("vcf")
       .option("splitsize", 4093).load(path)
       .where(col("contig") === "chr2" && col("pos") >= lo && col("pos") < hi)
+    // r14: the native one-pass info_field kernel replaces per-key
+    // regexp_extract (same values — the r13 hash is pinned unchanged)
     val agg = regionScan(tbiVcf)
       .select(col("pos"),
-        expr("CAST(regexp_extract(info, 'AC=(\\\\d+)', 1) AS BIGINT)")
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "AC")
           .as("ac"),
-        expr("CAST(regexp_extract(info, 'DP=(\\\\d+)', 1) AS BIGINT)")
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "DP")
           .as("dp"))
       .agg(count(lit(1)).as("n_sites"),
         coalesce(sum(col("ac")), lit(0L)).as("sum_ac"),
@@ -5832,6 +5834,96 @@ object Genomics {
       |  CAST(COUNT(*) AS BIGINT) AS n_sites_csi,
       |  CAST((SELECT COUNT(*) FROM sites) AS BIGINT) AS n_total,
       |  true AS pruned_ok, true AS parts_pruned_ok, true AS pushed_ok
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- x85
+  /** DISTRIBUTED INDEX BUILD gate — [[graft.sources.Tabix.buildDistributed]]
+    * / `buildCsiDistributed` (r14, VERDICT r13 #1): a multi-contig
+    * bgzip'd cohort-shaped VCF is indexed SEQUENTIALLY (the htslib-parity
+    * reference pass), then re-indexed by the executor-parallel build at a
+    * small split size that chops member chains mid-run. The gate asserts
+    * IN-ROW that both `.tbi` and `.csi` sidecars are BYTE-IDENTICAL to
+    * the sequential builders' (`tbi_identical`/`csi_identical`), then
+    * runs an oracle-checked region aggregate THROUGH the distributed-
+    * built `.tbi` with x84's pruning accounting (`parts_pruned_ok`) —
+    * so a distributed build that drifted from the format would fail the
+    * hash, the byte compare, or the pruning assert, not just a spec. */
+  def x85DistIndexGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HadoopIO, Tabix, VcfWriter}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 9 === 4)
+    val sites = li.select(
+        when(col("l_suppkey") % 3 === 0, "chr1")
+          .when(col("l_suppkey") % 3 === 1, "chr2")
+          .otherwise("chr3").as("contig"),
+        ((col("l_partkey") % 4000) * 101 + 7).cast("long").as("pos"),
+        ((col("l_partkey") % 5) + 1).cast("long").as("ac0"),
+        ((col("l_suppkey") % 50) + 1).cast("long").as("dp0"))
+      .groupBy(col("contig"), col("pos"))
+      .agg(min(col("ac0")).as("ac"), min(col("dp0")).as("dp"))
+      .select(col("contig"), col("pos"), lit("A").as("ref"),
+        lit("T").as("alt"), col("ac"), col("dp"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x85_$sfTag"
+    val refs = Seq("chr1" -> 500000, "chr2" -> 500000, "chr3" -> 500000)
+    val vcf = s"$root/cohort.vcf.gz"
+    VcfWriter.write(sites, refs, vcf, numPartitions = 8)
+    val conf = s.sparkContext.hadoopConfiguration
+    def sidecarBytes(p: String): Array[Byte] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val in = hp.getFileSystem(conf).open(hp)
+      try in.readAllBytes() finally in.close()
+    }
+    val nSeqTbi = Tabix.build(vcf, conf)
+    val seqTbi = sidecarBytes(vcf + ".tbi")
+    val nSeqCsi = Tabix.buildCsi(vcf, conf)
+    val seqCsi = sidecarBytes(vcf + ".csi")
+    // distributed builds LAST: the scan below consumes the distributed
+    // artifacts, not the sequential ones
+    val nDistTbi = Tabix.buildDistributed(s, vcf, splitSize = 4093)
+    val nDistCsi = Tabix.buildCsiDistributed(s, vcf, splitSize = 4093)
+    val tbiIdentical = nSeqTbi == nDistTbi &&
+      java.util.Arrays.equals(seqTbi, sidecarBytes(vcf + ".tbi"))
+    val csiIdentical = nSeqCsi == nDistCsi &&
+      java.util.Arrays.equals(seqCsi, sidecarBytes(vcf + ".csi"))
+
+    val (lo, hi) = (150000L, 280000L)
+    def scan() = s.read.format("vcf").option("splitsize", 4093).load(vcf)
+    val q = scan().where(col("contig") === "chr2" &&
+      col("pos") >= lo && col("pos") < hi)
+    val fullParts = scan().rdd.getNumPartitions
+    val prunedParts = q.rdd.getNumPartitions
+    q.select(col("pos"),
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "AC")
+          .as("ac"),
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "DP")
+          .as("dp"))
+      .agg(count(lit(1)).as("n_sites"),
+        coalesce(sum(col("ac")), lit(0L)).as("sum_ac"),
+        coalesce(sum(col("dp")), lit(0L)).as("sum_dp"))
+      .select(col("n_sites"), col("sum_ac"), col("sum_dp"),
+        lit(tbiIdentical).as("tbi_identical"),
+        lit(csiIdentical).as("csi_identical"),
+        lit(prunedParts < fullParts).as("parts_pruned_ok"))
+  }
+
+  val x85Sql: String =
+    """WITH li AS (SELECT l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey % 9 = 4),
+      |s0 AS (SELECT
+      |    CASE l_suppkey % 3 WHEN 0 THEN 'chr1' WHEN 1 THEN 'chr2'
+      |      ELSE 'chr3' END AS contig,
+      |    (l_partkey % 4000) * 101 + 7 AS pos,
+      |    (l_partkey % 5) + 1 AS ac0, (l_suppkey % 50) + 1 AS dp0
+      |  FROM li),
+      |sites AS (SELECT contig, pos, MIN(ac0) AS ac, MIN(dp0) AS dp
+      |  FROM s0 GROUP BY contig, pos),
+      |r AS (SELECT * FROM sites
+      |  WHERE contig = 'chr2' AND pos >= 150000 AND pos < 280000)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sites,
+      |  CAST(COALESCE(SUM(ac), 0) AS BIGINT) AS sum_ac,
+      |  CAST(COALESCE(SUM(dp), 0) AS BIGINT) AS sum_dp,
+      |  true AS tbi_identical, true AS csi_identical,
+      |  true AS parts_pruned_ok
       |FROM r""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5900,7 +5992,8 @@ object Genomics {
     "x81_quality_trim"       -> (x81QualityTrim _),
     "x82_ubam_gate"          -> (x82UbamGate _),
     "x83_stream_trim_gate"   -> (x83StreamTrimGate _),
-    "x84_vcf_region_gate"    -> (x84VcfRegionGate _))
+    "x84_vcf_region_gate"    -> (x84VcfRegionGate _),
+    "x85_dist_index_gate"    -> (x85DistIndexGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -5968,5 +6061,6 @@ object Genomics {
     "x81_quality_trim"       -> x81Sql,
     "x82_ubam_gate"          -> x82Sql,
     "x83_stream_trim_gate"   -> x83Sql,
-    "x84_vcf_region_gate"    -> x84Sql)
+    "x84_vcf_region_gate"    -> x84Sql,
+    "x85_dist_index_gate"    -> x85Sql)
 }

@@ -69,12 +69,16 @@ object VcfWriter {
     // arrives try-parsed (null on garbage) so the lenient/strict layering
     // below keeps its documented semantics; structurally broken lines
     // (< 8 fields — the truncation shape) raise in the source itself.
+    // r14: INFO consumption through the native one-pass info_field
+    // kernel (graft.functions.InfoFieldExpr) — per-key regexp_extract
+    // re-scanned the whole INFO string per row per key and matched key
+    // SUFFIXES (AC= inside MLEAC=); try-cast semantics preserved
     val parsed = s.read.format("vcf").load(path)
       .select(col("line").as("value"),
         col("contig"), col("pos"), col("ref"), col("alt"),
-        expr("try_cast(regexp_extract(info, 'AC=(\\\\d+)', 1) AS BIGINT)")
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "AC")
           .as("ac"),
-        expr("try_cast(regexp_extract(info, 'DP=(\\\\d+)', 1) AS BIGINT)")
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "DP")
           .as("dp"))
     // The guard is a FILTER, not a column wrapper: a when(...raise_error)
     // attached to one output column dies with that column under Catalyst
