@@ -5926,6 +5926,121 @@ object Genomics {
       |  true AS parts_pruned_ok
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- x86
+  /** STREAMING BAM ingest gate — the `bam` DSv2's MICRO_BATCH_READ
+    * surface (r14, VERDICT r13 #4): per-sample BAMs land in a directory,
+    * the shared [[graft.sources.LandingDirMicroBatchStream]] offset
+    * model (prefix-of-sorted-listing, append-only asserted loudly) plans
+    * each batch's byte-range splits, and a complete-mode flagstat-shaped
+    * aggregate accumulates per-class totals behind a checkpoint. The
+    * gate streams three landed BAMs, STOPS, lands a fourth, restarts
+    * from the checkpoint (committed offsets asserted 3→4 — only the new
+    * file replays), and value-checks stream ≡ batch over the same
+    * directory: the x83 discipline on the binary source. */
+  def x86StreamBamGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamWriter, HadoopIO}
+    val s2 = s.newSession()
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x86_$tag"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent rerun
+    val dir = s"$root/in"
+    val ckpt = s"$root/ckpt"
+
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 21 === 6)
+    val flag = (lit(1)
+      + when(col("l_partkey") % 7 === 0, 4).otherwise(0)
+      + when(col("l_quantity").cast("int") % 11 === 0, 1024).otherwise(0))
+      .cast("int")
+    val recs = li.select(
+      (col("l_orderkey") % 4).cast("int").as("fi"),
+      concat(lit("r"), (col("l_partkey") % 3).cast("int"), lit("_"),
+        col("l_orderkey"), lit("_"), col("l_linenumber")).as("readName"),
+      flag.as("flag"), lit("chrM").as("referenceName"),
+      (col("l_partkey") % 1000 + 1).cast("int").as("start"),
+      lit(60).as("mapQ"), lit("10M").as("cigar"), lit("=").as("rnext"),
+      lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    def land(fi: Int): Unit = BamWriter.write(
+      recs.where(col("fi") === fi).drop("fi"),
+      "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n", Seq("chrM" -> 16569),
+      f"$dir/part-$fi%05d.bam")
+
+    def flagstat(df: DataFrame): DataFrame = df
+      .groupBy(expr("CAST(substring(readName, 2, 1) AS INT)").as("cls"))
+      .agg(count(lit(1)).as("n_reads"),
+        sum((col("flag").bitwiseAND(lit(4)) === 0).cast("long"))
+          .as("n_mapped"),
+        sum((col("flag").bitwiseAND(lit(1024)) =!= 0).cast("long"))
+          .as("n_dup"),
+        sum(col("start").cast("long")).as("sum_start"))
+
+    def runStream(): Unit = {
+      s2.catalog.dropTempView("x86_stream")
+      val stream = s2.readStream.format("bam")
+        .option("splitsize", 4096).load(dir)
+      val q = flagstat(stream).writeStream.format("memory")
+        .queryName("x86_stream").outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    (0 to 2).foreach(land)
+    runStream()
+    def lastOffsetN(): Int = {
+      val od = new org.apache.hadoop.fs.Path(s"$ckpt/offsets")
+      val files = fs.listStatus(od).map(_.getPath)
+        .filter(p => p.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val txt = {
+        val in = fs.open(files.last)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .getOrElse(-1)
+    }
+    val nAfterFirst = lastOffsetN()
+    land(3)
+    runStream() // restart from the checkpoint: only file 3 replays
+    val nAfterSecond = lastOffsetN()
+    val cols = Seq("cls", "n_reads", "n_mapped", "n_dup", "sum_start")
+    val streamed = s2.table("x86_stream").select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = flagstat(s2.read.format("bam")
+      .option("splitsize", 4096).load(dir))
+    val batchRows = batch.select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    import s.implicits._
+    val t = batch.agg(count(lit(1)).as("n_classes"),
+      sum(col("n_reads")).as("n_reads"),
+      sum(col("n_mapped")).as("n_mapped"),
+      sum(col("n_dup")).as("n_dup"),
+      sum(col("sum_start")).as("sum_start")).collect()(0)
+    Seq((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
+      t.getLong(4), streamed == batchRows,
+      nAfterFirst == 3 && nAfterSecond == 4))
+      .toDF("n_classes", "n_reads", "n_mapped", "n_dup", "sum_start",
+        "stream_equals_batch", "incremental_ok")
+  }
+
+  val x86Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 21 = 6),
+      |r AS (SELECT l_partkey % 3 AS cls,
+      |    CASE WHEN l_partkey % 7 = 0 THEN 1 ELSE 0 END AS unmapped,
+      |    CASE WHEN CAST(l_quantity AS INT) % 11 = 0 THEN 1 ELSE 0 END
+      |      AS dup,
+      |    (l_partkey % 1000) + 1 AS start
+      |  FROM li)
+      |SELECT CAST(COUNT(DISTINCT cls) AS BIGINT) AS n_classes,
+      |  CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(1 - unmapped) AS BIGINT) AS n_mapped,
+      |  CAST(SUM(dup) AS BIGINT) AS n_dup,
+      |  CAST(SUM(start) AS BIGINT) AS sum_start,
+      |  true AS stream_equals_batch, true AS incremental_ok
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -5993,7 +6108,8 @@ object Genomics {
     "x82_ubam_gate"          -> (x82UbamGate _),
     "x83_stream_trim_gate"   -> (x83StreamTrimGate _),
     "x84_vcf_region_gate"    -> (x84VcfRegionGate _),
-    "x85_dist_index_gate"    -> (x85DistIndexGate _))
+    "x85_dist_index_gate"    -> (x85DistIndexGate _),
+    "x86_stream_bam_gate"    -> (x86StreamBamGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -6062,5 +6178,6 @@ object Genomics {
     "x82_ubam_gate"          -> x82Sql,
     "x83_stream_trim_gate"   -> x83Sql,
     "x84_vcf_region_gate"    -> x84Sql,
-    "x85_dist_index_gate"    -> x85Sql)
+    "x85_dist_index_gate"    -> x85Sql,
+    "x86_stream_bam_gate"    -> x86Sql)
 }

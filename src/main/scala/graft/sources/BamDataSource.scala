@@ -76,7 +76,8 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def name(): String = s"bam(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = SamDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BamScanBuilder(SamDataSource.resolvePaths(options),
       SamDataSource.splitSize(options),
@@ -159,6 +160,19 @@ class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
           runs.filter(_.length <= BamScan.MaxShippedRuns).map(p -> _)
         }.toMap
     new BamReaderFactory(required.fieldNames, preds, confBox, baiPlans)
+  }
+  /** Landing-dir micro-batch streaming (r14): per-sample BAMs land in a
+    * directory (the other instrument/pipeline drop format next to
+    * `fastq`'s); the shared prefix-offset model plans each batch's
+    * byte-range splits, and pushed predicates stay per-record
+    * reader-side (driver-planned `.bai` runs are a batch-scan
+    * optimization — streamed files are consulted split-locally). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val fields = required.fieldNames
+    val ps = preds
+    new LandingDirMicroBatchStream(paths, splitSize, "bam",
+      () => new BamReaderFactory(fields, ps, HadoopIO.capture()))
   }
 }
 

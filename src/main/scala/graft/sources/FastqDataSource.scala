@@ -130,9 +130,12 @@ class FastqScan(paths: Seq[String], splitSize: Long, required: StructType)
     new FastqMicroBatchStream(paths, splitSize, required.fieldNames)
 }
 
-/** Micro-batch stream over a FASTQ landing DIRECTORY — the
-  * instrument-drop ingest shape (a sequencer finishes a flow-cell, a
-  * `.fastq.gz` lands, the pipeline trims/QCs it incrementally).
+/** Micro-batch stream over a landing DIRECTORY — the instrument-drop
+  * ingest shape (a sequencer finishes a flow-cell, a `.fastq.gz` — or a
+  * per-sample BAM — lands, the pipeline processes it incrementally).
+  * Shared by the `fastq`, `sam`, and `bam` sources: the offset model and
+  * split planning are format-independent; only the per-partition reader
+  * factory differs.
   *
   * Offset model: the PREFIX LENGTH of the path-name-sorted file listing,
   * carrying the last included file's name. The contract (asserted, not
@@ -146,12 +149,12 @@ class FastqScan(paths: Seq[String], splitSize: Long, required: StructType)
   * drop still scans wide. Replays are idempotent: (start, end] always
   * maps to the same files, so checkpoint recovery re-reads exactly the
   * uncommitted tail (the exactly-once half the sink completes). */
-class FastqMicroBatchStream(paths: Seq[String], splitSize: Long,
-    fields: Array[String])
+class LandingDirMicroBatchStream(paths: Seq[String], splitSize: Long,
+    what: String, factory: () => PartitionReaderFactory)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FastqOffset(n: Int, last: String) extends Offset {
+  private case class PrefixOffset(n: Int, last: String) extends Offset {
     override def json(): String = {
       val esc = last.replace("\\", "\\\\").replace("\"", "\\\"")
       s"""{"n":$n,"last":"$esc"}"""
@@ -167,38 +170,38 @@ class FastqMicroBatchStream(paths: Seq[String], splitSize: Long,
       .sortBy(_._1)
   }
 
-  override def initialOffset(): Offset = FastqOffset(0, "")
+  override def initialOffset(): Offset = PrefixOffset(0, "")
   override def latestOffset(): Offset = {
     val ls = listing()
-    FastqOffset(ls.length, ls.lastOption.map(_._1).getOrElse(""))
+    PrefixOffset(ls.length, ls.lastOption.map(_._1).getOrElse(""))
   }
   override def deserializeOffset(json: String): Offset = {
     val n = "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
-      .getOrElse(sys.error(s"bad fastq stream offset: $json"))
+      .getOrElse(sys.error(s"bad $what stream offset: $json"))
     val last = "\"last\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findFirstMatchIn(json).map(_.group(1)
         .replace("\\\"", "\"").replace("\\\\", "\\"))
-      .getOrElse(sys.error(s"bad fastq stream offset: $json"))
-    FastqOffset(n, last)
+      .getOrElse(sys.error(s"bad $what stream offset: $json"))
+    PrefixOffset(n, last)
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val (s0, e0) = (start.asInstanceOf[FastqOffset],
-      end.asInstanceOf[FastqOffset])
+    val (s0, e0) = (start.asInstanceOf[PrefixOffset],
+      end.asInstanceOf[PrefixOffset])
     val ls = listing()
     require(ls.length >= e0.n,
-      s"fastq stream: listing shrank to ${ls.length} files below the " +
+      s"$what stream: listing shrank to ${ls.length} files below the " +
         s"batch end offset ${e0.n} — files were deleted under the stream")
     // the committed prefix must be the SAME files: a new name sorting
     // into the prefix would silently shift ownership
     if (s0.n > 0) require(ls(s0.n - 1)._1 == s0.last,
-      s"fastq stream: file ${s0.n - 1} is now '${ls(s0.n - 1)._1}' but " +
+      s"$what stream: file ${s0.n - 1} is now '${ls(s0.n - 1)._1}' but " +
         s"the committed offset recorded '${s0.last}' — non-append-only " +
         "ingest (a file landed before the committed prefix?)")
     if (e0.n > 0) require(ls(e0.n - 1)._1 == e0.last,
-      s"fastq stream: file ${e0.n - 1} is now '${ls(e0.n - 1)._1}' but " +
+      s"$what stream: file ${e0.n - 1} is now '${ls(e0.n - 1)._1}' but " +
         s"the batch end offset recorded '${e0.last}'")
     val conf = HadoopIO.driverConf()
     ls.slice(s0.n, e0.n).flatMap { case (p, size) =>
@@ -210,11 +213,17 @@ class FastqMicroBatchStream(paths: Seq[String], splitSize: Long,
     }.map(p => p: InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FastqReaderFactory(fields, HadoopIO.capture())
+  override def createReaderFactory(): PartitionReaderFactory = factory()
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+/** The fastq face of [[LandingDirMicroBatchStream]] (kept as a named
+  * class — x83's gate and the source specs construct it directly). */
+class FastqMicroBatchStream(paths: Seq[String], splitSize: Long,
+    fields: Array[String])
+    extends LandingDirMicroBatchStream(paths, splitSize, "fastq",
+      () => new FastqReaderFactory(fields, HadoopIO.capture()))
 
 class FastqReaderFactory(fields: Array[String], conf: HadoopIO.ConfBox)
     extends PartitionReaderFactory {

@@ -129,7 +129,8 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def name(): String = s"sam(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = SamDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SamScanBuilder(SamDataSource.resolvePaths(options),
       SamDataSource.splitSize(options))
@@ -170,6 +171,15 @@ class SamScan(paths: Seq[String], splitSize: Long, required: StructType,
     SamDataSource.planSplits(paths, splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
     new SamReaderFactory(required.fieldNames, preds, HadoopIO.capture())
+  /** Landing-dir micro-batch streaming (r14): the shared prefix-offset
+    * model; pushed predicates stay per-record reader-side. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val fields = required.fieldNames
+    val ps = preds
+    new LandingDirMicroBatchStream(paths, splitSize, "sam",
+      () => new SamReaderFactory(fields, ps, HadoopIO.capture()))
+  }
 }
 
 /** A byte range [start, end) of one file (shared by the sam and bam

@@ -147,6 +147,45 @@ class BamDataSourceSpec extends SparkSpec {
     assert(tiny.count() === 3000)
   }
 
+  test("bam landing-dir micro-batch stream: streamed == batch, " +
+      "append-only contract enforced loudly") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_bamstream_${java.util.UUID.randomUUID().toString.take(8)}"
+    def land(i: Int): Unit = BamWriter.write(
+      Seq((s"r${i}_a", 1, "chrM", 10 + i, 60, "4M", "=", 0, 0,
+        "ACGT", "*", "NM:i:0"),
+        (s"r${i}_b", 5, "chrM", 20 + i, 60, "4M", "=", 0, 0,
+          "ACGT", "*", "NM:i:0"))
+        .toDF("readName", "flag", "referenceName", "start", "mapQ",
+          "cigar", "rnext", "pnext", "tlen", "sequence", "qual",
+          "attributes"),
+      "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n", Seq("chrM" -> 16569),
+      f"$dir/part-$i%05d.bam")
+    land(0); land(1)
+    val s2 = spark.newSession()
+    val q = s2.readStream.format("bam").load(dir)
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum(col("start").cast("long")).as("s"),
+        sum((col("flag").bitwiseAND(lit(4)) =!= 0).cast("long")).as("u"))
+      .writeStream.format("memory").queryName("bamstream_spec")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = s2.table("bamstream_spec").head
+    assert(got.getLong(0) === 4L)
+    assert(got.getLong(1) === (10 + 20 + 11 + 21).toLong)
+    assert(got.getLong(2) === 2L) // one flag-5 (unmapped) record per file
+    // append-only contract: a displaced committed-prefix file raises
+    val ms = new LandingDirMicroBatchStream(Seq(dir), 4096, "bam",
+      () => new BamReaderFactory(SamDataSource.schema.fieldNames, Nil,
+        HadoopIO.capture()))
+    val end = ms.latestOffset()
+    assert(end.json().contains("\"n\":2"))
+    val bogus = ms.deserializeOffset("""{"n":1,"last":"displaced"}""")
+    val e = intercept[IllegalArgumentException](
+      ms.planInputPartitions(bogus, end))
+    assert(e.getMessage.contains("non-append-only"))
+  }
+
   test("x05 region gate: sorted-file runs span a measured minority of the bytes") {
     import graft.operators.MitoQueries
     val sf = "/root/testdata/sf0.001"
