@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
 
-  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+  private[mito] def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
       case key :: value :: rest if key.startsWith("--") =>
@@ -54,6 +54,35 @@ object Cli {
       val model = RandomForestClassificationModel.load(req("model"))
       val kept = MitoPipeline.run(spark, cfg, model).count()
       println(s"wrote $kept alignments to ${cfg.out}")
+    } finally spark.stop()
+  }
+}
+
+/** Paired FASTQ → unmapped BAM CLI (picard `FastqToSam` analogue; the
+  * reference's preprocessing entry, ref README.md:30). Usage:
+  *
+  *   graft.mito.FastqToUbamCli --r1 R1.fastq.gz --r2 R2.fastq.gz
+  *     --out unmapped.bam [--rg sample1] [--sample <SM>] [--threads 4]
+  */
+object FastqToUbamCli {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parse(args.toList, Map.empty)
+    def req(k: String): String =
+      opts.getOrElse(k, sys.error(s"missing required option --$k"))
+    val threads = opts.getOrElse("threads", "4").toInt
+    require(threads > 0, s"--threads must be positive, got $threads")
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-fastq-to-ubam")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val rg = opts.getOrElse("rg", "sample1")
+      val n = MitoPipeline.fastqToUbam(spark, req("r1"), req("r2"),
+        req("out"), readGroup = rg, sample = opts.getOrElse("sample", rg))
+      println(s"wrote $n unaligned records to ${req("out")}")
     } finally spark.stop()
   }
 }

@@ -88,6 +88,39 @@ object MitoPipeline {
     filtered
   }
 
+  /** Paired FASTQ → unmapped BAM (the picard `FastqToSam` analogue) —
+    * the reference's documented preprocessing entry (ref README.md:30
+    * reverts inputs to uBAM before alignment), promoted from x82's gate
+    * plumbing to a user surface. Strict paired read ([[FastqPaired]]:
+    * name-stem agreement enforced split-parallel), picard-flag 77/141
+    * unaligned records, one read group, written through [[graft.sources
+    * .BamWriter]] against an empty reference dictionary. Returns the
+    * record count (2 × pairs).
+    *
+    * Scale shape: two split-parallel FASTQ scans zipped by position, a
+    * narrow explode, and the BAM sink's streamed per-task part files —
+    * no record bytes on the driver. */
+  def fastqToUbam(spark: SparkSession, r1: String, r2: String, out: String,
+      readGroup: String = "sample1", sample: String = null,
+      splitSize: Long = 8L * 1024 * 1024): Long = {
+    val sm = Option(sample).getOrElse(readGroup)
+    val pairs = graft.sources.FastqPaired.read(spark, r1, r2,
+      strict = true, splitSize = splitSize)
+    val recs = pairs.select(col("name"), explode(array(
+        struct(lit(77).as("flag"), col("seq_1").as("sequence"),
+          col("qual_1").as("qual")),
+        struct(lit(141).as("flag"), col("seq_2").as("sequence"),
+          col("qual_2").as("qual")))).as("m"))
+      .select(col("name").as("readName"), col("m.flag").as("flag"),
+        lit("*").as("referenceName"), lit(0).as("start"), lit(0).as("mapQ"),
+        lit("*").as("cigar"), lit("*").as("rnext"), lit(0).as("pnext"),
+        lit(0).as("tlen"), col("m.sequence").as("sequence"),
+        col("m.qual").as("qual"),
+        lit(s"RG:Z:$readGroup").as("attributes"))
+    val header = s"@HD\tVN:1.6\tSO:queryname\n@RG\tID:$readGroup\tSM:$sm\n"
+    graft.sources.BamWriter.write(recs, header, Seq.empty, out)
+  }
+
   /** COHORT mode — N samples, ONE session, SHARED dims: the reference is
     * one-sample-per-JVM (`MTClassify.main` takes a single prefix), so a
     * cohort pays N dim loads and N JVM spins. Here the LD table is loaded,

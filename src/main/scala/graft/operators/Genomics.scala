@@ -5534,27 +5534,20 @@ object Genomics {
     * uniform join → per-pair explode → distributed BGZF encode into
     * part-files; no record bytes transit the driver. */
   def x82UbamGate(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.{BamWriter, FastqDataSource, FastqPaired, HadoopIO}
+    import graft.sources.{FastqDataSource, HadoopIO}
     val (mate1, mate2) = x79Mates(s, d)
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = s"${HadoopIO.scratchDir(s)}/graft_x82_$tag"
     val (r1, r2) = (s"$dir/R1.fastq.gz", s"$dir/R2.fastq.gz")
     FastqDataSource.write(mate1, r1)
     FastqDataSource.write(mate2, r2)
-    val pairs = FastqPaired.read(s, r1, r2, strict = true, splitSize = 4096)
-    val recs = pairs.select(col("name"), explode(array(
-        struct(lit(77).as("flag"), col("seq_1").as("sequence"),
-          col("qual_1").as("qual")),
-        struct(lit(141).as("flag"), col("seq_2").as("sequence"),
-          col("qual_2").as("qual")))).as("m"))
-      .select(col("name").as("readName"), col("m.flag").as("flag"),
-        lit("*").as("referenceName"), lit(0).as("start"), lit(0).as("mapQ"),
-        lit("*").as("cigar"), lit("*").as("rnext"), lit(0).as("pnext"),
-        lit(0).as("tlen"), col("m.sequence").as("sequence"),
-        col("m.qual").as("qual"), lit("RG:Z:sample1").as("attributes"))
+    // r14: the composition is the USER surface now —
+    // [[graft.mito.MitoPipeline.fastqToUbam]] (picard FastqToSam
+    // analogue, CLI at graft.mito.FastqToUbamCli); the gate drives it
+    // through the shared path
     val out = s"$dir/unmapped.bam"
-    val header = "@HD\tVN:1.6\tSO:queryname\n@RG\tID:sample1\tSM:sample1\n"
-    val nWritten = BamWriter.write(recs, header, Seq.empty, out)
+    val nWritten = graft.mito.MitoPipeline.fastqToUbam(s, r1, r2, out,
+      readGroup = "sample1", splitSize = 4096)
     s.read.format("bam").load(out)
       .agg(count(lit(1)).as("n_records"),
         sum((col("flag") === 77).cast("long")).as("n_first"),
