@@ -6034,6 +6034,82 @@ object Genomics {
       |  true AS stream_equals_batch, true AS incremental_ok
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- x87
+  /** COHORT VCF MERGE gate — [[graft.sources.VcfMerge]] (r14, VERDICT
+    * r13 #7, the bcftools-merge analogue): three single-sample VCFs with
+    * PARTIALLY OVERLAPPING site sets (every site is missing from exactly
+    * one sample — the sample-missing-at-a-site case the verdict named)
+    * merge into one multi-sample VCF through the `vcf` source + extended
+    * [[graft.sources.VcfWriter]], then `readGenotypes` round-trips the
+    * cohort. Oracle-checked: row/call/missing counts, the het-call
+    * count, and depth mass all restate the synthesis arithmetic; header
+    * sample order and the merged-count contract are asserted in-row. */
+  def x87CohortMergeGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HadoopIO, VcfDataSource, VcfMerge, VcfWriter}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 8 === 5)
+    val sites = li.select(
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("contig"),
+        (col("l_partkey") % 3000).cast("long").as("pi"))
+      .distinct()
+    val refs = Seq("chr1" -> 500000, "chr2" -> 500000)
+    // sample k calls a site iff (pi + k) % 3 != 0 — every site has
+    // exactly two callers, so the merge must render exactly one ./.:.
+    // per site
+    def sampleGt(k: Int) = sites.where((col("pi") + k) % 3 =!= 0)
+      .select(col("contig"), (col("pi") * 53 + 11).as("pos"),
+        lit("A").as("ref"), lit("G").as("alt"),
+        lit(s"s$k").as("sample"),
+        when((col("pi") + k) % 2 === 0, "0/1").otherwise("1/1").as("gt"),
+        (col("pi") % 50 + 1 + k).cast("long").as("dp"))
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x87_$sfTag"
+    val paths = (0 to 2).map { k =>
+      val p = s"$root/s$k.vcf.gz"
+      VcfWriter.writeGenotypes(sampleGt(k), refs, Seq(s"s$k"), p)
+      p
+    }
+    val cohort = s"$root/cohort.vcf.gz"
+    val nMerged = VcfMerge.merge(s, paths, cohort)
+    val conf = s.sparkContext.hadoopConfiguration
+    val samplesOk = VcfDataSource.headerSamples(cohort, conf) ==
+      Seq("s0", "s1", "s2") &&
+      VcfDataSource.headerContigs(cohort, conf) == refs
+    val back = VcfWriter.readGenotypes(s, cohort, strict = true)
+    back.agg(
+        count_distinct(col("contig"), col("pos")).as("n_sites"),
+        count(lit(1)).as("n_rows"),
+        sum((col("gt") =!= "./.").cast("long")).as("n_called"),
+        sum((col("gt") === "./.").cast("long")).as("n_missing"),
+        sum((col("gt") === "0/1").cast("long")).as("n_het"),
+        coalesce(sum(col("dp")), lit(0L)).as("sum_dp"))
+      .select(col("*"),
+        (lit(nMerged) === col("n_sites")).as("merge_count_ok"),
+        lit(samplesOk).as("samples_ok"))
+  }
+
+  val x87Sql: String =
+    """WITH li AS (SELECT l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey % 8 = 5),
+      |s0 AS (SELECT DISTINCT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2' END
+      |      AS contig,
+      |    l_partkey % 3000 AS pi
+      |  FROM li),
+      |ks AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(k)),
+      |calls AS (SELECT s0.contig, s0.pi, ks.k
+      |  FROM s0 CROSS JOIN ks WHERE (s0.pi + ks.k) % 3 <> 0)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_sites,
+      |  CAST(3 * (SELECT COUNT(*) FROM s0) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_called,
+      |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_missing,
+      |  CAST(SUM(CASE WHEN (pi + k) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_het,
+      |  CAST(SUM(pi % 50 + 1 + k) AS BIGINT) AS sum_dp,
+      |  true AS merge_count_ok, true AS samples_ok
+      |FROM calls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -6102,7 +6178,8 @@ object Genomics {
     "x83_stream_trim_gate"   -> (x83StreamTrimGate _),
     "x84_vcf_region_gate"    -> (x84VcfRegionGate _),
     "x85_dist_index_gate"    -> (x85DistIndexGate _),
-    "x86_stream_bam_gate"    -> (x86StreamBamGate _))
+    "x86_stream_bam_gate"    -> (x86StreamBamGate _),
+    "x87_cohort_merge_gate"  -> (x87CohortMergeGate _))
 
   val oracles: Map[String, String] = Map(
     "x18_coverage_intervals" -> x18Sql,
@@ -6172,5 +6249,6 @@ object Genomics {
     "x83_stream_trim_gate"   -> x83Sql,
     "x84_vcf_region_gate"    -> x84Sql,
     "x85_dist_index_gate"    -> x85Sql,
-    "x86_stream_bam_gate"    -> x86Sql)
+    "x86_stream_bam_gate"    -> x86Sql,
+    "x87_cohort_merge_gate"  -> x87Sql)
 }

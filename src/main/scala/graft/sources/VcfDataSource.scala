@@ -99,6 +99,24 @@ object VcfDataSource {
       .filter(_.startsWith("#CHROM"))
       .map(_.split("\t").drop(9).toSeq)
       .getOrElse(Nil)
+
+  /** `##contig=<ID=...,length=...>` lines in header order — the
+    * reference dictionary a merge/rewrite must carry forward. */
+  def headerContigs(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Int)] =
+    headerLines(path, conf).filter(_.startsWith("##contig=<")).flatMap { l =>
+      val body = l.stripPrefix("##contig=<").stripSuffix(">")
+      val kv = body.split(",").flatMap { f =>
+        f.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
+        }
+      }.toMap
+      for {
+        id <- kv.get("ID")
+        len <- kv.get("length").flatMap(_.toIntOption)
+      } yield (id, len)
+    }
 }
 
 /** Pushed-predicate algebra over (contig, pos) — the VCF face of
