@@ -39,7 +39,10 @@ object Bench {
     // loops) at sf0.1; budgets sit ~1.5× above so a real kernel
     // regression still trips them
     "q106_fuzz_gate" -> 26.0,
-    "q114_cc_fuzz_gate" -> 14.0)
+    "q114_cc_fuzz_gate" -> 14.0,
+    // 8 seeds × (2 bgzip'd VCF writes + 2 index builds + 4 scans) of
+    // file I/O per seed — cost tracks seed count, not engine speed
+    "q116_vcf_fuzz_gate" -> 25.0)
   val defaultBudget: Double = 10.0
 
   /** Host-speed multiplier for every ceiling (ADVICE r13: the budgets are

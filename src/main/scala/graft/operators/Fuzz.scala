@@ -867,6 +867,170 @@ object Fuzz {
     (0 until ResampleGateSeeds).map(k => resampleSeedSql(resampleParams(k)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
 
+  // ------------------------------------------------------------- q116
+  /** VCF SURFACE FUZZ — the eighth family (VERDICT r13 #6): seeded site
+    * GEOMETRY through the whole `vcf` DataSource V2 + [[graft.sources
+    * .Tabix]] stack. Each seed writes a bgzip'd multi-member VCF twice
+    * (contig counts 1–3, positions spread across many 16 kb linear
+    * windows, REF lengths spanning bin boundaries, INFO `END=` spans on
+    * a third of the records for END-widened seeds), indexes one copy
+    * `.tbi` and one `.csi` (every third seed through the DISTRIBUTED
+    * builders), then region-scans with a prime splitsize and a seeded
+    * (contig, pos-range) predicate — window-edge-aligned on every fifth
+    * seed. The checksums (count / pos / AC / DP mass via the native
+    * `info_field` kernel) replay against generated DuckDB SQL that
+    * restates the synthesis arithmetic — the differential vs an
+    * unpruned filter — and `.tbi` ≡ `.csi` row equality plus partition
+    * accounting are asserted per seed. FuzzSpec sweeps 50 seeds against
+    * a pure-Scala model. */
+  final case class PV(seed: Int, nC: Long, m1: Long, m2: Long, modN: Long,
+      stride: Long, phase: Long, refLenMod: Long, endMod: Long,
+      nParts: Int, split: Int, qc: Long, lo: Long, hi: Long,
+      distributed: Boolean)
+
+  def vcfParams(seed: Int): PV = {
+    var state = seed.toLong + 5000L // decorrelate from the other chains
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    val nC = in(1, 3)
+    val modN = in(50, 400)
+    val stride = in(1, 40000)
+    val phase = in(0, 200000)
+    val span = math.max((modN - 1) * stride, 2L)
+    var lo = phase + in(0, span)
+    if (seed % 5 == 0) lo = ((lo >> 14) << 14) + 1 // 16 kb window edge
+    PV(seed, nC, in(1, 13), in(1, 13), modN, stride, phase,
+      refLenMod = in(1, 25),
+      endMod = if (seed % 4 == 1) in(100, 5000) else 0L,
+      nParts = in(1, 8).toInt,
+      split = Seq(997, 2039, 4093, 8191)(seed % 4),
+      qc = in(0, nC - 1), lo = lo, hi = lo + in(1, span),
+      distributed = seed % 3 == 0)
+  }
+
+  final case class VcfSeedResult(seed: Long, nTotal: Long, nRegion: Long,
+      sumPos: Long, sumAc: Long, sumDp: Long, tbiEqCsi: Boolean,
+      prunedParts: Int, fullParts: Int)
+
+  /** One seed end-to-end: write both copies, index, region-scan, and
+    * checksum. A driver round-trip per seed (the q106 discipline). */
+  private[operators] def runVcfSeed(s: SparkSession, base: DataFrame,
+      p: PV, root: String): VcfSeedResult = {
+    import graft.sources.{Tabix, TextSink}
+    val conf = s.sparkContext.hadoopConfiguration
+    val sites = base.select(
+        concat(lit("c"), (col("pk") + col("sk")) % p.nC).as("contig"),
+        (lit(p.phase) +
+          ((col("pk") * p.m1 + col("sk") * p.m2) % p.modN) * p.stride + 1)
+          .cast("long").as("pos"))
+      .distinct()
+    val endTerm =
+      if (p.endMod <= 0) lit("")
+      else when(col("pos") % 3 === 0,
+        concat(lit(";END="), (col("pos") + col("pos") % p.endMod)
+          .cast("long"))).otherwise(lit(""))
+    val lines = sites.select(col("contig"), col("pos"),
+        expr(s"repeat('A', CAST(1 + pos % ${p.refLenMod} AS INT))")
+          .as("ref"),
+        concat(lit("AC="), ((col("pos") % 7) + 1).cast("long"),
+          lit(";DP="), ((col("pos") % 89) + 1).cast("long"), endTerm)
+          .as("info"))
+      .repartitionByRange(p.nParts, col("contig"), col("pos"))
+      .sortWithinPartitions(col("contig"), col("pos"))
+      .select(concat_ws("\t", col("contig"), col("pos"), lit("."),
+        col("ref"), lit("T"), lit("."), lit("PASS"), col("info"))
+        .as("line"))
+    val header = Seq("##fileformat=VCFv4.2") ++
+      (0 until p.nC.toInt).map(i => s"##contig=<ID=c$i,length=20000000>") ++
+      Seq("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    val tbiP = s"$root/s${p.seed}_tbi.vcf.gz"
+    val csiP = s"$root/s${p.seed}_csi.vcf.gz"
+    TextSink.write(header, lines, tbiP)
+    TextSink.write(header, lines, csiP)
+    if (p.distributed) {
+      Tabix.buildDistributed(s, tbiP, splitSize = 8192)
+      Tabix.buildCsiDistributed(s, csiP, splitSize = 8192)
+    } else {
+      Tabix.build(tbiP, conf)
+      Tabix.buildCsi(csiP, conf)
+    }
+    def scan(path: String) = s.read.format("vcf")
+      .option("splitsize", p.split).load(path)
+    def region(path: String) = scan(path).where(
+      col("contig") === s"c${p.qc}" &&
+        col("pos") >= p.lo && col("pos") < p.hi)
+    val agg = region(tbiP).select(col("pos"),
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "AC")
+          .as("ac"),
+        graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "DP")
+          .as("dp"))
+      .agg(count(lit(1)), coalesce(sum(col("pos")), lit(0L)),
+        coalesce(sum(col("ac")), lit(0L)),
+        coalesce(sum(col("dp")), lit(0L)))
+      .collect()(0)
+    // region row sets through BOTH sidecar formats (bounded: ≤ modN rows)
+    val tbiRows = region(tbiP).select("contig", "pos").collect()
+      .map(_.toString).sorted.toSeq
+    val csiRows = region(csiP).select("contig", "pos").collect()
+      .map(_.toString).sorted.toSeq
+    VcfSeedResult(p.seed.toLong, scan(tbiP).count(), agg.getLong(0),
+      agg.getLong(1), agg.getLong(2), agg.getLong(3),
+      tbiRows == csiRows,
+      region(tbiP).rdd.getNumPartitions, scan(tbiP).rdd.getNumPartitions)
+  }
+
+  val VcfGateSeeds = 8
+
+  def q116VcfFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 2)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${graft.sources.HadoopIO.scratchDir(s)}/graft_q116_$tag"
+      val rs = (0 until VcfGateSeeds)
+        .map(k => runVcfSeed(s, base, vcfParams(k), root))
+      // pruning is an across-seeds property at fixture scale: every seed
+      // must plan no MORE partitions than the full scan, and at least
+      // one must plan strictly fewer (a silent regression to full-file
+      // scanning fails here, not just the stopwatch)
+      val anyStrict = rs.exists(r => r.prunedParts < r.fullParts)
+      val allLe = rs.forall(r => r.prunedParts <= r.fullParts)
+      import s.implicits._
+      rs.map(r => (r.seed, r.nTotal, r.nRegion, r.sumPos, r.sumAc,
+          r.sumDp, r.tbiEqCsi, allLe, anyStrict))
+        .toDF("seed", "n_total", "n_region", "sum_pos", "sum_ac",
+          "sum_dp", "tbi_eq_csi", "pruned_le_ok", "any_pruned")
+        .orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def vcfSeedSql(p: PV): String =
+    s"""SELECT * FROM (
+       |WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 17 = 2),
+       |s0 AS (SELECT DISTINCT 'c' || ((pk + sk) % ${p.nC}) AS contig,
+       |    ${p.phase} + ((pk * ${p.m1} + sk * ${p.m2}) % ${p.modN})
+       |      * ${p.stride} + 1 AS pos
+       |  FROM li),
+       |r AS (SELECT * FROM s0 WHERE contig = 'c${p.qc}'
+       |  AND pos >= ${p.lo} AND pos < ${p.hi})
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed,
+       |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_total,
+       |  CAST(COUNT(*) AS BIGINT) AS n_region,
+       |  CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS sum_pos,
+       |  CAST(COALESCE(SUM(pos % 7 + 1), 0) AS BIGINT) AS sum_ac,
+       |  CAST(COALESCE(SUM(pos % 89 + 1), 0) AS BIGINT) AS sum_dp,
+       |  true AS tbi_eq_csi, true AS pruned_le_ok, true AS any_pruned
+       |FROM r
+       |)""".stripMargin
+
+  val q116Sql: String =
+    (0 until VcfGateSeeds).map(k => vcfSeedSql(vcfParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_fuzz_gate" -> (q106FuzzGate _),
     "q110_asof_fuzz_gate" -> (q110AsofFuzzGate _),
@@ -874,7 +1038,8 @@ object Fuzz {
     "q112_depth_fuzz_gate" -> (q112DepthFuzzGate _),
     "q113_ntile_fuzz_gate" -> (q113NtileFuzzGate _),
     "q114_cc_fuzz_gate" -> (q114CcFuzzGate _),
-    "q115_resample_fuzz_gate" -> (q115ResampleFuzzGate _))
+    "q115_resample_fuzz_gate" -> (q115ResampleFuzzGate _),
+    "q116_vcf_fuzz_gate" -> (q116VcfFuzzGate _))
 
   val oracles: Map[String, String] = Map(
     "q106_fuzz_gate" -> q106Sql,
@@ -883,5 +1048,6 @@ object Fuzz {
     "q112_depth_fuzz_gate" -> q112Sql,
     "q113_ntile_fuzz_gate" -> q113Sql,
     "q114_cc_fuzz_gate" -> q114Sql,
-    "q115_resample_fuzz_gate" -> q115Sql)
+    "q115_resample_fuzz_gate" -> q115Sql,
+    "q116_vcf_fuzz_gate" -> q116Sql)
 }

@@ -344,4 +344,39 @@ class FuzzSpec extends SparkSpec {
       .select("seed").as[Long].collect().toSeq
     assert(rows === (0L until Fuzz.ResampleGateSeeds.toLong))
   }
+
+  // ---------------------------------------------------------- vcf q116
+  /** Pure-Scala model of one VCF fuzz seed: the site synthesis plus a
+    * plain filter — no index, no source, no Spark. */
+  private def naiveVcf(p: Fuzz.PV): Seq[Long] = {
+    val sites = pairs.map { case (pk, sk) =>
+      ("c" + ((pk + sk) % p.nC),
+        p.phase + ((pk * p.m1 + sk * p.m2) % p.modN) * p.stride + 1)
+    }.distinct
+    val r = sites.filter(t =>
+      t._1 == s"c${p.qc}" && t._2 >= p.lo && t._2 < p.hi)
+    Seq(sites.size.toLong, r.size.toLong, r.map(_._2).sum,
+      r.map(t => t._2 % 7 + 1).sum, r.map(t => t._2 % 89 + 1).sum)
+  }
+
+  test("50-seed VCF surface sweep: index-pruned region scans through " +
+      "both sidecar formats equal a plain filter model") {
+    val root =
+      s"/tmp/graft_q116spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    (0 until 50).foreach { k =>
+      val p = Fuzz.vcfParams(k)
+      val g = Fuzz.runVcfSeed(spark, base, p, root)
+      assert(Seq(g.nTotal, g.nRegion, g.sumPos, g.sumAc, g.sumDp)
+        === naiveVcf(p), s"seed $k diverged; params $p")
+      assert(g.tbiEqCsi, s"seed $k: .tbi and .csi region rows differ; $p")
+      assert(g.prunedParts <= g.fullParts,
+        s"seed $k: pruned scan planned MORE partitions; $p")
+    }
+  }
+
+  test("q116 gate shape: one row per seed, seeds ascending") {
+    val rows = Fuzz.q116VcfFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed").as[Long].collect().toSeq
+    assert(rows === (0L until Fuzz.VcfGateSeeds.toLong))
+  }
 }
