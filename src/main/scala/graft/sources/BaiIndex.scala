@@ -225,13 +225,13 @@ object BaiIndex {
     } finally ch.close()
   }
 
-  /** One task's pre-aggregated contribution to a distributed BAI build:
-    * per-(refId, bin) chunk runs already merged WITHIN the task, per-window
-    * linear minima, the task's first/last mapped (refId, pos) for the
-    * cross-task sortedness check, and its record/unplaced counts. Sized by
-    * bins touched, not records — a task over 16 MB of a WGS BAM carries a
-    * few KB back to the driver. */
-  private final case class TaskBai(
+  /** One task's pre-aggregated contribution to a distributed BAI/CSI
+    * build: per-(refId, bin) chunk runs already merged WITHIN the task,
+    * per-window linear minima, the task's first/last mapped (refId, pos)
+    * for the cross-task sortedness check, and its record/unplaced
+    * counts. Sized by bins touched, not records — a task over 16 MB of a
+    * WGS BAM carries a few KB back to the driver. */
+  private[sources] final case class TaskBai(
       bins: Seq[((Int, Int), Seq[Chunk])], // in-task DISCOVERY order — the
       // driver replays it so bin insertion order matches the sequential
       // builder's record-order discovery (byte-identical sidecars)
@@ -252,37 +252,76 @@ object BaiIndex {
   def buildDistributed(s: org.apache.spark.sql.SparkSession, bam: String,
       splitSize: Long = 16L * 1024 * 1024): Int = {
     val confBox = HadoopIO.capture()
-    // driver-side header parse: nRef for record validation + the exact
-    // virtual position where records begin
-    val (fileLen, nRef, hdrMember, hdrU) = {
-      val ch = new SeekableFile(bam, confBox.conf)
-      try {
-        val in = new BgzfInputStream(ch, 0L)
-        val din = new DataInputStream(in)
-        def i32(): Int = {
-          val b0 = din.read(); val b1 = din.read(); val b2 = din.read(); val b3 = din.read()
-          if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
-          b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-        }
-        val magic = new Array[Byte](4); din.readFully(magic)
-        require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)), s"not BAM: $bam")
-        HadoopIO.skipFully(din, i32().toLong, s"$bam header text")
-        val n = i32()
-        var r = 0
-        while (r < n) { HadoopIO.skipFully(din, i32().toLong, s"$bam ref dict"); i32(); r += 1 }
-        val (m, u) = in.virtualPos
-        (ch.size, n, m, u)
-      } finally ch.close()
-    }
+    val (fileLen, nRef, hdrMember, hdrU) = parseHeader(bam, confBox)
     val ranges = (0L until fileLen by splitSize)
       .map(st => (st, math.min(st + splitSize, fileLen)))
     val parts = s.sparkContext
       .parallelize(ranges, ranges.size)
       .map { case (start, end) =>
-        scanRangeBai(bam, confBox, start, end, fileLen, nRef, hdrMember, hdrU)
+        scanRangeBam(bam, confBox, start, end, fileLen, nRef, hdrMember,
+          hdrU, reg2bin, 14)
       }
       .collect() // partition order == byte order == record order (sorted BAM)
+    val (bins, linear, noCoor, n) = mergeTasks(parts, nRef, bam)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      HadoopIO.create(sidecarPath(bam), confBox.conf)))
+    try {
+      def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+      def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+      out.write(Array[Byte]('B', 'A', 'I', 1))
+      le32(nRef)
+      var ri = 0
+      while (ri < nRef) {
+        val bm = bins(ri)
+        le32(bm.size)
+        bm.foreach { case (bin, cs) =>
+          le32(bin); le32(cs.length)
+          cs.foreach { ck => le64(ck.beg); le64(ck.end) }
+        }
+        val lin = linear(ri)
+        le32(lin.length)
+        lin.foreach(le64)
+        ri += 1
+      }
+      le64(noCoor)
+    } finally out.close()
+    n.toInt
+  }
 
+  /** Driver-side header parse: nRef for record validation + the exact
+    * virtual position where records begin. */
+  private[sources] def parseHeader(bam: String, confBox: HadoopIO.ConfBox)
+      : (Long, Int, Long, Int) = {
+    val ch = new SeekableFile(bam, confBox.conf)
+    try {
+      val in = new BgzfInputStream(ch, 0L)
+      val din = new DataInputStream(in)
+      def i32(): Int = {
+        val b0 = din.read(); val b1 = din.read(); val b2 = din.read(); val b3 = din.read()
+        if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+        b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+      }
+      val magic = new Array[Byte](4); din.readFully(magic)
+      require(magic.sameElements(Array[Byte]('B', 'A', 'M', 1)), s"not BAM: $bam")
+      HadoopIO.skipFully(din, i32().toLong, s"$bam header text")
+      val n = i32()
+      var r = 0
+      while (r < n) { HadoopIO.skipFully(din, i32().toLong, s"$bam ref dict"); i32(); r += 1 }
+      val (m, u) = in.virtualPos
+      (ch.size, n, m, u)
+    } finally ch.close()
+  }
+
+  /** Driver-side merge of task accumulations in file order: cross-task
+    * sortedness check, deterministic record-order bin discovery (the
+    * sequential builders' exact insertion order), same-member chunk
+    * merge across seams, unsigned-min linear merge. Shared by the BAI
+    * and BAM-CSI distributed builds. */
+  private[sources] def mergeTasks(parts: Array[TaskBai], nRef: Int,
+      bam: String)
+      : (Array[scala.collection.mutable.LinkedHashMap[Int,
+          scala.collection.mutable.ArrayBuffer[Chunk]]],
+        Array[scala.collection.mutable.ArrayBuffer[Long]], Long, Long) = {
     // cross-task sortedness: task i's last mapped key must not exceed
     // task i+1's first (within-task order was checked on the executor)
     val keyed = parts.filter(p => p.firstKey.isDefined)
@@ -293,7 +332,7 @@ object BaiIndex {
         require(fr > lr || (fr == lr && fp >= lp),
           s"$bam is not coordinate-sorted across split seams " +
             s"(ref $fr pos $fp after ref $lr pos $lp) — " +
-            "a BAI over an unsorted file silently drops region records")
+            "an index over an unsorted file silently drops region records")
       case _ => ()
     }
     val bins = Array.fill(nRef)(scala.collection.mutable.LinkedHashMap
@@ -325,38 +364,19 @@ object BaiIndex {
       n += p.n
     }
     require(n <= Int.MaxValue, s"$bam: $n records overflow the record count")
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      HadoopIO.create(sidecarPath(bam), confBox.conf)))
-    try {
-      def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
-      def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
-      out.write(Array[Byte]('B', 'A', 'I', 1))
-      le32(nRef)
-      var ri = 0
-      while (ri < nRef) {
-        val bm = bins(ri)
-        le32(bm.size)
-        bm.foreach { case (bin, cs) =>
-          le32(bin); le32(cs.length)
-          cs.foreach { ck => le64(ck.beg); le64(ck.end) }
-        }
-        val lin = linear(ri)
-        le32(lin.length)
-        lin.foreach(le64)
-        ri += 1
-      }
-      le64(noCoor)
-    } finally out.close()
-    n.toInt
+    (bins, linear, noCoor, n)
   }
 
   /** One task's record walk: own the members starting in [start, end),
     * sync to the first record (exact header end when this range holds it),
     * accumulate bin chunks merged within the stream plus linear minima.
-    * Runs on an executor. */
-  private def scanRangeBai(bam: String, confBox: HadoopIO.ConfBox,
+    * `binOf`/`linShift` parameterize the binning scheme (BAI: reg2bin/14;
+    * BAM-CSI: the generalized scheme at min_shift granularity). Runs on
+    * an executor. */
+  private[sources] def scanRangeBam(bam: String, confBox: HadoopIO.ConfBox,
       start: Long, end: Long, fileLen: Long, nRef: Int,
-      hdrMember: Long, hdrU: Int): TaskBai = {
+      hdrMember: Long, hdrU: Int, binOf: (Int, Int) => Int,
+      linShift: Int, maxPosCap: Int = Int.MaxValue): TaskBai = {
     val ch = new SeekableFile(bam, confBox.conf)
     try {
       val firstMember =
@@ -427,14 +447,17 @@ object BaiIndex {
                 lastRef = refId; lastPos = pos
                 if (firstKey.isEmpty) firstKey = Some((refId, pos))
                 val bamEnd = pos + math.max(1, refLen)
-                val bin = reg2bin(pos, bamEnd)
+                require(bamEnd <= maxPosCap,
+                  s"$bam: record end $bamEnd exceeds the binning " +
+                    s"scheme's $maxPosCap cap")
+                val bin = binOf(pos, bamEnd)
                 val bcs = bins.getOrElseUpdate((refId, bin),
                   scala.collection.mutable.ArrayBuffer.empty[Chunk])
                 if (bcs.nonEmpty && (bcs.last.end >>> 16) == mBeg)
                   bcs(bcs.length - 1) = Chunk(bcs.last.beg, vEnd)
                 else bcs += Chunk(vBeg, vEnd)
-                var w = pos >> 14
-                val wEnd = (bamEnd - 1) >> 14
+                var w = pos >> linShift
+                val wEnd = (bamEnd - 1) >> linShift
                 while (w <= wEnd) {
                   val k = (refId, w)
                   val cur = linear.getOrElse(k, 0L)

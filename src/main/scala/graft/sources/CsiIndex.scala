@@ -104,10 +104,8 @@ object CsiIndex {
   /** Parent bin in the scheme's 8-ary tree (bin 0 is the root). */
   private def parent(b: Int): Int = (b - 1) >> 3
 
-  // ---- build (sequential; the fixture/CLI path — the distributed
-  // mirror of BaiIndex.buildDistributed exists on the VCF surface as
-  // Tabix.buildCsiDistributed; a BAM-flavoured one would transplant the
-  // same per-range pre-aggregation)
+  // ---- build (sequential fixture/CLI path; [[buildDistributed]] below
+  // is the executor-parallel form, byte-identical output)
 
   /** One sequential pass over a coordinate-sorted BAM → a `.csi` with the
     * given binning parameters. Same record-walk and loud-unsorted rules as
@@ -200,40 +198,81 @@ object CsiIndex {
           } catch { case _: EOFException => done = true }
         }
       }
-      // fill linear holes with the previous window's value (htslib rule),
-      // then sample it at each bin's interval start for the bin's loffset
-      val out = new DataOutputStream(new java.io.BufferedOutputStream(
-        HadoopIO.create(sidecarPath(bam), conf)))
-      try {
-        def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
-        def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
-        out.write(Array[Byte]('C', 'S', 'I', 1))
-        le32(minShift); le32(depth); le32(0) // l_aux = 0
-        le32(nRef)
-        var ri = 0
-        while (ri < nRef) {
-          val lin = lidx(ri)
-          var w = 1
-          while (w < lin.length) {
-            if (lin(w) == 0L) lin(w) = lin(w - 1)
-            w += 1
-          }
-          def loff(bin: Int): Long = {
-            val w0 = (binStart(bin, minShift, depth) >> minShift).toInt
-            if (w0 < lin.length) lin(w0) else if (lin.nonEmpty) lin.last else 0L
-          }
-          val bm = bins(ri)
-          le32(bm.size)
-          bm.foreach { case (bin, cs) =>
-            le32(bin); le64(loff(bin)); le32(cs.length)
-            cs.foreach { ck => le64(ck.beg); le64(ck.end) }
-          }
-          ri += 1
-        }
-        le64(noCoor)
-      } finally out.close()
+      writeCsi(bam, conf, minShift, depth, bins, lidx, noCoor)
       n
     } finally ch.close()
+  }
+
+  /** Shared `.csi` encoder (sequential and distributed builds accumulate
+    * the SAME structures, so sharing the byte encoder is what makes the
+    * distributed sidecar provably byte-identical): fill linear holes
+    * with the previous window's value (htslib rule), then sample at each
+    * bin's interval start for the bin's loffset. */
+  private def writeCsi(bam: String, conf: Configuration, minShift: Int,
+      depth: Int,
+      bins: Array[scala.collection.mutable.LinkedHashMap[Int,
+        scala.collection.mutable.ArrayBuffer[Chunk]]],
+      lidx: Array[scala.collection.mutable.ArrayBuffer[Long]],
+      noCoor: Long): Unit = {
+    val nRef = bins.length
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      HadoopIO.create(sidecarPath(bam), conf)))
+    try {
+      def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+      def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+      out.write(Array[Byte]('C', 'S', 'I', 1))
+      le32(minShift); le32(depth); le32(0) // l_aux = 0
+      le32(nRef)
+      var ri = 0
+      while (ri < nRef) {
+        val lin = lidx(ri)
+        var w = 1
+        while (w < lin.length) {
+          if (lin(w) == 0L) lin(w) = lin(w - 1)
+          w += 1
+        }
+        def loff(bin: Int): Long = {
+          val w0 = (binStart(bin, minShift, depth) >> minShift).toInt
+          if (w0 < lin.length) lin(w0) else if (lin.nonEmpty) lin.last else 0L
+        }
+        val bm = bins(ri)
+        le32(bm.size)
+        bm.foreach { case (bin, cs) =>
+          le32(bin); le64(loff(bin)); le32(cs.length)
+          cs.foreach { ck => le64(ck.beg); le64(ck.end) }
+        }
+        ri += 1
+      }
+      le64(noCoor)
+    } finally out.close()
+  }
+
+  /** Executor-parallel `.csi` build over byte-range splits of a
+    * coordinate-sorted BAM — the distributed mirror this file's build
+    * note left pending (r14): [[BaiIndex.buildDistributed]]'s split/
+    * seam-merge machinery with this scheme's reg2bin and min_shift-
+    * granular linear accumulation, then the shared encoder. The sidecar
+    * is BYTE-IDENTICAL to [[build]]'s (CsiIndexSpec asserts it). */
+  def buildDistributed(s: org.apache.spark.sql.SparkSession, bam: String,
+      splitSize: Long = 16L * 1024 * 1024,
+      minShift: Int = 14, depth: Int = 5): Int = {
+    val confBox = HadoopIO.capture()
+    val (fileLen, nRef, hdrMember, hdrU) = BaiIndex.parseHeader(bam, confBox)
+    val ranges = (0L until fileLen by splitSize)
+      .map(st => (st, math.min(st + splitSize, fileLen)))
+    val (ms, dp) = (minShift, depth) // stable locals for the task closure
+    val cap = maxPos(ms, dp)
+    val parts = s.sparkContext
+      .parallelize(ranges, ranges.size)
+      .map { case (start, end) =>
+        BaiIndex.scanRangeBam(bam, confBox, start, end, fileLen, nRef,
+          hdrMember, hdrU,
+          (b: Int, e: Int) => reg2bin(b.toLong, e.toLong, ms, dp), ms, cap)
+      }
+      .collect()
+    val (bins, linear, noCoor, n) = BaiIndex.mergeTasks(parts, nRef, bam)
+    writeCsi(bam, confBox.conf, minShift, depth, bins, linear, noCoor)
+    n.toInt
   }
 
   def read(bam: String, conf: Configuration = new Configuration()): Csi = {

@@ -121,6 +121,31 @@ class CsiIndexSpec extends SparkSpec {
     assert(CsiIndex.exists(out, HadoopIO.driverConf()))
   }
 
+  test("distributed csi build == sequential, byte-for-byte, both " +
+      "default and non-default schemes") {
+    for ((ms, dp) <- Seq((14, 5), (12, 6))) {
+      val bam = csiIndexed("mito/sample_sorted.bam", ms, dp)
+      val seqBytes = Files.readAllBytes(Paths.get(bam + ".csi"))
+      for (split <- Seq(32768L, 7001L)) {
+        Files.delete(Paths.get(bam + ".csi"))
+        val n = CsiIndex.buildDistributed(spark, bam, split, ms, dp)
+        assert(n === 3000, s"record count at split $split scheme ($ms,$dp)")
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(Paths.get(bam + ".csi")), seqBytes),
+          s"distributed .csi differs at split $split scheme ($ms,$dp)")
+      }
+      // and the distributed sidecar still drives a correct pruned scan:
+      // indexed region count == the same query with the sidecar removed
+      def regionCount() = spark.read.format("bam").option("splitsize", 7001)
+        .load(bam).where(col("referenceName") === "MT" &&
+          col("start") >= 2000 && col("start") < 9000).count()
+      val indexed = regionCount()
+      Files.delete(Paths.get(bam + ".csi"))
+      assert(indexed === regionCount(),
+        s"indexed region scan diverged from the unindexed scan ($ms,$dp)")
+    }
+  }
+
   test("build refuses an unsorted BAM and an overflowing scheme loudly") {
     val dir = Files.createTempDirectory("csi")
     val dst = dir.resolve("sample_split.bam")
