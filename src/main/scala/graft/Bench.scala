@@ -42,7 +42,13 @@ object Bench {
     "q114_cc_fuzz_gate" -> 14.0,
     // 8 seeds × (2 bgzip'd VCF writes + 2 index builds + 4 scans) of
     // file I/O per seed — cost tracks seed count, not engine speed
-    "q116_vcf_fuzz_gate" -> 25.0)
+    "q116_vcf_fuzz_gate" -> 25.0,
+    // two checkpointed stream runs + 4 single-file BAM writes + batch
+    // control — restart plumbing, measured ~9 s at sf0.1
+    "x86_stream_bam_gate" -> 18.0,
+    // 4 single-file VCF writes (3 samples + cohort) + merge + readback,
+    // measured ~7 s at sf0.1
+    "x87_cohort_merge_gate" -> 15.0)
   val defaultBudget: Double = 10.0
 
   /** Host-speed multiplier for every ceiling (ADVICE r13: the budgets are

@@ -66,6 +66,23 @@ class SamDataSourceSpec extends SparkSpec {
     assert(df.count() === 12)
   }
 
+  test("sam landing-dir micro-batch stream: streamed count == batch count") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("samstream")
+    for ((f, i) <- Seq("mito/sample_MT_MD.sam", "mito/sample_NT.sam").zipWithIndex)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(resource(f).stripPrefix("file:")),
+        dir.resolve(f"part-$i%05d.sam"))
+    val s2 = spark.newSession()
+    val q = s2.readStream.format("sam").load(dir.toString)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("samstream_spec")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(s2.table("samstream_spec").head.getLong(0) ===
+      spark.read.format("sam").load(dir.toString).count())
+  }
+
   test("byte-range splits: one sam file scans as many partitions, line-exact") {
     val split = resource("mito/sample_split.sam")
     val whole = spark.read.format("sam").load(split)
