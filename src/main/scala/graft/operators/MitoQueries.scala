@@ -1191,11 +1191,23 @@ object MitoQueries {
     val refs = Seq("chr2" -> 200000, "chr1" -> 200000, "chrM" -> 16569)
     val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
     val out = s"${HadoopIO.scratchDir(s)}/graft_x16_$sfTag.bam"
+    // r14: index-on-write — the `.bai` is emitted FROM the write itself
+    // (write-side virtual positions, part-shifted at the driver), then
+    // pinned in-row byte-identical to an independent post-hoc
+    // BaiIndex.build re-read of the finished file
     BamWriter.sortAndWrite(recs,
       "@HD\tVN:1.6\tSO:coordinate\n" +
         refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString,
-      refs, out, numPartitions = 8)
+      refs, out, numPartitions = 8, index = true)
     val conf = HadoopIO.driverConf()
+    def baiBytes(): Array[Byte] = {
+      val p = new org.apache.hadoop.fs.Path(out + ".bai")
+      val in = p.getFileSystem(conf).open(p)
+      try in.readAllBytes() finally in.close()
+    }
+    val iowBai = baiBytes()
+    graft.sources.BaiIndex.build(out, conf)
+    val iowOk = java.util.Arrays.equals(iowBai, baiBytes())
     BamIndex.build(out, conf)
 
     // distributed sortedness proof over forced splits
@@ -1254,7 +1266,8 @@ object MitoQueries {
       .select(col("n_records"), col("sum_start"), col("sum_mapq"),
         col("n_region"), col("region_mapq"),
         lit(sortedOk).as("sorted_ok"),
-        lit(runs.nonEmpty && keptBytes * 2 < fileLen).as("pruned_ok"))
+        lit(runs.nonEmpty && keptBytes * 2 < fileLen).as("pruned_ok"),
+        lit(iowOk).as("iow_bai_ok"))
   }
 
   /** Oracle from the synthesis arithmetic; the booleans are the pinned
@@ -1272,7 +1285,7 @@ object MitoQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_region,
       |  CAST(SUM(CASE WHEN c = 1 AND st BETWEEN 1001 AND 2000
       |    THEN q ELSE 0 END) AS BIGINT) AS region_mapq,
-      |  true AS sorted_ok, true AS pruned_ok
+      |  true AS sorted_ok, true AS pruned_ok, true AS iow_bai_ok
       |FROM t""".stripMargin
 
   // ---------------------------------------------------------------- x17

@@ -199,30 +199,42 @@ object BaiIndex {
           } catch { case _: EOFException => done = true }
         }
       }
-      val out = new DataOutputStream(new java.io.BufferedOutputStream(
-        HadoopIO.create(sidecarPath(bam), conf)))
-      try {
-        def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
-        def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
-        out.write(Array[Byte]('B', 'A', 'I', 1))
-        le32(nRef)
-        var ri = 0
-        while (ri < nRef) {
-          val bm = bins(ri)
-          le32(bm.size)
-          bm.foreach { case (bin, cs) =>
-            le32(bin); le32(cs.length)
-            cs.foreach { ck => le64(ck.beg); le64(ck.end) }
-          }
-          val lin = linear(ri)
-          le32(lin.length)
-          lin.foreach(le64)
-          ri += 1
-        }
-        le64(noCoor)
-      } finally out.close()
+      writeBai(bam, conf, bins, linear, noCoor)
       n
     } finally ch.close()
+  }
+
+  /** Shared `.bai` encoder — the sequential, distributed, and
+    * index-on-write paths accumulate the SAME structures, so one encoder
+    * is what makes their sidecars provably byte-identical. */
+  private[sources] def writeBai(bam: String, conf: Configuration,
+      bins: Array[scala.collection.mutable.LinkedHashMap[Int,
+        scala.collection.mutable.ArrayBuffer[Chunk]]],
+      linear: Array[scala.collection.mutable.ArrayBuffer[Long]],
+      noCoor: Long): Unit = {
+    val nRef = bins.length
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      HadoopIO.create(sidecarPath(bam), conf)))
+    try {
+      def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+      def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
+      out.write(Array[Byte]('B', 'A', 'I', 1))
+      le32(nRef)
+      var ri = 0
+      while (ri < nRef) {
+        val bm = bins(ri)
+        le32(bm.size)
+        bm.foreach { case (bin, cs) =>
+          le32(bin); le32(cs.length)
+          cs.foreach { ck => le64(ck.beg); le64(ck.end) }
+        }
+        val lin = linear(ri)
+        le32(lin.length)
+        lin.foreach(le64)
+        ri += 1
+      }
+      le64(noCoor)
+    } finally out.close()
   }
 
   /** One task's pre-aggregated contribution to a distributed BAI/CSI
@@ -263,28 +275,7 @@ object BaiIndex {
       }
       .collect() // partition order == byte order == record order (sorted BAM)
     val (bins, linear, noCoor, n) = mergeTasks(parts, nRef, bam)
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      HadoopIO.create(sidecarPath(bam), confBox.conf)))
-    try {
-      def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
-      def le64(v: Long): Unit = out.writeLong(java.lang.Long.reverseBytes(v))
-      out.write(Array[Byte]('B', 'A', 'I', 1))
-      le32(nRef)
-      var ri = 0
-      while (ri < nRef) {
-        val bm = bins(ri)
-        le32(bm.size)
-        bm.foreach { case (bin, cs) =>
-          le32(bin); le32(cs.length)
-          cs.foreach { ck => le64(ck.beg); le64(ck.end) }
-        }
-        val lin = linear(ri)
-        le32(lin.length)
-        lin.foreach(le64)
-        ri += 1
-      }
-      le64(noCoor)
-    } finally out.close()
+    writeBai(bam, confBox.conf, bins, linear, noCoor)
     n.toInt
   }
 
@@ -365,6 +356,23 @@ object BaiIndex {
     }
     require(n <= Int.MaxValue, s"$bam: $n records overflow the record count")
     (bins, linear, noCoor, n)
+  }
+
+  /** Shift every virtual offset in a task accumulation by `byteShift`
+    * raw file bytes — how a PART-LOCAL accumulation (offsets relative to
+    * a task's own part file) relocates to the concatenated single file
+    * (BGZF members concatenate verbatim, so member offsets translate by
+    * the preceding bytes and intra-member offsets are unchanged;
+    * voffset = (member << 16) | u, so the shift is `byteShift << 16`).
+    * Keys (refId, pos) and counts are position-independent. */
+  private[sources] def shiftTask(p: TaskBai, byteShift: Long): TaskBai = {
+    val d = byteShift << 16
+    TaskBai(
+      p.bins.map { case (k, cs) =>
+        (k, cs.map(c => Chunk(c.beg + d, c.end + d)))
+      },
+      p.linear.map { case (k, v) => (k, v + d) },
+      p.firstKey, p.lastKey, p.noCoor, p.n)
   }
 
   /** One task's record walk: own the members starting in [start, end),

@@ -83,7 +83,8 @@ object BamWriter {
     * sort and no single-reducer stage. This is exactly samtools
     * sort's merge shape, distributed. */
   def sortAndWrite(records: DataFrame, headerText: String,
-      refs: Seq[(String, Int)], out: String, numPartitions: Int = 0): Long = {
+      refs: Seq[(String, Int)], out: String, numPartitions: Int = 0,
+      index: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     val s = records.sparkSession
     val n = if (numPartitions > 0) numPartitions
@@ -95,15 +96,48 @@ object BamWriter {
           lit(Int.MaxValue)))
       .repartitionByRange(n, col("__ref_ord"), col("start"))
       .sortWithinPartitions(col("__ref_ord"), col("start"))
-    write(sorted, headerText, refs, out)
+    write(sorted, headerText, refs, out, index)
   }
 
+  /** Reference-consumed length of a SAM CIGAR string (M/D/N/=/X), 0 for
+    * `*` — the span the index bins a record by. */
+  private def cigarRefLen(cigar: String): Int = {
+    if (cigar == "*") return 0
+    var i = 0
+    var len = 0
+    var num = 0
+    while (i < cigar.length) {
+      val c = cigar.charAt(i)
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      else {
+        if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X')
+          len += num
+        num = 0
+      }
+      i += 1
+    }
+    len
+  }
+
+  /** With `index = true` (requires coordinate-sorted input —
+    * [[sortAndWrite]]'s contract, enforced loudly per task and across
+    * part seams) the write ALSO emits the `.bai` sidecar FROM THE WRITE
+    * ITSELF: each task accumulates its part's bin chunks and linear
+    * minima at write-side virtual positions
+    * ([[BgzfOutputStream.virtualPos]]), the driver shifts them by the
+    * parts' byte offsets in the concatenated file and reuses the
+    * distributed-build merge + encoder. The sidecar is BYTE-IDENTICAL
+    * to [[BaiIndex.build]] re-run over the finished file (BamWriterSpec
+    * pins it) — index-on-write saves the full re-read a just-written
+    * cohort-scale BAM would otherwise pay before its first region
+    * query. */
   def write(records: DataFrame, headerText: String,
-      refs: Seq[(String, Int)], out: String): Long = {
+      refs: Seq[(String, Int)], out: String, index: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
     val refIndex = refs.map(_._1).zipWithIndex.toMap
     val confBox = HadoopIO.capture()
     val partsDir = out + ".parts"
+    val doIndex = index
 
     import org.apache.spark.sql.Encoders
     val parts = records.select("readName", "flag", "referenceName",
@@ -118,20 +152,94 @@ object BamWriter {
           val os = new java.io.BufferedOutputStream(
             HadoopIO.create(path, confBox.conf), 1 << 16)
           var n = 0L
+          val bins = scala.collection.mutable.LinkedHashMap.empty[(Int, Int),
+            scala.collection.mutable.ArrayBuffer[BaiIndex.Chunk]]
+          val linear =
+            scala.collection.mutable.LinkedHashMap.empty[(Int, Int), Long]
+          var firstKey: Option[(Int, Int)] = None
+          var lastRef = -1
+          var lastPos = -1
+          var noCoor = 0L
+          var tailV = 0L
           try {
             val pz = new BgzfOutputStream(os)
-            while (rows.hasNext) { pz.write(encode(rows.next(), refIndex)); n += 1 }
+            while (rows.hasNext) {
+              val r = rows.next()
+              if (!doIndex) pz.write(encode(r, refIndex))
+              else {
+                val (m0, u0) = pz.virtualPos
+                pz.write(encode(r, refIndex))
+                val (m1, u1) = pz.virtualPos
+                val refId = refIndex.getOrElse(r.getString(2), -1)
+                val pos = r.getInt(3) - 1
+                if (refId < 0 || pos < 0) noCoor += 1
+                else {
+                  require(refId > lastRef ||
+                      (refId == lastRef && pos >= lastPos),
+                    s"$out: records are not coordinate-sorted (ref " +
+                      s"$refId pos $pos after ref $lastRef pos $lastPos)" +
+                      " — index-on-write requires sorted input " +
+                      "(sortAndWrite's contract)")
+                  lastRef = refId; lastPos = pos
+                  if (firstKey.isEmpty) firstKey = Some((refId, pos))
+                  val end = pos + math.max(1, cigarRefLen(r.getString(5)))
+                  val vBeg = (m0 << 16) | u0
+                  val vEnd = (m1 << 16) | u1
+                  val bin = BaiIndex.reg2bin(pos, end)
+                  val bcs = bins.getOrElseUpdate((refId, bin), scala
+                    .collection.mutable.ArrayBuffer.empty[BaiIndex.Chunk])
+                  if (bcs.nonEmpty && (bcs.last.end >>> 16) == m0)
+                    bcs(bcs.length - 1) =
+                      BaiIndex.Chunk(bcs.last.beg, vEnd)
+                  else bcs += BaiIndex.Chunk(vBeg, vEnd)
+                  var w = pos >> 14
+                  val wEnd = (end - 1) >> 14
+                  while (w <= wEnd) {
+                    val k = (refId, w)
+                    // presence check, NOT the 0L sentinel the read-side
+                    // accumulators use: part-LOCAL voffset 0 is a real
+                    // position (the part's first record), unlike absolute
+                    // offsets where member 0 is always the header.
+                    // Voffsets are monotone within a task, so first
+                    // touch == minimum.
+                    if (!linear.contains(k)) linear(k) = vBeg
+                    w += 1
+                  }
+                }
+              }
+              n += 1
+            }
+            if (doIndex) {
+              val (tm, tu) = pz.virtualPos
+              tailV = (tm << 16) | tu
+            }
             pz.flushBlock() // members only — the EOF marker is file-level
           } finally os.close()
-          Iterator((pid, n, path))
+          val blob =
+            if (!doIndex) Array.emptyByteArray
+            else {
+              val b = new java.io.ByteArrayOutputStream()
+              val oo = new java.io.ObjectOutputStream(b)
+              oo.writeObject((BaiIndex.TaskBai(
+                bins.toSeq.map { case (k, v) => (k, v.toSeq) },
+                linear.toMap, firstKey,
+                if (lastRef >= 0) Some((lastRef, lastPos)) else None,
+                noCoor, n), tailV))
+              oo.close()
+              b.toByteArray
+            }
+          Iterator((pid, n, path, blob))
         }
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.STRING))
-      .collect() // task METADATA only: (partition, count, path) triples
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.STRING, Encoders.BINARY))
+      .collect() // task METADATA only (+ KB-sized index accumulations)
       .sortBy(_._1)
 
     val conf = records.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(out).getFileSystem(conf)
     val os = fs.create(new Path(out), true)
+    var headerLen = 0L
+    val partLens = new Array[Long](parts.length)
     try {
       // header payload (driver-side, KB-sized), as its own member run
       val bgzf = new BgzfOutputStream(os)
@@ -145,15 +253,47 @@ object BamWriter {
         bgzf.writeLe32(nb.length); bgzf.write(nb); bgzf.writeLe32(len)
       }
       bgzf.flushBlock()
+      headerLen = os.getPos
 
-      parts.foreach { case (_, _, p) =>
+      parts.zipWithIndex.foreach { case ((_, _, p, _), i) =>
         val in = fs.open(new Path(p))
-        try in.transferTo(os) finally in.close()
+        try partLens(i) = in.transferTo(os) finally in.close()
       }
       os.write(BgzfOutputStream.EofMarker)
     } finally {
       os.close()
       fs.delete(new Path(partsDir), true)
+    }
+
+    if (doIndex) {
+      // relocate each part's accumulation to the concatenated layout;
+      // read-side member-boundary convention: a record ending exactly at
+      // its part's last payload byte is reported by BgzfInputStream as
+      // ending at the NEXT member's start (the next part's first member,
+      // or the EOF marker), so the chunk ends equal to the part's tail
+      // voffset rewrite to that global offset
+      var shift = headerLen
+      val shifted = parts.zipWithIndex.map { case ((_, _, _, blob), i) =>
+        val (t, tailV) = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(blob)).readObject()
+          .asInstanceOf[(BaiIndex.TaskBai, Long)]
+        val s0 = shift
+        shift += partLens(i)
+        val st = BaiIndex.shiftTask(t, s0)
+        val shiftedTail = tailV + (s0 << 16)
+        // next member after the part: the next part's first member — or,
+        // past the LAST part, the reader skips the empty EOF member and
+        // reports end-of-file itself (fileLen = eofOffset + 28)
+        val globalNext = (shift + (if (i == parts.length - 1)
+          BgzfOutputStream.EofMarker.length.toLong else 0L)) << 16
+        st.copy(bins = st.bins.map { case (k, cs) =>
+          (k, cs.map(c =>
+            if (c.end == shiftedTail) c.copy(end = globalNext) else c))
+        })
+      }
+      val (bins, linear, noCoor, _) =
+        BaiIndex.mergeTasks(shifted.toArray, refs.size, out)
+      BaiIndex.writeBai(out, conf, bins, linear, noCoor)
     }
     parts.map(_._2).sum
   }
@@ -250,6 +390,19 @@ object BamWriter {
 class BgzfOutputStream(out: OutputStream) extends OutputStream {
   private val MaxPayload = 60 * 1024
   private val buf = new java.io.ByteArrayOutputStream(MaxPayload + 1024)
+  private var emitted = 0L // compressed bytes written to `out` so far
+
+  /** Virtual position (memberFileOffset, offsetInPayload) of the NEXT
+    * byte to be written — the write-side mirror of
+    * [[BgzfInputStream.virtualPos]], for index-on-write. A full pending
+    * buffer is emitted first so the answer matches the READ side's
+    * convention at member boundaries (the reader reports a record ending
+    * exactly at a member end as (nextMember, 0), never
+    * (member, maxPayload)). */
+  def virtualPos: (Long, Int) = {
+    if (buf.size() >= MaxPayload) emitBlock()
+    (emitted, buf.size())
+  }
 
   override def write(b: Int): Unit = {
     if (buf.size() + 1 > MaxPayload) emitBlock()
@@ -297,6 +450,7 @@ class BgzfOutputStream(out: OutputStream) extends OutputStream {
     val tr = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     tr.putInt(crc.getValue.toInt).putInt(payload.length)
     out.write(tr.array())
+    emitted += header.length + clen + 8
   }
 
   override def close(): Unit = {

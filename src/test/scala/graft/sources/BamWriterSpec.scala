@@ -185,6 +185,65 @@ class BamWriterSpec extends SparkSpec {
     assert(back.select(recordCols: _*).except(recs.select(recordCols: _*)).isEmpty)
   }
 
+  test("index-on-write emits a .bai byte-identical to a post-hoc " +
+      "BaiIndex.build over the finished file") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bamiow").toString
+    // 2500 records over two contigs, positions spread across many 16 kb
+    // windows, mixed CIGARs (deletions widen spans; '*' spans 1 base),
+    // plus unmapped records that must land in n_no_coor on both paths
+    val recs = (1 to 2500).map { i =>
+      val unmapped = i % 17 == 0
+      val contig = if (unmapped) "*" else if (i % 3 == 0) "chr1" else "MT"
+      val start = if (unmapped) 0 else (i * 37) % 150000 + 1
+      val cigar = if (unmapped || i % 5 == 0) "*" else "30M5D20M"
+      (f"r$i%04d", if (unmapped) 4 else 0, contig, start, 60, cigar,
+        "*", 0, 0, "A" * 50, "*", "NM:i:0")
+    }.toDF("readName", "flag", "referenceName", "start", "mapQ", "cigar",
+      "rnext", "pnext", "tlen", "sequence", "qual", "attributes")
+    val refs = Seq("MT" -> 200000, "chr1" -> 200000)
+    val out = s"$tmp/iow.bam"
+    val n = BamWriter.sortAndWrite(recs,
+      "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:MT\tLN:200000\n" +
+        "@SQ\tSN:chr1\tLN:200000\n",
+      refs, out, numPartitions = 7, index = true)
+    assert(n === 2500)
+    val fromWrite = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out + ".bai"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out + ".bai"))
+    assert(BaiIndex.build(out) === 2500)
+    assert(java.util.Arrays.equals(fromWrite,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out + ".bai"))),
+      "write-emitted .bai differs from the post-hoc sequential build")
+    // the write-emitted index drives a correct pruned region scan
+    def regionCount() = spark.read.format("bam")
+      .option("splitsize", 7001).load(out)
+      .where(col("referenceName") === "MT" &&
+        col("start") >= 40000 && col("start") < 90000).count()
+    val indexed = regionCount()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out + ".bai"))
+    assert(indexed === regionCount(),
+      "indexed region scan diverged from the unindexed scan")
+  }
+
+  test("index-on-write refuses unsorted input loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bamiow2").toString
+    val recs = Seq(
+      ("r1", 0, "MT", 900, 60, "10M", "*", 0, 0, "A" * 10, "*", "NM:i:0"),
+      ("r2", 0, "MT", 5, 60, "10M", "*", 0, 0, "A" * 10, "*", "NM:i:0"))
+      .toDF("readName", "flag", "referenceName", "start", "mapQ", "cigar",
+        "rnext", "pnext", "tlen", "sequence", "qual", "attributes")
+      .coalesce(1)
+    val e = intercept[Exception](BamWriter.write(recs,
+      "@HD\tVN:1.6\n@SQ\tSN:MT\tLN:16569\n", Seq("MT" -> 16569),
+      s"$tmp/bad.bam", index = true))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not coordinate-sorted")), e.toString)
+  }
+
   test("writer refuses records with unsupported tag types") {
     import spark.implicits._
     val bad = Seq(("r1", 0, "chrM", 1, 60, "4M", "*", 0, 0, "ACGT", "*", "XX:Q:weird"))
