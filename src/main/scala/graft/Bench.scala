@@ -4,16 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
-  * Each query runs four times: the first (cold) pass pays one-time
+  * ENGINE rows run four times: the first (cold) pass pays one-time
   * planning + whole-stage-codegen compilation, then THREE warm passes
   * measure steady-state execution — the number that scales with data
-  * volume and the one comparable across engines. `value`/`queries` report
-  * the per-query minimum over the warm passes (the standard low-noise
-  * estimator on a shared box); `noise` reports the worst per-query
-  * max/min ratio across the warm passes (single-stall-trimmed for
-  * adaptively re-measured queries — see the noise computation) so a
-  * reader can separate plan regressions from box load; `cold_total` is
-  * included for transparency.
+  * volume and the one comparable across engines. `_gate` rows (VERDICT
+  * r14 next-round #1) run 1 cold + 1 warm pass only: gates are
+  * near-constant correctness plumbing (planted fixtures, stream replays,
+  * train+write+readback pipelines — 105 of 339 rows but 64% of measured
+  * seconds in r14), and measuring them four times is what pushed the r14
+  * driver run past its wall-clock budget (rc=124). Budgets are absolute
+  * ceilings, so enforcing them on the single warm pass loses nothing.
+  * `value`/`queries` report the per-query minimum over the warm passes
+  * (the standard low-noise estimator on a shared box); `noise` reports
+  * the worst per-query max/min ratio across the warm passes
+  * (single-stall-trimmed for adaptively re-measured queries — see the
+  * noise computation) so a reader can separate plan regressions from box
+  * load; `cold_total` is included for transparency.
   */
 object Bench {
 
@@ -34,14 +40,11 @@ object Bench {
     "x10_cv_gate" -> 10.0, // CV model cached; warm = scoring only
     "x81_quality_trim" -> 6.0, // fixed r13: native one-pass expr, ~1 s warm
     // differential-fuzz gates: cost tracks SEED COUNT × kernels-per-seed
-    // (each seed is a driver round-trip), not engine speed. r14
-    // recalibration: the r13 floor (17.7 / 8.8 s) is not reproducible on
-    // the current box even with the r13 CODE checked out (same-box
-    // differential: r13 code 19.9 / 11.1 s vs r14 code 25.0 / 12.9 s,
-    // with untouched paths like the IVF index build wobbling ±35%
-    // between the two runs) — many-tiny-jobs workloads ride the host's
-    // scheduler wobble. Budgets sit ~1.5× above today's measured floor;
-    // a real kernel regression still trips them
+    // (each seed is a driver round-trip), not engine speed. Budgets sit
+    // ~1.5× above the r14-measured floor (many-tiny-jobs workloads ride
+    // host scheduler wobble, ±35% on untouched paths — full calibration
+    // data in the r13/r14 PROGRESS notes); a real kernel regression
+    // still trips them
     "q106_fuzz_gate" -> 40.0,
     "q114_cc_fuzz_gate" -> 20.0,
     // 8 seeds × (2 bgzip'd VCF writes + 2 index builds + 4 scans) of
@@ -64,6 +67,15 @@ object Bench {
     sys.env.get("GRAFT_BENCH_BUDGET_SCALE").map(_.toDouble).getOrElse(1.0)
   def budgetFor(name: String): Double =
     budgets.getOrElse(name, defaultBudget) * budgetScale
+
+  /** Warm-pass schedule (VERDICT r14 next-round #1), pure so BenchSpec
+    * can assert the policy: pass 1 runs every query; passes 2+ skip the
+    * `_gate` rows. Gates thus get exactly 1 cold + 1 warm measurement
+    * (their budgets — absolute ceilings, not min-of-N statistics — are
+    * enforced on that warm pass), while engine rows keep 1 cold + 3 warm
+    * + the adaptive re-measure. */
+  def warmPassNames(pass: Int, names: Seq[String]): Seq[String] =
+    if (pass <= 1) names else names.filterNot(_.endsWith("_gate"))
 
   /** Queries whose (successful) warm time exceeds budget — pure so the
     * spec can plant a deliberately slowed query against a tight budget. */
@@ -154,9 +166,9 @@ object Bench {
     // 10-40 s stall landing on an arbitrary query (t08, then t19; both
     // time flat when run alone), a roaming session pause, not a plan
     // property
-    val warmPasses = (1 to 3).map { _ =>
+    val warmPasses = (1 to 3).map { i =>
       System.gc()
-      names.map(n => n -> time(n, benchQueries(n))).toMap
+      warmPassNames(i, names).map(n => n -> time(n, benchQueries(n))).toMap
     }
     // adaptive re-measurement: the box is shared, and a transient stall
     // during one pass makes that query's spread unreadable (r10 recorded
@@ -166,7 +178,7 @@ object Bench {
     // and the reported spread reflects repeatable behavior rather than
     // one stall (the idle-box half of the r9 ask, made cheap)
     val spread0 = names.flatMap { n =>
-      val ps = warmPasses.map(_(n)).filter(_ >= 0)
+      val ps = warmPasses.flatMap(_.get(n)).filter(_ >= 0)
       if (ps.isEmpty || ps.min <= 0) None else Some(n -> ps.max / ps.min)
     }.toMap
     // every >3x-spread query re-measures (capped at 8 — more than a
@@ -183,7 +195,7 @@ object Bench {
     // report its real timing, not the -1 sentinel (which would silently
     // shrink the total and read as a speedup)
     val samples: Map[String, Seq[Double]] = names.map { n =>
-      n -> (warmPasses.map(_(n)) ++ extraPasses.getOrElse(n, Nil))
+      n -> (warmPasses.flatMap(_.get(n)) ++ extraPasses.getOrElse(n, Nil))
         .filter(_ >= 0)
     }.toMap
     val warm = names.map { n =>
@@ -359,9 +371,13 @@ object Bench {
     // "parsed": null for two rounds — the stdout-tail parse is fragile to
     // log framing): the FULL-precision non-slim line goes to a file,
     // immune to truncation, so the structured result exists regardless of
-    // what survives in the log tail
+    // what survives in the log tail. Name-FILTERED debug runs write
+    // bench_out_partial.json instead (VERDICT r14 next-round #2: a
+    // targeted x16 run clobbered the round's only full-run artifact, and
+    // when the driver run then died the round had no bench evidence).
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(
+        if (args.isEmpty) "bench_out.json" else "bench_out_partial.json"),
       (line(3, false) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }

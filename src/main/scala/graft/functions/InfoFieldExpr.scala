@@ -165,10 +165,15 @@ object InfoFieldExpr {
   /** `info_field(info, key)` try-cast to BIGINT — the shape every numeric
     * INFO consumer wants (TRY mode: garbage values null out instead of
     * raising under ANSI, preserving the regexp_extract call sites'
-    * lenient semantics). */
+    * lenient semantics). Multi-valued numeric keys (`AC=1,2` — VCF
+    * Number=A/R) cast their FIRST element, bcftools' first-allele
+    * convention and what the replaced leading-integer regexp returned
+    * (ADVICE r14: whole-value TRY-casting nulled them out, and
+    * read(strict=true) then raised spec-valid records as malformed). */
   def infoFieldLong(info: Column, key: String): Column =
     bridge.toColumn(org.apache.spark.sql.catalyst.expressions.Cast(
-      bridge.toExpression(infoField(info, key)),
+      bridge.toExpression(org.apache.spark.sql.functions
+        .substring_index(infoField(info, key), ",", 1)),
       org.apache.spark.sql.types.LongType, None,
       org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 

@@ -301,7 +301,18 @@ object BamWriter {
   private def encode(r: Row, refIndex: Map[String, Int]): Array[Byte] = {
     val readName = r.getString(0)
     val flag = r.getInt(1)
-    val refId = refIndex.getOrElse(r.getString(2), -1)
+    // loud on an unknown contig (ADVICE r14): getOrElse(-1) silently
+    // encoded a typo'd referenceName as unplaced in BOTH the BAM and the
+    // write-side .bai — the read then vanishes from every region query.
+    // Only the literal '*' means unplaced; anything else must be in the
+    // header dictionary (the loud-unsorted discipline).
+    def refIdOf(name: String): Int =
+      if (name == "*") -1
+      else refIndex.getOrElse(name, throw new IllegalArgumentException(
+        s"BamWriter: reference '$name' (read '$readName') is not in the " +
+          s"header dictionary — encoding it as unplaced would silently " +
+          "drop it from every region query"))
+    val refId = refIdOf(r.getString(2))
     val start = r.getInt(3)
     val mapq = r.getInt(4)
     val cigar = r.getString(5)
@@ -314,7 +325,7 @@ object BamWriter {
     val nextRefId = rnext match {
       case "*" => -1
       case "=" => refId
-      case nm  => refIndex.getOrElse(nm, -1)
+      case nm  => refIdOf(nm) // same loud-unknown-contig discipline
     }
 
     val name = (readName + "\u0000").getBytes("US-ASCII")

@@ -25,10 +25,40 @@ import org.apache.spark.sql.functions.col
   */
 object TextSink {
 
+  /** Per-task index-accumulation hook for index-on-write over the BGZF
+    * text form: `add` observes every written line with its PART-LOCAL
+    * write-side virtual positions (member byte offset << 16 |
+    * intra-member offset, [[BgzfOutputStream.virtualPos]]); `blob`
+    * returns the task's serialized accumulation (KB-sized — bins and
+    * window minima, never record bytes) for the driver's shift-merge,
+    * `tailV` being the part's final virtual position so part-tail chunk
+    * ends can be rewritten to the read side's member-boundary rounding.
+    * The BamWriter `.bai`-on-write machinery, generalized to any
+    * line-rendered format with a sidecar index. */
+  trait LineIndexer {
+    def add(line: String, vBeg: Long, vEnd: Long): Unit
+    def blob(tailV: Long): Array[Byte]
+  }
+
   /** Write `lines` (single string column `line`) as one text file at
     * `out`, prefixed by `header` lines. Returns the line count. */
-  def write(header: Seq[String], lines: DataFrame, out: String): Long = {
+  def write(header: Seq[String], lines: DataFrame, out: String): Long =
+    writeIndexed(header, lines, out, null)._1
+
+  /** [[write]] plus index-on-write plumbing: `indexerF` (may be null)
+    * builds one [[LineIndexer]] per task, fed every line as it streams
+    * through the part's [[BgzfOutputStream]]. Returns (line count,
+    * per-part (index blob, part byte length) in partition order, header
+    * byte length, total file byte length) — everything a sidecar
+    * finisher needs to shift part-local virtual offsets to the
+    * concatenated file's layout. */
+  def writeIndexed(header: Seq[String], lines: DataFrame, out: String,
+      indexerF: () => LineIndexer)
+      : (Long, Seq[(Array[Byte], Long)], Long, Long) = {
     val gz = out.endsWith(".gz") || out.endsWith(".bgz")
+    require(indexerF == null || gz,
+      s"TextSink: index-on-write needs the BGZF form — '$out' is plain " +
+        "text (virtual offsets only exist inside bgzip members)")
     val confBox = HadoopIO.capture()
     val partsDir = out + ".parts"
     val parts = lines.select(col("line"))
@@ -41,26 +71,48 @@ object TextSink {
           val os = new java.io.BufferedOutputStream(
             HadoopIO.create(path, confBox.conf), 1 << 16)
           var n = 0L
+          var blob = Array.emptyByteArray
           try {
             val sink: java.io.OutputStream =
               if (gz) new BgzfOutputStream(os) else os
+            val indexer = if (indexerF == null) null else indexerF()
+            val bz = sink match {
+              case b: BgzfOutputStream => b
+              case _ => null
+            }
+            def vpos(): Long = {
+              val (m, u) = bz.virtualPos
+              (m << 16) | u
+            }
             while (rows.hasNext) {
-              sink.write((rows.next().getString(0) + "\n").getBytes("UTF-8"))
+              val line = rows.next().getString(0)
+              if (indexer == null)
+                sink.write((line + "\n").getBytes("UTF-8"))
+              else {
+                val v0 = vpos()
+                sink.write((line + "\n").getBytes("UTF-8"))
+                indexer.add(line, v0, vpos())
+              }
               n += 1
             }
+            if (indexer != null) blob = indexer.blob(vpos())
             sink match {
-              case bz: BgzfOutputStream => bz.flushBlock() // EOF is file-level
+              case bzo: BgzfOutputStream => bzo.flushBlock() // EOF is file-level
               case _ => sink.flush()
             }
           } finally os.close()
-          Iterator((pid, path, n))
+          Iterator((pid, path, n, blob))
         }
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaLong))
-      .collect() // task METADATA only: (partition, path, count)
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+        Encoders.scalaLong, Encoders.BINARY))
+      .collect() // task METADATA only (+ KB-sized index accumulations)
       .sortBy(_._1)
     val conf = HadoopIO.driverConf()
     val fs = new Path(out).getFileSystem(conf)
     val os = fs.create(new Path(out), true)
+    var headerLen = 0L
+    var fileLen = 0L
+    val partLens = new Array[Long](parts.length)
     try {
       // per-line suffix, not mkString's unconditional one: an empty header
       // must contribute zero bytes, not a lone newline
@@ -70,15 +122,18 @@ object TextSink {
         bz.write(headerBytes)
         bz.flushBlock() // header as its own member run (zero bytes → none)
       } else os.write(headerBytes)
-      parts.foreach { case (_, p, _) =>
+      headerLen = os.getPos
+      parts.zipWithIndex.foreach { case ((_, p, _, _), i) =>
         val in = fs.open(new Path(p))
-        try in.transferTo(os) finally in.close()
+        try partLens(i) = in.transferTo(os) finally in.close()
       }
       if (gz) os.write(BgzfOutputStream.EofMarker)
+      fileLen = os.getPos
     } finally {
       os.close()
       fs.delete(new Path(partsDir), true)
     }
-    parts.map(_._3).sum
+    (parts.map(_._3).sum,
+      parts.map(_._4).zip(partLens.toSeq), headerLen, fileLen)
   }
 }

@@ -24,10 +24,13 @@ import org.apache.spark.sql.SparkSession
 object VcfMerge {
 
   /** Merge `inputs` into one multi-sample VCF at `out` (bgzip'd when the
-    * name ends `.vcf.gz`/`.bgz`). Returns the merged record (site)
-    * count. */
+    * name ends `.vcf.gz`/`.bgz`). `index`/`csi` emit the `.tbi`/`.csi`
+    * sidecar during the write itself (index-on-write — the merged
+    * cohort is exactly the artifact whose first consumer is a region
+    * query). Returns the merged record (site) count. */
   def merge(s: SparkSession, inputs: Seq[String], out: String,
-      numPartitions: Int = 0): Long = {
+      numPartitions: Int = 0, index: Boolean = false,
+      csi: Boolean = false): Long = {
     require(inputs.nonEmpty, "VcfMerge.merge: no inputs")
     val conf = HadoopIO.driverConf()
     val perInput = inputs.map(p => p -> VcfDataSource.headerSamples(p, conf))
@@ -55,8 +58,12 @@ object VcfMerge {
           s"differs from ${inputs.head} (${refs.mkString(",")}) — merging " +
           "across dictionaries reorders coordinates silently")
     }
-    val gt = inputs.map(p => VcfWriter.readGenotypes(s, p))
+    // strict scan (ADVICE r14): a malformed input record — unparseable
+    // POS, sample field lacking GT — must raise naming the line, not
+    // silently render `./.:.` (or a shifted record) in the merged cohort
+    val gt = inputs.map(p => VcfWriter.readGenotypes(s, p, strict = true))
       .reduce(_ unionAll _)
-    VcfWriter.writeGenotypes(gt, refs, samples, out, numPartitions)
+    VcfWriter.writeGenotypes(gt, refs, samples, out, numPartitions,
+      index = index, csi = csi)
   }
 }

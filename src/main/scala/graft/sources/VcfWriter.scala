@@ -26,10 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object VcfWriter {
 
+  /** Commit through [[TextSink]], optionally emitting `.tbi`/`.csi`
+    * sidecars FROM THE WRITE ITSELF (VERDICT r14 #3 — the BamWriter
+    * `.bai`-on-write discipline on the VCF surface): each task
+    * accumulates tabix state at write-side virtual positions while it
+    * streams its part, the driver shift-merges, and the sidecar is
+    * byte-identical to a post-hoc [[Tabix.build]]/[[Tabix.buildCsi]]
+    * over the finished file (VcfIndexOnWriteSpec) — a just-written
+    * cohort VCF no longer pays a full re-read before its first region
+    * query. */
+  private def commit(header: Seq[String], lines: DataFrame, out: String,
+      index: Boolean, csi: Boolean): Long =
+    if (!index && !csi) TextSink.write(header, lines, out)
+    else Tabix.writeIndexedVcf(header, lines, out, tbi = index, csi = csi)
+
   /** Write `variants` (columns contig, pos, ref, alt, ac, dp) as one
-    * coordinate-sorted VCF at `out`. Returns the record count. */
+    * coordinate-sorted VCF at `out`. Returns the record count.
+    * `index`/`csi` emit the `.tbi`/`.csi` sidecar during the write
+    * itself (see [[commit]]). */
   def write(variants: DataFrame, refs: Seq[(String, Int)], out: String,
-      numPartitions: Int = 0): Long = {
+      numPartitions: Int = 0, index: Boolean = false,
+      csi: Boolean = false): Long = {
     val s = variants.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -48,7 +65,7 @@ object VcfWriter {
       Seq("##INFO=<ID=AC,Number=A,Type=Integer,Description=\"Allele count\">",
         "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Site depth\">",
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
-    TextSink.write(header, lines, out)
+    commit(header, lines, out, index, csi)
   }
 
   /** Scan a VCF written by [[write]] (or any site-level VCF with AC/DP
@@ -117,7 +134,8 @@ object VcfWriter {
     * by the SAMPLE count (cohorts are thousands; the corpus-sized axis
     * — sites — stays the distribution key), then the range exchange. */
   def writeGenotypes(gt: DataFrame, refs: Seq[(String, Int)],
-      samples: Seq[String], out: String, numPartitions: Int = 0): Long = {
+      samples: Seq[String], out: String, numPartitions: Int = 0,
+      index: Boolean = false, csi: Boolean = false): Long = {
     val s = gt.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -148,7 +166,7 @@ object VcfWriter {
         "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
           samples.mkString("\t"))
-    TextSink.write(header, lines, out)
+    commit(header, lines, out, index, csi)
   }
 
   /** Scan a multi-sample VCF back into the long genotype frame

@@ -38,4 +38,21 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.budgetFor("x80_cohort_gate") > 14.2)
     assert(Bench.budgetFor("x08_pipeline_gate") > 9.0)
   }
+
+  test("warm-pass policy: gates run exactly one warm pass, engine rows " +
+      "run all three (VERDICT r14 — the rc=124 fix)") {
+    val names = Seq("q01_agg", "x85_dist_index_gate", "t19_bm25",
+      "x87_cohort_merge_gate")
+    // pass 1 measures everything — the single gate warm pass the budgets
+    // are enforced on
+    assert(Bench.warmPassNames(1, names) === names)
+    // passes 2 and 3 skip the near-constant correctness plumbing
+    for (p <- 2 to 3)
+      assert(Bench.warmPassNames(p, names) === Seq("q01_agg", "t19_bm25"))
+    // over the full 3-pass schedule: engine rows 3 warm samples, gates 1
+    val counts = (1 to 3).flatMap(p => Bench.warmPassNames(p, names))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts === Map("q01_agg" -> 3, "t19_bm25" -> 3,
+      "x85_dist_index_gate" -> 1, "x87_cohort_merge_gate" -> 1))
+  }
 }

@@ -59,6 +59,23 @@ class InfoFieldExprSpec extends SparkSpec {
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("infoFieldLong: multi-valued Number=A keys cast their FIRST " +
+      "element (bcftools first-allele convention, ADVICE r14)") {
+    val r = Seq(Tuple1("AC=1,2;AF=0.5,0.25;DP=9")).toDF("info").select(
+      InfoFieldExpr.infoFieldLong(col("info"), "AC").as("a"),
+      InfoFieldExpr.infoFieldLong(col("info"), "DP").as("b"),
+      InfoFieldExpr.infoFieldLong(col("info"), "AF").as("c")).head()
+    assert(r.getLong(0) === 1L) // NOT null: whole-value cast would TRY-null
+    assert(r.getLong(1) === 9L) // single-valued path unchanged
+    assert(r.isNullAt(2)) // first element '0.5' still isn't a BIGINT
+    // and strict read must not raise a spec-valid multi-allelic record:
+    // pipeline shape — first-element long survives the null guard
+    val ok = Seq(Tuple1("AC=4,1;DP=7")).toDF("info")
+      .select(InfoFieldExpr.infoFieldLong(col("info"), "AC").as("ac"))
+      .where(col("ac").isNull).count()
+    assert(ok === 0L)
+  }
+
   test("null info propagates null; equivalence with the regexp form on a " +
       "generated corpus") {
     val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("info")

@@ -244,6 +244,36 @@ class BamWriterSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not coordinate-sorted")), e.toString)
   }
 
+  test("writer refuses a referenceName absent from the header dictionary " +
+      "(ADVICE r14: silently encoding it unplaced hides the read from " +
+      "every region query)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bamw4").toString
+    def rec(rname: String, rnext: String) =
+      Seq(("r1", 0, rname, 5, 60, "4M", rnext, 0, 0, "ACGT", "*", "NM:i:0"))
+        .toDF("readName", "flag", "referenceName", "start", "mapQ", "cigar",
+          "rnext", "pnext", "tlen", "sequence", "qual", "attributes")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // typo'd referenceName raises naming the contig — both plain and
+    // index-on-write paths go through the same encode
+    val e1 = intercept[Exception](BamWriter.write(rec("chrMT", "*"),
+      "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n", Seq("chrM" -> 16569),
+      s"$tmp/a.bam"))
+    assert(msgs(e1).exists(_.contains("'chrMT'")), e1.toString)
+    // same discipline for the MATE contig
+    val e2 = intercept[Exception](BamWriter.write(rec("chrM", "chr17"),
+      "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n", Seq("chrM" -> 16569),
+      s"$tmp/b.bam"))
+    assert(msgs(e2).exists(_.contains("'chr17'")), e2.toString)
+    // '*' (unplaced) stays legal
+    val n = BamWriter.write(rec("*", "*").withColumn("start", lit(0))
+      .withColumn("mapQ", lit(0)).withColumn("cigar", lit("*")),
+      "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n", Seq("chrM" -> 16569),
+      s"$tmp/c.bam")
+    assert(n === 1)
+  }
+
   test("writer refuses records with unsupported tag types") {
     import spark.implicits._
     val bad = Seq(("r1", 0, "chrM", 1, 60, "4M", "*", 0, 0, "ACGT", "*", "XX:Q:weird"))

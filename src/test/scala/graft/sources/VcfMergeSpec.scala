@@ -65,6 +65,30 @@ class VcfMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("contig dictionary"))
   }
 
+  test("a malformed input record raises naming the line instead of " +
+      "silently rendering ./.:. in the cohort (ADVICE r14: strict scan)") {
+    val good = s"$root/strict_ok.vcf.gz"
+    writeSample("sG", Seq((100L, "0/1", 3L)), good)
+    // hand-written input with an unparseable POS: lenient readGenotypes
+    // would null it out and the merged cohort silently loses/corrupts
+    // the site; strict merge must raise naming the record
+    val bad = s"$root/strict_bad.vcf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      ("##fileformat=VCFv4.2\n" +
+        "##contig=<ID=chr1,length=100000>\n" +
+        "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsB\n" +
+        "chr1\t100\t.\tA\tG\t.\tPASS\t.\tGT:DP\t0/1:5\n" +
+        "chr1\tnotanumber\t.\tA\tG\t.\tPASS\t.\tGT:DP\t1/1:9\n")
+        .getBytes("UTF-8"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      VcfMerge.merge(spark, Seq(good, bad), s"$root/strict.vcf.gz"))
+    assert(msgs(e).exists(_.contains("malformed VCF genotype record")),
+      e.toString)
+  }
+
   test("a site-only VCF (no sample columns) refuses loudly") {
     val a = s"$root/sites.vcf.gz"
     VcfWriter.write(Seq(("chr1", 100L, "A", "T", 1L, 2L))
