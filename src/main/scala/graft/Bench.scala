@@ -55,7 +55,13 @@ object Bench {
     "x86_stream_bam_gate" -> 18.0,
     // 4 single-file VCF writes (3 samples + cohort) + merge + readback,
     // measured ~7 s at sf0.1
-    "x87_cohort_merge_gate" -> 15.0)
+    "x87_cohort_merge_gate" -> 15.0,
+    // 5 single-file BAM writes (3 samples + cohort + dup fixture) +
+    // merge + index-on-write + 3 readback scans
+    "x88_bam_merge_gate" -> 15.0,
+    // 2 indexed VCF writes + one checkpointed stream run + batch
+    // control + 2 planner probes — stream-trigger waits dominate
+    "x89_stream_prune_gate" -> 15.0)
   val defaultBudget: Double = 10.0
 
   /** Host-speed multiplier for every ceiling (ADVICE r13: the budgets are

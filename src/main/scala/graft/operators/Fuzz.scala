@@ -874,11 +874,14 @@ object Fuzz {
     * (contig counts 1–3, positions spread across many 16 kb linear
     * windows, REF lengths spanning bin boundaries, INFO `END=` spans on
     * a third of the records for END-widened seeds), indexes one copy
-    * `.tbi` and one `.csi` (every third seed through the DISTRIBUTED
-    * builders), then region-scans with a prime splitsize and a seeded
+    * `.tbi` and one `.csi` (seeds ≡ 0 mod 3 through the DISTRIBUTED
+    * builders; seeds ≡ 1 mod 3 emit the sidecars from the write itself
+    * via [[graft.sources.Tabix.writeIndexedVcf]] — index-on-write, r15),
+    * then region-scans with a prime splitsize and a seeded
     * (contig, pos-range) predicate — window-edge-aligned on every fifth
-    * seed. The checksums (count / pos / AC / DP mass via the native
-    * `info_field` kernel) replay against generated DuckDB SQL that
+    * seed. The checksums (count / pos / AC / DP / END mass via the
+    * native `info_field` kernel — END pins the END-widening parser,
+    * VERDICT r14 #7) replay against generated DuckDB SQL that
     * restates the synthesis arithmetic — the differential vs an
     * unpruned filter — and `.tbi` ≡ `.csi` row equality plus partition
     * accounting are asserted per seed. FuzzSpec sweeps 50 seeds against
@@ -910,8 +913,8 @@ object Fuzz {
   }
 
   final case class VcfSeedResult(seed: Long, nTotal: Long, nRegion: Long,
-      sumPos: Long, sumAc: Long, sumDp: Long, tbiEqCsi: Boolean,
-      prunedParts: Int, fullParts: Int)
+      sumPos: Long, sumAc: Long, sumDp: Long, sumEnd: Long,
+      tbiEqCsi: Boolean, prunedParts: Int, fullParts: Int)
 
   /** One seed end-to-end: write both copies, index, region-scan, and
     * checksum. A driver round-trip per seed (the q106 discipline). */
@@ -946,14 +949,23 @@ object Fuzz {
       Seq("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
     val tbiP = s"$root/s${p.seed}_tbi.vcf.gz"
     val csiP = s"$root/s${p.seed}_csi.vcf.gz"
-    TextSink.write(header, lines, tbiP)
-    TextSink.write(header, lines, csiP)
-    if (p.distributed) {
-      Tabix.buildDistributed(s, tbiP, splitSize = 8192)
-      Tabix.buildCsiDistributed(s, csiP, splitSize = 8192)
+    if (p.seed % 3 == 1) {
+      // index-on-write arm (r15): sidecars emitted during the write
+      // itself — same downstream scans, so a divergence between the
+      // write-side and post-hoc accumulations fails the checksums or
+      // the .tbi ≡ .csi equality, per seed
+      Tabix.writeIndexedVcf(header, lines, tbiP, tbi = true, csi = false)
+      Tabix.writeIndexedVcf(header, lines, csiP, tbi = false, csi = true)
     } else {
-      Tabix.build(tbiP, conf)
-      Tabix.buildCsi(csiP, conf)
+      TextSink.write(header, lines, tbiP)
+      TextSink.write(header, lines, csiP)
+      if (p.distributed) {
+        Tabix.buildDistributed(s, tbiP, splitSize = 8192)
+        Tabix.buildCsiDistributed(s, csiP, splitSize = 8192)
+      } else {
+        Tabix.build(tbiP, conf)
+        Tabix.buildCsi(csiP, conf)
+      }
     }
     def scan(path: String) = s.read.format("vcf")
       .option("splitsize", p.split).load(path)
@@ -964,10 +976,13 @@ object Fuzz {
         graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "AC")
           .as("ac"),
         graft.functions.InfoFieldExpr.infoFieldLong(col("info"), "DP")
-          .as("dp"))
+          .as("dp"),
+        coalesce(graft.functions.InfoFieldExpr
+          .infoFieldLong(col("info"), "END"), lit(0L)).as("endv"))
       .agg(count(lit(1)), coalesce(sum(col("pos")), lit(0L)),
         coalesce(sum(col("ac")), lit(0L)),
-        coalesce(sum(col("dp")), lit(0L)))
+        coalesce(sum(col("dp")), lit(0L)),
+        coalesce(sum(col("endv")), lit(0L)))
       .collect()(0)
     // region row sets through BOTH sidecar formats (bounded: ≤ modN rows)
     val tbiRows = region(tbiP).select("contig", "pos").collect()
@@ -975,7 +990,7 @@ object Fuzz {
     val csiRows = region(csiP).select("contig", "pos").collect()
       .map(_.toString).sorted.toSeq
     VcfSeedResult(p.seed.toLong, scan(tbiP).count(), agg.getLong(0),
-      agg.getLong(1), agg.getLong(2), agg.getLong(3),
+      agg.getLong(1), agg.getLong(2), agg.getLong(3), agg.getLong(4),
       tbiRows == csiRows,
       region(tbiP).rdd.getNumPartitions, scan(tbiP).rdd.getNumPartitions)
   }
@@ -1000,9 +1015,9 @@ object Fuzz {
       val allLe = rs.forall(r => r.prunedParts <= r.fullParts)
       import s.implicits._
       rs.map(r => (r.seed, r.nTotal, r.nRegion, r.sumPos, r.sumAc,
-          r.sumDp, r.tbiEqCsi, allLe, anyStrict))
+          r.sumDp, r.sumEnd, r.tbiEqCsi, allLe, anyStrict))
         .toDF("seed", "n_total", "n_region", "sum_pos", "sum_ac",
-          "sum_dp", "tbi_eq_csi", "pruned_le_ok", "any_pruned")
+          "sum_dp", "sum_end", "tbi_eq_csi", "pruned_le_ok", "any_pruned")
         .orderBy("seed")
     } finally base.unpersist(blocking = false)
   }
@@ -1023,6 +1038,11 @@ object Fuzz {
        |  CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS sum_pos,
        |  CAST(COALESCE(SUM(pos % 7 + 1), 0) AS BIGINT) AS sum_ac,
        |  CAST(COALESCE(SUM(pos % 89 + 1), 0) AS BIGINT) AS sum_dp,
+       |  CAST(COALESCE(SUM(${
+        if (p.endMod > 0)
+          s"CASE WHEN pos % 3 = 0 THEN pos + pos % ${p.endMod} ELSE 0 END"
+        else "0"
+      }), 0) AS BIGINT) AS sum_end,
        |  true AS tbi_eq_csi, true AS pruned_le_ok, true AS any_pruned
        |FROM r
        |)""".stripMargin

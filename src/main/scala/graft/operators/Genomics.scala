@@ -6070,11 +6070,29 @@ object Genomics {
       p
     }
     val cohort = s"$root/cohort.vcf.gz"
-    val nMerged = VcfMerge.merge(s, paths, cohort)
+    // r15: the merge emits its .tbi/.csi DURING the write (index-on-write
+    // — VERDICT r14 #3); the region query below consumes the
+    // write-emitted sidecar in-row, no post-hoc build step
+    val nMerged = VcfMerge.merge(s, paths, cohort, index = true, csi = true)
     val conf = s.sparkContext.hadoopConfiguration
     val samplesOk = VcfDataSource.headerSamples(cohort, conf) ==
       Seq("s0", "s1", "s2") &&
       VcfDataSource.headerContigs(cohort, conf) == refs
+    // region scan THROUGH the write-emitted index: same rows as an
+    // unpruned full-file filter, planning no MORE partitions than the
+    // full scan (the q116 pruning-accounting discipline)
+    def scanSplit = s.read.format("vcf").option("splitsize", 4093)
+      .load(cohort)
+    val regionPred = col("contig") === "chr1" &&
+      col("pos") >= 40000L && col("pos") < 90000L
+    val prunedRows = scanSplit.where(regionPred)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    val fullRows = s.read.format("vcf")
+      .option("splitsize", Int.MaxValue).load(cohort).where(regionPred)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    val iowRegionOk = prunedRows == fullRows
+    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <=
+      scanSplit.rdd.getNumPartitions
     val back = VcfWriter.readGenotypes(s, cohort, strict = true)
     back.agg(
         count_distinct(col("contig"), col("pos")).as("n_sites"),
@@ -6085,7 +6103,9 @@ object Genomics {
         coalesce(sum(col("dp")), lit(0L)).as("sum_dp"))
       .select(col("*"),
         (lit(nMerged) === col("n_sites")).as("merge_count_ok"),
-        lit(samplesOk).as("samples_ok"))
+        lit(samplesOk).as("samples_ok"),
+        lit(iowRegionOk).as("iow_region_ok"),
+        lit(iowPrunedOk).as("iow_pruned_ok"))
   }
 
   val x87Sql: String =
@@ -6107,8 +6127,207 @@ object Genomics {
       |  CAST(SUM(CASE WHEN (pi + k) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_het,
       |  CAST(SUM(pi % 50 + 1 + k) AS BIGINT) AS sum_dp,
-      |  true AS merge_count_ok, true AS samples_ok
+      |  true AS merge_count_ok, true AS samples_ok,
+      |  true AS iow_region_ok, true AS iow_pruned_ok
       |FROM calls""".stripMargin
+
+  // ---------------------------------------------------------------- x88
+  /** COHORT BAM MERGE gate — [[graft.sources.BamMerge]] (r15, VERDICT
+    * r14 #5, the samtools-merge analogue and x87's sibling at the
+    * alignment layer): three per-sample BAMs with distinct `@RG` read
+    * groups (each record tagged `RG:Z:...`) merge into one
+    * coordinate-sorted single-file BAM with INDEX-ON-WRITE; a region
+    * query then goes through the write-emitted `.bai` in-row (pruned
+    * rows ≡ unpruned filter, no post-hoc index build). The `@RG` ID
+    * collision refusal is asserted in-row (a fourth input reusing rg0
+    * must raise, not silently rewrite). Oracle-checked: read counts,
+    * start mass, per-contig and region checksums restate the synthesis
+    * arithmetic. */
+  def x88BamMergeGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamMerge, BamWriter, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 23 === 7)
+    def reads(k: Int) = li
+      .where((col("l_orderkey") + col("l_linenumber")) % 3 === k)
+      .select(
+        concat(lit("q"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("readName"),
+        lit(0).as("flag"),
+        when(col("l_suppkey") % 2 === 0, "chr1").otherwise("chr2")
+          .as("referenceName"),
+        (col("l_partkey") % 100000 + 1).cast("int").as("start"),
+        lit(60).as("mapQ"), lit("10M").as("cigar"),
+        lit("*").as("rnext"), lit(0).as("pnext"), lit(0).as("tlen"),
+        lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+        concat(lit("RG:Z:rg"), lit(k)).as("attributes"))
+    val refs = Seq("chr1" -> 200000, "chr2" -> 200000)
+    def header(k: Int) = "@HD\tVN:1.6\tSO:coordinate\n" +
+      refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString +
+      s"@RG\tID:rg$k\tSM:s$k\n"
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x88_$sfTag"
+    val paths = (0 to 2).map { k =>
+      val p = s"$root/s$k.bam"
+      BamWriter.sortAndWrite(reads(k), header(k), refs, p)
+      p
+    }
+    val cohort = s"$root/cohort.bam"
+    val nMerged = BamMerge.merge(s, paths, cohort, index = true)
+    // header carries all three read groups in input order
+    val (mergedHeader, mergedRefs) = BamWriter.readHeader(cohort)
+    val rgOk = mergedRefs == refs &&
+      (0 to 2).forall(k => mergedHeader.contains(s"@RG\tID:rg$k\tSM:s$k"))
+    // region query THROUGH the write-emitted .bai (no post-hoc build):
+    // same rows as the unpruned filter, planning no more partitions
+    def scanSplit = s.read.format("bam").option("splitsize", 4096)
+      .load(cohort)
+    val regionPred = col("referenceName") === "chr1" &&
+      col("start") >= 30000 && col("start") <= 60000
+    val prunedRows = scanSplit.where(regionPred)
+      .select("readName").collect().map(_.getString(0)).sorted.toSeq
+    val fullRows = s.read.format("bam")
+      .option("splitsize", Int.MaxValue).load(cohort).where(regionPred)
+      .select("readName").collect().map(_.getString(0)).sorted.toSeq
+    val iowRegionOk = prunedRows == fullRows
+    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <=
+      scanSplit.rdd.getNumPartitions
+    // @RG ID collision: a fourth input reusing rg0 must refuse loudly
+    val dup = s"$root/dup.bam"
+    BamWriter.sortAndWrite(reads(0).limit(2), header(0), refs, dup)
+    val collisionRefused =
+      try { BamMerge.merge(s, paths :+ dup, s"$root/bad.bam"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("@RG ID collision") }
+    val back = s.read.format("bam").load(cohort)
+    back.agg(
+        count(lit(1)).as("n_reads"),
+        sum((col("referenceName") === "chr1").cast("long")).as("n_chr1"),
+        sum(col("start").cast("long")).as("sum_start"),
+        sum(when(regionPred, 1L).otherwise(0L)).as("n_region"),
+        // per-read-group attribution survives the merge: the RG:Z tag
+        sum(when(col("attributes").contains("RG:Z:rg0"), 1L)
+          .otherwise(0L)).as("n_rg0"))
+      .select(col("*"),
+        (lit(nMerged) === col("n_reads")).as("merge_count_ok"),
+        lit(rgOk).as("rg_ok"),
+        lit(iowRegionOk).as("iow_region_ok"),
+        lit(iowPrunedOk).as("iow_pruned_ok"),
+        lit(collisionRefused).as("collision_refused"))
+  }
+
+  val x88Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |  FROM lineitem WHERE l_orderkey % 23 = 7),
+      |r AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END AS chr1,
+      |    (l_partkey % 100000) + 1 AS start,
+      |    CASE WHEN (l_orderkey + l_linenumber) % 3 = 0 THEN 1 ELSE 0 END
+      |      AS rg0
+      |  FROM li)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(chr1) AS BIGINT) AS n_chr1,
+      |  CAST(SUM(start) AS BIGINT) AS sum_start,
+      |  CAST(SUM(CASE WHEN chr1 = 1 AND start >= 30000 AND start <= 60000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_region,
+      |  CAST(SUM(rg0) AS BIGINT) AS n_rg0,
+      |  true AS merge_count_ok, true AS rg_ok, true AS iow_region_ok,
+      |  true AS iow_pruned_ok, true AS collision_refused
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- x89
+  /** INDEX-AWARE STREAMING REGION SCAN gate (r15, VERDICT r14 #4): two
+    * bgzip'd VCFs land in a directory with `.tbi` sidecars emitted by
+    * INDEX-ON-WRITE; a `region`-option STREAM over the landing dir must
+    * (a) equal the batch `.where()` filter value-for-value and (b) plan
+    * strictly FEWER partitions than the unfiltered stream — planning
+    * consults each landed file's sidecar exactly like the batch scan
+    * ([[graft.sources.VcfScan.planFile]] is shared). The `region`
+    * option is the pruning channel because Spark pushes no catalyst
+    * predicates into MICRO_BATCH scans (`PushedFilters: []` —
+    * StreamPruneProbeSpec pins that finding). */
+  def x89StreamPruneGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VcfDataSource, VcfFilters, VcfScan, VcfWriter}
+    import graft.sources.HadoopIO
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x89_$sfTag"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent
+    val dir = s"$root/land"
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 19 === 3)
+    val refs = Seq("v0" -> 2000000, "v1" -> 2000000)
+    (0 to 1).foreach { half =>
+      val variants = li.where(col("l_partkey") % 2 === half)
+        .select(
+          when(col("l_suppkey") % 2 === 0, "v0").otherwise("v1")
+            .as("contig"),
+          (col("l_partkey") % 6000 * 251 + 13).cast("long").as("pos"),
+          (col("l_partkey") % 5 + 1).cast("long").as("ac0"),
+          (col("l_suppkey") % 40 + 1).cast("long").as("dp0"))
+        .groupBy("contig", "pos")
+        .agg(min("ac0").as("ac"), min("dp0").as("dp"))
+        .select(col("contig"), col("pos"), lit("A").as("ref"),
+          lit("G").as("alt"), col("ac"), col("dp"))
+      VcfWriter.write(variants, refs, f"$dir/part-$half%05d.vcf.gz",
+        index = true)
+    }
+    val (qLo, qHi) = (200000L, 700000L)
+    // value check: streamed with the region OPTION ≡ batch .where()
+    val s2 = s.newSession()
+    scala.util.Try(s2.catalog.dropTempView("x89_stream"))
+    val q = s2.readStream.format("vcf").option("splitsize", 2039)
+      .option("region", s"v1:$qLo-$qHi").load(dir)
+      .groupBy().agg(count(lit(1)).as("n"),
+        coalesce(sum(col("pos")), lit(0L)).as("sum_pos"),
+        coalesce(sum(graft.functions.InfoFieldExpr
+          .infoFieldLong(col("info"), "AC")), lit(0L)).as("sum_ac"))
+      .writeStream.format("memory").queryName("x89_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s2.table("x89_stream").head
+    val batch = s.read.format("vcf").option("splitsize", 2039).load(dir)
+      .where(col("contig") === "v1" &&
+        col("pos") >= qLo && col("pos") <= qHi)
+      .agg(count(lit(1)), coalesce(sum(col("pos")), lit(0L)),
+        coalesce(sum(graft.functions.InfoFieldExpr
+          .infoFieldLong(col("info"), "AC")), lit(0L))).head
+    val streamEqBatch = streamed.getLong(0) == batch.getLong(0) &&
+      streamed.getLong(1) == batch.getLong(1) &&
+      streamed.getLong(2) == batch.getLong(2)
+    // partition accounting via the stream's own planner: the pruned
+    // stream must plan strictly fewer partitions than the full one
+    def planned(preds: Seq[VcfFilters.Pred]): Int = {
+      val ms = new VcfScan(Seq(dir), 2039, VcfDataSource.schema, preds)
+        .toMicroBatchStream("")
+      ms.planInputPartitions(ms.initialOffset(), ms.latestOffset()).length
+    }
+    val nPruned = planned(Seq(VcfFilters.ContigEq("v1"),
+      VcfFilters.PosCmp(">=", qLo), VcfFilters.PosCmp("<=", qHi)))
+    val nFull = planned(Nil)
+    import s.implicits._
+    Seq((streamed.getLong(0), streamed.getLong(1), streamed.getLong(2),
+        streamEqBatch, nPruned < nFull))
+      .toDF("n_region", "sum_pos", "sum_ac", "stream_equals_batch",
+        "stream_pruned_ok")
+  }
+
+  val x89Sql: String =
+    """WITH li AS (SELECT l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_orderkey % 19 = 3),
+      |s0 AS (SELECT
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 'v0' ELSE 'v1' END AS contig,
+      |    (l_partkey % 6000) * 251 + 13 AS pos,
+      |    (l_partkey % 5) + 1 AS ac0
+      |  FROM li),
+      |sites AS (SELECT contig, pos, MIN(ac0) AS ac
+      |  FROM s0 GROUP BY contig, pos),
+      |r AS (SELECT * FROM sites
+      |  WHERE contig = 'v1' AND pos >= 200000 AND pos <= 700000)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_region,
+      |  CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS sum_pos,
+      |  CAST(COALESCE(SUM(ac), 0) AS BIGINT) AS sum_ac,
+      |  true AS stream_equals_batch, true AS stream_pruned_ok
+      |FROM r""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
@@ -6179,6 +6398,8 @@ object Genomics {
     "x84_vcf_region_gate"    -> (x84VcfRegionGate _),
     "x85_dist_index_gate"    -> (x85DistIndexGate _),
     "x86_stream_bam_gate"    -> (x86StreamBamGate _),
+    "x88_bam_merge_gate"     -> (x88BamMergeGate _),
+    "x89_stream_prune_gate"  -> (x89StreamPruneGate _),
     "x87_cohort_merge_gate"  -> (x87CohortMergeGate _))
 
   val oracles: Map[String, String] = Map(
@@ -6250,5 +6471,7 @@ object Genomics {
     "x84_vcf_region_gate"    -> x84Sql,
     "x85_dist_index_gate"    -> x85Sql,
     "x86_stream_bam_gate"    -> x86Sql,
+    "x88_bam_merge_gate"     -> x88Sql,
+    "x89_stream_prune_gate"  -> x89Sql,
     "x87_cohort_merge_gate"  -> x87Sql)
 }

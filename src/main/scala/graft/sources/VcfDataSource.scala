@@ -242,13 +242,25 @@ class VcfTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def name(): String = s"vcf(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = VcfDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(SamDataSource.resolvePaths(options),
-      SamDataSource.splitSize(options))
+      SamDataSource.splitSize(options),
+      // `region` option → the same preds a pushed .where() produces
+      // (POS-based, 1-based inclusive); the channel that reaches
+      // STREAMING scans, where Spark performs no predicate pushdown
+      SamDataSource.regionOption(options).toSeq.flatMap {
+        case (c, b, e) =>
+          VcfFilters.ContigEq(c) +:
+            (Seq(VcfFilters.PosCmp(">=", b)) ++
+              (if (e == Long.MaxValue) Nil
+               else Seq(VcfFilters.PosCmp("<=", e))))
+      })
 }
 
-class VcfScanBuilder(paths: Seq[String], splitSize: Long)
+class VcfScanBuilder(paths: Seq[String], splitSize: Long,
+    regionPreds: Seq[VcfFilters.Pred] = Nil)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
@@ -264,7 +276,8 @@ class VcfScanBuilder(paths: Seq[String], splitSize: Long)
     rest
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
-  override def build(): Scan = new VcfScan(paths, splitSize, required, preds)
+  override def build(): Scan =
+    new VcfScan(paths, splitSize, required, regionPreds ++ preds)
 }
 
 /** Partition: byte range of one file; `uoffset ≥ 0` marks an index-run
@@ -293,51 +306,84 @@ class VcfScan(paths: Seq[String], splitSize: Long, required: StructType,
         p.endsWith(".tbi") || p.endsWith(".csi") || p.endsWith(".gai") ||
           p.endsWith(".bai") }
       .flatMap { case (p, size) =>
-        val codec = SamDataSource.fileCodec(p, conf)
-        def plain(): Seq[VcfInputPartition] =
-          if (codec == "gzip" || size <= splitSize)
-            Seq(VcfInputPartition(p, 0L, Long.MaxValue, codec))
-          else (0L until size by splitSize).map(s =>
-            VcfInputPartition(p, s, math.min(s + splitSize, size), codec))
-        if (codec != "bgzf" || preds.isEmpty) plain()
-        else {
-          val idx: Option[(Array[String], Long, (Int, Long, Long) => Seq[BaiIndex.Chunk])] =
-            if (Tabix.exists(p, conf)) {
-              val tbi = Tabix.read(p, conf)
-              Some((tbi.names, BaiIndex.MaxPos.toLong,
-                (r, b, e) => BaiIndex.chunks(tbi.bai, r, b.toInt, e.toInt)))
-            } else if (CsiIndex.exists(p, conf)) {
-              val csi = CsiIndex.read(p, conf)
-              scala.util.Try(Tabix.csiNames(csi.aux)).toOption.map { nm =>
-                (nm, CsiIndex.maxPos(csi.minShift, csi.depth).toLong,
-                  (r: Int, b: Long, e: Long) =>
-                    CsiIndex.chunks(csi, r, b.toInt, e.toInt))
-              }
-            } else None
-          idx match {
-            case None => plain()
-            case Some((names, maxPos, chunksOf)) =>
-              VcfFilters.region(preds, names, maxPos) match {
-                case None => plain()
-                case Some((refId, beg, end)) =>
-                  val runs = BaiIndex.memberRuns(chunksOf(refId, beg, end))
-                  runs.flatMap { case (m0, u, m1) =>
-                    // chop a long run at splitSize boundaries; only the
-                    // head knows its exact record offset
-                    val cuts = (m0 until m1 by math.max(splitSize, 1L)) :+ m1
-                    cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
-                      VcfInputPartition(p, a, b, codec,
-                        if (i == 0) u else -1)
-                    }.toSeq
-                  }
-              }
-          }
-        }
+        VcfScan.planFile(p, size, splitSize, preds, conf)
       }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(required.fieldNames, preds, HadoopIO.capture())
+
+  /** Landing-dir micro-batch streaming (r15, VERDICT r14 #4): cohort
+    * VCFs land in a directory like the `fastq`/`sam`/`bam` drops, and —
+    * because the per-file planner is [[VcfScan.planFile]], the same one
+    * the batch scan uses — a pushed region predicate prunes every
+    * landed file's splits at BATCH PLANNING through its `.tbi`/`.csi`
+    * sidecar (index-on-write emits one during the producing write), so
+    * a region-filtered stream never schedules tasks over members the
+    * index excludes. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val fields = required.fieldNames
+    val ps = preds
+    val split = splitSize
+    new LandingDirMicroBatchStream(paths, splitSize, "vcf",
+      () => new VcfReaderFactory(fields, ps, HadoopIO.capture()),
+      planFile = (p, size, conf) =>
+        VcfScan.planFile(p, size, split, ps, conf)
+          .map(x => x: InputPartition))
+  }
+}
+
+object VcfScan {
+  /** One file's partitions: index-pruned member runs when a
+    * region-shaped predicate and a `.tbi`/`.csi` sidecar exist,
+    * byte-range splits otherwise. Shared by the batch scan and the
+    * landing-dir micro-batch stream (so streamed region scans prune at
+    * planning exactly like batch ones). */
+  private[sources] def planFile(p: String, size: Long, splitSize: Long,
+      preds: Seq[VcfFilters.Pred],
+      conf: org.apache.hadoop.conf.Configuration): Seq[VcfInputPartition] = {
+    val codec = SamDataSource.fileCodec(p, conf)
+    def plain(): Seq[VcfInputPartition] =
+      if (codec == "gzip" || size <= splitSize)
+        Seq(VcfInputPartition(p, 0L, Long.MaxValue, codec))
+      else (0L until size by splitSize).map(s =>
+        VcfInputPartition(p, s, math.min(s + splitSize, size), codec))
+    if (codec != "bgzf" || preds.isEmpty) plain()
+    else {
+      val idx: Option[(Array[String], Long, (Int, Long, Long) => Seq[BaiIndex.Chunk])] =
+        if (Tabix.exists(p, conf)) {
+          val tbi = Tabix.read(p, conf)
+          Some((tbi.names, BaiIndex.MaxPos.toLong,
+            (r, b, e) => BaiIndex.chunks(tbi.bai, r, b.toInt, e.toInt)))
+        } else if (CsiIndex.exists(p, conf)) {
+          val csi = CsiIndex.read(p, conf)
+          scala.util.Try(Tabix.csiNames(csi.aux)).toOption.map { nm =>
+            (nm, CsiIndex.maxPos(csi.minShift, csi.depth).toLong,
+              (r: Int, b: Long, e: Long) =>
+                CsiIndex.chunks(csi, r, b.toInt, e.toInt))
+          }
+        } else None
+      idx match {
+        case None => plain()
+        case Some((names, maxPos, chunksOf)) =>
+          VcfFilters.region(preds, names, maxPos) match {
+            case None => plain()
+            case Some((refId, beg, end)) =>
+              val runs = BaiIndex.memberRuns(chunksOf(refId, beg, end))
+              runs.flatMap { case (m0, u, m1) =>
+                // chop a long run at splitSize boundaries; only the
+                // head knows its exact record offset
+                val cuts = (m0 until m1 by math.max(splitSize, 1L)) :+ m1
+                cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+                  VcfInputPartition(p, a, b, codec,
+                    if (i == 0) u else -1)
+                }.toSeq
+              }
+          }
+      }
+    }
+  }
 }
 
 class VcfReaderFactory(fields: Array[String], preds: Seq[VcfFilters.Pred],

@@ -356,7 +356,11 @@ class FuzzSpec extends SparkSpec {
     val r = sites.filter(t =>
       t._1 == s"c${p.qc}" && t._2 >= p.lo && t._2 < p.hi)
     Seq(sites.size.toLong, r.size.toLong, r.map(_._2).sum,
-      r.map(t => t._2 % 7 + 1).sum, r.map(t => t._2 % 89 + 1).sum)
+      r.map(t => t._2 % 7 + 1).sum, r.map(t => t._2 % 89 + 1).sum,
+      // END mass: value pos + pos % endMod on every third position of
+      // END-widened seeds — mirrors the synthesis endTerm
+      r.map(t => if (p.endMod > 0 && t._2 % 3 == 0)
+        t._2 + t._2 % p.endMod else 0L).sum)
   }
 
   test("50-seed VCF surface sweep: index-pruned region scans through " +
@@ -366,7 +370,7 @@ class FuzzSpec extends SparkSpec {
     (0 until 50).foreach { k =>
       val p = Fuzz.vcfParams(k)
       val g = Fuzz.runVcfSeed(spark, base, p, root)
-      assert(Seq(g.nTotal, g.nRegion, g.sumPos, g.sumAc, g.sumDp)
+      assert(Seq(g.nTotal, g.nRegion, g.sumPos, g.sumAc, g.sumDp, g.sumEnd)
         === naiveVcf(p), s"seed $k diverged; params $p")
       assert(g.tbiEqCsi, s"seed $k: .tbi and .csi region rows differ; $p")
       assert(g.prunedParts <= g.fullParts,
