@@ -50,6 +50,9 @@ object Bench {
     // 8 seeds × (2 bgzip'd VCF writes + 2 index builds + 4 scans) of
     // file I/O per seed — cost tracks seed count, not engine speed
     "q116_vcf_fuzz_gate" -> 25.0,
+    // 4 seeds × (2-5 landed files + TWO checkpointed stream runs +
+    // batch control) — fixed stream-trigger/checkpoint waits dominate
+    "q117_stream_fuzz_gate" -> 35.0,
     // two checkpointed stream runs + 4 single-file BAM writes + batch
     // control — restart plumbing, measured ~9 s at sf0.1
     "x86_stream_bam_gate" -> 18.0,

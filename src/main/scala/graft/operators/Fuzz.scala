@@ -1051,6 +1051,166 @@ object Fuzz {
     (0 until VcfGateSeeds).map(k => vcfSeedSql(vcfParams(k)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
 
+  // ------------------------------------------------------------- q117
+  /** STREAMING-SURFACE FUZZ — the ninth family (r15, VERDICT r14 #6):
+    * seeded LANDING SEQUENCES through the shared
+    * [[graft.sources.LandingDirMicroBatchStream]] offset model. Each
+    * seed synthesizes 2–5 SAM files (seeded record assignment, plain /
+    * bgzip'd mixes, sizes crossing a prime splitsize), lands a seeded
+    * PREFIX, runs a checkpointed stream to a memory sink, lands the
+    * rest, RESTARTS from the checkpoint (committed offsets asserted
+    * prefix→full — only the new files replay), and value-checks
+    * stream ≡ batch over the same directory. Every third seed then
+    * plants a file sorting BEFORE the committed prefix and asserts the
+    * loud non-append refusal (the silent-double-read failure mode).
+    * Checksums replay against generated DuckDB SQL restating the
+    * synthesis arithmetic; FuzzSpec sweeps 50 seeds by driving the
+    * stream's planner/readers directly (no engine overhead). */
+  final case class PS(seed: Int, nFiles: Int, m1: Long, m2: Long,
+      modN: Long, restartAt: Int, split: Int, gzMask: Int,
+      violate: Boolean)
+
+  def streamParams(seed: Int): PS = {
+    var state = seed.toLong + 9000L // decorrelate from the other chains
+    def next(): Long = { state = mix(state); state }
+    def in(lo: Long, hi: Long): Long =
+      lo + java.lang.Math.floorMod(next(), hi - lo + 1)
+    val nFiles = in(2, 5).toInt
+    PS(seed, nFiles, in(1, 13), in(1, 13), in(40, 300),
+      restartAt = in(1, nFiles - 1).toInt,
+      split = Seq(997, 2039, 4093, 8191)(seed % 4),
+      gzMask = (next() & 0xffffL).toInt,
+      violate = seed % 3 == 2)
+  }
+
+  /** One seed's landing-file lines (file `i` of `p.nFiles`): the record
+    * set is the DISTINCT (pk, sk) pairs, assigned to files by a seeded
+    * hash — pure arithmetic, shared verbatim by the oracle SQL and the
+    * FuzzSpec model. */
+  private[operators] def streamFileLines(base: DataFrame, p: PS,
+      i: Int): DataFrame =
+    base.distinct()
+      .where((col("pk") * p.m1 + col("sk") * p.m2) % p.nFiles === i)
+      .select(concat_ws("\t",
+        concat(lit("r"), col("pk"), lit("_"), col("sk")),
+        lit(0), lit("c0"),
+        ((col("pk") * p.m2 + col("sk") * p.m1) % p.modN + 1).cast("int"),
+        lit(60), lit("4M"), lit("*"), lit(0), lit(0), lit("ACGT"),
+        lit("*"), lit("NM:i:0")).as("line"))
+
+  private[operators] def streamFilePath(dir: String, p: PS, i: Int): String = {
+    val ext = if (((p.gzMask >> i) & 1) == 1) ".sam.gz" else ".sam"
+    f"$dir/f-$i%05d$ext"
+  }
+
+  final case class StreamSeedResult(seed: Long, nRecords: Long,
+      sumStart: Long, streamEqBatch: Boolean, offsetsOk: Boolean,
+      refusalOk: Boolean)
+
+  /** One seed end-to-end through the REAL streaming engine: land the
+    * prefix, stream, land the rest, restart, compare, then (violate
+    * seeds) plant the non-append file and assert the loud refusal. */
+  private[operators] def runStreamSeed(s: SparkSession, base: DataFrame,
+      p: PS, root: String): StreamSeedResult = {
+    import graft.sources.TextSink
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = s"$root/s${p.seed}/in"
+    val ckpt = s"$root/s${p.seed}/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/s${p.seed}"), true)
+    def land(i: Int): Unit =
+      TextSink.write(Nil, streamFileLines(base, p, i),
+        streamFilePath(dir, p, i))
+    val s2 = s.newSession()
+    val view = s"q117_s${p.seed}"
+    def runStream(): Unit = {
+      s2.catalog.dropTempView(view)
+      val q = s2.readStream.format("sam").option("splitsize", p.split)
+        .load(dir)
+        .groupBy().agg(count(lit(1)).as("n"),
+          coalesce(sum(col("start").cast("long")), lit(0L)).as("ss"))
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def lastOffsetN(): Int = {
+      val od = new org.apache.hadoop.fs.Path(s"$ckpt/offsets")
+      val files = fs.listStatus(od).map(_.getPath)
+        .filter(x => x.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val in = fs.open(files.last)
+      val txt = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .getOrElse(-1)
+    }
+    (0 until p.restartAt).foreach(land)
+    runStream()
+    val nAfterPrefix = lastOffsetN()
+    (p.restartAt until p.nFiles).foreach(land)
+    runStream() // checkpoint restart: only the new files replay
+    val nAfterAll = lastOffsetN()
+    val streamed = s2.table(view).head
+    val batch = s.read.format("sam").option("splitsize", p.split)
+      .load(dir)
+      .agg(count(lit(1)), coalesce(sum(col("start").cast("long")),
+        lit(0L))).head
+    val eq = streamed.getLong(0) == batch.getLong(0) &&
+      streamed.getLong(1) == batch.getLong(1)
+    // non-append refusal (every third seed): a file sorting BEFORE the
+    // committed prefix must raise at planning, never silently re-own
+    val refusalOk =
+      if (!p.violate) true
+      else {
+        val ms = new graft.sources.SamScan(Seq(dir), p.split,
+          graft.sources.SamDataSource.schema, Nil).toMicroBatchStream("")
+        val committed = ms.latestOffset()
+        TextSink.write(Nil,
+          streamFileLines(base, p, 0).limit(1), s"$dir/a-early.sam")
+        try { ms.planInputPartitions(committed, ms.latestOffset()); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("non-append-only") }
+      }
+    StreamSeedResult(p.seed.toLong, batch.getLong(0), batch.getLong(1),
+      eq, nAfterPrefix == p.restartAt && nAfterAll == p.nFiles, refusalOk)
+  }
+
+  val StreamGateSeeds = 4
+
+  def q117StreamFuzzGate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 13 === 4)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .persist()
+    try {
+      base.count()
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${graft.sources.HadoopIO.scratchDir(s)}/graft_q117_$tag"
+      val rs = (0 until StreamGateSeeds)
+        .map(k => runStreamSeed(s, base, streamParams(k), root))
+      import s.implicits._
+      rs.map(r => (r.seed, r.nRecords, r.sumStart, r.streamEqBatch,
+          r.offsetsOk, r.refusalOk))
+        .toDF("seed", "n_records", "sum_start", "stream_eq_batch",
+          "offsets_ok", "refusal_ok")
+        .orderBy("seed")
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def streamSeedSql(p: PS): String =
+    s"""SELECT * FROM (
+       |WITH li AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+       |  FROM lineitem WHERE l_orderkey % 13 = 4)
+       |SELECT CAST(${p.seed} AS BIGINT) AS seed,
+       |  CAST(COUNT(*) AS BIGINT) AS n_records,
+       |  CAST(SUM((pk * ${p.m2} + sk * ${p.m1}) % ${p.modN} + 1)
+       |    AS BIGINT) AS sum_start,
+       |  true AS stream_eq_batch, true AS offsets_ok, true AS refusal_ok
+       |FROM li
+       |)""".stripMargin
+
+  val q117Sql: String =
+    (0 until StreamGateSeeds).map(k => streamSeedSql(streamParams(k)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_fuzz_gate" -> (q106FuzzGate _),
     "q110_asof_fuzz_gate" -> (q110AsofFuzzGate _),
@@ -1059,7 +1219,8 @@ object Fuzz {
     "q113_ntile_fuzz_gate" -> (q113NtileFuzzGate _),
     "q114_cc_fuzz_gate" -> (q114CcFuzzGate _),
     "q115_resample_fuzz_gate" -> (q115ResampleFuzzGate _),
-    "q116_vcf_fuzz_gate" -> (q116VcfFuzzGate _))
+    "q116_vcf_fuzz_gate" -> (q116VcfFuzzGate _),
+    "q117_stream_fuzz_gate" -> (q117StreamFuzzGate _))
 
   val oracles: Map[String, String] = Map(
     "q106_fuzz_gate" -> q106Sql,
@@ -1069,5 +1230,6 @@ object Fuzz {
     "q113_ntile_fuzz_gate" -> q113Sql,
     "q114_cc_fuzz_gate" -> q114Sql,
     "q115_resample_fuzz_gate" -> q115Sql,
-    "q116_vcf_fuzz_gate" -> q116Sql)
+    "q116_vcf_fuzz_gate" -> q116Sql,
+    "q117_stream_fuzz_gate" -> q117Sql)
 }

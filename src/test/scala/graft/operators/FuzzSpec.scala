@@ -383,4 +383,73 @@ class FuzzSpec extends SparkSpec {
       .select("seed").as[Long].collect().toSeq
     assert(rows === (0L until Fuzz.VcfGateSeeds.toLong))
   }
+
+  // --------------------------------------------------------- stream q117
+  /** Pure-Scala model of one landing-sequence seed: distinct pairs,
+    * file assignment and start arithmetic restated. */
+  private def naiveStream(p: Fuzz.PS): (Long, Long) = {
+    val recs = pairs.distinct
+    (recs.size.toLong,
+      recs.map { case (pk, sk) => (pk * p.m2 + sk * p.m1) % p.modN + 1 }.sum)
+  }
+
+  test("50-seed landing-sequence sweep: the stream's planner + readers " +
+      "between seeded offsets equal the batch scan and the model " +
+      "(restart point, gz mixes, splitsize crossings)") {
+    import graft.sources.{SamDataSource, SamScan, TextSink}
+    val root =
+      s"/tmp/graft_q117spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    (0 until 50).foreach { k =>
+      val p = Fuzz.streamParams(k)
+      val dir = s"$root/s$k"
+      def land(i: Int): Unit = TextSink.write(Nil,
+        Fuzz.streamFileLines(base, p, i), Fuzz.streamFilePath(dir, p, i))
+      (0 until p.restartAt).foreach(land)
+      // drive the stream surface directly (planner + readers, no engine
+      // overhead): two batches split at the seeded restart point
+      val ms = new SamScan(Seq(dir), p.split, SamDataSource.schema, Nil)
+        .toMicroBatchStream("")
+      val o0 = ms.initialOffset()
+      val o1 = ms.latestOffset()
+      val parts1 = ms.planInputPartitions(o0, o1)
+      (p.restartAt until p.nFiles).foreach(land)
+      val o2 = ms.latestOffset()
+      val parts2 = ms.planInputPartitions(o1, o2)
+      val rf = ms.createReaderFactory()
+      var n = 0L
+      var ss = 0L
+      (parts1 ++ parts2).foreach { part =>
+        val r = rf.createReader(part)
+        try {
+          while (r.next()) {
+            n += 1
+            ss += r.get().getInt(4) // start (schema ordinal 4)
+          }
+        } finally r.close()
+      }
+      val (wantN, wantS) = naiveStream(p)
+      assert((n, ss) === ((wantN, wantS)), s"seed $k diverged; params $p")
+      // and the batch scan over the same landing dir agrees
+      val b = spark.read.format("sam").option("splitsize", p.split)
+        .load(dir).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(col("start").cast("long")))
+        .head
+      assert((b.getLong(0), b.getLong(1)) === ((wantN, wantS)),
+        s"seed $k batch diverged; params $p")
+    }
+  }
+
+  test("q117 gate shape: one row per seed, seeds ascending, all checks " +
+      "green at sf0.001") {
+    val rows = Fuzz.q117StreamFuzzGate(spark, "/root/testdata/sf0.001")
+      .select("seed", "stream_eq_batch", "offsets_ok", "refusal_ok")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      (0L until Fuzz.StreamGateSeeds.toLong))
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"seed ${r.getLong(0)}: ${r.toString}")
+    }
+  }
 }
