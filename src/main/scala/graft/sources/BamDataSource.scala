@@ -128,13 +128,18 @@ object BamScan {
     * list rival the data — per-task closure bytes must stay bounded. */
   val MaxShippedRuns = 65536
 
-  /** Per-file STREAM planner (r15, VERDICT r14 #4): with a
-    * region-constraining predicate set (the `region` read option) and a
-    * `.bai`/`.csi` sidecar, a landed file plans only the region's member
+  /** Per-file planner (r15): with a region-constraining predicate set
+    * (pushed batch predicates or the `region` read option) and a
+    * `.bai`/`.csi` sidecar, a file plans only the region's member
     * runs, chopped at `splitSize` — default byte-range splits otherwise
     * (incl. the `.gai`-only case, whose per-member stats the reader
-    * consults split-locally). The reader re-filters per record, so
-    * pruning only ever skips bytes no region record can live in. */
+    * consults split-locally). Shared by the BATCH scan and the
+    * landing-dir stream: before r15 the batch scan planned every split
+    * and pruned reader-side (tasks scheduled, opened the index, and
+    * exited) — at estate scale a region query over a 100 TB BAM
+    * directory scheduled millions of no-op tasks. The reader
+    * re-filters per record, so pruning only ever skips bytes no region
+    * record can live in. */
   private[sources] def streamPlanFile(preds: Seq[SamFilters.Pred],
       splitSize: Long)(p: String, size: Long,
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
@@ -182,7 +187,19 @@ class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
   override def description(): String =
     s"bam PushedFilters: [${preds.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    SamDataSource.planSplits(paths, splitSize)
+    if (preds.isEmpty) SamDataSource.planSplits(paths, splitSize)
+    else {
+      // planning-time region pruning (r15): region-constraining preds +
+      // a `.bai`/`.csi` sidecar plan only member runs — the VCF source's
+      // r13 design, so pruned members never even schedule a task
+      val conf = HadoopIO.driverConf()
+      paths.flatMap(p => HadoopIO.listScanTargets(p, conf))
+        .filterNot { case (p, _) =>
+          p.endsWith(".gai") || p.endsWith(".bai") || p.endsWith(".csi") }
+        .flatMap { case (p, size) =>
+          BamScan.streamPlanFile(preds, splitSize)(p, size, conf)
+        }.toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory = {
     val confBox = HadoopIO.capture()
     // Plan `.bai` region runs ONCE on the driver and ship them in the

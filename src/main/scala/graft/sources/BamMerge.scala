@@ -76,4 +76,21 @@ object BamMerge {
     BamWriter.sortAndWrite(recs, headerText, refs, out, numPartitions,
       index)
   }
+
+  /** CLI parity with `samtools merge` (and the Tabix/BamIndex mains):
+    * `runMain graft.sources.BamMerge [--index] out.bam in1.bam in2.bam
+    * [more ...]`. `--index` emits the `.bai` during the write. */
+  def main(args: Array[String]): Unit = {
+    val (flags, paths) = args.partition(_.startsWith("--"))
+    require(paths.length >= 2,
+      "usage: BamMerge [--index] <out.bam> <in1.bam> [in2.bam ...]")
+    val spark = SparkSession.builder()
+      .appName("graft-bam-merge").getOrCreate()
+    try {
+      val n = merge(spark, paths.tail.toSeq, paths.head,
+        index = flags.contains("--index"))
+      println(s"[bam-merge] merged ${paths.length - 1} inputs: " +
+        s"$n records -> ${paths.head}")
+    } finally spark.stop()
+  }
 }

@@ -66,4 +66,23 @@ object VcfMerge {
     VcfWriter.writeGenotypes(gt, refs, samples, out, numPartitions,
       index = index, csi = csi)
   }
+
+  /** CLI parity with `bcftools merge` (and the BamMerge/Tabix mains):
+    * `runMain graft.sources.VcfMerge [--index] [--csi] out.vcf.gz
+    * in1.vcf.gz in2.vcf.gz [more ...]`. `--index`/`--csi` emit the
+    * `.tbi`/`.csi` during the write (index-on-write). */
+  def main(args: Array[String]): Unit = {
+    val (flags, paths) = args.partition(_.startsWith("--"))
+    require(paths.length >= 2,
+      "usage: VcfMerge [--index] [--csi] <out.vcf.gz> <in1.vcf.gz> " +
+        "[in2.vcf.gz ...]")
+    val spark = SparkSession.builder()
+      .appName("graft-vcf-merge").getOrCreate()
+    try {
+      val n = merge(spark, paths.tail.toSeq, paths.head,
+        index = flags.contains("--index"), csi = flags.contains("--csi"))
+      println(s"[vcf-merge] merged ${paths.length - 1} inputs: " +
+        s"$n sites -> ${paths.head}")
+    } finally spark.stop()
+  }
 }

@@ -131,11 +131,15 @@ class SamCompressedSpec extends SparkSpec {
     val recs = graft.mito.Sam.withFlags(
       spark.read.format("sam").option("splitsize", 16384).load(bgzfPath))
     val out = Files.createTempDirectory("sam_gz_rt").toString + "/rt.bam"
-    val refs = Seq("chrM" -> 16569)
+    // the fixture's real dictionary (MT + chr1): r15's unknown-contig
+    // refusal caught this test writing with a 'chrM' dictionary — the
+    // old silent-unplaced behavior masked exactly this mismatch class
+    val refs = Seq("MT" -> 16569, "chr1" -> 248956422)
     BamWriter.write(
       recs.select("readName", "flag", "referenceName", "start", "mapQ",
         "cigar", "rnext", "pnext", "tlen", "sequence", "qual", "attributes"),
-      "@HD\tVN:1.6\n@SQ\tSN:chrM\tLN:16569\n", refs, out)
+      "@HD\tVN:1.6\n@SQ\tSN:MT\tLN:16569\n@SQ\tSN:chr1\tLN:248956422\n",
+      refs, out)
     val back = spark.read.format("bam").option("splitsize", 65536).load(out)
     assert(back.count() === 3000)
     val a = recs.select("readName", "flag", "start", "sequence")

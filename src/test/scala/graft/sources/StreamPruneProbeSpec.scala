@@ -137,6 +137,17 @@ class StreamPruneProbeSpec extends SparkSpec {
     assert(got.getLong(0) === want.getLong(0))
     assert(got.getLong(1) === want.getLong(1))
     assert(got.getLong(0) > 0L)
+    // r15: BATCH bam scans with a region-shaped pushed predicate prune
+    // at PLANNING too (the VCF source's design — previously every split
+    // scheduled a task and pruning was reader-side only)
+    val batchPruned = s2.read.format("bam").option("splitsize", 4096)
+      .load(dir).where(col("referenceName") === "k0" &&
+        col("start") >= 100000 && col("start") <= 180000)
+    val batchFull = s2.read.format("bam").option("splitsize", 4096)
+      .load(dir)
+    assert(batchPruned.rdd.getNumPartitions <
+      batchFull.rdd.getNumPartitions)
+    assert(batchPruned.count() === want.getLong(0))
   }
 
   test("region option: batch scans honor it too, and malformed values " +
