@@ -83,20 +83,26 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
       SamDataSource.splitSize(options),
       Option(options.get("baiplan")).getOrElse("driver"),
       // `region` option → the same preds a pushed .where() produces
-      // (START-position semantics); the channel that reaches STREAMING
-      // scans, where Spark performs no predicate pushdown
-      SamDataSource.regionOption(options).toSeq.flatMap {
-        case (c, b, e) =>
+      // (START-position semantics; several windows → an OR the pushdown
+      // algebra can't express, so a dedicated disjunction pred); the
+      // channel that reaches STREAMING scans, where Spark performs no
+      // predicate pushdown
+      SamDataSource.regionsOption(options) match {
+        case Nil => Nil
+        case Seq((c, b, e)) =>
           SamFilters.RefNameEq(c) +:
             (Seq(SamFilters.IntCmp("start", ">=", b)) ++
               (if (e == Long.MaxValue) Nil
                else Seq(SamFilters.IntCmp("start", "<=", e))))
-      })
+        case many => Seq(SamFilters.InRegions(many))
+      },
+      SamDataSource.regionsOption(options))
 }
 
 class BamScanBuilder(paths: Seq[String], splitSize: Long,
     baiPlanMode: String = "driver",
-    regionPreds: Seq[SamFilters.Pred] = Nil) extends ScanBuilder
+    regionPreds: Seq[SamFilters.Pred] = Nil,
+    regions: Seq[(String, Long, Long)] = Nil) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = SamDataSource.schema
@@ -118,7 +124,7 @@ class BamScanBuilder(paths: Seq[String], splitSize: Long,
     pushed
   override def build(): Scan =
     new BamScan(paths, splitSize, required, regionPreds ++ preds,
-      baiPlanMode)
+      baiPlanMode, regions)
 }
 
 object BamScan {
@@ -141,7 +147,8 @@ object BamScan {
     * re-filters per record, so pruning only ever skips bytes no region
     * record can live in. */
   private[sources] def streamPlanFile(preds: Seq[SamFilters.Pred],
-      splitSize: Long)(p: String, size: Long,
+      splitSize: Long, regions: Seq[(String, Long, Long)] = Nil)(
+      p: String, size: Long,
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     def plain(): Seq[InputPartition] = {
       val codec = SamDataSource.fileCodec(p, conf)
@@ -151,36 +158,55 @@ object BamScan {
         SamInputPartition(p, s, math.min(s + splitSize, size), codec))
     }
     if (preds.isEmpty) return plain()
-    val runs: Option[Seq[(Long, Int, Long)]] =
+    // index resolution: (refNames, maxPos, chunks lookup), or None when
+    // only `.gai` exists (its per-member stats are reader-side)
+    val idx: Option[(Array[String], Int, (Int, Int, Int) => Seq[BaiIndex.Chunk])] =
       if (BamIndex.exists(p, conf)) None // .gai wins reader-side
-      else if (BaiIndex.exists(p, conf))
-        BaiIndex.region(preds, BamHeader.refNames(p, conf))
-          .map { case (refId, beg, end) =>
-            BaiIndex.memberRuns(BaiIndex.chunks(
-              BaiIndex.read(p, conf), refId, beg, end))
-          }
-      else if (CsiIndex.exists(p, conf)) {
+      else if (BaiIndex.exists(p, conf)) {
+        val bai = BaiIndex.read(p, conf)
+        Some((BamHeader.refNames(p, conf), BaiIndex.MaxPos,
+          (r, b, e) => BaiIndex.chunks(bai, r, b, e)))
+      } else if (CsiIndex.exists(p, conf)) {
         val csi = CsiIndex.read(p, conf)
-        BaiIndex.region(preds, BamHeader.refNames(p, conf),
-            CsiIndex.maxPos(csi.minShift, csi.depth))
-          .map { case (refId, beg, end) =>
-            BaiIndex.memberRuns(CsiIndex.chunks(csi, refId, beg, end))
-          }
+        Some((BamHeader.refNames(p, conf),
+          CsiIndex.maxPos(csi.minShift, csi.depth),
+          (r, b, e) => CsiIndex.chunks(csi, r, b, e)))
       } else None
-    runs match {
-      case None => plain()
-      case Some(rs) => rs.flatMap { case (m0, _, m1) =>
+    def runParts(rs: Seq[(Long, Int, Long)]): Seq[InputPartition] =
+      rs.flatMap { case (m0, _, m1) =>
         val cuts = (m0 until m1 by math.max(splitSize, 1L)) :+ m1
         cuts.sliding(2).map { case Seq(a, b) =>
           SamInputPartition(p, a, b, "bgzf")
         }.toSeq
       }
+    idx match {
+      case None => plain()
+      case Some((names, maxPos, chunksOf)) =>
+        if (regions.size >= 2) {
+          // multi-region: union of the windows' chunks (memberRuns
+          // merges touching spans — exactly-once); unknown contigs
+          // contribute nothing; zero windows → zero partitions
+          val chunks = regions.flatMap { case (c, b1, e1) =>
+            val refId = names.indexOf(c)
+            if (refId < 0) Nil
+            else chunksOf(refId,
+              math.max(0L, b1 - 1).min(maxPos.toLong).toInt,
+              math.min(maxPos.toLong,
+                if (e1 == Long.MaxValue) maxPos.toLong else e1).toInt)
+          }
+          runParts(BaiIndex.memberRuns(chunks))
+        } else BaiIndex.region(preds, names, maxPos) match {
+          case None => plain()
+          case Some((refId, beg, end)) =>
+            runParts(BaiIndex.memberRuns(chunksOf(refId, beg, end)))
+        }
     }
   }
 }
 
 class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
-    preds: Seq[SamFilters.Pred], baiPlanMode: String = "driver")
+    preds: Seq[SamFilters.Pred], baiPlanMode: String = "driver",
+    regions: Seq[(String, Long, Long)] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -197,7 +223,7 @@ class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
         .filterNot { case (p, _) =>
           p.endsWith(".gai") || p.endsWith(".bai") || p.endsWith(".csi") }
         .flatMap { case (p, size) =>
-          BamScan.streamPlanFile(preds, splitSize)(p, size, conf)
+          BamScan.streamPlanFile(preds, splitSize, regions)(p, size, conf)
         }.toArray
     }
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -250,7 +276,7 @@ class BamScan(paths: Seq[String], splitSize: Long, required: StructType,
     new LandingDirMicroBatchStream(paths, splitSize, "bam",
       () => new BamReaderFactory(fields, ps, HadoopIO.capture()),
       planFile = if (ps.isEmpty) null
-        else BamScan.streamPlanFile(ps, splitSize))
+        else BamScan.streamPlanFile(ps, splitSize, regions))
   }
 }
 

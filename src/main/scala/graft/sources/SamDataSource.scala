@@ -76,12 +76,13 @@ object SamDataSource {
   def splitSize(options: CaseInsensitiveStringMap): Long =
     Option(options.get("splitsize")).map(_.toLong).getOrElse(DefaultSplitSize)
 
-  /** Parse the samtools-style `region` read option — `"chr1:100-200"`
-    * (1-based INCLUSIVE bounds) or `"chr1"` (the whole contig). Returns
+  /** Parse the samtools-style `region` read option — a COMMA-separated
+    * list of `"chr1:100-200"` (1-based INCLUSIVE bounds) or `"chr1"`
+    * (the whole contig) elements. Each element yields
     * (contig, beg1, end1) with Long.MaxValue for an unbounded end.
     *
-    * Record semantics are the START-position filter
-    * `referenceName/contig = c AND beg1 <= pos <= end1` — identical to
+    * Record semantics are the START-position filter `OR over windows of
+    * (referenceName/contig = c AND beg1 <= pos <= end1)` — identical to
     * the same `.where(...)` over an unfiltered scan (the pushed-
     * predicate contract: pruning only ever SKIPS, the reader
     * re-filters). The explicit option exists because Spark does NOT
@@ -89,31 +90,37 @@ object SamDataSource {
     * `MicroBatchScan ... PushedFilters: []`), so a region-filtered
     * STREAM would otherwise schedule tasks over every byte of every
     * landed file; with the option, planning consults each file's
-    * sidecar index exactly like the batch scan. Malformed values raise
+    * sidecar index exactly like the batch scan — multi-region planning
+    * unions the windows' member runs (scatter-gather over intervals,
+    * THE genomics estate access pattern). Malformed values raise
     * loudly — a typo'd region silently scanning everything (or nothing)
     * is the failure mode the loud-refusal discipline exists for. */
-  def regionOption(options: CaseInsensitiveStringMap)
-      : Option[(String, Long, Long)] =
-    Option(options.get("region")).map { r =>
-      val colon = r.lastIndexOf(':')
-      if (colon < 0) (r, 1L, Long.MaxValue)
-      else {
-        val contig = r.substring(0, colon)
-        val range = r.substring(colon + 1)
-        val dash = range.indexOf('-')
-        require(contig.nonEmpty && dash > 0 && dash < range.length - 1,
-          s"malformed region option '$r' — expected 'contig:beg-end' " +
-            "(1-based inclusive) or 'contig'")
-        val (b, e) =
-          try (range.substring(0, dash).toLong,
-            range.substring(dash + 1).toLong)
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"malformed region option '$r' — bounds must be integers")
-          }
-        require(b >= 1 && e >= b,
-          s"malformed region option '$r' — need 1 <= beg <= end")
-        (contig, b, e)
+  def regionsOption(options: CaseInsensitiveStringMap)
+      : Seq[(String, Long, Long)] =
+    Option(options.get("region")).toSeq.flatMap { all =>
+      require(all.nonEmpty && !all.split(",", -1).exists(_.isEmpty),
+        s"malformed region option '$all' — empty region element")
+      all.split(",").toSeq.map { r =>
+        val colon = r.lastIndexOf(':')
+        if (colon < 0) (r, 1L, Long.MaxValue)
+        else {
+          val contig = r.substring(0, colon)
+          val range = r.substring(colon + 1)
+          val dash = range.indexOf('-')
+          require(contig.nonEmpty && dash > 0 && dash < range.length - 1,
+            s"malformed region option '$r' — expected 'contig:beg-end' " +
+              "(1-based inclusive) or 'contig'")
+          val (b, e) =
+            try (range.substring(0, dash).toLong,
+              range.substring(dash + 1).toLong)
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"malformed region option '$r' — bounds must be integers")
+            }
+          require(b >= 1 && e >= b,
+            s"malformed region option '$r' — need 1 <= beg <= end")
+          (contig, b, e)
+        }
       }
     }
 

@@ -56,6 +56,26 @@ object SamFilters {
       l.eval(f, q, s, rn) && r.eval(f, q, s, rn)
     override def toString: String = s"($l AND $r)"
   }
+  /** Disjunction of region windows — the MULTI-region `region` read
+    * option (samtools view's several-regions form; 1-based inclusive
+    * start-position semantics like the single-region preds). Never
+    * produced by catalyst pushdown (OR shapes are not converted); only
+    * the option channel builds it, and the planners prune it through
+    * the sidecar as the union of the windows' member runs. */
+  final case class InRegions(rs: Seq[(String, Long, Long)]) extends Pred {
+    override def eval(f: Int, q: Int, s: Int, rn: String): Boolean = {
+      var i = 0
+      while (i < rs.length) {
+        val (c, b, e) = rs(i)
+        if (rn == c && s >= b && s <= e) return true
+        i += 1
+      }
+      false
+    }
+    override def toString: String = rs.map { case (c, b, e) =>
+      if (e == Long.MaxValue) c else s"$c:$b-$e"
+    }.mkString("(region IN [", ", ", "])")
+  }
 
   private object IntField {
     val names = Set("flag", "mapQ", "start")

@@ -156,6 +156,25 @@ object VcfFilters {
       l.eval(c, p) && r.eval(c, p)
     override def toString: String = s"($l AND $r)"
   }
+  /** Disjunction of region windows — the MULTI-region `region` read
+    * option ([[SamFilters.InRegions]]'s VCF face; a null POS matches no
+    * window, SQL not-true). Only the option channel builds it. */
+  final case class InRegions(rs: Seq[(String, Long, Long)]) extends Pred {
+    override def eval(c: String, p0: java.lang.Long): Boolean = {
+      if (p0 == null) return false
+      val p = p0.longValue()
+      var i = 0
+      while (i < rs.length) {
+        val (rc, b, e) = rs(i)
+        if (c == rc && p >= b && p <= e) return true
+        i += 1
+      }
+      false
+    }
+    override def toString: String = rs.map { case (rc, b, e) =>
+      if (e == Long.MaxValue) rc else s"$rc:$b-$e"
+    }.mkString("(region IN [", ", ", "])")
+  }
 
   def convert(p: V2Predicate): Option[Pred] = p match {
     case a: V2And =>
@@ -248,19 +267,25 @@ class VcfTable(properties: Map[String, String]) extends Table with SupportsRead 
     new VcfScanBuilder(SamDataSource.resolvePaths(options),
       SamDataSource.splitSize(options),
       // `region` option → the same preds a pushed .where() produces
-      // (POS-based, 1-based inclusive); the channel that reaches
-      // STREAMING scans, where Spark performs no predicate pushdown
-      SamDataSource.regionOption(options).toSeq.flatMap {
-        case (c, b, e) =>
+      // (POS-based, 1-based inclusive; several windows → an OR the
+      // pushdown algebra can't express, so a dedicated disjunction
+      // pred); the channel that reaches STREAMING scans, where Spark
+      // performs no predicate pushdown
+      SamDataSource.regionsOption(options) match {
+        case Nil => Nil
+        case Seq((c, b, e)) =>
           VcfFilters.ContigEq(c) +:
             (Seq(VcfFilters.PosCmp(">=", b)) ++
               (if (e == Long.MaxValue) Nil
                else Seq(VcfFilters.PosCmp("<=", e))))
-      })
+        case many => Seq(VcfFilters.InRegions(many))
+      },
+      SamDataSource.regionsOption(options))
 }
 
 class VcfScanBuilder(paths: Seq[String], splitSize: Long,
-    regionPreds: Seq[VcfFilters.Pred] = Nil)
+    regionPreds: Seq[VcfFilters.Pred] = Nil,
+    regions: Seq[(String, Long, Long)] = Nil)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
@@ -277,7 +302,7 @@ class VcfScanBuilder(paths: Seq[String], splitSize: Long,
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
   override def build(): Scan =
-    new VcfScan(paths, splitSize, required, regionPreds ++ preds)
+    new VcfScan(paths, splitSize, required, regionPreds ++ preds, regions)
 }
 
 /** Partition: byte range of one file; `uoffset ≥ 0` marks an index-run
@@ -288,7 +313,8 @@ case class VcfInputPartition(path: String, start: Long, end: Long,
     codec: String, uoffset: Int = -1) extends InputPartition
 
 class VcfScan(paths: Seq[String], splitSize: Long, required: StructType,
-    preds: Seq[VcfFilters.Pred]) extends Scan with Batch {
+    preds: Seq[VcfFilters.Pred],
+    regions: Seq[(String, Long, Long)] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -306,7 +332,7 @@ class VcfScan(paths: Seq[String], splitSize: Long, required: StructType,
         p.endsWith(".tbi") || p.endsWith(".csi") || p.endsWith(".gai") ||
           p.endsWith(".bai") }
       .flatMap { case (p, size) =>
-        VcfScan.planFile(p, size, splitSize, preds, conf)
+        VcfScan.planFile(p, size, splitSize, preds, conf, regions)
       }.map(p => p: InputPartition).toArray
   }
 
@@ -326,10 +352,11 @@ class VcfScan(paths: Seq[String], splitSize: Long, required: StructType,
     val fields = required.fieldNames
     val ps = preds
     val split = splitSize
+    val rgs = regions
     new LandingDirMicroBatchStream(paths, splitSize, "vcf",
       () => new VcfReaderFactory(fields, ps, HadoopIO.capture()),
       planFile = (p, size, conf) =>
-        VcfScan.planFile(p, size, split, ps, conf)
+        VcfScan.planFile(p, size, split, ps, conf, rgs)
           .map(x => x: InputPartition))
   }
 }
@@ -342,7 +369,8 @@ object VcfScan {
     * planning exactly like batch ones). */
   private[sources] def planFile(p: String, size: Long, splitSize: Long,
       preds: Seq[VcfFilters.Pred],
-      conf: org.apache.hadoop.conf.Configuration): Seq[VcfInputPartition] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      regions: Seq[(String, Long, Long)] = Nil): Seq[VcfInputPartition] = {
     val codec = SamDataSource.fileCodec(p, conf)
     def plain(): Seq[VcfInputPartition] =
       if (codec == "gzip" || size <= splitSize)
@@ -364,22 +392,36 @@ object VcfScan {
                 CsiIndex.chunks(csi, r, b.toInt, e.toInt))
           }
         } else None
+      def runParts(runs: Seq[(Long, Int, Long)]): Seq[VcfInputPartition] =
+        runs.flatMap { case (m0, u, m1) =>
+          // chop a long run at splitSize boundaries; only the
+          // head knows its exact record offset
+          val cuts = (m0 until m1 by math.max(splitSize, 1L)) :+ m1
+          cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+            VcfInputPartition(p, a, b, codec,
+              if (i == 0) u else -1)
+          }.toSeq
+        }
       idx match {
         case None => plain()
         case Some((names, maxPos, chunksOf)) =>
-          VcfFilters.region(preds, names, maxPos) match {
+          if (regions.size >= 2) {
+            // multi-region: union of the windows' chunks; memberRuns
+            // sorts and merges touching spans, so overlapping windows
+            // stay exactly-once. An unknown contig contributes nothing
+            // (no record can match the disjunction either). Zero
+            // windows → zero partitions, not a full scan.
+            val chunks = regions.flatMap { case (c, b1, e1) =>
+              val refId = names.indexOf(c)
+              if (refId < 0) Nil
+              else chunksOf(refId, math.max(0L, b1 - 1),
+                math.min(maxPos, if (e1 == Long.MaxValue) maxPos else e1))
+            }
+            runParts(BaiIndex.memberRuns(chunks))
+          } else VcfFilters.region(preds, names, maxPos) match {
             case None => plain()
             case Some((refId, beg, end)) =>
-              val runs = BaiIndex.memberRuns(chunksOf(refId, beg, end))
-              runs.flatMap { case (m0, u, m1) =>
-                // chop a long run at splitSize boundaries; only the
-                // head knows its exact record offset
-                val cuts = (m0 until m1 by math.max(splitSize, 1L)) :+ m1
-                cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
-                  VcfInputPartition(p, a, b, codec,
-                    if (i == 0) u else -1)
-                }.toSeq
-              }
+              runParts(BaiIndex.memberRuns(chunksOf(refId, beg, end)))
           }
       }
     }

@@ -17,6 +17,45 @@ class StreamPruneProbeSpec extends SparkSpec {
   private val root =
     s"/tmp/graft_sprune_${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** Two landed indexed cohort VCFs (lazy: written once, shared by the
+    * vcf / batch-option / multi-region tests — each test stays
+    * self-sufficient under -z filtering). */
+  private lazy val vcfDir: String = {
+    val dir = s"$root/vcf"
+    (0 to 1).foreach { i =>
+      val variants = spark.range(12000).select(
+        concat(lit("c"), col("id") % 2).as("contig"),
+        (col("id") * 97 + 1 + i).as("pos"),
+        lit("A").as("ref"), lit("T").as("alt"),
+        (col("id") % 7 + 1).as("ac"), (col("id") % 89 + 1).as("dp"))
+      VcfWriter.write(variants, Seq("c0" -> 3000000, "c1" -> 3000000),
+        f"$dir/part-$i%05d.vcf.gz", numPartitions = 2, index = true)
+    }
+    dir
+  }
+
+  /** Two landed indexed BAMs (lazy, same discipline). */
+  private lazy val bamDir: String = {
+    val dir = s"$root/bam"
+    (0 to 1).foreach { i =>
+      val recs = spark.range(8000).select(
+        concat(lit("r"), col("id"), lit("_"), lit(i)).as("readName"),
+        lit(0).as("flag"),
+        concat(lit("k"), col("id") % 2).cast("string")
+          .as("referenceName"),
+        (col("id") * 40 + 1 + i).cast("int").as("start"),
+        lit(60).as("mapQ"), lit("8M").as("cigar"), lit("*").as("rnext"),
+        lit(0).as("pnext"), lit(0).as("tlen"),
+        lit("ACGTACGT").as("sequence"), lit("*").as("qual"),
+        lit("NM:i:0").as("attributes"))
+      BamWriter.sortAndWrite(recs, "@HD\tVN:1.6\tSO:coordinate\n" +
+        "@SQ\tSN:k0\tLN:1000000\n@SQ\tSN:k1\tLN:1000000\n",
+        Seq("k0" -> 1000000, "k1" -> 1000000),
+        f"$dir/part-$i%05d.bam", numPartitions = 2, index = true)
+    }
+    dir
+  }
+
   test("catalyst predicates do NOT reach micro-batch scans (the probe " +
       "that motivates the region option)") {
     val dir = s"$root/probe"
@@ -46,17 +85,7 @@ class StreamPruneProbeSpec extends SparkSpec {
 
   test("vcf: streamed region scan plans FEWER partitions through the " +
       "write-emitted .tbi, and stream(region option) == batch(where)") {
-    val dir = s"$root/vcf"
-    // two landed cohort files, big enough for many members each
-    (0 to 1).foreach { i =>
-      val variants = spark.range(12000).select(
-        concat(lit("c"), col("id") % 2).as("contig"),
-        (col("id") * 97 + 1 + i).as("pos"),
-        lit("A").as("ref"), lit("T").as("alt"),
-        (col("id") % 7 + 1).as("ac"), (col("id") % 89 + 1).as("dp"))
-      VcfWriter.write(variants, Seq("c0" -> 3000000, "c1" -> 3000000),
-        f"$dir/part-$i%05d.vcf.gz", numPartitions = 2, index = true)
-    }
+    val dir = vcfDir
     // partition accounting via the stream's own planner (the x85 gate
     // discipline): region-pred stream vs unfiltered stream
     def planned(preds: Seq[VcfFilters.Pred]): Int = {
@@ -91,23 +120,7 @@ class StreamPruneProbeSpec extends SparkSpec {
 
   test("bam: streamed region scan plans fewer partitions through the " +
       "write-emitted .bai, and stream(region option) == batch(where)") {
-    val dir = s"$root/bam"
-    (0 to 1).foreach { i =>
-      val recs = spark.range(8000).select(
-        concat(lit("r"), col("id"), lit("_"), lit(i)).as("readName"),
-        lit(0).as("flag"),
-        concat(lit("k"), col("id") % 2).cast("string")
-          .as("referenceName"),
-        (col("id") * 40 + 1 + i).cast("int").as("start"),
-        lit(60).as("mapQ"), lit("8M").as("cigar"), lit("*").as("rnext"),
-        lit(0).as("pnext"), lit(0).as("tlen"),
-        lit("ACGTACGT").as("sequence"), lit("*").as("qual"),
-        lit("NM:i:0").as("attributes"))
-      BamWriter.sortAndWrite(recs, "@HD\tVN:1.6\tSO:coordinate\n" +
-        "@SQ\tSN:k0\tLN:1000000\n@SQ\tSN:k1\tLN:1000000\n",
-        Seq("k0" -> 1000000, "k1" -> 1000000),
-        f"$dir/part-$i%05d.bam", numPartitions = 2, index = true)
-    }
+    val dir = bamDir
     val preds = Seq(SamFilters.RefNameEq("k0"),
       SamFilters.IntCmp("start", ">=", 100000L),
       SamFilters.IntCmp("start", "<=", 180000L))
@@ -152,7 +165,7 @@ class StreamPruneProbeSpec extends SparkSpec {
 
   test("region option: batch scans honor it too, and malformed values " +
       "refuse loudly") {
-    val dir = s"$root/vcf" // reuse the landing dir written above
+    val dir = vcfDir
     val opt = spark.read.format("vcf").option("splitsize", 4093)
       .option("region", "c0:100000-200000").load(dir)
     val where = spark.read.format("vcf").option("splitsize", 4093)
@@ -169,9 +182,77 @@ class StreamPruneProbeSpec extends SparkSpec {
       spark.read.format("vcf").load(dir)
         .where(col("contig") === "c1").count())
     // malformed forms raise at planning, never silently scan everything
-    for (bad <- Seq("c0:9-", "c0:-5", "c0:20-10", "c0:a-b", ":1-2"))
+    for (bad <- Seq("c0:9-", "c0:-5", "c0:20-10", "c0:a-b", ":1-2",
+        "c0:1-2,,c1"))
       intercept[IllegalArgumentException] {
         spark.read.format("vcf").option("region", bad).load(dir).count()
       }
+  }
+
+  test("MULTI-region option: union-of-windows semantics, pruned " +
+      "planning, batch and stream agree (scatter-gather over intervals)") {
+    val dir = vcfDir
+    val multi = "c0:100000-200000,c1:500000-600000"
+    val wherePred = (col("contig") === "c0" &&
+      col("pos").between(100000L, 200000L)) ||
+      (col("contig") === "c1" && col("pos").between(500000L, 600000L))
+    val opt = spark.read.format("vcf").option("splitsize", 4093)
+      .option("region", multi).load(dir)
+    val where = spark.read.format("vcf").option("splitsize", 4093)
+      .load(dir).where(wherePred)
+    assert(opt.select("pos").collect().map(_.getLong(0)).sorted.toSeq
+      === where.select("pos").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(opt.count() > 0)
+    // planning prunes: fewer partitions than the unfiltered scan
+    assert(opt.rdd.getNumPartitions <
+      spark.read.format("vcf").option("splitsize", 4093).load(dir)
+        .rdd.getNumPartitions)
+    // overlapping windows stay exactly-once (memberRuns merges them)
+    val overlap = spark.read.format("vcf").option("splitsize", 4093)
+      .option("region", "c0:100000-160000,c0:140000-200000").load(dir)
+      .where(col("contig") === "c0" &&
+        col("pos").between(100000L, 200000L))
+    assert(overlap.count() ===
+      spark.read.format("vcf").load(dir).where(col("contig") === "c0" &&
+        col("pos").between(100000L, 200000L)).count())
+    // a window on an unknown contig contributes nothing, loudly nothing
+    val unknown = spark.read.format("vcf").option("splitsize", 4093)
+      .option("region", "c0:100000-200000,nope:1-10").load(dir)
+    assert(unknown.count() ===
+      spark.read.format("vcf").load(dir).where(col("contig") === "c0" &&
+        col("pos").between(100000L, 200000L)).count())
+    // streamed multi-region == the batch where() (the stream planner
+    // unions windows through the same per-file planner)
+    val s2 = spark.newSession()
+    s2.catalog.dropTempView("sprune_multi")
+    val q = s2.readStream.format("vcf").option("splitsize", 4093)
+      .option("region", multi).load(dir)
+      .groupBy().agg(count(lit(1)).as("n"),
+        coalesce(sum(col("pos")), lit(0L)).as("sp"))
+      .writeStream.format("memory").queryName("sprune_multi")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = s2.table("sprune_multi").head
+    val want = where.agg(count(lit(1)),
+      coalesce(sum(col("pos")), lit(0L))).head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    // bam face: multi-region batch pruning + value equality
+    val bamOpt = spark.read.format("bam").option("splitsize", 4096)
+      .option("region", "k0:100000-180000,k1:20000-60000").load(bamDir)
+    val bamWhere = spark.read.format("bam").option("splitsize", 4096)
+      .load(bamDir).where(
+        (col("referenceName") === "k0" &&
+          col("start").between(100000, 180000)) ||
+        (col("referenceName") === "k1" &&
+          col("start").between(20000, 60000)))
+    assert(bamOpt.select("readName").collect().map(_.getString(0))
+      .sorted.toSeq ===
+      bamWhere.select("readName").collect().map(_.getString(0))
+        .sorted.toSeq)
+    assert(bamOpt.count() > 0)
+    assert(bamOpt.rdd.getNumPartitions <
+      spark.read.format("bam").option("splitsize", 4096).load(bamDir)
+        .rdd.getNumPartitions)
   }
 }
