@@ -39,6 +39,23 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.budgetFor("x08_pipeline_gate") > 9.0)
   }
 
+  test("budget-violation retry: a violator re-measures once and the " +
+      "better sample stands; clean queries never re-measure") {
+    var measured = List.empty[String]
+    val warm = Map("stalled" -> 9.0, "really_slow" -> 50.0, "fine" -> 0.5)
+    val out = Bench.retryViolators(warm, { n =>
+      measured ::= n
+      if (n == "stalled") 1.0 else 48.0 // the stall clears; the slow stays
+    }, _ => 2.0)
+    assert(measured.sorted === List("really_slow", "stalled"))
+    assert(out === Map("stalled" -> 1.0, "really_slow" -> 48.0))
+    // merged view: the genuine regression still exceeds budget
+    assert(Bench.overBudget(warm ++ out, _ => 2.0) === Seq("really_slow"))
+    // a failed retry (-1) keeps the original sample, never the sentinel
+    val kept = Bench.retryViolators(Map("q" -> 9.0), _ => -1.0, _ => 2.0)
+    assert(kept === Map("q" -> 9.0))
+  }
+
   test("warm-pass policy: gates run exactly one warm pass, engine rows " +
       "run all three (VERDICT r14 — the rc=124 fix)") {
     val names = Seq("q01_agg", "x85_dist_index_gate", "t19_bm25",
