@@ -7,21 +7,50 @@ import org.apache.spark.sql.SparkSession
   * ENGINE rows run four times: the first (cold) pass pays one-time
   * planning + whole-stage-codegen compilation, then THREE warm passes
   * measure steady-state execution — the number that scales with data
-  * volume and the one comparable across engines. `_gate` rows (VERDICT
-  * r14 next-round #1) run 1 cold + 1 warm pass only: gates are
-  * near-constant correctness plumbing (planted fixtures, stream replays,
-  * train+write+readback pipelines — 105 of 339 rows but 64% of measured
-  * seconds in r14), and measuring them four times is what pushed the r14
-  * driver run past its wall-clock budget (rc=124). Budgets are absolute
-  * ceilings, so enforcing them on the single warm pass loses nothing.
-  * `value`/`queries` report the per-query minimum over the warm passes
-  * (the standard low-noise estimator on a shared box); `noise` reports
-  * the worst per-query max/min ratio across the warm passes
+  * volume and the one comparable across engines. `value`/`queries`
+  * report the per-query minimum over the warm passes (the standard
+  * low-noise estimator on a shared box); `noise` reports the worst
+  * per-query max/min ratio across the warm passes
   * (single-stall-trimmed for adaptively re-measured queries — see the
   * noise computation) so a reader can separate plan regressions from box
   * load; `cold_total` is included for transparency.
+  *
+  * `_gate` rows are EXCLUDED from the default run (VERDICT r15
+  * next-round #1): two straight driver benches died rc=124 because the
+  * gates — correctness plumbing whose cost is fixture synthesis, stream
+  * trigger/checkpoint waits, and train+write+readback round-trips, not
+  * engine speed — wobble 8-15× under driver-box contention (q106
+  * 56 s → 433 s), blowing the wall-clock cap no per-row budget can
+  * save. Every gate already executes under CORRECTNESS at sf0.01, so
+  * the driver-visible bench loses no coverage by timing engine rows
+  * only. The full gated sweep still runs in the builder's committed
+  * pass under `GRAFT_BENCH_GATES=1` (1 cold + 1 warm per gate, budget
+  * ceilings enforced on the warm pass, violators re-measured once) —
+  * that mode alone writes `bench_out.json`; the default engine-only
+  * run writes `bench_out_engine.json` so a driver/aborted run can
+  * never clobber the committed full-run evidence (r15 next-round #7).
   */
 object Bench {
+
+  /** Full-gate mode: run the `_gate` rows too and write the canonical
+    * `bench_out.json`. Off for the driver's default invocation. */
+  def gatesMode: Boolean = sys.env.get("GRAFT_BENCH_GATES")
+    .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Row selection policy, pure so BenchBudgetSpec can assert it:
+    * default runs time engine rows only; gated runs time everything. */
+  def benchNames(all: Seq[String], gates: Boolean): Seq[String] =
+    if (gates) all else all.filterNot(_.endsWith("_gate"))
+
+  /** Artifact policy (r15 next-round #7), pure for the spec: only the
+    * full gated, unfiltered run may write the canonical
+    * `bench_out.json`; default unfiltered runs write
+    * `bench_out_engine.json`; name-filtered debug runs write
+    * `bench_out_partial.json` regardless of mode. */
+  def artifactName(gates: Boolean, filtered: Boolean): String =
+    if (filtered) "bench_out_partial.json"
+    else if (gates) "bench_out.json"
+    else "bench_out_engine.json"
 
   /** Per-query wall-time budgets (seconds, calibrated at sf0.1 on the
     * 32-thread bench box; smaller factors only run faster, so the same
@@ -40,14 +69,19 @@ object Bench {
     * single-pass measurement on a warm-loaded box; a real plan
     * regression (the x81 class was 10-50×) still trips them. */
   val budgets: Map[String, Double] = Map(
-    "x80_cohort_gate" -> 50.0, // 8 end-to-end pipeline runs, I/O+MLlib bound
+    // bench gated mode runs 4 of the 8 cohort samples
+    // (spark.graft.x80.samples — CORRECTNESS keeps all 8); I/O+MLlib bound
+    "x80_cohort_gate" -> 28.0,
     "x08_pipeline_gate" -> 28.0, // train+write+classify+rescan
     "x09_compressed_pipeline_gate" -> 20.0,
     "x10_cv_gate" -> 10.0, // CV model cached; warm = scoring only
     "x81_quality_trim" -> 6.0, // fixed r13: native one-pass expr, ~1 s warm
     // differential-fuzz gates: cost tracks SEED COUNT × kernels-per-seed
     // (each seed is a driver round-trip), not engine speed
-    "q106_fuzz_gate" -> 60.0,
+    // bench gated mode runs 3 of the 12 seeds (spark.graft.fuzz.q106Seeds
+    // — CORRECTNESS keeps all 12): r15 measured 56 s healthy / 433 s
+    // contended on the full-seed row, the single worst bench row
+    "q106_fuzz_gate" -> 20.0,
     "q110_asof_fuzz_gate" -> 16.0,
     "q111_text_fuzz_gate" -> 18.0,
     "q112_depth_fuzz_gate" -> 18.0,
@@ -138,6 +172,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val gates = gatesMode
+    if (gates) {
+      // bench-mode gate scaling (VERDICT r15 next-round #2): the fuzz /
+      // cohort gates' cost is seed-count × fixture round-trips, so the
+      // timed rows run a reduced schedule; Verify never sets these confs
+      // and keeps full fidelity, so every oracle is unchanged
+      spark.conf.set("spark.graft.fuzz.q106Seeds", "3")
+      spark.conf.set("spark.graft.x80.samples", "4")
+    }
 
     // noop sink, not count(): count() lets Catalyst prune unevaluated
     // projections and drop final sorts, under-measuring expression-heavy
@@ -187,8 +230,9 @@ object Bench {
           graft.Tables.documents(s, d), 0.8)))
 
     // optional name filter (debugging aid: `runMain graft.Bench t19` runs
-    // only queries whose name contains "t19"); the driver passes no args
-    val names0 = benchQueries.keys.toSeq.sorted
+    // only queries whose name contains "t19"); the driver passes no args.
+    // Default (ungated) runs then drop the `_gate` rows — see benchNames.
+    val names0 = benchNames(benchQueries.keys.toSeq.sorted, gates)
     val names = if (args.isEmpty) names0
       else names0.filter(n => args.exists(n.contains))
     val cold = names.map(n => n -> time(n, benchQueries(n))).toMap
@@ -414,13 +458,13 @@ object Bench {
     // "parsed": null for two rounds — the stdout-tail parse is fragile to
     // log framing): the FULL-precision non-slim line goes to a file,
     // immune to truncation, so the structured result exists regardless of
-    // what survives in the log tail. Name-FILTERED debug runs write
-    // bench_out_partial.json instead (VERDICT r14 next-round #2: a
-    // targeted x16 run clobbered the round's only full-run artifact, and
-    // when the driver run then died the round had no bench evidence).
+    // what survives in the log tail. Only the full GATED unfiltered run
+    // may write the canonical bench_out.json (r15 next-round #7: the
+    // driver's aborted default run overwrote the committed full-run
+    // evidence in the working tree); default runs write
+    // bench_out_engine.json, name-filtered runs bench_out_partial.json.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        if (args.isEmpty) "bench_out.json" else "bench_out_partial.json"),
+      java.nio.file.Paths.get(artifactName(gates, args.nonEmpty)),
       (line(3, false) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: $e") }

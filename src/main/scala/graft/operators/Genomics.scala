@@ -6091,7 +6091,11 @@ object Genomics {
       .option("splitsize", Int.MaxValue).load(cohort).where(regionPred)
       .select("pos").collect().map(_.getLong(0)).sorted.toSeq
     val iowRegionOk = prunedRows == fullRows
-    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <=
+    // STRICT < (ADVICE r15): the 4 KiB splitsize fixture plans many
+    // full-scan partitions, so working pruning always plans strictly
+    // fewer — a <= form was trivially true and could not detect a
+    // pruning regression
+    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <
       scanSplit.rdd.getNumPartitions
     val back = VcfWriter.readGenotypes(s, cohort, strict = true)
     back.agg(
@@ -6188,7 +6192,11 @@ object Genomics {
       .option("splitsize", Int.MaxValue).load(cohort).where(regionPred)
       .select("readName").collect().map(_.getString(0)).sorted.toSeq
     val iowRegionOk = prunedRows == fullRows
-    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <=
+    // STRICT < (ADVICE r15): the 4 KiB splitsize fixture plans many
+    // full-scan partitions, so working pruning always plans strictly
+    // fewer — a <= form was trivially true and could not detect a
+    // pruning regression
+    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <
       scanSplit.rdd.getNumPartitions
     // @RG ID collision: a fourth input reusing rg0 must refuse loudly
     val dup = s"$root/dup.bam"

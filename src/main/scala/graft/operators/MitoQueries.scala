@@ -768,7 +768,12 @@ object MitoQueries {
     val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = s"${HadoopIO.scratchDir(s)}/graft_x80_$sfTag"
     x08Sidecars(root)
-    val samples = (0 until 8).map { k =>
+    // bench gated mode runs 4 of the 8 cohort samples (Bench sets
+    // spark.graft.x80.samples=4 — r15 next-round #2's row cap); Verify
+    // never sets the conf, so the CORRECTNESS row keeps the full cohort
+    // and x80Sql's range(0, 8) oracle is unchanged
+    val nSamples = s.conf.get("spark.graft.x80.samples", "8").toInt
+    val samples = (0 until nSamples).map { k =>
       val pre = s"$root/s$k/sample"
       val (mtMdDf, ntDf, mtDf, chrM, ntHeader, ntRefs) =
         x08CohortSlice(s, d, col("l_orderkey") % 32 === k * 4 + 2)
@@ -782,7 +787,7 @@ object MitoQueries {
       root + "/numts.tsv", prob = 0.9, x08Rf(s))
     require(Ld.loadCount.get() - ld0 == 1L && Numt.loadCount.get() - nt0 == 1L,
       "cohort run must load each shared dim exactly once, not per sample")
-    (0 until 8).map { k =>
+    (0 until nSamples).map { k =>
       s.read.format("bam").load(s"$root/s$k/classified.bam")
         .agg(count(lit(1)).as("n_out"),
           sum(col("start")).as("sum_start"),

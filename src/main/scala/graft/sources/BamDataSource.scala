@@ -78,25 +78,27 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // parsed once (ADVICE r15); `region` option → the same preds a
+    // pushed .where() produces (START-position semantics; several
+    // windows → an OR the pushdown algebra can't express, so a
+    // dedicated disjunction pred); the channel that reaches STREAMING
+    // scans, where Spark performs no predicate pushdown
+    val regions = SamDataSource.regionsOption(options)
+    val regionPreds = regions match {
+      case Nil => Nil
+      case Seq((c, b, e)) =>
+        SamFilters.RefNameEq(c) +:
+          (Seq(SamFilters.IntCmp("start", ">=", b)) ++
+            (if (e == Long.MaxValue) Nil
+             else Seq(SamFilters.IntCmp("start", "<=", e))))
+      case many => Seq(SamFilters.InRegions(many))
+    }
     new BamScanBuilder(SamDataSource.resolvePaths(options),
       SamDataSource.splitSize(options),
       Option(options.get("baiplan")).getOrElse("driver"),
-      // `region` option → the same preds a pushed .where() produces
-      // (START-position semantics; several windows → an OR the pushdown
-      // algebra can't express, so a dedicated disjunction pred); the
-      // channel that reaches STREAMING scans, where Spark performs no
-      // predicate pushdown
-      SamDataSource.regionsOption(options) match {
-        case Nil => Nil
-        case Seq((c, b, e)) =>
-          SamFilters.RefNameEq(c) +:
-            (Seq(SamFilters.IntCmp("start", ">=", b)) ++
-              (if (e == Long.MaxValue) Nil
-               else Seq(SamFilters.IntCmp("start", "<=", e))))
-        case many => Seq(SamFilters.InRegions(many))
-      },
-      SamDataSource.regionsOption(options))
+      regionPreds, regions)
+  }
 }
 
 class BamScanBuilder(paths: Seq[String], splitSize: Long,
@@ -195,6 +197,14 @@ object BamScan {
                 if (e1 == Long.MaxValue) maxPos.toLong else e1).toInt)
           }
           runParts(BaiIndex.memberRuns(chunks))
+        } else if (regions.size == 1 && regions.head._1 != "*" &&
+            names.indexOf(regions.head._1) < 0) {
+          // option-named contig absent from this file's header: plan
+          // nothing, like the multi-region arm — before r15's ADVICE
+          // this degraded to a FULL unpruned scan whose reader filtered
+          // every record out ("*" still scans: unmapped records aren't
+          // in the index's coordinate bins)
+          Nil
         } else BaiIndex.region(preds, names, maxPos) match {
           case None => plain()
           case Some((refId, beg, end)) =>

@@ -94,33 +94,70 @@ object SamDataSource {
     * unions the windows' member runs (scatter-gather over intervals,
     * THE genomics estate access pattern). Malformed values raise
     * loudly — a typo'd region silently scanning everything (or nothing)
-    * is the failure mode the loud-refusal discipline exists for. */
+    * is the failure mode the loud-refusal discipline exists for.
+    *
+    * Contig names may themselves contain ':' (HLA-style names are legal
+    * in SAM/VCF headers — ADVICE r15): samtools' `{contig}` brace
+    * escape is supported (`{HLA-A*01:01}` or `{c}:beg-end`), and an
+    * unbraced element whose post-':' tail is not a `digits-digits`
+    * range falls back to a whole-contig query on the full string — the
+    * loud refusal stays for tails that ARE numeric ranges but violate
+    * `1 <= beg <= end` (an intended range with bad bounds, never a
+    * plausible contig name). */
   def regionsOption(options: CaseInsensitiveStringMap)
       : Seq[(String, Long, Long)] =
     Option(options.get("region")).toSeq.flatMap { all =>
       require(all.nonEmpty && !all.split(",", -1).exists(_.isEmpty),
         s"malformed region option '$all' — empty region element")
-      all.split(",").toSeq.map { r =>
-        val colon = r.lastIndexOf(':')
-        if (colon < 0) (r, 1L, Long.MaxValue)
-        else {
-          val contig = r.substring(0, colon)
-          val range = r.substring(colon + 1)
-          val dash = range.indexOf('-')
-          require(contig.nonEmpty && dash > 0 && dash < range.length - 1,
-            s"malformed region option '$r' — expected 'contig:beg-end' " +
-              "(1-based inclusive) or 'contig'")
-          val (b, e) =
-            try (range.substring(0, dash).toLong,
-              range.substring(dash + 1).toLong)
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"malformed region option '$r' — bounds must be integers")
-            }
-          require(b >= 1 && e >= b,
-            s"malformed region option '$r' — need 1 <= beg <= end")
-          (contig, b, e)
+      all.split(",").toSeq.map(parseRegionElement)
+    }
+
+  /** `digits-digits` tail → validated 1-based inclusive bounds; any
+    * other shape → None (the caller decides bare-contig fallback vs
+    * refusal). Digit-only overflow still refuses loudly — 20+-digit
+    * runs are a typo'd range, not a contig. */
+  private def rangeTail(whole: String, range: String): Option[(Long, Long)] = {
+    val dash = range.indexOf('-')
+    if (dash <= 0 || dash == range.length - 1 ||
+        !range.substring(0, dash).forall(_.isDigit) ||
+        !range.substring(dash + 1).forall(_.isDigit)) None
+    else {
+      val (b, e) =
+        try (range.substring(0, dash).toLong, range.substring(dash + 1).toLong)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"malformed region option '$whole' — range bounds overflow")
         }
+      require(b >= 1 && e >= b,
+        s"malformed region option '$whole' — need 1 <= beg <= end")
+      Some((b, e))
+    }
+  }
+
+  private def parseRegionElement(r: String): (String, Long, Long) =
+    if (r.startsWith("{")) {
+      val close = r.indexOf('}')
+      require(close > 1,
+        s"malformed region option '$r' — unterminated '{contig}' escape")
+      val contig = r.substring(1, close)
+      val rest = r.substring(close + 1)
+      if (rest.isEmpty) (contig, 1L, Long.MaxValue)
+      else {
+        require(rest.head == ':',
+          s"malformed region option '$r' — expected '{contig}:beg-end'")
+        val (b, e) = rangeTail(r, rest.tail).getOrElse(
+          throw new IllegalArgumentException(
+            s"malformed region option '$r' — expected '{contig}:beg-end' " +
+              "(1-based inclusive)"))
+        (contig, b, e)
+      }
+    } else {
+      val colon = r.lastIndexOf(':')
+      if (colon < 0) (r, 1L, Long.MaxValue)
+      else rangeTail(r, r.substring(colon + 1)) match {
+        case Some((b, e)) if colon > 0 => (r.substring(0, colon), b, e)
+        // ':' belongs to the contig name — whole-contig query
+        case _ => (r, 1L, Long.MaxValue)
       }
     }
 

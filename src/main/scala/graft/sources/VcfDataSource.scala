@@ -263,24 +263,25 @@ class VcfTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // parsed once (ADVICE r15); `region` option → the same preds a
+    // pushed .where() produces (POS-based, 1-based inclusive; several
+    // windows → an OR the pushdown algebra can't express, so a
+    // dedicated disjunction pred); the channel that reaches STREAMING
+    // scans, where Spark performs no predicate pushdown
+    val regions = SamDataSource.regionsOption(options)
+    val regionPreds = regions match {
+      case Nil => Nil
+      case Seq((c, b, e)) =>
+        VcfFilters.ContigEq(c) +:
+          (Seq(VcfFilters.PosCmp(">=", b)) ++
+            (if (e == Long.MaxValue) Nil
+             else Seq(VcfFilters.PosCmp("<=", e))))
+      case many => Seq(VcfFilters.InRegions(many))
+    }
     new VcfScanBuilder(SamDataSource.resolvePaths(options),
-      SamDataSource.splitSize(options),
-      // `region` option → the same preds a pushed .where() produces
-      // (POS-based, 1-based inclusive; several windows → an OR the
-      // pushdown algebra can't express, so a dedicated disjunction
-      // pred); the channel that reaches STREAMING scans, where Spark
-      // performs no predicate pushdown
-      SamDataSource.regionsOption(options) match {
-        case Nil => Nil
-        case Seq((c, b, e)) =>
-          VcfFilters.ContigEq(c) +:
-            (Seq(VcfFilters.PosCmp(">=", b)) ++
-              (if (e == Long.MaxValue) Nil
-               else Seq(VcfFilters.PosCmp("<=", e))))
-        case many => Seq(VcfFilters.InRegions(many))
-      },
-      SamDataSource.regionsOption(options))
+      SamDataSource.splitSize(options), regionPreds, regions)
+  }
 }
 
 class VcfScanBuilder(paths: Seq[String], splitSize: Long,
@@ -418,6 +419,12 @@ object VcfScan {
                 math.min(maxPos, if (e1 == Long.MaxValue) maxPos else e1))
             }
             runParts(BaiIndex.memberRuns(chunks))
+          } else if (regions.size == 1 &&
+              names.indexOf(regions.head._1) < 0) {
+            // option-named contig absent from this file's index names:
+            // plan nothing, like the multi-region arm (ADVICE r15 —
+            // the pred path would degrade to a full unpruned scan)
+            Nil
           } else VcfFilters.region(preds, names, maxPos) match {
             case None => plain()
             case Some((refId, beg, end)) =>

@@ -33,10 +33,33 @@ class BenchBudgetSpec extends AnyFunSuite {
       === Seq("x81_quality_trim"))
   }
 
-  test("named pipeline budgets stay above their honest r12 warm cost") {
-    // x80: 14.2 s measured (8 end-to-end pipeline runs) — budget 25
-    assert(Bench.budgetFor("x80_cohort_gate") > 14.2)
+  test("named pipeline budgets stay above their honest warm cost") {
+    // x80 in bench gated mode runs 4 of 8 samples ≈ 16 s — budget 28
+    assert(Bench.budgetFor("x80_cohort_gate") > 16.0)
     assert(Bench.budgetFor("x08_pipeline_gate") > 9.0)
+    // q106 in bench gated mode runs 3 of 12 seeds ≈ 14 s — budget 20
+    assert(Bench.budgetFor("q106_fuzz_gate") > 14.0)
+  }
+
+  test("row-selection policy (VERDICT r15 #1): default runs time engine " +
+      "rows only; GRAFT_BENCH_GATES=1 times everything") {
+    val all = Seq("q01_agg", "x85_dist_index_gate", "t19_bm25",
+      "q106_fuzz_gate")
+    assert(Bench.benchNames(all, gates = false) === Seq("q01_agg", "t19_bm25"))
+    assert(Bench.benchNames(all, gates = true) === all)
+  }
+
+  test("artifact policy (VERDICT r15 #7): only the full gated unfiltered " +
+      "run writes the canonical bench_out.json") {
+    assert(Bench.artifactName(gates = true, filtered = false)
+      === "bench_out.json")
+    assert(Bench.artifactName(gates = false, filtered = false)
+      === "bench_out_engine.json")
+    // a name-filtered debug run can never clobber either full artifact
+    assert(Bench.artifactName(gates = true, filtered = true)
+      === "bench_out_partial.json")
+    assert(Bench.artifactName(gates = false, filtered = true)
+      === "bench_out_partial.json")
   }
 
   test("budget-violation retry: a violator re-measures once and the " +

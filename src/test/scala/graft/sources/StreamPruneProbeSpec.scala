@@ -181,12 +181,32 @@ class StreamPruneProbeSpec extends SparkSpec {
     assert(contigOnly.count() ===
       spark.read.format("vcf").load(dir)
         .where(col("contig") === "c1").count())
-    // malformed forms raise at planning, never silently scan everything
-    for (bad <- Seq("c0:9-", "c0:-5", "c0:20-10", "c0:a-b", ":1-2",
-        "c0:1-2,,c1"))
+    // malformed forms raise at planning, never silently scan everything:
+    // an intended numeric range with bad bounds, an empty list element,
+    // a broken {contig} escape
+    for (bad <- Seq("c0:20-10", "c0:1-2,,c1", "{c0", "{c0}:x-y"))
       intercept[IllegalArgumentException] {
         spark.read.format("vcf").option("region", bad).load(dir).count()
       }
+    // ADVICE r15: elements whose post-':' tail is NOT a numeric range
+    // fall back to a whole-contig query on the full string (HLA-style
+    // contig names legally contain ':'); unknown contig + index →
+    // planned NOTHING (zero partitions), not a degraded full scan
+    for (fb <- Seq("c0:a-b", ":1-2", "HLA-A*01:01")) {
+      val df = spark.read.format("vcf").option("splitsize", 4093)
+        .option("region", fb).load(dir)
+      assert(df.rdd.getNumPartitions === 0, fb)
+      assert(df.count() === 0L, fb)
+    }
+    // the bam face's SINGLE-region arm matches (ADVICE r15: it used to
+    // degrade to a full unpruned scan on an unknown contig); "*" still
+    // scans — unmapped records live outside the index's coordinate bins
+    val bamUnknown = spark.read.format("bam").option("splitsize", 4096)
+      .option("region", "nope").load(bamDir)
+    assert(bamUnknown.rdd.getNumPartitions === 0)
+    assert(bamUnknown.count() === 0L)
+    assert(spark.read.format("bam").option("splitsize", 4096)
+      .option("region", "*").load(bamDir).rdd.getNumPartitions > 0)
   }
 
   test("MULTI-region option: union-of-windows semantics, pruned " +
