@@ -108,6 +108,8 @@ object Bench {
     // 5 single-file BAM writes (3 samples + cohort + dup fixture) +
     // merge + index-on-write + 3 readback scans
     "x88_bam_merge_gate" -> 15.0,
+    // 2 single-file BAM writes + merge + csi-on-write + 3 readback scans
+    "x92_csi_merge_gate" -> 15.0,
     // 2 indexed VCF writes + one checkpointed stream run + batch
     // control + 2 planner probes — stream-trigger waits dominate
     "x89_stream_prune_gate" -> 15.0)

@@ -6337,6 +6337,98 @@ object Genomics {
       |  true AS stream_equals_batch, true AS stream_pruned_ok
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- x92
+  /** LONG-CONTIG `.csi` INDEX-ON-WRITE gate (r16, VERDICT r15 #4): a
+    * dictionary whose longest contig exceeds BAI's 2^29 cap (a 710 Mb
+    * wheat-chromosome-sized contig) must get a `.csi` — never a
+    * `.bai` — emitted DURING the write, and the auto-selection must
+    * ride [[graft.sources.BamMerge.merge]] unchanged. Two per-sample
+    * BAMs merge with `index = true`; the gate asserts in-row that the
+    * cohort carries `.csi` and not `.bai`, then runs a region query
+    * PAST the 2^29 boundary through the write-emitted sidecar: pruned
+    * rows ≡ the unpruned single-split filter, planning strictly fewer
+    * partitions. Oracle-checked: counts and start mass restate the
+    * synthesis arithmetic. */
+  def x92CsiMergeGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamMerge, BamWriter, HadoopIO}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 29 === 11)
+    def reads(k: Int) = li.where(col("l_linenumber") % 2 === k)
+      .select(
+        concat(lit("w"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("readName"),
+        lit(0).as("flag"),
+        when(col("l_suppkey") % 5 === 0, "MT").otherwise("wheat1")
+          .as("referenceName"),
+        when(col("l_suppkey") % 5 === 0, col("l_partkey") % 16000 + 1)
+          .otherwise((col("l_partkey") % 700) * 1000000 +
+            col("l_suppkey") + 1)
+          .cast("int").as("start"),
+        lit(60).as("mapQ"), lit("10M").as("cigar"),
+        lit("*").as("rnext"), lit(0).as("pnext"), lit(0).as("tlen"),
+        lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+        concat(lit("RG:Z:wg"), lit(k)).as("attributes"))
+    val refs = Seq("wheat1" -> 710000000, "MT" -> 16569)
+    def header(k: Int) = "@HD\tVN:1.6\tSO:coordinate\n" +
+      refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString +
+      s"@RG\tID:wg$k\tSM:w$k\n"
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${HadoopIO.scratchDir(s)}/graft_x92_$sfTag"
+    val paths = (0 to 1).map { k =>
+      val p = s"$root/s$k.bam"
+      BamWriter.sortAndWrite(reads(k), header(k), refs, p)
+      p
+    }
+    val cohort = s"$root/cohort.bam"
+    val nMerged = BamMerge.merge(s, paths, cohort, index = true)
+    val conf = s.sparkContext.hadoopConfiguration
+    val csiOk =
+      graft.sources.CsiIndex.exists(cohort, conf) &&
+        !HadoopIO.exists(cohort + ".bai", conf)
+    // region query PAST 2^29 through the write-emitted .csi
+    def scanSplit = s.read.format("bam").option("splitsize", 4096)
+      .load(cohort)
+    val regionPred = col("referenceName") === "wheat1" &&
+      col("start") >= 560000000 && col("start") < 600000000
+    val prunedRows = scanSplit.where(regionPred)
+      .select("readName").collect().map(_.getString(0)).sorted.toSeq
+    val fullRows = s.read.format("bam")
+      .option("splitsize", Int.MaxValue).load(cohort).where(regionPred)
+      .select("readName").collect().map(_.getString(0)).sorted.toSeq
+    val iowRegionOk = prunedRows == fullRows
+    // strict <: the 4 KiB splitsize fixture plans many partitions
+    val iowPrunedOk = scanSplit.where(regionPred).rdd.getNumPartitions <
+      scanSplit.rdd.getNumPartitions
+    val back = s.read.format("bam").load(cohort)
+    back.agg(
+        count(lit(1)).as("n_reads"),
+        sum((col("referenceName") === "MT").cast("long")).as("n_mt"),
+        sum(col("start").cast("long")).as("sum_start"),
+        sum(when(regionPred, 1L).otherwise(0L)).as("n_region"))
+      .select(col("*"),
+        (lit(nMerged) === col("n_reads")).as("merge_count_ok"),
+        lit(csiOk).as("csi_ok"),
+        lit(iowRegionOk).as("iow_region_ok"),
+        lit(iowPrunedOk).as("iow_pruned_ok"))
+  }
+
+  val x92Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |  FROM lineitem WHERE l_orderkey % 29 = 11),
+      |r AS (SELECT
+      |    CASE WHEN l_suppkey % 5 = 0 THEN 1 ELSE 0 END AS mt,
+      |    CASE WHEN l_suppkey % 5 = 0 THEN (l_partkey % 16000) + 1
+      |         ELSE (l_partkey % 700) * 1000000 + l_suppkey + 1
+      |    END AS start
+      |  FROM li)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_reads,
+      |  CAST(SUM(mt) AS BIGINT) AS n_mt,
+      |  CAST(SUM(start) AS BIGINT) AS sum_start,
+      |  CAST(SUM(CASE WHEN mt = 0 AND start >= 560000000
+      |    AND start < 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_region,
+      |  true AS merge_count_ok, true AS csi_ok, true AS iow_region_ok,
+      |  true AS iow_pruned_ok
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_coverage_intervals" -> (x18CoverageIntervals _),
     "x19_insert_size"        -> (x19InsertSize _),
@@ -6408,6 +6500,7 @@ object Genomics {
     "x86_stream_bam_gate"    -> (x86StreamBamGate _),
     "x88_bam_merge_gate"     -> (x88BamMergeGate _),
     "x89_stream_prune_gate"  -> (x89StreamPruneGate _),
+    "x92_csi_merge_gate"     -> (x92CsiMergeGate _),
     "x87_cohort_merge_gate"  -> (x87CohortMergeGate _))
 
   val oracles: Map[String, String] = Map(
@@ -6481,5 +6574,6 @@ object Genomics {
     "x86_stream_bam_gate"    -> x86Sql,
     "x88_bam_merge_gate"     -> x88Sql,
     "x89_stream_prune_gate"  -> x89Sql,
+    "x92_csi_merge_gate"     -> x92Sql,
     "x87_cohort_merge_gate"  -> x87Sql)
 }

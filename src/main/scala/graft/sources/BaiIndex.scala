@@ -180,6 +180,10 @@ object BaiIndex {
                   "a BAI over an unsorted file silently drops region records")
               lastRef = refId; lastPos = pos
               val end = pos + math.max(1, refLen)
+              require(end <= MaxPos,
+                s"$bam: record end $end exceeds BAI's 2^29 cap — " +
+                  "index this long-contig file with a .csi instead " +
+                  "(CsiIndex.build / buildDistributed)")
               val bin = reg2bin(pos, end)
               val bcs = bins(refId).getOrElseUpdate(bin,
                 scala.collection.mutable.ArrayBuffer.empty[Chunk])
@@ -271,7 +275,7 @@ object BaiIndex {
       .parallelize(ranges, ranges.size)
       .map { case (start, end) =>
         scanRangeBam(bam, confBox, start, end, fileLen, nRef, hdrMember,
-          hdrU, reg2bin, 14)
+          hdrU, reg2bin, 14, MaxPos)
       }
       .collect() // partition order == byte order == record order (sorted BAM)
     val (bins, linear, noCoor, n) = mergeTasks(parts, nRef, bam)

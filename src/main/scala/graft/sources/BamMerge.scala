@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions.col
   * (dictionary ordinal, start) + per-task spillable sorts
   * ([[BamWriter.sortAndWrite]] — samtools sort's merge shape,
   * distributed), streamed part files, driver byte concat. With
-  * `index = true` the `.bai` rides the write itself (index-on-write),
-  * so the merged cohort is region-queryable with no post-write
-  * re-read. Inputs need NOT be pre-sorted — the range exchange sorts
+  * `index = true` the sidecar rides the write itself (index-on-write;
+  * `.bai`, or `.csi` when any dictionary contig exceeds 2^29 — the
+  * [[BamWriter.write]] auto-selection), so the merged cohort is
+  * region-queryable with no post-write re-read. Inputs need NOT be pre-sorted — the range exchange sorts
   * globally either way (a distributed merge gets no discount from
   * pre-sorted inputs, unlike samtools' single-threaded heap merge). */
 object BamMerge {

@@ -130,7 +130,10 @@ object BamWriter {
     * to [[BaiIndex.build]] re-run over the finished file (BamWriterSpec
     * pins it) — index-on-write saves the full re-read a just-written
     * cohort-scale BAM would otherwise pay before its first region
-    * query. */
+    * query. A dictionary whose longest contig exceeds BAI's 2^29 cap
+    * emits a `.csi` instead (byte-identical to [[CsiIndex.build]] at
+    * the same (min_shift, depth) — BamWriterCsiSpec pins it), matching
+    * samtools' long-reference indexing behavior. */
   def write(records: DataFrame, headerText: String,
       refs: Seq[(String, Int)], out: String, index: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
@@ -138,6 +141,21 @@ object BamWriter {
     val confBox = HadoopIO.capture()
     val partsDir = out + ".parts"
     val doIndex = index
+    // index FORMAT auto-selection (VERDICT r15 #4): `.bai` addresses
+    // [0, 2^29) only, so a dictionary with any contig longer than that
+    // (wheat chromosomes, concatenated pangenome contigs) gets a `.csi`
+    // instead — samtools' own long-reference behavior — at min_shift 14
+    // and the smallest depth covering the longest contig. The task-side
+    // accumulation is scheme-agnostic (bin ids + 16 kb linear minima;
+    // CSI at min_shift 14 shares the window width), so only the bin
+    // function and the encoder differ.
+    val maxContigLen = if (refs.isEmpty) 0 else refs.map(_._2).max
+    val useCsi = doIndex && maxContigLen > BaiIndex.MaxPos
+    var csiDepth = 5
+    while (maxContigLen > CsiIndex.maxPos(14, csiDepth)) csiDepth += 1
+    val binCap: Int =
+      if (useCsi) CsiIndex.maxPos(14, csiDepth) else BaiIndex.MaxPos
+    val csiDepthB = csiDepth // stable local for the task closure
 
     import org.apache.spark.sql.Encoders
     val parts = records.select("readName", "flag", "referenceName",
@@ -183,9 +201,18 @@ object BamWriter {
                   lastRef = refId; lastPos = pos
                   if (firstKey.isEmpty) firstKey = Some((refId, pos))
                   val end = pos + math.max(1, cigarRefLen(r.getString(5)))
+                  require(end <= binCap,
+                    s"$out: record end $end exceeds the " +
+                      (if (useCsi) s"(min_shift=14, depth=$csiDepthB) CSI"
+                       else "BAI 2^29") +
+                      s" cap $binCap — the position lies beyond every " +
+                      "dictionary contig")
                   val vBeg = (m0 << 16) | u0
                   val vEnd = (m1 << 16) | u1
-                  val bin = BaiIndex.reg2bin(pos, end)
+                  val bin =
+                    if (useCsi)
+                      CsiIndex.reg2bin(pos.toLong, end.toLong, 14, csiDepthB)
+                    else BaiIndex.reg2bin(pos, end)
                   val bcs = bins.getOrElseUpdate((refId, bin), scala
                     .collection.mutable.ArrayBuffer.empty[BaiIndex.Chunk])
                   if (bcs.nonEmpty && (bcs.last.end >>> 16) == m0)
@@ -293,7 +320,9 @@ object BamWriter {
       }
       val (bins, linear, noCoor, _) =
         BaiIndex.mergeTasks(shifted.toArray, refs.size, out)
-      BaiIndex.writeBai(out, conf, bins, linear, noCoor)
+      if (useCsi) CsiIndex.writeCsi(out, conf, 14, csiDepth, bins, linear,
+        noCoor)
+      else BaiIndex.writeBai(out, conf, bins, linear, noCoor)
     }
     parts.map(_._2).sum
   }

@@ -208,7 +208,7 @@ object CsiIndex {
     * distributed sidecar provably byte-identical): fill linear holes
     * with the previous window's value (htslib rule), then sample at each
     * bin's interval start for the bin's loffset. */
-  private def writeCsi(bam: String, conf: Configuration, minShift: Int,
+  private[sources] def writeCsi(bam: String, conf: Configuration, minShift: Int,
       depth: Int,
       bins: Array[scala.collection.mutable.LinkedHashMap[Int,
         scala.collection.mutable.ArrayBuffer[Chunk]]],
