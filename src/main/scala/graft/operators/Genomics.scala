@@ -6337,6 +6337,107 @@ object Genomics {
       |  true AS stream_equals_batch, true AS stream_pruned_ok
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- x91
+  /** `samtools idxstats` ANALOGUE gate (r16, VERDICT r15 #5): per-contig
+    * mapped/unmapped counts served from the `.bai` sidecar ALONE
+    * ([[graft.sources.Idxstats]] reading the htslib pseudo-bins the
+    * index-on-write path now emits) — ZERO record decode. The
+    * metadata-only claim is enforced in-row with a SparkListener: a
+    * marker job flushes the ordered listener bus after the idxstats
+    * call, and exactly the marker may have started (meta_only_ok). The
+    * stats are then restated by a full scan (flag 0x4 split per
+    * referenceName) and compared (scan_match_ok). Rows: each dictionary
+    * contig plus the `*` unplaced slot; oracle restates the synthesis
+    * arithmetic. */
+  def x91IdxstatsGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BamWriter, HadoopIO, Idxstats}
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 31 === 5)
+    val unplaced = col("l_partkey") % 7 === 0
+    val unmapped = unplaced || col("l_partkey") % 11 === 0
+    val reads = li.select(
+      concat(lit("i"), col("l_orderkey"), lit("_"),
+        col("l_linenumber")).as("readName"),
+      when(unmapped, 4).otherwise(0).as("flag"),
+      when(unplaced, "*")
+        .otherwise(when(col("l_suppkey") % 2 === 0, "chr1")
+          .otherwise("chr2")).as("referenceName"),
+      when(unplaced, 0).otherwise(col("l_partkey") % 100000 + 1)
+        .cast("int").as("start"),
+      lit(60).as("mapQ"),
+      when(unmapped, "*").otherwise(lit("10M")).as("cigar"),
+      lit("*").as("rnext"), lit(0).as("pnext"), lit(0).as("tlen"),
+      lit("ACGTACGTAC").as("sequence"), lit("*").as("qual"),
+      lit("NM:i:0").as("attributes"))
+    val refs = Seq("chr1" -> 200000, "chr2" -> 200000)
+    val header = "@HD\tVN:1.6\tSO:coordinate\n" +
+      refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString
+    val sfTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${HadoopIO.scratchDir(s)}/graft_x91_$sfTag/sample.bam"
+    BamWriter.sortAndWrite(reads, header, refs, out, index = true)
+    val conf = s.sparkContext.hadoopConfiguration
+    // metadata-only enforcement: no Spark job may start during the
+    // idxstats call; the marker job flushes the ordered listener bus so
+    // the count is complete before it is read
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    val (stats, metaOnlyOk) =
+      try {
+        val r = Idxstats.rows(out, conf)
+        s.sparkContext.parallelize(Seq(1), 1).count() // marker
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (jobs.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        (r, jobs.get() == 1) // exactly the marker
+      } finally s.sparkContext.removeSparkListener(listener)
+    // full-scan restatement: the same counts from the records themselves
+    val scanned = s.read.format("bam").load(out)
+      .groupBy(col("referenceName"))
+      .agg(
+        sum(when(col("flag").bitwiseAND(lit(4)) === 0, 1L).otherwise(0L))
+          .as("m"),
+        sum(when(col("flag").bitwiseAND(lit(4)) =!= 0, 1L).otherwise(0L))
+          .as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val scanMatchOk = stats.forall { c =>
+      val (m, u) = scanned.getOrElse(c.contig, (0L, 0L))
+      c.nMapped == m && c.nUnmapped == u
+    } && scanned.keySet.subsetOf(stats.map(_.contig).toSet)
+    import s.implicits._
+    stats.map(c => (c.contig, c.length, c.nMapped, c.nUnmapped,
+        metaOnlyOk, scanMatchOk))
+      .toDF("contig", "length", "n_mapped", "n_unmapped",
+        "meta_only_ok", "scan_match_ok")
+      .orderBy("contig")
+  }
+
+  val x91Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |  FROM lineitem WHERE l_orderkey % 31 = 5),
+      |r AS (SELECT
+      |    CASE WHEN l_partkey % 7 = 0 THEN '*'
+      |         WHEN l_suppkey % 2 = 0 THEN 'chr1' ELSE 'chr2'
+      |    END AS contig,
+      |    CASE WHEN l_partkey % 7 = 0 OR l_partkey % 11 = 0 THEN 1 ELSE 0
+      |    END AS unm
+      |  FROM li),
+      |g AS (SELECT contig, SUM(1 - unm) AS m, SUM(unm) AS u
+      |  FROM r GROUP BY contig),
+      |ids AS (SELECT * FROM (VALUES ('*', 0), ('chr1', 200000),
+      |  ('chr2', 200000)) AS t(contig, length))
+      |SELECT ids.contig AS contig, CAST(ids.length AS BIGINT) AS length,
+      |  CAST(COALESCE(g.m, 0) AS BIGINT) AS n_mapped,
+      |  CAST(COALESCE(g.u, 0) AS BIGINT) AS n_unmapped,
+      |  true AS meta_only_ok, true AS scan_match_ok
+      |FROM ids LEFT JOIN g ON g.contig = ids.contig
+      |ORDER BY contig""".stripMargin
+
   // ---------------------------------------------------------------- x92
   /** LONG-CONTIG `.csi` INDEX-ON-WRITE gate (r16, VERDICT r15 #4): a
     * dictionary whose longest contig exceeds BAI's 2^29 cap (a 710 Mb
@@ -6500,6 +6601,7 @@ object Genomics {
     "x86_stream_bam_gate"    -> (x86StreamBamGate _),
     "x88_bam_merge_gate"     -> (x88BamMergeGate _),
     "x89_stream_prune_gate"  -> (x89StreamPruneGate _),
+    "x91_idxstats_gate"      -> (x91IdxstatsGate _),
     "x92_csi_merge_gate"     -> (x92CsiMergeGate _),
     "x87_cohort_merge_gate"  -> (x87CohortMergeGate _))
 
@@ -6574,6 +6676,7 @@ object Genomics {
     "x86_stream_bam_gate"    -> x86Sql,
     "x88_bam_merge_gate"     -> x88Sql,
     "x89_stream_prune_gate"  -> x89Sql,
+    "x91_idxstats_gate"      -> x91Sql,
     "x92_csi_merge_gate"     -> x92Sql,
     "x87_cohort_merge_gate"  -> x87Sql)
 }

@@ -41,6 +41,21 @@ object BaiIndex {
   final case class RefIndex(bins: Map[Int, Array[Chunk]], linear: Array[Long])
   final case class Bai(refs: Array[RefIndex], noCoor: Long)
 
+  /** Per-reference record statistics carried by the htslib PSEUDO-BIN
+    * (SAM spec §5.2, bin 37450 for BAI; the scheme's max bin + 2 for
+    * CSI): virtual offsets of the reference's first/last record and its
+    * mapped/unmapped (FLAG 0x4, coordinate-placed) segment counts.
+    * Emitting it makes graft sidecars `samtools idxstats`-readable and
+    * powers the metadata-only [[Idxstats]] surface; reading it serves
+    * stats from samtools-built indexes too. */
+  final case class RefStat(offBeg: Long, offEnd: Long, nMapped: Long,
+      nUnmapped: Long)
+
+  /** Pseudo-bin number for a scheme of the given depth: the bin count
+    * `((1 << 3(depth+1)) - 1) / 7` plus one — 37450 at BAI's depth 5,
+    * matching the spec's constant. */
+  def metaBin(depth: Int): Int = ((1 << (3 * (depth + 1))) - 1) / 7 + 1
+
   /** Max coordinate the 6-level binning scheme addresses. */
   val MaxPos: Int = 1 << 29
 
@@ -134,6 +149,7 @@ object BaiIndex {
         .empty[Int, scala.collection.mutable.ArrayBuffer[Chunk]])
       val linear = Array.fill(nRef)(
         scala.collection.mutable.ArrayBuffer.empty[Long])
+      val stats = Array.fill[RefStat](nRef)(null)
       var noCoor = 0L
       var n = 0
       var lastRef = -1
@@ -151,7 +167,7 @@ object BaiIndex {
             u8() // mapq
             i16() // bin (recomputed below — never trusted)
             val nCigar = i16()
-            i16() // flag
+            val flag = i16()
             i32() // l_seq
             HadoopIO.skipFully(din, 12L, s"$bam mate fields") // next_refID/next_pos/tlen
             HadoopIO.skipFully(din, lReadName.toLong, s"$bam read name")
@@ -184,6 +200,13 @@ object BaiIndex {
                 s"$bam: record end $end exceeds BAI's 2^29 cap — " +
                   "index this long-contig file with a .csi instead " +
                   "(CsiIndex.build / buildDistributed)")
+              stats(refId) = {
+                val prev = stats(refId)
+                val unm = if ((flag & 4) != 0) 1L else 0L
+                if (prev == null) RefStat(vBeg, vEnd, 1L - unm, unm)
+                else RefStat(prev.offBeg, vEnd, prev.nMapped + 1L - unm,
+                  prev.nUnmapped + unm)
+              }
               val bin = reg2bin(pos, end)
               val bcs = bins(refId).getOrElseUpdate(bin,
                 scala.collection.mutable.ArrayBuffer.empty[Chunk])
@@ -203,7 +226,7 @@ object BaiIndex {
           } catch { case _: EOFException => done = true }
         }
       }
-      writeBai(bam, conf, bins, linear, noCoor)
+      writeBai(bam, conf, bins, linear, noCoor, stats)
       n
     } finally ch.close()
   }
@@ -215,7 +238,7 @@ object BaiIndex {
       bins: Array[scala.collection.mutable.LinkedHashMap[Int,
         scala.collection.mutable.ArrayBuffer[Chunk]]],
       linear: Array[scala.collection.mutable.ArrayBuffer[Long]],
-      noCoor: Long): Unit = {
+      noCoor: Long, stats: Array[RefStat]): Unit = {
     val nRef = bins.length
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       HadoopIO.create(sidecarPath(bam), conf)))
@@ -227,10 +250,19 @@ object BaiIndex {
       var ri = 0
       while (ri < nRef) {
         val bm = bins(ri)
-        le32(bm.size)
+        val st = stats(ri)
+        le32(bm.size + (if (st == null) 0 else 1))
         bm.foreach { case (bin, cs) =>
           le32(bin); le32(cs.length)
           cs.foreach { ck => le64(ck.beg); le64(ck.end) }
+        }
+        if (st != null) {
+          // htslib pseudo-bin (bin 37450): first "chunk" = the ref's
+          // record span in virtual offsets, second = its mapped/unmapped
+          // counts — what `samtools idxstats` serves without a scan
+          le32(metaBin(5)); le32(2)
+          le64(st.offBeg); le64(st.offEnd)
+          le64(st.nMapped); le64(st.nUnmapped)
         }
         val lin = linear(ri)
         le32(lin.length)
@@ -253,7 +285,8 @@ object BaiIndex {
       // builder's record-order discovery (byte-identical sidecars)
       linear: Map[(Int, Int), Long],
       firstKey: Option[(Int, Int)], lastKey: Option[(Int, Int)],
-      noCoor: Long, n: Long)
+      noCoor: Long, n: Long,
+      stats: Map[Int, RefStat] = Map.empty) // per-ref pseudo-bin stats
 
   /** Executor-parallel `.bai` build over byte-range splits — the form a
     * WGS-scale sorted BAM gets samtools-compatible indexing with (the
@@ -278,8 +311,8 @@ object BaiIndex {
           hdrU, reg2bin, 14, MaxPos)
       }
       .collect() // partition order == byte order == record order (sorted BAM)
-    val (bins, linear, noCoor, n) = mergeTasks(parts, nRef, bam)
-    writeBai(bam, confBox.conf, bins, linear, noCoor)
+    val (bins, linear, noCoor, n, stats) = mergeTasks(parts, nRef, bam)
+    writeBai(bam, confBox.conf, bins, linear, noCoor, stats)
     n.toInt
   }
 
@@ -316,7 +349,8 @@ object BaiIndex {
       bam: String)
       : (Array[scala.collection.mutable.LinkedHashMap[Int,
           scala.collection.mutable.ArrayBuffer[Chunk]]],
-        Array[scala.collection.mutable.ArrayBuffer[Long]], Long, Long) = {
+        Array[scala.collection.mutable.ArrayBuffer[Long]], Long, Long,
+        Array[RefStat]) = {
     // cross-task sortedness: task i's last mapped key must not exceed
     // task i+1's first (within-task order was checked on the executor)
     val keyed = parts.filter(p => p.firstKey.isDefined)
@@ -334,12 +368,22 @@ object BaiIndex {
       .empty[Int, scala.collection.mutable.ArrayBuffer[Chunk]])
     val linear = Array.fill(nRef)(
       scala.collection.mutable.ArrayBuffer.empty[Long])
+    val stats = Array.fill[RefStat](nRef)(null)
     var noCoor = 0L
     var n = 0L
     // deterministic bin insertion order: the sequential builder discovers
     // bins in record order; replaying tasks in file order with ordered
     // within-task maps reproduces it exactly
     parts.foreach { p =>
+      // pseudo-bin stats: parts replay in file order, so the first task
+      // seeing a ref owns offBeg and the last seen vEnd wins offEnd
+      p.stats.foreach { case (refId, st) =>
+        val prev = stats(refId)
+        stats(refId) =
+          if (prev == null) st
+          else RefStat(prev.offBeg, st.offEnd,
+            prev.nMapped + st.nMapped, prev.nUnmapped + st.nUnmapped)
+      }
       p.bins.foreach { case ((refId, bin), cs) =>
         val bcs = bins(refId).getOrElseUpdate(bin,
           scala.collection.mutable.ArrayBuffer.empty[Chunk])
@@ -359,7 +403,7 @@ object BaiIndex {
       n += p.n
     }
     require(n <= Int.MaxValue, s"$bam: $n records overflow the record count")
-    (bins, linear, noCoor, n)
+    (bins, linear, noCoor, n, stats)
   }
 
   /** Shift every virtual offset in a task accumulation by `byteShift`
@@ -376,7 +420,10 @@ object BaiIndex {
         (k, cs.map(c => Chunk(c.beg + d, c.end + d)))
       },
       p.linear.map { case (k, v) => (k, v + d) },
-      p.firstKey, p.lastKey, p.noCoor, p.n)
+      p.firstKey, p.lastKey, p.noCoor, p.n,
+      p.stats.map { case (k, st) =>
+        (k, st.copy(offBeg = st.offBeg + d, offEnd = st.offEnd + d))
+      })
   }
 
   /** One task's record walk: own the members starting in [start, end),
@@ -407,6 +454,7 @@ object BaiIndex {
       val bins = scala.collection.mutable.LinkedHashMap
         .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Chunk]]
       val linear = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), Long]
+      val stats = scala.collection.mutable.LinkedHashMap.empty[Int, RefStat]
       var firstKey: Option[(Int, Int)] = None
       var lastRef = -1
       var lastPos = -1
@@ -431,7 +479,8 @@ object BaiIndex {
               val lReadName = u8()
               u8(); i16() // mapq, stored bin (recomputed — never trusted)
               val nCigar = i16()
-              i16(); i32() // flag, l_seq
+              val flag = i16()
+              i32() // l_seq
               HadoopIO.skipFully(din, 12L, s"$bam mate fields")
               HadoopIO.skipFully(din, lReadName.toLong, s"$bam read name")
               var refLen = 0
@@ -458,6 +507,12 @@ object BaiIndex {
                     s"(ref $refId pos $pos after ref $lastRef pos $lastPos)")
                 lastRef = refId; lastPos = pos
                 if (firstKey.isEmpty) firstKey = Some((refId, pos))
+                val unm = if ((flag & 4) != 0) 1L else 0L
+                stats(refId) = stats.get(refId) match {
+                  case None => RefStat(vBeg, vEnd, 1L - unm, unm)
+                  case Some(prev) => RefStat(prev.offBeg, vEnd,
+                    prev.nMapped + 1L - unm, prev.nUnmapped + unm)
+                }
                 val bamEnd = pos + math.max(1, refLen)
                 require(bamEnd <= maxPosCap,
                   s"$bam: record end $bamEnd exceeds the binning " +
@@ -490,7 +545,7 @@ object BaiIndex {
         linear.toMap,
         firstKey,
         if (lastRef >= 0) Some((lastRef, lastPos)) else None,
-        noCoor, n)
+        noCoor, n, stats.toMap)
     } finally ch.close()
   }
 

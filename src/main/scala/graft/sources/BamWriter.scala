@@ -174,6 +174,8 @@ object BamWriter {
             scala.collection.mutable.ArrayBuffer[BaiIndex.Chunk]]
           val linear =
             scala.collection.mutable.LinkedHashMap.empty[(Int, Int), Long]
+          val stats = scala.collection.mutable.LinkedHashMap
+            .empty[Int, BaiIndex.RefStat]
           var firstKey: Option[(Int, Int)] = None
           var lastRef = -1
           var lastPos = -1
@@ -201,6 +203,14 @@ object BamWriter {
                   lastRef = refId; lastPos = pos
                   if (firstKey.isEmpty) firstKey = Some((refId, pos))
                   val end = pos + math.max(1, cigarRefLen(r.getString(5)))
+                  val vB = (m0 << 16) | u0
+                  val vE = (m1 << 16) | u1
+                  val unm = if ((r.getInt(1) & 4) != 0) 1L else 0L
+                  stats(refId) = stats.get(refId) match {
+                    case None => BaiIndex.RefStat(vB, vE, 1L - unm, unm)
+                    case Some(prev) => BaiIndex.RefStat(prev.offBeg, vE,
+                      prev.nMapped + 1L - unm, prev.nUnmapped + unm)
+                  }
                   require(end <= binCap,
                     s"$out: record end $end exceeds the " +
                       (if (useCsi) s"(min_shift=14, depth=$csiDepthB) CSI"
@@ -251,7 +261,7 @@ object BamWriter {
                 bins.toSeq.map { case (k, v) => (k, v.toSeq) },
                 linear.toMap, firstKey,
                 if (lastRef >= 0) Some((lastRef, lastPos)) else None,
-                noCoor, n), tailV))
+                noCoor, n, stats.toMap), tailV))
               oo.close()
               b.toByteArray
             }
@@ -316,13 +326,16 @@ object BamWriter {
         st.copy(bins = st.bins.map { case (k, cs) =>
           (k, cs.map(c =>
             if (c.end == shiftedTail) c.copy(end = globalNext) else c))
+        }, stats = st.stats.map { case (k, rs) =>
+          (k, if (rs.offEnd == shiftedTail) rs.copy(offEnd = globalNext)
+              else rs)
         })
       }
-      val (bins, linear, noCoor, _) =
+      val (bins, linear, noCoor, _, stats) =
         BaiIndex.mergeTasks(shifted.toArray, refs.size, out)
       if (useCsi) CsiIndex.writeCsi(out, conf, 14, csiDepth, bins, linear,
-        noCoor)
-      else BaiIndex.writeBai(out, conf, bins, linear, noCoor)
+        noCoor, stats)
+      else BaiIndex.writeBai(out, conf, bins, linear, noCoor, stats)
     }
     parts.map(_._2).sum
   }

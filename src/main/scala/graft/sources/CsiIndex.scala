@@ -133,6 +133,7 @@ object CsiIndex {
         .empty[Int, scala.collection.mutable.ArrayBuffer[Chunk]])
       val lidx = Array.fill(nRef)(
         scala.collection.mutable.ArrayBuffer.empty[Long])
+      val stats = Array.fill[BaiIndex.RefStat](nRef)(null)
       var noCoor = 0L
       var n = 0
       var lastRef = -1
@@ -149,7 +150,8 @@ object CsiIndex {
             val lReadName = u8()
             u8(); i16() // mapq, stored bin
             val nCigar = i16()
-            i16(); i32() // flag, l_seq
+            val flag = i16()
+            i32() // l_seq
             HadoopIO.skipFully(din, 12L, s"$bam mate fields")
             HadoopIO.skipFully(din, lReadName.toLong, s"$bam read name")
             var refLen = 0
@@ -179,6 +181,13 @@ object CsiIndex {
               require(end <= maxPos(minShift, depth),
                 s"$bam: record end $end exceeds the (min_shift=$minShift, " +
                   s"depth=$depth) scheme's ${maxPos(minShift, depth)} cap")
+              stats(refId) = {
+                val prev = stats(refId)
+                val unm = if ((flag & 4) != 0) 1L else 0L
+                if (prev == null) BaiIndex.RefStat(vBeg, vEnd, 1L - unm, unm)
+                else BaiIndex.RefStat(prev.offBeg, vEnd,
+                  prev.nMapped + 1L - unm, prev.nUnmapped + unm)
+              }
               val bin = reg2bin(pos.toLong, end.toLong, minShift, depth)
               val bcs = bins(refId).getOrElseUpdate(bin,
                 scala.collection.mutable.ArrayBuffer.empty[Chunk])
@@ -198,7 +207,7 @@ object CsiIndex {
           } catch { case _: EOFException => done = true }
         }
       }
-      writeCsi(bam, conf, minShift, depth, bins, lidx, noCoor)
+      writeCsi(bam, conf, minShift, depth, bins, lidx, noCoor, stats)
       n
     } finally ch.close()
   }
@@ -213,7 +222,7 @@ object CsiIndex {
       bins: Array[scala.collection.mutable.LinkedHashMap[Int,
         scala.collection.mutable.ArrayBuffer[Chunk]]],
       lidx: Array[scala.collection.mutable.ArrayBuffer[Long]],
-      noCoor: Long): Unit = {
+      noCoor: Long, stats: Array[BaiIndex.RefStat]): Unit = {
     val nRef = bins.length
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       HadoopIO.create(sidecarPath(bam), conf)))
@@ -236,10 +245,18 @@ object CsiIndex {
           if (w0 < lin.length) lin(w0) else if (lin.nonEmpty) lin.last else 0L
         }
         val bm = bins(ri)
-        le32(bm.size)
+        val st = stats(ri)
+        le32(bm.size + (if (st == null) 0 else 1))
         bm.foreach { case (bin, cs) =>
           le32(bin); le64(loff(bin)); le32(cs.length)
           cs.foreach { ck => le64(ck.beg); le64(ck.end) }
+        }
+        if (st != null) {
+          // htslib pseudo-bin at the scheme's meta number (37450 for
+          // depth 5): record span + mapped/unmapped counts; loffset 0
+          le32(BaiIndex.metaBin(depth)); le64(0L); le32(2)
+          le64(st.offBeg); le64(st.offEnd)
+          le64(st.nMapped); le64(st.nUnmapped)
         }
         ri += 1
       }
@@ -270,8 +287,9 @@ object CsiIndex {
           (b: Int, e: Int) => reg2bin(b.toLong, e.toLong, ms, dp), ms, cap)
       }
       .collect()
-    val (bins, linear, noCoor, n) = BaiIndex.mergeTasks(parts, nRef, bam)
-    writeCsi(bam, confBox.conf, minShift, depth, bins, linear, noCoor)
+    val (bins, linear, noCoor, n, stats) =
+      BaiIndex.mergeTasks(parts, nRef, bam)
+    writeCsi(bam, confBox.conf, minShift, depth, bins, linear, noCoor, stats)
     n.toInt
   }
 

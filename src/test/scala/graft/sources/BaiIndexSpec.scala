@@ -43,11 +43,21 @@ class BaiIndexSpec extends SparkSpec {
     // MT spans [1, ~16569] -> leaf windows 0..1; chr1 ~[50k, 106k] -> 3..6
     assert(bai.refs(0).linear.length >= 1 && bai.refs(0).linear.length <= 2)
     assert(bai.refs(1).linear.length >= 4)
-    // chunks are well-formed voffset intervals over real file bytes
+    // chunks are well-formed voffset intervals over real file bytes —
+    // minus the PSEUDO-BIN (37450), whose two "chunks" are the ref's
+    // record span and its (n_mapped, n_unmapped) counts (r16)
     val fileLen = Files.size(Paths.get(bam))
-    for (r <- bai.refs; cs <- r.bins.values; c <- cs) {
+    for (r <- bai.refs;
+        (bin, cs) <- r.bins if bin != BaiIndex.metaBin(5); c <- cs) {
       assert(java.lang.Long.compareUnsigned(c.beg, c.end) < 0)
       assert((c.beg >>> 16) < fileLen && (c.end >>> 16) <= fileLen)
+    }
+    // every ref with records carries a pseudo-bin with sane stats
+    for (r <- bai.refs) {
+      val Array(span, counts) = r.bins(BaiIndex.metaBin(5))
+      assert(java.lang.Long.compareUnsigned(span.beg, span.end) < 0)
+      assert(counts.beg > 0L) // n_mapped
+      assert(counts.end === 0L) // n_unmapped (fixture has none)
     }
   }
 
