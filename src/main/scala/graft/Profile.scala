@@ -28,8 +28,10 @@ object Profile {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      // noop sink, same methodology as Bench (guide §1.4): count() lets
+      // Catalyst prune unevaluated projections and under-measures
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (sys.env.contains("PROFILE_EXPLAIN"))
       fn(spark, sfDir).explain("formatted")

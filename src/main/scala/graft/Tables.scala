@@ -17,6 +17,45 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan fan-out (r16, guide §2.5 "input skew: one huge unsplittable
+    * file → repartition immediately after the read"): every sf corpus
+    * parquet is a SINGLE row group, so Spark's split planning cannot
+    * parallelize the scan — the map-side kernel (synthesis, tokenize,
+    * regex, variant parse, window-hash) of a query reading one runs in
+    * ONE task on the 32-thread bench box. Queries whose scan→first-
+    * exchange segment is kernel-heavy wrap their read in this helper;
+    * a BLANKET fan-out in the loaders was measured a net loss (the extra
+    * exchange + stage taxes the ~200 rows whose first operator is already
+    * a shuffle more than it helps them — 234-row A/B committed in
+    * OPTIMIZATION_r16.md), so the call sites opt in.
+    *
+    * The repartition is KEYED on a deterministic hash of the row
+    * (pmod(xxhash64(cols), 64·target)) rather than round-robin: keyless
+    * repartition pays a single-threaded local sort of the whole input
+    * first (spark.sql.execution.sortBeforeRepartition, needed for retry
+    * determinism) — the hash key is retry-deterministic for free and
+    * 64× the partition count spreads buckets evenly (guide §2.5).
+    *
+    * Scale-adaptive by construction, not a local[32] constant: at
+    * production scale the same tables are many files / many row groups,
+    * `planned >= target`, and the repartition is never inserted — no
+    * extra exchange at 100 TB. `spark.graft.scanFanout.target` overrides
+    * the target (0 disables; unset → the session's default parallelism).
+    * Row-order effects: none observable — every declared query's output
+    * is row-set-identical (the oracle compare is row-sorted, all
+    * collect_list sites are sort_array-canonicalized, limits are
+    * tie-broken). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val target = s.conf.getOption("spark.graft.scanFanout.target")
+      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
+    if (target <= 0) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target,
+      functions.pmod(functions.xxhash64(df.columns.map(functions.col): _*),
+        functions.lit(64L * target)))
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

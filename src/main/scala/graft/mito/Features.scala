@@ -125,19 +125,46 @@ object Features {
     * no single-partition window). Empty input → typed null columns
     * (reference P5 path).
     *
-    * The input feeds three plan branches (each pooled-union arm and the
-    * normalized output). Deliberately NOT persisted here: Catalyst prunes
-    * the two stats arms down to the MapQ columns only (the LD/variant
-    * subtrees are eliminated), so the "duplicate" branches are far cheaper
-    * than materializing the full feature row — measured 25% slower on the
-    * corpus-scale pipeline (x02) with a persist. Callers that re-consume
-    * the FULL normalized frame (MitoPipeline.run) persist the result
-    * instead. */
+    * r16: the pooled stats are ONE two-column aggregate over `df`, not an
+    * aggregate over a union of two single-column prunings. The union form
+    * evaluated the whole upstream pipeline once per arm (scan → synthesis →
+    * parse → per-read aggregate → feature join, ×2 on top of the output
+    * branch — x02's plan carried three copies of the pipeline and ~24
+    * exchanges); the single-pass form leaves exactly two evaluations: the
+    * MapQ-pruned stats pass and the full output branch (plan: 2 Exchange
+    * fewer, one scan pair eliminated). Numerically: the MapQ sums are
+    * integer-valued (sums of int mapQ), so Σx/Σx² through decimal-exact
+    * [[graft.functions.Det.dsum]] are EXACT and `mu` is bit-identical to
+    * the old pooled avg; `sigma` uses the same exact-sums formulation as
+    * [[graft.functions.Det.dstddev]] (vs the old order-dependent central-
+    * moment stddev_samp whose ulps varied with partitioning anyway — no
+    * declared query exposes sigma directly: x02 drops the normalized
+    * columns, the classify gates consume them through wide-margin trees).
+    *
+    * The input still feeds two plan branches and is deliberately NOT
+    * persisted here: Catalyst prunes the stats arm down to the MapQ
+    * columns only (the LD/variant subtrees are eliminated), so the
+    * "duplicate" branch is far cheaper than materializing the full feature
+    * row — measured 25% slower on the corpus-scale pipeline (x02) with a
+    * persist. Callers that re-consume the FULL normalized frame
+    * (MitoPipeline.run) persist the result instead. */
   def normalizeMapQ(df: DataFrame): DataFrame = {
-    val pooled = df.select(col("MTMapQ").cast(DoubleType).as("MapQ"))
-      .union(df.select(col("NTMapQ").cast(DoubleType).as("MapQ")))
-    val stats = pooled.agg(
-      avg(col("MapQ")).as("mu"), stddev_samp(col("MapQ")).as("sigma"))
+    import graft.functions.Det.dsum
+    val mt = col("MTMapQ").cast(DoubleType)
+    val nt = col("NTMapQ").cast(DoubleType)
+    // scale 0: the values are integer-valued by construction (sums of int
+    // mapQ per read), so the decimal image is exact with no headroom games
+    val stats = df.agg(
+        (count(mt) + count(nt)).cast(DoubleType).as("n"),
+        (coalesce(dsum(mt, 0), lit(0.0)) + coalesce(dsum(nt, 0), lit(0.0)))
+          .as("s"),
+        (coalesce(dsum(mt * mt, 0), lit(0.0)) +
+          coalesce(dsum(nt * nt, 0), lit(0.0))).as("q"))
+      .select(
+        when(col("n") > 0, col("s") / col("n")).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("n") * col("q") - col("s") * col("s")) /
+            (col("n") * (col("n") - lit(1.0))))).as("sigma"))
     df.crossJoin(broadcast(stats))
       .withColumn("MTMapQ", (col("MTMapQ") - col("mu")) / col("sigma"))
       .withColumn("NTMapQ", (col("NTMapQ") - col("mu")) / col("sigma"))

@@ -199,7 +199,8 @@ object Dedup {
     * jaccard≳0.9 pairs still collide with p≈0.99. Not ANSI-SQL expressible
     * → rows-only driver check; exactness covered by OperatorsSpec. */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashCandidates(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    minhashCandidates(Tables.fanOut(Tables.documents(s, d)) // r16: shingle+minhash pass
+      .select(col("doc_id"), col("text")))
       .orderBy("a_id", "b_id")
 
   /** d03's core over any (doc_id, text) frame — also driven by the
@@ -330,12 +331,20 @@ object Dedup {
     * data-dependent key like language, so corpus skew cannot degenerate
     * it. */
   def d04Simhash(s: SparkSession, d: String): DataFrame =
-    simhashPairs(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    simhashPairs(Tables.fanOut(Tables.documents(s, d)) // r16: simhash both join sides
+      .select(col("doc_id"), col("text")))
       .orderBy("a_id", "b_id")
 
   /** d04's core over any (doc_id, text) frame — also driven by the
     * planted-duplicate gate (d08). */
   private def simhashPairs(docsIn: DataFrame): DataFrame = {
+    // r16 note: the banded self-join's two sides each run the
+    // tokenize+simhash pass (the broadcast build side cannot share the
+    // stream side's subtree). Staging the 16-byte signatures through a
+    // checkpoint was MEASURED SLOWER (1.2 s → 2.6 s at sf0.1): the
+    // checkpoint's default stats kill the broadcast and the resulting
+    // sort-merge join costs more than the duplicated signature pass,
+    // which parallelizes fully after the fan-out at the call sites.
     val docs = docsIn
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
     // 9 bands: bits [0,7) [7,14) ... [49,56) and [56,64)

@@ -58,7 +58,8 @@ object MitoQueries {
   def x02MitoFeatures(s: SparkSession, d: String): DataFrame = {
     import graft.mito.{Features, Ld, Numt, Sam}
     // deterministic 25% subset keeps the bench entry proportional but sane
-    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+    // r16 fanOut: SAM-line synthesis + split parse are the map-side kernel
+    val li = Tables.fanOut(Tables.lineitem(s, d)).where(col("l_orderkey") % 4 === 0)
     // MT side: read rX paired rows (flags 99/147) on chrM; every 3rd line
     // number carries a substitution (MD 2A7, read base G at start+2).
     // Read id spans (okey, linenumber, partkey, suppkey) — the minimal
@@ -151,7 +152,8 @@ object MitoQueries {
   def x03BamRoundTrip(s: SparkSession, d: String): DataFrame = {
     import graft.mito.Sam
     import graft.sources.{BamIndex, BamWriter, HadoopIO}
-    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+    val li = Tables.fanOut(Tables.lineitem(s, d)) // r16: synthesis+BAM-encode map work
+      .where(col("l_orderkey") % 4 === 0)
     val recs = li.select(
       concat(lit("r"), col("l_orderkey"), lit("_"), col("l_linenumber"),
         lit("_"), col("l_partkey"), lit("_"), col("l_suppkey")).as("readName"),
@@ -231,7 +233,8 @@ object MitoQueries {
     val train = feats(s.range(2048).toDF(), col("id"), col("id") * 7,
       col("id") * 13, col("id") * 3)
     val model = Classify.trainRF(train, numTrees = 64, seed = 7L)
-    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 1)
+    val li = Tables.fanOut(Tables.lineitem(s, d)) // r16: model.transform map work
+      .where(col("l_orderkey") % 4 === 1)
     val scored = Classify.score(model,
       feats(li, col("l_partkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber")))
@@ -1010,7 +1013,8 @@ object MitoQueries {
     * them. Scale shape: one narrow scan, one global aggregate. */
   def x14Flagstat(s: SparkSession, d: String): DataFrame = {
     import graft.sources.{BamWriter, HadoopIO}
-    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 3)
+    val li = Tables.fanOut(Tables.lineitem(s, d)) // r16: synthesis+BAM-encode map work
+      .where(col("l_orderkey") % 4 === 3)
     val flag = (lit(1)
       + when(col("l_linenumber") % 2 === 0, 2).otherwise(0)
       + when(col("l_partkey") % 7 === 0, 4).otherwise(0)
@@ -1090,7 +1094,8 @@ object MitoQueries {
     * aggregation, now pinned as a QC row. */
   def x15MateCheck(s: SparkSession, d: String): DataFrame = {
     import graft.sources.{BamWriter, HadoopIO}
-    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 4 === 0)
+    val li = Tables.fanOut(Tables.lineitem(s, d)) // r16: synthesis+BAM-encode map work
+      .where(col("l_orderkey") % 4 === 0)
     val rid = concat(lit("r"), col("l_orderkey"), lit("_"),
       col("l_linenumber"), lit("_"), col("l_partkey"), lit("_"),
       col("l_suppkey"))

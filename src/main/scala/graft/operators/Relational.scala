@@ -279,7 +279,7 @@ object Relational {
   /** Rollup (grouping sets) — subtotals + grand total; NULL group keys
     * coalesced to a sentinel so ordering/hashing is engine-neutral. */
   def q13Rollup(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.fanOut(Tables.lineitem(s, d)) // r16: expand(3x)+partial-agg map work
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .select(
@@ -434,7 +434,7 @@ object Relational {
   // ---------------------------------------------------------------- q20
   /** JSON extraction (events.props) — scalar JSON path + numeric cast. */
   def q20JsonExtract(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    Tables.fanOut(Tables.events(s, d)) // r16: per-row JSON parse map work
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .where(col("k") > 50)
@@ -2544,7 +2544,7 @@ object Relational {
     * ≤ 4× the group-table size, not 4× the data. NULL keys coalesced to
     * a sentinel (q13's discipline) so ordering/hashing is engine-neutral. */
   def q48GroupingSets(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.fanOut(Tables.lineitem(s, d)) // r16: expand(4x)+partial-agg map work
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
@@ -2882,7 +2882,7 @@ object Relational {
   def q57ArrayKernel(s: SparkSession, d: String): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
     val t = split(lower(trim(col("text"))), "\\s+")
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d)) // r16: tokenize+array kernels map work
       .select(col("doc_id"), t.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tok"),
@@ -3023,7 +3023,7 @@ object Relational {
     * lowercase hex; `hex` of an integer prints uppercase, no leading
     * zeros, in both). Narrow scan, zero shuffle before the sort. */
   def q61BitwiseKernel(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+    Tables.fanOut(Tables.orders(s, d)) // r16: md5/sha2 per-row map work
       .select(col("o_orderkey"),
         col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
         col("o_orderkey").bitwiseOR(lit(4096L)).as("orr"),
@@ -3215,7 +3215,7 @@ object Relational {
       lit(", \"meta\": {\"type\": \""), col("event_type"),
       lit("\", \"k\": "), get_json_object(col("props"), "$.k"),
       lit("}, \"vals\": ["), col("user_id"), lit("], \"nul\": null}"))
-    Tables.events(s, d)
+    Tables.fanOut(Tables.events(s, d)) // r16: parse_json+variant_get map work
       .select(col("event_id"), parse_json(js).as("v"))
       .select(col("event_id"),
         variant_get(col("v"), "$.meta.k", "int").as("k"),
@@ -3415,7 +3415,8 @@ object Relational {
     // (Det's scale rule), and corr's cancellation amplifies it
     val x = col("l_quantity")
     val y = round(col("l_discount") * 100, 0)
-    val a = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+    val a = Tables.fanOut(Tables.lineitem(s, d)) // r16: 7-acc partial agg map work
+      .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         corr(x, y).as("bc"), covar_samp(x, y).as("bcv"),
         dsum(x, 2).as("sx"), dsum(y, 2).as("sy"),

@@ -103,7 +103,7 @@ object TextAnalysis {
     val hits = markerHits(col("text"))
     val outCols = Seq(col("doc_id"), col("lang")) ++
       hits.map { case (l, c) => c.as(s"hits_$l") } :+ langGuess(hits).as("guess")
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d)) // r16: per-doc regex marker scans
       .select(outCols: _*)
       .withColumn("is_match", (col("guess") === col("lang")).cast("int"))
       .orderBy("doc_id")
@@ -219,7 +219,7 @@ object TextAnalysis {
     val nTok = size(tokens(txt))
     val quality = length(txt) >= 100 && nTok >= 20 &&
       regexCount(txt, "[0-9]") * 5 <= length(txt) // digit ratio < 20%
-    val flagged = Tables.documents(s, d).select(
+    val flagged = Tables.fanOut(Tables.documents(s, d)).select( // r16: regex+md5 kernels
       col("doc_id"), col("lang"),
       (langGuess(markerHits(txt)) === col("lang")).as("guess_ok"),
       quality.as("q"), nTok.as("n_tok"),
@@ -519,6 +519,8 @@ object TextAnalysis {
   def t10PiiRedact(s: SparkSession, d: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    // r16: NO fanOut here — t10's scale contract is the zero-shuffle
+    // narrow map-only scan (OperatorsSpec pins no hashpartitioning)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     Dedup.assertIdHeadroom(docs, "doc_id", d)
     val pii =
@@ -1064,8 +1066,8 @@ object TextAnalysis {
     // once per window after CollapseProject inlining (the t20 lesson —
     // O(n_tok²) splits per doc; measured 3× the whole query). The
     // checkpoint barrier makes `toks` a plain column read.
-    val tokDf = Dedup.truncateLineage(Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val tokDf = Dedup.truncateLineage(Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))) // r16 fanOut: tokenize pass
     val t = col("toks")
     // guard: sequence(1, n) with n < 1 DESCENDS in Spark ([1, 0]) — a
     // short doc must yield zero windows, not two bogus ones
@@ -1223,7 +1225,8 @@ object TextAnalysis {
       concat_ws(" ", concat(lit("pfx"), col("id").cast("string")),
         concat(lit("uniq"), col("id").cast("string")), lit(phrase))
         .as("text"))
-    spanScrub(Tables.documents(s, d).select(col("doc_id"), col("text"))
+    spanScrub(Tables.fanOut(Tables.documents(s, d)) // r16: window-md5 kernel downstream
+      .select(col("doc_id"), col("text"))
       .unionByName(planted))
   }
 
@@ -1967,7 +1970,7 @@ object TextAnalysis {
       size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nW
     val stopHits = size(filter(toks,
       x => x.isin("the", "be", "to", "of", "and", "that", "have", "with")))
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d)) // r16: tokenize+HOF-filter kernels
       .select(col("doc_id"), col("lang"), nW.as("n_words"),
         meanW.as("mean_wlen"), alphaFrac.as("alpha_frac"),
         stopHits.as("stop_hits"))
@@ -3197,7 +3200,7 @@ object TextAnalysis {
     * total join — output is matrix-sized at any corpus size. */
   def t47LangIdConfusion(s: SparkSession, d: String): DataFrame = {
     val hits = markerHits(col("text"))
-    val per = Tables.documents(s, d)
+    val per = Tables.fanOut(Tables.documents(s, d)) // r16: per-doc regex marker scans
       .select(col("lang"), langGuess(hits).as("guess"))
       .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
     val totals = per.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
