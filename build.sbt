@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-contract stdout hygiene (VERDICT r16 next-round #1): the driver
+// json-parses the LAST line of the bench's stdout tail, but sbt's default
+// LoggedOutput strategy framed the forked process's stdout as "[info] ..."
+// and stderr as "[error] ..." ON STDOUT, then printed a "[success] Total
+// time" epilogue after the JSON line — 7 straight rounds of parsed: null.
+// StdoutOutput passes the subprocess's stdout/stderr through verbatim
+// (bench stderr traces leave stdout entirely), and showSuccess drops the
+// epilogue, so the bench's one-line JSON is the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — exclude
+// it from the unused-key lint so the warning doesn't pollute stdout
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

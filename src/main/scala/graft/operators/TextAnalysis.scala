@@ -103,7 +103,7 @@ object TextAnalysis {
     val hits = markerHits(col("text"))
     val outCols = Seq(col("doc_id"), col("lang")) ++
       hits.map { case (l, c) => c.as(s"hits_$l") } :+ langGuess(hits).as("guess")
-    Tables.fanOut(Tables.documents(s, d)) // r16: per-doc regex marker scans
+    Tables.fanOut(Tables.documents(s, d), col("doc_id")) // r16 fan-out; r17 PK key
       .select(outCols: _*)
       .withColumn("is_match", (col("guess") === col("lang")).cast("int"))
       .orderBy("doc_id")
@@ -219,7 +219,7 @@ object TextAnalysis {
     val nTok = size(tokens(txt))
     val quality = length(txt) >= 100 && nTok >= 20 &&
       regexCount(txt, "[0-9]") * 5 <= length(txt) // digit ratio < 20%
-    val flagged = Tables.fanOut(Tables.documents(s, d)).select( // r16: regex+md5 kernels
+    val flagged = Tables.fanOut(Tables.documents(s, d), col("doc_id")).select( // r16 fan-out; r17 PK key
       col("doc_id"), col("lang"),
       (langGuess(markerHits(txt)) === col("lang")).as("guess_ok"),
       quality.as("q"), nTok.as("n_tok"),
@@ -1066,7 +1066,7 @@ object TextAnalysis {
     // once per window after CollapseProject inlining (the t20 lesson —
     // O(n_tok²) splits per doc; measured 3× the whole query). The
     // checkpoint barrier makes `toks` a plain column read.
-    val tokDf = Dedup.truncateLineage(Tables.fanOut(Tables.documents(s, d))
+    val tokDf = Dedup.truncateLineage(Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))) // r16 fanOut: tokenize pass
     val t = col("toks")
     // guard: sequence(1, n) with n < 1 DESCENDS in Spark ([1, 0]) — a
@@ -1225,7 +1225,7 @@ object TextAnalysis {
       concat_ws(" ", concat(lit("pfx"), col("id").cast("string")),
         concat(lit("uniq"), col("id").cast("string")), lit(phrase))
         .as("text"))
-    spanScrub(Tables.fanOut(Tables.documents(s, d)) // r16: window-md5 kernel downstream
+    spanScrub(Tables.fanOut(Tables.documents(s, d), col("doc_id")) // r16 fan-out; r17 PK key
       .select(col("doc_id"), col("text"))
       .unionByName(planted))
   }
@@ -1970,7 +1970,7 @@ object TextAnalysis {
       size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nW
     val stopHits = size(filter(toks,
       x => x.isin("the", "be", "to", "of", "and", "that", "have", "with")))
-    Tables.fanOut(Tables.documents(s, d)) // r16: tokenize+HOF-filter kernels
+    Tables.fanOut(Tables.documents(s, d), col("doc_id")) // r16 fan-out; r17 PK key
       .select(col("doc_id"), col("lang"), nW.as("n_words"),
         meanW.as("mean_wlen"), alphaFrac.as("alpha_frac"),
         stopHits.as("stop_hits"))
@@ -3200,7 +3200,7 @@ object TextAnalysis {
     * total join — output is matrix-sized at any corpus size. */
   def t47LangIdConfusion(s: SparkSession, d: String): DataFrame = {
     val hits = markerHits(col("text"))
-    val per = Tables.fanOut(Tables.documents(s, d)) // r16: per-doc regex marker scans
+    val per = Tables.fanOut(Tables.documents(s, d), col("doc_id")) // r16 fan-out; r17 PK key
       .select(col("lang"), langGuess(hits).as("guess"))
       .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
     val totals = per.groupBy(col("lang")).agg(sum(col("n")).as("tot"))

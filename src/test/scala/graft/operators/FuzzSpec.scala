@@ -64,7 +64,7 @@ class FuzzSpec extends SparkSpec {
 
   test("100-seed differential sweep: every kernel checksum equals the " +
       "naive model's") {
-    (0 until 100).foreach { k =>
+    parSweep(0 until 100) { k =>
       val p = Fuzz.params(k)
       val g = Fuzz.runSeed(base, p)
       val got = Seq(g._2, g._3, g._4, g._5, g._6, g._7, g._8, g._9,
@@ -108,7 +108,7 @@ class FuzzSpec extends SparkSpec {
 
   test("100-seed as-of differential sweep: AsOfJoinExec equals the " +
       "naive model across directions, tolerances, ties, empty right") {
-    (0 until 100).foreach { k =>
+    parSweep(0 until 100) { k =>
       val p = Fuzz.asofParams(k)
       val g = Fuzz.runAsofSeed(base, p)
       assert(Seq(g._2, g._3, g._4, g._5) === naiveAsof(p),
@@ -138,7 +138,7 @@ class FuzzSpec extends SparkSpec {
       .as[String].collect()
     val docs = graft.Tables.documents(spark, sf)
       .select(col("text")).where(col("text").isNotNull).persist()
-    try (0 until 30).foreach { k =>
+    try parSweep(0 until 30) { k =>
       val p = Fuzz.textParams(k)
       val g = Fuzz.runTextSeed(docs, p)
       assert(g._6, s"seed $k: hashed kernel diverged from string kernel")
@@ -156,7 +156,7 @@ class FuzzSpec extends SparkSpec {
   // -------------------------------------------------------- ntile q113
   test("50-seed equi-depth NTILE sweep: the two-level kernel equals a " +
       "naive chunked assignment (ties, tiny totals, degenerate ranges)") {
-    (0 until 50).foreach { k =>
+    parSweep(0 until 50) { k =>
       val p = Fuzz.ntileParams(k)
       val g = Fuzz.runNtileSeed(base, p)
       val rows0 = pairs
@@ -193,7 +193,7 @@ class FuzzSpec extends SparkSpec {
   // -------------------------------------------------------- depth q112
   test("60-seed coverage-depth sweep: the two-level kernel equals a " +
       "naive per-base pileup (multiset reads, stacked depth)") {
-    (0 until 60).foreach { k =>
+    parSweep(0 until 60) { k =>
       val p = Fuzz.params(k)
       val g = Fuzz.runDepthSeed(base, p)
       val depth = scala.collection.mutable.Map.empty[(String, Long), Long]
@@ -272,7 +272,7 @@ class FuzzSpec extends SparkSpec {
 
   test("50-seed connected-components sweep: the pointer-doubling loop " +
       "equals union-find across chain/hub/functional/block layouts") {
-    (0 until 50).foreach { k =>
+    parSweep(0 until 50) { k =>
       val p = Fuzz.ccParams(k)
       val g = Fuzz.runCcSeed(base, p)
       assert(Seq(g._2, g._3, g._4, g._5) === naiveCc(p),
@@ -331,7 +331,7 @@ class FuzzSpec extends SparkSpec {
 
   test("50-seed resample sweep: LOCF (as-of kernel) and interpolation " +
       "(pair-ownership kernel) equal the per-user linear-scan model") {
-    (0 until 50).foreach { k =>
+    parSweep(0 until 50) { k =>
       val p = Fuzz.resampleParams(k)
       val g = Fuzz.runResampleSeed(base, p)
       assert(Seq(g._2, g._3, g._4, g._5, g._6, g._7, g._8)
@@ -367,7 +367,7 @@ class FuzzSpec extends SparkSpec {
       "both sidecar formats equal a plain filter model") {
     val root =
       s"/tmp/graft_q116spec_${java.util.UUID.randomUUID().toString.take(8)}"
-    (0 until 50).foreach { k =>
+    parSweep(0 until 50) { k =>
       val p = Fuzz.vcfParams(k)
       val g = Fuzz.runVcfSeed(spark, base, p, root)
       assert(Seq(g.nTotal, g.nRegion, g.sumPos, g.sumAc, g.sumDp, g.sumEnd)
@@ -399,7 +399,7 @@ class FuzzSpec extends SparkSpec {
     import graft.sources.{SamDataSource, SamScan, TextSink}
     val root =
       s"/tmp/graft_q117spec_${java.util.UUID.randomUUID().toString.take(8)}"
-    (0 until 50).foreach { k =>
+    parSweep(0 until 50) { k =>
       val p = Fuzz.streamParams(k)
       val dir = s"$root/s$k"
       def land(i: Int): Unit = TextSink.write(Nil,

@@ -39,12 +39,27 @@ class OperatorsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("every declared query runs and is deterministic across two runs") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val a = fn(spark, sf)
-      val n1 = a.count()
+    // parallel across queries (parSweep): each query's two runs stay
+    // sequential within its thread; gates isolate their state in
+    // newSession() clones and per-query scratch paths by design.
+    // Exception: x80 asserts a DELTA on the global Ld/Numt load counters
+    // ("each shared dim loaded exactly once"), so it and the other
+    // counter-incrementing mito pipeline gates run serially afterwards —
+    // a concurrent x08/x09/x10 dim load would corrupt x80's delta.
+    val dimCounterGates = Set("x80_cohort_gate", "x08_pipeline_gate",
+      "x09_compressed_pipeline_gate", "x10_cv_gate")
+    def check(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val n1 = fn(spark, sf).count()
       val n2 = fn(spark, sf).count()
       assert(n1 === n2, s"$name row count unstable")
     }
+    parSweep(SparkEntry.queries.filterNot(q => dimCounterGates(q._1))) {
+      case (name, fn) => check(name, fn)
+    }
+    SparkEntry.queries.filter(q => dimCounterGates(q._1))
+      .foreach { case (name, fn) => check(name, fn) }
   }
 
   test("every oracle key has a matching query key") {
