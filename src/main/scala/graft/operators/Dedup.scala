@@ -2223,6 +2223,13 @@ object Dedup {
       .select(col("doc_id"), lit(999L).as("pidx"),
         lit("this syndicated paragraph appears verbatim across the corpus")
           .as("para"))
+    // r17 A/B, measured and REVERTED: staging this frame (it is evaluated
+    // three times — dedup group-by arm, join-back arm, per-doc totals)
+    // measured 1.16 → 1.27-1.33 s at sf0.1 even with size-gated broadcast
+    // hints restoring both downstream joins. At bench SF the duplicated
+    // single-task chunk subtrees execute as CONCURRENT stages on an idle
+    // box, so deduplicating them saves compute but not wall-clock, while
+    // the checkpoint barrier serializes the pipeline.
     val all = nat.unionByName(planted)
     val kept = paragraphDedup(all)
     val re = kept.groupBy(col("doc_id"))

@@ -1172,7 +1172,11 @@ object Relational {
     val ev = Tables.events(s, d).select(col("user_id"),
       unix_micros(col("ts").cast(TimestampType)).as("us"),
       col("event_id"), col("value"))
-    val obs = ev.groupBy(col("user_id"), col("us"))
+    // r17: one user_id exchange up front serves the (user_id, us) dedup
+    // aggregate AND both user-keyed consumers inside locfResample (the
+    // grid aggregate and the as-of sort) — see q94's note
+    val obs = ev.repartition(col("user_id"))
+      .groupBy(col("user_id"), col("us"))
       .agg(max(struct(col("event_id"), col("value"))).as("mx"))
       .select(col("user_id"), col("us"),
         expr("CAST(floor(mx.value * 1000) AS BIGINT)").as("val_milli"))
@@ -4013,10 +4017,18 @@ object Relational {
     * pair row already carries them. */
   def q94InterpResample(s: SparkSession, d: String): DataFrame = {
     val P = 6L * 3600L * 1000000L
+    // r17 (guide §2.4 "two operations keyed the same way can share one
+    // exchange"): partition by user_id ONCE up front — hash partitioning
+    // on a key subset satisfies both the (user_id, us) dedup aggregate's
+    // and the user_id window's clustering, so the plan carries ONE
+    // exchange before the orderBy instead of two ((user_id, us) then
+    // user_id). The dedup key is near-unique so its partial aggregate
+    // reduced nothing; measured 1.33 → 1.03 s at sf0.1.
     val obs = Tables.events(s, d)
       .select(col("user_id"),
         unix_micros(col("ts").cast(TimestampType)).as("us"),
         col("event_id"), col("value"))
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("us"))
       .agg(max(struct(col("event_id"), col("value"))).as("mx"))
       .select(col("user_id"), col("us"),

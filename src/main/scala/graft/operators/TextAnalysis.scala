@@ -2311,6 +2311,10 @@ object TextAnalysis {
     val planted = docs.where(col("doc_id") % 3 === 0)
       .select(col("doc_id"), lit(999L).as("lord"),
         lit("subscribe to our newsletter for daily updates").as("line"))
+    // r17 A/B, measured and REVERTED: staging this thrice-evaluated frame
+    // was flat-to-worse (1.2 → 1.2-1.5 s) even with broadcast hints — see
+    // d29's note (concurrent duplicate stages on an idle box vs the
+    // checkpoint barrier).
     val all = nat.unionByName(planted)
     val kept = dropBoilerplateLines(all, maxDocs = 5L)
     val re = kept.groupBy(col("doc_id"))
@@ -2779,6 +2783,13 @@ object TextAnalysis {
     * and never shuffle. Pair fan-out is |pairs|·|grams-per-doc|, linear
     * in corpus size. */
   def rougeOverlap(pairs: DataFrame): DataFrame = {
+    // r17 A/B, measured and REVERTED: staging the tokenized pair frame
+    // (the split subtree evaluates five times across the uni/bi×cand/ref
+    // arms + lens) and collapsing the two per-n overlap consumers into
+    // one conditional aggregate measured flat-to-worse (1.4 → 1.3-1.6 s
+    // at sf0.1) — the 25-token re-splits are cheap, the gram join +
+    // aggregates dominate, and the checkpoint barrier serializes stages
+    // that previously overlapped (see d29's note).
     def grams(side: String): DataFrame = {
       val toks = pairs.select(col("pair_id"),
         split(lower(trim(col(side))), "\\s+").as("toks"))
