@@ -16,28 +16,30 @@ import graft.functions.Det._
 object MitoQueries {
 
   // ---------------------------------------------------------------- x01
-  /** Pairwise-combination scoring: within each order, all unordered
-    * supplier pairs (the reference's `variants.combinations(2)`), each
-    * pair scored from a broadcast dimension (supplier acctbal stands in
-    * for the LD table), summed per order. No driver-side map, no
-    * quadratic collect: the pair space is bounded per group (suppliers
-    * per order), generated distributively by per-group combinations over
-    * the collected distinct set.
+  /** Pairwise-combination scoring, explode+join+sum formulation: within
+    * each order, all unordered supplier pairs (the reference's
+    * `variants.combinations(2)`), each pair scored from a broadcast
+    * dimension (supplier acctbal stands in for the LD table), summed per
+    * order. No driver-side map, no quadratic collect: the pair space is
+    * bounded per group and generated distributively by a self-join.
     *
-    * r17 (VERDICT r16 #5): formerly a band self-join on the distinct
-    * (okey, suppkey) frame. Its plan (plans/r17/x01_pair_score_before.txt)
-    * evaluated the scan + two-phase distinct TWICE — the BroadcastHashJoin
-    * build side cannot share the stream side's subtree — and collected
-    * ~580k rows to the driver for the broadcast. The per-group
-    * formulation runs ONE scan + ONE exchange, builds each order's sorted
-    * distinct supplier set (collect_set, bounded per group), and explodes
-    * its k·(k−1)/2 ordered pairs in-row (`slice` in a lambda, not a
-    * `sequence` builder — PlanAudit-clean). Row-identical output: the
-    * pair multiset per order is exactly {(s1,s2) | s1<s2} of the distinct
-    * set, orders with <2 distinct suppliers vanish in both forms (inner
-    * join before vs empty explode now), and dsum is decimal-exact so
-    * order cannot perturb the sum. Measured 1.89 → 0.49 s (isolated
-    * 6-rep min, sf0.1); oracle hash-green at sf0.01 and sf0.001. */
+    * r17 (VERDICT r16 #5): the self-join's distinct (okey, suppkey)
+    * frame is STAGED once (eager lineage truncation) — its old plan
+    * (plans/r17/x01_pair_score_before.txt) evaluated the scan + two-phase
+    * distinct TWICE (the stats-chosen BroadcastHashJoin build side cannot
+    * share the stream side's subtree) and collected ~580k rows to the
+    * driver for the broadcast. The staged build side carries the
+    * size-gated broadcast hint; at bench SF it exceeds the threshold and
+    * the pair join runs as a shuffle join over the staged frame — flat
+    * locally (1.89 → 1.97 s isolated 6-rep min, within wobble), but ONE
+    * distinct evaluation and no corpus-sized driver collect at any scale.
+    * Two alternatives measured and rejected: a narrow 2-column fan-out
+    * before the distinct (1.89 → 2.00 s — the near-unique key makes the
+    * partial distinct reduce nothing) and a per-group
+    * collect_set + in-row combinations rewrite (1.89 → 3.05 s — the
+    * ObjectHashAggregate falls out of whole-stage codegen). Stage-wise
+    * floor at sf0.1: scan 0.17 + distinct 0.67 + pair join 1.15 +
+    * dimension joins/agg 1.45 + final sort ≈ 1.9 s. */
   def x01PairScore(s: SparkSession, d: String): DataFrame = {
     val (li, nLi) = Dedup.truncateLineageCounted(
       Tables.lineitem(s, d)
