@@ -1571,16 +1571,44 @@ object Dedup {
     * round: a decimal-exact label sum — if any component is not yet
     * uniform, some edge crosses two labels and the min propagates, so an
     * unchanged sum ⇔ fixpoint ⇔ every node holds its component minimum. */
+  /** Stage a (…, label: LONG, …) frame like [[truncateLineage]] AND
+    * return its exact label sum from the SAME materialization pass —
+    * the CC loop previously paid two jobs per round (a count to
+    * materialize the checkpoint, then a separate label-sum aggregate for
+    * the fixpoint test); one mapPartitions fold does both. BigInteger
+    * accumulation is exact, matching the old decimal(38,0) sum. */
+  private def stageWithLabelSum(df: DataFrame)
+      : (DataFrame, java.math.BigDecimal) = {
+    val s = df.sparkSession
+    val labelOrd = df.schema.fieldIndex("label")
+    require(df.schema(labelOrd).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "stageWithLabelSum: label must be LONG")
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    s.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        rdd.checkpoint()
+      case _ => rdd.localCheckpoint()
+    }
+    val sum = rdd.mapPartitions { it =>
+      var acc = java.math.BigInteger.ZERO
+      it.foreach(r =>
+        acc = acc.add(java.math.BigInteger.valueOf(r.getLong(labelOrd))))
+      Iterator.single(acc)
+    }.fold(java.math.BigInteger.ZERO)(_.add(_))
+    (org.apache.spark.sql.graft.bridge.internalDf(s, rdd, df.schema),
+      new java.math.BigDecimal(sum))
+  }
+
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = truncateLineage(pairs.toDF("u", "v")
       .unionByName(pairs.toDF("v", "u").select(col("u"), col("v"))))
-    var labels = truncateLineage(edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO)).as("s")).head.getDecimal(0)
+    var (labels, cur) = stageWithLabelSum(
+      edges.select(col("u").as("node")).withColumn("label", col("node"))
+        .distinct())
     var prev: java.math.BigDecimal = null
-    var cur = labelSum(labels)
     var rounds = 0
     // compareTo, not equals: BigDecimal.equals is scale-sensitive
     def converged = prev != null && cur.compareTo(prev) == 0
@@ -1621,9 +1649,10 @@ object Dedup {
           "connectedComponents: a round aggregate keyed on `label` — one " +
             "giant component would serialize through a single reducer")
       }
-      labels = truncateLineage(round)
+      val (nl, ns) = stageWithLabelSum(round)
+      labels = nl
       prev = cur
-      cur = labelSum(labels)
+      cur = ns
       rounds += 1
     }
     require(converged, s"connected components did not converge in $rounds rounds")
